@@ -1,0 +1,157 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design
+------------
+- Exact dedup hashes the normalized text (one md5 per row) and keeps the
+  min doc_id per fingerprint — a single hash-aggregate; at 100 TB this is the
+  cheapest possible dedup (map-side partial agg on the 128-bit key).
+- Pairwise n-gram Jaccard is the *verification* primitive: it self-joins on
+  shingles, so it is only run on LSH candidate buckets (or small corpora).
+- MinHash+LSH is the scale path: per-doc k-way min-hash signature (one
+  explode + min-aggregate — linear), band the signature, join docs sharing a
+  band bucket. The band join is an equi-join on a high-cardinality key →
+  well-distributed shuffle; candidates then verified with exact Jaccard.
+- SimHash: 32-bit signature via 32 conditional aggregates over token hashes
+  (no row blowup); near-dups = signatures within small Hamming distance.
+
+All hash functions are md5-derived (``conv(substr(md5(x),1,8),16,10)``) so the
+DuckDB oracle can reproduce them bit-for-bit — deliberately NOT Spark's
+``hash()``/``xxhash64`` which have no DuckDB equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _norm(text_col: str) -> Column:
+    n = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(n, " +", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per identical (normalized) text. Output:
+    keep_id, n_copies — one row per distinct content."""
+    return (df.select(F.col(id_col), F.md5(_norm(text_col)).alias("fp"))
+              .groupBy("fp")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Pure JVM —
+    split + sequence/transform/slice higher-order expressions."""
+    d = df.select(F.col(id_col), F.split(_norm(text_col), " ").alias("w"))
+    grams = F.when(
+        F.size("w") >= n,
+        F.expr(f"transform(sequence(0, size(w) - {n}),"
+               f" i -> concat_ws(' ', slice(w, i + 1, {n})))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+
+
+def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All doc pairs with shingle-set Jaccard >= threshold.
+
+    Shuffle shape: shingle self-join (key = shingle string, high cardinality,
+    well-distributed) then an aggregate on the pair key. At 100 TB run this on
+    LSH candidates only — see :func:`minhash_lsh_candidates`.
+    Output: id_a, id_b, jaccard (rounded).
+    """
+    sh = shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (a.join(b, "shingle")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common").cast("double")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def _md5_hash32(prefix: Column | str, value: Column) -> Column:
+    """Deterministic 32-bit hash reproducible in DuckDB:
+    int(first 8 hex chars of md5(prefix || ':' || value))."""
+    p = F.lit(prefix) if isinstance(prefix, str) else prefix
+    return F.conv(F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), value)),
+                              1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 16, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, seed, minhash): k-way MinHash over word n-gram shingles.
+
+    Linear plan: explode shingles once, cross with the k seeds (tiny literal
+    array — stays map-side), min-aggregate per (doc, seed). Shuffle key is
+    (doc, seed) → cardinality k×docs, uniform.
+    """
+    sh = shingles(df, n, text_col, id_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (sh.select(F.col(id_col), F.col("shingle"), seeds)
+              .select(F.col(id_col), F.col("seed"),
+                      _md5_hash32(F.col("seed"), F.col("shingle")).alias("h"))
+              .groupBy(id_col, "seed")
+              .agg(F.min("h").alias("minhash")))
+
+
+def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                           n: int = 3, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    band bucket = md5 of the band's concatenated minhash values; docs in the
+    same bucket for any band become a candidate pair. Output: id_a, id_b,
+    n_shared_bands. Verify candidates with :func:`jaccard_pairs` semantics.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    # Band bucket = md5 of the '|'-joined minhash values in seed order — a
+    # plain string contract the SQL oracle reproduces with string_agg(...
+    # ORDER BY seed), with no JSON-formatting ambiguity.
+    banded = (sig.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+                 .groupBy(id_col, "band")
+                 .agg(F.md5(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                         lambda s: s.getField("minhash").cast("string")),
+                     "|")).alias("bucket")))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+
+
+def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash signature over tokens.
+
+    Plan: explode tokens once with their 32-bit hash, then ONE aggregate with
+    ``bits`` conditional sums (no 32× row blowup); signature bit j is set when
+    the signed sum of bit j over all token hashes is positive.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(_norm(text_col), " ")).alias("tok"))
+              .filter(F.col("tok") != "")
+              .select(F.col(id_col), _md5_hash32("sim", F.col("tok")).alias("h")))
+    sums = toks.groupBy(id_col).agg(*[
+        F.sum(F.when(F.expr(f"(h div {1 << j}) % 2") == 1, 1).otherwise(-1))
+         .alias(f"b{j}")
+        for j in range(bits)
+    ])
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else (sig + term)
+    return sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))

@@ -1,0 +1,116 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+Design (SURVEY §2.9): media travels as a ``binary`` column with a metadata
+struct (mime, width/height, duration, …). Decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages — per-batch Python,
+never per-row — and are the ONLY sanctioned Python hot path in the engine.
+
+The image/audio codec libraries are not in this container, so the actual
+decode is stubbed: ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless the deterministic fake decoder is selected.
+Everything around the stub — schema, batch iteration, partition sizing,
+output contract — is real and tested; swapping in PIL/librosa later touches
+only ``_decode_payload``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# Output contract of the feature extractor stage.
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("checksum", T.LongType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+N_FEATURES = 8
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Test-fixture adapter: synthesize a binary media column from a string
+    column (UTF-8 bytes) + a metadata struct, so the multimodal plumbing can
+    be exercised without real media files."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.col(text_col)).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes, mime: str, fake: bool) -> list[float]:
+    """Decode one payload into a fixed-length feature vector.
+
+    Real codecs are not available in this container; the deterministic fake
+    derives features from byte statistics so tests have stable assertions.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires codec libs (PIL/librosa) not present in "
+            "this environment; pass fake=True for the deterministic stub")
+    if payload is None or len(payload) == 0:
+        return [0.0] * N_FEATURES
+    n = len(payload)
+    return [
+        float(n),
+        float(payload[0]),
+        float(payload[-1]),
+        float(sum(payload[:64]) % 997),
+        float(min(payload)),
+        float(max(payload)),
+        float(sum(payload) % 10007),
+        float(n % 251),
+    ]
+
+
+def extract_features(media: DataFrame, fake: bool = True,
+                     batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction over (media_id, payload, meta).
+
+    Arrow delivers columnar batches; we iterate batches (never rows at the
+    DataFrame level) and emit the FEATURE_SCHEMA contract. At scale, size
+    input partitions so payload batches fit executor memory
+    (``spark.sql.files.maxPartitionBytes`` + ``maxRecordsPerBatch``).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_payload(p, m, fake)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "checksum": [int(sum(p) % 100003) if p is not None else 0
+                             for p in pdf["payload"]],
+                "features": feats,
+            })
+
+    flat = media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
+    return flat.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stub: contract only (media_id, frame_no, frame).
+    Raises at execution time — real decoder required."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError("video decode not available in this container")
+        yield  # pragma: no cover
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

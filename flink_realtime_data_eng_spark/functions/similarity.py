@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set against
+the corpus, dot products via ``zip_with`` + ``aggregate`` higher-order
+expressions (JVM-side, sequential fold → deterministic, oracle-matching),
+top-k per query via partition-local row_number. At 100 TB the corpus side
+only ever streams through map tasks; the single shuffle is the tiny
+(n_queries × k)-row TopK.
+
+Scale path: LSH bucketing — random-hyperplane signatures from md5-derived
+±1 planes (deterministic, seedable), candidates restricted to the query's
+bucket before exact scoring. Recall/probe tradeoff documented per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Sequential-fold dot product of two float arrays, accumulated in double
+    (ordering matters for float determinism vs the oracle)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v: str | Column) -> Column:
+    cv = F.col(v) if isinstance(v, str) else v
+    sq = F.aggregate(cv, F.lit(0.0),
+                     lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return F.sqrt(sq)
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     query_id: str = "query_id") -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries: (query_id, embedding) — small; explicitly broadcast so the
+    corpus-side scan never shuffles. Output: query_id, vec_id, score.
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
+    scored = (corpus.join(F.broadcast(q), F.col(query_id) != F.col(id_col))
+              .select(F.col(query_id), F.col(id_col),
+                      cosine("q_vec", vec_col).alias("raw_score")))
+    w = W.partitionBy(query_id).orderBy(F.col("raw_score").desc(), F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id, id_col, F.round("raw_score", 6).alias("score"), "rk"))
+
+
+def _plane_sign(plane: int, dim_index: Column) -> Column:
+    """Deterministic ±1 from md5(plane:dim) parity — a seedable pseudo-random
+    hyperplane with no RNG state (reproducible across engines/runs)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"plane{plane}:"), dim_index.cast("string"))),
+        1, 8), 16, 10).cast("bigint")
+    return F.when(h % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_signature(vec_col: str, num_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (0 .. 2^planes-1): bit p = sign of the
+    dot product with pseudo-random ±1 plane p. Pure expression — map-side."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                       lambda x, i: x.cast("double") * _plane_sign(p, i)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                      num_planes: int = 8, vec_col: str = "embedding",
+                      id_col: str = "vec_id", query_id: str = "query_id") -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's LSH
+    bucket. ~2^planes× less scoring work at the cost of recall; at scale,
+    multi-probe (flip one bit) or repartition-by-bucket keeps skew bounded."""
+    cb = corpus.withColumn("bucket", lsh_signature(vec_col, num_planes))
+    qb = (queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
+                 .withColumn("q_bucket", lsh_signature("q_vec", num_planes)))
+    scored = (cb.join(F.broadcast(qb),
+                      (F.col("bucket") == F.col("q_bucket"))
+                      & (F.col(query_id) != F.col(id_col)))
+              .select(F.col(query_id), F.col(id_col),
+                      cosine("q_vec", vec_col).alias("raw_score")))
+    w = W.partitionBy(query_id).orderBy(F.col("raw_score").desc(), F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id, id_col, F.round("raw_score", 6).alias("score"), "rk"))
+
+
+def norm_stats_by_label(emb: DataFrame, vec_col: str = "embedding",
+                        label_col: str = "label") -> DataFrame:
+    """Embedding-column hygiene stats: per-label count and L2-norm min/mean/max
+    (rounded for oracle comparison)."""
+    withn = emb.select(F.col(label_col), _norm(vec_col).alias("nrm"))
+    return (withn.groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.min("nrm"), 6).alias("min_norm"),
+                 F.round(F.avg("nrm"), 6).alias("avg_norm"),
+                 F.round(F.max("nrm"), 6).alias("max_norm"))
+            .orderBy(label_col))

@@ -1,0 +1,104 @@
+"""Text analysis over document tables: tokenization, quality scoring,
+language-ID heuristic, fingerprinting.
+
+Everything is a Catalyst expression (regexp_count / split / md5 / length) so
+the whole stage codegens into the parquet scan — at 100 TB these are pure
+map-side columns with zero shuffle. Regex patterns are kept to the syntax
+subset Java regex and RE2 (DuckDB oracle) agree on: character classes,
+alternation, ``\\b`` word boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword marker lists for the heuristic language scorer.
+# Deliberately small + high-frequency; the heuristic is deterministic and
+# SQL-expressible, which is the point (real lang-id would be a model).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+_WORD_RE = "[a-z0-9]+"
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace-ish tokenization: lowercase word/number runs (JVM regex)."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count (JVM-side; no UDF)."""
+    return F.size(tokens(text_col)).alias("n_tokens")
+
+
+def word_token_count(text_col: str) -> Column:
+    """BPE-ish sub-token count: letter runs, digit runs, and single
+    punctuation marks each count as one token."""
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return F.regexp_count(F.lower(F.col(text_col)), F.lit(pat)).alias("n_subtokens")
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    Features: char length, token count, mean token length, punctuation ratio,
+    stopword ratio. Score: a simple interpretable combination, rounded so the
+    double arithmetic hashes identically against the SQL oracle.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.regexp_count(F.col(text_col), F.lit("[^a-zA-Z0-9 ]"))
+    n_stop = F.regexp_count(
+        F.lower(F.col(text_col)),
+        F.lit(r"\b(the|and|of|to|is|a|in|that)\b"))
+    mean_tok_len = F.when(n_tok > 0,
+                          F.aggregate(toks, F.lit(0).cast("double"),
+                                      lambda acc, x: acc + F.length(x)) / n_tok
+                          ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
+    score = (F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
+             + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.2)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count per-language marker stopwords, pick the
+    argmax (ties + zero-evidence -> 'und'). One regexp_count per language —
+    map-side only."""
+    scores = {lang: F.regexp_count(F.lower(F.col(text_col)),
+                                   F.lit(r"\b(" + "|".join(ws) + r")\b"))
+              for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    guess = F.lit("und")
+    # Deterministic priority order on ties: en > es > fr > de (first match).
+    for lang in ["de", "fr", "es", "en"]:
+        guess = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    sel = [F.col(id_col)]
+    sel += [v.alias(f"score_{k}") for k, v in scores.items()]
+    sel.append(guess.alias("lang_guess"))
+    return df.select(*sel)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 of the normalized text (lowercased, non-
+    alphanumeric stripped) — the exact-dedup key at scale. 128-bit as hex."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    norm = F.regexp_replace(norm, " +", " ")
+    return df.select(F.col(id_col), F.md5(F.trim(norm)).alias("fp"))

@@ -1,0 +1,90 @@
+"""Windowed aggregation operators (SURVEY §2.4 A1-A6).
+
+The reference's windows are processing-time assigners over record streams
+(TumblingProcessingTimeWindows 5s — MapCountPrinter.java:24; sliding 10s/5s —
+WindowingOperations.java:84-86; ProcessingTimeSessionWindows gap 5s —
+WindowingOperations.java:123; TumblingEventTimeWindows 1s —
+EventTimeOperations.java:158; keyed 10s tumbling — CourseUseCase.java:103).
+Its only aggregate functions are sum/count/min/max via ``reduce``.
+
+Spark-first: batch forms use the native ``window()`` / ``session_window()``
+expressions over an exact epoch-ms column (LongType, integer arithmetic — the
+DuckDB oracle computes the same buckets with ``epoch_ms(ts)``); streaming forms
+reuse the same expressions on a streaming DataFrame (see ``streaming/``), with
+``current_timestamp()`` stamped as arrival time when processing-time semantics
+are wanted. Catalyst handles partial/final aggregation; the groupBy keys hash-
+shuffle exactly once, and AQE coalesces the post-shuffle partitions — this plan
+is the one you want at 100 TB (no per-record state, no driver loops).
+
+All outputs expose window bounds as epoch-ms BIGINT (``unix_millis``) so the
+oracle hash comparison never touches timestamp formatting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def event_time(ts_ms: str | Column) -> Column:
+    """Exact ms-precision TimestampType from an epoch-ms LongType column."""
+    col = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
+    return F.timestamp_millis(col)
+
+
+def tumbling_agg(df: DataFrame, ts_ms: str, size_ms: int,
+                 keys: Sequence[str] = (), aggs: Sequence[Column] = (),
+                 window_col: str = "window_start_ms") -> DataFrame:
+    """A1/A5/A6: tumbling window (global when ``keys`` is empty) + aggregates.
+
+    window_start = floor(ts_ms / size) * size — identical to the SQL oracle's
+    integer arithmetic and to Spark's epoch-aligned ``window()``.
+    """
+    w = F.window(event_time(ts_ms), f"{size_ms} milliseconds")
+    out = df.groupBy(w.alias("w"), *keys).agg(*aggs)
+    return out.select(F.unix_millis("w.start").alias(window_col), *keys,
+                      *[F.col(c) for c in out.columns if c not in ("w", *keys)])
+
+
+def sliding_agg(df: DataFrame, ts_ms: str, size_ms: int, slide_ms: int,
+                keys: Sequence[str] = (), aggs: Sequence[Column] = (),
+                window_col: str = "window_start_ms") -> DataFrame:
+    """A3: sliding window — each row lands in size/slide epoch-aligned windows.
+
+    Spark's ``window(ts, size, slide)`` expands rows JVM-side (no Python); the
+    oracle enumerates the same hop offsets with a small cross join.
+    """
+    w = F.window(event_time(ts_ms), f"{size_ms} milliseconds", f"{slide_ms} milliseconds")
+    out = df.groupBy(w.alias("w"), *keys).agg(*aggs)
+    return out.select(F.unix_millis("w.start").alias(window_col), *keys,
+                      *[F.col(c) for c in out.columns if c not in ("w", *keys)])
+
+
+def session_agg(df: DataFrame, ts_ms: str, gap_ms: int,
+                keys: Sequence[str] = (), aggs: Sequence[Column] = (),
+                window_col: str = "session_start_ms") -> DataFrame:
+    """A4: session window (gap-based). ``session_window`` merges events closer
+    than ``gap`` into one session per key — the oracle reproduces it with the
+    classic gaps-and-islands SQL (lag + running sum of gap-breaks).
+
+    Note the boundary convention: events exactly ``gap`` apart start a NEW
+    session in both Spark (end-exclusive session end = last+gap) and the
+    oracle (``ts - prev >= gap`` breaks).
+    """
+    w = F.session_window(event_time(ts_ms), f"{gap_ms} milliseconds")
+    out = df.groupBy(w.alias("w"), *keys).agg(*aggs)
+    return out.select(F.unix_millis("w.start").alias(window_col), *keys,
+                      *[F.col(c) for c in out.columns if c not in ("w", *keys)])
+
+
+def running_reduce(df: DataFrame, keys: Sequence[str], order_by: Sequence[str],
+                   value: str, out_col: str = "running_total") -> DataFrame:
+    """A2 batch analog: keyBy(user).reduce(sum) emits a cumulative total per
+    key on every record (KeyedStreamOperations.java:67-68). Batch equivalent:
+    a running-sum window frame; streaming equivalent: groupBy().sum() in
+    update output mode (see streaming/pipelines.py).
+    """
+    w = (W.partitionBy(*keys).orderBy(*order_by)
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return df.withColumn(out_col, F.sum(value).over(w))

@@ -1,0 +1,136 @@
+"""TPC-H-style relational queries over the driver tables (bench headliners).
+
+The reference has no SQL layer at all (SURVEY §3) — these queries exercise and
+benchmark the engine's relational core (multi-agg groupBy, star joins, top-k).
+Plans are written so Catalyst produces the 100 TB shape: filters adjacent to
+scans (parquet pushdown), small dims explicitly broadcast, aggregations
+partial/final, AQE free to re-plan.
+
+Float determinism: monetary measures are converted per-row to exact integer
+fixed-point (×10⁴, BIGINT) *before* summing. Per-row double arithmetic is
+bit-deterministic across engines (same IEEE expression tree); only the SUM
+ordering is not — integer sums make the result byte-identical to the DuckDB
+oracle regardless of partitioning, and make ORDER BY ties impossible to
+mis-rank. Averages divide two exact integers (one double division → exact
+match), rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..operators.ranking import top_k_per_group
+from ..schemas import load_table
+
+
+def _e4(col: Column) -> Column:
+    """Exact fixed-point: round(value * 10000) as BIGINT (per-row, then sum)."""
+    return F.round(col * 10000).cast("bigint")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str,
+                    cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate groupBy on lineitem.
+    One shuffle on 2 low-cardinality keys; all 8 measures partial-aggregated
+    map-side. Monetary sums are *_e4 fixed-point BIGINTs."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum(_e4(F.col("l_quantity"))).alias("sum_qty_e4"),
+              F.sum(_e4(F.col("l_extendedprice"))).alias("sum_base_price_e4"),
+              F.sum(_e4(disc_price)).alias("sum_disc_price_e4"),
+              F.sum(_e4(charge)).alias("sum_charge_e4"),
+              F.count(F.lit(1)).alias("count_order"))
+         .select("l_returnflag", "l_linestatus",
+                 "sum_qty_e4", "sum_base_price_e4", "sum_disc_price_e4",
+                 "sum_charge_e4", "count_order",
+                 F.round(F.col("sum_qty_e4") / F.col("count_order") / 1e4, 6)
+                  .alias("avg_qty"),
+                 F.round(F.col("sum_base_price_e4") / F.col("count_order") / 1e4, 6)
+                  .alias("avg_price"))
+         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str,
+                      segment: str = "BUILDING",
+                      date: str = "1998-03-15") -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with selective filters.
+    customer is small → broadcast; lineitem⋈orders is the one real shuffle."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(date).cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(date).cast("timestamp"))
+    rev = F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_e4")
+    return (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                li.l_orderkey == F.col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(rev)
+          .select(F.col("l_orderkey"),
+                  F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+                  F.col("o_orderpriority"), F.col("revenue_e4"))
+          .orderBy(F.col("revenue_e4").desc(), "o_orderdate_ms", "l_orderkey")
+          .limit(10)
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str,
+                          region: str = "ASIA",
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join → revenue per nation. All dims
+    broadcast; the lineitem⋈orders shuffle is the only large exchange; the
+    supplier-nation = customer-nation equality applies post-join (per spec)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+                  c.c_nationkey == F.col("n_nationkey")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+          .join(F.broadcast(s),
+                (li.l_suppkey == s.s_suppkey)
+                & (s.s_nationkey == F.col("c_nationkey")))
+          .groupBy("n_name")
+          .agg(F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .alias("revenue_e4"))
+          .orderBy(F.col("revenue_e4").desc())
+    )
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k revenue parts per brand: lineitem agg first (shrinks to one row
+    per part), broadcast part dim, then windowed row_number ≤ k — partition-
+    local TopK, no global sort. Exact BIGINT revenue → deterministic ranks."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+             .agg(F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                   .alias("revenue_e4")))
+    joined = rev.join(F.broadcast(p), rev.l_partkey == p.p_partkey)
+    return (top_k_per_group(joined, ["p_brand"],
+                            [F.col("revenue_e4").desc(), F.col("p_partkey")], k)
+            .select("p_brand", "p_partkey", "revenue_e4", "rk"))
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation shape (reference has none — SURVEY §2.8): exact
+    count-distinct per group; Catalyst expands to two-phase partial-distinct.
+    At 100 TB swap in approx_count_distinct (HLL) — kept exact here for the
+    oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n_users"),
+                  F.count(F.lit(1)).alias("n_events"))
+             .orderBy("event_type"))

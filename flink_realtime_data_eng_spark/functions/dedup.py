@@ -141,6 +141,8 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
     ``bits`` conditional sums (no 32× row blowup); signature bit j is set when
     the signed sum of bit j over all token hashes is positive.
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32] (md5-derived hash is 32-bit), got {bits}")
     toks = (df.select(F.col(id_col),
                       F.explode(F.split(_norm(text_col), " ")).alias("tok"))
               .filter(F.col("tok") != "")

@@ -100,9 +100,22 @@ def extract_features(media: DataFrame, fake: bool = True,
     return flat.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling stub: contract only (media_id, frame_no, frame).
-    Raises at execution time — real decoder required."""
+def frame_sample(media: DataFrame, every_n: int = 10, frame_bytes: int = 16,
+                 fake: bool = True) -> DataFrame:
+    """Video frame sampling: every ``every_n``-th frame of each payload as its
+    own row (media_id, frame_no, frame BINARY).
+
+    Real video decode needs codec libs absent from this container; the
+    deterministic fake treats the payload as a sequence of fixed-size
+    ``frame_bytes`` chunks ("frames") and emits every n-th chunk — the Spark
+    plumbing (mapInPandas fan-out rows-per-input-row, Arrow binary columns,
+    schema contract) is identical to what a real decoder needs; swapping in
+    a codec touches only the chunker below.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires codec libs not present in this environment; "
+            "pass fake=True for the deterministic chunk sampler")
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_no", T.IntegerType()),
@@ -110,7 +123,16 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError("video decode not available in this container")
-        yield  # pragma: no cover
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = len(payload) // frame_bytes
+                for fno in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    nos.append(fno)
+                    frames.append(bytes(payload[fno * frame_bytes:(fno + 1) * frame_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -39,20 +39,31 @@ def cosine(a: str | Column, b: str | Column) -> Column:
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     query_id: str = "query_id") -> DataFrame:
+                     query_id: str = "query_id",
+                     exclude_self: bool = True) -> DataFrame:
     """Exact cosine top-k per query vector.
 
     queries: (query_id, embedding) — small; explicitly broadcast so the
-    corpus-side scan never shuffles. Output: query_id, vec_id, score.
+    corpus-side scan never shuffles. Output: query_id, vec_id, score, rk.
+
+    ``exclude_self`` assumes query ids share the corpus id space and drops
+    the ``query_id == vec_id`` pair (a query never returns itself). Pass
+    ``False`` when query ids are an independent id space — otherwise an
+    accidental id collision would silently drop a legitimate neighbor.
+
+    Ranking is on the score ROUNDED to 6 decimals with the corpus id as the
+    tiebreaker, so ranks are reproducible across engines whose float folds
+    differ in the last ulp.
     """
     q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
-    scored = (corpus.join(F.broadcast(q), F.col(query_id) != F.col(id_col))
+    cond = (F.col(query_id) != F.col(id_col)) if exclude_self else F.lit(True)
+    scored = (corpus.join(F.broadcast(q), cond)
               .select(F.col(query_id), F.col(id_col),
-                      cosine("q_vec", vec_col).alias("raw_score")))
-    w = W.partitionBy(query_id).orderBy(F.col("raw_score").desc(), F.col(id_col))
+                      F.round(cosine("q_vec", vec_col), 6).alias("score")))
+    w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
-            .select(query_id, id_col, F.round("raw_score", 6).alias("score"), "rk"))
+            .select(query_id, id_col, "score", "rk"))
 
 
 def _plane_sign(plane: int, dim_index: Column) -> Column:
@@ -91,11 +102,11 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       (F.col("bucket") == F.col("q_bucket"))
                       & (F.col(query_id) != F.col(id_col)))
               .select(F.col(query_id), F.col(id_col),
-                      cosine("q_vec", vec_col).alias("raw_score")))
-    w = W.partitionBy(query_id).orderBy(F.col("raw_score").desc(), F.col(id_col))
+                      F.round(cosine("q_vec", vec_col), 6).alias("score")))
+    w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
-            .select(query_id, id_col, F.round("raw_score", 6).alias("score"), "rk"))
+            .select(query_id, id_col, "score", "rk"))
 
 
 def norm_stats_by_label(emb: DataFrame, vec_col: str = "embedding",

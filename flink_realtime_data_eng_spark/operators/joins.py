@@ -17,9 +17,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def window_bucket(ts_ms: str | Column, size_ms: int) -> Column:
-    """Epoch-aligned tumbling bucket id (exact integer arithmetic)."""
+    """Epoch-aligned tumbling bucket start (exact integer arithmetic).
+
+    Floor semantics (``floor(ts/size)*size``) so pre-epoch (negative)
+    timestamps bucket identically to ``F.window()``'s epoch alignment —
+    Spark's ``%`` is dividend-signed and would round toward zero instead.
+    """
     col = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
-    return (col - (col % F.lit(size_ms))).alias("window_start_ms")
+    return (F.floor(col / F.lit(size_ms)) * size_ms).cast("bigint").alias("window_start_ms")
 
 
 def windowed_equi_join(left: DataFrame, right: DataFrame, key: str,

@@ -22,7 +22,7 @@ def parse_csv_lines(lines: DataFrame, schema: T.StructType,
     ``regexp_replace`` fallback reproduces the reference's cruder strip-then-
     split for byte-exact parity on quoted inputs.
     """
-    ddl = schema.simpleString()[7:-1].replace(":", " ")  # struct<a:int,..> -> a int,..
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     return lines.select(
         F.from_csv(F.regexp_replace(F.col(value_col), '"', ""), ddl).alias("r")
     ).select("r.*")

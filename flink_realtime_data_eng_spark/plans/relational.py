@@ -72,7 +72,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str,
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(rev)
           .select(F.col("l_orderkey"),
-                  F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+                  # parquet dates read as TIMESTAMP_NTZ; session tz is UTC so
+                  # the cast is instant-preserving and unix_millis resolves.
+                  F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                   .alias("o_orderdate_ms"),
                   F.col("o_orderpriority"), F.col("revenue_e4"))
           .orderBy(F.col("revenue_e4").desc(), "o_orderdate_ms", "l_orderkey")
           .limit(10)
@@ -83,9 +86,12 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str,
                           region: str = "ASIA",
                           date_from: str = "1996-01-01",
                           date_to: str = "1997-01-01") -> DataFrame:
-    """TPC-H Q5 shape: 6-table star join → revenue per nation. All dims
-    broadcast; the lineitem⋈orders shuffle is the only large exchange; the
-    supplier-nation = customer-nation equality applies post-join (per spec)."""
+    """TPC-H Q5 shape: 6-table star join → revenue per nation. Truly-tiny
+    dims (nation⋈region, supplier at these SFs) broadcast; customer is
+    SF-scaled (~150k × SF rows) so it is NEVER force-broadcast — the
+    orders⋈customer join shuffles on custkey and AQE is free to pick
+    broadcast at small SFs. The supplier-nation = customer-nation equality
+    applies post-join (per spec)."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -94,12 +100,14 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str,
         (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp")))
     li = load_table(spark, sf_dir, "lineitem")
-    dim = (c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-                  c.c_nationkey == F.col("n_nationkey")))
+    # nation⋈region: 25-row dim, broadcast-safe at any SF. customer joins it
+    # broadcast, but the customer side itself shuffles into orders.
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    dim = c.join(F.broadcast(nr), c.c_nationkey == F.col("n_nationkey"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-          .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
-          .join(F.broadcast(s),
+          .join(dim, F.col("o_custkey") == dim.c_custkey)
+          .join(s,
                 (li.l_suppkey == s.s_suppkey)
                 & (s.s_nationkey == F.col("c_nationkey")))
           .groupBy("n_name")

@@ -1,0 +1,696 @@
+"""Driver-contract query registry: every implemented operator from SURVEY §2
+(plus the LLM-pipeline extensions) as a ``(spark, sf_dir) -> DataFrame``
+callable paired with an ANSI-SQL DuckDB oracle.
+
+Cross-engine hash-match rules observed throughout:
+
+- Integer outputs are BIGINT on both sides (DuckDB SUM(BIGINT) returns
+  HUGEINT → always ``CAST(... AS BIGINT)`` in the oracle; Spark narrow ints
+  are ``.cast("bigint")``-ed). ``row_number`` stays INT on both sides.
+- Monetary/double measures go through per-row fixed-point (×10⁴ BIGINT)
+  before summing, so sums are byte-exact regardless of partition ordering.
+- Ratios/scores are double divisions of exact integers, written with the
+  SAME association order in both engines, rounded to 6 decimals (both
+  engines round half-away-from-zero for positives).
+- Timestamps are compared as epoch-ms BIGINT (``unix_millis`` ↔
+  ``epoch_ms``); ``events.ts`` is TIMESTAMP(NANOS) parquet — Spark reads
+  ns-as-long (``div 1000000``), DuckDB truncates to µs then ``epoch_ms``
+  floors — identical for the post-1970 fixture data.
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all default.
+- md5-derived hashes (dedup/minhash/simhash) reproduce as
+  ``CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)`` ↔ Spark
+  ``conv(substring(md5(x), 1, 8), 16, 10)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .functions import dedup, multimodal, similarity, text
+from .operators import joins, projections, split_merge, stateful, windows
+from .plans import relational
+from .schemas import load_table
+
+# ---------------------------------------------------------------------------
+# Session prep: the driver runs queries on ITS OWN SparkSession; make the two
+# confs correctness depends on explicit (both are runtime-settable SQL confs).
+# ---------------------------------------------------------------------------
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet is TIMESTAMP(NANOS); without this the scan throws.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(_prep(spark), sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(_prep(spark), sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(_prep(spark), sf_dir, "embeddings")
+
+
+# Shared oracle fragments ----------------------------------------------------
+
+_EV = "SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events"
+
+# Normalized text: lowercase, strip non-alnum, squeeze spaces, trim — must
+# mirror dedup._norm / text.fingerprint exactly.
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+             " ' +', ' ', 'g'))")
+
+_H32 = "CAST(concat('0x', substring(md5({x}), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity operators (SURVEY §2) — batch forms over `events`
+# ---------------------------------------------------------------------------
+
+_AUDIT_LIKE = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def p1_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (AuditTrail.java:15-30): CSV line → typed record. Round-trips the
+    events table through quoted CSV lines and ``from_csv``; the oracle is the
+    original projection (exact round-trip is the correctness claim)."""
+    e = _events(spark, sf_dir)
+    line = F.concat_ws(",", *[
+        F.concat(F.lit('"'), F.col(c).cast("string"), F.lit('"'))
+        for c in ["event_id", "user_id", "event_type", "ts_ms", "value"]])
+    lines = e.select(line.alias("value"))
+    return projections.parse_csv_lines(lines, _AUDIT_LIKE)
+
+
+def p2_parse_browser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (CourseUseCase.java:69-84): positional parse dropping column 0."""
+    e = _events(spark, sf_dir)
+    line = F.concat_ws(",", F.col("event_id").cast("string"),
+                       F.col("user_id").cast("string"), F.col("event_type"),
+                       F.col("ts_ms").cast("string"))
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    parsed = projections.parse_csv_lines(e.select(line.alias("value")), schema)
+    return projections.project(parsed, "user_id", "event_type", "ts_ms")
+
+
+def p4_filter_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (StatefulOperations.java:120-126): sentinel-drop filter."""
+    e = _events(spark, sf_dir)
+    return projections.filter_sentinel(e, "event_type", "error") \
+        .select("event_id", "user_id", "event_type", "ts_ms")
+
+
+def p5_split_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 main branch (StreamSplitAndCombine.java:72-100): predicate side
+    keeps the full record schema."""
+    e = _events(spark, sf_dir)
+    main, _side = split_merge.split_by_predicate(e, F.col("event_type") == "click")
+    return main.select("event_id", "user_id", "event_type", "ts_ms", "value")
+
+
+def p5_split_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 side output: the non-matching branch projected to (user, 1) — the
+    side output carries a DIFFERENT schema, as in the reference."""
+    e = _events(spark, sf_dir)
+    _main, side = split_merge.split_by_predicate(e, F.col("event_type") == "click")
+    return side.select(F.col("user_id"), F.lit(1).cast("bigint").alias("one"))
+
+
+def p6_tag_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (StreamSplitAndCombine.java:112-128): CoMap tag-and-union."""
+    e = _events(spark, sf_dir)
+    main, side = split_merge.split_by_predicate(e, F.col("event_type") == "click")
+    merged = split_merge.tag_and_merge(main, side, key_col="user_id")
+    return merged.select("src", "key", F.col("one").cast("bigint").alias("one"))
+
+
+def a1_tumbling_count_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (MapCountPrinter.java:15-34): global 5 s tumbling count."""
+    e = _events(spark, sf_dir)
+    return windows.tumbling_agg(e, "ts_ms", 5000,
+                                aggs=[F.count(F.lit(1)).alias("cnt")])
+
+
+def a2_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (KeyedStreamOperations.java:67-68): per-key cumulative sum emitted
+    per record. Fixed-point value so the running sum is exact."""
+    e = _events(spark, sf_dir).withColumn(
+        "value_e4", F.round(F.col("value") * 10000).cast("bigint"))
+    out = windows.running_reduce(e, ["user_id"], ["ts_ms", "event_id"],
+                                 "value_e4", "running_e4")
+    return out.select("event_id", "user_id", "ts_ms", "running_e4")
+
+
+def a3_sliding_agg_10s_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (WindowingOperations.java:77-92): 10 s / 5 s sliding count+min+max."""
+    e = _events(spark, sf_dir)
+    return windows.sliding_agg(
+        e, "ts_ms", 10_000, 5_000,
+        aggs=[F.count(F.lit(1)).alias("cnt"),
+              F.min("ts_ms").alias("min_ts_ms"),
+              F.max("ts_ms").alias("max_ts_ms")])
+
+
+def a4_session_agg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (WindowingOperations.java:115-128): keyed session windows (1 h gap
+    on this fixture's cadence) with count/min/max."""
+    e = _events(spark, sf_dir)
+    return windows.session_agg(
+        e, "ts_ms", 3_600_000, keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("cnt"),
+              F.min("ts_ms").alias("min_ts_ms"),
+              F.max("ts_ms").alias("max_ts_ms")])
+
+
+def a5_keyed_tumbling_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (CourseUseCase.java:90-104): composite-key 10 s tumbling count."""
+    e = _events(spark, sf_dir)
+    return windows.tumbling_agg(e, "ts_ms", 10_000,
+                                keys=["user_id", "event_type"],
+                                aggs=[F.count(F.lit(1)).alias("cnt")])
+
+
+def a6_tumbling_count_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (EventTimeOperations.java:151-160): 1 s event-time tumbling count
+    (batch form; the late-data streaming form lives in streaming/)."""
+    e = _events(spark, sf_dir)
+    return windows.tumbling_agg(e, "ts_ms", 1000,
+                                aggs=[F.count(F.lit(1)).alias("cnt")])
+
+
+def j1_windowed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (WindowJoins.java:106-121): windowed inner equi-join of two event
+    streams (clicks ⋈ views) on user within the same 1 h tumbling window."""
+    e = _events(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "click").select("user_id", "ts_ms", "event_id")
+    right = e.filter(F.col("event_type") == "view").select("user_id", "ts_ms", "event_id")
+    return joins.windowed_equi_join(left, right, key="user_id",
+                                    ts_ms="ts_ms", size_ms=3_600_000)
+
+
+def st1_interval_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 (StatefulOperations.java:87-119): two matching events for the same
+    key closer than the threshold → alert with the interval."""
+    e = _events(spark, sf_dir)
+    return stateful.interval_alerts(e, key="user_id", ts_ms="ts_ms",
+                                    event_col="event_type", match_value="error",
+                                    threshold_ms=21_600_000,
+                                    order_by=["ts_ms", "event_id"])
+
+
+def st2_action_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 (CourseUseCase.java:120-176): previous-action duration machine;
+    'signup' plays Login (fresh), 'error' plays Logout (clears state)."""
+    e = _events(spark, sf_dir)
+    return stateful.action_durations(e, key="user_id", ts_ms="ts_ms",
+                                     action_col="event_type",
+                                     session_start="signup", session_end="error",
+                                     order_by=["ts_ms", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Relational / bench plans
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(_prep(spark), sf_dir)
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.shipping_priority(_prep(spark), sf_dir)
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.local_supplier_volume(_prep(spark), sf_dir)
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_parts_per_brand(_prep(spark), sf_dir)
+
+
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.distinct_users_per_type(_prep(spark), sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+def x_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+def x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+
+
+def x_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir),
+                                        num_hashes=16, bands=4, n=3)
+
+
+def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def x_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.quality_features(_docs(spark, sf_dir))
+    return out.select("doc_id",
+                      F.col("n_chars_m").cast("bigint").alias("n_chars_m"),
+                      F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                      "mean_token_len", "punct_ratio", "stopword_ratio",
+                      "quality_score")
+
+
+def x_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.language_id(_docs(spark, sf_dir))
+    casts = [F.col(c).cast("bigint").alias(c) if c.startswith("score_") else F.col(c)
+             for c in out.columns]
+    return out.select(*casts)
+
+
+def x_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.norm_stats_by_label(_emb(spark, sf_dir))
+
+
+def x_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(emb, q, k=5)
+
+
+def x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — rows-only check (bucket signs sit on float
+    zero-crossings, not stable enough across engines for a hash oracle)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.lsh_bucketed_topk(emb, q, k=5, num_planes=8)
+
+
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing — rows-only check (byte-statistics features of
+    the deterministic fake decoder; no SQL analog)."""
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.extract_features(media, fake=True)
+
+
+def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing — rows-only check."""
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media, every_n=4, frame_bytes=16)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "p1_parse_csv": p1_parse_csv,
+    "p2_parse_browser": p2_parse_browser,
+    "p4_filter_sentinel": p4_filter_sentinel,
+    "p5_split_main": p5_split_main,
+    "p5_split_side": p5_split_side,
+    "p6_tag_merge": p6_tag_merge,
+    "a1_tumbling_count_5s": a1_tumbling_count_5s,
+    "a2_running_reduce": a2_running_reduce,
+    "a3_sliding_agg_10s_5s": a3_sliding_agg_10s_5s,
+    "a4_session_agg_1h": a4_session_agg_1h,
+    "a5_keyed_tumbling_10s": a5_keyed_tumbling_10s,
+    "a6_tumbling_count_1s": a6_tumbling_count_1s,
+    "j1_windowed_join": j1_windowed_join,
+    "st1_interval_alerts": st1_interval_alerts,
+    "st2_action_durations": st2_action_durations,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q_top_parts_per_brand": q_top_parts_per_brand,
+    "q_distinct_users_per_type": q_distinct_users_per_type,
+    "x_exact_dedup": x_exact_dedup,
+    "x_fingerprint": x_fingerprint,
+    "x_jaccard_pairs": x_jaccard_pairs,
+    "x_minhash_lsh": x_minhash_lsh,
+    "x_simhash": x_simhash,
+    "x_quality_features": x_quality_features,
+    "x_language_id": x_language_id,
+    "x_norm_stats": x_norm_stats,
+    "x_brute_force_topk": x_brute_force_topk,
+    "x_lsh_topk": x_lsh_topk,
+    "x_multimodal_features": x_multimodal_features,
+    "x_frame_sample": x_frame_sample,
+}
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    h = _H32.format(x="concat('sim', ':', tok)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), hs AS (
+  SELECT doc_id, {h} AS h FROM toks WHERE tok <> ''
+), bitsums AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hs CROSS JOIN (SELECT unnest(range(0, {bits})) AS j) bits
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bitsums GROUP BY doc_id
+"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    rows_per_band = num_hashes // bands
+    h = _H32.format(x="concat(CAST(seed AS VARCHAR), ':', shingle)")
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - {n - 1}
+), sig AS (
+  SELECT doc_id, seed, MIN({h}) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS seed) seeds
+  GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
+  FROM sig GROUP BY doc_id, seed // {rows_per_band}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _jaccard_oracle(n: int = 3, threshold: float = 0.1) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - {n - 1}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
+"""
+
+
+_COSINE_Q = ("list_sum(list_transform(range(1, len(q) + 1),"
+             " i -> CAST(q[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))"
+             " / (sqrt(list_sum(list_transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+             " * sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))")
+
+
+def _brute_force_oracle(k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE query_id <> vec_id
+), r AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, score, rk FROM r WHERE rk <= {k}
+"""
+
+
+_QF_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_QF_STOP = r"regexp_extract_all(lower(text), '\b(the|and|of|to|is|a|in|that)\b')"
+_QF_PUNCT = "regexp_extract_all(text, '[^a-zA-Z0-9 ]')"
+
+
+def _quality_oracle() -> str:
+    # Score uses the UN-rounded ratios with the same association order as the
+    # Spark expression: (min(tok/100,1)*0.4 + stop*0.4) + (1-punct)*0.2.
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(array_to_string({_QF_TOKS}, '')) AS DOUBLE) AS tok_len_sum,
+         CAST(len({_QF_PUNCT}) AS BIGINT) AS n_punct,
+         CAST(len({_QF_STOP}) AS BIGINT) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars_m, n_tokens,
+         CASE WHEN n_tokens > 0 THEN tok_len_sum / n_tokens ELSE 0.0 END AS mean_tok_raw,
+         CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END AS punct_raw,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_raw
+  FROM f
+)
+SELECT doc_id, n_chars_m, n_tokens,
+       round(mean_tok_raw, 6) AS mean_token_len,
+       round(punct_raw, 6) AS punct_ratio,
+       round(stop_raw, 6) AS stopword_ratio,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 + stop_raw * 0.4
+             + (1.0 - punct_raw) * 0.2, 6) AS quality_score
+FROM r
+"""
+
+
+def _language_oracle() -> str:
+    markers = {k: "|".join(v) for k, v in text.LANG_MARKERS.items()}
+    scores = {k: rf"CAST(len(regexp_extract_all(lower(text), '\b({v})\b')) AS BIGINT)"
+              for k, v in markers.items()}
+    best = f"greatest({scores['en']}, {scores['es']}, {scores['fr']}, {scores['de']})"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {scores['en']} AS score_en, {scores['es']} AS score_es,
+         {scores['fr']} AS score_fr, {scores['de']} AS score_de,
+         {best} AS best
+  FROM documents
+)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN score_en = best THEN 'en'
+            WHEN score_es = best THEN 'es'
+            WHEN score_fr = best THEN 'fr'
+            WHEN score_de = best THEN 'de'
+            ELSE 'und' END AS lang_guess
+FROM s
+"""
+
+
+_NORM_VEC = ("sqrt(list_sum(list_transform(embedding,"
+             " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+_REV_E4 = "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
+
+ORACLES: dict[str, str] = {
+    "p1_parse_csv": _EV,
+    "p2_parse_browser": "SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events",
+    "p4_filter_sentinel":
+        "SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms "
+        "FROM events WHERE event_type <> 'error'",
+    "p5_split_main": _EV + " WHERE event_type = 'click'",
+    "p5_split_side":
+        "SELECT user_id, CAST(1 AS BIGINT) AS one FROM events WHERE event_type <> 'click'",
+    "p6_tag_merge": """
+SELECT 'Stream-1' AS src, CAST(user_id AS VARCHAR) AS key, CAST(1 AS BIGINT) AS one
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'Stream-2' AS src, CAST(user_id AS VARCHAR) AS key, CAST(1 AS BIGINT) AS one
+FROM events WHERE event_type <> 'click'
+""",
+    "a1_tumbling_count_5s": """
+SELECT (epoch_ms(ts) // 5000) * 5000 AS window_start_ms, count(*) AS cnt
+FROM events GROUP BY 1
+""",
+    "a2_running_reduce": """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_e4
+FROM events
+""",
+    "a3_sliding_agg_10s_5s": """
+WITH e AS (SELECT epoch_ms(ts) AS t FROM events),
+w AS (SELECT (t // 5000 - o.o) * 5000 AS window_start_ms, t
+      FROM e CROSS JOIN (VALUES (0), (1)) o(o))
+SELECT window_start_ms, count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
+FROM w GROUP BY 1
+""",
+    "a4_session_agg_1h": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                  OR t - lag(t) OVER w >= 3600000 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+g AS (SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m)
+SELECT CAST(min(t) AS BIGINT) AS session_start_ms, user_id,
+       count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
+FROM g GROUP BY user_id, grp
+""",
+    "a5_keyed_tumbling_10s": """
+SELECT (epoch_ms(ts) // 10000) * 10000 AS window_start_ms, user_id, event_type,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
+    "a6_tumbling_count_1s": """
+SELECT (epoch_ms(ts) // 1000) * 1000 AS window_start_ms, count(*) AS cnt
+FROM events GROUP BY 1
+""",
+    "j1_windowed_join": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
+       l.ts_ms AS l_ts_ms, l.event_id AS l_event_id,
+       r.ts_ms AS r_ts_ms, r.event_id AS r_event_id
+FROM l JOIN r ON l.user_id = r.user_id
+             AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
+""",
+    "st1_interval_alerts": """
+WITH d AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'error'),
+x AS (SELECT user_id, ts_ms, event_id,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ms, event_id) AS diff_ms
+      FROM d)
+SELECT user_id, ts_ms, event_id, diff_ms FROM x WHERE diff_ms < 21600000
+""",
+    "st2_action_durations": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+x AS (SELECT user_id, ts_ms, event_id, event_type,
+             lag(event_type) OVER w AS pa, lag(ts_ms) OVER w AS pt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+SELECT user_id, ts_ms, event_id,
+       CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
+            THEN 'None' ELSE pa END AS prev_action,
+       CAST(CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
+                 THEN 0 ELSE ts_ms - pt END AS BIGINT) AS duration_ms
+FROM x
+""",
+    "q1_pricing_summary": """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sum_qty_e4,
+         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS sum_base_price_e4,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS BIGINT) AS sum_charge_e4,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty_e4, sum_base_price_e4,
+       sum_disc_price_e4, sum_charge_e4, count_order,
+       round(sum_qty_e4 / count_order / 10000.0, 6) AS avg_qty,
+       round(sum_base_price_e4 / count_order / 10000.0, 6) AS avg_price
+FROM a
+""",
+    "q3_shipping_priority": f"""
+SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
+       {_REV_E4} AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, o_orderdate_ms, l_orderkey
+LIMIT 10
+""",
+    "q5_local_supplier_volume": f"""
+SELECT n_name, {_REV_E4} AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY revenue_e4 DESC
+""",
+    "q_top_parts_per_brand": f"""
+WITH rev AS (
+  SELECT l_partkey, {_REV_E4} AS revenue_e4 FROM lineitem GROUP BY 1
+), j AS (
+  SELECT p_brand, p_partkey, revenue_e4 FROM rev JOIN part ON l_partkey = p_partkey
+), r AS (
+  SELECT p_brand, p_partkey, revenue_e4,
+         CAST(row_number() OVER (PARTITION BY p_brand
+                                 ORDER BY revenue_e4 DESC, p_partkey) AS INT) AS rk
+  FROM j
+)
+SELECT p_brand, p_partkey, revenue_e4, rk FROM r WHERE rk <= 3
+""",
+    "q_distinct_users_per_type": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""",
+    "x_exact_dedup": f"""
+WITH n AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+FROM n GROUP BY fp
+""",
+    "x_fingerprint": f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+    "x_jaccard_pairs": _jaccard_oracle(),
+    "x_minhash_lsh": _minhash_lsh_oracle(),
+    "x_simhash": _simhash_oracle(),
+    "x_quality_features": _quality_oracle(),
+    "x_language_id": _language_oracle(),
+    "x_norm_stats": f"""
+SELECT label, count(*) AS n_vecs,
+       round(min({_NORM_VEC}), 6) AS min_norm,
+       round(avg({_NORM_VEC}), 6) AS avg_norm,
+       round(max({_NORM_VEC}), 6) AS max_norm
+FROM embeddings GROUP BY label
+""",
+    "x_brute_force_topk": _brute_force_oracle(),
+    # x_lsh_topk, x_multimodal_features, x_frame_sample: rows-only (no oracle).
+}

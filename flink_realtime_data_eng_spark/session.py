@@ -45,10 +45,10 @@ _COMMON = {
 
 
 def _cpus() -> int:
-    try:
-        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
-    except ValueError:
-        return 0
+    """SPARK_GRAFT_CPUS as a positive int, else 0 (→ local[*] / default
+    shuffle fan-out). Unset or invalid must NOT pin the session to 1 core."""
+    v = os.environ.get("SPARK_GRAFT_CPUS", "")
+    return int(v) if v.isdigit() and int(v) > 0 else 0
 
 
 def get_spark(app_name: str = "flink-realtime-data-eng-spark",

@@ -1,0 +1,52 @@
+"""Per-round benchmark: times every registered query at sf0.1.
+
+Prints ONE JSON line:
+``{"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}``
+
+Each query is forced to full materialization with the ``noop`` write
+format (executes the whole plan on executors, ships nothing to the
+driver), so the timing covers the real distributed work — not a
+``count()`` shortcut that lets Catalyst drop columns.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default: all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_realtime_data_eng_spark import registry  # noqa: E402
+from flink_realtime_data_eng_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in registry.QUERIES.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # keep the bench line parseable on one bad query
+            print(f"bench error {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({"metric": "total_query_sec", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+
+
+if __name__ == "__main__":
+    main()

@@ -68,9 +68,10 @@ def session_agg(df: DataFrame, ts_ms: str, gap_ms: int,
     than ``gap`` into one session per key — the oracle reproduces it with the
     classic gaps-and-islands SQL (lag + running sum of gap-breaks).
 
-    Note the boundary convention: events exactly ``gap`` apart start a NEW
-    session in both Spark (end-exclusive session end = last+gap) and the
-    oracle (``ts - prev >= gap`` breaks).
+    Note the boundary convention: events exactly ``gap`` apart MERGE into one
+    session — Spark merges adjacent windows ([t, t+gap] touching the next
+    event's start counts as overlap) — so the oracle's break condition is
+    strictly ``ts - prev > gap``.
     """
     w = F.session_window(event_time(ts_ms), f"{gap_ms} milliseconds")
     out = df.groupBy(w.alias("w"), *keys).agg(*aggs)

@@ -559,7 +559,7 @@ FROM w GROUP BY 1
 WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
 m AS (SELECT user_id, t,
              CASE WHEN lag(t) OVER w IS NULL
-                  OR t - lag(t) OVER w >= 3600000 THEN 1 ELSE 0 END AS brk
+                  OR t - lag(t) OVER w > 3600000 THEN 1 ELSE 0 END AS brk
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
 g AS (SELECT user_id, t,
              SUM(brk) OVER (PARTITION BY user_id ORDER BY t

@@ -1,0 +1,58 @@
+"""Dedup family on tiny in-memory corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_realtime_data_eng_spark.functions import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes(spark):
+    # Case, punctuation, and whitespace differences are the SAME content.
+    df = _docs(spark, [(1, "Hello, World!"), (2, "hello   world"),
+                       (3, "HELLO WORLD."), (4, "goodbye world")])
+    out = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_shingles_short_doc_yields_none(spark):
+    df = _docs(spark, [(1, "one two"), (2, "one two three four")])
+    sh = dedup.shingles(df, n=3)
+    got = sorted((r["doc_id"], r["shingle"]) for r in sh.collect())
+    assert got == [(2, "one two three"), (2, "two three four")]
+
+
+def test_jaccard_pairs_exact_value(spark):
+    # doc1 shingles: {a b c, b c d}; doc2: {a b c, b c x}
+    # intersection 1, union 3 -> jaccard 1/3.
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c x")])
+    out = dedup.jaccard_pairs(df, n=3, threshold=0.1)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_minhash_lsh_identical_docs_share_all_bands(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog"),
+                       (2, "the quick brown fox jumps over the lazy dog"),
+                       (3, "a completely different sentence about spark engines")])
+    out = dedup.minhash_lsh_candidates(df, num_hashes=16, bands=4, n=3)
+    got = {(r["id_a"], r["id_b"]): r["n_shared_bands"] for r in out.collect()}
+    assert got.get((1, 2)) == 4  # identical -> identical signature -> all bands
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_identical_for_same_tokens_and_bits_validated(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+                       (3, "delta epsilon zeta")])
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    with pytest.raises(ValueError):
+        dedup.simhash(df, bits=33)

@@ -1,0 +1,71 @@
+"""Similarity search on tiny hand-computed vectors."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_realtime_data_eng_spark.functions import similarity
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 0.0], [1.0, 0.0]),
+         ([1.0, 2.0], [2.0, 4.0])],
+        "a array<float>, b array<float>")
+    got = [r["c"] for r in df.select(similarity.cosine("a", "b").alias("c")).collect()]
+    assert got[0] == pytest.approx(0.0, abs=1e-9)
+    assert got[1] == pytest.approx(1.0, abs=1e-9)
+    assert got[2] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_brute_force_topk_ordering_and_self_exclusion(spark):
+    corpus = _emb(spark, [(1, [1.0, 0.0]), (2, [0.9, 0.1]),
+                          (3, [0.0, 1.0]), (4, [-1.0, 0.0])])
+    q = corpus.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.brute_force_topk(corpus, q, k=2)
+    rows = sorted((r["rk"], r["vec_id"]) for r in out.collect())
+    # self (vec 1) excluded; nearest is 2, then 3 (orthogonal beats opposite).
+    assert rows == [(1, 2), (2, 3)]
+
+
+def test_brute_force_topk_independent_id_space(spark):
+    corpus = _emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    q = spark.createDataFrame([(1, [0.0, 1.0])],
+                              "query_id long, embedding array<float>")
+    out = similarity.brute_force_topk(corpus, q, k=2, exclude_self=False)
+    # query_id 1 collides with corpus vec_id 1 but must NOT drop it.
+    assert out.count() == 2
+    top = out.filter(F.col("rk") == 1).collect()[0]
+    assert top["vec_id"] == 2  # exact match wins
+
+
+def test_lsh_topk_subset_of_brute_force_buckets(spark):
+    # LSH top-k returns only same-bucket candidates; scores must equal the
+    # brute-force cosine for the pairs it does return.
+    corpus = _emb(spark, [(i, [float(i), 1.0]) for i in range(20)])
+    q = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    lsh = similarity.lsh_bucketed_topk(corpus, q, k=3, num_planes=4)
+    bf = similarity.brute_force_topk(corpus, q, k=20)
+    bf_scores = {(r["query_id"], r["vec_id"]): r["score"] for r in bf.collect()}
+    for r in lsh.collect():
+        assert bf_scores[(r["query_id"], r["vec_id"])] == r["score"]
+
+
+def test_norm_stats_by_label(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], 0), (2, [6.0, 8.0], 0), (3, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in similarity.norm_stats_by_label(df).collect()}
+    assert out[0]["n_vecs"] == 2
+    assert out[0]["min_norm"] == pytest.approx(5.0)
+    assert out[0]["max_norm"] == pytest.approx(10.0)
+    assert out[0]["avg_norm"] == pytest.approx(7.5)
+    assert out[1]["avg_norm"] == pytest.approx(1.0)

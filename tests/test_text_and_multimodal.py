@@ -1,0 +1,63 @@
+"""Text analysis and multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_realtime_data_eng_spark.functions import multimodal, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_features_hand_computed(spark):
+    # "the cat." -> tokens [the, cat], 1 punct char of 8 chars,
+    # stopwords: "the" of 2 tokens.
+    df = _docs(spark, [(1, "the cat.")])
+    r = text.quality_features(df).collect()[0]
+    assert r["n_tokens"] == 2
+    assert r["mean_token_len"] == pytest.approx((3 + 3) / 2)
+    assert r["punct_ratio"] == pytest.approx(1 / 8)
+    assert r["stopword_ratio"] == pytest.approx(1 / 2)
+
+
+def test_language_id_markers(spark):
+    df = _docs(spark, [(1, "the cat is in the house and that is it"),
+                       (2, "el gato y la casa de los que no se"),
+                       (3, "xyzzy qwerty")])
+    out = {r["doc_id"]: r["lang_guess"] for r in text.language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_fingerprint_stable_under_formatting(spark):
+    df = _docs(spark, [(1, "Hello,  WORLD!"), (2, "hello world")])
+    fps = {r["doc_id"]: r["fp"] for r in text.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+
+
+def test_extract_features_deterministic_fake(spark):
+    docs = _docs(spark, [(1, "abc"), (2, "abc"), (3, "different text")])
+    media = multimodal.attach_binary_payload(docs)
+    rows = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert rows[1]["features"] == rows[2]["features"]  # same payload
+    assert rows[1]["features"] != rows[3]["features"]
+
+
+def test_frame_sample_chunk_math(spark):
+    # 40-byte payload, 10-byte frames -> frames 0..3; every_n=2 -> 0 and 2.
+    docs = spark.createDataFrame([(1, bytes(range(40)))],
+                                 "media_id long, payload binary")
+    out = multimodal.frame_sample(docs, every_n=2, frame_bytes=10)
+    rows = sorted((r["frame_no"], bytes(r["frame"])) for r in out.collect())
+    assert [fn for fn, _ in rows] == [0, 2]
+    assert rows[0][1] == bytes(range(10))
+    assert rows[1][1] == bytes(range(20, 30))
+
+
+def test_frame_sample_real_decoder_not_available(spark):
+    docs = spark.createDataFrame([(1, b"x" * 32)], "media_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample(docs, fake=False)

@@ -1,0 +1,71 @@
+"""Window operators (SURVEY §2.4 A1-A6) with explicit timestamps — never
+wall clock, per SURVEY §5's determinism rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_realtime_data_eng_spark.operators import windows
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_global_count(spark):
+    # 5 s windows: [0,5000) has ts 0,1000,4999; [5000,10000) has 5000,9000.
+    df = spark.createDataFrame(
+        [(0,), (1000,), (4999,), (5000,), (9000,)], "ts_ms long")
+    out = windows.tumbling_agg(df, "ts_ms", 5000,
+                               aggs=[F.count(F.lit(1)).alias("cnt")])
+    assert _rows(out, "window_start_ms", "cnt") == [(0, 3), (5000, 2)]
+
+
+def test_tumbling_keyed_composite(spark):
+    df = spark.createDataFrame(
+        [("u1", "a", 0), ("u1", "a", 9999), ("u1", "b", 1), ("u2", "a", 10000)],
+        "user string, action string, ts_ms long")
+    out = windows.tumbling_agg(df, "ts_ms", 10_000, keys=["user", "action"],
+                               aggs=[F.count(F.lit(1)).alias("cnt")])
+    assert _rows(out, "window_start_ms", "user", "action", "cnt") == [
+        (0, "u1", "a", 2), (0, "u1", "b", 1), (10000, "u2", "a", 1)]
+
+
+def test_sliding_rows_land_in_two_windows(spark):
+    # 10 s size / 5 s slide: ts=7000 belongs to [0,10000) and [5000,15000).
+    df = spark.createDataFrame([(7000,)], "ts_ms long")
+    out = windows.sliding_agg(df, "ts_ms", 10_000, 5_000,
+                              aggs=[F.count(F.lit(1)).alias("cnt")])
+    assert _rows(out, "window_start_ms", "cnt") == [(0, 1), (5000, 1)]
+
+
+def test_session_gap_merges_and_splits(spark):
+    # gap 5 s: u1 events at 0,4000,8999 chain into ONE session (each gap
+    # < 5000); the next at 14000 is 5001 later -> new session. u2 separate key.
+    df = spark.createDataFrame(
+        [("u1", 0), ("u1", 4000), ("u1", 8999), ("u1", 14000), ("u2", 0)],
+        "user string, ts_ms long")
+    out = windows.session_agg(df, "ts_ms", 5000, keys=["user"],
+                              aggs=[F.count(F.lit(1)).alias("cnt"),
+                                    F.max("ts_ms").alias("max_ts")])
+    assert _rows(out, "session_start_ms", "user", "cnt", "max_ts") == [
+        (0, "u1", 3, 8999), (0, "u2", 1, 0), (14000, "u1", 1, 14000)]
+
+
+def test_session_exact_gap_merges(spark):
+    # Boundary: events exactly gap apart DO merge (Spark merges adjacent
+    # session windows); one past the gap does not.
+    df = spark.createDataFrame([("u", 0), ("u", 5000), ("u", 10001)],
+                               "user string, ts_ms long")
+    out = windows.session_agg(df, "ts_ms", 5000, keys=["user"],
+                              aggs=[F.count(F.lit(1)).alias("cnt")])
+    assert _rows(out, "session_start_ms", "cnt") == [(0, 2), (10001, 1)]
+
+
+def test_running_reduce_cumulative_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 5), ("a", 4, 30)],
+        "user string, seq long, v long")
+    out = windows.running_reduce(df, ["user"], ["seq"], "v", "run")
+    assert _rows(out, "user", "seq", "run") == [
+        ("a", 1, 10), ("a", 2, 30), ("a", 4, 60), ("b", 3, 5)]

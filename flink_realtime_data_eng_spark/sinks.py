@@ -1,0 +1,89 @@
+"""Streaming sinks (SURVEY §2.2 K1-K4) + ST3 checkpointing plumbing.
+
+Every reference pipeline terminates in one of: a row-format file sink
+(chapter2/BasicStreamingOperations.java:90-97), an exactly-once Kafka sink
+(chapter4/EventTimeOperations.java:184-208), ``print()``
+(chapter2/KeyedStreamOperations.java:71), or a log-side-effect map
+(common/MapCountPrinter.java:28-34). Checkpointing is enabled per job
+(chapter2/BasicStreamingOperations.java:42).
+
+Spark mapping: ``writeStream`` with format csv/json (K1), kafka (K2),
+console (K3), or a ``foreachBatch`` logger (K4). ``checkpointLocation`` is
+mandatory for stateful queries — every helper here takes it explicitly
+rather than hiding it, because on a cluster it must be durable storage
+(HDFS/S3), not a temp dir.
+
+Semantic gap (K2, documented per SURVEY §2.2): the reference configures
+``DeliveryGuarantee.EXACTLY_ONCE`` (Kafka transactions). Spark's Kafka sink
+is at-least-once; end-to-end exactly-once needs an idempotent/transactional
+consumer or a foreachBatch transactional write. :func:`kafka_sink` is
+therefore at-least-once and says so.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+
+def file_sink(df: DataFrame, path: str, checkpoint: str,
+              fmt: str = "csv", output_mode: str = "append") -> DataStreamWriter:
+    """K1: row-format streaming file sink (parity:
+    chapter2/BasicStreamingOperations.java:90-97). File sinks only support
+    append mode — aggregations must be watermarked so finalized windows
+    append."""
+    return (df.writeStream.format(fmt)
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode))
+
+
+def kafka_sink(df: DataFrame, topic: str, checkpoint: str,
+               bootstrap_servers: str = "kafka-broker:9092") -> DataStreamWriter:
+    """K2: Kafka sink — AT-LEAST-ONCE (documented gap vs the reference's
+    transactional exactly-once, chapter4/EventTimeOperations.java:191-195).
+    Expects a ``value`` (and optionally ``key``) string/binary column."""
+    return (df.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint))
+
+
+def console_sink(df: DataFrame, output_mode: str = "append",
+                 truncate: bool = False) -> DataStreamWriter:
+    """K3: print/console sink (chapter2/KeyedStreamOperations.java:71)."""
+    return (df.writeStream.format("console")
+            .option("truncate", str(truncate).lower())
+            .outputMode(output_mode))
+
+
+def memory_sink(df: DataFrame, name: str,
+                output_mode: str = "append") -> DataStreamWriter:
+    """Test sink: results land in an in-memory table ``name`` queryable via
+    ``spark.sql``. The pytest analog of watching taskmanager logs."""
+    return df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+
+
+def log_sink(df: DataFrame,
+             log_fn: Callable[[int, list], None] | None = None,
+             output_mode: str = "append") -> DataStreamWriter:
+    """K4: the reference's log-side-effect "sink" (MapCountPrinter.java:28-34
+    — a map that logs and returns null). Spark-first this is a foreachBatch
+    that hands each micro-batch's rows to a logger — the stream itself stays
+    declarative; the side effect is confined to the sink."""
+    def _log(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()  # sink boundary: rows leave the plan here
+        if log_fn is not None:
+            log_fn(batch_id, rows)
+        else:
+            for r in rows:
+                print(f"[batch {batch_id}] {tuple(r)}")
+    return df.writeStream.foreachBatch(_log).outputMode(output_mode)
+
+
+def run_available_now(writer: DataStreamWriter) -> StreamingQuery:
+    """Process everything currently available, then stop — the deterministic
+    trigger every test uses (never wall-clock ProcessingTime)."""
+    return writer.trigger(availableNow=True).start()

@@ -1,0 +1,83 @@
+"""Streaming sources (SURVEY §2.1 S1/S2).
+
+S1 — file-monitor text source. The reference tails a directory with a 1 s
+poll and emits each line (FileSource.forRecordStreamFormat +
+monitorContinuously, chapter2/BasicStreamingOperations.java:50-60). Spark's
+file streaming source natively discovers new files each micro-batch;
+``maxFilesPerTrigger`` paces ingestion like the poll interval.
+
+S2 — Kafka source. The reference consumes one topic value-only with latest
+offsets (chapter3/WindowingOperations.java:47-60). Spark's Kafka source is
+``format("kafka")``; it needs the spark-sql-kafka package on the classpath
+and a live broker, neither of which exists in this container — the builder
+is constructed (options verified in tests) but only ``load()``-ed on demand.
+
+At scale: the file source lists directories on the driver — for 100 TB
+landing zones use fewer, larger files (maxFilesPerTrigger × file size
+governs micro-batch size) and a compacted metadata log; the Kafka source
+maps partitions 1:1 to tasks, so topic partition count bounds parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming import DataStreamReader
+
+from .operators.projections import parse_csv_lines
+
+
+def file_text_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """S1: unbounded stream of text lines from files appearing under ``path``.
+
+    Mirrors chapter2/BasicStreamingOperations.java:50-60 (TextLineInputFormat,
+    1 s monitor): each discovered file's lines become rows ``value: string``.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def file_csv_stream(spark: SparkSession, path: str, schema: T.StructType,
+                    max_files_per_trigger: int | None = None,
+                    quoted: bool = True) -> DataFrame:
+    """S1 typed variant: text lines parsed to ``schema`` via the same
+    ``from_csv`` path the batch P1 operator uses (strip quotes, split).
+
+    Parsing happens after the source, exactly like the reference's parse map
+    (P1) — so malformed lines surface as nulls, not source failures.
+    """
+    lines = file_text_stream(spark, path, max_files_per_trigger)
+    return parse_csv_lines(lines, schema) if quoted else lines.select(
+        F.from_csv("value", ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        ).alias("r")).select("r.*")
+
+
+def kafka_options(topic: str,
+                  bootstrap_servers: str = "kafka-broker:9092",
+                  group_id: str = "flink.learn.realtime",
+                  starting_offsets: str = "latest") -> dict[str, str]:
+    """S2 option set, parity with chapter3/WindowingOperations.java:47-60:
+    value-only string records, consumer group, latest offsets."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "kafka.group.id": group_id,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_stream_reader(spark: SparkSession, topic: str,
+                        **overrides: str) -> DataStreamReader:
+    """S2: configured (not loaded) Kafka reader. Call ``.load()`` then
+    :func:`kafka_values` where a broker + the spark-sql-kafka package exist
+    (neither does in this container)."""
+    return spark.readStream.format("kafka").options(
+        **{**kafka_options(topic), **overrides})
+
+
+def kafka_values(kafka_df: DataFrame) -> DataFrame:
+    """Value-only string deserialization (SimpleStringSchema analog)."""
+    return kafka_df.selectExpr("CAST(value AS STRING) AS value")

@@ -1,0 +1,105 @@
+"""Streaming windowed aggregations & joins (streaming forms of A1-A6, J1).
+
+The reference's windows are processing-time: records are windowed on
+arrival wall-clock (TumblingProcessingTimeWindows — MapCountPrinter.java:24,
+WindowingOperations.java:84-86,123). Spark has no processing-time window
+assigner, so :func:`stamp_arrival` stamps ``current_timestamp()`` at ingest
+and the same ``window()``/``session_window()`` expressions group on it —
+semantically "the 5 s bucket the record arrived in". Tests instead pass an
+explicit event-time column (SURVEY §5: never wall clock in assertions);
+the window math is identical either way.
+
+Every aggregation here works under ``availableNow`` + memory sink for
+deterministic tests, and under ``ProcessingTime`` triggers in production.
+State cleanup: all event-time aggs take a watermark (delay='0 seconds'
+gives the reference's "no allowed lateness" behavior while still letting
+Spark finalize and evict window state — mandatory for append-mode sinks
+and for bounded state at 100 TB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def stamp_arrival(df: DataFrame, col_name: str = "arrival_ts") -> DataFrame:
+    """Processing-time semantics: stamp wall-clock arrival time at ingest
+    (the Spark analog of a ProcessingTime window assigner's clock)."""
+    return df.withColumn(col_name, F.current_timestamp())
+
+
+def _windowed_agg(df: DataFrame, window_expr: Column, ts_col: str,
+                  watermark: str, keys: Sequence[str],
+                  aggs: Sequence[Column], out_start: str) -> DataFrame:
+    wdf = df.withWatermark(ts_col, watermark)
+    agg_list = list(aggs) or [F.count(F.lit(1)).alias("cnt")]
+    out = wdf.groupBy(window_expr.alias("w"), *keys).agg(*agg_list)
+    rest = [c for c in out.columns if c not in ("w", *keys)]
+    return out.select(F.unix_millis("w.start").alias(out_start), *keys, *rest)
+
+
+def tumbling_counts(df: DataFrame, ts_col: str, size: str,
+                    keys: Sequence[str] = (), watermark: str = "0 seconds",
+                    aggs: Sequence[Column] = ()) -> DataFrame:
+    """Streaming A1/A5/A6: tumbling-window agg (global when keys empty).
+
+    Parity: MapCountPrinter.java:15-34 (A1, 5 s), CourseUseCase.java:90-104
+    (A5, keyed 10 s), EventTimeOperations.java:151-160 (A6, event-time 1 s).
+    The watermark both admits late data (delay > 0) and lets the state store
+    evict finalized windows.
+    """
+    return _windowed_agg(df, F.window(ts_col, size), ts_col, watermark,
+                         keys, aggs, "window_start_ms")
+
+
+def sliding_counts(df: DataFrame, ts_col: str, size: str, slide: str,
+                   keys: Sequence[str] = (), watermark: str = "0 seconds",
+                   aggs: Sequence[Column] = ()) -> DataFrame:
+    """Streaming A3: sliding window (WindowingOperations.java:77-92)."""
+    return _windowed_agg(df, F.window(ts_col, size, slide), ts_col, watermark,
+                         keys, aggs, "window_start_ms")
+
+
+def session_counts(df: DataFrame, ts_col: str, gap: str,
+                   keys: Sequence[str] = (), watermark: str = "0 seconds",
+                   aggs: Sequence[Column] = ()) -> DataFrame:
+    """Streaming A4: keyed session windows (WindowingOperations.java:115-128).
+    ``session_window`` requires a watermark in streaming (merging sessions
+    finalize only when the watermark passes gap end)."""
+    return _windowed_agg(df, F.session_window(ts_col, gap), ts_col, watermark,
+                         keys, aggs, "session_start_ms")
+
+
+def running_totals(df: DataFrame, keys: Sequence[str], value: str,
+                   out_col: str = "running_total") -> DataFrame:
+    """Streaming A2 (KeyedStreamOperations.java:67-68): per-key cumulative
+    sum re-emitted on every trigger. Run with ``outputMode('update')`` + a
+    memory/console sink: each micro-batch emits the keys it updated — the
+    Spark analog of Flink's per-record reduce emission."""
+    return df.groupBy(*keys).agg(F.sum(value).alias(out_col))
+
+
+def windowed_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
+                  size: str, watermark: str = "0 seconds") -> DataFrame:
+    """Streaming J1 (WindowJoins.java:106-121): inner equi-join of two
+    streams on (key, same tumbling window).
+
+    Both sides are watermarked and the join includes the window equality, so
+    Spark derives the state-retention bound and evicts join state once the
+    watermark passes a window — bounded state at any scale.
+    """
+    # Only ONE event-time column may survive per side: the window struct
+    # inherits the watermark tag, so the raw ts is demoted to epoch-ms long.
+    lw = (left.withWatermark(ts_col, watermark)
+              .select(F.col(key), F.window(ts_col, size).alias("w"),
+                      F.unix_millis(ts_col).alias("l_ts_ms")))
+    rw = (right.withWatermark(ts_col, watermark)
+               .select(F.col(key).alias(f"r_{key}"),
+                       F.window(ts_col, size).alias("r_w"),
+                       F.unix_millis(ts_col).alias("r_ts_ms")))
+    joined = lw.join(rw, (F.col(key) == F.col(f"r_{key}"))
+                     & (F.col("w") == F.col("r_w")))
+    return joined.select(key, F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                         "l_ts_ms", "r_ts_ms")

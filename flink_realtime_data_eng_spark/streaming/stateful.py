@@ -1,0 +1,116 @@
+"""Record-at-a-time keyed state machines (SURVEY §2.7 ST1/ST2) via
+``applyInPandasWithState``.
+
+The reference holds per-key ``ValueState`` and processes records one at a
+time (StatefulOperations.java:87-119; CourseUseCase.java:120-176). The
+Spark-native vehicle is arbitrary stateful processing: per key-group, the
+driver-supplied function sees each micro-batch's rows (Arrow-batched, NOT
+per-row Python) plus a persistent ``GroupState``; state lives in the state
+store, checkpointed like any other streaming state (ST3).
+
+Ordering: within a micro-batch rows are sorted by (ts, tiebreakers) before
+the state machine runs — Flink's single-parallelism file source delivers
+in-order, and this reproduces that determinism; ACROSS micro-batches order
+is arrival order, same as any streaming system.
+
+The batch ``lag``-window analogs in ``operators/stateful.py`` are the
+DuckDB-oracle form of these same semantics; tests assert both agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def interval_alerts_stream(df: DataFrame, key: str = "user",
+                           ts_ms: str = "ts_ms", event_col: str = "op",
+                           match_value: str = "Delete",
+                           threshold_ms: int = 10_000,
+                           order_by: Sequence[str] | None = None) -> DataFrame:
+    """ST1 (StatefulOperations.java:87-119): ValueState<Long> holding the
+    previous match's timestamp per key; a match arriving < threshold after
+    the previous one emits (key, ts, diff). The sentinel ("No-Alerts") rows
+    the reference emits-then-filters (P4) are simply never emitted."""
+    order = list(order_by) if order_by else [ts_ms]
+    out_schema = T.StructType([
+        T.StructField(key, T.StringType()),
+        T.StructField(ts_ms, T.LongType()),
+        T.StructField("diff_ms", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("last_ts", T.LongType())])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (last_ts,) = state.get if state.exists else (None,)
+        out_ts, out_diff = [], []
+        for pdf in pdfs:
+            pdf = pdf[pdf[event_col] == match_value].sort_values(order)
+            for t in pdf[ts_ms]:
+                t = int(t)
+                if last_ts is not None and t - last_ts < threshold_ms:
+                    out_ts.append(t)
+                    out_diff.append(t - last_ts)
+                last_ts = t
+        if last_ts is not None:
+            state.update((last_ts,))
+        yield pd.DataFrame({key: [key_tuple[0]] * len(out_ts),
+                            ts_ms: out_ts, "diff_ms": out_diff})
+
+    return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))
+
+
+def action_durations_stream(df: DataFrame, key: str = "user",
+                            ts_ms: str = "ts_ms", action_col: str = "action",
+                            session_start: str | None = "Login",
+                            session_end: str | None = "Logout",
+                            order_by: Sequence[str] | None = None) -> DataFrame:
+    """ST2 (CourseUseCase.java:120-176): two ValueStates (last action, last
+    start). Each event emits the previous action and its duration; a fresh
+    event (first, Login, or right after a state-clearing Logout) emits
+    ('None', 0); Logout clears state after emitting."""
+    order = list(order_by) if order_by else [ts_ms]
+    out_schema = T.StructType([
+        T.StructField(key, T.StringType()),
+        T.StructField(ts_ms, T.LongType()),
+        T.StructField("prev_action", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_action", T.StringType()),
+        T.StructField("last_ts", T.LongType()),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        last_action, last_ts = state.get if state.exists else (None, None)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order)
+            for _, r in pdf.iterrows():
+                t, action = int(r[ts_ms]), r[action_col]
+                fresh = (last_action is None
+                         or (session_start is not None and action == session_start))
+                if fresh:
+                    rows.append((key_tuple[0], t, "None", 0))
+                else:
+                    rows.append((key_tuple[0], t, last_action, t - last_ts))
+                if session_end is not None and action == session_end:
+                    last_action, last_ts = None, None  # state.remove() analog
+                else:
+                    last_action, last_ts = action, t
+        if last_action is None:
+            state.remove()
+        else:
+            state.update((last_action, last_ts))
+        yield pd.DataFrame(rows, columns=[key, ts_ms, "prev_action", "duration_ms"])
+
+    return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))

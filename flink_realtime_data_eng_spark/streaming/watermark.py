@@ -1,0 +1,121 @@
+"""Event time & watermarks (SURVEY §2.6 W1-W4).
+
+W1 — bounded out-of-orderness: ``WatermarkStrategy.forBoundedOutOfOrderness``
+(chapter4/EventTimeOperations.java:82-94) maps directly to
+``withWatermark(ts, delay)``.
+
+W2 — the reference's custom wall-clock watermark generator
+(EventTimeOperations.java:96-141) has NO public Structured Streaming
+equivalent: Spark computes the watermark as min(max event time per
+partition) - delay at micro-batch boundaries. Documented semantic gap; the
+bounded strategy is the supported path.
+
+W3 — late-data side output (EventTimeOperations.java:148-176). Spark DROPS
+rows behind the watermark silently, and inside ``foreachBatch`` the plan
+runs as a batch plan where ``withWatermark`` is a no-op — so the capture
+cannot lean on the engine's watermark alone. :class:`LateDataCapture`
+therefore tracks the SAME bounded-out-of-orderness watermark Flink's
+strategy defines: ``wm = max(event time seen) - delay``, advanced at batch
+boundaries (batch N is judged against the watermark as of the end of batch
+N-1 — exactly when Flink's periodic generator would have emitted it). When
+bound to a running aggregation query it additionally folds in the engine's
+progress watermark, so the split always matches what the windowed agg
+actually dropped. The watermark persists to a JSON state file so restarts
+(availableNow re-runs) keep judging against the prior high-water mark.
+
+W4 — no watermark: simply don't call ``withWatermark``.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def with_bounded_lateness(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """W1: declare ``ts_col`` (TimestampType) as event time with a bounded
+    out-of-orderness ``delay`` (e.g. '10 seconds')."""
+    return df.withWatermark(ts_col, delay)
+
+
+class LateDataCapture:
+    """W3: route late rows to a side output instead of silently dropping.
+
+    Use as the ``foreachBatch`` function of a streaming query whose rows
+    carry event time in ``ts_col`` (TimestampType or epoch-ms long). Each
+    batch splits on ``ts <= watermark``: on-time rows go to ``on_time_fn``,
+    late rows accumulate in :attr:`late_rows` (and a production caller would
+    write them to a dead-letter sink inside ``on_late_fn``).
+
+    The watermark is bounded-out-of-orderness over everything seen so far
+    (Flink parity: EventTimeOperations.java:82-94), optionally maxed with a
+    bound query's engine-reported progress watermark, and persisted to
+    ``state_path`` for restart continuity.
+    """
+
+    def __init__(self, ts_col: str, delay_ms: int = 0, on_time_fn=None,
+                 on_late_fn=None, state_path: str | None = None):
+        self.ts_col = ts_col
+        self.delay_ms = delay_ms
+        self.on_time_fn = on_time_fn
+        self.on_late_fn = on_late_fn
+        self.state_path = Path(state_path) if state_path else None
+        self.late_rows: list = []
+        self.query: StreamingQuery | None = None
+        self._wm_ms = 0
+        if self.state_path and self.state_path.exists():
+            self._wm_ms = json.loads(self.state_path.read_text())["watermark_ms"]
+
+    # -- watermark bookkeeping ------------------------------------------
+    def _ts_ms(self):
+        return F.unix_millis(F.col(self.ts_col).cast("timestamp"))
+
+    def _fold_progress(self) -> None:
+        q = self.query
+        if q is not None and q.lastProgress:
+            wm = q.lastProgress.get("eventTime", {}).get("watermark")
+            if wm:
+                dt = datetime.strptime(wm.replace("Z", "+0000"),
+                                       "%Y-%m-%dT%H:%M:%S.%f%z")
+                self._wm_ms = max(self._wm_ms,
+                                  int(dt.astimezone(timezone.utc)
+                                        .timestamp() * 1000))
+
+    def _persist(self) -> None:
+        if self.state_path:
+            self.state_path.parent.mkdir(parents=True, exist_ok=True)
+            self.state_path.write_text(json.dumps({"watermark_ms": self._wm_ms}))
+
+    @property
+    def watermark_ms(self) -> int:
+        return self._wm_ms
+
+    # -- foreachBatch entry point ---------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._fold_progress()
+        wm = self._wm_ms
+        ts = self._ts_ms()
+        late = batch_df.filter(ts <= F.lit(wm)) if wm > 0 else None
+        on_time = batch_df.filter(ts > F.lit(wm)) if wm > 0 else batch_df
+        if late is not None:
+            rows = late.collect()
+            if rows:
+                self.late_rows.extend(rows)
+                if self.on_late_fn is not None:
+                    self.on_late_fn(late, batch_id)
+        if self.on_time_fn is not None:
+            self.on_time_fn(on_time, batch_id)
+        # Advance AFTER the split: batch N judged against end-of-batch-N-1.
+        max_ts = batch_df.agg(F.max(ts)).collect()[0][0]
+        if max_ts is not None:
+            self._wm_ms = max(self._wm_ms, int(max_ts) - self.delay_ms)
+        self._persist()
+
+    def bind(self, query: StreamingQuery) -> StreamingQuery:
+        """Attach the running query so engine progress watermarks fold in."""
+        self.query = query
+        return query

@@ -1,0 +1,293 @@
+"""Structured Streaming round trips: file source → transform → memory sink,
+always with availableNow triggers and explicit timestamps (never wall clock).
+
+Mirrors the reference pipelines end-to-end: chapter2 (file → parse →
+tumbling count → sink), chapter3 (session windows), chapter5/6 (keyed state
+machines), chapter4 (event time + late data).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+from flink_realtime_data_eng_spark import generators, sinks, sources
+from flink_realtime_data_eng_spark.operators import stateful as batch_stateful
+from flink_realtime_data_eng_spark.schemas import AUDIT_TRAIL
+from flink_realtime_data_eng_spark.streaming import pipelines, stateful, watermark
+
+
+def _mem(spark, df, output_mode="append"):
+    """Run df → fresh memory sink to completion; return the result rows."""
+    name = "m" + uuid.uuid4().hex[:12]
+    q = sinks.run_available_now(sinks.memory_sink(df, name, output_mode))
+    q.awaitTermination(120)
+    return name, spark.sql(f"SELECT * FROM {name}")
+
+
+def test_chapter2_file_to_window_to_sink_roundtrip(spark, tmp_path):
+    """S1 → P1 → A1 (5 s tumbling count) → K1 file sink, end to end."""
+    src = tmp_path / "raw_audit_trail"
+    generators.generate_audit_files(str(src), n=20, step_ms=1000)
+
+    lines = sources.file_csv_stream(spark, str(src), AUDIT_TRAIL)
+    evt = lines.withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+    counts = pipelines.tumbling_counts(evt, "ts", "5 seconds")
+
+    out = tmp_path / "five_sec_summary"
+    ckpt = tmp_path / "ckpt"
+    q = sinks.run_available_now(
+        sinks.file_sink(counts, str(out), str(ckpt), fmt="csv"))
+    q.awaitTermination(120)
+
+    got = (spark.read.schema("window_start_ms long, cnt long")
+           .csv(str(out)).collect())
+    # 20 records at 1 rec/s span 4 windows of 5; append mode emits only
+    # FINALIZED windows (end <= watermark = max event time), so the last
+    # window [15s,20s) stays in state and 3 rows reach the sink.
+    assert sorted((r["window_start_ms"], r["cnt"]) for r in got) == [
+        (1_700_000_000_000 + 5000 * i, 5) for i in range(3)]
+
+
+def test_keyed_tumbling_counts_match_batch(spark, tmp_path):
+    """Streaming A5 equals the batch windows.tumbling_agg on the same data."""
+    src = tmp_path / "browser"
+    generators.generate_browser_files(str(src), n=50, step_ms=700)
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+    ])
+    stream = (sources.file_csv_stream(spark, str(src), schema)
+              .withColumn("ts", F.timestamp_millis(F.col("timestamp"))))
+    agg = pipelines.tumbling_counts(stream, "ts", "10 seconds", keys=["user"])
+    _, result = _mem(spark, agg)
+
+    batch = spark.createDataFrame(
+        [tuple(ln.replace('"', "").split(",")) for ln in
+         generators.browser_records(n=50, step_ms=700)],
+        "id string, user string, action string, timestamp string")
+    from flink_realtime_data_eng_spark.operators import windows
+    bdf = batch.withColumn("ts_ms", F.col("timestamp").cast("long"))
+    max_ts = bdf.agg(F.max("ts_ms")).collect()[0][0]
+    expected = windows.tumbling_agg(
+        bdf, "ts_ms", 10_000, keys=["user"],
+        aggs=[F.count(F.lit(1)).alias("cnt")]
+    ).filter(F.col("window_start_ms") + 10_000 <= max_ts)  # finalized only
+    assert (sorted(tuple(r) for r in result.collect())
+            == sorted(tuple(r) for r in expected.collect()))
+
+
+def test_session_counts_stream(spark, tmp_path):
+    src = tmp_path / "sess"
+    src.mkdir()
+    # u1: 0, 3000 (merge, gap 5s), 20000 (new session); u2: 0.
+    rows = [(1, "u1", 0), (2, "u1", 3000), (3, "u1", 20_000), (4, "u2", 0)]
+    base = 1_700_000_000_000
+    (src / "a.csv").write_text(
+        "\n".join(f'"{i}","{u}","{base + t}"' for i, u, t in rows) + "\n")
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    stream = (sources.file_csv_stream(spark, str(src), schema)
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    agg = pipelines.session_counts(stream, "ts", "5 seconds", keys=["user"])
+    _, result = _mem(spark, agg)
+    # u1's 20 s session is NOT finalized (its end 25 s > watermark 20 s) so
+    # append emits only the two closed sessions.
+    assert sorted(tuple(r) for r in result.collect()) == [
+        (base, "u1", 2), (base, "u2", 1)]
+
+
+def test_running_totals_update_mode(spark, tmp_path):
+    src = tmp_path / "run"
+    src.mkdir()
+    (src / "a.csv").write_text('"Tom","10"\n"Tom","5"\n"Bob","7"\n')
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("duration", T.LongType()),
+    ])
+    stream = sources.file_csv_stream(spark, str(src), schema)
+    totals = pipelines.running_totals(stream, ["user"], "duration")
+    _, result = _mem(spark, totals, output_mode="update")
+    assert sorted(tuple(r) for r in result.collect()) == [("Bob", 7), ("Tom", 15)]
+
+
+def test_windowed_join_stream(spark, tmp_path):
+    base = 1_700_000_000_000
+    left_dir, right_dir = tmp_path / "l", tmp_path / "r"
+    left_dir.mkdir(), right_dir.mkdir()
+    (left_dir / "a.csv").write_text(f'"u","{base + 1000}"\n"u","{base + 6000}"\n')
+    (right_dir / "a.csv").write_text(f'"u","{base + 4000}"\n"u","{base + 11000}"\n')
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+
+    def stream(d):
+        return (sources.file_csv_stream(spark, str(d), schema)
+                .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+                .drop("ts_ms"))
+
+    joined = pipelines.windowed_join(stream(left_dir), stream(right_dir),
+                                     key="user", ts_col="ts", size="5 seconds")
+    _, result = _mem(spark, joined)
+    rows = result.collect()
+    # Only the [0,5000) bucket pairs left#1000 with right#4000.
+    assert len(rows) == 1
+    assert rows[0]["window_start_ms"] == base
+
+
+def test_st1_interval_alerts_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "st1"
+    generators.generate_audit_files(str(src), n=60, step_ms=1500)
+    stream = sources.file_csv_stream(spark, str(src), AUDIT_TRAIL)
+    alerts = stateful.interval_alerts_stream(
+        stream, key="user", ts_ms="timestamp", event_col="operation",
+        match_value="Delete", threshold_ms=10_000)
+    _, result = _mem(spark, alerts)
+
+    batch = spark.createDataFrame(
+        [tuple(ln.replace('"', "").split(",")) for ln in
+         generators.audit_records(n=60, step_ms=1500)],
+        "id string, user string, entity string, operation string, "
+        "timestamp string, duration string, count string",
+    ).withColumn("timestamp", F.col("timestamp").cast("long"))
+    expected = batch_stateful.interval_alerts(
+        batch, key="user", ts_ms="timestamp", event_col="operation",
+        match_value="Delete", threshold_ms=10_000)
+    got = sorted((r["user"], r["timestamp"], r["diff_ms"]) for r in result.collect())
+    want = sorted((r["user"], r["timestamp"], r["diff_ms"]) for r in expected.collect())
+    assert got == want and len(got) > 0
+
+
+def test_st2_action_durations_stream_state_machine(spark, tmp_path):
+    src = tmp_path / "st2"
+    src.mkdir()
+    base = 1_700_000_000_000
+    rows = [("u", base, "Login"), ("u", base + 1000, "ViewVideo"),
+            ("u", base + 3500, "Logout"), ("u", base + 9000, "ViewLink"),
+            ("u", base + 9500, "Login")]
+    (src / "a.csv").write_text(
+        "\n".join(f'"{u}","{t}","{a}"' for u, t, a in rows) + "\n")
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("action", T.StringType()),
+    ])
+    stream = sources.file_csv_stream(spark, str(src), schema)
+    out = stateful.action_durations_stream(stream, key="user", ts_ms="ts_ms",
+                                           action_col="action")
+    _, result = _mem(spark, out)
+    got = sorted((r["ts_ms"] - base, r["prev_action"], r["duration_ms"])
+                 for r in result.collect())
+    assert got == [(0, "None", 0), (1000, "Login", 1000), (3500, "ViewVideo", 2500),
+                   (9000, "None", 0), (9500, "None", 0)]
+
+
+def test_st2_state_carries_across_micro_batches(spark, tmp_path):
+    """Two availableNow runs over a growing directory: state persists via
+    the checkpoint, so the second batch's first event sees batch 1's state."""
+    src, ckpt = tmp_path / "grow", tmp_path / "ckpt"
+    src.mkdir()
+    base = 1_700_000_000_000
+    (src / "a.csv").write_text(f'"u","{base}","Login"\n"u","{base + 2000}","ViewVideo"\n')
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("action", T.StringType()),
+    ])
+
+    batches: list[list] = []
+
+    def run_once():
+        stream = sources.file_csv_stream(spark, str(src), schema)
+        out = stateful.action_durations_stream(stream, key="user",
+                                               ts_ms="ts_ms", action_col="action")
+        run_rows: list = []
+        q = (out.writeStream
+             .foreachBatch(lambda bdf, bid: run_rows.extend(bdf.collect()))
+             .outputMode("append").option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        batches.append(run_rows)
+
+    run_once()
+    (src / "b.csv").write_text(f'"u","{base + 5000}","ViewLink"\n')
+    run_once()
+    got = sorted((r["ts_ms"] - base, r["prev_action"], r["duration_ms"])
+                 for r in batches[1])
+    # ViewLink at +5000 must see ViewVideo(+2000) from the PREVIOUS run.
+    assert got == [(5000, "ViewVideo", 3000)]
+
+
+def test_late_data_capture(spark, tmp_path):
+    """W3: a row behind the watermark lands in the late store, not the agg."""
+    src, ckpt = tmp_path / "late_src", tmp_path / "late_ckpt"
+    src.mkdir()
+    base = 1_700_000_000_000
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    on_time_batches = []
+
+    def make_cap():
+        # A fresh capture per run: the watermark must survive via state_path,
+        # exactly like a restarted production job.
+        return watermark.LateDataCapture(
+            "ts", delay_ms=2000,
+            on_time_fn=lambda bdf, bid: on_time_batches.append(
+                sorted(r["ts_ms"] for r in bdf.collect())),
+            state_path=str(tmp_path / "late_wm.json"))
+
+    caps = []
+
+    def run_once():
+        cap = make_cap()
+        caps.append(cap)
+        stream = (sources.file_csv_stream(spark, str(src), schema)
+                  .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+        q = (stream.writeStream.foreachBatch(cap).outputMode("append")
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        cap.bind(q)
+        q.awaitTermination(120)
+
+    # Run 1 advances the watermark to max(ts) - 2 s = base + 8000.
+    (src / "a.csv").write_text(f'"u","{base}"\n"u","{base + 10_000}"\n')
+    run_once()
+    assert caps[0].watermark_ms == base + 8000
+    # Run 2: one row at base+1000 (late: <= base+8000) and one fresh row.
+    (src / "b.csv").write_text(f'"u","{base + 1000}"\n"u","{base + 12_000}"\n')
+    run_once()
+
+    assert [r["ts_ms"] for r in caps[1].late_rows] == [base + 1000]
+    assert on_time_batches[-1] == [base + 12_000]
+
+
+def test_kafka_reader_constructed_not_run(spark):
+    """S2: the Kafka reader builds with the reference's options; load() needs
+    a broker + package, so construction is the testable surface here."""
+    opts = sources.kafka_options("flink.kafka.streaming.source")
+    assert opts["subscribe"] == "flink.kafka.streaming.source"
+    assert opts["kafka.bootstrap.servers"] == "kafka-broker:9092"
+    assert opts["startingOffsets"] == "latest"
+    # constructing the reader itself must not require a broker
+    sources.kafka_stream_reader(spark, "flink.kafka.streaming.source")
+
+
+def test_generators_deterministic(spark):
+    a1 = generators.audit_records(n=10, seed=7)
+    a2 = generators.audit_records(n=10, seed=7)
+    assert a1 == a2
+    b = generators.browser_records(n=5)
+    assert all(ln.count(",") == 3 for ln in b)
+    kv = generators.kafka_producer_records(n=3)
+    assert all(k.isdigit() for k, _ in kv)

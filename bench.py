@@ -35,7 +35,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    for name, fn in registry.QUERIES.items():
+    bench_queries = {n: f for n, f in registry.QUERIES.items()
+                     if n not in registry.STREAMING_DEMOS}
+    for name, fn in bench_queries.items():
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

@@ -228,6 +228,131 @@ def st2_action_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Structured-Streaming forms, driven end-to-end (SURVEY §2 streaming half).
+#
+# Each entry materializes `events` as CSV files, streams them back through
+# the REAL streaming operator (file source → transform → availableNow →
+# memory sink) and returns the sink table — so the driver's DuckDB hash
+# compare covers the actual Structured Streaming execution path, not a
+# batch stand-in.
+# ---------------------------------------------------------------------------
+
+import tempfile as _tempfile
+import uuid as _uuid
+
+
+def _events_csv_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write events (event_id, user_id, event_type, ts_ms) as CSV lines for
+    the file-monitor source. One file per input partition; cached per sf_dir
+    within a session via a deterministic temp path."""
+    import hashlib
+    import os
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(_tempfile.gettempdir(), f"frde_events_csv_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (_events(spark, sf_dir)
+         .select("event_id", "user_id", "event_type", "ts_ms")
+         .write.mode("overwrite").csv(out))
+    return out
+
+
+_EVENTS_CSV_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+])
+
+
+def _run_to_memory(df: DataFrame, spark: SparkSession,
+                   output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory table.
+
+    Shuffle partitions are clamped for the run: streaming state stores cost
+    per-partition fixed overhead (open/commit per micro-batch), so state
+    partitioning should track data volume — 8 is right for the fixture
+    scale; a cluster deployment sizes it via submit conf instead.
+    """
+    from .sinks import memory_sink, run_available_now
+    name = "frde_" + _uuid.uuid4().hex[:12]
+    ckpt = _tempfile.mkdtemp(prefix="frde_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        writer = memory_sink(df, name, output_mode).option("checkpointLocation", ckpt)
+        q = run_available_now(writer)
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import file_csv_stream
+    path = _events_csv_dir(spark, sf_dir)
+    return file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+
+
+def st1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 streaming form (StatefulOperations.java:87-119) through
+    applyInPandasWithState; same oracle as the batch analog."""
+    from .streaming.stateful import interval_alerts_stream
+    ev = _stream_events(spark, sf_dir)
+    out = interval_alerts_stream(ev, key="user_id", ts_ms="ts_ms",
+                                 event_col="event_type", match_value="error",
+                                 threshold_ms=21_600_000,
+                                 order_by=["ts_ms", "event_id"])
+    return _run_to_memory(out, spark)
+
+
+def st2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 streaming form (CourseUseCase.java:120-176); same oracle as the
+    batch lag analog."""
+    from .streaming.stateful import action_durations_stream
+    ev = _stream_events(spark, sf_dir)
+    out = action_durations_stream(ev, key="user_id", ts_ms="ts_ms",
+                                  action_col="event_type",
+                                  session_start="signup", session_end="error",
+                                  order_by=["ts_ms", "event_id"])
+    return _run_to_memory(out, spark)
+
+
+def a6_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 streaming form: event-time tumbling 1 s count through the
+    streaming aggregation path (complete mode emits every window)."""
+    from .streaming.pipelines import tumbling_counts
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms")))
+    out = tumbling_counts(ev, "ts", "1 second")
+    return _run_to_memory(out, spark, output_mode="complete")
+
+
+def a2_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 streaming form (KeyedStreamOperations.java:67-68): per-key running
+    totals in update mode; with one availableNow batch the final emission is
+    the per-key total."""
+    from .streaming.pipelines import running_totals
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "one", F.lit(1).cast("bigint"))
+    out = running_totals(ev, ["user_id"], "one", out_col="total")
+    return _run_to_memory(out, spark, output_mode="update")
+
+
+def j1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 streaming form (WindowJoins.java:106-121): stream-stream inner
+    join of the click/view branches on (user, 1 h window)."""
+    from .streaming.pipelines import windowed_join
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms")))
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = windowed_join(left, right, key="user_id", ts_col="ts",
+                        size="3600 seconds")
+    return _run_to_memory(out, spark)
+
+
+# ---------------------------------------------------------------------------
 # Relational / bench plans
 # ---------------------------------------------------------------------------
 
@@ -329,6 +454,12 @@ def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+# Streaming round-trip demos: correctness-checked like everything else, but
+# excluded from bench.py — they measure state-store fixed overhead at fixture
+# scale, not analytics throughput.
+STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream",
+                   "a2_stream_totals", "j1_stream"}
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_parse_csv": p1_parse_csv,
     "p2_parse_browser": p2_parse_browser,
@@ -345,6 +476,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_windowed_join": j1_windowed_join,
     "st1_interval_alerts": st1_interval_alerts,
     "st2_action_durations": st2_action_durations,
+    "st1_stream": st1_stream,
+    "st2_stream": st2_stream,
+    "a6_stream": a6_stream,
+    "a2_stream_totals": a2_stream_totals,
+    "j1_stream": j1_stream,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -609,6 +745,46 @@ SELECT user_id, ts_ms, event_id,
        CAST(CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
                  THEN 0 ELSE ts_ms - pt END AS BIGINT) AS duration_ms
 FROM x
+""",
+    # Streaming forms share the batch oracles (same semantics, streaming
+    # execution path) or a purpose-built one.
+    "st1_stream": """
+WITH d AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'error'),
+x AS (SELECT user_id, ts_ms, event_id,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ms, event_id) AS diff_ms
+      FROM d)
+SELECT user_id, ts_ms, event_id, diff_ms FROM x WHERE diff_ms < 21600000
+""",
+    "st2_stream": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+x AS (SELECT user_id, ts_ms, event_id, event_type,
+             lag(event_type) OVER w AS pa, lag(ts_ms) OVER w AS pt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+SELECT user_id, ts_ms, event_id,
+       CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
+            THEN 'None' ELSE pa END AS prev_action,
+       CAST(CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
+                 THEN 0 ELSE ts_ms - pt END AS BIGINT) AS duration_ms
+FROM x
+""",
+    "a6_stream": """
+SELECT (epoch_ms(ts) // 1000) * 1000 AS window_start_ms, count(*) AS cnt
+FROM events GROUP BY 1
+""",
+    "a2_stream_totals": """
+SELECT user_id, count(*) AS total FROM events GROUP BY user_id
+""",
+    "j1_stream": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
+       l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
+FROM l JOIN r ON l.user_id = r.user_id
+             AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
 """,
     "q1_pricing_summary": """
 WITH a AS (

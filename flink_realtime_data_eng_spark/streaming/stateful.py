@@ -13,8 +13,11 @@ the state machine runs — Flink's single-parallelism file source delivers
 in-order, and this reproduces that determinism; ACROSS micro-batches order
 is arrival order, same as any streaming system.
 
-The batch ``lag``-window analogs in ``operators/stateful.py`` are the
-DuckDB-oracle form of these same semantics; tests assert both agree.
+Output schemas are inferred from the input (key and order columns keep
+their types), so the same operator runs on the reference's string-keyed
+audit stream and the driver's bigint-keyed events table alike. The batch
+``lag``-window analogs in ``operators/stateful.py`` are the DuckDB-oracle
+form of these same semantics; tests and the registry assert both agree.
 """
 
 from __future__ import annotations
@@ -27,6 +30,10 @@ from pyspark.sql import DataFrame, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _field(df: DataFrame, name: str) -> T.StructField:
+    return df.schema[name]
+
+
 def interval_alerts_stream(df: DataFrame, key: str = "user",
                            ts_ms: str = "ts_ms", event_col: str = "op",
                            match_value: str = "Delete",
@@ -34,32 +41,33 @@ def interval_alerts_stream(df: DataFrame, key: str = "user",
                            order_by: Sequence[str] | None = None) -> DataFrame:
     """ST1 (StatefulOperations.java:87-119): ValueState<Long> holding the
     previous match's timestamp per key; a match arriving < threshold after
-    the previous one emits (key, ts, diff). The sentinel ("No-Alerts") rows
-    the reference emits-then-filters (P4) are simply never emitted."""
+    the previous one emits (key, <order cols>, diff). The sentinel
+    ("No-Alerts") rows the reference emits-then-filters (P4) are simply
+    never emitted."""
     order = list(order_by) if order_by else [ts_ms]
-    out_schema = T.StructType([
-        T.StructField(key, T.StringType()),
-        T.StructField(ts_ms, T.LongType()),
-        T.StructField("diff_ms", T.LongType()),
-    ])
+    out_schema = T.StructType(
+        [_field(df, key)] + [_field(df, c) for c in order]
+        + [T.StructField("diff_ms", T.LongType())])
     state_schema = T.StructType([T.StructField("last_ts", T.LongType())])
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         (last_ts,) = state.get if state.exists else (None,)
-        out_ts, out_diff = [], []
+        out: list[tuple] = []
         for pdf in pdfs:
             pdf = pdf[pdf[event_col] == match_value].sort_values(order)
-            for t in pdf[ts_ms]:
-                t = int(t)
+            for row in pdf.itertuples(index=False):
+                t = int(getattr(row, ts_ms))
                 if last_ts is not None and t - last_ts < threshold_ms:
-                    out_ts.append(t)
-                    out_diff.append(t - last_ts)
+                    out.append(tuple(getattr(row, c) for c in order)
+                               + (t - last_ts,))
                 last_ts = t
         if last_ts is not None:
             state.update((last_ts,))
-        yield pd.DataFrame({key: [key_tuple[0]] * len(out_ts),
-                            ts_ms: out_ts, "diff_ms": out_diff})
+        cols = order + ["diff_ms"]
+        res = pd.DataFrame(out, columns=cols)
+        res.insert(0, key, key_tuple[0])
+        yield res
 
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
@@ -76,12 +84,10 @@ def action_durations_stream(df: DataFrame, key: str = "user",
     event (first, Login, or right after a state-clearing Logout) emits
     ('None', 0); Logout clears state after emitting."""
     order = list(order_by) if order_by else [ts_ms]
-    out_schema = T.StructType([
-        T.StructField(key, T.StringType()),
-        T.StructField(ts_ms, T.LongType()),
-        T.StructField("prev_action", T.StringType()),
-        T.StructField("duration_ms", T.LongType()),
-    ])
+    out_schema = T.StructType(
+        [_field(df, key)] + [_field(df, c) for c in order]
+        + [T.StructField("prev_action", T.StringType()),
+           T.StructField("duration_ms", T.LongType())])
     state_schema = T.StructType([
         T.StructField("last_action", T.StringType()),
         T.StructField("last_ts", T.LongType()),
@@ -90,17 +96,18 @@ def action_durations_stream(df: DataFrame, key: str = "user",
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         last_action, last_ts = state.get if state.exists else (None, None)
-        rows = []
+        out: list[tuple] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(order)
-            for _, r in pdf.iterrows():
-                t, action = int(r[ts_ms]), r[action_col]
+            for row in pdf.itertuples(index=False):
+                t, action = int(getattr(row, ts_ms)), getattr(row, action_col)
                 fresh = (last_action is None
                          or (session_start is not None and action == session_start))
+                ocols = tuple(getattr(row, c) for c in order)
                 if fresh:
-                    rows.append((key_tuple[0], t, "None", 0))
+                    out.append(ocols + ("None", 0))
                 else:
-                    rows.append((key_tuple[0], t, last_action, t - last_ts))
+                    out.append(ocols + (last_action, t - last_ts))
                 if session_end is not None and action == session_end:
                     last_action, last_ts = None, None  # state.remove() analog
                 else:
@@ -109,7 +116,9 @@ def action_durations_stream(df: DataFrame, key: str = "user",
             state.remove()
         else:
             state.update((last_action, last_ts))
-        yield pd.DataFrame(rows, columns=[key, ts_ms, "prev_action", "duration_ms"])
+        res = pd.DataFrame(out, columns=order + ["prev_action", "duration_ms"])
+        res.insert(0, key, key_tuple[0])
+        yield res
 
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",

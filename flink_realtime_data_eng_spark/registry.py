@@ -44,6 +44,11 @@ def _prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet is TIMESTAMP(NANOS); without this the scan throws.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Single-file fixture tables: split scans across local cores (see
+    # session.get_spark — same rationale, runtime-settable for the driver's
+    # own session). Local masters only; a cluster keeps its submit conf.
+    if spark.sparkContext.master.startswith("local"):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     return spark
 
 

@@ -1,0 +1,135 @@
+"""Chapter job builders driven end-to-end on generated fixtures."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from flink_realtime_data_eng_spark import generators, jobs, sinks, sources
+from flink_realtime_data_eng_spark.schemas import AUDIT_TRAIL
+
+BASE = 1_700_000_000_000
+
+
+def _drain(spark, df, output_mode="append"):
+    name = "j" + uuid.uuid4().hex[:12]
+    q = sinks.run_available_now(sinks.memory_sink(df, name, output_mode))
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_basic_streaming_job(spark, tmp_path):
+    src = tmp_path / "in"
+    generators.generate_audit_files(str(src), n=15, step_ms=1000)
+    writer = jobs.basic_streaming(spark, str(src), str(tmp_path / "out"),
+                                  str(tmp_path / "ckpt"))
+    q = sinks.run_available_now(writer)
+    q.awaitTermination(120)
+    got = (spark.read.schema("window_start_ms long, cnt long")
+           .csv(str(tmp_path / "out")).collect())
+    # 15 rec / 5 s windows -> windows 0,5000 finalized (10000 withheld).
+    assert sorted((r["window_start_ms"], r["cnt"]) for r in got) == [
+        (BASE, 5), (BASE + 5000, 5)]
+
+
+def test_keyed_stream_job_topology(spark, tmp_path):
+    src = tmp_path / "in"
+    generators.generate_audit_files(str(src), n=10)
+    # Drive the same topology to a memory sink (console writer itself is
+    # fire-and-forget); totals must equal the batch groupBy.
+    from flink_realtime_data_eng_spark.streaming.pipelines import running_totals
+    ev = sources.file_csv_stream(spark, str(src), AUDIT_TRAIL)
+    result = _drain(spark, running_totals(ev, ["user"], "duration",
+                                          out_col="total_duration"), "update")
+    batch = spark.createDataFrame(
+        [tuple(ln.replace('"', "").split(",")) for ln in generators.audit_records(n=10)],
+        "id string, user string, entity string, operation string, "
+        "timestamp string, duration string, count string")
+    want = (batch.groupBy("user")
+            .agg(F.sum(F.col("duration").cast("long")).alias("total_duration")))
+    assert (sorted(tuple(r) for r in result.collect())
+            == sorted(tuple(r) for r in want.collect()))
+
+
+def test_split_and_combine_job(spark, tmp_path):
+    src = tmp_path / "in"
+    generators.generate_audit_files(str(src), n=30)
+    from flink_realtime_data_eng_spark.operators.split_merge import (
+        split_by_predicate, tag_and_merge)
+    ev = sources.file_csv_stream(spark, str(src), AUDIT_TRAIL)
+    customers, others = split_by_predicate(ev, F.col("entity") == "Customer")
+    merged = tag_and_merge(customers, others, key_col="user")
+    result = _drain(spark, merged)
+    rows = result.collect()
+    assert len(rows) == 30
+    n_cust = sum(1 for ln in generators.audit_records(n=30) if '"Customer"' in ln)
+    assert sum(1 for r in rows if r["src"] == "Stream-1") == n_cust
+
+
+def test_windowing_operations_job(spark, tmp_path):
+    src = tmp_path / "in"
+    generators.generate_audit_files(str(src), n=25, step_ms=900)
+    # Inject a file stream where production would pass Kafka values — the
+    # topology only sees (value: string) rows either way.
+    values = sources.file_text_stream(spark, str(src))
+    sliding, session = jobs.windowing_operations(values)
+    srows = _drain(spark, sliding).collect()
+    assert all(r["max_ts_ms"] - r["min_ts_ms"] <= 10_000 for r in srows)
+    assert {r["cnt"] for r in srows} and srows
+    jrows = _drain(spark, session).collect()
+    # step 900 ms < 5 s gap -> every user's events chain into one session,
+    # but only sessions closed by the watermark emit; with one user spread
+    # over the whole span there may be zero finalized sessions — assert the
+    # query runs and any emitted session respects the gap invariant.
+    for r in jrows:
+        assert r["max_ts_ms"] >= r["min_ts_ms"]
+
+
+def test_window_joins_job(spark, tmp_path):
+    fdir, kdir = tmp_path / "f", tmp_path / "k"
+    generators.generate_audit_files(str(fdir), n=20, seed=1)
+    generators.generate_audit_files(str(kdir), n=20, seed=2)
+    kafka_values = sources.file_text_stream(spark, str(kdir))
+    joined = jobs.window_joins(spark, str(fdir), kafka_values)
+    rows = _drain(spark, joined).collect()
+    # Same 20 s span, same 3-user vocabulary, 5 s windows -> matches exist,
+    # and every match is within one window of width 5 s.
+    assert rows
+    assert all(abs(r["l_ts_ms"] - r["r_ts_ms"]) < 5000 for r in rows)
+
+
+def test_event_time_operations_job(spark, tmp_path):
+    src = tmp_path / "in"
+    generators.generate_audit_files(str(src), n=12, step_ms=1000)
+    counts, cap = jobs.event_time_operations(spark, str(src), delay="2 seconds")
+    result = _drain(spark, counts)
+    rows = result.collect()
+    # 1 s windows, watermark = max - 2 s: the last 3 windows are withheld.
+    assert sorted(r["window_start_ms"] for r in rows) == [
+        BASE + 1000 * i for i in range(9)]
+    assert all(r["cnt"] == 1 for r in rows)
+
+
+def test_stateful_operations_job_topology(spark, tmp_path):
+    src = tmp_path / "in"
+    generators.generate_audit_files(str(src), n=80, step_ms=1200)
+    from flink_realtime_data_eng_spark.streaming.stateful import interval_alerts_stream
+    ev = sources.file_csv_stream(spark, str(src), AUDIT_TRAIL)
+    alerts = interval_alerts_stream(ev, key="user", ts_ms="timestamp",
+                                    event_col="operation", match_value="Delete",
+                                    threshold_ms=10_000)
+    rows = _drain(spark, alerts).collect()
+    assert all(0 < r["diff_ms"] < 10_000 for r in rows)
+
+
+def test_course_use_case_job(spark, tmp_path):
+    src = tmp_path / "in"
+    generators.generate_browser_files(str(src), n=40, step_ms=800)
+    counts, durations = jobs.course_use_case(spark, str(src))
+    crows = _drain(spark, counts).collect()
+    assert sum(r["cnt"] for r in crows) <= 40  # finalized windows only
+    drows = _drain(spark, durations).collect()
+    assert len(drows) == 40  # every event emits exactly one duration row
+    for r in drows:
+        assert (r["prev_action"] == "None") == (r["duration_ms"] == 0)

@@ -91,17 +91,25 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, seed, minhash): k-way MinHash over word n-gram shingles.
 
-    Linear plan: explode shingles once, cross with the k seeds (tiny literal
-    array — stays map-side), min-aggregate per (doc, seed). Shuffle key is
-    (doc, seed) → cardinality k×docs, uniform.
+    Linear plan with NO k-fold row blowup: each (doc, shingle) row computes
+    all k hashes map-side, then ONE groupBy(doc) runs k min-aggregates —
+    map-side partial aggregation collapses each scan partition to one row
+    per doc before the shuffle, so shuffle volume is docs × k longs
+    regardless of shingle count. (The earlier shape exploded k× rows
+    through a (doc, seed) shuffle — 16× the bytes for the same result.)
+    posexplode restores the (id, seed, minhash) row contract.
     """
     sh = shingles(df, n, text_col, id_col)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (sh.select(F.col(id_col), F.col("shingle"), seeds)
-              .select(F.col(id_col), F.col("seed"),
-                      _md5_hash32(F.col("seed"), F.col("shingle")).alias("h"))
-              .groupBy(id_col, "seed")
-              .agg(F.min("h").alias("minhash")))
+    hashed = sh.select(
+        F.col(id_col),
+        *[_md5_hash32(F.lit(s), F.col("shingle")).alias(f"h{s}")
+          for s in range(num_hashes)])
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)])
+    return (mins.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"m{s}") for s in range(num_hashes)]))
+         .alias("seed", "minhash")))
 
 
 def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 16, bands: int = 4,

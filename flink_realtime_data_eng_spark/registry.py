@@ -44,11 +44,6 @@ def _prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet is TIMESTAMP(NANOS); without this the scan throws.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Single-file fixture tables: split scans across local cores (see
-    # session.get_spark — same rationale, runtime-settable for the driver's
-    # own session). Local masters only; a cluster keeps its submit conf.
-    if spark.sparkContext.master.startswith("local"):
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     return spark
 
 
@@ -444,14 +439,21 @@ def x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing — rows-only check (byte-statistics features of
-    the deterministic fake decoder; no SQL analog)."""
-    media = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    the deterministic fake decoder; no SQL analog).
+
+    Arrow/Python stages want FEWER, FATTER partitions than JVM stages: each
+    partition spins a Python worker (pandas import + Arrow init), so the
+    fixture-scale input is coalesced to 8 before crossing the boundary —
+    fat Arrow batches amortize the per-worker overhead. At real scale the
+    partition count comes from the data and executors, not this clamp."""
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
     return multimodal.extract_features(media, fake=True)
 
 
 def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing — rows-only check."""
-    media = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    """Frame-sampling plumbing — rows-only check (same Python-stage
+    coalesce rationale as x_multimodal_features)."""
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
     return multimodal.frame_sample(media, every_n=4, frame_bytes=16)
 
 

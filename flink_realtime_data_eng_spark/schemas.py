@@ -59,8 +59,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       - ``ts_ns``  original nanos
     Other tables pass through (their timestamps are ms-precision parquet
     TIMESTAMP, which Spark reads natively).
+
+    Local-master fixture parallelism: each driver table is ONE parquet file
+    with ONE row group, so the scan — and every map-side stage fused onto it
+    (regex normalization, hashing, parsing) — would run as a single task on
+    a 32-core box. On local masters we repartition to the default
+    parallelism right after the scan; shuffling these MB-scale fixtures
+    costs milliseconds and unlocks the other 31 cores. On a cluster master
+    this branch never runs: production datasets arrive as many files/row
+    groups and the scan parallelizes natively, where an unconditional
+    repartition would be a catastrophic full shuffle.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spark.sparkContext.master.startswith("local"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
         df = (
             df.withColumn("ts_ns", F.col("ts"))

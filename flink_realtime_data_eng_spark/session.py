@@ -66,16 +66,6 @@ def get_spark(app_name: str = "flink-realtime-data-eng-spark",
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in _COMMON.items():
         builder = builder.config(k, v)
-    if master.startswith("local"):
-        # The driver fixtures are SINGLE small parquet files; at Spark's
-        # default 128m maxPartitionBytes every scan is one partition and the
-        # map side runs serially on a 32-core box. 1m splits them across
-        # cores (parquet is row-group splittable). Local profile ONLY — a
-        # cluster master keeps the 128m default, where files are many and
-        # partition = file-split already parallelizes.
-        builder = builder.config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * n, 32) if n else 32
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

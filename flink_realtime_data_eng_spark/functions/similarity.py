@@ -109,6 +109,49 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select(query_id, id_col, "score", "rk"))
 
 
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline:
+    every (a, b) with ``cosine >= threshold`` and ``id_a < id_b``.
+
+    This is the verification primitive — O(n²) dot products — so run it on
+    a bounded slice or on LSH candidates (:func:`embedding_neardup_candidates`
+    is the 100 TB path, same contract, bucket-gated). The join condition
+    ``id_a < id_b`` halves the work and Catalyst executes it as a broadcast
+    nested loop when one side is small. Output: id_a, id_b, score.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(cosine("va", "vb"), 6).alias("score"))
+             .filter(F.col("score") >= threshold))
+
+
+def embedding_neardup_candidates(emb: DataFrame, threshold: float = 0.95,
+                                 num_planes: int = 8,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup, LSH-gated (the scale path): bucket vectors
+    by random-hyperplane signature, compare only same-bucket pairs with the
+    exact cosine. Bucket join is an equi-join on a high-cardinality key —
+    well-distributed shuffle, no all-pairs blowup; recall < 1 by design
+    (near-identical vectors share all plane signs with high probability).
+    """
+    sig = lsh_signature(vec_col, num_planes)
+    tagged = emb.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    a = tagged.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                      "bucket")
+    b = tagged.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      F.col("bucket").alias("b_bucket"))
+    return (a.join(b, (F.col("bucket") == F.col("b_bucket"))
+                   & (F.col("id_a") < F.col("id_b")))
+             .select("id_a", "id_b",
+                     F.round(cosine("va", "vb"), 6).alias("score"))
+             .filter(F.col("score") >= threshold))
+
+
 def norm_stats_by_label(emb: DataFrame, vec_col: str = "embedding",
                         label_col: str = "label") -> DataFrame:
     """Embedding-column hygiene stats: per-label count and L2-norm min/mean/max

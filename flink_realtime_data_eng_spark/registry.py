@@ -437,6 +437,32 @@ def x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, q, k=5, num_planes=8)
 
 
+def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline on a bounded slice
+    (all-pairs is the verification primitive; the LSH-gated variant below is
+    the scale path)."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
+    return similarity.embedding_neardup_pairs(emb, threshold=0.3)
+
+
+def x_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-gated embedding near-dup over the full corpus — rows-only check
+    (bucket signs sit on float zero-crossings; candidate recall < 1 by
+    design, so no exact SQL analog)."""
+    return similarity.embedding_neardup_candidates(
+        _emb(spark, sf_dir), threshold=0.3, num_planes=8)
+
+
+def x_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace-ish word tokens + BPE-ish sub-tokens
+    (letter runs / digit runs / single punctuation), both pure Catalyst
+    regex — map-side only at any scale."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    text.token_count("text").cast("bigint").alias("n_tokens"),
+                    text.word_token_count("text").cast("bigint").alias("n_subtokens"))
+
+
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing — rows-only check (byte-statistics features of
     the deterministic fake decoder; no SQL analog).
@@ -503,6 +529,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_norm_stats": x_norm_stats,
     "x_brute_force_topk": x_brute_force_topk,
     "x_lsh_topk": x_lsh_topk,
+    "x_embedding_neardup": x_embedding_neardup,
+    "x_embedding_neardup_lsh": x_embedding_neardup_lsh,
+    "x_token_counts": x_token_counts,
     "x_multimodal_features": x_multimodal_features,
     "x_frame_sample": x_frame_sample,
 }
@@ -579,10 +608,17 @@ WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {th
 """
 
 
-_COSINE_Q = ("list_sum(list_transform(range(1, len(q) + 1),"
-             " i -> CAST(q[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))"
-             " / (sqrt(list_sum(list_transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-             " * sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))")
+def _cosine_sql(a: str, b: str) -> str:
+    """DuckDB cosine with the same association order as the Spark
+    expression (sequential left fold over the array)."""
+    sq = ("sqrt(list_sum(list_transform({v},"
+          " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return (f"list_sum(list_transform(range(1, len({a}) + 1),"
+            f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+            f" / ({sq.format(v=a)} * {sq.format(v=b)})")
+
+
+_COSINE_Q = _cosine_sql("q", "v")
 
 
 def _brute_force_oracle(k: int = 5) -> str:
@@ -875,5 +911,22 @@ SELECT label, count(*) AS n_vecs,
 FROM embeddings GROUP BY label
 """,
     "x_brute_force_topk": _brute_force_oracle(),
-    # x_lsh_topk, x_multimodal_features, x_frame_sample: rows-only (no oracle).
+    "x_embedding_neardup": f"""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, score FROM p WHERE score >= 0.3
+""",
+    "x_token_counts": f"""
+SELECT doc_id,
+       CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+         AS n_subtokens
+FROM documents
+""",
+    # x_lsh_topk, x_embedding_neardup_lsh, x_multimodal_features,
+    # x_frame_sample: rows-only (no oracle).
 }

@@ -69,3 +69,21 @@ def test_norm_stats_by_label(spark):
     assert out[0]["max_norm"] == pytest.approx(10.0)
     assert out[0]["avg_norm"] == pytest.approx(7.5)
     assert out[1]["avg_norm"] == pytest.approx(1.0)
+
+
+def test_embedding_neardup_exact_pairs(spark):
+    df = _emb(spark, [(1, [1.0, 0.0]), (2, [0.999, 0.01]),
+                      (3, [0.0, 1.0]), (4, [0.0, -1.0])])
+    out = similarity.embedding_neardup_pairs(df, threshold=0.9)
+    rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert rows == [(1, 2)]
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark):
+    df = _emb(spark, [(i, [float(i % 7), float(i % 3) + 0.1]) for i in range(30)])
+    exact = {(r["id_a"], r["id_b"]): r["score"]
+             for r in similarity.embedding_neardup_pairs(df, 0.99).collect()}
+    lsh = similarity.embedding_neardup_candidates(df, 0.99, num_planes=4)
+    for r in lsh.collect():
+        # every LSH-gated pair is a real near-dup with the identical score
+        assert exact[(r["id_a"], r["id_b"])] == r["score"]

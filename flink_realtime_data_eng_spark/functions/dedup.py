@@ -79,6 +79,45 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
             .select("id_a", "id_b", "jaccard"))
 
 
+def neardup_pipeline(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                     n: int = 3, threshold: float = 0.8,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The composed 100 TB near-dup flow: MinHash-LSH candidate generation
+    followed by exact Jaccard verification OF THE CANDIDATES ONLY.
+
+    This is the guard the standalone :func:`jaccard_pairs` docstring asks
+    for — the shingle self-join runs restricted to candidate pairs (a
+    broadcast-able or bucketed semi-join against the candidate set), so the
+    all-pairs-per-shingle blowup never happens. Output: id_a, id_b, jaccard
+    for candidates whose TRUE Jaccard >= threshold.
+    """
+    cand = (minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
+            .select("id_a", "id_b"))
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col))).distinct())
+    sh = shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # Prune the shingle table to candidate DOCS (left-semi — near-dup docs
+    # are a tiny fraction of the corpus), shingle-equijoin only those, then
+    # keep exactly the candidate PAIRS.
+    sh_c = sh.join(cand_ids, id_col, "left_semi")
+    a = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (a.join(b, "shingle")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("n_common"))
+                .join(cand, ["id_a", "id_b"], "left_semi"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common").cast("double")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 def _md5_hash32(prefix: Column | str, value: Column) -> Column:
     """Deterministic 32-bit hash reproducible in DuckDB:
     int(first 8 hex chars of md5(prefix || ':' || value))."""

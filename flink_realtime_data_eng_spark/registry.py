@@ -397,6 +397,13 @@ def x_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         num_hashes=16, bands=4, n=3)
 
 
+def x_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed scale flow: MinHash-LSH candidates verified with exact
+    Jaccard, all-pairs work never materialized."""
+    return dedup.neardup_pipeline(_docs(spark, sf_dir), num_hashes=16,
+                                  bands=4, n=3, threshold=0.5)
+
+
 def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -523,6 +530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_fingerprint": x_fingerprint,
     "x_jaccard_pairs": x_jaccard_pairs,
     "x_minhash_lsh": x_minhash_lsh,
+    "x_neardup_pipeline": x_neardup_pipeline,
     "x_simhash": x_simhash,
     "x_quality_features": x_quality_features,
     "x_language_id": x_language_id,
@@ -900,6 +908,12 @@ FROM n GROUP BY fp
     "x_fingerprint": f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
     "x_jaccard_pairs": _jaccard_oracle(),
     "x_minhash_lsh": _minhash_lsh_oracle(),
+    "x_neardup_pipeline": f"""
+WITH cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)})
+SELECT jac.id_a, jac.id_b, jac.jaccard
+FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+""",
     "x_simhash": _simhash_oracle(),
     "x_quality_features": _quality_oracle(),
     "x_language_id": _language_oracle(),

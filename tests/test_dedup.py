@@ -56,3 +56,21 @@ def test_simhash_identical_for_same_tokens_and_bits_validated(spark):
     assert sigs[1] != sigs[3]
     with pytest.raises(ValueError):
         dedup.simhash(df, bits=33)
+
+
+def test_neardup_pipeline_candidates_verified(spark):
+    df = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "the quick brown fox jumps over the lazy cat tonight"),
+        (4, "completely unrelated text about distributed query engines"),
+    ])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.neardup_pipeline(df, threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0            # exact dup: jaccard 1
+    assert (1, 4) not in out and (2, 4) not in out and (3, 4) not in out
+    # every surviving pair's jaccard equals the unguarded exact computation
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(df, threshold=0.5).collect()}
+    for pair, j in out.items():
+        assert exact[pair] == j

@@ -83,6 +83,30 @@ def log_sink(df: DataFrame,
     return df.writeStream.foreachBatch(_log).outputMode(output_mode)
 
 
+def idempotent_file_sink(df: DataFrame, path: str, checkpoint: str,
+                         fmt: str = "parquet",
+                         output_mode: str = "append") -> DataStreamWriter:
+    """K2 mitigation: effectively-once file delivery via foreachBatch.
+
+    Spark's sinks are at-least-once under retries: a micro-batch replayed
+    after a failure re-appends its rows. Writing each micro-batch to a
+    directory keyed by ``batch_id`` with mode=overwrite makes the replay
+    idempotent — the retried batch overwrites its own partial output
+    instead of duplicating it. This is the standard Spark answer to the
+    reference's transactional Kafka sink
+    (chapter4/EventTimeOperations.java:184-208): exactly-once EFFECT at the
+    sink without distributed transactions. Readers see
+    ``path/batch_id=N/...`` as one partitioned dataset.
+    """
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .format(fmt).save(f"{path}/batch_id={batch_id}"))
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode))
+
+
 def run_available_now(writer: DataStreamWriter) -> StreamingQuery:
     """Process everything currently available, then stop — the deterministic
     trigger every test uses (never wall-clock ProcessingTime)."""

@@ -291,3 +291,66 @@ def test_generators_deterministic(spark):
     assert all(ln.count(",") == 3 for ln in b)
     kv = generators.kafka_producer_records(n=3)
     assert all(k.isdigit() for k, _ in kv)
+
+
+def test_stateful_across_multiple_micro_batches(spark, tmp_path):
+    """maxFilesPerTrigger=5 forces 6 micro-batches in ONE availableNow run;
+    the ST2 machine must produce exactly the batch lag-analog's output —
+    state flows through the state store between micro-batches."""
+    src = tmp_path / "mb"
+    paths = generators.generate_browser_files(str(src), n=30, step_ms=1100)
+    # File-source batching orders by modification time; same-second mtimes
+    # tie and would let a later file land in an earlier micro-batch (real
+    # arrival-order nondeterminism). Pin increasing mtimes so arrival order
+    # equals event order, which is what the batch analog models.
+    import os
+    for i, p in enumerate(paths):
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+    ])
+    stream = sources.file_csv_stream(spark, str(src), schema,
+                                     max_files_per_trigger=5)
+    out = stateful.action_durations_stream(stream, key="user",
+                                           ts_ms="timestamp",
+                                           action_col="action")
+    name, result = _mem(spark, out)
+
+    batch = spark.createDataFrame(
+        [tuple(ln.replace('"', "").split(",")) for ln in
+         generators.browser_records(n=30, step_ms=1100)],
+        "id string, user string, action string, timestamp string",
+    ).withColumn("timestamp", F.col("timestamp").cast("long"))
+    expected = batch_stateful.action_durations(
+        batch, key="user", ts_ms="timestamp", action_col="action",
+        session_start="Login", session_end="Logout")
+    got = sorted((r["user"], r["timestamp"], r["prev_action"], r["duration_ms"])
+                 for r in result.collect())
+    want = sorted((r["user"], r["timestamp"], r["prev_action"], r["duration_ms"])
+                  for r in expected.collect())
+    assert got == want
+
+
+def test_idempotent_file_sink_batch_dirs(spark, tmp_path):
+    src = tmp_path / "src"
+    generators.generate_audit_files(str(src), n=12)
+    stream = sources.file_csv_stream(spark, str(src), AUDIT_TRAIL,
+                                     max_files_per_trigger=6)
+    writer = sinks.idempotent_file_sink(
+        stream.select("id", "user", "operation"),
+        str(tmp_path / "out"), str(tmp_path / "ck"))
+    q = sinks.run_available_now(writer)
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 12
+    assert back.select("batch_id").distinct().count() == 2  # two micro-batches
+    # Replaying one batch directory overwrite-style cannot duplicate rows:
+    # simulate a sink retry by rewriting batch 0's directory with the same
+    # rows (materialized first — a retry re-derives them from the source).
+    rows = spark.read.parquet(str(tmp_path / "out" / "batch_id=0")).collect()
+    (spark.createDataFrame(rows).write.mode("overwrite")
+     .parquet(str(tmp_path / "out" / "batch_id=0")))
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 12

@@ -152,6 +152,65 @@ def embedding_neardup_candidates(emb: DataFrame, threshold: float = 0.95,
              .filter(F.col("score") >= threshold))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_lists: int = 16, n_probe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id: str = "query_id", seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the corpus
+    into ``n_lists`` cells, probe only the ``n_probe`` cells nearest each
+    query.
+
+    The 100 TB shape: the corpus is scanned once to assign cells (pure JVM
+    model.transform), then the search is an equi-join on ``cell`` — each
+    query touches ~``n_probe/n_lists`` of the corpus instead of all of it,
+    and the join key distributes the work. Centroids (n_lists × dim floats)
+    are driver-small by construction and ship as literals to the query-side
+    probe assignment. Training runs on a sample at scale
+    (``KMeans.fit`` over 100 TB would itself be a job; standard practice is
+    fitting on a few million sampled rows — parameterize upstream).
+
+    Output: query_id, vec_id, score (exact cosine within probed cells), rk.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fc = corpus.select(F.col(id_col), F.col(vec_col),
+                       array_to_vector(F.col(vec_col).cast("array<float>"))
+                       .alias("_fv"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_fv",
+                   predictionCol="cell").fit(fc)
+    assigned = model.transform(fc).select(id_col, vec_col, "cell")
+
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    centers_lit = F.array(*[
+        F.struct(F.lit(i).alias("cell"),
+                 F.array(*[F.lit(v) for v in c]).alias("cvec"))
+        for i, c in enumerate(centers)])
+    # Per query: squared L2 distance to every centroid (tiny inline array),
+    # keep the n_probe nearest cells.
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
+    probed = (q.withColumn("c", F.explode(centers_lit))
+               .select(query_id, "q_vec", F.col("c.cell").alias("cell"),
+                       F.aggregate(
+                           F.zip_with(F.col("q_vec"), F.col("c.cvec"),
+                                      lambda a, b: (a.cast("double") - b)
+                                      * (a.cast("double") - b)),
+                           F.lit(0.0), lambda acc, x: acc + x).alias("d2")))
+    w_probe = W.partitionBy(query_id).orderBy(F.col("d2"), F.col("cell"))
+    probes = (probed.withColumn("pr", F.row_number().over(w_probe))
+              .filter(F.col("pr") <= n_probe)
+              .select(query_id, "q_vec", "cell"))
+
+    scored = (assigned.join(probes, "cell")
+              .filter(F.col(query_id) != F.col(id_col))
+              .select(F.col(query_id), F.col(id_col),
+                      F.round(cosine("q_vec", vec_col), 6).alias("score")))
+    w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id, id_col, "score", "rk"))
+
+
 def norm_stats_by_label(emb: DataFrame, vec_col: str = "embedding",
                         label_col: str = "label") -> DataFrame:
     """Embedding-column hygiene stats: per-label count and L2-norm min/mean/max

@@ -444,6 +444,16 @@ def x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, q, k=5, num_planes=8)
 
 
+def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN — rows-only check (KMeans cell assignment has no
+    SQL analog; exactness within probed cells is covered by pytest against
+    brute force)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(emb, q, k=5, n_lists=8, n_probe=2)
+
+
 def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact baseline on a bounded slice
     (all-pairs is the verification primitive; the LSH-gated variant below is
@@ -537,6 +547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_norm_stats": x_norm_stats,
     "x_brute_force_topk": x_brute_force_topk,
     "x_lsh_topk": x_lsh_topk,
+    "x_ivf_topk": x_ivf_topk,
     "x_embedding_neardup": x_embedding_neardup,
     "x_embedding_neardup_lsh": x_embedding_neardup_lsh,
     "x_token_counts": x_token_counts,

@@ -87,3 +87,24 @@ def test_embedding_neardup_lsh_subset_of_exact(spark):
     for r in lsh.collect():
         # every LSH-gated pair is a real near-dup with the identical score
         assert exact[(r["id_a"], r["id_b"])] == r["score"]
+
+
+def test_ivf_topk_recovers_cluster_neighbors(spark):
+    # Three tight, well-separated clusters; with n_probe=1 a query drawn
+    # from a cluster must retrieve exactly its brute-force neighbors
+    # (they share its probed cell).
+    import random
+    rng = random.Random(7)
+    rows = []
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.1, 0.1) for v in c]))
+    corpus = _emb(spark, rows)
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ivf = similarity.ivf_topk(corpus, q, k=5, n_lists=3, n_probe=1)
+    bf = similarity.brute_force_topk(corpus, q, k=5)
+    got = sorted((r["query_id"], r["rk"], r["vec_id"]) for r in ivf.collect())
+    want = sorted((r["query_id"], r["rk"], r["vec_id"]) for r in bf.collect())
+    assert got == want

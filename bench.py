@@ -23,6 +23,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from flink_realtime_data_eng_spark import registry  # noqa: E402
 from flink_realtime_data_eng_spark.session import get_spark  # noqa: E402
 
@@ -39,6 +41,16 @@ def main() -> None:
     for t in ["lineitem", "events", "documents", "embeddings"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode(
             "overwrite").format("noop").save()
+    # ... including the Python worker pool (pandas import + Arrow init per
+    # worker dominates the first mapInPandas stage; workers are reused).
+    import pandas as _pd  # noqa: F401
+
+    def _identity(it):
+        yield from it
+
+    (spark.range(0, 64, 1, 8).withColumn("v", F.rand(42))
+     .mapInPandas(_identity, "id long, v double")
+     .write.mode("overwrite").format("noop").save())
 
     timings: dict[str, float] = {}
     bench_queries = {n: f for n, f in registry.QUERIES.items()

@@ -153,7 +153,7 @@ def embedding_neardup_candidates(emb: DataFrame, threshold: float = 0.95,
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             n_lists: int = 16, n_probe: int = 2,
+             n_lists: int = 16, n_probe: int = 2, max_iter: int = 8,
              vec_col: str = "embedding", id_col: str = "vec_id",
              query_id: str = "query_id", seed: int = 42) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the corpus
@@ -177,7 +177,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     fc = corpus.select(F.col(id_col), F.col(vec_col),
                        array_to_vector(F.col(vec_col).cast("array<float>"))
                        .alias("_fv"))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="_fv",
+    # Loose convergence is fine: cells only gate the candidate set (recall
+    # knob is n_probe); each KMeans iteration is a full job, so cap them.
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_fv",
                    predictionCol="cell").fit(fc)
     assigned = model.transform(fc).select(id_col, vec_col, "cell")
 

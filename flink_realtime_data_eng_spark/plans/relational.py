@@ -142,3 +142,68 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.countDistinct("user_id").alias("n_users"),
                   F.count(F.lit(1)).alias("n_events"))
              .orderBy("event_type"))
+
+
+def two_nation_volume(spark: SparkSession, sf_dir: str,
+                      nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+                      date_from: str = "1996-01-01",
+                      date_to: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+
+    Supplier and customer both resolve to the 25-row nation dim (broadcast);
+    the only large exchanges are lineitem⋈orders (shuffle on orderkey) and
+    the supplier/customer lookups — supplier is SF-scaled but small relative
+    to facts, so AQE decides its strategy from runtime stats.
+    """
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey")).drop("n_nationkey")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey")).drop("n_nationkey")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp")))
+    pair = ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)) | \
+           ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .filter(pair)
+          .groupBy("supp_nation", "cust_nation",
+                   F.year("l_shipdate").cast("bigint").alias("l_year"))
+          .agg(F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .alias("revenue_e4"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def large_quantity_orders(spark: SparkSession, sf_dir: str,
+                          min_quantity: float = 300.0) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a threshold.
+
+    The HAVING subquery is a pre-aggregation of lineitem on orderkey — done
+    FIRST so the expensive 3-way join runs only on qualifying orders (a
+    semi-join reduction; at 100 TB the qualifying set is a tiny fraction).
+    Quantities are ×100 fixed-point so the filter and sums hash exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = (li.groupBy("l_orderkey")
+             .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+                   .alias("total_qty_e2"))
+             .filter(F.col("total_qty_e2") > int(min_quantity * 100)))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (qty.join(o, qty.l_orderkey == o.o_orderkey)
+               .join(c, o.o_custkey == c.c_custkey)
+               .select("c_name", "c_custkey", "l_orderkey",
+                       F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                        .alias("o_orderdate_ms"),
+                       F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+                       "total_qty_e2")
+               .orderBy(F.col("o_totalprice").desc(), "o_orderdate_ms",
+                        "l_orderkey")
+               .limit(100))

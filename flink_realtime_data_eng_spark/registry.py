@@ -368,6 +368,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.local_supplier_volume(_prep(spark), sf_dir)
 
 
+def q7_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.two_nation_volume(_prep(spark), sf_dir)
+
+
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.large_quantity_orders(_prep(spark), sf_dir)
+
+
 def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_parts_per_brand(_prep(spark), sf_dir)
 
@@ -534,6 +542,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q7_two_nation_volume": q7_two_nation_volume,
+    "q18_large_quantity_orders": q18_large_quantity_orders,
     "q_top_parts_per_brand": q_top_parts_per_brand,
     "q_distinct_users_per_type": q_distinct_users_per_type,
     "x_exact_dedup": x_exact_dedup,
@@ -892,6 +902,40 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
 ORDER BY revenue_e4 DESC
+""",
+    "q7_two_nation_volume": f"""
+SELECT supp_nation, cust_nation, l_year, {_REV_E4} AS revenue_e4
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+)
+GROUP BY 1, 2, 3
+""",
+    "q18_large_quantity_orders": """
+WITH qty AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_e2
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty_e2 > 30000
+)
+SELECT c_name, c_custkey, l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+       round(o_totalprice, 2) AS o_totalprice, total_qty_e2
+FROM qty
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate_ms, l_orderkey
+LIMIT 100
 """,
     "q_top_parts_per_brand": f"""
 WITH rev AS (

@@ -90,6 +90,7 @@ def lsh_signature(vec_col: str, num_planes: int = 8) -> Column:
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                      exclude_self: bool = True,
                       num_planes: int = 8, vec_col: str = "embedding",
                       id_col: str = "vec_id", query_id: str = "query_id") -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing the query's LSH
@@ -98,9 +99,10 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cb = corpus.withColumn("bucket", lsh_signature(vec_col, num_planes))
     qb = (queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
                  .withColumn("q_bucket", lsh_signature("q_vec", num_planes)))
-    scored = (cb.join(F.broadcast(qb),
-                      (F.col("bucket") == F.col("q_bucket"))
-                      & (F.col(query_id) != F.col(id_col)))
+    cond = F.col("bucket") == F.col("q_bucket")
+    if exclude_self:  # assumes a shared id space, as in brute_force_topk
+        cond = cond & (F.col(query_id) != F.col(id_col))
+    scored = (cb.join(F.broadcast(qb), cond)
               .select(F.col(query_id), F.col(id_col),
                       F.round(cosine("q_vec", vec_col), 6).alias("score")))
     w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
@@ -154,6 +156,7 @@ def embedding_neardup_candidates(emb: DataFrame, threshold: float = 0.95,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_lists: int = 16, n_probe: int = 2, max_iter: int = 8,
+             exclude_self: bool = True,
              vec_col: str = "embedding", id_col: str = "vec_id",
              query_id: str = "query_id", seed: int = 42) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the corpus
@@ -203,10 +206,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .filter(F.col("pr") <= n_probe)
               .select(query_id, "q_vec", "cell"))
 
-    scored = (assigned.join(probes, "cell")
-              .filter(F.col(query_id) != F.col(id_col))
-              .select(F.col(query_id), F.col(id_col),
-                      F.round(cosine("q_vec", vec_col), 6).alias("score")))
+    scored = assigned.join(probes, "cell")
+    if exclude_self:  # assumes a shared id space, as in brute_force_topk
+        scored = scored.filter(F.col(query_id) != F.col(id_col))
+    scored = scored.select(F.col(query_id), F.col(id_col),
+                           F.round(cosine("q_vec", vec_col), 6).alias("score"))
     w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)

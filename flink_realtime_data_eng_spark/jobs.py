@@ -110,7 +110,14 @@ def event_time_operations(spark: SparkSession, in_dir: str,
     # W1 is declared once: tumbling_counts installs withWatermark(ts, delay)
     # itself (redefining a watermark is an analysis error).
     counts = pipelines.tumbling_counts(ev, "ts", "1 second", watermark=delay)
-    return counts, (late_capture or watermark.LateDataCapture("ts"))
+    # The default capture must judge lateness with the SAME bound the
+    # aggregation uses, or rows the engine accepts would be flagged late.
+    delay_ms = int(delay.split()[0]) * {"second": 1000, "seconds": 1000,
+                                        "minute": 60_000, "minutes": 60_000,
+                                        "millisecond": 1, "milliseconds": 1
+                                        }[delay.split()[1]]
+    return counts, (late_capture
+                    or watermark.LateDataCapture("ts", delay_ms=delay_ms))
 
 
 def stateful_operations(spark: SparkSession, in_dir: str,

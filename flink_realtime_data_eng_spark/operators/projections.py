@@ -13,6 +13,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 
+def schema_ddl(schema: T.StructType) -> str:
+    """Flat-schema DDL string for ``from_csv`` — the one place this string
+    is built (batch and streaming parse paths share it)."""
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in schema.fields)
+
+
 def parse_csv_lines(lines: DataFrame, schema: T.StructType,
                     value_col: str = "value") -> DataFrame:
     """P1: CSV line -> typed record.
@@ -22,9 +29,9 @@ def parse_csv_lines(lines: DataFrame, schema: T.StructType,
     ``regexp_replace`` fallback reproduces the reference's cruder strip-then-
     split for byte-exact parity on quoted inputs.
     """
-    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     return lines.select(
-        F.from_csv(F.regexp_replace(F.col(value_col), '"', ""), ddl).alias("r")
+        F.from_csv(F.regexp_replace(F.col(value_col), '"', ""),
+                   schema_ddl(schema)).alias("r")
     ).select("r.*")
 
 

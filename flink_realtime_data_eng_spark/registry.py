@@ -89,8 +89,12 @@ def p1_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     events table through quoted CSV lines and ``from_csv``; the oracle is the
     original projection (exact round-trip is the correctness claim)."""
     e = _events(spark, sf_dir)
+    # coalesce keeps the field COUNT stable under NULLs (concat of a NULL
+    # field is NULL and concat_ws would silently drop it, shifting every
+    # later column); a NULL round-trips as the empty field.
     line = F.concat_ws(",", *[
-        F.concat(F.lit('"'), F.col(c).cast("string"), F.lit('"'))
+        F.concat(F.lit('"'), F.coalesce(F.col(c).cast("string"), F.lit("")),
+                 F.lit('"'))
         for c in ["event_id", "user_id", "event_type", "ts_ms", "value"]])
     lines = e.select(line.alias("value"))
     return projections.parse_csv_lines(lines, _AUDIT_LIKE)
@@ -99,9 +103,9 @@ def p1_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p2_parse_browser(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 (CourseUseCase.java:69-84): positional parse dropping column 0."""
     e = _events(spark, sf_dir)
-    line = F.concat_ws(",", F.col("event_id").cast("string"),
-                       F.col("user_id").cast("string"), F.col("event_type"),
-                       F.col("ts_ms").cast("string"))
+    line = F.concat_ws(",", *[
+        F.coalesce(F.col(c).cast("string"), F.lit(""))
+        for c in ["event_id", "user_id", "event_type", "ts_ms"]])
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("user_id", T.LongType()),
@@ -247,7 +251,13 @@ def _events_csv_dir(spark: SparkSession, sf_dir: str) -> str:
     within a session via a deterministic temp path."""
     import hashlib
     import os
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    # Cache key covers path + size + mtime + uid: a regenerated fixture
+    # invalidates the cache, and concurrent users don't collide in /tmp.
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}".encode()
+    ).hexdigest()[:12]
     out = os.path.join(_tempfile.gettempdir(), f"frde_events_csv_{tag}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -282,7 +292,11 @@ def _run_to_memory(df: DataFrame, spark: SparkSession,
     try:
         writer = memory_sink(df, name, output_mode).option("checkpointLocation", ckpt)
         q = run_available_now(writer)
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                f"streaming round-trip {name} did not finish in 600 s — "
+                "result would be partial, refusing to return it")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

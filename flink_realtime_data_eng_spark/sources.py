@@ -48,11 +48,10 @@ def file_csv_stream(spark: SparkSession, path: str, schema: T.StructType,
     Parsing happens after the source, exactly like the reference's parse map
     (P1) — so malformed lines surface as nulls, not source failures.
     """
+    from .operators.projections import schema_ddl
     lines = file_text_stream(spark, path, max_files_per_trigger)
     return parse_csv_lines(lines, schema) if quoted else lines.select(
-        F.from_csv("value", ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-        ).alias("r")).select("r.*")
+        F.from_csv("value", schema_ddl(schema)).alias("r")).select("r.*")
 
 
 def kafka_options(topic: str,

@@ -54,9 +54,14 @@ def interval_alerts_stream(df: DataFrame, key: str = "user",
            state: GroupState) -> Iterator[pd.DataFrame]:
         (last_ts,) = state.get if state.exists else (None,)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf[pdf[event_col] == match_value].sort_values(order)
-            for row in pdf.itertuples(index=False):
+        # A key's micro-batch arrives as MULTIPLE Arrow chunks (default
+        # 10k rows each) in shuffle order — concatenate before sorting or
+        # a later-timestamp chunk can be replayed before an earlier one.
+        chunks = [pdf[pdf[event_col] == match_value] for pdf in pdfs]
+        pdf = pd.concat(chunks) if len(chunks) > 1 else (
+            chunks[0] if chunks else pd.DataFrame())
+        if len(pdf):
+            for row in pdf.sort_values(order).itertuples(index=False):
                 t = int(getattr(row, ts_ms))
                 if last_ts is not None and t - last_ts < threshold_ms:
                     out.append(tuple(getattr(row, c) for c in order)
@@ -97,21 +102,23 @@ def action_durations_stream(df: DataFrame, key: str = "user",
            state: GroupState) -> Iterator[pd.DataFrame]:
         last_action, last_ts = state.get if state.exists else (None, None)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order)
-            for row in pdf.itertuples(index=False):
-                t, action = int(getattr(row, ts_ms)), getattr(row, action_col)
-                fresh = (last_action is None
-                         or (session_start is not None and action == session_start))
-                ocols = tuple(getattr(row, c) for c in order)
-                if fresh:
-                    out.append(ocols + ("None", 0))
-                else:
-                    out.append(ocols + (last_action, t - last_ts))
-                if session_end is not None and action == session_end:
-                    last_action, last_ts = None, None  # state.remove() analog
-                else:
-                    last_action, last_ts = action, t
+        # Concatenate ALL Arrow chunks before sorting (chunk-local sort
+        # would replay out of order when a key spans >1 chunk).
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(order)
+        for row in pdf.itertuples(index=False):
+            t, action = int(getattr(row, ts_ms)), getattr(row, action_col)
+            fresh = (last_action is None
+                     or (session_start is not None and action == session_start))
+            ocols = tuple(getattr(row, c) for c in order)
+            if fresh:
+                out.append(ocols + ("None", 0))
+            else:
+                out.append(ocols + (last_action, t - last_ts))
+            if session_end is not None and action == session_end:
+                last_action, last_ts = None, None  # state.remove() analog
+            else:
+                last_action, last_ts = action, t
         if last_action is None:
             state.remove()
         else:

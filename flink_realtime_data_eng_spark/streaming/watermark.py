@@ -99,20 +99,27 @@ class LateDataCapture:
         self._fold_progress()
         wm = self._wm_ms
         ts = self._ts_ms()
-        late = batch_df.filter(ts <= F.lit(wm)) if wm > 0 else None
-        on_time = batch_df.filter(ts > F.lit(wm)) if wm > 0 else batch_df
-        if late is not None:
-            rows = late.collect()
-            if rows:
-                self.late_rows.extend(rows)
-                if self.on_late_fn is not None:
-                    self.on_late_fn(late, batch_id)
-        if self.on_time_fn is not None:
-            self.on_time_fn(on_time, batch_id)
-        # Advance AFTER the split: batch N judged against end-of-batch-N-1.
-        max_ts = batch_df.agg(F.max(ts)).collect()[0][0]
-        if max_ts is not None:
-            self._wm_ms = max(self._wm_ms, int(max_ts) - self.delay_ms)
+        # One materialization of the batch: every downstream action (late
+        # collect, on_time_fn, max-ts) re-executes the plan otherwise —
+        # 3-4x source reads per micro-batch on the hot path.
+        batch_df.persist()
+        try:
+            late = batch_df.filter(ts <= F.lit(wm)) if wm > 0 else None
+            on_time = batch_df.filter(ts > F.lit(wm)) if wm > 0 else batch_df
+            if late is not None:
+                rows = late.collect()
+                if rows:
+                    self.late_rows.extend(rows)
+                    if self.on_late_fn is not None:
+                        self.on_late_fn(late, batch_id)
+            if self.on_time_fn is not None:
+                self.on_time_fn(on_time, batch_id)
+            # Advance AFTER the split: batch N judged against end-of-batch-N-1.
+            max_ts = batch_df.agg(F.max(ts)).collect()[0][0]
+            if max_ts is not None:
+                self._wm_ms = max(self._wm_ms, int(max_ts) - self.delay_ms)
+        finally:
+            batch_df.unpersist()
         self._persist()
 
     def bind(self, query: StreamingQuery) -> StreamingQuery:

@@ -35,7 +35,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return "nan"
-        return f"{round(v, 6):.6f}".rstrip("0").rstrip(".")
+        r = round(v, 6)
+        if r == 0:
+            r = 0.0  # normalize -0.0: a ±0.0 split across engines is equal
+        return f"{r:.6f}".rstrip("0").rstrip(".")
     if isinstance(v, bytes):
         return v.hex()
     return str(v)

@@ -1,0 +1,85 @@
+"""Scale-shape regression tests: multi-chunk stateful ordering and
+physical-plan properties (pushdown, pruning) that must survive growth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+from flink_realtime_data_eng_spark import sinks, sources
+from flink_realtime_data_eng_spark.operators import stateful as batch_stateful
+from flink_realtime_data_eng_spark.plans import relational
+from flink_realtime_data_eng_spark.streaming import stateful
+
+
+def test_stateful_stream_one_key_spanning_many_arrow_chunks(spark, tmp_path):
+    """25k rows for ONE key in one micro-batch arrive as multiple Arrow
+    chunks (default 10k rows each) in shuffle order; the state machine must
+    still process in (ts, id) order — this is the chunk-concat guarantee."""
+    src = tmp_path / "big"
+    src.mkdir()
+    n = 25_000
+    base = 1_700_000_000_000
+    # Write timestamps DESCENDING in the file so any order-sensitivity shows.
+    lines = [f'"u","{base + (n - 1 - i) * 10}","{i}","View{i % 3}"'
+             for i in range(n)]
+    (src / "a.csv").write_text("\n".join(lines) + "\n")
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("eid", T.LongType()),
+        T.StructField("action", T.StringType()),
+    ])
+    stream = sources.file_csv_stream(spark, str(src), schema)
+    out = stateful.action_durations_stream(
+        stream, key="user", ts_ms="ts_ms", action_col="action",
+        session_start=None, session_end=None, order_by=["ts_ms", "eid"])
+    import uuid
+    name = "big" + uuid.uuid4().hex[:8]
+    q = sinks.run_available_now(sinks.memory_sink(out, name))
+    q.awaitTermination(300)
+    result = spark.sql(f"SELECT * FROM {name}")
+
+    batch = spark.createDataFrame(
+        [("u", base + (n - 1 - i) * 10, i, f"View{i % 3}") for i in range(n)],
+        schema)
+    expected = batch_stateful.action_durations(
+        batch, key="user", ts_ms="ts_ms", action_col="action",
+        order_by=["ts_ms", "eid"])
+    got = sorted((r["eid"], r["prev_action"], r["duration_ms"])
+                 for r in result.collect())
+    want = sorted((r["eid"], r["prev_action"], r["duration_ms"])
+                  for r in expected.collect())
+    assert got == want
+    # sanity: consecutive rows are 10 ms apart except the very first
+    assert sum(1 for _, _, d in got if d == 10) == n - 1
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    df = relational.pricing_summary(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # Projection pruning: the scan must NOT read join-irrelevant columns.
+    read_schema = plan.split("ReadSchema")[1][:400]
+    for needed in ["l_quantity", "l_extendedprice", "l_returnflag"]:
+        assert needed in read_schema
+    for pruned in ["l_orderkey", "l_partkey", "l_suppkey"]:
+        assert pruned not in read_schema
+
+
+def test_q5_no_forced_broadcast_of_scaled_tables(spark):
+    """The only explicit broadcast hints in Q5 wrap region/nation — never
+    customer/orders/lineitem (round-1 scale bug, fixed; keep it fixed)."""
+    df = relational.local_supplier_volume(spark, "/root/testdata/sf0.001")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    import re
+    hints = analyzed.count("ResolvedHint")
+    assert hints == 2  # broadcast(region-filtered) and broadcast(nation⋈region)
+    # customer's scan must not sit directly under a hint: check that no hint
+    # section mentions c_mktsegment/c_custkey before the next join keyword.
+    for seg in analyzed.split("ResolvedHint")[1:]:
+        head = seg[:400]
+        assert "customer" not in head.lower() or "nation" in head.lower()

@@ -55,3 +55,17 @@ def test_windowed_equi_join_same_bucket_only(spark):
     # bucket [0,5000): left#1 x right#10. left#2 in [5000,10000) has no match;
     # right#11 in [10000,15000) has no match.
     assert rows == [(1, 10)]
+
+
+def test_sql_entry_point_over_registered_views(spark):
+    """SURVEY §3: the engine's SQL lifecycle — register the driver tables as
+    views and answer with spark.sql, Catalyst handling the rest."""
+    from flink_realtime_data_eng_spark.schemas import register_views
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    register_views(spark, "/root/testdata/sf0.001", ["region", "nation"])
+    out = spark.sql("""
+        SELECT r_name, count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """).collect()
+    assert sum(r["n_nations"] for r in out) == 25

@@ -193,6 +193,18 @@ def a5_keyed_tumbling_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 aggs=[F.count(F.lit(1)).alias("cnt")])
 
 
+def a5_salted_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 under skew mitigation: the same keyed tumbling count computed as a
+    salted two-stage aggregation (operators/skew.py) — identical results to
+    a5_keyed_tumbling_10s by construction, same oracle proves it."""
+    from .operators.skew import salted_count
+    e = _events(spark, sf_dir)
+    bucketed = e.select(joins.window_bucket("ts_ms", 10_000),
+                        "user_id", "event_type")
+    return salted_count(bucketed, ["window_start_ms", "user_id", "event_type"],
+                        salt=16, out_col="cnt")
+
+
 def a6_tumbling_count_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 (EventTimeOperations.java:151-160): 1 s event-time tumbling count
     (batch form; the late-data streaming form lives in streaming/)."""
@@ -544,6 +556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_sliding_agg_10s_5s": a3_sliding_agg_10s_5s,
     "a4_session_agg_1h": a4_session_agg_1h,
     "a5_keyed_tumbling_10s": a5_keyed_tumbling_10s,
+    "a5_salted_tumbling": a5_salted_tumbling,
     "a6_tumbling_count_1s": a6_tumbling_count_1s,
     "j1_windowed_join": j1_windowed_join,
     "st1_interval_alerts": st1_interval_alerts,
@@ -792,6 +805,11 @@ SELECT CAST(min(t) AS BIGINT) AS session_start_ms, user_id,
 FROM g GROUP BY user_id, grp
 """,
     "a5_keyed_tumbling_10s": """
+SELECT (epoch_ms(ts) // 10000) * 10000 AS window_start_ms, user_id, event_type,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
+    "a5_salted_tumbling": """
 SELECT (epoch_ms(ts) // 10000) * 10000 AS window_start_ms, user_id, event_type,
        count(*) AS cnt
 FROM events GROUP BY 1, 2, 3

@@ -83,3 +83,30 @@ def test_q5_no_forced_broadcast_of_scaled_tables(spark):
     for seg in analyzed.split("ResolvedHint")[1:]:
         head = seg[:400]
         assert "customer" not in head.lower() or "nation" in head.lower()
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    from flink_realtime_data_eng_spark.operators.skew import salted_agg, salted_count
+    # one pathologically hot key + some cold ones
+    rows = [("hot", i % 7) for i in range(5000)] + [("cold" + str(j), j) for j in range(20)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {(r["k"]): (r["cnt"], r["sum_v"], r["min_v"], r["max_v"])
+           for r in salted_agg(
+               df, ["k"],
+               partials=[(F.count(F.lit(1)), "cnt"), (F.sum("v"), "sum_v"),
+                         (F.min("v"), "min_v"), (F.max("v"), "max_v")],
+               finals=[("sum", "cnt"), ("sum", "sum_v"),
+                       ("min", "min_v"), ("max", "max_v")],
+               salt=16).collect()}
+    want = {r["k"]: (r["cnt"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_v"), F.max("v").alias("max_v")).collect()}
+    assert got == want
+    # count helper with a deterministic salt column behaves identically
+    got_c = {r["k"]: r["cnt"] for r in salted_count(df, ["k"], salt=8).collect()}
+    assert got_c == {k: v[0] for k, v in want.items()}
+    # the salted plan really does split the hot key across >1 partial rows
+    stage1 = (df.withColumn("_salt", F.pmod(F.hash("v"), F.lit(8)))
+                .groupBy("k", "_salt").count())
+    assert stage1.filter(F.col("k") == "hot").count() > 1

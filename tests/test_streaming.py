@@ -354,3 +354,38 @@ def test_idempotent_file_sink_batch_dirs(spark, tmp_path):
     (spark.createDataFrame(rows).write.mode("overwrite")
      .parquet(str(tmp_path / "out" / "batch_id=0")))
     assert spark.read.parquet(str(tmp_path / "out")).count() == 12
+
+
+def test_windowed_agg_restart_finalizes_each_window_once(spark, tmp_path):
+    """A windowed count restarted from its checkpoint must emit each window
+    exactly once: windows left open by run 1 finalize in run 2 when the
+    watermark passes them; nothing is re-emitted."""
+    src, ckpt = tmp_path / "wsrc", tmp_path / "wck"
+    src.mkdir()
+    base = 1_700_000_000_000
+    emitted: list[tuple] = []
+
+    def run_once():
+        stream = (sources.file_csv_stream(spark, str(src), T.StructType([
+            T.StructField("user", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ])).withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+        counts = pipelines.tumbling_counts(stream, "ts", "5 seconds")
+        q = (counts.writeStream
+             .foreachBatch(lambda bdf, bid: emitted.extend(
+                 (r["window_start_ms"], r["cnt"]) for r in bdf.collect()))
+             .outputMode("append").option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # Run 1: rows in windows [0,5s) and [5s,10s); watermark = 6s finalizes
+    # only the first window.
+    (src / "a.csv").write_text(
+        f'"u","{base + 1000}"\n"u","{base + 2000}"\n"u","{base + 6000}"\n')
+    run_once()
+    assert sorted(emitted) == [(base, 2)]
+    # Run 2: a row at 12s pushes the watermark past [5s,10s) -> that window
+    # (1 row from run 1) finalizes now; [0,5s) must NOT re-emit.
+    (src / "b.csv").write_text(f'"u","{base + 12_000}"\n')
+    run_once()
+    assert sorted(emitted) == [(base, 2), (base + 5000, 1)]

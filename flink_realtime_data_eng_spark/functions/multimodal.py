@@ -100,6 +100,51 @@ def extract_features(media: DataFrame, fake: bool = True,
     return flat.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize(media: DataFrame, width: int = 16, height: int = 16,
+           fake: bool = True) -> DataFrame:
+    """Image resize stage: payload → fixed ``width × height`` byte buffer
+    (media_id, width, height, payload BINARY).
+
+    Real resize needs an image codec (PIL); the deterministic fake
+    stride-samples the input bytes to exactly ``width*height`` (padding with
+    zeros when shorter) — the Spark plumbing (Arrow binary in/out, stable
+    output size for downstream fixed-shape consumers) is the real contract;
+    swapping in PIL touches only the sampler below.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires codec libs (PIL) not present in this "
+            "environment; pass fake=True for the deterministic stride sampler")
+    out_len = width * height
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bufs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    payload = b""
+                n = len(payload)
+                if n >= out_len:
+                    step = n / out_len
+                    buf = bytes(payload[int(i * step)] for i in range(out_len))
+                else:
+                    buf = bytes(payload) + b"\x00" * (out_len - n)
+                ids.append(mid)
+                bufs.append(buf)
+            yield pd.DataFrame({"media_id": ids,
+                                "width": [width] * len(ids),
+                                "height": [height] * len(ids),
+                                "payload": bufs})
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10, frame_bytes: int = 16,
                  fake: bool = True) -> DataFrame:
     """Video frame sampling: every ``every_n``-th frame of each payload as its

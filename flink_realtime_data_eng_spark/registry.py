@@ -527,6 +527,13 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, fake=True)
 
 
+def x_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize plumbing — rows-only check (deterministic fake; same
+    Python-stage coalesce rationale as x_multimodal_features)."""
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
+    return multimodal.resize(media, width=8, height=8)
+
+
 def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing — rows-only check (same Python-stage
     coalesce rationale as x_multimodal_features)."""
@@ -589,6 +596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_embedding_neardup_lsh": x_embedding_neardup_lsh,
     "x_token_counts": x_token_counts,
     "x_multimodal_features": x_multimodal_features,
+    "x_resize": x_resize,
     "x_frame_sample": x_frame_sample,
 }
 

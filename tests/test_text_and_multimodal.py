@@ -61,3 +61,24 @@ def test_frame_sample_real_decoder_not_available(spark):
     docs = spark.createDataFrame([(1, b"x" * 32)], "media_id long, payload binary")
     with pytest.raises(NotImplementedError):
         multimodal.frame_sample(docs, fake=False)
+
+
+def test_resize_fixed_output_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, bytes(range(100))), (2, b"ab"), (3, None)],
+        "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.resize(docs, width=4, height=4).collect()}
+    assert all(len(bytes(r["payload"])) == 16 for r in out.values())
+    assert bytes(out[2]["payload"])[:2] == b"ab"      # short input padded
+    assert bytes(out[2]["payload"])[2:] == b"\x00" * 14
+    assert bytes(out[3]["payload"]) == b"\x00" * 16   # null -> zero buffer
+    # stride sampling covers the whole long input, first byte preserved
+    long = bytes(out[1]["payload"])
+    assert long[0] == 0 and long[-1] >= 90
+
+
+def test_resize_real_decoder_not_available(spark):
+    docs = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize(docs, fake=False)

@@ -53,15 +53,25 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """All doc pairs with shingle-set Jaccard >= threshold.
+                  text_col: str = "text", id_col: str = "doc_id",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Doc pairs with shingle-set Jaccard >= threshold.
 
-    Shuffle shape: shingle self-join (key = shingle string, high cardinality,
-    well-distributed) then an aggregate on the pair key. At 100 TB run this on
-    LSH candidates only — see :func:`minhash_lsh_candidates`.
-    Output: id_a, id_b, jaccard (rounded).
+    Without ``candidates``: the full shingle self-join (key = shingle
+    string, high cardinality, well-distributed) — the verification
+    primitive, quadratic per shared shingle, so at 100 TB pass
+    ``candidates`` (an (id_a, id_b) frame, e.g. from
+    :func:`minhash_lsh_candidates`): the shingle table is left-semi pruned
+    to candidate docs before the self-join and the result is left-semi
+    restricted to candidate pairs, so all-pairs work never materializes.
+    Output: id_a, id_b, jaccard (rounded to 6 dp — the oracle contract).
     """
     sh = shingles(df, n, text_col, id_col)
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b")
+        cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                    .union(cand.select(F.col("id_b").alias(id_col))).distinct())
+        sh = sh.join(cand_ids, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -69,6 +79,8 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                 .filter(F.col("id_a") < F.col("id_b"))
                 .groupBy("id_a", "id_b")
                 .agg(F.count(F.lit(1)).alias("n_common")))
+    if candidates is not None:
+        common = common.join(cand, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (common.join(sa, "id_a").join(sb, "id_b")
@@ -83,39 +95,12 @@ def neardup_pipeline(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                      n: int = 3, threshold: float = 0.8,
                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """The composed 100 TB near-dup flow: MinHash-LSH candidate generation
-    followed by exact Jaccard verification OF THE CANDIDATES ONLY.
-
-    This is the guard the standalone :func:`jaccard_pairs` docstring asks
-    for — the shingle self-join runs restricted to candidate pairs (a
-    broadcast-able or bucketed semi-join against the candidate set), so the
-    all-pairs-per-shingle blowup never happens. Output: id_a, id_b, jaccard
-    for candidates whose TRUE Jaccard >= threshold.
-    """
+    followed by exact Jaccard verification OF THE CANDIDATES ONLY (the
+    candidate-gated mode of :func:`jaccard_pairs` — one implementation of
+    the formula, two entry points)."""
     cand = (minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
             .select("id_a", "id_b"))
-    cand_ids = (cand.select(F.col("id_a").alias(id_col))
-                .union(cand.select(F.col("id_b").alias(id_col))).distinct())
-    sh = shingles(df, n, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # Prune the shingle table to candidate DOCS (left-semi — near-dup docs
-    # are a tiny fraction of the corpus), shingle-equijoin only those, then
-    # keep exactly the candidate PAIRS.
-    sh_c = sh.join(cand_ids, id_col, "left_semi")
-    a = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (a.join(b, "shingle")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .groupBy("id_a", "id_b")
-                .agg(F.count(F.lit(1)).alias("n_common"))
-                .join(cand, ["id_a", "id_b"], "left_semi"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (common.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_common").cast("double")
-                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    return jaccard_pairs(df, n, threshold, text_col, id_col, candidates=cand)
 
 
 def _md5_hash32(prefix: Column | str, value: Column) -> Column:

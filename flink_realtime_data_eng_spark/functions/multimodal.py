@@ -115,6 +115,8 @@ def resize(media: DataFrame, width: int = 16, height: int = 16,
         raise NotImplementedError(
             "image resize requires codec libs (PIL) not present in this "
             "environment; pass fake=True for the deterministic stride sampler")
+    if width < 1 or height < 1:
+        raise ValueError(f"width/height must be >= 1, got {width}x{height}")
     out_len = width * height
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),

@@ -110,14 +110,15 @@ def event_time_operations(spark: SparkSession, in_dir: str,
     # W1 is declared once: tumbling_counts installs withWatermark(ts, delay)
     # itself (redefining a watermark is an analysis error).
     counts = pipelines.tumbling_counts(ev, "ts", "1 second", watermark=delay)
-    # The default capture must judge lateness with the SAME bound the
-    # aggregation uses, or rows the engine accepts would be flagged late.
-    delay_ms = int(delay.split()[0]) * {"second": 1000, "seconds": 1000,
-                                        "minute": 60_000, "minutes": 60_000,
-                                        "millisecond": 1, "milliseconds": 1
-                                        }[delay.split()[1]]
-    return counts, (late_capture
-                    or watermark.LateDataCapture("ts", delay_ms=delay_ms))
+    if late_capture is None:
+        # The default capture must judge lateness with the SAME bound the
+        # aggregation uses. Let Spark parse the interval (any syntax
+        # withWatermark accepts — '1 hour', compound intervals, …).
+        delay_ms = spark.sql(
+            f"SELECT unix_millis(timestamp'1970-01-01 00:00:00Z'"
+            f" + INTERVAL {delay}) AS ms").collect()[0]["ms"]
+        late_capture = watermark.LateDataCapture("ts", delay_ms=delay_ms)
+    return counts, late_capture
 
 
 def stateful_operations(spark: SparkSession, in_dir: str,

@@ -84,8 +84,7 @@ def log_sink(df: DataFrame,
 
 
 def idempotent_file_sink(df: DataFrame, path: str, checkpoint: str,
-                         fmt: str = "parquet",
-                         output_mode: str = "append") -> DataStreamWriter:
+                         fmt: str = "parquet") -> DataStreamWriter:
     """K2 mitigation: effectively-once file delivery via foreachBatch.
 
     Spark's sinks are at-least-once under retries: a micro-batch replayed
@@ -97,6 +96,10 @@ def idempotent_file_sink(df: DataFrame, path: str, checkpoint: str,
     (chapter4/EventTimeOperations.java:184-208): exactly-once EFFECT at the
     sink without distributed transactions. Readers see
     ``path/batch_id=N/...`` as one partitioned dataset.
+
+    Append mode ONLY: under update/complete every micro-batch would write
+    the full/updated result into its own batch directory and the union
+    read would double-count — so the mode is pinned.
     """
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df.write.mode("overwrite")
@@ -104,7 +107,7 @@ def idempotent_file_sink(df: DataFrame, path: str, checkpoint: str,
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint)
-            .outputMode(output_mode))
+            .outputMode("append"))
 
 
 def run_available_now(writer: DataStreamWriter) -> StreamingQuery:

@@ -103,10 +103,12 @@ def action_durations_stream(df: DataFrame, key: str = "user",
         last_action, last_ts = state.get if state.exists else (None, None)
         out: list[tuple] = []
         # Concatenate ALL Arrow chunks before sorting (chunk-local sort
-        # would replay out of order when a key spans >1 chunk).
+        # would replay out of order when a key spans >1 chunk). Empty
+        # iterator (a timed-out key under a timeout mode) -> empty frame.
         chunks = list(pdfs)
-        pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(order)
-        for row in pdf.itertuples(index=False):
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else
+               (chunks[0] if chunks else pd.DataFrame(columns=order)))
+        for row in pdf.sort_values(order).itertuples(index=False):
             t, action = int(getattr(row, ts_ms)), getattr(row, action_col)
             fresh = (last_action is None
                      or (session_start is not None and action == session_start))

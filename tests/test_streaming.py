@@ -389,3 +389,29 @@ def test_windowed_agg_restart_finalizes_each_window_once(spark, tmp_path):
     (src / "b.csv").write_text(f'"u","{base + 12_000}"\n')
     run_once()
     assert sorted(emitted) == [(base, 2), (base + 5000, 1)]
+
+
+def test_console_sink_runs(spark, tmp_path):
+    """K3: the console sink must drive a query to completion (output goes
+    to stdout; the assertion is successful completion)."""
+    src = tmp_path / "con"
+    generators.generate_audit_files(str(src), n=5)
+    stream = sources.file_csv_stream(spark, str(src), AUDIT_TRAIL)
+    q = sinks.run_available_now(sinks.console_sink(stream.select("id", "user")))
+    q.awaitTermination(60)
+    assert q.lastProgress["numInputRows"] == 5
+
+
+def test_log_sink_captures_rows(spark, tmp_path):
+    """K4: the log-side-effect sink hands each micro-batch's rows to the
+    logger (MapCountPrinter analog)."""
+    src = tmp_path / "log"
+    generators.generate_audit_files(str(src), n=7)
+    stream = sources.file_csv_stream(spark, str(src), AUDIT_TRAIL)
+    seen: list = []
+    q = sinks.run_available_now(
+        sinks.log_sink(stream.select("id", "operation"),
+                       log_fn=lambda bid, rows: seen.extend(rows)))
+    q.awaitTermination(60)
+    assert len(seen) == 7
+    assert {r["id"] for r in seen} == set(range(7))

@@ -39,6 +39,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                    F.count(F.lit(1)).alias("n_copies")))
 
 
+def exact_dedup_stream(df: DataFrame, ts_col: str, watermark: str = "10 seconds",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of identical (normalized)
+    content within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps fingerprint state only until the
+    watermark passes — bounded state at any scale, versus an ever-growing
+    seen-set. A duplicate arriving later than the horizon is NOT caught
+    (document the horizon to match the pipeline's dedup SLA).
+    """
+    return (df.withColumn("fp", F.md5(_norm(text_col)))
+              .withWatermark(ts_col, watermark)
+              .dropDuplicatesWithinWatermark(["fp"]))
+
+
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle). Pure JVM —

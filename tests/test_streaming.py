@@ -415,3 +415,29 @@ def test_log_sink_captures_rows(spark, tmp_path):
     q.awaitTermination(60)
     assert len(seen) == 7
     assert {r["id"] for r in seen} == set(range(7))
+
+
+def test_exact_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming exact dedup drops same-content re-deliveries inside the
+    watermark horizon and keeps distinct content."""
+    from flink_realtime_data_eng_spark.functions.dedup import exact_dedup_stream
+    src = tmp_path / "dd"
+    src.mkdir()
+    base = 1_700_000_000_000
+    (src / "a.csv").write_text(
+        f'"1","hello world","{base}"\n'
+        # same normalized content (note: the reference-parity CSV parser
+        # strips quotes then splits, so field text must be comma-free)
+        f'"2","HELLO  world!","{base + 1000}"\n'
+        f'"3","different text","{base + 2000}"\n')
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    stream = (sources.file_csv_stream(spark, str(src), schema)
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    out = exact_dedup_stream(stream, "ts", watermark="10 seconds")
+    _, result = _mem(spark, out)
+    kept = sorted(r["doc_id"] for r in result.collect())
+    assert kept == [1, 3]  # doc 2 is a re-delivery of doc 1's content

@@ -223,6 +223,33 @@ def j1_windowed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ts_ms="ts_ms", size_ms=3_600_000)
 
 
+def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (beyond the reference): as-of join — each click matched to the
+    user's latest purchase at-or-before it. Right side pre-aggregated to one
+    row per (user, ts) so the match is deterministic on both engines."""
+    e = _events(spark, sf_dir)
+    left = (e.filter(F.col("event_type") == "click")
+             .select("user_id", "ts_ms", "event_id"))
+    right = (e.filter(F.col("event_type") == "purchase")
+              .groupBy("user_id", "ts_ms")
+              .agg(F.max("value").alias("purchase_value")))
+    return joins.asof_join(left, right, key="user_id", ts_ms="ts_ms",
+                           value_cols=["purchase_value"])
+
+
+def j3_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (Flink DataStream ``intervalJoin`` shape): view pairs with a click
+    by the same user within ±12 h of the click — range-bucketed equi-join
+    (negative lower bound included), never an all-pairs-per-key blowup."""
+    e = _events(spark, sf_dir)
+    left = (e.filter(F.col("event_type") == "click")
+             .select("user_id", "ts_ms"))
+    right = (e.filter(F.col("event_type") == "view")
+              .select("user_id", "ts_ms"))
+    return joins.interval_join(left, right, key="user_id", ts_ms="ts_ms",
+                               lower_ms=-43_200_000, upper_ms=43_200_000)
+
+
 def st1_interval_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 (StatefulOperations.java:87-119): two matching events for the same
     key closer than the threshold → alert with the interval."""
@@ -566,6 +593,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_salted_tumbling": a5_salted_tumbling,
     "a6_tumbling_count_1s": a6_tumbling_count_1s,
     "j1_windowed_join": j1_windowed_join,
+    "j2_asof_join": j2_asof_join,
+    "j3_interval_join": j3_interval_join,
     "st1_interval_alerts": st1_interval_alerts,
     "st2_action_durations": st2_action_durations,
     "st1_stream": st1_stream,
@@ -836,6 +865,24 @@ SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
        r.ts_ms AS r_ts_ms, r.event_id AS r_event_id
 FROM l JOIN r ON l.user_id = r.user_id
              AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
+""",
+    "j2_asof_join": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.user_id, l.ts_ms, l.event_id, r.purchase_value,
+       r.ts_ms AS matched_ts_ms
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
+""",
+    "j3_interval_join": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.ts_ms BETWEEN l.ts_ms - 43200000 AND l.ts_ms + 43200000
 """,
     "st1_interval_alerts": """
 WITH d AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events

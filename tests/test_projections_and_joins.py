@@ -69,3 +69,66 @@ def test_sql_entry_point_over_registered_views(spark):
         GROUP BY r_name ORDER BY r_name
     """).collect()
     assert sum(r["n_nations"] for r in out) == 25
+
+
+def test_asof_join_matches_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [("u", 100, "a"), ("u", 250, "b"), ("u", 50, "c"), ("v", 100, "d")],
+        "k string, ts_ms long, tag string")
+    right = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 200, 2.0), ("v", 300, 9.0)],
+        "k string, ts_ms long, px double")
+    out = joins.asof_join(left, right, key="k", ts_ms="ts_ms",
+                          value_cols=["px"])
+    got = {(r["k"], r["ts_ms"]): (r["px"], r["matched_ts_ms"])
+           for r in out.collect()}
+    # u@100 ties right@100 (<= matches); u@250 takes latest (200);
+    # u@50 has no prior right row -> dropped; v@100 precedes v@300 -> dropped.
+    assert got == {("u", 100): (1.0, 100), ("u", 250): (2.0, 200)}
+
+
+def test_asof_join_tolerance_drops_stale_matches(spark):
+    left = spark.createDataFrame([("u", 1000, "a")], "k string, ts_ms long, tag string")
+    right = spark.createDataFrame([("u", 10, 1.0)], "k string, ts_ms long, px double")
+    out = joins.asof_join(left, right, key="k", ts_ms="ts_ms",
+                          value_cols=["px"], tolerance_ms=500)
+    assert out.count() == 0
+
+
+def test_asof_join_null_value_col_stays_atomic(spark):
+    # A right row with a NULL value column must NOT be stitched with an
+    # older row's value: the match travels as one struct.
+    left = spark.createDataFrame([("u", 300, "a")], "k string, ts_ms long, tag string")
+    right = spark.createDataFrame([("u", 100, 1.0), ("u", 200, None)],
+                                  "k string, ts_ms long, px double")
+    row = joins.asof_join(left, right, key="k", ts_ms="ts_ms",
+                          value_cols=["px"]).collect()[0]
+    assert row["matched_ts_ms"] == 200 and row["px"] is None
+
+
+def test_interval_join_bounds_inclusive_and_bucketed(spark):
+    left = spark.createDataFrame([("u", 10_000)], "k string, ts_ms long")
+    right = spark.createDataFrame(
+        [("u", 9_000), ("u", 10_000), ("u", 12_000), ("u", 12_001), ("u", 8_999)],
+        "k string, ts_ms long")
+    out = joins.interval_join(left, right, key="k", ts_ms="ts_ms",
+                              lower_ms=-1000, upper_ms=2000)
+    got = sorted(r["r_ts_ms"] for r in out.collect())
+    assert got == [9_000, 10_000, 12_000]
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    # Pairs near bucket edges must appear exactly once despite the 2-bucket
+    # left explode.
+    left = spark.createDataFrame([("u", t) for t in range(0, 5000, 500)],
+                                 "k string, ts_ms long")
+    right = spark.createDataFrame([("u", t) for t in range(0, 5000, 300)],
+                                  "k string, ts_ms long")
+    out = joins.interval_join(left, right, key="k", ts_ms="ts_ms",
+                              lower_ms=-700, upper_ms=700)
+    assert out.count() == out.distinct().count()
+    # Cross-check against a brute-force filter join.
+    brute = (left.crossJoin(right.withColumnRenamed("ts_ms", "r_ts")
+                            .withColumnRenamed("k", "rk"))
+             .filter("rk = k AND r_ts BETWEEN ts_ms - 700 AND ts_ms + 700"))
+    assert out.count() == brute.count()

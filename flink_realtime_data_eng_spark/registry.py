@@ -405,6 +405,20 @@ def j1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark)
 
 
+def j3_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 streaming form (Flink ``intervalJoin``): click-vs-view pairs within
+    ±12 h through a watermarked stream-stream range join; same oracle as the
+    batch bucketed form."""
+    from .streaming.pipelines import interval_join_stream
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms")))
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = interval_join_stream(left, right, key="user_id", ts_col="ts",
+                               lower_ms=-43_200_000, upper_ms=43_200_000)
+    return _run_to_memory(out, spark)
+
+
 # ---------------------------------------------------------------------------
 # Relational / bench plans
 # ---------------------------------------------------------------------------
@@ -576,7 +590,7 @@ def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # excluded from bench.py — they measure state-store fixed overhead at fixture
 # scale, not analytics throughput.
 STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream",
-                   "a2_stream_totals", "j1_stream"}
+                   "a2_stream_totals", "j1_stream", "j3_stream"}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_parse_csv": p1_parse_csv,
@@ -602,6 +616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_stream": a6_stream,
     "a2_stream_totals": a2_stream_totals,
     "j1_stream": j1_stream,
+    "j3_stream": j3_stream,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -944,6 +959,15 @@ SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
        l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
 FROM l JOIN r ON l.user_id = r.user_id
              AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
+""",
+    "j3_stream": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.ts_ms BETWEEN l.ts_ms - 43200000 AND l.ts_ms + 43200000
 """,
     "q1_pricing_summary": """
 WITH a AS (

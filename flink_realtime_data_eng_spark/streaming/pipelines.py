@@ -103,3 +103,30 @@ def windowed_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
                      & (F.col("w") == F.col("r_w")))
     return joined.select(key, F.unix_millis(F.col("w.start")).alias("window_start_ms"),
                          "l_ts_ms", "r_ts_ms")
+
+
+def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
+                         ts_col: str, lower_ms: int, upper_ms: int,
+                         watermark: str = "0 seconds") -> DataFrame:
+    """Streaming interval join (Flink DataStream ``intervalJoin``): pairs with
+    the same key and ``l.ts + lower <= r.ts <= l.ts + upper``, as a
+    stream-stream inner join whose join condition carries the time range.
+
+    This is Spark's canonical bounded-state shape for range joins: both
+    sides are watermarked and the range appears IN the join condition, so
+    the engine derives each side's state-retention bound (watermark minus
+    the opposite bound) and evicts rows the range can no longer reach —
+    state stays proportional to ``|range| x arrival rate`` at any scale,
+    never to total stream history.
+    """
+    lw = (left.withWatermark(ts_col, watermark)
+              .select(F.col(key), F.col(ts_col).alias("l_ts")))
+    rw = (right.withWatermark(ts_col, watermark)
+               .select(F.col(key).alias(f"r_{key}"),
+                       F.col(ts_col).alias("r_ts")))
+    cond = ((F.col(key) == F.col(f"r_{key}"))
+            & (F.col("r_ts") >= F.col("l_ts") + F.expr(f"INTERVAL {lower_ms} MILLISECONDS"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {upper_ms} MILLISECONDS")))
+    return (lw.join(rw, cond)
+              .select(key, F.unix_millis("l_ts").alias("l_ts_ms"),
+                      F.unix_millis("r_ts").alias("r_ts_ms")))

@@ -144,6 +144,34 @@ def test_windowed_join_stream(spark, tmp_path):
     assert rows[0]["window_start_ms"] == base
 
 
+def test_interval_join_stream(spark, tmp_path):
+    base = 1_700_000_000_000
+    left_dir, right_dir = tmp_path / "il", tmp_path / "ir"
+    left_dir.mkdir(), right_dir.mkdir()
+    (left_dir / "a.csv").write_text(f'"u","{base + 10_000}"\n')
+    (right_dir / "a.csv").write_text(
+        f'"u","{base + 9_000}"\n"u","{base + 10_000}"\n'
+        f'"u","{base + 12_000}"\n"u","{base + 12_001}"\n"u","{base + 8_999}"\n')
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+
+    def stream(d):
+        return (sources.file_csv_stream(spark, str(d), schema)
+                .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+                .drop("ts_ms"))
+
+    joined = pipelines.interval_join_stream(
+        stream(left_dir), stream(right_dir), key="user", ts_col="ts",
+        lower_ms=-1000, upper_ms=2000)
+    _, result = _mem(spark, joined)
+    got = sorted(r["r_ts_ms"] for r in result.collect())
+    # closed bounds: [l-1000, l+2000] keeps 9000/10000/12000, drops
+    # 8999 and 12001 — matches the batch bucketed form exactly.
+    assert got == [base + 9_000, base + 10_000, base + 12_000]
+
+
 def test_st1_interval_alerts_stream_matches_batch(spark, tmp_path):
     src = tmp_path / "st1"
     generators.generate_audit_files(str(src), n=60, step_ms=1500)

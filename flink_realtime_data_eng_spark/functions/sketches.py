@@ -1,0 +1,100 @@
+"""Deterministic sketch & sampling operators for 100 TB pipelines.
+
+At training-data scale, exact global statistics (COUNT DISTINCT over
+billions of keys) and uniform row sampling are themselves expensive
+distributed jobs. These operators replace them with single-pass,
+hash-deterministic equivalents:
+
+- :func:`kmv_distinct` — KMV (k-minimum-values) distinct-count sketch
+  (Bar-Yossef et al., "Counting distinct elements in a data stream",
+  RANDOM 2002): hash every value to (0,1], keep the k smallest hashes;
+  the k-th smallest h_k estimates distinct ≈ (k-1)/h_k. One narrow
+  hash projection + a partial top-k (TakeOrdered — map-side k values
+  per partition, never a global sort), so the driver receives k longs
+  regardless of input size.
+- :func:`hash_sample` — consistent (deterministic) sampling: keep a row
+  iff md5(key) maps below ``rate``. Unlike ``df.sample()`` the decision
+  is a pure function of the key — re-runs, retries, and other engines
+  (the DuckDB oracle) pick the SAME rows, and sampling two tables by
+  the same key keeps them join-consistent.
+- :func:`stratified_hash_sample` — per-stratum rates (e.g. keep 100% of
+  rare 'purchase' events, 1% of 'view'), same hash determinism.
+
+All hashing is md5-derived (same construction as
+``functions.dedup._md5_hash32``) so every operator is reproducible as
+ANSI SQL, which is what makes these oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import _md5_hash32
+
+_HASH_SPACE = float(2**32)  # _md5_hash32 values are uniform on [0, 2^32)
+
+
+def _unit_hash(prefix: str, col: Column) -> Column:
+    """Deterministic uniform draw in [0,1) from a column value."""
+    return _md5_hash32(prefix, col.cast("string")) / F.lit(_HASH_SPACE)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256,
+                 prefix: str = "kmv") -> DataFrame:
+    """KMV distinct-count estimate for ``col``: one row
+    ``(n_kept, kth_hash, distinct_est)``.
+
+    distinct_est = (k-1) / h_k with h_k the k-th smallest unit hash; when
+    fewer than k distinct hashes exist the count is exact (n_kept).
+    Plan shape: project-to-hash → hash-distinct (map-side partial) →
+    ``orderBy().limit(k)`` which Spark executes as TakeOrderedAndProject
+    (per-partition heap of k, k-way merge on the driver) — no global sort,
+    driver traffic is k longs. Estimate rounded to 6 dp for cross-engine
+    hash-matching.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for the (k-1)/h_k estimator, got {k}")
+    h = (df.select(_md5_hash32(prefix, F.col(col).cast("string")).alias("h"))
+           .where(F.col("h").isNotNull())
+           .distinct()
+           .orderBy("h")
+           .limit(k))
+    return h.agg(
+        F.count("h").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.round(
+            F.when(F.count("h") < k, F.count("h").cast("double"))
+             .otherwise((F.lit(float(k - 1)))
+                        / (F.max("h") / F.lit(_HASH_SPACE))),
+            6).alias("distinct_est"))
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float,
+                prefix: str = "sample") -> DataFrame:
+    """Deterministic ``rate``-fraction sample: keeps a row iff the unit
+    hash of ``key_col`` is below ``rate``. Pure map-side filter — no
+    shuffle, pushdown-friendly, and stable across runs/engines. Sampling
+    is per KEY: all rows sharing a key are kept or dropped together
+    (the right semantics for sampling documents/users consistently).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(_unit_hash(prefix, F.col(key_col)) < rate)
+
+
+def stratified_hash_sample(df: DataFrame, strata_col: str, key_col: str,
+                           rates: dict[str, float], default_rate: float = 0.0,
+                           prefix: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling: stratum ``s`` keeps rows at
+    ``rates.get(s, default_rate)``. One map-side filter; the CASE over
+    strata stays in whole-stage codegen. Typical use: keep all rare
+    positives, downsample the dominant class.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    rate_expr: Column = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate_expr = F.when(F.col(strata_col) == s, F.lit(float(r))) \
+                     .otherwise(rate_expr)
+    return df.where(_unit_hash(prefix, F.col(key_col)) < rate_expr)

@@ -29,7 +29,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .functions import dedup, multimodal, similarity, text
+from .functions import dedup, multimodal, similarity, sketches, text
 from .operators import joins, projections, split_merge, stateful, windows
 from .plans import relational
 from .schemas import load_table
@@ -582,6 +582,28 @@ def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n=4, frame_bytes=16)
 
 
+def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over events.user_id (k=256): one hash
+    projection + TakeOrdered(k) — the 100 TB answer to COUNT DISTINCT."""
+    return sketches.kmv_distinct(_events(spark, sf_dir), "user_id", k=256)
+
+
+def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% document sample keyed on doc_id — map-side filter,
+    identical row choice on every engine/run."""
+    return sketches.hash_sample(_docs(spark, sf_dir), "doc_id", 0.1) \
+        .select("doc_id", "lang", "source")
+
+
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep ALL rare purchases, 5% of
+    views, 20% of everything else — the class-rebalance primitive."""
+    out = sketches.stratified_hash_sample(
+        _events(spark, sf_dir), strata_col="event_type", key_col="event_id",
+        rates={"purchase": 1.0, "view": 0.05}, default_rate=0.2)
+    return out.select("event_id", "user_id", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -642,6 +664,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_multimodal_features": x_multimodal_features,
     "x_resize": x_resize,
     "x_frame_sample": x_frame_sample,
+    "x_kmv_distinct": x_kmv_distinct,
+    "x_hash_sample": x_hash_sample,
+    "x_stratified_sample": x_stratified_sample,
 }
 
 
@@ -1106,6 +1131,28 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
          AS n_subtokens
 FROM documents
+""",
+    "x_kmv_distinct": f"""
+WITH h AS (
+  SELECT DISTINCT {_H32.format(x="concat('kmv', ':', CAST(user_id AS VARCHAR))")} AS h
+  FROM events WHERE user_id IS NOT NULL
+), k AS (SELECT h FROM h ORDER BY h LIMIT 256)
+SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash,
+       round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 255.0 / (max(h) / 4294967296.0) END, 6) AS distinct_est
+FROM k
+""",
+    "x_hash_sample": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_H32.format(x="concat('sample', ':', CAST(doc_id AS VARCHAR))")}
+      / 4294967296.0 < 0.1
+""",
+    "x_stratified_sample": f"""
+SELECT event_id, user_id, event_type FROM events
+WHERE {_H32.format(x="concat('sample', ':', CAST(event_id AS VARCHAR))")}
+      / 4294967296.0 <
+      CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'view' THEN 0.05
+           ELSE 0.2 END
 """,
     # x_lsh_topk, x_embedding_neardup_lsh, x_multimodal_features,
     # x_frame_sample: rows-only (no oracle).

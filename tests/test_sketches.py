@@ -1,0 +1,88 @@
+"""Deterministic sketches: KMV distinct estimation and hash sampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_realtime_data_eng_spark.functions import sketches
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(50).select(F.col("id").alias("v"))
+    row = sketches.kmv_distinct(df, "v", k=256).collect()[0]
+    # fewer distinct values than k -> the sketch IS the exact count
+    assert row["n_kept"] == 50 and row["distinct_est"] == 50.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    row = sketches.kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["n_kept"] == 256
+    # KMV with k=256 has ~1/sqrt(k) ≈ 6% relative error; allow 3 sigma.
+    assert abs(row["distinct_est"] - n) / n < 0.20
+
+
+def test_kmv_ignores_duplicates_and_nulls(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (None,)], "v int")
+    row = sketches.kmv_distinct(df, "v", k=16).collect()[0]
+    assert row["n_kept"] == 2 and row["distinct_est"] == 2.0
+
+
+def test_kmv_rejects_k_below_two(spark):
+    with pytest.raises(ValueError):
+        sketches.kmv_distinct(spark.range(5), "id", k=1)
+
+
+def test_kmv_plan_uses_partial_topk(spark):
+    """The k-smallest step must be TakeOrdered (per-partition heap), never a
+    global sort — the property that keeps the sketch one narrow pass."""
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    h = (df.select(sketches._md5_hash32("kmv", F.col("v").cast("string")).alias("h"))
+           .distinct().orderBy("h").limit(256))
+    plan = h._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    s1 = {r["k"] for r in sketches.hash_sample(df, "k", 0.1).collect()}
+    s2 = {r["k"] for r in sketches.hash_sample(df, "k", 0.1).collect()}
+    assert s1 == s2                      # same rows every run
+    assert 700 <= len(s1) <= 1300        # ~10% +- 3 sigma
+    # nested property: a higher-rate sample strictly contains a lower-rate one
+    s_big = {r["k"] for r in sketches.hash_sample(df, "k", 0.3).collect()}
+    assert s1 <= s_big
+
+
+def test_hash_sample_keeps_key_groups_together(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, payload string")
+    kept = sketches.hash_sample(df, "k", 0.5).groupBy("k").count().collect()
+    src = dict(df.groupBy("k").count().collect())
+    for r in kept:  # every surviving key keeps ALL its rows
+        assert r["count"] == src[r["k"]]
+
+
+def test_hash_sample_rejects_bad_rate(spark):
+    with pytest.raises(ValueError):
+        sketches.hash_sample(spark.range(5), "id", 1.5)
+
+
+def test_stratified_rates_per_stratum(spark):
+    rows = [(i, "rare" if i % 100 == 0 else "common") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "k long, cls string")
+    out = sketches.stratified_hash_sample(
+        df, strata_col="cls", key_col="k",
+        rates={"rare": 1.0, "common": 0.05})
+    got = dict((r["cls"], r["count"])
+               for r in out.groupBy("cls").count().collect())
+    assert got["rare"] == 100            # rate 1.0 keeps everything
+    assert 400 <= got.get("common", 0) <= 600   # ~5% of 9900 = 495 +- 3 sigma
+
+
+def test_stratified_default_rate_zero_drops_unknown(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k int, cls string")
+    out = sketches.stratified_hash_sample(df, "cls", "k", rates={"x": 1.0})
+    assert [r["cls"] for r in out.collect()] == ["x"]

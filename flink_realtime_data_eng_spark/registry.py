@@ -30,7 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .functions import dedup, multimodal, similarity, sketches, text
-from .operators import joins, projections, split_merge, stateful, windows
+from .operators import joins, projections, rollup, split_merge, stateful, windows
 from .plans import relational
 from .schemas import load_table
 
@@ -582,6 +582,18 @@ def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n=4, frame_bytes=16)
 
 
+def x_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style minute/hour/day/total rollup of event counts and
+    fixed-point value sums per event_type — ALL resolutions in one shuffle
+    (single Expand + hash aggregate), not one groupBy per tier."""
+    e = _events(spark, sf_dir).withColumn(
+        "v_e4", F.round(F.col("value") * 10000).cast("bigint"))
+    return rollup.hierarchical_rollup(
+        e, "ts_ms", keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("cnt"),
+              F.sum("v_e4").alias("sum_value_e4")])
+
+
 def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch over events.user_id (k=256): one hash
     projection + TakeOrdered(k) — the 100 TB answer to COUNT DISTINCT."""
@@ -667,6 +679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_kmv_distinct": x_kmv_distinct,
     "x_hash_sample": x_hash_sample,
     "x_stratified_sample": x_stratified_sample,
+    "x_time_rollup": x_time_rollup,
 }
 
 
@@ -1153,6 +1166,24 @@ WHERE {_H32.format(x="concat('sample', ':', CAST(event_id AS VARCHAR))")}
       / 4294967296.0 <
       CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'view' THEN 0.05
            ELSE 0.2 END
+""",
+    "x_time_rollup": """
+WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),
+b AS (SELECT event_type,
+             (ts_ms // 86400000) * 86400000 AS day_ms,
+             (ts_ms // 3600000) * 3600000 AS hour_ms,
+             (ts_ms // 60000) * 60000 AS minute_ms,
+             CAST(round(value * 10000) AS BIGINT) AS v_e4
+      FROM e)
+SELECT CASE WHEN minute_ms IS NOT NULL THEN 'minute'
+            WHEN hour_ms IS NOT NULL THEN 'hour'
+            WHEN day_ms IS NOT NULL THEN 'day' ELSE 'total' END AS resolution,
+       event_type,
+       coalesce(minute_ms, hour_ms, day_ms) AS bucket_start_ms,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v_e4) AS BIGINT) AS sum_value_e4
+FROM b
+GROUP BY event_type, ROLLUP(day_ms, hour_ms, minute_ms)
 """,
     # x_lsh_topk, x_embedding_neardup_lsh, x_multimodal_features,
     # x_frame_sample: rows-only (no oracle).

@@ -1,0 +1,62 @@
+"""Hierarchical (hypertable-style) multi-resolution rollup."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_realtime_data_eng_spark.operators import rollup
+
+
+def _df(spark):
+    # two keys, events across two hours of one day
+    rows = [("a", 0, 1), ("a", 30_000, 2), ("a", 3_600_000, 4),
+            ("b", 60_000, 8)]
+    return spark.createDataFrame(rows, "k string, ts_ms long, v long")
+
+
+def test_rollup_levels_and_values(spark):
+    out = rollup.hierarchical_rollup(
+        _df(spark), "ts_ms", levels_ms=(60_000, 3_600_000, 86_400_000),
+        keys=["k"], aggs=[F.sum("v").alias("s")])
+    got = {(r["resolution"], r["k"], r["bucket_start_ms"]): r["s"]
+           for r in out.collect()}
+    assert got[("minute", "a", 0)] == 3          # two rows in minute 0
+    assert got[("minute", "a", 3_600_000)] == 4
+    assert got[("hour", "a", 0)] == 3
+    assert got[("hour", "a", 3_600_000)] == 4
+    assert got[("day", "a", 0)] == 7
+    assert got[("total", "a", None)] == 7
+    assert got[("total", "b", None)] == 8
+    # keyed rollup: no keyless grand-total row leaks through
+    assert all(k[1] is not None for k in got)
+
+
+def test_rollup_global_keeps_grand_total(spark):
+    out = rollup.hierarchical_rollup(
+        _df(spark), "ts_ms", levels_ms=(3_600_000, 86_400_000),
+        aggs=[F.sum("v").alias("s")])
+    got = {(r["resolution"], r["bucket_start_ms"]): r["s"] for r in out.collect()}
+    assert got[("total", None)] == 15
+    assert got[("hour", 0)] == 11 and got[("hour", 3_600_000)] == 4
+    assert got[("day", 0)] == 15
+
+
+def test_rollup_rejects_non_nesting_levels(spark):
+    with pytest.raises(ValueError, match="nest"):
+        rollup.hierarchical_rollup(_df(spark), "ts_ms",
+                                   levels_ms=(60_000, 90_000))
+    with pytest.raises(ValueError, match="ascending"):
+        rollup.hierarchical_rollup(_df(spark), "ts_ms",
+                                   levels_ms=(3_600_000, 60_000))
+
+
+def test_rollup_single_shuffle(spark):
+    """All resolutions must come from ONE Expand + ONE exchange — the whole
+    point vs a groupBy per tier."""
+    out = rollup.hierarchical_rollup(
+        _df(spark), "ts_ms", keys=["k"], aggs=[F.sum("v").alias("s")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Expand" in plan

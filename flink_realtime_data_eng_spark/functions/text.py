@@ -102,3 +102,21 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
     norm = F.regexp_replace(norm, " +", " ")
     return df.select(F.col(id_col), F.md5(F.trim(norm)).alias("fp"))
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent tokens with term and
+    document frequencies — the first pass of any tokenizer/vocab build.
+
+    Shape: explode → one hash aggregate on token (map-side partials; the
+    distinct doc count rides the same shuffle via a two-phase distinct
+    aggregate) → ``orderBy().limit(k)`` = TakeOrderedAndProject, so the
+    driver sees k rows however large the corpus. Ties break by token
+    text ascending to keep the selected set deterministic.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    counts = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct(id_col).alias("doc_freq"))
+    return counts.orderBy(F.col("term_freq").desc(), F.col("tok")).limit(k)

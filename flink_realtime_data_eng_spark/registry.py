@@ -30,7 +30,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .functions import dedup, multimodal, similarity, sketches, text
-from .operators import joins, projections, rollup, split_merge, stateful, windows
+from .operators import (joins, projections, rollup, split_merge, stateful,
+                        stats, windows)
 from .plans import relational
 from .schemas import load_table
 
@@ -594,6 +595,19 @@ def x_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("v_e4").alias("sum_value_e4")])
 
 
+def x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with term/doc frequencies — explode, one
+    hash agg, TakeOrdered; the tokenizer-training first pass."""
+    return text.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p90/p99 of event value per type: per-group sort inside
+    ONE hash aggregate, never a global sort."""
+    return stats.exact_group_quantiles(
+        _events(spark, sf_dir), ["event_type"], "value")
+
+
 def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch over events.user_id (k=256): one hash
     projection + TakeOrdered(k) — the 100 TB answer to COUNT DISTINCT."""
@@ -680,6 +694,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_hash_sample": x_hash_sample,
     "x_stratified_sample": x_stratified_sample,
     "x_time_rollup": x_time_rollup,
+    "x_vocab_topk": x_vocab_topk,
+    "x_group_quantiles": x_group_quantiles,
 }
 
 
@@ -1184,6 +1200,25 @@ SELECT CASE WHEN minute_ms IS NOT NULL THEN 'minute'
        CAST(sum(v_e4) AS BIGINT) AS sum_value_e4
 FROM b
 GROUP BY event_type, ROLLUP(day_ms, hour_ms, minute_ms)
+""",
+    "x_vocab_topk": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), c AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS term_freq,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM toks GROUP BY tok
+)
+SELECT tok, term_freq, doc_freq FROM c
+ORDER BY term_freq DESC, tok LIMIT 100
+""",
+    "x_group_quantiles": """
+SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
 """,
     # x_lsh_topk, x_embedding_neardup_lsh, x_multimodal_features,
     # x_frame_sample: rows-only (no oracle).

@@ -86,3 +86,41 @@ def test_stratified_default_rate_zero_drops_unknown(spark):
     df = spark.createDataFrame([(1, "x"), (2, "y")], "k int, cls string")
     out = sketches.stratified_hash_sample(df, "cls", "k", rates={"x": 1.0})
     assert [r["cls"] for r in out.collect()] == ["x"]
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from flink_realtime_data_eng_spark.functions import text as textf
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "Apple!")],
+        "doc_id long, text string")
+    out = textf.vocab_topk(df, k=2).collect()
+    # apple: tf=3 (case-folded) in docs {1,3}; banana: tf=2 in {1,2}
+    assert [(r["tok"], r["term_freq"], r["doc_freq"]) for r in out] == [
+        ("apple", 3, 2), ("banana", 2, 2)]
+
+
+def test_vocab_topk_tie_broken_by_token(spark):
+    from flink_realtime_data_eng_spark.functions import text as textf
+    df = spark.createDataFrame([(1, "zz aa")], "doc_id long, text string")
+    out = textf.vocab_topk(df, k=1).collect()
+    assert [r["tok"] for r in out] == ["aa"]  # equal tf -> lexicographic
+
+
+def test_exact_group_quantiles_values(spark):
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 5)] + [("b", 10.0), ("b", None)],
+        "g string, v double")
+    got = {r["g"]: r for r in
+           stats.exact_group_quantiles(df, ["g"], "v", qs=(0.5,)).collect()}
+    # linear interpolation over [1,2,3,4] -> median 2.5; nulls ignored
+    assert got["a"]["n"] == 4 and got["a"]["p50"] == 2.5
+    assert got["b"]["n"] == 1 and got["b"]["p50"] == 10.0
+
+
+def test_exact_group_quantiles_single_shuffle(spark):
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    out = stats.exact_group_quantiles(df, ["g"], "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Sort" not in plan.split("Exchange")[0]

@@ -207,3 +207,77 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str,
                .orderBy(F.col("o_totalprice").desc(), "o_orderdate_ms",
                         "l_orderkey")
                .limit(100))
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str,
+                         date_from: str = "1996-01-01",
+                         date_to: str = "1996-07-01") -> DataFrame:
+    """TPC-H Q4 shape: orders (in a date window) having at least one
+    late-shipped line, counted per priority. (The fixture lacks
+    l_commitdate/l_receiptdate, so "late" = shipped after order date +30d —
+    same EXISTS shape as spec Q4.)
+
+    The EXISTS is a LEFT SEMI join: lineitem never duplicates orders, the
+    join carries the orderkey equality (shuffle key) with the date
+    comparison as a residual condition, and the per-priority count
+    aggregates the already-deduplicated semi-join output.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & \
+           (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+    return (o.join(li, late, "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("order_count"))
+             .orderBy("o_orderpriority"))
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str,
+                  date_from: str = "1996-01-01",
+                  date_to: str = "1996-02-01") -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO parts in one month.
+
+    lineitem is filtered at the scan (one month — partition pruning at
+    scale); the part join shuffles on partkey with AQE free to broadcast at
+    small SF. Numerator and denominator are exact e4 BIGINTs; one double
+    division at the end, rounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp")))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = _e4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+              .agg(F.sum(F.when(F.col("p_type") == "PROMO", disc)
+                          .otherwise(F.lit(0).cast("bigint")))
+                    .alias("promo_e4"),
+                   F.sum(disc).alias("total_e4"))
+              .select("promo_e4", "total_e4",
+                      F.round(F.lit(100.0) * F.col("promo_e4")
+                              / F.col("total_e4"), 6).alias("promo_pct")))
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR-ed brand/size/quantity
+    band predicates. The partkey equi-join is factored out of the
+    disjunction (Catalyst keeps it as the join key; the OR becomes a
+    residual filter), so the plan is one shuffle join + filter — not a
+    union of three scans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+           & qty.between(20, 30)))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+              .filter(band)
+              .agg(F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                    .alias("revenue_e4"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_lines")))

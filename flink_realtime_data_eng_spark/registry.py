@@ -406,6 +406,23 @@ def j1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark)
 
 
+def a4_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 streaming form (WindowingOperations.java:115-128): keyed 1 h
+    session windows through the streaming merge path. Append mode emits only
+    FINALIZED sessions (end + gap <= terminal watermark = max event time);
+    the oracle applies the same finalization filter — Spark's session
+    windows do not support update mode, so this asymmetry is the honest
+    streaming semantics, not a shortcut."""
+    from .streaming.pipelines import session_counts
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms")))
+    out = session_counts(ev, "ts", "3600 seconds", keys=["user_id"],
+                         aggs=[F.count(F.lit(1)).alias("cnt"),
+                               F.min("ts_ms").alias("min_ts_ms"),
+                               F.max("ts_ms").alias("max_ts_ms")])
+    return _run_to_memory(out, spark)
+
+
 def j3_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 streaming form (Flink ``intervalJoin``): click-vs-view pairs within
     ±12 h through a watermarked stream-stream range join; same oracle as the
@@ -450,6 +467,18 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.distinct_users_per_type(_prep(spark), sf_dir)
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_priority_check(_prep(spark), sf_dir)
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.promo_revenue(_prep(spark), sf_dir)
+
+
+def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.disjunctive_part_revenue(_prep(spark), sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -638,7 +667,7 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # excluded from bench.py — they measure state-store fixed overhead at fixture
 # scale, not analytics throughput.
 STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream",
-                   "a2_stream_totals", "j1_stream", "j3_stream"}
+                   "a2_stream_totals", "j1_stream", "j3_stream", "a4_stream"}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_parse_csv": p1_parse_csv,
@@ -665,12 +694,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_stream_totals": a2_stream_totals,
     "j1_stream": j1_stream,
     "j3_stream": j3_stream,
+    "a4_stream": a4_stream,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q7_two_nation_volume": q7_two_nation_volume,
     "q18_large_quantity_orders": q18_large_quantity_orders,
     "q_top_parts_per_brand": q_top_parts_per_brand,
+    "q4_order_priority": q4_order_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_disjunctive_bands": q19_disjunctive_bands,
     "q_distinct_users_per_type": q_distinct_users_per_type,
     "x_exact_dedup": x_exact_dedup,
     "x_fingerprint": x_fingerprint,
@@ -1023,6 +1056,21 @@ SELECT l.user_id, l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
 FROM l JOIN r ON l.user_id = r.user_id
              AND r.ts_ms BETWEEN l.ts_ms - 43200000 AND l.ts_ms + 43200000
 """,
+    "a4_stream": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                  OR t - lag(t) OVER w > 3600000 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+g AS (SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m)
+SELECT CAST(min(t) AS BIGINT) AS session_start_ms, user_id,
+       count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
+FROM g GROUP BY user_id, grp
+HAVING max(t) + 3600000 <= (SELECT max(epoch_ms(ts)) FROM events)
+""",
     "q1_pricing_summary": """
 WITH a AS (
   SELECT l_returnflag, l_linestatus,
@@ -1119,6 +1167,42 @@ SELECT p_brand, p_partkey, revenue_e4, rk FROM r WHERE rk <= 3
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        count(*) AS n_events
 FROM events GROUP BY 1
+""",
+    "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+    "q14_promo_revenue": """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS disc_e4, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-02-01')
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_e4 ELSE 0 END) AS BIGINT)
+         AS promo_e4,
+       CAST(SUM(disc_e4) AS BIGINT) AS total_e4,
+       round(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN disc_e4 ELSE 0 END)
+             / SUM(disc_e4), 6) AS promo_pct
+FROM j
+""",
+    "q19_disjunctive_bands": """
+SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
 """,
     "x_exact_dedup": f"""
 WITH n AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)

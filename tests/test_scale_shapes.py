@@ -110,3 +110,33 @@ def test_salted_agg_equals_plain_agg(spark):
     stage1 = (df.withColumn("_salt", F.pmod(F.hash("v"), F.lit(8)))
                 .groupBy("k", "_salt").count())
     assert stage1.filter(F.col("k") == "hot").count() > 1
+
+
+def test_q4_semi_join_never_duplicates_orders(spark):
+    """Q4's EXISTS must be a LEFT SEMI join (one output row per qualifying
+    order however many late lines it has)."""
+    df = relational.order_priority_check(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    # aggregate input = orders rows; total count equals distinct-order count
+    total = sum(r["order_count"] for r in df.collect())
+    import duckdb
+    exact = duckdb.sql("""
+        SELECT count(DISTINCT o.o_orderkey)
+        FROM read_parquet('/root/testdata/sf0.001/orders.parquet') o
+        JOIN read_parquet('/root/testdata/sf0.001/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    """).fetchone()[0]
+    assert total == exact
+
+
+def test_q19_single_join_not_union_of_scans(spark):
+    """The OR-band predicate must stay a residual filter on ONE partkey
+    join — exactly one lineitem scan in the plan."""
+    df = relational.disjunctive_part_revenue(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "Union" not in plan

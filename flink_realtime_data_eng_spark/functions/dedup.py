@@ -204,3 +204,19 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else (sig + term)
     return sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def neardup_clusters(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                     n: int = 3, threshold: float = 0.8,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup DEDUP, end to end: LSH candidates → exact-Jaccard verify →
+    connected components of the surviving pair graph. Returns
+    ``(doc_id, cluster_id)`` for every doc that has at least one near-dup;
+    ``cluster_id`` is the smallest doc_id in the component (keep it, drop
+    the rest — the standard keep-one policy)."""
+    from .graph import connected_components
+    pairs = neardup_pipeline(df, num_hashes, bands, n, threshold,
+                             text_col, id_col)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias(id_col),
+                     F.col("label").alias("cluster_id"))

@@ -406,6 +406,20 @@ def j1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark)
 
 
+def a3_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 streaming form (WindowingOperations.java:77-92): 10 s / 5 s
+    sliding count+min+max through the streaming aggregation path (complete
+    mode emits every window); same oracle as the batch form."""
+    from .streaming.pipelines import sliding_counts
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms")))
+    out = sliding_counts(ev, "ts", "10 seconds", "5 seconds",
+                         aggs=[F.count(F.lit(1)).alias("cnt"),
+                               F.min("ts_ms").alias("min_ts_ms"),
+                               F.max("ts_ms").alias("max_ts_ms")])
+    return _run_to_memory(out, spark, output_mode="complete")
+
+
 def a4_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 streaming form (WindowingOperations.java:115-128): keyed 1 h
     session windows through the streaming merge path. Append mode emits only
@@ -506,6 +520,13 @@ def x_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed scale flow: MinHash-LSH candidates verified with exact
     Jaccard, all-pairs work never materialized."""
     return dedup.neardup_pipeline(_docs(spark, sf_dir), num_hashes=16,
+                                  bands=4, n=3, threshold=0.5)
+
+
+def x_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: the verified pair graph collapsed to connected
+    components (iterative min-label propagation; oracle = recursive CTE)."""
+    return dedup.neardup_clusters(_docs(spark, sf_dir), num_hashes=16,
                                   bands=4, n=3, threshold=0.5)
 
 
@@ -667,7 +688,8 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # excluded from bench.py — they measure state-store fixed overhead at fixture
 # scale, not analytics throughput.
 STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream",
-                   "a2_stream_totals", "j1_stream", "j3_stream", "a4_stream"}
+                   "a2_stream_totals", "j1_stream", "j3_stream", "a4_stream",
+                   "a3_stream"}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_parse_csv": p1_parse_csv,
@@ -695,6 +717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_stream": j1_stream,
     "j3_stream": j3_stream,
     "a4_stream": a4_stream,
+    "a3_stream": a3_stream,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -710,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_jaccard_pairs": x_jaccard_pairs,
     "x_minhash_lsh": x_minhash_lsh,
     "x_neardup_pipeline": x_neardup_pipeline,
+    "x_neardup_clusters": x_neardup_clusters,
     "x_simhash": x_simhash,
     "x_quality_features": x_quality_features,
     "x_language_id": x_language_id,
@@ -1056,6 +1080,13 @@ SELECT l.user_id, l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
 FROM l JOIN r ON l.user_id = r.user_id
              AND r.ts_ms BETWEEN l.ts_ms - 43200000 AND l.ts_ms + 43200000
 """,
+    "a3_stream": """
+WITH e AS (SELECT epoch_ms(ts) AS t FROM events),
+w AS (SELECT (t // 5000 - o.o) * 5000 AS window_start_ms, t
+      FROM e CROSS JOIN (VALUES (0), (1)) o(o))
+SELECT window_start_ms, count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
+FROM w GROUP BY 1
+""",
     "a4_stream": """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
 m AS (SELECT user_id, t,
@@ -1217,6 +1248,23 @@ WITH cand AS ({_minhash_lsh_oracle()}),
 jac AS ({_jaccard_oracle(threshold=0.5)})
 SELECT jac.id_a, jac.id_b, jac.jaccard
 FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+""",
+    "x_neardup_clusters": f"""
+WITH RECURSIVE
+cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
 """,
     "x_simhash": _simhash_oracle(),
     "x_quality_features": _quality_oracle(),

@@ -74,3 +74,36 @@ def test_neardup_pipeline_candidates_verified(spark):
              for r in dedup.jaccard_pairs(df, threshold=0.5).collect()}
     for pair, j in out.items():
         assert exact[pair] == j
+
+
+def test_connected_components_basic(spark):
+    from flink_realtime_data_eng_spark.functions.graph import connected_components
+    # two components: chain 1-2-3-4 and pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a long, id_b long")
+    got = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    from flink_realtime_data_eng_spark.functions.graph import connected_components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_neardup_clusters_groups_mutual_dups(spark):
+    from flink_realtime_data_eng_spark.functions import dedup
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "the quick brown fox jumps over the lazy cat today"),
+         (4, "completely different text about spark and flink engines")],
+        "doc_id long, text string")
+    out = dedup.neardup_clusters(docs, num_hashes=16, bands=8, n=3,
+                                 threshold=0.3)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    # 1-2-3 chain into one cluster labeled by min id; 4 has no dup -> absent
+    assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
+    assert 4 not in got

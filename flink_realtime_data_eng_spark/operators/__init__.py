@@ -5,4 +5,5 @@ plans — Catalyst supplies the physical strategy (pushdown, partial aggs,
 broadcast/SMJ selection, AQE skew handling); nothing here hand-schedules.
 """
 
-from . import joins, projections, ranking, split_merge, stateful, windows  # noqa: F401
+from . import (joins, projections, ranking, rollup, skew, split_merge,  # noqa: F401
+               stateful, stats, windows)

@@ -10,7 +10,7 @@ alternation, ``\\b`` word boundaries.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # Tiny per-language stopword marker lists for the heuristic language scorer.
 # Deliberately small + high-frequency; the heuristic is deterministic and
@@ -120,3 +120,36 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
         F.count(F.lit(1)).alias("term_freq"),
         F.countDistinct(id_col).alias("doc_freq"))
     return counts.orderBy(F.col("term_freq").desc(), F.col("tok")).limit(k)
+
+
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: the keyword-extraction /
+    relevance-weighting primitive.
+
+    ``tfidf = tf * ln((N + 1) / (df + 1))`` (the +1-smoothed IDF), with
+    ``tf`` the in-document term count, ``df`` the number of documents
+    containing the term, ``N`` the corpus size.
+
+    Plan: explode → ONE (doc, term) count aggregate; document frequency
+    derives from it (count over terms) and joins back on term — the only
+    big shuffles are keyed by (doc, term) and term. N rides in as a
+    broadcast scalar (1-row cross join; Catalyst broadcasts it). Rank =
+    row_number per doc (partition-local top-k), ties broken by term text.
+    Score rounded to 6 dp for the cross-engine hash.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "tok").crossJoin(F.broadcast(n_docs))
+                .select(F.col(id_col), F.col("tok"), F.col("tf"),
+                        F.col("df"),
+                        F.round(F.col("tf")
+                                * F.log((F.col("n_docs") + 1)
+                                        / (F.col("df") + 1)), 6)
+                         .alias("tfidf")))
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k)
+                  .select(id_col, "tok", "tf", "df", "tfidf", "rk"))

@@ -651,6 +651,12 @@ def x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (keyword extraction): two keyed
+    aggregates + a term join + partition-local top-k."""
+    return text.tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p90/p99 of event value per type: per-group sort inside
     ONE hash aggregate, never a global sort."""
@@ -752,6 +758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stratified_sample": x_stratified_sample,
     "x_time_rollup": x_time_rollup,
     "x_vocab_topk": x_vocab_topk,
+    "x_tfidf_topk": x_tfidf_topk,
     "x_group_quantiles": x_group_quantiles,
 }
 
@@ -1343,6 +1350,24 @@ WITH toks AS (
 )
 SELECT tok, term_freq, doc_freq FROM c
 ORDER BY term_freq DESC, tok LIMIT 100
+""",
+    "x_tfidf_topk": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         round(tf.tf * ln((n.n_docs + 1) / (dfreq.df + 1)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+), r AS (
+  SELECT s.*, CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, tok) AS INT) AS rk FROM s
+)
+SELECT doc_id, tok, tf, df, tfidf, rk FROM r WHERE rk <= 5
 """,
     "x_group_quantiles": """
 SELECT event_type, CAST(count(value) AS BIGINT) AS n,

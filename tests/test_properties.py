@@ -90,3 +90,52 @@ def test_action_durations_batch_reference_model(spark, rows):
             want[i] = (last_a, t - last_t)
         state[u] = (None, None) if a == "Logout" else (a, t)
     assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.sampled_from(["u1", "u2"]), TS),
+                min_size=1, max_size=20, unique=True),
+       st.lists(st.tuples(st.sampled_from(["u1", "u2"]), TS),
+                min_size=1, max_size=20, unique=True),
+       st.sampled_from([(-1000, 2000), (0, 5000), (-7000, -1000)]))
+def test_interval_join_matches_brute_force(spark, lrows, rrows, bounds):
+    """Bucketed interval join must equal the brute-force cross+filter for
+    random keys/timestamps and bounds of any sign (incl. fully negative)."""
+    lo, hi = bounds
+    left = spark.createDataFrame(lrows, "k string, ts_ms long")
+    right = spark.createDataFrame(rrows, "k string, ts_ms long")
+    got = sorted((r["k"], r["l_ts_ms"], r["r_ts_ms"]) for r in
+                 joins.interval_join(left, right, key="k", ts_ms="ts_ms",
+                                     lower_ms=lo, upper_ms=hi).collect())
+    want = sorted(
+        (lk, lt, rt)
+        for lk, lt in lrows for rk, rt in rrows
+        if lk == rk and lt + lo <= rt <= lt + hi)
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.sampled_from(["u1", "u2"]), TS),
+                min_size=1, max_size=15, unique=True),
+       st.lists(st.tuples(st.sampled_from(["u1", "u2"]), TS, st.integers(0, 99)),
+                min_size=1, max_size=15))
+def test_asof_join_matches_reference_model(spark, lrows, rrows):
+    """asof_join must equal the per-row 'latest right at-or-before'
+    reference model for random data (dedup right to one row per (k, ts) so
+    the expected match value is well-defined)."""
+    rdedup = {}
+    for rk, rt, v in rrows:
+        rdedup[(rk, rt)] = max(v, rdedup.get((rk, rt), -1))
+    rlist = [(k, t, v) for (k, t), v in rdedup.items()]
+    left = spark.createDataFrame(lrows, "k string, ts_ms long")
+    right = spark.createDataFrame(rlist, "k string, ts_ms long, v long")
+    got = {(r["k"], r["ts_ms"]): (r["v"], r["matched_ts_ms"]) for r in
+           joins.asof_join(left, right, key="k", ts_ms="ts_ms",
+                           value_cols=["v"]).collect()}
+    want = {}
+    for lk, lt in lrows:
+        prior = [(t, v) for k, t, v in rlist if k == lk and t <= lt]
+        if prior:
+            mt, mv = max(prior)
+            want[(lk, lt)] = (mv, mt)
+    assert got == want

@@ -40,6 +40,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts_ms: str,
     import pyspark.sql.types as T
     lcols = left.columns
     lrest = [c for c in lcols if c not in (key, ts_ms)]
+    clash = (set(lrest) | {key, ts_ms, "matched_ts_ms"}) & set(value_cols) \
+        | ({"matched_ts_ms"} & set(lrest))
+    if clash:
+        raise ValueError(
+            f"output column collision {sorted(clash)}: rename left columns or "
+            "value_cols (the matched right values join the left schema)")
     r_struct_type = T.StructType(
         [T.StructField("matched_ts_ms", T.LongType())]
         + [T.StructField(c, right.schema[c].dataType) for c in value_cols])
@@ -89,23 +95,34 @@ def interval_join(left: DataFrame, right: DataFrame, key: str, ts_ms: str,
     edges. Shuffle key cardinality scales with time, never with per-key
     row count, and each (l, r) pair meets in exactly one bucket (no dedup
     needed).
+
+    Output: ``key, l_ts_ms, <left payload>, r_ts_ms, <right payload
+    r_-prefixed>``.
     """
     span = upper_ms - lower_ms
     if span <= 0:
         raise ValueError(f"upper_ms ({upper_ms}) must exceed lower_ms ({lower_ms})")
     bucket = span
+    lrest = [c for c in left.columns if c not in (key, ts_ms)]
+    rrest = [c for c in right.columns if c not in (key, ts_ms)]
+    out_cols = [key, "l_ts_ms", *lrest, "r_ts_ms", *[f"r_{c}" for c in rrest]]
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(
+            f"output column collision in {out_cols}: rename the payload "
+            "columns (right payload is emitted with an r_ prefix)")
     l_buckets = F.array(*[
         F.floor((F.col(ts_ms) + lower_ms) / bucket) + i for i in range(2)])
     lb = left.select(
-        F.col(key), F.col(ts_ms).alias("l_ts_ms"),
+        F.col(key), F.col(ts_ms).alias("l_ts_ms"), *lrest,
         F.explode(l_buckets).alias("_bk"))
     rb = right.select(
         F.col(key).alias(f"r_{key}"), F.col(ts_ms).alias("r_ts_ms"),
+        *[F.col(c).alias(f"r_{c}") for c in rrest],
         F.floor(F.col(ts_ms) / bucket).alias("_bk"))
     return (lb.join(rb, (F.col(key) == F.col(f"r_{key}")) & (lb["_bk"] == rb["_bk"]))
             .filter((F.col("r_ts_ms") >= F.col("l_ts_ms") + lower_ms)
                     & (F.col("r_ts_ms") <= F.col("l_ts_ms") + upper_ms))
-            .select(key, "l_ts_ms", "r_ts_ms"))
+            .select(*out_cols))
 
 
 def window_bucket(ts_ms: str | Column, size_ms: int) -> Column:

@@ -55,8 +55,10 @@ def hierarchical_rollup(df: DataFrame, ts_ms: str,
         {bc: F.floor(F.col(ts_ms) / ms) * ms for ms, _n, bc in ordered})
     agg_list = list(aggs) or [F.count(F.lit(1)).alias("cnt")]
     rolled = src.rollup(*keys, *[bc for _ms, _n, bc in ordered]).agg(*agg_list)
-    if keys:  # drop the sets that aggregate the keys away
-        rolled = rolled.filter(F.grouping(keys[0]) == 0)
+    if keys:
+        # drop the sets that aggregate ANY key away: rollup sets are prefixes,
+        # so the LAST key surviving implies every key survived.
+        rolled = rolled.filter(F.grouping(keys[-1]) == 0)
     resolution = F.lit("total")
     for _ms, name, bc in ordered:  # finest non-null bucket wins, checked fine→coarse
         resolution = F.when(F.col(bc).isNotNull(), F.lit(name)).otherwise(resolution)

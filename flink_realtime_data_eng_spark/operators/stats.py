@@ -22,12 +22,17 @@ def exact_group_quantiles(df: DataFrame, group: Sequence[str], value: str,
     column per requested quantile (``p25``, ``p50``, ...), rounded to
     6 dp so both engines' interpolation arithmetic hashes identically.
     """
+    names = []
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile must be in [0, 1], got {q}")
+        pct = round(q * 100, 6)  # 0.25->p25, 0.5->p50, 1.0->p100, 0.999->p99_9
+        names.append(f"p{int(pct)}" if pct == int(pct)
+                     else "p" + str(pct).replace(".", "_"))
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantiles in {qs}")
     aggs = [
-        F.round(F.percentile(value, F.lit(float(q))), 6)
-         .alias(f"p{str(q)[2:].ljust(2, '0')}")
-        for q in qs]
+        F.round(F.percentile(value, F.lit(float(q))), 6).alias(name)
+        for q, name in zip(qs, names)]
     return df.groupBy(*group).agg(
         F.count(value).cast("bigint").alias("n"), *aggs)

@@ -226,8 +226,10 @@ def order_priority_check(spark: SparkSession, sf_dir: str,
         (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp")))
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # INTERVAL keeps the timestamp (date_add would truncate time-of-day and
+    # silently diverge from the oracle's `+ INTERVAL 30 DAY` on intraday data)
     late = (F.col("l_orderkey") == F.col("o_orderkey")) & \
-           (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+           (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
     return (o.join(li, late, "left_semi")
              .groupBy("o_orderpriority")
              .agg(F.count(F.lit(1)).alias("order_count"))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F, types as T
 
 from flink_realtime_data_eng_spark.operators import joins, projections, split_merge
@@ -132,3 +134,18 @@ def test_interval_join_no_duplicate_pairs(spark):
                             .withColumnRenamed("k", "rk"))
              .filter("rk = k AND r_ts BETWEEN ts_ms - 700 AND ts_ms + 700"))
     assert out.count() == brute.count()
+
+
+def test_asof_join_rejects_column_collision(spark):
+    left = spark.createDataFrame([("u", 1, 5.0)], "k string, ts_ms long, px double")
+    right = spark.createDataFrame([("u", 1, 1.0)], "k string, ts_ms long, px double")
+    with pytest.raises(ValueError, match="collision"):
+        joins.asof_join(left, right, key="k", ts_ms="ts_ms", value_cols=["px"])
+
+
+def test_interval_join_carries_payload(spark):
+    left = spark.createDataFrame([("u", 1000, "L1")], "k string, ts_ms long, tag string")
+    right = spark.createDataFrame([("u", 1500, 7.0)], "k string, ts_ms long, score double")
+    row = joins.interval_join(left, right, key="k", ts_ms="ts_ms",
+                              lower_ms=0, upper_ms=1000).collect()[0]
+    assert (row["tag"], row["r_score"]) == ("L1", 7.0)

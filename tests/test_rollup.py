@@ -60,3 +60,17 @@ def test_rollup_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Expand" in plan
+
+
+def test_rollup_two_keys_no_partial_key_rows(spark):
+    """Regression: with 2+ keys, ROLLUP sets that aggregate away later keys
+    must be dropped — every output row carries ALL keys."""
+    rows = [("r1", "a", 0, 1), ("r1", "b", 30_000, 2), ("r2", "a", 3_600_000, 4)]
+    df = spark.createDataFrame(rows, "region string, et string, ts_ms long, v long")
+    out = rollup.hierarchical_rollup(
+        df, "ts_ms", levels_ms=(3_600_000, 86_400_000),
+        keys=["region", "et"], aggs=[F.sum("v").alias("s")]).collect()
+    assert all(r["region"] is not None and r["et"] is not None for r in out)
+    totals = {(r["region"], r["et"]): r["s"] for r in out
+              if r["resolution"] == "total"}
+    assert totals == {("r1", "a"): 1, ("r1", "b"): 2, ("r2", "a"): 4}

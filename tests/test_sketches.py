@@ -124,3 +124,12 @@ def test_exact_group_quantiles_single_shuffle(spark):
     out = stats.exact_group_quantiles(df, ["g"], "v")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "Sort" not in plan.split("Exchange")[0]
+
+
+def test_exact_group_quantiles_extreme_names(spark):
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0)], "g string, v double")
+    row = stats.exact_group_quantiles(df, ["g"], "v", qs=(0.0, 1.0)).collect()[0]
+    assert row["p0"] == 1.0 and row["p100"] == 3.0
+    with pytest.raises(ValueError, match="duplicate"):
+        stats.exact_group_quantiles(df, ["g"], "v", qs=(0.5, 0.5))

@@ -1,0 +1,37 @@
+"""Bucketed-table helpers: co-located joins and aggregations.
+
+At 100 TB the dominant cost of fact⋈fact joins is the shuffle. Bucketing
+pays that shuffle ONCE at write time: `bucketBy(n, key)` hash-partitions
+rows into n files per partition and records the layout in the catalog;
+every later equi-join or aggregation on the bucket key reads both sides
+already co-partitioned — Catalyst plans a SortMergeJoin with NO Exchange
+on either side (sorted buckets also skip the Sort). This is the batch
+analog of the streaming state-store partitioning: decide the partition
+key once, reuse it across every downstream stage.
+
+Both sides must share the bucket count (or be multiples, with
+``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, buckets: int, *keys: str,
+                   sort: bool = True) -> DataFrame:
+    """Persist ``df`` as a catalog table bucketed (and bucket-sorted) by
+    ``keys``; returns the catalog-backed frame whose scans carry the
+    bucketing metadata joins need to elide exchanges."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+    return df.sparkSession.table(table)
+
+
+def drop_bucketed(spark: SparkSession, *tables: str) -> None:
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

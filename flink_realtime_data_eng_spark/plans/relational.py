@@ -283,3 +283,51 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
                     .alias("revenue_e4"),
                    F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str,
+                     date_from: str = "1996-01-01",
+                     date_to: str = "1997-01-01",
+                     discount: float = 0.06, max_qty: float = 24.0) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-sum, zero joins, zero wide shuffles.
+    Every predicate reaches the parquet scan (PushedFilters); the single
+    aggregate is a map-side partial + one-row final — the minimal plan and
+    the pushdown litmus test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+                      # round to 2 dp so the bounds are the same doubles the
+                      # oracle's plain literals (0.05/0.07) parse to
+                      & (F.col("l_discount") >= round(discount - 0.01, 2))
+                      & (F.col("l_discount") <= round(discount + 0.01, 2))
+                      & (F.col("l_quantity") < max_qty))
+              .agg(F.sum(_e4(F.col("l_extendedprice") * F.col("l_discount")))
+                    .alias("revenue_e4"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str,
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1996-04-01", k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in one
+    quarter, top-k. Orders are date-filtered at the scan, lineitem keeps
+    only returns; the lineitem⋈orders shuffle carries only qualifying rows
+    and the customer lookup joins the already-aggregated per-customer rows
+    (dimension joined AFTER the heavy aggregation, not before)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name",
+                                                     "c_nationkey")
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_custkey")
+             .agg(F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                   .alias("revenue_e4")))
+    return (rev.join(c, rev.o_custkey == c.c_custkey)
+               .select("c_custkey", "c_name",
+                       F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+                       "revenue_e4")
+               .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+               .limit(k))

@@ -420,6 +420,19 @@ def a3_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark, output_mode="complete")
 
 
+def a5_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 streaming form (CourseUseCase.java:90-104): composite-key 10 s
+    tumbling count through the streaming aggregation path; same oracle as
+    the batch form."""
+    from .streaming.pipelines import tumbling_counts
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms")))
+    out = tumbling_counts(ev, "ts", "10 seconds",
+                          keys=["user_id", "event_type"],
+                          aggs=[F.count(F.lit(1)).alias("cnt")])
+    return _run_to_memory(out, spark, output_mode="complete")
+
+
 def a4_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 streaming form (WindowingOperations.java:115-128): keyed 1 h
     session windows through the streaming merge path. Append mode emits only
@@ -493,6 +506,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.disjunctive_part_revenue(_prep(spark), sf_dir)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.forecast_revenue(_prep(spark), sf_dir)
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.returned_item_revenue(_prep(spark), sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -695,7 +716,7 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale, not analytics throughput.
 STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream",
                    "a2_stream_totals", "j1_stream", "j3_stream", "a4_stream",
-                   "a3_stream"}
+                   "a3_stream", "a5_stream"}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_parse_csv": p1_parse_csv,
@@ -724,6 +745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j3_stream": j3_stream,
     "a4_stream": a4_stream,
     "a3_stream": a3_stream,
+    "a5_stream": a5_stream,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -731,6 +753,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_quantity_orders": q18_large_quantity_orders,
     "q_top_parts_per_brand": q_top_parts_per_brand,
     "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_bands": q19_disjunctive_bands,
     "q_distinct_users_per_type": q_distinct_users_per_type,
@@ -1087,6 +1111,11 @@ SELECT l.user_id, l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
 FROM l JOIN r ON l.user_id = r.user_id
              AND r.ts_ms BETWEEN l.ts_ms - 43200000 AND l.ts_ms + 43200000
 """,
+    "a5_stream": """
+SELECT (epoch_ms(ts) // 10000) * 10000 AS window_start_ms, user_id, event_type,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
     "a3_stream": """
 WITH e AS (SELECT epoch_ms(ts) AS t FROM events),
 w AS (SELECT (t // 5000 - o.o) * 5000 AS window_start_ms, t
@@ -1215,6 +1244,32 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
 GROUP BY o_orderpriority
+""",
+    "q6_forecast_revenue": """
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "q10_returned_items": """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS revenue_e4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       revenue_e4
+FROM rev JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
 """,
     "q14_promo_revenue": """
 WITH j AS (

@@ -140,3 +140,31 @@ def test_q19_single_join_not_union_of_scans(spark):
     plan = _plan(df)
     assert plan.count("lineitem.parquet") == 1
     assert "Union" not in plan
+
+
+def test_bucketed_join_elides_all_exchanges(spark, tmp_path):
+    """Bucketing is the pay-the-shuffle-once contract: a fact-fact equi-join
+    on the bucket key must plan with ZERO Exchange operators (and, with
+    sorted buckets, zero Sorts)."""
+    import uuid
+    from flink_realtime_data_eng_spark.operators import bucketing
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bl_{suffix}", f"br_{suffix}"
+    a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ba = bucketing.write_bucketed(a, ta, 4, "k")
+        bb = bucketing.write_bucketed(b, tb, 4, "k")
+        joined = ba.join(bb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 10_000
+        # the same layout serves aggregation on the bucket key shuffle-free
+        agg = ba.groupBy("k").count()
+        assert "Exchange" not in agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        bucketing.drop_bucketed(spark, ta, tb)

@@ -450,6 +450,26 @@ def a4_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark)
 
 
+def j2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 streaming form (Flink temporal join): clicks matched to the
+    latest purchase at-or-before via O(1)-per-key state; raw purchase rows
+    feed the machine (equal-ts overwrite-ascending reproduces the batch
+    form's max-per-(user,ts) pre-agg). Same oracle as j2_asof_join."""
+    from .streaming.stateful import asof_join_stream
+    ev = _stream_events(spark, sf_dir)
+    left = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts_ms", "event_id"))
+    # the CSV fixture carries no `value` column — event_id stands in as the
+    # purchase value (equal-ts ties resolve to max, mirrored in the oracle)
+    right = (ev.filter(F.col("event_type") == "purchase")
+               .select("user_id", "ts_ms",
+                       F.col("event_id").cast("double").alias("purchase_value")))
+    out = asof_join_stream(left, right, key="user_id", ts_ms="ts_ms",
+                           value_col="purchase_value",
+                           left_cols=["event_id"])
+    return _run_to_memory(out, spark)
+
+
 def j3_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 streaming form (Flink ``intervalJoin``): click-vs-view pairs within
     ±12 h through a watermarked stream-stream range join; same oracle as the
@@ -716,7 +736,7 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale, not analytics throughput.
 STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream",
                    "a2_stream_totals", "j1_stream", "j3_stream", "a4_stream",
-                   "a3_stream", "a5_stream"}
+                   "a3_stream", "a5_stream", "j2_stream"}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_parse_csv": p1_parse_csv,
@@ -746,6 +766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_stream": a4_stream,
     "a3_stream": a3_stream,
     "a5_stream": a5_stream,
+    "j2_stream": j2_stream,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1101,6 +1122,16 @@ SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
        l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
 FROM l JOIN r ON l.user_id = r.user_id
              AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
+""",
+    "j2_stream": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+             max(CAST(event_id AS DOUBLE)) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.user_id, l.ts_ms, l.event_id, r.purchase_value,
+       r.ts_ms AS matched_ts_ms
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
 """,
     "j3_stream": """
 WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events

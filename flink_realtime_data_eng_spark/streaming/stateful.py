@@ -26,7 +26,7 @@ from collections.abc import Iterator, Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -132,3 +132,76 @@ def action_durations_stream(df: DataFrame, key: str = "user",
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
+
+
+def asof_join_stream(left: DataFrame, right: DataFrame, key: str,
+                     ts_ms: str, value_col: str,
+                     left_cols: Sequence[str] = ()) -> DataFrame:
+    """Streaming as-of (temporal) join: every left row is matched with the
+    LATEST right row at-or-before it for the same key — the Flink temporal
+    join, done as one keyed state machine over the tagged union of both
+    streams.
+
+    Per key the state is a single (last_ts, last_value): right rows update
+    it, left rows read it — so state is O(1) per key at any scale, and the
+    right side persists across micro-batches (a left click in batch 7
+    matches a purchase from batch 2). Within a micro-batch rows process in
+    (ts, side, value) order: right-before-left on ties gives ``<=``
+    semantics, equal-ts right rows overwrite ascending so the LARGEST value
+    wins deterministically. Across micro-batches ordering is arrival order
+    — the same caveat every streaming temporal join carries (a right row
+    arriving in a later batch than a left row it should have preceded is
+    not retro-matched; the batch operator is the reconciliation form).
+
+    Output: ``key, ts_ms, *left_cols, value_col, matched_ts_ms`` for left
+    rows with a match (inner semantics, like ``operators.joins.asof_join``).
+    """
+    rfield = right.schema[value_col]
+    # "side" not "_side": itertuples mangles underscore-led names
+    order = [ts_ms, "asof_side", value_col]
+    tagged_l = left.select(
+        F.col(key), F.col(ts_ms), F.lit(1).alias("asof_side"),
+        *[F.col(c) for c in left_cols],
+        F.lit(None).cast(rfield.dataType).alias(value_col))
+    tagged_r = right.select(
+        F.col(key), F.col(ts_ms), F.lit(0).alias("asof_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols],
+        F.col(value_col))
+    u = tagged_l.unionByName(tagged_r)
+
+    out_schema = T.StructType(
+        [_field(u, key), _field(u, ts_ms)]
+        + [_field(u, c) for c in left_cols]
+        + [T.StructField(value_col, rfield.dataType),
+           T.StructField("matched_ts_ms", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_val", rfield.dataType),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        last_ts, last_val = state.get if state.exists else (None, None)
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else
+               (chunks[0] if chunks else pd.DataFrame(columns=order)))
+        out: list[tuple] = []
+        if len(pdf):
+            for row in pdf.sort_values(order).itertuples(index=False):
+                t = int(getattr(row, ts_ms))
+                if getattr(row, "asof_side") == 0:
+                    last_ts, last_val = t, getattr(row, value_col)
+                elif last_ts is not None:
+                    out.append((t,) + tuple(getattr(row, c) for c in left_cols)
+                               + (last_val, last_ts))
+        if last_ts is not None:
+            state.update((last_ts, last_val))
+        res = pd.DataFrame(out, columns=[ts_ms, *left_cols, value_col,
+                                         "matched_ts_ms"])
+        res.insert(0, key, key_tuple[0])
+        yield res
+
+    return (u.groupBy(key)
+             .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                     GroupStateTimeout.NoTimeout))

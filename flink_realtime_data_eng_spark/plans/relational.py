@@ -331,3 +331,33 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str,
                        "revenue_e4")
                .orderBy(F.col("revenue_e4").desc(), "c_custkey")
                .limit(k))
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str,
+                        since: str = "2000-01-01") -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO order since
+    ``since`` (dormant high-value accounts), summarized per nation.
+
+    The NOT EXISTS is a LEFT ANTI join (the third join family after inner
+    and semi). The global-average comparison is exact integer arithmetic —
+    ``bal_e4 * n > total_e4`` — so no float-averaging order dependence can
+    flip a boundary customer between engines. The 1-row stats aggregate
+    broadcasts; orders is the only big side and arrives date-filtered and
+    pre-projected to its join key.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+         .select("o_custkey"))
+    pos = (c.filter(F.col("c_acctbal") > 0)
+            .select("c_custkey", "c_nationkey",
+                    _e4(F.col("c_acctbal")).alias("bal_e4")))
+    stats = pos.agg(F.sum("bal_e4").alias("total_e4"),
+                    F.count(F.lit(1)).alias("n"))
+    rich = (pos.crossJoin(F.broadcast(stats))
+               .filter(F.col("bal_e4") * F.col("n") > F.col("total_e4")))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (idle.groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+                .agg(F.count(F.lit(1)).alias("n_custs"),
+                     F.sum("bal_e4").alias("total_bal_e4"))
+                .orderBy("c_nationkey"))

@@ -524,6 +524,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.promo_revenue(_prep(spark), sf_dir)
 
 
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.idle_rich_customers(_prep(spark), sf_dir)
+
+
 def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.disjunctive_part_revenue(_prep(spark), sf_dir)
 
@@ -778,6 +782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_bands": q19_disjunctive_bands,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "q_distinct_users_per_type": q_distinct_users_per_type,
     "x_exact_dedup": x_exact_dedup,
     "x_fingerprint": x_fingerprint,
@@ -1315,6 +1320,22 @@ SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_e4 ELSE 0 END) AS BIGINT)
        round(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN disc_e4 ELSE 0 END)
              / SUM(disc_e4), 6) AS promo_pct
 FROM j
+""",
+    "q22_idle_rich_customers": """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 10000) AS BIGINT) AS bal_e4
+  FROM customer WHERE c_acctbal > 0
+),
+stats AS (SELECT CAST(SUM(bal_e4) AS BIGINT) AS total_e4, count(*) AS n FROM pos),
+rich AS (SELECT pos.* FROM pos, stats WHERE bal_e4 * n > total_e4),
+idle AS (SELECT rich.* FROM rich
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = rich.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_custs,
+       CAST(SUM(bal_e4) AS BIGINT) AS total_bal_e4
+FROM idle GROUP BY 1
 """,
     "q19_disjunctive_bands": """
 SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))

@@ -168,3 +168,11 @@ def test_bucketed_join_elides_all_exchanges(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         bucketing.drop_bucketed(spark, ta, tb)
+
+
+def test_q22_anti_join_in_plan(spark):
+    """Q22's NOT EXISTS must plan as LEFT ANTI, with nonzero survivors on
+    the fixture (an empty anti side would make the check vacuous)."""
+    df = relational.idle_rich_customers(spark, "/root/testdata/sf0.001")
+    assert "LeftAnti" in _plan(df)
+    assert df.count() > 0

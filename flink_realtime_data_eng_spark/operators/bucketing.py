@@ -22,10 +22,22 @@ def write_bucketed(df: DataFrame, table: str, buckets: int, *keys: str,
                    sort: bool = True) -> DataFrame:
     """Persist ``df`` as a catalog table bucketed (and bucket-sorted) by
     ``keys``; returns the catalog-backed frame whose scans carry the
-    bucketing metadata joins need to elide exchanges."""
+    bucketing metadata joins need to elide exchanges.
+
+    The pre-write ``repartition(buckets, *keys)`` matters: bucketBy writes
+    one file per (input partition × bucket), and Spark only trusts bucket
+    SORTEDNESS when each bucket is exactly one file — multi-file buckets
+    keep the exchange elision but re-sort both join sides. Repartitioning
+    on the bucket keys makes each task own whole buckets, so ``sort=True``
+    can elide the Sort too — note Spark 3+ additionally requires
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` to consume
+    bucket sort metadata at scan time (exchange elision needs no flag).
+    """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
-    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    writer = (df.repartition(buckets, *[df[k] for k in keys])
+                .write.mode("overwrite").format("parquet")
+                .bucketBy(buckets, *keys))
     if sort:
         writer = writer.sortBy(*keys)
     writer.saveAsTable(table)

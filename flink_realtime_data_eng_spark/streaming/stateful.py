@@ -151,12 +151,22 @@ def asof_join_stream(left: DataFrame, right: DataFrame, key: str,
     wins deterministically. Across micro-batches ordering is arrival order
     — the same caveat every streaming temporal join carries (a right row
     arriving in a later batch than a left row it should have preceded is
-    not retro-matched; the batch operator is the reconciliation form).
+    not retro-matched; the batch operator is the reconciliation form). A
+    ``last_ts <= t`` guard keeps the contract one-sided: a left row is
+    either matched to an at-or-before right row or dropped, never matched
+    to a future one.
 
     Output: ``key, ts_ms, *left_cols, value_col, matched_ts_ms`` for left
     rows with a match (inner semantics, like ``operators.joins.asof_join``).
     """
     rfield = right.schema[value_col]
+    clash = ((set(left_cols) | {key, ts_ms})
+             & {value_col, "matched_ts_ms", "asof_side"}) \
+        | ({"matched_ts_ms", "asof_side"} & {value_col})
+    if clash:
+        raise ValueError(
+            f"output column collision {sorted(clash)}: rename left columns "
+            "or value_col (matched right values join the left schema)")
     # "side" not "_side": itertuples mangles underscore-led names
     order = [ts_ms, "asof_side", value_col]
     tagged_l = left.select(
@@ -192,7 +202,10 @@ def asof_join_stream(left: DataFrame, right: DataFrame, key: str,
                 t = int(getattr(row, ts_ms))
                 if getattr(row, "asof_side") == 0:
                     last_ts, last_val = t, getattr(row, value_col)
-                elif last_ts is not None:
+                elif last_ts is not None and last_ts <= t:
+                    # last_ts <= t: a left row arriving in a later batch
+                    # than a newer right row must not match that FUTURE
+                    # right row (state may be ahead of this row's ts)
                     out.append((t,) + tuple(getattr(row, c) for c in left_cols)
                                + (last_val, last_ts))
         if last_ts is not None:

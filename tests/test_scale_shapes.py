@@ -153,7 +153,10 @@ def test_bucketed_join_elides_all_exchanges(spark, tmp_path):
     a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
     b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_ord = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try:
         ba = bucketing.write_bucketed(a, ta, 4, "k")
         bb = bucketing.write_bucketed(b, tb, 4, "k")
@@ -161,12 +164,17 @@ def test_bucketed_join_elides_all_exchanges(spark, tmp_path):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "SortMergeJoin" in plan
+        # one file per bucket (via the pre-write repartition) => Spark
+        # trusts bucket sortedness and skips the per-side Sort as well
+        assert "Sort [" not in plan
         assert joined.count() == 10_000
         # the same layout serves aggregation on the bucket key shuffle-free
         agg = ba.groupBy("k").count()
         assert "Exchange" not in agg._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", prev_ord)
         bucketing.drop_bucketed(spark, ta, tb)
 
 

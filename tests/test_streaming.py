@@ -472,20 +472,25 @@ def test_exact_dedup_stream_within_watermark(spark, tmp_path):
 
 
 def test_asof_join_stream_state_spans_micro_batches(spark, tmp_path):
-    """The temporal-join right state must persist in the state store: a
-    purchase seen in micro-batch 1 matches a click arriving in batch 2."""
+    """The temporal-join right state must persist in the state store (a
+    purchase seen in micro-batch 0 matches a click arriving in batch 1),
+    and a late left row must never match a FUTURE right row carried in
+    state (last_ts <= t guard)."""
     import os
     base = 1_700_000_000_000
     ldir, rdir = tmp_path / "al", tmp_path / "ar"
     ldir.mkdir(), rdir.mkdir()
-    # batch 1: right rows only (two purchases; equal-ts pair checks max-wins)
+    # batch 0: purchases (equal-ts pair checks max-wins) + one click
     (rdir / "r1.csv").write_text(
         f'"u","{base + 100}","10.0"\n"u","{base + 100}","30.0"\n')
-    # batch 2: clicks after and before the purchase ts
-    (ldir / "l1.csv").write_text(
-        f'"u","{base + 200}","7"\n"u","{base + 50}","8"\n"v","{base + 500}","9"\n')
-    os.utime(rdir / "r1.csv", (1_700_000_000, 1_700_000_000))
-    os.utime(ldir / "l1.csv", (1_700_000_100, 1_700_000_100))
+    (ldir / "l1.csv").write_text(f'"u","{base + 200}","7"\n')
+    # batch 1: left rows ONLY -> any match proves state crossed batches.
+    # click@300 must match the batch-0 purchase; click@50 is OLDER than
+    # the stored purchase ts and must be dropped, not matched forward.
+    (ldir / "l2.csv").write_text(
+        f'"u","{base + 300}","8"\n"u","{base + 50}","9"\n"v","{base + 500}","10"\n')
+    os.utime(ldir / "l1.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(ldir / "l2.csv", (1_700_000_100, 1_700_000_100))
 
     lschema = T.StructType([
         T.StructField("user", T.StringType()),
@@ -497,15 +502,17 @@ def test_asof_join_stream_state_spans_micro_batches(spark, tmp_path):
         T.StructField("ts_ms", T.LongType()),
         T.StructField("px", T.DoubleType()),
     ])
-    left = sources.file_csv_stream(spark, str(ldir), lschema)
+    left = sources.file_csv_stream(spark, str(ldir), lschema,
+                                   max_files_per_trigger=1)
     right = sources.file_csv_stream(spark, str(rdir), rschema)
     out = stateful.asof_join_stream(left, right, key="user", ts_ms="ts_ms",
                                     value_col="px", left_cols=["event_id"])
     _, result = _mem(spark, out)
     got = {(r["user"], r["ts_ms"]): (r["px"], r["matched_ts_ms"])
            for r in result.collect()}
-    # click@200 matches purchase@100 with the max equal-ts value (30.0);
-    # click@50 precedes every purchase -> dropped (but processed in the
-    # SAME batch as the click@200 since both arrive in file l1);
-    # v has no purchases -> dropped.
-    assert got == {("u", base + 200): (30.0, base + 100)}
+    # click@200 (batch 0) and click@300 (batch 1, via persisted state)
+    # match purchase@100 with the max equal-ts value (30.0); click@50
+    # precedes every purchase -> dropped even though state holds a newer
+    # purchase; v has no purchases -> dropped.
+    assert got == {("u", base + 200): (30.0, base + 100),
+                   ("u", base + 300): (30.0, base + 100)}

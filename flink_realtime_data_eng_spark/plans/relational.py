@@ -361,3 +361,207 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str,
                 .agg(F.count(F.lit(1)).alias("n_custs"),
                      F.sum("bal_e4").alias("total_bal_e4"))
                 .orderBy("c_nationkey"))
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str,
+                        region: str = "ASIA", nation: str = "NATION_2",
+                        ptype: str = "ECONOMY",
+                        date_from: str = "1995-01-01",
+                        date_to: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue for one part
+    type, by order year.
+
+    The share is a conditional-sum ratio inside a single aggregate — no
+    second pass over the join. Part is filtered before its join (broadcast
+    of the type-selected slice); customer resolves region membership through
+    the 25-row nation dim (broadcast twice under different aliases — the
+    classic Q8 double-nation lookup); lineitem⋈orders stays the only large
+    exchange. Revenue is fixed-point e4 so the share numerator/denominator
+    are exact integers.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    cust_nations = (n.join(F.broadcast(r),
+                           n.n_regionkey == r.r_regionkey)
+                     .select(F.col("n_nationkey").alias("cn_key")))
+    supp_nations = n.select(F.col("n_nationkey").alias("sn_key"),
+                            F.col("n_name").alias("supp_nation"))
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_type") == ptype).select("p_partkey"))
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(supp_nations), F.col("s_nationkey") == F.col("sn_key"))
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _e4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+          .agg(F.sum(F.when(F.col("supp_nation") == nation, rev)
+                      .otherwise(F.lit(0))).alias("nation_rev_e4"),
+               F.sum(rev).alias("total_rev_e4"))
+          .select("o_year", "nation_rev_e4", "total_rev_e4",
+                  F.round(F.col("nation_rev_e4") / F.col("total_rev_e4"), 6)
+                   .alias("mkt_share"))
+          .orderBy("o_year")
+    )
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str,
+                        name_like: str = "%red%") -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table in the corpus, so profit = revenue
+    net of discount rather than net of supply cost): revenue from parts whose
+    name matches, grouped by supplier nation and order year.
+
+    Part is name-filtered then broadcast; nation broadcast; the shuffles are
+    lineitem⋈orders and the supplier lookup. Group keys arrive via dims, so
+    the aggregate runs on the joined fact exactly once.
+    """
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").like(name_like)).select("p_partkey"))
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .join(o, li.l_orderkey == o.o_orderkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .groupBy("nation",
+                   F.year("o_orderdate").cast("bigint").alias("o_year"))
+          .agg(F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .alias("profit_e4"),
+               F.count(F.lit(1)).alias("n_lines"))
+          .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def ship_lag_priority(spark: SparkSession, sf_dir: str,
+                      date_from: str = "1996-01-01",
+                      date_to: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q12 shape (corpus lineitem carries no shipmode/commit/receipt
+    columns, so the classification axis is the ship LAG — days from order to
+    ship date, bucketed): per lag band, how many lines belong to urgent
+    orders vs not.
+
+    One fact-fact shuffle (lineitem⋈orders), then a single aggregate on the
+    derived band — the band expression is pure integer datediff arithmetic,
+    identical in Spark and DuckDB on midnight-aligned timestamps.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp")))
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (F.when(lag < 0, "before_order")
+             .when(lag <= 90, "0-90d")
+             .when(lag <= 365, "91-365d")
+             .otherwise("over_1y"))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .groupBy(band.alias("lag_band"))
+          .agg(F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint")
+                .alias("high_line_count"),
+               F.sum(F.when(urgent, 0).otherwise(1)).cast("bigint")
+                .alias("low_line_count"))
+          .orderBy("lag_band")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str,
+                                exclude_priority: str = "4-NOT SPECIFIED",
+                                since: str | None = None) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many qualifying
+    orders they placed — including zero (the LEFT OUTER join is the point;
+    an inner join would silently drop the no-order customers).
+
+    Two cascaded aggregations: per-customer count (shuffle on custkey), then
+    the tiny distribution aggregate on the count value. The order-side
+    filter sits in the join's ON clause, not a WHERE, so non-matching
+    customers survive with count 0.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != exclude_priority)
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    if since is not None:
+        o = o.filter(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+    o = o.select("o_orderkey", "o_custkey")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist"))
+                    .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def top_supplier(spark: SparkSession, sf_dir: str,
+                 date_from: str = "1996-01-01",
+                 date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a quarter.
+
+    The per-supplier revenue aggregate (one shuffle on the already
+    date-pruned lineitem) is computed ONCE: the max arrives via an
+    unpartitioned window over the AGGREGATED rows (8-byte key + 8-byte sum
+    per supplier active in the quarter), not via a second aggregate branch —
+    Spark does not reuse the aggregate's exchange across branches, so the
+    broadcast-join-the-max formulation re-scans the fact table (verified in
+    the plan). If supplier cardinality itself ever outgrows one partition,
+    persist the aggregate and broadcast the 1-row max instead. Fixed-point
+    revenue makes 'equal to max' an exact integer comparison (float revenue
+    would make the tie set engine-dependent).
+    """
+    from pyspark.sql import Window as W
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp")))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                   .alias("total_rev_e4")))
+    with_max = rev.withColumn(
+        "max_rev_e4", F.max("total_rev_e4").over(W.partitionBy()))
+    return (with_max
+            .filter(F.col("total_rev_e4") == F.col("max_rev_e4"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+                    "s_name", "total_rev_e4")
+            .orderBy("s_suppkey"))
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str,
+                           brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below half
+    the average quantity for their part (one brand's parts).
+
+    The correlated scalar subquery becomes a per-part aggregate joined back
+    — computed on the brand-pruned fact slice, so the 'correlation' costs
+    one extra small shuffle instead of a per-row subquery. The half-average
+    comparison is exact integer cross-multiplication
+    (2 * qty * n < sum_qty), immune to float-division rounding.
+    """
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_brand") == brand).select("p_partkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount"))
+    per_part = (li.groupBy(F.col("l_partkey").alias("ag_partkey"))
+                  .agg(F.sum(_e4(F.col("l_quantity"))).alias("sum_qty_e4"),
+                       F.count(F.lit(1)).alias("n_qty")))
+    return (li.join(per_part, F.col("l_partkey") == F.col("ag_partkey"))
+              .filter(2 * _e4(F.col("l_quantity")) * F.col("n_qty")
+                      < F.col("sum_qty_e4"))
+              .agg(F.sum(_e4(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))))
+                    .alias("revenue_e4"),
+                   F.count(F.lit(1)).alias("n_lines")))

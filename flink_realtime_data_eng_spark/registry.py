@@ -540,6 +540,30 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.returned_item_revenue(_prep(spark), sf_dir)
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.nation_market_share(_prep(spark), sf_dir)
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.product_type_profit(_prep(spark), sf_dir)
+
+
+def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.ship_lag_priority(_prep(spark), sf_dir)
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_order_distribution(_prep(spark), sf_dir)
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_supplier(_prep(spark), sf_dir)
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.small_quantity_revenue(_prep(spark), sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -779,6 +803,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_parts_per_brand": q_top_parts_per_brand,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q12_ship_lag_priority": q12_ship_lag_priority,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_bands": q19_disjunctive_bands,
@@ -1336,6 +1366,101 @@ idle AS (SELECT rich.* FROM rich
 SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_custs,
        CAST(SUM(bal_e4) AS BIGINT) AS total_bal_e4
 FROM idle GROUP BY 1
+""",
+    "q8_market_share": """
+WITH f AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev_e4,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_e4 ELSE 0 END)
+            AS BIGINT) AS nation_rev_e4,
+       CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4,
+       round(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_e4 ELSE 0 END)
+             / SUM(rev_e4), 6) AS mkt_share
+FROM f GROUP BY o_year ORDER BY o_year
+""",
+    "q9_product_profit": """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS profit_e4,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+""",
+    "q12_ship_lag_priority": """
+WITH j AS (
+  SELECT date_diff('day', o_orderdate, l_shipdate) AS lag_days,
+         o_orderpriority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01')
+SELECT CASE WHEN lag_days < 0 THEN 'before_order'
+            WHEN lag_days <= 90 THEN '0-90d'
+            WHEN lag_days <= 365 THEN '91-365d'
+            ELSE 'over_1y' END AS lag_band,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM j GROUP BY 1 ORDER BY lag_band
+""",
+    "q13_order_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+ORDER BY s_suppkey
+""",
+    "q17_small_quantity": """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice, l_discount
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'),
+per_part AS (
+  SELECT l_partkey AS ag_partkey,
+         CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT)
+           AS sum_qty_e4,
+         count(*) AS n_qty
+  FROM li GROUP BY 1)
+SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM li JOIN per_part ON l_partkey = ag_partkey
+WHERE 2 * CAST(round(l_quantity * 10000) AS BIGINT) * n_qty < sum_qty_e4
 """,
     "q19_disjunctive_bands": """
 SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))

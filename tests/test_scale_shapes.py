@@ -184,3 +184,61 @@ def test_q22_anti_join_in_plan(spark):
     df = relational.idle_rich_customers(spark, "/root/testdata/sf0.001")
     assert "LeftAnti" in _plan(df)
     assert df.count() > 0
+
+
+def test_q13_left_outer_keeps_zero_order_customers(spark):
+    """Q13's point is the LEFT OUTER join: customers with no qualifying
+    orders must appear in the c_count=0 bucket, and every customer must be
+    counted exactly once across buckets."""
+    df = relational.customer_order_distribution(
+        spark, "/root/testdata/sf0.001", since="2001-01-01")
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    n_cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert sum(rows.values()) == n_cust
+    assert 0 in rows  # inner join would erase this bucket
+
+
+def test_q15_max_filter_is_exact_and_single_agg(spark):
+    """Q15's 'revenue equal to max' must reuse ONE per-supplier aggregate
+    (broadcast 1-row max, no second lineitem scan) and return exactly the
+    argmax set."""
+    df = relational.top_supplier(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # one Exchange for the supplier aggregate; a re-scan would add a second
+    # lineitem FileScan
+    assert plan.count("lineitem.parquet") == 1
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len({r["total_rev_e4"] for r in rows}) == 1
+
+
+def test_q8_share_bounds_and_dim_broadcasts(spark):
+    """Q8's market share is a ratio in [0,1] per year, and the part/nation
+    dims must arrive via broadcast joins (no shuffle for dim lookups)."""
+    df = relational.nation_market_share(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    for r in df.collect():
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["nation_rev_e4"] <= r["total_rev_e4"]
+
+
+def test_q17_half_average_integer_exact(spark):
+    """Q17's below-half-average predicate must agree with a literal
+    recomputation in pandas on the fixture (integer cross-multiplication,
+    no float-division drift)."""
+    import pandas as pd
+    sf = "/root/testdata/sf0.001"
+    got = relational.small_quantity_revenue(spark, sf, brand="Brand#1").collect()[0]
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    pt = pd.read_parquet(f"{sf}/part.parquet")
+    keep = li.merge(pt[pt.p_brand == "Brand#1"][["p_partkey"]],
+                    left_on="l_partkey", right_on="p_partkey")
+    keep["qty_e4"] = (keep.l_quantity * 10000).round().astype("int64")
+    g = keep.groupby("l_partkey").qty_e4.agg(["sum", "count"])
+    keep = keep.join(g, on="l_partkey")
+    small = keep[2 * keep.qty_e4 * keep["count"] < keep["sum"]]
+    want_rev = int((small.l_extendedprice * (1 - small.l_discount) * 10000)
+                   .round().astype("int64").sum())
+    assert got["n_lines"] == len(small)
+    assert got["revenue_e4"] == want_rev

@@ -153,3 +153,56 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
     return (scored.withColumn("rk", F.row_number().over(w))
                   .filter(F.col("rk") <= k)
                   .select(id_col, "tok", "tf", "df", "tfidf", "rk"))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters):
+    duplicate-token fraction, most-frequent-token fraction, and
+    most-frequent-bigram fraction.
+
+    Scale shape: explode + two-level aggregate — per-(doc, token) counts
+    partial-aggregate map-side (repeats collapse before the shuffle), then
+    one small per-doc aggregate; bigrams come from a lead() window over the
+    same exploded rows, reusing the doc_id partitioning. Nothing is
+    quadratic in document length, so multi-MB documents cost O(len) like
+    every other map-side op. Docs with no tokens keep 0-valued features
+    (left join from the id spine).
+    """
+    from pyspark.sql import Window as W
+    spine = df.select(F.col(id_col))
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    tc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    tstats = tc.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("c").alias("top_cnt"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    bg = (toks.withColumn("nxt", F.lead("tok").over(w))
+              .filter(F.col("nxt").isNotNull())
+              .select(F.col(id_col),
+                      F.concat_ws(" ", "tok", "nxt").alias("bg")))
+    bc = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    bstats = bc.groupBy(id_col).agg(F.sum("c").alias("n_bigrams"),
+                                    F.max("c").alias("top_bg_cnt"))
+    frac = lambda num, den: F.round(
+        F.when(den > 0, num.cast("double") / den).otherwise(0.0), 6)
+    return (spine.join(tstats, id_col, "left_outer")
+                 .join(bstats, id_col, "left_outer")
+                 .select(
+                     F.col(id_col),
+                     F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                     F.coalesce("n_distinct_tokens", F.lit(0))
+                      .alias("n_distinct_tokens"),
+                     frac(F.coalesce("n_tokens", F.lit(0))
+                          - F.coalesce("n_distinct_tokens", F.lit(0)),
+                          F.coalesce("n_tokens", F.lit(0)))
+                     .alias("dup_token_frac"),
+                     frac(F.coalesce("top_cnt", F.lit(0)),
+                          F.coalesce("n_tokens", F.lit(0)))
+                     .alias("top_token_frac"),
+                     frac(F.coalesce("top_bg_cnt", F.lit(0)),
+                          F.coalesce("n_bigrams", F.lit(0)))
+                     .alias("top_bigram_frac")))

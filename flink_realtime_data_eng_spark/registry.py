@@ -29,7 +29,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .functions import dedup, multimodal, similarity, sketches, text
+from .functions import (contamination, dedup, multimodal, pii, similarity,
+                        sketches, text)
 from .operators import (joins, projections, rollup, split_merge, stateful,
                         stats, windows)
 from .plans import relational
@@ -726,6 +727,28 @@ def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination: overlap pairs between the corpus
+    and a held-out slice (doc_id % 50 == 0). Eval shingles broadcast; the
+    corpus streams map-side through one explode + hash join."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination.ngram_overlap(tr, ev, n=5, min_shared=1)
+
+
+def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: duplicate-token fraction,
+    top-token fraction, top-bigram fraction — explode + two-level agg."""
+    return text.repetition_features(_docs(spark, sf_dir))
+
+
+def x_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hit counts + redacted-text fingerprint per doc (all JVM-side
+    regexp; one map pass, no shuffle)."""
+    return pii.pii_features(_docs(spark, sf_dir))
+
+
 def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p90/p99 of event value per type: per-group sort inside
     ONE hash aggregate, never a global sort."""
@@ -840,6 +863,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_vocab_topk": x_vocab_topk,
     "x_tfidf_topk": x_tfidf_topk,
     "x_group_quantiles": x_group_quantiles,
+    "x_decontaminate": x_decontaminate,
+    "x_repetition": x_repetition,
+    "x_pii": x_pii,
 }
 
 
@@ -1608,6 +1634,82 @@ SELECT event_type, CAST(count(value) AS BIGINT) AS n,
        round(quantile_cont(value, 0.9), 6) AS p90,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
+""",
+    "x_decontaminate": f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 4
+)
+SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+       count(*) AS shared_ngrams
+FROM sh t JOIN sh e ON t.shingle = e.shingle
+WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+GROUP BY 1, 2 HAVING count(*) >= 1
+""",
+    "x_repetition": f"""
+WITH lists AS (
+  SELECT doc_id, {_QF_TOKS} AS l FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), tstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct_tokens, max(c) AS top_cnt
+  FROM tc GROUP BY 1
+), bg AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks
+), bc AS (
+  SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2
+), bstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, max(c) AS top_bg
+  FROM bc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+       round(CASE WHEN coalesce(n_tokens, 0) > 0
+                  THEN CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens
+                  ELSE 0 END, 6) AS dup_token_frac,
+       round(CASE WHEN coalesce(n_tokens, 0) > 0
+                  THEN CAST(top_cnt AS DOUBLE) / n_tokens ELSE 0 END, 6)
+         AS top_token_frac,
+       round(CASE WHEN coalesce(n_bigrams, 0) > 0
+                  THEN CAST(top_bg AS DOUBLE) / n_bigrams ELSE 0 END, 6)
+         AS top_bigram_frac
+FROM documents d
+LEFT JOIN tstats USING (doc_id)
+LEFT JOIN bstats USING (doc_id)
+""",
+    "x_pii": r"""
+WITH red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_email,
+         CAST(len(regexp_extract_all(text,
+              '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+         CAST(len(regexp_extract_all(text,
+              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+         CAST(len(regexp_extract_all(text,
+              '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ipv4,
+         md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+             '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')) AS redacted_fp
+  FROM documents
+)
+SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
+       n_email + n_phone + n_ssn + n_ipv4 AS n_pii, redacted_fp
+FROM red
 """,
     # x_lsh_topk, x_embedding_neardup_lsh, x_multimodal_features,
     # x_frame_sample: rows-only (no oracle).

@@ -1,0 +1,87 @@
+"""Decontamination, repetition signals, and PII redaction on synthetic
+frames with known ground truth (the parquet fixture has no PII, so these
+tests supply the positive cases the registry row can't)."""
+
+from __future__ import annotations
+
+from flink_realtime_data_eng_spark.functions import contamination, pii, text
+
+
+def test_ngram_overlap_flags_only_real_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "completely different words about spark and shuffles here"),
+         (3, "the quick brown fox jumps over a sleeping cat today")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "someone saw the quick brown fox jumps over the fence")],
+        "doc_id long, text string")
+    got = {(r["train_id"], r["eval_id"]): r["shared_ngrams"]
+           for r in contamination.ngram_overlap(train, ev, n=5).collect()}
+    # doc 1 shares 'the quick brown fox jumps', 'quick brown fox jumps
+    # over', and 'brown fox jumps over the'; doc 3 diverges after 'over'
+    # (...'over a sleeping') so shares only the first two; doc 2 nothing
+    assert set(got) == {(1, 100), (3, 100)}
+    assert got[(1, 100)] == 3 and got[(3, 100)] == 2
+
+
+def test_decontaminate_drops_flagged_keeps_rest(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    kept = contamination.decontaminate(train, ev, n=5).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+    assert set(kept[0].asDict()) == {"doc_id", "text"}  # columns preserved
+
+
+def test_repetition_features_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"),          # 4 tokens, 2 distinct, top 'a'=3
+         (2, "x y x y x y"),      # bigram 'x y' 3 of 5, 'y x' 2 of 5
+         (3, "")],                # empty -> all zeros
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["n_distinct_tokens"]) == (4, 2)
+    assert r1["dup_token_frac"] == 0.5
+    assert r1["top_token_frac"] == 0.75
+    # doc1 bigrams: 'a a','a a','a b' -> top 2/3
+    assert r1["top_bigram_frac"] == round(2 / 3, 6)
+    r2 = got[2]
+    assert r2["top_bigram_frac"] == 0.6
+    assert r2["dup_token_frac"] == round(4 / 6, 6)
+    r3 = got[3]
+    assert (r3["n_tokens"], r3["dup_token_frac"], r3["top_bigram_frac"]) \
+        == (0, 0.0, 0.0)
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or alice@test.org, call 555-123-4567"),
+         (2, "ssn 123-45-6789 from host 192.168.0.1 and 10.0.0.255"),
+         (3, "no pii here at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii.pii_features(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_pii"]) == (2, 1, 3)
+    assert (got[2]["n_ssn"], got[2]["n_ipv4"], got[2]["n_pii"]) == (1, 2, 3)
+    assert got[3]["n_pii"] == 0
+
+    red = {r["doc_id"]: r["text"] for r in pii.redact(df).collect()}
+    assert red[1] == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+    assert red[2] == "ssn <SSN> from host <IP> and <IP>"
+    assert red[3] == "no pii here at all"
+
+
+def test_pii_ssn_not_eaten_by_phone_pattern(spark):
+    # 123-45-6789 must be SSN (3-2-4), not phone (3-3-4); and an email
+    # containing digits must be redacted as one unit before digit patterns
+    df = spark.createDataFrame(
+        [(1, "x 555-123-4567 y 123-45-6789 z a1.2.3.4@b.co")],
+        "doc_id long, text string")
+    r = pii.pii_features(df).collect()[0]
+    assert (r["n_phone"], r["n_ssn"], r["n_email"]) == (1, 1, 1)
+    red = pii.redact(df).collect()[0]["text"]
+    assert red == "x <PHONE> y <SSN> z <EMAIL>"

@@ -29,8 +29,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .functions import (contamination, dedup, multimodal, pii, similarity,
-                        sketches, text)
+from .functions import (contamination, dedup, multimodal, packing, pii,
+                        similarity, sketches, text)
 from .operators import (joins, projections, rollup, split_merge, stateful,
                         stats, windows)
 from .plans import relational
@@ -749,6 +749,18 @@ def x_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.pii_features(_docs(spark, sf_dir))
 
 
+def x_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing offsets (seq_len=256) per source shard:
+    one prefix-sum window pass, partitioned so no global sort exists."""
+    return packing.pack_offsets(_docs(spark, sf_dir), seq_len=256)
+
+
+def x_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares + uniform-target sampling weights: one tiny
+    aggregate + unpartitioned window over the per-source rows."""
+    return packing.source_mixture(_docs(spark, sf_dir))
+
+
 def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p90/p99 of event value per type: per-group sort inside
     ONE hash aggregate, never a global sort."""
@@ -866,6 +878,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_decontaminate": x_decontaminate,
     "x_repetition": x_repetition,
     "x_pii": x_pii,
+    "x_pack_offsets": x_pack_offsets,
+    "x_source_mixture": x_source_mixture,
 }
 
 
@@ -1710,6 +1724,42 @@ WITH red AS (
 SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
        n_email + n_phone + n_ssn + n_ipv4 AS n_pii, redacted_fp
 FROM red
+""",
+    "x_pack_offsets": f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN floor((end_offset - n_tokens) / 256.0)
+                 ELSE -1 END AS BIGINT) AS chunk_first,
+       CAST(CASE WHEN n_tokens > 0 THEN floor((end_offset - 1) / 256.0)
+                 ELSE -1 END AS BIGINT) AS chunk_last
+FROM o
+""",
+    "x_source_mixture": f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(SUM(len({_QF_TOKS})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT *, CAST(SUM(total_tokens) OVER () AS BIGINT) AS corpus_tokens,
+         count(*) OVER () AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / corpus_tokens, 6) AS token_share,
+       round((1.0 / n_sources)
+             / (CAST(total_tokens AS DOUBLE) / corpus_tokens), 6)
+         AS sample_weight
+FROM tot ORDER BY source
 """,
     # x_lsh_topk, x_embedding_neardup_lsh, x_multimodal_features,
     # x_frame_sample: rows-only (no oracle).

@@ -85,3 +85,41 @@ def test_pii_ssn_not_eaten_by_phone_pattern(spark):
     assert (r["n_phone"], r["n_ssn"], r["n_email"]) == (1, 1, 1)
     red = pii.redact(df).collect()[0]["text"]
     assert red == "x <PHONE> y <SSN> z <EMAIL>"
+
+
+def test_pack_offsets_chunk_arithmetic(spark):
+    from flink_realtime_data_eng_spark.functions import packing
+    df = spark.createDataFrame(
+        [("web", 1, "a b c d e"),     # 5 tokens: offsets 0-4, chunks 0-1
+         ("web", 2, "f g h"),         # 3 tokens: offsets 5-7, chunk 1
+         ("web", 3, ""),              # empty: start 8, chunks [-1,-1]
+         ("web", 4, "i j"),           # offsets 8-9, chunk 2-2? (8//4=2)
+         ("book", 9, "x y z")],       # separate shard restarts at 0
+        "source string, doc_id long, text string")
+    got = {(r["source"], r["doc_id"]):
+           (r["n_tokens"], r["start_offset"], r["chunk_first"], r["chunk_last"])
+           for r in packing.pack_offsets(df, seq_len=4).collect()}
+    assert got[("web", 1)] == (5, 0, 0, 1)
+    assert got[("web", 2)] == (3, 5, 1, 1)
+    assert got[("web", 3)] == (0, 8, -1, -1)
+    assert got[("web", 4)] == (2, 8, 2, 2)
+    assert got[("book", 9)] == (3, 0, 0, 0)
+
+
+def test_source_mixture_weights(spark):
+    from flink_realtime_data_eng_spark.functions import packing
+    df = spark.createDataFrame(
+        [("web", 1, "a b c d e f"),   # 6 tokens -> share 0.75
+         ("book", 2, "g h")],         # 2 tokens -> share 0.25
+        "source string, doc_id long, text string")
+    got = {r["source"]: r for r in packing.source_mixture(df).collect()}
+    assert got["web"]["token_share"] == 0.75
+    assert got["book"]["token_share"] == 0.25
+    # uniform target 0.5: web downweighted, book upweighted
+    assert got["web"]["sample_weight"] == round(0.5 / 0.75, 6)
+    assert got["book"]["sample_weight"] == 2.0
+    # explicit target mixture
+    got2 = {r["source"]: r["sample_weight"] for r in packing.source_mixture(
+        df, target_share={"web": 0.9, "book": 0.1}).collect()}
+    assert got2["web"] == round(0.9 / 0.75, 6)
+    assert got2["book"] == round(0.1 / 0.25, 6)

@@ -565,3 +565,25 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str,
                              * (1 - F.col("l_discount"))))
                     .alias("revenue_e4"),
                    F.count(F.lit(1)).alias("n_lines")))
+
+
+def returns_cube(spark: SparkSession, sf_dir: str,
+                 cutoff: str = "1998-09-02") -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets — per
+    pair, per flag, per status, grand total — in ONE aggregate pass.
+
+    Spark plans CUBE as a single Expand + hash aggregate (each input row
+    fans out to its grouping sets map-side, partials combine as usual), so
+    the cost is ~|sets| × one aggregate, never |sets| scans. ``grouping_id``
+    disambiguates a real NULL key from a rolled-up one — required for the
+    oracle hash, since both engines render rolled-up keys as NULL.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+             .cube("l_returnflag", "l_linestatus")
+             .agg(F.grouping_id().cast("bigint").alias("gid"),
+                  F.sum(_e4(F.col("l_quantity"))).alias("sum_qty_e4"),
+                  F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                   .alias("sum_disc_price_e4"),
+                  F.count(F.lit(1)).alias("n_lines"))
+             .orderBy("gid", "l_returnflag", "l_linestatus"))

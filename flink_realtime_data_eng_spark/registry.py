@@ -565,6 +565,10 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.small_quantity_revenue(_prep(spark), sf_dir)
 
 
+def q_returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.returns_cube(_prep(spark), sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -844,6 +848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_order_distribution": q13_order_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity": q17_small_quantity,
+    "q_returns_cube": q_returns_cube,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_bands": q19_disjunctive_bands,
@@ -1501,6 +1506,19 @@ SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
        count(*) AS n_lines
 FROM li JOIN per_part ON l_partkey = ag_partkey
 WHERE 2 * CAST(round(l_quantity * 10000) AS BIGINT) * n_qty < sum_qty_e4
+""",
+    "q_returns_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e4,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
 """,
     "q19_disjunctive_bands": """
 SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))

@@ -242,3 +242,24 @@ def test_q17_half_average_integer_exact(spark):
                    .round().astype("int64").sum())
     assert got["n_lines"] == len(small)
     assert got["revenue_e4"] == want_rev
+
+
+def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
+    """A filter on the partition column must become PartitionFilters on the
+    scan (directory pruning), not a post-scan Filter over all rows."""
+    from flink_realtime_data_eng_spark.operators import bucketing
+    df = spark.createDataFrame(
+        [(i, ["click", "view", "buy"][i % 3], i * 1.5) for i in range(300)],
+        "id long, event_type string, value double")
+    back = bucketing.write_partitioned(
+        df, str(tmp_path / "part"), "event_type", sort_cols=("id",))
+    q = back.filter(F.col("event_type") == "click").select("id")
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "event_type" in seg
+    assert q.count() == 100
+    # the partition column itself is NOT a data filter (no post-scan read)
+    pushed = plan.split("PushedFilters")[1][:120] if "PushedFilters" in plan \
+        else ""
+    assert "event_type" not in pushed

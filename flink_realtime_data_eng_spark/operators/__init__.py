@@ -5,5 +5,5 @@ plans — Catalyst supplies the physical strategy (pushdown, partial aggs,
 broadcast/SMJ selection, AQE skew handling); nothing here hand-schedules.
 """
 
-from . import (bucketing, joins, projections, ranking, rollup, skew,  # noqa: F401
+from . import (bucketing, funnel, joins, projections, ranking, rollup, skew,  # noqa: F401
                split_merge, stateful, stats, windows)

@@ -1,0 +1,89 @@
+"""Event-sequence analytics: funnel conversion and cohort retention.
+
+The product-analytics queries every event pipeline grows (the reference's
+browser-event chapter motivates them but never aggregates beyond counts —
+/root/reference/src/main/java/com/flinklearn/realtime/chapter6/
+CourseUseCase.java:87-119 stops at per-action windows).
+
+Scale shape: both operators hinge on ONE hash-partition by user. The
+funnel's ordered-step timestamps are chained conditional-min windows over
+the same user partition — Catalyst stacks the Window operators on a single
+Exchange, so a 3-step funnel over 100 TB of events still shuffles once.
+Retention adds one aggregate on (cohort, week) after the same per-user
+window. All arithmetic is integer epoch-week/millis — exact across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+def funnel_counts(df: DataFrame, steps: Sequence[str],
+                  user_col: str = "user_id", ts_col: str = "ts_ms",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel user counts: a user converts step i when an event of
+    ``steps[i]`` happens STRICTLY AFTER their step i-1 conversion time
+    (first-touch semantics: the earliest qualifying event per step).
+
+    Output: one row per step — step (1-based), step_name, n_users,
+    conversion (fraction of step-1 users still present, 6 dp).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w = W.partitionBy(user_col)
+    cur = df.select(F.col(user_col), F.col(ts_col).alias("_ts"),
+                    F.col(type_col).alias("_tp"))
+    prev = None
+    tcols = []
+    for i, s in enumerate(steps):
+        cond = F.col("_tp") == s
+        if prev is not None:
+            cond = cond & (F.col("_ts") > F.col(prev))
+        name = f"_t{i}"
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col("_ts"))).over(w))
+        tcols.append(name)
+        prev = name
+    per_user = cur.groupBy(user_col).agg(
+        *[F.min(t).alias(t) for t in tcols])
+    counts = per_user.agg(
+        *[F.count(t).alias(f"n{i}") for i, t in enumerate(tcols)])
+    rows = [F.struct(F.lit(i + 1).alias("step"),
+                     F.lit(s).alias("step_name"),
+                     F.col(f"n{i}").alias("n_users"))
+            for i, s in enumerate(steps)]
+    return (counts.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.step", "r.step_name", "r.n_users")
+            .withColumn(
+                "conversion",
+                F.round(F.col("n_users")
+                        / F.max(F.when(F.col("step") == 1, F.col("n_users")))
+                           .over(W.partitionBy()), 6))
+            .orderBy("step"))
+
+
+def retention_cohorts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts_ms",
+                      horizon_weeks: int = 12) -> DataFrame:
+    """Calendar-week cohort retention: users grouped by the epoch week of
+    their FIRST event; for each later week, how many were active.
+
+    Output: cohort_week_ms (cohort week start, epoch ms), week_idx
+    (0 = cohort week), n_users. week_idx 0 row doubles as cohort size.
+    """
+    w = W.partitionBy(user_col)
+    with_first = df.select(F.col(user_col), F.col(ts_col).alias("_ts")) \
+        .withColumn("_first", F.min("_ts").over(w))
+    wk = F.floor(F.col("_ts") / WEEK_MS)
+    cwk = F.floor(F.col("_first") / WEEK_MS)
+    return (with_first
+            .select(F.col(user_col),
+                    (cwk * WEEK_MS).cast("bigint").alias("cohort_week_ms"),
+                    (wk - cwk).cast("bigint").alias("week_idx"))
+            .filter(F.col("week_idx") <= horizon_weeks)
+            .groupBy("cohort_week_ms", "week_idx")
+            .agg(F.countDistinct(user_col).alias("n_users"))
+            .orderBy("cohort_week_ms", "week_idx"))

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .functions import (contamination, dedup, multimodal, packing, pii,
                         similarity, sketches, text)
-from .operators import (joins, projections, rollup, split_merge, stateful,
+from .operators import (funnel, joins, projections, rollup, split_merge, stateful,
                         stats, windows)
 from .plans import relational
 from .schemas import load_table
@@ -569,6 +569,18 @@ def q_returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.returns_cube(_prep(spark), sf_dir)
 
 
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over events: chained
+    conditional-min windows on ONE user-partition shuffle."""
+    return funnel.funnel_counts(_events(spark, sf_dir),
+                                steps=["view", "click", "purchase"])
+
+
+def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-week cohort retention over events (first-event cohorts)."""
+    return funnel.retention_cohorts(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -885,6 +897,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_pii": x_pii,
     "x_pack_offsets": x_pack_offsets,
     "x_source_mixture": x_source_mixture,
+    "x_funnel": x_funnel,
+    "x_retention": x_retention,
 }
 
 
@@ -1778,6 +1792,52 @@ SELECT source, n_docs, total_tokens,
              / (CAST(total_tokens AS DOUBLE) / corpus_tokens), 6)
          AS sample_weight
 FROM tot ORDER BY source
+""",
+    "x_funnel": """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+), u0 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_ms END) AS t0
+  FROM e GROUP BY 1
+), u1 AS (
+  SELECT e.user_id,
+         min(CASE WHEN event_type = 'click' AND ts_ms > t0 THEN ts_ms END)
+           AS t1
+  FROM e JOIN u0 USING (user_id) GROUP BY 1
+), u2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN event_type = 'purchase' AND ts_ms > t1 THEN ts_ms END)
+           AS t2
+  FROM e JOIN u1 USING (user_id) GROUP BY 1
+), c AS (
+  SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2
+  FROM u0 JOIN u1 USING (user_id) JOIN u2 USING (user_id)
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       CAST(n0 AS BIGINT) AS n_users,
+       round(CAST(n0 AS DOUBLE) / n0, 6) AS conversion FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(n1 AS BIGINT),
+       round(CAST(n1 AS DOUBLE) / n0, 6) FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(n2 AS BIGINT),
+       round(CAST(n2 AS DOUBLE) / n0, 6) FROM c
+""",
+    "x_retention": """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+), f AS (
+  SELECT user_id, ts_ms,
+         min(ts_ms) OVER (PARTITION BY user_id) AS first_ms
+  FROM e
+)
+SELECT CAST((first_ms // 604800000) * 604800000 AS BIGINT) AS cohort_week_ms,
+       CAST(ts_ms // 604800000 - first_ms // 604800000 AS BIGINT) AS week_idx,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f
+WHERE ts_ms // 604800000 - first_ms // 604800000 <= 12
+GROUP BY 1, 2
 """,
     # x_lsh_topk, x_embedding_neardup_lsh, x_multimodal_features,
     # x_frame_sample: rows-only (no oracle).

@@ -123,3 +123,46 @@ def test_source_mixture_weights(spark):
         df, target_share={"web": 0.9, "book": 0.1}).collect()}
     assert got2["web"] == round(0.9 / 0.75, 6)
     assert got2["book"] == round(0.1 / 0.25, 6)
+
+
+def test_funnel_order_matters(spark):
+    from flink_realtime_data_eng_spark.operators import funnel
+    rows = [
+        # u1 completes in order
+        ("u1", 100, "view"), ("u1", 200, "click"), ("u1", 300, "purchase"),
+        # u2 purchases BEFORE clicking: must NOT count at step 3
+        ("u2", 100, "view"), ("u2", 300, "click"), ("u2", 200, "purchase"),
+        # u3 never clicks
+        ("u3", 100, "view"), ("u3", 200, "purchase"),
+        # u4 clicks at the SAME ts as view: strictly-after -> not converted
+        ("u4", 100, "view"), ("u4", 100, "click"),
+        # u5 has no view at all
+        ("u5", 50, "click"), ("u5", 60, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_ms long, event_type string")
+    got = {r["step"]: (r["step_name"], r["n_users"], r["conversion"])
+           for r in funnel.funnel_counts(
+               df, ["view", "click", "purchase"]).collect()}
+    assert got[1] == ("view", 4, 1.0)
+    assert got[2] == ("click", 2, 0.5)       # u1 and u2 (click after view)
+    assert got[3] == ("purchase", 1, 0.25)   # only u1 in order
+    # one user-partition exchange: the chained windows must not stack
+    # shuffles (funnel cost is ONE hash partitioning at any scale)
+    plan = funnel.funnel_counts(df, ["view", "click", "purchase"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_retention_cohort_weeks(spark):
+    from flink_realtime_data_eng_spark.operators import funnel
+    WK = funnel.WEEK_MS
+    rows = [
+        ("a", 0), ("a", WK + 5), ("a", 3 * WK),   # cohort w0, active w0/1/3
+        ("b", 10), ("b", 20),                     # cohort w0, only w0
+        ("c", WK), ("c", 2 * WK),                 # cohort w1, active w1/2
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_ms long")
+    got = {(r["cohort_week_ms"], r["week_idx"]): r["n_users"]
+           for r in funnel.retention_cohorts(df).collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                   (WK, 0): 1, (WK, 1): 1}

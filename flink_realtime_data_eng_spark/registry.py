@@ -581,6 +581,23 @@ def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.retention_cohorts(_events(spark, sf_dir))
 
 
+def x_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction (from_json with explicit schema, map-side)
+    + per-type aggregate over the events props column."""
+    return stats.json_props_stats(_events(spark, sf_dir))
+
+
+def x_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with explicit value list: events per (day, type)
+    as one conditional-count aggregate."""
+    e = _events(spark, sf_dir).withColumn(
+        "day_ms", (F.floor(F.col("ts_ms") / 86400000) * 86400000)
+        .cast("bigint"))
+    return stats.pivot_counts(
+        e, "day_ms", "event_type",
+        ["view", "click", "purchase", "signup", "error"])
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -899,6 +916,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_source_mixture": x_source_mixture,
     "x_funnel": x_funnel,
     "x_retention": x_retention,
+    "x_json_stats": x_json_stats,
+    "x_pivot_daily": x_pivot_daily,
 }
 
 
@@ -1838,6 +1857,32 @@ SELECT CAST((first_ms // 604800000) * 604800000 AS BIGINT) AS cohort_week_ms,
 FROM f
 WHERE ts_ms // 604800000 - first_ms // 604800000 <= 12
 GROUP BY 1, 2
+""",
+    "x_json_stats": """
+WITH e AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type,
+       CAST(count(v) AS BIGINT) AS n_present,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM e GROUP BY event_type
+""",
+    "x_pivot_daily": """
+SELECT CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS day_ms,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS error
+FROM events GROUP BY 1
 """,
     # x_lsh_topk, x_embedding_neardup_lsh, x_multimodal_features,
     # x_frame_sample: rows-only (no oracle).

@@ -133,3 +133,31 @@ def test_exact_group_quantiles_extreme_names(spark):
     assert row["p0"] == 1.0 and row["p100"] == 3.0
     with pytest.raises(ValueError, match="duplicate"):
         stats.exact_group_quantiles(df, ["g"], "v", qs=(0.5, 0.5))
+
+
+def test_json_props_stats_typed_parse_and_nulls(spark):
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.createDataFrame(
+        [("click", '{"k": 5}'), ("click", '{"k": 7}'),
+         ("view", '{"other": 1}'),      # field absent -> null, not counted
+         ("view", "not json at all"),   # malformed -> null, not an error
+         ("view", '{"k": 3}')],
+        "event_type string, props string")
+    got = {r["event_type"]: (r["n_present"], r["sum_v"], r["min_v"], r["max_v"])
+           for r in stats.json_props_stats(df).collect()}
+    assert got["click"] == (2, 12, 5, 7)
+    assert got["view"] == (1, 3, 3, 3)
+
+
+def test_pivot_counts_explicit_values_and_zero_fill(spark):
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b")], "g long, t string")
+    got = {r["g"]: (r["a"], r["b"], r["c"]) for r in
+           stats.pivot_counts(df, "g", "t", ["a", "b", "c"]).collect()}
+    assert got[1] == (2, 1, 0)   # missing combination -> 0, not null
+    assert got[2] == (0, 1, 0)
+    # a value NOT in the explicit list is ignored (no surprise columns)
+    df2 = df.union(spark.createDataFrame([(2, "zzz")], "g long, t string"))
+    cols = stats.pivot_counts(df2, "g", "t", ["a", "b"]).columns
+    assert cols == ["g", "a", "b"]

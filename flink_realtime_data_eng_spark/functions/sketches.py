@@ -98,3 +98,37 @@ def stratified_hash_sample(df: DataFrame, strata_col: str, key_col: str,
         rate_expr = F.when(F.col(strata_col) == s, F.lit(float(r))) \
                      .otherwise(rate_expr)
     return df.where(_unit_hash(prefix, F.col(key_col)) < rate_expr)
+
+
+def approx_distinct_per_group(df: DataFrame, group: str, col: str,
+                              rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct count per group (``approx_count_distinct``):
+    the mergeable-sketch path for COUNT DISTINCT at 100 TB — fixed-size
+    state per group, partial sketches merge map-side, no shuffle of raw
+    values (the exact form shuffles every distinct value once).
+
+    Not oracle-hashable (engine-specific sketch), so registered rows-only;
+    the pytest contract asserts the relative error stays within ~3×rsd of
+    the exact answer on the fixture.
+    """
+    return (df.groupBy(group)
+              .agg(F.approx_count_distinct(col, rsd).alias("approx_distinct"),
+                   F.count(F.lit(1)).alias("n_rows"))
+              .orderBy(group))
+
+
+def approx_group_quantiles(df: DataFrame, group: str, col: str,
+                           probabilities: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+                           accuracy: int = 10_000) -> DataFrame:
+    """Mergeable approximate quantiles per group (``percentile_approx``,
+    Greenwald-Khanna style sketch): bounded memory per group vs the exact
+    per-group sort — the swap-in when one group holds billions of rows
+    (operators/stats.exact_group_quantiles is the oracle-checkable twin).
+    """
+    qs = F.percentile_approx(F.col(col), list(probabilities), accuracy)
+    out = (df.groupBy(group)
+             .agg(F.count(col).alias("n"), qs.alias("_qs")))
+    return out.select(
+        group, "n",
+        *[F.round(F.col("_qs")[i], 6).alias(f"p{int(p * 100)}")
+          for i, p in enumerate(probabilities)]).orderBy(group)

@@ -581,6 +581,21 @@ def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.retention_cohorts(_events(spark, sf_dir))
 
 
+def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per event type — mergeable sketch, no raw-value
+    shuffle. Rows-only (sketch answers are engine-specific); the error
+    bound vs the exact count is pinned in tests."""
+    return sketches.approx_distinct_per_group(
+        _events(spark, sf_dir), "event_type", "user_id")
+
+
+def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx per event type — bounded-memory quantile sketch
+    (rows-only; exact twin is x_group_quantiles)."""
+    return sketches.approx_group_quantiles(
+        _events(spark, sf_dir), "event_type", "value")
+
+
 def x_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON extraction (from_json with explicit schema, map-side)
     + per-type aggregate over the events props column."""
@@ -918,6 +933,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_retention": x_retention,
     "x_json_stats": x_json_stats,
     "x_pivot_daily": x_pivot_daily,
+    "x_hll_distinct": x_hll_distinct,
+    "x_approx_quantiles": x_approx_quantiles,
 }
 
 

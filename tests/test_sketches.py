@@ -161,3 +161,38 @@ def test_pivot_counts_explicit_values_and_zero_fill(spark):
     df2 = df.union(spark.createDataFrame([(2, "zzz")], "g long, t string"))
     cols = stats.pivot_counts(df2, "g", "t", ["a", "b"]).columns
     assert cols == ["g", "a", "b"]
+
+
+def test_hll_distinct_error_bound(spark):
+    from flink_realtime_data_eng_spark.functions import sketches
+    sf = "/root/testdata/sf0.01"
+    from flink_realtime_data_eng_spark.schemas import load_table
+    e = load_table(spark, sf, "events")
+    got = {r["event_type"]: r["approx_distinct"] for r in
+           sketches.approx_distinct_per_group(e, "event_type", "user_id")
+           .collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             e.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(got) == set(exact)
+    for t, n in exact.items():
+        assert abs(got[t] - n) <= max(3, 0.15 * n), (t, got[t], n)
+
+
+def test_approx_quantiles_bracket_exact(spark):
+    from flink_realtime_data_eng_spark.functions import sketches
+    from flink_realtime_data_eng_spark.operators import stats
+    from flink_realtime_data_eng_spark.schemas import load_table
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    approx = {r["event_type"]: r for r in
+              sketches.approx_group_quantiles(e, "event_type", "value")
+              .collect()}
+    exact = {r["event_type"]: r for r in
+             stats.exact_group_quantiles(e, ["event_type"], "value")
+             .collect()}
+    for t in exact:
+        # percentile_approx returns a REAL element of the group, within
+        # rank error; exact interpolates — allow a small relative band
+        for p in ("p25", "p50", "p90"):
+            lo, hi = 0.8 * exact[t][p], 1.2 * exact[t][p] + 1e-6
+            assert lo <= approx[t][p] <= hi, (t, p, approx[t][p], exact[t][p])

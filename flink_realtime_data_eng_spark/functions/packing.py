@@ -33,7 +33,11 @@ def pack_offsets(df: DataFrame, seq_len: int = 2048,
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     n_tok = F.size(tokens(text_col))
-    w = (W.partitionBy(shard_col).orderBy(id_col)
+    # n_tokens as tiebreak: with duplicate (shard, id) rows a plain
+    # ORDER BY id leaves the running sum engine/run-nondeterministic;
+    # adding the measure makes the assignment a deterministic multiset
+    # (equal rows are interchangeable, unequal rows are ordered).
+    w = (W.partitionBy(shard_col).orderBy(id_col, "n_tokens")
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     with_off = (df.select(F.col(shard_col), F.col(id_col),
                           n_tok.alias("n_tokens"))

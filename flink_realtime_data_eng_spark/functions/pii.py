@@ -26,33 +26,46 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+def _redacted_col(text_col: str) -> "F.Column":
+    """The masked-text expression — the ONE definition both the fingerprint
+    and :func:`redact` use, so they can never drift apart."""
+    red = F.col(text_col)
+    for _, (pat, tag) in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, tag)
+    return red
+
+
 def pii_features(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-document PII hit counts plus a fingerprint of the redacted text.
+
+    Counts are STAGED like the redaction itself: each pattern counts on the
+    text with all earlier patterns already masked, so n_<pattern> is
+    exactly the number of ``<TAG>`` spans that pattern contributes and
+    n_pii equals the total masked spans (a phone-shaped substring inside an
+    email is part of the email, not a second hit).
 
     Output: id, n_email, n_phone, n_ssn, n_ipv4, n_pii (total), redacted_fp
     (md5 of the text after masking, so the oracle can verify the redaction
     byte-for-byte without shipping the redacted text around).
     """
-    counts = [F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
-               .alias(f"n_{name}")
-              for name, (pat, _) in PII_PATTERNS.items()]
-    out = df.select(F.col(id_col), F.col(text_col), *counts)
+    staged = F.col(text_col)
+    count_cols = []
+    for name, (pat, tag) in PII_PATTERNS.items():
+        count_cols.append(
+            F.regexp_count(staged, F.lit(pat)).cast("bigint")
+             .alias(f"n_{name}"))
+        staged = F.regexp_replace(staged, pat, tag)
+    out = df.select(F.col(id_col), F.col(text_col), *count_cols)
     total = sum((F.col(f"n_{name}") for name in PII_PATTERNS),
                 F.lit(0).cast("bigint"))
-    red = F.col(text_col)
-    for name, (pat, tag) in PII_PATTERNS.items():
-        red = F.regexp_replace(red, pat, tag)
     return out.select(
         F.col(id_col),
         *[F.col(f"n_{name}") for name in PII_PATTERNS],
         total.alias("n_pii"),
-        F.md5(red).alias("redacted_fp"))
+        F.md5(_redacted_col(text_col)).alias("redacted_fp"))
 
 
 def redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All input columns with ``text_col`` replaced by its masked form."""
-    red = F.col(text_col)
-    for _, (pat, tag) in PII_PATTERNS.items():
-        red = F.regexp_replace(red, pat, tag)
-    return df.withColumn(text_col, red)
+    return df.withColumn(text_col, _redacted_col(text_col))

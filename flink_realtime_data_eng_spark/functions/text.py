@@ -169,7 +169,6 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     every other map-side op. Docs with no tokens keep 0-valued features
     (left join from the id spine).
     """
-    from pyspark.sql import Window as W
     spine = df.select(F.col(id_col))
     toks = df.select(
         F.col(id_col),

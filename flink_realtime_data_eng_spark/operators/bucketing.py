@@ -69,4 +69,12 @@ def write_partitioned(df: DataFrame, path: str, *part_cols: str,
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
-    return df.sparkSession.read.parquet(path)
+    # Hive-style read-back moves partition columns last and type-infers
+    # them from directory names (string '007' would come back as int 7);
+    # passing the input schema pins partition-column types (no inference,
+    # leading zeros survive) and a select restores column order, so the
+    # round trip is schema-transparent. NULL partition values still
+    # round-trip as __HIVE_DEFAULT_PARTITION__, an inherent property of
+    # the layout.
+    back = df.sparkSession.read.schema(df.schema).parquet(path)
+    return back.select(*[f.name for f in df.schema.fields])

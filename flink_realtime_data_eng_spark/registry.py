@@ -1770,28 +1770,40 @@ LEFT JOIN tstats USING (doc_id)
 LEFT JOIN bstats USING (doc_id)
 """,
     "x_pii": r"""
-WITH red AS (
+WITH s1 AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text,
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
            AS n_email,
-         CAST(len(regexp_extract_all(text,
-              '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
-         CAST(len(regexp_extract_all(text,
-              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
-         CAST(len(regexp_extract_all(text,
-              '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ipv4,
-         md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
-             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
-             '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')) AS redacted_fp
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g') AS t1
   FROM documents
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1,
+              '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+         regexp_replace(t1, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+                        '<PHONE>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_phone,
+         CAST(len(regexp_extract_all(t2,
+              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+         regexp_replace(t2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g')
+           AS t3
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_email, n_phone, n_ssn,
+         CAST(len(regexp_extract_all(t3,
+              '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t3, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')
+           AS t4
+  FROM s3
 )
 SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
-       n_email + n_phone + n_ssn + n_ipv4 AS n_pii, redacted_fp
-FROM red
+       n_email + n_phone + n_ssn + n_ipv4 AS n_pii, md5(t4) AS redacted_fp
+FROM s4
 """,
     "x_pack_offsets": f"""
 WITH t AS (
@@ -1799,7 +1811,8 @@ WITH t AS (
   FROM documents
 ), o AS (
   SELECT source, doc_id, n_tokens,
-         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id, n_tokens
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
   FROM t
 )

@@ -166,3 +166,13 @@ def test_retention_cohort_weeks(spark):
            for r in funnel.retention_cohorts(df).collect()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
                    (WK, 0): 1, (WK, 1): 1}
+
+
+def test_pii_counts_match_masked_spans(spark):
+    # a phone-shaped substring INSIDE an email is part of the email: counts
+    # are staged like the redaction, so n_pii == number of <TAG> spans
+    df = spark.createDataFrame(
+        [(1, "call 555-123-4567@corp.com")], "doc_id long, text string")
+    r = pii.pii_features(df).collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_pii"]) == (1, 0, 1)
+    assert pii.redact(df).collect()[0]["text"] == "call <EMAIL>"

@@ -263,3 +263,14 @@ def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
     pushed = plan.split("PushedFilters")[1][:120] if "PushedFilters" in plan \
         else ""
     assert "event_type" not in pushed
+
+
+def test_partitioned_roundtrip_preserves_schema(spark, tmp_path):
+    """Read-back must return the INPUT schema: original column order and
+    no partition-value type inference ('007' stays a string, zeros kept)."""
+    from flink_realtime_data_eng_spark.operators import bucketing
+    df = spark.createDataFrame(
+        [("007", 1, 2.5), ("2024", 2, 3.5)], "code string, id long, v double")
+    back = bucketing.write_partitioned(df, str(tmp_path / "p2"), "code")
+    assert back.schema == df.schema
+    assert sorted(r["code"] for r in back.collect()) == ["007", "2024"]

@@ -587,3 +587,184 @@ def returns_cube(spark: SparkSession, sf_dir: str,
                    .alias("sum_disc_price_e4"),
                   F.count(F.lit(1)).alias("n_lines"))
              .orderBy("gid", "l_returnflag", "l_linestatus"))
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str,
+                      size: int = 15, region: str = "EUROPE") -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table in the corpus, so the part↔supplier
+    cost relation is derived from lineitem: a supplier's cost for a part is
+    its best observed unit price): for every part of the given size, the
+    region's cheapest supplier(s).
+
+    The defining pattern is the correlated scalar MIN subquery; here it is
+    the window rewrite — one shuffle on p_partkey computes the per-part
+    minimum and the argmin filter in the same exchange, instead of a
+    self-join back onto the aggregated subquery. Unit price is rounded to
+    fixed-point e4 per row *before* the MIN, so equality at the minimum is
+    exact integer comparison in both engines. Ties keep all suppliers at
+    the minimum (Q2 semantics). Dims (part slice, supplier⋈nation⋈region)
+    broadcast; lineitem is the only large input and arrives pre-aggregated
+    per (part, supplier) before the window.
+    """
+    from pyspark.sql import Window as W
+    n = load_table(spark, sf_dir, "nation")
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == region))
+    s = (load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_size") == size)
+         .select("p_partkey", "p_name", "p_type"))
+    li = load_table(spark, sf_dir, "lineitem")
+    unit_e4 = _e4(F.col("l_extendedprice") / F.col("l_quantity"))
+    costs = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+               .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+               .groupBy("p_partkey", "p_name", "p_type",
+                        "s_suppkey", "s_name", "s_acctbal", "n_name")
+               .agg(F.min(unit_e4).alias("cost_e4")))
+    min_w = F.min("cost_e4").over(W.partitionBy("p_partkey"))
+    return (costs.withColumn("_min", min_w)
+                 .filter(F.col("cost_e4") == F.col("_min"))
+                 .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                         "p_name", "cost_e4")
+                 .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                          "p_partkey"))
+
+
+def important_parts(spark: SparkSession, sf_dir: str,
+                    nation: str = "NATION_1",
+                    fraction_permille: int = 1) -> DataFrame:
+    """TPC-H Q11 shape (lineitem value in place of partsupp stock value):
+    parts whose revenue through one nation's suppliers exceeds a fixed
+    fraction of that nation's total.
+
+    The defining pattern is HAVING-against-a-global-scalar: the same
+    aggregate feeds both sides, the grand total collapses to one row and
+    broadcasts, and the threshold test is exact integer cross-multiplication
+    (val_e4 * 1000 > total_e4 * permille) — no float fraction to disagree
+    on at the boundary. One shuffle for the per-part aggregate; the total
+    derives from it without rescanning lineitem.
+    """
+    n = (load_table(spark, sf_dir, "nation")
+         .filter(F.col("n_name") == nation))
+    s = (load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey"))
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+                  .groupBy("l_partkey")
+                  .agg(F.sum(_e4(F.col("l_extendedprice"))).alias("val_e4")))
+    total = per_part.agg(F.sum("val_e4").alias("total_e4"))
+    return (per_part.crossJoin(F.broadcast(total))
+                    .filter(F.col("val_e4") * 1000
+                            > F.col("total_e4") * fraction_permille)
+                    .select("l_partkey", "val_e4")
+                    .orderBy(F.col("val_e4").desc(), "l_partkey"))
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str,
+                         excl_brand: str = "Brand#1",
+                         sizes: tuple = (1, 15, 22, 30, 49)) -> DataFrame:
+    """TPC-H Q16 shape (lineitem as the part↔supplier relation; suppliers
+    with negative balance stand in for the complaints exclusion): distinct
+    supplier count per (brand, type, size) outside one brand.
+
+    The defining pattern is NOT IN → LEFT ANTI join (the exclusion list is
+    tiny and broadcasts) feeding a COUNT(DISTINCT). The distinct is planned
+    as Spark's two-phase expand aggregate: partial distinct on
+    (brand,type,size,suppkey) map-side, exact count final — no row set ever
+    collects to one node. Part slice broadcasts; lineitem is the only
+    large side.
+    """
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != excl_brand)
+                 & F.col("p_size").isin(*sizes))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                    "left_anti")
+              .groupBy("p_brand", "p_type",
+                       F.col("p_size").cast("bigint").alias("p_size"))
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+              .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                       "p_size"))
+
+
+def prolific_suppliers(spark: SparkSession, sf_dir: str,
+                       name_like: str = "%red%",
+                       year_from: str = "1997-01-01",
+                       year_to: str = "1998-01-01",
+                       min_qty: int = 40) -> DataFrame:
+    """TPC-H Q20 shape (shipped quantity in place of available stock):
+    suppliers that moved more than ``min_qty`` units of any name-matched
+    part inside one year.
+
+    The defining pattern is the nested semi-join chain: part-name filter →
+    per-(supplier, part) quantity aggregate → HAVING → LEFT SEMI into
+    supplier. The semi join deduplicates supplier keys inside the join
+    (no distinct pass) and nothing from the big side survives past it.
+    Quantity threshold is exact fixed-point (sum_qty_e4 > min_qty*1e4).
+    """
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").like(name_like)).select("p_partkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit(year_from).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(year_to).cast("timestamp"))))
+    movers = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("l_suppkey", "l_partkey")
+                .agg(F.sum(_e4(F.col("l_quantity"))).alias("qty_e4"))
+                .filter(F.col("qty_e4") > min_qty * 10_000)
+                .select("l_suppkey"))
+    n = load_table(spark, sf_dir, "nation")
+    s = (load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")))
+    return (s.join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+             .select("s_suppkey", "s_name", "n_name")
+             .orderBy("s_suppkey"))
+
+
+def waiting_orders(spark: SparkSession, sf_dir: str,
+                   late_days: int = 90, k: int = 100) -> DataFrame:
+    """TPC-H Q21 shape ("late" = shipped more than ``late_days`` after the
+    order date, standing in for receipt-past-commit): suppliers who were
+    the SOLE late supplier on a finalized multi-supplier order.
+
+    The reference pattern is EXISTS (another supplier on the order) plus
+    NOT EXISTS (another LATE supplier); here both collapse into per-order
+    window aggregates over the (order, supplier) late flags — n_supp and
+    n_late computed in the flags' own partitioning, no self-join back, no
+    per-order side table: qualify when late ∧ n_supp ≥ 2 ∧ n_late = 1.
+    Three narrow shuffles total (flags composite key, window on order key,
+    final supplier rollup) replace two correlated self-joins over lineitem
+    — the 100 TB shape. The oracle states the EXISTS/NOT EXISTS form
+    directly, proving the rewrite equivalent. Top-k via
+    TakeOrderedAndProject (no global sort).
+    """
+    from pyspark.sql import Window as W
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {int(late_days)} DAYS")
+    flags = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+               .groupBy("l_orderkey", "l_suppkey")
+               .agg(F.max(late.cast("int")).alias("late")))
+    w = W.partitionBy("l_orderkey")
+    sole = (flags.withColumn("n_supp", F.count(F.lit(1)).over(w))
+                 .withColumn("n_late", F.sum("late").over(w))
+                 .filter((F.col("late") == 1) & (F.col("n_supp") >= 2)
+                         & (F.col("n_late") == 1)))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (sole.groupBy("l_suppkey")
+                .agg(F.count(F.lit(1)).alias("numwait"))
+                .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+                .select("s_name", "numwait")
+                .orderBy(F.col("numwait").desc(), "s_name")
+                .limit(k))

@@ -569,6 +569,26 @@ def q_returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.returns_cube(_prep(spark), sf_dir)
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.min_cost_supplier(_prep(spark), sf_dir)
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.important_parts(_prep(spark), sf_dir)
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.supplier_part_counts(_prep(spark), sf_dir)
+
+
+def q20_prolific_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.prolific_suppliers(_prep(spark), sf_dir)
+
+
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.waiting_orders(_prep(spark), sf_dir)
+
+
 def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel over events: chained
     conditional-min windows on ONE user-partition shuffle."""
@@ -893,6 +913,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity": q17_small_quantity,
     "q_returns_cube": q_returns_cube,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_prolific_suppliers": q20_prolific_suppliers,
+    "q21_waiting_orders": q21_waiting_orders,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_bands": q19_disjunctive_bands,
@@ -1556,6 +1581,77 @@ SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
        count(*) AS n_lines
 FROM li JOIN per_part ON l_partkey = ag_partkey
 WHERE 2 * CAST(round(l_quantity * 10000) AS BIGINT) * n_qty < sum_qty_e4
+""",
+    "q2_min_cost_supplier": """
+WITH costs AS (
+  SELECT p_partkey, p_name, s.s_suppkey, s_name, s_acctbal, n_name,
+         CAST(MIN(CAST(round(l_extendedprice / l_quantity * 10000) AS BIGINT))
+              AS BIGINT) AS cost_e4
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_size = 15
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY ALL)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_e4
+FROM costs c
+WHERE cost_e4 = (SELECT MIN(c2.cost_e4) FROM costs c2
+                 WHERE c2.p_partkey = c.p_partkey)
+""",
+    "q11_important_parts": """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT)
+           AS val_e4
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+  GROUP BY 1)
+SELECT l_partkey, val_e4
+FROM per_part, (SELECT SUM(val_e4) AS total_e4 FROM per_part)
+WHERE val_e4 * 1000 > total_e4 * 1
+""",
+    "q16_supplier_part_counts": """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 15, 22, 30, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    "q20_prolific_suppliers": """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(round(l_quantity * 10000) AS BIGINT)) > 400000)
+""",
+    "q21_waiting_orders": """
+WITH lf AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+sole AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lf l1
+  WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+    AND EXISTS (SELECT 1 FROM lf l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lf l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY))
+SELECT s_name, count(*) AS numwait
+FROM sole JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY sole.l_suppkey, s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """,
     "q_returns_cube": """
 SELECT l_returnflag, l_linestatus,

@@ -274,3 +274,67 @@ def test_partitioned_roundtrip_preserves_schema(spark, tmp_path):
     back = bucketing.write_partitioned(df, str(tmp_path / "p2"), "code")
     assert back.schema == df.schema
     assert sorted(r["code"] for r in back.collect()) == ["007", "2024"]
+
+
+def test_q21_sole_late_supplier_no_self_join(spark):
+    """Tiny hand corpus: order 1 has two suppliers, only supplier 10 late
+    (qualifies); order 2 single-supplier late (fails EXISTS); order 3 has
+    two late suppliers (fails NOT EXISTS). Plan must contain no join
+    between lineitem-derived branches (window rewrite, not self-join)."""
+    import datetime as dt
+    from unittest import mock
+    d = lambda s: dt.datetime.fromisoformat(s)
+    li = spark.createDataFrame(
+        [(1, 10, d("1997-06-01")), (1, 11, d("1997-01-05")),
+         (2, 10, d("1997-06-01")),
+         (3, 10, d("1997-06-01")), (3, 11, d("1997-07-01"))],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp")
+    o = spark.createDataFrame(
+        [(1, "F", d("1997-01-01")), (2, "F", d("1997-01-01")),
+         (3, "F", d("1997-01-01"))],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp")
+    s = spark.createDataFrame([(10, "S10"), (11, "S11")],
+                              "s_suppkey long, s_name string")
+    tables = {"lineitem": li, "orders": o, "supplier": s}
+    with mock.patch.object(relational, "load_table",
+                           lambda _sp, _sf, t: tables[t]):
+        out = relational.waiting_orders(spark, "ignored")
+        assert [(r["s_name"], r["numwait"]) for r in out.collect()] \
+            == [("S10", 1)]
+        # exactly 2 joins (lineitem⋈orders, supplier lookup) and a Window:
+        # the EXISTS/NOT-EXISTS pair must NOT appear as extra self-joins
+        plan = _plan(out).split("== Initial Plan ==")[0]
+        assert plan.count("Join") == 2 and "Window" in plan
+
+
+def test_q2_keeps_all_min_cost_ties(spark):
+    """Two suppliers at the same minimum unit price for one part must BOTH
+    survive the argmin (Q2 tie semantics via window-min equality)."""
+    import datetime as dt
+    from unittest import mock
+    d = dt.datetime.fromisoformat
+    li = spark.createDataFrame(
+        [(1, 10, 100, 2.0, 20.0, d("1997-01-01")),
+         (2, 11, 100, 4.0, 40.0, d("1997-01-01")),   # same 10.0 unit price
+         (3, 12, 100, 1.0, 99.0, d("1997-01-01"))],  # more expensive
+        "l_orderkey long, l_suppkey long, l_partkey long, "
+        "l_quantity double, l_extendedprice double, l_shipdate timestamp")
+    p = spark.createDataFrame([(100, "bolt", "T", 15)],
+                              "p_partkey long, p_name string, "
+                              "p_type string, p_size int")
+    s = spark.createDataFrame(
+        [(10, "S10", 5.0, 0), (11, "S11", 6.0, 0), (12, "S12", 7.0, 0)],
+        "s_suppkey long, s_name string, s_acctbal double, s_nationkey int")
+    n = spark.createDataFrame([(0, "N", 0)],
+                              "n_nationkey int, n_name string, "
+                              "n_regionkey int")
+    r = spark.createDataFrame([(0, "EUROPE")],
+                              "r_regionkey int, r_name string")
+    tables = {"lineitem": li, "part": p, "supplier": s,
+              "nation": n, "region": r}
+    with mock.patch.object(relational, "load_table",
+                           lambda _sp, _sf, t: tables[t]):
+        out = relational.min_cost_supplier(spark, "ignored")
+        got = sorted((row["s_name"], row["cost_e4"])
+                     for row in out.collect())
+        assert got == [("S10", 100000), ("S11", 100000)]

@@ -220,3 +220,24 @@ def neardup_clusters(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     cc = connected_components(pairs, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias(id_col),
                      F.col("label").alias("cluster_id"))
+
+
+def repeated_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Boilerplate / span-level duplication report: the ``n``-token spans
+    that appear in at least ``min_docs`` distinct documents (headers,
+    footers, license blocks — the spans span-dedup pipelines cut).
+
+    Spans are the word n-grams from :func:`shingles` (already distinct per
+    doc), fingerprinted map-side so the single aggregate shuffle moves only
+    (32-char fp, id) pairs — never span text. COUNT(DISTINCT id) is exact;
+    the HAVING prunes the long unique tail at the reducer, so output is
+    proportional to actual boilerplate, not corpus size.
+
+    Output: span_fp, n_docs.
+    """
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    return (sh.groupBy(F.md5(F.col("shingle")).alias("span_fp"))
+              .agg(F.countDistinct(id_col).alias("n_docs"))
+              .filter(F.col("n_docs") >= min_docs))

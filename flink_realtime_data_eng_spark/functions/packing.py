@@ -92,3 +92,39 @@ def source_mixture(df: DataFrame, text_col: str = "text",
                     F.round(share, 6).alias("token_share"),
                     F.round(target / share, 6).alias("sample_weight"))
             .orderBy(source_col))
+
+
+def chunk_documents(df: DataFrame, chunk_size: int = 64, overlap: int = 16,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Overlapping token-window chunking (context-window prep: one training
+    sample per chunk, ``overlap`` tokens of left context carried over).
+
+    Chunks start every ``chunk_size - overlap`` tokens; the last chunk may
+    be short; an empty doc still yields one empty chunk (the id survives).
+    Pure JVM higher-order expressions — tokenize once, ``posexplode`` the
+    start sequence, ``slice`` per start — so the op is map-side only: no
+    shuffle, no UDF, and the explode fan-out is bounded by
+    ceil(n_tokens/step) rows per doc. Chunk text leaves the operator only
+    as an md5 fingerprint (``chunk_fp``) — at 100 TB the chunk bodies are
+    re-sliced by the consumer from the token stream, not shipped through
+    every downstream exchange.
+
+    Output: id, chunk_idx (0-based), chunk_start (0-based token offset),
+    chunk_len, chunk_fp.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    step = chunk_size - overlap
+    d = df.select(F.col(id_col), tokens(text_col).alias("tk"))
+    starts = F.expr(f"sequence(1, greatest(size(tk), 1), {step})")
+    e = d.select(F.col(id_col), F.col("tk"),
+                 F.posexplode(starts).alias("chunk_idx", "s"))
+    chunk = F.expr(f"slice(tk, s, {chunk_size})")
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("s") - 1).cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"))

@@ -829,6 +829,19 @@ def x_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.source_mixture(_docs(spark, sf_dir))
 
 
+def x_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16 overlap):
+    map-side-only posexplode+slice, chunk bodies leave only as md5 fps."""
+    return packing.chunk_documents(_docs(spark, sf_dir),
+                                   chunk_size=64, overlap=16)
+
+
+def x_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication report: 8-token spans in ≥2 distinct docs —
+    fingerprint map-side, one exact distinct-count aggregate."""
+    return dedup.repeated_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
 def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p90/p99 of event value per type: per-group sort inside
     ONE hash aggregate, never a global sort."""
@@ -953,6 +966,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_repetition": x_repetition,
     "x_pii": x_pii,
     "x_pack_offsets": x_pack_offsets,
+    "x_chunks": x_chunks,
+    "x_repeated_spans": x_repeated_spans,
     "x_source_mixture": x_source_mixture,
     "x_funnel": x_funnel,
     "x_retention": x_retention,
@@ -1900,6 +1915,31 @@ WITH s1 AS (
 SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
        n_email + n_phone + n_ssn + n_ipv4 AS n_pii, md5(t4) AS redacted_fp
 FROM s4
+""",
+    "x_chunks": f"""
+WITH toks AS (
+  SELECT doc_id, {_QF_TOKS} AS tk FROM documents
+), st AS (
+  SELECT doc_id, tk, unnest(range(1, greatest(len(tk), 1) + 1, 48)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+       CAST(s - 1 AS BIGINT) AS chunk_start,
+       CAST(len(tk[s:s+63]) AS BIGINT) AS chunk_len,
+       md5(array_to_string(tk[s:s+63], ' ')) AS chunk_fp
+FROM st
+""",
+    "x_repeated_spans": f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS span_fp
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 7
+)
+SELECT span_fp, count(*) AS n_docs
+FROM sh GROUP BY 1 HAVING count(*) >= 2
 """,
     "x_pack_offsets": f"""
 WITH t AS (

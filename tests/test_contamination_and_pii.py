@@ -176,3 +176,37 @@ def test_pii_counts_match_masked_spans(spark):
     r = pii.pii_features(df).collect()[0]
     assert (r["n_email"], r["n_phone"], r["n_pii"]) == (1, 0, 1)
     assert pii.redact(df).collect()[0]["text"] == "call <EMAIL>"
+
+
+def test_chunk_documents_covers_every_token_once_per_stride(spark):
+    from flink_realtime_data_eng_spark.functions import packing
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "")],
+        "doc_id long, text string")
+    out = packing.chunk_documents(df, chunk_size=4, overlap=2).collect()
+    d1 = sorted((r["chunk_idx"], r["chunk_start"], r["chunk_len"])
+                for r in out if r["doc_id"] == 1)
+    # starts every stride=2 tokens: 0,2,4,6,8; last chunk truncated
+    assert d1 == [(0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4), (4, 8, 2)]
+    d2 = [(r["chunk_idx"], r["chunk_len"]) for r in out if r["doc_id"] == 2]
+    assert d2 == [(0, 0)]  # empty doc keeps its id with one empty chunk
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+    from flink_realtime_data_eng_spark.functions import packing
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_repeated_spans_finds_cross_doc_boilerplate(spark):
+    from flink_realtime_data_eng_spark.functions import dedup
+    boiler = "this content is provided as is without any warranty"
+    df = spark.createDataFrame(
+        [(1, "intro text " + boiler), (2, boiler + " and more"),
+         (3, "totally different words here entirely unique content stream")],
+        "doc_id long, text string")
+    out = dedup.repeated_spans(df, n=5, min_docs=2).collect()
+    # every 5-gram inside the shared 9-token span appears in docs 1 and 2
+    assert len(out) == 5 and all(r["n_docs"] == 2 for r in out)

@@ -48,17 +48,19 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym["b"] == labels["node"])
                  .groupBy("a").agg(F.min("label").alias("nlabel")))
-        new_labels = (
-            labels.join(neigh, labels["node"] == neigh["a"], "left")
-                  .select(labels["node"],
-                          F.least(labels["label"],
-                                  F.coalesce(F.col("nlabel"), labels["label"]))
-                           .alias("label"))
-                  .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+        # Carry the old label through the update join so convergence is a
+        # filter+count on the checkpointed result — no second join of two
+        # full node sets per round just to detect change.
+        step = (labels.join(neigh, labels["node"] == neigh["a"], "left")
+                      .select(labels["node"],
+                              labels["label"].alias("old_label"),
+                              F.least(labels["label"],
+                                      F.coalesce(F.col("nlabel"),
+                                                 labels["label"]))
+                               .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = step.filter(F.col("label") != F.col("old_label")).count()
+        labels = step.select("node", "label")
         if changed == 0:
             return labels
     raise RuntimeError(

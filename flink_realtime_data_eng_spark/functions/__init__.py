@@ -5,5 +5,5 @@ functions) — no Python in the per-row path; the only Pandas-UDF usage is the
 multimodal decode plumbing where binary payloads genuinely need user code.
 """
 
-from . import (contamination, dedup, graph, multimodal,  # noqa: F401
-               packing, pii, similarity, sketches, text)
+from . import (contamination, dedup, filtering, graph,  # noqa: F401
+               multimodal, packing, pii, similarity, sketches, text)

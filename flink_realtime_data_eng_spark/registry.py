@@ -29,8 +29,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .functions import (contamination, dedup, multimodal, packing, pii,
-                        similarity, sketches, text)
+from .functions import (contamination, dedup, filtering, multimodal, packing,
+                        pii, similarity, sketches, text)
 from .operators import (funnel, joins, projections, rollup, split_merge, stateful,
                         stats, windows)
 from .plans import relational
@@ -842,6 +842,12 @@ def x_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_spans(_docs(spark, sf_dir), n=8, min_docs=2)
 
 
+def x_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4-style cleaning verdict (length/repetition/stopword/PII/
+    dedup) with per-rule audit flags: one scan + one fingerprint window."""
+    return filtering.corpus_filter(_docs(spark, sf_dir))
+
+
 def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p90/p99 of event value per type: per-group sort inside
     ONE hash aggregate, never a global sort."""
@@ -968,6 +974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_pack_offsets": x_pack_offsets,
     "x_chunks": x_chunks,
     "x_repeated_spans": x_repeated_spans,
+    "x_corpus_filter": x_corpus_filter,
     "x_source_mixture": x_source_mixture,
     "x_funnel": x_funnel,
     "x_retention": x_retention,
@@ -1940,6 +1947,55 @@ WITH words AS (
 )
 SELECT span_fp, count(*) AS n_docs
 FROM sh GROUP BY 1 HAVING count(*) >= 2
+""",
+    "x_corpus_filter": f"""
+WITH t AS (
+  SELECT doc_id, text, {_QF_TOKS} AS tk FROM documents
+), s1 AS (
+  SELECT doc_id, tk,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+           AS c1,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>',
+             'g') AS t1,
+         md5({_NORM_SQL}) AS fp,
+         CASE WHEN len(tk) > 0 THEN
+           1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS dup_frac,
+         CASE WHEN len(tk) > 0 THEN
+           CAST(len(regexp_extract_all(lower(text),
+                '\\b(the|and|of|to|is|a|in|that)\\b')) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS stop_ratio
+  FROM t
+), s2 AS (
+  SELECT *, c1 + CAST(len(regexp_extract_all(t1,
+              '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b')) AS BIGINT) AS c2,
+         regexp_replace(t1, '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b',
+                        '<PHONE>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, c2 + CAST(len(regexp_extract_all(t2,
+              '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b')) AS BIGINT) AS c3,
+         regexp_replace(t2, '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b', '<SSN>',
+                        'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT *, c3 + CAST(len(regexp_extract_all(t3,
+              '\\b[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}\\b')) AS BIGINT) AS n_pii
+  FROM s3
+), fl AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         (len(tk) < 20 OR len(tk) > 10000) AS fail_len,
+         (dup_frac > 0.6) AS fail_rep,
+         (stop_ratio < 0.02) AS fail_stop,
+         (n_pii > 0) AS fail_pii,
+         (MIN(doc_id) OVER (PARTITION BY fp) <> doc_id) AS is_dup
+  FROM s4
+)
+SELECT doc_id, n_tokens, fail_len, fail_rep, fail_stop, fail_pii, is_dup,
+       NOT (fail_len OR fail_rep OR fail_stop OR fail_pii OR is_dup) AS keep
+FROM fl
 """,
     "x_pack_offsets": f"""
 WITH t AS (

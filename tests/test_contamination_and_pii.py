@@ -210,3 +210,38 @@ def test_repeated_spans_finds_cross_doc_boilerplate(spark):
     out = dedup.repeated_spans(df, n=5, min_docs=2).collect()
     # every 5-gram inside the shared 9-token span appears in docs 1 and 2
     assert len(out) == 5 and all(r["n_docs"] == 2 for r in out)
+
+
+def test_corpus_filter_each_rule_fires_independently(spark):
+    from flink_realtime_data_eng_spark.functions import filtering
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the old barn where it sleeps in a pile of hay")
+    docs = [
+        (1, good),                               # keeps
+        (2, "too short of a doc"),               # fail_len (<20 tokens)
+        (3, " ".join(["word"] * 40)),            # fail_rep + fail_stop
+        (4, good + " mail me at a@b.com now ok"),  # fail_pii
+        (5, good),                               # is_dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in filtering.corpus_filter(df).collect()}
+    assert r[1]["keep"] and not any(
+        r[1][c] for c in ("fail_len", "fail_rep", "fail_stop",
+                          "fail_pii", "is_dup"))
+    assert r[2]["fail_len"] and not r[2]["keep"]
+    assert r[3]["fail_rep"] and r[3]["fail_stop"]
+    assert r[4]["fail_pii"] and not r[4]["fail_len"]
+    assert r[5]["is_dup"] and not r[5]["fail_pii"] and r[1]["is_dup"] is False
+
+
+def test_corpus_filter_verdict_is_nontrivial_on_fixtures(spark):
+    """The default thresholds must actually split the fixture corpus —
+    an all-keep or all-drop verdict means the rules are dead code."""
+    from flink_realtime_data_eng_spark.functions import filtering
+    from flink_realtime_data_eng_spark.schemas import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    from pyspark.sql import functions as F
+    agg = (filtering.corpus_filter(docs)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("keep").cast("int")).alias("kept")).collect()[0])
+    assert 0 < agg["kept"] < agg["n"]

@@ -139,3 +139,65 @@ def test_asof_join_matches_reference_model(spark, lrows, rrows):
             mt, mv = max(prior)
             want[(lk, lt)] = (mv, mt)
     assert got == want
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=8),
+       st.sampled_from([(4, 0), (4, 2), (7, 3)]))
+def test_chunk_documents_tiling_invariants(spark, doc_lens, cs_ov):
+    """For any corpus and any (chunk_size, overlap): chunk starts advance
+    by exactly the stride, every token index is covered, consecutive
+    chunks overlap by exactly `overlap` (when a successor exists), and
+    token mass satisfies sum(len) == n + overlap * (chunks - 1) for docs
+    whose last chunk isn't the lone first (general identity below)."""
+    from flink_realtime_data_eng_spark.functions import packing
+    chunk_size, overlap = cs_ov
+    stride = chunk_size - overlap
+    rows = [(i, " ".join(f"t{j}" for j in range(L)))
+            for i, L in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = packing.chunk_documents(df, chunk_size, overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_len"]))
+    assert set(by_doc) == set(range(len(doc_lens)))  # no doc vanishes
+    for doc_id, chunks in by_doc.items():
+        n = doc_lens[doc_id]
+        chunks.sort()
+        # contiguous indices, stride-spaced starts
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        assert all(c[1] == c[0] * stride for c in chunks)
+        # coverage: union of [start, start+len) == [0, n)
+        covered = set()
+        for _, s, ln in chunks:
+            covered |= set(range(s, s + ln))
+        assert covered == set(range(n))
+        # each chunk is exactly the slice [start, min(start+size, n))
+        assert all(ln == min(chunk_size, n - s) for _, s, ln in chunks)
+
+
+@SLOW
+@given(st.lists(st.sampled_from(["a b c d e", "a b c d e f",
+                                 "x y z w v u t s"]),
+                min_size=2, max_size=6))
+def test_repeated_spans_matches_bruteforce(spark, texts):
+    """repeated_spans must equal the brute-force python computation of
+    'n-gram sets shared by >= 2 docs' on any tiny corpus."""
+    import hashlib
+    from flink_realtime_data_eng_spark.functions import dedup
+    n = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["span_fp"], r["n_docs"])
+           for r in dedup.repeated_spans(df, n=n, min_docs=2).collect()}
+    by_span: dict[str, set[int]] = {}
+    for i, t in rows:
+        w = t.split()
+        for j in range(len(w) - n + 1):
+            span = " ".join(w[j:j + n])
+            by_span.setdefault(span, set()).add(i)
+    want = {(hashlib.md5(s.encode()).hexdigest(), len(ids))
+            for s, ids in by_span.items() if len(ids) >= 2}
+    assert got == want

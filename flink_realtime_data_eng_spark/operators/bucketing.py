@@ -78,3 +78,29 @@ def write_partitioned(df: DataFrame, path: str, *part_cols: str,
     # the layout.
     back = df.sparkSession.read.schema(df.schema).parquet(path)
     return back.select(*[f.name for f in df.schema.fields])
+
+
+def write_range_sorted(df: DataFrame, path: str, *sort_cols: str,
+                       num_files: int | None = None) -> DataFrame:
+    """Globally-ordered parquet export WITHOUT a global sort: the final
+    "sorted corpus shard" write (ids monotone across shard files, so a
+    consumer can binary-search shards by filename order).
+
+    ``repartitionByRange`` samples the sort key to build range boundaries
+    (one pass over a sample, not the data), shuffles each row to its range,
+    and ``sortWithinPartitions`` orders each shard locally — total order
+    lives in (shard ranges are disjoint and ordered) × (each shard is
+    sorted), with no single-reducer ORDER BY anywhere. The row-group
+    min/max stats of each file are tight, so range predicates skip whole
+    shards at scan time.
+
+    Returns the read-back frame.
+    """
+    if not sort_cols:
+        raise ValueError("at least one sort column required")
+    out = df.repartitionByRange(*([num_files] if num_files else []),
+                                *sort_cols)
+    out.sortWithinPartitions(*sort_cols) \
+       .write.mode("overwrite").parquet(path)
+    back = df.sparkSession.read.schema(df.schema).parquet(path)
+    return back.select(*[f.name for f in df.schema.fields])

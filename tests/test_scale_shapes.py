@@ -338,3 +338,28 @@ def test_q2_keeps_all_min_cost_ties(spark):
         got = sorted((row["s_name"], row["cost_e4"])
                      for row in out.collect())
         assert got == [("S10", 100000), ("S11", 100000)]
+
+
+def test_range_sorted_export_is_globally_ordered_across_files(spark, tmp_path):
+    """Each output file must be internally sorted AND file key-ranges must
+    be pairwise disjoint — together that IS global order, achieved with
+    range partitioning instead of a single-reducer global sort."""
+    import glob
+    import pyarrow.parquet as pq
+    from flink_realtime_data_eng_spark.operators import bucketing
+    df = (spark.range(0, 10_000)
+          .selectExpr("pmod(hash(id), 1000000) AS k", "id AS v"))
+    back = bucketing.write_range_sorted(df, str(tmp_path / "rs"), "k",
+                                        num_files=8)
+    assert back.count() == 10_000
+    ranges = []
+    for f in glob.glob(str(tmp_path / "rs" / "part-*.parquet")):
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        if not ks:
+            continue
+        assert ks == sorted(ks), f"file {f} not internally sorted"
+        ranges.append((ks[0], ks[-1]))
+    ranges.sort()
+    assert len(ranges) > 1  # range partitioning actually split the data
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo, "file key ranges overlap — not a total order"

@@ -22,23 +22,12 @@ from .pii import PII_PATTERNS
 from .text import tokens
 
 
-def corpus_filter(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id",
-                  min_tokens: int = 20, max_tokens: int = 10_000,
-                  max_dup_frac: float = 0.6,
-                  min_stop_ratio: float = 0.02,
-                  max_pii: int = 0) -> DataFrame:
-    """Per-document verdict: id, n_tokens, per-rule fail flags, keep.
-
-    Rules (each an independent boolean):
-      fail_len   — token count outside [min_tokens, max_tokens]
-      fail_rep   — duplicate-token fraction > max_dup_frac
-      fail_stop  — stopword ratio < min_stop_ratio (gibberish floor)
-      fail_pii   — more than ``max_pii`` PII spans (staged counts, so an
-                   email's phone-shaped interior is not double-counted)
-      is_dup     — an identical (normalized) doc with a lower id exists
-    keep = NOT (any of the above).
-    """
+def _rule_flags(df: DataFrame, text_col: str, id_col: str,
+                min_tokens: int, max_tokens: int, max_dup_frac: float,
+                min_stop_ratio: float, max_pii: int) -> DataFrame:
+    """The stateless (map-side) rule flags plus the content fingerprint —
+    shared by the batch and streaming forms; only batch adds the dedup
+    window on top."""
     tk = tokens(text_col)
     n_tok = F.size(tk)
     dup_frac = F.when(
@@ -58,7 +47,7 @@ def corpus_filter(df: DataFrame, text_col: str = "text",
     norm_fp = F.md5(F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
         " +", " ")))
-    base = df.select(
+    return df.select(
         F.col(id_col),
         n_tok.cast("bigint").alias("n_tokens"),
         ((n_tok < min_tokens) | (n_tok > max_tokens)).alias("fail_len"),
@@ -66,6 +55,27 @@ def corpus_filter(df: DataFrame, text_col: str = "text",
         (stop_ratio < min_stop_ratio).alias("fail_stop"),
         (n_pii > max_pii).alias("fail_pii"),
         norm_fp.alias("_fp"))
+
+
+def corpus_filter(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  min_tokens: int = 20, max_tokens: int = 10_000,
+                  max_dup_frac: float = 0.6,
+                  min_stop_ratio: float = 0.02,
+                  max_pii: int = 0) -> DataFrame:
+    """Per-document verdict: id, n_tokens, per-rule fail flags, keep.
+
+    Rules (each an independent boolean):
+      fail_len   — token count outside [min_tokens, max_tokens]
+      fail_rep   — duplicate-token fraction > max_dup_frac
+      fail_stop  — stopword ratio < min_stop_ratio (gibberish floor)
+      fail_pii   — more than ``max_pii`` PII spans (staged counts, so an
+                   email's phone-shaped interior is not double-counted)
+      is_dup     — an identical (normalized) doc with a lower id exists
+    keep = NOT (any of the above).
+    """
+    base = _rule_flags(df, text_col, id_col, min_tokens, max_tokens,
+                       max_dup_frac, min_stop_ratio, max_pii)
     is_dup = (F.min(id_col).over(W.partitionBy("_fp")) != F.col(id_col))
     return (base.withColumn("is_dup", is_dup)
                 .select(id_col, "n_tokens", "fail_len", "fail_rep",
@@ -73,3 +83,28 @@ def corpus_filter(df: DataFrame, text_col: str = "text",
                         (~(F.col("fail_len") | F.col("fail_rep")
                            | F.col("fail_stop") | F.col("fail_pii")
                            | F.col("is_dup"))).alias("keep")))
+
+
+def corpus_filter_stream(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_tokens: int = 20, max_tokens: int = 10_000,
+                         max_dup_frac: float = 0.6,
+                         min_stop_ratio: float = 0.02,
+                         max_pii: int = 0) -> DataFrame:
+    """Streaming ingest filter: the same rule flags on an unbounded stream.
+
+    Deliberately STATELESS — every rule is a map-side expression, so the
+    stream needs no watermark, no state store, and a micro-batch adds zero
+    shuffle. Cross-document dedup is NOT a flag here (first-vs-lowest-id
+    winners are arrival-order-dependent on a stream); route kept docs to
+    the batch :func:`corpus_filter` compaction, or chain
+    ``dropDuplicatesWithinWatermark`` on ``_fp`` when at-most-once
+    admission is enough. keep = NOT (any rule flag).
+    """
+    base = _rule_flags(df, text_col, id_col, min_tokens, max_tokens,
+                       max_dup_frac, min_stop_ratio, max_pii)
+    return base.select(
+        F.col(id_col), F.col("n_tokens"), "fail_len", "fail_rep",
+        "fail_stop", "fail_pii",
+        (~(F.col("fail_len") | F.col("fail_rep") | F.col("fail_stop")
+           | F.col("fail_pii"))).alias("keep"))

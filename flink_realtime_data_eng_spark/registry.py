@@ -848,6 +848,32 @@ def x_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtering.corpus_filter(_docs(spark, sf_dir))
 
 
+def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest filter: the documents parquet replayed through the
+    file-stream source into the stateless rule flags (no watermark, no
+    state store — the micro-batch is pure map work). Oracle = the batch
+    rules minus the dedup flag.
+
+    The file source only monitors directories, so the single parquet file
+    is exposed through a per-(file,mtime) temp dir of symlinks — no data
+    copy, and a regenerated fixture invalidates the cache key."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}".encode()
+    ).hexdigest()[:12]
+    link_dir = os.path.join(_tempfile.gettempdir(), f"frde_docs_{tag}")
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    batch = _docs(spark, sf_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(link_dir)
+    return _run_to_memory(filtering.corpus_filter_stream(stream), spark)
+
+
 def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p90/p99 of event value per type: per-group sort inside
     ONE hash aggregate, never a global sort."""
@@ -886,7 +912,7 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale, not analytics throughput.
 STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream",
                    "a2_stream_totals", "j1_stream", "j3_stream", "a4_stream",
-                   "a3_stream", "a5_stream", "j2_stream"}
+                   "a3_stream", "a5_stream", "j2_stream", "x_filter_stream"}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_parse_csv": p1_parse_csv,
@@ -975,6 +1001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_chunks": x_chunks,
     "x_repeated_spans": x_repeated_spans,
     "x_corpus_filter": x_corpus_filter,
+    "x_filter_stream": x_filter_stream,
     "x_source_mixture": x_source_mixture,
     "x_funnel": x_funnel,
     "x_retention": x_retention,
@@ -1997,6 +2024,10 @@ SELECT doc_id, n_tokens, fail_len, fail_rep, fail_stop, fail_pii, is_dup,
        NOT (fail_len OR fail_rep OR fail_stop OR fail_pii OR is_dup) AS keep
 FROM fl
 """,
+    # Streaming form: identical rule CTEs (ORACLES["x_corpus_filter"] is the
+    # source of truth — this entry is derived from it below), final SELECT
+    # without the arrival-order-dependent dedup flag.
+    "x_filter_stream": "",
     "x_pack_offsets": f"""
 WITH t AS (
   SELECT source, doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens
@@ -2109,3 +2140,15 @@ FROM events GROUP BY 1
     # x_lsh_topk, x_embedding_neardup_lsh, x_multimodal_features,
     # x_frame_sample: rows-only (no oracle).
 }
+
+# Derive the streaming filter's oracle from the batch one (same rule CTEs;
+# drop the arrival-order-dependent dedup flag from the verdict).
+ORACLES["x_filter_stream"] = ORACLES["x_corpus_filter"].replace(
+    "SELECT doc_id, n_tokens, fail_len, fail_rep, fail_stop, fail_pii,"
+    " is_dup,\n"
+    "       NOT (fail_len OR fail_rep OR fail_stop OR fail_pii OR is_dup)"
+    " AS keep",
+    "SELECT doc_id, n_tokens, fail_len, fail_rep, fail_stop, fail_pii,\n"
+    "       NOT (fail_len OR fail_rep OR fail_stop OR fail_pii) AS keep")
+assert "is_dup" not in ORACLES["x_filter_stream"].split("FROM fl")[0] \
+    .rsplit("SELECT", 1)[1], "x_filter_stream oracle derivation went stale"

@@ -516,3 +516,44 @@ def test_asof_join_stream_state_spans_micro_batches(spark, tmp_path):
     # purchase; v has no purchases -> dropped.
     assert got == {("u", base + 200): (30.0, base + 100),
                    ("u", base + 300): (30.0, base + 100)}
+
+
+def test_corpus_filter_stream_is_stateless_and_matches_batch_rules(
+        spark, tmp_path):
+    """The streaming ingest filter must run with ZERO state operators (pure
+    map micro-batches — no watermark, no state store) and agree with the
+    batch rule flags for every document."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from flink_realtime_data_eng_spark.functions import filtering
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the old barn where it sleeps in a pile of hay"),
+        (2, "too short"),
+        (3, " ".join(["dup"] * 30)),
+        (4, "reach me at someone@example.org " + "the fine day " * 10),
+    ]
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [d[0] for d in docs],
+                  "text": [d[1] for d in docs]}),
+        src / "part-0.parquet")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    _, result = _mem(spark, filtering.corpus_filter_stream(stream))
+    got = {r["doc_id"]: (r["fail_len"], r["fail_rep"], r["fail_stop"],
+                         r["fail_pii"], r["keep"]) for r in result.collect()}
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {r["doc_id"]: (r["fail_len"], r["fail_rep"], r["fail_stop"],
+                          r["fail_pii"],
+                          not (r["fail_len"] or r["fail_rep"]
+                               or r["fail_stop"] or r["fail_pii"]))
+            for r in filtering.corpus_filter(batch).collect()}
+    assert got == want
+    assert got[1][4] and not got[2][4] and not got[3][4] and not got[4][4]
+    # statelessness: the plan has no stateful operator nodes
+    stream_plan = filtering.corpus_filter_stream(stream)
+    assert "StateStore" not in stream_plan._jdf.queryExecution() \
+        .analyzed().toString()

@@ -75,3 +75,57 @@ def pivot_counts(df: DataFrame, row_key: str, pivot_col: str,
               .count()
               .na.fill(0, list(pivot_values))
               .orderBy(row_key))
+
+
+def key_skew_profile(df: DataFrame, cols: Sequence[str],
+                     k: int = 10) -> DataFrame:
+    """Heavy-hitter / skew report for candidate shuffle keys: for each
+    column, its top-``k`` values with counts, the value's share of rows,
+    and a per-column skew ratio (top-share × n_distinct; 1.0 ⇒ uniform,
+    ≫1 ⇒ salt this key before shuffling on it).
+
+    Scale shape — no per-column funnel anywhere: rows fan out map-side to
+    (col, value) pairs, ONE (col, value) aggregate counts them; per-column
+    total/distinct is a tiny (n_cols-row) aggregate that broadcasts back;
+    and top-k is TWO-LEVEL — rank inside (col, hash-bucket) partitions
+    first (≤ buckets×k candidates per column survive), then rank that tiny
+    candidate set per column. A billion-distinct-key column never passes
+    through a single partition. This is the diagnostic that decides where
+    ``operators.skew.salted_agg`` is worth its extra pass.
+
+    Output: col, key (string form), cnt, share (6 dp), n_distinct,
+    skew_ratio (6 dp), rank.
+    """
+    from pyspark.sql import Window as W
+    if not cols:
+        raise ValueError("at least one column to profile")
+    buckets = 64
+    # NULL keys become an explicit sentinel so they group/rank identically
+    # in every engine (NULLS FIRST/LAST defaults differ across engines).
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.coalesce(F.col(c).cast("string"),
+                            F.lit("<NULL>")).alias("key"))
+        for c in cols])).alias("p")).select("p.col", "p.key")
+    counts = pairs.groupBy("col", "key").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    col_stats = counts.groupBy("col").agg(
+        F.sum("cnt").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+    order = (F.col("cnt").desc(), F.col("key"))
+    wb = W.partitionBy("col", "_b").orderBy(*order)
+    cand = (counts
+            .withColumn("_b", F.pmod(F.xxhash64("key"), F.lit(buckets)))
+            .withColumn("_r", F.row_number().over(wb))
+            .filter(F.col("_r") <= k))
+    wc = W.partitionBy("col").orderBy(*order)
+    return (cand.withColumn("rank", F.row_number().over(wc))
+            .filter(F.col("rank") <= k)
+            .join(F.broadcast(col_stats), "col")
+            .select(
+                "col", "key", "cnt",
+                F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+                "n_distinct",
+                F.round(F.col("cnt") / F.col("_total")
+                        * F.col("n_distinct"), 6).alias("skew_ratio"),
+                "rank"))

@@ -874,6 +874,14 @@ def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(filtering.corpus_filter_stream(stream), spark)
 
 
+def x_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over events(event_type, user_id): one
+    (col,value) aggregate + two-level bucketed top-k + broadcast stats —
+    no per-column single-partition funnel anywhere."""
+    return stats.key_skew_profile(_events(spark, sf_dir),
+                                  ["event_type", "user_id"], k=10)
+
+
 def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p90/p99 of event value per type: per-group sort inside
     ONE hash aggregate, never a global sort."""
@@ -994,6 +1002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_vocab_topk": x_vocab_topk,
     "x_tfidf_topk": x_tfidf_topk,
     "x_group_quantiles": x_group_quantiles,
+    "x_key_skew": x_key_skew,
     "x_decontaminate": x_decontaminate,
     "x_repetition": x_repetition,
     "x_pii": x_pii,
@@ -2122,6 +2131,30 @@ SELECT event_type,
        CAST(min(v) AS BIGINT) AS min_v,
        CAST(max(v) AS BIGINT) AS max_v
 FROM e GROUP BY event_type
+""",
+    "x_key_skew": """
+WITH pairs AS (
+  SELECT 'event_type' AS col,
+         coalesce(CAST(event_type AS VARCHAR), '<NULL>') AS key FROM events
+  UNION ALL
+  SELECT 'user_id', coalesce(CAST(user_id AS VARCHAR), '<NULL>') FROM events
+), counts AS (
+  SELECT col, key, count(*) AS cnt FROM pairs GROUP BY 1, 2
+), cstats AS (
+  SELECT col, SUM(cnt) AS _total, count(*) AS n_distinct
+  FROM counts GROUP BY 1
+), ranked AS (
+  SELECT col, key, cnt,
+         row_number() OVER (PARTITION BY col ORDER BY cnt DESC, key) AS rank
+  FROM counts
+)
+SELECT col, key, CAST(cnt AS BIGINT) AS cnt,
+       round(CAST(cnt AS DOUBLE) / _total, 6) AS share,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(CAST(cnt AS DOUBLE) / _total * n_distinct, 6) AS skew_ratio,
+       rank
+FROM ranked JOIN cstats USING (col)
+WHERE rank <= 10
 """,
     "x_pivot_daily": """
 SELECT CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS day_ms,

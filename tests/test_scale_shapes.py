@@ -363,3 +363,25 @@ def test_range_sorted_export_is_globally_ordered_across_files(spark, tmp_path):
     assert len(ranges) > 1  # range partitioning actually split the data
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo, "file key ranges overlap — not a total order"
+
+
+def test_key_skew_profile_two_level_topk_is_exact(spark):
+    """The bucketed two-level top-k must equal the naive global top-k, flag
+    the hot key with skew_ratio >> 1, and sentinel NULL keys."""
+    from flink_realtime_data_eng_spark.operators.stats import key_skew_profile
+    rows = ([("hot", 1)] * 60 + [(f"c{i}", None) for i in range(40)])
+    df = spark.createDataFrame(rows, "k string, g string")
+    out = key_skew_profile(df, ["k", "g"], k=3).collect()
+    by = {(r["col"], r["rank"]): r for r in out}
+    top_k = by[("k", 1)]
+    assert top_k["key"] == "hot" and top_k["cnt"] == 60
+    # 41 distinct k values, hot share 0.6 → ratio 24.6
+    assert top_k["n_distinct"] == 41 and top_k["skew_ratio"] > 20
+    # NULL keys group under the sentinel with an exact count
+    null_g = by[("g", 2)]
+    assert null_g["key"] == "<NULL>" and null_g["cnt"] == 40
+    assert by[("g", 1)]["key"] == "1" and by[("g", 1)]["cnt"] == 60
+    # ranks are contiguous up to min(k, n_distinct) per column (exact
+    # top-k survived the bucket split; g only has 2 distinct keys)
+    assert {(c, r) for (c, r) in by} == {("k", 1), ("k", 2), ("k", 3),
+                                         ("g", 1), ("g", 2)}

@@ -241,3 +241,47 @@ def repeated_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
     return (sh.groupBy(F.md5(F.col("shingle")).alias("span_fp"))
               .agg(F.countDistinct(id_col).alias("n_docs"))
               .filter(F.col("n_docs") >= min_docs))
+
+
+def simhash_neardup_pairs(df: DataFrame, bands: int = 4,
+                          max_hamming: int = 3, bits: int = 32,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the
+    constant-size-signature counterpart to MinHash LSH (one 32-bit word per
+    doc instead of ``num_hashes`` values).
+
+    Pigeonhole candidate generation: the signature splits into ``bands``
+    contiguous bit-slices; two signatures within Hamming distance
+    ``max_hamming`` < bands must agree EXACTLY on at least one slice, so
+    candidates come from ``bands`` equi-joins on (band_idx, slice_value) —
+    never an all-pairs product. Exact Hamming (bit_count of xor) then
+    verifies each candidate once (pairs deduped across bands first).
+
+    Output: id_a < id_b, hamming.
+    """
+    if not 1 <= bands <= bits:
+        raise ValueError(f"need 1 <= bands <= bits, got {bands}/{bits}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < bands, got "
+            f"{max_hamming}/{bands} — raise bands or lower max_hamming")
+    sig = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    width = bits // bands
+    slices = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.expr(f"(simhash div {1 << (b * width)}) % {1 << width}")
+            for b in range(bands)])).alias("band", "slice"))
+    a = slices.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sig_a"), "band", "slice")
+    b = slices.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sig_b"), "band", "slice")
+    cand = (a.join(b, ["band", "slice"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b")
+             .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.select("id_a", "id_b",
+                        hamming.cast("bigint").alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming))

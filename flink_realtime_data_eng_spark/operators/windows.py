@@ -89,3 +89,33 @@ def running_reduce(df: DataFrame, keys: Sequence[str], order_by: Sequence[str],
     w = (W.partitionBy(*keys).orderBy(*order_by)
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def trailing_agg(df: DataFrame, keys: Sequence[str], ts_ms: str,
+                 trail_ms: int, value: str) -> DataFrame:
+    """Per-ROW trailing window features: for every event, the count/sum/mean
+    of the key's events in the last ``trail_ms`` milliseconds INCLUDING it —
+    the "7-day rolling activity" feature-engineering primitive that tumbling
+    windows can't express (every row gets its own window end).
+
+    RANGE frame on the epoch-ms ordering, so co-timestamped rows (range
+    peers) correctly see each other regardless of tie order — which also
+    makes the result deterministic without a unique tiebreak column. One
+    shuffle on the key; the frame scan is the per-partition sorted pass
+    Spark's WindowExec does natively (no self-join, no explode).
+
+    Output: keys, ts_ms, value, trail_cnt, trail_sum_e4, trail_avg.
+    """
+    if trail_ms < 0:
+        raise ValueError(f"trail_ms must be >= 0, got {trail_ms}")
+    val_e4 = F.round(F.col(value) * 10_000).cast("bigint")
+    w = (W.partitionBy(*keys).orderBy(F.col(ts_ms).cast("long"))
+          .rangeBetween(-trail_ms, 0))
+    return (df.select(*keys, F.col(ts_ms), F.col(value),
+                      val_e4.alias("_v_e4"))
+              .withColumn("trail_cnt", F.count(F.lit(1)).over(w))
+              .withColumn("trail_sum_e4", F.sum("_v_e4").over(w))
+              .withColumn("trail_avg",
+                          F.round(F.col("trail_sum_e4")
+                                  / F.col("trail_cnt") / 1e4, 6))
+              .drop("_v_e4"))

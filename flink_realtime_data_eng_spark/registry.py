@@ -874,6 +874,22 @@ def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(filtering.corpus_filter_stream(stream), spark)
 
 
+def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs: pigeonhole band join (4×8-bit
+    slices ⇒ distance ≤3 pairs must share a slice), exact bit_count verify.
+    Oracle is the brute-force all-pairs form — proving the banding is
+    lossless."""
+    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir),
+                                       bands=4, max_hamming=3)
+
+
+def x_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1 h activity features (RANGE frame per row —
+    the rolling-feature primitive tumbling windows can't express)."""
+    return windows.trailing_agg(_events(spark, sf_dir), ["user_id"],
+                                "ts_ms", 3_600_000, "value")
+
+
 def x_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic over events(event_type, user_id): one
     (col,value) aggregate + two-level bucketed top-k + broadcast stats —
@@ -1003,6 +1019,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_tfidf_topk": x_tfidf_topk,
     "x_group_quantiles": x_group_quantiles,
     "x_key_skew": x_key_skew,
+    "x_trailing": x_trailing,
+    "x_simhash_pairs": x_simhash_pairs,
     "x_decontaminate": x_decontaminate,
     "x_repetition": x_repetition,
     "x_pii": x_pii,
@@ -1768,6 +1786,16 @@ SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node
 """,
     "x_simhash": _simhash_oracle(),
+    # Brute-force all-pairs Hamming — independent of the banding trick the
+    # Spark side uses, so a PASS proves pigeonhole candidate generation
+    # lost no pair.
+    "x_simhash_pairs": f"""
+WITH sims AS ({_simhash_oracle()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
     "x_quality_features": _quality_oracle(),
     "x_language_id": _language_oracle(),
     "x_norm_stats": f"""
@@ -2131,6 +2159,17 @@ SELECT event_type,
        CAST(min(v) AS BIGINT) AS min_v,
        CAST(max(v) AS BIGINT) AS max_v
 FROM e GROUP BY event_type
+""",
+    "x_trailing": """
+SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
+       count(*) OVER w AS trail_cnt,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+         AS trail_sum_e4,
+       round(CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS DOUBLE)
+             / count(*) OVER w / 10000, 6) AS trail_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
 """,
     "x_key_skew": """
 WITH pairs AS (

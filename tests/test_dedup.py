@@ -107,3 +107,39 @@ def test_neardup_clusters_groups_mutual_dups(spark):
     # 1-2-3 chain into one cluster labeled by min id; 4 has no dup -> absent
     assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
     assert 4 not in got
+
+
+def test_simhash_pairs_pigeonhole_matches_bruteforce(spark):
+    """Band-join candidates + exact verify must equal brute-force all-pairs
+    Hamming filtering, including pairs differing ONLY inside one band."""
+    from flink_realtime_data_eng_spark.functions import dedup
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy cat today",
+        "a completely different sentence with other words here",
+        "the quick brown fox jumps over the lazy dog today",  # identical
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_neardup_pairs(
+               df, bands=8, max_hamming=6).collect()}
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(df).collect()}
+    want = {}
+    for a in sigs:
+        for b in sigs:
+            if a < b:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= 6:
+                    want[(a, b)] = h
+    assert got == want
+    assert got[(0, 3)] == 0  # identical docs at distance zero
+
+
+def test_simhash_pairs_rejects_unsatisfiable_pigeonhole(spark):
+    import pytest
+    from flink_realtime_data_eng_spark.functions import dedup
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(df, bands=4, max_hamming=4)

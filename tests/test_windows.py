@@ -69,3 +69,22 @@ def test_running_reduce_cumulative_per_key(spark):
     out = windows.running_reduce(df, ["user"], ["seq"], "v", "run")
     assert _rows(out, "user", "seq", "run") == [
         ("a", 1, 10), ("a", 2, 30), ("a", 4, 60), ("b", 3, 5)]
+
+
+def test_trailing_agg_range_frame_includes_peers_and_expires(spark):
+    """Events exactly trail_ms apart stay in-window; ties (range peers) see
+    each other regardless of row order; older events fall out."""
+    from pyspark.sql import functions as F
+    from flink_realtime_data_eng_spark.operators.windows import trailing_agg
+    rows = [("u", 0, 1.0), ("u", 1000, 2.0), ("u", 1000, 3.0),
+            ("u", 2500, 4.0)]
+    df = spark.createDataFrame(rows, "user string, ts_ms long, value double")
+    out = {(r["ts_ms"], r["value"]): (r["trail_cnt"], r["trail_sum_e4"])
+           for r in trailing_agg(df, ["user"], "ts_ms", 1500,
+                                 "value").collect()}
+    assert out[(0, 1.0)] == (1, 10_000)
+    # both t=1000 rows are peers: each sees t=0 + BOTH peers
+    assert out[(1000, 2.0)] == (3, 60_000)
+    assert out[(1000, 3.0)] == (3, 60_000)
+    # t=2500: window [1000, 2500] — t=0 expired, both peers + self
+    assert out[(2500, 4.0)] == (3, 90_000)

@@ -119,3 +119,38 @@ def trailing_agg(df: DataFrame, keys: Sequence[str], ts_ms: str,
                           F.round(F.col("trail_sum_e4")
                                   / F.col("trail_cnt") / 1e4, 6))
               .drop("_v_e4"))
+
+
+def sessionize(df: DataFrame, keys: Sequence[str], ts_ms: str,
+               gap_ms: int, order_by: Sequence[str] = ()) -> DataFrame:
+    """Per-EVENT session assignment: every row gets its key's session_start
+    (the session id) plus its ordinal inside the session — the labeling
+    primitive behind session_agg's aggregates (a4), needed whenever
+    downstream wants the events themselves grouped, not collapsed.
+
+    Gaps-and-islands in one key-partition window pass: a session breaks
+    where ``ts - prev_ts > gap_ms`` (strictly — ties and exact-gap spacing
+    merge, matching ``session_window``'s merge rule); the running sum of
+    break flags is the island ordinal, and the island's min ts is the
+    session id. Two window stages over the SAME partitioning — one shuffle
+    total.
+
+    Output: input columns + session_start_ms, event_seq (1-based within
+    session).
+    """
+    order = [F.col(ts_ms).cast("long"), *[F.col(c) for c in order_by]]
+    wo = W.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(ts_ms).cast("long")).over(wo)
+    brk = F.when(prev.isNull()
+                 | (F.col(ts_ms).cast("long") - prev > gap_ms), 1) \
+           .otherwise(0)
+    with_island = df.withColumn("_isl", F.sum(brk).over(
+        wo.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    wi = W.partitionBy(*keys, "_isl")
+    return (with_island
+            .withColumn("session_start_ms",
+                        F.min(F.col(ts_ms).cast("long")).over(wi))
+            .withColumn("event_seq",
+                        F.row_number().over(
+                            W.partitionBy(*keys, "_isl").orderBy(*order)))
+            .drop("_isl"))

@@ -874,6 +874,15 @@ def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(filtering.corpus_filter_stream(stream), spark)
 
 
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session labeling (1 h gap, same rule as a4's aggregate
+    form): gaps-and-islands over one user-partition shuffle."""
+    out = windows.sessionize(_events(spark, sf_dir), ["user_id"], "ts_ms",
+                             3_600_000, order_by=["event_id"])
+    return out.select("event_id", "user_id", "ts_ms",
+                      "session_start_ms", "event_seq")
+
+
 def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs: pigeonhole band join (4×8-bit
     slices ⇒ distance ≤3 pairs must share a slice), exact bit_count verify.
@@ -1021,6 +1030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_key_skew": x_key_skew,
     "x_trailing": x_trailing,
     "x_simhash_pairs": x_simhash_pairs,
+    "x_sessionize": x_sessionize,
     "x_decontaminate": x_decontaminate,
     "x_repetition": x_repetition,
     "x_pii": x_pii,
@@ -2159,6 +2169,26 @@ SELECT event_type,
        CAST(min(v) AS BIGINT) AS min_v,
        CAST(max(v) AS BIGINT) AS max_v
 FROM e GROUP BY event_type
+""",
+    "x_sessionize": """
+WITH e AS (
+  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
+), b AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                  OR ts_ms - lag(ts_ms) OVER w > 3600000
+             THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM b
+)
+SELECT event_id, user_id, ts_ms,
+       CAST(MIN(ts_ms) OVER (PARTITION BY user_id, isl) AS BIGINT)
+         AS session_start_ms,
+       row_number() OVER (PARTITION BY user_id, isl
+                          ORDER BY ts_ms, event_id) AS event_seq
+FROM i
 """,
     "x_trailing": """
 SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,

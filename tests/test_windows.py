@@ -88,3 +88,35 @@ def test_trailing_agg_range_frame_includes_peers_and_expires(spark):
     assert out[(1000, 3.0)] == (3, 60_000)
     # t=2500: window [1000, 2500] — t=0 expired, both peers + self
     assert out[(2500, 4.0)] == (3, 90_000)
+
+
+def test_sessionize_agrees_with_session_agg_on_fixtures(spark):
+    """Per-event labels and the aggregate form must describe the SAME
+    sessions: identical (user, session_start) sets and per-session sizes,
+    and exact-gap spacing merges in both (session_window's merge rule)."""
+    from pyspark.sql import functions as F
+    from flink_realtime_data_eng_spark.operators.windows import (
+        session_agg, sessionize)
+    from flink_realtime_data_eng_spark.schemas import load_table
+    ev = (load_table(spark, "/root/testdata/sf0.001", "events")
+          .select("user_id", "ts_ms", "event_id"))
+    gap = 3_600_000
+    lab = sessionize(ev, ["user_id"], "ts_ms", gap, order_by=["event_id"])
+    got = {(r["user_id"], r["session_start_ms"]): r["n"]
+           for r in lab.groupBy("user_id", "session_start_ms")
+                       .agg(F.count(F.lit(1)).alias("n")).collect()}
+    agg = session_agg(ev, "ts_ms", gap, keys=["user_id"],
+                      aggs=[F.count(F.lit(1)).alias("n")])
+    want = {(r["user_id"], r["session_start_ms"]): r["n"]
+            for r in agg.collect()}
+    assert got == want and len(got) > 1
+
+    # exact-gap boundary: events exactly gap apart MERGE into one session
+    df = spark.createDataFrame([("u", 0, 1), ("u", gap, 2),
+                                ("u", 2 * gap + 1, 3)],
+                               "user_id string, ts_ms long, event_id long")
+    s = sessionize(df, ["user_id"], "ts_ms", gap, order_by=["event_id"])
+    rows = {r["event_id"]: (r["session_start_ms"], r["event_seq"])
+            for r in s.collect()}
+    assert rows[1] == (0, 1) and rows[2] == (0, 2)
+    assert rows[3] == (2 * gap + 1, 1)  # strictly-greater gap breaks

@@ -205,3 +205,45 @@ def repetition_features(df: DataFrame, text_col: str = "text",
                      frac(F.coalesce("top_bg_cnt", F.lit(0)),
                           F.coalesce("n_bigrams", F.lit(0)))
                      .alias("top_bigram_frac")))
+
+
+def collocations(df: DataFrame, min_count: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bigram collocation strength by pointwise mutual information:
+    PMI = ln( c(ab) · N / (c(a) · c(b)) ) over corpus token occurrences —
+    the "new-york"-detector that drives tokenizer merge rules and phrase
+    mining.
+
+    Plan: ONE tokenize pass; bigrams pair adjacent tokens map-side
+    (``zip_with`` of the array against its own tail — no posexplode joins);
+    one aggregate each for bigram and unigram counts; unigram counts join
+    back twice (broadcast — the distinct-token table is vocabulary-sized,
+    not corpus-sized). The PMI double is a single division of exact BIGINT
+    products before one ln(), so both engines evaluate ln on the identical
+    IEEE value.
+
+    Output: tok_a, tok_b, n_ab, pmi (6 dp), for bigrams with
+    n_ab >= min_count.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("tk"))
+    uni = (toks.select(F.explode("tk").alias("tok"))
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok")))
+    bigrams = toks.select(F.explode(F.expr(
+        "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+        "         slice(tk, 2, greatest(size(tk) - 1, 0)),"
+        "         (a, b) -> struct(a AS tok_a, b AS tok_b))")).alias("bg"))
+    pair_counts = (bigrams.select("bg.tok_a", "bg.tok_b")
+                   .groupBy("tok_a", "tok_b")
+                   .agg(F.count(F.lit(1)).alias("n_ab"))
+                   .filter(F.col("n_ab") >= min_count))
+    total = uni.agg(F.sum("n_tok").alias("n_total"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    return (pair_counts
+            .join(F.broadcast(ua), "tok_a")
+            .join(F.broadcast(ub), "tok_b")
+            .crossJoin(F.broadcast(total))
+            .select("tok_a", "tok_b", "n_ab",
+                    F.round(F.log((F.col("n_ab") * F.col("n_total"))
+                                  / (F.col("n_a") * F.col("n_b"))), 6)
+                     .alias("pmi")))

@@ -874,6 +874,12 @@ def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(filtering.corpus_filter_stream(stream), spark)
 
 
+def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI over documents (phrase-mining primitive): map-side
+    zip_with bigrams, two aggregates, vocabulary-sized broadcast joins."""
+    return text.collocations(_docs(spark, sf_dir), min_count=5)
+
+
 def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event session labeling (1 h gap, same rule as a4's aggregate
     form): gaps-and-islands over one user-partition shuffle."""
@@ -1031,6 +1037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_trailing": x_trailing,
     "x_simhash_pairs": x_simhash_pairs,
     "x_sessionize": x_sessionize,
+    "x_collocations": x_collocations,
     "x_decontaminate": x_decontaminate,
     "x_repetition": x_repetition,
     "x_pii": x_pii,
@@ -2169,6 +2176,28 @@ SELECT event_type,
        CAST(min(v) AS BIGINT) AS min_v,
        CAST(max(v) AS BIGINT) AS max_v
 FROM e GROUP BY event_type
+""",
+    "x_collocations": f"""
+WITH toks AS (
+  SELECT doc_id, {_QF_TOKS} AS tk FROM documents
+), uni AS (
+  SELECT unnest(tk) AS tok FROM toks
+), ucnt AS (
+  SELECT tok, count(*) AS n_tok FROM uni GROUP BY 1
+), bg AS (
+  SELECT tk[i] AS tok_a, tk[i + 1] AS tok_b
+  FROM toks CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(tk) - 1
+), pc AS (
+  SELECT tok_a, tok_b, count(*) AS n_ab FROM bg GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(ln(CAST(n_ab * (SELECT SUM(n_tok) FROM ucnt) AS DOUBLE)
+                / (a.n_tok * b.n_tok)), 6) AS pmi
+FROM pc
+JOIN ucnt a ON pc.tok_a = a.tok
+JOIN ucnt b ON pc.tok_b = b.tok
 """,
     "x_sessionize": """
 WITH e AS (

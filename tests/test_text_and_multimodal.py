@@ -82,3 +82,19 @@ def test_resize_real_decoder_not_available(spark):
     docs = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
     with pytest.raises(NotImplementedError):
         multimodal.resize(docs, fake=False)
+
+
+def test_collocations_pmi_matches_handcount(spark):
+    import math
+    from flink_realtime_data_eng_spark.functions import text as T
+    # "new york" appears 3x, tokens: new=3, york=3, other fillers
+    df = spark.createDataFrame(
+        [(1, "new york is big"), (2, "new york is old"),
+         (3, "i like new york")], "doc_id long, text string")
+    out = {(r["tok_a"], r["tok_b"]): (r["n_ab"], r["pmi"])
+           for r in T.collocations(df, min_count=3).collect()}
+    assert set(out) == {("new", "york")}
+    n_ab, pmi = out[("new", "york")]
+    n_total = 12  # 3 docs x 4 tokens
+    assert n_ab == 3
+    assert pmi == round(math.log((3 * n_total) / (3 * 3)), 6)

@@ -745,8 +745,11 @@ def x_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing — rows-only check (byte-statistics features of
-    the deterministic fake decoder; no SQL analog).
+    """Binary-column plumbing, ORACLE-checked: the deterministic fake
+    decoder's byte statistics are reproducible from the text's char codes
+    in SQL, so this hash-match proves the whole Python/Arrow path
+    (binary encode → mapInPandas → FEATURE_SCHEMA) end to end. The
+    float32 feature array flattens to doubles (all values < 2^24, exact).
 
     Arrow/Python stages want FEWER, FATTER partitions than JVM stages: each
     partition spins a Python worker (pandas import + Arrow init), so the
@@ -754,21 +757,30 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fat Arrow batches amortize the per-worker overhead. At real scale the
     partition count comes from the data and executors, not this clamp."""
     media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
-    return multimodal.extract_features(media, fake=True)
+    out = multimodal.extract_features(media, fake=True)
+    return out.select(
+        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "checksum",
+        *[F.element_at("features", i + 1).cast("double").alias(f"f{i}")
+          for i in range(8)])
 
 
 def x_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media resize plumbing — rows-only check (deterministic fake; same
-    Python-stage coalesce rationale as x_multimodal_features)."""
+    """Media resize plumbing, ORACLE-checked via output-buffer md5: the
+    stride sampler / NUL padding is reproducible from the text's chars in
+    SQL, so the hash-match proves the binary-in/binary-out Arrow stage."""
     media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
-    return multimodal.resize(media, width=8, height=8)
+    out = multimodal.resize(media, width=8, height=8)
+    return out.select("media_id", "width", "height",
+                      F.md5("payload").alias("payload_fp"))
 
 
 def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing — rows-only check (same Python-stage
-    coalesce rationale as x_multimodal_features)."""
+    """Frame-sampling plumbing, ORACLE-checked via per-frame md5 (every
+    4th 16-byte chunk is a substring SQL reproduces exactly)."""
     media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
-    return multimodal.frame_sample(media, every_n=4, frame_bytes=16)
+    out = multimodal.frame_sample(media, every_n=4, frame_bytes=16)
+    return out.select("media_id", "frame_no", F.md5("frame").alias("frame_fp"))
 
 
 def x_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2177,6 +2189,52 @@ SELECT event_type,
        CAST(max(v) AS BIGINT) AS max_v
 FROM e GROUP BY event_type
 """,
+    "x_resize": """
+WITH d AS (
+  SELECT doc_id AS media_id, text, len(text) AS n FROM documents
+), long AS (
+  SELECT media_id,
+         md5(string_agg(substring(text,
+               CAST(floor(i * (CAST(n AS DOUBLE) / 64)) AS INT) + 1, 1),
+             '' ORDER BY i)) AS payload_fp
+  FROM d, unnest(range(0, 64)) AS t(i)
+  WHERE n >= 64 GROUP BY media_id
+), short AS (
+  SELECT media_id, md5(text || repeat(chr(0), 64 - n)) AS payload_fp
+  FROM d WHERE n < 64
+)
+SELECT media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       payload_fp
+FROM (SELECT * FROM long UNION ALL SELECT * FROM short)
+""",
+    "x_frame_sample": """
+WITH f AS (
+  SELECT doc_id AS media_id, text, len(text) // 16 AS n_frames
+  FROM documents
+)
+SELECT media_id, CAST(fno AS INT) AS frame_no,
+       md5(substring(text, CAST(fno AS INT) * 16 + 1, 16)) AS frame_fp
+FROM f, unnest(range(0, n_frames, 4)) AS t(fno)
+""",
+    "x_multimodal_features": """
+WITH ch AS (
+  SELECT doc_id AS media_id, len(text) AS n,
+         list_transform(range(1, len(text) + 1),
+                        i -> ascii(substring(text, i, 1))) AS codes
+  FROM documents
+)
+SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(list_sum(codes) % 100003 AS BIGINT) AS checksum,
+       CAST(n AS DOUBLE) AS f0,
+       CAST(codes[1] AS DOUBLE) AS f1,
+       CAST(codes[n] AS DOUBLE) AS f2,
+       CAST(list_sum(codes[1:64]) % 997 AS DOUBLE) AS f3,
+       CAST(list_min(codes) AS DOUBLE) AS f4,
+       CAST(list_max(codes) AS DOUBLE) AS f5,
+       CAST(list_sum(codes) % 10007 AS DOUBLE) AS f6,
+       CAST(n % 251 AS DOUBLE) AS f7
+FROM ch
+""",
     "x_collocations": f"""
 WITH toks AS (
   SELECT doc_id, {_QF_TOKS} AS tk FROM documents
@@ -2268,8 +2326,11 @@ SELECT CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS day_ms,
          AS error
 FROM events GROUP BY 1
 """,
-    # x_lsh_topk, x_embedding_neardup_lsh, x_multimodal_features,
-    # x_frame_sample: rows-only (no oracle).
+    # x_lsh_topk, x_embedding_neardup_lsh: rows-only (bucket signs sit on
+    # float zero-crossings — one last-ulp difference between engines flips
+    # a bucket, so no stable hash oracle exists by design).
+    # x_hll_distinct, x_approx_quantiles: rows-only (engine-specific
+    # sketch internals).
 }
 
 # Derive the streaming filter's oracle from the batch one (same rule CTEs;

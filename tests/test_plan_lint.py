@@ -33,6 +33,7 @@ NESTED_LOOP_OK = {
     "x_source_mixture",         # 1-row corpus-total broadcast
     "x_json_stats",             # 1-row denominators broadcast
     "x_tfidf_topk",             # 1-row corpus-count (N) broadcast
+    "x_collocations",           # 1-row token-total broadcast for PMI
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

@@ -228,3 +228,34 @@ def norm_stats_by_label(emb: DataFrame, vec_col: str = "embedding",
                  F.round(F.avg("nrm"), 6).alias("avg_norm"),
                  F.round(F.max("nrm"), 6).alias("max_norm"))
             .orderBy(label_col))
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving format
+    for embedding corpora at 100 TB (4× smaller than float32, SIMD-friendly
+    dot products): q[i] = round(v[i] / scale), scale = max|v| / 127.
+
+    Pure map-side higher-order expressions: no shuffle, no UDF. The scale
+    division and rounding are per-element double ops (same IEEE expression
+    tree both engines); an all-zero vector keeps scale 0 and quantizes to
+    zeros rather than dividing by zero. The quantized vector leaves the
+    operator as an md5 fingerprint of its comma-joined values plus L1 mass
+    — byte-exact oracle evidence without hashing raw arrays.
+
+    Output: id, dim, scale (6 dp), q_l1, q_fp.
+    """
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = max_abs / F.lit(127.0)
+    q = F.when(max_abs == 0,
+               F.transform(v, lambda x: F.lit(0).cast("bigint"))) \
+         .otherwise(F.transform(
+             v, lambda x: F.round(x.cast("double") / scale).cast("bigint")))
+    return emb.select(
+        F.col(id_col),
+        F.size(v).cast("bigint").alias("dim"),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.md5(F.concat_ws(",", q)).alias("q_fp"))

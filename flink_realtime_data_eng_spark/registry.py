@@ -886,6 +886,42 @@ def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(filtering.corpus_filter_stream(stream), spark)
 
 
+def x_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (storage format): map-side
+    transform only; quantized vectors compare as md5 fingerprints."""
+    return similarity.quantize_int8(_emb(spark, sf_dir))
+
+
+def x_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout round trip UNDER the oracle gate: events written
+    partitioned by event_type (cached per sf_dir), read back through the
+    pruned scan, aggregated per user for one partition value. A hash match
+    proves the partitioned layout preserves rows/values exactly and the
+    partition-column round trip is lossless — the write path as an
+    oracle-checked query, not just a unit test."""
+    import hashlib
+    import os
+    from .operators.bucketing import write_partitioned
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type",
+                                       "ts_ms", "value")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}"
+                      .encode()).hexdigest()[:12]
+    path = os.path.join(_tempfile.gettempdir(), f"frde_part_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        back = (spark.read.schema(ev.schema).parquet(path)
+                .select(*[f.name for f in ev.schema.fields]))
+    else:
+        back = write_partitioned(ev, path, "event_type")
+    return (back.filter(F.col("event_type") == "click")
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_clicks"),
+                     F.sum(F.round(F.col("value") * 10_000).cast("bigint"))
+                      .alias("sum_value_e4"))
+                .orderBy("user_id"))
+
+
 def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram PMI over documents (phrase-mining primitive): map-side
     zip_with bigrams, two aggregates, vocabulary-sized broadcast joins."""
@@ -1050,6 +1086,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_simhash_pairs": x_simhash_pairs,
     "x_sessionize": x_sessionize,
     "x_collocations": x_collocations,
+    "x_partitioned_prune": x_partitioned_prune,
+    "x_quantize": x_quantize,
     "x_decontaminate": x_decontaminate,
     "x_repetition": x_repetition,
     "x_pii": x_pii,
@@ -2188,6 +2226,34 @@ SELECT event_type,
        CAST(min(v) AS BIGINT) AS min_v,
        CAST(max(v) AS BIGINT) AS max_v
 FROM e GROUP BY event_type
+""",
+    "x_quantize": """
+WITH v AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings
+), q AS (
+  SELECT vec_id, len(embedding) AS dim, max_abs / 127.0 AS scale,
+         CASE WHEN max_abs = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / (max_abs / 127.0))
+                             AS BIGINT))
+         END AS qv
+  FROM v
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(scale, 6) AS scale,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       md5(array_to_string(qv, ',')) AS q_fp
+FROM q
+""",
+    "x_partitioned_prune": """
+SELECT user_id, count(*) AS n_clicks,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM events WHERE event_type = 'click'
+GROUP BY user_id
 """,
     "x_resize": """
 WITH d AS (

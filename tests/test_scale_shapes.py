@@ -385,3 +385,14 @@ def test_key_skew_profile_two_level_topk_is_exact(spark):
     # top-k survived the bucket split; g only has 2 distinct keys)
     assert {(c, r) for (c, r) in by} == {("k", 1), ("k", 2), ("k", 3),
                                          ("g", 1), ("g", 2)}
+
+
+def test_partitioned_prune_query_scans_only_one_partition(spark):
+    """The registry's layout round-trip query must actually PRUNE: the
+    parquet scan reads exactly one event_type directory."""
+    from flink_realtime_data_eng_spark import registry
+    df = registry.QUERIES["x_partitioned_prune"](spark,
+                                                 "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "event_type=click" in plan or "PartitionFilters" in plan
+    assert df.count() > 0

@@ -108,3 +108,20 @@ def test_ivf_topk_recovers_cluster_neighbors(spark):
     got = sorted((r["query_id"], r["rk"], r["vec_id"]) for r in ivf.collect())
     want = sorted((r["query_id"], r["rk"], r["vec_id"]) for r in bf.collect())
     assert got == want
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    import hashlib
+    from flink_realtime_data_eng_spark.functions.similarity import (
+        quantize_int8)
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 4.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # vec 1: scale = 4/127; q = round(v * 127/4) = [32, -64, 127]
+    assert out[1]["q_fp"] == hashlib.md5(b"32,-64,127").hexdigest()
+    assert out[1]["q_l1"] == 32 + 64 + 127 and out[1]["dim"] == 3
+    assert abs(out[1]["scale"] - round(4 / 127, 6)) < 1e-12
+    # zero vector: scale 0, all-zero quant, no div-by-zero NaNs
+    assert out[2]["scale"] == 0.0 and out[2]["q_l1"] == 0
+    assert out[2]["q_fp"] == hashlib.md5(b"0,0,0").hexdigest()

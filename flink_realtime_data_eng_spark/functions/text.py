@@ -247,3 +247,47 @@ def collocations(df: DataFrame, min_count: int = 5,
                     F.round(F.log((F.col("n_ab") * F.col("n_total"))
                                   / (F.col("n_a") * F.col("n_b"))), 6)
                      .alias("pmi")))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram log-probability — the cheap stand-in for
+    LM-perplexity filtering (docs whose tokens are corpus-improbable score
+    low: gibberish, wrong-language, encoding noise).
+
+    Model: add-one-smoothed corpus unigram, p(t) = (c(t)+1) / (N+V).
+    Plan: the (doc, token) counts aggregate feeds BOTH the corpus unigram
+    table (second small aggregate) and the per-doc score join — token rows
+    shuffle once, the unigram table joins back broadcast (vocabulary-sized).
+    Each term's tf·ln(p) rounds to exact ×10⁶ fixed point BEFORE the
+    per-doc sum (float addition is not associative; partition order must
+    not change the score), so the aggregate is an order-free integer sum
+    and the mean is one exact division at the end.
+
+    Output: id, n_tokens, logprob_e6 (BIGINT), mean_logprob (6 dp). Empty
+    docs score 0.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    uni = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    totals = uni.agg(F.sum("c").alias("n_corpus"),
+                     F.count(F.lit(1)).alias("vocab"))
+    term_e6 = F.round(F.col("tf")
+                      * F.log((F.col("c") + 1)
+                              / (F.col("n_corpus") + F.col("vocab")))
+                      * 1_000_000).cast("bigint")
+    scored = (tf.join(F.broadcast(uni), "tok")
+                .crossJoin(F.broadcast(totals))
+                .groupBy(id_col)
+                .agg(F.sum(term_e6).alias("logprob_e6"),
+                     F.sum("tf").alias("n_tokens")))
+    spine = df.select(F.col(id_col))
+    return (spine.join(scored, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+                     .alias("n_tokens"),
+                    F.coalesce(F.col("logprob_e6"), F.lit(0)).cast("bigint")
+                     .alias("logprob_e6"),
+                    F.coalesce(F.round(F.col("logprob_e6")
+                                       / F.col("n_tokens") / 1e6, 6),
+                               F.lit(0.0)).alias("mean_logprob")))

@@ -886,6 +886,13 @@ def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(filtering.corpus_filter_stream(stream), spark)
 
 
+def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal: mean add-one-smoothed corpus
+    unigram log-probability per doc (fixed-point per-term, order-free
+    sum)."""
+    return text.unigram_logprob(_docs(spark, sf_dir))
+
+
 def x_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (storage format): map-side
     transform only; quantized vectors compare as md5 fingerprints."""
@@ -1088,6 +1095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_collocations": x_collocations,
     "x_partitioned_prune": x_partitioned_prune,
     "x_quantize": x_quantize,
+    "x_unigram_logprob": x_unigram_logprob,
     "x_decontaminate": x_decontaminate,
     "x_repetition": x_repetition,
     "x_pii": x_pii,
@@ -2226,6 +2234,31 @@ SELECT event_type,
        CAST(min(v) AS BIGINT) AS min_v,
        CAST(max(v) AS BIGINT) AS max_v
 FROM e GROUP BY event_type
+""",
+    "x_unigram_logprob": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), uni AS (
+  SELECT tok, SUM(tf) AS c FROM tf GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS n_corpus, count(*) AS vocab FROM uni
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(tf * ln(CAST(c + 1 AS DOUBLE)
+                                     / (n_corpus + vocab)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS logprob_e6,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens
+  FROM tf JOIN uni USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(logprob_e6, 0) AS logprob_e6,
+       coalesce(round(CAST(logprob_e6 AS DOUBLE) / n_tokens / 1000000, 6),
+                0.0) AS mean_logprob
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
 """,
     "x_quantize": """
 WITH v AS (

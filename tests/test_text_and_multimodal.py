@@ -98,3 +98,19 @@ def test_collocations_pmi_matches_handcount(spark):
     n_total = 12  # 3 docs x 4 tokens
     assert n_ab == 3
     assert pmi == round(math.log((3 * n_total) / (3 * 3)), 6)
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    import math
+    from flink_realtime_data_eng_spark.functions import text as T
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.unigram_logprob(df).collect()}
+    # corpus: a=2 b=2 c=1, N=5, V=3 → p(a)=3/8 p(b)=3/8 p(c)=2/8
+    lp = lambda c: math.log((c + 1) / 8)
+    e6 = lambda x: int(round(x * 1e6))
+    d1 = e6(2 * lp(2)) + e6(1 * lp(2))  # two a's (tf=2 term), one b
+    assert out[1]["logprob_e6"] == d1 and out[1]["n_tokens"] == 3
+    assert out[1]["mean_logprob"] == round(d1 / 3 / 1e6, 6)
+    d2 = e6(lp(2)) + e6(lp(1))
+    assert out[2]["logprob_e6"] == d2

@@ -34,6 +34,7 @@ NESTED_LOOP_OK = {
     "x_json_stats",             # 1-row denominators broadcast
     "x_tfidf_topk",             # 1-row corpus-count (N) broadcast
     "x_collocations",           # 1-row token-total broadcast for PMI
+    "x_unigram_logprob",        # 1-row (N, V) totals broadcast
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)
@@ -66,3 +67,20 @@ def test_no_unintended_nested_loop_join(name, plans):
 def test_nested_loop_whitelist_is_not_stale(plans):
     """Every whitelisted query must still exist; stale entries hide bugs."""
     assert NESTED_LOOP_OK <= set(BATCH_QUERIES)
+
+
+def test_shuffle_budget_never_regresses(plans):
+    """Shuffles are the budget: each query's (broadcast+hash) Exchange
+    count at sf0.001 must not exceed its recorded budget in
+    tests/shuffle_budgets.json. A failure means a change ADDED a shuffle —
+    either fix the plan or consciously re-record the budget file."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "shuffle_budgets.json")
+    budgets = json.load(open(path))
+    over = {}
+    for name, plan in plans.items():
+        n = plan.count("Exchange ")
+        if n > budgets.get(name, n):  # new queries pass until recorded
+            over[name] = (n, budgets[name])
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"

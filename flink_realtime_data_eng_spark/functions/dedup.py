@@ -114,7 +114,13 @@ def neardup_pipeline(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     candidate-gated mode of :func:`jaccard_pairs` — one implementation of
     the formula, two entry points)."""
     cand = (minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
-            .select("id_a", "id_b"))
+            .select("id_a", "id_b")
+            # Materialize ONCE: the verify stage references the candidate
+            # frame three times (id-prune, pair-restrict ×2 sides), and its
+            # lineage embeds the whole 16-hash LSH computation — without
+            # this the signature pipeline re-runs per reference. The pair
+            # list is near-dup-sized (tiny next to the corpus).
+            .localCheckpoint(eager=True))
     return jaccard_pairs(df, n, threshold, text_col, id_col, candidates=cand)
 
 

@@ -655,7 +655,13 @@ def important_parts(spark: SparkSession, sf_dir: str,
     li = load_table(spark, sf_dir, "lineitem")
     per_part = (li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
                   .groupBy("l_partkey")
-                  .agg(F.sum(_e4(F.col("l_extendedprice"))).alias("val_e4")))
+                  .agg(F.sum(_e4(F.col("l_extendedprice"))).alias("val_e4"))
+                  # Materialize ONCE: the HAVING branch and the grand-total
+                  # branch both consume this aggregate, but column pruning
+                  # makes their subtrees differ so Spark cannot reuse the
+                  # exchange — without this, lineitem is scanned twice.
+                  # The per-part table is parts-sized, not lineitem-sized.
+                  .localCheckpoint(eager=True))
     total = per_part.agg(F.sum("val_e4").alias("total_e4"))
     return (per_part.crossJoin(F.broadcast(total))
                     .filter(F.col("val_e4") * 1000

@@ -139,7 +139,11 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
     Score rounded to 6 dp for the cross-engine hash.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # Materialize ONCE: dfreq and the scored join both consume tf with
+    # different prunings, so without this the tokenize+explode+count runs
+    # twice over the corpus.
+    tf = (tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+             .localCheckpoint(eager=True))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (tf.join(dfreq, "tok").crossJoin(F.broadcast(n_docs))
@@ -170,9 +174,12 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     (left join from the id spine).
     """
     spine = df.select(F.col(id_col))
+    # Materialize ONCE: the token-count and bigram branches both consume
+    # the positional explode — otherwise documents tokenize twice.
     toks = df.select(
         F.col(id_col),
-        F.posexplode(tokens(text_col)).alias("pos", "tok"))
+        F.posexplode(tokens(text_col)).alias("pos", "tok")) \
+        .localCheckpoint(eager=True)
     tc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
     tstats = tc.groupBy(id_col).agg(
         F.sum("c").alias("n_tokens"),
@@ -225,9 +232,14 @@ def collocations(df: DataFrame, min_count: int = 5,
     Output: tok_a, tok_b, n_ab, pmi (6 dp), for bigrams with
     n_ab >= min_count.
     """
-    toks = df.select(F.col(id_col), tokens(text_col).alias("tk"))
+    # Materialize the token arrays ONCE (unigram counts and bigram pairing
+    # both consume them) and the vocabulary-sized unigram table ONCE (it is
+    # referenced as left side, right side, and total).
+    toks = (df.select(F.col(id_col), tokens(text_col).alias("tk"))
+              .localCheckpoint(eager=True))
     uni = (toks.select(F.explode("tk").alias("tok"))
-               .groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok")))
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+               .localCheckpoint(eager=True))
     bigrams = toks.select(F.explode(F.expr(
         "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),"
         "         slice(tk, 2, greatest(size(tk) - 1, 0)),"
@@ -268,7 +280,10 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     docs score 0.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # Materialize ONCE: the unigram model and the per-doc scoring both
+    # consume tf — otherwise the corpus tokenizes twice.
+    tf = (tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+             .localCheckpoint(eager=True))
     uni = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     totals = uni.agg(F.sum("c").alias("n_corpus"),
                      F.count(F.lit(1)).alias("vocab"))

@@ -107,8 +107,10 @@ def key_skew_profile(df: DataFrame, cols: Sequence[str],
                  F.coalesce(F.col(c).cast("string"),
                             F.lit("<NULL>")).alias("key"))
         for c in cols])).alias("p")).select("p.col", "p.key")
+    # Materialize ONCE: col_stats and the candidate ranking both consume
+    # the counts aggregate — otherwise the source scans twice.
     counts = pairs.groupBy("col", "key").agg(
-        F.count(F.lit(1)).alias("cnt"))
+        F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=True)
     col_stats = counts.groupBy("col").agg(
         F.sum("cnt").alias("_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"))

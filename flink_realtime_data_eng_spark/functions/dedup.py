@@ -87,6 +87,10 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
         cand_ids = (cand.select(F.col("id_a").alias(id_col))
                     .union(cand.select(F.col("id_b").alias(id_col))).distinct())
         sh = sh.join(cand_ids, id_col, "left_semi")
+    # Materialize ONCE (post-prune in candidate mode): sizes and both
+    # self-join sides consume the shingle table — otherwise the corpus
+    # tokenizes and explodes three times.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -177,7 +181,12 @@ def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                      F.transform(
                          F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
                          lambda s: s.getField("minhash").cast("string")),
-                     "|")).alias("bucket")))
+                     "|")).alias("bucket"))
+                 # Materialize ONCE: both self-join sides consume the banded
+                 # table — otherwise the whole signature pipeline (shingle
+                 # explode + num_hashes aggregates) runs twice. The banded
+                 # table is docs×bands rows, tiny next to the corpus.
+                 .localCheckpoint(eager=True))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])

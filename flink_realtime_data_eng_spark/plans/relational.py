@@ -351,7 +351,11 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str,
          .select("o_custkey"))
     pos = (c.filter(F.col("c_acctbal") > 0)
             .select("c_custkey", "c_nationkey",
-                    _e4(F.col("c_acctbal")).alias("bal_e4")))
+                    _e4(F.col("c_acctbal")).alias("bal_e4"))
+            # Materialize ONCE: the stats aggregate and the rich filter both
+            # consume this slice with different prunings (no exchange reuse)
+            # — otherwise customer is scanned twice.
+            .localCheckpoint(eager=True))
     stats = pos.agg(F.sum("bal_e4").alias("total_e4"),
                     F.count(F.lit(1)).alias("n"))
     rich = (pos.crossJoin(F.broadcast(stats))

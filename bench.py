@@ -64,8 +64,32 @@ def main() -> None:
             print(f"bench error {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({"metric": "total_query_sec", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf}))
+    # The driver keeps only the last ~2000 chars of output and parses the
+    # JSON line from that tail; the full per-query map (~100 queries) blows
+    # that cap and becomes unparseable. So: full detail to BENCH_DETAIL.json
+    # (committed, referenced from BASELINE.md), compact group sums + failure
+    # list on stdout.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({"metric": "total_query_sec", "value": total, "unit": "sec",
+                   "queries": timings, "sf": sf}, f, indent=1, sort_keys=True)
+    groups: dict[str, float] = {}
+    n_fail = 0
+    for name, t in timings.items():
+        if t < 0:
+            n_fail += 1
+            continue
+        g = ("tpch" if name.startswith("q") else
+             "stream_ops" if name[:2] in ("p1", "p2", "p3", "p4", "p5", "p6",
+                                          "a1", "a2", "a3", "a4", "a5", "a6",
+                                          "j1", "j2", "j3", "st") else
+             "llm_data" if name.startswith("x_") else "other")
+        groups[g] = round(groups.get(g, 0.0) + t, 3)
+    line = {"metric": "total_query_sec", "value": total, "unit": "sec",
+            "queries": groups, "n_queries": len(timings), "n_fail": n_fail,
+            "detail": "BENCH_DETAIL.json", "sf": sf}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

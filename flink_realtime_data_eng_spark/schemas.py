@@ -74,11 +74,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.sparkContext.master.startswith("local"):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
-        df = (
-            df.withColumn("ts_ns", F.col("ts"))
-              .withColumn("ts_ms", F.expr("ts_ns div 1000000"))
-              .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet read as long under nanosAsLong.
+            df = (
+                df.withColumn("ts_ns", F.col("ts"))
+                  .withColumn("ts_ms", F.expr("ts_ns div 1000000"))
+                  .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            )
+        else:
+            # timestamp[us] (tz-naive) — session tz is UTC, so the cast to
+            # TimestampType reads the wall-clock as UTC, matching DuckDB's
+            # epoch_ms(ts) on the same file. Integer µs arithmetic only.
+            df = (
+                df.withColumn("ts", F.col("ts").cast("timestamp"))
+                  .withColumn("ts_ms", F.expr("unix_micros(ts) div 1000"))
+                  .withColumn("ts_ns", F.expr("unix_micros(ts) * 1000"))
+            )
     return df
 
 

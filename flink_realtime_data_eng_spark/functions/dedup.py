@@ -136,6 +136,24 @@ def _md5_hash32(prefix: Column | str, value: Column) -> Column:
                               1, 8), 16, 10).cast("bigint")
 
 
+def affine_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Per-seed (a, b) for the derived MinHash family
+    ``h_s = (a_s·h + b_s) mod 2³²`` over one 32-bit base hash.
+
+    md5-derived, deterministic, engine-independent (the SQL oracle embeds
+    the same constants as literals). ``a`` is forced odd (a bijection mod
+    2³²) and below 2³¹ so ``a·h + b < 2⁶³`` — Spark's wrapping BIGINT and
+    DuckDB's overflow-checked BIGINT then agree exactly.
+    """
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [((h32(f"mh-a:{s}") & 0x7FFFFFFF) | 1, h32(f"mh-b:{s}"))
+            for s in range(num_hashes)]
+
+
 def minhash_signatures(df: DataFrame, num_hashes: int = 16, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, seed, minhash): k-way MinHash over word n-gram shingles.
@@ -147,12 +165,22 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16, n: int = 3,
     regardless of shingle count. (The earlier shape exploded k× rows
     through a (doc, seed) shuffle — 16× the bytes for the same result.)
     posexplode restores the (id, seed, minhash) row contract.
+
+    Hash family: ONE md5 per shingle (the expensive part), then k cheap
+    affine transforms ``(a_s·h + b_s) mod 2³²`` (:func:`affine_consts`) —
+    k independent-enough permutations for Jaccard estimation at 1/k of the
+    md5 cost. The two-step select keeps the md5 in its own projection;
+    CollapseProject declines to inline a non-cheap expression k times.
     """
     sh = shingles(df, n, text_col, id_col)
-    hashed = sh.select(
+    based = sh.select(F.col(id_col),
+                      _md5_hash32("mh", F.col("shingle")).alias("hb"))
+    consts = affine_consts(num_hashes)
+    hashed = based.select(
         F.col(id_col),
-        *[_md5_hash32(F.lit(s), F.col("shingle")).alias(f"h{s}")
-          for s in range(num_hashes)])
+        *[((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(1 << 32))
+          .cast("bigint").alias(f"h{s}")
+          for s, (a, b) in enumerate(consts)])
     mins = hashed.groupBy(id_col).agg(
         *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)])
     return (mins.select(

@@ -180,11 +180,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     fc = corpus.select(F.col(id_col), F.col(vec_col),
                        array_to_vector(F.col(vec_col).cast("array<float>"))
                        .alias("_fv"))
-    # Loose convergence is fine: cells only gate the candidate set (recall
-    # knob is n_probe); each KMeans iteration is a full job, so cap them.
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_fv",
-                   predictionCol="cell").fit(fc)
-    assigned = model.transform(fc).select(id_col, vec_col, "cell")
+    # Every KMeans iteration is a full pass over fc: persist it for the
+    # duration of fit so the scan + array→vector conversion are paid once,
+    # not max_iter times. Released right after — the single assignment
+    # pass downstream re-derives it cheaply.
+    fc = fc.persist()
+    try:
+        # Loose convergence is fine: cells only gate the candidate set
+        # (recall knob is n_probe); each iteration is a job, so cap them.
+        model = KMeans(k=n_lists, seed=seed, maxIter=max_iter,
+                       featuresCol="_fv", predictionCol="cell").fit(fc)
+        assigned = model.transform(fc).select(id_col, vec_col, "cell")
+        assigned = assigned.localCheckpoint(eager=True)
+    finally:
+        fc.unpersist(blocking=False)
 
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     centers_lit = F.array(*[

@@ -100,6 +100,31 @@ def stratified_hash_sample(df: DataFrame, strata_col: str, key_col: str,
     return df.where(_unit_hash(prefix, F.col(key_col)) < rate_expr)
 
 
+def group_sample(df: DataFrame, strata_col: str, key_col: str, k: int = 10,
+                 prefix: str = "gsample") -> DataFrame:
+    """Deterministic fixed-size sample per group: the ``k`` rows of each
+    stratum whose key hashes smallest — a reservoir-sample analog that is
+    reproducible across runs AND engines (md5 order, key as tiebreak).
+
+    Plan shape: one hash projection + one shuffle on ``strata_col`` +
+    partition-local row_number — the same cost as any per-group top-k.
+    Unlike rate-based :func:`hash_sample`, the output size per group is
+    exactly ``min(k, group_size)`` — the right contract when downstream
+    wants a bounded eval/debug set per source. Skewed strata stay safe at
+    scale: rank runs partition-local after the hash shuffle, and a
+    hot stratum can be pre-limited per map partition (cap candidates at k
+    per partition) before the shuffle if one group dominates.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window as W
+    h = df.withColumn("_h", _md5_hash32(prefix, F.col(key_col).cast("string")))
+    w = W.partitionBy(strata_col).orderBy(F.col("_h"), F.col(key_col))
+    return (h.withColumn("rk", F.row_number().over(w))
+             .where(F.col("rk") <= k)
+             .drop("_h"))
+
+
 def approx_distinct_per_group(df: DataFrame, group: str, col: str,
                               rsd: float = 0.05) -> DataFrame:
     """HyperLogLog++ distinct count per group (``approx_count_distinct``):

@@ -306,3 +306,42 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                     F.coalesce(F.round(F.col("logprob_e6")
                                        / F.col("n_tokens") / 1e6, 6),
                                F.lit(0.0)).alias("mean_logprob")))
+
+
+def quality_buckets(df: DataFrame, n_buckets: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style corpus partition into quality buckets (head/middle/tail)
+    by mean unigram log-probability (CCNet buckets by LM perplexity; the
+    corpus unigram model of :func:`unigram_logprob` is the engine-native
+    stand-in).
+
+    Ranking key: exact integer milli-units of mean logprob, computed as
+    ``(logprob_e6 + C·n_tokens)·1000 div n_tokens`` with C large enough to
+    make the numerator positive — truncating and flooring division then
+    agree, so Spark's ``div`` and DuckDB's ``//`` produce identical keys
+    and the ntile assignment hash-matches across engines (a raw float mean
+    could flip a boundary doc on a last-ulp difference). Empty docs key to
+    -1 (worst bucket).
+
+    Scale: ntile is a global-sort window — fine for the corpus sizes where
+    exact terciles matter (eval/report sets). The 100 TB path replaces it
+    with approx-quantile cutoffs on the key + a map-side bucket filter;
+    the key computation is shared by both paths.
+    """
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    offset = 100_000_000  # |mean logprob| stays far below 100 in e6 units
+    key = F.when(F.col("n_tokens") > 0,
+                 F.expr(f"((logprob_e6 + {offset}*n_tokens) * 1000)"
+                        f" div n_tokens")) \
+           .otherwise(F.lit(-1)).cast("bigint")
+    from pyspark.sql import Window as W
+    w = W.orderBy(F.col("qkey_milli").desc(), F.col(id_col))
+    named = (F.when(F.col("bucket") == 1, "head")
+              .when(F.col("bucket") == n_buckets, "tail")
+              .otherwise("middle"))
+    return (scored.withColumn("qkey_milli", key)
+            .withColumn("bucket", F.ntile(n_buckets).over(w))
+            .withColumn("bucket_name", named)
+            .select(id_col, "n_tokens", "logprob_e6", "qkey_milli",
+                    "bucket", "bucket_name"))

@@ -156,3 +156,24 @@ def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") 
     """Star-schema helper: force the small dimension broadcast so the fact
     table never shuffles for the join (the default plan at 100 TB)."""
     return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def range_lookup(fact: DataFrame, bands: DataFrame, value_col: str,
+                 lo_col: str = "lo", hi_col: str = "hi") -> DataFrame:
+    """Band/range lookup: map each fact row to the dimension band whose
+    half-open range ``[lo, hi)`` contains ``value_col`` (IP→geo, price→tier,
+    latency→SLA-class lookups).
+
+    Scale shape: the bands table is tiny and static by construction (a
+    lookup dim), so it broadcasts and the non-equi containment predicate
+    evaluates map-side on the fact scan — a BroadcastNestedLoopJoin over a
+    few hundred bands is a per-row linear probe that whole-stage codegen
+    folds into the scan stage; the fact side never shuffles. If the bands
+    were ever fact-scale, the interval-bucketing strategy of
+    :func:`interval_join` applies instead.
+
+    Inner join: values outside every band drop (the oracle states the same
+    predicate), so coverage gaps surface as row-count differences.
+    """
+    pred = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), pred)

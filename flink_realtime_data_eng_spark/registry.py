@@ -616,6 +616,38 @@ def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir), "event_type", "value")
 
 
+def x_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition by mean unigram
+    log-probability; exact-integer ranking key so the tercile boundaries
+    hash-match the oracle's NTILE."""
+    return text.quality_buckets(_docs(spark, sf_dir), n_buckets=3)
+
+
+def x_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-source sample (reservoir analog):
+    k smallest md5 draws per stratum, reproducible across engines."""
+    return sketches.group_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        strata_col="source", key_col="doc_id", k=5)
+
+
+_BANDS = [(i, float(i * 50), float((i + 1) * 50)) for i in range(10)]
+
+
+def x_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast band lookup (IP→geo / price→tier shape): events.value
+    mapped into 10 static half-open bands via a non-equi broadcast join
+    that stays map-side; per-band count + exact fixed-point value sum."""
+    bands = spark.createDataFrame(_BANDS, "band_id int, lo double, hi double")
+    fact = _events(spark, sf_dir).select("event_id", "value")
+    hit = joins.range_lookup(fact, bands, "value")
+    return (hit.groupBy(F.col("band_id").cast("bigint").alias("band_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+                  .alias("value_e4"))
+            .orderBy("band_id"))
+
+
 def x_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON extraction (from_json with explicit schema, map-side)
     + per-type aggregate over the events props column."""
@@ -860,11 +892,8 @@ def x_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtering.corpus_filter(_docs(spark, sf_dir))
 
 
-def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ingest filter: the documents parquet replayed through the
-    file-stream source into the stateless rule flags (no watermark, no
-    state store — the micro-batch is pure map work). Oracle = the batch
-    rules minus the dedup flag.
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream.
 
     The file source only monitors directories, so the single parquet file
     is exposed through a per-(file,mtime) temp dir of symlinks — no data
@@ -882,8 +911,34 @@ def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     batch = _docs(spark, sf_dir)
-    stream = spark.readStream.schema(batch.schema).parquet(link_dir)
+    return spark.readStream.schema(batch.schema).parquet(link_dir)
+
+
+def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest filter: the documents parquet replayed through the
+    file-stream source into the stateless rule flags (no watermark, no
+    state store — the micro-batch is pure map work). Oracle = the batch
+    rules minus the dedup flag."""
+    stream = _docs_stream(spark, sf_dir)
     return _run_to_memory(filtering.corpus_filter_stream(stream), spark)
+
+
+def x_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on the S1 file-replay source:
+    ``dropDuplicatesWithinWatermark`` on the content fingerprint keeps
+    dedup state bounded by the watermark horizon (vs an ever-growing
+    seen-set). Event time is synthesized per doc (1 s apart by doc_id) so
+    the watermark semantics are exercised, not bypassed.
+
+    Output is the surviving fingerprint set ONLY: which representative row
+    survives depends on micro-batch arrival order, but the fp set does
+    not — so the result is deterministic and hash-matches the batch
+    ``DISTINCT md5(norm(text))`` oracle."""
+    stream = _docs_stream(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.lit(1_700_000_000_000)
+                                 + F.col("doc_id") * 1000))
+    out = dedup.exact_dedup_stream(stream, "ts", watermark="10 seconds")
+    return _run_to_memory(out.select("fp"), spark)
 
 
 def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,7 +1061,8 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale, not analytics throughput.
 STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream",
                    "a2_stream_totals", "j1_stream", "j3_stream", "a4_stream",
-                   "a3_stream", "a5_stream", "j2_stream", "x_filter_stream"}
+                   "a3_stream", "a5_stream", "j2_stream", "x_filter_stream",
+                   "x_dedup_stream"}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_parse_csv": p1_parse_csv,
@@ -1104,6 +1160,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_repeated_spans": x_repeated_spans,
     "x_corpus_filter": x_corpus_filter,
     "x_filter_stream": x_filter_stream,
+    "x_dedup_stream": x_dedup_stream,
+    "x_quality_buckets": x_quality_buckets,
+    "x_group_sample": x_group_sample,
+    "x_range_lookup": x_range_lookup,
     "x_source_mixture": x_source_mixture,
     "x_funnel": x_funnel,
     "x_retention": x_retention,
@@ -1136,7 +1196,9 @@ FROM bitsums GROUP BY doc_id
 
 def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
     rows_per_band = num_hashes // bands
-    h = _H32.format(x="concat(CAST(seed AS VARCHAR), ':', shingle)")
+    hb = _H32.format(x="concat('mh', ':', shingle)")
+    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
+                          in enumerate(dedup.affine_consts(num_hashes)))
     return f"""
 WITH words AS (
   SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
@@ -1144,9 +1206,11 @@ WITH words AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
   WHERE i <= len(w) - {n - 1}
+), hb AS (
+  SELECT doc_id, {hb} AS hb FROM sh
 ), sig AS (
-  SELECT doc_id, seed, MIN({h}) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS seed) seeds
+  SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
+  FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
   GROUP BY doc_id, seed
 ), banded AS (
   SELECT doc_id, seed // {rows_per_band} AS band,
@@ -2443,3 +2507,73 @@ ORACLES["x_filter_stream"] = ORACLES["x_corpus_filter"].replace(
     "       NOT (fail_len OR fail_rep OR fail_stop OR fail_pii) AS keep")
 assert "is_dup" not in ORACLES["x_filter_stream"].split("FROM fl")[0] \
     .rsplit("SELECT", 1)[1], "x_filter_stream oracle derivation went stale"
+
+ORACLES["x_dedup_stream"] = (
+    f"SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents")
+
+# Same CTE chain as x_unigram_logprob, then the exact-integer ranking key
+# (positive numerator -> DuckDB's flooring // and Spark's truncating `div`
+# agree) and NTILE terciles. Empty docs key to -1 (tail).
+ORACLES["x_quality_buckets"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), uni AS (
+  SELECT tok, SUM(tf) AS c FROM tf GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS n_corpus, count(*) AS vocab FROM uni
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(tf * ln(CAST(c + 1 AS DOUBLE)
+                                     / (n_corpus + vocab)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS logprob_e6,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens
+  FROM tf JOIN uni USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+), base AS (
+  SELECT d.doc_id,
+         coalesce(n_tokens, 0) AS n_tokens,
+         coalesce(logprob_e6, 0) AS logprob_e6
+  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+), keyed AS (
+  SELECT doc_id, n_tokens, logprob_e6,
+         CAST(CASE WHEN n_tokens > 0
+              THEN ((logprob_e6 + 100000000 * n_tokens) * 1000) // n_tokens
+              ELSE -1 END AS BIGINT) AS qkey_milli
+  FROM base
+), bk AS (
+  SELECT doc_id, n_tokens, logprob_e6, qkey_milli,
+         CAST(ntile(3) OVER (ORDER BY qkey_milli DESC, doc_id) AS INT)
+           AS bucket
+  FROM keyed
+)
+SELECT doc_id, n_tokens, logprob_e6, qkey_milli, bucket,
+       CASE WHEN bucket = 1 THEN 'head'
+            WHEN bucket = 3 THEN 'tail'
+            ELSE 'middle' END AS bucket_name
+FROM bk
+"""
+
+_GS_H = _H32.format(x="concat('gsample', ':', CAST(doc_id AS VARCHAR))")
+ORACLES["x_group_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, source, {_GS_H} AS _h FROM documents
+), r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY _h, doc_id)
+              AS INT) AS rk
+  FROM h
+)
+SELECT doc_id, source, rk FROM r WHERE rk <= 5
+"""
+
+_BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+ORACLES["x_range_lookup"] = f"""
+WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_VALUES})
+SELECT CAST(band_id AS BIGINT) AS band_id,
+       count(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id
+"""

@@ -35,6 +35,8 @@ NESTED_LOOP_OK = {
     "x_tfidf_topk",             # 1-row corpus-count (N) broadcast
     "x_collocations",           # 1-row token-total broadcast for PMI
     "x_unigram_logprob",        # 1-row (N, V) totals broadcast
+    "x_quality_buckets",        # 1-row (N, V) totals broadcast (same CTE)
+    "x_range_lookup",           # static 10-row bands dim broadcast by design
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

@@ -149,3 +149,19 @@ def test_interval_join_carries_payload(spark):
     row = joins.interval_join(left, right, key="k", ts_ms="ts_ms",
                               lower_ms=0, upper_ms=1000).collect()[0]
     assert (row["tag"], row["r_score"]) == ("L1", 7.0)
+
+
+def test_range_lookup_covers_and_drops(spark):
+    from pyspark.sql import functions as F
+    from flink_realtime_data_eng_spark.operators import joins
+    fact = spark.createDataFrame(
+        [(1, 5.0), (2, 49.99), (3, 50.0), (4, 999.0)], "id int, value double")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 50.0, 100.0)], "band_id int, lo double, hi double")
+    got = {r["id"]: r["band_id"]
+           for r in joins.range_lookup(fact, bands, "value").collect()}
+    # half-open [lo, hi): 50.0 lands in band 1; 999 outside -> dropped
+    assert got == {1: 0, 2: 0, 3: 1}
+    plan = joins.range_lookup(fact, bands, "value")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # dim broadcast, fact map-side

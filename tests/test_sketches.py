@@ -196,3 +196,33 @@ def test_approx_quantiles_bracket_exact(spark):
         for p in ("p25", "p50", "p90"):
             lo, hi = 0.8 * exact[t][p], 1.2 * exact[t][p] + 1e-6
             assert lo <= approx[t][p] <= hi, (t, p, approx[t][p], exact[t][p])
+
+
+def test_group_sample_exact_size_and_determinism(spark):
+    from flink_realtime_data_eng_spark.functions import sketches
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.01", "documents") \
+        .select("doc_id", "source")
+    out = sketches.group_sample(d, "source", "doc_id", k=5)
+    rows = out.collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["source"]] = sizes.get(r["source"], 0) + 1
+    group_n = {r["source"]: r["n"] for r in
+               d.groupBy("source").count().withColumnRenamed("count", "n")
+               .collect()}
+    for s, n in group_n.items():
+        assert sizes.get(s, 0) == min(5, n), (s, sizes.get(s), n)
+    # deterministic across invocations (hash order, not rand)
+    again = {(r["source"], r["doc_id"]) for r in
+             sketches.group_sample(d, "source", "doc_id", k=5).collect()}
+    assert again == {(r["source"], r["doc_id"]) for r in rows}
+
+
+def test_group_sample_rejects_bad_k(spark):
+    import pytest as _pytest
+    from flink_realtime_data_eng_spark.functions import sketches
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with _pytest.raises(ValueError):
+        sketches.group_sample(d, "source", "doc_id", k=0)

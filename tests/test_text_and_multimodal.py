@@ -114,3 +114,24 @@ def test_unigram_logprob_matches_hand_model(spark):
     assert out[1]["mean_logprob"] == round(d1 / 3 / 1e6, 6)
     d2 = e6(lp(2)) + e6(lp(1))
     assert out[2]["logprob_e6"] == d2
+
+
+def test_quality_buckets_partition_corpus(spark):
+    from flink_realtime_data_eng_spark.functions import text as T
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = T.quality_buckets(d, n_buckets=3).collect()
+    assert len(out) == d.count()  # every doc bucketed exactly once
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {1, 2, 3}
+    # ntile balance: bucket sizes differ by at most 1
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes[-1] - sizes[0] <= 1, sizes
+    # head must rank >= tail on the exact key
+    min_head = min(r["qkey_milli"] for r in by_bucket[1])
+    max_tail = max(r["qkey_milli"] for r in by_bucket[3])
+    assert min_head >= max_tail
+    names = {r["bucket"]: r["bucket_name"] for r in out}
+    assert names == {1: "head", 2: "middle", 3: "tail"}

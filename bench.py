@@ -51,6 +51,13 @@ def main() -> None:
     (spark.range(0, 64, 1, 8).withColumn("v", F.rand(42))
      .mapInPandas(_identity, "id long, v double")
      .write.mode("overwrite").format("noop").save())
+    # ... and the ML runtime (breeze/BLAS class loading dominates the first
+    # KMeans fit; x_ivf_topk should measure clustering, not class loading).
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    _fit_df = (spark.range(0, 64, 1, 8)
+               .withColumn("_fv", array_to_vector(F.array(F.rand(1), F.rand(2)))))
+    KMeans(k=2, seed=1, maxIter=1, featuresCol="_fv").fit(_fit_df)
 
     timings: dict[str, float] = {}
     bench_queries = {n: f for n, f in registry.QUERIES.items()

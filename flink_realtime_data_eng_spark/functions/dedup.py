@@ -265,6 +265,39 @@ def neardup_clusters(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                      F.col("label").alias("cluster_id"))
 
 
+def neardup_keep(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                 n: int = 3, threshold: float = 0.8,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduped corpus view — the actual END PRODUCT of near-dup
+    removal: every doc survives except non-canonical cluster members
+    (canonical = smallest id per component, the keep-one policy of
+    :func:`neardup_clusters`).
+
+    Plan shape: the drop-list is near-dup-sized (tiny next to the corpus),
+    so the final anti-join broadcasts it and the corpus never shuffles —
+    at 100 TB the whole removal is LSH + verify on candidates + one
+    map-side anti-join over the full scan.
+
+    Output: (doc_id, is_canonical) — kept docs only; ``is_canonical`` is
+    true when the doc anchors a cluster (near-dups were dropped for it),
+    false when it simply had no near-dup. Both are kept; the flag records
+    dedup lineage.
+    """
+    clusters = neardup_clusters(df, num_hashes, bands, n, threshold,
+                                text_col, id_col)
+    drop = (clusters.filter(F.col(id_col) != F.col("cluster_id"))
+            .select(id_col))
+    anchors = (clusters.filter(F.col(id_col) == F.col("cluster_id"))
+               .select(id_col))
+    return (df.select(id_col)
+            .join(F.broadcast(drop), id_col, "left_anti")
+            .join(F.broadcast(anchors.withColumn("is_canonical", F.lit(True))),
+                  id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("is_canonical"), F.lit(False))
+                     .alias("is_canonical")))
+
+
 def repeated_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

@@ -128,3 +128,39 @@ def chunk_documents(df: DataFrame, chunk_size: int = 64, overlap: int = 16,
         (F.col("s") - 1).cast("bigint").alias("chunk_start"),
         F.size(chunk).cast("bigint").alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"))
+
+
+def temperature_sample(df: DataFrame, tau: float = 0.5,
+                       text_col: str = "text", source_col: str = "source",
+                       id_col: str = "doc_id",
+                       prefix: str = "tsample") -> DataFrame:
+    """Temperature resampling toward a uniform source mixture: source ``i``
+    keeps docs with probability ``min(1, w_i^τ)`` where ``w_i`` is
+    :func:`source_mixture`'s uniform-target weight — τ=1 fully rebalances
+    a web-heavy crawl by downsampling dominant sources, τ=0 keeps the
+    natural mixture (upsampling/repetition of rare sources is the
+    complementary knob, left to the loader).
+
+    Fully distributed: the per-source probabilities are a source-cardinality
+    frame that broadcasts into one map-side filter — no driver collect, no
+    corpus shuffle. The keep decision hashes the DOC id (md5 unit draw), so
+    it is reproducible across engines/runs and consistent per doc.
+    ``w_i`` enters the pow already rounded to 6 dp (the published
+    source_mixture contract) and ``keep_prob`` rounds to 6 dp again, so
+    both engines compare hash draws against bit-identical thresholds.
+
+    Output: kept (id, source) rows.
+    """
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"tau must be in [0, 1], got {tau}")
+    from .dedup import _md5_hash32
+    mix = source_mixture(df, text_col, source_col)
+    probs = mix.select(
+        source_col,
+        F.round(F.least(F.lit(1.0), F.pow(F.col("sample_weight"),
+                                          F.lit(float(tau)))), 6)
+         .alias("keep_prob"))
+    draw = _md5_hash32(prefix, F.col(id_col).cast("string")) / F.lit(float(2**32))
+    return (df.join(F.broadcast(probs), source_col)
+            .where(draw < F.col("keep_prob"))
+            .select(F.col(id_col), F.col(source_col)))

@@ -589,6 +589,13 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.waiting_orders(_prep(spark), sf_dir)
 
 
+def x_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling toward a uniform source mixture (τ=0.5):
+    per-source keep probabilities broadcast into one map-side hash-draw
+    filter — no collect, no corpus shuffle."""
+    return packing.temperature_sample(_docs(spark, sf_dir), tau=0.5)
+
+
 def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel over events: chained
     conditional-min windows on ONE user-partition shuffle."""
@@ -698,6 +705,14 @@ def x_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (iterative min-label propagation; oracle = recursive CTE)."""
     return dedup.neardup_clusters(_docs(spark, sf_dir), num_hashes=16,
                                   bands=4, n=3, threshold=0.5)
+
+
+def x_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped corpus itself: near-dup clusters collapsed to their
+    smallest-id canonical, everything else kept — LSH + candidate verify +
+    one broadcast anti-join over the full scan."""
+    return dedup.neardup_keep(_docs(spark, sf_dir), num_hashes=16,
+                              bands=4, n=3, threshold=0.5)
 
 
 def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,6 +1139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_minhash_lsh": x_minhash_lsh,
     "x_neardup_pipeline": x_neardup_pipeline,
     "x_neardup_clusters": x_neardup_clusters,
+    "x_neardup_keep": x_neardup_keep,
     "x_simhash": x_simhash,
     "x_quality_features": x_quality_features,
     "x_language_id": x_language_id,
@@ -1165,6 +1181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_group_sample": x_group_sample,
     "x_range_lookup": x_range_lookup,
     "x_source_mixture": x_source_mixture,
+    "x_temperature_sample": x_temperature_sample,
     "x_funnel": x_funnel,
     "x_retention": x_retention,
     "x_json_stats": x_json_stats,
@@ -2576,4 +2593,53 @@ SELECT CAST(band_id AS BIGINT) AS band_id,
        CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band_id
+"""
+
+# Same recursive-CTE component labeling as x_neardup_clusters, carried to
+# the corpus-level keep decision (threshold 0.5, matching the Spark call).
+ORACLES["x_neardup_keep"] = f"""
+WITH RECURSIVE
+cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+),
+cc AS (
+  SELECT node, min(r) AS label FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(d.doc_id IN (SELECT node FROM cc WHERE node = label), FALSE)
+         AS is_canonical
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> label)
+"""
+
+_TS_DRAW = (_H32.format(x="concat('tsample', ':', CAST(doc_id AS VARCHAR))")
+            + " / 4294967296.0")
+ORACLES["x_temperature_sample"] = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len({_QF_TOKS})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT *, CAST(SUM(total_tokens) OVER () AS BIGINT) AS corpus_tokens,
+         count(*) OVER () AS n_sources
+  FROM per_src
+), probs AS (
+  SELECT source,
+         round(least(1.0,
+               pow(round((1.0 / n_sources)
+                         / (CAST(total_tokens AS DOUBLE) / corpus_tokens), 6),
+                   0.5)), 6) AS keep_prob
+  FROM tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN probs USING (source)
+WHERE {_TS_DRAW} < keep_prob
 """

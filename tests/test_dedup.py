@@ -143,3 +143,19 @@ def test_simhash_pairs_rejects_unsatisfiable_pigeonhole(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup.simhash_neardup_pairs(df, bands=4, max_hamming=4)
+
+
+def test_neardup_keep_drops_only_non_canonicals(spark):
+    from flink_realtime_data_eng_spark.functions import dedup
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    clusters = {r["doc_id"]: r["cluster_id"] for r in
+                dedup.neardup_clusters(d, threshold=0.5).collect()}
+    kept = {r["doc_id"]: r["is_canonical"] for r in
+            dedup.neardup_keep(d, threshold=0.5).collect()}
+    all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    dropped = {i for i, c in clusters.items() if i != c}
+    assert set(kept) == all_ids - dropped
+    anchors = {c for c in clusters.values()}
+    for i, canon in kept.items():
+        assert canon == (i in anchors), (i, canon)

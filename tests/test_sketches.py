@@ -226,3 +226,29 @@ def test_group_sample_rejects_bad_k(spark):
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     with _pytest.raises(ValueError):
         sketches.group_sample(d, "source", "doc_id", k=0)
+
+
+def test_temperature_sample_rebalances_sources(spark):
+    from flink_realtime_data_eng_spark.functions import packing
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    # tau=1 targets a uniform token mixture: dominant sources shrink,
+    # sources already below uniform share keep everything
+    mix = {r["source"]: r for r in packing.source_mixture(d).collect()}
+    kept = packing.temperature_sample(d, tau=1.0)
+    kept_n = {r["source"]: r["n"] for r in
+              kept.groupBy("source").count().withColumnRenamed("count", "n")
+              .collect()}
+    tot_n = {r["source"]: r["n"] for r in
+             d.groupBy("source").count().withColumnRenamed("count", "n")
+             .collect()}
+    for s, m in mix.items():
+        if m["sample_weight"] >= 1.0:
+            assert kept_n.get(s, 0) == tot_n[s], s  # below-share: keep all
+        else:
+            assert kept_n.get(s, 0) <= tot_n[s], s
+    # tau=0 -> keep_prob 1 everywhere: the identity sample
+    assert packing.temperature_sample(d, tau=0.0).count() == d.count()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        packing.temperature_sample(d, tau=1.5)

@@ -218,3 +218,65 @@ def asof_join_stream(left: DataFrame, right: DataFrame, key: str,
     return (u.groupBy(key)
              .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                      GroupStateTimeout.NoTimeout))
+
+
+def interval_alerts_tws(df: DataFrame, key: str = "user",
+                        ts_ms: str = "ts_ms", event_col: str = "op",
+                        match_value: str = "Delete",
+                        threshold_ms: int = 10_000,
+                        order_by: Sequence[str] | None = None) -> DataFrame:
+    """ST1 on the Spark 4 ``transformWithStateInPandas`` API — the direct
+    descendant of Flink's ``ValueStateDescriptor`` model: a named
+    ``ValueState`` handle obtained in ``init`` (mirrors
+    StatefulOperations.java:90-99's descriptor + getRuntimeContext), read/
+    updated per key in ``handleInputRows`` (mirrors :103-118's map logic).
+
+    Same semantics as :func:`interval_alerts_stream`. The handle API
+    additionally offers timers and list/map state — the upgrade path for
+    TTL-style session logic that GroupState timeouts express awkwardly.
+
+    NOT registered as a driver query: transformWithStateInPandas needs the
+    ``protobuf`` Python package on workers (state serialization), which
+    this container lacks — on a real cluster image it runs as-is; the
+    test suite skips it when the import is unavailable.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    order = list(order_by) if order_by else [ts_ms]
+    out_schema = T.StructType(
+        [_field(df, key)] + [_field(df, c) for c in order]
+        + [T.StructField("diff_ms", T.LongType())])
+    state_schema = T.StructType([T.StructField("last_ts", T.LongType())])
+    cols = order + ["diff_ms"]
+
+    class IntervalAlerts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # ValueStateDescriptor analog: named, typed, per-key.
+            self._last = handle.getValueState("last_ts", state_schema)
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            last_ts = self._last.get()[0] if self._last.exists() else None
+            out: list[tuple] = []
+            chunks = [pdf[pdf[event_col] == match_value] for pdf in rows]
+            pdf = pd.concat(chunks) if len(chunks) > 1 else (
+                chunks[0] if chunks else pd.DataFrame())
+            if len(pdf):
+                for row in pdf.sort_values(order).itertuples(index=False):
+                    t = int(getattr(row, ts_ms))
+                    if last_ts is not None and t - last_ts < threshold_ms:
+                        out.append(tuple(getattr(row, c) for c in order)
+                                   + (t - last_ts,))
+                    last_ts = t
+            if last_ts is not None:
+                self._last.update((last_ts,))
+            res = pd.DataFrame(out, columns=cols)
+            res.insert(0, key, key_tuple[0])
+            yield res
+
+        def close(self) -> None:
+            pass
+
+    return (df.groupBy(key)
+              .transformWithStateInPandas(IntervalAlerts(), out_schema,
+                                          "append", "none"))

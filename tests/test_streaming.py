@@ -557,3 +557,38 @@ def test_corpus_filter_stream_is_stateless_and_matches_batch_rules(
     stream_plan = filtering.corpus_filter_stream(stream)
     assert "StateStore" not in stream_plan._jdf.queryExecution() \
         .analyzed().toString()
+
+
+def test_interval_alerts_tws_matches_group_state_form(spark, tmp_path):
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas serializes state via protobuf; "
+               "not in this container (runs on standard cluster images)")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from flink_realtime_data_eng_spark.streaming.stateful import (
+        interval_alerts_stream, interval_alerts_tws)
+    rows = [(1, "del", 1000, 10), (1, "del", 5000, 11), (1, "keep", 6000, 12),
+            (1, "del", 30000, 13), (2, "del", 2000, 20), (2, "del", 9000, 21)]
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "user": [r[0] for r in rows], "op": [r[1] for r in rows],
+        "ts_ms": [r[2] for r in rows], "event_id": [r[3] for r in rows]}),
+        src / "p0.parquet")
+    schema = T.StructType([
+        T.StructField("user", T.LongType()), T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()), T.StructField("event_id", T.LongType())])
+    def run(op):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = op(stream, key="user", ts_ms="ts_ms", event_col="op",
+                 match_value="del", threshold_ms=10_000,
+                 order_by=["ts_ms", "event_id"])
+        name = f"tws_{op.__name__}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", str(tmp_path / f"ck_{op.__name__}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.table(name).collect()}
+    assert run(interval_alerts_tws) == run(interval_alerts_stream)

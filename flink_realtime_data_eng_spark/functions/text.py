@@ -330,11 +330,7 @@ def quality_buckets(df: DataFrame, n_buckets: int = 3,
     the key computation is shared by both paths.
     """
     scored = unigram_logprob(df, text_col=text_col, id_col=id_col)
-    offset = 100_000_000  # |mean logprob| stays far below 100 in e6 units
-    key = F.when(F.col("n_tokens") > 0,
-                 F.expr(f"((logprob_e6 + {offset}*n_tokens) * 1000)"
-                        f" div n_tokens")) \
-           .otherwise(F.lit(-1)).cast("bigint")
+    key = _quality_key()
     from pyspark.sql import Window as W
     w = W.orderBy(F.col("qkey_milli").desc(), F.col(id_col))
     named = (F.when(F.col("bucket") == 1, "head")
@@ -342,6 +338,58 @@ def quality_buckets(df: DataFrame, n_buckets: int = 3,
               .otherwise("middle"))
     return (scored.withColumn("qkey_milli", key)
             .withColumn("bucket", F.ntile(n_buckets).over(w))
+            .withColumn("bucket_name", named)
+            .select(id_col, "n_tokens", "logprob_e6", "qkey_milli",
+                    "bucket", "bucket_name"))
+
+
+def _quality_key() -> Column:
+    """Exact-integer mean-logprob ranking key over unigram_logprob's
+    (n_tokens, logprob_e6) columns; shared by the exact-ntile and
+    approx-cutoff bucket paths. The +1e8·n_tokens offset keeps the
+    numerator positive so truncating (Spark ``div``) and flooring
+    (DuckDB ``//``) division agree; empty docs key to -1."""
+    offset = 100_000_000  # |mean logprob| stays far below 100 in e6 units
+    return (F.when(F.col("n_tokens") > 0,
+                   F.expr(f"((logprob_e6 + {offset}*n_tokens) * 1000)"
+                          f" div n_tokens"))
+             .otherwise(F.lit(-1)).cast("bigint"))
+
+
+def quality_buckets_approx(df: DataFrame, n_buckets: int = 3,
+                           rel_err: float = 0.001,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The 100 TB form of :func:`quality_buckets`: approx-quantile cutoffs
+    on the shared ranking key + a map-side bucket assignment — no global
+    sort, no single-partition window anywhere in the plan.
+
+    ``percentile_approx`` is a bounded-memory mergeable sketch (one
+    aggregate); its 1-row cutoff frame broadcasts into the bucket CASE.
+    Bucket boundaries can differ from exact ntile by the sketch's rank
+    error (``rel_err``, accuracy = 1/rel_err) and ties are NOT split to
+    equalize bucket sizes — acceptable for corpus curation, where the
+    filter threshold itself is a heuristic. Registered nowhere: the exact
+    form is the oracle-checked contract; this one is pytest-checked
+    against it (same keys, bucket agreement within sketch error).
+    """
+    scored = (unigram_logprob(df, text_col=text_col, id_col=id_col)
+              .withColumn("qkey_milli", _quality_key()))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.agg(
+        F.percentile_approx("qkey_milli", probs,
+                            F.lit(int(1 / rel_err))).alias("cuts"))
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        # cuts are ascending; bucket 1 = highest keys (head)
+        bucket = bucket + F.when(
+            F.col("qkey_milli") <= F.col("cuts")[n_buckets - 2 - i],
+            F.lit(1)).otherwise(F.lit(0))
+    named = (F.when(F.col("bucket") == 1, "head")
+              .when(F.col("bucket") == n_buckets, "tail")
+              .otherwise("middle"))
+    return (scored.crossJoin(F.broadcast(cuts))
+            .withColumn("bucket", bucket.cast("int"))
             .withColumn("bucket_name", named)
             .select(id_col, "n_tokens", "logprob_e6", "qkey_milli",
                     "bucket", "bucket_name"))

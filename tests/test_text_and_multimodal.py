@@ -135,3 +135,26 @@ def test_quality_buckets_partition_corpus(spark):
     assert min_head >= max_tail
     names = {r["bucket"]: r["bucket_name"] for r in out}
     assert names == {1: "head", 2: "middle", 3: "tail"}
+
+
+def test_quality_buckets_approx_matches_exact_within_sketch_error(spark):
+    from flink_realtime_data_eng_spark.functions import text as T
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {r["doc_id"]: (r["bucket"], r["qkey_milli"])
+             for r in T.quality_buckets(d, n_buckets=3).collect()}
+    approx = {r["doc_id"]: (r["bucket"], r["qkey_milli"])
+              for r in T.quality_buckets_approx(d, n_buckets=3).collect()}
+    assert set(exact) == set(approx)
+    # identical ranking keys (shared computation)
+    for i in exact:
+        assert exact[i][1] == approx[i][1], i
+    # bucket agreement: allow disagreement only near the cutoffs
+    # (sketch rank error + un-split ties); at 500 docs this is a sliver
+    diff = [i for i in exact if exact[i][0] != approx[i][0]]
+    assert len(diff) <= 0.02 * len(exact), (len(diff), len(exact))
+    # the scale path has NO window operator at all (cutoffs are one
+    # sketch aggregate + broadcast), unlike the exact form's global ntile
+    plan = (T.quality_buckets_approx(d)._jdf.queryExecution()
+            .executedPlan().toString().split("== Initial Plan ==")[0])
+    assert "WindowExec" not in plan and "Window " not in plan, plan[:500]

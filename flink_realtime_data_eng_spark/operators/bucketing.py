@@ -104,3 +104,49 @@ def write_range_sorted(df: DataFrame, path: str, *sort_cols: str,
        .write.mode("overwrite").parquet(path)
     back = df.sparkSession.read.schema(df.schema).parquet(path)
     return back.select(*[f.name for f in df.schema.fields])
+
+
+def morton_code(a, b, bits: int = 8):
+    """Z-order (Morton) interleave of two non-negative integer columns'
+    low ``bits`` bits — pure integer Catalyst arithmetic (bit j of each
+    input lands at positions 2j / 2j+1), reproducible in any SQL engine
+    with the same div/mod formula.
+
+    Z-ordering is the multi-column generalization of sorted layout: a sort
+    on the interleaved code gives BOTH dimensions locality, so parquet
+    row-group min/max stats stay tight on each raw column and a range
+    predicate on either (or both) skips most row groups — where a plain
+    sort on column A leaves column B's stats spanning the full domain.
+    """
+    from pyspark.sql import functions as FF
+    ca = (a if not isinstance(a, str) else FF.col(a)).cast("bigint")
+    cb = (b if not isinstance(b, str) else FF.col(b)).cast("bigint")
+    code = FF.lit(0).cast("bigint")
+    for j in range(bits):
+        # exact bit extraction (shift+mask), never float division
+        bit_a = FF.shiftrightunsigned(ca, j).bitwiseAND(FF.lit(1))
+        bit_b = FF.shiftrightunsigned(cb, j).bitwiseAND(FF.lit(1))
+        code = code + bit_a * (1 << (2 * j)) + bit_b * (1 << (2 * j + 1))
+    return code
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   bits: int = 8, num_files: int = 8) -> DataFrame:
+    """Z-ordered parquet layout over two dimensions: range-partition +
+    locally sort by the Morton code (no global sort — same discipline as
+    :func:`write_range_sorted`), so every output file/row group covers a
+    compact 2-D tile of (col_a, col_b) space.
+
+    Returns the read-back frame. The pruning payoff is measurable from
+    parquet footer stats alone (see the row-group-skip test): a box
+    predicate on the two raw columns overlaps only the tiles that
+    intersect it, not every row group the way a single-column sort would.
+    """
+    code = morton_code(col_a, col_b, bits).alias("_z")
+    out = (df.withColumn("_z", code)
+             .repartitionByRange(num_files, "_z")
+             .sortWithinPartitions("_z")
+             .drop("_z"))
+    out.write.mode("overwrite").parquet(path)
+    back = df.sparkSession.read.schema(df.schema).parquet(path)
+    return back.select(*[f.name for f in df.schema.fields])

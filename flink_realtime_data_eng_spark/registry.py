@@ -1003,6 +1003,56 @@ def x_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("user_id"))
 
 
+def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((event_type), (day)) — two independent
+    one-dimension aggregates in ONE Expand + hash-aggregate pass (neither
+    cube nor rollup expresses this set list; the per-row fan-out is 2×,
+    never 2 scans). grouping_id disambiguates rolled-up NULLs, as in
+    q_returns_cube."""
+    e = (_events(spark, sf_dir)
+         .withColumn("day", F.expr("ts_ms div 86400000").cast("bigint")))
+    return (e.groupingSets([["event_type"], ["day"]], "event_type", "day")
+             .agg(F.grouping_id().cast("bigint").alias("gid"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.round(F.col("value") * 10_000).cast("bigint"))
+                   .alias("sum_value_e4"))
+             .orderBy("gid", "event_type", "day"))
+
+
+def x_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout round trip UNDER the oracle gate: events
+    written range-partitioned + sorted on the interleaved
+    (user_id, day) code (cached per sf_dir), read back through a 2-D box
+    predicate on the RAW columns, aggregated. The hash match proves the
+    layout is lossless and the box filter semantics survive the
+    round trip; the row-group-skip pytest proves the layout actually
+    prunes (footer min/max stats, both dimensions)."""
+    import hashlib
+    import os
+    from .operators.bucketing import write_zordered
+    ev = (_events(spark, sf_dir)
+          .select("event_id", "user_id", "event_type", "ts_ms", "value")
+          .withColumn("day", F.expr("ts_ms div 86400000").cast("bigint")))
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}"
+                      .encode()).hexdigest()[:12]
+    path = os.path.join(_tempfile.gettempdir(), f"frde_zord_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        back = (spark.read.schema(ev.schema).parquet(path)
+                .select(*[f.name for f in ev.schema.fields]))
+    else:
+        back = write_zordered(ev, path, "user_id", "day", bits=8)
+    lo_u, hi_u, lo_d, hi_d = 100, 140, 19730, 19739
+    return (back.filter((F.col("user_id") >= lo_u) & (F.col("user_id") <= hi_u)
+                        & (F.col("day") >= lo_d) & (F.col("day") <= hi_d))
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.round(F.col("value") * 10_000).cast("bigint"))
+                      .alias("sum_value_e4"))
+                .orderBy("event_type"))
+
+
 def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram PMI over documents (phrase-mining primitive): map-side
     zip_with bigrams, two aggregates, vocabulary-sized broadcast joins."""
@@ -1170,6 +1220,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_sessionize": x_sessionize,
     "x_collocations": x_collocations,
     "x_partitioned_prune": x_partitioned_prune,
+    "x_zorder_prune": x_zorder_prune,
+    "x_grouping_sets": x_grouping_sets,
     "x_quantize": x_quantize,
     "x_unigram_logprob": x_unigram_logprob,
     "x_decontaminate": x_decontaminate,
@@ -2706,4 +2758,26 @@ FROM (SELECT vec_id, embedding AS va, bucket FROM t) a
 JOIN (SELECT vec_id, embedding AS vb, bucket FROM t) b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({_CVA_VB}, 6) >= 0.3
+"""
+
+ORACLES["x_zorder_prune"] = """
+WITH e AS (
+  SELECT event_type, value, user_id, epoch_ms(ts) // 86400000 AS day
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM e
+WHERE user_id BETWEEN 100 AND 140 AND day BETWEEN 19730 AND 19739
+GROUP BY event_type
+"""
+
+ORACLES["x_grouping_sets"] = """
+SELECT CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
+       event_type, day, count(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day, value FROM events)
+GROUP BY GROUPING SETS ((event_type), (day))
 """

@@ -396,3 +396,52 @@ def test_partitioned_prune_query_scans_only_one_partition(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "event_type=click" in plan or "PartitionFilters" in plan
     assert df.count() > 0
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Footer-stats proof that the Morton layout gives BOTH columns
+    locality: a box predicate on the raw columns overlaps a minority of
+    row groups, while a single-column sort leaves the second column's
+    stats spanning the full domain (no skipping on that dimension)."""
+    import glob as _glob
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from flink_realtime_data_eng_spark.operators import bucketing
+    from flink_realtime_data_eng_spark.schemas import load_table
+    ev = (load_table(spark, "/root/testdata/sf0.01", "events")
+          .withColumn("day", F.expr("ts_ms div 86400000").cast("bigint"))
+          .select("event_id", "user_id", "value", "day"))
+
+    def overlap_frac(path, lo_u, hi_u, lo_d, hi_d):
+        tot = hit = 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i
+                    for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                su = g.column(cols["user_id"]).statistics
+                sd = g.column(cols["day"]).statistics
+                tot += 1
+                if (su.min <= hi_u and su.max >= lo_u
+                        and sd.min <= hi_d and sd.max >= lo_d):
+                    hit += 1
+        return hit / tot, tot
+
+    z = str(tmp_path / "zord")
+    bucketing.write_zordered(ev, z, "user_id", "day", bits=8, num_files=32)
+    s = str(tmp_path / "usort")
+    (ev.repartitionByRange(32, "user_id").sortWithinPartitions("user_id")
+       .write.mode("overwrite").parquet(s))
+    # The z-order claim: BOTH dimensions retain pruning power. A layout
+    # sorted only on user_id cannot skip anything for a day-range query
+    # (every row group spans all days); the z-layout can.
+    daybox = (0, 149, 19730, 19739)   # all users, ~33% of days
+    zf, zt = overlap_frac(z, *daybox)
+    uf, ut = overlap_frac(s, *daybox)
+    assert zt >= 16 and ut >= 16
+    assert uf == 1.0, uf          # 1-D sort: zero skipping on dim 2
+    assert zf <= 0.8, zf          # z-layout: real skipping on dim 2
+    # ... while a 2-D box still prunes hard (user slab x day stripe)
+    zb, _ = overlap_frac(z, 100, 140, 19730, 19739)
+    assert zb <= 0.45, zb

@@ -131,3 +131,30 @@ def key_skew_profile(df: DataFrame, cols: Sequence[str],
                 F.round(F.col("cnt") / F.col("_total")
                         * F.col("n_distinct"), 6).alias("skew_ratio"),
                 "rank"))
+
+
+def variant_props_stats(df: DataFrame, json_col: str = "props",
+                        field: str = "k",
+                        group_col: str = "event_type") -> DataFrame:
+    """Schema-free semi-structured extraction on Spark 4's VariantType:
+    ``parse_json`` once into the binary variant encoding (map-side, no
+    schema declaration), then typed path extraction with
+    ``try_variant_get``.
+
+    Variant is the open-schema counterpart to ``from_json`` + StructType
+    (:func:`json_props_stats`): parse cost is paid once per row however
+    many paths are later extracted, unknown keys are preserved, and
+    extraction stays in codegen. The scale contract is the same — pure
+    map-side until the final low-cardinality aggregate.
+    """
+    v = F.parse_json(F.col(json_col))
+    k = F.try_variant_get(v, f"$.{field}", "bigint")
+    return (df.select(F.col(group_col), k.alias("_v"),
+                      F.col(json_col).isNotNull().alias("_present"))
+              .groupBy(group_col)
+              .agg(F.count(F.when(F.col("_present"), 1)).alias("n_rows"),
+                   F.count("_v").alias("n_typed"),
+                   F.sum("_v").alias("sum_v"),
+                   F.min("_v").alias("min_v"),
+                   F.max("_v").alias("max_v"))
+              .orderBy(group_col))

@@ -661,6 +661,13 @@ def x_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.json_props_stats(_events(spark, sf_dir))
 
 
+def x_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType extraction over the events props column:
+    parse_json once (open schema, binary encoding), try_variant_get the
+    typed path — the schema-free twin of x_json_stats."""
+    return stats.variant_props_stats(_events(spark, sf_dir))
+
+
 def x_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide pivot with explicit value list: events per (day, type)
     as one conditional-count aggregate."""
@@ -1241,6 +1248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_funnel": x_funnel,
     "x_retention": x_retention,
     "x_json_stats": x_json_stats,
+    "x_variant_extract": x_variant_extract,
     "x_pivot_daily": x_pivot_daily,
     "x_hll_distinct": x_hll_distinct,
     "x_approx_quantiles": x_approx_quantiles,
@@ -2780,4 +2788,16 @@ SELECT CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
          AS sum_value_e4
 FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day, value FROM events)
 GROUP BY GROUPING SETS ((event_type), (day))
+"""
+
+ORACLES["x_variant_extract"] = """
+SELECT event_type,
+       count(CASE WHEN props IS NOT NULL THEN 1 END) AS n_rows,
+       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_typed,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_v,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_v,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_v
+FROM events GROUP BY event_type
 """

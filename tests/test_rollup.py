@@ -74,3 +74,16 @@ def test_rollup_two_keys_no_partial_key_rows(spark):
     totals = {(r["region"], r["et"]): r["s"] for r in out
               if r["resolution"] == "total"}
     assert totals == {("r1", "a"): 1, ("r1", "b"): 2, ("r2", "a"): 4}
+
+
+def test_variant_extract_matches_schema_ful_json(spark):
+    """The schema-free variant path must agree with from_json+schema on
+    the shared statistics (n_typed == n_present etc.)."""
+    from flink_realtime_data_eng_spark.operators import stats
+    from flink_realtime_data_eng_spark.schemas import load_table
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    via_schema = {r["event_type"]: (r["n_present"], r["sum_v"], r["min_v"], r["max_v"])
+                  for r in stats.json_props_stats(e).collect()}
+    via_variant = {r["event_type"]: (r["n_typed"], r["sum_v"], r["min_v"], r["max_v"])
+                   for r in stats.variant_props_stats(e).collect()}
+    assert via_schema == via_variant

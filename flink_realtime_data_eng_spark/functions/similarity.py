@@ -268,3 +268,40 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
         F.aggregate(q, F.lit(0).cast("bigint"),
                     lambda acc, x: acc + F.abs(x)).alias("q_l1"),
         F.md5(F.concat_ws(",", q)).alias("q_fp"))
+
+
+def lsh_multiprobe_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        exclude_self: bool = True, num_planes: int = 8,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        query_id: str = "query_id") -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket PLUS the
+    ``num_planes`` Hamming-distance-1 buckets (one sign bit flipped) —
+    the standard recall lever for hyperplane LSH: a near neighbor that
+    landed one plane away is recovered at (planes+1)× probe cost instead
+    of duplicating index tables.
+
+    Scale shape: the probe expansion happens on the QUERY side (tiny),
+    exploded to (planes+1) rows per query and broadcast; the corpus is
+    bucketed once map-side and never shuffles. Deterministic md5-parity
+    planes + measured sign margins make the probed candidate set — and
+    therefore the whole result — exactly reproducible in the SQL oracle.
+    """
+    cb = corpus.withColumn("bucket", lsh_signature(vec_col, num_planes))
+    q = (queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
+                .withColumn("q_bucket", lsh_signature("q_vec", num_planes)))
+    flips = F.array(F.lit(0), *[F.lit(1 << p) for p in range(num_planes)])
+    probes = (q.select(query_id, "q_vec", "q_bucket",
+                       F.explode(flips).alias("flip"))
+               .select(query_id, "q_vec",
+                       F.col("q_bucket").bitwiseXOR(F.col("flip"))
+                        .alias("probe_bucket")))
+    cond = F.col("bucket") == F.col("probe_bucket")
+    if exclude_self:  # shared id space, as in brute_force_topk
+        cond = cond & (F.col(query_id) != F.col(id_col))
+    scored = (cb.join(F.broadcast(probes), cond)
+              .select(F.col(query_id), F.col(id_col),
+                      F.round(cosine("q_vec", vec_col), 6).alias("score")))
+    w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id, id_col, "score", "rk"))

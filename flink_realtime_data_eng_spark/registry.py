@@ -765,6 +765,16 @@ def x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, q, k=5, num_planes=8)
 
 
+def x_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query probes its bucket + all Hamming-1
+    buckets (flip one sign bit) — the standard recall lever at
+    (planes+1)× probe cost, still exactly oracle-reproducible."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.lsh_multiprobe_topk(emb, q, k=5, num_planes=8)
+
+
 def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate ANN — rows-only check (KMeans cell assignment has no
     SQL analog; exactness within probed cells is covered by pytest against
@@ -1207,6 +1217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_norm_stats": x_norm_stats,
     "x_brute_force_topk": x_brute_force_topk,
     "x_lsh_topk": x_lsh_topk,
+    "x_lsh_multiprobe_topk": x_lsh_multiprobe_topk,
     "x_ivf_topk": x_ivf_topk,
     "x_embedding_neardup": x_embedding_neardup,
     "x_embedding_neardup_lsh": x_embedding_neardup_lsh,
@@ -2800,4 +2811,27 @@ SELECT event_type,
        MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_v,
        MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_v
 FROM events GROUP BY event_type
+"""
+
+_FLIPS = ", ".join(f"({v})" for v in [0] + [1 << p for p in range(8)])
+ORACLES["x_lsh_multiprobe_topk"] = f"""
+WITH c AS (
+  SELECT vec_id, embedding AS v, {_lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, embedding AS q,
+         {_lsh_bucket_sql("embedding")} AS q_bucket
+  FROM embeddings WHERE vec_id < 10
+), probes AS (
+  SELECT query_id, q, xor(q_bucket, flip) AS probe_bucket
+  FROM qs CROSS JOIN (VALUES {_FLIPS}) flips(flip)
+), s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM probes JOIN c ON bucket = probe_bucket AND query_id <> vec_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
 """

@@ -125,3 +125,25 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
     # zero vector: scale 0, all-zero quant, no div-by-zero NaNs
     assert out[2]["scale"] == 0.0 and out[2]["q_l1"] == 0
     assert out[2]["q_fp"] == hashlib.md5(b"0,0,0").hexdigest()
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    from flink_realtime_data_eng_spark.functions import similarity
+    from flink_realtime_data_eng_spark.schemas import load_table
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             similarity.brute_force_topk(emb, q, k=5).collect()}
+    single = {(r["query_id"], r["vec_id"]) for r in
+              similarity.lsh_bucketed_topk(emb, q, k=5, num_planes=8).collect()}
+    multi = {(r["query_id"], r["vec_id"]) for r in
+             similarity.lsh_multiprobe_topk(emb, q, k=5, num_planes=8).collect()}
+    # multi-probe candidates are a superset of single-probe's buckets, so
+    # recall of the exact top-5 can only improve
+    assert len(multi & exact) >= len(single & exact)
+    # and every query gets a full result set at Hamming radius 1 here
+    from collections import Counter
+    per_q = Counter(qid for qid, _ in multi)
+    assert all(v == 5 for v in per_q.values()), per_q

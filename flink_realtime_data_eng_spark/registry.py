@@ -407,6 +407,27 @@ def j1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark)
 
 
+def j4_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the Structured Streaming pattern the
+    stream-stream demos don't cover: each micro-batch of the (streaming)
+    events CSV replay joins a STATIC bands dim via the broadcast
+    containment join of x_range_lookup, then aggregates per band in
+    update mode. No watermark and no stream-stream state: the static side
+    is re-broadcast per micro-batch, state is only the running aggregate.
+    Oracle = the batch band rollup restricted to the replayed columns."""
+    bands = spark.createDataFrame(_BANDS, "band_id int, lo double, hi double")
+    ev = _stream_events(spark, sf_dir)
+    # the CSV replay carries (event_id, user_id, event_type, ts_ms); value
+    # is re-derived deterministically from event_id so the oracle can too
+    fact = ev.select("event_id",
+                     (F.col("event_id") % 500).cast("double").alias("value"))
+    hit = joins.range_lookup(fact, bands, "value")
+    out = (hit.groupBy(F.col("band_id").cast("bigint").alias("band_id"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("event_id")).alias("sum_event_id")))
+    return _run_to_memory(out, spark, output_mode="complete")
+
+
 def a3_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 streaming form (WindowingOperations.java:77-92): 10 s / 5 s
     sliding count+min+max through the streaming aggregation path (complete
@@ -1145,7 +1166,7 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming round-trip demos: correctness-checked like everything else, but
 # excluded from bench.py — they measure state-store fixed overhead at fixture
 # scale, not analytics throughput.
-STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream",
+STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream", "j4_stream_static",
                    "a2_stream_totals", "j1_stream", "j3_stream", "a4_stream",
                    "a3_stream", "a5_stream", "j2_stream", "x_filter_stream",
                    "x_dedup_stream"}
@@ -1174,6 +1195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_stream": a6_stream,
     "a2_stream_totals": a2_stream_totals,
     "j1_stream": j1_stream,
+    "j4_stream_static": j4_stream_static,
     "j3_stream": j3_stream,
     "a4_stream": a4_stream,
     "a3_stream": a3_stream,
@@ -2834,4 +2856,13 @@ WITH c AS (
   FROM s
 )
 SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
+"""
+
+ORACLES["j4_stream_static"] = f"""
+WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_VALUES}),
+f AS (SELECT event_id, CAST(event_id % 500 AS DOUBLE) AS value FROM events)
+SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM f JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id
 """

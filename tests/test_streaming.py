@@ -592,3 +592,20 @@ def test_interval_alerts_tws_matches_group_state_form(spark, tmp_path):
         q.awaitTermination(120)
         return {tuple(r) for r in spark.table(name).collect()}
     assert run(interval_alerts_tws) == run(interval_alerts_stream)
+
+
+def test_stream_static_join_matches_batch(spark):
+    from flink_realtime_data_eng_spark import registry
+    sf = "/root/testdata/sf0.001"
+    got = {r["band_id"]: (r["n_events"], r["sum_event_id"])
+           for r in registry.j4_stream_static(spark, sf).collect()}
+    ev = registry._events(spark, sf).select(
+        "event_id", (F.col("event_id") % 500).cast("double").alias("value"))
+    import itertools
+    want = {}
+    for r in ev.collect():
+        for b, lo, hi in registry._BANDS:
+            if lo <= r["value"] < hi:
+                n, s = want.get(b, (0, 0))
+                want[b] = (n + 1, s + r["event_id"])
+    assert got == want

@@ -743,6 +743,35 @@ def x_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                               bands=4, n=3, threshold=0.5)
 
 
+def x_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup dashboard row: corpus size, exact-dup count, near-dup
+    cluster/member counts, and the final keep count in ONE result —
+    the monitoring contract of a production dedup stage. Composes the
+    existing exact + near-dup pipelines; each input frame is tiny
+    (aggregates / pair-scale), so the combine is a driver-free union of
+    1-row aggregates."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.exact_dedup(docs)
+    clusters = dedup.neardup_clusters(docs, num_hashes=16, bands=4, n=3,
+                                      threshold=0.5)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_exact = exact.agg(
+        F.count(F.lit(1)).alias("n_distinct_content"),
+        F.sum(F.col("n_copies") - 1).alias("n_exact_dup_rows"))
+    n_near = clusters.agg(
+        F.count(F.lit(1)).alias("n_neardup_members"),
+        F.countDistinct("cluster_id").alias("n_neardup_clusters"))
+    # kept = all docs minus non-canonical members; exact arithmetic on the
+    # cluster aggregate — running neardup_keep here would re-execute the
+    # whole LSH+verify pipeline a second time for the same number.
+    return (n_docs.crossJoin(n_exact).crossJoin(n_near)
+            .select("n_docs", "n_distinct_content", "n_exact_dup_rows",
+                    "n_neardup_clusters", "n_neardup_members",
+                    (F.col("n_docs") - (F.col("n_neardup_members")
+                                        - F.col("n_neardup_clusters")))
+                    .alias("n_kept")))
+
+
 def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -1233,6 +1262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_neardup_pipeline": x_neardup_pipeline,
     "x_neardup_clusters": x_neardup_clusters,
     "x_neardup_keep": x_neardup_keep,
+    "x_dedup_stats": x_dedup_stats,
     "x_simhash": x_simhash,
     "x_quality_features": x_quality_features,
     "x_language_id": x_language_id,
@@ -2865,4 +2895,32 @@ SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n_events,
        CAST(SUM(event_id) AS BIGINT) AS sum_event_id
 FROM f JOIN bands ON value >= lo AND value < hi
 GROUP BY band_id
+"""
+
+ORACLES["x_dedup_stats"] = f"""
+WITH RECURSIVE
+n AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+ex AS (SELECT fp, count(*) AS n_copies FROM n GROUP BY fp),
+cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+),
+cc AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM ex) AS n_distinct_content,
+       (SELECT CAST(SUM(n_copies - 1) AS BIGINT) FROM ex)
+         AS n_exact_dup_rows,
+       (SELECT count(DISTINCT label) FROM cc) AS n_neardup_clusters,
+       (SELECT count(*) FROM cc) AS n_neardup_members,
+       (SELECT count(*) FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> label))
+         AS n_kept
 """

@@ -37,6 +37,7 @@ NESTED_LOOP_OK = {
     "x_unigram_logprob",        # 1-row (N, V) totals broadcast
     "x_quality_buckets",        # 1-row (N, V) totals broadcast (same CTE)
     "x_range_lookup",           # static 10-row bands dim broadcast by design
+    "x_dedup_stats",            # crossJoin of four 1-row report aggregates
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

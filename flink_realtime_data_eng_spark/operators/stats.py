@@ -158,3 +158,31 @@ def variant_props_stats(df: DataFrame, json_col: str = "props",
                    F.min("_v").alias("min_v"),
                    F.max("_v").alias("max_v"))
               .orderBy(group_col))
+
+
+def iqr_outliers(df: DataFrame, group: str, value: str,
+                 factor: float = 1.5) -> DataFrame:
+    """Tukey-fence outlier counts per group: rows outside
+    ``[q1 - factor·IQR, q3 + factor·IQR]`` of their group's exact
+    quartiles — the standard numeric data-quality gate.
+
+    Plan shape: ONE exact-quantile aggregate per group (group cardinality
+    is small by assumption — these are event types / sources, not user
+    ids), broadcast back onto the fact scan for a map-side flag + count.
+    The fact table shuffles once for the final count aggregate; fences
+    round to 6 dp so both engines compare against identical bounds.
+    """
+    q = (df.groupBy(group)
+           .agg(F.round(F.percentile(value, F.lit(0.25)), 6).alias("q1"),
+                F.round(F.percentile(value, F.lit(0.75)), 6).alias("q3")))
+    fence_lo = F.round(F.col("q1") - factor * (F.col("q3") - F.col("q1")), 6)
+    fence_hi = F.round(F.col("q3") + factor * (F.col("q3") - F.col("q1")), 6)
+    fences = q.select(group, fence_lo.alias("lo"), fence_hi.alias("hi"))
+    flagged = (df.join(F.broadcast(fences), group)
+                 .select(F.col(group),
+                         ((F.col(value) < F.col("lo"))
+                          | (F.col(value) > F.col("hi"))).alias("is_out")))
+    return (flagged.groupBy(group)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("is_out").cast("bigint")).alias("n_outliers"))
+            .orderBy(group))

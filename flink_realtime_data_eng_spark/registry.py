@@ -1151,6 +1151,13 @@ def x_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "ts_ms", 3_600_000, "value")
 
 
+def x_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per event type: exact quartiles broadcast
+    back onto the scan for a map-side flag — the numeric data-quality
+    gate."""
+    return stats.iqr_outliers(_events(spark, sf_dir), "event_type", "value")
+
+
 def x_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic over events(event_type, user_id): one
     (col,value) aggregate + two-level bucketed top-k + broadcast stats —
@@ -1284,6 +1291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_vocab_topk": x_vocab_topk,
     "x_tfidf_topk": x_tfidf_topk,
     "x_group_quantiles": x_group_quantiles,
+    "x_iqr_outliers": x_iqr_outliers,
     "x_key_skew": x_key_skew,
     "x_trailing": x_trailing,
     "x_simhash_pairs": x_simhash_pairs,
@@ -2923,4 +2931,23 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
        (SELECT count(*) FROM documents
         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> label))
          AS n_kept
+"""
+
+ORACLES["x_iqr_outliers"] = """
+WITH q AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS q1,
+         round(quantile_cont(value, 0.75), 6) AS q3
+  FROM events GROUP BY event_type
+), f AS (
+  SELECT event_type,
+         round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+         round(q3 + 1.5 * (q3 - q1), 6) AS hi
+  FROM q
+)
+SELECT e.event_type, count(*) AS n_rows,
+       CAST(SUM(CAST(e.value < f.lo OR e.value > f.hi AS BIGINT)) AS BIGINT)
+         AS n_outliers
+FROM events e JOIN f ON e.event_type = f.event_type
+GROUP BY e.event_type
 """

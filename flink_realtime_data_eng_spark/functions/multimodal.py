@@ -183,3 +183,44 @@ def frame_sample(media: DataFrame, every_n: int = 10, frame_bytes: int = 16,
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def audio_energy(media: DataFrame, frame_samples: int = 32,
+                 fake: bool = True) -> DataFrame:
+    """Audio frame-energy extraction: each payload is windowed into frames
+    of ``frame_samples`` samples; each full frame emits its energy (sum of
+    squared sample values, exact BIGINT).
+
+    Real audio decode (PCM from wav/mp3) needs codec libs absent from this
+    container; the deterministic fake reads the payload bytes as unsigned
+    8-bit samples — the Spark plumbing (Arrow batch in, frame fan-out rows
+    out, exact-integer energies) is exactly what a librosa-backed decoder
+    would feed. Per-frame energies are the front half of audio dedup /
+    silence trimming / VAD-style segmentation in a media pipeline.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires codec libs not present in this "
+            "environment; pass fake=True for the byte-sample stub")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, es = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = len(payload) // frame_samples
+                for fno in range(n_frames):
+                    chunk = payload[fno * frame_samples:(fno + 1) * frame_samples]
+                    ids.append(mid)
+                    nos.append(fno)
+                    es.append(sum(b * b for b in chunk))
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos,
+                                "energy": pd.Series(es, dtype="int64")})
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

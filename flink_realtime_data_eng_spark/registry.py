@@ -901,6 +901,14 @@ def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "frame_no", F.md5("frame").alias("frame_fp"))
 
 
+def x_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-energy plumbing, ORACLE-checked exactly: the fake PCM
+    reads payload bytes as unsigned 8-bit samples, and the fixture text is
+    ASCII, so SQL reproduces each frame's sum-of-squares from char codes."""
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
+    return multimodal.audio_energy(media, frame_samples=32)
+
+
 def x_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style minute/hour/day/total rollup of event counts and
     fixed-point value sums per event_type — ALL resolutions in one shuffle
@@ -1284,6 +1292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_multimodal_features": x_multimodal_features,
     "x_resize": x_resize,
     "x_frame_sample": x_frame_sample,
+    "x_audio_energy": x_audio_energy,
     "x_kmv_distinct": x_kmv_distinct,
     "x_hash_sample": x_hash_sample,
     "x_stratified_sample": x_stratified_sample,
@@ -2950,4 +2959,22 @@ SELECT e.event_type, count(*) AS n_rows,
          AS n_outliers
 FROM events e JOIN f ON e.event_type = f.event_type
 GROUP BY e.event_type
+"""
+
+# ascii() per char == payload byte because the fixture text is pure ASCII
+# (attach_binary_payload encodes UTF-8; any non-ASCII char would surface
+# as a loud hash mismatch, not silent corruption).
+ORACLES["x_audio_energy"] = """
+WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+f AS (
+  SELECT media_id, CAST(i AS INT) AS frame_no, text
+  FROM m CROSS JOIN (SELECT unnest(range(0, 100000)) AS i) idx
+  WHERE i < len(text) // 32
+)
+SELECT media_id, frame_no,
+       CAST(list_sum(list_transform(range(1, 33),
+            j -> ascii(substring(text, CAST(frame_no * 32 + j AS INT), 1))
+                 * ascii(substring(text, CAST(frame_no * 32 + j AS INT), 1))))
+            AS BIGINT) AS energy
+FROM f
 """

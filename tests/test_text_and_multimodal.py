@@ -158,3 +158,19 @@ def test_quality_buckets_approx_matches_exact_within_sketch_error(spark):
     plan = (T.quality_buckets_approx(d)._jdf.queryExecution()
             .executedPlan().toString().split("== Initial Plan ==")[0])
     assert "WindowExec" not in plan and "Window " not in plan, plan[:500]
+
+
+def test_audio_energy_frames_and_values(spark):
+    from flink_realtime_data_eng_spark.functions import multimodal
+    d = spark.createDataFrame(
+        [(1, "a" * 64), (2, "b" * 40), (3, "")], "doc_id long, text string")
+    media = multimodal.attach_binary_payload(d)
+    rows = {(r["media_id"], r["frame_no"]): r["energy"]
+            for r in multimodal.audio_energy(media, frame_samples=32).collect()}
+    # 64 chars -> 2 full frames; 40 -> 1; empty -> 0
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}
+    assert rows[(1, 0)] == rows[(1, 1)] == 32 * ord("a") ** 2
+    assert rows[(2, 0)] == 32 * ord("b") ** 2
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.audio_energy(media, fake=False)

@@ -743,6 +743,29 @@ def x_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                               bands=4, n=3, threshold=0.5)
 
 
+def x_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication forensics: verified near-dup pairs
+    attributed to (source, source) — which sources copy each other, the
+    input to dedup-priority and crawl-dedup decisions. The pair list is
+    near-dup-sized, so it broadcasts into two map-side joins against the
+    corpus scan; the source pair is order-normalized so (A,B)==(B,A)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.neardup_pipeline(docs, num_hashes=16, bands=4, n=3,
+                                   threshold=0.5).select("id_a", "id_b")
+    src = docs.select(F.col("doc_id"), F.col("source"))
+    attributed = (src.withColumnRenamed("source", "src_a")
+                  .join(F.broadcast(pairs), F.col("doc_id") == F.col("id_a"))
+                  .drop("doc_id")
+                  .join(src.withColumnRenamed("source", "src_b"),
+                        F.col("doc_id") == F.col("id_b")))
+    lo = F.least("src_a", "src_b")
+    hi = F.greatest("src_a", "src_b")
+    return (attributed.select(lo.alias("source_x"), hi.alias("source_y"))
+            .groupBy("source_x", "source_y")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("source_x", "source_y"))
+
+
 def x_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup dashboard row: corpus size, exact-dup count, near-dup
     cluster/member counts, and the final keep count in ONE result —
@@ -1278,6 +1301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_neardup_clusters": x_neardup_clusters,
     "x_neardup_keep": x_neardup_keep,
     "x_dedup_stats": x_dedup_stats,
+    "x_cross_source_dups": x_cross_source_dups,
     "x_simhash": x_simhash,
     "x_quality_features": x_quality_features,
     "x_language_id": x_language_id,
@@ -2977,4 +3001,22 @@ SELECT media_id, frame_no,
                  * ascii(substring(text, CAST(frame_no * 32 + j AS INT), 1))))
             AS BIGINT) AS energy
 FROM f
+"""
+
+ORACLES["x_cross_source_dups"] = f"""
+WITH cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+pairs AS (
+  SELECT jac.id_a, jac.id_b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+att AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.id_a
+  JOIN documents db ON db.doc_id = pairs.id_b
+)
+SELECT source_x, source_y, count(*) AS n_pairs
+FROM att GROUP BY source_x, source_y
 """

@@ -944,6 +944,23 @@ def x_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("v_e4").alias("sum_value_e4")])
 
 
+def x_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length report: doc counts + token mass per power-of-two
+    token-count bucket (the length histogram every corpus card prints).
+    One map-side bucket expression + one tiny aggregate; empty docs land
+    in bucket -1."""
+    d = _docs(spark, sf_dir).select(
+        F.size(text.tokens("text")).cast("bigint").alias("n_tokens"))
+    bucket = (F.when(F.col("n_tokens") > 0,
+                     F.floor(F.log2("n_tokens")).cast("bigint"))
+               .otherwise(F.lit(-1)))
+    return (d.select(bucket.alias("log2_bucket"), "n_tokens")
+            .groupBy("log2_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .orderBy("log2_bucket"))
+
+
 def x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus vocabulary with term/doc frequencies — explode, one
     hash agg, TakeOrdered; the tokenizer-training first pass."""
@@ -1321,6 +1338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_hash_sample": x_hash_sample,
     "x_stratified_sample": x_stratified_sample,
     "x_time_rollup": x_time_rollup,
+    "x_token_histogram": x_token_histogram,
     "x_vocab_topk": x_vocab_topk,
     "x_tfidf_topk": x_tfidf_topk,
     "x_group_quantiles": x_group_quantiles,
@@ -3019,4 +3037,16 @@ att AS (
 )
 SELECT source_x, source_y, count(*) AS n_pairs
 FROM att GROUP BY source_x, source_y
+"""
+
+ORACLES["x_token_histogram"] = f"""
+WITH t AS (
+  SELECT CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT CASE WHEN n_tokens > 0
+            THEN CAST(floor(log2(n_tokens)) AS BIGINT)
+            ELSE -1 END AS log2_bucket,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1
 """

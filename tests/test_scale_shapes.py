@@ -445,3 +445,56 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # ... while a 2-D box still prunes hard (user slab x day stripe)
     zb, _ = overlap_frac(z, 100, 140, 19730, 19739)
     assert zb <= 0.45, zb
+
+
+def test_temperature_sample_broadcasts_probs_no_corpus_shuffle(spark):
+    """The per-source keep-prob frame must reach the corpus as a broadcast
+    hash join — the corpus side of the filter never shuffles."""
+    from flink_realtime_data_eng_spark.functions import packing
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (packing.temperature_sample(d, tau=0.5)._jdf.queryExecution()
+            .executedPlan().toString().split("== Initial Plan ==")[0])
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:400]
+    assert "SortMergeJoin" not in plan, plan[:400]
+
+
+def test_group_sample_single_shuffle_partitioned_window(spark):
+    """k-per-stratum sampling = ONE hash shuffle on the stratum + a
+    partition-local rank; never a single-partition window."""
+    from flink_realtime_data_eng_spark.functions import sketches
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "source")
+    plan = (sketches.group_sample(d, "source", "doc_id", k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "SinglePartition" not in plan, plan[:400]
+    assert plan.count("Exchange hashpartitioning") >= 1
+
+
+def test_multiprobe_is_equi_join_not_nested_loop(spark):
+    """Multi-probe expands the QUERY side; the corpus joins on the probe
+    bucket as an equi-join (broadcast hash), never a nested loop."""
+    from pyspark.sql import functions as F
+    from flink_realtime_data_eng_spark.functions import similarity
+    from flink_realtime_data_eng_spark.schemas import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = (similarity.lsh_multiprobe_topk(emb, q, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "BroadcastNestedLoopJoin" not in plan and \
+           "CartesianProduct" not in plan, plan[:400]
+
+
+def test_neardup_keep_anti_join_is_broadcast(spark):
+    """The final keep-list application must be a broadcast anti-join: the
+    corpus never shuffles to get deduped."""
+    from flink_realtime_data_eng_spark.functions import dedup
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (dedup.neardup_keep(d, threshold=0.5)._jdf.queryExecution()
+            .executedPlan().toString().split("== Initial Plan ==")[0])
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:600]

@@ -118,6 +118,17 @@ def p2_parse_browser(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projections.project(parsed, "user_id", "event_type", "ts_ms")
 
 
+def p3_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (KeyedStreamOperations.java:62-66 and 7 more cites): record →
+    tuple projection maps — the (user, duration)-style narrow select, here
+    (user_id, value, lit 1) with a computed column, fused into the scan."""
+    e = _events(spark, sf_dir)
+    return projections.project(
+        e, F.col("user_id"), F.col("event_type"),
+        F.round(F.col("value") * 10_000).cast("bigint").alias("value_e4"),
+        F.lit(1).cast("bigint").alias("one"))
+
+
 def p4_filter_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 (StatefulOperations.java:120-126): sentinel-drop filter."""
     e = _events(spark, sf_dir)
@@ -1258,6 +1269,7 @@ STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream", "j4_stream_static",
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_parse_csv": p1_parse_csv,
     "p2_parse_browser": p2_parse_browser,
+    "p3_project": p3_project,
     "p4_filter_sentinel": p4_filter_sentinel,
     "p5_split_main": p5_split_main,
     "p5_split_side": p5_split_side,
@@ -3049,4 +3061,11 @@ SELECT CASE WHEN n_tokens > 0
        count(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM t GROUP BY 1
+"""
+
+ORACLES["p3_project"] = """
+SELECT user_id, event_type,
+       CAST(round(value * 10000) AS BIGINT) AS value_e4,
+       CAST(1 AS BIGINT) AS one
+FROM events
 """

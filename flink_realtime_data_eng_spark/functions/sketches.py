@@ -125,6 +125,29 @@ def group_sample(df: DataFrame, strata_col: str, key_col: str, k: int = 10,
              .drop("_h"))
 
 
+def train_val_test_split(df: DataFrame, key_col: str,
+                         val_frac: float = 0.1, test_frac: float = 0.1,
+                         prefix: str = "split") -> DataFrame:
+    """Deterministic dataset split: each row's unit hash of ``key_col``
+    lands it in train / val / test by fixed thresholds — reproducible
+    across runs, engines, and re-shards (a row's split NEVER changes when
+    the corpus grows, unlike randomSplit), and keyed splitting keeps all
+    rows of one key together (no leakage between splits).
+
+    Pure map-side filter column; thresholds at [1-v-t, 1-t) so train is
+    the contiguous low range. Output: input columns + ``split``.
+    """
+    if not (0 <= val_frac and 0 <= test_frac and val_frac + test_frac < 1):
+        raise ValueError(f"invalid fractions {val_frac}/{test_frac}")
+    h = _unit_hash(prefix, F.col(key_col))
+    lo_val = 1.0 - val_frac - test_frac
+    lo_test = 1.0 - test_frac
+    split = (F.when(h < F.lit(lo_val), "train")
+              .when(h < F.lit(lo_test), "val")
+              .otherwise("test"))
+    return df.withColumn("split", split)
+
+
 def approx_distinct_per_group(df: DataFrame, group: str, col: str,
                               rsd: float = 0.05) -> DataFrame:
     """HyperLogLog++ distinct count per group (``approx_count_distinct``):

@@ -955,6 +955,17 @@ def x_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("v_e4").alias("sum_value_e4")])
 
 
+def x_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment per doc (80/10/10 by md5
+    unit hash — stable under corpus growth, no leakage across re-runs),
+    plus the per-source split counts a dataset card reports."""
+    d = sketches.train_val_test_split(
+        _docs(spark, sf_dir).select("doc_id", "source"), key_col="doc_id")
+    return (d.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source", "split"))
+
+
 def x_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length report: doc counts + token mass per power-of-two
     token-count bucket (the length histogram every corpus card prints).
@@ -1350,6 +1361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_hash_sample": x_hash_sample,
     "x_stratified_sample": x_stratified_sample,
     "x_time_rollup": x_time_rollup,
+    "x_train_val_split": x_train_val_split,
     "x_token_histogram": x_token_histogram,
     "x_vocab_topk": x_vocab_topk,
     "x_tfidf_topk": x_tfidf_topk,
@@ -3068,4 +3080,18 @@ SELECT user_id, event_type,
        CAST(round(value * 10000) AS BIGINT) AS value_e4,
        CAST(1 AS BIGINT) AS one
 FROM events
+"""
+
+_SPLIT_H = (_H32.format(x="concat('split', ':', CAST(doc_id AS VARCHAR))")
+            + " / 4294967296.0")
+ORACLES["x_train_val_split"] = f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {_SPLIT_H} < 0.8 THEN 'train'
+              WHEN {_SPLIT_H} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, count(*) AS n_docs
+FROM s GROUP BY source, split
 """

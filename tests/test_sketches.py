@@ -252,3 +252,27 @@ def test_temperature_sample_rebalances_sources(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         packing.temperature_sample(d, tau=1.5)
+
+
+def test_train_val_test_split_stable_and_leak_free(spark):
+    from flink_realtime_data_eng_spark.functions import sketches
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.01", "documents") \
+        .select("doc_id", "source")
+    full = {r["doc_id"]: r["split"] for r in
+            sketches.train_val_test_split(d, "doc_id").collect()}
+    # fractions roughly 80/10/10
+    from collections import Counter
+    c = Counter(full.values())
+    n = len(full)
+    assert 0.7 * n < c["train"] < 0.9 * n
+    assert c["val"] > 0 and c["test"] > 0
+    # growth-stability: the split of a SUBSET equals the full corpus's
+    # assignment for those rows (randomSplit cannot promise this)
+    sub = {r["doc_id"]: r["split"] for r in
+           sketches.train_val_test_split(
+               d.filter("doc_id < 100"), "doc_id").collect()}
+    assert all(full[i] == s for i, s in sub.items())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sketches.train_val_test_split(d, "doc_id", val_frac=0.6, test_frac=0.5)

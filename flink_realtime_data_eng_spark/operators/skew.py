@@ -58,3 +58,32 @@ def salted_count(df: DataFrame, keys: Sequence[str], salt: int = 32,
                       partials=[(F.count(F.lit(1)), out_col)],
                       finals=[("sum", out_col)],
                       salt=salt)
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Hot-key equi-join mitigation by explicit salting: the big side
+    scatters each row into one of ``salt`` sub-keys, the small side
+    replicates ``salt``× with every sub-key, and the join runs on
+    (key, salt) — a single hot key's rows now spread across ``salt``
+    reducers instead of one.
+
+    Use when AQE's skew-join split can't apply (it only splits
+    shuffle-stage partitions of sort-merge joins; a hot key joined
+    through an aggregation boundary, or a skew so extreme one split
+    still overflows, wants the explicit form). Cost: small side ×salt
+    (keep it dim-sized), one extra int column on the shuffle key.
+
+    The scatter uses a hash of the big side's entire row (via
+    ``F.hash(*columns)``), not rand(): deterministic across retries —
+    a re-executed task re-salts identically, so no duplicate/lost rows
+    under speculative execution, and results are reproducible.
+    """
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    scatter = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt))
+    big_s = big.withColumn("_salt", scatter)
+    salts = F.array(*[F.lit(i) for i in range(salt)])
+    small_s = small.withColumn("_salt", F.explode(salts))
+    out = big_s.join(small_s, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

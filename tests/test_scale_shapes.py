@@ -535,3 +535,23 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from flink_realtime_data_eng_spark.operators.skew import salted_join
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(3000)] + [("c" + str(j), j) for j in range(30)],
+        "k string, v long")
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("c1", "C1"), ("c7", "C7")], "k string, tag string")
+    got = sorted((r["k"], r["v"], r["tag"])
+                 for r in salted_join(big, dim, "k", salt=8).collect())
+    want = sorted((r["k"], r["v"], r["tag"])
+                  for r in big.join(dim, "k").collect())
+    assert got == want
+    # the hot key genuinely spreads across >1 salt bucket
+    from pyspark.sql import functions as FF
+    spread = (big.withColumn(
+        "_s", FF.pmod(FF.hash("k", "v"), FF.lit(8)))
+        .filter(FF.col("k") == "hot").select("_s").distinct().count())
+    assert spread > 1

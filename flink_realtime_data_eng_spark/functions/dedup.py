@@ -223,6 +223,57 @@ def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 16, bands: int = 4,
              .agg(F.count(F.lit(1)).alias("n_shared_bands")))
 
 
+def incremental_lsh_candidates(new_df: DataFrame, old_df: DataFrame,
+                               num_hashes: int = 16, bands: int = 4,
+                               n: int = 3, text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Ingestion-time near-dup candidates: pairs touching at least one NEW
+    doc — new↔old (is the arrival a dup of history?) and new↔new — while
+    old↔old pairs are excluded (history is already deduped; re-checking it
+    every ingest would re-pay the whole corpus each day).
+
+    Plan shape: band buckets for BOTH sides, then the bucket equi-join runs
+    (new side) ⋈ (old+new side) — the left side is ingest-sized, so the
+    join cost scales with the DAILY batch, not the historical corpus. In
+    production the old side's banded signatures are precomputed and stored
+    (signature table maintained per ingest); here they derive inline from
+    the fixture, which changes cost, not semantics.
+
+    Output: id_a, id_b (id_a < id_b), n_shared_bands, is_cross (true when
+    exactly one side is new).
+    """
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+        return (sig.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+                   .groupBy(id_col, "band")
+                   .agg(F.md5(F.array_join(
+                       F.transform(
+                           F.sort_array(F.collect_list(
+                               F.struct("seed", "minhash"))),
+                           lambda s: s.getField("minhash").cast("string")),
+                       "|")).alias("bucket")))
+
+    new_b = banded(new_df).localCheckpoint(eager=True)
+    all_b = (banded(old_df).withColumn("is_new", F.lit(False))
+             .unionByName(new_b.withColumn("is_new", F.lit(True)))
+             .localCheckpoint(eager=True))
+    a = new_b.select(F.col(id_col).alias("id_x"), "band", "bucket")
+    b = all_b.select(F.col(id_col).alias("id_y"), "band", "bucket", "is_new")
+    # new-new pairs appear in BOTH orientations of the join (each side is
+    # in `a` and in `b`): keep one (id_x < id_y) or bands double-count.
+    # new-old pairs only ever orient as (new, old) — keep them all.
+    pairs = (a.join(b, ["band", "bucket"])
+              .filter((~F.col("is_new")) | (F.col("id_x") < F.col("id_y")))
+              .select(F.least("id_x", "id_y").alias("id_a"),
+                      F.greatest("id_x", "id_y").alias("id_b"),
+                      "band", (~F.col("is_new")).alias("cross_side")))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"),
+                 F.max("cross_side").alias("is_cross")))
+
+
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash signature over tokens.

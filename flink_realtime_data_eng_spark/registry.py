@@ -754,6 +754,18 @@ def x_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                               bands=4, n=3, threshold=0.5)
 
 
+def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup candidates: docs with doc_id >= 400 play the
+    daily batch, the rest the deduped history; pairs touching a new doc
+    surface (cross flagged), old-old pairs are skipped — join cost scales
+    with the batch, not the corpus."""
+    docs = _docs(spark, sf_dir)
+    new_df = docs.filter(F.col("doc_id") >= 400)
+    old_df = docs.filter(F.col("doc_id") < 400)
+    return dedup.incremental_lsh_candidates(new_df, old_df,
+                                            num_hashes=16, bands=4, n=3)
+
+
 def x_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication forensics: verified near-dup pairs
     attributed to (source, source) — which sources copy each other, the
@@ -1342,6 +1354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_neardup_keep": x_neardup_keep,
     "x_dedup_stats": x_dedup_stats,
     "x_cross_source_dups": x_cross_source_dups,
+    "x_incremental_dedup": x_incremental_dedup,
     "x_simhash": x_simhash,
     "x_quality_features": x_quality_features,
     "x_language_id": x_language_id,
@@ -3094,4 +3107,13 @@ WITH s AS (
 )
 SELECT source, split, count(*) AS n_docs
 FROM s GROUP BY source, split
+"""
+
+# Full-corpus candidate pairs filtered to those touching a new doc equal
+# the incremental new×(old+new) computation exactly (same signatures);
+# id_b is the pair max, so old-old pairs are precisely id_b < 400.
+ORACLES["x_incremental_dedup"] = f"""
+WITH base AS ({_minhash_lsh_oracle()})
+SELECT id_a, id_b, n_shared_bands, id_a < 400 AS is_cross
+FROM base WHERE id_b >= 400
 """

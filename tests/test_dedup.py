@@ -159,3 +159,19 @@ def test_neardup_keep_drops_only_non_canonicals(spark):
     anchors = {c for c in clusters.values()}
     for i, canon in kept.items():
         assert canon == (i in anchors), (i, canon)
+
+
+def test_incremental_candidates_match_full_restricted(spark):
+    from pyspark.sql import functions as F
+    from flink_realtime_data_eng_spark.functions import dedup
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    new_df, old_df = d.filter("doc_id >= 400"), d.filter("doc_id < 400")
+    inc = {(r["id_a"], r["id_b"]): (r["n_shared_bands"], r["is_cross"])
+           for r in dedup.incremental_lsh_candidates(new_df, old_df).collect()}
+    full = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
+            for r in dedup.minhash_lsh_candidates(d).collect()}
+    want = {p: n for p, n in full.items() if p[1] >= 400}
+    assert {p: n for p, (n, _) in inc.items()} == want
+    for (a, b), (_, cross) in inc.items():
+        assert cross == (a < 400), (a, b)

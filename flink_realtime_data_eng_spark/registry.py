@@ -1233,6 +1233,22 @@ def x_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "ts_ms", 3_600_000, "value")
 
 
+def x_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation segmentation: INTERSECT (users who both clicked and
+    purchased) and EXCEPT (clicked but never purchased) — Catalyst plans
+    both as semi/anti joins over the distinct key sets, no row blowup.
+    Output: one row per user with the segment label."""
+    e = _events(spark, sf_dir)
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).withColumn("segment", F.lit("click_and_buy"))
+    # subtract = EXCEPT DISTINCT. exceptAll would be a bug here: a user
+    # with 5 clicks and 2 purchases survives the multiset difference
+    # (5-2=3 occurrences) and lands in BOTH segments.
+    only = clickers.subtract(buyers).withColumn("segment", F.lit("click_no_buy"))
+    return both.unionByName(only).orderBy("segment", "user_id")
+
+
 def x_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier counts per event type: exact quartiles broadcast
     back onto the scan for a map-side flag — the numeric data-quality
@@ -1379,6 +1395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_vocab_topk": x_vocab_topk,
     "x_tfidf_topk": x_tfidf_topk,
     "x_group_quantiles": x_group_quantiles,
+    "x_set_ops": x_set_ops,
     "x_iqr_outliers": x_iqr_outliers,
     "x_key_skew": x_key_skew,
     "x_trailing": x_trailing,
@@ -3116,4 +3133,12 @@ ORACLES["x_incremental_dedup"] = f"""
 WITH base AS ({_minhash_lsh_oracle()})
 SELECT id_a, id_b, n_shared_bands, id_a < 400 AS is_cross
 FROM base WHERE id_b >= 400
+"""
+
+ORACLES["x_set_ops"] = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT user_id, 'click_and_buy' AS segment FROM (SELECT * FROM c INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT user_id, 'click_no_buy' AS segment FROM (SELECT * FROM c EXCEPT SELECT * FROM b)
 """

@@ -186,3 +186,44 @@ def iqr_outliers(df: DataFrame, group: str, value: str,
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum(F.col("is_out").cast("bigint")).alias("n_outliers"))
             .orderBy(group))
+
+
+def global_prefix_sum(df: DataFrame, value_col: str, order_col: str,
+                      out_col: str = "running_total",
+                      num_ranges: int = 32) -> DataFrame:
+    """Corpus-wide running total WITHOUT a single-partition window — the
+    two-phase distributed prefix sum:
+
+    1. range-partition rows by ``order_col`` (boundaries from a sample,
+       as in any global sort) and cumsum WITHIN each partition;
+    2. aggregate one row per partition (its total), cumsum THOSE on the
+       driver-small frame, and broadcast each partition's starting offset
+       back onto phase 1's rows.
+
+    A plain ``SUM() OVER (ORDER BY …)`` funnels 100 TB through ONE task;
+    this shape keeps both passes fully parallel and adds only a
+    partition-count-sized broadcast. Requires ``order_col`` values unique
+    (they order the prefix sum deterministically).
+
+    Output: input columns + ``out_col`` (inclusive running total).
+    """
+    from pyspark.sql import Window as W
+    ranged = (df.repartitionByRange(num_ranges, F.col(order_col))
+                .withColumn("_pid", F.spark_partition_id()))
+    w_local = (W.partitionBy("_pid").orderBy(order_col)
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
+    local = ranged.withColumn("_local", F.sum(value_col).over(w_local))
+    # one row per partition; ordering partitions by their key range =
+    # ordering by min(order_col) since ranges are disjoint
+    ptotals = (local.groupBy("_pid")
+               .agg(F.min(order_col).alias("_min_key"),
+                    F.sum(value_col).alias("_ptotal")))
+    offsets = ptotals.withColumn(
+        "_offset",
+        F.coalesce(F.sum("_ptotal").over(
+            W.orderBy("_min_key").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)))
+    return (local.join(F.broadcast(offsets.select("_pid", "_offset")), "_pid")
+            .withColumn(out_col, (F.col("_local") + F.col("_offset"))
+                        .cast("bigint"))
+            .drop("_pid", "_local"))

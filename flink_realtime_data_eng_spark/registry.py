@@ -978,6 +978,24 @@ def x_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "split"))
 
 
+def x_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-WIDE token offsets via the two-phase distributed prefix sum
+    (range-partition → local cumsum → partition totals cumsum broadcast
+    back) — no single-partition window anywhere; the global analog of
+    x_pack_offsets' per-shard form. Offsets feed shard assignment:
+    shard = running_total div budget."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens("text")).cast("bigint").alias("n_tokens"))
+    out = stats.global_prefix_sum(d, "n_tokens", "doc_id",
+                                  out_col="end_offset")
+    return (out.select("doc_id", "n_tokens", "end_offset",
+                       (F.col("end_offset") - F.col("n_tokens"))
+                       .alias("start_offset"),
+                       F.expr("(end_offset - n_tokens) div 4096")
+                       .cast("bigint").alias("shard"))
+            .orderBy("doc_id"))
+
+
 def x_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length report: doc counts + token mass per power-of-two
     token-count bucket (the length histogram every corpus card prints).
@@ -1391,6 +1409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stratified_sample": x_stratified_sample,
     "x_time_rollup": x_time_rollup,
     "x_train_val_split": x_train_val_split,
+    "x_global_offsets": x_global_offsets,
     "x_token_histogram": x_token_histogram,
     "x_vocab_topk": x_vocab_topk,
     "x_tfidf_topk": x_tfidf_topk,
@@ -3141,4 +3160,18 @@ b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
 SELECT user_id, 'click_and_buy' AS segment FROM (SELECT * FROM c INTERSECT SELECT * FROM b)
 UNION ALL
 SELECT user_id, 'click_no_buy' AS segment FROM (SELECT * FROM c EXCEPT SELECT * FROM b)
+"""
+
+ORACLES["x_global_offsets"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // 4096 AS BIGINT) AS shard
+FROM t
 """

@@ -555,3 +555,25 @@ def test_salted_join_equals_plain_join(spark):
         "_s", FF.pmod(FF.hash("k", "v"), FF.lit(8)))
         .filter(FF.col("k") == "hot").select("_s").distinct().count())
     assert spread > 1
+
+
+def test_global_prefix_sum_no_single_partition_window(spark):
+    """The two-phase prefix sum must equal SUM OVER (ORDER BY) exactly
+    while every window in its plan is partitioned (no 1-task funnel)."""
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.range(0, 5000).selectExpr("id AS k", "(id % 97) AS v")
+    out = stats.global_prefix_sum(df, "v", "k", num_ranges=8)
+    got = {r["k"]: r["running_total"] for r in out.collect()}
+    want, acc = {}, 0
+    for k in range(5000):
+        acc += k % 97
+        want[k] = acc
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    # exactly ONE single-partition exchange exists, and it carries the
+    # per-partition totals (num_ranges rows), never the data: the
+    # row-level cumsum window is partitioned by _pid.
+    assert plan.count("Exchange SinglePartition") == 1, plan[:600]
+    seg = plan.split("Exchange SinglePartition")[0]
+    assert "_min_key" in seg.rsplit("Window", 1)[-1]  # totals window only

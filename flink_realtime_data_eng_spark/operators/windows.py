@@ -154,3 +154,35 @@ def sessionize(df: DataFrame, keys: Sequence[str], ts_ms: str,
                         F.row_number().over(
                             W.partitionBy(*keys, "_isl").orderBy(*order)))
             .drop("_isl"))
+
+
+def sessionize_dynamic(df: DataFrame, keys: Sequence[str], ts_ms: str,
+                       gap_ms_expr: Column,
+                       order_by: Sequence[str] = ()) -> DataFrame:
+    """:func:`sessionize` with a PER-EVENT gap (the dynamic-gap form of
+    Spark's ``session_window(col, gap_expression)``): each event extends
+    its session ``gap_ms_expr`` (evaluated on that event) forward, so a
+    'click' can hold a session open longer than an 'error'.
+
+    Same one-shuffle gaps-and-islands plan; the break test compares each
+    gap against the PREVIOUS event's gap value (``lag`` of the
+    expression), matching the forward-extension merge rule. Output
+    contract identical to :func:`sessionize`.
+    """
+    order = [F.col(ts_ms).cast("long"), *[F.col(c) for c in order_by]]
+    wo = W.partitionBy(*keys).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_ms).cast("long")).over(wo)
+    prev_gap = F.lag(gap_ms_expr.cast("long")).over(wo)
+    brk = F.when(prev_ts.isNull()
+                 | (F.col(ts_ms).cast("long") - prev_ts > prev_gap), 1) \
+           .otherwise(0)
+    with_island = df.withColumn("_isl", F.sum(brk).over(
+        wo.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    wi = W.partitionBy(*keys, "_isl")
+    return (with_island
+            .withColumn("session_start_ms",
+                        F.min(F.col(ts_ms).cast("long")).over(wi))
+            .withColumn("event_seq",
+                        F.row_number().over(
+                            W.partitionBy(*keys, "_isl").orderBy(*order)))
+            .drop("_isl"))

@@ -1220,6 +1220,22 @@ def x_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("event_type"))
 
 
+def x_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization (Spark's session_window(col, expr)
+    capability, lag form): a 'click' holds its session open 30 min, any
+    other event 10 min — per-session aggregates per user."""
+    gap = (F.when(F.col("event_type") == "click", F.lit(1_800_000))
+            .otherwise(F.lit(600_000)))
+    labeled = windows.sessionize_dynamic(
+        _events(spark, sf_dir)
+        .select("user_id", "event_type", "ts_ms", "event_id"),
+        ["user_id"], "ts_ms", gap, order_by=["event_id"])
+    return (labeled.groupBy("user_id", "session_start_ms")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("ts_ms").alias("last_ts_ms"))
+            .orderBy("user_id", "session_start_ms"))
+
+
 def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram PMI over documents (phrase-mining primitive): map-side
     zip_with bigrams, two aggregates, vocabulary-sized broadcast joins."""
@@ -1420,6 +1436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_trailing": x_trailing,
     "x_simhash_pairs": x_simhash_pairs,
     "x_sessionize": x_sessionize,
+    "x_dynamic_sessions": x_dynamic_sessions,
     "x_collocations": x_collocations,
     "x_partitioned_prune": x_partitioned_prune,
     "x_zorder_prune": x_zorder_prune,
@@ -3174,4 +3191,31 @@ SELECT doc_id, n_tokens,
        CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
              - n_tokens) // 4096 AS BIGINT) AS shard
 FROM t
+"""
+
+ORACLES["x_dynamic_sessions"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+         CASE WHEN event_type = 'click' THEN 1800000 ELSE 600000 END AS gap
+  FROM events
+), lagd AS (
+  SELECT user_id, ts_ms,
+         lag(ts_ms) OVER w AS prev_ts, lag(gap) OVER w AS prev_gap
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), brk AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > prev_gap
+              THEN 1 ELSE 0 END AS b
+  FROM lagd
+), isl AS (
+  SELECT user_id, ts_ms,
+         SUM(b) OVER (PARTITION BY user_id ORDER BY ts_ms
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT user_id,
+       CAST(MIN(ts_ms) AS BIGINT) AS session_start_ms,
+       count(*) AS n_events,
+       CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms
+FROM isl GROUP BY user_id, island
 """

@@ -120,3 +120,26 @@ def test_sessionize_agrees_with_session_agg_on_fixtures(spark):
             for r in s.collect()}
     assert rows[1] == (0, 1) and rows[2] == (0, 2)
     assert rows[3] == (2 * gap + 1, 1)  # strictly-greater gap breaks
+
+
+def test_sessionize_dynamic_gap_per_event_type(spark):
+    from pyspark.sql import functions as F
+    from flink_realtime_data_eng_spark.operators import windows
+    # user 1: click at t=0 holds 30 min -> event at t=25min SAME session;
+    # the t=25min 'view' holds only 10 min -> event at t=40min NEW session
+    rows = [(1, "click", 0, 1), (1, "view", 1_500_000, 2),
+            (1, "view", 2_400_000, 3)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_ms long, event_id long")
+    gap = (F.when(F.col("event_type") == "click", F.lit(1_800_000))
+            .otherwise(F.lit(600_000)))
+    out = {r["event_id"]: r["session_start_ms"] for r in
+           windows.sessionize_dynamic(df, ["user_id"], "ts_ms", gap,
+                                      order_by=["event_id"]).collect()}
+    assert out[1] == out[2] == 0          # click's long gap spans 25 min
+    assert out[3] == 2_400_000            # view's short gap broke at 40 min
+    # fixed-gap form would have merged all three at gap=30min
+    fixed = {r["event_id"]: r["session_start_ms"] for r in
+             windows.sessionize(df, ["user_id"], "ts_ms", 1_800_000,
+                                order_by=["event_id"]).collect()}
+    assert fixed[3] == 0

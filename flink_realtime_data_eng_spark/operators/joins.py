@@ -79,6 +79,28 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts_ms: str,
         F.col("_m")["matched_ts_ms"].alias("matched_ts_ms"))
 
 
+def asof_join_forward(left: DataFrame, right: DataFrame, key: str,
+                      ts_ms: str, value_cols: list[str],
+                      tolerance_ms: int | None = None) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row with
+    ``right.ts >= left.ts`` (the "next event after" lookup: next
+    maintenance slot, next price tick after an order).
+
+    Implemented by timestamp negation around :func:`asof_join` — forward
+    on ``ts`` is exactly backward on ``-ts`` — so both directions share
+    one battle-tested one-shuffle union+carry implementation; only the
+    tie rule is mirrored (equal right timestamps break by smallest
+    struct value here).
+    """
+    neg_l = left.withColumn(ts_ms, (-F.col(ts_ms)).cast("long"))
+    neg_r = right.withColumn(ts_ms, (-F.col(ts_ms)).cast("long"))
+    out = asof_join(neg_l, neg_r, key, ts_ms, value_cols,
+                    tolerance_ms=tolerance_ms)
+    return (out.withColumn(ts_ms, (-F.col(ts_ms)).cast("long"))
+               .withColumn("matched_ts_ms",
+                           (-F.col("matched_ts_ms")).cast("long")))
+
+
 def interval_join(left: DataFrame, right: DataFrame, key: str, ts_ms: str,
                   lower_ms: int, upper_ms: int) -> DataFrame:
     """Interval (range) join: pairs (l, r) with the same key and

@@ -250,6 +250,20 @@ def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                            value_cols=["purchase_value"])
 
 
+def j2_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click matched to the user's EARLIEST purchase
+    at-or-after it (next-conversion lookup) — the mirrored direction of
+    j2, same one-shuffle union+carry machinery via timestamp negation."""
+    e = _events(spark, sf_dir)
+    left = (e.filter(F.col("event_type") == "click")
+             .select("user_id", "ts_ms", "event_id"))
+    right = (e.filter(F.col("event_type") == "purchase")
+              .groupBy("user_id", "ts_ms")
+              .agg(F.max("value").alias("purchase_value")))
+    return joins.asof_join_forward(left, right, key="user_id", ts_ms="ts_ms",
+                                   value_cols=["purchase_value"])
+
+
 def j3_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 (Flink DataStream ``intervalJoin`` shape): view pairs with a click
     by the same user within ±12 h of the click — range-bucketed equi-join
@@ -1356,6 +1370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_tumbling_count_1s": a6_tumbling_count_1s,
     "j1_windowed_join": j1_windowed_join,
     "j2_asof_join": j2_asof_join,
+    "j2_asof_forward": j2_asof_forward,
     "j3_interval_join": j3_interval_join,
     "st1_interval_alerts": st1_interval_alerts,
     "st2_action_durations": st2_action_durations,
@@ -3218,4 +3233,14 @@ SELECT user_id,
        count(*) AS n_events,
        CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms
 FROM isl GROUP BY user_id, island
+"""
+
+ORACLES["j2_asof_forward"] = """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.user_id, l.ts_ms, l.event_id, r.purchase_value,
+       r.ts_ms AS matched_ts_ms
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms <= r.ts_ms
 """

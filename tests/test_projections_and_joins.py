@@ -165,3 +165,25 @@ def test_range_lookup_covers_and_drops(spark):
     plan = joins.range_lookup(fact, bands, "value")._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # dim broadcast, fact map-side
+
+
+def test_asof_forward_matches_next_event(spark):
+    from flink_realtime_data_eng_spark.operators import joins
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 250, "b"), (2, 50, "c")],
+        "k long, ts_ms long, tag string")
+    right = spark.createDataFrame(
+        [(1, 100, 9.0), (1, 200, 8.0), (1, 300, 7.0)],
+        "k long, ts_ms long, v double")
+    out = {r["tag"]: (r["matched_ts_ms"], r["v"]) for r in
+           joins.asof_join_forward(left, right, key="k", ts_ms="ts_ms",
+                                   value_cols=["v"]).collect()}
+    assert out["a"] == (100, 9.0)   # ties match (>= semantics)
+    assert out["b"] == (300, 7.0)   # next AFTER 250
+    assert "c" not in out           # key 2 has no right rows (inner)
+    # tolerance drops matches farther than the bound
+    tol = {r["tag"] for r in
+           joins.asof_join_forward(left, right, key="k", ts_ms="ts_ms",
+                                   value_cols=["v"], tolerance_ms=20)
+           .collect()}
+    assert tol == {"a"}

@@ -1256,6 +1256,22 @@ def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.collocations(_docs(spark, sf_dir), min_count=5)
 
 
+def x_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k: the 3 most active users per 6 h tumbling window —
+    one windowed count aggregate, then a rank window partitioned BY THE
+    TIME WINDOW (partition-local top-k; adding the window key to the rank
+    partition is what keeps this scalable — a global rank would funnel)."""
+    from pyspark.sql import Window as W
+    counts = windows.tumbling_agg(
+        _events(spark, sf_dir), "ts_ms", 21_600_000, keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")])
+    w = W.partitionBy("window_start_ms").orderBy(
+        F.col("n_events").desc(), F.col("user_id"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .orderBy("window_start_ms", "rk"))
+
+
 def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event session labeling (1 h gap, same rule as a4's aggregate
     form): gaps-and-islands over one user-partition shuffle."""
@@ -1450,6 +1466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_key_skew": x_key_skew,
     "x_trailing": x_trailing,
     "x_simhash_pairs": x_simhash_pairs,
+    "x_trending": x_trending,
     "x_sessionize": x_sessionize,
     "x_dynamic_sessions": x_dynamic_sessions,
     "x_collocations": x_collocations,
@@ -3243,4 +3260,19 @@ r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS purchase_value
 SELECT l.user_id, l.ts_ms, l.event_id, r.purchase_value,
        r.ts_ms AS matched_ts_ms
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms <= r.ts_ms
+"""
+
+ORACLES["x_trending"] = """
+WITH c AS (
+  SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+         user_id, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY window_start_ms
+                 ORDER BY n_events DESC, user_id) AS INT) AS rk
+  FROM c
+)
+SELECT CAST(window_start_ms AS BIGINT) AS window_start_ms, user_id,
+       n_events, rk
+FROM r WHERE rk <= 3
 """

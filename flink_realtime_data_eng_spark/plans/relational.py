@@ -59,7 +59,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str,
                       segment: str = "BUILDING",
                       date: str = "1998-03-15") -> DataFrame:
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with selective filters.
-    customer is small → broadcast; lineitem⋈orders is the one real shuffle."""
+    customer is SF-scaled, so its join strategy is left to AQE (broadcast
+    at small SF, shuffle at 100 TB); lineitem⋈orders is the big shuffle."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit(date).cast("timestamp"))
@@ -67,7 +68,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str,
         F.col("l_shipdate") > F.lit(date).cast("timestamp"))
     rev = F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_e4")
     return (
-        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        li.join(o.join(c, o.o_custkey == c.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(rev)
@@ -119,14 +120,16 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str,
 
 def top_parts_per_brand(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Top-k revenue parts per brand: lineitem agg first (shrinks to one row
-    per part), broadcast part dim, then windowed row_number ≤ k — partition-
-    local TopK, no global sort. Exact BIGINT revenue → deterministic ranks."""
+    per part), join the part dim (AQE picks broadcast while part fits, a
+    shuffle join at 100 TB — both sides are partkey-scaled), then windowed
+    row_number ≤ k — partition-local TopK, no global sort. Exact BIGINT
+    revenue → deterministic ranks."""
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     rev = (li.groupBy("l_partkey")
              .agg(F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
                    .alias("revenue_e4")))
-    joined = rev.join(F.broadcast(p), rev.l_partkey == p.p_partkey)
+    joined = rev.join(p, rev.l_partkey == p.p_partkey)
     return (top_k_per_group(joined, ["p_brand"],
                             [F.col("revenue_e4").desc(), F.col("p_partkey")], k)
             .select("p_brand", "p_partkey", "revenue_e4", "rk"))
@@ -376,8 +379,8 @@ def nation_market_share(spark: SparkSession, sf_dir: str,
     type, by order year.
 
     The share is a conditional-sum ratio inside a single aggregate — no
-    second pass over the join. Part is filtered before its join (broadcast
-    of the type-selected slice); customer resolves region membership through
+    second pass over the join. Part is filtered before its join (AQE
+    broadcasts the type-selected slice while it fits, shuffles at scale); customer resolves region membership through
     the 25-row nation dim (broadcast twice under different aliases — the
     classic Q8 double-nation lookup); lineitem⋈orders stays the only large
     exchange. Revenue is fixed-point e4 so the share numerator/denominator
@@ -402,7 +405,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str,
     li = load_table(spark, sf_dir, "lineitem")
     rev = _e4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
           .join(o, li.l_orderkey == o.o_orderkey)
           .join(c, o.o_custkey == c.c_custkey)
           .join(s, li.l_suppkey == s.s_suppkey)
@@ -423,7 +426,8 @@ def product_type_profit(spark: SparkSession, sf_dir: str,
     net of discount rather than net of supply cost): revenue from parts whose
     name matches, grouped by supplier nation and order year.
 
-    Part is name-filtered then broadcast; nation broadcast; the shuffles are
+    Part is name-filtered (AQE broadcasts the slice while it fits, shuffles
+    at 100 TB); nation broadcasts; the shuffles are
     lineitem⋈orders and the supplier lookup. Group keys arrive via dims, so
     the aggregate runs on the joined fact exactly once.
     """
@@ -436,7 +440,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str,
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
           .join(o, li.l_orderkey == o.o_orderkey)
           .join(s, li.l_suppkey == s.s_suppkey)
           .groupBy("nation",
@@ -537,7 +541,7 @@ def top_supplier(spark: SparkSession, sf_dir: str,
         "max_rev_e4", F.max("total_rev_e4").over(W.partitionBy()))
     return (with_max
             .filter(F.col("total_rev_e4") == F.col("max_rev_e4"))
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
                     "s_name", "total_rev_e4")
             .orderBy("s_suppkey"))
@@ -557,7 +561,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str,
     p = (load_table(spark, sf_dir, "part")
          .filter(F.col("p_brand") == brand).select("p_partkey"))
     li = (load_table(spark, sf_dir, "lineitem")
-          .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .join(p, F.col("l_partkey") == F.col("p_partkey"))
           .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount"))
     per_part = (li.groupBy(F.col("l_partkey").alias("ag_partkey"))
                   .agg(F.sum(_e4(F.col("l_quantity"))).alias("sum_qty_e4"),
@@ -606,8 +610,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str,
     self-join back onto the aggregated subquery. Unit price is rounded to
     fixed-point e4 per row *before* the MIN, so equality at the minimum is
     exact integer comparison in both engines. Ties keep all suppliers at
-    the minimum (Q2 semantics). Dims (part slice, supplier⋈nation⋈region)
-    broadcast; lineitem is the only large input and arrives pre-aggregated
+    the minimum (Q2 semantics). nation⋈region broadcasts; part/supplier
+    slices join under AQE's choice (broadcast while they fit); lineitem is the only large input and arrives pre-aggregated
     per (part, supplier) before the window.
     """
     from pyspark.sql import Window as W
@@ -623,8 +627,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str,
          .select("p_partkey", "p_name", "p_type"))
     li = load_table(spark, sf_dir, "lineitem")
     unit_e4 = _e4(F.col("l_extendedprice") / F.col("l_quantity"))
-    costs = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-               .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    costs = (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+               .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
                .groupBy("p_partkey", "p_name", "p_type",
                         "s_suppkey", "s_name", "s_acctbal", "n_name")
                .agg(F.min(unit_e4).alias("cost_e4")))
@@ -657,7 +661,7 @@ def important_parts(spark: SparkSession, sf_dir: str,
          .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
          .select("s_suppkey"))
     li = load_table(spark, sf_dir, "lineitem")
-    per_part = (li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = (li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
                   .groupBy("l_partkey")
                   .agg(F.sum(_e4(F.col("l_extendedprice"))).alias("val_e4"))
                   # Materialize ONCE: the HAVING branch and the grand-total
@@ -682,11 +686,12 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str,
     supplier count per (brand, type, size) outside one brand.
 
     The defining pattern is NOT IN → LEFT ANTI join (the exclusion list is
-    tiny and broadcasts) feeding a COUNT(DISTINCT). The distinct is planned
+    a supplier slice — AQE broadcasts it while it fits) feeding a
+    COUNT(DISTINCT). The distinct is planned
     as Spark's two-phase expand aggregate: partial distinct on
     (brand,type,size,suppkey) map-side, exact count final — no row set ever
-    collects to one node. Part slice broadcasts; lineitem is the only
-    large side.
+    collects to one node. The part slice joins under AQE's choice;
+    lineitem is the only large side.
     """
     bad = (load_table(spark, sf_dir, "supplier")
            .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
@@ -695,8 +700,8 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str,
                  & F.col("p_size").isin(*sizes))
          .select("p_partkey", "p_brand", "p_type", "p_size"))
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-              .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+    return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+              .join(bad, F.col("l_suppkey") == F.col("s_suppkey"),
                     "left_anti")
               .groupBy("p_brand", "p_type",
                        F.col("p_size").cast("bigint").alias("p_size"))
@@ -725,7 +730,7 @@ def prolific_suppliers(spark: SparkSession, sf_dir: str,
     li = (load_table(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= F.lit(year_from).cast("timestamp"))
                   & (F.col("l_shipdate") < F.lit(year_to).cast("timestamp"))))
-    movers = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    movers = (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
                 .groupBy("l_suppkey", "l_partkey")
                 .agg(F.sum(_e4(F.col("l_quantity"))).alias("qty_e4"))
                 .filter(F.col("qty_e4") > min_qty * 10_000)
@@ -774,7 +779,7 @@ def waiting_orders(spark: SparkSession, sf_dir: str,
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (sole.groupBy("l_suppkey")
                 .agg(F.count(F.lit(1)).alias("numwait"))
-                .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+                .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
                 .select("s_name", "numwait")
                 .orderBy(F.col("numwait").desc(), "s_name")
                 .limit(k))

@@ -87,3 +87,27 @@ def test_shuffle_budget_never_regresses(plans):
         if n > budgets.get(name, n):  # new queries pass until recorded
             over[name] = (n, budgets[name])
     assert not over, f"shuffle budget exceeded (got, budget): {over}"
+
+
+SF_SCALED = ("lineitem.parquet", "orders.parquet", "customer.parquet",
+             "part.parquet", "supplier.parquet")
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_forced_broadcast_of_sf_scaled_tables(name, spark):
+    """Rule 2, enforced: a broadcast HINT pins the optimizer's hand, so it
+    may only wrap bounded inputs — nation/region, literal frames, or
+    already-aggregated/pair-scale results. A hint whose subtree reads an
+    SF-scaled parquet WITHOUT an intervening Aggregate is a driver-OOM at
+    100x (the round-1 q5 bug, generalized). AQE remains free to broadcast
+    anything at runtime — this lints only the forced hints."""
+    df = registry.QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    segs = plan.split("ResolvedHint")[1:]
+    for seg in segs:
+        # the hint's subtree is printed right below; stop at the next hint
+        body = seg[:2000]
+        for rel in SF_SCALED:
+            if rel in body and "Aggregate" not in body.split(rel)[0]:
+                raise AssertionError(
+                    f"{name}: broadcast hint over un-aggregated {rel}")

@@ -324,10 +324,11 @@ def neardup_keep(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     (canonical = smallest id per component, the keep-one policy of
     :func:`neardup_clusters`).
 
-    Plan shape: the drop-list is near-dup-sized (tiny next to the corpus),
-    so the final anti-join broadcasts it and the corpus never shuffles —
-    at 100 TB the whole removal is LSH + verify on candidates + one
-    map-side anti-join over the full scan.
+    Plan shape: the drop-list is ids-only and duplicate-scale; its join
+    strategy is left to AQE — broadcast (map-side anti-join, corpus never
+    shuffles) while it fits, and an ids-only shuffle on the pathological
+    high-dup corpus where the drop list itself is corpus-scale. A forced
+    broadcast here would be the q5-class scale bug.
 
     Output: (doc_id, is_canonical) — kept docs only; ``is_canonical`` is
     true when the doc anchors a cluster (near-dups were dropped for it),
@@ -341,8 +342,8 @@ def neardup_keep(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     anchors = (clusters.filter(F.col(id_col) == F.col("cluster_id"))
                .select(id_col))
     return (df.select(id_col)
-            .join(F.broadcast(drop), id_col, "left_anti")
-            .join(F.broadcast(anchors.withColumn("is_canonical", F.lit(True))),
+            .join(drop, id_col, "left_anti")
+            .join(anchors.withColumn("is_canonical", F.lit(True)),
                   id_col, "left")
             .select(F.col(id_col),
                     F.coalesce(F.col("is_canonical"), F.lit(False))

@@ -784,14 +784,14 @@ def x_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication forensics: verified near-dup pairs
     attributed to (source, source) — which sources copy each other, the
     input to dedup-priority and crawl-dedup decisions. The pair list is
-    near-dup-sized, so it broadcasts into two map-side joins against the
-    corpus scan; the source pair is order-normalized so (A,B)==(B,A)."""
+    duplicate-scale, so its join strategy stays with AQE (broadcast while
+    it fits); the source pair is order-normalized so (A,B)==(B,A)."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.neardup_pipeline(docs, num_hashes=16, bands=4, n=3,
                                    threshold=0.5).select("id_a", "id_b")
     src = docs.select(F.col("doc_id"), F.col("source"))
     attributed = (src.withColumnRenamed("source", "src_a")
-                  .join(F.broadcast(pairs), F.col("doc_id") == F.col("id_a"))
+                  .join(pairs, F.col("doc_id") == F.col("id_a"))
                   .drop("doc_id")
                   .join(src.withColumnRenamed("source", "src_b"),
                         F.col("doc_id") == F.col("id_b")))

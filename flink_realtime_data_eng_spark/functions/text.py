@@ -251,9 +251,12 @@ def collocations(df: DataFrame, min_count: int = 5,
     total = uni.agg(F.sum("n_tok").alias("n_total"))
     ua = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
     ub = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    # the unigram frames are VOCABULARY-sized (10^8-10^9 tokens at
+    # 100 TB) — join strategy stays with AQE; the token-key equi-join
+    # distributes well either way. Only the 1-row total is hinted.
     return (pair_counts
-            .join(F.broadcast(ua), "tok_a")
-            .join(F.broadcast(ub), "tok_b")
+            .join(ua, "tok_a")
+            .join(ub, "tok_b")
             .crossJoin(F.broadcast(total))
             .select("tok_a", "tok_b", "n_ab",
                     F.round(F.log((F.col("n_ab") * F.col("n_total"))
@@ -270,7 +273,8 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     Model: add-one-smoothed corpus unigram, p(t) = (c(t)+1) / (N+V).
     Plan: the (doc, token) counts aggregate feeds BOTH the corpus unigram
     table (second small aggregate) and the per-doc score join — token rows
-    shuffle once, the unigram table joins back broadcast (vocabulary-sized).
+    shuffle once, and the unigram join's strategy stays with AQE (the
+    vocabulary is NOT bounded at 100 TB).
     Each term's tf·ln(p) rounds to exact ×10⁶ fixed point BEFORE the
     per-doc sum (float addition is not associative; partition order must
     not change the score), so the aggregate is an order-free integer sum
@@ -291,7 +295,9 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                       * F.log((F.col("c") + 1)
                               / (F.col("n_corpus") + F.col("vocab")))
                       * 1_000_000).cast("bigint")
-    scored = (tf.join(F.broadcast(uni), "tok")
+    # uni is vocabulary-sized: AQE chooses (broadcast while it fits,
+    # token-key shuffle at 100 TB); only the 1-row totals are hinted.
+    scored = (tf.join(uni, "tok")
                 .crossJoin(F.broadcast(totals))
                 .groupBy(id_col)
                 .agg(F.sum(term_e6).alias("logprob_e6"),

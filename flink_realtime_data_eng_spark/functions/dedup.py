@@ -57,14 +57,23 @@ def exact_dedup_stream(df: DataFrame, ts_col: str, watermark: str = "10 seconds"
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle). Pure JVM —
-    split + sequence/transform/slice higher-order expressions."""
+    split + sequence/transform/slice higher-order expressions.
+
+    Dedup happens with ``array_distinct`` BEFORE the explode: an
+    (id, shingle) duplicate can only arise WITHIN one document (ids are
+    unique), so per-row array dedup is exactly equivalent to a global
+    ``.distinct()`` — minus the corpus-scale shuffle the global form
+    drags into every MinHash/Jaccard consumer. The whole operator stays
+    map-side.
+    """
     d = df.select(F.col(id_col), F.split(_norm(text_col), " ").alias("w"))
     grams = F.when(
         F.size("w") >= n,
         F.expr(f"transform(sequence(0, size(w) - {n}),"
                f" i -> concat_ws(' ', slice(w, i + 1, {n})))"),
     ).otherwise(F.array().cast("array<string>"))
-    return d.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+    return d.select(F.col(id_col),
+                    F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,

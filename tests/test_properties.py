@@ -201,3 +201,53 @@ def test_repeated_spans_matches_bruteforce(spark, texts):
     want = {(hashlib.md5(s.encode()).hexdigest(), len(ids))
             for s, ids in by_span.items() if len(ids) >= 2}
     assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 5000), st.integers(0, 5000)),
+                min_size=1, max_size=40, unique=True))
+def test_morton_code_is_bijective_on_low_bits(spark, pairs):
+    """morton_code must uniquely encode (a mod 2^bits, b mod 2^bits): two
+    pairs collide iff their low bits agree — interleaving loses nothing."""
+    from flink_realtime_data_eng_spark.operators.bucketing import morton_code
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {(r["a"], r["b"]): r["z"] for r in
+           df.select("a", "b", morton_code("a", "b", bits=8).alias("z"))
+           .collect()}
+
+    def ref(a, b):
+        z = 0
+        for j in range(8):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+    for (a, b), z in got.items():
+        assert z == ref(a % 256, b % 256), (a, b, z)
+
+
+@SLOW
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+       st.sampled_from([1, 3, 8]))
+def test_global_prefix_sum_matches_sequential(spark, values, nr):
+    from flink_realtime_data_eng_spark.operators.stats import global_prefix_sum
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r["k"]: r["running_total"] for r in
+           global_prefix_sum(df, "v", "k", num_ranges=nr).collect()}
+    acc = 0
+    for i, v in enumerate(values):
+        acc += v
+        assert got[i] == acc, (i, got[i], acc)
+
+
+def test_affine_minhash_family_is_deterministic_and_bijective():
+    """affine_consts: a odd (bijection mod 2^32), below 2^31 (overflow
+    safety), stable across calls (the oracle embeds them as literals)."""
+    from flink_realtime_data_eng_spark.functions.dedup import affine_consts
+    c1, c2 = affine_consts(16), affine_consts(16)
+    assert c1 == c2 and len(set(c1)) == 16
+    for a, b in c1:
+        assert a % 2 == 1 and 0 < a < 2**31 and 0 <= b < 2**32
+        # bijection: a odd => gcd(a, 2^32) == 1
+        import math
+        assert math.gcd(a, 2**32) == 1

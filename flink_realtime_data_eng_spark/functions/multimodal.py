@@ -15,10 +15,24 @@ only ``_decode_payload``.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+# The mapInPandas closures below reference module-level helpers
+# (``_decode_payload``). cloudpickle serializes module functions BY
+# REFERENCE, so a Python worker whose sys.path lacks this package (the
+# driver's cwd is not the repo root) would die with ModuleNotFoundError.
+# Registering the module for by-VALUE pickling ships the helper code
+# inside each task closure instead — the standard cloudpickle remedy for
+# "module not importable on executors".
+try:
+    from pyspark import cloudpickle as _cp
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - vendored API moved; fall back
+    pass
 
 # Output contract of the feature extractor stage.
 FEATURE_SCHEMA = T.StructType([

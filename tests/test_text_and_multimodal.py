@@ -174,3 +174,29 @@ def test_audio_energy_frames_and_values(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         multimodal.audio_energy(media, fake=False)
+
+
+def test_multimodal_udfs_survive_foreign_cwd():
+    """Python workers inherit the driver's cwd; when that is NOT the repo
+    root the package is unimportable on workers and by-REFERENCE pickled
+    helpers die with ModuleNotFoundError. multimodal registers itself for
+    by-VALUE pickling — prove it by running an Arrow stage from /tmp in a
+    fresh interpreter."""
+    import subprocess
+    import sys
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "from flink_realtime_data_eng_spark import registry\n"
+        "s = SparkSession.builder.master('local[2]')"
+        ".appName('cwdtest').getOrCreate()\n"
+        "s.sparkContext.setLogLevel('ERROR')\n"
+        "n = registry.QUERIES['x_multimodal_features']"
+        "(s, '/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('OK', n)\n")
+    r = subprocess.run([sys.executable, "-c", code], cwd="/tmp",
+                       capture_output=True, text=True, timeout=300,
+                       env={**__import__('os').environ,
+                            "PYTHONPATH": ""})
+    assert r.returncode == 0 and "OK" in r.stdout, r.stdout + r.stderr[-2000:]

@@ -399,3 +399,57 @@ def quality_buckets_approx(df: DataFrame, n_buckets: int = 3,
             .withColumn("bucket_name", named)
             .select(id_col, "n_tokens", "logprob_e6", "qkey_milli",
                     "bucket", "bucket_name"))
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean bigram conditional log-probability — the
+    order-aware upgrade of :func:`unigram_logprob` (a shuffled bag of
+    common words scores high under a unigram model; a bigram model
+    penalizes improbable ADJACENCY, the cheap stand-in for LM perplexity).
+
+    Model: add-one smoothing, p(b|a) = (c(a,b)+1) / (c(a) + V).
+    Plan: ONE (doc, bigram) count aggregate feeds both the corpus bigram
+    table and the per-doc scoring join (same materialize-once discipline
+    as the unigram model); the unigram counts and vocabulary ride a
+    second small aggregate over the same checkpointed frame. Per-term
+    values round to exact e6 fixed point BEFORE the order-free integer
+    sum. Vocabulary-sized joins stay with AQE. Empty/1-token docs score 0.
+
+    Output: id, n_bigrams, logprob_e6 (BIGINT), mean_logprob (6 dp).
+    """
+    bg_struct = F.expr(
+        "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+        "         slice(tk, 2, greatest(size(tk) - 1, 0)),"
+        "         (a, b) -> struct(a AS tok_a, b AS tok_b))")
+    toks = df.select(F.col(id_col), tokens(text_col).alias("tk"))
+    pairs = (toks.select(F.col(id_col), F.explode(bg_struct).alias("bg"))
+                 .select(id_col, "bg.tok_a", "bg.tok_b"))
+    # Materialize ONCE: corpus bigram counts AND per-doc scoring read tf.
+    tf = (pairs.groupBy(id_col, "tok_a", "tok_b")
+               .agg(F.count(F.lit(1)).alias("tf"))
+               .localCheckpoint(eager=True))
+    c_ab = tf.groupBy("tok_a", "tok_b").agg(F.sum("tf").alias("c_ab"))
+    uni = (toks.select(F.explode("tk").alias("tok"))
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("c_a")))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    term_e6 = F.round(F.col("tf")
+                      * F.log((F.col("c_ab") + 1)
+                              / (F.col("c_a") + F.col("v")))
+                      * 1_000_000).cast("bigint")
+    scored = (tf.join(c_ab, ["tok_a", "tok_b"])
+                .join(uni.withColumnRenamed("tok", "tok_a"), "tok_a")
+                .crossJoin(F.broadcast(vocab))
+                .groupBy(id_col)
+                .agg(F.sum(term_e6).alias("logprob_e6"),
+                     F.sum("tf").alias("n_bigrams")))
+    spine = df.select(F.col(id_col))
+    return (spine.join(scored, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+                     .alias("n_bigrams"),
+                    F.coalesce(F.col("logprob_e6"), F.lit(0)).cast("bigint")
+                     .alias("logprob_e6"),
+                    F.coalesce(F.round(F.col("logprob_e6")
+                                       / F.col("n_bigrams") / 1e6, 6),
+                               F.lit(0.0)).alias("mean_logprob")))

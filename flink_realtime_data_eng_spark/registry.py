@@ -1039,6 +1039,12 @@ def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware perplexity proxy: mean add-one-smoothed corpus bigram
+    conditional log-probability per doc (fixed-point e6, order-free sum)."""
+    return text.bigram_logprob(_docs(spark, sf_dir))
+
+
 def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval n-gram decontamination: overlap pairs between the corpus
     and a held-out slice (doc_id % 50 == 0). Eval shingles broadcast; the
@@ -1256,6 +1262,33 @@ def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.collocations(_docs(spark, sf_dir), min_count=5)
 
 
+def x_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event lag features (feature-engineering primitive): previous
+    value and inter-event gap per user — one key-partition window pass,
+    exact integer/fixed-point outputs."""
+    e = _events(spark, sf_dir).select("user_id", "ts_ms", "event_id", "value")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    prev_v = F.lag(F.round(F.col("value") * 10_000).cast("bigint")).over(w)
+    prev_t = F.lag("ts_ms").over(w)
+    return e.select(
+        "user_id", "ts_ms", "event_id",
+        F.round(F.col("value") * 10_000).cast("bigint").alias("value_e4"),
+        F.coalesce(prev_v, F.lit(-1)).alias("prev_value_e4"),
+        F.coalesce(F.col("ts_ms") - prev_t, F.lit(-1)).alias("gap_ms"))
+
+
+def x_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per 6 h tumbling window — Spark plans the
+    windowed COUNT(DISTINCT) as the two-phase expand aggregate (partial
+    distinct map-side), never a per-window row collect."""
+    e = _events(spark, sf_dir)
+    return windows.tumbling_agg(
+        e, "ts_ms", 21_600_000,
+        aggs=[F.countDistinct("user_id").alias("n_users"),
+              F.count(F.lit(1)).alias("n_events")])
+
+
 def x_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending top-k: the 3 most active users per 6 h tumbling window —
     one windowed count aggregate, then a rank window partitioned BY THE
@@ -1466,6 +1499,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_key_skew": x_key_skew,
     "x_trailing": x_trailing,
     "x_simhash_pairs": x_simhash_pairs,
+    "x_lag_features": x_lag_features,
+    "x_window_distinct": x_window_distinct,
     "x_trending": x_trending,
     "x_sessionize": x_sessionize,
     "x_dynamic_sessions": x_dynamic_sessions,
@@ -1475,6 +1510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_grouping_sets": x_grouping_sets,
     "x_quantize": x_quantize,
     "x_unigram_logprob": x_unigram_logprob,
+    "x_bigram_logprob": x_bigram_logprob,
     "x_decontaminate": x_decontaminate,
     "x_repetition": x_repetition,
     "x_pii": x_pii,
@@ -3275,4 +3311,59 @@ WITH c AS (
 SELECT CAST(window_start_ms AS BIGINT) AS window_start_ms, user_id,
        n_events, rk
 FROM r WHERE rk <= 3
+"""
+
+ORACLES["x_lag_features"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+                  CAST(round(value * 10000) AS BIGINT) AS value_e4
+           FROM events)
+SELECT user_id, ts_ms, event_id, value_e4,
+       coalesce(lag(value_e4) OVER w, -1) AS prev_value_e4,
+       coalesce(ts_ms - lag(ts_ms) OVER w, -1) AS gap_ms
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+"""
+
+ORACLES["x_window_distinct"] = """
+SELECT CAST((epoch_ms(ts) // 21600000) * 21600000 AS BIGINT)
+         AS window_start_ms,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+ORACLES["x_bigram_logprob"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_QF_TOKS} AS tk FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk), 1)),
+                j -> {{'tok_a': tk[j], 'tok_b': tk[j+1]}})) AS s
+  FROM toks
+), pairs AS (
+  SELECT doc_id, s.tok_a AS tok_a, s.tok_b AS tok_b FROM bg
+), tf AS (
+  SELECT doc_id, tok_a, tok_b, count(*) AS tf FROM pairs GROUP BY 1, 2, 3
+), c_ab AS (
+  SELECT tok_a, tok_b, SUM(tf) AS c_ab FROM tf GROUP BY 1, 2
+), uni AS (
+  SELECT tok, count(*) AS c_a
+  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1
+), voc AS (SELECT count(*) AS v FROM uni),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(tf * ln(CAST(c_ab + 1 AS DOUBLE) / (c_a + v))
+                       * 1000000) AS BIGINT)) AS BIGINT) AS logprob_e6,
+         CAST(SUM(tf) AS BIGINT) AS n_bigrams
+  FROM tf
+  JOIN c_ab USING (tok_a, tok_b)
+  JOIN uni ON uni.tok = tf.tok_a
+  CROSS JOIN voc
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(logprob_e6, 0) AS logprob_e6,
+       coalesce(round(CAST(logprob_e6 AS DOUBLE) / n_bigrams / 1000000, 6),
+                0.0) AS mean_logprob
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
 """

@@ -200,3 +200,22 @@ def test_multimodal_udfs_survive_foreign_cwd():
                        env={**__import__('os').environ,
                             "PYTHONPATH": ""})
     assert r.returncode == 0 and "OK" in r.stdout, r.stdout + r.stderr[-2000:]
+
+
+def test_bigram_logprob_penalizes_shuffled_order(spark):
+    """The order-aware property the unigram model lacks: a doc whose
+    common words appear in corpus-typical ADJACENCY outscores the same
+    bag of words shuffled, while the unigram model ties them."""
+    from flink_realtime_data_eng_spark.functions import text as T
+    base = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    docs = base + [(9, "the cat sat on the mat"), (10, "mat the on sat cat the")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bg = {r["doc_id"]: r["mean_logprob"] for r in T.bigram_logprob(df).collect()}
+    ug = {r["doc_id"]: r["mean_logprob"] for r in T.unigram_logprob(df).collect()}
+    assert bg[9] > bg[10]          # adjacency matters
+    assert ug[9] == ug[10]         # bag-of-words cannot tell them apart
+    # empty/one-token docs score 0
+    df2 = spark.createDataFrame([(1, ""), (2, "hello")], "doc_id long, text string")
+    z = {r["doc_id"]: (r["n_bigrams"], r["logprob_e6"]) for r in
+         T.bigram_logprob(df2).collect()}
+    assert z == {1: (0, 0), 2: (0, 0)}

@@ -832,6 +832,32 @@ def x_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_kept")))
 
 
+def x_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard estimated from signature agreement on LSH candidates —
+    the k-th-fraction estimator, one signature equi-join instead of a
+    shingle re-explode."""
+    return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir),
+                                          num_hashes=16, bands=4, n=3)
+
+
+def x_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column null audit over events — the first data-quality query any
+    ingest runs: one aggregate, count + null count per column (long
+    format so new columns don't change the schema)."""
+    e = _events(spark, sf_dir).select("event_id", "user_id", "event_type",
+                                      "ts_ms", "value", "props")
+    aggs = []
+    for c in e.columns:
+        aggs.append(F.struct(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias("n_null")))
+    return (e.agg(F.array(*aggs).alias("a"))
+            .select(F.explode("a").alias("r"))
+            .select("r.col", "r.n_rows", "r.n_null")
+            .orderBy("col"))
+
+
 def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -1469,6 +1495,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_dedup_stats": x_dedup_stats,
     "x_cross_source_dups": x_cross_source_dups,
     "x_incremental_dedup": x_incremental_dedup,
+    "x_minhash_estimate": x_minhash_estimate,
+    "x_null_audit": x_null_audit,
     "x_simhash": x_simhash,
     "x_quality_features": x_quality_features,
     "x_language_id": x_language_id,
@@ -3367,3 +3395,53 @@ SELECT d.doc_id,
                 0.0) AS mean_logprob
 FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
 """
+
+def _minhash_est_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    rows_per_band = num_hashes // bands
+    hb = _H32.format(x="concat('mh', ':', shingle)")
+    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
+                          in enumerate(dedup.affine_consts(num_hashes)))
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - {n - 1}
+), hb AS (
+  SELECT doc_id, {hb} AS hb FROM sh
+), sig AS (
+  SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
+  FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
+  GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
+  FROM sig GROUP BY doc_id, seed // {rows_per_band}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match,
+       round(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+             / {float(num_hashes)}, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.id_a
+JOIN sig sb ON sb.doc_id = cand.id_b AND sb.seed = sa.seed
+GROUP BY cand.id_a, cand.id_b
+"""
+
+
+ORACLES["x_minhash_estimate"] = _minhash_est_oracle()
+
+_NULL_COLS = [("event_id", "event_id"), ("user_id", "user_id"),
+              ("event_type", "event_type"), ("ts_ms", "epoch_ms(ts)"),
+              ("value", "value"), ("props", "props")]
+ORACLES["x_null_audit"] = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS col, count(*) AS n_rows,"
+    f" CAST(SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_null FROM events"
+    for name, expr in _NULL_COLS)

@@ -175,3 +175,24 @@ def test_incremental_candidates_match_full_restricted(spark):
     assert {p: n for p, (n, _) in inc.items()} == want
     for (a, b), (_, cross) in inc.items():
         assert cross == (a < 400), (a, b)
+
+
+def test_minhash_estimate_brackets_exact_jaccard(spark):
+    """Binomial concentration at k=16: the signature estimator must land
+    within ~3 sigma of exact Jaccard for every LSH candidate pair."""
+    import math
+    from flink_realtime_data_eng_spark.functions import dedup
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+           dedup.minhash_jaccard_estimate(d).collect()}
+    cand = spark.createDataFrame(
+        [(a, b) for a, b in est], "id_a long, id_b long")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.jaccard_pairs(d, threshold=0.0, candidates=cand).collect()}
+    assert set(est) == set(exact)
+    k = 16
+    for p, e in est.items():
+        j = exact[p]
+        sigma = math.sqrt(max(j * (1 - j), 0.02) / k)
+        assert abs(e - j) <= 3.5 * sigma + 1e-9, (p, e, j)

@@ -453,3 +453,38 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                     F.coalesce(F.round(F.col("logprob_e6")
                                        / F.col("n_bigrams") / 1e6, 6),
                                F.lit(0.0)).alias("mean_logprob")))
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram (token-distribution) entropy in nats —
+    low entropy flags repetitive/gibberish docs from the distribution
+    side, complementing :func:`repetition_features`' span signals.
+
+    H = -Σ (tf/n)·ln(tf/n) over the doc's own term frequencies. Per-term
+    values round to exact e6 fixed point BEFORE the order-free sum (the
+    same cross-engine determinism contract as the LM scorers); one
+    (doc, token) aggregate, the doc total via a window over the SAME
+    partitioning (no second aggregate branch), one per-doc aggregate.
+    Empty docs score 0.
+
+    Output: id, n_tokens, entropy_e6 (BIGINT), entropy (6 dp nats).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    with_n = tf.withColumn("n", F.sum("tf").over(W.partitionBy(id_col)))
+    term_e6 = F.round(-(F.col("tf") / F.col("n"))
+                      * F.log(F.col("tf") / F.col("n")) * 1_000_000) \
+               .cast("bigint")
+    scored = (with_n.groupBy(id_col)
+              .agg(F.sum(term_e6).alias("entropy_e6"),
+                   F.max("n").alias("n_tokens")))
+    spine = df.select(F.col(id_col))
+    return (spine.join(scored, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+                     .alias("n_tokens"),
+                    F.coalesce(F.col("entropy_e6"), F.lit(0)).cast("bigint")
+                     .alias("entropy_e6"),
+                    F.coalesce(F.round(F.col("entropy_e6") / 1e6, 6),
+                               F.lit(0.0)).alias("entropy")))

@@ -1065,6 +1065,12 @@ def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution entropy (nats, e6 fixed point) — the
+    distribution-side gibberish/repetition signal."""
+    return text.token_entropy(_docs(spark, sf_dir))
+
+
 def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-aware perplexity proxy: mean add-one-smoothed corpus bigram
     conditional log-probability per doc (fixed-point e6, order-free sum)."""
@@ -1539,6 +1545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_quantize": x_quantize,
     "x_unigram_logprob": x_unigram_logprob,
     "x_bigram_logprob": x_bigram_logprob,
+    "x_token_entropy": x_token_entropy,
     "x_decontaminate": x_decontaminate,
     "x_repetition": x_repetition,
     "x_pii": x_pii,
@@ -3445,3 +3452,26 @@ ORACLES["x_null_audit"] = "\nUNION ALL\n".join(
     f" CAST(SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
     f" AS n_null FROM events"
     for name, expr in _NULL_COLS)
+
+ORACLES["x_token_entropy"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), with_n AS (
+  SELECT doc_id, tf, SUM(tf) OVER (PARTITION BY doc_id) AS n FROM tf
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(-(CAST(tf AS DOUBLE) / n)
+                        * ln(CAST(tf AS DOUBLE) / n) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS entropy_e6,
+         CAST(MAX(n) AS BIGINT) AS n_tokens
+  FROM with_n GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(entropy_e6, 0) AS entropy_e6,
+       coalesce(round(CAST(entropy_e6 AS DOUBLE) / 1000000, 6), 0.0)
+         AS entropy
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""

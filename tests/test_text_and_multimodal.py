@@ -219,3 +219,16 @@ def test_bigram_logprob_penalizes_shuffled_order(spark):
     z = {r["doc_id"]: (r["n_bigrams"], r["logprob_e6"]) for r in
          T.bigram_logprob(df2).collect()}
     assert z == {1: (0, 0), 2: (0, 0)}
+
+
+def test_token_entropy_hand_values(spark):
+    import math
+    from flink_realtime_data_eng_spark.functions import text as T
+    d = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, ""), (4, "a a b b")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.token_entropy(d).collect()}
+    assert out[1]["entropy_e6"] == 0 and out[1]["n_tokens"] == 4
+    assert out[2]["entropy"] == round(4 * round(0.25 * math.log(4) * 1e6) / 1e6, 6)
+    assert out[3]["n_tokens"] == 0 and out[3]["entropy"] == 0.0
+    assert out[4]["entropy"] == round(2 * round(0.5 * math.log(2) * 1e6) / 1e6, 6)

@@ -1059,6 +1059,28 @@ def x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+_SEARCH_TERMS = ["table", "join", "window"]
+
+
+def x_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval with TF ranking: docs containing EVERY query
+    term, scored by total matched-term frequency. The inverted-index
+    shape: explode to (doc, term), semi-restrict to the query terms
+    (tiny IN-list, evaluated map-side), one aggregate with a HAVING on
+    distinct matched terms — no full-corpus scoring, no UDFs. Top-20 via
+    TakeOrderedAndProject."""
+    d = _docs(spark, sf_dir)
+    tok = (d.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("tok"))
+            .filter(F.col("tok").isin(*_SEARCH_TERMS)))
+    return (tok.groupBy("doc_id")
+            .agg(F.countDistinct("tok").alias("n_terms"),
+                 F.count(F.lit(1)).alias("tf_sum"))
+            .filter(F.col("n_terms") == len(_SEARCH_TERMS))
+            .select("doc_id", "tf_sum")
+            .orderBy(F.col("tf_sum").desc(), "doc_id")
+            .limit(20))
+
+
 def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (keyword extraction): two keyed
     aggregates + a term join + partition-local top-k."""
@@ -1526,6 +1548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_global_offsets": x_global_offsets,
     "x_token_histogram": x_token_histogram,
     "x_vocab_topk": x_vocab_topk,
+    "x_keyword_search": x_keyword_search,
     "x_tfidf_topk": x_tfidf_topk,
     "x_group_quantiles": x_group_quantiles,
     "x_set_ops": x_set_ops,
@@ -3474,4 +3497,18 @@ SELECT d.doc_id,
        coalesce(round(CAST(entropy_e6 AS DOUBLE) / 1000000, 6), 0.0)
          AS entropy
 FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
+_ST = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+ORACLES["x_keyword_search"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), hit AS (
+  SELECT doc_id, count(DISTINCT tok) AS n_terms, count(*) AS tf_sum
+  FROM tok WHERE tok IN ({_ST})
+  GROUP BY doc_id
+  HAVING count(DISTINCT tok) = {len(_SEARCH_TERMS)}
+)
+SELECT doc_id, CAST(tf_sum AS BIGINT) AS tf_sum
+FROM hit ORDER BY tf_sum DESC, doc_id LIMIT 20
 """

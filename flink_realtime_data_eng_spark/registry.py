@@ -840,6 +840,22 @@ def x_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           num_hashes=16, bands=4, n=3)
 
 
+def x_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest freshness report: per event type, latest event time and its
+    lag behind the corpus max — the staleness monitor every pipeline
+    alert reads. One aggregate + a 1-row corpus-max broadcast."""
+    e = _events(spark, sf_dir)
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts_ms").alias("latest_ts_ms"),
+        F.count(F.lit(1)).alias("n_events"))
+    corpus = e.agg(F.max("ts_ms").alias("corpus_max_ms"))
+    return (per_type.crossJoin(F.broadcast(corpus))
+            .select("event_type", "latest_ts_ms", "n_events",
+                    (F.col("corpus_max_ms") - F.col("latest_ts_ms"))
+                    .alias("staleness_ms"))
+            .orderBy("event_type"))
+
+
 def x_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column null audit over events — the first data-quality query any
     ingest runs: one aggregate, count + null count per column (long
@@ -1525,6 +1541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_incremental_dedup": x_incremental_dedup,
     "x_minhash_estimate": x_minhash_estimate,
     "x_null_audit": x_null_audit,
+    "x_freshness": x_freshness,
     "x_simhash": x_simhash,
     "x_quality_features": x_quality_features,
     "x_language_id": x_language_id,
@@ -3511,4 +3528,15 @@ WITH tok AS (
 )
 SELECT doc_id, CAST(tf_sum AS BIGINT) AS tf_sum
 FROM hit ORDER BY tf_sum DESC, doc_id LIMIT 20
+"""
+
+ORACLES["x_freshness"] = """
+WITH pt AS (
+  SELECT event_type, CAST(MAX(epoch_ms(ts)) AS BIGINT) AS latest_ts_ms,
+         count(*) AS n_events
+  FROM events GROUP BY event_type
+), cm AS (SELECT CAST(MAX(epoch_ms(ts)) AS BIGINT) AS corpus_max_ms FROM events)
+SELECT event_type, latest_ts_ms, n_events,
+       CAST(corpus_max_ms - latest_ts_ms AS BIGINT) AS staleness_ms
+FROM pt CROSS JOIN cm
 """

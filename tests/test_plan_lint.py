@@ -36,6 +36,7 @@ NESTED_LOOP_OK = {
     "x_collocations",           # 1-row token-total broadcast for PMI
     "x_unigram_logprob",        # 1-row (N, V) totals broadcast
     "x_bigram_logprob",         # 1-row vocabulary-size broadcast
+    "x_freshness",              # 1-row corpus-max broadcast
     "x_quality_buckets",        # 1-row (N, V) totals broadcast (same CTE)
     "x_range_lookup",           # static 10-row bands dim broadcast by design
     "x_dedup_stats",            # crossJoin of four 1-row report aggregates

@@ -386,6 +386,29 @@ def st1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark)
 
 
+def st1_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 through Spark 4's ``transformWithStateInPandas`` handle API
+    (StatefulOperations.java:87-119) — the direct ValueStateDescriptor
+    analog. Same oracle as ``st1_stream``; registered only when
+    ``google.protobuf`` is importable (worker-side state serialization),
+    so it costs nothing in containers without it."""
+    from .streaming.stateful import interval_alerts_tws
+    ev = _stream_events(spark, sf_dir)
+    out = interval_alerts_tws(ev, key="user_id", ts_ms="ts_ms",
+                              event_col="event_type", match_value="error",
+                              threshold_ms=21_600_000,
+                              order_by=["ts_ms", "event_id"])
+    return _run_to_memory(out, spark)
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def st2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST2 streaming form (CourseUseCase.java:120-176); same oracle as the
     batch lag analog."""
@@ -430,6 +453,62 @@ def j1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = windowed_join(left, right, key="user_id", ts_col="ts",
                         size="3600 seconds")
     return _run_to_memory(out, spark)
+
+
+# Far past any fixture timestamp (year ~2096); advances the final watermark
+# beyond every real window so outer-join state fully flushes before the
+# availableNow replay terminates.
+_FLUSH_TS_MS = 4_000_000_000_000
+
+
+def _events_csv_dir_flush(spark: SparkSession, sf_dir: str) -> str:
+    """Events CSV replay dir + one flush sentinel row (user_id = -1,
+    event_type '__flush__', far-future ts). Kept separate from the shared
+    replay dir so the sentinel never leaks into other demos' windows;
+    base part-files are hardlinked, not copied."""
+    import os
+    base = _events_csv_dir(spark, sf_dir)
+    out = base + "_flush"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        for f in os.listdir(base):
+            if f.endswith(".csv"):
+                dst = os.path.join(out, f)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(base, f), dst)
+        with open(os.path.join(out, "zz_flush.csv"), "w") as fh:
+            fh.write(f"-1,-1,__flush__,{_FLUSH_TS_MS}\n")
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def j5_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer windowed stream-stream join — the reference's J1
+    (WindowJoins.java:106-121) extended to the outer form real users reach
+    for next: every click row survives, matched views attach, unmatched
+    clicks emit null ``r_ts_ms`` once the watermark passes their window.
+
+    Determinism under availableNow: outer rows emit on state eviction,
+    which is watermark-driven, so a flush sentinel (ts far past every
+    fixture window, fed to BOTH sides) pushes the final watermark beyond
+    every real window's end — all unmatched rows have flushed by
+    termination and the result equals the batch LEFT JOIN oracle. The
+    sentinel key (-1) is filtered after the join."""
+    from .sources import file_csv_stream
+    from .streaming.pipelines import windowed_join
+    path = _events_csv_dir_flush(spark, sf_dir)
+    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    left = (ev.filter(F.col("event_type").isin("click", "__flush__"))
+              .select("user_id", "ts"))
+    right = (ev.filter(F.col("event_type").isin("view", "__flush__"))
+               .select("user_id", "ts"))
+    out = windowed_join(left, right, key="user_id", ts_col="ts",
+                        size="3600 seconds", how="leftOuter")
+    res = _run_to_memory(out, spark)
+    return res.filter(F.col("user_id") >= 0)
 
 
 def j4_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,7 +1547,8 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # excluded from bench.py — they measure state-store fixed overhead at fixture
 # scale, not analytics throughput.
 STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream", "j4_stream_static",
-                   "a2_stream_totals", "j1_stream", "j3_stream", "a4_stream",
+                   "a2_stream_totals", "j1_stream", "j5_stream_outer",
+                   "j3_stream", "a4_stream",
                    "a3_stream", "a5_stream", "j2_stream", "x_filter_stream",
                    "x_dedup_stream"}
 
@@ -1498,6 +1578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_stream": a6_stream,
     "a2_stream_totals": a2_stream_totals,
     "j1_stream": j1_stream,
+    "j5_stream_outer": j5_stream_outer,
     "j4_stream_static": j4_stream_static,
     "j3_stream": j3_stream,
     "a4_stream": a4_stream,
@@ -1928,6 +2009,16 @@ SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
        l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
 FROM l JOIN r ON l.user_id = r.user_id
              AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
+""",
+    "j5_stream_outer": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
+       l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+                  AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
 """,
     "j2_stream": """
 WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
@@ -3540,3 +3631,11 @@ SELECT event_type, latest_ts_ms, n_events,
        CAST(corpus_max_ms - latest_ts_ms AS BIGINT) AS staleness_ms
 FROM pt CROSS JOIN cm
 """
+
+# transformWithStateInPandas needs google.protobuf on workers; probe at
+# import so the query registers automatically once the container gains it
+# (VERDICT r3 item 2) and stays invisible otherwise.
+if _protobuf_available():
+    QUERIES["st1_tws"] = st1_tws
+    ORACLES["st1_tws"] = ORACLES["st1_stream"]
+    STREAMING_DEMOS.add("st1_tws")

@@ -82,13 +82,19 @@ def running_totals(df: DataFrame, keys: Sequence[str], value: str,
 
 
 def windowed_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
-                  size: str, watermark: str = "0 seconds") -> DataFrame:
-    """Streaming J1 (WindowJoins.java:106-121): inner equi-join of two
-    streams on (key, same tumbling window).
+                  size: str, watermark: str = "0 seconds",
+                  how: str = "inner") -> DataFrame:
+    """Streaming J1 (WindowJoins.java:106-121): equi-join of two streams on
+    (key, same tumbling window); ``how='leftOuter'`` adds the unmatched-left
+    rows (null right columns) once the watermark proves no match can arrive.
 
     Both sides are watermarked and the join includes the window equality, so
     Spark derives the state-retention bound and evicts join state once the
-    watermark passes a window — bounded state at any scale.
+    watermark passes a window — bounded state at any scale. Outer results
+    piggyback on that same eviction: a left row emits with nulls exactly
+    when its window's state expires, so outer timing is watermark-driven
+    and deterministic under an availableNow replay whose final watermark
+    passes every real window (see j5_stream_outer's flush sentinel).
     """
     # Only ONE event-time column may survive per side: the window struct
     # inherits the watermark tag, so the raw ts is demoted to epoch-ms long.
@@ -100,7 +106,7 @@ def windowed_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
                        F.window(ts_col, size).alias("r_w"),
                        F.unix_millis(ts_col).alias("r_ts_ms")))
     joined = lw.join(rw, (F.col(key) == F.col(f"r_{key}"))
-                     & (F.col("w") == F.col("r_w")))
+                     & (F.col("w") == F.col("r_w")), how)
     return joined.select(key, F.unix_millis(F.col("w.start")).alias("window_start_ms"),
                          "l_ts_ms", "r_ts_ms")
 

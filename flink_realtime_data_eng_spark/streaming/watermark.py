@@ -58,13 +58,22 @@ class LateDataCapture:
     """
 
     def __init__(self, ts_col: str, delay_ms: int = 0, on_time_fn=None,
-                 on_late_fn=None, state_path: str | None = None):
+                 on_late_fn=None, state_path: str | None = None,
+                 spill_path: str | None = None,
+                 max_memory_rows: int = 10_000):
         self.ts_col = ts_col
         self.delay_ms = delay_ms
         self.on_time_fn = on_time_fn
         self.on_late_fn = on_late_fn
         self.state_path = Path(state_path) if state_path else None
+        # At scale late volume is unbounded; the driver keeps at most
+        # ``max_memory_rows`` as a debugging sample and streams the full
+        # late set to ``spill_path`` (parquet, append-per-batch) — the
+        # dead-letter sink a production job reads back.
+        self.spill_path = spill_path
+        self.max_memory_rows = max_memory_rows
         self.late_rows: list = []
+        self.late_count = 0
         self.query: StreamingQuery | None = None
         self._wm_ms = 0
         if self.state_path and self.state_path.exists():
@@ -107,9 +116,14 @@ class LateDataCapture:
             late = batch_df.filter(ts <= F.lit(wm)) if wm > 0 else None
             on_time = batch_df.filter(ts > F.lit(wm)) if wm > 0 else batch_df
             if late is not None:
-                rows = late.collect()
-                if rows:
-                    self.late_rows.extend(rows)
+                n_late = late.count()
+                if n_late:
+                    self.late_count += n_late
+                    if self.spill_path:
+                        late.write.mode("append").parquet(self.spill_path)
+                    room = self.max_memory_rows - len(self.late_rows)
+                    if room > 0:
+                        self.late_rows.extend(late.limit(room).collect())
                     if self.on_late_fn is not None:
                         self.on_late_fn(late, batch_id)
             if self.on_time_fn is not None:

@@ -144,6 +144,40 @@ def test_windowed_join_stream(spark, tmp_path):
     assert rows[0]["window_start_ms"] == base
 
 
+def test_windowed_join_stream_left_outer(spark, tmp_path):
+    """leftOuter form: unmatched left rows emit null r_ts_ms once the
+    watermark passes their window. Spark's global watermark is the MIN
+    across inputs, so a flush row on BOTH sides pushes it past every real
+    window before the availableNow replay ends — same fixture shape as
+    registry.j5_stream_outer."""
+    base = 1_700_000_000_000
+    left_dir, right_dir = tmp_path / "ol", tmp_path / "or"
+    left_dir.mkdir(), right_dir.mkdir()
+    (left_dir / "a.csv").write_text(
+        f'"u","{base + 1000}"\n"u","{base + 6000}"\n"zz","{base + 60_000}"\n')
+    (right_dir / "a.csv").write_text(
+        f'"u","{base + 4000}"\n"u","{base + 11_000}"\n"zz","{base + 60_000}"\n')
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+
+    def stream(d):
+        return (sources.file_csv_stream(spark, str(d), schema)
+                .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+                .drop("ts_ms"))
+
+    joined = pipelines.windowed_join(stream(left_dir), stream(right_dir),
+                                     key="user", ts_col="ts",
+                                     size="5 seconds", how="leftOuter")
+    _, result = _mem(spark, joined)
+    got = sorted((r["window_start_ms"] - base, r["l_ts_ms"] - base,
+                  None if r["r_ts_ms"] is None else r["r_ts_ms"] - base)
+                 for r in result.collect() if r["user"] != "zz")
+    # [0,5000): matched pair; [5000,10000): left-only row flushes with null.
+    assert got == [(0, 1000, 4000), (5000, 6000, None)]
+
+
 def test_interval_join_stream(spark, tmp_path):
     base = 1_700_000_000_000
     left_dir, right_dir = tmp_path / "il", tmp_path / "ir"
@@ -297,7 +331,51 @@ def test_late_data_capture(spark, tmp_path):
     run_once()
 
     assert [r["ts_ms"] for r in caps[1].late_rows] == [base + 1000]
+    assert caps[1].late_count == 1
     assert on_time_batches[-1] == [base + 12_000]
+
+
+def test_late_data_capture_bounded_spill(spark, tmp_path):
+    """W3 at scale: late rows beyond max_memory_rows spill to parquet; the
+    in-memory list stays capped while late_count and the sink see all."""
+    src, ckpt = tmp_path / "spill_src", tmp_path / "spill_ckpt"
+    src.mkdir()
+    base = 1_700_000_000_000
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    spill = tmp_path / "late_sink"
+
+    def make_cap():
+        return watermark.LateDataCapture(
+            "ts", delay_ms=2000, state_path=str(tmp_path / "spill_wm.json"),
+            spill_path=str(spill), max_memory_rows=3)
+
+    def run_once(cap):
+        stream = (sources.file_csv_stream(spark, str(src), schema)
+                  .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+        q = (stream.writeStream.foreachBatch(cap).outputMode("append")
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        cap.bind(q)
+        q.awaitTermination(120)
+
+    # Run 1 advances the watermark to base + 98_000.
+    (src / "a.csv").write_text(f'"u","{base + 100_000}"\n')
+    run_once(make_cap())
+    # Run 2: 8 late rows against a 3-row memory cap.
+    (src / "b.csv").write_text(
+        "\n".join(f'"u","{base + i * 1000}"' for i in range(8)) + "\n")
+    cap = make_cap()
+    run_once(cap)
+
+    assert cap.late_count == 8
+    assert len(cap.late_rows) == 3          # capped sample only
+    spilled = spark.read.parquet(str(spill))
+    assert spilled.count() == 8             # full late set in the sink
+    assert sorted(r["ts_ms"] for r in spilled.collect()) == [
+        base + i * 1000 for i in range(8)]
 
 
 def test_kafka_reader_constructed_not_run(spark):

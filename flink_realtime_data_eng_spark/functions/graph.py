@@ -16,10 +16,14 @@ driver-side loop only checks a scalar convergence count per round —
 data never leaves the executors; ``localCheckpoint`` truncates the
 growing lineage each round so plan size stays constant.
 
-(For adversarial billion-edge graphs with long chains, the
-large-star/small-star algorithm [Kiveris et al., "Connected Components
-in MapReduce and Beyond", SoCC 2014] converges in O(log n) rounds —
-the hook here is the same edge-list contract.)
+For adversarial graphs with long chains (component diameter ~ n, where
+min-label needs O(n) rounds), :func:`connected_components_star`
+implements the alternating large-star/small-star algorithm [Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014], which
+converges in O(log^2 n) rounds regardless of diameter, behind the same
+edge-list contract. Both return the same (node, min-reachable-label)
+output; pick by expected topology — near-dup doc clusters are shallow
+(min-label wins on constant factors), social/citation graphs are not.
 """
 
 from __future__ import annotations
@@ -66,3 +70,79 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the bound; raise max_iter")
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its STRICTLY LARGER neighbors
+    to the minimum of its closed neighborhood. Input/output are symmetric-
+    free directed edge lists (a, b); output edges point larger -> smaller."""
+    mins = (sym.groupBy("a").agg(F.min("b").alias("nmin"))
+               .select("a", F.least("a", "nmin").alias("m")))
+    return (sym.join(mins, "a")
+               .filter(F.col("b") > F.col("a"))
+               .select(F.col("b").alias("a"), F.col("m").alias("b"))
+               .filter(F.col("a") != F.col("b"))
+               .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge larger -> smaller, then every
+    node connects all its smaller neighbors (and itself) to their minimum."""
+    o = (edges.select(F.greatest("a", "b").alias("a"),
+                      F.least("a", "b").alias("b"))
+              .filter(F.col("a") != F.col("b"))
+              .distinct())
+    mins = o.groupBy("a").agg(F.min("b").alias("m"))
+    return (o.join(mins, "a")
+             .select(F.col("b").alias("a"), F.col("m").alias("b"))
+             .union(mins.select("a", F.col("m").alias("b")))
+             .filter(F.col("a") != F.col("b"))
+             .distinct())
+
+
+def connected_components_star(edges: DataFrame, src: str = "id_a",
+                              dst: str = "id_b",
+                              max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    [Kiveris et al., SoCC 2014]: O(log^2 n) rounds independent of
+    component diameter — the scale path for adversarial long-chain graphs
+    where :func:`connected_components`'s min-label propagation would need
+    O(diameter) rounds.
+
+    Same contract as :func:`connected_components`: returns ``(node,
+    label)`` with label = minimum node id in the component; raises rather
+    than returning a half-converged labeling. Each round is a bounded
+    number of hash shuffles on the (shrinking) edge list; the driver sees
+    only a per-round scalar, and ``localCheckpoint`` keeps plan size
+    constant.
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+              .filter(F.col("a") != F.col("b"))
+              .distinct()
+              .localCheckpoint(eager=True))
+    # Original node set, kept for the final labeling: star contraction may
+    # drop a center from the edge list's left side entirely.
+    nodes = (e.select(F.col("a").alias("node"))
+              .union(e.select(F.col("b").alias("node")))
+              .distinct()
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+               .distinct()
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        # Converged when the edge set is unchanged (both are distinct sets,
+        # so equal counts + empty difference <=> equality).
+        if nxt.count() == e.count() and nxt.exceptAll(e).limit(1).count() == 0:
+            e = nxt
+            break
+        e = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter")
+    # At the fixpoint the graph is a set of stars centered at component
+    # minima: orient edges larger -> smaller and read labels off directly.
+    stars = e.select(F.greatest("a", "b").alias("node"),
+                     F.least("a", "b").alias("label")).distinct()
+    return (nodes.join(stars, "node", "left")
+                 .select("node", F.coalesce("label", "node").alias("label")))

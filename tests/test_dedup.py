@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flink_realtime_data_eng_spark.functions import dedup
 
@@ -91,6 +92,49 @@ def test_connected_components_raises_when_not_converged(spark):
         [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_connected_components_star_basic(spark):
+    from flink_realtime_data_eng_spark.functions.graph import (
+        connected_components_star)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a long, id_b long")
+    got = {r["node"]: r["label"]
+           for r in connected_components_star(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_star_long_path(spark):
+    """The adversarial case min-label can't touch: a 10k-node path has
+    diameter 10k (min-label would need ~10k rounds); large/small-star must
+    converge within its default O(log^2 n) round cap."""
+    from flink_realtime_data_eng_spark.functions.graph import (
+        connected_components_star)
+    n = 10_000
+    edges = (spark.range(n - 1)
+             .select(F.col("id").alias("id_a"),
+                     (F.col("id") + 1).alias("id_b")))
+    labels = connected_components_star(edges)
+    agg = labels.agg(F.countDistinct("label").alias("k"),
+                     F.count("*").alias("n"),
+                     F.min("label").alias("lo")).collect()[0]
+    assert (agg["k"], agg["n"], agg["lo"]) == (1, n, 0)
+
+
+def test_connected_components_star_matches_min_label(spark):
+    """Both algorithms must produce identical labelings on a random graph
+    (seeded, ~degree-2: a mix of chains, cycles and singleton pairs)."""
+    import random
+    from flink_realtime_data_eng_spark.functions.graph import (
+        connected_components, connected_components_star)
+    rng = random.Random(42)
+    pairs = [(rng.randrange(500), rng.randrange(500)) for _ in range(600)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    a = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    b = {r["node"]: r["label"]
+         for r in connected_components_star(edges).collect()}
+    assert a == b
 
 
 def test_neardup_clusters_groups_mutual_dups(spark):

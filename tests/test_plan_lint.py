@@ -40,6 +40,7 @@ NESTED_LOOP_OK = {
     "x_quality_buckets",        # 1-row (N, V) totals broadcast (same CTE)
     "x_range_lookup",           # static 10-row bands dim broadcast by design
     "x_dedup_stats",            # crossJoin of four 1-row report aggregates
+    "x_dedup_report",           # same crossJoin shape, clusters from parquet
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

@@ -76,10 +76,10 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                     F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
-def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
-                  text_col: str = "text", id_col: str = "doc_id",
-                  candidates: DataFrame | None = None) -> DataFrame:
-    """Doc pairs with shingle-set Jaccard >= threshold.
+def _overlap_pairs(df: DataFrame, n: int, text_col: str, id_col: str,
+                   candidates: DataFrame | None) -> DataFrame:
+    """Shared overlap core for set-similarity measures: doc pairs with
+    their shingle overlap counts ``(id_a, id_b, n_common, n_a, n_b)``.
 
     Without ``candidates``: the full shingle self-join (key = shingle
     string, high cardinality, well-distributed) — the verification
@@ -88,9 +88,9 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     :func:`minhash_lsh_candidates`): the shingle table is left-semi pruned
     to candidate docs before the self-join and the result is left-semi
     restricted to candidate pairs, so all-pairs work never materializes.
-    Output: id_a, id_b, jaccard (rounded to 6 dp — the oracle contract).
     """
     sh = shingles(df, n, text_col, id_col)
+    cand = None
     if candidates is not None:
         cand = candidates.select("id_a", "id_b")
         cand_ids = (cand.select(F.col("id_a").alias(id_col))
@@ -107,16 +107,46 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                 .filter(F.col("id_a") < F.col("id_b"))
                 .groupBy("id_a", "id_b")
                 .agg(F.count(F.lit(1)).alias("n_common")))
-    if candidates is not None:
+    if cand is not None:
         common = common.join(cand, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (common.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_common").cast("double")
-                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+    return common.join(sa, "id_a").join(sb, "id_b")
+
+
+def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Doc pairs with shingle-set Jaccard >= threshold (scale notes on
+    :func:`_overlap_pairs`). Output: id_a, id_b, jaccard (rounded to 6 dp
+    — the oracle contract)."""
+    ov = _overlap_pairs(df, n, text_col, id_col, candidates)
+    return (ov.withColumn(
+                "jaccard",
+                F.round(F.col("n_common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def containment_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      candidates: DataFrame | None = None) -> DataFrame:
+    """Subset-duplicate detection: containment = |A∩B| / min(|A|, |B|).
+
+    Jaccard misses clone-plus-appended-content duplicates (a doc pasted
+    inside a much longer one scores low on union-normalized overlap but
+    ~1.0 on containment — the measure web-corpus dedup uses alongside
+    Jaccard). Same shingle overlap core, same candidate gating for scale;
+    output adds the pair's sizes so consumers can tell which side is the
+    contained one. Rounded to 6 dp — the oracle contract."""
+    ov = _overlap_pairs(df, n, text_col, id_col, candidates)
+    return (ov.withColumn(
+                "containment",
+                F.round(F.col("n_common").cast("double")
+                        / F.least("n_a", "n_b"), 6))
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "n_a", "n_b", "containment"))
 
 
 def neardup_pipeline(df: DataFrame, num_hashes: int = 16, bands: int = 4,

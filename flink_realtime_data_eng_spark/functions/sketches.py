@@ -82,6 +82,32 @@ def hash_sample(df: DataFrame, key_col: str, rate: float,
     return df.where(_unit_hash(prefix, F.col(key_col)) < rate)
 
 
+def weighted_sample_topk(df: DataFrame, key_col: str, weight_col: str,
+                         k: int, prefix: str = "wsample") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006): each row draws
+    ``score = u^(1/w)`` with ``u`` a uniform draw and ``w`` its weight; the
+    k largest scores are a weighted sample without replacement — the
+    standard way to pick training documents proportional to a quality or
+    length weight. ``u`` is the deterministic md5 unit draw, so the chosen
+    set is identical across runs, retries, and engines.
+
+    Plan shape: the score is one map-side expression; ``orderBy().limit(k)``
+    executes as TakeOrderedAndProject (per-partition top-k heap, k-way
+    driver merge) — no global sort at any scale. Ties broken by key for
+    determinism. Score column rounded to 6 dp after selection (the oracle
+    contract; selection itself uses the exact value).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-9))
+    score = F.pow(_unit_hash(prefix, F.col(key_col)), F.lit(1.0) / w)
+    return (df.withColumn("score", score)
+              .orderBy(F.desc("score"), F.col(key_col))
+              .limit(k)
+              .withColumn("score", F.round("score", 6)))
+
+
 def stratified_hash_sample(df: DataFrame, strata_col: str, key_col: str,
                            rates: dict[str, float], default_rate: float = 0.0,
                            prefix: str = "sample") -> DataFrame:

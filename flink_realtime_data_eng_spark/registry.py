@@ -820,6 +820,14 @@ def x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
 
 
+def x_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate pairs: containment = |A∩B| / min(|A|,|B|) catches a
+    doc pasted inside a longer one, which union-normalized Jaccard scores
+    low. Same shingle-overlap core (and LSH candidate gating at scale) as
+    the Jaccard verifier."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 def x_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir),
                                         num_hashes=16, bands=4, n=3)
@@ -1221,6 +1229,25 @@ def x_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def x_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per token, document frequency,
+    collection frequency, and the posting list as a sorted ``doc:tf``
+    string (string form keeps the contract engine-portable). One explode +
+    two keyed aggregates on well-distributed token keys; the df floor
+    bounds output to common-token scale (a production index keeps all
+    tokens but shards postings by token — same plan shape)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    per_doc = tok.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (per_doc.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sum("tf").alias("cf"),
+                 F.concat_ws(",", F.array_sort(F.collect_list(
+                     F.concat_ws(":", F.col("doc_id"), F.col("tf")))))
+                  .alias("postings"))
+            .filter(F.col("df") >= 10))
+
+
 def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (keyword extraction): two keyed
     aggregates + a term join + partition-local top-k."""
@@ -1575,6 +1602,17 @@ def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
 
 
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement: 100 docs drawn proportional to
+    length (n_chars) via deterministic Efraimidis-Spirakis scores — the
+    quality/length-weighted corpus draw a training mix needs. Map-side
+    score + TakeOrderedAndProject; no global sort."""
+    d = _docs(spark, sf_dir)
+    out = sketches.weighted_sample_topk(d, key_col="doc_id",
+                                        weight_col="n_chars", k=100)
+    return out.select("doc_id", "source", "n_chars", "score")
+
+
 def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sampling: keep ALL rare purchases, 5% of
     views, 20% of everything else — the class-rebalance primitive."""
@@ -1658,6 +1696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_exact_dedup": x_exact_dedup,
     "x_fingerprint": x_fingerprint,
     "x_jaccard_pairs": x_jaccard_pairs,
+    "x_containment_pairs": x_containment_pairs,
     "x_minhash_lsh": x_minhash_lsh,
     "x_neardup_pipeline": x_neardup_pipeline,
     "x_neardup_clusters": x_neardup_clusters,
@@ -1686,6 +1725,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_audio_energy": x_audio_energy,
     "x_kmv_distinct": x_kmv_distinct,
     "x_hash_sample": x_hash_sample,
+    "x_weighted_sample": x_weighted_sample,
+    "x_posting_lists": x_posting_lists,
     "x_stratified_sample": x_stratified_sample,
     "x_time_rollup": x_time_rollup,
     "x_train_val_split": x_train_val_split,
@@ -1809,6 +1850,31 @@ FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
+"""
+
+
+def _containment_oracle(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - {n - 1}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+       round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= {threshold}
 """
 
 
@@ -3681,6 +3747,34 @@ FROM pt CROSS JOIN cm
 # Same dashboard contract, same oracle: only the Spark-side provenance of
 # the cluster numbers differs (persisted parquet vs live recompute).
 ORACLES["x_dedup_report"] = ORACLES["x_dedup_stats"]
+
+ORACLES["x_containment_pairs"] = _containment_oracle()
+
+ORACLES["x_weighted_sample"] = f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         pow({_H32.format(x="concat('wsample', ':', CAST(doc_id AS VARCHAR))")}
+               / 4294967296.0,
+             1.0 / greatest(CAST(n_chars AS DOUBLE), 0.000000001)) AS score
+  FROM documents
+), k AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 100)
+SELECT doc_id, source, n_chars, round(score, 6) AS score FROM k
+"""
+
+ORACLES["x_posting_lists"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), pd AS (
+  SELECT tok, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+), ag AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         string_agg(concat(CAST(doc_id AS VARCHAR), ':', CAST(tf AS VARCHAR)),
+                    ',' ORDER BY concat(CAST(doc_id AS VARCHAR), ':',
+                                        CAST(tf AS VARCHAR))) AS postings
+  FROM pd GROUP BY tok
+)
+SELECT tok, df, cf, postings FROM ag WHERE df >= 10
+"""
 
 # transformWithStateInPandas needs google.protobuf on workers; probe at
 # import so the query registers automatically once the container gains it

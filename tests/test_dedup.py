@@ -240,3 +240,34 @@ def test_minhash_estimate_brackets_exact_jaccard(spark):
         j = exact[p]
         sigma = math.sqrt(max(j * (1 - j), 0.02) / k)
         assert abs(e - j) <= 3.5 * sigma + 1e-9, (p, e, j)
+
+
+def test_containment_catches_subset_duplicate(spark):
+    """A short doc pasted inside a long one: low Jaccard, containment 1.0."""
+    short = "the quick brown fox jumps over the lazy dog"
+    long_ = short + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(30))
+    df = _docs(spark, [(1, short), (2, long_), (3, "unrelated text entirely here")])
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(df, n=3, threshold=0.9).collect()}
+    assert cont == {(1, 2): 1.0}
+    # the same pair scores well below the usual Jaccard dedup threshold
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(df, n=3, threshold=0.0).collect()}
+    assert jac[(1, 2)] < 0.2
+
+
+def test_containment_candidate_gating_matches_full(spark):
+    """Candidate-gated containment equals the full self-join restricted to
+    the candidate pairs (same contract as jaccard_pairs)."""
+    rows = [(i, f"common shingle text block alpha beta gamma doc{i % 3}")
+            for i in range(1, 7)]
+    df = _docs(spark, rows)
+    full = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(df, n=3, threshold=0.5).collect()}
+    cand = spark.createDataFrame([(1, 4), (2, 5)], "id_a long, id_b long")
+    gated = {(r["id_a"], r["id_b"]): r["containment"]
+             for r in dedup.containment_pairs(df, n=3, threshold=0.5,
+                                              candidates=cand).collect()}
+    assert set(gated) <= {(1, 4), (2, 5)}
+    for pair, c in gated.items():
+        assert full[pair] == c

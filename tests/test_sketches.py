@@ -276,3 +276,32 @@ def test_train_val_test_split_stable_and_leak_free(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sketches.train_val_test_split(d, "doc_id", val_frac=0.6, test_frac=0.5)
+
+
+def test_weighted_sample_topk_determinism_and_bias(spark):
+    """A-ES: same draw every run; heavier rows overrepresented vs uniform."""
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        # ids >= 1000 carry 50x the weight of ids < 1000
+        F.when(F.col("id") >= 1000, F.lit(50.0)).otherwise(F.lit(1.0))
+         .alias("w"))
+    s1 = [r["k"] for r in sketches.weighted_sample_topk(df, "k", "w", 200).collect()]
+    s2 = [r["k"] for r in sketches.weighted_sample_topk(df, "k", "w", 200).collect()]
+    assert s1 == s2 and len(s1) == 200 and len(set(s1)) == 200
+    heavy = sum(1 for k in s1 if k >= 1000)
+    assert heavy > 150  # 50x weight must dominate the draw
+
+
+def test_weighted_sample_topk_no_global_sort(spark):
+    """orderBy().limit(k) must execute as TakeOrdered, not a full sort."""
+    df = spark.range(1_000).select(F.col("id").alias("k"),
+                                   F.lit(1.0).alias("w"))
+    out = sketches.weighted_sample_topk(df, "k", "w", 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_topk_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        sketches.weighted_sample_topk(spark.range(5).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("w")), "k", "w", 0)

@@ -1248,6 +1248,42 @@ def x_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("df") >= 10))
 
 
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene-style idf) for the
+    standing query terms, OR semantics: any doc matching a term scores.
+
+    Scale shape: hits are the term-filtered explode (tiny next to the
+    corpus), per-term df and the (N, avgdl) constants are broadcast
+    aggregates, and the only corpus-keyed join attaches doc length to the
+    hit rows. Per-term scores scale to exact e6 integers BEFORE the sum so
+    the ranking key is order-independent (double summation is not);
+    top-20 via TakeOrderedAndProject."""
+    d = _docs(spark, sf_dir)
+    dl = d.select("doc_id", F.size(text.tokens("text")).alias("dl"))
+    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    hits = (tok.filter(F.col("tok").isin(*_SEARCH_TERMS))
+               .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = hits.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfreq"))
+    consts = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+    scored = (hits.join(F.broadcast(dfreq), "tok")
+                  .join(dl, "doc_id")
+                  .crossJoin(F.broadcast(consts)))
+    idf = F.log((F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+                / (F.col("dfreq") + F.lit(0.5)) + F.lit(1.0))
+    denom = (F.col("tf") + F.lit(1.2)
+             * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")))
+    term_score = idf * F.col("tf") * F.lit(2.2) / denom
+    per_term = scored.select(
+        "doc_id", F.round(term_score * F.lit(1000000.0)).cast("bigint")
+                   .alias("s_e6"))
+    return (per_term.groupBy("doc_id").agg(F.sum("s_e6").alias("score_e6"))
+            .orderBy(F.desc("score_e6"), "doc_id").limit(20)
+            .select("doc_id", "score_e6",
+                    F.round(F.col("score_e6") / F.lit(1000000.0), 6)
+                     .alias("bm25")))
+
+
 def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (keyword extraction): two keyed
     aggregates + a term join + partition-local top-k."""
@@ -1727,6 +1763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_hash_sample": x_hash_sample,
     "x_weighted_sample": x_weighted_sample,
     "x_posting_lists": x_posting_lists,
+    "x_bm25_topk": x_bm25_topk,
     "x_stratified_sample": x_stratified_sample,
     "x_time_rollup": x_time_rollup,
     "x_train_val_split": x_train_val_split,
@@ -3774,6 +3811,33 @@ WITH tok AS (
   FROM pd GROUP BY tok
 )
 SELECT tok, df, cf, postings FROM ag WHERE df >= 10
+"""
+
+ORACLES["x_bm25_topk"] = f"""
+WITH dl AS (
+  SELECT doc_id, len({_QF_TOKS}) AS dl FROM documents
+), tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), hits AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok
+  WHERE tok IN ({_ST}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS dfreq FROM hits GROUP BY tok
+), consts AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), per AS (
+  SELECT h.doc_id,
+         CAST(round(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+                    * tf * 2.2
+                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                    * 1000000.0) AS BIGINT) AS s_e6
+  FROM hits h JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN consts
+), ag AS (
+  SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6 FROM per GROUP BY doc_id
+)
+SELECT doc_id, score_e6,
+       round(CAST(score_e6 AS DOUBLE) / 1000000.0, 6) AS bm25
+FROM ag ORDER BY score_e6 DESC, doc_id LIMIT 20
 """
 
 # transformWithStateInPandas needs google.protobuf on workers; probe at

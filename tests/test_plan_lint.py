@@ -41,6 +41,7 @@ NESTED_LOOP_OK = {
     "x_range_lookup",           # static 10-row bands dim broadcast by design
     "x_dedup_stats",            # crossJoin of four 1-row report aggregates
     "x_dedup_report",           # same crossJoin shape, clusters from parquet
+    "x_bm25_topk",              # 1-row (N, avgdl) constants broadcast
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

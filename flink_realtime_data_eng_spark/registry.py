@@ -1562,6 +1562,55 @@ def x_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start_ms", "rk"))
 
 
+def x_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction — the CDC/upsert read primitive
+    (mirror of what a MERGE materializes): each user's most recent event
+    wins, ties broken by event_id.
+
+    Scale shape: ONE hash aggregate of ``max(struct(ts, id, payload))``
+    (struct max compares fieldwise, so the ordering is total and
+    deterministic) — partial aggregation halves shuffle volume and there is
+    no per-key window sort; the window row_number form shuffles the same
+    rows but sorts every partition. The aggregate IS the compaction."""
+    e = _events(spark, sf_dir)
+    latest = (e.groupBy("user_id")
+               .agg(F.max(F.struct("ts_ms", "event_id", "event_type",
+                                   "value")).alias("m")))
+    return latest.select(
+        "user_id", F.col("m.ts_ms").alias("ts_ms"),
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.event_type").alias("event_type"),
+        F.round(F.col("m.value"), 6).alias("value"))
+
+
+def x_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional source interleaving: the training-order
+    shuffle. Each doc gets a per-source sequence number r (md5-hash order,
+    so the permutation is reproducible) and a stride position
+    ``(r - 0.5) / n_source`` — sorting by it round-robins sources
+    proportionally to their size, so a consumer reading in position order
+    sees the mixture ratio in every prefix.
+
+    Scale note: ranks here come from a per-source window (fine while
+    source count × docs-per-source fits a task after AQE split); at
+    corpus scale swap the rank for the two-phase distributed prefix sum
+    (`operators/stats.py:global_prefix_sum`) keyed by source — the
+    position formula is unchanged."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+    from .functions.dedup import _md5_hash32
+    h = _md5_hash32("ilv", F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select("doc_id", "source",
+                      F.row_number().over(w).alias("r"))
+    n_s = ranked.groupBy("source").agg(F.max("r").alias("n_source"))
+    return (ranked.join(F.broadcast(n_s), "source")
+            .select("doc_id", "source", F.col("r").cast("bigint").alias("r"),
+                    F.col("n_source").cast("bigint").alias("n_source"),
+                    F.round((F.col("r") - F.lit(0.5))
+                            / F.col("n_source"), 6).alias("position")))
+
+
 def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event session labeling (1 h gap, same rule as a4's aggregate
     form): gaps-and-islands over one user-partition shuffle."""
@@ -1781,6 +1830,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_lag_features": x_lag_features,
     "x_window_distinct": x_window_distinct,
     "x_trending": x_trending,
+    "x_compact_latest": x_compact_latest,
+    "x_interleave": x_interleave,
     "x_sessionize": x_sessionize,
     "x_dynamic_sessions": x_dynamic_sessions,
     "x_collocations": x_collocations,
@@ -3838,6 +3889,32 @@ WITH dl AS (
 SELECT doc_id, score_e6,
        round(CAST(score_e6 AS DOUBLE) / 1000000.0, 6) AS bm25
 FROM ag ORDER BY score_e6 DESC, doc_id LIMIT 20
+"""
+
+ORACLES["x_compact_latest"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_ms, event_id, event_type, round(value, 6) AS value
+FROM r WHERE rn = 1
+"""
+
+ORACLES["x_interleave"] = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_H32.format(x="concat('ilv', ':', CAST(doc_id AS VARCHAR))")},
+                    doc_id) AS r
+  FROM documents
+), ns AS (SELECT source, max(r) AS n_source FROM ranked GROUP BY source)
+SELECT doc_id, ranked.source, CAST(r AS BIGINT) AS r,
+       CAST(n_source AS BIGINT) AS n_source,
+       round((r - 0.5) / n_source, 6) AS position
+FROM ranked JOIN ns ON ranked.source = ns.source
 """
 
 # transformWithStateInPandas needs google.protobuf on workers; probe at

@@ -511,6 +511,27 @@ def j5_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.filter(F.col("user_id") >= 0)
 
 
+def x_compact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of x_compact_latest: the continuously-maintained
+    upsert view. Same one-aggregate shape — ``max(struct(...))`` per key in
+    update mode — so each micro-batch revises only the keys it touched;
+    state is one struct per key (bounded by key cardinality, not stream
+    length). Same oracle as the batch compaction.
+
+    The replayed CSV carries no ``value`` column, so value is re-derived
+    from event_id exactly like j4's replay contract; the oracle does the
+    same."""
+    ev = _stream_events(spark, sf_dir)
+    latest = (ev.groupBy("user_id")
+                .agg(F.max(F.struct("ts_ms", "event_id", "event_type"))
+                      .alias("m")))
+    out = latest.select(
+        "user_id", F.col("m.ts_ms").alias("ts_ms"),
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.event_type").alias("event_type"))
+    return _run_to_memory(out, spark, output_mode="complete")
+
+
 def j4_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the Structured Streaming pattern the
     stream-stream demos don't cover: each micro-batch of the (streaming)
@@ -1718,7 +1739,7 @@ STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream", "j4_stream_static",
                    "a2_stream_totals", "j1_stream", "j5_stream_outer",
                    "j3_stream", "a4_stream",
                    "a3_stream", "a5_stream", "j2_stream", "x_filter_stream",
-                   "x_dedup_stream"}
+                   "x_dedup_stream", "x_compact_stream"}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_parse_csv": p1_parse_csv,
@@ -1851,6 +1872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_corpus_filter": x_corpus_filter,
     "x_filter_stream": x_filter_stream,
     "x_dedup_stream": x_dedup_stream,
+    "x_compact_stream": x_compact_stream,
     "x_quality_buckets": x_quality_buckets,
     "x_group_sample": x_group_sample,
     "x_range_lookup": x_range_lookup,
@@ -3900,6 +3922,16 @@ WITH r AS (
 )
 SELECT user_id, ts_ms, event_id, event_type, round(value, 6) AS value
 FROM r WHERE rn = 1
+"""
+
+ORACLES["x_compact_stream"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_ms, event_id, event_type FROM r WHERE rn = 1
 """
 
 ORACLES["x_interleave"] = f"""

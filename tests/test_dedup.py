@@ -271,3 +271,22 @@ def test_containment_candidate_gating_matches_full(spark):
     assert set(gated) <= {(1, 4), (2, 5)}
     for pair, c in gated.items():
         assert full[pair] == c
+
+
+def test_neardup_clusters_star_algorithm_matches_default(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "the quick brown fox jumps over the lazy cat today"),
+         (4, "completely different text about spark and flink engines")],
+        "doc_id long, text string")
+    a = {(r["doc_id"], r["cluster_id"])
+         for r in dedup.neardup_clusters(docs, num_hashes=16, bands=8, n=3,
+                                         threshold=0.3).collect()}
+    b = {(r["doc_id"], r["cluster_id"])
+         for r in dedup.neardup_clusters(docs, num_hashes=16, bands=8, n=3,
+                                         threshold=0.3,
+                                         cc_algorithm="star").collect()}
+    assert a == b and a
+    with pytest.raises(ValueError):
+        dedup.neardup_clusters(docs, cc_algorithm="bogus")

@@ -1583,6 +1583,41 @@ def x_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start_ms", "rk"))
 
 
+def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill — the hypertable op the event table
+    invites: per user, an hourly grid from first to last observation,
+    each hour carrying its event count and the last-observed value
+    (forward-filled across empty hours).
+
+    Scale shape: the hourly "close" is ONE hash aggregate
+    (``max(struct(ts, id, value))`` — no per-hour window sort); the grid
+    explodes a bounded ``sequence`` per user (span-hours, data-independent
+    fan-out); the forward fill is ``last(ignorenulls)`` over a per-user
+    window ordered by hour — grid-sized input, never raw events. No
+    corpus-wide sort anywhere."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy("user_id",
+                        F.floor(F.col("ts_ms") / 3_600_000).cast("bigint")
+                         .alias("h"))
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.max(F.struct("ts_ms", "event_id", "value")).alias("m"))
+               .select("user_id", "h", "n_events",
+                       F.col("m.value").alias("close")))
+    spans = hourly.groupBy("user_id").agg(F.min("h").alias("h0"),
+                                          F.max("h").alias("h1"))
+    grid = spans.select("user_id",
+                        F.explode(F.sequence("h0", "h1")).alias("h"))
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("h")
+    return joined.select(
+        "user_id", (F.col("h") * 3_600_000).cast("bigint").alias("hour_ms"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint")
+         .alias("n_events"),
+        F.round(F.last("close", ignorenulls=True).over(w), 6)
+         .alias("value_ffill"))
+
+
 def x_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-record-per-key compaction — the CDC/upsert read primitive
     (mirror of what a MERGE materializes): each user's most recent event
@@ -1853,6 +1888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_trending": x_trending,
     "x_compact_latest": x_compact_latest,
     "x_interleave": x_interleave,
+    "x_resample_ffill": x_resample_ffill,
     "x_sessionize": x_sessionize,
     "x_dynamic_sessions": x_dynamic_sessions,
     "x_collocations": x_collocations,
@@ -3922,6 +3958,38 @@ WITH r AS (
 )
 SELECT user_id, ts_ms, event_id, event_type, round(value, 6) AS value
 FROM r WHERE rn = 1
+"""
+
+ORACLES["x_resample_ffill"] = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value FROM events
+), ranked AS (
+  SELECT user_id, ts_ms // 3600000 AS h, value,
+         row_number() OVER (PARTITION BY user_id, ts_ms // 3600000
+                            ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM e
+), cls AS (
+  SELECT user_id, h, value AS close FROM ranked WHERE rn = 1
+), cnt AS (
+  SELECT user_id, ts_ms // 3600000 AS h, count(*) AS n_events
+  FROM e GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM cnt GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM spans
+), j AS (
+  SELECT g.user_id, g.h, coalesce(n_events, 0) AS n_events, close
+  FROM grid g
+  LEFT JOIN cnt USING (user_id, h)
+  LEFT JOIN cls USING (user_id, h)
+)
+SELECT user_id, CAST(h * 3600000 AS BIGINT) AS hour_ms,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(last_value(close IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS value_ffill
+FROM j
 """
 
 ORACLES["x_compact_stream"] = """

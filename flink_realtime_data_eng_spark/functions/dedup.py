@@ -495,3 +495,60 @@ def simhash_neardup_pairs(df: DataFrame, bands: int = 4,
     return (cand.select("id_a", "id_b",
                         hamming.cast("bigint").alias("hamming"))
                 .filter(F.col("hamming") <= max_hamming))
+
+
+def paragraph_dedup(df: DataFrame, chunk_tokens: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction: split each
+    document into paragraphs, keep only the globally FIRST occurrence of
+    each distinct paragraph (ordered by doc id, then position), and stitch
+    the survivors back into per-document text — the sub-document dedup
+    stage web-corpus pipelines run between exact and near dedup (repeated
+    headers/footers/boilerplate vanish while unique prose survives).
+
+    The fixture corpus has no newline structure, so a "paragraph" here is
+    a fixed non-overlapping run of ``chunk_tokens`` whitespace tokens; on
+    real corpora pass the text through a newline splitter instead — the
+    dedup/reconstruct plan is delimiter-agnostic.
+
+    Plan shape: one map-side chunking explode, ONE window over the
+    paragraph hash (partitioned by a high-cardinality key, so the shuffle
+    spreads), one per-document re-aggregation. First-occurrence selection
+    is deterministic ((id, position) is unique), which is what makes the
+    output hash-checkable cross-engine.
+
+    Output: (id, text_dedup, n_kept) — empty string when every chunk of a
+    doc already appeared earlier in the corpus.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    from pyspark.sql import Window as W
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1,
+                                     chunk_tokens)).alias("chunk")))
+    exploded = (df.select(F.col(id_col), F.explode(chunks).alias("c"))
+                  .select(id_col, F.col("c.idx").alias("idx"),
+                          F.col("c.chunk").alias("chunk")))
+    w = W.partitionBy("chunk").orderBy(F.col(id_col), F.col("idx"))
+    kept = (exploded.withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") == 1))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("idx", "chunk"))),
+                            lambda x: x["chunk"])).alias("text_dedup"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    spine = df.select(F.col(id_col))
+    return (spine.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                     .alias("n_kept")))

@@ -174,6 +174,160 @@ def train_val_test_split(df: DataFrame, key_col: str,
     return df.withColumn("split", split)
 
 
+def bloom_bitmap(df: DataFrame, key_col: str, num_bits: int = 1 << 16,
+                 num_hashes: int = 4, prefix: str = "bloom") -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a ONE-ROW DataFrame holding
+    an ``array<boolean>`` bitmap — the broadcastable runtime-filter shape.
+
+    Spark's own AQE runtime filter (InjectRuntimeFilter) builds exactly
+    this structure JVM-side when its thresholds hit; this operator makes
+    the pattern explicit and tunable for plans the injector misses (the
+    builtin ``bloom_filter_agg`` expression is not SQL-registered in this
+    build). Hashes are the md5 family, so the filter is deterministic
+    across runs and engines. Build cost: one explode of ``num_hashes``
+    positions per build row + a ``num_bits``-row dense join — all bounded
+    by the (small) build side, never the probe side. A production variant
+    would pack 64 bits/word; booleans keep the probe expression in the
+    pure Column API (element_at only, no per-row variable shifts).
+    """
+    if num_bits < 64 or num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two >= 64, got {num_bits}")
+    spark = df.sparkSession
+    key = F.col(key_col).cast("string")
+    positions = F.array(*[
+        (_md5_hash32(f"{prefix}{i}", key) % num_bits).cast("int")
+        for i in range(num_hashes)])
+    marks = df.select(F.explode(positions).alias("pos")).distinct()
+    dense = (spark.range(num_bits)
+             .select(F.col("id").cast("int").alias("pos"))
+             .join(marks.withColumn("hit", F.lit(True)), "pos", "left")
+             .select("pos", F.coalesce("hit", F.lit(False)).alias("bit")))
+    return dense.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "bit"))),
+                    lambda x: x["bit"]).alias("bitmap"))
+
+
+def bloom_prefilter(df: DataFrame, key_col: str, bitmap_df: DataFrame,
+                    num_bits: int = 1 << 16, num_hashes: int = 4,
+                    prefix: str = "bloom") -> DataFrame:
+    """Probe side of the Bloom runtime filter: broadcast the 1-row bitmap
+    and drop every row whose key cannot be in the build set — a pure
+    map-side filter (``num_hashes`` element_at lookups per row) that cuts
+    shuffle/scan volume BEFORE the real join. May pass false positives
+    (rate ≈ (set_bits/num_bits)^num_hashes); never drops a true match, so
+    an exact join downstream yields exact results.
+    """
+    probe = df.crossJoin(F.broadcast(bitmap_df))
+    key = F.col(key_col).cast("string")
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        pos = (_md5_hash32(f"{prefix}{i}", key) % num_bits).cast("int")
+        cond = cond & F.element_at(F.col("bitmap"), pos + F.lit(1))
+    return probe.where(cond).drop("bitmap")
+
+
+def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                    dim_key: str, num_bits: int = 1 << 16,
+                    num_hashes: int = 4,
+                    prefix: str = "bloom") -> DataFrame:
+    """Exact semi-join accelerated by a Bloom pre-filter: build the bitmap
+    on the (small) ``dim`` key set, map-side prune ``fact``, then a real
+    ``left_semi`` join clears the Bloom's false positives — the composed
+    result is byte-identical to ``fact SEMI JOIN dim`` while the join
+    input is already pruned at the scan side. At 100 TB this is the
+    difference between shuffling every fact row and shuffling only the
+    ~selectivity fraction that can possibly match.
+    """
+    keys = dim.select(F.col(dim_key)).distinct()
+    bm = bloom_bitmap(keys, dim_key, num_bits, num_hashes, prefix)
+    pre = bloom_prefilter(fact, fact_key, bm, num_bits, num_hashes, prefix)
+    return pre.join(keys.withColumnRenamed(dim_key, "__dk"),
+                    pre[fact_key] == F.col("__dk"), "left_semi")
+
+
+def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 256,
+               prefix: str = "cms") -> DataFrame:
+    """Count-min sketch [Cormode & Muthukrishnan, J.Algorithms 2005] of
+    ``col`` as a ``(seed, bucket, cnt)`` table of at most depth×width rows.
+
+    The map-side explode writes ``depth`` (seed, bucket) rows per input
+    row, but hash-aggregate partial combine collapses each partition to at
+    most depth×width rows before the exchange — the shuffle is bounded by
+    the SKETCH size, not the data, which is the whole point at 100 TB
+    (an exact groupBy shuffles every distinct value). md5 bucket hashes
+    keep the sketch bit-identical across engines.
+    """
+    v = F.col(col).cast("string")
+    rows = df.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("seed"),
+                 (_md5_hash32(f"{prefix}{i}", v) % width).cast("int")
+                 .alias("bucket"))
+        for i in range(depth)])).alias("sb"))
+    return (rows.groupBy(F.col("sb.seed").alias("seed"),
+                         F.col("sb.bucket").alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(items: DataFrame, col: str, sketch: DataFrame,
+                 depth: int = 4, width: int = 256,
+                 prefix: str = "cms") -> DataFrame:
+    """Point-query the sketch for each row of ``items``: estimate = min
+    over the ``depth`` bucket counters. Never underestimates; collisions
+    only inflate. ``items`` is the small watchlist side — its explode and
+    join against the ≤depth×width sketch broadcast trivially.
+    """
+    v = F.col(col).cast("string")
+    probes = items.select(
+        F.col(col),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("seed"),
+                     (_md5_hash32(f"{prefix}{i}", v) % width).cast("int")
+                     .alias("bucket"))
+            for i in range(depth)])).alias("sb"))
+    return (probes.select(col, F.col("sb.seed").alias("seed"),
+                          F.col("sb.bucket").alias("bucket"))
+            .join(sketch, ["seed", "bucket"], "left")
+            .groupBy(col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                  .cast("bigint").alias("cms_est")))
+
+
+def heavy_hitters(df: DataFrame, col: str, threshold: int) -> DataFrame:
+    """Exact heavy hitters (global count >= ``threshold``) WITHOUT a full
+    groupBy over the vocabulary: per-partition candidate generation + an
+    exact count restricted to candidates.
+
+    Soundness is pigeonhole, not probabilistic: if a value's global count
+    is >= T, then in at least one of the P partitions its local count is
+    >= ceil(T/P) — so the union of per-partition candidates is a strict
+    superset of the true heavy hitters, for ANY partitioning. The final
+    exact count + filter makes the output invariant to P. Candidate
+    generation is partition-local state (a counter), genuinely outside
+    DataFrame expressibility, so it runs as Arrow-batched mapInPandas —
+    the shuffle that remains carries only candidate values (<= P x
+    |candidates| partial rows) instead of the whole vocabulary.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    import pandas as pd
+    num_parts = df.rdd.getNumPartitions()
+    local_t = max(1, -(-threshold // max(1, num_parts)))
+
+    def local_candidates(batches):
+        from collections import Counter
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf[col].dropna().tolist())
+        yield pd.DataFrame(
+            {col: [v for v, n in counts.items() if n >= local_t]})
+
+    cands = df.mapInPandas(local_candidates, schema=f"{col} string").distinct()
+    return (df.join(F.broadcast(cands), col, "left_semi")
+              .groupBy(col)
+              .agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") >= threshold))
+
+
 def approx_distinct_per_group(df: DataFrame, group: str, col: str,
                               rsd: float = 0.05) -> DataFrame:
     """HyperLogLog++ distinct count per group (``approx_count_distinct``):

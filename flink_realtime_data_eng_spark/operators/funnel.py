@@ -87,3 +87,77 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
             .groupBy("cohort_week_ms", "week_idx")
             .agg(F.countDistinct(user_col).alias("n_users"))
             .orderBy("cohort_week_ms", "week_idx"))
+
+
+def sequence_match(df: DataFrame, steps: Sequence[str],
+                   within_ms: int | None = None,
+                   user_col: str = "user_id", ts_col: str = "ts_ms",
+                   type_col: str = "event_type",
+                   id_col: str = "event_id") -> DataFrame:
+    """CEP-lite pattern detection with STRICT contiguity: emit one match
+    per position where a user's consecutive event types equal ``steps``
+    exactly (Flink CEP's ``begin().next().next()`` semantics — no events
+    in between; the relaxed ``followedBy`` form is :func:`funnel_counts`'
+    territory). Optional ``within_ms`` bounds last-minus-first timestamp,
+    CEP's ``.within()``.
+
+    One hash-partition by user, ``len(steps)-1`` stacked lead() windows on
+    the SAME (user, ts, id) sort — Catalyst collapses them onto a single
+    Exchange+Sort, so pattern length adds projection width, not shuffles.
+    Overlapping matches are all emitted (each start position judged
+    independently), which keeps semantics order-deterministic and
+    engine-independent.
+
+    Output: (user, start_ts_ms, end_ts_ms, start_event_id).
+    """
+    if len(steps) < 2:
+        raise ValueError("steps must have at least 2 entries")
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    # Window expressions are projected to columns first (Spark rejects
+    # window functions inside WHERE), then filtered in one pass.
+    cur = df.select(F.col(user_col), F.col(ts_col), F.col(id_col),
+                    F.col(type_col),
+                    *[F.lead(type_col, i).over(w).alias(f"_t{i}")
+                      for i in range(1, len(steps))],
+                    F.lead(ts_col, len(steps) - 1).over(w).alias("_end"))
+    cond = F.col(type_col) == steps[0]
+    for i, s in enumerate(steps[1:], start=1):
+        cond = cond & (F.col(f"_t{i}") == s)
+    if within_ms is not None:
+        cond = cond & (F.col("_end") - F.col(ts_col) <= within_ms)
+    return (cur.where(cond)
+               .select(F.col(user_col),
+                       F.col(ts_col).alias("start_ts_ms"),
+                       F.col("_end").alias("end_ts_ms"),
+                       F.col(id_col).alias("start_event_id")))
+
+
+def scd2_intervals(df: DataFrame, key_col: str = "user_id",
+                   attr_col: str = "event_type", ts_col: str = "ts_ms",
+                   id_col: str = "event_id") -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change log: collapse
+    each key's event stream into validity intervals — a row per run of
+    equal ``attr_col``, valid from its first event to the next change
+    (NULL for the current value). The standard warehouse dimension-build
+    over CDC/event feeds.
+
+    One user partition, two window passes (change detection via lag, then
+    interval close via lead over the change rows only — the second window
+    runs on the already-collapsed change points, a fraction of the input).
+    Ties on ts are broken by ``id_col`` so runs are deterministic.
+
+    Output: (key, attr value, valid_from_ms, valid_to_ms NULL-able,
+    is_current).
+    """
+    w = W.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    marked = (df.select(F.col(key_col), F.col(attr_col), F.col(ts_col),
+                        F.col(id_col))
+              .withColumn("_prev", F.lag(attr_col).over(w))
+              .where(F.col("_prev").isNull()
+                     | (F.col("_prev") != F.col(attr_col))))
+    w2 = W.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    return (marked.withColumn("valid_to_ms", F.lead(ts_col).over(w2))
+            .select(F.col(key_col), F.col(attr_col),
+                    F.col(ts_col).cast("bigint").alias("valid_from_ms"),
+                    F.col("valid_to_ms").cast("bigint"),
+                    F.col("valid_to_ms").isNull().alias("is_current")))

@@ -77,6 +77,22 @@ def pivot_counts(df: DataFrame, row_key: str, pivot_col: str,
               .orderBy(row_key))
 
 
+def unpivot_counts(df: DataFrame, row_key: str, value_cols: Sequence[str],
+                   var_name: str = "event_type",
+                   value_name: str = "cnt") -> DataFrame:
+    """Unpivot (wide → long), the inverse of :func:`pivot_counts`: melt
+    the named value columns back into (row_key, var, value) rows via
+    ``DataFrame.unpivot`` — a pure map-side expand (each input row emits
+    ``len(value_cols)`` rows from one projection, no shuffle, no UDF).
+    Zero cells survive as explicit rows, so
+    ``unpivot(pivot(x)) == x ∪ zero-filled combinations`` — the exact
+    round-trip contract the oracle checks.
+    """
+    return (df.unpivot(row_key, list(value_cols), var_name, value_name)
+              .withColumn(value_name, F.col(value_name).cast("bigint"))
+              .orderBy(row_key, var_name))
+
+
 def key_skew_profile(df: DataFrame, cols: Sequence[str],
                      k: int = 10) -> DataFrame:
     """Heavy-hitter / skew report for candidate shuffle keys: for each

@@ -532,6 +532,22 @@ def x_compact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark, output_mode="complete")
 
 
+def x_cep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP (Flink CEP.pattern begin('view').next('click')
+    .next('purchase').within(24h) analog) through a REAL
+    applyInPandasWithState state machine over the events CSV replay —
+    per-key state buffers the last two events, so matches spanning
+    micro-batches emit; same oracle as the batch lead()-window form
+    x_cep_pattern."""
+    from .streaming.stateful import sequence_match_stream
+    ev = _stream_events(spark, sf_dir)
+    out = sequence_match_stream(ev, ["view", "click", "purchase"],
+                                within_ms=86_400_000, key="user_id",
+                                ts_ms="ts_ms", type_col="event_type",
+                                id_col="event_id")
+    return _run_to_memory(out, spark)
+
+
 def j4_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the Structured Streaming pattern the
     stream-stream demos don't cover: each micro-batch of the (streaming)
@@ -1865,6 +1881,101 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type")
 
 
+def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: build a bitmap over the filtered
+    customer keys (the small build side), map-side prune orders BEFORE any
+    exchange, then an exact semi-join clears the Bloom's false positives —
+    result byte-identical to the plain semi-join, but at 100 TB the fact
+    scan ships only the ~1/segment fraction that can match. The explicit,
+    tunable form of AQE's InjectRuntimeFilter."""
+    cust = (load_table(_prep(spark), sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING"))
+    orders = load_table(_prep(spark), sf_dir, "orders")
+    hit = sketches.bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+    return (hit.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 10000).cast("bigint"))
+                  .cast("bigint").alias("revenue_e4"))
+            .orderBy("o_orderpriority"))
+
+
+def x_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries: per-user event counts estimated
+    from a 4x256 sketch whose shuffle is bounded by the SKETCH size (not
+    the key cardinality), probed for a 10-user watchlist and compared to
+    the exact counts — overcount shows the collision inflation CMS trades
+    for its fixed footprint. md5 bucket hashes make the sketch (and so
+    the estimates) bit-identical in the SQL oracle."""
+    e = _events(spark, sf_dir)
+    vals = e.select("user_id")
+    sk = sketches.cms_sketch(vals, "user_id", depth=4, width=256)
+    watch = vals.where(F.col("user_id") < 10).distinct()
+    est = sketches.cms_estimate(watch, "user_id", sk, depth=4, width=256)
+    exact = (vals.where(F.col("user_id") < 10).groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_exact")))
+    return (est.join(exact, "user_id")
+            .select("user_id", F.col("n_exact").cast("bigint").alias("n_exact"),
+                    "cms_est",
+                    (F.col("cms_est") - F.col("n_exact")).cast("bigint")
+                    .alias("overcount"))
+            .orderBy("user_id"))
+
+
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters without a full-vocabulary groupBy:
+    per-partition candidate generation (pigeonhole: a token with global
+    count >= T has local count >= T/P somewhere) + exact count restricted
+    to candidates — the remaining shuffle carries candidate tokens only.
+    The candidate pass is partition-local state, so it runs as
+    Arrow-batched mapInPandas; the exact verify makes the output
+    partitioning-invariant and oracle-checkable."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(text.tokens("text")).alias("tok"))
+    return (sketches.heavy_hitters(toks, "tok", threshold=700)
+            .orderBy("tok"))
+
+
+def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup with document reconstruction (the
+    sub-document stage between exact and near dedup): keep the globally
+    first occurrence of every 8-token chunk, stitch survivors back per
+    doc. One chunking explode + one high-cardinality window + one
+    re-aggregation."""
+    return dedup.paragraph_dedup(_docs(spark, sf_dir), chunk_tokens=8)
+
+
+def x_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite strict-contiguity pattern match (Flink CEP
+    begin('view').next('click').next('purchase').within(24h) analog):
+    stacked lead() windows on ONE user-partition sort detect every
+    position whose consecutive event types equal the pattern."""
+    return funnel.sequence_match(_events(spark, sf_dir),
+                                 ["view", "click", "purchase"],
+                                 within_ms=86_400_000)
+
+
+def x_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event log: collapse each
+    user's stream into (value, valid_from, valid_to, is_current) validity
+    intervals — change detection via lag, interval close via lead over
+    the already-collapsed change points."""
+    return funnel.scd2_intervals(_events(spark, sf_dir))
+
+
+_PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): melt the daily pivot back into
+    (day, type, cnt) rows — a pure map-side expand, zero cells kept as
+    explicit rows, proving the pivot/unpivot round trip."""
+    e = _events(spark, sf_dir).withColumn(
+        "day_ms", (F.floor(F.col("ts_ms") / 86_400_000) * 86_400_000)
+        .cast("bigint"))
+    wide = stats.pivot_counts(e, "day_ms", "event_type", _PIVOT_TYPES)
+    return stats.unpivot_counts(wide, "day_ms", _PIVOT_TYPES)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2032,6 +2143,15 @@ QUERIES["x_interleave"] = x_interleave
 QUERIES["x_resample_ffill"] = x_resample_ffill
 QUERIES["x_compact_stream"] = x_compact_stream
 QUERIES["x_rag_retrieve"] = x_rag_retrieve
+QUERIES["x_bloom_prune"] = x_bloom_prune
+QUERIES["x_cms_estimate"] = x_cms_estimate
+QUERIES["x_heavy_hitters"] = x_heavy_hitters
+QUERIES["x_paragraph_dedup"] = x_paragraph_dedup
+QUERIES["x_cep_pattern"] = x_cep_pattern
+QUERIES["x_scd2"] = x_scd2
+QUERIES["x_unpivot"] = x_unpivot
+QUERIES["x_cep_stream"] = x_cep_stream
+STREAMING_DEMOS.add("x_cep_stream")
 
 
 def _simhash_oracle(bits: int = 32) -> str:
@@ -4241,6 +4361,124 @@ SELECT doc_id, ranked.source, CAST(r AS BIGINT) AS r,
        round((r - 0.5) / n_source, 6) AS position
 FROM ranked JOIN ns ON ranked.source = ns.source
 """
+
+ORACLES["x_bloom_prune"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+"""
+
+_CMS_H = _H32.format(
+    x="concat('cms', CAST(seed AS VARCHAR), ':', CAST(user_id AS VARCHAR))")
+ORACLES["x_cms_estimate"] = f"""
+WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
+b AS (
+  SELECT user_id, seed, CAST({_CMS_H} % 256 AS INT) AS bucket
+  FROM events CROSS JOIN seeds
+), sk AS (
+  SELECT seed, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+), watch AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+wp AS (
+  SELECT user_id, seed, CAST({_CMS_H} % 256 AS INT) AS bucket
+  FROM watch CROSS JOIN seeds
+), est AS (
+  SELECT user_id, min(coalesce(cnt, 0)) AS cms_est
+  FROM wp LEFT JOIN sk USING (seed, bucket) GROUP BY user_id
+), ex AS (
+  SELECT user_id, count(*) AS n_exact FROM events
+  WHERE user_id < 10 GROUP BY user_id
+)
+SELECT user_id, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - n_exact AS BIGINT) AS overcount
+FROM est JOIN ex USING (user_id)
+"""
+
+ORACLES["x_heavy_hitters"] = f"""
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_QF_TOKS}) AS tok FROM documents)
+GROUP BY tok HAVING count(*) >= 700
+"""
+
+ORACLES["x_paragraph_dedup"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, w[i] AS tok, i
+  FROM t CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w)
+), ch AS (
+  SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS idx,
+         string_agg(tok, ' ' ORDER BY i) AS chunk
+  FROM tok GROUP BY 1, 2
+), firsts AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, idx) AS rn
+  FROM ch
+), reb AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_dedup,
+         count(*) AS n_kept
+  FROM firsts WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(text_dedup, '') AS text_dedup,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+"""
+
+ORACLES["x_cep_pattern"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+           FROM events),
+x AS (
+  SELECT user_id, ts_ms, event_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts_ms, 2) OVER w AS ts2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+)
+SELECT user_id, ts_ms AS start_ts_ms, ts2 AS end_ts_ms,
+       event_id AS start_event_id
+FROM x
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND ts2 - ts_ms <= 86400000
+"""
+
+ORACLES["x_scd2"] = """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+           FROM events),
+m AS (
+  SELECT user_id, event_type, ts_ms, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id) AS prev
+  FROM e
+), c AS (
+  SELECT user_id, event_type, ts_ms, event_id FROM m
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, CAST(ts_ms AS BIGINT) AS valid_from_ms,
+       CAST(lead(ts_ms) OVER w AS BIGINT) AS valid_to_ms,
+       lead(ts_ms) OVER w IS NULL AS is_current
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+"""
+
+ORACLES["x_unpivot"] = """
+WITH e AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+                  event_type FROM events),
+days AS (SELECT DISTINCT day_ms FROM e),
+types AS (SELECT unnest(['view', 'click', 'purchase', 'signup', 'error'])
+            AS event_type),
+c AS (SELECT day_ms, event_type, count(*) AS cnt FROM e GROUP BY 1, 2)
+SELECT d.day_ms, t.event_type, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+FROM days d CROSS JOIN types t
+LEFT JOIN c ON c.day_ms = d.day_ms AND c.event_type = t.event_type
+"""
+
+# Streaming CEP shares the batch pattern-match oracle (same semantics,
+# state-machine execution path).
+ORACLES["x_cep_stream"] = ORACLES["x_cep_pattern"]
 
 # transformWithStateInPandas needs google.protobuf on workers; probe at
 # import so the query registers automatically once the container gains it

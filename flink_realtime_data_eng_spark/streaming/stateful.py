@@ -280,3 +280,78 @@ def interval_alerts_tws(df: DataFrame, key: str = "user",
     return (df.groupBy(key)
               .transformWithStateInPandas(IntervalAlerts(), out_schema,
                                           "append", "none"))
+
+
+def sequence_match_stream(df: DataFrame, steps: Sequence[str],
+                          within_ms: int | None = None,
+                          key: str = "user_id", ts_ms: str = "ts_ms",
+                          type_col: str = "event_type",
+                          id_col: str = "event_id") -> DataFrame:
+    """Streaming CEP with strict contiguity — the Flink
+    ``CEP.pattern(begin().next()...next().within(...))`` analog as one
+    keyed state machine: per key, the state buffers the last
+    ``len(steps)-1`` (type, ts, id) events; each arriving event slides the
+    buffer and emits a match when the window of consecutive types equals
+    ``steps`` (and, with ``within_ms``, last-minus-first is inside the
+    bound). Matches spanning micro-batch boundaries are found because the
+    buffer persists in the state store — state is O(pattern length) per
+    key at any scale, checkpointed like all streaming state.
+
+    Within a micro-batch rows process in (ts, id) order (all Arrow chunks
+    concatenated first); across batches order is arrival order — the same
+    contract as every stateful operator here. Output matches the batch
+    :func:`~flink_realtime_data_eng_spark.operators.funnel.sequence_match`
+    exactly when arrival respects event time, which is what the shared
+    oracle asserts.
+
+    Output: (key, start_ts_ms, end_ts_ms, start_event_id).
+    """
+    if len(steps) < 2:
+        raise ValueError("steps must have at least 2 entries")
+    depth = len(steps) - 1  # buffered predecessors per key
+    out_schema = T.StructType(
+        [_field(df, key),
+         T.StructField("start_ts_ms", T.LongType()),
+         T.StructField("end_ts_ms", T.LongType()),
+         T.StructField("start_event_id", _field(df, id_col).dataType)])
+    # Flattened fixed-width buffer: (type_i, ts_i, id_i) for the last
+    # `depth` events, oldest first; NULL-padded until warm.
+    fields = []
+    for i in range(depth):
+        fields += [T.StructField(f"t{i}", T.StringType()),
+                   T.StructField(f"s{i}", T.LongType()),
+                   T.StructField(f"i{i}", T.LongType())]
+    state_schema = T.StructType(fields)
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            flat = list(state.get)
+            buf = [tuple(flat[3 * i: 3 * i + 3]) for i in range(depth)]
+            buf = [b for b in buf if b[0] is not None]
+        else:
+            buf = []
+        out: list[tuple] = []
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else
+               (chunks[0] if chunks else pd.DataFrame()))
+        if len(pdf):
+            for row in pdf.sort_values([ts_ms, id_col]).itertuples(index=False):
+                t = int(getattr(row, ts_ms))
+                tp = getattr(row, type_col)
+                eid = int(getattr(row, id_col))
+                if (len(buf) == depth and tp == steps[-1]
+                        and all(buf[i][0] == steps[i] for i in range(depth))
+                        and (within_ms is None or t - buf[0][1] <= within_ms)):
+                    out.append((buf[0][1], t, buf[0][2]))
+                buf = (buf + [(tp, t, eid)])[-depth:]
+        pad = [(None, None, None)] * (depth - len(buf))
+        state.update(tuple(v for b in (pad + buf) for v in b))
+        res = pd.DataFrame(out, columns=["start_ts_ms", "end_ts_ms",
+                                         "start_event_id"])
+        res.insert(0, key, key_tuple[0])
+        yield res
+
+    return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))

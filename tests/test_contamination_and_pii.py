@@ -245,3 +245,91 @@ def test_corpus_filter_verdict_is_nontrivial_on_fixtures(spark):
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("keep").cast("int")).alias("kept")).collect()[0])
     assert 0 < agg["kept"] < agg["n"]
+
+
+def test_sequence_match_strict_contiguity(spark):
+    from flink_realtime_data_eng_spark.operators import funnel
+    rows = [
+        # u1: exact consecutive A,B,C -> match at ts 100
+        ("u1", 100, 1, "view"), ("u1", 200, 2, "click"),
+        ("u1", 300, 3, "purchase"),
+        # u2: intervening error between click and purchase -> NO match
+        ("u2", 100, 4, "view"), ("u2", 200, 5, "click"),
+        ("u2", 250, 6, "error"), ("u2", 300, 7, "purchase"),
+        # u3: pattern present twice, overlapping tail -> both matches
+        ("u3", 10, 8, "view"), ("u3", 20, 9, "click"),
+        ("u3", 30, 10, "purchase"), ("u3", 40, 11, "view"),
+        ("u3", 50, 12, "click"), ("u3", 60, 13, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts_ms long, event_id long, event_type string")
+    got = {(r["user_id"], r["start_ts_ms"], r["end_ts_ms"],
+            r["start_event_id"])
+           for r in funnel.sequence_match(
+               df, ["view", "click", "purchase"]).collect()}
+    assert got == {("u1", 100, 300, 1), ("u3", 10, 30, 8),
+                   ("u3", 40, 60, 11)}
+
+
+def test_sequence_match_within_bound(spark):
+    from flink_realtime_data_eng_spark.operators import funnel
+    rows = [("u", 0, 1, "a"), ("u", 10, 2, "b"),        # fast pair
+            ("u", 1000, 3, "a"), ("u", 9000, 4, "b")]   # slow pair
+    df = spark.createDataFrame(
+        rows, "user_id string, ts_ms long, event_id long, event_type string")
+    got = {r["start_ts_ms"] for r in
+           funnel.sequence_match(df, ["a", "b"], within_ms=100).collect()}
+    assert got == {0}
+
+
+def test_sequence_match_single_shuffle(spark):
+    from flink_realtime_data_eng_spark.operators import funnel
+    df = spark.createDataFrame(
+        [("u", 0, 1, "a")],
+        "user_id string, ts_ms long, event_id long, event_type string")
+    plan = funnel.sequence_match(df, ["a", "b", "c"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # all the lead() windows must share one user hash-partitioning
+    assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_sequence_match_rejects_short_pattern(spark):
+    from flink_realtime_data_eng_spark.operators import funnel
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [("u", 0, 1, "a")],
+        "user_id string, ts_ms long, event_id long, event_type string")
+    with _pytest.raises(ValueError):
+        funnel.sequence_match(df, ["a"])
+
+
+def test_scd2_intervals_runs_and_current_flag(spark):
+    from flink_realtime_data_eng_spark.operators import funnel
+    rows = [
+        ("u1", 100, 1, "bronze"), ("u1", 200, 2, "bronze"),
+        ("u1", 300, 3, "gold"), ("u1", 400, 4, "bronze"),
+        ("u2", 50, 5, "silver"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts_ms long, event_id long, event_type string")
+    got = sorted((r["user_id"], r["event_type"], r["valid_from_ms"],
+                  r["valid_to_ms"], r["is_current"])
+                 for r in funnel.scd2_intervals(df).collect())
+    assert got == [
+        ("u1", "bronze", 100, 300, False),   # run of 2 collapses to one row
+        ("u1", "bronze", 400, None, True),   # value can recur later
+        ("u1", "gold", 300, 400, False),
+        ("u2", "silver", 50, None, True),
+    ]
+
+
+def test_unpivot_round_trips_pivot(spark):
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b")], "k long, t string")
+    wide = stats.pivot_counts(df, "k", "t", ["a", "b", "c"])
+    long = {(r["k"], r["event_type"], r["cnt"])
+            for r in stats.unpivot_counts(wide, "k", ["a", "b", "c"])
+            .collect()}
+    assert long == {(1, "a", 2), (1, "b", 1), (1, "c", 0),
+                    (2, "a", 0), (2, "b", 1), (2, "c", 0)}

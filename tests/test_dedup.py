@@ -290,3 +290,42 @@ def test_neardup_clusters_star_algorithm_matches_default(spark):
     assert a == b and a
     with pytest.raises(ValueError):
         dedup.neardup_clusters(docs, cc_algorithm="bogus")
+
+
+# -- Paragraph-level dedup --------------------------------------------------
+
+def test_paragraph_dedup_unique_docs_round_trip(spark):
+    from flink_realtime_data_eng_spark.functions.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["text_dedup"], r["n_kept"])
+           for r in paragraph_dedup(docs, chunk_tokens=2).collect()}
+    assert out == {1: ("a b c d", 2), 2: ("e f g h", 2)}
+
+
+def test_paragraph_dedup_drops_repeated_chunks_keeps_first(spark):
+    from flink_realtime_data_eng_spark.functions.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(1, "x y a b"), (2, "x y c d"), (3, "x y a b")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["text_dedup"], r["n_kept"])
+           for r in paragraph_dedup(docs, chunk_tokens=2).collect()}
+    # doc 1 owns both its chunks; doc 2 loses the shared header;
+    # doc 3 is fully boilerplate -> empty
+    assert out == {1: ("x y a b", 2), 2: ("c d", 1), 3: ("", 0)}
+
+
+def test_paragraph_dedup_trailing_partial_chunk(spark):
+    from flink_realtime_data_eng_spark.functions.dedup import paragraph_dedup
+    docs = spark.createDataFrame([(7, "p q r")], "doc_id long, text string")
+    out = paragraph_dedup(docs, chunk_tokens=2).collect()[0]
+    assert out["text_dedup"] == "p q r" and out["n_kept"] == 2
+
+
+def test_paragraph_dedup_rejects_bad_chunk_size(spark):
+    from flink_realtime_data_eng_spark.functions.dedup import paragraph_dedup
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        paragraph_dedup(spark.createDataFrame([(1, "a")],
+                                              "doc_id long, text string"),
+                        chunk_tokens=0)

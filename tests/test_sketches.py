@@ -305,3 +305,103 @@ def test_weighted_sample_topk_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         sketches.weighted_sample_topk(spark.range(5).select(
             F.col("id").alias("k"), F.lit(1.0).alias("w")), "k", "w", 0)
+
+
+# -- Bloom runtime filter ---------------------------------------------------
+
+def test_bloom_bitmap_shape_and_bits(spark):
+    df = spark.range(20).select(F.col("id").alias("k"))
+    row = sketches.bloom_bitmap(df, "k", num_bits=1024, num_hashes=3) \
+                  .collect()[0]
+    bm = row["bitmap"]
+    assert len(bm) == 1024
+    n_set = sum(bm)
+    # 20 keys x 3 hashes: some collisions allowed, but within bounds
+    assert 3 <= n_set <= 60
+
+
+def test_bloom_prefilter_never_drops_members(spark):
+    build = spark.range(0, 50).select(F.col("id").alias("k"))
+    probe = spark.range(0, 500).select(F.col("id").alias("k"))
+    bm = sketches.bloom_bitmap(build, "k", num_bits=4096, num_hashes=4)
+    kept = {r["k"] for r in
+            sketches.bloom_prefilter(probe, "k", bm, num_bits=4096,
+                                     num_hashes=4).collect()}
+    assert set(range(50)) <= kept  # zero false negatives, ever
+
+
+def test_bloom_semi_join_matches_exact_semi_join(spark):
+    fact = spark.range(0, 300).select((F.col("id") % 40).alias("fk"),
+                                      F.col("id").alias("v"))
+    dim = spark.range(0, 10).select((F.col("id") * 3).alias("dk"))
+    got = sorted(r["v"] for r in
+                 sketches.bloom_semi_join(fact, dim, "fk", "dk",
+                                          num_bits=1024).collect())
+    want = sorted(r["v"] for r in
+                  fact.join(dim, fact["fk"] == dim["dk"], "left_semi")
+                      .collect())
+    assert got == want
+
+
+def test_bloom_rejects_non_power_of_two(spark):
+    with pytest.raises(ValueError):
+        sketches.bloom_bitmap(spark.range(5), "id", num_bits=1000)
+
+
+# -- Count-min sketch -------------------------------------------------------
+
+def test_cms_sketch_is_bounded_by_depth_x_width(spark):
+    df = spark.range(5000).select((F.col("id") % 700).alias("v"))
+    sk = sketches.cms_sketch(df, "v", depth=4, width=64)
+    assert sk.count() <= 4 * 64
+    # total mass per seed equals the input row count
+    per_seed = {r["seed"]: r["s"] for r in
+                sk.groupBy("seed").agg(F.sum("cnt").alias("s")).collect()}
+    assert all(v == 5000 for v in per_seed.values())
+
+
+def test_cms_estimate_never_underestimates(spark):
+    df = spark.range(3000).select((F.col("id") % 97).alias("v"))
+    sk = sketches.cms_sketch(df, "v", depth=4, width=32)  # heavy collisions
+    items = df.distinct()
+    est = {r["v"]: r["cms_est"] for r in
+           sketches.cms_estimate(items, "v", sk, depth=4, width=32).collect()}
+    exact = {r["v"]: r["n"] for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[v] >= exact[v] for v in exact)
+
+
+def test_cms_estimate_absent_item_can_be_zero(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    sk = sketches.cms_sketch(df, "v", depth=4, width=4096)
+    ghost = spark.createDataFrame([(999999,)], "v bigint")
+    est = sketches.cms_estimate(ghost, "v", sk, depth=4, width=4096) \
+                  .collect()[0]["cms_est"]
+    assert est == 0  # wide sketch, tiny build: no collisions
+
+
+# -- Exact heavy hitters via partition-local candidates ---------------------
+
+def test_heavy_hitters_matches_exact_groupby(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [("d",)] * 1,
+        "tok string")
+    got = {(r["tok"], r["n"]) for r in
+           sketches.heavy_hitters(df, "tok", threshold=30).collect()}
+    assert got == {("a", 50), ("b", 30)}
+
+
+def test_heavy_hitters_invariant_to_partitioning(spark):
+    df = spark.createDataFrame([(f"t{i % 7}",) for i in range(700)],
+                               "tok string")
+    a = {(r["tok"], r["n"]) for r in
+         sketches.heavy_hitters(df.repartition(2), "tok", 100).collect()}
+    b = {(r["tok"], r["n"]) for r in
+         sketches.heavy_hitters(df.repartition(17), "tok", 100).collect()}
+    assert a == b and len(a) == 7
+
+
+def test_heavy_hitters_rejects_bad_threshold(spark):
+    with pytest.raises(ValueError):
+        sketches.heavy_hitters(spark.createDataFrame([("x",)], "tok string"),
+                               "tok", 0)

@@ -724,3 +724,58 @@ def test_stream_static_join_matches_batch(spark):
                 n, s = want.get(b, (0, 0))
                 want[b] = (n + 1, s + r["event_id"])
     assert got == want
+
+
+def test_cep_stream_matches_cross_micro_batch(spark, tmp_path):
+    """Streaming CEP: the (view, click, purchase) pattern split across
+    THREE micro-batches must still match — the last-2-events buffer flows
+    through the state store — and a non-contiguous sequence must not."""
+    import os
+    src = tmp_path / "cep"
+    src.mkdir()
+    batches = [
+        # u1 starts the pattern; u2 interleaves an error mid-pattern
+        ["1,u1,view,1000", "10,u2,view,1000"],
+        ["2,u1,click,2000", "11,u2,click,2000", "12,u2,error,2500"],
+        ["3,u1,purchase,3000", "13,u2,purchase,3000"],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.csv"
+        p.write_text("\n".join(rows) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    stream = sources.file_csv_stream(spark, str(src), schema,
+                                     max_files_per_trigger=1)
+    out = stateful.sequence_match_stream(
+        stream, ["view", "click", "purchase"], key="user_id")
+    name, result = _mem(spark, out)
+    got = {(r["user_id"], r["start_ts_ms"], r["end_ts_ms"],
+            r["start_event_id"]) for r in result.collect()}
+    assert got == {("u1", 1000, 3000, 1)}
+
+
+def test_cep_stream_within_bound_and_validation(spark, tmp_path):
+    import os
+    src = tmp_path / "cepw"
+    src.mkdir()
+    p = src / "all.csv"
+    p.write_text("1,u,a,0\n2,u,b,50\n3,u,a,100\n4,u,b,99999\n")
+    os.utime(p, (1_700_000_000, 1_700_000_000))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    stream = sources.file_csv_stream(spark, str(src), schema)
+    out = stateful.sequence_match_stream(stream, ["a", "b"], within_ms=100,
+                                         key="user_id")
+    name, result = _mem(spark, out)
+    assert {r["start_ts_ms"] for r in result.collect()} == {0}
+    with pytest.raises(ValueError):
+        stateful.sequence_match_stream(stream, ["a"], key="user_id")

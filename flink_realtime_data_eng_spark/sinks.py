@@ -110,6 +110,62 @@ def idempotent_file_sink(df: DataFrame, path: str, checkpoint: str,
             .outputMode("append"))
 
 
+def manifest_file_sink(df: DataFrame, path: str, checkpoint: str,
+                       fmt: str = "parquet") -> DataStreamWriter:
+    """K2 strengthening over :func:`idempotent_file_sink`: exactly-once
+    VISIBILITY via a commit manifest, the two-phase protocol transactional
+    table formats use.
+
+    Each micro-batch (1) writes its files to a staging directory, then
+    (2) atomically publishes a manifest (write-temp + rename) naming
+    exactly the files that belong to the batch. :func:`read_manifest`
+    unions only manifest-listed files, so a reader NEVER sees a batch's
+    partial output — a crash between write and publish leaves invisible
+    staging files, and a replayed batch overwrites its staging dir and
+    republishes the same manifest (idempotent on both phases).
+
+    The manifest I/O here is local-filesystem (os.replace is the atomic
+    primitive); on object stores the same protocol is what Delta/Iceberg
+    commit logs implement — use those in production, this sink documents
+    the mechanism. Append mode only, same reason as the idempotent sink.
+    """
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+        staging = os.path.join(path, "_staging", f"batch-{batch_id}")
+        batch_df.write.mode("overwrite").format(fmt).save(staging)
+        files = sorted(f for f in os.listdir(staging)
+                       if not f.startswith(("_", ".")))
+        mdir = os.path.join(path, "_manifests")
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".batch-{batch_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id, "dir": staging,
+                       "files": files}, fh)
+        os.replace(tmp, os.path.join(mdir, f"batch-{batch_id}.json"))
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))
+
+
+def read_manifest(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read exactly the committed output of :func:`manifest_file_sink`:
+    the union of files named by published manifests. Staging files without
+    a manifest (in-flight or crashed batches) are invisible."""
+    import glob as _glob
+    import json
+    import os
+    paths: list[str] = []
+    for m in sorted(_glob.glob(os.path.join(path, "_manifests", "*.json"))):
+        with open(m) as fh:
+            meta = json.load(fh)
+        paths.extend(os.path.join(meta["dir"], f) for f in meta["files"])
+    if not paths:
+        raise FileNotFoundError(f"no committed manifests under {path}")
+    return spark.read.format(fmt).load(paths)
+
+
 def run_available_now(writer: DataStreamWriter) -> StreamingQuery:
     """Process everything currently available, then stop — the deterministic
     trigger every test uses (never wall-clock ProcessingTime)."""

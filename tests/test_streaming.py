@@ -779,3 +779,46 @@ def test_cep_stream_within_bound_and_validation(spark, tmp_path):
     assert {r["start_ts_ms"] for r in result.collect()} == {0}
     with pytest.raises(ValueError):
         stateful.sequence_match_stream(stream, ["a"], key="user_id")
+
+
+def test_manifest_sink_commits_atomically(spark, tmp_path):
+    """K2 manifest protocol: committed batches are readable, uncommitted
+    staging files are invisible, and a replayed batch does not duplicate."""
+    import os
+    src = tmp_path / "msrc"
+    src.mkdir()
+    p = src / "a.csv"
+    p.write_text("1,u1,view,1000\n2,u2,click,2000\n")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    out = str(tmp_path / "mout")
+    stream = sources.file_csv_stream(spark, str(src), schema)
+    q = sinks.run_available_now(
+        sinks.manifest_file_sink(stream, out, str(tmp_path / "mckpt")))
+    q.awaitTermination(120)
+
+    got = {r["event_id"] for r in sinks.read_manifest(spark, out).collect()}
+    assert got == {1, 2}
+
+    # a crashed batch: staging written, manifest never published -> invisible
+    orphan = os.path.join(out, "_staging", "batch-999")
+    spark.createDataFrame([(99, "ux", "err", 1)], schema) \
+        .write.mode("overwrite").parquet(orphan)
+    got2 = {r["event_id"] for r in sinks.read_manifest(spark, out).collect()}
+    assert got2 == {1, 2}
+
+    # replay of batch 0 (same data, overwrite + republish) -> no duplicates
+    import json
+    m = json.load(open(os.path.join(out, "_manifests", "batch-0.json")))
+    spark.read.parquet(m["dir"]).write.mode("overwrite").parquet(m["dir"] + "_re")
+    n_before = sinks.read_manifest(spark, out).count()
+    assert n_before == 2
+
+
+def test_read_manifest_empty_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        sinks.read_manifest(spark, str(tmp_path / "nothing"))

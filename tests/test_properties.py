@@ -251,3 +251,112 @@ def test_affine_minhash_family_is_deterministic_and_bijective():
         # bijection: a odd => gcd(a, 2^32) == 1
         import math
         assert math.gcd(a, 2**32) == 1
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=40),
+       st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=40))
+def test_bloom_semi_join_always_exact(spark, build_keys, probe_keys):
+    """For ANY key sets, the bloom-accelerated semi-join must equal the
+    plain semi-join — false positives are always cleared, true members
+    never lost (even with a deliberately tiny, collision-heavy bitmap)."""
+    from flink_realtime_data_eng_spark.functions import sketches
+    dim = spark.createDataFrame([(k,) for k in set(build_keys)], "dk long")
+    fact = spark.createDataFrame([(k, i) for i, k in enumerate(probe_keys)],
+                                 "fk long, v long")
+    got = sorted(r["v"] for r in sketches.bloom_semi_join(
+        fact, dim, "fk", "dk", num_bits=64, num_hashes=2).collect())
+    want = sorted(r["v"] for r in
+                  fact.join(dim, fact["fk"] == dim["dk"], "left_semi")
+                      .collect())
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=0, max_value=30),
+                min_size=1, max_size=120))
+def test_cms_upper_bounds_every_count(spark, values):
+    """CMS estimates dominate exact counts for every present value, on any
+    multiset, even with a tiny (heavy-collision) sketch."""
+    from flink_realtime_data_eng_spark.functions import sketches
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    sk = sketches.cms_sketch(df, "v", depth=3, width=8)
+    est = {r["v"]: r["cms_est"] for r in sketches.cms_estimate(
+        df.distinct(), "v", sk, depth=3, width=8).collect()}
+    from collections import Counter
+    exact = Counter(values)
+    assert all(est[v] >= n for v, n in exact.items())
+
+
+@SLOW
+@given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=80),
+       st.integers(min_value=1, max_value=20))
+def test_heavy_hitters_equals_exact_filter(spark, toks, threshold):
+    """heavy_hitters must equal the exact groupBy+HAVING for any input and
+    threshold, regardless of partitioning."""
+    from collections import Counter
+    from flink_realtime_data_eng_spark.functions import sketches
+    df = spark.createDataFrame([(t,) for t in toks], "tok string") \
+              .repartition(3)
+    got = {(r["tok"], r["n"]) for r in
+           sketches.heavy_hitters(df, "tok", threshold).collect()}
+    want = {(t, n) for t, n in Counter(toks).items() if n >= threshold}
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=20),
+                min_size=1, max_size=10),
+       st.integers(min_value=1, max_value=4))
+def test_paragraph_dedup_reconstruction_invariants(spark, texts, k):
+    """For any corpus: (1) a chunk string appears in at most one doc's
+    output; (2) every output doc's text is a subsequence of its input
+    chunks; (3) n_kept sums to the number of DISTINCT chunks."""
+    from flink_realtime_data_eng_spark.functions.dedup import paragraph_dedup
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = paragraph_dedup(docs, chunk_tokens=k).collect()
+    # recompute chunks the same way to count distinct
+    def chunks(t):
+        toks = t.split(" ")
+        return [" ".join(toks[i:i + k]) for i in range(0, len(toks), k)]
+    all_chunks = [c for t in texts for c in chunks(t)]
+    n_distinct = len(set(all_chunks))
+    assert sum(r["n_kept"] for r in out) == n_distinct
+    seen: set[str] = set()
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        kept = chunks(r["text_dedup"]) if r["text_dedup"] != "" else []
+        # kept chunks must come from this doc's own chunk list, in order
+        own = chunks(texts[r["doc_id"]])
+        it = iter(own)
+        assert all(c in it for c in kept)  # subsequence check
+        assert not (set(kept) & seen)
+        seen |= set(kept)
+
+
+@SLOW
+@given(st.lists(st.tuples(st.sampled_from(["u1", "u2"]),
+                          st.integers(min_value=0, max_value=1000),
+                          st.sampled_from(["a", "b", "c"])),
+                min_size=1, max_size=40))
+def test_scd2_intervals_tile_the_timeline(spark, rows):
+    """SCD2 invariants on any event log: per key, intervals are disjoint,
+    contiguous (each valid_to equals the next valid_from), exactly one
+    is_current (valid_to NULL), and consecutive intervals change value."""
+    from flink_realtime_data_eng_spark.operators import funnel
+    uniq = [(u, t, i, a) for i, (u, t, a) in enumerate(rows)]
+    df = spark.createDataFrame(
+        uniq, "user_id string, ts_ms long, event_id long, event_type string")
+    out = funnel.scd2_intervals(df).collect()
+    by_key: dict[str, list] = {}
+    for r in out:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for _, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from_ms"])
+        assert sum(r["valid_to_ms"] is None for r in ivs) == 1
+        assert ivs[-1]["is_current"]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"]
+            assert a["event_type"] != b["event_type"]

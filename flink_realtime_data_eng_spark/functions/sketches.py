@@ -292,7 +292,8 @@ def cms_estimate(items: DataFrame, col: str, sketch: DataFrame,
                   .cast("bigint").alias("cms_est")))
 
 
-def heavy_hitters(df: DataFrame, col: str, threshold: int) -> DataFrame:
+def heavy_hitters(df: DataFrame, col: str, threshold: int,
+                  num_partitions: int | None = None) -> DataFrame:
     """Exact heavy hitters (global count >= ``threshold``) WITHOUT a full
     groupBy over the vocabulary: per-partition candidate generation + an
     exact count restricted to candidates.
@@ -306,11 +307,21 @@ def heavy_hitters(df: DataFrame, col: str, threshold: int) -> DataFrame:
     DataFrame expressibility, so it runs as Arrow-batched mapInPandas —
     the shuffle that remains carries only candidate values (<= P x
     |candidates| partial rows) instead of the whole vocabulary.
+
+    ``num_partitions``: an UPPER bound on the input's partition count.
+    Callers who know their layout should pass it (shuffle-partition conf,
+    file count): the introspective default (``df.rdd.getNumPartitions()``)
+    is always sound but under AQE materializes the upstream query stages,
+    executing any shuffle in the lineage a second time. Overestimating
+    only admits extra candidates (the exact verify absorbs them);
+    UNDERestimating breaks the pigeonhole guarantee — never pass a value
+    that the actual partition count could exceed.
     """
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
     import pandas as pd
-    num_parts = df.rdd.getNumPartitions()
+    num_parts = (num_partitions if num_partitions is not None
+                 else df.rdd.getNumPartitions())
     local_t = max(1, -(-threshold // max(1, num_parts)))
 
     def local_candidates(batches):

@@ -1931,7 +1931,13 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-invariant and oracle-checkable."""
     toks = _docs(spark, sf_dir).select(
         F.explode(text.tokens("text")).alias("tok"))
-    return (sketches.heavy_hitters(toks, "tok", threshold=700)
+    # load_table repartitions the doc scan to defaultParallelism and the
+    # explode is map-side, so defaultParallelism IS the token frame's
+    # partition count — passing it skips the .rdd introspection that
+    # would execute the repartition shuffle twice under AQE.
+    return (sketches.heavy_hitters(
+                toks, "tok", threshold=700,
+                num_partitions=spark.sparkContext.defaultParallelism)
             .orderBy("tok"))
 
 

@@ -1968,6 +1968,68 @@ def x_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.scd2_intervals(_events(spark, sf_dir))
 
 
+def x_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (the materialized-view merge):
+    daily partials (cnt, sum, min, max) merged into calendar-month
+    aggregates WITHOUT touching raw rows again — count→sum, sum→sum,
+    min→min, max→max are decomposable, the algebra that makes MV/rollup
+    refresh possible at 100 TB (a monthly refresh reads ~30 partial rows
+    per key, not a month of raw events). avg is carried as (sum, cnt) and
+    derived at the end — the standard treatment of non-decomposable
+    aggregates. The oracle computes the monthly numbers directly from raw
+    events; equality IS the merge-correctness proof."""
+    e = _events(spark, sf_dir).withColumn(
+        "v_e4", F.round(F.col("value") * 10000).cast("bigint"))
+    day = (F.floor(F.col("ts_ms") / 86_400_000) * 86_400_000).cast("bigint")
+    daily = (e.groupBy("event_type", day.alias("day_ms"))
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.sum("v_e4").alias("sum_e4"),
+                  F.min("v_e4").alias("min_e4"),
+                  F.max("v_e4").alias("max_e4")))
+    month = F.unix_millis(F.date_trunc(
+        "month", F.timestamp_millis(F.col("day_ms"))))
+    return (daily.groupBy("event_type", month.alias("month_ms"))
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"),
+                 F.sum("sum_e4").cast("bigint").alias("sum_value_e4"),
+                 F.min("min_e4").cast("bigint").alias("min_value_e4"),
+                 F.max("max_e4").cast("bigint").alias("max_value_e4"))
+            .withColumn("avg_value",
+                        F.round(F.col("sum_value_e4") / F.col("cnt") / 1e4, 6))
+            .orderBy("event_type", "month_ms"))
+
+
+def x_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile — the measurement that picks W1's
+    bounded-out-of-orderness delay: per event_type, how many events
+    arrive (arrival order = event_id, the generator's emit order) with an
+    event time BEHIND the running maximum, and how far behind (max and
+    mean regression). A stream with max_late_ms ≤ D is fully captured by
+    ``withWatermark(ts, D)``.
+
+    The running max is a per-type ordered window at fixture scale; the
+    100 TB form swaps it for the two-phase prefix max
+    (operators/stats.py:global_prefix_sum's shape) — the lateness
+    arithmetic is unchanged."""
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
+    w = (W.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    late = (e.withColumn("prev_max", F.max("ts_ms").over(w))
+            .withColumn("late_ms",
+                        F.greatest(F.col("prev_max") - F.col("ts_ms"),
+                                   F.lit(0)))
+            .na.fill({"late_ms": 0}))
+    return (late.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum((F.col("late_ms") > 0).cast("bigint"))
+                  .cast("bigint").alias("n_late"),
+                 F.max("late_ms").cast("bigint").alias("max_late_ms"),
+                 F.sum("late_ms").cast("bigint").alias("sum_late_ms"))
+            .withColumn("late_frac",
+                        F.round(F.col("n_late") / F.col("n_events"), 6))
+            .orderBy("event_type"))
+
+
 _PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
 
 
@@ -2158,6 +2220,8 @@ QUERIES["x_scd2"] = x_scd2
 QUERIES["x_unpivot"] = x_unpivot
 QUERIES["x_cep_stream"] = x_cep_stream
 STREAMING_DEMOS.add("x_cep_stream")
+QUERIES["x_rollup_merge"] = x_rollup_merge
+QUERIES["x_disorder_stats"] = x_disorder_stats
 
 
 def _simhash_oracle(bits: int = 32) -> str:
@@ -4485,6 +4549,44 @@ LEFT JOIN c ON c.day_ms = d.day_ms AND c.event_type = t.event_type
 # Streaming CEP shares the batch pattern-match oracle (same semantics,
 # state-machine execution path).
 ORACLES["x_cep_stream"] = ORACLES["x_cep_pattern"]
+
+# The merge-correctness proof: the oracle aggregates RAW events straight
+# to months; the Spark side merges daily partials. Equality shows the
+# decomposition is lossless.
+ORACLES["x_rollup_merge"] = """
+WITH e AS (
+  SELECT event_type,
+         epoch_ms(date_trunc('month', ts)) AS month_ms,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4
+  FROM events
+)
+SELECT event_type, CAST(month_ms AS BIGINT) AS month_ms,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v_e4) AS BIGINT) AS sum_value_e4,
+       CAST(min(v_e4) AS BIGINT) AS min_value_e4,
+       CAST(max(v_e4) AS BIGINT) AS max_value_e4,
+       round(CAST(sum(v_e4) AS BIGINT) / count(*) / 10000.0, 6) AS avg_value
+FROM e GROUP BY 1, 2
+"""
+
+ORACLES["x_disorder_stats"] = """
+WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ts_ms FROM events),
+x AS (
+  SELECT event_type,
+         greatest(coalesce(max(ts_ms) OVER (
+             PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_ms)
+           - ts_ms, 0) AS late_ms
+  FROM e
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+       CAST(sum(late_ms) AS BIGINT) AS sum_late_ms,
+       round(CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS late_frac
+FROM x GROUP BY event_type
+"""
 
 # transformWithStateInPandas needs google.protobuf on workers; probe at
 # import so the query registers automatically once the container gains it

@@ -243,3 +243,38 @@ def global_prefix_sum(df: DataFrame, value_col: str, order_col: str,
             .withColumn(out_col, (F.col("_local") + F.col("_offset"))
                         .cast("bigint"))
             .drop("_pid", "_local"))
+
+
+def global_prefix_max(df: DataFrame, value_col: str, order_col: str,
+                      out_col: str = "running_max",
+                      inclusive: bool = True,
+                      num_ranges: int = 32) -> DataFrame:
+    """Corpus-wide running maximum without a single-partition window — the
+    prefix-MAX twin of :func:`global_prefix_sum` (max is associative and
+    commutative, so the same two-phase shape applies): local running max
+    per range partition, then each partition's start offset = max of all
+    EARLIER partitions' maxima, broadcast back and combined with
+    ``greatest``.
+
+    ``inclusive=False`` gives the strict prefix (max over rows strictly
+    before the current one, NULL for the global first row) — the form the
+    event-time disorder profile needs (``x_disorder_stats``'s running-max
+    regression at 100 TB). Requires ``order_col`` values unique.
+    """
+    from pyspark.sql import Window as W
+    ranged = (df.repartitionByRange(num_ranges, F.col(order_col))
+                .withColumn("_pid", F.spark_partition_id()))
+    upper = W.currentRow if inclusive else -1
+    w_local = (W.partitionBy("_pid").orderBy(order_col)
+                .rowsBetween(W.unboundedPreceding, upper))
+    local = ranged.withColumn("_local", F.max(value_col).over(w_local))
+    ptotals = (local.groupBy("_pid")
+               .agg(F.min(order_col).alias("_min_key"),
+                    F.max(value_col).alias("_pmax")))
+    offsets = ptotals.withColumn(
+        "_offset",
+        F.max("_pmax").over(
+            W.orderBy("_min_key").rowsBetween(W.unboundedPreceding, -1)))
+    return (local.join(F.broadcast(offsets.select("_pid", "_offset")), "_pid")
+            .withColumn(out_col, F.greatest("_local", "_offset"))
+            .drop("_pid", "_local", "_offset"))

@@ -360,3 +360,22 @@ def test_scd2_intervals_tile_the_timeline(spark, rows):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to_ms"] == b["valid_from_ms"]
             assert a["event_type"] != b["event_type"]
+
+
+@SLOW
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+       st.sampled_from([1, 3, 8]), st.booleans())
+def test_global_prefix_max_matches_sequential(spark, values, nr, inclusive):
+    """Two-phase prefix max must equal the sequential running max in both
+    inclusive and strict modes, for any range-partition count."""
+    from flink_realtime_data_eng_spark.operators.stats import global_prefix_max
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r["k"]: r["running_max"] for r in
+           global_prefix_max(df, "v", "k", inclusive=inclusive,
+                             num_ranges=nr).collect()}
+    run = None
+    for i, v in enumerate(values):
+        want = (max(run, v) if run is not None else v) if inclusive else run
+        assert got[i] == want, (i, got[i], want)
+        run = max(run, v) if run is not None else v

@@ -583,3 +583,23 @@ def test_global_prefix_sum_no_single_partition_window(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan[:600]
     seg = plan.split("Exchange SinglePartition")[0]
     assert "_min_key" in seg.rsplit("Window", 1)[-1]  # totals window only
+
+
+def test_global_prefix_max_no_single_partition_data_window(spark):
+    """The prefix-max twin keeps the same scale shape: the only
+    single-partition exchange carries per-partition maxima, not rows —
+    and the strict mode reproduces x_disorder_stats' running-max
+    regression without a one-task window."""
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.range(0, 3000).selectExpr("id AS k", "((id * 37) % 991) AS v")
+    out = stats.global_prefix_max(df, "v", "k", inclusive=False,
+                                  num_ranges=8)
+    got = {r["k"]: r["running_max"] for r in out.collect()}
+    run = None
+    for k in range(3000):
+        assert got[k] == run
+        v = (k * 37) % 991
+        run = v if run is None else max(run, v)
+    plan = out._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert plan.count("Exchange SinglePartition") == 1, plan[:600]

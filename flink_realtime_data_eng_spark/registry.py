@@ -1968,6 +1968,66 @@ def x_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.scd2_intervals(_events(spark, sf_dir))
 
 
+def x_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply — the missing piece next to latest-per-key
+    compaction (x_compact_latest): a change log with DELETES. Events play
+    the log per user ('error' = delete marker, everything else = upsert
+    of value); the applied state is each user's LAST operation if it was
+    an upsert, or absent if the tombstone came last.
+
+    One ``max(struct(ts, id, op, payload))`` hash aggregate + a map-side
+    tombstone filter — same single-shuffle shape as the compaction, which
+    is exactly how a MERGE materializes at 100 TB (never a per-key loop).
+    """
+    e = _events(spark, sf_dir)
+    last = (e.groupBy("user_id")
+            .agg(F.max(F.struct("ts_ms", "event_id", "event_type", "value"))
+                 .alias("m")))
+    return (last.where(F.col("m.event_type") != "error")
+            .select("user_id", F.col("m.ts_ms").alias("ts_ms"),
+                    F.col("m.event_id").alias("event_id"),
+                    F.col("m.event_type").alias("last_op"),
+                    F.round(F.col("m.value"), 6).alias("value")))
+
+
+def x_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS trick, token-granular):
+    a chunk boundary falls AFTER any token whose hash ≡ 0 (mod 8), so
+    boundaries depend on content, not position — inserting a token early
+    in a document shifts fixed-size chunk frames (x_paragraph_dedup's
+    weakness) but leaves every later CDC chunk identical, which is what
+    makes chunk-level dedup robust to edits.
+
+    Plan: tokenize map-side, per-doc running boundary count (window over
+    (doc, position) — partitioned by doc, so it spreads), group tokens
+    into chunks, fingerprint, then count cross-corpus duplication per
+    chunk fingerprint. Output: one row per distinct chunk with n_docs /
+    n_occurrences, duplicated chunks only (n_occurrences > 1)."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " "))
+        .alias("pos", "tok"))
+    h = dedup._md5_hash32("cdc", F.col("tok"))
+    w = (W.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(W.unboundedPreceding, -1))
+    # chunk id = number of boundary tokens strictly BEFORE this one: the
+    # boundary token closes its own chunk.
+    marked = toks.withColumn("is_b", (h % 8 == 0).cast("bigint"))
+    chunked = marked.withColumn(
+        "chunk_idx", F.coalesce(F.sum("is_b").over(w), F.lit(0)))
+    chunks = (chunked.groupBy("doc_id", "chunk_idx")
+              .agg(F.concat_ws(
+                  " ",
+                  F.transform(F.array_sort(F.collect_list(
+                      F.struct("pos", "tok"))),
+                      lambda x: x["tok"])).alias("chunk")))
+    return (chunks.groupBy(F.md5("chunk").alias("chunk_fp"))
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .where(F.col("n_occurrences") > 1))
+
+
 def x_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (the materialized-view merge):
     daily partials (cnt, sum, min, max) merged into calendar-month
@@ -2222,6 +2282,8 @@ QUERIES["x_cep_stream"] = x_cep_stream
 STREAMING_DEMOS.add("x_cep_stream")
 QUERIES["x_rollup_merge"] = x_rollup_merge
 QUERIES["x_disorder_stats"] = x_disorder_stats
+QUERIES["x_merge_apply"] = x_merge_apply
+QUERIES["x_content_chunks"] = x_content_chunks
 
 
 def _simhash_oracle(bits: int = 32) -> str:
@@ -4567,6 +4629,45 @@ SELECT event_type, CAST(month_ms AS BIGINT) AS month_ms,
        CAST(max(v_e4) AS BIGINT) AS max_value_e4,
        round(CAST(sum(v_e4) AS BIGINT) / count(*) / 10000.0, 6) AS avg_value
 FROM e GROUP BY 1, 2
+"""
+
+ORACLES["x_merge_apply"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+         round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_ms, event_id, event_type AS last_op, value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+_CDC_H = _H32.format(x="concat('cdc', ':', tok)")
+ORACLES["x_content_chunks"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, w[i] AS tok, i
+  FROM t CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w)
+), marked AS (
+  SELECT doc_id, tok, i,
+         CASE WHEN {_CDC_H} % 8 = 0 THEN 1 ELSE 0 END AS is_b
+  FROM tok
+), chunked AS (
+  SELECT doc_id, tok, i,
+         coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS chunk_idx
+  FROM marked
+), chunks AS (
+  SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY i) AS chunk
+  FROM chunked GROUP BY 1, 2
+)
+SELECT md5(chunk) AS chunk_fp,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM chunks GROUP BY 1 HAVING count(*) > 1
 """
 
 ORACLES["x_disorder_stats"] = """

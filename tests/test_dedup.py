@@ -329,3 +329,34 @@ def test_paragraph_dedup_rejects_bad_chunk_size(spark):
         paragraph_dedup(spark.createDataFrame([(1, "a")],
                                               "doc_id long, text string"),
                         chunk_tokens=0)
+
+
+def test_content_chunks_robust_to_early_insertion(spark):
+    """The content-defined-chunking property fixed-size chunking lacks:
+    inserting a token near the start of a doc leaves every chunk after
+    the next boundary IDENTICAL (only the chunk containing the edit
+    changes), so chunk-level dedup still matches the unedited copy."""
+    from pyspark.sql import Window as W, functions as F
+    from flink_realtime_data_eng_spark.functions.dedup import _md5_hash32
+
+    def cdc_chunks(text):
+        toks = text.split(" ")
+        df = spark.createDataFrame(list(enumerate(toks)), "pos long, tok string")
+        h = _md5_hash32("cdc", F.col("tok"))
+        w = W.orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+        out = (df.withColumn("is_b", (h % 8 == 0).cast("bigint"))
+                 .withColumn("cid", F.coalesce(F.sum("is_b").over(w), F.lit(0)))
+                 .groupBy("cid")
+                 .agg(F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                     lambda x: x["tok"])).alias("chunk")))
+        return [r["chunk"] for r in out.orderBy("cid").collect()]
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " \
+           "iota kappa lam mu nu xi omicron pi rho sigma tau upsilon"
+    edited = "INSERTED " + base
+    a, b = cdc_chunks(base), cdc_chunks(edited)
+    # all chunks of the original except its first are preserved verbatim
+    assert len(set(a[1:]) - set(b)) == 0
+    # and the edit changed at most the first chunk
+    assert set(a) - set(b) <= {a[0]}

@@ -552,3 +552,57 @@ def paragraph_dedup(df: DataFrame, chunk_tokens: int = 8,
                     F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
                     F.coalesce("n_kept", F.lit(0)).cast("bigint")
                      .alias("n_kept")))
+
+
+def dup_ngram_fraction(df: DataFrame, n: int = 8, min_docs: int = 2,
+                       max_frac: float = 0.5, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplicate-n-gram fraction + keep verdict — the
+    document-level consumer of :func:`repeated_spans`: what fraction of a
+    doc's distinct ``n``-token spans also appear in at least ``min_docs``
+    documents (corpus-wide), and should the doc be dropped for being mostly
+    made of cross-doc boilerplate. This is the n-gram-granular analog of
+    exact-substring dedup's "fraction of text duplicated elsewhere" score
+    (Lee et al., Deduplicating Training Data, ACL 2022) — rank-free, so it
+    composes with any downstream threshold sweep.
+
+    Plan shape (three pieces, no corpus-text shuffle):
+    - ``n_spans`` per doc is computed MAP-SIDE (``size(array_distinct(...))``
+      on the gram array) — the explode below never has to be re-aggregated
+      for totals.
+    - The duplicated-span set comes from :func:`repeated_spans` (one
+      fingerprint hash-aggregate, output proportional to boilerplate).
+    - ``n_dup_spans`` = per-doc count of spans hitting that set — an
+      equi-join whose SMALL side is the dup-fp list, so AQE broadcasts it
+      while it fits and falls back to an fp-keyed shuffle on pathological
+      boilerplate-heavy corpora. Docs shorter than ``n`` tokens have no
+      spans and are kept with ``dup_frac = 0``.
+
+    Output: (id, n_spans, n_dup_spans, dup_frac, keep).
+    """
+    spans = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    fp = spans.select(id_col, F.md5(F.col("shingle")).alias("span_fp"))
+    dup_fps = (repeated_spans(df, n=n, min_docs=min_docs,
+                              text_col=text_col, id_col=id_col)
+               .select("span_fp"))
+    dup_counts = (fp.join(dup_fps, "span_fp")
+                    .groupBy(id_col)
+                    .agg(F.count(F.lit(1)).alias("n_dup_spans")))
+    d = df.select(F.col(id_col), F.split(_norm(text_col), " ").alias("w"))
+    grams = F.when(
+        F.size("w") >= n,
+        F.expr(f"transform(sequence(0, size(w) - {n}),"
+               f" i -> concat_ws(' ', slice(w, i + 1, {n})))"),
+    ).otherwise(F.array().cast("array<string>"))
+    totals = d.select(F.col(id_col),
+                      F.size(F.array_distinct(grams)).cast("bigint")
+                       .alias("n_spans"))
+    frac = F.when(F.col("n_spans") > 0,
+                  F.round(F.col("n_dup_spans").cast("double")
+                          / F.col("n_spans"), 6)).otherwise(F.lit(0.0))
+    return (totals.join(dup_counts, id_col, "left")
+            .select(F.col(id_col), F.col("n_spans"),
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
+                     .alias("n_dup_spans"))
+            .withColumn("dup_frac", frac)
+            .withColumn("keep", F.col("dup_frac") <= F.lit(max_frac)))

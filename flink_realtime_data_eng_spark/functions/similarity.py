@@ -305,3 +305,38 @@ def lsh_multiprobe_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select(query_id, id_col, "score", "rk"))
+
+
+def semdedup_keep(emb: DataFrame, threshold: float = 0.3,
+                  num_planes: int = 8, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic dedup keep-list (Abbas et al. 2023): prune
+    embedding-space near-duplicates, keeping one representative per
+    semantic cluster. Cluster structure comes from the deterministic
+    hyperplane-LSH buckets (the coarse "k-means cell" analog that needs no
+    trained centroids), within-bucket pairs above the cosine threshold form
+    the duplicate graph, connected components collapse transitive chains,
+    and the smallest id anchors each component — the same keep-one policy
+    as :func:`~..functions.dedup.neardup_keep`, so text- and
+    embedding-dedup outputs compose.
+
+    Plan shape: bucket equi-join (never all-pairs) → pair-scale CC fixpoint
+    (executor-side, one scalar to the driver per round) → ids-only
+    anti-join against the corpus, join strategy left to AQE. Output:
+    (id, is_canonical) — kept vectors only.
+    """
+    from .graph import connected_components
+    pairs = embedding_neardup_candidates(emb, threshold, num_planes,
+                                         vec_col, id_col)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    drop = (cc.filter(F.col("node") != F.col("label"))
+              .select(F.col("node").alias(id_col)))
+    anchors = (cc.filter(F.col("node") == F.col("label"))
+                 .select(F.col("node").alias(id_col),
+                         F.lit(True).alias("is_canonical")))
+    return (emb.select(id_col)
+            .join(drop, id_col, "left_anti")
+            .join(anchors, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("is_canonical"), F.lit(False))
+                     .alias("is_canonical")))

@@ -4696,3 +4696,82 @@ if _protobuf_available():
     QUERIES["st1_tws"] = st1_tws
     ORACLES["st1_tws"] = ORACLES["st1_stream"]
     STREAMING_DEMOS.add("st1_tws")
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions
+# ---------------------------------------------------------------------------
+
+
+def x_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level duplicate-n-gram fraction filter (Lee et al., ACL
+    2022 exact-substring dedup at n-gram granularity): fraction of each
+    doc's distinct 8-token spans that appear in >=2 docs corpus-wide, plus
+    the keep/drop verdict at the 0.5 boilerplate threshold. Totals are
+    map-side; only dup-span hits join (small side = boilerplate list)."""
+    return dedup.dup_ngram_fraction(_docs(spark, sf_dir), n=8, min_docs=2,
+                                    max_frac=0.5)
+
+
+QUERIES["x_dup_ngram_frac"] = x_dup_ngram_frac
+
+ORACLES["x_dup_ngram_frac"] = f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS span_fp
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 7
+), dup AS (
+  SELECT span_fp FROM sh GROUP BY 1 HAVING count(*) >= 2
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM sh GROUP BY 1
+), dc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+  FROM sh JOIN dup USING (span_fp) GROUP BY 1
+), j AS (
+  SELECT d.doc_id,
+         coalesce(t.n_spans, 0) AS n_spans,
+         coalesce(dc.n_dup_spans, 0) AS n_dup_spans
+  FROM documents d
+  LEFT JOIN tot t USING (doc_id) LEFT JOIN dc USING (doc_id)
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       CASE WHEN n_spans > 0
+            THEN round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6)
+            ELSE 0.0 END AS dup_frac,
+       (CASE WHEN n_spans > 0
+             THEN round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6)
+             ELSE 0.0 END) <= 0.5 AS keep
+FROM j
+"""
+
+
+def x_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list: hyperplane-LSH buckets as coarse semantic cells,
+    within-cell cosine >= 0.3 pairs -> connected components -> keep the
+    smallest vec_id per component. The embedding-space twin of
+    x_neardup_keep (same output contract over `embeddings`)."""
+    return similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3,
+                                    num_planes=8)
+
+
+QUERIES["x_semdedup_keep"] = x_semdedup_keep
+
+ORACLES["x_semdedup_keep"] = f"""
+WITH RECURSIVE
+edges AS ({ORACLES["x_embedding_neardup_lsh"]}),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+),
+cc AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+SELECT e.vec_id,
+       coalesce(e.vec_id IN (SELECT node FROM cc WHERE node = label), FALSE)
+         AS is_canonical
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT node FROM cc WHERE node <> label)
+"""

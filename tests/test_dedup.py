@@ -360,3 +360,26 @@ def test_content_chunks_robust_to_early_insertion(spark):
     assert len(set(a[1:]) - set(b)) == 0
     # and the edit changed at most the first chunk
     assert set(a) - set(b) <= {a[0]}
+
+
+def test_dup_ngram_frac_flags_boilerplate_doc(spark):
+    # doc1 and doc2 share their full text (all spans duplicated); doc3 is
+    # unique prose; doc4 is too short for any 3-gram span.
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"),
+                       (3, "u v w x y"), (4, "p q")])
+    out = {r["doc_id"]: r for r in
+           dedup.dup_ngram_fraction(df, n=3, max_frac=0.5).collect()}
+    assert out[1]["dup_frac"] == 1.0 and not out[1]["keep"]
+    assert out[2]["dup_frac"] == 1.0 and not out[2]["keep"]
+    assert out[3]["dup_frac"] == 0.0 and out[3]["keep"]
+    assert out[4]["n_spans"] == 0 and out[4]["keep"]
+
+
+def test_dup_ngram_frac_partial_overlap(spark):
+    # doc1: spans {a b c, b c d, c d e}; doc2 shares only "a b c".
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c x y")])
+    out = {r["doc_id"]: r for r in
+           dedup.dup_ngram_fraction(df, n=3, max_frac=0.5).collect()}
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
+    assert out[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1]["keep"] and out[2]["keep"]

@@ -147,3 +147,17 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     from collections import Counter
     per_q = Counter(qid for qid, _ in multi)
     assert all(v == 5 for v in per_q.values()), per_q
+
+
+def test_semdedup_keeps_one_per_duplicate_cluster(spark):
+    # Two identical vectors (same bucket, cosine 1) and one orthogonal-ish
+    # singleton: the lower id anchors the cluster, the higher id drops.
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
+            (7, [0.0, 0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["is_canonical"]
+           for r in similarity.semdedup_keep(df, threshold=0.95,
+                                             num_planes=4).collect()}
+    assert 2 not in out
+    assert out[1] is True        # anchored a cluster (dropped its dup)
+    assert out[7] is False       # kept, but had no near-dup

@@ -146,3 +146,48 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
                      F.least("a", "b").alias("label")).distinct()
     return (nodes.join(stars, "node", "left")
                  .select("node", F.coalesce("label", "node").alias("label")))
+
+
+def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+             iterations: int = 5, scale: int = 10 ** 9,
+             damp_num: int = 17, damp_den: int = 20) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected ``edges`` graph in
+    EXACT integer arithmetic — the iterative-algorithm pattern (power
+    iteration) done Spark-shaped, and cross-engine hash-checkable.
+
+    Scores are scaled integers (initial mass = ``scale`` per node); one
+    update is ``score' = scale*(1-d) + d * Σ_in floor(score/deg)`` with
+    ``d = damp_num/damp_den`` applied as integer multiply-then-divide, so
+    every intermediate is a BIGINT and the result is independent of
+    partitioning, summation order, and float association — a DuckDB
+    oracle unrolling the same recurrence reproduces it bit-for-bit
+    (float PageRank cannot be hash-compared across engines).
+
+    Plan shape: the symmetrized edge+degree table materializes ONCE
+    (``localCheckpoint`` — its lineage embeds whatever produced the edges,
+    e.g. the full LSH pipeline); each of the ``iterations`` rounds is one
+    edge-join + one node-keyed hash aggregate — shuffle proportional to
+    |E|, driver traffic zero. Nodes outside the edge set are dangling by
+    definition here and excluded (the similarity-graph use case ranks
+    connected docs only).
+
+    Output: (node, rank_i9) with rank at the ``scale`` fixed point.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct())
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    sym_deg = sym.join(deg, "a").localCheckpoint(eager=True)
+    base = scale * (damp_den - damp_num) // damp_den
+    scores = (sym_deg.select(F.col("a").alias("node")).distinct()
+              .withColumn("score", F.lit(scale).cast("bigint")))
+    for _ in range(iterations):
+        contrib = (sym_deg.join(scores, sym_deg["a"] == scores["node"])
+                   .select(F.col("b"), F.expr("score DIV deg").alias("c")))
+        scores = (contrib.groupBy("b").agg(F.sum("c").alias("s"))
+                  .select(F.col("b").alias("node"),
+                          (F.lit(base)
+                           + F.expr(f"({damp_num} * s) DIV {damp_den}"))
+                          .cast("bigint").alias("score"))
+                  .localCheckpoint(eager=True))
+    return scores.select("node", F.col("score").alias("rank_i9"))

@@ -4775,3 +4775,183 @@ SELECT e.vec_id,
 FROM embeddings e
 WHERE e.vec_id NOT IN (SELECT node FROM cc WHERE node <> label)
 """
+
+
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (5 power iterations) over the verified
+    near-dup similarity graph — ranks each connected doc by duplication
+    centrality (hub docs whose content radiates through the corpus).
+    Exact BIGINT arithmetic end to end, so the unrolled-recurrence DuckDB
+    oracle hash-matches; the iterative plan is one edge join + one keyed
+    aggregate per round with the edge table checkpointed once."""
+    from .functions import graph
+    pairs = dedup.neardup_pipeline(_docs(spark, sf_dir), num_hashes=16,
+                                   bands=4, n=3, threshold=0.5)
+    pr = graph.pagerank(pairs, iterations=5)
+    return pr.select(F.col("node").alias("doc_id"), "rank_i9")
+
+
+QUERIES["x_pagerank"] = x_pagerank
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    head = f"""
+WITH cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a AS a, jac.id_b AS b FROM jac
+  JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+s0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score FROM deg)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""", s{i} AS (
+  SELECT s.b AS node,
+         CAST(150000000 + (17 * CAST(sum(p.score // d.deg) AS BIGINT)) // 20
+              AS BIGINT) AS score
+  FROM sym s JOIN s{i - 1} p ON p.node = s.a JOIN deg d ON d.node = s.a
+  GROUP BY s.b)""")
+    return (head + "".join(steps)
+            + f"\nSELECT node AS doc_id, score AS rank_i9 FROM s{iterations}")
+
+
+ORACLES["x_pagerank"] = _pagerank_oracle()
+
+
+def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule table over documents: per-rule boolean columns
+    (word count / mean word length / alpha-word fraction / symbol ratio /
+    stopword floor) + composite keep. Pure map-side — scan-speed at any
+    scale."""
+    return text.gopher_rules(_docs(spark, sf_dir))
+
+
+QUERIES["x_gopher_rules"] = x_gopher_rules
+
+ORACLES["x_gopher_rules"] = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) > 0
+              THEN string_split_regex(trim(text), '\s+')
+              ELSE [] END AS w
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+              AS BIGINT) AS sum_len,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym,
+         CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|is|a|in|that)\b')) AS BIGINT) AS n_stop
+  FROM t
+), m AS (
+  SELECT doc_id, n_words,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(sum_len AS DOUBLE) / n_words
+                    ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(n_alpha AS DOUBLE) / n_words
+                    ELSE 0.0 END, 6) AS alpha_word_frac,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(n_sym AS DOUBLE) / n_words
+                    ELSE 0.0 END, 6) AS symbol_word_ratio,
+         n_stop AS n_stopwords
+  FROM feat
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+       n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+       (alpha_word_frac >= 0.8) AS r_alpha_words,
+       (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
+       (n_stopwords >= 2) AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (alpha_word_frac >= 0.8)
+        AND (symbol_word_ratio <= 0.1)
+        AND (n_stopwords >= 2)) AS keep
+FROM m
+"""
+
+
+def x_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 ingest with dead-letter routing: events round-trip through CSV
+    lines with every 13th record deterministically mangled (non-numeric
+    user_id, truncated fields); the PERMISSIVE parse routes exactly those
+    to the 'dead' lane carrying the raw line, clean rows round-trip typed.
+    The quarantine pattern a 100 TB ingest needs instead of die-on-first-
+    bad-line."""
+    e = _events(spark, sf_dir)
+    bad = F.col("event_id") % 13 == 0
+    ok_line = F.concat_ws(",", *[
+        F.coalesce(F.col(c).cast("string"), F.lit(""))
+        for c in ["event_id", "user_id", "event_type", "ts_ms"]])
+    bad_line = F.concat(F.col("event_id").cast("string"), F.lit(",xx,"),
+                        F.coalesce(F.col("event_type"), F.lit("")))
+    lines = e.select(F.when(bad, bad_line).otherwise(ok_line).alias("value"))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    return projections.parse_csv_routed(lines, schema)
+
+
+QUERIES["x_corrupt_routing"] = x_corrupt_routing
+
+ORACLES["x_corrupt_routing"] = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), l AS (
+  SELECT *, (event_id % 13 = 0) AS is_bad,
+         concat(CAST(event_id AS VARCHAR), ',xx,',
+                coalesce(event_type, '')) AS bad_line
+  FROM e
+)
+SELECT CASE WHEN is_bad THEN NULL ELSE event_id END AS event_id,
+       CASE WHEN is_bad THEN NULL ELSE user_id END AS user_id,
+       CASE WHEN is_bad THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN is_bad THEN NULL ELSE ts_ms END AS ts_ms,
+       CASE WHEN is_bad THEN 'dead' ELSE 'ok' END AS route,
+       CASE WHEN is_bad THEN bad_line ELSE NULL END AS raw
+FROM l
+"""
+
+
+def j6_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-SEMI windowed stream-stream join — J1's existence form: each
+    click emits (once) iff ANY view shares its (user, 1 h window). Only
+    left columns flow, so hot keys can't blow up output or pairing state;
+    emit timing is inner-like (on first match), deterministic under
+    availableNow without a flush sentinel."""
+    from .streaming.pipelines import windowed_join
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms")))
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = windowed_join(left, right, key="user_id", ts_col="ts",
+                        size="3600 seconds", how="leftSemi")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["j6_stream_semi"] = j6_stream_semi
+STREAMING_DEMOS.add("j6_stream_semi")
+
+ORACLES["j6_stream_semi"] = """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
+       l.ts_ms AS l_ts_ms
+FROM l
+WHERE EXISTS (SELECT 1 FROM r
+              WHERE r.user_id = l.user_id
+                AND r.ts_ms // 3600000 = l.ts_ms // 3600000)
+"""

@@ -107,6 +107,15 @@ def windowed_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
                        F.unix_millis(ts_col).alias("r_ts_ms")))
     joined = lw.join(rw, (F.col(key) == F.col(f"r_{key}"))
                      & (F.col("w") == F.col("r_w")), how)
+    if how == "leftSemi":
+        # Semi join keeps only left columns: each left row emits at most
+        # once, as soon as any match arrives — existence, not pairing, so
+        # no per-match state blowup on hot keys and no watermark wait for
+        # the emit (inner-like timing, deterministic under availableNow).
+        return joined.select(key,
+                             F.unix_millis(F.col("w.start"))
+                              .alias("window_start_ms"),
+                             "l_ts_ms")
     return joined.select(key, F.unix_millis(F.col("w.start")).alias("window_start_ms"),
                          "l_ts_ms", "r_ts_ms")
 

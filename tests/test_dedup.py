@@ -383,3 +383,24 @@ def test_dup_ngram_frac_partial_overlap(spark):
     assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
     assert out[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
     assert out[1]["keep"] and out[2]["keep"]
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    from flink_realtime_data_eng_spark.functions.graph import pagerank
+    # Star: 1 is the hub of {2,3,4}. Replicate the exact integer
+    # recurrence in Python; the Spark result must match bit-for-bit.
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)],
+                                  "id_a long, id_b long")
+    got = {r["node"]: r["rank_i9"]
+           for r in pagerank(edges, iterations=5).collect()}
+
+    deg = {1: 3, 2: 1, 3: 1, 4: 1}
+    sym = [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1)]
+    s = {n: 10 ** 9 for n in deg}
+    for _ in range(5):
+        inc = {n: 0 for n in deg}
+        for a, b in sym:
+            inc[b] += s[a] // deg[a]
+        s = {n: 150000000 + (17 * inc[n]) // 20 for n in deg}
+    assert got == s
+    assert got[1] > got[2] == got[3] == got[4]

@@ -187,3 +187,26 @@ def test_asof_forward_matches_next_event(spark):
                                    value_cols=["v"], tolerance_ms=20)
            .collect()}
     assert tol == {"a"}
+
+
+def test_parse_csv_routed_splits_ok_and_dead(spark):
+    from pyspark.sql import types as T
+    from flink_realtime_data_eng_spark.operators.projections import (
+        parse_csv_routed)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    lines = spark.createDataFrame(
+        [("1,alice,10",),      # clean
+         ("2,bob,notanum",),   # type mismatch -> dead
+         ("3,carol",),         # truncated -> dead
+         ("4,,7",)],           # empty field parses to NULL -> ok
+        "value string")
+    out = {r["raw"] or r["id"]: r for r in parse_csv_routed(lines, schema).collect()}
+    assert out[1]["route"] == "ok" and out[1]["n"] == 10
+    assert out["2,bob,notanum"]["route"] == "dead"
+    assert out["2,bob,notanum"]["id"] is None  # all-or-nothing per row
+    assert out["3,carol"]["route"] == "dead"
+    assert out[4]["route"] == "ok" and out[4]["name"] is None

@@ -822,3 +822,35 @@ def test_manifest_sink_commits_atomically(spark, tmp_path):
 def test_read_manifest_empty_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         sinks.read_manifest(spark, str(tmp_path / "nothing"))
+
+
+def test_windowed_join_stream_left_semi(spark, tmp_path):
+    """leftSemi form: a left row emits (left columns only, at most once)
+    iff any right row shares its (key, window) — even when several right
+    rows match. Unmatched left rows never emit."""
+    base = 1_700_000_000_000
+    left_dir, right_dir = tmp_path / "sl", tmp_path / "sr"
+    left_dir.mkdir(), right_dir.mkdir()
+    (left_dir / "a.csv").write_text(
+        f'"u","{base + 1000}"\n"u","{base + 6000}"\n')
+    (right_dir / "a.csv").write_text(
+        f'"u","{base + 2000}"\n"u","{base + 4000}"\n')
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+
+    def stream(d):
+        return (sources.file_csv_stream(spark, str(d), schema)
+                .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+                .drop("ts_ms"))
+
+    joined = pipelines.windowed_join(stream(left_dir), stream(right_dir),
+                                     key="user", ts_col="ts",
+                                     size="5 seconds", how="leftSemi")
+    _, result = _mem(spark, joined)
+    rows = result.collect()
+    assert "r_ts_ms" not in result.columns
+    # left#1000 matches twice but emits ONCE; left#6000 has no match.
+    assert [(r["window_start_ms"] - base, r["l_ts_ms"] - base)
+            for r in rows] == [(0, 1000)]

@@ -232,3 +232,20 @@ def test_token_entropy_hand_values(spark):
     assert out[2]["entropy"] == round(4 * round(0.25 * math.log(4) * 1e6) / 1e6, 6)
     assert out[3]["n_tokens"] == 0 and out[3]["entropy"] == 0.0
     assert out[4]["entropy"] == round(2 * round(0.5 * math.log(2) * 1e6) / 1e6, 6)
+
+
+def test_gopher_rules_verdicts(spark):
+    long_good = " ".join(["the quick brown fox and the lazy dog run to it"] * 6)
+    df = spark.createDataFrame(
+        [(1, long_good),              # 66 words, stopwords, alpha — keep
+         (2, "short text"),           # under the 50-word floor
+         (3, " ".join(["#"] * 60)),   # symbols, no alpha words, no stops
+         (4, "")],                    # empty
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.gopher_rules(df).collect()}
+    assert out[1]["keep"]
+    assert out[1]["n_words"] == 66 and out[1]["r_stopwords"]
+    assert not out[2]["keep"] and not out[2]["r_word_count"]
+    assert not out[3]["r_alpha_words"] and not out[3]["r_symbol_ratio"]
+    assert not out[3]["keep"]
+    assert out[4]["n_words"] == 0 and not out[4]["keep"]

@@ -4955,3 +4955,48 @@ WHERE EXISTS (SELECT 1 FROM r
               WHERE r.user_id = l.user_id
                 AND r.ts_ms // 3600000 = l.ts_ms // 3600000)
 """
+
+
+def x_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MV maintenance end to end: the events CSV replay feeds a
+    foreachBatch merge keeping daily partials fresh (decomposable
+    cnt/sum/min/max — x_rollup_merge's algebra, now maintained
+    incrementally per micro-batch); the monthly report then reads ONLY the
+    MV. The replay carries no value column, so the measure is event_id
+    (exact BIGINT, j4's replay contract); the oracle aggregates raw events
+    directly — equality proves batching-invariance of the merge."""
+    from .streaming.pipelines import incremental_rollup
+    ev = _stream_events(spark, sf_dir)
+    day = (F.floor(F.col("ts_ms") / 86_400_000) * 86_400_000).cast("bigint")
+    src = ev.select("event_type", day.alias("day_ms"),
+                    F.col("event_id").alias("m"))
+    mv = incremental_rollup(src, spark, ["event_type", "day_ms"], "m")
+    month = F.unix_millis(F.date_trunc(
+        "month", F.timestamp_millis(F.col("day_ms"))))
+    return (mv.groupBy("event_type", month.alias("month_ms"))
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"),
+                 F.sum("sum_m").cast("bigint").alias("sum_id"),
+                 F.min("min_m").cast("bigint").alias("min_id"),
+                 F.max("max_m").cast("bigint").alias("max_id"))
+            .withColumn("avg_id",
+                        F.round(F.col("sum_id") / F.col("cnt"), 6)))
+
+
+QUERIES["x_mv_stream"] = x_mv_stream
+STREAMING_DEMOS.add("x_mv_stream")
+
+ORACLES["x_mv_stream"] = """
+WITH e AS (
+  SELECT event_type,
+         epoch_ms(date_trunc('month', ts)) AS month_ms,
+         event_id
+  FROM events
+)
+SELECT event_type, CAST(month_ms AS BIGINT) AS month_ms,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id,
+       round(CAST(sum(event_id) AS BIGINT) / count(*), 6) AS avg_id
+FROM e GROUP BY 1, 2
+"""

@@ -145,3 +145,61 @@ def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
     return (lw.join(rw, cond)
               .select(key, F.unix_millis("l_ts").alias("l_ts_ms"),
                       F.unix_millis("r_ts").alias("r_ts_ms")))
+
+
+def incremental_rollup(stream_df: DataFrame, spark, group_cols: Sequence[str],
+                       measure_col: str, timeout_sec: int = 600) -> DataFrame:
+    """Streaming materialized-view maintenance: drive ``stream_df`` to
+    completion (availableNow), merging each micro-batch's partial
+    aggregates into a running rollup keyed by ``group_cols`` — the
+    foreachBatch MERGE pattern that keeps a 100 TB dashboard table fresh
+    without ever re-reading history.
+
+    Each batch aggregates to (cnt, sum, min, max) partials — all
+    decomposable, so merge = union + re-aggregate touches only
+    |MV| + |batch partials| rows regardless of stream history, and the
+    result is independent of how the replay was batched (the
+    merge-correctness property the oracle proves against raw input).
+    The MV persists across batches via ``localCheckpoint`` (executor
+    storage); a production deployment writes a transactional table
+    (Delta/Iceberg MERGE or the commit-manifest sink) instead — the
+    merge algebra is identical.
+
+    Returns the final MV DataFrame: group_cols + (cnt, sum_m, min_m, max_m).
+    """
+    import tempfile
+
+    state: dict[str, DataFrame | None] = {"mv": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = (batch_df.groupBy(*group_cols)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                     F.sum(measure_col).cast("bigint").alias("sum_m"),
+                     F.min(measure_col).cast("bigint").alias("min_m"),
+                     F.max(measure_col).cast("bigint").alias("max_m")))
+        mv = state["mv"]
+        merged = part if mv is None else (
+            mv.unionByName(part).groupBy(*group_cols)
+              .agg(F.sum("cnt").cast("bigint").alias("cnt"),
+                   F.sum("sum_m").cast("bigint").alias("sum_m"),
+                   F.min("min_m").cast("bigint").alias("min_m"),
+                   F.max("max_m").cast("bigint").alias("max_m")))
+        state["mv"] = merged.localCheckpoint(eager=True)
+
+    ckpt = tempfile.mkdtemp(prefix="frde_mv_ckpt_")
+    q = (stream_df.writeStream.foreachBatch(merge)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("incremental_rollup stream did not finish — "
+                           "MV would be partial, refusing to return it")
+    mv = state["mv"]
+    if mv is None:  # empty stream: zero-row MV with the right schema
+        mv = (spark.createDataFrame([], stream_df.schema)
+              .groupBy(*group_cols)
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                   F.sum(measure_col).cast("bigint").alias("sum_m"),
+                   F.min(measure_col).cast("bigint").alias("min_m"),
+                   F.max(measure_col).cast("bigint").alias("max_m")))
+    return mv

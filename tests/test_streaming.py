@@ -854,3 +854,24 @@ def test_windowed_join_stream_left_semi(spark, tmp_path):
     # left#1000 matches twice but emits ONCE; left#6000 has no match.
     assert [(r["window_start_ms"] - base, r["l_ts_ms"] - base)
             for r in rows] == [(0, 1000)]
+
+
+def test_incremental_rollup_matches_batch_aggregate(spark, tmp_path):
+    """MV maintenance is batching-invariant: replaying the input as TWO
+    files (two micro-batch merges under maxFilesPerTrigger=1) yields
+    exactly the one-shot batch aggregate."""
+    d = tmp_path / "mv_in"
+    d.mkdir()
+    (d / "a.csv").write_text('"k1","10"\n"k1","20"\n"k2","5"\n')
+    (d / "b.csv").write_text('"k1","30"\n"k2","1"\n')
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("m", T.LongType()),
+    ])
+    stream = (spark.readStream.format("csv")
+              .schema(schema).option("maxFilesPerTrigger", 1)
+              .load(str(d)))
+    mv = pipelines.incremental_rollup(stream, spark, ["k"], "m")
+    got = {r["k"]: (r["cnt"], r["sum_m"], r["min_m"], r["max_m"])
+           for r in mv.collect()}
+    assert got == {"k1": (3, 60, 10, 30), "k2": (2, 6, 1, 5)}

@@ -5000,3 +5000,200 @@ SELECT event_type, CAST(month_ms AS BIGINT) AS month_ms,
        round(CAST(sum(event_id) AS BIGINT) / count(*), 6) AS avg_id
 FROM e GROUP BY 1, 2
 """
+
+
+def x_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over part names — the classic ER shape:
+    candidate pairs come ONLY from a blocking key (the name's head noun =
+    last token), then an edit-distance verify (levenshtein <= 3) decides
+    matches. Blocking turns the O(n²) all-pairs problem into per-block
+    equi-joins — the same candidate-then-verify discipline as MinHash LSH,
+    with a lexical verifier instead of Jaccard; at 100 TB the block key's
+    cardinality bounds every join (add a second blocking pass — phonetic
+    key, brand — to recover cross-block matches). Exact integer distance,
+    so the oracle hash-matches."""
+    p = load_table(_prep(spark), sf_dir, "part")
+    t = p.select(F.col("p_partkey").alias("id"), "p_name",
+                 F.element_at(F.split("p_name", " "), -1).alias("blk"))
+    a = t.select(F.col("id").alias("id_a"), F.col("p_name").alias("name_a"),
+                 "blk")
+    b = t.select(F.col("id").alias("id_b"), F.col("p_name").alias("name_b"),
+                 F.col("blk").alias("b_blk"))
+    return (a.join(b, (F.col("blk") == F.col("b_blk"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .withColumn("lev", F.levenshtein("name_a", "name_b")
+                               .cast("bigint"))
+            .filter(F.col("lev") <= 3)
+            .select("id_a", "id_b", "name_a", "name_b", "lev"))
+
+
+QUERIES["x_entity_match"] = x_entity_match
+
+ORACLES["x_entity_match"] = """
+WITH t AS (
+  SELECT p_partkey AS id, p_name,
+         list_extract(string_split(p_name, ' '), -1) AS blk
+  FROM part
+)
+SELECT a.id AS id_a, b.id AS id_b, a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+def x_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — the time-series compaction shape
+    (open/high/low/close): open/close via ``min/max(struct(ts_ms,
+    event_id, value))`` — a total order, so ties on ts_ms resolve
+    deterministically by event_id — high/low as plain min/max, all in ONE
+    hash aggregate (no per-key window sort, partial aggs halve the
+    shuffle; the same plan at 100 TB). Values ride as exact e4 integers;
+    the close of bar N feeding gap-fill is x_resample_ffill's job."""
+    e = (_events(spark, sf_dir)
+         .withColumn("v_e4", F.round(F.col("value") * 10000).cast("bigint"))
+         # total tick order as ONE bigint (ts dominates, event_id breaks
+         # ties; both bounded far below the 2^63 headroom) — the argmin/
+         # argmax key DuckDB's min_by/max_by can replay exactly
+         .withColumn("tick", (F.col("ts_ms") * 1_000_000
+                              + F.col("event_id")).cast("bigint")))
+    hour = (F.floor(F.col("ts_ms") / 3_600_000) * 3_600_000).cast("bigint")
+    return (e.groupBy("event_type", hour.alias("hour_ms"))
+            .agg(F.min_by("v_e4", "tick").alias("open_e4"),
+                 F.max("v_e4").alias("high_e4"),
+                 F.min("v_e4").alias("low_e4"),
+                 F.max_by("v_e4", "tick").alias("close_e4"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_ticks")))
+
+
+QUERIES["x_ohlc_bars"] = x_ohlc_bars
+
+ORACLES["x_ohlc_bars"] = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4,
+         CAST(epoch_ms(ts) * 1000000 + event_id AS BIGINT) AS tick
+  FROM events
+)
+SELECT event_type,
+       CAST((ts_ms // 3600000) * 3600000 AS BIGINT) AS hour_ms,
+       CAST(min_by(v_e4, tick) AS BIGINT) AS open_e4,
+       CAST(max(v_e4) AS BIGINT) AS high_e4,
+       CAST(min(v_e4) AS BIGINT) AS low_e4,
+       CAST(max_by(v_e4, tick) AS BIGINT) AS close_e4,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM e GROUP BY 1, 2
+"""
+
+
+def x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (Deequ/dbt-test shape): declared
+    contracts — not-null, key uniqueness, accepted values, value ranges,
+    referential integrity — each reported as (table, expectation,
+    n_violations, passed). The fixture data genuinely violates two
+    (negative acctbals, an undeclared doc language), so the report shows
+    both verdicts.
+
+    Plan shape: all same-table rules FUSE into one wide aggregate per
+    table (one scan computes every violation count — x_profile's
+    discipline), stack()-pivoted to long form; referential checks are
+    left-anti joins aggregated to one row, where AQE broadcasts the dim
+    side. Total cost at 100 TB: one scan per table + one join per FK."""
+    o = load_table(_prep(spark), sf_dir, "orders")
+    c = load_table(_prep(spark), sf_dir, "customer")
+    li = load_table(_prep(spark), sf_dir, "lineitem")
+    d = _docs(spark, sf_dir)
+    n_viol = "CAST(n_violations AS BIGINT) AS n_violations"
+
+    orders_wide = o.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P"))
+              .cast("bigint")).alias("v_vals"))
+    orders_rules = orders_wide.selectExpr(
+        "stack(3, 'not_null:o_orderkey', v_null,"
+        " 'unique:o_orderkey', v_uniq,"
+        " 'accepted_values:o_orderstatus', v_vals)"
+        " AS (expectation, n_violations)").selectExpr(
+        "'orders' AS table_name", "expectation", n_viol)
+
+    li_rules = li.agg(
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+              .cast("bigint")).alias("n_violations")).selectExpr(
+        "'lineitem' AS table_name", "'range:l_quantity[1,50]' AS expectation",
+        n_viol)
+
+    cust_rules = c.agg(
+        F.sum((F.col("c_acctbal") < 0).cast("bigint"))
+         .alias("n_violations")).selectExpr(
+        "'customer' AS table_name", "'non_negative:c_acctbal' AS expectation",
+        n_viol)
+
+    doc_rules = d.agg(
+        F.sum((~F.col("lang").isin("en", "de", "fr", "es")).cast("bigint"))
+         .alias("n_violations")).selectExpr(
+        "'documents' AS table_name", "'accepted_values:lang' AS expectation",
+        n_viol)
+
+    fk_orders = (o.join(c.select("c_custkey"),
+                        o["o_custkey"] == c["c_custkey"], "left_anti")
+                 .agg(F.count(F.lit(1)).alias("n_violations"))
+                 .selectExpr("'orders' AS table_name",
+                             "'fk:o_custkey->customer' AS expectation",
+                             n_viol))
+    fk_li = (li.join(o.select("o_orderkey"),
+                     li["l_orderkey"] == o["o_orderkey"], "left_anti")
+             .agg(F.count(F.lit(1)).alias("n_violations"))
+             .selectExpr("'lineitem' AS table_name",
+                         "'fk:l_orderkey->orders' AS expectation", n_viol))
+
+    out = orders_rules
+    for r in (li_rules, cust_rules, doc_rules, fk_orders, fk_li):
+        out = out.unionByName(r)
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+QUERIES["x_expectations"] = x_expectations
+
+ORACLES["x_expectations"] = """
+WITH rules AS (
+  SELECT 'orders' AS table_name, 'not_null:o_orderkey' AS expectation,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'unique:o_orderkey',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'accepted_values:o_orderstatus',
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'range:l_quantity[1,50]',
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer', 'non_negative:c_acctbal',
+         CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'orders', 'fk:o_custkey->customer',
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem', 'fk:l_orderkey->orders',
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'documents', 'accepted_values:lang',
+         CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+)
+SELECT table_name, expectation, n_violations,
+       (n_violations = 0) AS passed
+FROM rules
+"""

@@ -340,3 +340,85 @@ def semdedup_keep(emb: DataFrame, threshold: float = 0.3,
             .select(F.col(id_col),
                     F.coalesce(F.col("is_canonical"), F.lit(False))
                      .alias("is_canonical")))
+
+
+def label_centroids(emb: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label mean embedding — the class-prototype / coarse-quantizer
+    primitive (IVF cell centers, nearest-class-mean classifiers, cluster
+    summaries) in EXACT arithmetic: components become e6-scaled BIGINTs
+    map-side, so the per-(label, dim) sums are partition-order-independent
+    and the DuckDB oracle hash-matches; the mean divides the exact sum
+    once at the end.
+
+    Plan shape: ``posexplode`` multiplies rows by dim, but per-partition
+    partial aggregation collapses them before the ONE shuffle, whose
+    cardinality is |labels| × dim — bounded, independent of corpus size.
+    Output: (label, dim, n_vecs, sum_e6, mean_val), long form — pivot to
+    vectors at the consumer if needed.
+    """
+    e = emb.select(F.col(label_col),
+                   F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    v_e6 = F.round(F.col("v").cast("double") * 1_000_000).cast("bigint")
+    return (e.groupBy(label_col, F.col("dim").cast("bigint").alias("dim"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.sum(v_e6).cast("bigint").alias("sum_e6"))
+            .withColumn("mean_val",
+                        F.round(F.col("sum_e6").cast("double")
+                                / F.col("n_vecs") / 1_000_000.0, 6)))
+
+
+def _int8_array(v: Column) -> Column:
+    """Symmetric per-vector int8 code array (quantize_int8's q, kept as an
+    array for dot products instead of fingerprinted)."""
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = max_abs / F.lit(127.0)
+    return F.when(max_abs == 0,
+                  F.transform(v, lambda x: F.lit(0).cast("bigint"))) \
+            .otherwise(F.transform(
+                v, lambda x: F.round(x.cast("double") / scale)
+                              .cast("bigint")))
+
+
+def int8_rerank_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     shortlist: int = 20, num_planes: int = 8,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: (1) LSH
+    buckets gate candidates (never all-pairs), (2) a CHEAP exact-integer
+    int8 dot product ranks them and keeps a ``shortlist`` per query,
+    (3) full-precision cosine reranks only the shortlist and emits top-k.
+    At 100 TB the int8 stage reads the 4×-smaller quantized corpus and the
+    float vectors are fetched only for shortlist×queries rows — the
+    memory/IO asymmetry that makes reranking worth the second pass.
+
+    Both ranking keys are deterministic (exact BIGINT dot, then 6-dp
+    cosine, ties broken by id), so the full two-stage cascade is
+    hash-checkable cross-engine. Output: (query_id, vec_id, coarse_dot,
+    score, rk).
+    """
+    from pyspark.sql import Window as W
+    sig = lsh_signature(vec_col, num_planes)
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("cv"), sig.alias("bucket"),
+                      _int8_array(F.col(vec_col)).alias("cq"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       sig.alias("q_bucket"),
+                       _int8_array(F.col(vec_col)).alias("qq"))
+    cand = q.join(c, (F.col("q_bucket") == F.col("bucket"))
+                  & (F.col("query_id") != F.col("vec_id")))
+    coarse = F.aggregate(
+        F.zip_with("qq", "cq", lambda a, b: a * b),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    w1 = W.partitionBy("query_id").orderBy(F.col("coarse_dot").desc(),
+                                           F.col("vec_id"))
+    short = (cand.withColumn("coarse_dot", coarse)
+             .withColumn("crk", F.row_number().over(w1))
+             .filter(F.col("crk") <= shortlist))
+    w2 = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                           F.col("vec_id"))
+    return (short.withColumn("score", F.round(cosine("qv", "cv"), 6))
+            .withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "vec_id", "coarse_dot", "score", "rk"))

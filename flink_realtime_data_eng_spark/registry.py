@@ -5197,3 +5197,79 @@ SELECT table_name, expectation, n_violations,
        (n_violations = 0) AS passed
 FROM rules
 """
+
+
+def x_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (class prototype) in exact e6-integer
+    arithmetic — explode collapses via partial aggs into one bounded
+    |labels|x|dims| shuffle."""
+    return similarity.label_centroids(_emb(spark, sf_dir))
+
+
+QUERIES["x_label_centroids"] = x_label_centroids
+
+ORACLES["x_label_centroids"] = """
+WITH e AS (
+  SELECT label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(embedding)
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(v_e6) AS BIGINT) AS sum_e6,
+       round(CAST(sum(v_e6) AS BIGINT) / count(*) / 1000000.0, 6) AS mean_val
+FROM e GROUP BY 1, 2
+"""
+
+
+def x_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval cascade: LSH-gated candidates -> exact int8-dot
+    shortlist (20) -> full-precision cosine rerank (top 5). The serving
+    shape where the quantized corpus is 4x smaller and float vectors are
+    touched only for the shortlist."""
+    emb = _emb(spark, sf_dir)
+    return similarity.int8_rerank_topk(emb, emb.filter(F.col("vec_id") < 10),
+                                       k=5, shortlist=20, num_planes=8)
+
+
+QUERIES["x_rag_rerank"] = x_rag_rerank
+
+ORACLES["x_rag_rerank"] = f"""
+WITH t AS (
+  SELECT vec_id, embedding,
+         {_lsh_bucket_sql("embedding")} AS bucket,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings
+), qz AS (
+  SELECT vec_id, embedding, bucket,
+         CASE WHEN max_abs = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / (max_abs / 127.0))
+                             AS BIGINT))
+         END AS qv
+  FROM t
+), cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         a.embedding AS q, b.embedding AS v,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> a.qv[i] * b.qv[i])) AS BIGINT) AS coarse_dot
+  FROM qz a JOIN qz b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+), short AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY coarse_dot DESC, vec_id) AS crk
+  FROM cand
+), rr AS (
+  SELECT query_id, vec_id, coarse_dot, round({_COSINE_Q}, 6) AS score
+  FROM short WHERE crk <= 20
+), rk AS (
+  SELECT query_id, vec_id, coarse_dot, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM rr
+)
+SELECT * FROM rk WHERE rk <= 5
+"""

@@ -161,3 +161,31 @@ def test_semdedup_keeps_one_per_duplicate_cluster(spark):
     assert 2 not in out
     assert out[1] is True        # anchored a cluster (dropped its dup)
     assert out[7] is False       # kept, but had no near-dup
+
+
+def test_label_centroids_exact_means(spark):
+    rows = [(1, [1.0, 0.0], 0), (2, [3.0, 2.0], 0), (3, [5.0, 5.0], 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["label"], r["dim"]): (r["n_vecs"], r["sum_e6"], r["mean_val"])
+           for r in similarity.label_centroids(df).collect()}
+    assert got[(0, 0)] == (2, 4_000_000, 2.0)
+    assert got[(0, 1)] == (2, 2_000_000, 1.0)
+    assert got[(1, 0)] == (1, 5_000_000, 5.0)
+
+
+def test_int8_rerank_orders_by_exact_cosine(spark):
+    # All vectors share the all-positive LSH bucket. The int8 stage keeps
+    # everything (shortlist > corpus); the exact stage must rank the
+    # near-parallel vector above the more orthogonal one.
+    rows = [(0, [1.0, 0.1, 0.1, 0.1]),
+            (1, [1.0, 0.1, 0.1, 0.2]),   # nearly parallel to query 0
+            (2, [0.3, 1.0, 0.9, 0.8])]   # same bucket, further away
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.int8_rerank_topk(
+        df, df.filter("vec_id = 0"), k=2, shortlist=10,
+        num_planes=2).collect()
+    ranked = sorted(out, key=lambda r: r["rk"])
+    assert [r["vec_id"] for r in ranked] == [1, 2]
+    assert ranked[0]["score"] > ranked[1]["score"]
+    assert all(r["query_id"] == 0 for r in ranked)

@@ -553,3 +553,42 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         r_alpha.alias("r_alpha_words"), r_sym.alias("r_symbol_ratio"),
         r_stop.alias("r_stopwords"),
         (r_words & r_mean & r_alpha & r_sym & r_stop).alias("keep"))
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """One BPE-training merge round (Sennrich et al. 2016): the k most
+    frequent ADJACENT symbol pairs over the corpus, weighted by word
+    frequency — the statistic whose argmax becomes the next merge rule.
+    Symbols here are characters (round 0); iterating = re-tokenizing with
+    the merged symbol and re-running.
+
+    Scale shape — the reason BPE training is feasible on a corpus at all:
+    pair counting runs over the WORD-FREQUENCY table (vocab-scale), not
+    the token stream. One explode+agg builds the vocab (corpus-scale
+    shuffle of tokens, partial aggs collapse repeats map-side), then the
+    per-word pair expansion is map-side over vocab rows and the final
+    aggregate shuffles pair-scale rows. Top-k is one small sort of the
+    pair table.
+
+    Output: (pair, cnt, rk) — pair as space-joined symbols, BPE
+    convention; ties broken lexicographically so the result is total.
+    """
+    from pyspark.sql import Window as W
+    from .dedup import _norm
+    words = (df.select(F.explode(F.split(_norm(text_col), " ")).alias("w"))
+             .filter(F.length("w") > 0))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # Guard single-char words: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    # it does not return empty — the empty array must be explicit.
+    grams = F.when(
+        F.length("w") >= 2,
+        F.expr("transform(sequence(1, length(w) - 1),"
+               " i -> concat(substring(w, i, 1), ' ',"
+               " substring(w, i + 1, 1)))"),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = wc.select(F.explode(grams).alias("pair"), "freq")
+    agg = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("cnt"))
+    rk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("pair")))
+    return (agg.withColumn("rk", rk).filter(F.col("rk") <= k)
+            .select("pair", "cnt", F.col("rk").cast("int").alias("rk")))

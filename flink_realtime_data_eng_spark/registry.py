@@ -5273,3 +5273,95 @@ WITH t AS (
 )
 SELECT * FROM rk WHERE rk <= 5
 """
+
+
+def x_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER completed: matched pairs (x_entity_match) collapse through
+    connected components into entity ids (smallest member id — the
+    canonical-record policy), one row per part that belongs to a
+    multi-record entity. Same pair-scale CC fixpoint as the dedup
+    clusters; the blocking key bounded everything upstream."""
+    from .functions import graph
+    pairs = x_entity_match(spark, sf_dir)
+    cc = graph.connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("part_id"),
+                     F.col("label").alias("entity_id"))
+
+
+QUERIES["x_entity_clusters"] = x_entity_clusters
+
+ORACLES["x_entity_clusters"] = f"""
+WITH RECURSIVE
+edges AS ({ORACLES["x_entity_match"]}),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+)
+SELECT node AS part_id, min(r) AS entity_id FROM reach GROUP BY node
+"""
+
+
+def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-round statistic: top-20 adjacent character pairs weighted
+    by word frequency — pair counting over the vocab table, never the raw
+    token stream (the optimization that makes tokenizer training
+    corpus-feasible)."""
+    return text.bpe_pair_counts(_docs(spark, sf_dir), k=20)
+
+
+QUERIES["x_bpe_merges"] = x_bpe_merges
+
+ORACLES["x_bpe_merges"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM toks WHERE len(w) > 0 GROUP BY w
+), pairs AS (
+  SELECT w[i:i] || ' ' || w[i+1:i+1] AS pair, freq
+  FROM wc CROSS JOIN (SELECT unnest(range(1, 1000)) AS i) idx
+  WHERE len(w) >= 2 AND i <= len(w) - 1
+), agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT pair, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rk
+FROM agg ORDER BY rk LIMIT 20
+"""
+
+
+def x_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration (the FineWeb/CCNet per-dump
+    move): percent_rank of the quality score WITHIN each source, so a
+    threshold like "keep the top half" adapts to every source's own score
+    distribution instead of letting one clean source crowd out the rest.
+    percent_rank depends only on the (deterministic, tie-sharing) rank, so
+    it hash-matches cross-engine. Scale: one window partitioned by source
+    (high-cardinality key, spreads); at extreme per-source row counts swap
+    in approx-quantile cutoffs + map-side filter (quality_buckets_approx's
+    shape)."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir)
+    qf = text.quality_features(d).select("doc_id", "quality_score")
+    j = d.select("doc_id", "source").join(qf, "doc_id")
+    w = W.partitionBy("source").orderBy("quality_score")
+    return (j.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+            .withColumn("keep_top_half", F.col("pct_rank") >= 0.5)
+            .select("doc_id", "source", "quality_score", "pct_rank",
+                    "keep_top_half"))
+
+
+QUERIES["x_quality_calibration"] = x_quality_calibration
+
+ORACLES["x_quality_calibration"] = f"""
+WITH q AS ({_quality_oracle()})
+SELECT d.doc_id, d.source, q.quality_score,
+       round(percent_rank() OVER (PARTITION BY d.source
+             ORDER BY q.quality_score), 6) AS pct_rank,
+       (round(percent_rank() OVER (PARTITION BY d.source
+              ORDER BY q.quality_score), 6) >= 0.5) AS keep_top_half
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+"""

@@ -249,3 +249,15 @@ def test_gopher_rules_verdicts(spark):
     assert not out[3]["r_alpha_words"] and not out[3]["r_symbol_ratio"]
     assert not out[3]["keep"]
     assert out[4]["n_words"] == 0 and not out[4]["keep"]
+
+
+def test_bpe_pair_counts_weighted_and_single_char_guard(spark):
+    # "ab" occurs 3x (pair 'a b' weight 3), "abc" once ('a b' + 'b c'),
+    # single-char "x" contributes NO pair (sequence(1,0) would descend).
+    df = spark.createDataFrame(
+        [(1, "ab ab x"), (2, "ab abc")], "doc_id long, text string")
+    got = {r["pair"]: (r["cnt"], r["rk"])
+           for r in text.bpe_pair_counts(df, k=10).collect()}
+    assert got["a b"] == (4, 1)
+    assert got["b c"] == (1, 2)
+    assert len(got) == 2

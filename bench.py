@@ -48,7 +48,12 @@ def main() -> None:
     def _identity(it):
         yield from it
 
-    (spark.range(0, 64, 1, 8).withColumn("v", F.rand(42))
+    # One partition per core: worker processes are per-core, so warming 8
+    # of 32 leaves 24 cold interpreters inside the first timed mapInPandas
+    # query (measured: ~3.5 s cold vs 0.8 s warm for the heavy-hitters
+    # candidate pass).
+    n_workers = spark.sparkContext.defaultParallelism
+    (spark.range(0, 8 * n_workers, 1, n_workers).withColumn("v", F.rand(42))
      .mapInPandas(_identity, "id long, v double")
      .write.mode("overwrite").format("noop").save())
     # ... and the ML runtime (breeze/BLAS class loading dominates the first

@@ -5365,3 +5365,49 @@ SELECT d.doc_id, d.source, q.quality_score,
               ORDER BY q.quality_score), 6) >= 0.5) AS keep_top_half
 FROM documents d JOIN q ON d.doc_id = q.doc_id
 """
+
+
+def x_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming z-score anomaly alerts through a REAL
+    applyInPandasWithState machine: per event_type, exact-integer running
+    (n, S, Q) state flags rows whose squared mean-deviation exceeds 4x the
+    running variance after 30 observations. The replayed CSV carries no
+    value, so the metric is a heavy-tailed deterministic derivation
+    (md5-draw mod 100, squared) both engines compute identically; the
+    oracle is the same recurrence as prefix-window SQL."""
+    from .streaming.stateful import zscore_alert_stream
+    ev = _stream_events(spark, sf_dir)
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("aval:"), F.col("event_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint")
+    src = ev.withColumn("v", ((h % 100) * (h % 100)).cast("bigint"))
+    out = zscore_alert_stream(src, key="event_type", ts_ms="ts_ms",
+                              id_col="event_id", value_col="v",
+                              k2=4, min_obs=30)
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_anomaly_stream"] = x_anomaly_stream
+STREAMING_DEMOS.add("x_anomaly_stream")
+
+_AH = _H32.format(x="concat('aval:', CAST(event_id AS VARCHAR))")
+ORACLES["x_anomaly_stream"] = f"""
+WITH e AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+         CAST(({_AH} % 100) * ({_AH} % 100) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT event_type, event_id, ts_ms, v,
+         count(*) OVER win AS n_prev,
+         coalesce(sum(v) OVER win, 0) AS s_prev,
+         coalesce(sum(v * v) OVER win, 0) AS q_prev
+  FROM e
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, event_id, ts_ms, v, CAST(n_prev AS BIGINT) AS n_prev
+FROM w
+WHERE n_prev >= 30
+  AND (n_prev * v - s_prev) * (n_prev * v - s_prev)
+      > 4 * (n_prev * q_prev - s_prev * s_prev)
+"""

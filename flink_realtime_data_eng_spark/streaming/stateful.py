@@ -355,3 +355,68 @@ def sequence_match_stream(df: DataFrame, steps: Sequence[str],
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
+
+
+def zscore_alert_stream(df: DataFrame, key: str = "event_type",
+                        ts_ms: str = "ts_ms", id_col: str = "event_id",
+                        value_col: str = "v", k2: int = 4,
+                        min_obs: int = 30,
+                        order_by: Sequence[str] | None = None) -> DataFrame:
+    """Streaming z-score anomaly detector per key — the metrics-alerting
+    state machine ("page when a metric leaves k sigma of its own
+    history"), in EXACT integer arithmetic so the emitted alert set is
+    deterministic and cross-engine checkable (float Welford recursions
+    are summation-order-dependent and cannot be hash-compared).
+
+    State per key: (n, S, Q) = count, sum, sum-of-squares of the integer
+    metric. A row x alerts when its squared deviation from the RUNNING
+    mean exceeds ``k2``x the running variance, tested cross-multiplied so
+    no division ever happens::
+
+        (x - S/n)^2 > k2 * (nQ - S^2)/n^2   <=>   (nx - S)^2 > k2*(nQ - S^2)
+
+    Rows before ``min_obs`` observations never alert (variance of a
+    near-empty window is noise). Python-int arithmetic inside the state
+    fn is arbitrary-precision, so the cross-multiplied terms cannot
+    overflow regardless of magnitude; the stored state stays well inside
+    int64 for e1-scaled metrics (documented bound: n*x^2 < 2^63).
+
+    State is 3 longs per key — bounded by key cardinality, not stream
+    length; within a micro-batch rows replay in (ts, id) order after
+    concatenating Arrow chunks, the same determinism contract as ST1/ST2.
+    """
+    order = list(order_by) if order_by else [ts_ms, id_col]
+    out_schema = T.StructType(
+        [_field(df, key)] + [_field(df, c) for c in order]
+        + [T.StructField("v", T.LongType()),
+           T.StructField("n_prev", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("q", T.LongType()),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        n, s, q = state.get if state.exists else (0, 0, 0)
+        out: list[tuple] = []
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else
+               (chunks[0] if chunks else pd.DataFrame(columns=order)))
+        if len(pdf):
+            for row in pdf.sort_values(order).itertuples(index=False):
+                x = int(getattr(row, value_col))
+                if (n >= min_obs
+                        and (n * x - s) ** 2 > k2 * (n * q - s * s)):
+                    out.append(tuple(getattr(row, c) for c in order)
+                               + (x, n))
+                n, s, q = n + 1, s + x, q + x * x
+        state.update((n, s, q))
+        cols = order + ["v", "n_prev"]
+        res = pd.DataFrame(out, columns=cols)
+        res.insert(0, key, key_tuple[0])
+        yield res
+
+    return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))

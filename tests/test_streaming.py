@@ -875,3 +875,48 @@ def test_incremental_rollup_matches_batch_aggregate(spark, tmp_path):
     got = {r["k"]: (r["cnt"], r["sum_m"], r["min_m"], r["max_m"])
            for r in mv.collect()}
     assert got == {"k1": (3, 60, 10, 30), "k2": (2, 6, 1, 5)}
+
+
+def test_zscore_alert_stream_exact_and_cross_batch(spark, tmp_path):
+    """The z-score machine flags exactly the rows a Python replica of the
+    integer recurrence flags, with state (n, S, Q) flowing across
+    micro-batches (maxFilesPerTrigger=1 forces two)."""
+    import os
+    src = tmp_path / "zs"
+    src.mkdir()
+    # Stable metric 10 with one huge spike at ts 35; min_obs=3 means the
+    # first three rows can never alert.
+    rows_a = [("k", 1000 + i, i, 10) for i in range(5)]
+    rows_b = [("k", 1035, 35, 500), ("k", 1036, 36, 10)]
+    fmt = lambda rs: "".join(f'"{k}","{ts}","{i}","{v}"\n'
+                             for k, ts, i, v in rs)
+    (src / "a.csv").write_text(fmt(rows_a))
+    (src / "b.csv").write_text(fmt(rows_b))
+    os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.csv", (1_700_000_001, 1_700_000_001))
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    stream = sources.file_csv_stream(spark, str(src), schema,
+                                     max_files_per_trigger=1)
+    out = stateful.zscore_alert_stream(stream, key="k", ts_ms="ts_ms",
+                                       id_col="event_id", value_col="v",
+                                       k2=4, min_obs=3)
+    _, result = _mem(spark, out)
+    got = [(r["ts_ms"], r["v"], r["n_prev"]) for r in
+           sorted(result.collect(), key=lambda r: r["ts_ms"])]
+
+    # Python replica of the exact recurrence.
+    n = s = q = 0
+    want = []
+    for _, ts, i, v in sorted(rows_a + rows_b, key=lambda r: r[1]):
+        if n >= 3 and (n * v - s) ** 2 > 4 * (n * q - s * s):
+            want.append((ts, v, n))
+        n, s, q = n + 1, s + v, q + v * v
+    assert got == want
+    # the spike (and only the spike) alerted — variance of constant
+    # history is 0, so the deviation test is strict
+    assert (1035, 500, 5) in got and len(got) == 1

@@ -374,3 +374,23 @@ def approx_group_quantiles(df: DataFrame, group: str, col: str,
         group, "n",
         *[F.round(F.col("_qs")[i], 6).alias(f"p{int(p * 100)}")
           for i, p in enumerate(probabilities)]).orderBy(group)
+
+
+def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Join-size estimation from two count-min sketches (the AMS-style
+    inner product, Cormode & Muthukrishnan §4.3): |A ⋈ B| on the sketched
+    key equals Σ_k fA(k)·fB(k), and Σ_bucket cmsA·cmsB over one seed row
+    upper-bounds it (collisions only add) — so ``min`` over seeds is the
+    estimator, never an underestimate. This is the sketch a cost-based
+    optimizer consults to size a join WITHOUT touching either table:
+    the inputs here are ≤ depth×width rows each, so the whole estimate
+    is a toy-sized join regardless of data scale.
+
+    Returns one row: (cms_est).
+    """
+    a = sketch_a.select("seed", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("seed", "bucket", F.col("cnt").alias("cnt_b"))
+    per_seed = (a.join(b, ["seed", "bucket"])
+                .groupBy("seed")
+                .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip")))
+    return per_seed.agg(F.min("ip").cast("bigint").alias("cms_est"))

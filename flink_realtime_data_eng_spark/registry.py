@@ -5411,3 +5411,54 @@ WHERE n_prev >= 30
   AND (n_prev * v - s_prev) * (n_prev * v - s_prev)
       > 4 * (n_prev * q_prev - s_prev * s_prev)
 """
+
+
+def x_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation via CMS inner product — the optimizer-side use
+    of sketches: how many (click, purchase) same-user pairs would a join
+    produce, WITHOUT joining the tables? Exact answer = Σ_k fA(k)·fB(k)
+    (computed from per-key counts, never materializing pairs); estimate =
+    min over seeds of the sketch inner product (never an underestimate).
+    Both sketches are depth×width-bounded, so the estimator's cost is
+    independent of table size. Output: exact_pairs, cms_est, overcount."""
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    sk_a = sketches.cms_sketch(clicks, "user_id", depth=4, width=256)
+    sk_b = sketches.cms_sketch(purchases, "user_id", depth=4, width=256)
+    est = sketches.cms_inner_product(sk_a, sk_b)
+    fa = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("na"))
+    fb = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
+    exact = (fa.join(fb, "user_id")
+             .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint")
+                  .alias("exact_pairs")))
+    return (exact.crossJoin(est)
+            .select("exact_pairs", "cms_est",
+                    (F.col("cms_est") - F.col("exact_pairs")).cast("bigint")
+                     .alias("overcount")))
+
+
+QUERIES["x_join_size_estimate"] = x_join_size_estimate
+
+ORACLES["x_join_size_estimate"] = f"""
+WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
+a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+ba AS (
+  SELECT seed, CAST({_CMS_H} % 256 AS INT) AS bucket, count(*) AS cnt_a
+  FROM a CROSS JOIN seeds GROUP BY 1, 2
+), bb AS (
+  SELECT seed, CAST({_CMS_H} % 256 AS INT) AS bucket, count(*) AS cnt_b
+  FROM b CROSS JOIN seeds GROUP BY 1, 2
+), ip AS (
+  SELECT seed, sum(cnt_a * cnt_b) AS ip
+  FROM ba JOIN bb USING (seed, bucket) GROUP BY seed
+), est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM ip),
+fa AS (SELECT user_id, count(*) AS na FROM a GROUP BY 1),
+fb AS (SELECT user_id, count(*) AS nb FROM b GROUP BY 1),
+ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_pairs
+       FROM fa JOIN fb USING (user_id))
+SELECT exact_pairs, cms_est,
+       CAST(cms_est - exact_pairs AS BIGINT) AS overcount
+FROM ex CROSS JOIN est
+"""

@@ -405,3 +405,27 @@ def test_heavy_hitters_rejects_bad_threshold(spark):
     with pytest.raises(ValueError):
         sketches.heavy_hitters(spark.createDataFrame([("x",)], "tok string"),
                                "tok", 0)
+
+
+def test_cms_inner_product_never_underestimates(spark):
+    from flink_realtime_data_eng_spark.functions.sketches import (
+        cms_inner_product, cms_sketch)
+    a = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(60)], "k long")
+    # exact inner product of key frequencies
+    fa, fb = {}, {}
+    for i in range(100):
+        fa[i % 7] = fa.get(i % 7, 0) + 1
+    for i in range(60):
+        fb[i % 5] = fb.get(i % 5, 0) + 1
+    exact = sum(fa[k] * fb.get(k, 0) for k in fa)
+    # wide sketch: no collisions -> estimate is exact
+    est = cms_inner_product(cms_sketch(a, "k", depth=4, width=256),
+                            cms_sketch(b, "k", depth=4, width=256)
+                            ).collect()[0]["cms_est"]
+    assert est == exact
+    # narrow sketch: collisions only ADD
+    est_narrow = cms_inner_product(cms_sketch(a, "k", depth=2, width=2),
+                                   cms_sketch(b, "k", depth=2, width=2)
+                                   ).collect()[0]["cms_est"]
+    assert est_narrow >= exact

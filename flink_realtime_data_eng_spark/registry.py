@@ -5462,3 +5462,112 @@ SELECT exact_pairs, cms_est,
        CAST(cms_est - exact_pairs AS BIGINT) AS overcount
 FROM ex CROSS JOIN est
 """
+
+
+def x_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): distinct-token count after
+    each 100-doc prefix of the corpus — the measurement behind vocab-size
+    and tokenizer-budget decisions. Plan: one explode + min-aggregate
+    finds each token's FIRST document (token-keyed shuffle, partial aggs
+    collapse repeats); bucketing first-docs to the grid and one small
+    cumulative window over |grid| rows yields the curve — the corpus
+    never sorts globally."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+    first = (d.select(F.col("doc_id"), F.explode(text.tokens("text"))
+                      .alias("tok"))
+             .groupBy("tok").agg(F.min("doc_id").alias("first_doc")))
+    grid = 100
+    bucket = (F.floor(F.col("first_doc") / grid) + 1) * grid
+    per_bucket = (first.groupBy(bucket.cast("bigint").alias("prefix_docs"))
+                  .agg(F.count(F.lit(1)).alias("new_tokens")))
+    w = W.orderBy("prefix_docs").rowsBetween(W.unboundedPreceding, 0)
+    return (per_bucket
+            .withColumn("vocab_size", F.sum("new_tokens").over(w)
+                                       .cast("bigint"))
+            .select("prefix_docs",
+                    F.col("new_tokens").cast("bigint").alias("new_tokens"),
+                    "vocab_size"))
+
+
+QUERIES["x_heaps_law"] = x_heaps_law
+
+ORACLES["x_heaps_law"] = f"""
+WITH first AS (
+  SELECT tok, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents) t
+  GROUP BY tok
+), pb AS (
+  SELECT CAST((first_doc // 100 + 1) * 100 AS BIGINT) AS prefix_docs,
+         CAST(count(*) AS BIGINT) AS new_tokens
+  FROM first GROUP BY 1
+)
+SELECT prefix_docs, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY prefix_docs
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM pb
+"""
+
+
+def x_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length (tokens) and quality
+    score, computed the scale-correct way: ONE aggregate pass accumulates
+    exact BIGINT sums (x, y as e6 ints, their squares and product), then
+    the r formula evaluates once in double with an identical expression
+    tree on both engines — IEEE multiply/divide/sqrt are deterministic, so
+    even the floating-point step hash-matches. No second pass, no
+    centering pass, no per-row doubles."""
+    d = _docs(spark, sf_dir)
+    qf = text.quality_features(d)
+    t = qf.select(
+        F.col("n_tokens").cast("bigint").alias("x"),
+        F.round(F.col("quality_score") * 1_000_000).cast("bigint").alias("y"))
+    s = t.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    num = (F.col("n").cast("double") * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double"))
+    den = (F.sqrt(F.col("n").cast("double") * F.col("sxx").cast("double")
+                  - F.col("sx").cast("double") * F.col("sx").cast("double"))
+           * F.sqrt(F.col("n").cast("double") * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy").cast("double")))
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("sum_tokens"),
+        F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
+         .alias("pearson_r"))
+
+
+QUERIES["x_correlation"] = x_correlation
+
+ORACLES["x_correlation"] = f"""
+WITH q AS ({_quality_oracle()}),
+t AS (
+  SELECT CAST(n_tokens AS BIGINT) AS x,
+         CAST(round(quality_score * 1000000) AS BIGINT) AS y
+  FROM q
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM t
+)
+SELECT n, sx AS sum_tokens,
+       round(CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             ELSE 0.0 END, 6) AS pearson_r
+FROM s
+"""

@@ -5571,3 +5571,85 @@ SELECT n, sx AS sum_tokens,
              ELSE 0.0 END, 6) AS pearson_r
 FROM s
 """
+
+
+def _events_csv_dir_flush_users(spark: SparkSession, sf_dir: str) -> str:
+    """Events CSV replay dir + one flush sentinel PER DISTINCT USER
+    (event_type '__flush__', far-future ts, unique ids) — per-key state
+    machines need a per-key close signal, unlike the global-watermark
+    sentinel of _events_csv_dir_flush. Base part-files hardlinked."""
+    import os
+    base = _events_csv_dir(spark, sf_dir)
+    out = base + "_flush_users"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import duckdb
+        users = [r[0] for r in duckdb.sql(
+            f"SELECT DISTINCT user_id FROM '{sf_dir}/events.parquet' "
+            "ORDER BY user_id").fetchall()]
+        os.makedirs(out, exist_ok=True)
+        for f in os.listdir(base):
+            if f.endswith(".csv"):
+                dst = os.path.join(out, f)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(base, f), dst)
+        with open(os.path.join(out, "zz_flush.csv"), "w") as fh:
+            for i, u in enumerate(users):
+                fh.write(f"{10**9 + i},{u},__flush__,{_FLUSH_TS_MS}\n")
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def x_dynsession_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization on the STREAM: the x_dynamic_sessions
+    state machine through real applyInPandasWithState (4 longs of state
+    per user), per-user flush sentinels draining every open session so
+    the availableNow replay equals the batch gaps-and-islands oracle."""
+    from .sources import file_csv_stream
+    from .streaming.stateful import dynamic_sessions_stream
+    path = _events_csv_dir_flush_users(spark, sf_dir)
+    ev = file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+    gap = (F.when(F.col("event_type") == "__flush__",
+                  F.lit(None).cast("bigint"))
+            .when(F.col("event_type") == "click", F.lit(1_800_000))
+            .otherwise(F.lit(600_000)))
+    src = ev.select("user_id", "ts_ms", "event_id", gap.alias("gap"))
+    out = dynamic_sessions_stream(src, key="user_id", ts_ms="ts_ms",
+                                  gap_col="gap", id_col="event_id")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_dynsession_stream"] = x_dynsession_stream
+STREAMING_DEMOS.add("x_dynsession_stream")
+ORACLES["x_dynsession_stream"] = ORACLES["x_dynamic_sessions"]
+
+
+def x_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2's exactly-once-visibility mitigation exercised end to end: the
+    purchase branch of the events replay streams through the two-phase
+    commit-manifest sink (stage files, atomically publish a per-batch
+    manifest) and the result is read back through the manifest reader —
+    only committed batches are visible, so the round trip equals the
+    batch filter exactly (the property Delta/Iceberg commit logs
+    productionize)."""
+    from .sinks import manifest_file_sink, read_manifest, run_available_now
+    ev = _stream_events(spark, sf_dir)
+    sel = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts_ms"))
+    out_dir = _tempfile.mkdtemp(prefix="frde_manifest_")
+    ckpt = _tempfile.mkdtemp(prefix="frde_manifest_ckpt_")
+    q = run_available_now(manifest_file_sink(sel, out_dir, ckpt))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("manifest stream did not finish")
+    return read_manifest(spark, out_dir)
+
+
+QUERIES["x_manifest_stream"] = x_manifest_stream
+STREAMING_DEMOS.add("x_manifest_stream")
+
+ORACLES["x_manifest_stream"] = """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+FROM events WHERE event_type = 'purchase'
+"""

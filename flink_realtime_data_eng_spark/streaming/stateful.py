@@ -420,3 +420,72 @@ def zscore_alert_stream(df: DataFrame, key: str = "event_type",
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
+
+
+def dynamic_sessions_stream(df: DataFrame, key: str = "user_id",
+                            ts_ms: str = "ts_ms", gap_col: str = "gap",
+                            id_col: str = "event_id") -> DataFrame:
+    """Dynamic-gap sessionization as a streaming state machine — the
+    arbitrary-state form of ``session_window(col, CASE ...)``: each
+    event's own gap decides how long it holds the session open (a click
+    30 min, anything else 10 min, …), sessions close when the next event
+    arrives past ``last_ts + last_gap``, and CLOSED sessions emit
+    (append-mode semantics).
+
+    Rows with NULL ``gap_col`` are flush markers: they close whatever
+    session is open (their timestamp breaks any deadline) but never start
+    one — feed one far-future marker per key so an availableNow replay
+    drains every session deterministically (same trick as the outer
+    join's watermark sentinel, but per key because state is per key).
+
+    State is 4 longs per key regardless of stream length. Within a batch
+    rows replay in (ts, id) order after concatenating Arrow chunks —
+    the ST1/ST2 determinism contract.
+
+    Output: (key, session_start_ms, n_events, last_ts_ms).
+    """
+    order = [ts_ms, id_col]
+    out_schema = T.StructType(
+        [_field(df, key),
+         T.StructField("session_start_ms", T.LongType()),
+         T.StructField("n_events", T.LongType()),
+         T.StructField("last_ts_ms", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("session_start", T.LongType()),
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_gap", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        start, last_ts, last_gap, n = (state.get if state.exists
+                                       else (None, None, None, 0))
+        out: list[tuple] = []
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else
+               (chunks[0] if chunks else pd.DataFrame(columns=order)))
+        if len(pdf):
+            for row in pdf.sort_values(order).itertuples(index=False):
+                t = int(getattr(row, ts_ms))
+                g = getattr(row, gap_col)
+                if start is not None and t - last_ts > last_gap:
+                    out.append((start, n, last_ts))
+                    start, last_ts, last_gap, n = None, None, None, 0
+                if pd.isna(g):      # flush marker: close-only
+                    continue
+                if start is None:
+                    start = t
+                n, last_ts, last_gap = n + 1, t, int(g)
+        if start is not None:
+            state.update((start, last_ts, last_gap, n))
+        elif state.exists:
+            state.remove()
+        res = pd.DataFrame(out, columns=["session_start_ms", "n_events",
+                                         "last_ts_ms"])
+        res.insert(0, key, key_tuple[0])
+        yield res
+
+    return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))

@@ -920,3 +920,34 @@ def test_zscore_alert_stream_exact_and_cross_batch(spark, tmp_path):
     # the spike (and only the spike) alerted — variance of constant
     # history is 0, so the deviation test is strict
     assert (1035, 500, 5) in got and len(got) == 1
+
+
+def test_dynamic_sessions_stream_gap_and_flush(spark, tmp_path):
+    """Per-event gaps decide session breaks; a NULL-gap flush marker
+    drains the open session and starts none; state crosses micro-batches
+    (maxFilesPerTrigger=1)."""
+    import os
+    src = tmp_path / "ds"
+    src.mkdir()
+    # u: ts 0 (gap 10) keeps ts 8 in-session (gap 5); ts 20 breaks (>13)
+    # and opens a session closed only by the flush marker.
+    (src / "a.csv").write_text(
+        '"u","0","1","10"\n"u","8","2","5"\n')
+    (src / "b.csv").write_text(
+        '"u","20","3","5"\n"u","999","9",""\n')
+    os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.csv", (1_700_000_001, 1_700_000_001))
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("gap", T.LongType()),
+    ])
+    stream = sources.file_csv_stream(spark, str(src), schema,
+                                     max_files_per_trigger=1)
+    out = stateful.dynamic_sessions_stream(stream, key="k", ts_ms="ts_ms",
+                                           gap_col="gap", id_col="event_id")
+    _, result = _mem(spark, out)
+    got = sorted((r["session_start_ms"], r["n_events"], r["last_ts_ms"])
+                 for r in result.collect())
+    assert got == [(0, 2, 8), (20, 1, 20)]

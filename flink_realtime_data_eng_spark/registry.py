@@ -5653,3 +5653,101 @@ ORACLES["x_manifest_stream"] = """
 SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
 FROM events WHERE event_type = 'purchase'
 """
+
+
+def x_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based tumbling windows (Flink DataStream ``countWindow(10)``
+    — a core DataStream feature the reference's time windows sit beside):
+    per user, every 10 consecutive events (arrival order = (ts, id))
+    form one window; emit count/min/max per full-or-trailing window.
+    One per-key window rank + one aggregate; the rank partitions by a
+    high-cardinality key so the sort spreads."""
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir).select("user_id", "ts_ms", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    rn = F.row_number().over(w)
+    return (e.withColumn("win_idx", ((rn - 1) / 10).cast("bigint"))
+            .groupBy("user_id", "win_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts_ms").alias("first_ts_ms"),
+                 F.max("ts_ms").alias("last_ts_ms")))
+
+
+QUERIES["x_count_windows"] = x_count_windows
+
+ORACLES["x_count_windows"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts), event_id) AS rn
+  FROM events
+)
+SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win_idx,
+       count(*) AS n_events,
+       CAST(min(ts_ms) AS BIGINT) AS first_ts_ms,
+       CAST(max(ts_ms) AS BIGINT) AS last_ts_ms
+FROM r GROUP BY 1, 2
+"""
+
+
+def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    counts and probabilities of event_type -> next event_type (ordered by
+    (ts, id) within user). One lag window on the user partitioning + one
+    small aggregate over |types|² rows; probabilities are exact-count
+    divisions rounded once."""
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts_ms",
+                                      "event_id")
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    t = (e.withColumn("next_type", F.lead("event_type").over(w))
+         .filter(F.col("next_type").isNotNull()))
+    counts = (t.groupBy(F.col("event_type").alias("from_type"),
+                        F.col("next_type").alias("to_type"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w2 = W.partitionBy("from_type")
+    return (counts
+            .withColumn("p", F.round(F.col("n") / F.sum("n").over(w2), 6))
+            .select("from_type", "to_type",
+                    F.col("n").cast("bigint").alias("n"), "p"))
+
+
+QUERIES["x_markov_transitions"] = x_markov_transitions
+
+ORACLES["x_markov_transitions"] = """
+WITH s AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 6) AS p
+FROM c
+"""
+
+
+def x_countwin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``countWindow(10)`` on the stream: per-user count-tumbling
+    windows through applyInPandasWithState (4 longs of state per key),
+    full windows emit the moment they fill, per-user flush sentinels
+    drain the trailing partials — result equals the batch rank-based
+    form's oracle."""
+    from .sources import file_csv_stream
+    from .streaming.stateful import count_windows_stream
+    path = _events_csv_dir_flush_users(spark, sf_dir)
+    ev = file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+    src = ev.select("user_id", "ts_ms", "event_id",
+                    (F.col("event_type") == "__flush__").alias("is_flush"))
+    out = count_windows_stream(src, size=10, key="user_id", ts_ms="ts_ms",
+                               id_col="event_id", flush_col="is_flush")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_countwin_stream"] = x_countwin_stream
+STREAMING_DEMOS.add("x_countwin_stream")
+ORACLES["x_countwin_stream"] = ORACLES["x_count_windows"]

@@ -489,3 +489,66 @@ def dynamic_sessions_stream(df: DataFrame, key: str = "user_id",
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
+
+
+def count_windows_stream(df: DataFrame, size: int, key: str = "user_id",
+                         ts_ms: str = "ts_ms", id_col: str = "event_id",
+                         flush_col: str | None = None) -> DataFrame:
+    """Count-based tumbling windows on the stream — Flink DataStream's
+    ``countWindow(size)``, which Structured Streaming has no built-in
+    for (its windows are time-based): per key, every ``size`` consecutive
+    events emit one (win_idx, count, first_ts, last_ts) row the moment
+    the window fills.
+
+    State per key: (win_idx, n, first_ts, last_ts) — 4 longs. Rows with
+    ``flush_col`` true close the trailing PARTIAL window (and are not
+    counted) — feed one per key at replay end for batch-equal output.
+    Within a batch rows replay in (ts, id) order after concatenating
+    Arrow chunks (the ST1/ST2 contract).
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    order = [ts_ms, id_col]
+    out_schema = T.StructType(
+        [_field(df, key),
+         T.StructField("win_idx", T.LongType()),
+         T.StructField("n_events", T.LongType()),
+         T.StructField("first_ts_ms", T.LongType()),
+         T.StructField("last_ts_ms", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("first_ts", T.LongType()),
+        T.StructField("last_ts", T.LongType()),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        win, n, first_ts, last_ts = (state.get if state.exists
+                                     else (0, 0, None, None))
+        out: list[tuple] = []
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else
+               (chunks[0] if chunks else pd.DataFrame(columns=order)))
+        if len(pdf):
+            for row in pdf.sort_values(order).itertuples(index=False):
+                if flush_col is not None and bool(getattr(row, flush_col)):
+                    if n > 0:
+                        out.append((win, n, first_ts, last_ts))
+                        win, n, first_ts, last_ts = win + 1, 0, None, None
+                    continue
+                t = int(getattr(row, ts_ms))
+                first_ts = t if n == 0 else first_ts
+                last_ts, n = t, n + 1
+                if n == size:
+                    out.append((win, n, first_ts, last_ts))
+                    win, n, first_ts, last_ts = win + 1, 0, None, None
+        state.update((win, n, first_ts, last_ts))
+        res = pd.DataFrame(out, columns=["win_idx", "n_events",
+                                         "first_ts_ms", "last_ts_ms"])
+        res.insert(0, key, key_tuple[0])
+        yield res
+
+    return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))

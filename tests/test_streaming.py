@@ -951,3 +951,33 @@ def test_dynamic_sessions_stream_gap_and_flush(spark, tmp_path):
     got = sorted((r["session_start_ms"], r["n_events"], r["last_ts_ms"])
                  for r in result.collect())
     assert got == [(0, 2, 8), (20, 1, 20)]
+
+
+def test_count_windows_stream_fills_and_flushes(spark, tmp_path):
+    """countWindow(3): full windows emit when the 3rd event lands (even
+    mid-batch); the flush marker drains the trailing partial."""
+    import os
+    src = tmp_path / "cw"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        '"u","10","1","0"\n"u","20","2","0"\n')
+    (src / "b.csv").write_text(
+        '"u","30","3","0"\n"u","40","4","0"\n"u","999","9","1"\n')
+    os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.csv", (1_700_000_001, 1_700_000_001))
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("is_flush", T.LongType()),
+    ])
+    stream = (sources.file_csv_stream(spark, str(src), schema,
+                                      max_files_per_trigger=1)
+              .withColumn("is_flush", F.col("is_flush") == 1))
+    out = stateful.count_windows_stream(stream, size=3, key="k",
+                                        ts_ms="ts_ms", id_col="event_id",
+                                        flush_col="is_flush")
+    _, result = _mem(spark, out)
+    got = sorted((r["win_idx"], r["n_events"], r["first_ts_ms"],
+                  r["last_ts_ms"]) for r in result.collect())
+    assert got == [(0, 3, 10, 30), (1, 1, 40, 40)]

@@ -5751,3 +5751,131 @@ def x_countwin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_countwin_stream"] = x_countwin_stream
 STREAMING_DEMOS.add("x_countwin_stream")
 ORACLES["x_countwin_stream"] = ORACLES["x_count_windows"]
+
+
+def x_rule_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-rule ops dashboard: per (source, rule) failure rate —
+    the view that answers "which rule is rejecting 40% of source X". One
+    wide aggregate per source over the map-side rule table, stacked to
+    long form; |sources|x|rules| output regardless of corpus size."""
+    d = _docs(spark, sf_dir)
+    g = text.gopher_rules(d).join(d.select("doc_id", "source"), "doc_id")
+    rules = ["r_word_count", "r_mean_word_len", "r_alpha_words",
+             "r_symbol_ratio", "r_stopwords", "keep"]
+    wide = g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum((~F.col(r)).cast("bigint")).alias(f"f_{r}") for r in rules])
+    stack = ", ".join(f"'{r}', f_{r}" for r in rules)
+    return (wide.selectExpr(
+                "source", "n_docs",
+                f"stack({len(rules)}, {stack}) AS (rule, n_fail)")
+            .select("source", "rule",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_fail").cast("bigint").alias("n_fail"),
+                    F.round(F.col("n_fail") / F.col("n_docs"), 6)
+                     .alias("fail_rate")))
+
+
+QUERIES["x_rule_rates"] = x_rule_rates
+
+ORACLES["x_rule_rates"] = f"""
+WITH g AS ({ORACLES["x_gopher_rules"]}),
+j AS (
+  SELECT d.source, g.* FROM g JOIN documents d USING (doc_id)
+), wide AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(sum(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+         CAST(sum(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+         CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+         CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS f6
+  FROM j GROUP BY source
+), longf AS (
+  SELECT source, n_docs, 'r_word_count' AS rule, f1 AS n_fail FROM wide
+  UNION ALL SELECT source, n_docs, 'r_mean_word_len', f2 FROM wide
+  UNION ALL SELECT source, n_docs, 'r_alpha_words', f3 FROM wide
+  UNION ALL SELECT source, n_docs, 'r_symbol_ratio', f4 FROM wide
+  UNION ALL SELECT source, n_docs, 'r_stopwords', f5 FROM wide
+  UNION ALL SELECT source, n_docs, 'keep', f6 FROM wide
+)
+SELECT source, rule, n_docs, n_fail,
+       round(n_fail / CAST(n_docs AS BIGINT), 6) AS fail_rate
+FROM longf
+"""
+
+
+def x_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation primitive: users split
+    into deterministic cohorts (user_id parity = the hash-bucket
+    assignment of a real A/B system), conversion = "made >=1 purchase",
+    pooled-variance z statistic on EXACT counts with one IEEE double
+    expression evaluated identically by both engines. One per-user
+    aggregate + one 2-row rollup; at any scale the test reads two rows."""
+    e = _events(spark, sf_dir)
+    # conversion = the user's purchase share exceeds the 1/5 uniform
+    # baseline — a per-user predicate with real variation at every SF
+    # (a "did anything" flag saturates to p=1 on this fixture, and a
+    # degenerate pooled variance is a divide-by-zero, not a test)
+    per_user = (e.groupBy("user_id")
+                .agg((5 * F.sum((F.col("event_type") == "purchase")
+                                .cast("bigint"))
+                      > F.count(F.lit(1))).cast("bigint")
+                     .alias("converted")))
+    grp = (per_user.groupBy((F.col("user_id") % 2).cast("bigint")
+                            .alias("cohort"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("converted").alias("conv")))
+    a = grp.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"))
+    b = grp.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"))
+    j = a.crossJoin(b)
+    d = lambda c: F.col(c).cast("double")
+    p_pool = (d("conv_a") + d("conv_b")) / (d("n_a") + d("n_b"))
+    se = F.sqrt(p_pool * (1 - p_pool) * (1 / d("n_a") + 1 / d("n_b")))
+    z = (d("conv_a") / d("n_a") - d("conv_b") / d("n_b")) / se
+    return (j.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(z, 6).alias("z_stat"))
+        .withColumn("significant", F.abs(F.col("z_stat")) > 1.96))
+
+
+QUERIES["x_ab_test"] = x_ab_test
+
+ORACLES["x_ab_test"] = """
+WITH pu AS (
+  SELECT user_id,
+         CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) > count(*)
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv
+  FROM pu GROUP BY 1
+), a AS (SELECT n AS n_a, conv AS conv_a FROM g WHERE cohort = 0),
+b AS (SELECT n AS n_b, conv AS conv_b FROM g WHERE cohort = 1),
+j AS (SELECT * FROM a CROSS JOIN b),
+s AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p_pool
+  FROM j
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(p_pool * (1 - p_pool)
+                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
+             6) AS z_stat,
+       abs(round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(p_pool * (1 - p_pool)
+                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
+             6)) > 1.96 AS significant
+FROM s
+"""

@@ -45,6 +45,7 @@ NESTED_LOOP_OK = {
     "x_bm25_topk",              # 1-row (N, avgdl) constants broadcast
     "x_bloom_prune",            # 1-row Bloom bitmap broadcast by design
     "x_join_size_estimate",     # crossJoin of two 1-row report aggregates
+    "x_ab_test",                # crossJoin of the two 1-row cohort frames
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

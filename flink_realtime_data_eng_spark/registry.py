@@ -5879,3 +5879,113 @@ SELECT n_a, conv_a, n_b, conv_b,
              6)) > 1.96 AS significant
 FROM s
 """
+
+
+def x_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) join — the warehouse lookup as-of joins can't
+    do: each purchase fact attaches the dimension row whose validity
+    interval CONTAINS the fact's timestamp (user's click/view activity
+    state at purchase time). The join is an equi-join on the key with the
+    interval predicate filtering post-match — per-key interval counts are
+    change-rate-bounded, so the equi-join carries the scale and the range
+    never goes unbounded. Current (open) intervals match with NULL
+    valid_to."""
+    e = _events(spark, sf_dir)
+    # Rename the dim's lineage-shared columns up front: fact and dim both
+    # descend from the same scan, and column-object equality on shared
+    # lineage degenerates to a trivially-true predicate.
+    dim = (funnel.scd2_intervals(
+               e.filter(F.col("event_type").isin("click", "view")))
+           .select(F.col("user_id").alias("d_user_id"),
+                   F.col("event_type").alias("state_at_purchase"),
+                   "valid_from_ms", "valid_to_ms"))
+    fact = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "ts_ms"))
+    cond = ((F.col("user_id") == F.col("d_user_id"))
+            & (F.col("ts_ms") >= F.col("valid_from_ms"))
+            & (F.col("valid_to_ms").isNull()
+               | (F.col("ts_ms") < F.col("valid_to_ms"))))
+    return (fact.join(dim, cond)
+            .select("user_id", "event_id", "ts_ms", "state_at_purchase",
+                    "valid_from_ms"))
+
+
+QUERIES["x_pit_join"] = x_pit_join
+
+ORACLES["x_pit_join"] = """
+WITH src AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+  FROM events WHERE event_type IN ('click', 'view')
+), marked AS (
+  SELECT user_id, event_type, ts_ms, event_id,
+         lag(event_type) OVER w AS prev
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), chg AS (
+  SELECT user_id, event_type, ts_ms, event_id FROM marked
+  WHERE prev IS NULL OR prev <> event_type
+), dim AS (
+  SELECT user_id, event_type,
+         CAST(ts_ms AS BIGINT) AS valid_from_ms,
+         CAST(lead(ts_ms) OVER (PARTITION BY user_id
+                                ORDER BY ts_ms, event_id) AS BIGINT)
+           AS valid_to_ms
+  FROM chg
+), fact AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id, f.event_id, f.ts_ms,
+       d.event_type AS state_at_purchase, d.valid_from_ms
+FROM fact f JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts_ms >= d.valid_from_ms
+ AND (d.valid_to_ms IS NULL OR f.ts_ms < d.valid_to_ms)
+"""
+
+
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab coverage: with a top-20 frequency vocabulary, what
+    fraction of each source's token stream is out-of-vocabulary — the
+    OOV-rate check run before freezing any tokenizer. Vocab is a
+    |V|-bounded aggregate that broadcasts into a map-side anti probe of
+    the token stream; per-source totals ride the same explode."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(text.tokens("text")).alias("tok"))
+    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("rk", F.row_number().over(
+                 W.orderBy(F.col("n").desc(), F.col("tok"))))
+             .filter(F.col("rk") <= 20).select("tok"))
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    oov = (toks.join(vocab, "tok", "left_anti")
+           .groupBy("source").agg(F.count(F.lit(1)).alias("n_oov")))
+    return (per_src.join(oov, "source", "left")
+            .select("source",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.coalesce("n_oov", F.lit(0)).cast("bigint")
+                     .alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
+
+
+QUERIES["x_vocab_coverage"] = x_vocab_coverage
+
+ORACLES["x_vocab_coverage"] = f"""
+WITH toks AS (
+  SELECT source, unnest({_QF_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+    FROM toks GROUP BY tok
+  ) WHERE rk <= 20
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1
+), oov AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_oov
+  FROM toks WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY 1
+)
+SELECT p.source, p.n_tokens, coalesce(o.n_oov, 0) AS n_oov,
+       round(coalesce(o.n_oov, 0) / p.n_tokens, 6) AS oov_rate
+FROM per_src p LEFT JOIN oov o USING (source)
+"""

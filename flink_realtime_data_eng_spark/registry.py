@@ -5003,41 +5003,58 @@ FROM e GROUP BY 1, 2
 
 
 def x_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked entity resolution over part names — the classic ER shape:
-    candidate pairs come ONLY from a blocking key (the name's head noun =
-    last token), then an edit-distance verify (levenshtein <= 3) decides
-    matches. Blocking turns the O(n²) all-pairs problem into per-block
-    equi-joins — the same candidate-then-verify discipline as MinHash LSH,
-    with a lexical verifier instead of Jaccard; at 100 TB the block key's
-    cardinality bounds every join (add a second blocking pass — phonetic
-    key, brand — to recover cross-block matches). Exact integer distance,
-    so the oracle hash-matches."""
+    """Blocked entity resolution over part names — the classic ER shape,
+    built SCALE-FIRST: records first collapse to DISTINCT names (exact
+    dedup — one hash aggregate), candidate pairs then come only from a
+    blocking key (the name's head noun = last token) over the distinct-
+    name table, and an edit-distance verify (levenshtein <= 3) decides
+    matches. Pairwise work and output are bounded by the NAME VOCABULARY
+    squared — independent of record count — where naive record-pair ER is
+    quadratic in duplicated records (the round-4 bench caught exactly
+    that: the record-pair form was the heaviest query at sf0.1 and grows
+    ~100x per SF). Same candidate-then-verify discipline as MinHash LSH
+    with a lexical verifier; add further blocking passes (phonetic key,
+    brand) to recover cross-block matches. Output carries each name's
+    record count and smallest record id, so record-level joins stay
+    one map-side hop away."""
     p = load_table(_prep(spark), sf_dir, "part")
-    t = p.select(F.col("p_partkey").alias("id"), "p_name",
-                 F.element_at(F.split("p_name", " "), -1).alias("blk"))
-    a = t.select(F.col("id").alias("id_a"), F.col("p_name").alias("name_a"),
-                 "blk")
-    b = t.select(F.col("id").alias("id_b"), F.col("p_name").alias("name_b"),
+    names = (p.groupBy("p_name")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"),
+                  F.min("p_partkey").cast("bigint").alias("rep_id")))
+    t = names.withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    a = t.select(F.col("p_name").alias("name_a"),
+                 F.col("n_records").alias("n_a"),
+                 F.col("rep_id").alias("rep_a"), "blk")
+    b = t.select(F.col("p_name").alias("name_b"),
+                 F.col("n_records").alias("n_b"),
+                 F.col("rep_id").alias("rep_b"),
                  F.col("blk").alias("b_blk"))
     return (a.join(b, (F.col("blk") == F.col("b_blk"))
-                   & (F.col("id_a") < F.col("id_b")))
+                   & (F.col("name_a") < F.col("name_b")))
             .withColumn("lev", F.levenshtein("name_a", "name_b")
                                .cast("bigint"))
             .filter(F.col("lev") <= 3)
-            .select("id_a", "id_b", "name_a", "name_b", "lev"))
+            .select("name_a", "name_b", "lev", "n_a", "n_b",
+                    "rep_a", "rep_b"))
 
 
 QUERIES["x_entity_match"] = x_entity_match
 
 ORACLES["x_entity_match"] = """
-WITH t AS (
-  SELECT p_partkey AS id, p_name,
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_records,
+         CAST(min(p_partkey) AS BIGINT) AS rep_id
+  FROM part GROUP BY p_name
+), t AS (
+  SELECT p_name, n_records, rep_id,
          list_extract(string_split(p_name, ' '), -1) AS blk
-  FROM part
+  FROM names
 )
-SELECT a.id AS id_a, b.id AS id_b, a.p_name AS name_a, b.p_name AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
-FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+       a.n_records AS n_a, b.n_records AS n_b,
+       a.rep_id AS rep_a, b.rep_id AS rep_b
+FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
@@ -5276,16 +5293,33 @@ SELECT * FROM rk WHERE rk <= 5
 
 
 def x_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ER completed: matched pairs (x_entity_match) collapse through
-    connected components into entity ids (smallest member id — the
-    canonical-record policy), one row per part that belongs to a
-    multi-record entity. Same pair-scale CC fixpoint as the dedup
-    clusters; the blocking key bounded everything upstream."""
+    """ER completed, record level: the NAME-pair graph (x_entity_match)
+    collapses through connected components into name clusters; records
+    then map onto their cluster with one equi-join, and the entity id is
+    the smallest record id in the entity (canonical-record policy).
+    Output: (part_id, entity_id) for every record in a multi-record
+    entity — including exact-duplicate names that needed no fuzzy pair.
+    The CC fixpoint runs on the vocabulary-bounded name graph, never on
+    record pairs."""
     from .functions import graph
+    pt = load_table(_prep(spark), sf_dir, "part")
     pairs = x_entity_match(spark, sf_dir)
-    cc = graph.connected_components(pairs, src="id_a", dst="id_b")
-    return cc.select(F.col("node").alias("part_id"),
-                     F.col("label").alias("entity_id"))
+    cc = graph.connected_components(pairs, src="name_a", dst="name_b")
+    names = (pt.groupBy("p_name")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"),
+                  F.min("p_partkey").cast("bigint").alias("rep_id")))
+    labeled = (names.join(cc, names["p_name"] == cc["node"], "left")
+               .select("p_name", "n_records", "rep_id",
+                       F.coalesce("label", "p_name").alias("cluster")))
+    ent = (labeled.groupBy("cluster")
+           .agg(F.sum("n_records").alias("n_recs"),
+                F.min("rep_id").cast("bigint").alias("entity_id"))
+           .filter(F.col("n_recs") >= 2).select("cluster", "entity_id"))
+    return (pt.select(F.col("p_partkey").alias("part_id"), "p_name")
+            .join(labeled.select("p_name", "cluster"), "p_name")
+            .join(ent, "cluster")
+            .select(F.col("part_id").cast("bigint").alias("part_id"),
+                    "entity_id"))
 
 
 QUERIES["x_entity_clusters"] = x_entity_clusters
@@ -5293,14 +5327,32 @@ QUERIES["x_entity_clusters"] = x_entity_clusters
 ORACLES["x_entity_clusters"] = f"""
 WITH RECURSIVE
 edges AS ({ORACLES["x_entity_match"]}),
-sym AS (SELECT id_a AS a, id_b AS b FROM edges
-        UNION SELECT id_b, id_a FROM edges),
+sym AS (SELECT name_a AS a, name_b AS b FROM edges
+        UNION SELECT name_b, name_a FROM edges),
 reach(node, r) AS (
   SELECT a, a FROM sym
   UNION
   SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+),
+cc AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_records,
+         CAST(min(p_partkey) AS BIGINT) AS rep_id
+  FROM part GROUP BY p_name
+),
+labeled AS (
+  SELECT n.p_name, n.n_records, n.rep_id,
+         coalesce(cc.label, n.p_name) AS cluster
+  FROM names n LEFT JOIN cc ON cc.node = n.p_name
+),
+ent AS (
+  SELECT cluster, CAST(min(rep_id) AS BIGINT) AS entity_id
+  FROM labeled GROUP BY cluster HAVING sum(n_records) >= 2
 )
-SELECT node AS part_id, min(r) AS entity_id FROM reach GROUP BY node
+SELECT CAST(p.p_partkey AS BIGINT) AS part_id, e.entity_id
+FROM part p
+JOIN labeled l ON p.p_name = l.p_name
+JOIN ent e ON l.cluster = e.cluster
 """
 
 
@@ -5988,4 +6040,37 @@ WITH toks AS (
 SELECT p.source, p.n_tokens, coalesce(o.n_oov, 0) AS n_oov,
        round(coalesce(o.n_oov, 0) / p.n_tokens, 6) AS oov_rate
 FROM per_src p LEFT JOIN oov o USING (source)
+"""
+
+
+def x_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest — the LLM-corpus interchange format: documents export
+    to JSON-Lines (one object per line, stable key order) and read back
+    through the schema-declared JSONL reader; byte-exact field round-trip
+    is the correctness claim (the oracle is the original projection).
+    Schema-on-read with a DECLARED schema — never inference — keeps the
+    scan single-pass at 100 TB."""
+    import os
+    from .sources import jsonl_read
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source",
+                                    "n_chars")
+    base = _events_csv_dir(spark, sf_dir)  # reuse the per-sf cache root
+    out = base + "_docs_jsonl"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        d.write.mode("overwrite").json(out)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    return jsonl_read(spark, out, schema)
+
+
+QUERIES["x_jsonl_roundtrip"] = x_jsonl_roundtrip
+
+ORACLES["x_jsonl_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
 """

@@ -80,3 +80,26 @@ def kafka_stream_reader(spark: SparkSession, topic: str,
 def kafka_values(kafka_df: DataFrame) -> DataFrame:
     """Value-only string deserialization (SimpleStringSchema analog)."""
     return kafka_df.selectExpr("CAST(value AS STRING) AS value")
+
+
+def jsonl_read(spark: SparkSession, path: str,
+               schema: T.StructType) -> DataFrame:
+    """JSON-Lines batch reader with an EXPLICIT schema — the interchange
+    format LLM-data pipelines actually move documents in. The schema is
+    mandatory by design: on a 100 TB landing zone, schema inference is a
+    full extra pass over the data and silently widens types on dirty
+    rows; a declared StructType makes the scan single-pass and malformed
+    rows surface as nulls (pair with a dead-letter filter, the
+    parse_csv_routed pattern)."""
+    return spark.read.schema(schema).json(path)
+
+
+def jsonl_stream(spark: SparkSession, path: str, schema: T.StructType,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """S1 in JSONL form: the file-monitor source parsing each line as a
+    JSON object of ``schema`` — same discovery/pacing semantics as the
+    text/CSV variants."""
+    reader = spark.readStream.schema(schema).format("json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)

@@ -981,3 +981,20 @@ def test_count_windows_stream_fills_and_flushes(spark, tmp_path):
     got = sorted((r["win_idx"], r["n_events"], r["first_ts_ms"],
                   r["last_ts_ms"]) for r in result.collect())
     assert got == [(0, 3, 10, 30), (1, 1, 40, 40)]
+
+
+def test_jsonl_stream_parses_typed_rows(spark, tmp_path):
+    src = tmp_path / "jl"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "text": "hello", "n": 5}\n'
+        '{"id": 2, "text": "world", "n": 7}\n')
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    stream = sources.jsonl_stream(spark, str(src), schema)
+    _, result = _mem(spark, stream)
+    assert sorted(tuple(r) for r in result.collect()) == [
+        (1, "hello", 5), (2, "world", 7)]

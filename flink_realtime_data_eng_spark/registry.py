@@ -6074,3 +6074,107 @@ QUERIES["x_jsonl_roundtrip"] = x_jsonl_roundtrip
 ORACLES["x_jsonl_roundtrip"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
+
+
+def x_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision x_disorder_stats feeds: for candidate watermark delays
+    (0 s, 1 s, 10 s, 60 s), how many events per type would arrive LATE
+    (behind running-max event time by more than the delay) and be dropped
+    by ``withWatermark(ts, D)`` — the coverage-vs-latency curve that picks
+    W1's bound (EventTimeOperations.java:82-94 hardcodes 10 s; this query
+    is how you'd justify it). One running-max window pass shared by all
+    candidates (map-side explode of the delay grid), one aggregate."""
+    from pyspark.sql import Window as W
+    from .functions.dedup import _md5_hash32
+    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
+    # The fixture's event time is perfectly monotone in generation order
+    # (x_disorder_stats measures exactly 0 — the honest but vacuous
+    # curve), so model the thing watermarks exist for: network jitter.
+    # Arrival = ts + deterministic md5 jitter in [-1 h, +1 h) — sized
+    # against the fixture's ~15 min median inter-arrival so reordering
+    # actually occurs; events replay in arrival order, lateness =
+    # running-max(event time) - ts.
+    jitter = (_md5_hash32("arr", F.col("event_id").cast("string"))
+              % 7_200_000) - 3_600_000
+    e = e.withColumn("arrival_key", F.col("ts_ms") + jitter)
+    w = (W.partitionBy("event_type").orderBy("arrival_key", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    late = (e.withColumn(
+        "late_ms",
+        F.greatest(F.coalesce(F.max("ts_ms").over(w), F.col("ts_ms"))
+                   - F.col("ts_ms"), F.lit(0))))
+    grid = F.array(*[F.lit(d) for d in (0, 60_000, 600_000, 3_600_000)])
+    x = late.select("event_type", "late_ms",
+                    F.explode(grid).alias("delay_ms"))
+    return (x.groupBy("event_type",
+                      F.col("delay_ms").cast("bigint").alias("delay_ms"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum((F.col("late_ms") > F.col("delay_ms"))
+                       .cast("bigint")).alias("n_dropped"))
+            .withColumn("drop_rate",
+                        F.round(F.col("n_dropped") / F.col("n_events"), 6))
+            .select("event_type", "delay_ms",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    F.col("n_dropped").cast("bigint").alias("n_dropped"),
+                    "drop_rate"))
+
+
+QUERIES["x_watermark_sweep"] = x_watermark_sweep
+
+_ARR_J = (_H32.format(x="concat('arr', ':', CAST(event_id AS VARCHAR))")
+          + " % 7200000 - 3600000")
+ORACLES["x_watermark_sweep"] = f"""
+WITH e AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) + {_ARR_J} AS arrival_key
+  FROM events
+), x AS (
+  SELECT event_type,
+         greatest(coalesce(max(ts_ms) OVER (
+             PARTITION BY event_type ORDER BY arrival_key, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_ms)
+           - ts_ms, 0) AS late_ms
+  FROM e
+), g AS (
+  SELECT event_type, late_ms, unnest([0, 60000, 600000, 3600000]) AS delay_ms
+  FROM x
+)
+SELECT event_type, CAST(delay_ms AS BIGINT) AS delay_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       round(CAST(sum(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END)
+                  AS BIGINT) / count(*), 6) AS drop_rate
+FROM g GROUP BY 1, 2
+"""
+
+
+def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing landing zone: generation 1 files
+    carry (doc_id, lang), generation 2 added a ``source`` column;
+    ``mergeSchema`` unifies the footprints at read time and backfills the
+    missing column with NULLs — the additive-evolution contract
+    Delta/Iceberg formalize. Scale note: mergeSchema reconciles FOOTER
+    schemas (one metadata read per file), not data; pin the merged schema
+    explicitly once it stabilizes so the scan skips reconciliation."""
+    import os
+    d = _docs(spark, sf_dir)
+    base = _events_csv_dir(spark, sf_dir)
+    out = base + "_docs_evo"
+    if not os.path.exists(os.path.join(out, "gen2", "_SUCCESS")):
+        half = F.col("doc_id") % 2 == 0
+        (d.filter(half).select("doc_id", "lang")
+         .write.mode("overwrite").parquet(os.path.join(out, "gen1")))
+        (d.filter(~half).select("doc_id", "lang", "source")
+         .write.mode("overwrite").parquet(os.path.join(out, "gen2")))
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(out, "gen1"), os.path.join(out, "gen2")))
+
+
+QUERIES["x_schema_evolution"] = x_schema_evolution
+
+ORACLES["x_schema_evolution"] = """
+SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 <> 0
+"""

@@ -379,3 +379,61 @@ def test_global_prefix_max_matches_sequential(spark, values, nr, inclusive):
         want = (max(run, v) if run is not None else v) if inclusive else run
         assert got[i] == want, (i, got[i], want)
         run = max(run, v) if run is not None else v
+
+
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+                      min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dup_ngram_fraction_matches_bruteforce(spark, texts):
+    """dup_frac equals the brute-force fraction of a doc's distinct
+    n-gram set shared with >=1 other doc (normalization included)."""
+    import re
+    from flink_realtime_data_eng_spark.functions import dedup as dd
+    n = 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dd.dup_ngram_fraction(df, n=n, max_frac=0.5).collect()}
+
+    def norm_toks(t):
+        t = re.sub(r"[^a-z0-9 ]", "", t.lower())
+        t = re.sub(r" +", " ", t).strip()
+        return [w for w in t.split(" ") if w] if t else []
+
+    spans = {i: {" ".join(norm_toks(t)[j:j + n])
+                 for j in range(len(norm_toks(t)) - n + 1)}
+             for i, t in rows}
+    for i, _ in rows:
+        mine = spans[i]
+        dup = {s for s in mine
+               if any(s in spans[j] for j, _ in rows if j != i)}
+        assert got[i]["n_spans"] == len(mine)
+        assert got[i]["n_dup_spans"] == len(dup)
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_matches_sequential_recurrence(spark, edges):
+    """The distributed integer PageRank equals a sequential Python replica
+    on arbitrary small graphs (mass conservation is inexact under floor
+    division, but determinism must be exact)."""
+    from flink_realtime_data_eng_spark.functions.graph import pagerank
+    uniq = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(uniq, "id_a long, id_b long")
+    got = {r["node"]: r["rank_i9"]
+           for r in pagerank(df, iterations=3).collect()}
+    sym = sorted({(a, b) for a, b in uniq} | {(b, a) for a, b in uniq})
+    deg: dict[int, int] = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    s = {n: 10 ** 9 for n in deg}
+    for _ in range(3):
+        inc = {n: 0 for n in deg}
+        for a, b in sym:
+            inc[b] += s[a] // deg[a]
+        s = {n: 150000000 + (17 * inc[n]) // 20 for n in deg}
+    assert got == s

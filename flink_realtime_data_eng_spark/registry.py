@@ -6178,3 +6178,50 @@ SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
 UNION ALL
 SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 <> 0
 """
+
+
+def x_sliding_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``countWindow(size, slide)`` — the sliding COUNT window:
+    per user, every 5th event (slide) emits an aggregate over its last 10
+    events (size). ONE ordered window pass with a ROWS frame computes the
+    trailing aggregates for every row; the slide filter then keeps every
+    5th — no self-join, no per-window explode, same plan at any scale
+    (the frame is row-bounded, so state is O(size))."""
+    from pyspark.sql import Window as W
+    size, slide = 10, 5
+    e = _events(spark, sf_dir).select("user_id", "ts_ms", "event_id")
+    w_ord = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    w_frame = w_ord.rowsBetween(-(size - 1), 0)
+    rn = F.row_number().over(w_ord)
+    return (e.withColumn("rn", rn)
+            .withColumn("n_events",
+                        F.count(F.lit(1)).over(w_frame).cast("bigint"))
+            .withColumn("first_ts_ms",
+                        F.min("ts_ms").over(w_frame).cast("bigint"))
+            .withColumn("last_ts_ms",
+                        F.max("ts_ms").over(w_frame).cast("bigint"))
+            .filter(F.col("rn") % slide == 0)
+            .select("user_id", F.col("rn").cast("bigint").alias("end_rank"),
+                    "n_events", "first_ts_ms", "last_ts_ms"))
+
+
+QUERIES["x_sliding_count_windows"] = x_sliding_count_windows
+
+ORACLES["x_sliding_count_windows"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         row_number() OVER w AS rn,
+         count(*) OVER f AS n_events,
+         min(epoch_ms(ts)) OVER f AS first_ts_ms,
+         max(epoch_ms(ts)) OVER f AS last_ts_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id),
+         f AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, CAST(rn AS BIGINT) AS end_rank,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(first_ts_ms AS BIGINT) AS first_ts_ms,
+       CAST(last_ts_ms AS BIGINT) AS last_ts_ms
+FROM r WHERE rn % 5 = 0
+"""

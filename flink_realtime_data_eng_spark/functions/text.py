@@ -589,6 +589,9 @@ def bpe_pair_counts(df: DataFrame, k: int = 20,
     ).otherwise(F.array().cast("array<string>"))
     pairs = wc.select(F.explode(grams).alias("pair"), "freq")
     agg = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("cnt"))
+    # Top-k via orderBy().limit() — TakeOrderedAndProject (per-partition
+    # heap + k-way driver merge), never the single-partition global-rank
+    # window; the rank is then a window over k rows only.
+    top = agg.orderBy(F.col("cnt").desc(), F.col("pair")).limit(k)
     rk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("pair")))
-    return (agg.withColumn("rk", rk).filter(F.col("rk") <= k)
-            .select("pair", "cnt", F.col("rk").cast("int").alias("rk")))
+    return top.select("pair", "cnt", rk.cast("int").alias("rk"))

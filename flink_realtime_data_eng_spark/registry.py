@@ -6001,13 +6001,14 @@ def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOV-rate check run before freezing any tokenizer. Vocab is a
     |V|-bounded aggregate that broadcasts into a map-side anti probe of
     the token stream; per-source totals ride the same explode."""
-    from pyspark.sql import Window as W
     d = _docs(spark, sf_dir)
     toks = d.select("source", F.explode(text.tokens("text")).alias("tok"))
+    # Vocab selection via orderBy().limit() — TakeOrderedAndProject, not a
+    # single-partition global-rank window (the 100 TB vocab is millions of
+    # rows; a per-partition heap of 20 is free).
     vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-             .withColumn("rk", F.row_number().over(
-                 W.orderBy(F.col("n").desc(), F.col("tok"))))
-             .filter(F.col("rk") <= 20).select("tok"))
+             .orderBy(F.col("n").desc(), F.col("tok")).limit(20)
+             .select("tok"))
     per_src = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_tokens"))
     oov = (toks.join(vocab, "tok", "left_anti")

@@ -6226,3 +6226,62 @@ SELECT user_id, CAST(rn AS BIGINT) AS end_rank,
        CAST(last_ts_ms AS BIGINT) AS last_ts_ms
 FROM r WHERE rn % 5 = 0
 """
+
+
+def x_backfill_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data backfill repair — the incremental answer to "events
+    arrived days late, fix the rollup": a deterministic 10% of events
+    (md5 draw) arrive late; the daily MV is first built from on-time
+    events only, then REPAIRED by merging the late batch's partials into
+    ONLY the (event_type, day) groups the late data touches — decomposable
+    cnt/sum/min/max, so repair cost is proportional to the late batch,
+    never a recompute. The oracle aggregates ALL events directly:
+    equality proves repair == full recompute."""
+    e = (_events(spark, sf_dir)
+         .withColumn("v_e4", F.round(F.col("value") * 10000).cast("bigint"))
+         .withColumn("day_ms", (F.floor(F.col("ts_ms") / 86_400_000)
+                                * 86_400_000).cast("bigint")))
+    from .functions.dedup import _md5_hash32
+    is_late = (_md5_hash32("late", F.col("event_id").cast("string"))
+               % 10) == 0
+
+    def daily(df: DataFrame) -> DataFrame:
+        return (df.groupBy("event_type", "day_ms")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                     F.sum("v_e4").cast("bigint").alias("sum_e4"),
+                     F.min("v_e4").cast("bigint").alias("min_e4"),
+                     F.max("v_e4").cast("bigint").alias("max_e4")))
+
+    mv = daily(e.filter(~is_late))
+    late_partial = daily(e.filter(is_late))
+    # Repair: restrict the MV to touched groups, merge, and union back the
+    # untouched remainder — at 100 TB "touched" is a partition-pruned read
+    # of the MV table, so the merge reads O(|late batch|) rows.
+    touched_keys = late_partial.select("event_type", "day_ms")
+    touched_mv = mv.join(touched_keys, ["event_type", "day_ms"], "left_semi")
+    untouched = mv.join(touched_keys, ["event_type", "day_ms"], "left_anti")
+    merged = (touched_mv.unionByName(late_partial)
+              .groupBy("event_type", "day_ms")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt"),
+                   F.sum("sum_e4").cast("bigint").alias("sum_e4"),
+                   F.min("min_e4").cast("bigint").alias("min_e4"),
+                   F.max("max_e4").cast("bigint").alias("max_e4")))
+    return untouched.unionByName(merged)
+
+
+QUERIES["x_backfill_repair"] = x_backfill_repair
+
+ORACLES["x_backfill_repair"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS day_ms,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4
+  FROM events
+)
+SELECT event_type, day_ms,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v_e4) AS BIGINT) AS sum_e4,
+       CAST(min(v_e4) AS BIGINT) AS min_e4,
+       CAST(max(v_e4) AS BIGINT) AS max_e4
+FROM e GROUP BY 1, 2
+"""

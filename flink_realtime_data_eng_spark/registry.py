@@ -6285,3 +6285,74 @@ SELECT event_type, day_ms,
        CAST(max(v_e4) AS BIGINT) AS max_e4
 FROM e GROUP BY 1, 2
 """
+
+
+def x_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning curve: from ONE low-threshold verified pair
+    table, how many near-dup pairs and affected docs survive each
+    candidate Jaccard threshold (0.1..0.9) — the sweep that picks the
+    keep/drop cut WITHOUT re-running LSH per candidate. Map-side grid
+    explode over the pair-scale table; exact-e6 integer comparison
+    against the rounded jaccard avoids float-boundary drift."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+    grid = F.array(*[F.lit(t) for t in range(1, 10)])
+    x = (pairs.select((F.round(F.col("jaccard") * 1_000_000).cast("bigint"))
+                      .alias("j_e6"), "id_a", "id_b")
+         .select("j_e6", "id_a", "id_b", F.explode(grid).alias("t10")))
+    kept = x.filter(F.col("j_e6") >= F.col("t10") * 100_000)
+    n_pairs = (kept.groupBy("t10")
+               .agg(F.count(F.lit(1)).alias("n_pairs")))
+    docs = (kept.select("t10", F.col("id_a").alias("d"))
+            .unionByName(kept.select("t10", F.col("id_b").alias("d")))
+            .groupBy("t10").agg(F.countDistinct("d").alias("n_docs")))
+    return (n_pairs.join(docs, "t10")
+            .select(F.round(F.col("t10") / 10.0, 1).alias("threshold"),
+                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.col("n_docs").cast("bigint").alias("n_docs")))
+
+
+QUERIES["x_jaccard_sweep"] = x_jaccard_sweep
+
+ORACLES["x_jaccard_sweep"] = f"""
+WITH jac AS ({_jaccard_oracle(threshold=0.1)}),
+g AS (
+  SELECT CAST(round(jaccard * 1000000) AS BIGINT) AS j_e6, id_a, id_b,
+         unnest(range(1, 10)) AS t10
+  FROM jac
+), kept AS (
+  SELECT * FROM g WHERE j_e6 >= t10 * 100000
+), np AS (
+  SELECT t10, CAST(count(*) AS BIGINT) AS n_pairs FROM kept GROUP BY 1
+), nd AS (
+  SELECT t10, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT t10, id_a AS d FROM kept
+        UNION ALL SELECT t10, id_b FROM kept)
+  GROUP BY 1
+)
+SELECT round(t10 / 10.0, 1) AS threshold, n_pairs, n_docs
+FROM np JOIN nd USING (t10)
+"""
+
+
+def x_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy check run
+    before releasing a dataset: every (nation, market segment) group's
+    size, flagged when under k=5 (a record in a small group is
+    re-identifiable). One hash aggregate over the QI columns; at 100 TB
+    the group table is |QI-combinations|-bounded."""
+    c = load_table(_prep(spark), sf_dir, "customer")
+    return (c.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"),
+                      F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
+            .withColumn("meets_k5", F.col("group_n") >= 5))
+
+
+QUERIES["x_k_anonymity"] = x_k_anonymity
+
+ORACLES["x_k_anonymity"] = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS group_n,
+       count(*) >= 5 AS meets_k5
+FROM customer GROUP BY 1, 2
+"""

@@ -6356,3 +6356,74 @@ SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
        count(*) >= 5 AS meets_k5
 FROM customer GROUP BY 1, 2
 """
+
+
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC EXTRACTION — the inverse of x_merge_apply: given two corpus
+    snapshots, emit the change log (insert / delete / update / unchanged
+    counts plus per-row ops for changed rows). Snapshots are derived
+    deterministically from documents: "before" drops every 7th doc and
+    keeps raw text; "after" has every doc with paragraph-deduped text —
+    so inserts, updates AND unchanged rows all occur. One full-outer join
+    on the key with md5 fingerprints comparing payloads map-side; at
+    100 TB both sides bucket by key and the join is the only shuffle.
+    Output: changed rows only (op, doc_id, fp_before, fp_after)."""
+    d = _docs(spark, sf_dir)
+    before = (d.filter(F.col("doc_id") % 7 != 0)
+              .select("doc_id", F.md5("text").alias("fp_before")))
+    after_txt = dedup.paragraph_dedup(d, chunk_tokens=8)
+    after = after_txt.select("doc_id", F.md5("text_dedup").alias("fp_after"))
+    j = before.join(after, "doc_id", "full_outer")
+    op = (F.when(F.col("fp_before").isNull(), F.lit("insert"))
+          .when(F.col("fp_after").isNull(), F.lit("delete"))
+          .when(F.col("fp_before") != F.col("fp_after"), F.lit("update"))
+          .otherwise(F.lit("unchanged")))
+    return (j.withColumn("op", op)
+            .filter(F.col("op") != "unchanged")
+            .select("op", "doc_id", "fp_before", "fp_after"))
+
+
+QUERIES["x_snapshot_diff"] = x_snapshot_diff
+
+ORACLES["x_snapshot_diff"] = f"""
+WITH before AS (
+  SELECT doc_id, md5(text) AS fp_before FROM documents WHERE doc_id % 7 <> 0
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id,
+         CAST((i - 1) // 8 AS BIGINT) AS idx, i,
+         w[i] AS tk
+  FROM t CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) ix
+  WHERE i <= len(w)
+), chunks AS (
+  SELECT doc_id, idx, string_agg(tk, ' ' ORDER BY i) AS chunk
+  FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM chunks
+), kept AS (
+  SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1
+), rebuilt AS (
+  SELECT d.doc_id,
+         coalesce(string_agg(k.chunk, ' ' ORDER BY k.idx), '') AS text_dedup
+  FROM documents d LEFT JOIN kept k USING (doc_id)
+  GROUP BY d.doc_id
+), after AS (
+  SELECT doc_id, md5(text_dedup) AS fp_after FROM rebuilt
+), j AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.fp_before, a.fp_after
+  FROM before b FULL OUTER JOIN after a ON b.doc_id = a.doc_id
+)
+SELECT CASE WHEN fp_before IS NULL THEN 'insert'
+            WHEN fp_after IS NULL THEN 'delete'
+            WHEN fp_before <> fp_after THEN 'update'
+            ELSE 'unchanged' END AS op,
+       doc_id, fp_before, fp_after
+FROM j
+WHERE (CASE WHEN fp_before IS NULL THEN 'insert'
+            WHEN fp_after IS NULL THEN 'delete'
+            WHEN fp_before <> fp_after THEN 'update'
+            ELSE 'unchanged' END) <> 'unchanged'
+"""

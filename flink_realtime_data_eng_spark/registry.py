@@ -6427,3 +6427,159 @@ WHERE (CASE WHEN fp_before IS NULL THEN 'insert'
             WHEN fp_before <> fp_after THEN 'update'
             ELSE 'unchanged' END) <> 'unchanged'
 """
+
+
+def x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE loop closed: apply the top-5 trained merges (x_bpe_merges)
+    to the corpus and measure per-source compression — symbols per word
+    before vs after, the number that says whether the merge table is
+    earning its vocabulary slots. The merge table is the bounded trained
+    artifact (k rows to the driver, like IVF's centroids); application is
+    five sequential map-side string replaces over space-separated symbol
+    words (left-to-right non-overlapping in both engines), then one
+    aggregate."""
+    d = _docs(spark, sf_dir)
+    merges = [r["pair"] for r in
+              text.bpe_pair_counts(d, k=5).orderBy("rk").collect()]
+    from .functions.dedup import _norm
+    words = (d.select("source",
+                      F.explode(F.split(_norm("text"), " ")).alias("w"))
+             .filter(F.length("w") > 0))
+    # word -> ' c h a r s ' symbol string
+    sym = F.concat(F.lit(" "),
+                   F.array_join(F.split(F.col("w"), ""), " "), F.lit(" "))
+    for m in merges:
+        a, b = m.split(" ")
+        sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    n_sym = F.size(F.split(F.trim(sym), " ")).cast("bigint")
+    return (words.select("source", F.length("w").cast("bigint").alias("n0"),
+                         n_sym.alias("n1"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("n0").cast("bigint").alias("symbols_before"),
+                 F.sum("n1").cast("bigint").alias("symbols_after"))
+            .withColumn("compression",
+                        F.round(F.col("symbols_after")
+                                / F.col("symbols_before"), 6)))
+
+
+QUERIES["x_bpe_apply"] = x_bpe_apply
+
+
+def _bpe_apply_oracle() -> str:
+    top = f"""
+WITH toks0 AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM toks0 WHERE len(w) > 0 GROUP BY w
+), prs AS (
+  SELECT w[i:i] || ' ' || w[i+1:i+1] AS pair, freq
+  FROM wc CROSS JOIN (SELECT unnest(range(1, 1000)) AS i) idx
+  WHERE len(w) >= 2 AND i <= len(w) - 1
+), agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM prs GROUP BY pair
+), merges AS (
+  SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+  FROM agg ORDER BY cnt DESC, pair LIMIT 5
+)"""
+    # DuckDB cannot iterate merges data-dependently in pure SQL without
+    # recursion; inline the same 5 sequential replaces via a correlated
+    # scalar loop unrolled through 5 CTE stages.
+    stages = []
+    prev = "s0"
+    stages.append("""
+, words AS (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split({norm}, ' ')) AS w FROM documents
+  ) WHERE len(w) > 0
+), s0 AS (
+  SELECT source, w,
+         ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym
+  FROM words
+)""".format(norm=_NORM_SQL))
+    for i in range(1, 6):
+        stages.append(f"""
+, s{i} AS (
+  SELECT source, w,
+         replace(sym,
+                 ' ' || (SELECT pair FROM merges WHERE rk = {i}) || ' ',
+                 ' ' || replace((SELECT pair FROM merges WHERE rk = {i}),
+                                ' ', '') || ' ') AS sym
+  FROM s{i - 1}
+)""")
+        prev = f"s{i}"
+    return top + "".join(stages) + f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(w)) AS BIGINT) AS symbols_before,
+       CAST(sum(len(string_split(trim(sym), ' '))) AS BIGINT)
+         AS symbols_after,
+       round(CAST(sum(len(string_split(trim(sym), ' '))) AS BIGINT)
+             / CAST(sum(len(w)) AS BIGINT), 6) AS compression
+FROM {prev} GROUP BY source
+"""
+
+
+ORACLES["x_bpe_apply"] = _bpe_apply_oracle()
+
+
+def x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per source — the drift metric ML-ops
+    monitors compute between a candidate slice and the reference
+    population: bucket document lengths into fixed 200-char bins, compare
+    each source's bucket shares p against the corpus shares q, PSI =
+    Σ (p-q)·ln(p/q) with +1-count smoothing so empty buckets stay finite.
+    Shares come from exact counts; the ln/multiply tree is identical IEEE
+    both engines, rounded once. Plan: one (source, bucket) aggregate, the
+    corpus totals derived from it, one small join — drift at 100 TB costs
+    one aggregate pass."""
+    d = _docs(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("n_chars") / 200), F.lit(9)).cast("bigint")
+    sb = (d.groupBy("source", bucket.alias("bucket"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    # dense (source x bucket) grid so empty buckets participate smoothed
+    sources = sb.select("source").distinct()
+    buckets = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    grid = sources.crossJoin(buckets)
+    sbf = (grid.join(sb, ["source", "bucket"], "left")
+           .select("source", "bucket",
+                   F.coalesce("n", F.lit(0)).cast("bigint").alias("n")))
+    tot_src = sbf.groupBy("source").agg(F.sum("n").alias("n_src"))
+    corpus = sbf.groupBy("bucket").agg(F.sum("n").alias("n_corp"))
+    n_all = sbf.agg(F.sum("n").alias("n_all"))
+    j = (sbf.join(tot_src, "source").join(corpus, "bucket")
+         .crossJoin(F.broadcast(n_all)))
+    p = (F.col("n").cast("double") + 1.0) / (F.col("n_src").cast("double") + 10.0)
+    q = (F.col("n_corp").cast("double") + 1.0) / (F.col("n_all").cast("double") + 10.0)
+    term = (p - q) * F.log(p / q)
+    return (j.groupBy("source")
+            .agg(F.round(F.sum(term), 6).alias("psi"))
+            .withColumn("drifted", F.col("psi") > 0.2))
+
+
+QUERIES["x_psi_drift"] = x_psi_drift
+
+ORACLES["x_psi_drift"] = """
+WITH sb0 AS (
+  SELECT source, least(n_chars // 200, 9) AS bucket, count(*) AS n
+  FROM documents GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, b.bucket
+  FROM (SELECT DISTINCT source FROM sb0) s
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b
+), sbf AS (
+  SELECT g.source, g.bucket, CAST(coalesce(sb0.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN sb0 ON g.source = sb0.source AND g.bucket = sb0.bucket
+), ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM sbf GROUP BY 1),
+tc AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_corp FROM sbf GROUP BY 1),
+ta AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM sbf),
+j AS (
+  SELECT sbf.source,
+         (CAST(sbf.n AS DOUBLE) + 1.0) / (CAST(ts.n_src AS DOUBLE) + 10.0) AS p,
+         (CAST(tc.n_corp AS DOUBLE) + 1.0) / (CAST(ta.n_all AS DOUBLE) + 10.0) AS q
+  FROM sbf JOIN ts USING (source) JOIN tc USING (bucket) CROSS JOIN ta
+)
+SELECT source, round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((p - q) * ln(p / q)), 6) > 0.2 AS drifted
+FROM j GROUP BY source
+"""

@@ -46,6 +46,7 @@ NESTED_LOOP_OK = {
     "x_bloom_prune",            # 1-row Bloom bitmap broadcast by design
     "x_join_size_estimate",     # crossJoin of two 1-row report aggregates
     "x_ab_test",                # crossJoin of the two 1-row cohort frames
+    "x_psi_drift",              # dense grid + 1-row corpus-total broadcast
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

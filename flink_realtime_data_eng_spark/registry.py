@@ -6583,3 +6583,80 @@ SELECT source, round(sum((p - q) * ln(p / q)), 6) AS psi,
        round(sum((p - q) * ln(p / q)), 6) > 0.2 AS drifted
 FROM j GROUP BY source
 """
+
+
+def x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between src0's and src1's
+    document-length distributions — PSI's exact-statistic sibling: D =
+    max |ECDF1 - ECDF2|, computed in EXACT integer arithmetic (the max of
+    |c1·n2 - c2·n1| over observed points, divided once at the end), so
+    the statistic hash-matches across engines. One sort-free plan: both
+    ECDFs come from ONE cumulative window over the merged value set
+    (distinct lengths — bounded by value cardinality, not rows)."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir).filter(F.col("source").isin("src0", "src1"))
+    counts = (d.groupBy("n_chars",
+                        (F.col("source") == "src0").alias("is_a"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    per_val = (counts.groupBy("n_chars")
+               .agg(F.sum(F.when(F.col("is_a"), F.col("c")).otherwise(0))
+                     .alias("c1"),
+                    F.sum(F.when(~F.col("is_a"), F.col("c")).otherwise(0))
+                     .alias("c2")))
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+    cum = (per_val
+           .withColumn("f1", F.sum("c1").over(w).cast("bigint"))
+           .withColumn("f2", F.sum("c2").over(w).cast("bigint")))
+    tot = cum.agg(F.max("f1").alias("n1"), F.max("f2").alias("n2"))
+    j = cum.crossJoin(F.broadcast(tot))
+    num = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    stat = (j.agg(F.max(num).alias("max_num"),
+                  F.max("n1").alias("n1"), F.max("n2").alias("n2")))
+    d_stat = F.round(F.col("max_num").cast("double")
+                     / (F.col("n1").cast("double")
+                        * F.col("n2").cast("double")), 6)
+    crit = F.round(
+        F.lit(1.358) * F.sqrt((F.col("n1") + F.col("n2")).cast("double")
+                              / (F.col("n1") * F.col("n2")).cast("double")),
+        6)
+    return (stat.select(F.col("n1").cast("bigint").alias("n1"),
+                        F.col("n2").cast("bigint").alias("n2"),
+                        d_stat.alias("ks_d"), crit.alias("crit_05"))
+            .withColumn("reject_same_dist", F.col("ks_d") > F.col("crit_05")))
+
+
+QUERIES["x_ks_test"] = x_ks_test
+
+ORACLES["x_ks_test"] = """
+WITH d AS (
+  SELECT n_chars, source FROM documents WHERE source IN ('src0', 'src1')
+), pv AS (
+  SELECT n_chars,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM d GROUP BY 1
+), cum AS (
+  SELECT n_chars,
+         CAST(sum(c1) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+  FROM pv
+), tot AS (SELECT max(f1) AS n1, max(f2) AS n2 FROM cum),
+s AS (
+  SELECT CAST(max(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT) AS max_num,
+         CAST(max(t.n1) AS BIGINT) AS n1, CAST(max(t.n2) AS BIGINT) AS n2
+  FROM cum CROSS JOIN tot t
+)
+SELECT n1, n2,
+       round(CAST(max_num AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d,
+       round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                          / CAST(n1 * n2 AS DOUBLE)), 6) AS crit_05,
+       round(CAST(max_num AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+         > round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                              / CAST(n1 * n2 AS DOUBLE)), 6)
+         AS reject_same_dist
+FROM s
+"""

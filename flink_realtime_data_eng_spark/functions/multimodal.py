@@ -5,12 +5,16 @@ struct (mime, width/height, duration, …). Decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages — per-batch Python,
 never per-row — and are the ONLY sanctioned Python hot path in the engine.
 
-The image/audio codec libraries are not in this container, so the actual
-decode is stubbed: ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless the deterministic fake decoder is selected.
-Everything around the stub — schema, batch iteration, partition sizing,
-output contract — is real and tested; swapping in PIL/librosa later touches
-only ``_decode_payload``.
+The image/audio codec LIBRARIES are not in this container; general decode
+is stubbed: ``decode_image``/``decode_audio`` raise ``NotImplementedError``
+unless the deterministic fake decoder is selected. One format IS real:
+8-bit grayscale PNG encodes/decodes through the pure-stdlib codec in
+``functions.png`` (``encode_png_images``/``decode_png_stats`` below —
+signature, CRC-checked chunks, zlib scanlines, all five filter types),
+oracle-checked end to end by ``registry.x_png_decode``. Everything around
+the remaining stubs — schema, batch iteration, partition sizing, output
+contract — is real and tested; swapping in PIL/librosa later touches only
+``_decode_payload``.
 """
 
 from __future__ import annotations
@@ -238,3 +242,73 @@ def audio_energy(media: DataFrame, frame_samples: int = 32,
                                 "energy": pd.Series(es, dtype="int64")})
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+PNG_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("px_min", T.LongType()),
+    T.StructField("px_max", T.LongType()),
+    T.StructField("px_sum", T.LongType()),
+])
+
+
+def encode_png_images(pixels_df: DataFrame, id_col: str = "media_id",
+                      px_col: str = "pixels", width: int = 8,
+                      batch_hint: int = 1024) -> DataFrame:
+    """REAL image encode stage: turn per-row pixel arrays (row-major 8-bit
+    grayscale) into genuine PNG binary payloads via the pure-stdlib codec
+    (``functions.png``) — Arrow-batched mapInPandas, the same plumbing
+    contract as the feature extractor. Output: (id, payload binary,
+    mime). This removes the 'decode is only a stub' caveat for PNG: the
+    bytes on the wire are a real file format."""
+    from . import png as _png
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+    ])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for px in pdf[px_col]:
+                vals = [int(v) & 0xFF for v in px]
+                rows = [bytes(vals[r * width:(r + 1) * width])
+                        for r in range(len(vals) // width)]
+                payloads.append(_png.encode_gray(rows))
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "payload": payloads,
+                "mime": ["image/png"] * len(pdf),
+            })
+
+    return pixels_df.mapInPandas(encode, out_schema)
+
+
+def decode_png_stats(media: DataFrame, id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """REAL image decode stage: parse each PNG payload (chunk walk, CRC
+    check, inflate, un-filter) and emit exact pixel statistics — the
+    decode slot of the multimodal pipeline holding an actual decoder
+    instead of the deterministic fake. Unsupported profiles raise; they
+    do not silently produce wrong pixels."""
+    from . import png as _png
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "px_min", "px_max", "px_sum")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows = _png.decode_gray(bytes(payload))
+                flat = b"".join(rows)
+                out["media_id"].append(int(mid))
+                out["width"].append(len(rows[0]))
+                out["height"].append(len(rows))
+                out["px_min"].append(min(flat))
+                out["px_max"].append(max(flat))
+                out["px_sum"].append(sum(flat))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, PNG_STATS_SCHEMA)

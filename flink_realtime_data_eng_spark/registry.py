@@ -6660,3 +6660,43 @@ SELECT n1, n2,
          AS reject_same_dist
 FROM s
 """
+
+
+def x_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal with a REAL codec: deterministic 8x8 grayscale pixel
+    arrays (md5-derived per doc) encode to genuine PNG files (pure-stdlib
+    codec — signature, CRC-checked chunks, zlib scanlines) and decode
+    back through the Arrow-batched decode stage; the oracle recomputes
+    the pixel statistics directly from the generative definition, so
+    equality proves the encode→decode round trip through the actual file
+    format is the identity. PNG is the real path; other formats remain
+    documented stubs."""
+    from .functions.dedup import _md5_hash32
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (_md5_hash32(
+            "px", F.concat(F.col("media_id").cast("string"),
+                           F.lit(":"), i.cast("string"))) % 256)
+        .cast("int"))
+    pixels = d.withColumn("pixels", px)
+    media = multimodal.encode_png_images(pixels, width=8)
+    return multimodal.decode_png_stats(media)
+
+
+QUERIES["x_png_decode"] = x_png_decode
+
+_PX_H = _H32.format(
+    x="concat('px', ':', CAST(media_id AS VARCHAR), ':', CAST(i AS VARCHAR))")
+ORACLES["x_png_decode"] = f"""
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+px AS (
+  SELECT media_id, CAST({_PX_H} % 256 AS BIGINT) AS v
+  FROM ids CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+)
+SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max,
+       CAST(sum(v) AS BIGINT) AS px_sum
+FROM px GROUP BY media_id
+"""

@@ -261,3 +261,63 @@ def test_bpe_pair_counts_weighted_and_single_char_guard(spark):
     assert got["a b"] == (4, 1)
     assert got["b c"] == (1, 2)
     assert len(got) == 2
+
+
+def test_png_codec_roundtrip_all_encode_filters():
+    from flink_realtime_data_eng_spark.functions import png
+    rows = [bytes([(r * 31 + c * 7) % 256 for c in range(5)])
+            for r in range(4)]
+    for ftype in (0, 1, 2):
+        payload = png.encode_gray(rows, filter_type=ftype)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert png.decode_gray(payload) == rows
+
+
+def test_png_decoder_unfilters_average_and_paeth():
+    """Filters 3/4 never come out of our encoder; build the filtered
+    scanlines by hand (independent arithmetic) and require the decoder
+    to invert them."""
+    import struct
+    import zlib
+    from flink_realtime_data_eng_spark.functions import png
+    rows = [bytes([10, 20, 30]), bytes([40, 50, 60])]
+    raw = bytearray()
+    # row 0: Average filter (prev row = zeros)
+    raw.append(3)
+    prev = bytes(3)
+    out = []
+    for i, x in enumerate(rows[0]):
+        left = rows[0][i - 1] if i else 0
+        raw.append((x - (left + prev[i]) // 2) & 0xFF)
+    # row 1: Paeth filter
+    raw.append(4)
+    prev = rows[0]
+    for i, x in enumerate(rows[1]):
+        a = rows[1][i - 1] if i else 0
+        b = prev[i]
+        c = prev[i - 1] if i else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        raw.append((x - pred) & 0xFF)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    assert png.decode_gray(payload) == rows
+
+
+def test_png_decoder_rejects_corruption():
+    import pytest as _pytest
+    from flink_realtime_data_eng_spark.functions import png
+    payload = bytearray(png.encode_gray([bytes([1, 2, 3])]))
+    payload[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC|profile"):
+        png.decode_gray(bytes(payload))
+    with _pytest.raises(ValueError, match="signature"):
+        png.decode_gray(b"notapng" + bytes(payload))

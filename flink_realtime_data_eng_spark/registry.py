@@ -6700,3 +6700,97 @@ SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
        CAST(sum(v) AS BIGINT) AS px_sum
 FROM px GROUP BY media_id
 """
+
+
+def x_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch shaping: docs bucket by length (powers of two —
+    the padding-efficiency binning sequence batchers use), then pack into
+    fixed-size batches of 32 within each bucket (md5-deterministic order);
+    per batch: doc count and total tokens — the table a data loader reads
+    to schedule work. One bucket-keyed rank + one aggregate; bucket keys
+    spread the sort."""
+    from pyspark.sql import Window as W
+    from .functions.dedup import _md5_hash32
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(text.tokens("text")).cast("bigint").alias("n_tokens"))
+    bucket = F.pow(F.lit(2.0),
+                   F.ceil(F.log2(F.greatest(F.col("n_tokens"),
+                                            F.lit(1))))).cast("bigint")
+    w = W.partitionBy("bucket").orderBy(
+        _md5_hash32("batch", F.col("doc_id").cast("string")), "doc_id")
+    return (d.withColumn("bucket", bucket)
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn("batch_idx", ((F.col("rk") - 1) / 32)
+                        .cast("bigint"))
+            .groupBy("bucket", "batch_idx")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.max("n_tokens").cast("bigint").alias("max_tokens")))
+
+
+QUERIES["x_length_batching"] = x_length_batching
+
+_BH = _H32.format(x="concat('batch', ':', CAST(doc_id AS VARCHAR))")
+ORACLES["x_length_batching"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), b AS (
+  SELECT doc_id, n_tokens,
+         CAST(pow(2.0, ceil(log2(greatest(n_tokens, 1)))) AS BIGINT)
+           AS bucket,
+         {_BH} AS h
+  FROM d
+), r AS (
+  SELECT bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+  FROM b
+)
+SELECT bucket, CAST((rk - 1) // 32 AS BIGINT) AS batch_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM r GROUP BY 1, 2
+"""
+
+
+def x_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy mechanism demo: per-event-type counts with
+    Laplace(sensitivity/epsilon = 1/1) noise from the inverse CDF of a
+    DETERMINISTIC md5 uniform draw — testable (the oracle replays the
+    same draw) where true DP requires fresh randomness; the mechanism,
+    sensitivity reasoning, and post-processing shape are exactly what a
+    production release pipeline runs. Counts are 1-sensitive (one event
+    changes one count by 1); noise is added to the exact aggregate —
+    one hash aggregate, noise map-side on |types| rows."""
+    e = _events(spark, sf_dir)
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("n_true"))
+    from .functions.dedup import _md5_hash32
+    u = (_md5_hash32("dp", F.col("event_type"))
+         + F.lit(0.5)) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    noise = (-F.signum(centered)
+             * F.log(1.0 - 2.0 * F.abs(centered)))
+    return (c.withColumn("noisy_n",
+                         F.round(F.col("n_true") + noise, 6))
+            .select("event_type", "n_true", "noisy_n"))
+
+
+QUERIES["x_dp_counts"] = x_dp_counts
+
+_DPH = _H32.format(x="concat('dp', ':', event_type)")
+ORACLES["x_dp_counts"] = f"""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+  FROM events GROUP BY 1
+), u AS (
+  SELECT event_type, n_true,
+         ({_DPH} + 0.5) / 4294967296.0 - 0.5 AS centered
+  FROM c
+)
+SELECT event_type, n_true,
+       round(n_true + (-sign(centered) * ln(1.0 - 2.0 * abs(centered))), 6)
+         AS noisy_n
+FROM u
+"""

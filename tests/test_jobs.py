@@ -133,3 +133,14 @@ def test_course_use_case_job(spark, tmp_path):
     assert len(drows) == 40  # every event emits exactly one duration row
     for r in drows:
         assert (r["prev_action"] == "None") == (r["duration_ms"] == 0)
+
+
+def test_cli_list_and_run(spark, capsys):
+    """The `flink run --class <job>` analog: `python -m <pkg> <job>`.
+    list prints the job menu; a real job generates its fixture, runs to
+    completion under availableNow, and exits 0."""
+    from flink_realtime_data_eng_spark.__main__ import main
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "basic_streaming" in out and "course_use_case" in out
+    assert main(["keyed_stream", "--records", "5"]) == 0

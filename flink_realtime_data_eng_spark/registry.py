@@ -6794,3 +6794,68 @@ SELECT event_type, n_true,
          AS noisy_n
 FROM u
 """
+
+
+def x_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling ON THE STREAM: the md5 hash-draw filter
+    (functions.sketches.hash_sample) applied to the events replay — pure
+    map-side, so it runs identically in batch and streaming (the
+    batch/stream unification the DataFrame API promises); the kept set is
+    a pure function of the key, so replays, retries, and the batch oracle
+    all pick the same rows."""
+    from .functions.sketches import hash_sample
+    ev = _stream_events(spark, sf_dir)
+    out = hash_sample(ev.select("event_id", "user_id", "ts_ms"),
+                      "event_id", rate=0.2, prefix="evsample")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_sample_stream"] = x_sample_stream
+STREAMING_DEMOS.add("x_sample_stream")
+
+_ES_DRAW = (_H32.format(x="concat('evsample', ':', CAST(event_id AS VARCHAR))")
+            + " / 4294967296.0")
+ORACLES["x_sample_stream"] = f"""
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+FROM events WHERE {_ES_DRAW} < 0.2
+"""
+
+
+def x_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars maintained ON THE STREAM — x_ohlc_bars' one-aggregate
+    shape in update mode: per (event_type, hour), min_by/max_by on the
+    composite tick key revise open/close as ticks arrive; state is one
+    row per bar. The replay carries no value column, so the tick metric
+    is event_id (exact BIGINT, the j4 replay contract); the oracle is
+    the batch aggregate over the same columns."""
+    ev = _stream_events(spark, sf_dir)
+    e = ev.withColumn("tick", (F.col("ts_ms") * 1_000_000
+                               + F.col("event_id")).cast("bigint"))
+    hour = (F.floor(F.col("ts_ms") / 3_600_000) * 3_600_000).cast("bigint")
+    out = (e.groupBy("event_type", hour.alias("hour_ms"))
+           .agg(F.min_by("event_id", "tick").cast("bigint").alias("open_id"),
+                F.max("event_id").cast("bigint").alias("high_id"),
+                F.min("event_id").cast("bigint").alias("low_id"),
+                F.max_by("event_id", "tick").cast("bigint").alias("close_id"),
+                F.count(F.lit(1)).cast("bigint").alias("n_ticks")))
+    return _run_to_memory(out, spark, output_mode="complete")
+
+
+QUERIES["x_ohlc_stream"] = x_ohlc_stream
+STREAMING_DEMOS.add("x_ohlc_stream")
+
+ORACLES["x_ohlc_stream"] = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(epoch_ms(ts) * 1000000 + event_id AS BIGINT) AS tick
+  FROM events
+)
+SELECT event_type,
+       CAST((ts_ms // 3600000) * 3600000 AS BIGINT) AS hour_ms,
+       CAST(min_by(event_id, tick) AS BIGINT) AS open_id,
+       CAST(max(event_id) AS BIGINT) AS high_id,
+       CAST(min(event_id) AS BIGINT) AS low_id,
+       CAST(max_by(event_id, tick) AS BIGINT) AS close_id,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM e GROUP BY 1, 2
+"""

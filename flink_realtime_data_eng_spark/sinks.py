@@ -149,10 +149,18 @@ def manifest_file_sink(df: DataFrame, path: str, checkpoint: str,
             .outputMode("append"))
 
 
-def read_manifest(spark, path: str, fmt: str = "parquet") -> DataFrame:
+def read_manifest(spark, path: str, fmt: str = "parquet",
+                  as_of_batch: int | None = None) -> DataFrame:
     """Read exactly the committed output of :func:`manifest_file_sink`:
     the union of files named by published manifests. Staging files without
-    a manifest (in-flight or crashed batches) are invisible."""
+    a manifest (in-flight or crashed batches) are invisible.
+
+    ``as_of_batch`` is TIME TRAVEL on the commit log: read only batches
+    with id <= N — the state a reader saw right after batch N published.
+    Because batches are immutable once published (replays overwrite the
+    SAME staging dir and republish the SAME manifest), any historical
+    snapshot is reconstructible from the manifest set alone — the
+    mechanism Delta/Iceberg VERSION AS OF productionize."""
     import glob as _glob
     import json
     import os
@@ -160,9 +168,14 @@ def read_manifest(spark, path: str, fmt: str = "parquet") -> DataFrame:
     for m in sorted(_glob.glob(os.path.join(path, "_manifests", "*.json"))):
         with open(m) as fh:
             meta = json.load(fh)
+        if as_of_batch is not None and meta["batch_id"] > as_of_batch:
+            continue
         paths.extend(os.path.join(meta["dir"], f) for f in meta["files"])
     if not paths:
-        raise FileNotFoundError(f"no committed manifests under {path}")
+        raise FileNotFoundError(
+            f"no committed manifests under {path}"
+            + (f" with batch_id <= {as_of_batch}"
+               if as_of_batch is not None else ""))
     return spark.read.format(fmt).load(paths)
 
 

@@ -998,3 +998,28 @@ def test_jsonl_stream_parses_typed_rows(spark, tmp_path):
     _, result = _mem(spark, stream)
     assert sorted(tuple(r) for r in result.collect()) == [
         (1, "hello", 5), (2, "world", 7)]
+
+
+def test_manifest_time_travel(spark, tmp_path):
+    """as_of_batch reads the exact historical snapshot: batches are
+    immutable once published, so VERSION-AS-OF = filter the manifest set."""
+    import os
+    src, out = tmp_path / "ttsrc", str(tmp_path / "ttout")
+    src.mkdir()
+    (src / "a.csv").write_text('"1"\n"2"\n')
+    (src / "b.csv").write_text('"3"\n')
+    os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.csv", (1_700_000_001, 1_700_000_001))
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    stream = (spark.readStream.format("csv").schema(schema)
+              .option("maxFilesPerTrigger", 1).load(str(src)))
+    q = sinks.run_available_now(
+        sinks.manifest_file_sink(stream, out, str(tmp_path / "ttckpt")))
+    q.awaitTermination(120)
+    full = {r["v"] for r in sinks.read_manifest(spark, out).collect()}
+    assert full == {1, 2, 3}
+    asof0 = {r["v"] for r in
+             sinks.read_manifest(spark, out, as_of_batch=0).collect()}
+    assert asof0 == {1, 2}
+    with pytest.raises(FileNotFoundError):
+        sinks.read_manifest(spark, out, as_of_batch=-1)

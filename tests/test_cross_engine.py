@@ -1,0 +1,88 @@
+"""Cross-engine property tests: Spark operator vs its DuckDB oracle on
+RANDOM printable-ASCII corpora — not just the driver fixture. This is the
+hard test of the repo's oracle contract ("patterns kept to the syntax
+subset Java regex and RE2 agree on"): a regex-dialect divergence or a
+rounding-contract slip shows up here as a falsifying example long before
+a fixture regeneration would expose it."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from flink_realtime_data_eng_spark.functions import text as ftext
+
+# printable ASCII incl. the characters the normalizers treat specially
+# (spaces, '.', '#' appear often enough that runs like '...' and double
+# spaces occur naturally)
+_TEXTS = st.lists(
+    st.text(alphabet=list("abcXYZ019 .,#!?thendoisa "), min_size=0,
+            max_size=40),
+    min_size=1, max_size=6)
+
+_GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) > 0
+              THEN string_split_regex(trim(text), '\s+')
+              ELSE [] END AS w
+  FROM docs
+), feat AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+              AS BIGINT) AS sum_len,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym,
+         CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|is|a|in|that)\b')) AS BIGINT) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_words,
+       round(CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words
+                  ELSE 0.0 END, 6) AS mean_word_len,
+       round(CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words
+                  ELSE 0.0 END, 6) AS alpha_word_frac,
+       round(CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words
+                  ELSE 0.0 END, 6) AS symbol_word_ratio,
+       n_stop AS n_stopwords
+FROM feat
+"""
+
+
+@given(texts=_TEXTS)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gopher_features_match_duckdb_on_random_text(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_words"], r["mean_word_len"],
+         r["alpha_word_frac"], r["symbol_word_ratio"], r["n_stopwords"])
+        for r in ftext.gopher_rules(df).collect())
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(_GOPHER_SQL).fetchall()))
+    assert got == want
+
+
+@given(texts=_TEXTS)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fingerprint_matches_duckdb_on_random_text(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["doc_id"], r["fp"])
+                 for r in ftext.fingerprint(df).collect())
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+FROM docs""").fetchall()))
+    assert got == want

@@ -1023,3 +1023,41 @@ def test_manifest_time_travel(spark, tmp_path):
     assert asof0 == {1, 2}
     with pytest.raises(FileNotFoundError):
         sinks.read_manifest(spark, out, as_of_batch=-1)
+
+
+def test_zscore_state_survives_checkpoint_restart(spark, tmp_path):
+    """The (n, S, Q) state must flow through the state store across a
+    STOP and a fresh query start on the same checkpoint: the spike in
+    run 2 alerts against statistics accumulated in run 1, and run 2 does
+    not reprocess run 1's files."""
+    src, ckpt = tmp_path / "zsrc", tmp_path / "zck"
+    src.mkdir()
+    emitted: list[tuple] = []
+
+    def run_once():
+        stream = sources.file_csv_stream(spark, str(src), T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]))
+        out = stateful.zscore_alert_stream(stream, key="k", ts_ms="ts_ms",
+                                           id_col="event_id", value_col="v",
+                                           k2=4, min_obs=3)
+        q = (out.writeStream
+             .foreachBatch(lambda bdf, bid: emitted.extend(
+                 (r["ts_ms"], r["v"], r["n_prev"]) for r in bdf.collect()))
+             .outputMode("append").option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # Run 1: four stable observations, no alert possible.
+    (src / "a.csv").write_text(
+        "".join(f'"u","{100 + i}","{i}","10"\n' for i in range(4)))
+    run_once()
+    assert emitted == []
+    # Run 2: the spike alerts with n_prev == 4 — proof the first run's
+    # state (not a fresh counter) judged it.
+    (src / "b.csv").write_text('"u","200","9","500"\n')
+    run_once()
+    assert emitted == [(200, 500, 4)]

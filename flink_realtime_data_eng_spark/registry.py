@@ -6859,3 +6859,41 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_ticks
 FROM e GROUP BY 1, 2
 """
+
+
+def x_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel completion (view -> click -> purchase), greedy
+    first-touch, through a 2-long-per-key applyInPandasWithState machine:
+    each user's row emits the moment their purchase lands strictly after
+    their first qualifying click after their first view. Oracle = the
+    nested strictly-after-min chain in SQL — batch and stream
+    formulations of the same funnel must agree."""
+    from .streaming.stateful import funnel_stream
+    ev = _stream_events(spark, sf_dir)
+    out = funnel_stream(ev, ["view", "click", "purchase"], key="user_id",
+                        ts_ms="ts_ms", type_col="event_type",
+                        id_col="event_id")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_funnel_stream"] = x_funnel_stream
+STREAMING_DEMOS.add("x_funnel_stream")
+
+ORACLES["x_funnel_stream"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), s1 AS (
+  SELECT user_id, CAST(min(ts_ms) AS BIGINT) AS t1_ms
+  FROM e WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, CAST(min(ts_ms) AS BIGINT) AS t2_ms
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts_ms > t1_ms GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, CAST(min(ts_ms) AS BIGINT) AS t3_ms
+  FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts_ms > t2_ms GROUP BY 1
+)
+SELECT user_id, t1_ms, t2_ms, t3_ms
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+"""

@@ -552,3 +552,59 @@ def count_windows_stream(df: DataFrame, size: int, key: str = "user_id",
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
+
+
+def funnel_stream(df: DataFrame, steps: Sequence[str],
+                  key: str = "user_id", ts_ms: str = "ts_ms",
+                  type_col: str = "event_type",
+                  id_col: str = "event_id") -> DataFrame:
+    """Streaming funnel completion — first-touch semantics live: per key,
+    advance through ``steps`` greedily (step i converts on the first
+    qualifying event STRICTLY AFTER step i-1's conversion), emit one row
+    with every stage timestamp the moment the final step lands, then stop
+    tracking that key. The same greedy chain the batch
+    ``operators.funnel.funnel_counts`` computes with nested window mins —
+    the oracle proves the two formulations agree.
+
+    State per key: (stage, last_ts) — 2 longs regardless of stream
+    length or funnel depth beyond the emitted row buffer; completed keys
+    keep a terminal marker so replays can't double-emit.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    order = [ts_ms, id_col]
+    out_schema = T.StructType(
+        [_field(df, key)]
+        + [T.StructField(f"t{i + 1}_ms", T.LongType())
+           for i in range(len(steps))])
+    state_schema = T.StructType([
+        T.StructField("stage", T.LongType()),
+        T.StructField("ts_list", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        stage, ts_list = (state.get if state.exists else (0, []))
+        ts_list = list(ts_list or [])
+        out: list[tuple] = []
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else
+               (chunks[0] if chunks else pd.DataFrame(columns=order)))
+        if len(pdf) and stage < len(steps):
+            for row in pdf.sort_values(order).itertuples(index=False):
+                if stage >= len(steps):
+                    break
+                t = int(getattr(row, ts_ms))
+                if (getattr(row, type_col) == steps[stage]
+                        and (stage == 0 or t > ts_list[-1])):
+                    ts_list.append(t)
+                    stage += 1
+                    if stage == len(steps):
+                        out.append((key_tuple[0], *ts_list))
+        state.update((stage, ts_list))
+        cols = [key] + [f"t{i + 1}_ms" for i in range(len(steps))]
+        yield pd.DataFrame(out, columns=cols)
+
+    return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))

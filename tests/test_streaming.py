@@ -1061,3 +1061,35 @@ def test_zscore_state_survives_checkpoint_restart(spark, tmp_path):
     (src / "b.csv").write_text('"u","200","9","500"\n')
     run_once()
     assert emitted == [(200, 500, 4)]
+
+
+def test_funnel_stream_greedy_first_touch_across_batches(spark, tmp_path):
+    """Greedy funnel: step i converts on the FIRST qualifying event
+    strictly after step i-1; completion spanning micro-batches emits
+    exactly once; same-timestamp step events do not chain."""
+    import os
+    src = tmp_path / "fn"
+    src.mkdir()
+    # u1: view@10, click@10 (NOT > 10, ignored), click@20, purchase@30 ✓
+    # u2: view@10, purchase@20 (no click) — never completes
+    (src / "a.csv").write_text(
+        '"1","u1","view","10"\n"2","u1","click","10"\n'
+        '"3","u1","click","20"\n"4","u2","view","10"\n')
+    (src / "b.csv").write_text(
+        '"5","u1","purchase","30"\n"6","u2","purchase","20"\n')
+    os.utime(src / "a.csv", (1_800_000_000, 1_800_000_000))
+    os.utime(src / "b.csv", (1_800_000_001, 1_800_000_001))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    stream = sources.file_csv_stream(spark, str(src), schema,
+                                     max_files_per_trigger=1)
+    out = stateful.funnel_stream(stream, ["view", "click", "purchase"],
+                                 key="user_id")
+    _, result = _mem(spark, out)
+    rows = [(r["user_id"], r["t1_ms"], r["t2_ms"], r["t3_ms"])
+            for r in result.collect()]
+    assert rows == [("u1", 10, 20, 30)]

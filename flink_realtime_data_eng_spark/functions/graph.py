@@ -191,3 +191,42 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                           .cast("bigint").alias("score"))
                   .localCheckpoint(eager=True))
     return scores.select("node", F.col("score").alias("rank_i9"))
+
+
+def triangle_count(edges: DataFrame, src: str = "id_a",
+                   dst: str = "id_b") -> DataFrame:
+    """Global triangle count of the undirected graph — the clustering
+    statistic (together with CC and PageRank) that characterizes a
+    near-dup graph's shape: tight cliques (boilerplate families) vs
+    chains (drifting revisions).
+
+    Degree-ordered counting (the MapReduce-classic trick): orient every
+    edge from the LOWER (degree, id) endpoint to the higher, so each
+    triangle is counted exactly once at its lowest-ordered vertex and the
+    wedge-join fan-out is bounded by the max ORIENTED out-degree —
+    O(sqrt(|E|)) for any graph, versus the hub-quadratic blowup of naive
+    wedge counting on skewed graphs. Two equi-joins, no cartesian.
+
+    Returns one row: (n_triangles,).
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct())
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = sym.join(deg.withColumnRenamed("a", "a_k")
+                         .withColumnRenamed("deg", "deg_a"),
+                      F.col("a") == F.col("a_k")) \
+                .join(deg.withColumnRenamed("a", "b_k")
+                         .withColumnRenamed("deg", "deg_b"),
+                      F.col("b") == F.col("b_k"))
+    oriented = (ranked.filter(
+        (F.col("deg_a") < F.col("deg_b"))
+        | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))))
+        .select("a", "b"))
+    w1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    w2 = oriented.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    closing = oriented.select(F.col("a").alias("v"), F.col("b").alias("w")) \
+        .union(oriented.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    tri = wedges.join(closing.distinct(), ["v", "w"])
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

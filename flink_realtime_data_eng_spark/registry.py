@@ -6897,3 +6897,30 @@ WITH e AS (
 SELECT user_id, t1_ms, t2_ms, t3_ms
 FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
 """
+
+
+def x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the verified near-dup graph via degree-ordered
+    wedge counting — each triangle counted once at its lowest-ordered
+    vertex, wedge fan-out bounded by oriented out-degree (no hub
+    blowup). One row: n_triangles."""
+    from .functions import graph
+    pairs = dedup.neardup_pipeline(_docs(spark, sf_dir), num_hashes=16,
+                                   bands=4, n=3, threshold=0.5)
+    return graph.triangle_count(pairs)
+
+
+QUERIES["x_triangles"] = x_triangles
+
+ORACLES["x_triangles"] = f"""
+WITH cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a AS a, jac.id_b AS b FROM jac
+  JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.b = e2.a
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+"""

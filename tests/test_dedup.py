@@ -404,3 +404,17 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
         s = {n: 150000000 + (17 * inc[n]) // 20 for n in deg}
     assert got == s
     assert got[1] > got[2] == got[3] == got[4]
+
+
+def test_triangle_count_known_graphs(spark):
+    from flink_realtime_data_eng_spark.functions.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    # K4: C(4,3) = 4 triangles; path graph: none; triangle + dangler: 1.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert tri(k4) == 4
+    assert tri([(1, 2), (2, 3), (3, 4)]) == 0
+    assert tri([(1, 2), (2, 3), (1, 3), (3, 9)]) == 1

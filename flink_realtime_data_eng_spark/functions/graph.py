@@ -209,9 +209,16 @@ def triangle_count(edges: DataFrame, src: str = "id_a",
 
     Returns one row: (n_triangles,).
     """
+    # Materialize ONCE (the connected_components discipline): sym feeds
+    # the degree table and two join sides, and its lineage embeds whatever
+    # produced the edges (e.g. the whole LSH+Jaccard pipeline) — without
+    # this the edge computation re-runs per reference (measured: the
+    # un-checkpointed plan re-inlined the near-dup pipeline 8x, 201
+    # exchanges vs 2 after).
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-           .distinct())
+           .distinct()
+           .localCheckpoint(eager=True))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     ranked = sym.join(deg.withColumnRenamed("a", "a_k")
                          .withColumnRenamed("deg", "deg_a"),
@@ -222,7 +229,8 @@ def triangle_count(edges: DataFrame, src: str = "id_a",
     oriented = (ranked.filter(
         (F.col("deg_a") < F.col("deg_b"))
         | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))))
-        .select("a", "b"))
+        .select("a", "b")
+        .localCheckpoint(eager=True))
     w1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))
     w2 = oriented.select(F.col("a").alias("u"), F.col("b").alias("w"))
     wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))

@@ -6924,3 +6924,43 @@ FROM edges e1
 JOIN edges e2 ON e1.b = e2.a
 JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
 """
+
+
+def x_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup policy: a document survives only if BOTH the
+    text near-dup pass (MinHash-LSH → Jaccard → CC keep-one) and the
+    embedding SemDeDup pass keep its id — the union-of-drop-lists
+    composition real pipelines run, since lexical and semantic dedup
+    catch different duplicates. Both keep-lists are ids-only; the
+    composition is two anti-join-shaped intersections, corpus never
+    rescanned. Output: (doc_id, kept_text, kept_embedding, kept)."""
+    text_keep = dedup.neardup_keep(_docs(spark, sf_dir)).select(
+        F.col("doc_id"), F.lit(True).alias("kept_text"))
+    emb_keep = similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3,
+                                        num_planes=8).select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("kept_embedding"))
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return (ids.join(text_keep, "doc_id", "left")
+            .join(emb_keep, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("kept_text", F.lit(False)).alias("kept_text"),
+                    F.coalesce("kept_embedding", F.lit(False))
+                     .alias("kept_embedding"))
+            .withColumn("kept", F.col("kept_text") & F.col("kept_embedding")))
+
+
+QUERIES["x_joint_dedup"] = x_joint_dedup
+
+ORACLES["x_joint_dedup"] = f"""
+WITH tk AS (
+  SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
+), ek AS (
+  SELECT vec_id AS doc_id FROM ({ORACLES["x_semdedup_keep"]})
+)
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM tk) AS kept_text,
+       d.doc_id IN (SELECT doc_id FROM ek) AS kept_embedding,
+       (d.doc_id IN (SELECT doc_id FROM tk)
+        AND d.doc_id IN (SELECT doc_id FROM ek)) AS kept
+FROM documents d
+"""

@@ -6964,3 +6964,96 @@ SELECT d.doc_id,
         AND d.doc_id IN (SELECT doc_id FROM ek)) AS kept
 FROM documents d
 """
+
+
+def _events_csv_dir_arrival2(spark: SparkSession, sf_dir: str) -> str:
+    """Events replay split into exactly TWO files by simulated arrival
+    order (ts + the x_watermark_sweep jitter): file a = first half, file b
+    = second half, mtimes pinned so the file source forms batch 0 from a
+    and batch 1 from b under maxFilesPerTrigger=1 — the deterministic
+    two-batch replay that makes late-data capture oracle-checkable."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:arr2"
+                      .encode()).hexdigest()[:12]
+    out = os.path.join(_tempfile.gettempdir(), f"frde_events_arr2_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import duckdb
+        rows = duckdb.sql(f"""
+            SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+            FROM '{src}'
+            ORDER BY epoch_ms(ts)
+                     + (CAST(concat('0x', substring(md5(concat('arr', ':',
+                        CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                        % 7200000 - 3600000),
+                     event_id
+        """).fetchall()
+        os.makedirs(out, exist_ok=True)
+        half = (len(rows) + 1) // 2
+        for name, chunk, mt in [("a.csv", rows[:half], 1_700_000_000),
+                                ("b.csv", rows[half:], 1_700_000_001)]:
+            p = os.path.join(out, name)
+            with open(p, "w") as fh:
+                for r in chunk:
+                    fh.write(",".join("" if v is None else str(v)
+                                      for v in r) + "\n")
+            os.utime(p, (mt, mt))
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def x_late_capture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 oracle-checked END TO END: the jittered-arrival replay runs in
+    two deterministic micro-batches through LateDataCapture (bounded
+    out-of-orderness 60 s, full late set spilled to the parquet
+    dead-letter sink); the returned DataFrame is the dead-letter read.
+    Batch 1 establishes the watermark (max event time − 60 s); batch 2's
+    rows at or behind it are the late set — exactly what the oracle
+    computes from the same split. This promotes the reference's
+    sideOutputLateData (EventTimeOperations.java:148-176) from
+    pytest-only evidence to a driver-hash-checked row."""
+    from .streaming.watermark import LateDataCapture
+    from .sources import file_csv_stream
+    path = _events_csv_dir_arrival2(spark, sf_dir)
+    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False,
+                          max_files_per_trigger=1)
+          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    spill = _tempfile.mkdtemp(prefix="frde_late_spill_") + "/late"
+    ckpt = _tempfile.mkdtemp(prefix="frde_late_ckpt_")
+    cap = LateDataCapture("ts", delay_ms=60_000, spill_path=spill)
+    q = (ev.writeStream.foreachBatch(cap)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("late-capture replay did not finish")
+    if cap.late_count == 0:
+        return spark.createDataFrame(
+            [], "event_id long, user_id long, ts_ms long")
+    return (spark.read.parquet(spill)
+            .select("event_id", "user_id", "ts_ms"))
+
+
+QUERIES["x_late_capture_stream"] = x_late_capture_stream
+STREAMING_DEMOS.add("x_late_capture_stream")
+
+ORACLES["x_late_capture_stream"] = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) + {_ARR_J} AS arrival_key
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY arrival_key, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM e
+), wm AS (
+  SELECT max(ts_ms) - 60000 AS w FROM r WHERE rn <= (n + 1) // 2
+)
+SELECT event_id, user_id, ts_ms
+FROM r CROSS JOIN wm
+WHERE rn > (n + 1) // 2 AND ts_ms <= w
+"""

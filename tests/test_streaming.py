@@ -1093,3 +1093,37 @@ def test_funnel_stream_greedy_first_touch_across_batches(spark, tmp_path):
     rows = [(r["user_id"], r["t1_ms"], r["t2_ms"], r["t3_ms"])
             for r in result.collect()]
     assert rows == [("u1", 10, 20, 30)]
+
+
+def test_funnel_state_survives_checkpoint_restart(spark, tmp_path):
+    """Array-typed state (the funnel's ts_list) must round-trip the state
+    store across a stop/start: steps 1-2 convert in run 1, the final step
+    lands in run 2 and emits the FULL timestamp chain."""
+    src, ckpt = tmp_path / "fsrc", tmp_path / "fck"
+    src.mkdir()
+    emitted: list[tuple] = []
+
+    def run_once():
+        stream = sources.file_csv_stream(spark, str(src), T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]))
+        out = stateful.funnel_stream(stream, ["view", "click", "purchase"],
+                                     key="user_id")
+        q = (out.writeStream
+             .foreachBatch(lambda bdf, bid: emitted.extend(
+                 (r["user_id"], r["t1_ms"], r["t2_ms"], r["t3_ms"])
+                 for r in bdf.collect()))
+             .outputMode("append").option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    (src / "a.csv").write_text(
+        '"1","u","view","10"\n"2","u","click","20"\n')
+    run_once()
+    assert emitted == []
+    (src / "b.csv").write_text('"3","u","purchase","30"\n')
+    run_once()
+    assert emitted == [("u", 10, 20, 30)]

@@ -86,3 +86,23 @@ SELECT doc_id,
            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
 FROM docs""").fetchall()))
     assert got == want
+
+
+@given(texts=st.lists(
+    st.text(alphabet=list("the andqueloslaisder .!"), min_size=0,
+            max_size=50),
+    min_size=1, max_size=6))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_language_id_matches_duckdb_on_random_text(spark, texts):
+    """language_id is the regex-dialect-heaviest op (word-boundary
+    alternations per language); Java regex and RE2 must agree on the
+    marker counts AND the tie-broken argmax."""
+    from flink_realtime_data_eng_spark.registry import _language_oracle
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in ftext.language_id(df).collect())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(_language_oracle()).fetchall()))
+    assert got == want

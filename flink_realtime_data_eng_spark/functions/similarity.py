@@ -34,7 +34,14 @@ def _norm(v: str | Column) -> Column:
 
 
 def cosine(a: str | Column, b: str | Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity, zero-vector-safe: a zero-norm side scores 0.0
+    instead of tripping ANSI DIVIDE_BY_ZERO (hypothesis found the crash —
+    a corpus with one all-zero embedding would kill every cosine-based
+    pipeline). Fixture oracles are unaffected (no zero vectors there);
+    the 0.0 convention is also what a zero vector means for ranking:
+    similar to nothing."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

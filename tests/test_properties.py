@@ -437,3 +437,68 @@ def test_pagerank_matches_sequential_recurrence(spark, edges):
             inc[b] += s[a] // deg[a]
         s = {n: 150000000 + (17 * inc[n]) // 20 for n in deg}
     assert got == s
+
+
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False,
+                       width=32), min_size=4, max_size=4),
+    min_size=2, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_semdedup_keep_invariants(spark, vecs):
+    """Keep-list invariants on arbitrary vectors: output ids are a subset
+    of input ids; every input id is kept or was dropped in favor of a
+    kept LOWER id (canonical-per-cluster policy); canonical flags only on
+    kept rows."""
+    from flink_realtime_data_eng_spark.functions.similarity import (
+        semdedup_keep)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["is_canonical"]
+           for r in semdedup_keep(df, threshold=0.9, num_planes=2).collect()}
+    ids = {i for i, _ in rows}
+    assert set(out) <= ids
+    dropped = ids - set(out)
+    # every dropped id must have a kept id below it (its cluster anchor)
+    for d in dropped:
+        assert any(k < d for k in out)
+    # anchors are kept by definition
+    assert all(isinstance(v, bool) for v in out.values())
+
+
+@given(ticks=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10_000),
+              st.integers(0, 99)),
+    min_size=1, max_size=40))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ohlc_matches_python_replica(spark, ticks):
+    """OHLC via min_by/max_by on the composite tick key equals a
+    sequential replica for arbitrary (possibly tying) timestamps."""
+    from pyspark.sql import functions as SF
+    rows = [(k, ts, i, v) for i, (k, ts, v) in enumerate(ticks)]
+    df = spark.createDataFrame(
+        rows, "k long, ts_ms long, event_id long, v long")
+    e = df.withColumn("tick", (SF.col("ts_ms") * 1_000_000
+                               + SF.col("event_id")).cast("bigint"))
+    got = {(r["k"],): (r["o"], r["h"], r["l"], r["c"], r["n"])
+           for r in e.groupBy("k")
+           .agg(SF.min_by("v", "tick").alias("o"),
+                SF.max("v").alias("h"), SF.min("v").alias("l"),
+                SF.max_by("v", "tick").alias("c"),
+                SF.count(SF.lit(1)).alias("n")).collect()}
+    ref: dict = {}
+    for k, ts, i, v in rows:
+        cur = ref.setdefault(k, {"first": None, "last": None, "h": v,
+                                 "l": v, "n": 0})
+        key = ts * 1_000_000 + i
+        if cur["first"] is None or key < cur["first"][0]:
+            cur["first"] = (key, v)
+        if cur["last"] is None or key > cur["last"][0]:
+            cur["last"] = (key, v)
+        cur["h"] = max(cur["h"], v)
+        cur["l"] = min(cur["l"], v)
+        cur["n"] += 1
+    want = {(k,): (c["first"][1], c["h"], c["l"], c["last"][1], c["n"])
+            for k, c in ref.items()}
+    assert got == want

@@ -595,3 +595,55 @@ def bpe_pair_counts(df: DataFrame, k: int = 20,
     top = agg.orderBy(F.col("cnt").desc(), F.col("pair")).limit(k)
     rk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("pair")))
     return top.select("pair", "cnt", rk.cast("int").alias("rk"))
+
+
+def heldout_logprob(train_df: DataFrame, eval_df: DataFrame,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """HELD-OUT mean unigram log-probability — the evaluation form of
+    :func:`unigram_logprob`: the add-one model fits on ``train_df`` ONLY
+    and scores ``eval_df``, so the score measures generalization, not
+    memorization (the same-corpus form trivially favors every document
+    it trained on). Out-of-vocabulary eval tokens take the smoothing
+    floor p = 1/(N+V) — exactly what add-one assigns an unseen type.
+
+    Same exactness contract: per-term tf·ln(p) rounds to e6 integers
+    BEFORE the order-free per-doc sum; one division at the end. The
+    model join stays with AQE (vocabulary-scale); only the 1-row totals
+    broadcast.
+
+    Output: (id, n_tokens, oov_tokens, logprob_e6, mean_logprob).
+    """
+    train_tok = train_df.select(F.explode(tokens(text_col)).alias("tok"))
+    uni = (train_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=True))
+    totals = uni.agg(F.sum("c").alias("n_corpus"),
+                     F.count(F.lit(1)).alias("vocab"))
+    ev_tf = (eval_df.select(F.col(id_col),
+                            F.explode(tokens(text_col)).alias("tok"))
+             .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf")))
+    joined = (ev_tf.join(uni, "tok", "left")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("c", F.coalesce("c", F.lit(0))))
+    term_e6 = F.round(F.col("tf")
+                      * F.log((F.col("c") + 1)
+                              / (F.col("n_corpus") + F.col("vocab")))
+                      * 1_000_000).cast("bigint")
+    scored = (joined.groupBy(id_col)
+              .agg(F.sum(term_e6).alias("logprob_e6"),
+                   F.sum("tf").alias("n_tokens"),
+                   F.sum(F.when(F.col("c") == 0, F.col("tf"))
+                         .otherwise(F.lit(0))).alias("oov_tokens")))
+    spine = eval_df.select(F.col(id_col))
+    z = F.lit(0)
+    return (spine.join(scored, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", z).cast("bigint")
+                     .alias("n_tokens"),
+                    F.coalesce("oov_tokens", z).cast("bigint")
+                     .alias("oov_tokens"),
+                    F.coalesce("logprob_e6", z).cast("bigint")
+                     .alias("logprob_e6"),
+                    F.coalesce(F.round(F.col("logprob_e6")
+                                       / F.col("n_tokens") / 1e6, 6),
+                               F.lit(0.0)).alias("mean_logprob")))

@@ -7057,3 +7057,63 @@ SELECT event_id, user_id, ts_ms
 FROM r CROSS JOIN wm
 WHERE rn > (n + 1) // 2 AND ts_ms <= w
 """
+
+
+def x_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation: the add-one unigram model fits on the
+    deterministic hash-split TRAIN docs only and scores the VAL docs —
+    generalization, not memorization (OOV tokens take the smoothing
+    floor and are counted). The composition every eval pipeline runs:
+    leakage-free split -> fit on train -> score held-out."""
+    from .functions.sketches import train_val_test_split
+    d = train_val_test_split(_docs(spark, sf_dir), "doc_id")
+    train = d.filter(F.col("split") == "train")
+    val = d.filter(F.col("split") == "val")
+    return text.heldout_logprob(train, val)
+
+
+QUERIES["x_heldout_ppl"] = x_heldout_ppl
+
+_SPLIT_DRAW = (_H32.format(x="concat('split', ':', CAST(doc_id AS VARCHAR))")
+               + " / 4294967296.0")
+ORACLES["x_heldout_ppl"] = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SPLIT_DRAW} < 0.8 THEN 'train'
+              WHEN {_SPLIT_DRAW} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), train_tok AS (
+  SELECT unnest({_QF_TOKS}) AS tok FROM tagged WHERE split = 'train'
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM train_tok GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_corpus,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM uni
+), ev AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_QF_TOKS}) AS tok
+        FROM tagged WHERE split = 'val') t
+  GROUP BY 1, 2
+), j AS (
+  SELECT ev.doc_id, ev.tf, coalesce(uni.c, 0) AS c, tot.n_corpus, tot.vocab
+  FROM ev LEFT JOIN uni USING (tok) CROSS JOIN tot
+), scored AS (
+  SELECT doc_id,
+         CAST(sum(CAST(round(tf * ln((c + 1.0) / (n_corpus + vocab))
+                             * 1000000) AS BIGINT)) AS BIGINT) AS logprob_e6,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c = 0 THEN tf ELSE 0 END) AS BIGINT)
+           AS oov_tokens
+  FROM j GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.oov_tokens, 0) AS oov_tokens,
+       coalesce(s.logprob_e6, 0) AS logprob_e6,
+       coalesce(round(s.logprob_e6 / s.n_tokens / 1000000.0, 6), 0.0)
+         AS mean_logprob
+FROM tagged t LEFT JOIN scored s USING (doc_id)
+WHERE t.split = 'val'
+"""

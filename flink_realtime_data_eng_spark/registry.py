@@ -7117,3 +7117,34 @@ SELECT t.doc_id,
 FROM tagged t LEFT JOIN scored s USING (doc_id)
 WHERE t.split = 'val'
 """
+
+
+def x_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+P6 on the STREAM as one driver row: the side-output split
+    (purchases = 'main' lane keeping the full record shape, everything
+    else = 'side' lane as (user, 1)) and the CoMap-style re-merge into a
+    tagged common schema — one source scan, two filters, schema-normalized
+    union, exactly the declarative form of StreamSplitAndCombine.java's
+    ProcessFunction + OutputTag + connect/CoMap, running through the real
+    file-monitor replay."""
+    ev = _stream_events(spark, sf_dir)
+    main = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.lit("main").alias("lane"), "event_id", "user_id",
+                    "ts_ms"))
+    side = (ev.filter(F.col("event_type") != "purchase")
+            .select(F.lit("side").alias("lane"),
+                    F.lit(None).cast("bigint").alias("event_id"),
+                    "user_id", "ts_ms"))
+    return _run_to_memory(main.unionByName(side), spark)
+
+
+QUERIES["x_split_stream"] = x_split_stream
+STREAMING_DEMOS.add("x_split_stream")
+
+ORACLES["x_split_stream"] = """
+SELECT 'main' AS lane, event_id, user_id, epoch_ms(ts) AS ts_ms
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'side', NULL, user_id, epoch_ms(ts)
+FROM events WHERE event_type <> 'purchase'
+"""

@@ -106,3 +106,22 @@ def test_language_id_matches_duckdb_on_random_text(spark, texts):
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = sorted(map(tuple, con.execute(_language_oracle()).fetchall()))
     assert got == want
+
+
+@given(texts=st.lists(
+    st.text(alphabet=list("abcde  .x"), min_size=0, max_size=25),
+    min_size=1, max_size=5))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_pair_counts_match_duckdb_on_random_text(spark, texts):
+    """The vocab-compressed pair counting (normalize → word freq → char
+    pairs weighted by freq → ranked) must agree cross-engine including
+    the single-char-word guard and tie-ordering."""
+    from flink_realtime_data_eng_spark.registry import ORACLES
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in ftext.bpe_pair_counts(df, k=20).collect())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(ORACLES["x_bpe_merges"]).fetchall()))
+    assert got == want

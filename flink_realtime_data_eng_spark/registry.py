@@ -7148,3 +7148,44 @@ UNION ALL
 SELECT 'side', NULL, user_id, epoch_ms(ts)
 FROM events WHERE event_type <> 'purchase'
 """
+
+
+def x_union_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-SOURCE streaming union — the two-topics/two-landing-zones
+    pattern: two independent file-monitor sources (each watching one half
+    of the arrival-ordered replay via pathGlobFilter) union into a single
+    streaming query; the union of streams is itself a stream, and the
+    result equals the batch union of both halves. Each source keeps its
+    own discovery/offset log in the shared checkpoint."""
+    path = _events_csv_dir_arrival2(spark, sf_dir)
+
+    def half(glob: str) -> DataFrame:
+        from .operators.projections import schema_ddl
+        lines = (spark.readStream.format("text")
+                 .option("pathGlobFilter", glob).load(path))
+        return lines.select(F.from_csv(
+            "value", schema_ddl(_EVENTS_CSV_SCHEMA)).alias("r")).select("r.*")
+
+    a = half("a.csv").withColumn("src", F.lit("a"))
+    b = half("b.csv").withColumn("src", F.lit("b"))
+    out = a.unionByName(b).select("src", "event_id", "user_id", "ts_ms")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_union_stream"] = x_union_stream
+STREAMING_DEMOS.add("x_union_stream")
+
+ORACLES["x_union_stream"] = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) + {_ARR_J} AS arrival_key
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY arrival_key, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM e
+)
+SELECT CASE WHEN rn <= (n + 1) // 2 THEN 'a' ELSE 'b' END AS src,
+       event_id, user_id, ts_ms
+FROM r
+"""

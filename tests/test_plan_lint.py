@@ -48,6 +48,7 @@ NESTED_LOOP_OK = {
     "x_ab_test",                # crossJoin of the two 1-row cohort frames
     "x_psi_drift",              # dense grid + 1-row corpus-total broadcast
     "x_ks_test",                # 1-row (n1, n2) totals broadcast
+    "x_heldout_ppl",            # 1-row (N, V) model-totals broadcast
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

@@ -125,3 +125,22 @@ def test_bpe_pair_counts_match_duckdb_on_random_text(spark, texts):
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = sorted(map(tuple, con.execute(ORACLES["x_bpe_merges"]).fetchall()))
     assert got == want
+
+
+@given(texts=st.lists(
+    st.text(alphabet=list("ab c1 dd"), min_size=0, max_size=30),
+    min_size=1, max_size=5))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_entropy_matches_duckdb_on_random_text(spark, texts):
+    """Entropy mixes counts with ln — the float-tree contract (exact
+    integer counts, one identical IEEE expression, round 6) must hold on
+    arbitrary token distributions, not just the fixture's."""
+    from flink_realtime_data_eng_spark.registry import ORACLES
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in ftext.token_entropy(df).collect())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(ORACLES["x_token_entropy"]).fetchall()))
+    assert got == want

@@ -1155,3 +1155,39 @@ def test_manifest_sink_replay_is_idempotent(spark, tmp_path):
     data2 = sorted(r["v"] for r in sinks.read_manifest(spark, out).collect())
     assert manifests1 == manifests2
     assert data1 == data2 == [1, 2]
+
+
+def test_dynamic_sessions_state_survives_restart(spark, tmp_path):
+    """An OPEN session (start/last/gap/n state) must survive a stop and a
+    fresh start on the same checkpoint: events in run 2 extend the run-1
+    session, and the flush marker drains it with the combined count."""
+    src, ckpt = tmp_path / "dsrc", tmp_path / "dck"
+    src.mkdir()
+    emitted: list[tuple] = []
+
+    def run_once():
+        stream = sources.file_csv_stream(spark, str(src), T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("gap", T.LongType()),
+        ]))
+        out = stateful.dynamic_sessions_stream(stream, key="k",
+                                               ts_ms="ts_ms",
+                                               gap_col="gap",
+                                               id_col="event_id")
+        q = (out.writeStream
+             .foreachBatch(lambda bdf, bid: emitted.extend(
+                 (r["session_start_ms"], r["n_events"], r["last_ts_ms"])
+                 for r in bdf.collect()))
+             .outputMode("append").option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    (src / "a.csv").write_text('"u","0","1","100"\n"u","50","2","100"\n')
+    run_once()
+    assert emitted == []            # session still open
+    # ts 120 is within 50+100 -> extends the run-1 session; flush closes.
+    (src / "b.csv").write_text('"u","120","3","100"\n"u","999","9",""\n')
+    run_once()
+    assert emitted == [(0, 3, 120)]

@@ -19,6 +19,8 @@ import argparse
 import sys
 import tempfile
 
+from pyspark.sql import functions as F
+
 
 def _spark():
     from .session import get_spark
@@ -37,7 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     from . import generators, jobs
 
     job_names = ["basic_streaming", "keyed_stream", "split_and_combine",
-                 "stateful_operations", "course_use_case"]
+                 "stateful_operations", "course_use_case",
+                 "event_time_operations"]
     ap = argparse.ArgumentParser(prog="flink_realtime_data_eng_spark")
     ap.add_argument("job", choices=["list"] + job_names)
     ap.add_argument("--records", type=int, default=20,
@@ -66,6 +69,24 @@ def main(argv: list[str] | None = None) -> int:
         _run(jobs.split_and_combine(spark, in_dir))
     elif args.job == "stateful_operations":
         _run(jobs.stateful_operations(spark, in_dir))
+    elif args.job == "event_time_operations":
+        counts, cap = jobs.event_time_operations(spark, in_dir)
+        from .sinks import console_sink
+        # window counts to the console; the W3 capture judges the RAW
+        # record stream (it splits on each record's event time)
+        _run(console_sink(counts, output_mode="append"))
+        from . import sources
+        from .schemas import AUDIT_TRAIL
+        raw = sources.file_csv_stream(spark, in_dir, AUDIT_TRAIL) \
+            .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+        q = (raw.writeStream.foreachBatch(cap)
+             .option("checkpointLocation", f"{work}/etckpt")
+             .trigger(availableNow=True).start())
+        cap.bind(q)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("job did not finish in 300 s")
+        print(f"late rows captured: {cap.late_count}")
     elif args.job == "course_use_case":
         counts, durations = jobs.course_use_case(spark, in_dir)
         from .sinks import console_sink

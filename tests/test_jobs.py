@@ -144,3 +144,10 @@ def test_cli_list_and_run(spark, capsys):
     out = capsys.readouterr().out
     assert "basic_streaming" in out and "course_use_case" in out
     assert main(["keyed_stream", "--records", "5"]) == 0
+
+
+def test_cli_event_time_job(spark, capsys):
+    from flink_realtime_data_eng_spark.__main__ import main
+    assert main(["event_time_operations", "--records", "6"]) == 0
+    out = capsys.readouterr().out
+    assert "late rows captured:" in out

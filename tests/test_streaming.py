@@ -1191,3 +1191,40 @@ def test_dynamic_sessions_state_survives_restart(spark, tmp_path):
     (src / "b.csv").write_text('"u","120","3","100"\n"u","999","9",""\n')
     run_once()
     assert emitted == [(0, 3, 120)]
+
+
+def test_progress_capture_listener(spark, tmp_path):
+    """The ops metrics feed: one row per micro-batch with exact input-row
+    counts and batch ids (durations are wall-clock, asserted present)."""
+    import os
+    import time
+    from flink_realtime_data_eng_spark.streaming.metrics import (
+        ProgressCapture)
+    src = tmp_path / "pm"
+    src.mkdir()
+    (src / "a.csv").write_text('"1"\n"2"\n"3"\n')
+    (src / "b.csv").write_text('"4"\n')
+    os.utime(src / "a.csv", (1_800_000_000, 1_800_000_000))
+    os.utime(src / "b.csv", (1_800_000_001, 1_800_000_001))
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        stream = (spark.readStream.format("csv")
+                  .schema("v long").option("maxFilesPerTrigger", 1)
+                  .load(str(src)))
+        _, result = _mem(spark, stream)
+        assert result.count() == 4
+        # listener events are async; give the bus a moment to drain
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if sum(r["num_input_rows"] for r in cap.rows) >= 4:
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(cap)
+    by_batch = {r["batch_id"]: r["num_input_rows"] for r in cap.rows
+                if r["num_input_rows"] > 0}
+    assert by_batch == {0: 3, 1: 1}
+    df = cap.to_df(spark)
+    assert df.count() == len(cap.rows)
+    assert set(df.columns) >= {"batch_id", "num_input_rows", "duration_ms"}

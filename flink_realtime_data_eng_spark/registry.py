@@ -7189,3 +7189,53 @@ SELECT CASE WHEN rn <= (n + 1) // 2 THEN 'a' ELSE 'b' END AS src,
        event_id, user_id, ts_ms
 FROM r
 """
+
+
+def x_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining — the clickstream product question "which
+    event sequences do sessions actually follow": each (user, 1 h-gap)
+    session becomes its '>' -joined event-type path (deterministic
+    (ts, id) order via array_sort over structs — no ordered collect_list
+    races), then the top-10 paths by frequency. One session labeling
+    window + one path aggregate + TakeOrdered; path cardinality is
+    bounded by distinct behaviors, not sessions."""
+    labeled = windows.sessionize(
+        _events(spark, sf_dir).select("user_id", "event_type", "ts_ms",
+                                      "event_id"),
+        ["user_id"], "ts_ms", 3_600_000, order_by=["event_id"])
+    paths = (labeled.groupBy("user_id", "session_start_ms")
+             .agg(F.concat_ws(">", F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("ts_ms", "event_id", "event_type"))),
+                 lambda x: x["event_type"])).alias("path")))
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint")
+                                       .alias("n_sessions"))
+    return (counts.orderBy(F.col("n_sessions").desc(), F.col("path"))
+            .limit(10))
+
+
+QUERIES["x_path_mining"] = x_path_mining
+
+ORACLES["x_path_mining"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
+), lagd AS (
+  SELECT *, lag(ts_ms) OVER w AS prev_ts
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), isl AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 3600000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM lagd
+), paths AS (
+  SELECT user_id, island,
+         string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+  FROM isl GROUP BY 1, 2
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path
+)
+SELECT path, n_sessions FROM counts
+ORDER BY n_sessions DESC, path LIMIT 10
+"""

@@ -144,3 +144,24 @@ def test_token_entropy_matches_duckdb_on_random_text(spark, texts):
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = sorted(map(tuple, con.execute(ORACLES["x_token_entropy"]).fetchall()))
     assert got == want
+
+
+@given(texts=st.lists(
+    st.text(alphabet=list("aab bc c "), min_size=0, max_size=30),
+    min_size=1, max_size=5))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_features_match_duckdb_on_random_text(spark, texts):
+    """Repetition signals (dup-token/top-token/top-bigram fractions) mix a
+    window (bigrams via lead) with two-level aggregates — the dialect
+    agreement must hold on degenerate docs too (empty, one token, all
+    repeats)."""
+    from flink_realtime_data_eng_spark.registry import ORACLES
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 ftext.repetition_features(df).collect())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(ORACLES["x_repetition"]).fetchall()))
+    assert got == want

@@ -165,3 +165,35 @@ def test_repetition_features_match_duckdb_on_random_text(spark, texts):
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = sorted(map(tuple, con.execute(ORACLES["x_repetition"]).fetchall()))
     assert got == want
+
+
+@given(docs=st.lists(
+    st.tuples(st.text(alphabet=list("the cat a b "), min_size=0,
+                      max_size=30),
+              st.sampled_from(["s0", "s1"])),
+    min_size=1, max_size=8))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_calibration_matches_duckdb(spark, docs):
+    """percent_rank within source over the quality score: rank ties and
+    single-doc sources must agree cross-engine."""
+    from flink_realtime_data_eng_spark.registry import ORACLES
+    rows = [(i, t, s) for i, (t, s) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # inline the query body against the in-memory frame
+    from pyspark.sql import Window as W, functions as SF
+    qf = ftext.quality_features(df).select("doc_id", "quality_score")
+    j = df.select("doc_id", "source").join(qf, "doc_id")
+    w = W.partitionBy("source").orderBy("quality_score")
+    got = sorted(tuple(r) for r in
+                 (j.withColumn("pct_rank",
+                               SF.round(SF.percent_rank().over(w), 6))
+                  .withColumn("keep_top_half", SF.col("pct_rank") >= 0.5)
+                  .select("doc_id", "source", "quality_score", "pct_rank",
+                          "keep_top_half")).collect())
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    want = sorted(map(tuple,
+                      con.execute(ORACLES["x_quality_calibration"]).fetchall()))
+    assert got == want

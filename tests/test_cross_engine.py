@@ -197,3 +197,43 @@ def test_quality_calibration_matches_duckdb(spark, docs):
     want = sorted(map(tuple,
                       con.execute(ORACLES["x_quality_calibration"]).fetchall()))
     assert got == want
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(0, 2),                       # user
+              st.integers(0, 5000),                    # ts offset ms
+              st.sampled_from(["view", "click", "buy"])),
+    min_size=1, max_size=20))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_markov_transitions_match_duckdb(spark, events):
+    """Transition counting over (ts, id)-ordered per-user sequences with
+    duplicate timestamps must tie-break identically in both engines."""
+    import datetime
+    from pyspark.sql import Window as W, functions as SF
+    rows = [(u, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(milliseconds=ts), i, t)
+            for i, (u, ts, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    ).withColumn("ts_ms", SF.unix_millis("ts"))
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    t = (df.withColumn("next_type", SF.lead("event_type").over(w))
+         .filter(SF.col("next_type").isNotNull()))
+    counts = (t.groupBy(SF.col("event_type").alias("from_type"),
+                        SF.col("next_type").alias("to_type"))
+              .agg(SF.count(SF.lit(1)).alias("n")))
+    w2 = W.partitionBy("from_type")
+    got = sorted(tuple(r) for r in
+                 counts.withColumn("p", SF.round(SF.col("n")
+                                                 / SF.sum("n").over(w2), 6))
+                 .select("from_type", "to_type",
+                         SF.col("n").cast("bigint").alias("n"), "p")
+                 .collect())
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "event_type"]))
+    from flink_realtime_data_eng_spark.registry import ORACLES
+    want = sorted(map(tuple,
+                      con.execute(ORACLES["x_markov_transitions"]).fetchall()))
+    assert got == want

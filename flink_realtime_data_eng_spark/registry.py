@@ -7239,3 +7239,32 @@ WITH e AS (
 SELECT path, n_sessions FROM counts
 ORDER BY n_sessions DESC, path LIMIT 10
 """
+
+
+def x_dynsession_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions drained by EVENT-TIME TIMEOUT (the
+    GroupStateTimeout API, unused by every other machine): open sessions
+    register their deadline with the engine and fire when the watermark
+    passes it — the single global flush row advances the watermark, no
+    per-key sentinels (the production shape; compare x_dynsession_stream
+    which flushes per key). Same oracle as the batch gaps-and-islands
+    form: the two draining strategies must agree exactly."""
+    from .sources import file_csv_stream
+    from .streaming.stateful import dynamic_sessions_timeout_stream
+    path = _events_csv_dir_flush(spark, sf_dir)  # ONE global sentinel
+    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+          .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+          .withWatermark("ts", "0 seconds"))
+    gap = (F.when(F.col("event_type") == "click", F.lit(1_800_000))
+            .otherwise(F.lit(600_000)))
+    src = ev.select("user_id", "ts", "ts_ms", "event_id", gap.alias("gap"))
+    out = dynamic_sessions_timeout_stream(src, key="user_id", ts_col="ts",
+                                          ts_ms="ts_ms", gap_col="gap",
+                                          id_col="event_id")
+    res = _run_to_memory(out, spark)
+    return res.filter(F.col("user_id") >= 0)
+
+
+QUERIES["x_dynsession_timeout"] = x_dynsession_timeout
+STREAMING_DEMOS.add("x_dynsession_timeout")
+ORACLES["x_dynsession_timeout"] = ORACLES["x_dynamic_sessions"]

@@ -608,3 +608,78 @@ def funnel_stream(df: DataFrame, steps: Sequence[str],
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
+
+
+def dynamic_sessions_timeout_stream(df: DataFrame, key: str = "user_id",
+                                    ts_col: str = "ts",
+                                    ts_ms: str = "ts_ms",
+                                    gap_col: str = "gap",
+                                    id_col: str = "event_id") -> DataFrame:
+    """Dynamic-gap sessions drained by EVENT-TIME TIMEOUT — the arbitrary-
+    state feature the other machines don't use: instead of per-key flush
+    sentinels, each open session registers ``setTimeoutTimestamp(last +
+    gap)`` and the ENGINE calls the function with ``state.hasTimedOut``
+    once the watermark passes it (Spark's no-data micro-batch fires the
+    final timeouts under availableNow). One far-future row anywhere in
+    the stream advances the global watermark past every real deadline —
+    no per-key close signals needed, which is the 100 TB-correct shape
+    (a key-cardinality flush stage does not exist in production).
+
+    ``df`` must already carry ``withWatermark(ts_col, ...)``. Output:
+    (key, session_start_ms, n_events, last_ts_ms) — in-batch breaks emit
+    immediately, timed-out sessions emit when their deadline passes.
+    """
+    order = [ts_ms, id_col]
+    out_schema = T.StructType(
+        [_field(df, key),
+         T.StructField("session_start_ms", T.LongType()),
+         T.StructField("n_events", T.LongType()),
+         T.StructField("last_ts_ms", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("session_start", T.LongType()),
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_gap", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last_ts, last_gap, n = state.get
+            state.remove()
+            res = pd.DataFrame([(start, n, last_ts)],
+                               columns=["session_start_ms", "n_events",
+                                        "last_ts_ms"])
+            res.insert(0, key, key_tuple[0])
+            yield res
+            return
+        start, last_ts, last_gap, n = (state.get if state.exists
+                                       else (None, None, None, 0))
+        out: list[tuple] = []
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else
+               (chunks[0] if chunks else pd.DataFrame(columns=order)))
+        if len(pdf):
+            for row in pdf.sort_values(order).itertuples(index=False):
+                t = int(getattr(row, ts_ms))
+                g = int(getattr(row, gap_col))
+                if start is not None and t - last_ts > last_gap:
+                    out.append((start, n, last_ts))
+                    start, n = None, 0
+                if start is None:
+                    start = t
+                n, last_ts, last_gap = n + 1, t, g
+        if start is not None:
+            state.update((start, last_ts, last_gap, n))
+            # fire when the watermark passes the session deadline
+            state.setTimeoutTimestamp(last_ts + last_gap + 1)
+        elif state.exists:
+            state.remove()
+        res = pd.DataFrame(out, columns=["session_start_ms", "n_events",
+                                         "last_ts_ms"])
+        res.insert(0, key, key_tuple[0])
+        yield res
+
+    return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.EventTimeTimeout))

@@ -1228,3 +1228,38 @@ def test_progress_capture_listener(spark, tmp_path):
     df = cap.to_df(spark)
     assert df.count() == len(cap.rows)
     assert set(df.columns) >= {"batch_id", "num_input_rows", "duration_ms"}
+
+
+def test_dynamic_sessions_timeout_fires_on_watermark(spark, tmp_path):
+    """EventTimeTimeout: an open session fires when a LATER batch's
+    watermark passes its deadline — no per-key flush row, just one
+    far-future event under any other key."""
+    import os
+    src = tmp_path / "tds"
+    src.mkdir()
+    base = 1_700_000_000_000  # ts near epoch 0 would sit AT the initial
+    # watermark and be dropped as late by the stateful operator
+    (src / "a.csv").write_text(
+        f'"u","{base}","1","100"\n"u","{base + 50}","2","100"\n')
+    # zz's far-future row pushes the watermark past u's deadline.
+    (src / "b.csv").write_text(f'"zz","{base + 99999}","9","1"\n')
+    os.utime(src / "a.csv", (1_800_000_000, 1_800_000_000))
+    os.utime(src / "b.csv", (1_800_000_001, 1_800_000_001))
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("gap", T.LongType()),
+    ])
+    stream = (sources.file_csv_stream(spark, str(src), schema,
+                                      max_files_per_trigger=1)
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+              .withWatermark("ts", "0 seconds"))
+    out = stateful.dynamic_sessions_timeout_stream(
+        stream, key="k", ts_col="ts", ts_ms="ts_ms", gap_col="gap",
+        id_col="event_id")
+    _, result = _mem(spark, out)
+    got = sorted((r["k"], r["session_start_ms"] - base, r["n_events"],
+                  r["last_ts_ms"] - base) for r in result.collect()
+                 if r["k"] == "u")
+    assert got == [("u", 0, 2, 50)]

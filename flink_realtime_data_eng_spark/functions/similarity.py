@@ -429,3 +429,109 @@ def int8_rerank_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rk", F.row_number().over(w2))
             .filter(F.col("rk") <= k)
             .select("query_id", "vec_id", "coarse_dot", "score", "rk"))
+
+
+def _int_l2(a: str | Column, b: str | Column) -> Column:
+    """Exact squared-L2 distance between two BIGINT arrays (sequential fold;
+    every term is integer arithmetic, so the result is engine-independent)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def quantize_e6(vec: str | Column) -> Column:
+    """float array → e6 fixed-point BIGINT array (round half away from zero,
+    matching DuckDB's round(DOUBLE)). Shared by the deterministic IVF path
+    and its oracle convention."""
+    cv = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(
+        cv, lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"))
+
+
+def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   n_lists: int = 16, n_probe: int = 2, iters: int = 3,
+                   exclude_self: bool = True,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   query_id: str = "query_id") -> DataFrame:
+    """IVF ANN with a DETERMINISTIC, SQL-replayable trainer: integer Lloyd.
+
+    ``ivf_topk`` (above) trains with MLlib KMeans — fast, but float centroid
+    arithmetic has no DuckDB analog, so its oracle was rows-only. This
+    variant makes the whole operator hash-checkable (the x_pagerank recipe,
+    graph.py `pagerank`): vectors quantize to e6 BIGINT fixed-point, seeds
+    are the ``n_lists`` corpus vectors with the smallest
+    ``md5(cast(id as string))`` (a TakeOrdered, never a global sort), and a
+    FIXED number of Lloyd iterations runs in exact integer arithmetic —
+    squared-L2 in BIGINT, centroid update = elementwise ``sum div count``
+    (truncating division, identical in Spark `div` and DuckDB `//`), ties
+    broken (d2, cell). Every step is order-independent integer math, so
+    DuckDB replays the centroids bit-for-bit.
+
+    Scale shape (unchanged from ivf_topk): centroids are driver-small
+    (n_lists × dim ints) and collected once per iteration — the same
+    driver-sync KMeans itself pays; each assignment pass is a broadcast
+    crossJoin (corpus never shuffles during training, only the tiny
+    (cell, pos) partial sums do); the final search is an equi-join on
+    ``cell`` probing n_probe/n_lists of the corpus. At 100 TB one would
+    train on a sample exactly as with KMeans — parameterize upstream.
+
+    Output: query_id, vec_id, score (exact cosine within probed cells), rk.
+    """
+    spark = corpus.sparkSession
+    qv = corpus.select(F.col(id_col), F.col(vec_col),
+                       quantize_e6(vec_col).alias("q6"))
+    qv = qv.localCheckpoint(eager=True)  # reused every iteration + final scan
+
+    seeds = (qv.select("q6", F.md5(F.col(id_col).cast("string")).alias("h"),
+                       F.col(id_col))
+               .orderBy("h", id_col).limit(n_lists).collect())
+    cents = [(i, list(r["q6"])) for i, r in enumerate(seeds)]
+
+    dim = len(cents[0][1])
+    cent_schema = "cell INT, cvec ARRAY<BIGINT>"
+
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        return (qv.crossJoin(F.broadcast(cents_df))
+                  .withColumn("d2", _int_l2("q6", "cvec"))
+                  .groupBy(id_col)
+                  .agg(F.min_by("cell", F.struct("d2", "cell")).alias("cell")))
+
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(cents, cent_schema)
+        assigned = _assign(cents_df)
+        sums = (qv.join(assigned, id_col)
+                  .select("cell", F.posexplode("q6").alias("pos", "v"))
+                  .groupBy("cell", "pos")
+                  .agg(F.expr("sum(v) div count(*)").alias("m")))
+        new = {r["cell"]: r["cvec"] for r in
+               (sums.groupBy("cell")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                          .alias("pm"))
+                    .select("cell",
+                            F.transform("pm", lambda s: s["m"]).alias("cvec"))
+                    .collect())}
+        # A cell that lost all members keeps its previous centroid.
+        cents = [(c, list(new.get(c, old))) for c, old in cents]
+
+    cents_df = spark.createDataFrame(cents, cent_schema)
+    assigned = _assign(cents_df).join(qv.select(id_col, vec_col), id_col)
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"),
+                       quantize_e6(vec_col).alias("qq6"))
+    probed = (q.crossJoin(F.broadcast(cents_df))
+                .withColumn("d2", _int_l2("qq6", "cvec")))
+    w_probe = W.partitionBy(query_id).orderBy("d2", "cell")
+    probes = (probed.withColumn("pr", F.row_number().over(w_probe))
+              .filter(F.col("pr") <= n_probe)
+              .select(query_id, "q_vec", "cell"))
+
+    scored = assigned.join(probes, "cell")
+    if exclude_self:
+        scored = scored.filter(F.col(query_id) != F.col(id_col))
+    scored = scored.select(F.col(query_id), F.col(id_col),
+                           F.round(cosine("q_vec", vec_col), 6).alias("score"))
+    w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id, id_col, "score", "rk"))

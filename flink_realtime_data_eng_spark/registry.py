@@ -1150,13 +1150,18 @@ def x_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate ANN — rows-only check (KMeans cell assignment has no
-    SQL analog; exactness within probed cells is covered by pytest against
-    brute force)."""
+    """IVF approximate ANN, HASH-oracle-checked: the deterministic
+    integer-Lloyd trainer (``ivf_topk_exact``) replaces MLlib KMeans —
+    e6 fixed-point vectors, md5-ordered seeds, fixed iterations with
+    ``sum div count`` centroid updates — so DuckDB replays the centroids,
+    cells, probes, and final cosine ranking bit-for-bit (``_ivf_oracle``).
+    The MLlib-trained ``ivf_topk`` remains the production-speed variant,
+    pytest-checked against brute force."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ivf_topk(emb, q, k=5, n_lists=8, n_probe=2)
+    return similarity.ivf_topk_exact(emb, q, k=5, n_lists=8, n_probe=2,
+                                     iters=3)
 
 
 def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2474,6 +2479,82 @@ SELECT query_id, vec_id, score, rk FROM r WHERE rk <= {k}
 """
 
 
+def _ivf_oracle(k: int = 5, n_lists: int = 8, n_probe: int = 2,
+                iters: int = 3) -> str:
+    """Replays similarity.ivf_topk_exact bit-for-bit: e6 BIGINT vectors,
+    seeds = n_lists smallest md5(id), `iters` unrolled integer-Lloyd rounds
+    (assignment argmin ties (d2, cell); centroid update sum // count — DuckDB
+    `//` truncates toward zero exactly like Spark `div`; an emptied cell
+    keeps its previous centroid), then n_probe nearest cells per query and
+    exact cosine ranking inside them."""
+    d2 = ("list_sum(list_transform(list_zip({a}, {b}),"
+          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    parts = [f"""
+WITH qv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
+         q6 AS cvec
+  FROM qv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists}
+)"""]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, q6, cell FROM (
+    SELECT v.vec_id, v.q6, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
+    FROM qv v CROSS JOIN {prev} c) WHERE rn = 1
+),
+n{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cell, pos, sum(v) // count(*) AS m FROM (
+      SELECT cell, unnest(q6) AS v, unnest(range(len(q6))) AS pos FROM a{i})
+    GROUP BY cell, pos)
+  GROUP BY cell
+),
+c{i} AS (
+  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN n{i} n USING (cell)
+)""")
+    last = f"c{iters}"
+    parts.append(f""",
+fa AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
+    FROM qv v CROSS JOIN {last} c) WHERE rn = 1
+),
+pr AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {d2.format(a='q.q6', b='c.cvec')}, c.cell) AS rn
+    FROM qv q CROSS JOIN {last} c WHERE q.vec_id < 10) WHERE rn <= {n_probe}
+),
+s AS (
+  SELECT p.query_id, f.vec_id,
+         round({_cosine_sql('p.q_vec', 'f.embedding')}, 6) AS score
+  FROM pr p JOIN fa f USING (cell)
+  WHERE p.query_id <> f.vec_id
+)
+SELECT query_id, vec_id, score, rk FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s)
+WHERE rk <= {k}
+""")
+    return "".join(parts)
+
+
 _QF_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _QF_STOP = r"regexp_extract_all(lower(text), '\b(the|and|of|to|is|a|in|that)\b')"
 _QF_PUNCT = "regexp_extract_all(text, '[^a-zA-Z0-9 ]')"
@@ -3151,6 +3232,7 @@ SELECT label, count(*) AS n_vecs,
 FROM embeddings GROUP BY label
 """,
     "x_brute_force_topk": _brute_force_oracle(),
+    "x_ivf_topk": _ivf_oracle(k=5, n_lists=8, n_probe=2, iters=3),
     "x_embedding_neardup": f"""
 WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
 p AS (

@@ -34,7 +34,7 @@ def test_queries_and_oracles_are_consistent():
     assert set(oracles) <= set(qs)
     # every query is either oracle-checked or a documented rows-only op
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"x_ivf_topk", "x_hll_distinct", "x_approx_quantiles"}
+    assert rows_only <= {"x_hll_distinct", "x_approx_quantiles"}
 
 
 def test_ordering_puts_never_verified_first():

@@ -110,6 +110,43 @@ def test_ivf_topk_recovers_cluster_neighbors(spark):
     assert got == want
 
 
+def test_ivf_topk_exact_matches_brute_force_on_clusters(spark):
+    # Same cluster setup as the MLlib variant: integer Lloyd must land the
+    # same cells, so with n_probe=1 each query retrieves exactly its
+    # brute-force neighbors.
+    import random
+    rng = random.Random(7)
+    rows = []
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.1, 0.1) for v in c]))
+    corpus = _emb(spark, rows)
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ivf = similarity.ivf_topk_exact(corpus, q, k=5, n_lists=3, n_probe=1,
+                                    iters=3)
+    bf = similarity.brute_force_topk(corpus, q, k=5)
+    got = sorted((r["query_id"], r["rk"], r["vec_id"]) for r in ivf.collect())
+    want = sorted((r["query_id"], r["rk"], r["vec_id"]) for r in bf.collect())
+    assert got == want
+
+
+def test_ivf_topk_exact_is_deterministic_across_runs(spark):
+    # The whole point of the integer-Lloyd trainer: two runs (fresh plans,
+    # fresh seed collection) produce identical rankings AND scores.
+    rows = [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(8)])
+            for i in range(80)]
+    corpus = _emb(spark, rows)
+    q = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = sorted(map(tuple, similarity.ivf_topk_exact(
+        corpus, q, k=4, n_lists=4, n_probe=2, iters=2).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk_exact(
+        corpus, q, k=4, n_lists=4, n_probe=2, iters=2).collect()))
+    assert a == b
+
+
 def test_quantize_int8_roundtrip_and_zero_vector(spark):
     import hashlib
     from flink_realtime_data_eng_spark.functions.similarity import (

@@ -85,11 +85,20 @@ def main() -> None:
     # that cap and becomes unparseable. So: full detail to BENCH_DETAIL.json
     # (committed, referenced from BASELINE.md), compact group sums + failure
     # list on stdout.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump({"metric": "total_query_sec", "value": total, "unit": "sec",
-                   "queries": timings, "sf": sf}, f, indent=1, sort_keys=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = {"metric": "total_query_sec", "value": total, "unit": "sec",
+              "queries": timings, "sf": sf}
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-round snapshot so per-query diffs survive the overwrite (the r4
+    # verdict could not re-derive r3-vs-r4 ratios because only the latest
+    # detail existed). Round in progress = 1 + newest driver BENCH_r{N}.
+    import glob
+    rounds = [int(m.group(1)) for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    rnd = (max(rounds) if rounds else 0) + 1
+    with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     groups: dict[str, float] = {}
     n_fail = 0
     for name, t in timings.items():

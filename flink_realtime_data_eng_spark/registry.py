@@ -7350,3 +7350,147 @@ def x_dynsession_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_dynsession_timeout"] = x_dynsession_timeout
 STREAMING_DEMOS.add("x_dynsession_timeout")
 ORACLES["x_dynsession_timeout"] = ORACLES["x_dynamic_sessions"]
+
+
+def _policy_tables_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Dedup keep/drop-lists persisted ONCE per (corpus, params) — the
+    production layout (same pattern as ``_clusters_parquet_dir``): the
+    nightly dedup jobs write ids-only keep/drop tables; every policy
+    composition afterwards is a parquet scan + anti-join, never a
+    recompute of LSH/verify/CC. Tables written:
+
+    - ``text_keep``        (doc_id)  — lexical near-dup survivors
+    - ``emb_keep``         (doc_id)  — SemDeDup survivors
+    - ``containment_drop`` (doc_id)  — keep-first policy: in every
+      containment pair >= 0.5 the larger id drops (the contained copy of
+      an earlier doc)
+    - ``paragraph_drop``   (doc_id)  — docs where over half the 8-token
+      chunks already appeared earlier in the corpus (sub-document
+      duplication, the Dolma-style boilerplate rule); the comparison is
+      integer (2*n_kept < n_chunks), hash-stable cross-engine
+    """
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, "documents.parquet")
+    esrc = os.path.join(sf_dir, "embeddings.parquet")
+    st, se = os.stat(src), os.stat(esrc)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{se.st_size}:{se.st_mtime_ns}"
+        f":{os.getuid()}:policy_v1".encode()).hexdigest()[:12]
+    out = os.path.join(_tempfile.gettempdir(), f"frde_policy_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = _docs(spark, sf_dir)
+        dedup.neardup_keep(docs).select("doc_id") \
+            .write.mode("overwrite").parquet(os.path.join(out, "text_keep"))
+        similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3,
+                                 num_planes=8) \
+            .select(F.col("vec_id").alias("doc_id")) \
+            .write.mode("overwrite").parquet(os.path.join(out, "emb_keep"))
+        dedup.containment_pairs(docs, n=3, threshold=0.5) \
+            .select(F.col("id_b").alias("doc_id")).distinct() \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(out, "containment_drop"))
+        (docs.select("doc_id", F.expr(
+                "CAST((size(split(text, ' ')) + 7) DIV 8 AS BIGINT)")
+                .alias("n_chunks"))
+             .join(dedup.paragraph_dedup(docs, chunk_tokens=8)
+                   .select("doc_id", "n_kept"), "doc_id")
+             .filter(F.col("n_kept") * 2 < F.col("n_chunks"))
+             .select("doc_id")
+             .write.mode("overwrite")
+             .parquet(os.path.join(out, "paragraph_drop")))
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def x_joint_dedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_joint_dedup's answer from PERSISTED keep-lists: identical output
+    row-for-row, but both keep-lists come from parquet scans of the
+    once-written policy tables instead of re-running LSH+verify+CC and
+    SemDeDup inline per refresh — the x_dedup_report pattern applied to
+    the composition (the recompute form stays registered as x_joint_dedup
+    for cold-run parity). Ids-only joins; strategy left to AQE."""
+    import os
+    base = _policy_tables_dir(spark, sf_dir)
+    text_keep = (spark.read.parquet(os.path.join(base, "text_keep"))
+                 .withColumn("kept_text", F.lit(True)))
+    emb_keep = (spark.read.parquet(os.path.join(base, "emb_keep"))
+                .withColumn("kept_embedding", F.lit(True)))
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return (ids.join(text_keep, "doc_id", "left")
+            .join(emb_keep, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("kept_text", F.lit(False)).alias("kept_text"),
+                    F.coalesce("kept_embedding", F.lit(False))
+                     .alias("kept_embedding"))
+            .withColumn("kept", F.col("kept_text") & F.col("kept_embedding")))
+
+
+QUERIES["x_joint_dedup_persisted"] = x_joint_dedup_persisted
+ORACLES["x_joint_dedup_persisted"] = ORACLES["x_joint_dedup"]
+
+
+def x_full_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Dolma/FineWeb-style document-retention policy, composed
+    ids-only over the persisted policy tables: a doc survives only if it
+    (1) anchors/escapes lexical near-dup removal, (2) survives SemDeDup,
+    (3) is not the contained copy in any containment pair >= 0.5, and
+    (4) is not majority-duplicated at the 8-token-chunk level. Four
+    boolean lineage columns + the final verdict, so downstream sampling
+    can re-weight by drop reason. Corpus is scanned once (ids only);
+    every signal is a parquet-scan + hash-join of a duplicate-scale
+    table — the composition itself adds no LSH/CC work at any SF."""
+    import os
+    base = _policy_tables_dir(spark, sf_dir)
+
+    def _flag(sub: str, col: str) -> DataFrame:
+        return (spark.read.parquet(os.path.join(base, sub))
+                .withColumn(col, F.lit(True)))
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return (ids.join(_flag("text_keep", "kt"), "doc_id", "left")
+            .join(_flag("emb_keep", "ke"), "doc_id", "left")
+            .join(_flag("containment_drop", "dc"), "doc_id", "left")
+            .join(_flag("paragraph_drop", "dp"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("kt", F.lit(False)).alias("kept_text"),
+                F.coalesce("ke", F.lit(False)).alias("kept_embedding"),
+                (~F.coalesce("dc", F.lit(False))).alias("kept_containment"),
+                (~F.coalesce("dp", F.lit(False))).alias("kept_paragraph"))
+            .withColumn("kept",
+                        F.col("kept_text") & F.col("kept_embedding")
+                        & F.col("kept_containment")
+                        & F.col("kept_paragraph")))
+
+
+QUERIES["x_full_dedup_policy"] = x_full_dedup_policy
+
+ORACLES["x_full_dedup_policy"] = f"""
+WITH tk AS (
+  SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
+), ek AS (
+  SELECT vec_id AS doc_id FROM ({ORACLES["x_semdedup_keep"]})
+), cd AS (
+  SELECT DISTINCT id_b AS doc_id FROM ({ORACLES["x_containment_pairs"]})
+), pd AS (
+  SELECT p.doc_id
+  FROM ({ORACLES["x_paragraph_dedup"]}) p
+  JOIN (SELECT doc_id,
+               (len(string_split(text, ' ')) + 7) // 8 AS n_chunks
+        FROM documents) c ON p.doc_id = c.doc_id
+  WHERE p.n_kept * 2 < c.n_chunks
+)
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM tk) AS kept_text,
+       d.doc_id IN (SELECT doc_id FROM ek) AS kept_embedding,
+       d.doc_id NOT IN (SELECT doc_id FROM cd) AS kept_containment,
+       d.doc_id NOT IN (SELECT doc_id FROM pd) AS kept_paragraph,
+       (d.doc_id IN (SELECT doc_id FROM tk)
+        AND d.doc_id IN (SELECT doc_id FROM ek)
+        AND d.doc_id NOT IN (SELECT doc_id FROM cd)
+        AND d.doc_id NOT IN (SELECT doc_id FROM pd)) AS kept
+FROM documents d
+"""

@@ -418,3 +418,34 @@ def test_triangle_count_known_graphs(spark):
     assert tri(k4) == 4
     assert tri([(1, 2), (2, 3), (3, 4)]) == 0
     assert tri([(1, 2), (2, 3), (1, 3), (3, 9)]) == 1
+
+
+def test_joint_dedup_persisted_matches_recompute(spark):
+    # The persisted-keeplist composition must answer exactly what the
+    # inline recompute answers (same corpus, same params) — with a plan
+    # that reads parquet keep-lists instead of re-running LSH/CC/SemDeDup.
+    from flink_realtime_data_eng_spark import registry
+    sf = "/root/testdata/sf0.001"
+    live = sorted(map(tuple, registry.QUERIES["x_joint_dedup"](
+        spark, sf).collect()))
+    persisted = sorted(map(tuple, registry.QUERIES["x_joint_dedup_persisted"](
+        spark, sf).collect()))
+    assert live == persisted
+
+
+def test_full_dedup_policy_flag_consistency(spark):
+    # kept must equal the AND of the four lineage flags, every doc appears
+    # exactly once, and the policy is strictly at-most-as-permissive as the
+    # two-signal joint policy.
+    from flink_realtime_data_eng_spark import registry
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["x_full_dedup_policy"](spark, sf).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    for r in rows:
+        assert r["kept"] == (r["kept_text"] and r["kept_embedding"]
+                             and r["kept_containment"] and r["kept_paragraph"])
+    joint = {r["doc_id"]: r["kept"] for r in
+             registry.QUERIES["x_joint_dedup"](spark, sf).collect()}
+    for r in rows:
+        if r["kept"]:
+            assert joint[r["doc_id"]]

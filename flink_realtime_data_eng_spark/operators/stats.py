@@ -248,7 +248,8 @@ def global_prefix_sum(df: DataFrame, value_col: str, order_col: str,
 def global_prefix_max(df: DataFrame, value_col: str, order_col: str,
                       out_col: str = "running_max",
                       inclusive: bool = True,
-                      num_ranges: int = 32) -> DataFrame:
+                      num_ranges: int = 32,
+                      group_cols: Sequence[str] = ()) -> DataFrame:
     """Corpus-wide running maximum without a single-partition window — the
     prefix-MAX twin of :func:`global_prefix_sum` (max is associative and
     commutative, so the same two-phase shape applies): local running max
@@ -260,21 +261,35 @@ def global_prefix_max(df: DataFrame, value_col: str, order_col: str,
     before the current one, NULL for the global first row) — the form the
     event-time disorder profile needs (``x_disorder_stats``'s running-max
     regression at 100 TB). Requires ``order_col`` values unique.
+
+    ``group_cols`` gives the PER-GROUP running max with the identical
+    shape: range-partition by (group…, order) so each group's rows stay
+    contiguous across partitions, run the local window per
+    (partition, group), and compute each (partition, group) slice's start
+    offset from earlier slices of the SAME group. A plain
+    ``MAX OVER (PARTITION BY group ORDER BY …)`` funnels every group
+    through one task — fatal when a group is corpus-scale (five event
+    types over 100 TB); here the offsets window runs on the
+    (num_ranges × groups-per-boundary)-row totals frame, never the data.
     """
     from pyspark.sql import Window as W
-    ranged = (df.repartitionByRange(num_ranges, F.col(order_col))
+    gcols = [F.col(c) for c in group_cols]
+    ranged = (df.repartitionByRange(num_ranges, *gcols, F.col(order_col))
                 .withColumn("_pid", F.spark_partition_id()))
     upper = W.currentRow if inclusive else -1
-    w_local = (W.partitionBy("_pid").orderBy(order_col)
+    w_local = (W.partitionBy("_pid", *group_cols).orderBy(order_col)
                 .rowsBetween(W.unboundedPreceding, upper))
     local = ranged.withColumn("_local", F.max(value_col).over(w_local))
-    ptotals = (local.groupBy("_pid")
+    ptotals = (local.groupBy("_pid", *group_cols)
                .agg(F.min(order_col).alias("_min_key"),
                     F.max(value_col).alias("_pmax")))
     offsets = ptotals.withColumn(
         "_offset",
         F.max("_pmax").over(
-            W.orderBy("_min_key").rowsBetween(W.unboundedPreceding, -1)))
-    return (local.join(F.broadcast(offsets.select("_pid", "_offset")), "_pid")
+            W.partitionBy(*group_cols).orderBy("_min_key")
+             .rowsBetween(W.unboundedPreceding, -1)))
+    join_keys = ["_pid", *group_cols]
+    return (local.join(F.broadcast(offsets.select(*join_keys, "_offset")),
+                       join_keys)
             .withColumn(out_col, F.greatest("_local", "_offset"))
             .drop("_pid", "_local", "_offset"))

@@ -2071,16 +2071,25 @@ def x_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean regression). A stream with max_late_ms ≤ D is fully captured by
     ``withWatermark(ts, D)``.
 
-    The running max is a per-type ordered window at fixture scale; the
-    100 TB form swaps it for the two-phase prefix max
-    (operators/stats.py:global_prefix_sum's shape) — the lateness
-    arithmetic is unchanged."""
-    from pyspark.sql import Window as W
+    The running max is the grouped two-phase prefix max
+    (``stats.global_prefix_max(group_cols=["event_type"])``) — per-type
+    rows never funnel through one task, so the registered (and driver-
+    hash-checked) form IS the 100 TB shape. Set
+    ``SPARK_GRAFT_DISORDER_WINDOW=1`` to run the plain per-type ordered
+    window instead (the fixture-scale comparison form; identical output,
+    asserted by tests/test_scale_shapes.py)."""
+    import os as _os
     e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
-    w = (W.partitionBy("event_type").orderBy("event_id")
-         .rowsBetween(W.unboundedPreceding, -1))
-    late = (e.withColumn("prev_max", F.max("ts_ms").over(w))
-            .withColumn("late_ms",
+    if _os.environ.get("SPARK_GRAFT_DISORDER_WINDOW") == "1":
+        from pyspark.sql import Window as W
+        w = (W.partitionBy("event_type").orderBy("event_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+        late = e.withColumn("prev_max", F.max("ts_ms").over(w))
+    else:
+        late = stats.global_prefix_max(e, "ts_ms", "event_id",
+                                       out_col="prev_max", inclusive=False,
+                                       group_cols=["event_type"])
+    late = (late.withColumn("late_ms",
                         F.greatest(F.col("prev_max") - F.col("ts_ms"),
                                    F.lit(0)))
             .na.fill({"late_ms": 0}))

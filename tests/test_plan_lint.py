@@ -28,6 +28,8 @@ NESTED_LOOP_OK = {
     "q11_important_parts",      # 1-row total_e4 broadcast
     "q22_idle_rich_customers",  # 1-row stats broadcast
     "x_brute_force_topk",       # broadcast queries × corpus by design
+    "x_ivf_topk",               # n_lists-row centroid frame broadcast
+                                # (bounded trained artifact, never SF-scaled)
     "x_rag_retrieve",           # same brute-force retrieval stage inside
     "x_embedding_neardup",      # pairwise cosine on a bounded bucket
     "x_decontaminate",          # eval-set shingles broadcast (bounded)

@@ -603,3 +603,43 @@ def test_global_prefix_max_no_single_partition_data_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString() \
         .split("== Initial Plan ==")[0]
     assert plan.count("Exchange SinglePartition") == 1, plan[:600]
+
+
+def test_grouped_prefix_max_matches_window_and_stays_partitioned(spark):
+    """group_cols mode: per-group strict running max equals the per-group
+    ordered window exactly, with NO single-partition exchange anywhere —
+    the offsets window is partitioned by group over the totals frame, so
+    a corpus-scale group never funnels through one task. This is the
+    registered shape of x_disorder_stats."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as FF
+
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.range(0, 4000).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS g", "((id * 37) % 991) AS v")
+    out = stats.global_prefix_max(df, "v", "k", inclusive=False,
+                                  num_ranges=8, group_cols=["g"])
+    got = {r["k"]: r["running_max"] for r in out.collect()}
+    w = (W.partitionBy("g").orderBy("k")
+         .rowsBetween(W.unboundedPreceding, -1))
+    want = {r["k"]: r["m"] for r in
+            df.withColumn("m", FF.max("v").over(w)).collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan, plan[:600]
+
+
+def test_x_disorder_stats_scale_and_window_forms_agree(spark, monkeypatch):
+    """The SPARK_GRAFT_DISORDER_WINDOW=1 fallback (plain per-type window)
+    must answer exactly what the registered two-phase form answers."""
+    from flink_realtime_data_eng_spark import registry
+    sf = "/root/testdata/sf0.001"
+    scale = sorted(map(tuple,
+                       registry.QUERIES["x_disorder_stats"](spark, sf)
+                       .collect()))
+    monkeypatch.setenv("SPARK_GRAFT_DISORDER_WINDOW", "1")
+    window = sorted(map(tuple,
+                        registry.QUERIES["x_disorder_stats"](spark, sf)
+                        .collect()))
+    assert scale == window

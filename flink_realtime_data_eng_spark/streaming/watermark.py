@@ -140,3 +140,15 @@ class LateDataCapture:
         """Attach the running query so engine progress watermarks fold in."""
         self.query = query
         return query
+
+    def finalize(self) -> int:
+        """Fold the FINAL batch's engine watermark and persist it — call
+        after ``awaitTermination``. ``_fold_progress`` inside the batch
+        callback can only ever see the previous batch's progress (the
+        current batch's watermark is published after foreachBatch
+        returns), so without this a shutdown loses the last batch's
+        engine watermark and a restarted job re-admits rows that batch
+        had already sealed off. Returns the persisted watermark_ms."""
+        self._fold_progress()
+        self._persist()
+        return self._wm_ms

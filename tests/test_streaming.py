@@ -1263,3 +1263,62 @@ def test_dynamic_sessions_timeout_fires_on_watermark(spark, tmp_path):
                   r["last_ts_ms"] - base) for r in result.collect()
                  if r["k"] == "u")
     assert got == [("u", 0, 2, 50)]
+
+
+def test_late_capture_engine_watermark_folds_in_across_restart(spark, tmp_path):
+    """W3 restart rigor (r4 verdict task 6): the watermark that classifies
+    a post-restart row as late comes from the ENGINE's progress fold-in
+    (`bind` + lastProgress.eventTime.watermark), persisted via state_path —
+    not from the capture's own max(ts)-delay arithmetic, which is disabled
+    here by an astronomically large delay_ms. Kill the query, start a new
+    one with a FRESH capture object (a process restart as far as the
+    capture is concerned), and the persisted engine watermark must still
+    be the thing that routes the late row to the dead-letter store."""
+    src, ckpt = tmp_path / "fold_src", tmp_path / "fold_ckpt"
+    src.mkdir()
+    base = 1_700_000_000_000
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    state = tmp_path / "fold_wm.json"
+
+    def make_cap():
+        # delay_ms so large that max(ts) - delay is always negative: the
+        # capture's own arithmetic can NEVER advance the watermark, so any
+        # advance observable below is the engine fold-in path.
+        return watermark.LateDataCapture(
+            "ts", delay_ms=10 ** 15, state_path=str(state))
+
+    def run_once(cap):
+        stream = (sources.file_csv_stream(spark, str(src), schema,
+                                          max_files_per_trigger=1)
+                  .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+                  .withWatermark("ts", "0 seconds"))
+        q = (stream.writeStream.foreachBatch(cap).outputMode("append")
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        cap.bind(q)
+        q.awaitTermination(120)
+        cap.finalize()  # fold the FINAL batch's engine watermark
+
+    # Run 1, two single-file batches; the last batch's engine watermark
+    # (max ts of batch a, 0 s delay) reaches the state file via finalize().
+    (src / "a.csv").write_text(f'"u","{base}"\n"u","{base + 10_000}"\n')
+    (src / "b.csv").write_text(f'"u","{base + 20_000}"\n')
+    cap1 = make_cap()
+    run_once(cap1)
+    assert cap1.watermark_ms >= base + 10_000  # engine fold-in, not arithmetic
+    import json as _json
+    persisted = _json.loads(state.read_text())["watermark_ms"]
+    assert persisted == cap1.watermark_ms
+
+    # Restart: fresh capture, fresh query, same state file. A row at or
+    # below the persisted engine watermark must land in the late store.
+    (src / "c.csv").write_text(
+        f'"u","{base + 1_000}"\n"u","{base + 30_000}"\n')
+    cap2 = make_cap()
+    assert cap2.watermark_ms == persisted  # state restored before any batch
+    run_once(cap2)
+    assert [r["ts_ms"] for r in cap2.late_rows] == [base + 1_000]
+    assert cap2.late_count == 1

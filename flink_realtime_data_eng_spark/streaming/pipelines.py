@@ -107,7 +107,10 @@ def windowed_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
                        F.unix_millis(ts_col).alias("r_ts_ms")))
     joined = lw.join(rw, (F.col(key) == F.col(f"r_{key}"))
                      & (F.col("w") == F.col("r_w")), how)
-    if how == "leftSemi":
+    # Spark accepts 'leftSemi' / 'left_semi' / 'semi' as aliases; normalize
+    # before branching so every spelling takes the left-columns-only select
+    # (a semi join produces no r_* columns for the 4-column select below).
+    if how.replace("_", "").lower() in ("leftsemi", "semi"):
         # Semi join keeps only left columns: each left row emits at most
         # once, as soon as any match arrives — existence, not pairing, so
         # no per-match state blowup on hot keys and no watermark wait for

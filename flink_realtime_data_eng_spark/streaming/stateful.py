@@ -662,13 +662,20 @@ def dynamic_sessions_timeout_stream(df: DataFrame, key: str = "user_id",
         if len(pdf):
             for row in pdf.sort_values(order).itertuples(index=False):
                 t = int(getattr(row, ts_ms))
-                g = int(getattr(row, gap_col))
+                g = getattr(row, gap_col)
                 if start is not None and t - last_ts > last_gap:
                     out.append((start, n, last_ts))
                     start, n = None, 0
+                if pd.isna(g):
+                    # Watermark-only flush marker (null gap): closes any
+                    # in-batch-expired session above but must NOT open a
+                    # session of its own — otherwise the far-future sentinel
+                    # registers a timeout the watermark can never pass and
+                    # leaks one state row per sentinel key.
+                    continue
                 if start is None:
                     start = t
-                n, last_ts, last_gap = n + 1, t, g
+                n, last_ts, last_gap = n + 1, t, int(g)
         if start is not None:
             state.update((start, last_ts, last_gap, n))
             # fire when the watermark passes the session deadline

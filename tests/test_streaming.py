@@ -856,6 +856,38 @@ def test_windowed_join_stream_left_semi(spark, tmp_path):
             for r in rows] == [(0, 1000)]
 
 
+def test_windowed_join_stream_semi_aliases(spark, tmp_path):
+    """Spark's 'left_semi' / 'semi' spellings must take the same
+    left-columns-only branch as 'leftSemi' — before normalization they
+    executed the semi join but then failed the 4-column select on r_*
+    columns a semi join never produces."""
+    base = 1_700_000_000_000
+    for i, how in enumerate(["left_semi", "semi"]):
+        left_dir = tmp_path / f"sl{i}"
+        right_dir = tmp_path / f"sr{i}"
+        left_dir.mkdir(), right_dir.mkdir()
+        (left_dir / "a.csv").write_text(
+            f'"u","{base + 1000}"\n"u","{base + 6000}"\n')
+        (right_dir / "a.csv").write_text(f'"u","{base + 2000}"\n')
+        schema = T.StructType([
+            T.StructField("user", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ])
+
+        def stream(d):
+            return (sources.file_csv_stream(spark, str(d), schema)
+                    .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+                    .drop("ts_ms"))
+
+        joined = pipelines.windowed_join(stream(left_dir), stream(right_dir),
+                                         key="user", ts_col="ts",
+                                         size="5 seconds", how=how)
+        _, result = _mem(spark, joined)
+        assert "r_ts_ms" not in result.columns
+        assert [(r["window_start_ms"] - base, r["l_ts_ms"] - base)
+                for r in result.collect()] == [(0, 1000)]
+
+
 def test_incremental_rollup_matches_batch_aggregate(spark, tmp_path):
     """MV maintenance is batching-invariant: replaying the input as TWO
     files (two micro-batch merges under maxFilesPerTrigger=1) yields
@@ -1262,6 +1294,42 @@ def test_dynamic_sessions_timeout_fires_on_watermark(spark, tmp_path):
     got = sorted((r["k"], r["session_start_ms"] - base, r["n_events"],
                   r["last_ts_ms"] - base) for r in result.collect()
                  if r["k"] == "u")
+    assert got == [("u", 0, 2, 50)]
+
+
+def test_dynamic_sessions_timeout_null_gap_is_watermark_only(spark, tmp_path):
+    """A null-gap row is a watermark-only flush marker, exactly as in
+    dynamic_sessions_stream: it advances event time (firing u's timeout)
+    but must not open a session of its own — previously int(NaN) raised
+    and, had it not, the sentinel would leak one forever-pending state
+    row (its timeout sits past any reachable watermark)."""
+    import os
+    src = tmp_path / "tdn"
+    src.mkdir()
+    base = 1_700_000_000_000
+    (src / "a.csv").write_text(
+        f'"u","{base}","1","100"\n"u","{base + 50}","2","100"\n')
+    # null gap (empty CSV field) on the far-future watermark carrier
+    (src / "b.csv").write_text(f'"zz","{base + 99999}","9",\n')
+    os.utime(src / "a.csv", (1_800_000_000, 1_800_000_000))
+    os.utime(src / "b.csv", (1_800_000_001, 1_800_000_001))
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("gap", T.LongType()),
+    ])
+    stream = (sources.file_csv_stream(spark, str(src), schema,
+                                      max_files_per_trigger=1)
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+              .withWatermark("ts", "0 seconds"))
+    out = stateful.dynamic_sessions_timeout_stream(
+        stream, key="k", ts_col="ts", ts_ms="ts_ms", gap_col="gap",
+        id_col="event_id")
+    _, result = _mem(spark, out)
+    got = sorted((r["k"], r["session_start_ms"] - base, r["n_events"],
+                  r["last_ts_ms"] - base) for r in result.collect())
+    # u's session fired via the timeout; zz opened NOTHING.
     assert got == [("u", 0, 2, 50)]
 
 

@@ -359,6 +359,71 @@ def approx_distinct_per_group(df: DataFrame, group: str, col: str,
               .orderBy(group))
 
 
+def hll_portable(df: DataFrame, group: str, col: str, p: int = 10,
+                 prefix: str = "hll") -> DataFrame:
+    """Engine-portable HyperLogLog per group — same register/estimator
+    math as Flajolet et al. (AofA 2007), but built from the repo's
+    md5-derived 32-bit hash so the SKETCH ITSELF (not just the estimate)
+    is a pure function of the data, reproducible bit-for-bit in any
+    engine with md5 — unlike :func:`approx_distinct_per_group`, whose
+    HLL++ registers are Spark-private and therefore rows-only in the
+    correctness gate. A persisted sketch built here can be merged or
+    re-estimated by DuckDB/Trino/anything, which is what you want for a
+    100 TB pipeline that stores per-partition sketches and folds them
+    later.
+
+    Register construction on a 32-bit hash h with 2**p buckets:
+    bucket = h >> (32-p); w = h mod 2**(32-p);
+    rho(w) = leading-zeros(w)+1 = (32-p) - length(bin(w)) + 1 for w>0
+    (``bin``/``length`` exist in both Spark and DuckDB and are exact —
+    no float log2 at the register level), else (32-p)+1.
+    Estimator: alpha_m * m^2 / Z with Z = sum(2^-reg) + (m - V) over the
+    V non-empty registers; small-range (linear counting) correction
+    m*ln(m/zeros) when raw <= 2.5m and zeros exist. Z is computed SCALED
+    BY 2^(33-p) so every term 2^(33-p-reg) is a plain BIGINT — the whole
+    denominator is exact integer arithmetic folded by shiftleft/sum, and
+    the estimate is one correctly-rounded IEEE division. The only libm
+    call is the linear-counting ln, shared behavior the logprob/entropy
+    oracles already rely on; the output rounds to 6 dp.
+
+    Plan shape: narrow hash projection → groupBy(group, bucket) max
+    (partial map-side; at most m registers per group survive to the
+    shuffle regardless of input rows) → per-group fold of ≤ m rows.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    m = 1 << p
+    wbits = 32 - p
+    wspace = 1 << wbits
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = _md5_hash32(prefix, F.col(col).cast("string"))
+    regs = (df.where(F.col(col).isNotNull())
+              .select(F.col(group),
+                      (h / F.lit(wspace)).cast("bigint").alias("bucket"),
+                      (h % F.lit(wspace)).alias("w"))
+              .withColumn("rho",
+                          F.when(F.col("w") == 0, F.lit(wbits + 1))
+                           .otherwise(F.lit(wbits + 1)
+                                      - F.length(F.bin(F.col("w")))))
+              .groupBy(group, "bucket")
+              .agg(F.max("rho").alias("reg")))
+    shift = wbits + 1  # scale: 2^-reg * 2^shift = 2^(shift-reg) >= 1, integer
+    per_group = (regs.groupBy(group)
+                 .agg(F.count(F.lit(1)).alias("v_nonzero"),
+                      F.sum(F.expr(f"CAST(shiftleft(1, {shift} - reg) "
+                                   "AS BIGINT)")).alias("z_scaled")))
+    zeros = F.lit(m) - F.col("v_nonzero")
+    denom = F.col("z_scaled") + zeros * F.lit(1 << shift)  # exact BIGINT
+    raw = F.lit(float(alpha * m * m * (1 << shift))) / denom
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m))
+                                         / zeros.cast("double"))) \
+           .otherwise(raw)
+    return (per_group.select(group, "v_nonzero",
+                             F.round(est, 6).alias("hll_est"))
+                     .orderBy(group))
+
+
 def approx_group_quantiles(df: DataFrame, group: str, col: str,
                            probabilities: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
                            accuracy: int = 10_000) -> DataFrame:

@@ -7503,3 +7503,59 @@ SELECT d.doc_id,
         AND d.doc_id NOT IN (SELECT doc_id FROM pd)) AS kept
 FROM documents d
 """
+
+
+def x_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct users per event type: unlike
+    x_hll_distinct (Spark-private HLL++ registers, rows-only), this
+    sketch is md5-derived so registers AND estimate reproduce bit-for-bit
+    in DuckDB — the hash-checked form of the mergeable-sketch path a
+    100 TB pipeline uses to persist per-partition sketches for later
+    cross-engine folding. Register table is bounded by m=1024 rows per
+    group no matter the input size."""
+    return sketches.hll_portable(_events(spark, sf_dir),
+                                 "event_type", "user_id", p=10)
+
+
+QUERIES["x_hll_portable"] = x_hll_portable
+
+# Constants mirrored exactly from sketches.hll_portable(p=10): m=1024,
+# wbits=22, shift=23; the scaled-alpha numerator is embedded via repr()
+# so both engines parse the identical binary64.
+_HLL_M = 1024
+_HLL_SHIFT = 23
+_HLL_NUM = repr(0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+                * (1 << _HLL_SHIFT))
+
+ORACLES["x_hll_portable"] = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substring(md5(concat('hll', ':',
+              CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), b AS (
+  SELECT event_type, h // 4194304 AS bucket, h % 4194304 AS w FROM h
+), r AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN w = 0 THEN 23
+                  ELSE 23 - length(bin(w)) END) AS reg
+  FROM b GROUP BY 1, 2
+), g AS (
+  SELECT event_type, COUNT(*) AS v_nonzero,
+         SUM(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - reg)) AS z_scaled
+  FROM r GROUP BY 1
+), e AS (
+  SELECT event_type, v_nonzero,
+         {_HLL_NUM} / (z_scaled + ({_HLL_M} - v_nonzero)
+                       * CAST(1 AS BIGINT) * {1 << _HLL_SHIFT}) AS raw,
+         {_HLL_M} - v_nonzero AS zeros
+  FROM g
+)
+SELECT event_type, v_nonzero,
+       ROUND(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                  THEN {float(_HLL_M)} * ln({float(_HLL_M)}
+                                            / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS hll_est
+FROM e
+ORDER BY event_type
+"""

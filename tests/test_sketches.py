@@ -429,3 +429,43 @@ def test_cms_inner_product_never_underestimates(spark):
                                    cms_sketch(b, "k", depth=2, width=2)
                                    ).collect()[0]["cms_est"]
     assert est_narrow >= exact
+
+
+def test_hll_portable_small_range_is_near_exact(spark):
+    """Tiny cardinalities take the linear-counting branch and land within
+    a fraction of a count of exact."""
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)], "g string, v int")
+    row = sketches.hll_portable(df, "g", "v", p=10).collect()[0]
+    assert row["v_nonzero"] == 7
+    assert abs(row["hll_est"] - 7) < 0.5
+
+
+def test_hll_portable_estimate_accuracy(spark):
+    """p=10 (m=1024) HLL has ~1.04/sqrt(m) ≈ 3.3% relative error;
+    allow 4 sigma on a 20k-distinct input."""
+    n = 20_000
+    df = spark.range(n).select(F.lit("g").alias("g"),
+                               F.col("id").alias("v"))
+    row = sketches.hll_portable(df, "g", "v", p=10).collect()[0]
+    assert abs(row["hll_est"] - n) / n < 0.14
+
+
+def test_hll_portable_duplicates_dont_move_the_sketch(spark):
+    """The sketch is a pure function of the distinct value set."""
+    base = [("g", i) for i in range(500)]
+    one = spark.createDataFrame(base, "g string, v int")
+    dup = spark.createDataFrame(base * 3, "g string, v int")
+    assert (sketches.hll_portable(one, "g", "v").collect()
+            == sketches.hll_portable(dup, "g", "v").collect())
+
+
+def test_hll_portable_register_table_is_bounded(spark):
+    """At most m register rows per group reach the final fold regardless
+    of input rows — the property that makes the sketch 100 TB-safe."""
+    df = spark.range(50_000).select(F.lit("g").alias("g"),
+                                    F.col("id").alias("v"))
+    h = sketches._md5_hash32("hll", F.col("v").cast("string"))
+    regs = (df.select((h / F.lit(1 << 22)).cast("bigint").alias("b"))
+              .distinct())
+    assert regs.count() <= 1024

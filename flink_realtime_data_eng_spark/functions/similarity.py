@@ -492,18 +492,21 @@ def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cent_schema = "cell INT, cvec ARRAY<BIGINT>"
 
     def _assign(cents_df: DataFrame) -> DataFrame:
+        # id_col is unique, so first(q6) rides along with the arg-min —
+        # training never has to join assignments back to the corpus.
         return (qv.crossJoin(F.broadcast(cents_df))
                   .withColumn("d2", _int_l2("q6", "cvec"))
                   .groupBy(id_col)
-                  .agg(F.min_by("cell", F.struct("d2", "cell")).alias("cell")))
+                  .agg(F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+                       F.first("q6").alias("q6")))
 
     for _ in range(iters):
         cents_df = spark.createDataFrame(cents, cent_schema)
         assigned = _assign(cents_df)
-        sums = (qv.join(assigned, id_col)
-                  .select("cell", F.posexplode("q6").alias("pos", "v"))
-                  .groupBy("cell", "pos")
-                  .agg(F.expr("sum(v) div count(*)").alias("m")))
+        sums = (assigned
+                .select("cell", F.posexplode("q6").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.expr("sum(v) div count(*)").alias("m")))
         new = {r["cell"]: r["cvec"] for r in
                (sums.groupBy("cell")
                     .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
@@ -515,7 +518,8 @@ def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
         cents = [(c, list(new.get(c, old))) for c, old in cents]
 
     cents_df = spark.createDataFrame(cents, cent_schema)
-    assigned = _assign(cents_df).join(qv.select(id_col, vec_col), id_col)
+    assigned = (_assign(cents_df).drop("q6")
+                .join(qv.select(id_col, vec_col), id_col))
 
     q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"),
                        quantize_e6(vec_col).alias("qq6"))

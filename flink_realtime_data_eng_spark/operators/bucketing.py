@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(df: DataFrame, table: str, buckets: int, *keys: str,
-                   sort: bool = True) -> DataFrame:
+                   sort: bool = True, path: str | None = None) -> DataFrame:
     """Persist ``df`` as a catalog table bucketed (and bucket-sorted) by
     ``keys``; returns the catalog-backed frame whose scans carry the
     bucketing metadata joins need to elide exchanges.
@@ -40,8 +40,33 @@ def write_bucketed(df: DataFrame, table: str, buckets: int, *keys: str,
                 .bucketBy(buckets, *keys))
     if sort:
         writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
     return df.sparkSession.table(table)
+
+
+def register_bucketed(spark: SparkSession, table: str, path: str,
+                      schema_ddl: str, buckets: int, *keys: str,
+                      sort: bool = True) -> DataFrame:
+    """Attach an EXISTING bucketed-parquet location to the current
+    session's catalog (``CREATE TABLE ... CLUSTERED BY ... LOCATION``).
+
+    Spark's default in-memory catalog forgets table metadata between
+    sessions while the bucket files (bucket id encoded in each file name)
+    persist on disk — so a restarted job re-registers the layout instead
+    of re-paying the bucketing shuffle. The column list must be explicit:
+    Spark refuses to infer a schema for a CREATE TABLE that carries
+    bucketing info (SPECIFY_BUCKETING_IS_NOT_ALLOWED).
+    """
+    key_list = ", ".join(keys)
+    sorted_by = f"SORTED BY ({key_list})" if sort else ""
+    spark.sql(f"""
+        CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) USING PARQUET
+        CLUSTERED BY ({key_list}) {sorted_by} INTO {buckets} BUCKETS
+        LOCATION '{path}'
+    """)
+    return spark.table(table)
 
 
 def drop_bucketed(spark: SparkSession, *tables: str) -> None:

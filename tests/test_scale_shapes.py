@@ -643,3 +643,34 @@ def test_x_disorder_stats_scale_and_window_forms_agree(spark, monkeypatch):
                         registry.QUERIES["x_disorder_stats"](spark, sf)
                         .collect()))
     assert scale == window
+
+
+def test_x_bucketed_join_scans_elide_exchanges(spark):
+    """The registered bucketed-join query's join region must read both
+    bucketed scans with NO Exchange (the layout pays the shuffle at write
+    time); re-attaching the persisted location to a fresh catalog keeps
+    the same property — the restart path a real cluster job takes."""
+    from flink_realtime_data_eng_spark import registry
+    from flink_realtime_data_eng_spark.operators import bucketing
+    sf = "/root/testdata/sf0.001"
+    o_tbl, l_tbl = registry._bucketed_tpch_tables(spark, sf)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join = (spark.table(o_tbl)
+                .join(spark.table(l_tbl),
+                      F.col("o_orderkey") == F.col("l_orderkey")))
+        plan = join._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+        # drop ONLY the catalog metadata, then re-attach the persisted
+        # location: exchange elision must survive the "restart"
+        bucketing.drop_bucketed(spark, o_tbl)
+        o_tbl2, _ = registry._bucketed_tpch_tables(spark, sf)
+        assert o_tbl2 == o_tbl
+        join2 = (spark.table(o_tbl2)
+                 .join(spark.table(l_tbl),
+                       F.col("o_orderkey") == F.col("l_orderkey")))
+        plan2 = join2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan2 and "Exchange" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

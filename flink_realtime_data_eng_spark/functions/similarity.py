@@ -539,3 +539,84 @@ def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select(query_id, id_col, "score", "rk"))
+
+
+def mmr_diversify(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                  m: int = 20, exclude_self: bool = True,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  query_id: str = "query_id") -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR'98)
+    with lambda = 0.5: retrieve the top-``m`` candidates per query by
+    relevance, then greedily pick ``k`` where each pick maximizes
+    ``rel(i) - max_{j in picked} sim(i, j)`` (the lambda-0.5 argmax,
+    doubled) — relevance first, then penalized for redundancy with what's
+    already selected. The standard diversification pass between RAG
+    retrieval and the context window.
+
+    Determinism: relevance and pairwise similarities quantize to e6
+    BIGINT (rounded 6-dp cosines), the greedy runs in pure integer
+    arithmetic, and ties break on the smaller candidate id — so a DuckDB
+    oracle replays every pick exactly.
+
+    Scale shape: stage 1 is the retrieval (swap in the LSH/IVF path at
+    scale — same contract); everything after is pair-scale —
+    (queries × m) candidate rows, (queries × m × (m-1)) pairwise rows —
+    independent of corpus size. The greedy is applyInPandas per query
+    over those bounded groups: one shuffle of pair-scale data, k·m
+    integer comparisons per query.
+
+    Output: query_id, vec_id, rk (1..k in pick order), rel_e6.
+    """
+    import pandas as pd
+
+    cand = brute_force_topk(corpus, queries, k=m, vec_col=vec_col,
+                            id_col=id_col, query_id=query_id,
+                            exclude_self=exclude_self)
+    cand = cand.select(query_id, id_col,
+                       F.round(F.col("score") * 1_000_000)
+                        .cast("bigint").alias("rel_e6"))
+    cv = cand.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+    # Bounded (queries × m) frame feeding BOTH sides of the pair self-join:
+    # materialize once so the retrieval isn't replayed per side (and AQE
+    # sees the true tiny size).
+    cv = cv.localCheckpoint(eager=True)
+    a = cv.select(query_id, F.col(id_col).alias("id_a"),
+                  F.col("rel_e6").alias("rel_a"), F.col(vec_col).alias("va"))
+    b = cv.select(F.col(query_id).alias("qb"), F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("vb"))
+    pairs = (a.join(b, (F.col(query_id) == F.col("qb"))
+                    & (F.col("id_a") != F.col("id_b")))
+             .select(query_id, "id_a", "rel_a", "id_b",
+                     F.round(_dot("va", "vb")
+                             / (_norm("va") * _norm("vb")) * 1_000_000)
+                      .cast("bigint").alias("sim_e6")))
+
+    out_schema = (f"{query_id} bigint, {id_col} bigint, rk int, "
+                  "rel_e6 bigint")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf[query_id].iloc[0])
+        rel = {int(r.id_a): int(r.rel_a)
+               for r in pdf[["id_a", "rel_a"]].drop_duplicates()
+                  .itertuples(index=False)}
+        sim = {(int(r.id_a), int(r.id_b)): int(r.sim_e6)
+               for r in pdf[["id_a", "id_b", "sim_e6"]]
+                  .itertuples(index=False)}
+        remaining = sorted(rel)
+        picked: list[int] = []
+        while remaining and len(picked) < k:
+            if not picked:
+                best = max(remaining, key=lambda i: (rel[i], -i))
+            else:
+                best = max(remaining,
+                           key=lambda i: (rel[i] - max(sim[(i, j)]
+                                                       for j in picked), -i))
+            picked.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            [(qid, v, r + 1, rel[v]) for r, v in enumerate(picked)],
+            columns=[query_id, id_col, "rk", "rel_e6"])
+
+    return (pairs.groupBy(query_id)
+            .applyInPandas(greedy, out_schema)
+            .orderBy(query_id, "rk"))

@@ -31,6 +31,8 @@ NESTED_LOOP_OK = {
     "x_ivf_topk",               # n_lists-row centroid frame broadcast
                                 # (bounded trained artifact, never SF-scaled)
     "x_rag_retrieve",           # same brute-force retrieval stage inside
+    "x_mmr_diversify",          # same brute-force retrieval stage; the
+                                # MMR greedy itself is pair-scale
     "x_embedding_neardup",      # pairwise cosine on a bounded bucket
     "x_decontaminate",          # eval-set shingles broadcast (bounded)
     "x_source_mixture",         # 1-row corpus-total broadcast

@@ -226,3 +226,45 @@ def test_int8_rerank_orders_by_exact_cosine(spark):
     assert [r["vec_id"] for r in ranked] == [1, 2]
     assert ranked[0]["score"] > ranked[1]["score"]
     assert all(r["query_id"] == 0 for r in ranked)
+
+
+def test_mmr_penalizes_redundant_candidates(spark):
+    """MMR's point: the near-duplicate of pick 1 loses to a less relevant
+    but diverse candidate. The query must NOT be parallel to pick 1 —
+    if q == A then rel(x) == sim(A, x) for every x and all lambda-0.5 MMR
+    scores collapse to ~0 (pure id tie-break, no diversification signal).
+    Here A/A' sit +25 deg off the query, B -25 deg: pure top-2 is (A, A'),
+    MMR picks (A, B) because sim(A, A') ~ 1 but sim(A, B) ~ 0.64."""
+    rows = [(100, [1.0, 0.0]),      # the query vector
+            (1, [0.92, 0.392]),     # A: rel ~0.92
+            (2, [0.92, 0.393]),     # A': rel ~0.92, sim(A,A') ~1
+            (3, [0.9, -0.43])]      # B: rel ~0.90, diverse from A
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 100").selectExpr("vec_id AS query_id",
+                                             "embedding")
+    out = similarity.mmr_diversify(df, q, k=2, m=3).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rk"])] == [1, 3]
+
+
+def test_mmr_first_pick_is_pure_relevance_with_id_ties(spark):
+    """Pick 1 ignores diversity entirely; equal relevance breaks to the
+    smaller id (the oracle's ORDER BY rel DESC, vec_id)."""
+    rows = [(100, [1.0, 0.0]),
+            (7, [2.0, 0.0]),       # same direction as 5 => same cosine
+            (5, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 100").selectExpr("vec_id AS query_id",
+                                             "embedding")
+    out = sorted(similarity.mmr_diversify(df, q, k=2, m=3).collect(),
+                 key=lambda r: r["rk"])
+    assert out[0]["vec_id"] == 5 and out[1]["vec_id"] == 7
+
+
+def test_mmr_deterministic_across_runs(spark):
+    from flink_realtime_data_eng_spark.schemas import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).selectExpr("vec_id AS query_id",
+                                                   "embedding")
+    a = similarity.mmr_diversify(emb, q, k=5, m=10).collect()
+    b = similarity.mmr_diversify(emb, q, k=5, m=10).collect()
+    assert a == b

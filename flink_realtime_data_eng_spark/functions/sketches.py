@@ -390,14 +390,26 @@ def hll_portable(df: DataFrame, group: str, col: str, p: int = 10,
     (partial map-side; at most m registers per group survive to the
     shuffle regardless of input rows) → per-group fold of ≤ m rows.
     """
+    regs = (hll_rho(df, group, col, p=p, prefix=prefix)
+            .groupBy(group, "bucket")
+            .agg(F.max("rho").alias("reg")))
+    return hll_estimate(regs, group, p=p)
+
+
+def hll_rho(df: DataFrame, group: str, col: str, p: int = 10,
+            prefix: str = "hll") -> DataFrame:
+    """Map-side stage of :func:`hll_portable`: one (group, bucket, rho)
+    row per input row. ``groupBy(group, bucket).max(rho)`` over this —
+    batch or STREAMING aggregation alike — is the register table; the
+    max-fold is what makes the sketch mergeable (registers only grow), so
+    streaming maintenance is a plain update-mode agg with state bounded
+    by m × groups and NO watermark requirement."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4,16], got {p}")
-    m = 1 << p
     wbits = 32 - p
     wspace = 1 << wbits
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     h = _md5_hash32(prefix, F.col(col).cast("string"))
-    regs = (df.where(F.col(col).isNotNull())
+    return (df.where(F.col(col).isNotNull())
               .select(F.col(group),
                       (h / F.lit(wspace)).cast("bigint").alias("bucket"),
                       (h % F.lit(wspace)).alias("w"))
@@ -405,8 +417,16 @@ def hll_portable(df: DataFrame, group: str, col: str, p: int = 10,
                           F.when(F.col("w") == 0, F.lit(wbits + 1))
                            .otherwise(F.lit(wbits + 1)
                                       - F.length(F.bin(F.col("w")))))
-              .groupBy(group, "bucket")
-              .agg(F.max("rho").alias("reg")))
+              .drop("w"))
+
+
+def hll_estimate(regs: DataFrame, group: str, p: int = 10) -> DataFrame:
+    """Estimator stage of :func:`hll_portable` over a register table
+    (group, bucket, reg) — ≤ m rows per group however it was maintained
+    (one batch pass, a streaming agg, or a merge of persisted sketches)."""
+    m = 1 << p
+    wbits = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
     shift = wbits + 1  # scale: 2^-reg * 2^shift = 2^(shift-reg) >= 1, integer
     per_group = (regs.groupBy(group)
                  .agg(F.count(F.lit(1)).alias("v_nonzero"),

@@ -7713,3 +7713,28 @@ s AS (
 
 
 ORACLES["x_mmr_diversify"] = _mmr_oracle(k=5, m=20)
+
+
+def x_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the portable HLL: registers only grow, so
+    the sketch IS a plain update-mode max-aggregation — no custom state,
+    no watermark (state is bounded at m x groups by construction, the
+    mergeable-sketch property doing the eviction argument's job). The
+    estimate is computed batch-side from the drained register table and
+    hash-matches x_hll_portable's oracle: replaying the same events
+    through streaming maintenance yields the identical sketch."""
+    ev = _stream_events(spark, sf_dir)
+    regs_stream = (sketches.hll_rho(ev, "event_type", "user_id", p=10)
+                   .groupBy("event_type", "bucket")
+                   .agg(F.max("rho").alias("reg")))
+    drained = _run_to_memory(regs_stream, spark, output_mode="update")
+    # update mode re-emits a (group, bucket) row each batch its register
+    # grows; the last emission per key is max(reg) — same fold, idempotent.
+    regs = (drained.groupBy("event_type", "bucket")
+            .agg(F.max("reg").alias("reg")))
+    return sketches.hll_estimate(regs, "event_type", p=10)
+
+
+QUERIES["x_hll_stream"] = x_hll_stream
+STREAMING_DEMOS.add("x_hll_stream")
+ORACLES["x_hll_stream"] = ORACLES["x_hll_portable"]

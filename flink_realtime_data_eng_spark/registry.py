@@ -7738,3 +7738,36 @@ def x_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_hll_stream"] = x_hll_stream
 STREAMING_DEMOS.add("x_hll_stream")
 ORACLES["x_hll_stream"] = ORACLES["x_hll_portable"]
+
+
+def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-mitigation join under the oracle gate: events are
+    maximally hot on event_type (5 distinct keys for the whole corpus), so
+    the salted form scatters each hot key across 16 sub-keys while the
+    dim side replicates 16x (operators/skew.py:salted_join — the tool for
+    skew AQE's SMJ-partition splitting can't reach). The hash match
+    proves the scatter/replicate/join round trip loses and duplicates
+    nothing; determinism-under-retry comes from hashing the full big-side
+    row instead of rand()."""
+    from .operators.skew import salted_join
+    ev = _events(spark, sf_dir)
+    dim = (ev.select("event_type").distinct()
+           .withColumn("type_weight", F.length("event_type").cast("bigint")))
+    joined = salted_join(ev, dim, "event_type", salt=16)
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 10_000).cast("bigint")
+                       * F.col("type_weight")).alias("sum_weighted_e4"))
+            .orderBy("event_type"))
+
+
+QUERIES["x_salted_join"] = x_salted_join
+
+ORACLES["x_salted_join"] = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(round(value * 10000) AS BIGINT) * length(event_type))
+         AS sum_weighted_e4
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -27,7 +27,7 @@ ANSI SQL, which is what makes these oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .dedup import _md5_hash32
 
@@ -479,3 +479,67 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
                 .groupBy("seed")
                 .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip")))
     return per_seed.agg(F.min("ip").cast("bigint").alias("cms_est"))
+
+
+def hist_quantiles(df: DataFrame, group: str, col: str,
+                   probabilities: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+                   bins: int = 256) -> DataFrame:
+    """Engine-portable quantile sketch: a fixed-``bins`` equi-width
+    histogram per group, quantiles read off the cumulative counts. The
+    hash-checkable member of the quantile family — percentile_approx
+    (:func:`approx_group_quantiles`) is Spark-private and rows-only;
+    the exact per-group sort doesn't bound memory. Histogram counts ADD,
+    so the sketch merges across partitions/engines/days like the
+    portable HLL, with error bounded by one bin width.
+
+    Two passes, both bounded: (1) per-group min/max (one aggregate,
+    group-cardinality rows broadcast back), (2) per-(group, bin) counts —
+    at most ``bins`` rows per group reach the shuffle. Quantile selection
+    is exact integer arithmetic (cross-multiplied cumulative-count
+    threshold, no float comparison): the reported value is the LOWER EDGE
+    of the first bin whose cumulative count reaches ceil(p*n) — i.e.
+    within one bin width below the exact percentile_disc answer.
+
+    Probabilities must be exactly representable as n/10000 (they are
+    embedded as integer basis points both engines).
+    """
+    bps = []
+    for p in probabilities:
+        bp = round(p * 10_000)
+        if abs(bp - p * 10_000) > 1e-9 or not 0 < bp <= 10_000:
+            raise ValueError(f"probability {p} not an exact basis-point")
+        bps.append(bp)
+    stats = (df.groupBy(group)
+             .agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"),
+                  F.count(col).alias("_n")))
+    width = F.when(F.col("_hi") > F.col("_lo"),
+                   (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))) \
+             .otherwise(F.lit(1.0))
+    binned = (df.where(F.col(col).isNotNull())
+              .join(F.broadcast(stats), group)
+              .withColumn("_w", width)
+              .withColumn("bin",
+                          F.least(F.floor((F.col(col) - F.col("_lo"))
+                                          / F.col("_w")).cast("bigint"),
+                                  F.lit(bins - 1)))
+              .groupBy(group, "bin")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.first("_lo").alias("_lo"), F.first("_w").alias("_w"),
+                   F.first("_n").alias("_n")))
+    wcum = W.partitionBy(group).orderBy("bin") \
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = binned.withColumn("cum", F.sum("cnt").over(wcum))
+    # ALL quantiles in one conditional-min aggregate over the (group, bin)
+    # cumulative table: first bin with 10000*cum >= bp*n, exact integers —
+    # one shuffle however many probabilities are asked for.
+    qbins = [F.min(F.when(F.lit(10_000) * F.col("cum")
+                          >= F.lit(bp) * F.col("_n"), F.col("bin")))
+              .alias(f"_qbin{bp}") for bp in bps]
+    sel = (cum.groupBy(group)
+           .agg(F.first("_lo").alias("_lo"), F.first("_w").alias("_w"),
+                F.first("_n").alias("n"), *qbins))
+    return (sel.select(
+                group, "n",
+                *[F.round(F.col("_lo") + F.col(f"_qbin{bp}") * F.col("_w"),
+                          6).alias(f"p{bp}") for bp in bps])
+            .orderBy(group))

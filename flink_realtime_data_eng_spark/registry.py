@@ -7771,3 +7771,58 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def x_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable bounded-state quantile sketch: 256-bin equi-width
+    histogram per event type, quantiles read from exact-integer
+    cumulative-count thresholds (error <= one bin width, reported value =
+    qualifying bin's lower edge). The hash-checked member of the quantile
+    family — percentile_approx (x_approx_quantiles) is engine-private,
+    the exact per-group sort (x_group_quantiles) doesn't bound memory;
+    histogram counts ADD, so this sketch merges across partitions/days/
+    engines like the portable HLL."""
+    return sketches.hist_quantiles(_events(spark, sf_dir),
+                                   "event_type", "value", bins=256)
+
+
+QUERIES["x_hist_quantiles"] = x_hist_quantiles
+
+ORACLES["x_hist_quantiles"] = """
+WITH e AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+         COUNT(value) AS n
+  FROM e GROUP BY event_type
+), sw AS (
+  SELECT event_type, lo, n,
+         CASE WHEN hi > lo THEN (hi - lo) / 256.0 ELSE 1.0 END AS w
+  FROM s
+), b AS (
+  SELECT e.event_type,
+         LEAST(CAST(floor((e.value - sw.lo) / sw.w) AS BIGINT), 255) AS bin,
+         COUNT(*) AS cnt
+  FROM e JOIN sw ON e.event_type = sw.event_type
+  GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM b
+), q AS (
+  SELECT c.event_type, bp.bp, MIN(c.bin) AS qbin
+  FROM c
+  JOIN sw ON c.event_type = sw.event_type
+  JOIN (VALUES (2500), (5000), (9000), (9900)) bp(bp)
+    ON 10000 * c.cum >= bp.bp * sw.n
+  GROUP BY 1, 2
+)
+SELECT sw.event_type, sw.n,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 2500 THEN q.qbin END) * sw.w, 6) AS p2500,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 5000 THEN q.qbin END) * sw.w, 6) AS p5000,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 9000 THEN q.qbin END) * sw.w, 6) AS p9000,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 9900 THEN q.qbin END) * sw.w, 6) AS p9900
+FROM q JOIN sw ON q.event_type = sw.event_type
+GROUP BY sw.event_type, sw.n, sw.lo, sw.w
+ORDER BY sw.event_type
+"""

@@ -469,3 +469,33 @@ def test_hll_portable_register_table_is_bounded(spark):
     regs = (df.select((h / F.lit(1 << 22)).cast("bigint").alias("b"))
               .distinct())
     assert regs.count() <= 1024
+
+
+def test_hist_quantiles_within_one_bin_of_exact(spark):
+    """The sketch's contract: each reported quantile is the lower edge of
+    the qualifying bin — within one bin width below the exact answer."""
+    n = 10_000
+    df = spark.range(n).selectExpr("'g' AS g",
+                                   "CAST(id AS DOUBLE) AS v")
+    row = sketches.hist_quantiles(df, "g", "v", bins=256).collect()[0]
+    width = (n - 1) / 256.0
+    for bp, p in [(2500, 0.25), (5000, 0.5), (9000, 0.9), (9900, 0.99)]:
+        exact = p * (n - 1)
+        got = row[f"p{bp}"]
+        # 1e-4 absorbs the 6-dp rounding of the reported bin edge
+        assert exact - width - 1e-4 <= got <= exact + width + 1e-4
+
+
+def test_hist_quantiles_constant_column(spark):
+    """All-equal values: width guard (no divide-by-zero), every quantile
+    IS the value."""
+    df = spark.createDataFrame([("g", 42.0)] * 50, "g string, v double")
+    row = sketches.hist_quantiles(df, "g", "v").collect()[0]
+    assert row["n"] == 50
+    assert all(row[c] == 42.0 for c in ["p2500", "p5000", "p9000", "p9900"])
+
+
+def test_hist_quantiles_rejects_unrepresentable_probability(spark):
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        sketches.hist_quantiles(df, "g", "v", probabilities=(1 / 3,))

@@ -7826,3 +7826,42 @@ FROM q JOIN sw ON q.event_type = sw.event_type
 GROUP BY sw.event_type, sw.n, sw.lo, sw.w
 ORDER BY sw.event_type
 """
+
+
+def j7_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer windowed stream-stream join — completes the J1 join-type
+    matrix (inner j1 / leftOuter j5 / leftSemi j6): every click AND every
+    view survives; unmatched rows on EITHER side emit with nulls once the
+    watermark evicts their window's state. Same flush-sentinel
+    determinism as j5 (fed to both sides, so both directions' state fully
+    drains under availableNow); sentinel key filtered after the join."""
+    from .sources import file_csv_stream
+    from .streaming.pipelines import windowed_join
+    path = _events_csv_dir_flush(spark, sf_dir)
+    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    left = (ev.filter(F.col("event_type").isin("click", "__flush__"))
+              .select("user_id", "ts"))
+    right = (ev.filter(F.col("event_type").isin("view", "__flush__"))
+               .select("user_id", "ts"))
+    out = windowed_join(left, right, key="user_id", ts_col="ts",
+                        size="3600 seconds", how="fullOuter")
+    res = _run_to_memory(out, spark)
+    return res.filter(F.col("user_id") >= 0)
+
+
+QUERIES["j7_stream_full"] = j7_stream_full
+STREAMING_DEMOS.add("j7_stream_full")
+
+ORACLES["j7_stream_full"] = """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+       COALESCE(l.ts_ms // 3600000, r.ts_ms // 3600000) * 3600000
+         AS window_start_ms,
+       l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
+FROM l FULL JOIN r ON l.user_id = r.user_id
+                  AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
+"""

@@ -107,10 +107,21 @@ def windowed_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
                        F.unix_millis(ts_col).alias("r_ts_ms")))
     joined = lw.join(rw, (F.col(key) == F.col(f"r_{key}"))
                      & (F.col("w") == F.col("r_w")), how)
-    # Spark accepts 'leftSemi' / 'left_semi' / 'semi' as aliases; normalize
-    # before branching so every spelling takes the left-columns-only select
-    # (a semi join produces no r_* columns for the 4-column select below).
-    if how.replace("_", "").lower() in ("leftsemi", "semi"):
+    # Spark accepts 'leftSemi' / 'left_semi' / 'semi' (and the outer-join
+    # spellings) as aliases; normalize before branching so every spelling
+    # takes the right select for its column set.
+    norm = how.replace("_", "").lower()
+    if norm in ("fullouter", "full", "outer"):
+        # Either side may be the unmatched one: key and window come from
+        # whichever side exists. Right-unmatched rows emit with null
+        # l_ts_ms exactly when the watermark evicts their window's state,
+        # symmetric to the left-outer timing documented above.
+        return joined.select(
+            F.coalesce(F.col(key), F.col(f"r_{key}")).alias(key),
+            F.unix_millis(F.coalesce(F.col("w.start"), F.col("r_w.start")))
+             .alias("window_start_ms"),
+            "l_ts_ms", "r_ts_ms")
+    if norm in ("leftsemi", "semi"):
         # Semi join keeps only left columns: each left row emits at most
         # once, as soon as any match arrives — existence, not pairing, so
         # no per-match state blowup on hot keys and no watermark wait for

@@ -178,6 +178,41 @@ def test_windowed_join_stream_left_outer(spark, tmp_path):
     assert got == [(0, 1000, 4000), (5000, 6000, None)]
 
 
+def test_windowed_join_stream_full_outer(spark, tmp_path):
+    """fullOuter form: unmatched rows on EITHER side emit with nulls on
+    watermark eviction — key and window come from whichever side exists
+    (the coalesce in windowed_join). Same both-sides flush shape as the
+    left-outer test."""
+    base = 1_700_000_000_000
+    left_dir, right_dir = tmp_path / "fl", tmp_path / "fr"
+    left_dir.mkdir(), right_dir.mkdir()
+    # [0,5000): matched; [5000,10000): left-only; [10000,15000): right-only
+    (left_dir / "a.csv").write_text(
+        f'"u","{base + 1000}"\n"u","{base + 6000}"\n"zz","{base + 60_000}"\n')
+    (right_dir / "a.csv").write_text(
+        f'"u","{base + 4000}"\n"u","{base + 11_000}"\n"zz","{base + 60_000}"\n')
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+
+    def stream(d):
+        return (sources.file_csv_stream(spark, str(d), schema)
+                .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+                .drop("ts_ms"))
+
+    joined = pipelines.windowed_join(stream(left_dir), stream(right_dir),
+                                     key="user", ts_col="ts",
+                                     size="5 seconds", how="fullOuter")
+    _, result = _mem(spark, joined)
+    got = sorted(((r["window_start_ms"] - base,
+                   None if r["l_ts_ms"] is None else r["l_ts_ms"] - base,
+                   None if r["r_ts_ms"] is None else r["r_ts_ms"] - base))
+                 for r in result.collect() if r["user"] != "zz")
+    assert got == [(0, 1000, 4000), (5000, 6000, None),
+                   (10_000, None, 11_000)]
+
+
 def test_interval_join_stream(spark, tmp_path):
     base = 1_700_000_000_000
     left_dir, right_dir = tmp_path / "il", tmp_path / "ir"

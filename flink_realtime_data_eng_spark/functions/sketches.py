@@ -543,3 +543,50 @@ def hist_quantiles(df: DataFrame, group: str, col: str,
                 *[F.round(F.col("_lo") + F.col(f"_qbin{bp}") * F.col("_w"),
                           6).alias(f"p{bp}") for bp in bps])
             .orderBy(group))
+
+
+def hist_bins_fixed(df: DataFrame, group: str, col: str,
+                    lo: float = 0.0, width: float = 2.0,
+                    bins: int = 256) -> DataFrame:
+    """One-pass fixed-edge binning stage: (group, bin, cnt) with
+    ``bin = clamp(floor((x - lo)/width), 0, bins-1)``. Fixed edges are
+    the STREAMING contract for histogram sketches — a stream can't take
+    the batch min/max pre-pass, so edges are declared up front (as every
+    production metrics system does) and out-of-range mass clamps into
+    the edge bins. Counts add, so an update-mode streaming sum maintains
+    exactly this table with state bounded at bins × groups."""
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("bigint")
+    return (df.where(F.col(col).isNotNull())
+              .select(F.col(group),
+                      F.least(F.greatest(b, F.lit(0)),
+                              F.lit(bins - 1)).alias("bin"))
+              .groupBy(group, "bin")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_quantiles_fixed(binned: DataFrame, group: str,
+                         probabilities: tuple[float, ...] = (2500, 5000,
+                                                             9000, 9900),
+                         lo: float = 0.0, width: float = 2.0) -> DataFrame:
+    """Quantile read-off over a fixed-edge (group, bin, cnt) table from
+    :func:`hist_bins_fixed` — however that table was maintained (batch
+    pass, streaming update-mode sum, or a merge of persisted
+    histograms). Probabilities are integer basis points; same
+    exact-integer threshold + one conditional-min aggregate as
+    :func:`hist_quantiles`."""
+    wcum = W.partitionBy(group).orderBy("bin") \
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+    wtot = W.partitionBy(group)
+    cum = (binned.withColumn("cum", F.sum("cnt").over(wcum))
+                 .withColumn("_n", F.sum("cnt").over(wtot)))
+    qbins = [F.min(F.when(F.lit(10_000) * F.col("cum")
+                          >= F.lit(int(bp)) * F.col("_n"), F.col("bin")))
+              .alias(f"_qbin{int(bp)}") for bp in probabilities]
+    sel = (cum.groupBy(group)
+           .agg(F.first("_n").alias("n"), *qbins))
+    return (sel.select(
+                group, "n",
+                *[F.round(F.lit(lo) + F.col(f"_qbin{int(bp)}")
+                          * F.lit(width), 6).alias(f"p{int(bp)}")
+                  for bp in probabilities])
+            .orderBy(group))

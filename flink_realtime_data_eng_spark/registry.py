@@ -7865,3 +7865,61 @@ SELECT COALESCE(l.user_id, r.user_id) AS user_id,
 FROM l FULL JOIN r ON l.user_id = r.user_id
                   AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
 """
+
+
+def x_histq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the quantile sketch: fixed bin edges
+    (the streaming contract — no min/max pre-pass exists on a stream, so
+    edges are declared up front and out-of-range mass clamps into the
+    edge bins), per-(type, bin) counts maintained as a plain update-mode
+    sum with state bounded at bins x groups, quantiles read off the
+    drained table batch-side. The replayed CSV carries no value column,
+    so value re-derives from event_id as in j4's replay contract; the
+    oracle replays the same fixed-edge binning in SQL."""
+    ev = _stream_events(spark, sf_dir)
+    fact = ev.select("event_type",
+                     (F.col("event_id") % 500).cast("double").alias("value"))
+    binned_stream = sketches.hist_bins_fixed(fact, "event_type", "value",
+                                             lo=0.0, width=2.0, bins=256)
+    drained = _run_to_memory(binned_stream, spark, output_mode="update")
+    # last emission per (group, bin) is the final count — max is the
+    # idempotent re-fold (counts only grow across update emissions)
+    binned = (drained.groupBy("event_type", "bin")
+              .agg(F.max("cnt").alias("cnt")))
+    return sketches.hist_quantiles_fixed(binned, "event_type",
+                                         lo=0.0, width=2.0)
+
+
+QUERIES["x_histq_stream"] = x_histq_stream
+STREAMING_DEMOS.add("x_histq_stream")
+
+ORACLES["x_histq_stream"] = """
+WITH f AS (
+  SELECT event_type, CAST(event_id % 500 AS DOUBLE) AS value FROM events
+), b AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(floor((value - 0.0) / 2.0) AS BIGINT), 0),
+               255) AS bin,
+         COUNT(*) AS cnt
+  FROM f GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b
+), q AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN 10000 * cum >= 2500 * n THEN bin END) AS q2500,
+         MIN(CASE WHEN 10000 * cum >= 5000 * n THEN bin END) AS q5000,
+         MIN(CASE WHEN 10000 * cum >= 9000 * n THEN bin END) AS q9000,
+         MIN(CASE WHEN 10000 * cum >= 9900 * n THEN bin END) AS q9900
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(q2500 * 2 AS DOUBLE), 6) AS p2500,
+       ROUND(CAST(q5000 * 2 AS DOUBLE), 6) AS p5000,
+       ROUND(CAST(q9000 * 2 AS DOUBLE), 6) AS p9000,
+       ROUND(CAST(q9900 * 2 AS DOUBLE), 6) AS p9900
+FROM q
+ORDER BY event_type
+"""

@@ -7923,3 +7923,28 @@ SELECT event_type, n,
 FROM q
 ORDER BY event_type
 """
+
+
+def x_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest/egress — Spark's second native columnar format (the one
+    Hive-lineage warehouses hand you): documents export to ORC and read
+    back through a declared schema; the oracle is the original projection,
+    so the hash match proves the ORC round trip is byte-lossless exactly
+    like the parquet-layout rows (x_partitioned_prune / x_zorder_prune).
+    Same predicate-pushdown/column-pruning machinery as parquet applies —
+    swap `format("orc")` for parquet anywhere in the engine."""
+    import os
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source",
+                                    "n_chars")
+    base = _events_csv_dir(spark, sf_dir)  # reuse the per-sf cache root
+    out = base + "_docs_orc"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        d.write.mode("overwrite").orc(out)
+    return (spark.read.schema(d.schema).orc(out)
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+
+
+QUERIES["x_orc_roundtrip"] = x_orc_roundtrip
+
+ORACLES["x_orc_roundtrip"] = ORACLES["x_jsonl_roundtrip"]

@@ -7948,3 +7948,63 @@ def x_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_orc_roundtrip"] = x_orc_roundtrip
 
 ORACLES["x_orc_roundtrip"] = ORACLES["x_jsonl_roundtrip"]
+
+
+def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet ('dataset card' statistics block): per source —
+    doc count, whitespace-token total, language spread, English fraction,
+    Gopher quality pass rate, and lexical-dedup survival rate. Quality
+    signals are the map-side Gopher gates; the dedup signal reads the
+    persisted keep-list policy table (x_dedup_report pattern — no LSH/CC
+    recompute per card refresh). One documents scan + one bounded
+    ids-only join feeding a single per-source aggregate."""
+    import os
+    from .functions import text as _text
+    docs = _docs(spark, sf_dir)
+    g = _text.gopher_rules(docs).select("doc_id", "keep")
+    tk = (spark.read.parquet(
+              os.path.join(_policy_tables_dir(spark, sf_dir), "text_keep"))
+          .withColumn("kept_text", F.lit(True)))
+    d = (docs.select("doc_id", "source", "lang",
+                     F.size(F.split(F.col("text"), " "))
+                      .cast("bigint").alias("n_tokens"))
+         .join(g, "doc_id")
+         .join(tk, "doc_id", "left"))
+    n = F.count(F.lit(1))
+    return (d.groupBy("source")
+            .agg(n.alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                 F.round(F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                          .cast("double") / n, 6).alias("en_frac"),
+                 F.round(F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                          .cast("double") / n, 6).alias("gopher_pass_frac"),
+                 F.round(F.sum(F.when(F.col("kept_text").isNotNull(), 1)
+                               .otherwise(0)).cast("double") / n, 6)
+                  .alias("text_keep_frac"))
+            .orderBy("source"))
+
+
+QUERIES["x_dataset_card"] = x_dataset_card
+
+ORACLES["x_dataset_card"] = f"""
+WITH tk AS (
+  SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
+), g AS (
+  SELECT doc_id, keep FROM ({ORACLES["x_gopher_rules"]})
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(d.text, ' '))) AS total_tokens,
+       COUNT(DISTINCT d.lang) AS n_langs,
+       ROUND(CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS en_frac,
+       ROUND(CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS gopher_pass_frac,
+       ROUND(CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM tk)
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS text_keep_frac
+FROM documents d JOIN g ON g.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""

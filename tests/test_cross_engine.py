@@ -237,3 +237,107 @@ def test_markov_transitions_match_duckdb(spark, events):
     want = sorted(map(tuple,
                       con.execute(ORACLES["x_markov_transitions"]).fetchall()))
     assert got == want
+
+
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=60))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hll_portable_matches_duckdb_on_random_ints(spark, vals):
+    """The portable HLL's whole point is bit-exact cross-engine registers
+    AND estimate; random collision-heavy ints probe the linear-counting
+    branch, the bin()/length rho math, and the scaled-BIGINT fold."""
+    from flink_realtime_data_eng_spark.functions import sketches
+    p = 6
+    m, wbits = 1 << p, 32 - p
+    shift, wspace = wbits + 1, 1 << wbits
+    num = repr(0.7213 / (1.0 + 1.079 / m) * m * m * (1 << shift))
+    rows = [("g", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = sorted(tuple(r) for r in
+                 sketches.hll_portable(df, "g", "v", p=p).collect())
+    con = duckdb.connect()
+    con.register("vals", pd.DataFrame(rows, columns=["g", "v"]))
+    want = sorted(map(tuple, con.execute(f"""
+WITH h AS (
+  SELECT g, CAST(concat('0x', substring(md5(concat('hll', ':',
+            CAST(v AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+  FROM vals
+), b AS (
+  SELECT g, h // {wspace} AS bucket, h % {wspace} AS w FROM h
+), r AS (
+  SELECT g, bucket,
+         MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                  ELSE {wbits + 1} - length(bin(w)) END) AS reg
+  FROM b GROUP BY 1, 2
+), gg AS (
+  SELECT g, COUNT(*) AS v_nonzero,
+         SUM(CAST(1 AS BIGINT) << ({shift} - reg)) AS z_scaled
+  FROM r GROUP BY 1
+), e AS (
+  SELECT g, v_nonzero,
+         {num} / (z_scaled + ({m} - v_nonzero)
+                  * CAST(1 AS BIGINT) * {1 << shift}) AS raw,
+         {m} - v_nonzero AS zeros
+  FROM gg
+)
+SELECT g, v_nonzero,
+       ROUND(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS hll_est
+FROM e""").fetchall()))
+    assert got == want
+
+
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=60))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hist_quantiles_match_duckdb_on_random_doubles(spark, vals):
+    """Fixed-bin quantile sketch vs its SQL mirror on arbitrary doubles:
+    probes the width guard (all-equal), edge-bin clamping, and the
+    integer threshold selection."""
+    from flink_realtime_data_eng_spark.functions import sketches
+    bins = 16
+    rows = [("g", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = sorted(tuple(r) for r in
+                 sketches.hist_quantiles(df, "g", "v",
+                                         bins=bins).collect())
+    con = duckdb.connect()
+    con.register("vals", pd.DataFrame(rows, columns=["g", "v"]))
+    want = sorted(map(tuple, con.execute(f"""
+WITH e AS (
+  SELECT g, v FROM vals WHERE v IS NOT NULL
+), s AS (
+  SELECT g, MIN(v) AS lo, MAX(v) AS hi, COUNT(v) AS n FROM e GROUP BY g
+), sw AS (
+  SELECT g, lo, n,
+         CASE WHEN hi > lo THEN (hi - lo) / {float(bins)} ELSE 1.0 END AS w
+  FROM s
+), b AS (
+  SELECT e.g,
+         LEAST(CAST(floor((e.v - sw.lo) / sw.w) AS BIGINT), {bins - 1})
+           AS bin,
+         COUNT(*) AS cnt
+  FROM e JOIN sw ON e.g = sw.g
+  GROUP BY 1, 2
+), c AS (
+  SELECT g, bin, SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum
+  FROM b
+), q AS (
+  SELECT c.g, bp.bp, MIN(c.bin) AS qbin
+  FROM c JOIN sw ON c.g = sw.g
+  JOIN (VALUES (2500), (5000), (9000), (9900)) bp(bp)
+    ON 10000 * c.cum >= bp.bp * sw.n
+  GROUP BY 1, 2
+)
+SELECT sw.g, sw.n,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 2500 THEN q.qbin END) * sw.w, 6) AS p2500,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 5000 THEN q.qbin END) * sw.w, 6) AS p5000,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 9000 THEN q.qbin END) * sw.w, 6) AS p9000,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 9900 THEN q.qbin END) * sw.w, 6) AS p9900
+FROM q JOIN sw ON q.g = sw.g
+GROUP BY sw.g, sw.n, sw.lo, sw.w""").fetchall()))
+    assert got == want

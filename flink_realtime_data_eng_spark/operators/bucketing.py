@@ -175,3 +175,34 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
     out.write.mode("overwrite").parquet(path)
     back = df.sparkSession.read.schema(df.schema).parquet(path)
     return back.select(*[f.name for f in df.schema.fields])
+
+
+def compact_files(spark: SparkSession, src_path: str, dst_path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Small-files compaction — the standing maintenance job of every
+    streaming-ingest lake: rewrite a directory of many small parquet
+    files into ``ceil(total_bytes / target)`` right-sized files.
+
+    The output partition count comes from the ACTUAL on-disk bytes (not
+    row counts), so the job self-tunes as the input grows; the rewrite is
+    a round-robin ``repartition(n)`` — an all-to-all exchange of the data
+    once, which is the point: pay one shuffle now so every later scan
+    opens n files instead of thousands (file-open + footer-read overhead
+    dominates small-file scans; a 100 TB table ingested in 1-minute
+    micro-batches accretes ~500k files/year per partition dir without
+    this). At scale, run per partition directory so each compaction job
+    stays bounded and partition pruning is preserved.
+
+    Returns the read-back compacted frame.
+    """
+    import math
+    import os
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n).write.mode("overwrite").parquet(dst_path)
+    return spark.read.schema(df.schema).parquet(dst_path)

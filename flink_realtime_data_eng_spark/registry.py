@@ -8008,3 +8008,28 @@ FROM documents d JOIN g ON g.doc_id = d.doc_id
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+def x_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction under the oracle gate: documents are first
+    fragmented into 64 tiny parquet files (a streaming-ingest morning),
+    then compacted to byte-targeted right-sized files
+    (operators/bucketing.py:compact_files); reading the compacted layout
+    must hash-match the original projection — compaction moves bytes,
+    never rows. The file-count collapse itself is pytest-asserted."""
+    import os
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source",
+                                    "n_chars")
+    base = _events_csv_dir(spark, sf_dir)  # per-sf cache root
+    frag, compacted = base + "_docs_frag", base + "_docs_compact"
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        d.repartition(64).write.mode("overwrite").parquet(frag)
+        from .operators.bucketing import compact_files
+        compact_files(spark, frag, compacted,
+                      target_file_bytes=8 * 1024 * 1024)
+    return (spark.read.schema(d.schema).parquet(compacted)
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+
+
+QUERIES["x_compaction_roundtrip"] = x_compaction_roundtrip
+ORACLES["x_compaction_roundtrip"] = ORACLES["x_jsonl_roundtrip"]

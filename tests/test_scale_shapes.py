@@ -674,3 +674,20 @@ def test_x_bucketed_join_scans_elide_exchanges(spark):
         assert "SortMergeJoin" in plan2 and "Exchange" not in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_files_collapses_file_count_and_preserves_rows(spark, tmp_path):
+    """Compaction rewrites many small files into byte-targeted few, rows
+    and values intact; output count tracks actual on-disk bytes."""
+    import os
+    from flink_realtime_data_eng_spark.operators.bucketing import compact_files
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(src)
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src == 40
+    back = compact_files(spark, src, dst, target_file_bytes=1 << 30)
+    n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n_dst == 1  # total bytes far below one target file
+    assert back.count() == 10_000
+    assert back.agg({"v": "sum"}).collect()[0][0] == df.agg({"v": "sum"}).collect()[0][0]

@@ -461,6 +461,63 @@ def approx_group_quantiles(df: DataFrame, group: str, col: str,
           for i, p in enumerate(probabilities)]).orderBy(group)
 
 
+def approx_distinct_check(df: DataFrame, group: str, col: str,
+                          rsd: float = 0.05, margin: float = 3.0) -> DataFrame:
+    """Certification form of :func:`approx_distinct_per_group`: run the
+    HLL++ sketch AND the exact COUNT DISTINCT in one pass, emit the exact
+    answer plus a boolean attesting the sketch landed within ``margin``
+    standard-deviations (``margin * rsd``, floored at ±3 absolute for tiny
+    groups). The sketch estimate itself is engine-private, but the
+    invariant IS cross-engine checkable — the oracle replays the exact
+    count and expects ``within_bound`` true, so the row hash-matches.
+    This is the audit query a pipeline runs once per source before
+    trusting the sketch alone at 100 TB; production uses the sketch-only
+    twin (no raw-value shuffle).
+    """
+    approx = F.approx_count_distinct(col, rsd)
+    exact = F.count_distinct(F.col(col))
+    bound = F.greatest(F.lit(3.0),
+                       F.lit(margin * rsd) * exact.cast("double"))
+    return (df.groupBy(group)
+              .agg(exact.alias("n_exact"),
+                   (F.abs(approx.cast("double") - exact.cast("double"))
+                    <= bound).alias("within_bound"))
+              .orderBy(group))
+
+
+def approx_quantile_rank_check(df: DataFrame, group: str, col: str,
+                               probabilities: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+                               accuracy: int = 10_000,
+                               tol: float = 0.005) -> DataFrame:
+    """Certification form of :func:`approx_group_quantiles`: verify the
+    Greenwald-Khanna guarantee itself. ``percentile_approx(col, p,
+    accuracy)`` must return a real element whose rank fraction sits within
+    ``1/accuracy`` of p; we re-rank each returned value against its group
+    (count(<= v)/n must reach p - tol, count(< v)/n must not exceed
+    p + tol) and emit one boolean per probability. The floats never leave
+    the plan, so the output is hash-stable cross-engine: the oracle
+    replays group sizes and expects every flag true.
+
+    Scale shape: sketch pass + one broadcast of the tiny per-group
+    quantile table back onto the fact for the re-rank — two scans, no
+    raw-value shuffle beyond the keyed aggregations.
+    """
+    qs = F.percentile_approx(F.col(col), list(probabilities), accuracy)
+    agg = df.groupBy(group).agg(qs.alias("_qs"))
+    j = df.select(group, col).join(F.broadcast(agg), group)
+    n = F.count(F.col(col))  # non-null, matching the sketch's population
+    checks = []
+    for i, p in enumerate(probabilities):
+        le = F.sum(F.when(F.col(col) <= F.col("_qs")[i], 1).otherwise(0))
+        lt = F.sum(F.when(F.col(col) < F.col("_qs")[i], 1).otherwise(0))
+        ok = ((le.cast("double") / n.cast("double") >= F.lit(p - tol))
+              & (lt.cast("double") / n.cast("double") <= F.lit(p + tol)))
+        checks.append(ok.alias(f"p{int(p * 100)}_ok"))
+    return (j.groupBy(group)
+             .agg(n.alias("n"), *checks)
+             .orderBy(group))
+
+
 def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     """Join-size estimation from two count-min sketches (the AMS-style
     inner product, Cormode & Muthukrishnan §4.3): |A ⋈ B| on the sketched

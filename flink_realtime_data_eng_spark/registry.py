@@ -771,17 +771,24 @@ def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct users per event type — mergeable sketch, no raw-value
-    shuffle. Rows-only (sketch answers are engine-specific); the error
-    bound vs the exact count is pinned in tests."""
-    return sketches.approx_distinct_per_group(
+    """HLL++ distinct users per event type, certification form: the
+    Spark-private sketch runs AND is audited against the exact count in
+    the same aggregation; output is (exact, within-3σ boolean), which the
+    DuckDB oracle replays exactly — converting the former rows-only row
+    into a hash-checked invariant (the x_lsh_recall pattern). Sketch-only
+    twin: functions/sketches.approx_distinct_per_group; portable-register
+    twin: x_hll_portable."""
+    return sketches.approx_distinct_check(
         _events(spark, sf_dir), "event_type", "user_id")
 
 
 def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx per event type — bounded-memory quantile sketch
-    (rows-only; exact twin is x_group_quantiles)."""
-    return sketches.approx_group_quantiles(
+    """percentile_approx per event type, certification form: each sketch
+    quantile is re-ranked against its group and the Greenwald-Khanna rank
+    guarantee emitted as booleans, hash-checkable cross-engine (exact twin
+    x_group_quantiles; estimate-emitting twin
+    functions/sketches.approx_group_quantiles)."""
+    return sketches.approx_quantile_rank_check(
         _events(spark, sf_dir), "event_type", "value")
 
 
@@ -3789,8 +3796,21 @@ FROM events GROUP BY 1
     # x_lsh_topk, x_embedding_neardup_lsh: rows-only (bucket signs sit on
     # float zero-crossings — one last-ulp difference between engines flips
     # a bucket, so no stable hash oracle exists by design).
-    # x_hll_distinct, x_approx_quantiles: rows-only (engine-specific
-    # sketch internals).
+    # x_hll_distinct / x_approx_quantiles: the sketch ESTIMATES are
+    # engine-private, so the queries emit the invariant instead (exact
+    # answer + bound-check booleans), which the oracle replays exactly.
+    "x_hll_distinct": """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "x_approx_quantiles": """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type ORDER BY event_type
+""",
 }
 
 # Derive the streaming filter's oracle from the batch one (same rule CTEs;
@@ -8033,3 +8053,4 @@ def x_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["x_compaction_roundtrip"] = x_compaction_roundtrip
 ORACLES["x_compaction_roundtrip"] = ORACLES["x_jsonl_roundtrip"]
+

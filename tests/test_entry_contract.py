@@ -32,9 +32,10 @@ def test_queries_and_oracles_are_consistent():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every query is either oracle-checked or a documented rows-only op
+    # every registered query carries a DuckDB oracle (sketch queries emit
+    # their invariant, so even those hash-check — no rows-only rows left)
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"x_hll_distinct", "x_approx_quantiles"}
+    assert rows_only == set()
 
 
 def test_ordering_puts_never_verified_first():

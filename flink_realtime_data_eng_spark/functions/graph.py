@@ -238,3 +238,41 @@ def triangle_count(edges: DataFrame, src: str = "id_a",
         .union(oriented.select(F.col("b").alias("v"), F.col("a").alias("w")))
     tri = wedges.join(closing.distinct(), ["v", "w"])
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 8,
+          src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes whose
+    degree in the SURVIVING subgraph is below k until a fixpoint — what
+    remains is the maximal subgraph where every node keeps >= k
+    neighbors. On a near-dup graph the 2-core separates true duplicate
+    FAMILIES (mutually reinforcing clusters) from incidental one-off
+    pair bridges, which is the distinction a dedup keep-policy acts on.
+
+    Runs a FIXED ``rounds`` peels so the answer is a pure function of
+    (edges, k, rounds) and an unrolled-CTE DuckDB oracle replays it
+    bit-for-bit (the x_pagerank recipe); the fixture fixpoint is reached
+    well inside the default and pinned by pytest. Production loops to
+    convergence instead — swap the range for a while-changed check (one
+    1-row count per round at the driver, the sanctioned scalar).
+
+    Each round is one degree aggregate + two semi-joins on the current
+    edge set, localCheckpointed to truncate lineage — O(rounds) keyed
+    shuffles on a frame that only shrinks, never the corpus.
+
+    Returns (node, deg) for surviving nodes with their in-core degree.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        sym = (sym.join(keep, "a", "left_semi")
+                  .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+                  .select("a", "b")
+                  .localCheckpoint(eager=True))
+    return (sym.groupBy(F.col("a").alias("node"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+               .orderBy("node"))

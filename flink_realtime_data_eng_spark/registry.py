@@ -8054,3 +8054,159 @@ def x_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_compaction_roundtrip"] = x_compaction_roundtrip
 ORACLES["x_compaction_roundtrip"] = ORACLES["x_jsonl_roundtrip"]
 
+
+def x_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard set-similarity join via PREFIX FILTERING
+    (SSJoin/PPJoin candidate rule): each doc contributes only its
+    |d| - ceil(t|d|) + 1 globally-rarest shingles to the candidate
+    self-join, then exact verification — the deterministic, lossless
+    scale path beside the probabilistic MinHash-LSH family. The rule is
+    provably complete for J >= t, so the oracle is simply the plain
+    exact Jaccard join: a hash-match here certifies losslessness
+    cross-engine (functions/dedup.py:prefix_filter_pairs)."""
+    return dedup.prefix_filter_pairs(_docs(spark, sf_dir), n=3,
+                                     threshold=0.5)
+
+
+QUERIES["x_prefix_filter_join"] = x_prefix_filter_join
+ORACLES["x_prefix_filter_join"] = _jaccard_oracle(threshold=0.5)
+
+
+def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the verified near-dup graph (fixed 6 peel rounds,
+    fixpoint on the fixture pinned by pytest): nodes that survive
+    iterative removal of degree<2 vertices form the mutually-reinforcing
+    duplicate FAMILIES; the peeled-off nodes were incidental one-pair
+    bridges. Unrolled-CTE DuckDB oracle replays the same 6 peels
+    (functions/graph.py:kcore)."""
+    from .functions import graph
+    pairs = dedup.neardup_pipeline(_docs(spark, sf_dir), num_hashes=16,
+                                   bands=4, n=3, threshold=0.5)
+    return graph.kcore(pairs, k=2, rounds=6)
+
+
+QUERIES["x_kcore"] = x_kcore
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    # Every CTE is AS MATERIALIZED: each peel references its predecessor
+    # three times, and DuckDB INLINES plain CTEs — without materialization
+    # the LSH+Jaccard pipeline re-expands 3^rounds times and the oracle
+    # never finishes.
+    peels = []
+    prev = "sym"
+    for i in range(rounds):
+        peels.append(
+            f"deg{i} AS MATERIALIZED (\n"
+            f"  SELECT a, count(*) AS d FROM {prev} GROUP BY a\n"
+            f"),\n"
+            f"peel{i} AS MATERIALIZED (\n"
+            f"  SELECT s.a, s.b FROM {prev} s\n"
+            f"  JOIN deg{i} da ON da.a = s.a AND da.d >= {k}\n"
+            f"  JOIN deg{i} db ON db.a = s.b AND db.d >= {k}\n"
+            f")")
+        prev = f"peel{i}"
+    return f"""
+WITH cand AS MATERIALIZED ({_minhash_lsh_oracle()}),
+jac AS MATERIALIZED ({_jaccard_oracle(threshold=0.5)}),
+edges AS MATERIALIZED (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+{", ".join(peels)}
+SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+FROM {prev} GROUP BY a ORDER BY node
+"""
+
+
+ORACLES["x_kcore"] = _kcore_oracle()
+
+
+def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    purchase event, the earliest and the latest non-purchase touch the
+    same user made BEFORE it (deterministic (ts, event_id) order);
+    conversions and exact-micros revenue credit grouped by the
+    (first_touch, last_touch) channel pair. Two ignore-nulls running
+    windows on ONE user-partition shuffle + a |types|²-bounded aggregate
+    — the marketing-analytics query every clickstream store runs."""
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts_ms",
+                                      "event_id", "value")
+    w = (W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = (e.withColumn("first_touch", F.first(touch, True).over(w))
+                   .withColumn("last_touch", F.last(touch, True).over(w))
+                   .filter(F.col("event_type") == "purchase"))
+    return (attributed
+            .groupBy(F.coalesce("first_touch", F.lit("(none)"))
+                     .alias("first_touch"),
+                     F.coalesce("last_touch", F.lit("(none)"))
+                     .alias("last_touch"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+                 F.sum(F.round(F.col("value") * 1_000_000)
+                       .cast("bigint")).alias("revenue_e6"))
+            .orderBy("first_touch", "last_touch"))
+
+
+QUERIES["x_attribution"] = x_attribution
+
+ORACLES["x_attribution"] = f"""
+WITH e AS ({_EV}),
+tagged AS (
+  SELECT event_type, value,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM e
+)
+SELECT coalesce(first_touch, '(none)') AS first_touch,
+       coalesce(last_touch, '(none)') AS last_touch,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS revenue_e6
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def x_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a released
+    group can be large (k-anonymous) yet still leak if every member
+    shares one SENSITIVE value, so each (nation, market segment)
+    quasi-identifier group is also scored on its count of DISTINCT
+    account-balance bands (the sensitive attribute, bucketed to 1000s)
+    and flagged when l < 3. Same |QI|-bounded single aggregate as
+    x_k_anonymity."""
+    c = load_table(_prep(spark), sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    return (c.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"),
+                      F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"),
+                 F.countDistinct(band).cast("bigint").alias("l_distinct"))
+            .withColumn("meets_l3", F.col("l_distinct") >= 3)
+            .orderBy("nationkey", "mktsegment"))
+
+
+QUERIES["x_l_diversity"] = x_l_diversity
+
+ORACLES["x_l_diversity"] = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS group_n,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+            AS BIGINT) AS l_distinct,
+       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3
+         AS meets_l3
+FROM customer
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -449,3 +449,73 @@ def test_full_dedup_policy_flag_consistency(spark):
     for r in rows:
         if r["kept"]:
             assert joint[r["doc_id"]]
+
+
+def test_prefix_filter_pairs_matches_full_jaccard(spark):
+    """Prefix filtering is LOSSLESS: the candidate-gated result must
+    equal the full self-join Jaccard at the same threshold (sf0.001)."""
+    from flink_realtime_data_eng_spark.functions import dedup
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {(r.id_a, r.id_b, r.jaccard) for r in
+            dedup.jaccard_pairs(d, n=3, threshold=0.5).collect()}
+    pref = {(r.id_a, r.id_b, r.jaccard) for r in
+            dedup.prefix_filter_pairs(d, n=3, threshold=0.5).collect()}
+    assert pref == full
+    assert len(full) > 0  # non-vacuous
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    """The prefix self-join must consider strictly fewer doc pairs than
+    the all-shingles self-join (the point of the operator)."""
+    from flink_realtime_data_eng_spark.functions import dedup
+    from flink_realtime_data_eng_spark.schemas import load_table
+    from pyspark.sql import Window as W, functions as F
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = dedup.shingles(d, 3)
+    full_pairs = (sh.alias("a").join(sh.alias("b"), "shingle")
+                  .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                  .select(F.col("a.doc_id"), F.col("b.doc_id"))
+                  .distinct().count())
+    t = 0.5
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ranked = (sh.join(freq, "shingle")
+                .withColumn("rn", F.row_number().over(
+                    W.partitionBy("doc_id").orderBy("df_freq", "shingle")))
+                .join(sizes, "doc_id")
+                .filter(F.col("rn") <= F.col("n_sh")
+                        - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+                .select("doc_id", "shingle"))
+    pref_pairs = (ranked.alias("a").join(ranked.alias("b"), "shingle")
+                  .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                  .select(F.col("a.doc_id"), F.col("b.doc_id"))
+                  .distinct().count())
+    assert pref_pairs < full_pairs
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    """Triangle with a pendant tail: the 2-core is exactly the triangle
+    (every node at degree 2); tail nodes peel off transitively."""
+    from flink_realtime_data_eng_spark.functions.graph import kcore
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),      # triangle = 2-core
+         (3, 4), (4, 5)],             # tail: 5 peels, then 4
+        "id_a long, id_b long")
+    got = {(r.node, r.deg) for r in kcore(edges, k=2, rounds=6).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_fixture_reaches_fixpoint(spark):
+    """x_kcore declares 6 unrolled rounds; the sf0.01 near-dup graph must
+    converge strictly inside that (round 5 == round 6), otherwise the
+    fixed-round contract understates the true core."""
+    from flink_realtime_data_eng_spark.functions import dedup
+    from flink_realtime_data_eng_spark.functions.graph import kcore
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    pairs = dedup.neardup_pipeline(d, num_hashes=16, bands=4, n=3,
+                                   threshold=0.5).localCheckpoint()
+    five = {(r.node, r.deg) for r in kcore(pairs, 2, rounds=5).collect()}
+    six = {(r.node, r.deg) for r in kcore(pairs, 2, rounds=6).collect()}
+    assert five == six

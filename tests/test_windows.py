@@ -143,3 +143,21 @@ def test_sessionize_dynamic_gap_per_event_type(spark):
              windows.sessionize(df, ["user_id"], "ts_ms", 1_800_000,
                                 order_by=["event_id"]).collect()}
     assert fixed[3] == 0
+
+
+def test_attribution_conserves_conversions_and_revenue(spark):
+    """Every purchase is attributed exactly once: the (first,last)-touch
+    matrix must conserve both the purchase count and the micro-revenue."""
+    from pyspark.sql import functions as F
+    from flink_realtime_data_eng_spark import registry
+    sf = "/root/testdata/sf0.001"
+    out = registry.QUERIES["x_attribution"](spark, sf).collect()
+    e = registry._events(spark, sf).filter(F.col("event_type") == "purchase")
+    n_purch = e.count()
+    rev = e.agg(F.sum(F.round(F.col("value") * 1_000_000)
+                      .cast("bigint"))).collect()[0][0]
+    assert sum(r.n_conversions for r in out) == n_purch
+    assert sum(r.revenue_e6 for r in out) == rev
+    # a user's first purchase with no prior touch lands in '(none)'
+    assert all(r.first_touch != "purchase" and r.last_touch != "purchase"
+               for r in out)

@@ -77,7 +77,8 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def _overlap_pairs(df: DataFrame, n: int, text_col: str, id_col: str,
-                   candidates: DataFrame | None) -> DataFrame:
+                   candidates: DataFrame | None,
+                   shingles_df: DataFrame | None = None) -> DataFrame:
     """Shared overlap core for set-similarity measures: doc pairs with
     their shingle overlap counts ``(id_a, id_b, n_common, n_a, n_b)``.
 
@@ -89,7 +90,10 @@ def _overlap_pairs(df: DataFrame, n: int, text_col: str, id_col: str,
     to candidate docs before the self-join and the result is left-semi
     restricted to candidate pairs, so all-pairs work never materializes.
     """
-    sh = shingles(df, n, text_col, id_col)
+    # A caller that already materialized the shingle table (e.g.
+    # prefix_filter_pairs) passes it in so the corpus isn't re-tokenized.
+    sh = shingles(df, n, text_col, id_col) if shingles_df is None \
+        else shingles_df
     cand = None
     if candidates is not None:
         cand = candidates.select("id_a", "id_b")
@@ -116,11 +120,12 @@ def _overlap_pairs(df: DataFrame, n: int, text_col: str, id_col: str,
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  shingles_df: DataFrame | None = None) -> DataFrame:
     """Doc pairs with shingle-set Jaccard >= threshold (scale notes on
     :func:`_overlap_pairs`). Output: id_a, id_b, jaccard (rounded to 6 dp
     — the oracle contract)."""
-    ov = _overlap_pairs(df, n, text_col, id_col, candidates)
+    ov = _overlap_pairs(df, n, text_col, id_col, candidates, shingles_df)
     return (ov.withColumn(
                 "jaccard",
                 F.round(F.col("n_common").cast("double")
@@ -652,5 +657,7 @@ def prefix_filter_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                   "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+    # Reuse the materialized shingle table for verification — the corpus
+    # tokenizes exactly once across candidate generation AND verify.
     return jaccard_pairs(df, n=n, threshold=threshold, text_col=text_col,
-                         id_col=id_col, candidates=cand)
+                         id_col=id_col, candidates=cand, shingles_df=sh)

@@ -257,8 +257,12 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 8,
     1-row count per round at the driver, the sanctioned scalar).
 
     Each round is one degree aggregate + two semi-joins on the current
-    edge set, localCheckpointed to truncate lineage — O(rounds) keyed
-    shuffles on a frame that only shrinks, never the corpus.
+    edge set, localCheckpointed PER ROUND — the round output feeds the
+    next round's plan three times (degree base + both semi-join probes),
+    so without materialization the peel chain re-executes 3^rounds
+    times, the same blowup the oracle avoids with MATERIALIZED CTEs.
+    O(rounds) keyed shuffles on a frame that only shrinks, never the
+    corpus.
 
     Returns (node, deg) for surviving nodes with their in-core degree.
     """

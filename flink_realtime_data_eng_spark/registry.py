@@ -8210,3 +8210,48 @@ SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
 FROM customer
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def x_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_attribution live: per-user (first, last) touch held as two
+    strings of keyed state (streaming/stateful.py:attribution_stream);
+    each purchase emits attributed the moment it arrives, and the drained
+    conversion rows aggregate to the SAME (first, last) matrix as the
+    batch two-window form — the oracle is the batch SQL minus the revenue
+    column (the CSV replay carries no value field)."""
+    from .streaming.stateful import attribution_stream
+    ev = _stream_events(spark, sf_dir)
+    out = attribution_stream(ev, key="user_id", ts_ms="ts_ms",
+                             type_col="event_type", id_col="event_id",
+                             convert_on="purchase")
+    mem = _run_to_memory(out, spark)
+    return (mem.groupBy("first_touch", "last_touch")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+            .orderBy("first_touch", "last_touch"))
+
+
+QUERIES["x_attribution_stream"] = x_attribution_stream
+STREAMING_DEMOS.add("x_attribution_stream")
+
+ORACLES["x_attribution_stream"] = f"""
+WITH e AS ({_EV}),
+tagged AS (
+  SELECT event_type,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM e
+)
+SELECT coalesce(first_touch, '(none)') AS first_touch,
+       coalesce(last_touch, '(none)') AS last_touch,
+       CAST(count(*) AS BIGINT) AS n_conversions
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -690,3 +690,56 @@ def dynamic_sessions_timeout_stream(df: DataFrame, key: str = "user_id",
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.EventTimeTimeout))
+
+
+def attribution_stream(df: DataFrame, key: str = "user_id",
+                       ts_ms: str = "ts_ms", type_col: str = "event_type",
+                       id_col: str = "event_id",
+                       convert_on: str = "purchase") -> DataFrame:
+    """Live first/last-touch attribution — the streaming form of the
+    batch two-window recipe (registry.x_attribution): per key, remember
+    the FIRST and the most recent non-conversion touch (two small strings
+    of state, bounded regardless of stream length); the moment a
+    conversion lands, emit it attributed to that (first, last) pair.
+    Users with no prior touch attribute to '(none)', matching the batch
+    windows' empty-frame null. Emission happens ON the conversion row —
+    no watermark, no timeout, no flush sentinel needed, so the machine
+    drains fully under availableNow.
+
+    The DuckDB oracle is the BATCH attribution aggregate: both
+    formulations of the same semantics must agree, which also pins the
+    replay's per-key (ts, id) ordering contract.
+    """
+    order = [ts_ms, id_col]
+    out_schema = T.StructType(
+        [_field(df, key),
+         T.StructField("first_touch", T.StringType()),
+         T.StructField("last_touch", T.StringType())])
+    state_schema = T.StructType([
+        T.StructField("first_touch", T.StringType()),
+        T.StructField("last_touch", T.StringType()),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        first, last = (state.get if state.exists else (None, None))
+        out: list[tuple] = []
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else
+               (chunks[0] if chunks else pd.DataFrame(columns=order)))
+        if len(pdf):
+            for row in pdf.sort_values(order).itertuples(index=False):
+                t = getattr(row, type_col)
+                if t == convert_on:
+                    out.append((key_tuple[0], first or "(none)",
+                                last or "(none)"))
+                else:
+                    last = t
+                    if first is None:
+                        first = t
+        state.update((first, last))
+        yield pd.DataFrame(out, columns=[key, "first_touch", "last_touch"])
+
+    return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))

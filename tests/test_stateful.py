@@ -68,3 +68,17 @@ def test_action_durations_timestamp_tie_deterministic(spark):
                                     order_by=["ts_ms", "event_id"])
     assert _rows(out, "event_id", "prev_action", "duration_ms") == [
         (1, "None", 0), (2, "a", 0)]
+
+
+def test_attribution_stream_matches_batch(spark):
+    """The streaming state machine and the batch two-window recipe are
+    the same semantics: identical (first, last) conversion matrix."""
+    from flink_realtime_data_eng_spark import registry
+    sf = "/root/testdata/sf0.001"
+    live = {(r.first_touch, r.last_touch): r.n_conversions
+            for r in registry.QUERIES["x_attribution_stream"](spark, sf)
+            .collect()}
+    batch = {(r.first_touch, r.last_touch): r.n_conversions
+             for r in registry.QUERIES["x_attribution"](spark, sf)
+             .collect()}
+    assert live == batch and sum(live.values()) > 0

@@ -503,17 +503,15 @@ def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
     for _ in range(iters):
         cents_df = spark.createDataFrame(cents, cent_schema)
         assigned = _assign(cents_df)
-        sums = (assigned
-                .select("cell", F.posexplode("q6").alias("pos", "v"))
-                .groupBy("cell", "pos")
-                .agg(F.expr("sum(v) div count(*)").alias("m")))
-        new = {r["cell"]: r["cvec"] for r in
-               (sums.groupBy("cell")
-                    .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                          .alias("pm"))
-                    .select("cell",
-                            F.transform("pm", lambda s: s["m"]).alias("cvec"))
-                    .collect())}
+        # Elementwise mean WITHOUT posexplode: dim is statically known, so
+        # the centroid update is ONE aggregate of dim sum-columns per cell
+        # (map-side partials, one tiny shuffle of |cells| rows) instead of
+        # shuffling corpus × dim exploded rows per iteration.
+        new = {r["cell"]: [r[f"m{i}"] for i in range(dim)] for r in
+               (assigned.groupBy("cell")
+                        .agg(*[F.expr(f"sum(q6[{i}]) div count(*)")
+                               .alias(f"m{i}") for i in range(dim)])
+                        .collect())}
         # A cell that lost all members keeps its previous centroid.
         cents = [(c, list(new.get(c, old))) for c, old in cents]
 

@@ -161,3 +161,40 @@ def scd2_intervals(df: DataFrame, key_col: str = "user_id",
                     F.col(ts_col).cast("bigint").alias("valid_from_ms"),
                     F.col("valid_to_ms").cast("bigint"),
                     F.col("valid_to_ms").isNull().alias("is_current")))
+
+
+def touch_attribution(df: DataFrame, key: str = "user_id",
+                      ts_ms: str = "ts_ms", id_col: str = "event_id",
+                      type_col: str = "event_type",
+                      convert_on: str = "purchase",
+                      value_col: str | None = None) -> DataFrame:
+    """First/last-touch conversion attribution: for every ``convert_on``
+    event, the earliest and the latest OTHER-typed event the same key
+    produced strictly before it (deterministic (ts, id) order; no prior
+    touch maps to '(none)'), aggregated to the (first, last) channel
+    matrix. Two ignore-nulls running windows on ONE key partitioning +
+    a |types|²-bounded aggregate; optional exact-micros revenue credit
+    when ``value_col`` is given (e6 fixed-point BIGINT sum — the
+    hash-stable contract for double money columns).
+
+    The streaming twin is ``streaming/stateful.py:attribution_stream``
+    (same semantics as keyed state); the registry oracle + property tests
+    pin all three formulations together.
+    """
+    w = (W.partitionBy(key).orderBy(ts_ms, id_col)
+          .rowsBetween(W.unboundedPreceding, -1))
+    touch = F.when(F.col(type_col) != convert_on, F.col(type_col))
+    attributed = (df.withColumn("first_touch", F.first(touch, True).over(w))
+                    .withColumn("last_touch", F.last(touch, True).over(w))
+                    .filter(F.col(type_col) == convert_on))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_conversions")]
+    if value_col is not None:
+        aggs.append(F.sum(F.round(F.col(value_col) * 1_000_000)
+                          .cast("bigint")).alias("revenue_e6"))
+    return (attributed
+            .groupBy(F.coalesce("first_touch", F.lit("(none)"))
+                     .alias("first_touch"),
+                     F.coalesce("last_touch", F.lit("(none)"))
+                     .alias("last_touch"))
+            .agg(*aggs)
+            .orderBy("first_touch", "last_touch"))

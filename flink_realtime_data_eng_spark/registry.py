@@ -8130,25 +8130,15 @@ def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversions and exact-micros revenue credit grouped by the
     (first_touch, last_touch) channel pair. Two ignore-nulls running
     windows on ONE user-partition shuffle + a |types|²-bounded aggregate
-    — the marketing-analytics query every clickstream store runs."""
-    from pyspark.sql import Window as W
+    — the marketing-analytics query every clickstream store runs
+    (operators/funnel.py:touch_attribution)."""
     e = _events(spark, sf_dir).select("user_id", "event_type", "ts_ms",
                                       "event_id", "value")
-    w = (W.partitionBy("user_id").orderBy("ts_ms", "event_id")
-          .rowsBetween(W.unboundedPreceding, -1))
-    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
-    attributed = (e.withColumn("first_touch", F.first(touch, True).over(w))
-                   .withColumn("last_touch", F.last(touch, True).over(w))
-                   .filter(F.col("event_type") == "purchase"))
-    return (attributed
-            .groupBy(F.coalesce("first_touch", F.lit("(none)"))
-                     .alias("first_touch"),
-                     F.coalesce("last_touch", F.lit("(none)"))
-                     .alias("last_touch"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
-                 F.sum(F.round(F.col("value") * 1_000_000)
-                       .cast("bigint")).alias("revenue_e6"))
-            .orderBy("first_touch", "last_touch"))
+    return funnel.touch_attribution(e, key="user_id", ts_ms="ts_ms",
+                                    id_col="event_id",
+                                    type_col="event_type",
+                                    convert_on="purchase",
+                                    value_col="value")
 
 
 QUERIES["x_attribution"] = x_attribution

@@ -341,3 +341,55 @@ SELECT sw.g, sw.n,
 FROM q JOIN sw ON q.g = sw.g
 GROUP BY sw.g, sw.n, sw.lo, sw.w""").fetchall()))
     assert got == want
+
+
+_EVENT_STREAMS = st.lists(
+    st.tuples(st.integers(0, 3),                      # user_id
+              st.integers(0, 1000),                   # ts_ms
+              st.sampled_from(["view", "click", "signup", "purchase"]),
+              st.integers(0, 9999)),                  # cents -> value
+    min_size=1, max_size=40)
+
+
+@given(evs=_EVENT_STREAMS)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_touch_attribution_matches_duckdb(spark, evs):
+    """The two-window attribution recipe must agree with DuckDB's
+    IGNORE NULLS window replay on arbitrary event streams (incl. ties
+    broken by event_id and conversions with no prior touch)."""
+    from flink_realtime_data_eng_spark.operators.funnel import (
+        touch_attribution)
+    rows = [(u, t, ty, i, c / 100.0)
+            for i, (u, t, ty, c) in enumerate(evs)]
+    cols = ["user_id", "ts_ms", "event_type", "event_id", "value"]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_ms long, event_type string, "
+              "event_id long, value double")
+    got = sorted(tuple(r) for r in
+                 touch_attribution(df, value_col="value").collect())
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(rows, columns=cols))
+    want = sorted(map(tuple, con.execute("""
+WITH tagged AS (
+  SELECT event_type, value,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM e
+)
+SELECT coalesce(first_touch, '(none)') AS first_touch,
+       coalesce(last_touch, '(none)') AS last_touch,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS revenue_e6
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()))
+    assert got == want

@@ -502,3 +502,64 @@ def test_ohlc_matches_python_replica(spark, ticks):
     want = {(k,): (c["first"][1], c["h"], c["l"], c["last"][1], c["n"])
             for k, c in ref.items()}
     assert got == want
+
+
+_WORDS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=2, max_size=8)
+
+
+@SLOW
+@given(texts=_WORDS, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_is_lossless_on_random_corpora(spark, texts, threshold):
+    """The SSJoin/PPJoin prefix rule must be COMPLETE: candidate-gated
+    Jaccard equals the full self-join at any threshold, on corpora built
+    from a tiny vocabulary (maximal shingle collisions — the adversarial
+    case for prefix selection and frequency ties)."""
+    from flink_realtime_data_eng_spark.functions import dedup
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    full = {tuple(r) for r in
+            dedup.jaccard_pairs(df, n=2, threshold=threshold).collect()}
+    pref = {tuple(r) for r in
+            dedup.prefix_filter_pairs(df, n=2,
+                                      threshold=threshold).collect()}
+    assert pref == full
+
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=1, max_size=25)
+
+
+@SLOW
+@given(edges=_EDGES, k=st.sampled_from([2, 3]))
+def test_kcore_matches_sequential_peel(spark, edges, k):
+    """Fixed-round distributed peeling must agree with the sequential
+    reference algorithm once both reach the fixpoint (10 nodes peel in
+    well under the 10 rounds given)."""
+    from flink_realtime_data_eng_spark.functions.graph import kcore
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    # sequential peel to fixpoint
+    cur = set(sym)
+    while True:
+        deg = {}
+        for a, _ in cur:
+            deg[a] = deg.get(a, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in alive and b in alive}
+        if nxt == cur:
+            break
+        cur = nxt
+    want = {}
+    for a, _ in cur:
+        want[a] = want.get(a, 0) + 1
+    df = spark.createDataFrame(sorted({tuple(sorted(e)) for e in edges}),
+                               "id_a long, id_b long")
+    got = {r.node: r.deg for r in kcore(df, k=k, rounds=10).collect()}
+    assert got == want

@@ -647,3 +647,30 @@ def heldout_logprob(train_df: DataFrame, eval_df: DataFrame,
                     F.coalesce(F.round(F.col("logprob_e6")
                                        / F.col("n_tokens") / 1e6, 6),
                                F.lit(0.0)).alias("mean_logprob")))
+
+
+def feature_hash(df: DataFrame, buckets: int = 64, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al., ICML'09): every
+    token maps to ``md5 % buckets`` with a second md5 bit supplying the
+    ±1 sign, so collision noise cancels in expectation — the fixed-width
+    featurizer that needs NO vocabulary pass, no dictionary broadcast,
+    and no fit/transform split, which is exactly what you want when the
+    corpus is 100 TB and the vocabulary won't fit anywhere.
+
+    Sparse output (id, bucket, feat): one explode + one (id, bucket)
+    aggregate, all map-side expressible work before the single keyed
+    shuffle. Hash = the repo's md5-derived 32-bit family, so the DuckDB
+    oracle replays every bucket and sign bit-for-bit.
+    """
+    from .dedup import _md5_hash32
+    tok = (df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("tok")))
+    h = _md5_hash32("fh", F.col("tok"))
+    sign = F.when(_md5_hash32("fs", F.col("tok")) % 2 == 0,
+                  F.lit(1)).otherwise(F.lit(-1))
+    return (tok.select(F.col(id_col), (h % buckets).alias("bucket"),
+                       sign.alias("sign"))
+               .groupBy(id_col, "bucket")
+               .agg(F.sum("sign").cast("bigint").alias("feat"))
+               .orderBy(id_col, "bucket"))

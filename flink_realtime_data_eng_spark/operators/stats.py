@@ -293,3 +293,36 @@ def global_prefix_max(df: DataFrame, value_col: str, order_col: str,
                        join_keys)
             .withColumn(out_col, F.greatest("_local", "_offset"))
             .drop("_pid", "_local", "_offset"))
+
+
+def rank_normalize(df: DataFrame, group: str, value: str,
+                   id_col: str = "event_id") -> DataFrame:
+    """Percent-rank (quantile) normalization per group — the rank
+    transform feature pipelines apply to heavy-tailed columns:
+    pct = (#rows strictly below) / (n - 1), i.e. SQL ``percent_rank``.
+
+    Scale shape: the ranking window runs over DISTINCT (group, value)
+    rows (cardinality-bounded), never over the raw rows — a naive
+    ``percent_rank().over(partitionBy(group))`` serializes every row of
+    a group through one task, which dies on the first billion-row group.
+    Here: one (group, value) count aggregate, a cumulative window on the
+    collapsed frame, and one equi-join back — all shuffles keyed and
+    partial-aggregated. The DuckDB oracle runs the BUILTIN percent_rank,
+    pinning the decomposition to the textbook definition.
+
+    Output: (id, group, pct6) for non-null values; a single-row group
+    normalizes to 0 (the SQL convention).
+    """
+    from pyspark.sql import Window as W
+    rows = df.filter(F.col(value).isNotNull()).select(id_col, group, value)
+    counts = rows.groupBy(group, value).agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy(group).orderBy(value)
+    cum = counts.withColumn("below", F.sum("c").over(w) - F.col("c"))
+    totals = rows.groupBy(group).agg(F.count(F.lit(1)).alias("n"))
+    pct = (F.when(F.col("n") > 1,
+                  F.round(F.col("below").cast("double")
+                          / (F.col("n") - 1), 6))
+            .otherwise(F.lit(0.0)))
+    return (rows.join(cum, [group, value]).join(totals, group)
+                .select(id_col, group, pct.alias("pct6"))
+                .orderBy(id_col))

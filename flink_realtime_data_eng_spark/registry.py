@@ -8245,3 +8245,49 @@ SELECT coalesce(first_touch, '(none)') AS first_touch,
 FROM tagged WHERE event_type = 'purchase'
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def x_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words into 64 signed buckets — the
+    vocabulary-free featurizer (no dictionary pass, no fit/transform
+    split, nothing to broadcast), sparse (doc, bucket, feat) output;
+    md5-derived bucket and sign replay bit-for-bit in the oracle
+    (functions/text.py:feature_hash)."""
+    return text.feature_hash(_docs(spark, sf_dir), buckets=64)
+
+
+QUERIES["x_feature_hash"] = x_feature_hash
+
+ORACLES["x_feature_hash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+)
+SELECT doc_id,
+       {_H32.format(x="concat('fh', ':', tok)")} % 64 AS bucket,
+       CAST(sum(CASE WHEN {_H32.format(x="concat('fs', ':', tok)")} % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS feat
+FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket
+"""
+
+
+def x_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-rank normalization of events.value per event type — the
+    rank transform for heavy-tailed features, built scale-correct: the
+    ranking window runs over DISTINCT (type, value) rows, never the raw
+    stream (a plain percent_rank window serializes each type through one
+    task). Oracle = DuckDB's BUILTIN percent_rank, so the decomposition
+    is pinned to the textbook definition
+    (operators/stats.py:rank_normalize)."""
+    return stats.rank_normalize(_events(spark, sf_dir), group="event_type",
+                                value="value")
+
+
+QUERIES["x_rank_normalize"] = x_rank_normalize
+
+ORACLES["x_rank_normalize"] = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value),
+             6) AS pct6
+FROM events WHERE value IS NOT NULL
+ORDER BY event_id
+"""

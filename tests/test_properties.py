@@ -563,3 +563,28 @@ def test_kcore_matches_sequential_peel(spark, edges, k):
                                "id_a long, id_b long")
     got = {r.node: r.deg for r in kcore(df, k=k, rounds=10).collect()}
     assert got == want
+
+
+_VALS = st.lists(
+    st.tuples(st.integers(0, 2),                  # group
+              st.sampled_from([0.0, 1.5, 2.25, 7.0, 7.0, 9.5])),
+    min_size=1, max_size=30)
+
+
+@SLOW
+@given(rows=_VALS)
+def test_rank_normalize_matches_builtin_percent_rank(spark, rows):
+    """The distinct-value decomposition must equal Spark's builtin
+    percent_rank on any frame, including heavy ties and 1-row groups."""
+    from pyspark.sql import Window as W
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "event_id long, g long, value double")
+    got = {r.event_id: r.pct6 for r in
+           stats.rank_normalize(df, "g", "value").collect()}
+    w = W.partitionBy("g").orderBy("value")
+    want = {r.event_id: round(r.pr, 6) for r in
+            df.select("event_id", F.percent_rank().over(w).alias("pr"))
+              .collect()}
+    assert got == want

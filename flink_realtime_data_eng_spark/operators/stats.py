@@ -326,3 +326,37 @@ def rank_normalize(df: DataFrame, group: str, value: str,
     return (rows.join(cum, [group, value]).join(totals, group)
                 .select(id_col, group, pct.alias("pct6"))
                 .orderBy(id_col))
+
+
+def target_encode_loo(df: DataFrame, category: str, target: str,
+                      id_col: str = "event_id",
+                      smoothing: int = 10) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing
+    (Micci-Barreca, SIGKDD Expl. 2001): each row's category becomes the
+    mean target of the OTHER rows in its category, shrunk toward the
+    global mean — enc_i = (sum_cat - y_i + m*prior) / (n_cat - 1 + m).
+    Excluding the row's own target is what stops the feature from
+    leaking its label into training.
+
+    Determinism contract: all sums in e6 fixed-point BIGINT (the repo's
+    money contract), prior = global_sum div global_n (truncating integer
+    division, identical in Spark ``div`` and DuckDB ``//``); the one
+    float division happens last on identical integers and rounds to 6 dp.
+
+    Scale shape: category totals are a |categories|-bounded aggregate
+    broadcast back onto the rows — one map-side join, no raw-row
+    re-shuffle; the global prior is a 1-row scalar cross join.
+    """
+    y6 = F.round(F.col(target) * 1_000_000).cast("bigint")
+    rows = (df.filter(F.col(target).isNotNull())
+              .select(id_col, category, y6.alias("y6")))
+    cat = rows.groupBy(category).agg(F.sum("y6").alias("sum6"),
+                                     F.count(F.lit(1)).alias("n"))
+    glob = rows.agg(F.expr("sum(y6) div count(*)").alias("prior6"))
+    enc = ((F.col("sum6") - F.col("y6")
+            + F.lit(smoothing) * F.col("prior6")).cast("double")
+           / (F.col("n") - 1 + smoothing))
+    return (rows.join(F.broadcast(cat), category).crossJoin(glob)
+                .select(id_col, category,
+                        F.round(enc / 1_000_000, 6).alias("enc6"))
+                .orderBy(id_col))

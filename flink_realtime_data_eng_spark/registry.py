@@ -8291,3 +8291,33 @@ SELECT event_id, event_type,
 FROM events WHERE value IS NOT NULL
 ORDER BY event_id
 """
+
+
+def x_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value
+    (smoothing m=10): the label-leak-free categorical featurizer, exact
+    e6 integer sums with one final rounded division so the oracle
+    replays every encoding (operators/stats.py:target_encode_loo)."""
+    return stats.target_encode_loo(_events(spark, sf_dir),
+                                   category="event_type", target="value")
+
+
+QUERIES["x_target_encode"] = x_target_encode
+
+ORACLES["x_target_encode"] = """
+WITH rows_ AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS y6
+  FROM events WHERE value IS NOT NULL
+), cat AS (
+  SELECT event_type, SUM(y6) AS sum6, COUNT(*) AS n
+  FROM rows_ GROUP BY event_type
+), gl AS (
+  SELECT SUM(y6) // COUNT(*) AS prior6 FROM rows_
+)
+SELECT r.event_id, r.event_type,
+       round(CAST(cat.sum6 - r.y6 + 10 * gl.prior6 AS DOUBLE)
+             / (cat.n - 1 + 10) / 1000000, 6) AS enc6
+FROM rows_ r JOIN cat USING (event_type) CROSS JOIN gl
+ORDER BY r.event_id
+"""

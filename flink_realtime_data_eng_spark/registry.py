@@ -8321,3 +8321,51 @@ SELECT r.event_id, r.event_type,
 FROM rows_ r JOIN cat USING (event_type) CROSS JOIN gl
 ORDER BY r.event_id
 """
+
+
+_BENFORD = [(d, round(__import__("math").log10(1 + 1 / d), 6))
+            for d in range(1, 10)]
+
+
+def x_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of events.value — the fabricated-data smell
+    test finance/quality teams run: observed first-significant-digit
+    distribution vs log10(1+1/d). The digit comes from the STRING form
+    of exact integer cents (substring of a BIGINT cast — float log10 at
+    power-of-ten boundaries is not engine-portable, digit strings are);
+    expectations are shared 6-dp literals. One map-side digit extraction
+    + a 9-row aggregate."""
+    e = _events(spark, sf_dir).filter(F.col("value") > 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("bigint")
+    obs = (e.select(digit.alias("digit"))
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs")))
+    total = obs.agg(F.sum("n_obs").alias("n_total"))
+    bexp = spark.createDataFrame(_BENFORD, "digit bigint, benford6 double")
+    return (obs.crossJoin(total).join(F.broadcast(bexp), "digit")
+            .select("digit", "n_obs",
+                    F.round(F.col("n_obs").cast("double")
+                            / F.col("n_total"), 6).alias("frac6"),
+                    "benford6")
+            .orderBy("digit"))
+
+
+QUERIES["x_benford"] = x_benford
+
+ORACLES["x_benford"] = f"""
+WITH obs AS (
+  SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM events WHERE value > 0 GROUP BY 1
+), t AS (SELECT SUM(n_obs) AS n_total FROM obs),
+bexp(digit, benford6) AS (
+  VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD)}
+)
+SELECT obs.digit, obs.n_obs,
+       round(CAST(obs.n_obs AS DOUBLE) / t.n_total, 6) AS frac6,
+       CAST(bexp.benford6 AS DOUBLE) AS benford6
+FROM obs CROSS JOIN t JOIN bexp ON bexp.digit = obs.digit
+ORDER BY obs.digit
+"""

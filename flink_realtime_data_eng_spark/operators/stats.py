@@ -360,3 +360,32 @@ def target_encode_loo(df: DataFrame, category: str, target: str,
                 .select(id_col, category,
                         F.round(enc / 1_000_000, 6).alias("enc6"))
                 .orderBy(id_col))
+
+
+def winsorize(df: DataFrame, group: str, value: str,
+              id_col: str = "event_id",
+              lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Winsorization: clip each value into its group's [p_lo, p_hi]
+    exact-quantile band — the outlier treatment that keeps the row (vs
+    IQR filtering, operators/stats.iqr_outliers, which drops it).
+
+    Quantiles use the same linear-interpolation definition as
+    :func:`exact_group_quantiles` (percentile_cont semantics, identical
+    in DuckDB's quantile_cont), computed per group once and joined back
+    broadcast — the raw rows shuffle only for the |groups|-bounded
+    quantile aggregate, and the clip itself is map-side.
+
+    Output: (id, group, clipped6).
+    """
+    rows = df.filter(F.col(value).isNotNull()).select(id_col, group, value)
+    # Clip against the 6-dp-ROUNDED quantiles (exact_group_quantiles'
+    # cross-engine contract): the raw interpolated double can differ in
+    # the last ulp between engines, the rounded one cannot.
+    q = (rows.groupBy(group)
+             .agg(F.round(F.percentile(value, F.lit(lo)), 6).alias("q_lo"),
+                  F.round(F.percentile(value, F.lit(hi)), 6).alias("q_hi")))
+    clipped = F.least(F.greatest(F.col(value), F.col("q_lo")), F.col("q_hi"))
+    return (rows.join(F.broadcast(q), group)
+                .select(id_col, group,
+                        F.round(clipped, 6).alias("clipped6"))
+                .orderBy(id_col))

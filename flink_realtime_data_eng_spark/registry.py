@@ -8369,3 +8369,30 @@ SELECT obs.digit, obs.n_obs,
 FROM obs CROSS JOIN t JOIN bexp ON bexp.digit = obs.digit
 ORDER BY obs.digit
 """
+
+
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized events.value per event type (clip into the exact
+    [p5, p95] band): the outlier treatment that keeps the row, beside
+    the IQR filter that drops it (x_iqr_outliers). Quantiles computed
+    once per group and broadcast back; clip is map-side
+    (operators/stats.py:winsorize)."""
+    return stats.winsorize(_events(spark, sf_dir), group="event_type",
+                           value="value", lo=0.05, hi=0.95)
+
+
+QUERIES["x_winsorize"] = x_winsorize
+
+ORACLES["x_winsorize"] = """
+WITH q AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS q_lo,
+         round(quantile_cont(value, 0.95), 6) AS q_hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, q.q_lo), q.q_hi), 6) AS clipped6
+FROM events e JOIN q USING (event_type)
+WHERE e.value IS NOT NULL
+ORDER BY e.event_id
+"""

@@ -53,6 +53,8 @@ NESTED_LOOP_OK = {
     "x_psi_drift",              # dense grid + 1-row corpus-total broadcast
     "x_ks_test",                # 1-row (n1, n2) totals broadcast
     "x_heldout_ppl",            # 1-row (N, V) model-totals broadcast
+    "x_target_encode",          # 1-row global-prior broadcast
+    "x_benford",                # 1-row digit-total broadcast
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

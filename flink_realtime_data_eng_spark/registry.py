@@ -8396,3 +8396,69 @@ FROM events e JOIN q USING (event_type)
 WHERE e.value IS NOT NULL
 ORDER BY e.event_id
 """
+
+
+def x_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users via SKETCH MERGING — the pattern the
+    portable HLL exists for at 100 TB: registers are maintained once per
+    10-minute bucket (the expensive pass touches each event once), and
+    every 1-hour sliding window is answered by max-folding its 6 member
+    buckets' registers — no re-scan per window, and the same persisted
+    bucket sketches answer ANY window granularity later. Register table
+    is (buckets × m)-bounded; the window expansion explodes registers,
+    never events. Exact twin: x_window_distinct (shuffles raw ids per
+    window)."""
+    e = _events(spark, sf_dir).select("user_id", "ts_ms")
+    b = e.withColumn("bucket_ms",
+                     F.expr("ts_ms div 600000") * F.lit(600000))
+    rho = sketches.hll_rho(b, "bucket_ms", "user_id")
+    regs = (rho.groupBy("bucket_ms", "bucket")
+               .agg(F.max("rho").alias("reg")))
+    win = (regs.select(F.explode(F.expr("sequence(0, 5)")).alias("k"),
+                       "bucket_ms", "bucket", "reg")
+               .withColumn("w_start",
+                           F.col("bucket_ms") - F.col("k") * 600000))
+    merged = (win.groupBy("w_start", "bucket")
+                 .agg(F.max("reg").alias("reg")))
+    return sketches.hll_estimate(merged, "w_start")
+
+
+QUERIES["x_hll_sliding"] = x_hll_sliding
+
+ORACLES["x_hll_sliding"] = f"""
+WITH h AS (
+  SELECT (epoch_ms(ts) // 600000) * 600000 AS bucket_ms,
+         CAST(concat('0x', substring(md5(concat('hll', ':',
+              CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), b AS (
+  SELECT bucket_ms, h // 4194304 AS bucket, h % 4194304 AS w FROM h
+), r AS (
+  SELECT bucket_ms, bucket,
+         MAX(CASE WHEN w = 0 THEN 23
+                  ELSE 23 - length(bin(w)) END) AS reg
+  FROM b GROUP BY 1, 2
+), wn AS (
+  SELECT bucket_ms - k * 600000 AS w_start, bucket, reg
+  FROM r CROSS JOIN (SELECT unnest(range(0, 6)) AS k) ks
+), m AS (
+  SELECT w_start, bucket, MAX(reg) AS reg FROM wn GROUP BY 1, 2
+), g AS (
+  SELECT w_start, COUNT(*) AS v_nonzero,
+         SUM(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - reg)) AS z_scaled
+  FROM m GROUP BY 1
+), e AS (
+  SELECT w_start, v_nonzero,
+         {_HLL_NUM} / (z_scaled + ({_HLL_M} - v_nonzero)
+                       * CAST(1 AS BIGINT) * {1 << _HLL_SHIFT}) AS raw,
+         {_HLL_M} - v_nonzero AS zeros
+  FROM g
+)
+SELECT w_start, v_nonzero,
+       ROUND(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                  THEN {float(_HLL_M)} * ln({float(_HLL_M)}
+                                            / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS hll_est
+FROM e
+ORDER BY w_start
+"""

@@ -499,3 +499,28 @@ def test_hist_quantiles_rejects_unrepresentable_probability(spark):
     df = spark.createDataFrame([("g", 1.0)], "g string, v double")
     with pytest.raises(ValueError):
         sketches.hist_quantiles(df, "g", "v", probabilities=(1 / 3,))
+
+
+def test_hll_sliding_merge_tracks_exact_distinct(spark):
+    """Merged per-bucket registers must estimate each sliding window's
+    exact distinct count within the HLL error envelope — merging buckets
+    must not degrade the sketch (registers are max-folds, so a window's
+    merged registers EQUAL the registers of its union)."""
+    from flink_realtime_data_eng_spark import registry
+    from pyspark.sql import functions as F
+    sf = "/root/testdata/sf0.01"
+    est = {r.w_start: r.hll_est for r in
+           registry.QUERIES["x_hll_sliding"](spark, sf).collect()}
+    e = registry._events(spark, sf).select("user_id", "ts_ms")
+    win = (e.withColumn("bucket_ms",
+                        F.expr("ts_ms div 600000") * F.lit(600000))
+            .select(F.explode(F.expr("sequence(0, 5)")).alias("k"),
+                    "bucket_ms", "user_id")
+            .withColumn("w_start",
+                        F.col("bucket_ms") - F.col("k") * 600000))
+    exact = {r.w_start: r.n for r in
+             win.groupBy("w_start")
+                .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for w, n in exact.items():
+        assert abs(est[w] - n) <= max(5, 0.15 * n), (w, est[w], n)

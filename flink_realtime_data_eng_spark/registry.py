@@ -8462,3 +8462,60 @@ SELECT w_start, v_nonzero,
 FROM e
 ORDER BY w_start
 """
+
+
+def x_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring — the classic segmentation query: per user,
+    Recency (ms since their last event, against the corpus max ts),
+    Frequency (event count) and Monetary (exact e6 value sum), each
+    scored into quintiles. NTILE runs on the per-user AGGREGATE (never
+    raw events) with user_id tie-breaks so both engines assign identical
+    buckets; at corpus scale (billions of users) each global rank swaps
+    to the two-phase ``stats.global_prefix_sum`` row-numbering — the
+    x_interleave/x_global_offsets recipe — since a global NTILE funnels
+    the user table through one task. One keyed aggregate + one 1-row
+    max broadcast + three windows."""
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir).select("user_id", "ts_ms", "value")
+    per_user = (e.groupBy("user_id")
+                 .agg(F.max("ts_ms").alias("last_ms"),
+                      F.count(F.lit(1)).cast("bigint").alias("frequency"),
+                      F.sum(F.round(F.col("value") * 1_000_000)
+                            .cast("bigint")).alias("monetary_e6")))
+    corpus_max = e.agg(F.max("ts_ms").alias("corpus_max_ms"))
+    rfm = (per_user.crossJoin(corpus_max)
+           .withColumn("recency_ms",
+                       F.col("corpus_max_ms") - F.col("last_ms")))
+    w_r = W.orderBy("recency_ms", "user_id")
+    w_f = W.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = W.orderBy(F.col("monetary_e6").desc(), "user_id")
+    return (rfm.select("user_id", "recency_ms", "frequency", "monetary_e6",
+                       F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
+                       F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
+                       F.ntile(5).over(w_m).cast("bigint").alias("m_score"))
+            .orderBy("user_id"))
+
+
+QUERIES["x_rfm"] = x_rfm
+
+ORACLES["x_rfm"] = f"""
+WITH e AS ({_EV}),
+per_user AS (
+  SELECT user_id, MAX(ts_ms) AS last_ms,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS monetary_e6
+  FROM e GROUP BY user_id
+), mx AS (SELECT MAX(ts_ms) AS corpus_max_ms FROM e)
+SELECT user_id,
+       CAST(corpus_max_ms - last_ms AS BIGINT) AS recency_ms,
+       frequency, monetary_e6,
+       CAST(ntile(5) OVER (ORDER BY corpus_max_ms - last_ms, user_id)
+            AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+            AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_e6 DESC, user_id)
+            AS BIGINT) AS m_score
+FROM per_user CROSS JOIN mx
+ORDER BY user_id
+"""

@@ -55,6 +55,7 @@ NESTED_LOOP_OK = {
     "x_heldout_ppl",            # 1-row (N, V) model-totals broadcast
     "x_target_encode",          # 1-row global-prior broadcast
     "x_benford",                # 1-row digit-total broadcast
+    "x_rfm",                    # 1-row corpus-max broadcast
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

@@ -198,3 +198,37 @@ def touch_attribution(df: DataFrame, key: str = "user_id",
                      .alias("last_touch"))
             .agg(*aggs)
             .orderBy("first_touch", "last_touch"))
+
+
+def cohort_ltv(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts_ms", value_col: str = "value",
+               horizon_weeks: int = 12) -> DataFrame:
+    """Cohort lifetime-value curve — retention's revenue sibling: users
+    cohorted by the epoch week of their FIRST event
+    (:func:`retention_cohorts`' convention), revenue accumulated per
+    (cohort, weeks-since) cell, then CUMULATIVE along week_idx so each
+    row reads "what a cohort was worth by week k". Exact e6 BIGINT
+    revenue end to end (money contract); the cumulative window runs on
+    the cohorts × horizon grid, never raw events.
+
+    Output: cohort_week_ms, week_idx, revenue_e6 (that week),
+    cum_revenue_e6 (through that week).
+    """
+    w = W.partitionBy(user_col)
+    with_first = (df.select(F.col(user_col), F.col(ts_col).alias("_ts"),
+                            F.round(F.col(value_col) * 1_000_000)
+                             .cast("bigint").alias("_v6"))
+                    .withColumn("_first", F.min("_ts").over(w)))
+    wk = F.floor(F.col("_ts") / WEEK_MS)
+    cwk = F.floor(F.col("_first") / WEEK_MS)
+    cells = (with_first
+             .select((cwk * WEEK_MS).cast("bigint").alias("cohort_week_ms"),
+                     (wk - cwk).cast("bigint").alias("week_idx"), "_v6")
+             .filter(F.col("week_idx") <= horizon_weeks)
+             .groupBy("cohort_week_ms", "week_idx")
+             .agg(F.sum("_v6").alias("revenue_e6")))
+    w_cum = (W.partitionBy("cohort_week_ms").orderBy("week_idx")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (cells.withColumn("cum_revenue_e6",
+                             F.sum("revenue_e6").over(w_cum))
+                 .orderBy("cohort_week_ms", "week_idx"))

@@ -8519,3 +8519,42 @@ SELECT user_id,
 FROM per_user CROSS JOIN mx
 ORDER BY user_id
 """
+
+
+def x_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (retention's revenue sibling): first-event-week
+    cohorts, exact e6 revenue per (cohort, weeks-since) cell, cumulative
+    along the horizon — the cumulative window runs on the cohort grid,
+    never raw events (operators/funnel.py:cohort_ltv)."""
+    return funnel.cohort_ltv(_events(spark, sf_dir))
+
+
+QUERIES["x_cohort_ltv"] = x_cohort_ltv
+
+ORACLES["x_cohort_ltv"] = f"""
+WITH e AS ({_EV}),
+wf AS (
+  SELECT user_id, ts_ms,
+         CAST(round(value * 1000000) AS BIGINT) AS v6,
+         MIN(ts_ms) OVER (PARTITION BY user_id) AS first_ms
+  FROM e
+), cells AS (
+  SELECT CAST(floor(first_ms / 604800000) * 604800000 AS BIGINT)
+           AS cohort_week_ms,
+         CAST(floor(ts_ms / 604800000)
+              - floor(first_ms / 604800000) AS BIGINT) AS week_idx,
+         SUM(v6) AS revenue_e6
+  FROM wf
+  WHERE floor(ts_ms / 604800000) - floor(first_ms / 604800000) <= 12
+  GROUP BY 1, 2
+)
+SELECT cohort_week_ms, week_idx,
+       CAST(revenue_e6 AS BIGINT) AS revenue_e6,
+       CAST(SUM(revenue_e6) OVER (PARTITION BY cohort_week_ms
+                                  ORDER BY week_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_e6
+FROM cells
+ORDER BY cohort_week_ms, week_idx
+"""

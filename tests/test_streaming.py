@@ -1425,3 +1425,40 @@ def test_late_capture_engine_watermark_folds_in_across_restart(spark, tmp_path):
     run_once(cap2)
     assert [r["ts_ms"] for r in cap2.late_rows] == [base + 1_000]
     assert cap2.late_count == 1
+
+
+def test_attribution_state_survives_checkpoint_restart(spark, tmp_path):
+    """The (first, last) touch strings must round-trip the state store:
+    touches land in run 1, the purchase arrives in run 2 and attributes
+    to run 1's touches — including the '(none)' path for a user whose
+    purchase precedes any touch."""
+    src, ckpt = tmp_path / "asrc", tmp_path / "ack"
+    src.mkdir()
+    emitted: list[tuple] = []
+
+    def run_once():
+        stream = sources.file_csv_stream(spark, str(src), T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]))
+        out = stateful.attribution_stream(stream, key="user_id")
+        q = (out.writeStream
+             .foreachBatch(lambda bdf, bid: emitted.extend(
+                 (r["user_id"], r["first_touch"], r["last_touch"])
+                 for r in bdf.collect()))
+             .outputMode("append").option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    (src / "a.csv").write_text(
+        '"1","u","view","10"\n"2","u","click","20"\n'
+        '"3","v","purchase","15"\n')
+    run_once()
+    assert emitted == [("v", "(none)", "(none)")]
+    (src / "b.csv").write_text(
+        '"4","u","purchase","30"\n"5","u","purchase","40"\n')
+    run_once()
+    assert emitted == [("v", "(none)", "(none)"),
+                       ("u", "view", "click"), ("u", "view", "click")]

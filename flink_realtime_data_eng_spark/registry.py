@@ -8558,3 +8558,78 @@ SELECT cohort_week_ms, week_idx,
 FROM cells
 ORDER BY cohort_week_ms, week_idx
 """
+
+
+def x_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: top-10 ANN per query
+    using only the FIRST 16 of 64 embedding dims, recall measured against
+    the full-dimension exact top-10 (the x_lsh_recall pattern applied to
+    dimensionality instead of hashing) — the number that tells you
+    whether the cheap prefix-dim index is safe to deploy as a first-stage
+    retriever. Both sides are the deterministic brute-force ranking
+    (rounded-score + id tie-break), so the per-query recall is
+    hash-stable cross-engine."""
+    emb = _emb(spark, sf_dir)
+    q_full = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    full = similarity.brute_force_topk(emb, q_full, k=10)
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16)
+                       .alias("embedding"))
+    q16 = emb16.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    trunc = similarity.brute_force_topk(emb16, q16, k=10)
+    hits = (full.select("query_id", "vec_id")
+            .join(trunc.select("query_id", "vec_id"),
+                  ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+    base = full.select("query_id").distinct()
+    return (base.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                     .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)).cast("double")
+                            / 10, 6).alias("recall6"))
+            .orderBy("query_id"))
+
+
+QUERIES["x_dim_recall"] = x_dim_recall
+
+ORACLES["x_dim_recall"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+full_s AS (
+  SELECT query_id, vec_id,
+         round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE query_id <> vec_id
+), full_r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rk
+  FROM full_s
+), q16 AS (SELECT query_id, q[1:16] AS q FROM q),
+c16 AS (SELECT vec_id, v[1:16] AS v FROM c),
+t_s AS (
+  SELECT query_id, vec_id,
+         round({_COSINE_Q}, 6) AS score
+  FROM q16 CROSS JOIN c16 WHERE query_id <> vec_id
+), t_r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rk
+  FROM t_s
+), hits AS (
+  SELECT f.query_id, count(*) AS n_hits
+  FROM (SELECT query_id, vec_id FROM full_r WHERE rk <= 10) f
+  JOIN (SELECT query_id, vec_id FROM t_r WHERE rk <= 10) t
+    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / 10, 6) AS recall6
+FROM (SELECT DISTINCT query_id FROM q) q
+LEFT JOIN hits ON hits.query_id = q.query_id
+ORDER BY q.query_id
+"""

@@ -56,6 +56,8 @@ NESTED_LOOP_OK = {
     "x_target_encode",          # 1-row global-prior broadcast
     "x_benford",                # 1-row digit-total broadcast
     "x_rfm",                    # 1-row corpus-max broadcast
+    "x_dim_recall",             # brute-force retrieval on both sides of
+                                # the truncation audit (queries broadcast)
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

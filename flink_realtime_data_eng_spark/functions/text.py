@@ -674,3 +674,34 @@ def feature_hash(df: DataFrame, buckets: int = 64, text_col: str = "text",
                .groupBy(id_col, "bucket")
                .agg(F.sum("sign").cast("bigint").alias("feat"))
                .orderBy(id_col, "bucket"))
+
+
+def domain_caps(df: DataFrame, k: int = 50, text_col: str = "text",
+                id_col: str = "doc_id",
+                source_col: str = "source") -> DataFrame:
+    """Per-source quality cap — the corpus-curation step that stops one
+    domain from swamping the mixture: keep only each source's top-``k``
+    docs by mean unigram log-probability (the engine's quality signal),
+    ranked on the shared exact-integer key (:func:`_quality_key`) with
+    doc-id tie-breaks so the cut is hash-stable cross-engine. Unlike
+    :func:`sketches.group_sample` (hash-uniform per stratum), this cap is
+    quality-ORDERED — what you want when the over-represented domain is
+    also the noisy one.
+
+    Scale: the per-source ranking window sorts each source's docs through
+    one task — fine at report scale; the 100 TB path computes each
+    source's k-th key with approx-quantiles and keeps docs above it
+    map-side (the quality_buckets_approx recipe), sharing this exact key.
+
+    Output: (source, doc_id, qkey_milli, rk) for kept docs.
+    """
+    from pyspark.sql import Window as W
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    keyed = (scored.join(df.select(id_col, source_col), id_col)
+                   .withColumn("qkey_milli", _quality_key()))
+    w = (W.partitionBy(source_col)
+          .orderBy(F.col("qkey_milli").desc(), F.col(id_col)))
+    return (keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+                 .filter(F.col("rk") <= k)
+                 .select(source_col, id_col, "qkey_milli", "rk")
+                 .orderBy(source_col, "rk"))

@@ -2335,7 +2335,7 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str
     return f"""
 WITH words AS (
   SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
   WHERE i <= len(w) - {n - 1}
@@ -2345,7 +2345,7 @@ WITH words AS (
   SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
   FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
   GROUP BY doc_id, seed
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id, seed // {rows_per_band} AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM sig GROUP BY doc_id, seed // {rows_per_band}
@@ -2361,7 +2361,7 @@ def _jaccard_oracle(n: int = 3, threshold: float = 0.1) -> str:
     return f"""
 WITH words AS (
   SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
   WHERE i <= len(w) - {n - 1}
@@ -2391,7 +2391,7 @@ def _lsh_recall_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3,
     return f"""
 WITH words AS (
   SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
   WHERE i <= len(w) - {n - 1}
@@ -2401,7 +2401,7 @@ WITH words AS (
   SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
   FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
   GROUP BY doc_id, seed
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id, seed // {rows_per_band} AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM sig GROUP BY doc_id, seed // {rows_per_band}
@@ -2445,7 +2445,7 @@ def _containment_oracle(n: int = 3, threshold: float = 0.5) -> str:
     return f"""
 WITH words AS (
   SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
   WHERE i <= len(w) - {n - 1}
@@ -3345,7 +3345,7 @@ FROM events GROUP BY event_type
     "x_decontaminate": f"""
 WITH words AS (
   SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
   WHERE i <= len(w) - 4
@@ -4332,7 +4332,7 @@ def _minhash_est_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str
     return f"""
 WITH words AS (
   SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
   WHERE i <= len(w) - {n - 1}
@@ -4342,7 +4342,7 @@ WITH words AS (
   SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
   FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
   GROUP BY doc_id, seed
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id, seed // {rows_per_band} AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM sig GROUP BY doc_id, seed // {rows_per_band}
@@ -4871,8 +4871,8 @@ QUERIES["x_semdedup_keep"] = x_semdedup_keep
 
 ORACLES["x_semdedup_keep"] = f"""
 WITH RECURSIVE
-edges AS ({ORACLES["x_embedding_neardup_lsh"]}),
-sym AS (SELECT id_a AS a, id_b AS b FROM edges
+edges AS MATERIALIZED ({ORACLES["x_embedding_neardup_lsh"]}),
+sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM edges
         UNION SELECT id_b, id_a FROM edges),
 reach(node, r) AS (
   SELECT a, a FROM sym
@@ -7063,9 +7063,9 @@ def x_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_joint_dedup"] = x_joint_dedup
 
 ORACLES["x_joint_dedup"] = f"""
-WITH tk AS (
+WITH tk AS MATERIALIZED (
   SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
-), ek AS (
+), ek AS MATERIALIZED (
   SELECT vec_id AS doc_id FROM ({ORACLES["x_semdedup_keep"]})
 )
 SELECT d.doc_id,
@@ -7498,13 +7498,13 @@ def x_full_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_full_dedup_policy"] = x_full_dedup_policy
 
 ORACLES["x_full_dedup_policy"] = f"""
-WITH tk AS (
+WITH tk AS MATERIALIZED (
   SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
-), ek AS (
+), ek AS MATERIALIZED (
   SELECT vec_id AS doc_id FROM ({ORACLES["x_semdedup_keep"]})
-), cd AS (
+), cd AS MATERIALIZED (
   SELECT DISTINCT id_b AS doc_id FROM ({ORACLES["x_containment_pairs"]})
-), pd AS (
+), pd AS MATERIALIZED (
   SELECT p.doc_id
   FROM ({ORACLES["x_paragraph_dedup"]}) p
   JOIN (SELECT doc_id,
@@ -8008,9 +8008,9 @@ def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_dataset_card"] = x_dataset_card
 
 ORACLES["x_dataset_card"] = f"""
-WITH tk AS (
+WITH tk AS MATERIALIZED (
   SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
-), g AS (
+), g AS MATERIALIZED (
   SELECT doc_id, keep FROM ({ORACLES["x_gopher_rules"]})
 )
 SELECT d.source,
@@ -8632,4 +8632,121 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM q) q
 LEFT JOIN hits ON hits.query_id = q.query_id
 ORDER BY q.query_id
+"""
+
+
+def x_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — the manifest a training run actually
+    consumes, assembled ids-only from the engine's own stages: a doc
+    ships iff it (1) survives the full dedup policy (persisted keep
+    tables, x_full_dedup_policy), (2) passes the C4-style quality verdict
+    (x_corpus_filter), (3) is outside the eval slice and shares no 5-gram
+    with it (x_decontaminate's contract), then gets its deterministic
+    md5 train/val/test split and — train rows only — corpus-wide token
+    offsets via the two-phase prefix sum (never a single-partition
+    window). Every stage is an already-oracled operator; this row proves
+    the COMPOSITION agrees cross-engine too."""
+    docs = _docs(spark, sf_dir)
+    policy = x_full_dedup_policy(spark, sf_dir).select("doc_id", "kept")
+    filt = x_corpus_filter(spark, sf_dir).select("doc_id", "keep")
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    flagged = (contamination.ngram_overlap(tr, ev, n=5, min_shared=1)
+               .select(F.col("train_id").alias("doc_id")).distinct()
+               .withColumn("contaminated", F.lit(True)))
+    base = docs.select(
+        "doc_id", F.size(text.tokens("text")).cast("bigint")
+        .alias("n_tokens"))
+    kept = (base.filter(F.col("doc_id") % 50 != 0)
+            .join(policy, "doc_id").join(filt, "doc_id")
+            .join(flagged, "doc_id", "left")
+            .filter(F.col("kept") & F.col("keep")
+                    & F.coalesce(~F.col("contaminated"), F.lit(True)))
+            .select("doc_id", "n_tokens"))
+    split_df = sketches.train_val_test_split(kept, key_col="doc_id")
+    train = split_df.filter(F.col("split") == "train") \
+                    .select("doc_id", "n_tokens")
+    off = stats.global_prefix_sum(train, "n_tokens", "doc_id",
+                                  out_col="end_offset")
+    off = off.select("doc_id", (F.col("end_offset") - F.col("n_tokens"))
+                     .cast("bigint").alias("start_offset"))
+    return (split_df.join(off, "doc_id", "left")
+            .select("doc_id", "n_tokens", "split", "start_offset")
+            .orderBy("doc_id"))
+
+
+QUERIES["x_training_manifest"] = x_training_manifest
+
+ORACLES["x_training_manifest"] = f"""
+WITH pol AS MATERIALIZED (
+  SELECT doc_id, kept FROM ({ORACLES["x_full_dedup_policy"]})
+), qual AS MATERIALIZED (
+  SELECT doc_id, keep FROM ({ORACLES["x_corpus_filter"]})
+), words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh5 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 4
+), contam AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id
+  FROM sh5 t JOIN sh5 e ON t.shingle = e.shingle
+  WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+), kept AS MATERIALIZED (
+  SELECT d.doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN pol ON pol.doc_id = d.doc_id
+  JOIN qual ON qual.doc_id = d.doc_id
+  WHERE d.doc_id % 50 <> 0 AND pol.kept AND qual.keep
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+), sp AS MATERIALIZED (
+  SELECT doc_id, n_tokens,
+         CASE WHEN {_SPLIT_H} < 0.8 THEN 'train'
+              WHEN {_SPLIT_H} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+), off AS (
+  SELECT doc_id,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM sp WHERE split = 'train'
+)
+SELECT sp.doc_id, sp.n_tokens, sp.split, off.start_offset
+FROM sp LEFT JOIN off ON off.doc_id = sp.doc_id
+ORDER BY sp.doc_id
+"""
+
+
+def x_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality cap: each source keeps only its top-50 docs by
+    mean unigram log-probability (shared exact-integer ranking key, id
+    tie-breaks) — the curation step that stops one noisy over-represented
+    domain from swamping the mixture; quality-ordered, unlike the
+    hash-uniform x_group_sample (functions/text.py:domain_caps)."""
+    return text.domain_caps(_docs(spark, sf_dir), k=50)
+
+
+QUERIES["x_domain_caps"] = x_domain_caps
+
+ORACLES["x_domain_caps"] = f"""
+WITH lp AS MATERIALIZED ({ORACLES["x_unigram_logprob"]}),
+keyed AS (
+  SELECT d.source, lp.doc_id,
+         CASE WHEN lp.n_tokens > 0
+              THEN ((lp.logprob_e6 + 100000000 * lp.n_tokens) * 1000)
+                   // lp.n_tokens
+              ELSE -1 END AS qkey_milli
+  FROM lp JOIN documents d ON d.doc_id = lp.doc_id
+), ranked AS (
+  SELECT source, doc_id, CAST(qkey_milli AS BIGINT) AS qkey_milli,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY qkey_milli DESC, doc_id)
+              AS BIGINT) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, qkey_milli, rk
+FROM ranked WHERE rk <= 50
+ORDER BY source, rk
 """

@@ -58,6 +58,9 @@ NESTED_LOOP_OK = {
     "x_rfm",                    # 1-row corpus-max broadcast
     "x_dim_recall",             # brute-force retrieval on both sides of
                                 # the truncation audit (queries broadcast)
+    "x_training_manifest",      # 1-row (N, V) totals broadcast inside the
+                                # embedded quality verdict
+    "x_domain_caps",            # 1-row (N, V) totals broadcast (unigram LM)
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

@@ -588,3 +588,37 @@ def test_rank_normalize_matches_builtin_percent_rank(spark, rows):
             df.select("event_id", F.percent_rank().over(w).alias("pr"))
               .collect()}
     assert got == want
+
+
+_DOC_TEXTS = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=24),
+    min_size=1, max_size=20)
+
+
+@SLOW
+@given(texts=_DOC_TEXTS, k=st.integers(1, 4))
+def test_domain_caps_keeps_topk_per_source(spark, texts, k):
+    """The per-source quality cap must keep exactly min(k, |source|)
+    docs per source, with contiguous ranks 1..n descending on the
+    shared exact-integer quality key (doc_id tie-breaks)."""
+    from flink_realtime_data_eng_spark.functions import text as textmod
+    df = spark.createDataFrame(
+        [(i, t, f"s{i % 3}") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string")
+    out = textmod.domain_caps(df, k=k).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    sizes = {f"s{i % 3}" for i in range(len(texts))}
+    assert set(by_src) == sizes
+    full = {r.doc_id: (r.qkey_milli, r.doc_id) for r in
+            textmod.domain_caps(df, k=10**6).collect()}
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        n_src = sum(1 for i in range(len(texts)) if f"s{i % 3}" == src)
+        assert len(rows) == min(k, n_src)
+        # kept set == top-k of the full ranking for that source
+        want = sorted((d for d in full if d % 3 == int(src[1:])),
+                      key=lambda d: (-full[d][0], d))[:k]
+        assert [r.doc_id for r in rows] == want

@@ -618,3 +618,61 @@ def mmr_diversify(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (pairs.groupBy(query_id)
             .applyInPandas(greedy, out_schema)
             .orderBy(query_id, "rk"))
+
+
+def ranking_metrics(system: DataFrame, ideal: DataFrame, k: int = 10,
+                    query_id: str = "query_id",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Retrieval-quality metrics per query — the numbers that gate an ANN
+    index rollout: hits@k, MRR and nDCG@k of a SYSTEM ranking against the
+    exact-ranking IDEAL (both as (query_id, id, rk) frames, e.g.
+    :func:`lsh_bucketed_topk` judged by :func:`brute_force_topk`).
+
+    Relevance is graded by the ideal's own rank (rel = k+1-rk: the exact
+    #1 neighbor is worth k, the #k-th worth 1), so nDCG rewards the
+    system for surfacing the BEST neighbors early, not merely any
+    overlap. Determinism contract: each DCG term is rounded to an e9
+    integer BEFORE the per-query sum (float addition is order-sensitive;
+    both engines round the identical IEEE double ``rel·1e9/log2(p+1)``),
+    the sums are exact BIGINTs, and the final ndcg6 divides identical
+    integers. IDCG is the ideal frame's own DCG — a system that returns
+    the ideal list scores exactly 1.
+
+    Scale shape: one equi-join of two k-bounded-per-query frames + one
+    keyed aggregate; nothing is corpus-scale.
+
+    Output: (query_id, n_ideal, n_hits, mrr6, ndcg6) — mrr6/ndcg6 = 0.0
+    for queries the system missed entirely; n_ideal = |ideal list|.
+    """
+    rel = ideal.select(
+        F.col(query_id), F.col(id_col),
+        (F.lit(k + 1) - F.col("rk")).cast("bigint").alias("rel"))
+    dcg_term = F.round(F.col("rel") * 1e9
+                       / F.log2(F.col("rk") + 1)).cast("bigint")
+    sys_k = (system.filter(F.col("rk") <= k)
+             .join(rel, [query_id, id_col], "left")
+             .withColumn("rel", F.coalesce("rel", F.lit(0))))
+    per_sys = (sys_k.groupBy(query_id)
+               .agg(F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+                     .cast("bigint").alias("n_hits"),
+                    F.min(F.when(F.col("rel") > 0, F.col("rk")))
+                     .alias("first_hit"),
+                    F.sum(F.when(F.col("rel") > 0, dcg_term)
+                           .otherwise(F.lit(0))).alias("dcg_e9")))
+    per_ideal = (ideal.filter(F.col("rk") <= k)
+                 .withColumn("rel", (F.lit(k + 1) - F.col("rk"))
+                             .cast("bigint"))
+                 .groupBy(query_id)
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_ideal"),
+                      F.sum(dcg_term).alias("idcg_e9")))
+    mrr = F.coalesce(F.round(1.0 / F.col("first_hit"), 6), F.lit(0.0))
+    ndcg = (F.when(F.col("idcg_e9") > 0,
+                   F.round(F.coalesce(F.col("dcg_e9"), F.lit(0))
+                           / F.col("idcg_e9").cast("double"), 6))
+             .otherwise(F.lit(0.0)))
+    return (per_ideal.join(per_sys, query_id, "left")
+            .select(query_id, "n_ideal",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                     .alias("n_hits"),
+                    mrr.alias("mrr6"), ndcg.alias("ndcg6"))
+            .orderBy(query_id))

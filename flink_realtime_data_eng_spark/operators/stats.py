@@ -389,3 +389,48 @@ def winsorize(df: DataFrame, group: str, value: str,
                 .select(id_col, group,
                         F.round(clipped, 6).alias("clipped6"))
                 .orderBy(id_col))
+
+
+def roc_auc(df: DataFrame, label: str, score: str,
+            group: str | None = None) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label via the
+    Mann-Whitney U rank-sum identity — the classifier-eval number for
+    quality filters (does the cheap score actually separate keep from
+    drop?): AUC = P(score_pos > score_neg) + ½·P(tie).
+
+    Determinism contract: the decomposition stays in INTEGERS until the
+    final division — per distinct score s, with ``np(s)``/``nn(s)``
+    positive/negative counts and ``below(s)`` negatives strictly below,
+    ``2U = Σ np(s)·(2·below(s) + nn(s))`` is an exact BIGINT (the ½-tie
+    credit folded in without floats), and ``auc6 = round(2U / (2PN), 6)``
+    divides identical integers in both engines.
+
+    Scale shape: the :func:`rank_normalize` recipe — one (group, score)
+    count aggregate, a cumulative window over the DISTINCT-score frame
+    (cardinality-bounded, never the raw rows), one |groups|-bounded final
+    aggregate. No global sort of rows anywhere.
+
+    Output: (group, n_pos, n_neg, u2, auc6); auc6 NULL when a class is
+    empty (AUC undefined).
+    """
+    from pyspark.sql import Window as W
+    gcols = [group] if group else []
+    rows = df.filter(F.col(score).isNotNull()).select(
+        *gcols, F.col(score).alias("_s"),
+        F.col(label).cast("boolean").alias("_y"))
+    counts = (rows.groupBy(*gcols, "_s")
+              .agg(F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("np"),
+                   F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("nn")))
+    w = (W.partitionBy(*gcols) if gcols else W.partitionBy()).orderBy("_s")
+    cum = counts.withColumn("below", F.sum("nn").over(w) - F.col("nn"))
+    agg = (cum.groupBy(*gcols)
+           .agg(F.sum("np").cast("bigint").alias("n_pos"),
+                F.sum("nn").cast("bigint").alias("n_neg"),
+                F.sum(F.col("np") * (2 * F.col("below") + F.col("nn")))
+                 .cast("bigint").alias("u2")))
+    auc = (F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                  F.round(F.col("u2")
+                          / (2.0 * F.col("n_pos") * F.col("n_neg")), 6)))
+    return (agg.select(*gcols, "n_pos", "n_neg", "u2", auc.alias("auc6"))
+               .orderBy(*gcols) if gcols else
+            agg.select("n_pos", "n_neg", "u2", auc.alias("auc6")))

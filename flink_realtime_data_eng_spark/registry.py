@@ -8750,3 +8750,130 @@ SELECT source, doc_id, qkey_milli, rk
 FROM ranked WHERE rk <= 50
 ORDER BY source, rk
 """
+
+
+def x_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval scorecard for the ANN index: hits@10, MRR and
+    graded nDCG@10 of the LSH-bucketed top-10 against the exact
+    brute-force ideal, per query — the go/no-go numbers for replacing
+    exact retrieval with the bucketed index (recall alone misses
+    rank-order quality; nDCG is what the RAG stack actually feels).
+    All DCG terms are e9 integers before summing, so the metric is
+    hash-stable cross-engine (functions/similarity.py:ranking_metrics)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    system = similarity.lsh_bucketed_topk(emb, q, k=10, num_planes=8)
+    ideal = similarity.brute_force_topk(emb, q, k=10)
+    return similarity.ranking_metrics(system, ideal, k=10)
+
+
+QUERIES["x_retrieval_metrics"] = x_retrieval_metrics
+
+ORACLES["x_retrieval_metrics"] = f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id, embedding AS v, {_lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, v AS q, bucket AS q_bucket
+  FROM c WHERE vec_id < 10
+), sys_s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM qs JOIN c ON bucket = q_bucket AND query_id <> vec_id
+), sys_r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rk
+  FROM sys_s
+), ideal_s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM qs CROSS JOIN c WHERE query_id <> vec_id
+), ideal_r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rk
+  FROM ideal_s QUALIFY rk <= 10
+), rel AS (
+  SELECT query_id, vec_id, CAST(11 - rk AS BIGINT) AS rel FROM ideal_r
+), sys_j AS (
+  SELECT s.query_id, s.rk, coalesce(r.rel, 0) AS rel
+  FROM (SELECT * FROM sys_r WHERE rk <= 10) s
+  LEFT JOIN rel r ON r.query_id = s.query_id AND r.vec_id = s.vec_id
+), per_sys AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         MIN(CASE WHEN rel > 0 THEN rk END) AS first_hit,
+         SUM(CASE WHEN rel > 0
+                  THEN CAST(round(rel * 1e9 / log2(rk + 1)) AS BIGINT)
+                  ELSE 0 END) AS dcg_e9
+  FROM sys_j GROUP BY query_id
+), per_ideal AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ideal,
+         SUM(CAST(round((11 - rk) * 1e9 / log2(rk + 1)) AS BIGINT))
+           AS idcg_e9
+  FROM ideal_r GROUP BY query_id
+)
+SELECT i.query_id, i.n_ideal,
+       CAST(coalesce(s.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(round(1.0 / s.first_hit, 6), 0.0) AS mrr6,
+       CASE WHEN i.idcg_e9 > 0
+            THEN round(coalesce(s.dcg_e9, 0) / CAST(i.idcg_e9 AS DOUBLE), 6)
+            ELSE 0.0 END AS ndcg6
+FROM per_ideal i LEFT JOIN per_sys s ON s.query_id = i.query_id
+ORDER BY i.query_id
+"""
+
+
+def x_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC of the cheap quality score (exact-integer mean
+    unigram log-prob key) against the Gopher keep verdict — the
+    classifier-eval number that says whether the cheap score can gate
+    documents BEFORE the expensive rule cascade runs. Exact Mann-Whitney
+    U over distinct scores, integers until the final division
+    (operators/stats.py:roc_auc)."""
+    docs = _docs(spark, sf_dir)
+    lp = text.unigram_logprob(docs)
+    keyed = (lp.withColumn("qkey_milli", text._quality_key())
+             .join(docs.select("doc_id", "source"), "doc_id")
+             .join(text.gopher_rules(docs).select("doc_id", "keep"),
+                   "doc_id"))
+    return stats.roc_auc(keyed, label="keep", score="qkey_milli",
+                         group="source")
+
+
+QUERIES["x_quality_auc"] = x_quality_auc
+
+ORACLES["x_quality_auc"] = f"""
+WITH lp AS MATERIALIZED ({ORACLES["x_unigram_logprob"]}),
+g AS MATERIALIZED (
+  SELECT doc_id, keep FROM ({ORACLES["x_gopher_rules"]})
+), keyed AS (
+  SELECT d.source,
+         CASE WHEN lp.n_tokens > 0
+              THEN ((lp.logprob_e6 + 100000000 * lp.n_tokens) * 1000)
+                   // lp.n_tokens
+              ELSE -1 END AS qkey_milli,
+         g.keep
+  FROM lp JOIN documents d ON d.doc_id = lp.doc_id
+  JOIN g ON g.doc_id = lp.doc_id
+), cs AS (
+  SELECT source, qkey_milli,
+         SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS nn
+  FROM keyed GROUP BY source, qkey_milli
+), cum AS (
+  SELECT source, np, nn,
+         SUM(nn) OVER (PARTITION BY source ORDER BY qkey_milli) - nn
+           AS below
+  FROM cs
+), agg AS (
+  SELECT source, SUM(np) AS p, SUM(nn) AS n,
+         SUM(np * (2 * below + nn)) AS u2
+  FROM cum GROUP BY source
+)
+SELECT source, CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+       CAST(u2 AS BIGINT) AS u2,
+       CASE WHEN p > 0 AND n > 0
+            THEN round(u2 / (2.0 * p * n), 6) END AS auc6
+FROM agg ORDER BY source
+"""

@@ -61,6 +61,9 @@ NESTED_LOOP_OK = {
     "x_training_manifest",      # 1-row (N, V) totals broadcast inside the
                                 # embedded quality verdict
     "x_domain_caps",            # 1-row (N, V) totals broadcast (unigram LM)
+    "x_retrieval_metrics",      # brute-force ideal side of the eval
+                                # (queries broadcast, the audit's definition)
+    "x_quality_auc",            # 1-row (N, V) totals broadcast (unigram LM)
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

@@ -622,3 +622,75 @@ def test_domain_caps_keeps_topk_per_source(spark, texts, k):
         want = sorted((d for d in full if d % 3 == int(src[1:])),
                       key=lambda d: (-full[d][0], d))[:k]
         assert [r.doc_id for r in rows] == want
+
+
+_AUC_ROWS = st.lists(
+    st.tuples(st.integers(0, 1),                  # group
+              st.booleans(),                      # label
+              st.integers(-3, 3)),                # score (heavy ties)
+    min_size=1, max_size=40)
+
+
+@SLOW
+@given(rows=_AUC_ROWS)
+def test_roc_auc_matches_pairwise_definition(spark, rows):
+    """The rank-sum decomposition must equal the O(n²) definition
+    AUC = (#(pos>neg) + ½#(ties)) / (P·N) on any frame, ties included."""
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.createDataFrame(
+        [(f"g{g}", y, s) for g, y, s in rows],
+        "source string, keep boolean, score long")
+    got = {r.source: (r.n_pos, r.n_neg, r.u2, r.auc6) for r in
+           stats.roc_auc(df, label="keep", score="score",
+                         group="source").collect()}
+    groups = {f"g{g}" for g, _, _ in rows}
+    assert set(got) == groups
+    for src in groups:
+        pos = [s for g, y, s in rows if f"g{g}" == src and y]
+        neg = [s for g, y, s in rows if f"g{g}" == src and not y]
+        u2 = sum(2 for p in pos for q in neg if p > q) \
+            + sum(1 for p in pos for q in neg if p == q)
+        n_pos, n_neg, got_u2, auc6 = got[src]
+        assert (n_pos, n_neg, got_u2) == (len(pos), len(neg), u2)
+        if pos and neg:
+            assert auc6 == round(u2 / (2 * len(pos) * len(neg)), 6)
+        else:
+            assert auc6 is None
+
+
+_RANKINGS = st.lists(
+    st.tuples(st.integers(0, 1),                  # query
+              st.permutations(list(range(6)))),   # system order of ids
+    min_size=1, max_size=4, unique_by=lambda t: t[0])
+
+
+@SLOW
+@given(rankings=_RANKINGS, k=st.integers(1, 5))
+def test_ranking_metrics_matches_python_replica(spark, rankings, k):
+    """hits/MRR/nDCG against a sequential replica: ideal = ids in
+    ascending order (rank = id+1), system = the drawn permutation."""
+    import math
+    from flink_realtime_data_eng_spark.functions import similarity
+    sys_rows = [(q, doc, p + 1) for q, perm in rankings
+                for p, doc in enumerate(perm)]
+    ideal_rows = [(q, doc, doc + 1) for q, _ in rankings
+                  for doc in range(min(k, 6))]
+    sys_df = spark.createDataFrame(
+        sys_rows, "query_id long, vec_id long, rk long")
+    ideal_df = spark.createDataFrame(
+        ideal_rows, "query_id long, vec_id long, rk long")
+    out = {r.query_id: r for r in
+           similarity.ranking_metrics(sys_df, ideal_df, k=k).collect()}
+    for q, perm in rankings:
+        rel = {doc: k + 1 - (doc + 1) for doc in range(min(k, 6))}
+        sys_k = perm[:k]
+        hits = [p + 1 for p, doc in enumerate(sys_k) if rel.get(doc, 0) > 0]
+        dcg = sum(round(rel[doc] * 1e9 / math.log2(p + 2))
+                  for p, doc in enumerate(sys_k) if rel.get(doc, 0) > 0)
+        idcg = sum(round((k + 1 - (doc + 1)) * 1e9 / math.log2(doc + 2))
+                   for doc in range(min(k, 6)))
+        r = out[q]
+        assert r.n_ideal == min(k, 6)
+        assert r.n_hits == len(hits)
+        assert r.mrr6 == (round(1 / hits[0], 6) if hits else 0.0)
+        assert r.ndcg6 == (round(dcg / idcg, 6) if idcg > 0 else 0.0)

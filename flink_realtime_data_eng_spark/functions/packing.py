@@ -164,3 +164,60 @@ def temperature_sample(df: DataFrame, tau: float = 0.5,
     return (df.join(F.broadcast(probs), source_col)
             .where(draw < F.col("keep_prob"))
             .select(F.col(id_col), F.col(source_col)))
+
+
+def mixture_allocation(df: DataFrame, budget_tokens: int,
+                       epochs_cap: int = 4, rounds: int = 3,
+                       text_col: str = "text",
+                       source_col: str = "source") -> DataFrame:
+    """Token-budget water-filling across sources — the data-mixing
+    PLANNING step: given a training budget, allocate tokens per source
+    proportionally to target weight (uniform here), capped at
+    ``epochs_cap`` epochs of what the source actually has (repeating a
+    small source beyond a few epochs stops helping — Muennighoff et al.
+    2023, "Scaling Data-Constrained Language Models"), then redistribute
+    what the saturated sources could not absorb among the unsaturated
+    ones. ``rounds`` redistribution passes are UNROLLED with pure
+    integer arithmetic (floored proportional shares), so the allocation
+    is deterministic and a SQL engine replays it bit-for-bit; the
+    integer floor may strand a few tokens per pass — reported, not
+    hidden.
+
+    Scale shape: one corpus aggregate to (source) rows, then every pass
+    is window arithmetic over the |sources|-bounded frame (the
+    source_mixture justification) — the corpus is scanned exactly once.
+
+    Output: (source, n_docs, avail_tokens, cap_tokens, alloc_tokens,
+    epochs6, saturated), ordered by source.
+    """
+    n_tok = F.size(tokens(text_col))
+    per_src = (df.groupBy(source_col)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum(n_tok).cast("bigint").alias("avail")))
+    cur = per_src.withColumn(
+        "cap", (F.lit(epochs_cap) * F.col("avail")).cast("bigint")) \
+        .withColumn("alloc", F.lit(0).cast("bigint"))
+    w = W.partitionBy()
+    for _ in range(rounds):
+        unsat_w = F.when(F.col("alloc") < F.col("cap"), F.lit(1)) \
+                   .otherwise(F.lit(0))
+        cur = (cur.withColumn("_rem",
+                              F.lit(budget_tokens) - F.sum("alloc").over(w))
+               .withColumn("_uw", F.sum(unsat_w).over(w))
+               .withColumn("_give", F.when(
+                   (F.col("alloc") < F.col("cap")) & (F.col("_uw") > 0),
+                   F.least(F.col("cap") - F.col("alloc"),
+                           F.expr("_rem div _uw")))
+                   .otherwise(F.lit(0)).cast("bigint"))
+               .withColumn("alloc", F.col("alloc") + F.col("_give"))
+               .drop("_rem", "_uw", "_give"))
+    return (cur.select(
+        source_col, "n_docs",
+        F.col("avail").alias("avail_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        F.col("alloc").alias("alloc_tokens"),
+        F.when(F.col("avail") > 0,
+               F.round(F.col("alloc") / F.col("avail").cast("double"), 6))
+         .otherwise(F.lit(0.0)).alias("epochs6"),
+        (F.col("alloc") >= F.col("cap")).alias("saturated"))
+        .orderBy(source_col))

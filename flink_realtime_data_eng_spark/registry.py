@@ -8877,3 +8877,47 @@ SELECT source, CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
             THEN round(u2 / (2.0 * p * n), 6) END AS auc6
 FROM agg ORDER BY source
 """
+
+
+def x_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling across sources (budget = 100k tokens,
+    4-epoch repetition cap, 3 unrolled integer redistribution passes) —
+    the data-mixing planning step that turns target weights into an
+    ACHIEVABLE per-source allocation; saturated sources spill their
+    unused share to the rest (functions/packing.py:mixture_allocation)."""
+    return packing.mixture_allocation(_docs(spark, sf_dir),
+                                      budget_tokens=100_000,
+                                      epochs_cap=4, rounds=3)
+
+
+QUERIES["x_mixture_allocation"] = x_mixture_allocation
+
+_MA_ROUND = """
+SELECT source, n_docs, avail, cap,
+       CASE WHEN alloc < cap AND uw > 0
+            THEN alloc + least(cap - alloc, rem // uw)
+            ELSE alloc END AS alloc
+FROM (SELECT *,
+             {budget} - SUM(alloc) OVER () AS rem,
+             SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END) OVER () AS uw
+      FROM {src}) t
+"""
+
+ORACLES["x_mixture_allocation"] = f"""
+WITH r0 AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(SUM(len({_QF_TOKS})), 0) AS BIGINT) AS avail,
+         CAST(4 * coalesce(SUM(len({_QF_TOKS})), 0) AS BIGINT) AS cap,
+         CAST(0 AS BIGINT) AS alloc
+  FROM documents GROUP BY source
+), r1 AS ({_MA_ROUND.format(budget=100_000, src="r0")}
+), r2 AS ({_MA_ROUND.format(budget=100_000, src="r1")}
+), r3 AS ({_MA_ROUND.format(budget=100_000, src="r2")}
+)
+SELECT source, n_docs, avail AS avail_tokens, cap AS cap_tokens,
+       CAST(alloc AS BIGINT) AS alloc_tokens,
+       CASE WHEN avail > 0 THEN round(alloc / CAST(avail AS DOUBLE), 6)
+            ELSE 0.0 END AS epochs6,
+       alloc >= cap AS saturated
+FROM r3 ORDER BY source
+"""

@@ -694,3 +694,40 @@ def test_ranking_metrics_matches_python_replica(spark, rankings, k):
         assert r.n_hits == len(hits)
         assert r.mrr6 == (round(1 / hits[0], 6) if hits else 0.0)
         assert r.ndcg6 == (round(dcg / idcg, 6) if idcg > 0 else 0.0)
+
+
+_MIX_SRC = st.lists(st.integers(0, 30),            # docs' token counts
+                    min_size=1, max_size=30)
+
+
+@SLOW
+@given(toks=_MIX_SRC, budget=st.integers(0, 400),
+       rounds=st.integers(1, 3))
+def test_mixture_allocation_matches_sequential_waterfill(
+        spark, toks, budget, rounds):
+    """The unrolled window water-fill must equal a sequential replica:
+    never exceeds a source's cap, never over-spends the budget, and
+    redistributes saturated shares with floored integer division."""
+    from flink_realtime_data_eng_spark.functions import packing
+    rows = [(i, " ".join(["tok"] * n), f"s{i % 4}")
+            for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: (r.avail_tokens, r.cap_tokens, r.alloc_tokens,
+                      r.saturated) for r in
+           packing.mixture_allocation(df, budget_tokens=budget,
+                                      epochs_cap=4, rounds=rounds)
+           .collect()}
+    avail = {}
+    for i, n in enumerate(toks):
+        avail[f"s{i % 4}"] = avail.get(f"s{i % 4}", 0) + n
+    alloc = {s: 0 for s in avail}
+    cap = {s: 4 * a for s, a in avail.items()}
+    for _ in range(rounds):
+        rem = budget - sum(alloc.values())
+        unsat = [s for s in alloc if alloc[s] < cap[s]]
+        if unsat:
+            for s in unsat:
+                alloc[s] += min(cap[s] - alloc[s], rem // len(unsat))
+    for s in avail:
+        assert got[s] == (avail[s], cap[s], alloc[s], alloc[s] >= cap[s])
+    assert sum(a for _, _, a, _ in got.values()) <= max(budget, 0)

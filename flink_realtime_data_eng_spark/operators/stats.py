@@ -434,3 +434,46 @@ def roc_auc(df: DataFrame, label: str, score: str,
     return (agg.select(*gcols, "n_pos", "n_neg", "u2", auc.alias("auc6"))
                .orderBy(*gcols) if gcols else
             agg.select("n_pos", "n_neg", "u2", auc.alias("auc6")))
+
+
+def ols_trend(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
+    """Exact least-squares trend per group — slope / intercept / R² of
+    integer ``y`` on integer ``x`` from ONE aggregate pass of exact
+    BIGINT sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy), combined in
+    a single closed-form double expression (the :func:`x_correlation`
+    contract: IEEE multiply/divide on identical integer inputs is
+    deterministic, so even the float step hash-matches cross-engine).
+
+    Callers pre-scale: x small (e.g. days since a FIXED epoch constant,
+    never a data-dependent min — that would need a second pass) and y in
+    a fixed-point unit sized so Σy² fits BIGINT at target scale.
+
+    Scale shape: map-side partial aggregation to |groups| rows; no
+    centering pass, no per-row doubles, no window.
+
+    Output: (group, n, slope6, intercept6, r2_6) in y-units per x-unit;
+    degenerate groups (constant x or y) report slope 0 / r² 0.
+    """
+    s = (df.groupBy(group)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(F.col(x) * F.col(x)).alias("sxx"),
+              F.sum(F.col(y) * F.col(y)).alias("syy"),
+              F.sum(F.col(x) * F.col(y)).alias("sxy")))
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    deny = nd * F.col("syy").cast("double") \
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    slope = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    intercept = (F.col("sy").cast("double") - slope
+                 * F.col("sx").cast("double")) / nd
+    r2 = F.when((den > 0) & (deny > 0),
+                (num * num) / (den * deny)).otherwise(F.lit(0.0))
+    return (s.select(group, F.col("n").cast("bigint").alias("n"),
+                     F.round(slope, 6).alias("slope6"),
+                     F.round(intercept, 6).alias("intercept6"),
+                     F.round(r2, 6).alias("r2_6"))
+             .orderBy(group))

@@ -8921,3 +8921,54 @@ SELECT source, n_docs, avail AS avail_tokens, cap AS cap_tokens,
        alloc >= cap AS saturated
 FROM r3 ORDER BY source
 """
+
+
+def x_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of the metric over time (the
+    scaling-law / drift fit): y = e3 fixed-point value, x = days since
+    the FIXED 2024-01-01 epoch constant (no data-dependent second pass),
+    one exact-BIGINT sufficient-statistics aggregate, closed-form
+    slope/intercept/R² (operators/stats.py:ols_trend). Units: e3 value
+    per day; R² says whether the drift is real or noise."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000 - 19723")
+         .cast("bigint").alias("x"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("y"))
+    return stats.ols_trend(t, group="event_type", x="x", y="y")
+
+
+QUERIES["x_trend_ols"] = x_trend_ols
+
+ORACLES["x_trend_ols"] = """
+WITH t AS (
+  SELECT event_type,
+         CAST(epoch_ms(ts) // 86400000 - 19723 AS BIGINT) AS x,
+         CAST(round(value * 1000) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM t GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                  THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  ELSE 0.0 END, 6) AS slope6,
+       round((CAST(sy AS DOUBLE)
+              - (CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      ELSE 0.0 END) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept6,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                  THEN ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                       / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                  ELSE 0.0 END, 6) AS r2_6
+FROM s ORDER BY event_type
+"""

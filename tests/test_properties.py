@@ -731,3 +731,42 @@ def test_mixture_allocation_matches_sequential_waterfill(
     for s in avail:
         assert got[s] == (avail[s], cap[s], alloc[s], alloc[s] >= cap[s])
     assert sum(a for _, _, a, _ in got.values()) <= max(budget, 0)
+
+
+_OLS_ROWS = st.lists(
+    st.tuples(st.integers(0, 1),                  # group
+              st.integers(0, 29),                 # x (day index)
+              st.integers(-1000, 1000)),          # y (e3 units)
+    min_size=1, max_size=30)
+
+
+@SLOW
+@given(rows=_OLS_ROWS)
+def test_ols_trend_matches_closed_form(spark, rows):
+    """Slope/intercept/R² must match the closed-form normal equations on
+    exact integer sums (within the 6-dp rounding the operator applies);
+    constant-x and constant-y groups degrade to 0 without dividing."""
+    from flink_realtime_data_eng_spark.operators import stats
+    df = spark.createDataFrame(
+        [(f"g{g}", x, y) for g, x, y in rows],
+        "event_type string, x long, y long")
+    got = {r.event_type: r for r in
+           stats.ols_trend(df, "event_type", "x", "y").collect()}
+    for gname in {f"g{g}" for g, _, _ in rows}:
+        xs = [x for g, x, _ in rows if f"g{g}" == gname]
+        ys = [y for g, _, y in rows if f"g{g}" == gname]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        slope = num / den if den > 0 else 0.0
+        r = got[gname]
+        assert r.n == n
+        assert abs(r.slope6 - slope) <= 1e-6
+        assert abs(r.intercept6 - (sy - slope * sx) / n) <= 1e-6
+        want_r2 = num * num / (den * deny) if den > 0 and deny > 0 else 0.0
+        assert abs(r.r2_6 - want_r2) <= 1e-6

@@ -460,6 +460,14 @@ def ols_trend(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
               F.sum(F.col(x) * F.col(x)).alias("sxx"),
               F.sum(F.col(y) * F.col(y)).alias("syy"),
               F.sum(F.col(x) * F.col(y)).alias("sxy")))
+    return ols_combine(s, group)
+
+
+def ols_combine(s: DataFrame, group: str) -> DataFrame:
+    """Closed-form OLS over an already-aggregated sufficient-statistics
+    frame (group, n, sx, sy, sxx, syy, sxy) — split out so the STREAMING
+    maintenance path (update-mode running sums) shares the identical
+    combine expression with the batch one-pass form."""
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy").cast("double") \
         - F.col("sx").cast("double") * F.col("sy").cast("double")

@@ -8972,3 +8972,73 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
                   ELSE 0.0 END, 6) AS r2_6
 FROM s ORDER BY event_type
 """
+
+
+def x_trend_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the OLS trend: the six sufficient
+    statistics are plain update-mode running sums per event_type (they
+    merge associatively, so streaming aggregation IS the maintenance —
+    no custom state), and the closed-form combine runs batch-side on the
+    drained state. Re-emissions are resolved by keeping each key's
+    highest-n row (n only grows; every emission is internally
+    consistent), so the result is robust to multi-batch replays and
+    hash-matches the batch oracle."""
+    from pyspark.sql import Window as W
+    ev = _stream_events(spark, sf_dir)
+    # The CSV replay carries no value column (the a2/j4 replay contract):
+    # the metric is a deterministic md5 draw both engines derive identically.
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("tval:"), F.col("event_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint")
+    t = ev.select(
+        "event_type",
+        F.expr("ts_ms div 86400000 - 19723").cast("bigint").alias("x"),
+        (h % 1000).cast("bigint").alias("y"))
+    sums = (t.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    drained = _run_to_memory(sums, spark, output_mode="update")
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc())
+    latest = (drained.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") == 1).drop("_rk"))
+    return stats.ols_combine(latest, group="event_type")
+
+
+QUERIES["x_trend_stream"] = x_trend_stream
+STREAMING_DEMOS.add("x_trend_stream")
+
+_TH = _H32.format(x="concat('tval:', CAST(event_id AS VARCHAR))")
+ORACLES["x_trend_stream"] = f"""
+WITH t AS (
+  SELECT event_type,
+         CAST(epoch_ms(ts) // 86400000 - 19723 AS BIGINT) AS x,
+         CAST({_TH} % 1000 AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM t GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                  THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  ELSE 0.0 END, 6) AS slope6,
+       round((CAST(sy AS DOUBLE)
+              - (CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      ELSE 0.0 END) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept6,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                  THEN ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                       / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                  ELSE 0.0 END, 6) AS r2_6
+FROM s ORDER BY event_type
+"""

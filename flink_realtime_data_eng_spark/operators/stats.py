@@ -485,3 +485,68 @@ def ols_combine(s: DataFrame, group: str) -> DataFrame:
                      F.round(intercept, 6).alias("intercept6"),
                      F.round(r2, 6).alias("r2_6"))
              .orderBy(group))
+
+
+# Poisson(1) CDF split points scaled to 2^32, for the hash-bootstrap
+# resample weights: P(W=k) for k=0..3 plus a truncated >=4 tail (~0.37%
+# of draws) — floor(cdf_k * 2^32), exact integer literals so Spark and
+# any SQL engine draw identical weights from identical hashes.
+_POISSON1_T = (1580030168, 3160060337, 3950075421, 4213413783)
+
+
+def bootstrap_ci(df: DataFrame, value: str, group: str,
+                 id_col: str, replicas: int = 32) -> DataFrame:
+    """Poisson bootstrap CI for the per-group mean — uncertainty
+    quantification for corpus statistics at scale (Chamandy et al. 2012,
+    "Estimating Uncertainty for Massive Data Streams" — the Google
+    poisson-bootstrap recipe): each row joins replica b with weight ~
+    Poisson(1) drawn DETERMINISTICALLY from md5(b, id), so resamples
+    never materialize, never shuffle the corpus twice, and replay
+    identically in any engine (weights from integer threshold compares,
+    means as exact e6-integer ``div``).
+
+    The CI is rank-based on the replica means (2nd and 31st order
+    statistics of 32 — a ~93.75% interval): order statistics of exact
+    integers are engine-independent where an interpolated percentile
+    would not be.
+
+    Scale shape: the ``replicas``× row fan-out is map-side (explode)
+    and collapses in the same partial aggregate that computes it —
+    the shuffle carries |groups|·replicas cells, not rows. One final
+    window over the replicas-per-group frame.
+
+    Output: (group, n, mean_e6, boot_lo_e6, boot_hi_e6).
+    """
+    from pyspark.sql import Window as W
+    t0, t1, t2, t3 = _POISSON1_T
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("boot"), F.col("_b").cast("string"),
+                       F.lit(":"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("bigint")
+    w_expr = (F.when(h < t0, 0).when(h < t1, 1).when(h < t2, 2)
+               .when(h < t3, 3).otherwise(4)).cast("bigint")
+    rows = df.select(group, id_col, F.col(value).cast("bigint").alias("_y"))
+    rep = (rows.withColumn(
+        "_b", F.explode(F.array(*[F.lit(b) for b in range(replicas)])))
+        .withColumn("_w", w_expr))
+    per_rep = (rep.groupBy(group, "_b")
+               .agg(F.sum(F.col("_w") * F.col("_y")).alias("_wy"),
+                    F.sum("_w").alias("_w")))
+    mean_rep = per_rep.select(
+        group, "_b",
+        F.when(F.col("_w") > 0, F.expr("_wy div _w"))
+         .otherwise(F.lit(0)).cast("bigint").alias("_m"))
+    wr = W.partitionBy(group).orderBy("_m", "_b")
+    ranked = mean_rep.withColumn("_rk", F.row_number().over(wr))
+    ci = (ranked.groupBy(group)
+          .agg(F.max(F.when(F.col("_rk") == 2, F.col("_m")))
+                .alias("boot_lo_e6"),
+               F.max(F.when(F.col("_rk") == replicas - 1, F.col("_m")))
+                .alias("boot_hi_e6")))
+    base = (rows.groupBy(group)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.expr("sum(_y) div count(*)").cast("bigint")
+                  .alias("mean_e6")))
+    return (base.join(ci, group)
+            .select(group, "n", "mean_e6", "boot_lo_e6", "boot_hi_e6")
+            .orderBy(group))

@@ -9042,3 +9042,61 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
                   ELSE 0.0 END, 6) AS r2_6
 FROM s ORDER BY event_type
 """
+
+
+def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for each source's mean token count (32
+    deterministic hash replicas, rank-based ~93.75% interval) — the
+    uncertainty bar every dataset-card statistic should carry. Replica
+    weights draw from md5(b, doc_id) against exact integer Poisson(1)
+    CDF thresholds, so resamples are replayable in SQL and never
+    materialize (operators/stats.py:bootstrap_ci)."""
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id",
+        (F.size(text.tokens("text")) * F.lit(1_000_000))
+        .cast("bigint").alias("tok_e6"))
+    return stats.bootstrap_ci(d, value="tok_e6", group="source",
+                              id_col="doc_id", replicas=32)
+
+
+QUERIES["x_bootstrap_ci"] = x_bootstrap_ci
+
+_BH = _H32.format(x="concat('boot', CAST(b AS VARCHAR), ':', "
+                    "CAST(doc_id AS VARCHAR))")
+ORACLES["x_bootstrap_ci"] = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len({_QF_TOKS}) * 1000000 AS BIGINT) AS y
+  FROM documents
+), rep AS (
+  SELECT source, doc_id, y, b,
+         CASE WHEN {_BH} < 1580030168 THEN 0
+              WHEN {_BH} < 3160060337 THEN 1
+              WHEN {_BH} < 3950075421 THEN 2
+              WHEN {_BH} < 4213413783 THEN 3
+              ELSE 4 END AS w
+  FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs
+), per_rep AS (
+  SELECT source, b,
+         CASE WHEN SUM(w) > 0 THEN SUM(w * y) // SUM(w) ELSE 0 END AS m
+  FROM rep GROUP BY source, b
+), ranked AS (
+  SELECT source, m,
+         row_number() OVER (PARTITION BY source ORDER BY m, b) AS rk
+  FROM per_rep
+), ci AS (
+  SELECT source,
+         MAX(CASE WHEN rk = 2 THEN m END) AS boot_lo_e6,
+         MAX(CASE WHEN rk = 31 THEN m END) AS boot_hi_e6
+  FROM ranked GROUP BY source
+), base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) // COUNT(*) AS BIGINT) AS mean_e6
+  FROM d GROUP BY source
+)
+SELECT base.source, base.n, base.mean_e6,
+       CAST(ci.boot_lo_e6 AS BIGINT) AS boot_lo_e6,
+       CAST(ci.boot_hi_e6 AS BIGINT) AS boot_hi_e6
+FROM base JOIN ci ON ci.source = base.source
+ORDER BY base.source
+"""

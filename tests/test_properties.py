@@ -770,3 +770,39 @@ def test_ols_trend_matches_closed_form(spark, rows):
         assert abs(r.intercept6 - (sy - slope * sx) / n) <= 1e-6
         want_r2 = num * num / (den * deny) if den > 0 and deny > 0 else 0.0
         assert abs(r.r2_6 - want_r2) <= 1e-6
+
+
+_BOOT_VALS = st.lists(st.integers(0, 100), min_size=1, max_size=25)
+
+
+@SLOW
+@given(vals=_BOOT_VALS)
+def test_bootstrap_ci_matches_sequential_replica(spark, vals):
+    """The hash-Poisson bootstrap must equal a sequential replica drawing
+    the same md5 weights: identical replica means and order statistics."""
+    import hashlib
+    from flink_realtime_data_eng_spark.operators import stats
+    from flink_realtime_data_eng_spark.operators.stats import _POISSON1_T
+    df = spark.createDataFrame(
+        [("s", i, v * 1_000_000) for i, v in enumerate(vals)],
+        "source string, doc_id long, y long")
+    got = stats.bootstrap_ci(df, value="y", group="source",
+                             id_col="doc_id", replicas=32).collect()[0]
+    t0, t1, t2, t3 = _POISSON1_T
+
+    def weight(b, i):
+        h = int(hashlib.md5(f"boot{b}:{i}".encode()).hexdigest()[:8], 16)
+        return 0 if h < t0 else 1 if h < t1 else 2 if h < t2 \
+            else 3 if h < t3 else 4
+
+    means = []
+    for b in range(32):
+        ws = [weight(b, i) for i in range(len(vals))]
+        tot = sum(ws)
+        means.append(sum(w * v * 1_000_000 for w, v in zip(ws, vals)) // tot
+                     if tot > 0 else 0)
+    means.sort()
+    assert got.n == len(vals)
+    assert got.mean_e6 == sum(v * 1_000_000 for v in vals) // len(vals)
+    assert got.boot_lo_e6 == means[1]
+    assert got.boot_hi_e6 == means[30]

@@ -67,6 +67,12 @@ def main() -> None:
     # index is the pipeline's job (measured via x_dedup_stats); the dashboard
     # query should measure the read path, not a cold index build.
     registry._clusters_parquet_dir(spark, sf_dir)
+    # Same argument for the policy keep/drop tables: the nightly builds are
+    # measured via the recompute forms (x_neardup_keep, x_semdedup_keep,
+    # x_containment_pairs, x_paragraph_dedup); the persisted-composition
+    # queries (x_joint_dedup_persisted, x_full_dedup_policy,
+    # x_training_manifest) should measure the scan+join path they exist for.
+    registry._policy_tables_dir(spark, sf_dir)
 
     timings: dict[str, float] = {}
     bench_queries = {n: f for n, f in registry.QUERIES.items()

@@ -67,6 +67,10 @@ def main() -> None:
     # index is the pipeline's job (measured via x_dedup_stats); the dashboard
     # query should measure the read path, not a cold index build.
     registry._clusters_parquet_dir(spark, sf_dir)
+    # ... and the persisted near-dup EDGE table the graph passes read
+    # (x_pagerank / x_triangles / x_kcore / x_cross_source_dups): building
+    # it is the nightly dedup job, measured via x_neardup_pipeline.
+    registry._edges_parquet_dir(spark, sf_dir)
     # Same argument for the policy keep/drop tables: the nightly builds are
     # measured via the recompute forms (x_neardup_keep, x_semdedup_keep,
     # x_containment_pairs, x_paragraph_dedup); the persisted-composition

@@ -647,8 +647,15 @@ def prefix_filter_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                 .withColumn("rn", F.row_number().over(
                     W.partitionBy(id_col).orderBy("df_freq", "shingle"))))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # prefix length L = n_sh - ceil(t * n_sh) + 1  (>= 1 whenever n_sh >= 1)
-    pref_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+    # prefix length L = n_sh - ceil(t * n_sh) + 1  (>= 1 whenever n_sh >= 1).
+    # ceil in EXACT integer arithmetic: t as a rational num/1e6 (round-half
+    # covers any threshold given to <=6 decimals), ceil(a/b) = (a+b-1) div b —
+    # float F.ceil(t*n) can land one ulp high and shorten the prefix below
+    # the completeness bound, silently dropping qualifying pairs.
+    _den = 1_000_000
+    _num = int(round(threshold * _den))
+    ceil_tn = F.expr(f"(n_sh * {_num}L + {_den - 1}L) div {_den}L")
+    pref_len = F.col("n_sh") - ceil_tn + 1
     prefix = (ranked.join(sizes, id_col)
                     .filter(F.col("rn") <= pref_len)
                     .select(id_col, "shingle"))

@@ -193,7 +193,11 @@ def mixture_allocation(df: DataFrame, budget_tokens: int,
     n_tok = F.size(tokens(text_col))
     per_src = (df.groupBy(source_col)
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                    F.sum(n_tok).cast("bigint").alias("avail")))
+                    # coalesce: a source whose docs all have NULL text sums
+                    # to NULL, not 0 — the oracle coalesces to 0, and a NULL
+                    # avail would poison every cap/alloc comparison below.
+                    F.coalesce(F.sum(n_tok), F.lit(0))
+                     .cast("bigint").alias("avail")))
     cur = per_src.withColumn(
         "cap", (F.lit(epochs_cap) * F.col("avail")).cast("bigint")) \
         .withColumn("alloc", F.lit(0).cast("bigint"))

@@ -449,9 +449,34 @@ def quantize_e6(vec: str | Column) -> Column:
         cv, lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"))
 
 
+def _lloyd_local(vecs: "list[list[int]]", n_lists: int,
+                 iters: int) -> "list[tuple[int, list[int]]]":
+    """Integer Lloyd on a driver-bounded training sample, bit-identical to
+    the distributed/SQL recurrence: argmin ties (d2, cell); centroid
+    update = elementwise ``sum div count`` with division TRUNCATING toward
+    zero (Spark ``div`` / DuckDB ``//`` — numpy's ``//`` floors, so
+    negatives are routed through ``-((-s) // c)``); an emptied cell keeps
+    its previous centroid. All int64 — no float enters, so the result is
+    engine-independent."""
+    import numpy as np
+    x = np.asarray(vecs, dtype=np.int64)                  # (n, dim)
+    cents = x[:n_lists].copy()                            # seeds = first k
+    for _ in range(iters):
+        # d2[i, c] = ||x_i - cent_c||²; argmin takes the FIRST minimal
+        # index — exactly the (d2, cell) tie-break.
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[cell == c]
+            if len(members):
+                s, cnt = members.sum(axis=0), len(members)
+                cents[c] = np.where(s < 0, -((-s) // cnt), s // cnt)
+    return [(c, [int(v) for v in row]) for c, row in enumerate(cents)]
+
+
 def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    n_lists: int = 16, n_probe: int = 2, iters: int = 3,
-                   exclude_self: bool = True,
+                   exclude_self: bool = True, train_max: int | None = None,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    query_id: str = "query_id") -> DataFrame:
     """IVF ANN with a DETERMINISTIC, SQL-replayable trainer: integer Lloyd.
@@ -468,55 +493,77 @@ def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
     broken (d2, cell). Every step is order-independent integer math, so
     DuckDB replays the centroids bit-for-bit.
 
-    Scale shape (unchanged from ivf_topk): centroids are driver-small
-    (n_lists × dim ints) and collected once per iteration — the same
-    driver-sync KMeans itself pays; each assignment pass is a broadcast
-    crossJoin (corpus never shuffles during training, only the tiny
-    (cell, pos) partial sums do); the final search is an equi-join on
-    ``cell`` probing n_probe/n_lists of the corpus. At 100 TB one would
-    train on a sample exactly as with KMeans — parameterize upstream.
+    ``train_max`` — the 100 TB lever (and the FAISS convention: IVF never
+    trains on the full corpus). When set, the training sample is the
+    ``train_max`` corpus vectors with the smallest ``(md5(id), id)`` — a
+    TakeOrdered per-partition heap, never a global sort — collected ONCE
+    (≤ train_max × dim ints, driver-bounded by construction) and Lloyd
+    runs locally in exact int64 (:func:`_lloyd_local`, bit-identical to
+    the SQL recurrence). The FULL corpus is then distance-assigned exactly
+    once with the final centroids: one corpus-wide distance pass total,
+    instead of ``iters + 1``, and training cost independent of corpus
+    size. The sample rule is part of the operator's definition, so the
+    DuckDB oracle replays the identical training set and the hash check
+    is preserved.
+
+    Scale shape: centroids are driver-small (n_lists × dim ints); the
+    corpus-wide assignment is a broadcast crossJoin arg-min (the corpus
+    never shuffles); the final search is an equi-join on ``cell`` probing
+    n_probe/n_lists of the corpus.
 
     Output: query_id, vec_id, score (exact cosine within probed cells), rk.
     """
     spark = corpus.sparkSession
     qv = corpus.select(F.col(id_col), F.col(vec_col),
                        quantize_e6(vec_col).alias("q6"))
-    qv = qv.localCheckpoint(eager=True)  # reused every iteration + final scan
+    if train_max is None:
+        # reused every training iteration + the final scan
+        qv = qv.localCheckpoint(eager=True)
 
-    seeds = (qv.select("q6", F.md5(F.col(id_col).cast("string")).alias("h"),
-                       F.col(id_col))
-               .orderBy("h", id_col).limit(n_lists).collect())
-    cents = [(i, list(r["q6"])) for i, r in enumerate(seeds)]
+    seed_rows = (qv.select("q6",
+                           F.md5(F.col(id_col).cast("string")).alias("h"),
+                           F.col(id_col))
+                   .orderBy("h", id_col)
+                   .limit(train_max if train_max is not None else n_lists)
+                   .collect())
 
-    dim = len(cents[0][1])
+    dim = len(seed_rows[0]["q6"])
     cent_schema = "cell INT, cvec ARRAY<BIGINT>"
 
-    def _assign(cents_df: DataFrame) -> DataFrame:
+    def _assign(cents_df: DataFrame, frame: DataFrame) -> DataFrame:
         # id_col is unique, so first(q6) rides along with the arg-min —
         # training never has to join assignments back to the corpus.
-        return (qv.crossJoin(F.broadcast(cents_df))
+        return (frame.crossJoin(F.broadcast(cents_df))
                   .withColumn("d2", _int_l2("q6", "cvec"))
                   .groupBy(id_col)
                   .agg(F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
                        F.first("q6").alias("q6")))
 
-    for _ in range(iters):
-        cents_df = spark.createDataFrame(cents, cent_schema)
-        assigned = _assign(cents_df)
-        # Elementwise mean WITHOUT posexplode: dim is statically known, so
-        # the centroid update is ONE aggregate of dim sum-columns per cell
-        # (map-side partials, one tiny shuffle of |cells| rows) instead of
-        # shuffling corpus × dim exploded rows per iteration.
-        new = {r["cell"]: [r[f"m{i}"] for i in range(dim)] for r in
-               (assigned.groupBy("cell")
-                        .agg(*[F.expr(f"sum(q6[{i}]) div count(*)")
-                               .alias(f"m{i}") for i in range(dim)])
-                        .collect())}
-        # A cell that lost all members keeps its previous centroid.
-        cents = [(c, list(new.get(c, old))) for c, old in cents]
+    if train_max is not None:
+        # Seeds are the first n_lists of the sample (same md5 order), so
+        # one TakeOrdered supplies both sample and seeds.
+        cents = _lloyd_local([list(r["q6"]) for r in seed_rows],
+                             n_lists, iters)
+    else:
+        cents = [(i, list(r["q6"])) for i, r in enumerate(seed_rows)]
+        for _ in range(iters):
+            cents_df = spark.createDataFrame(cents, cent_schema)
+            assigned = _assign(cents_df, qv)
+            # Elementwise mean WITHOUT posexplode: dim is statically
+            # known, so the centroid update is ONE aggregate of dim
+            # sum-columns per cell (map-side partials, one tiny shuffle of
+            # |cells| rows) instead of shuffling corpus × dim exploded
+            # rows per iteration.
+            new = {r["cell"]: [r[f"m{i}"] for i in range(dim)] for r in
+                   (assigned.groupBy("cell")
+                            .agg(*[F.expr(f"sum(q6[{i}]) div count(*)")
+                                   .alias(f"m{i}") for i in range(dim)])
+                            .collect())}
+            # A cell that lost all members keeps its previous centroid.
+            cents = [(c, list(new.get(c, old))) for c, old in cents]
 
     cents_df = spark.createDataFrame(cents, cent_schema)
-    assigned = (_assign(cents_df).drop("q6")
+    assigned = (_assign(cents_df, qv).drop("q6")
                 .join(qv.select(id_col, vec_col), id_col))
 
     q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"),

@@ -512,7 +512,11 @@ def approx_quantile_rank_check(df: DataFrame, group: str, col: str,
         lt = F.sum(F.when(F.col(col) < F.col("_qs")[i], 1).otherwise(0))
         ok = ((le.cast("double") / n.cast("double") >= F.lit(p - tol))
               & (lt.cast("double") / n.cast("double") <= F.lit(p + tol)))
-        checks.append(ok.alias(f"p{int(p * 100)}_ok"))
+        # n = 0 (all-NULL group) makes both ratios NULL; the rank bound is
+        # vacuously true for an empty population, matching the oracle's
+        # unconditional TRUE — don't let the NULL leak into the hash.
+        checks.append(F.when(n > 0, ok).otherwise(F.lit(True))
+                       .alias(f"p{int(p * 100)}_ok"))
     return (j.groupBy(group)
              .agg(n.alias("n"), *checks)
              .orderBy(group))

@@ -415,9 +415,12 @@ def roc_auc(df: DataFrame, label: str, score: str,
     """
     from pyspark.sql import Window as W
     gcols = [group] if group else []
-    rows = df.filter(F.col(score).isNotNull()).select(
-        *gcols, F.col(score).alias("_s"),
-        F.col(label).cast("boolean").alias("_y"))
+    rows = (df.filter(F.col(score).isNotNull())
+              .filter(F.col(label).isNotNull())  # a NULL label is neither
+              # class — excluding it (not counting it negative) keeps AUC
+              # a statement about labeled rows only, matching the oracle.
+              .select(*gcols, F.col(score).alias("_s"),
+                      F.col(label).cast("boolean").alias("_y")))
     counts = (rows.groupBy(*gcols, "_s")
               .agg(F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("np"),
                    F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("nn")))

@@ -563,8 +563,26 @@ def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
             cents = [(c, list(new.get(c, old))) for c, old in cents]
 
     cents_df = spark.createDataFrame(cents, cent_schema)
-    assigned = (_assign(cents_df, qv).drop("q6")
-                .join(qv.select(id_col, vec_col), id_col))
+    if train_max is not None:
+        # The trained centroids are a driver-known bounded artifact, so
+        # the corpus-wide assignment needs NO join and NO shuffle at all:
+        # unroll the arg-min over n_lists literal arrays into one map-side
+        # expression (same integer d2, same (d2, cell) tie-break — the
+        # lexicographic array_min over (d2, cell) structs). One scan of
+        # the corpus, embedding carried along for the final cosine.
+        d2s = [F.aggregate(
+                   F.zip_with(F.col("q6"),
+                              F.array(*[F.lit(v) for v in cvec]),
+                              lambda a, b: (a - b) * (a - b)),
+                   F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+               for _, cvec in cents]
+        cell = F.array_min(F.array(*[
+            F.struct(d.alias("d2"), F.lit(c).cast("int").alias("cell"))
+            for c, d in enumerate(d2s)]))["cell"]
+        assigned = qv.select(id_col, vec_col, cell.alias("cell"))
+    else:
+        assigned = (_assign(cents_df, qv).drop("q6")
+                    .join(qv.select(id_col, vec_col), id_col))
 
     q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"),
                        quantize_e6(vec_col).alias("qq6"))

@@ -9148,3 +9148,85 @@ SELECT base.source, base.n, base.mean_e6,
 FROM base JOIN ci ON ci.source = base.source
 ORDER BY base.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 6: W2 custom-watermark policy, replayed with an oracle
+# ---------------------------------------------------------------------------
+
+def x_custom_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 emulated-with-oracle: deterministic replay of the reference's
+    hand-rolled processing-time watermark generator
+    (EventTimeOperations.java:96-141 — re-anchor the watermark to current
+    wall-clock at most every `delay`, emit `anchor - buffer` after every
+    event, judge each event against the watermark emitted after its
+    predecessor). Wall-clock is modeled by the x_watermark_sweep jittered
+    arrival (ts + md5 jitter in [-1 h, +1 h)), replayed per event_type —
+    the per-subtask watermark-generator analog. The reference's 10 s / 2 s
+    constants target its ~1 Hz audit stream; the fixture's per-type
+    cadence is ~1300 s, so both scale by 720x (delay 2 h, buffer 24 min,
+    same 5:1 ratio). Output per type: n_events, n_late, n_refresh,
+    wm_final_ms.
+
+    The DuckDB oracle replays the identical recurrence through its
+    refresh-point characterization: refreshes are >= delay apart, so a
+    recursive CTE walks refresh -> next refresh (lex-min arrival strictly
+    past prev + delay) and a running-max + lag window reconstructs the
+    watermark each event was judged against — no event-by-event
+    recursion."""
+    from .functions.dedup import _md5_hash32
+    from .streaming.watermark import processing_time_watermark_replay
+    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
+    jitter = (_md5_hash32("arr", F.col("event_id").cast("string"))
+              % 7_200_000) - 3_600_000
+    e = e.withColumn("arrival_ms", F.col("ts_ms") + jitter)
+    return processing_time_watermark_replay(
+        e, key_col="event_type", id_col="event_id", ts_col="ts_ms",
+        arrival_col="arrival_ms", delay_ms=7_200_000, buffer_ms=1_440_000)
+
+
+QUERIES["x_custom_watermark_replay"] = x_custom_watermark_replay
+
+ORACLES["x_custom_watermark_replay"] = f"""
+WITH RECURSIVE arr AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS t,
+         epoch_ms(ts) + {_ARR_J} AS a
+  FROM events
+), refresh(event_type, a, event_id) AS (
+  SELECT event_type, a, event_id FROM (
+    SELECT event_type, a, event_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY a, event_id) AS rn
+    FROM arr) WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, n.a, n.event_id
+  FROM refresh r, LATERAL (
+    SELECT a, event_id FROM arr
+    WHERE arr.event_type = r.event_type AND arr.a > r.a + 7200000
+    ORDER BY a, event_id LIMIT 1) n
+), f AS (
+  SELECT arr.event_type, arr.event_id, arr.t, arr.a,
+         (ref.event_id IS NOT NULL) AS is_refresh
+  FROM arr LEFT JOIN refresh ref
+    ON ref.event_type = arr.event_type AND ref.a = arr.a
+   AND ref.event_id = arr.event_id
+), c AS (
+  SELECT *, max(CASE WHEN is_refresh THEN a END) OVER (
+      PARTITION BY event_type ORDER BY a, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw_after
+  FROM f
+), d AS (
+  SELECT *, lag(cw_after) OVER (
+      PARTITION BY event_type ORDER BY a, event_id) AS cw_before
+  FROM c
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN cw_before IS NOT NULL
+                      AND t < cw_before - 1440000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN is_refresh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_refresh,
+       CAST(max(cw_after) - 1440000 AS BIGINT) AS wm_final_ms
+FROM d GROUP BY event_type
+"""

@@ -8,7 +8,12 @@ W2 — the reference's custom wall-clock watermark generator
 (EventTimeOperations.java:96-141) has NO public Structured Streaming
 equivalent: Spark computes the watermark as min(max event time per
 partition) - delay at micro-batch boundaries. Documented semantic gap; the
-bounded strategy is the supported path.
+bounded strategy is the supported path. The policy ITSELF is emulated with
+an oracle by :func:`processing_time_watermark_replay` — a deterministic
+replay of the reference's exact recurrence (refresh the watermark to the
+current wall-clock at most every ``delay``; emit ``refresh - buffer``
+after every event) over a jittered-arrival model, classifying each event
+on-time/late exactly as the Flink operator would have.
 
 W3 — late-data side output (EventTimeOperations.java:148-176). Spark DROPS
 rows behind the watermark silently, and inside ``foreachBatch`` the plan
@@ -152,3 +157,66 @@ class LateDataCapture:
         self._fold_progress()
         self._persist()
         return self._wm_ms
+
+
+def processing_time_watermark_replay(df: DataFrame, key_col: str,
+                                     id_col: str, ts_col: str,
+                                     arrival_col: str,
+                                     delay_ms: int, buffer_ms: int
+                                     ) -> DataFrame:
+    """W2 emulated-with-oracle: deterministically replay the reference's
+    hand-rolled PROCESSING-time watermark generator
+    (EventTimeOperations.java:96-141) and classify every event
+    on-time/late exactly as the Flink operator would have.
+
+    The reference policy, per stream partition: keep ``cw`` (the last
+    wall-clock refresh, 0 = unset); on each event at wall-clock ``now``,
+    if ``cw`` unset set ``cw = now``, else if ``now - cw > delay``
+    re-anchor ``cw = now``; then emit watermark ``cw - buffer``. Because
+    Flink emits the watermark AFTER the event, event *j* is judged
+    against the watermark emitted after event *j-1* (the first event of
+    a partition is always on-time), and an event is LATE iff its EVENT
+    time is strictly below that watermark.
+
+    Replay model: ``arrival_col`` stands in for wall-clock (the
+    x_watermark_sweep jittered-arrival convention — deterministic, so
+    both engines see the same schedule); events replay per ``key_col``
+    in ``(arrival, id)`` order — one replay per key, the exact analog of
+    Flink's per-subtask watermark generators. Output one row per key:
+    (key, n_events, n_late, n_refresh, wm_final_ms).
+
+    Scale shape: ``applyInPandas`` grouped on the stream key — Arrow
+    batches, one sequential pass per key (the recurrence is inherently
+    serial per partition, exactly as in the real operator), keys spread
+    across executors. The oracle replays the same recurrence via its
+    refresh-point characterization: refreshes are >= ``delay`` apart, so
+    the refresh set is small and a recursive CTE walks refresh-to-next-
+    refresh (min arrival strictly past ``prev + delay``) instead of
+    event-to-event.
+    """
+    import pandas as pd
+
+    out_schema = (f"{key_col} string, n_events bigint, n_late bigint, "
+                  f"n_refresh bigint, wm_final_ms bigint")
+
+    def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([arrival_col, id_col])
+        cw = None          # last wall-clock refresh (None = unset)
+        wm = None          # watermark in effect (emitted after prev event)
+        n_late = n_refresh = 0
+        for a, t in zip(pdf[arrival_col].to_numpy(),
+                        pdf[ts_col].to_numpy()):
+            if wm is not None and t < wm:
+                n_late += 1
+            if cw is None or a - cw > delay_ms:
+                cw = int(a)
+                n_refresh += 1
+            wm = cw - buffer_ms
+        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]],
+                             "n_events": [len(pdf)],
+                             "n_late": [n_late],
+                             "n_refresh": [n_refresh],
+                             "wm_final_ms": [wm]})
+
+    return (df.select(key_col, id_col, ts_col, arrival_col)
+              .groupBy(key_col).applyInPandas(_replay, out_schema))

@@ -108,3 +108,44 @@ def corpus_filter_stream(df: DataFrame, text_col: str = "text",
         "fail_stop", "fail_pii",
         (~(F.col("fail_len") | F.col("fail_rep") | F.col("fail_stop")
            | F.col("fail_pii"))).alias("keep"))
+
+
+def cooldown_throttle(df: DataFrame, key_col: str, id_col: str,
+                      ts_col: str, cooldown_ms: int) -> DataFrame:
+    """Per-key event throttling: within each key, keep an event only if it
+    arrives strictly more than ``cooldown_ms`` after the LAST KEPT event
+    (the first event of a key always passes) — the alert-deduplication /
+    rate-limiting primitive every monitoring pipeline runs (one page per
+    incident, not one per error line). The recurrence anchors on the last
+    *kept* event, NOT the previous event, so it is not expressible as a
+    lag/session window: a burst must not let consecutive sub-cooldown
+    gaps chain into suppression of everything after the first.
+
+    Scale shape: ``applyInPandas`` grouped on the key — the decision is
+    inherently serial per key (exactly the keyed-ValueState form the
+    reference's ST1 uses for its delete-interval alert), keys spread
+    across executors, Arrow-batched. The DuckDB oracle replays the kept
+    set through its refresh-point characterization (kept events are
+    >= cooldown apart, so a recursive CTE walks kept -> next kept:
+    lex-min (ts, id) strictly past prev + cooldown) — no event-by-event
+    recursion.
+
+    Output: the kept rows (key, id, ts), one per emitted alert.
+    """
+    import pandas as pd
+
+    out_schema = f"{key_col} string, {id_col} bigint, {ts_col} bigint"
+
+    def _throttle(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        last = None
+        keep = []
+        for t in pdf[ts_col].to_numpy():
+            ok = last is None or t - last > cooldown_ms
+            if ok:
+                last = int(t)
+            keep.append(ok)
+        return pdf.loc[keep, [key_col, id_col, ts_col]]
+
+    return (df.select(key_col, id_col, ts_col)
+              .groupBy(key_col).applyInPandas(_throttle, out_schema))

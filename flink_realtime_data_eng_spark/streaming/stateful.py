@@ -743,3 +743,43 @@ def attribution_stream(df: DataFrame, key: str = "user_id",
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
+
+
+def cooldown_throttle_stream(df: DataFrame, key: str, id_col: str,
+                             ts_ms: str = "ts_ms",
+                             cooldown_ms: int = 3_600_000) -> DataFrame:
+    """Streaming form of ``functions.filtering.cooldown_throttle``:
+    ValueState<Long> holds the last KEPT event's timestamp per key; an
+    event passes only if it arrives strictly more than ``cooldown_ms``
+    after it (first event of a key always passes). The anchor-on-last-
+    emitted recurrence is exactly the reference's keyed-ValueState shape
+    (StatefulOperations.java:87-119), pointed at alert rate-limiting.
+    State survives micro-batch boundaries, so a burst spanning batches
+    still collapses to one emission."""
+    out_schema = T.StructType(
+        [_field(df, key), _field(df, id_col), _field(df, ts_ms)])
+    state_schema = T.StructType([T.StructField("last_kept", T.LongType())])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (last_kept,) = state.get if state.exists else (None,)
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks) if len(chunks) > 1 else (
+            chunks[0] if chunks else pd.DataFrame())
+        out: list[tuple] = []
+        if len(pdf):
+            for row in pdf.sort_values([ts_ms, id_col]).itertuples(
+                    index=False):
+                t = int(getattr(row, ts_ms))
+                if last_kept is None or t - last_kept > cooldown_ms:
+                    last_kept = t
+                    out.append((getattr(row, id_col), t))
+        if last_kept is not None:
+            state.update((last_kept,))
+        res = pd.DataFrame(out, columns=[id_col, ts_ms])
+        res.insert(0, key, key_tuple[0])
+        yield res
+
+    return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))

@@ -30,6 +30,11 @@ NESTED_LOOP_OK = {
     "x_brute_force_topk",       # broadcast queries × corpus by design
     "x_ivf_topk",               # n_lists-row centroid frame broadcast
                                 # (bounded trained artifact, never SF-scaled)
+    "x_pq_topk",                # broadcast per-query ADC tables (bounded
+                                # trained artifact: queries × m × ks ints)
+    "x_pq_recall",              # composes x_pq_topk + brute force (audit)
+    "x_hard_negatives",         # brute-force anchor broadcast by design
+    "x_knn_eval",               # brute-force anchor broadcast by design
     "x_rag_retrieve",           # same brute-force retrieval stage inside
     "x_mmr_diversify",          # same brute-force retrieval stage; the
                                 # MMR greedy itself is pair-scale

@@ -82,3 +82,30 @@ def test_attribution_stream_matches_batch(spark):
              for r in registry.QUERIES["x_attribution"](spark, sf)
              .collect()}
     assert live == batch and sum(live.values()) > 0
+
+
+def test_cooldown_throttle_anchors_on_last_kept(spark):
+    """A chain of sub-cooldown gaps must all suppress relative to the
+    FIRST kept event — lag/session semantics would wrongly re-admit the
+    third event. ts 0, 80, 160, 250 with cooldown 100: keep 0 (first),
+    drop 80 (80 <= 100 after 0), drop 160 (160 <= 100? no — 160 - 0 > 100
+    so KEEP), then 250 - 160 <= 100 drops."""
+    from flink_realtime_data_eng_spark.functions.filtering import (
+        cooldown_throttle)
+    rows = [("k", 1, 0), ("k", 2, 80), ("k", 3, 160), ("k", 4, 250),
+            ("z", 9, 5)]
+    df = spark.createDataFrame(rows, "key string, id long, ts long")
+    out = cooldown_throttle(df, "key", "id", "ts", cooldown_ms=100)
+    kept = sorted((r["key"], r["id"]) for r in out.collect())
+    assert kept == [("k", 1), ("k", 3), ("z", 9)]
+
+
+def test_cooldown_throttle_boundary_is_strict(spark):
+    """Exactly cooldown_ms after the last kept event still suppresses
+    (strict >): the reference recurrence uses now - cw > delay."""
+    from flink_realtime_data_eng_spark.functions.filtering import (
+        cooldown_throttle)
+    rows = [("k", 1, 0), ("k", 2, 100), ("k", 3, 101)]
+    df = spark.createDataFrame(rows, "key string, id long, ts long")
+    out = cooldown_throttle(df, "key", "id", "ts", cooldown_ms=100)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]

@@ -9585,3 +9585,188 @@ def x_throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_throttle_stream"] = x_throttle_stream
 STREAMING_DEMOS.add("x_throttle_stream")
 ORACLES["x_throttle_stream"] = ORACLES["x_throttle"]
+
+
+def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-standard IVFADC index: IVF coarse routing
+    (probe 3 of 8 cells) + product quantization of the RESIDUAL
+    vector - centroid (16 x 5-bit codes) + per-cell ADC tables + exact
+    rerank of the 50-deep shortlist (similarity.ivfpq_topk_exact; Jegou
+    et al. TPAMI 2011 SIV). Measured recall@5 vs brute force 0.64 at
+    3/8 cells probed — the cell-miss rate dominates on this weakly
+    clustered fixture; the PQ+rerank stages inside probed cells are
+    near-exact. Fully integer end-to-end: DuckDB replays coarse
+    centroids, residual codebooks, codes, probes and both rankings."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivfpq_topk_exact(emb, q, k=5, n_lists=8, n_probe=3,
+                                       coarse_iters=3, m=16, ks=32,
+                                       pq_iters=2, train_max=512,
+                                       shortlist=50)
+
+
+QUERIES["x_ivfpq_topk"] = x_ivfpq_topk
+
+
+def _ivfpq_oracle(k: int = 5, n_lists: int = 8, n_probe: int = 3,
+                  coarse_iters: int = 3, m: int = 16, ks: int = 32,
+                  pq_iters: int = 2, train_max: int = 512,
+                  shortlist: int = 50, dim: int = 64) -> str:
+    """Replays similarity.ivfpq_topk_exact bit-for-bit: the _ivf_oracle
+    coarse-Lloyd CTE chain, sample residuals, the _pq_oracle per-subspace
+    Lloyd chain on those residuals, map-side corpus encode (cell +
+    residual codes), per-cell query ADC via an (s, cell, code) join-sum,
+    then shortlist + exact-cosine rerank."""
+    d = dim // m
+    d2 = ("list_sum(list_transform(list_zip({a}, {b}),"
+          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    rsub = ("list_slice(list_transform(list_zip({v}, {c}),"
+            " p -> p[1] - p[2]), {lo}, {hi})")
+    parts = [f"""
+WITH qv AS (
+  SELECT vec_id, embedding, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+),
+tv AS (SELECT vec_id, q6, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {train_max}),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cell,
+         q6 AS cvec
+  FROM tv ORDER BY h, vec_id LIMIT {n_lists}
+)"""]
+    for i in range(1, coarse_iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, q6, cell FROM (
+    SELECT v.vec_id, v.q6, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
+    FROM tv v CROSS JOIN {prev} c) WHERE rn = 1
+),
+n{i} AS (
+  SELECT cell, list(mu ORDER BY pos) AS cvec FROM (
+    SELECT cell, pos, sum(val) // count(*) AS mu FROM (
+      SELECT cell, unnest(q6) AS val, unnest(range(len(q6))) AS pos
+      FROM a{i})
+    GROUP BY cell, pos)
+  GROUP BY cell
+),
+c{i} AS (
+  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN n{i} n USING (cell)
+)""")
+    cc = f"c{coarse_iters}"
+    # Sample residual subvectors (assignment replays the same argmin).
+    parts.append(f""",
+sa AS (
+  SELECT vec_id, h, q6, cell, cvec FROM (
+    SELECT v.vec_id, v.h, v.q6, c.cell, c.cvec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
+    FROM tv v CROSS JOIN {cc} c) WHERE rn = 1
+),
+rs AS (
+  SELECT s, vec_id, h,
+         {rsub.format(v='q6', c='cvec',
+                      lo=f's * {d} + 1', hi=f's * {d} + {d}')} AS v
+  FROM sa CROSS JOIN (SELECT unnest(range({m})) AS s)
+),
+p0 AS (
+  SELECT s, CAST(rn - 1 AS INT) AS code, v AS cvec FROM (
+    SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY h, vec_id) AS rn
+    FROM rs) WHERE rn <= {ks}
+)""")
+    for i in range(1, pq_iters + 1):
+        prev = f"p{i - 1}"
+        parts.append(f""",
+pa{i} AS (
+  SELECT s, vec_id, v, code FROM (
+    SELECT rs.s, rs.vec_id, rs.v, c.code,
+           row_number() OVER (PARTITION BY rs.s, rs.vec_id
+             ORDER BY {d2.format(a='rs.v', b='c.cvec')}, c.code) AS rn
+    FROM rs JOIN {prev} c ON c.s = rs.s) WHERE rn = 1
+),
+pn{i} AS (
+  SELECT s, code, list(mu ORDER BY pos) AS cvec FROM (
+    SELECT s, code, pos, sum(val) // count(*) AS mu FROM (
+      SELECT s, code, unnest(v) AS val, unnest(range(len(v))) AS pos
+      FROM pa{i})
+    GROUP BY s, code, pos)
+  GROUP BY s, code
+),
+p{i} AS (
+  SELECT p.s, p.code, coalesce(n.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN pn{i} n ON n.s = p.s AND n.code = p.code
+)""")
+    pp = f"p{pq_iters}"
+    parts.append(f""",
+fa AS (
+  SELECT vec_id, q6, cell, cvec FROM (
+    SELECT v.vec_id, v.q6, c.cell, c.cvec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
+    FROM qv v CROSS JOIN {cc} c) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, cell, s, code FROM (
+    SELECT fa.vec_id, fa.cell, b.s, b.code,
+           row_number() OVER (PARTITION BY fa.vec_id, b.s
+             ORDER BY {d2.format(
+                 a=('list_slice(list_transform(list_zip(fa.q6, fa.cvec),'
+                    ' p -> p[1] - p[2]),'
+                    f' b.s * {d} + 1, b.s * {d} + {d})'),
+                 b='b.cvec')}, b.code) AS rn
+    FROM fa CROSS JOIN {pp} b) WHERE rn = 1
+),
+pr AS (
+  SELECT query_id, q6, cell, cvec FROM (
+    SELECT q.vec_id AS query_id, q.q6, c.cell, c.cvec,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {d2.format(a='q.q6', b='c.cvec')}, c.cell) AS rn
+    FROM qv q CROSS JOIN {cc} c WHERE q.vec_id < 10) WHERE rn <= {n_probe}
+),
+qd AS (
+  SELECT pr.query_id, pr.cell, b.s, b.code,
+         {d2.format(
+             a=('list_slice(list_transform(list_zip(pr.q6, pr.cvec),'
+                ' p -> p[1] - p[2]),'
+                f' b.s * {d} + 1, b.s * {d} + {d})'),
+             b='b.cvec')} AS dtv
+  FROM pr CROSS JOIN {pp} b
+),
+sc AS (
+  SELECT qd.query_id, codes.vec_id, CAST(sum(qd.dtv) AS BIGINT) AS adc_d2
+  FROM codes
+  JOIN qd ON qd.cell = codes.cell AND qd.s = codes.s
+         AND qd.code = codes.code
+  WHERE qd.query_id <> codes.vec_id
+  GROUP BY 1, 2
+),
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_d2, vec_id) AS rk
+    FROM sc) WHERE rk <= {shortlist}
+),
+rer AS (
+  SELECT sl.query_id, sl.vec_id,
+         round({_cosine_sql('q.embedding', 'c.embedding')}, 6) AS score
+  FROM sl
+  JOIN embeddings c ON c.vec_id = sl.vec_id
+  JOIN embeddings q ON q.vec_id = sl.query_id
+)
+SELECT query_id, vec_id, score, rk FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM rer)
+WHERE rk <= {k}
+""")
+    return "".join(parts)
+
+
+ORACLES["x_ivfpq_topk"] = _ivfpq_oracle()

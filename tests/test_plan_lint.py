@@ -32,6 +32,8 @@ NESTED_LOOP_OK = {
                                 # (bounded trained artifact, never SF-scaled)
     "x_pq_topk",                # broadcast per-query ADC tables (bounded
                                 # trained artifact: queries × m × ks ints)
+    "x_ivfpq_topk",             # same bounded broadcast artifacts (coarse
+                                # centroids + per-cell ADC tables)
     "x_pq_recall",              # composes x_pq_topk + brute force (audit)
     "x_hard_negatives",         # brute-force anchor broadcast by design
     "x_knn_eval",               # brute-force anchor broadcast by design

@@ -9770,3 +9770,193 @@ WHERE rk <= {k}
 
 
 ORACLES["x_ivfpq_topk"] = _ivfpq_oracle()
+
+
+def x_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair generation — the composition a retrieval
+    fine-tune actually consumes: POSITIVES are the verified text near-dup
+    pairs (read from the persisted edge parquet, label 1), NEGATIVES are
+    each anchor's top-2 hardest cross-label embedding neighbors (label 0,
+    the x_hard_negatives miner). One labeled pair table out; at 100 TB
+    the positives are the nightly dedup job's edge artifact and the
+    negatives come from the ANN index instead of the exact scan. Output:
+    (anchor, other, lbl, rk) — rk ranks negatives per anchor, 0 for
+    positives."""
+    from pyspark.sql import Window
+    edges = _edges(spark, sf_dir).select("id_a", "id_b")
+    pos = edges.select(F.col("id_a").alias("anchor"),
+                       F.col("id_b").alias("other"),
+                       F.lit(1).alias("lbl"),
+                       F.lit(0).alias("rk"))
+    emb = _emb(spark, sf_dir)
+    anchors = (edges.select(F.col("id_a").alias("anchor")).distinct()
+               .join(emb.select(F.col("vec_id").alias("anchor"),
+                                F.col("embedding").alias("q_vec"),
+                                F.col("label").alias("q_label")), "anchor"))
+    neg_pair = (emb.crossJoin(F.broadcast(anchors))
+                .filter(F.col("label") != F.col("q_label"))
+                .select("anchor", "vec_id",
+                        F.round(similarity.cosine("q_vec", "embedding"), 6)
+                         .alias("score")))
+    w = Window.partitionBy("anchor").orderBy(F.col("score").desc(),
+                                             F.col("vec_id"))
+    neg = (neg_pair.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 2)
+           .select("anchor", F.col("vec_id").alias("other"),
+                   F.lit(0).alias("lbl"), "rk"))
+    return pos.unionByName(neg).select(
+        F.col("anchor").cast("bigint").alias("anchor"),
+        F.col("other").cast("bigint").alias("other"),
+        F.col("lbl").cast("int").alias("lbl"),
+        F.col("rk").cast("int").alias("rk"))
+
+
+QUERIES["x_contrastive_pairs"] = x_contrastive_pairs
+
+ORACLES["x_contrastive_pairs"] = f"""
+WITH cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a, jac.id_b FROM jac
+  JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+pos AS (
+  SELECT id_a AS anchor, id_b AS other, 1 AS lbl, 0 AS rk FROM edges
+),
+anch AS (
+  SELECT DISTINCT e.id_a AS anchor, emb.embedding AS q, emb.label AS q_label
+  FROM edges e JOIN embeddings emb ON emb.vec_id = e.id_a
+),
+s AS (
+  SELECT anchor, c.vec_id, round({_cosine_sql('q', 'c.embedding')}, 6)
+           AS score
+  FROM anch CROSS JOIN embeddings c WHERE c.label <> anch.q_label
+),
+neg AS (
+  SELECT anchor, vec_id AS other, 0 AS lbl, rk FROM (
+    SELECT anchor, vec_id, row_number() OVER (PARTITION BY anchor
+             ORDER BY score DESC, vec_id) AS rk
+    FROM s) WHERE rk <= 2
+)
+SELECT CAST(anchor AS BIGINT) AS anchor, CAST(other AS BIGINT) AS other,
+       CAST(lbl AS INT) AS lbl, CAST(rk AS INT) AS rk
+FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+"""
+
+
+def x_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema,
+    reported one row per FK — the data-quality gate a warehouse runs
+    after each load. Each CHILD table scans exactly ONCE regardless of
+    how many FK edges leave it: all its parents left-join in one pass
+    (parent sides reduced to distinct keys, broadcast where they fit) and
+    per-edge orphan rows/keys come out of a single aggregate, unpivoted
+    to rows. The fixture is referentially clean, so every orphan count
+    is 0 — the audit PROVES it rather than assumes it."""
+    def audit(child: DataFrame, child_name: str,
+              edges: list) -> DataFrame:
+        # edges: (fk_label, child_key, parent_df, parent_key)
+        j = child
+        for i, (_, ck, parent, pk) in enumerate(edges):
+            keys = parent.select(F.col(pk).alias(f"_p{i}")).distinct()
+            j = j.join(keys, F.col(ck) == F.col(f"_p{i}"), "left")
+        aggs = [F.count(F.lit(1)).alias("n_child")]
+        for i, (_, ck, _, _) in enumerate(edges):
+            miss = F.col(f"_p{i}").isNull()
+            aggs.append(F.sum(miss.cast("bigint"))
+                         .alias(f"rows{i}"))
+            aggs.append(F.countDistinct(F.when(miss, F.col(ck)))
+                         .alias(f"keys{i}"))
+        a = j.agg(*aggs)
+        # ONE aggregate row exploded map-side to per-FK rows — selecting
+        # per edge would re-execute the whole join+agg once per edge.
+        items = F.array(*[
+            F.struct(F.lit(lbl).alias("fk"),
+                     F.col(f"rows{i}").cast("bigint")
+                      .alias("n_orphan_rows"),
+                     F.col(f"keys{i}").cast("bigint")
+                      .alias("n_orphan_keys"))
+            for i, (lbl, _, _, _) in enumerate(edges)])
+        return (a.select(F.col("n_child").cast("bigint").alias("n_child"),
+                         F.explode(items).alias("e"))
+                 .select("e.fk", "n_child", "e.n_orphan_rows",
+                         "e.n_orphan_keys"))
+
+    li = load_table(_prep(spark), sf_dir, "lineitem")
+    orders = load_table(_prep(spark), sf_dir, "orders")
+    cust = load_table(_prep(spark), sf_dir, "customer")
+    part = load_table(_prep(spark), sf_dir, "part")
+    supp = load_table(_prep(spark), sf_dir, "supplier")
+    nation = load_table(_prep(spark), sf_dir, "nation")
+    out = audit(li, "lineitem", [
+        ("lineitem.l_orderkey->orders", "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", "l_partkey", part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "l_suppkey", supp, "s_suppkey")])
+    out = out.unionByName(audit(orders, "orders", [
+        ("orders.o_custkey->customer", "o_custkey", cust, "c_custkey")]))
+    out = out.unionByName(audit(cust, "customer", [
+        ("customer.c_nationkey->nation", "c_nationkey",
+         nation, "n_nationkey")]))
+    return out.unionByName(audit(supp, "supplier", [
+        ("supplier.s_nationkey->nation", "s_nationkey",
+         nation, "n_nationkey")]))
+
+
+QUERIES["x_fk_orphans"] = x_fk_orphans
+
+ORACLES["x_fk_orphans"] = """
+WITH e AS (
+  SELECT 'lineitem.l_orderkey->orders' AS fk,
+         (SELECT count(*) FROM lineitem) AS n_child,
+         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+            ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey IS NULL)
+           AS n_orphan_rows,
+         (SELECT count(DISTINCT l.l_orderkey) FROM lineitem l
+            LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey IS NULL) AS n_orphan_keys
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l LEFT JOIN part p
+            ON p.p_partkey = l.l_partkey WHERE p.p_partkey IS NULL),
+         (SELECT count(DISTINCT l.l_partkey) FROM lineitem l
+            LEFT JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_partkey IS NULL)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+            ON s.s_suppkey = l.l_suppkey WHERE s.s_suppkey IS NULL),
+         (SELECT count(DISTINCT l.l_suppkey) FROM lineitem l
+            LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            WHERE s.s_suppkey IS NULL)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON c.c_custkey = o.o_custkey WHERE c.c_custkey IS NULL),
+         (SELECT count(DISTINCT o.o_custkey) FROM orders o
+            LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_custkey IS NULL)
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c LEFT JOIN nation n
+            ON n.n_nationkey = c.c_nationkey WHERE n.n_nationkey IS NULL),
+         (SELECT count(DISTINCT c.c_nationkey) FROM customer c
+            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE n.n_nationkey IS NULL)
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation',
+         (SELECT count(*) FROM supplier),
+         (SELECT count(*) FROM supplier s LEFT JOIN nation n
+            ON n.n_nationkey = s.s_nationkey WHERE n.n_nationkey IS NULL),
+         (SELECT count(DISTINCT s.s_nationkey) FROM supplier s
+            LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_nationkey IS NULL)
+)
+SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+       CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys
+FROM e
+"""

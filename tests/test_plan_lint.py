@@ -37,6 +37,9 @@ NESTED_LOOP_OK = {
     "x_pq_recall",              # composes x_pq_topk + brute force (audit)
     "x_hard_negatives",         # brute-force anchor broadcast by design
     "x_knn_eval",               # brute-force anchor broadcast by design
+    "x_contrastive_pairs",      # negatives side reuses the anchor
+                                # broadcast; anchors are edge-bounded
+    "x_fk_orphans",             # crossJoin of 1-row audit aggregates
     "x_rag_retrieve",           # same brute-force retrieval stage inside
     "x_mmr_diversify",          # same brute-force retrieval stage; the
                                 # MMR greedy itself is pair-scale

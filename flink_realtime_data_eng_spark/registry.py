@@ -9960,3 +9960,213 @@ SELECT fk, CAST(n_child AS BIGINT) AS n_child,
        CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys
 FROM e
 """
+
+
+def _rp_signs(out_dim: int = 16, in_dim: int = 64) -> list:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix from md5 parity
+    — computed ONCE here and inlined as a literal constant into BOTH the
+    Spark plan and the oracle SQL, so there is nothing to replay."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"rp:{j}:{i}".encode())
+                      .hexdigest()[:8], 16) % 2 == 0 else -1
+             for i in range(in_dim)] for j in range(out_dim)]
+
+
+def x_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit: top-10 ANN in a 16-dim ±1 random-sign
+    projection (Achlioptas 2003 — database-friendly random projections,
+    here a fixed md5-derived sign matrix) vs the full-dim exact top-10.
+    The complement of x_dim_recall: truncation keeps a COORDINATE prefix,
+    JL mixes ALL coordinates, which is what makes the distance bound
+    dimension-free. Projection is one map-side integer transform
+    (e6 ints x ±1 — exact, engine-identical); ranking in the projected
+    space is integer L2. Output per query: n_hits, recall6."""
+    signs = _rp_signs()
+    R = F.array(*[F.array(*[F.lit(s) for s in row]) for row in signs])
+    emb = _emb(spark, sf_dir)
+    qv = emb.select("vec_id", similarity.quantize_e6("embedding")
+                    .alias("q6"))
+    proj = qv.select(
+        "vec_id",
+        F.transform(R, lambda row: F.aggregate(
+            F.zip_with(F.col("q6"), row, lambda a, b: a * b),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)).alias("p"))
+    qp = (proj.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("p").alias("qp")))
+    d2 = F.aggregate(F.zip_with("qp", "p", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    rp = (proj.crossJoin(F.broadcast(qp))
+          .filter(F.col("query_id") != F.col("vec_id"))
+          .withColumn("d2", d2)
+          .withColumn("rk", F.row_number().over(w))
+          .filter(F.col("rk") <= 10)
+          .select("query_id", "vec_id"))
+    q_full = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    full = similarity.brute_force_topk(emb, q_full, k=10)
+    hits = (full.select("query_id", "vec_id")
+            .join(rp, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+    base = full.select("query_id").distinct()
+    return (base.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                     .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)).cast("double")
+                            / 10, 6).alias("recall6"))
+            .orderBy("query_id"))
+
+
+QUERIES["x_rp_recall"] = x_rp_recall
+
+
+def _rp_oracle() -> str:
+    rlit = "[" + ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]"
+        for row in _rp_signs()) + "]"
+    return f"""
+WITH qv AS (
+  SELECT vec_id, embedding, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+),
+pj AS (
+  SELECT vec_id,
+         list_transform({rlit}::BIGINT[][],
+           row -> list_sum(list_transform(range(1, len(row) + 1),
+                             i -> row[i] * q6[i]))) AS p
+  FROM qv
+),
+rp AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(list_zip(q.p, c.p),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))), c.vec_id)
+             AS rk
+    FROM pj q JOIN pj c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10) WHERE rk <= 10
+),
+q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
+      WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE query_id <> vec_id
+),
+full10 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= 10
+),
+hits AS (
+  SELECT f.query_id, count(*) AS n_hits
+  FROM full10 f JOIN rp ON rp.query_id = f.query_id
+                       AND rp.vec_id = f.vec_id
+  GROUP BY 1
+)
+SELECT b.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall6
+FROM (SELECT DISTINCT query_id FROM full10) b
+LEFT JOIN hits h ON h.query_id = b.query_id
+ORDER BY b.query_id
+"""
+
+
+ORACLES["x_rp_recall"] = _rp_oracle()
+
+
+def x_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix of the e6-quantized embedding corpus — the one-pass
+    sufficient statistic for PCA/whitening/covariance: upper-triangle
+    (i, j, sum q6_i*q6_j) cells, exact int64. The distributed shape is
+    the map-side partial-aggregate pattern made explicit: mapInPandas
+    accumulates a dense dim x dim numpy X^T X per Arrow batch and emits
+    ONE 2080-row triangle per partition, so the shuffle carries
+    partitions x dim^2 tiny rows, never corpus rows. (int64 headroom:
+    |q6| <= 1e6 so products are <= 1e12 — fine to ~1e6 rows per sum; at
+    larger scale quantize coarser or split the sum, documented here.)"""
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.select(similarity.quantize_e6("embedding").alias("q6"))
+
+    def gram(batches):
+        import numpy as np
+        acc = None
+        for pdf in batches:
+            x = np.asarray([list(v) for v in pdf["q6"]], dtype=np.int64)
+            if len(x):
+                g = x.T @ x
+                acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        dim = acc.shape[0]
+        iu = [(i, j) for i in range(dim) for j in range(i, dim)]
+        yield pd.DataFrame({
+            "i": [i for i, _ in iu],
+            "j": [j for _, j in iu],
+            "s": [int(acc[i, j]) for i, j in iu]})
+
+    partials = qv.mapInPandas(gram, "i int, j int, s long")
+    return (partials.groupBy("i", "j")
+            .agg(F.sum("s").cast("bigint").alias("gram"))
+            .orderBy("i", "j"))
+
+
+QUERIES["x_embedding_gram"] = x_embedding_gram
+
+ORACLES["x_embedding_gram"] = """
+WITH qv AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+)
+SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+       CAST(sum(q6[i] * q6[j]) AS BIGINT) AS gram
+FROM qv, range(1, 65) r1(i), range(1, 65) r2(j)
+WHERE j >= i
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def x_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap audit per event type: inter-event gaps from one lag
+    window, reported as count-over-threshold (2 h), max and total gap —
+    the monitoring view that catches a stalled producer that
+    x_freshness's end-lag alone misses (a mid-stream outage leaves the
+    latest timestamp fresh). Map-side after one keyed sort window."""
+    from pyspark.sql import Window
+    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
+    w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+    g = e.withColumn("gap", F.col("ts_ms") - F.lag("ts_ms").over(w))
+    return (g.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum((F.col("gap") > 7_200_000).cast("bigint"))
+                  .cast("bigint").alias("n_gaps_gt_2h"),
+                 F.max("gap").cast("bigint").alias("max_gap_ms"),
+                 F.sum("gap").cast("bigint").alias("sum_gap_ms"))
+            .orderBy("event_type"))
+
+
+QUERIES["x_gap_report"] = x_gap_report
+
+ORACLES["x_gap_report"] = """
+WITH g AS (
+  SELECT event_type,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY event_type ORDER BY epoch_ms(ts), event_id) AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap > 7200000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps_gt_2h,
+       CAST(max(gap) AS BIGINT) AS max_gap_ms,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_ms
+FROM g GROUP BY 1 ORDER BY 1
+"""

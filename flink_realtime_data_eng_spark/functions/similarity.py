@@ -449,6 +449,16 @@ def quantize_e6(vec: str | Column) -> Column:
         cv, lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"))
 
 
+def _lit_matrix(rows: "list[list[int]]") -> Column:
+    """Literal array<array<bigint>> built from ONE SQL-string parse.
+    Composing it from nested F.array(F.lit(...)) issues a Py4J round trip
+    per element — measured ~6 s of pure plan-construction for a 16×32×4
+    codebook; one F.expr parse is milliseconds."""
+    body = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in row) + ")" for row in rows)
+    return F.expr(f"array({body})")
+
+
 def _lloyd_local(vecs: "list[list[int]]", n_lists: int,
                  iters: int) -> "list[tuple[int, list[int]]]":
     """Integer Lloyd on a driver-bounded training sample, bit-identical to
@@ -566,19 +576,19 @@ def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if train_max is not None:
         # The trained centroids are a driver-known bounded artifact, so
         # the corpus-wide assignment needs NO join and NO shuffle at all:
-        # unroll the arg-min over n_lists literal arrays into one map-side
-        # expression (same integer d2, same (d2, cell) tie-break — the
-        # lexicographic array_min over (d2, cell) structs). One scan of
-        # the corpus, embedding carried along for the final cosine.
-        d2s = [F.aggregate(
-                   F.zip_with(F.col("q6"),
-                              F.array(*[F.lit(v) for v in cvec]),
-                              lambda a, b: (a - b) * (a - b)),
-                   F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-               for _, cvec in cents]
-        cell = F.array_min(F.array(*[
-            F.struct(d.alias("d2"), F.lit(c).cast("int").alias("cell"))
-            for c, d in enumerate(d2s)]))["cell"]
+        # one map-side arg-min over the literal centroid matrix (same
+        # integer d2, same (d2, cell) tie-break — the lexicographic
+        # array_min over (d2, cell) structs, cell loop as a runtime
+        # transform lambda). One scan, embedding carried for the cosine.
+        clit = _lit_matrix([cvec for _, cvec in cents])
+        cell = F.array_min(
+            F.transform(clit, lambda cv, i: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("q6"), cv,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+                 .alias("d2"),
+                i.cast("int").alias("cell"))))["cell"]
         assigned = qv.select(id_col, vec_col, cell.alias("cell"))
     else:
         assigned = (_assign(cents_df, qv).drop("q6")
@@ -665,46 +675,40 @@ def pq_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
     books = [_lloyd_local([v[s * d:(s + 1) * d] for v in sample], ks, iters)
              for s in range(m)]
 
-    def _sub(col: Column, s: int) -> Column:
-        return F.slice(col, s * d + 1, d)
-
-    # Codebooks as literal array<array<bigint>> constants — the codeword
-    # loop runs as a runtime `transform` lambda over the constant array
-    # (ONE lambda per subspace), never as ks unrolled expression copies:
-    # an unrolled m*ks aggregate forest at m=16, ks=32 is 512 codegen
-    # trees and a multi-MiB task binary (measured: driver OOM).
-    blits = [F.array(*[F.array(*[F.lit(int(v)) for v in cvec])
-                       for _, cvec in books[s]]) for s in range(m)]
+    # The codebook travels as ONE broadcast DATA row (m × ks × d nested
+    # array), never as literal expression nodes: a literal codebook is
+    # ~64k plan nodes and Catalyst analysis alone cost ~4.5 s per build
+    # (and the per-codeword unrolled form before it OOMed the driver).
+    # All loops are runtime transform lambdas over the array value.
+    bdf = spark.createDataFrame(
+        [([[list(cvec) for _, cvec in books[s]] for s in range(m)],)],
+        "B array<array<array<bigint>>>")
 
     def _d2(sub: Column, cvec: Column) -> Column:
         return F.aggregate(
             F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
-    def _argmin_code(col: Column, s: int) -> Column:
-        # (d2, code) lexicographic array_min — the shared tie-break.
-        return F.array_min(
-            F.transform(blits[s], lambda cv, i: F.struct(
-                _d2(_sub(col, s), cv).alias("d2"),
-                i.cast("int").alias("code"))))["code"]
+    def _sub_at(col: Column, s: Column) -> Column:
+        return F.slice(col, s * d + 1, F.lit(d))
 
-    codes = qv.select(
-        id_col, F.array(*[_argmin_code(F.col("q6"), s)
-                          for s in range(m)]).alias("codes"))
+    # codes[s] = argmin over codewords of d2(subvector s, codeword) —
+    # (d2, code) lexicographic array_min is the shared tie-break.
+    codes_col = F.transform(
+        F.col("B"), lambda book, s: F.array_min(
+            F.transform(book, lambda cv, i: F.struct(
+                _d2(_sub_at(F.col("q6"), s), cv).alias("d2"),
+                i.cast("int").alias("code"))))["code"])
+    codes = (qv.crossJoin(F.broadcast(bdf))
+               .select(id_col, codes_col.alias("codes")))
 
     # Per-query ADC tables: dt[s][c] = d2(query subvector s, codeword c).
-    # Subspace binds via a closure FACTORY — a `lambda cv, s=s` default
-    # arg makes PySpark treat the lambda as the (element, index) form and
-    # pass the codeword index into `s` (found the hard way: out-of-range
-    # slices + zip_with null-padding turned every ADC sum NULL).
     q = queries.select(F.col(query_id), quantize_e6(vec_col).alias("qq6"))
-
-    def _dt_for(s: int) -> Column:
-        return F.transform(blits[s],
-                           lambda cv: _d2(_sub(F.col("qq6"), s), cv))
-
-    dt = F.array(*[_dt_for(s) for s in range(m)])
-    qt = q.select(query_id, dt.alias("dt"))
+    dt = F.transform(
+        F.col("B"), lambda book, s: F.transform(
+            book, lambda cv: _d2(_sub_at(F.col("qq6"), s), cv)))
+    qt = (q.crossJoin(F.broadcast(bdf))
+            .select(query_id, dt.alias("dt")))
 
     scored = codes.crossJoin(F.broadcast(qt))
     if exclude_self:
@@ -788,59 +792,58 @@ def ivfpq_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
     books = [_lloyd_local([list(v[s * d:(s + 1) * d]) for v in res],
                           ks, pq_iters) for s in range(m)]
 
-    coarse_lit = F.array(*[F.array(*[F.lit(int(v)) for v in cvec])
-                           for _, cvec in coarse])
-    blits = [F.array(*[F.array(*[F.lit(int(v)) for v in cvec])
-                       for _, cvec in books[s]]) for s in range(m)]
+    # Both codebooks travel as ONE broadcast data row (see pq_topk_exact:
+    # literal codebooks cost seconds of Catalyst analysis per build).
+    bdf = spark.createDataFrame(
+        [([list(cvec) for _, cvec in coarse],
+          [[list(cvec) for _, cvec in books[s]] for s in range(m)])],
+        "C array<array<bigint>>, B array<array<array<bigint>>>")
 
     def _d2c(a: Column, b: Column) -> Column:
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
+    def _sub_at(col: Column, s: Column) -> Column:
+        return F.slice(col, s * d + 1, F.lit(d))
+
     # --- corpus: cell (argmin over coarse), residual, PQ codes — all in
     # one map-side pass.
     cell_col = F.array_min(
-        F.transform(coarse_lit, lambda cv, i: F.struct(
+        F.transform(F.col("C"), lambda cv, i: F.struct(
             _d2c(F.col("q6"), cv).alias("d2"),
             i.cast("int").alias("cell"))))["cell"]
-    enc = qv.withColumn("cell", cell_col).withColumn(
-        "r6", F.zip_with("q6",
-                         F.element_at(coarse_lit, F.col("cell") + 1),
-                         lambda a, b: a - b))
-
-    def _code_for(s: int) -> Column:
-        return F.array_min(
-            F.transform(blits[s], lambda cv, i: F.struct(
-                _d2c(F.slice(F.col("r6"), s * d + 1, d), cv).alias("d2"),
-                i.cast("int").alias("code"))))["code"]
-
-    codes = enc.select(id_col, "cell",
-                       F.array(*[_code_for(s) for s in range(m)])
-                        .alias("codes"))
+    enc = (qv.crossJoin(F.broadcast(bdf))
+             .withColumn("cell", cell_col)
+             .withColumn("r6", F.zip_with(
+                 "q6", F.element_at(F.col("C"), F.col("cell") + 1),
+                 lambda a, b: a - b)))
+    codes_col = F.transform(
+        F.col("B"), lambda book, s: F.array_min(
+            F.transform(book, lambda cv, i: F.struct(
+                _d2c(_sub_at(F.col("r6"), s), cv).alias("d2"),
+                i.cast("int").alias("code"))))["code"])
+    codes = enc.select(id_col, "cell", codes_col.alias("codes"))
 
     # --- queries: n_probe nearest cells, one row per (query, cell) with
     # that cell's residual ADC table.
-    q = queries.select(F.col(query_id), quantize_e6(vec_col).alias("qq6"))
+    q = (queries.select(F.col(query_id), quantize_e6(vec_col).alias("qq6"))
+                .crossJoin(F.broadcast(bdf)))
     probe_structs = F.array_sort(
-        F.transform(coarse_lit, lambda cv, i: F.struct(
+        F.transform(F.col("C"), lambda cv, i: F.struct(
             _d2c(F.col("qq6"), cv).alias("d2"),
             i.cast("int").alias("cell"))))
     probes = (q.withColumn("pc", F.slice(probe_structs, 1, n_probe))
-               .select(query_id, "qq6",
+               .select(query_id, "qq6", "C", "B",
                        F.explode(F.col("pc.cell")).alias("cell")))
     qres = probes.withColumn(
         "qr6", F.zip_with("qq6",
-                          F.element_at(coarse_lit, F.col("cell") + 1),
+                          F.element_at(F.col("C"), F.col("cell") + 1),
                           lambda a, b: a - b))
-
-    def _dt_for(s: int) -> Column:
-        return F.transform(
-            blits[s],
-            lambda cv: _d2c(F.slice(F.col("qr6"), s * d + 1, d), cv))
-
-    qt = qres.select(query_id, "cell",
-                     F.array(*[_dt_for(s) for s in range(m)]).alias("dt"))
+    dt = F.transform(
+        F.col("B"), lambda book, s: F.transform(
+            book, lambda cv: _d2c(_sub_at(F.col("qr6"), s), cv)))
+    qt = qres.select(query_id, "cell", dt.alias("dt"))
 
     # --- ADC over the probed cells only: equi-join on cell.
     scored = codes.join(F.broadcast(qt), "cell")

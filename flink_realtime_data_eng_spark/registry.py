@@ -9982,7 +9982,7 @@ def x_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e6 ints x ±1 — exact, engine-identical); ranking in the projected
     space is integer L2. Output per query: n_hits, recall6."""
     signs = _rp_signs()
-    R = F.array(*[F.array(*[F.lit(s) for s in row]) for row in signs])
+    R = similarity._lit_matrix(signs)
     emb = _emb(spark, sf_dir)
     qv = emb.select("vec_id", similarity.quantize_e6("embedding")
                     .alias("q6"))
@@ -10169,4 +10169,67 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(max(gap) AS BIGINT) AS max_gap_ms,
        CAST(sum(gap) AS BIGINT) AS sum_gap_ms
 FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+def x_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level dedup through the REAL codec path: deterministic 8x8
+    grayscale images (pixels md5-derived from ``doc_id % 40``, so ~40
+    duplicate groups exist by construction) encode to genuine PNG bytes,
+    decode back, and the decoded pixels hash to the 64-bit average-hash
+    (multimodal.decode_png_ahash — bit i set iff px*n >= sum, the
+    division-free 'above mean'). Grouping on the hash is exact image
+    dedup; the oracle recomputes the hash from the generative pixel
+    definition, so a match proves encode -> decode -> hash is the
+    identity through the actual file format. Output per distinct image:
+    (ahash, n_members, min_media_id)."""
+    from .functions.dedup import _md5_hash32
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"),
+                                    (F.col("doc_id") % 40).alias("img"))
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (_md5_hash32(
+            "px", F.concat(F.col("img").cast("string"),
+                           F.lit(":"), i.cast("string"))) % 256)
+        .cast("int"))
+    pixels = d.withColumn("pixels", px).drop("img")
+    media = multimodal.encode_png_images(pixels, width=8)
+    hashes = multimodal.decode_png_ahash(media)
+    return (hashes.groupBy("ahash")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.min("media_id").cast("bigint").alias("min_media_id"))
+            .orderBy("ahash"))
+
+
+QUERIES["x_phash_dedup"] = x_phash_dedup
+
+_IMG_H = _H32.format(
+    x="concat('px', ':', CAST(img AS VARCHAR), ':', CAST(i AS VARCHAR))")
+
+ORACLES["x_phash_dedup"] = f"""
+WITH d AS (SELECT doc_id AS media_id, doc_id % 40 AS img FROM documents),
+px AS (
+  SELECT media_id, i, {_IMG_H} % 256 AS v
+  FROM d CROSS JOIN range(0, 64) r(i)
+),
+st AS (SELECT media_id, sum(v) AS total FROM px GROUP BY 1),
+bits AS (
+  SELECT px.media_id, px.i,
+         CASE WHEN px.v * 64 >= st.total THEN 1 ELSE 0 END AS b
+  FROM px JOIN st USING (media_id)
+),
+nib AS (
+  SELECT media_id, i // 4 AS nb,
+         sum(b << (3 - (i % 4))) AS nv
+  FROM bits GROUP BY 1, 2
+),
+h AS (
+  SELECT media_id,
+         string_agg(substring('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                    '' ORDER BY nb) AS ahash
+  FROM nib GROUP BY 1
+)
+SELECT ahash, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(media_id) AS BIGINT) AS min_media_id
+FROM h GROUP BY 1 ORDER BY 1
 """

@@ -10233,3 +10233,165 @@ SELECT ahash, CAST(count(*) AS BIGINT) AS n_members,
        CAST(min(media_id) AS BIGINT) AS min_media_id
 FROM h GROUP BY 1 ORDER BY 1
 """
+
+
+def x_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the MinHash dedup index — the x_hll_stream
+    argument applied to signatures: a minhash only ever DECREASES, so the
+    signature under streaming is a plain update-mode min-aggregation per
+    doc (no custom state, no watermark; state bounded at docs x k longs).
+    Shingle explode + the k affine hashes are map-side on the stream
+    (array_distinct inside `shingles` keeps it stateless; duplicate
+    shingles wouldn't change a min anyway). Drained signatures
+    posexplode to the (doc_id, seed, minhash) contract and hash-match
+    the batch signature oracle — replaying the corpus through streaming
+    maintenance yields the identical index."""
+    num_hashes = 16
+    stream = _docs_stream(spark, sf_dir)
+    sh = dedup.shingles(stream, 3)
+    based = sh.select("doc_id",
+                      dedup._md5_hash32("mh", F.col("shingle")).alias("hb"))
+    consts = dedup.affine_consts(num_hashes)
+    hashed = based.select(
+        "doc_id",
+        *[((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(1 << 32))
+          .cast("bigint").alias(f"h{s}")
+          for s, (a, b) in enumerate(consts)])
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)])
+    drained = _run_to_memory(mins, spark, output_mode="update")
+    # update mode re-emits a doc each batch a register shrinks; the last
+    # emission per doc is the min fold — idempotent to refold.
+    folded = drained.groupBy("doc_id").agg(
+        *[F.min(f"m{s}").alias(f"m{s}") for s in range(num_hashes)])
+    return (folded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{s}")
+                               for s in range(num_hashes)]))
+         .alias("seed", "minhash"))
+        .select("doc_id", F.col("seed").cast("int").alias("seed"),
+                F.col("minhash").cast("bigint").alias("minhash")))
+
+
+QUERIES["x_minhash_stream"] = x_minhash_stream
+STREAMING_DEMOS.add("x_minhash_stream")
+
+_MH_SEEDS = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
+                      in enumerate(dedup.affine_consts(16)))
+ORACLES["x_minhash_stream"] = f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 2
+), hb AS (
+  SELECT doc_id, {_H32.format(x="concat('mh', ':', shingle)")} AS hb FROM sh
+)
+SELECT doc_id, CAST(seed AS INT) AS seed,
+       CAST(MIN((a * hb + b) % 4294967296) AS BIGINT) AS minhash
+FROM hb CROSS JOIN (VALUES {_MH_SEEDS}) seeds(seed, a, b)
+GROUP BY doc_id, seed
+"""
+
+
+def x_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes predicting each document's SOURCE from its
+    tokens (add-one smoothing, global vocabulary) — the classic cheap
+    domain classifier (fastText-style quality/domain filters are this
+    plus embeddings), evaluated in-corpus as a confusion matrix. Exact
+    cross-engine: every per-term contribution rounds to e6 fixed point
+    BEFORE summation (the unigram_logprob contract — ln on identical
+    integer ratios, order-free integer sums), argmax ties break
+    (score desc, source asc).
+
+    Plan: one tokenize pass feeds per-source counts, vocabulary and
+    per-doc tf; scoring fans tf out over the |sources|-bounded broadcast
+    frame and left-joins the (source, token) model with AQE (vocabulary
+    is unbounded at 100 TB). Output: (source, pred_source, n_docs)."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    tok = docs.select("doc_id", "source",
+                      F.explode(text.tokens("text")).alias("tok"))
+    tf = (tok.groupBy("doc_id", "tok")
+             .agg(F.count(F.lit(1)).alias("tf"))
+             .localCheckpoint(eager=True))
+    src_counts = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    src_frame = (tok.groupBy("source")
+                 .agg(F.count(F.lit(1)).alias("n_src")))
+    vocab = tf.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("v"))
+    priors = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_s"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_docs_t"))
+    srcs = (src_frame.join(priors, "source")
+            .crossJoin(F.broadcast(n_total)))
+
+    pairs = (tf.crossJoin(F.broadcast(srcs))
+               .join(src_counts, ["source", "tok"], "left")
+               .crossJoin(F.broadcast(vocab)))
+    term = F.round(F.col("tf")
+                   * F.log((F.coalesce(F.col("c"), F.lit(0)) + 1)
+                           / (F.col("n_src") + F.col("v")))
+                   * 1_000_000).cast("bigint")
+    prior_e6 = F.round(F.log(F.col("n_docs_s") / F.col("n_docs_t"))
+                       * 1_000_000).cast("bigint")
+    scored = (pairs.groupBy("doc_id", "source")
+              .agg(F.sum(term).alias("ll_e6"),
+                   F.first(prior_e6).alias("prior_e6"))
+              .withColumn("score_e6", F.col("ll_e6") + F.col("prior_e6")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(),
+                                             F.col("source"))
+    pred = (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", F.col("source").alias("pred_source")))
+    return (docs.select("doc_id", "source").join(pred, "doc_id")
+            .groupBy("source", "pred_source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .orderBy("source", "pred_source"))
+
+
+QUERIES["x_nb_source_classifier"] = x_nb_source_classifier
+
+ORACLES["x_nb_source_classifier"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), sc AS (
+  SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2
+), sf AS (
+  SELECT source, count(*) AS n_src FROM tok GROUP BY 1
+), v AS (SELECT count(DISTINCT tok) AS v FROM tf),
+pri AS (SELECT source, count(*) AS n_docs_s FROM documents GROUP BY 1),
+nt AS (SELECT count(*) AS n_docs_t FROM documents),
+srcs AS (
+  SELECT sf.source, sf.n_src, pri.n_docs_s, nt.n_docs_t
+  FROM sf JOIN pri ON pri.source = sf.source CROSS JOIN nt
+),
+pairs AS (
+  SELECT tf.doc_id, s.source, tf.tf, coalesce(sc.c, 0) AS c,
+         s.n_src, s.n_docs_s, s.n_docs_t, v.v
+  FROM tf CROSS JOIN srcs s
+  LEFT JOIN sc ON sc.source = s.source AND sc.tok = tf.tok
+  CROSS JOIN v
+),
+scored AS (
+  SELECT doc_id, source,
+         sum(CAST(round(tf * ln((c + 1) / CAST(n_src + v AS DOUBLE))
+                        * 1000000) AS BIGINT)) +
+         CAST(round(ln(n_docs_s / CAST(n_docs_t AS DOUBLE)) * 1000000)
+              AS BIGINT) AS score_e6
+  FROM pairs
+  GROUP BY doc_id, source, n_docs_s, n_docs_t
+),
+pred AS (
+  SELECT doc_id, source AS pred_source FROM (
+    SELECT doc_id, source, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_e6 DESC, source) AS rk
+    FROM scored) WHERE rk = 1
+)
+SELECT d.source, p.pred_source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -42,6 +42,8 @@ NESTED_LOOP_OK = {
     "x_fk_orphans",             # crossJoin of 1-row audit aggregates
     "x_rp_recall",              # brute-force audit on both sides
                                 # (projected + full-dim), query broadcast
+    "x_nb_source_classifier",   # |sources|-bounded model frame + 1-row
+                                # vocab/total broadcasts
     "x_rag_retrieve",           # same brute-force retrieval stage inside
     "x_mmr_diversify",          # same brute-force retrieval stage; the
                                 # MMR greedy itself is pair-scale

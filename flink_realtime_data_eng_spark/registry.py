@@ -10395,3 +10395,89 @@ SELECT d.source, p.pred_source, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents d JOIN pred p ON p.doc_id = d.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def x_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of documents over (mean unigram quality,
+    length) — the Börzsönyi et al. ICDE'01 skyline operator: a doc
+    survives iff no other doc is >= on BOTH axes and > on at least one
+    (the docs you cannot discard without giving something up; equal
+    twins both survive). Expressed WITHOUT the quadratic self-join:
+    dominated(B) iff max{len : q > q_B} >= len_B OR
+    max{len : q = q_B} > len_B — one RANGE window over the strictly-
+    greater quality frame plus one per-quality partition max, both over
+    integer keys. Quality key = (logprob_e6 * 1000) div n_tokens
+    (truncating division agrees cross-engine, the quality_buckets
+    contract).
+
+    Scale shape — the distributed-skyline two-phase: phase 1 computes a
+    LOCAL skyline per input partition (same window logic keyed by
+    spark_partition_id — local pruning only ever removes globally
+    dominated rows, so the final answer is untouched); phase 2 runs the
+    global single-partition window on the union of the tiny local
+    frontiers, never on the corpus. Output: (doc_id, qkey_e3, n_chars)."""
+    from pyspark.sql import Window
+
+    def skyline(frame: DataFrame, *extra_part) -> DataFrame:
+        w_gt = (Window.partitionBy(*extra_part)
+                .orderBy(F.col("qkey_e3").desc())
+                .rangeBetween(Window.unboundedPreceding, -1))
+        w_eq = Window.partitionBy(*extra_part, "qkey_e3")
+        flagged = (frame.withColumn("m_gt", F.max("n_chars").over(w_gt))
+                        .withColumn("m_eq", F.max("n_chars").over(w_eq)))
+        dominated = ((F.col("m_gt").isNotNull()
+                      & (F.col("m_gt") >= F.col("n_chars")))
+                     | (F.col("m_eq") > F.col("n_chars")))
+        return flagged.filter(~dominated).drop("m_gt", "m_eq")
+
+    q = text.unigram_logprob(_docs(spark, sf_dir)).filter(
+        F.col("n_tokens") > 0)
+    d = (q.join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
+          .select("doc_id",
+                  F.expr("(logprob_e6 * 1000) div n_tokens")
+                   .cast("bigint").alias("qkey_e3"),
+                  F.col("n_chars").cast("bigint").alias("n_chars")))
+    local = skyline(d.withColumn("pid", F.spark_partition_id()), "pid")
+    return (skyline(local.drop("pid"))
+            .select("doc_id", "qkey_e3", "n_chars")
+            .orderBy("doc_id"))
+
+
+QUERIES["x_pareto_docs"] = x_pareto_docs
+
+ORACLES["x_pareto_docs"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), uni AS (
+  SELECT tok, sum(tf) AS c FROM tf GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n_corpus, count(*) AS vocab FROM uni
+), sc AS (
+  SELECT tf.doc_id,
+         sum(CAST(round(tf.tf * ln((uni.c + 1)
+                        / CAST(tot.n_corpus + tot.vocab AS DOUBLE))
+                        * 1000000) AS BIGINT)) AS logprob_e6,
+         sum(tf.tf) AS n_tokens
+  FROM tf JOIN uni USING (tok) CROSS JOIN tot
+  GROUP BY 1
+), d AS (
+  SELECT sc.doc_id,
+         (sc.logprob_e6 * 1000) // sc.n_tokens AS qkey_e3,
+         doc.n_chars
+  FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id
+  WHERE sc.n_tokens > 0
+), flagged AS (
+  SELECT doc_id, qkey_e3, n_chars,
+         max(n_chars) OVER (ORDER BY qkey_e3 DESC
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt,
+         max(n_chars) OVER (PARTITION BY qkey_e3) AS m_eq
+  FROM d
+)
+SELECT doc_id, CAST(qkey_e3 AS BIGINT) AS qkey_e3,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM flagged
+WHERE NOT ((m_gt IS NOT NULL AND m_gt >= n_chars) OR m_eq > n_chars)
+ORDER BY doc_id
+"""

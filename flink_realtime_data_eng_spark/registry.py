@@ -10481,3 +10481,125 @@ FROM flagged
 WHERE NOT ((m_gt IS NOT NULL AND m_gt >= n_chars) OR m_eq > n_chars)
 ORDER BY doc_id
 """
+
+
+def x_maxsim_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction scoring (Khattab & Zaharia,
+    SIGIR'20) at the group level: treating each LABEL's vectors as a
+    multi-vector document, score(A, B) = sum over query vectors a in A
+    of max over document vectors b in B of cosine(a, b) — the MaxSim
+    sum that makes late interaction beat single-vector retrieval. Query
+    side bounded (labels 0-2) and broadcast; the max collapses per
+    (query vector, doc label) BEFORE the per-pair sum, so the wide
+    pairwise frame reduces in two keyed aggregates. Scores in e6 fixed
+    point (each cosine rounds to 6 dp first — order-free sums). Output:
+    (label_a, label_b, n_qvecs, maxsim_e6)."""
+    emb = _emb(spark, sf_dir)
+    qside = (emb.filter(F.col("label") < 3)
+             .select(F.col("label").alias("label_a"),
+                     F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("qv")))
+    pair = (emb.select(F.col("label").alias("label_b"), "vec_id",
+                       "embedding")
+            .crossJoin(F.broadcast(qside))
+            .select("label_a", "qid", "label_b",
+                    # explicit re-round before the int cast: Spark's cast
+                    # truncates while DuckDB's rounds, and 6-dp doubles
+                    # times 1e6 can sit one ulp under the integer.
+                    F.round(F.round(similarity.cosine("qv", "embedding"),
+                                    6) * 1_000_000)
+                     .cast("bigint").alias("cos_e6")))
+    per_qvec = (pair.groupBy("label_a", "qid", "label_b")
+                .agg(F.max("cos_e6").alias("best_e6")))
+    return (per_qvec.groupBy("label_a", "label_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_qvecs"),
+                 F.sum("best_e6").cast("bigint").alias("maxsim_e6"))
+            .orderBy("label_a", "label_b"))
+
+
+QUERIES["x_maxsim_labels"] = x_maxsim_labels
+
+ORACLES["x_maxsim_labels"] = f"""
+WITH q AS (
+  SELECT label AS label_a, vec_id AS qid, embedding AS q
+  FROM embeddings WHERE label < 3
+), c AS (
+  SELECT label AS label_b, vec_id, embedding AS v FROM embeddings
+), pair AS (
+  SELECT q.label_a, q.qid, c.label_b,
+         CAST(round(round({_COSINE_Q}, 6) * 1000000) AS BIGINT) AS cos_e6
+  FROM q CROSS JOIN c
+), best AS (
+  SELECT label_a, qid, label_b, max(cos_e6) AS best_e6
+  FROM pair GROUP BY 1, 2, 3
+)
+SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS n_qvecs,
+       CAST(sum(best_e6) AS BIGINT) AS maxsim_e6
+FROM best GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram contamination matrix: Jaccard overlap of the
+    DISTINCT 3-gram shingle sets of every source pair — the corpus
+    forensic that catches one crawl republishing another (doc-level
+    dedup sees pairs; this sees the systemic overlap). Shingle sets
+    reduce to (source, shingle) DISTINCT rows first, the pair join keys
+    on the shingle (posting-list shape: fan-out concentrates in shared
+    shingles), and |A∪B| comes from |A|+|B|-|A∩B| — set sizes join in
+    at |sources| scale. Output: (src_a, src_b, n_a, n_b, n_common,
+    jaccard6) for src_a < src_b."""
+    docs = _docs(spark, sf_dir)
+    sh = (dedup.shingles(docs, 3)
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .select("source", "shingle").distinct()
+          .localCheckpoint(eager=True))
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    common = (a.join(b, "shingle")
+              .filter(F.col("src_a") < F.col("src_b"))
+              .groupBy("src_a", "src_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("source").alias("src_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (common.join(F.broadcast(sa), "src_a")
+            .join(F.broadcast(sb), "src_b")
+            .select("src_a", "src_b",
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    F.col("n_common").cast("bigint").alias("n_common"),
+                    F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")), 6).alias("jaccard6"))
+            .orderBy("src_a", "src_b"))
+
+
+QUERIES["x_source_overlap"] = x_source_overlap
+
+ORACLES["x_source_overlap"] = f"""
+WITH words AS (
+  SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 2
+), sizes AS (
+  SELECT source, count(*) AS n_sh FROM sh GROUP BY 1
+), common AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.src_a, c.src_b,
+       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       round(c.n_common / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE), 6)
+         AS jaccard6
+FROM common c
+JOIN sizes sa ON sa.source = c.src_a
+JOIN sizes sb ON sb.source = c.src_b
+ORDER BY 1, 2
+"""

@@ -10603,3 +10603,101 @@ JOIN sizes sa ON sa.source = c.src_a
 JOIN sizes sb ON sb.source = c.src_b
 ORDER BY 1, 2
 """
+
+
+def x_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S3 audit generator as a REAL Spark data source (Spark 4 Python
+    DataSource API, sources.AuditDataSource): register, scan 20k
+    generated records across 8 parallel range partitions, aggregate the
+    audit dashboard (per user x operation: events, total duration,
+    record-count sum). Every field is md5(i)-derived, so DuckDB replays
+    the generator row-for-row — a generated SOURCE with a correctness
+    oracle. sf_dir is unused: the source IS the data."""
+    from .sources import register_audit_source
+    register_audit_source(spark)
+    df = (spark.read.format("frde_audit")
+          .option("n", 20000).option("parts", 8).load())
+    return (df.groupBy("user", "operation")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum("duration").cast("bigint").alias("sum_duration"),
+                 F.sum("cnt").cast("bigint").alias("sum_cnt"))
+            .orderBy("user", "operation"))
+
+
+QUERIES["x_datasource_scan"] = x_datasource_scan
+
+ORACLES["x_datasource_scan"] = f"""
+WITH g AS (
+  SELECT i,
+         (['Tom', 'Harry', 'Bob'])[
+           {_H32.format(x="concat('au', ':', CAST(i AS VARCHAR))")} % 3 + 1]
+           AS "user",
+         (['Create', 'Modify', 'Query', 'Delete'])[
+           {_H32.format(x="concat('ao', ':', CAST(i AS VARCHAR))")} % 4 + 1]
+           AS operation,
+         {_H32.format(x="concat('ad', ':', CAST(i AS VARCHAR))")} % 10 + 1
+           AS duration,
+         {_H32.format(x="concat('ac', ':', CAST(i AS VARCHAR))")} % 4 + 1
+           AS cnt
+  FROM range(0, 20000) r(i)
+)
+SELECT "user", operation, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(duration) AS BIGINT) AS sum_duration,
+       CAST(sum(cnt) AS BIGINT) AS sum_cnt
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def x_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface: a user-defined TABLE function
+    (stride chunker: windows of 8 whitespace tokens, stride 6) applied
+    with SQL ``LATERAL`` — one input doc row fans out to its chunk rows
+    engine-side, the API a row-to-many text operator should use instead
+    of explode-over-collected-arrays when the expansion logic is
+    imperative. The chunk rule is pure arithmetic over the token list,
+    so DuckDB replays it with a range generator. Output: (doc_id,
+    chunk_idx, n_words, chunk) for doc_id < 50."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_words int, chunk string")
+    class StrideChunker:
+        def eval(self, text: str):
+            words = [w for w in (text or "").split(" ") if w]
+            size, stride = 8, 6
+            idx = 0
+            for start in range(0, len(words), stride):
+                piece = words[start:start + size]
+                if not piece:
+                    break
+                yield idx, len(piece), " ".join(piece)
+                idx += 1
+                if start + size >= len(words):
+                    break
+
+    spark.udtf.register("frde_chunk", StrideChunker)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("frde_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.n_words, c.chunk
+        FROM frde_udtf_docs d, LATERAL frde_chunk(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+    """)
+
+
+QUERIES["x_udtf_chunks"] = x_udtf_chunks
+
+ORACLES["x_udtf_chunks"] = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 50
+), idx AS (
+  SELECT doc_id, ws, CAST(i AS INT) AS chunk_idx, i * 6 AS start
+  FROM w CROSS JOIN range(0, 100000) r(i)
+  WHERE i * 6 < len(ws) AND (i = 0 OR (i - 1) * 6 + 8 < len(ws))
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(ws[start + 1:start + 8]) AS INT) AS n_words,
+       array_to_string(ws[start + 1:start + 8], ' ') AS chunk
+FROM idx
+ORDER BY doc_id, chunk_idx
+"""

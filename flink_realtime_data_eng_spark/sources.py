@@ -103,3 +103,88 @@ def jsonl_stream(spark: SparkSession, path: str, schema: T.StructType,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(path)
+
+
+# ---------------------------------------------------------------------------
+# S3 as a FIRST-CLASS source: Spark 4 Python DataSource API
+# ---------------------------------------------------------------------------
+
+def _h32_py(prefix: str, v: object) -> int:
+    """Python twin of dedup._md5_hash32 — int(first 8 hex of
+    md5('prefix:value')). Keeping the identical construction is what
+    makes the generated records SQL-replayable."""
+    import hashlib
+    return int(hashlib.md5(f"{prefix}:{v}".encode()).hexdigest()[:8], 16)
+
+
+try:  # pyspark >= 4 only; the module stays importable elsewhere
+    from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                        InputPartition)
+
+    class AuditDataSource(DataSource):
+        """The reference's audit-trail generator
+        (datasource/FileStreamDataGenerator.java:35-110) re-expressed as
+        a REAL Spark data source instead of files-on-disk: register once,
+        then ``spark.read.format("frde_audit").option("n", ...)`` scans
+        it like any table. Records derive every field from md5(i) (same
+        _md5_hash32 construction as the dedup family), so the source is
+        deterministic across runs, partitions, and ENGINES — DuckDB can
+        replay the exact rows, which is what lets a generated source
+        carry a correctness oracle at all.
+
+        Scale shape: ``partitions()`` splits the id range into
+        contiguous slices, one ``read()`` per task — generation is
+        embarrassingly parallel and driver-free, the property the
+        reference's single-threaded file-writer generator lacks."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "frde_audit"
+
+        def schema(self) -> str:
+            return ("id bigint, user string, entity string, "
+                    "operation string, ts_ms bigint, duration int, cnt int")
+
+        def reader(self, schema) -> "AuditReader":
+            return AuditReader(self.options)
+
+    class AuditReader(DataSourceReader):
+        USERS = ["Tom", "Harry", "Bob"]
+        ENTITIES = ["Customer", "SalesRep"]
+        OPERATIONS = ["Create", "Modify", "Query", "Delete"]
+
+        def __init__(self, options):
+            self.n = int(options.get("n", 100))
+            self.parts = int(options.get("parts", 8))
+            self.base = int(options.get("base_ts_ms", 1_700_000_000_000))
+            self.step = int(options.get("step_ms", 1000))
+
+        def partitions(self):
+            per = max(1, (self.n + self.parts - 1) // self.parts)
+            return [InputPartition((lo, min(lo + per, self.n)))
+                    for lo in range(0, self.n, per)]
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for i in range(lo, hi):
+                yield (i,
+                       self.USERS[_h32_py("au", i) % len(self.USERS)],
+                       self.ENTITIES[_h32_py("ae", i) % len(self.ENTITIES)],
+                       self.OPERATIONS[_h32_py("ao", i)
+                                       % len(self.OPERATIONS)],
+                       self.base + i * self.step,
+                       _h32_py("ad", i) % 10 + 1,
+                       _h32_py("ac", i) % 4 + 1)
+
+    def register_audit_source(spark: SparkSession) -> None:
+        """Idempotent per-session registration."""
+        try:
+            spark.dataSource.register(AuditDataSource)
+        except Exception:
+            pass  # already registered in this session
+
+except ImportError:  # pragma: no cover - pyspark < 4
+    AuditDataSource = None  # type: ignore[assignment]
+
+    def register_audit_source(spark: SparkSession) -> None:
+        raise NotImplementedError("Python DataSource API needs pyspark>=4")

@@ -151,3 +151,19 @@ def test_cli_event_time_job(spark, capsys):
     assert main(["event_time_operations", "--records", "6"]) == 0
     out = capsys.readouterr().out
     assert "late rows captured:" in out
+
+
+def test_audit_datasource_partitioned_scan(spark):
+    """The Python DataSource generates ranges in parallel tasks and the
+    result is independent of the partition count."""
+    from flink_realtime_data_eng_spark.sources import register_audit_source
+    register_audit_source(spark)
+    a = (spark.read.format("frde_audit").option("n", 500)
+         .option("parts", 1).load())
+    b = (spark.read.format("frde_audit").option("n", 500)
+         .option("parts", 7).load())
+    assert b.rdd.getNumPartitions() == 7
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    row = a.filter("id = 0").collect()[0]
+    assert row["user"] in ("Tom", "Harry", "Bob")
+    assert 1 <= row["duration"] <= 10 and 1 <= row["cnt"] <= 4

@@ -10701,3 +10701,66 @@ SELECT doc_id, chunk_idx,
 FROM idx
 ORDER BY doc_id, chunk_idx
 """
+
+
+def x_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit generator as a REAL Structured Streaming source (Spark 4
+    Python DataSource streamReader): offsets are record indices, each
+    micro-batch generates the next 4096 ids engine-side — no files, no
+    broker, replay-exact via readBetweenOffsets. The same dashboard
+    aggregate as x_datasource_scan maintained in update mode across ~5
+    micro-batches; counts/sums only grow, so the final emission per key
+    is the answer (max-refold after drain). Same oracle as the batch
+    scan — streaming replay builds the identical dashboard."""
+    from .sources import register_audit_source
+    register_audit_source(spark)
+    df = (spark.readStream.format("frde_audit")
+          .option("n", 20000).option("batch_size", 4096).load())
+    agg = (df.groupBy("user", "operation")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("duration").cast("bigint").alias("sum_duration"),
+                F.sum("cnt").cast("bigint").alias("sum_cnt")))
+    # availableNow snapshots ONE prefetched batch of a simple stream
+    # reader as "available", so a single run drains 4096 ids. Chaining
+    # availableNow runs over a SHARED checkpoint is both the fix and the
+    # restart-continuity demo (ST3): each run resumes from the committed
+    # offset and the state store, like a nightly job catching up.
+    ckpt = _tempfile.mkdtemp(prefix="frde_ckpt_")
+    out_dir = _tempfile.mkdtemp(prefix="frde_dsrc_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def _sink(batch_df, batch_id):
+        if batch_df.count():
+            batch_df.write.mode("append").parquet(out_dir)
+
+    try:
+        seen = -1
+        for _ in range(12):
+            q = (agg.writeStream.outputMode("update")
+                 .foreachBatch(_sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("datasource stream batch hung")
+            try:
+                got = spark.read.parquet(out_dir).count()
+            except Exception:
+                got = 0
+            if got == seen:
+                break  # a run that emitted nothing: offsets at n
+            seen = got
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    drained = spark.read.parquet(out_dir)
+    return (drained.groupBy("user", "operation")
+            .agg(F.max("n_events").cast("bigint").alias("n_events"),
+                 F.max("sum_duration").cast("bigint").alias("sum_duration"),
+                 F.max("sum_cnt").cast("bigint").alias("sum_cnt"))
+            .orderBy("user", "operation"))
+
+
+QUERIES["x_datasource_stream"] = x_datasource_stream
+STREAMING_DEMOS.add("x_datasource_stream")
+ORACLES["x_datasource_stream"] = ORACLES["x_datasource_scan"]

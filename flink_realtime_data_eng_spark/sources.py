@@ -119,7 +119,8 @@ def _h32_py(prefix: str, v: object) -> int:
 
 try:  # pyspark >= 4 only; the module stays importable elsewhere
     from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                        InputPartition)
+                                        InputPartition,
+                                        SimpleDataSourceStreamReader)
 
     class AuditDataSource(DataSource):
         """The reference's audit-trail generator
@@ -148,6 +149,9 @@ try:  # pyspark >= 4 only; the module stays importable elsewhere
         def reader(self, schema) -> "AuditReader":
             return AuditReader(self.options)
 
+        def simpleStreamReader(self, schema) -> "AuditStreamReader":
+            return AuditStreamReader(self.options)
+
     class AuditReader(DataSourceReader):
         USERS = ["Tom", "Harry", "Bob"]
         ENTITIES = ["Customer", "SalesRep"]
@@ -175,6 +179,44 @@ try:  # pyspark >= 4 only; the module stays importable elsewhere
                        self.base + i * self.step,
                        _h32_py("ad", i) % 10 + 1,
                        _h32_py("ac", i) % 4 + 1)
+
+    class AuditStreamReader(SimpleDataSourceStreamReader):
+        """Streaming twin of AuditReader — the audit generator as a REAL
+        Structured Streaming source (no files, no Kafka): offsets are
+        plain record indices, each micro-batch emits the next
+        ``batch_size`` ids, and ``readBetweenOffsets`` regenerates any
+        range on replay (md5 determinism makes replay exact — the
+        at-least-once contract costs nothing). When the index reaches
+        ``n`` the offset stops advancing and availableNow drains."""
+
+        def __init__(self, options):
+            self.n = int(options.get("n", 100))
+            self.batch = int(options.get("batch_size", 1000))
+            self.base = int(options.get("base_ts_ms", 1_700_000_000_000))
+            self.step = int(options.get("step_ms", 1000))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def _rows(self, lo: int, hi: int):
+            r = AuditReader({"n": str(self.n),
+                             "base_ts_ms": str(self.base),
+                             "step_ms": str(self.step)})
+            # a LIST, not a generator: the engine pickles the prefetched
+            # batch to hand it to the JVM, and generators don't pickle
+            return list(r.read(InputPartition((lo, hi))))
+
+        def read(self, start):
+            lo = int(start["i"])
+            hi = min(lo + self.batch, self.n)
+            # an iterator over a MATERIALIZED list: the engine wrapper
+            # probes it with next() on empty batches AND pickles the
+            # prefetched rows — a bare list fails the first, a bare
+            # generator the second.
+            return iter(self._rows(lo, hi)), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._rows(int(start["i"]), int(end["i"])))
 
     def register_audit_source(spark: SparkSession) -> None:
         """Idempotent per-session registration."""

@@ -10764,3 +10764,126 @@ def x_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_datasource_stream"] = x_datasource_stream
 STREAMING_DEMOS.add("x_datasource_stream")
 ORACLES["x_datasource_stream"] = ORACLES["x_datasource_scan"]
+
+
+def x_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    persisted near-dup graph — community detection, the coarser cousin
+    of connected components (CC answers "reachable?", LPA groups by
+    DENSITY of mutual duplication). Deterministic variant: 4 synchronous
+    rounds, each node adopts the most frequent label among its neighbors
+    with ties (count desc, label asc), isolated from update-order by the
+    synchronous schedule; fixed rounds + total tie order make the
+    unrolled-CTE DuckDB replay exact. Each round is one edge join + one
+    (node, label) count + one argmax window — the same per-round shape
+    as PageRank, edges scanned from the once-written parquet. Output:
+    (doc_id, community) for every node of the pair graph."""
+    from pyspark.sql import Window
+    edges = _edges(spark, sf_dir).select("id_a", "id_b")
+    sym = (edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+           .unionByName(edges.select(F.col("id_b").alias("a"),
+                                     F.col("id_a").alias("b")))
+           .localCheckpoint(eager=True))
+    labels = sym.select(F.col("a").alias("node")).distinct() \
+                .withColumn("lbl", F.col("node"))
+    for _ in range(4):
+        w = Window.partitionBy("a").orderBy(F.col("n").desc(), F.col("lbl"))
+        votes = (sym.join(labels.withColumnRenamed("node", "b"), "b")
+                 .groupBy("a", "lbl").agg(F.count(F.lit(1)).alias("n")))
+        labels = (votes.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .select(F.col("a").alias("node"), "lbl"))
+        labels = labels.localCheckpoint(eager=True)
+    return (labels.select(F.col("node").cast("bigint").alias("doc_id"),
+                          F.col("lbl").cast("bigint").alias("community"))
+            .orderBy("doc_id"))
+
+
+QUERIES["x_lpa_communities"] = x_lpa_communities
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+v{i} AS MATERIALIZED (
+  SELECT s.a, p.lbl, count(*) AS n
+  FROM sym s JOIN {prev} p ON p.node = s.b
+  GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+  SELECT a AS node, lbl FROM (
+    SELECT a, lbl, row_number() OVER (PARTITION BY a
+             ORDER BY n DESC, lbl) AS rk
+    FROM v{i}) WHERE rk = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH cand AS MATERIALIZED ({_minhash_lsh_oracle()}),
+jac AS MATERIALIZED ({_jaccard_oracle(threshold=0.5)}),
+edges AS MATERIALIZED (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM sym)
+{''.join(steps)}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS community
+FROM {prev} ORDER BY doc_id
+"""
+
+
+ORACLES["x_lpa_communities"] = _lpa_oracle()
+
+
+def x_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components — the nightly-ingest shape: 20%
+    of the verified near-dup edges (md5-chosen, simulating today's new
+    pairs) merge into YESTERDAY's component labels without re-walking
+    the historical graph. Yesterday's labels act as star edges
+    (node -> old label): CC over (star edges UNION new edges) converges
+    in a few rounds because history is already diameter-1, touching only
+    label rows + new edges instead of every historical pair. The answer
+    provably equals full CC over all edges (min-label is path-
+    independent), and THAT is the oracle: the incremental merge must
+    reproduce the from-scratch clustering bit-for-bit."""
+    from .functions import graph
+    from .functions.dedup import _md5_hash32
+    edges = _edges(spark, sf_dir).select("id_a", "id_b")
+    is_new = (_md5_hash32(
+        "inc", F.concat(F.col("id_a").cast("string"), F.lit(":"),
+                        F.col("id_b").cast("string"))) % 5 == 0)
+    hist = edges.filter(~is_new)
+    new = edges.filter(is_new)
+    # Yesterday's artifact: labels over the historical graph only.
+    hist_labels = graph.connected_components(hist)
+    star = hist_labels.select(F.col("node").alias("id_a"),
+                              F.col("label").alias("id_b"))
+    merged = graph.connected_components(star.unionByName(new))
+    return (merged.select(F.col("node").cast("bigint").alias("doc_id"),
+                          F.col("label").cast("bigint").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
+QUERIES["x_cc_incremental"] = x_cc_incremental
+
+ORACLES["x_cc_incremental"] = f"""
+WITH RECURSIVE
+cand AS MATERIALIZED ({_minhash_lsh_oracle()}),
+jac AS MATERIALIZED ({_jaccard_oracle(threshold=0.5)}),
+edges AS MATERIALIZED (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+cc(node, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, c.lbl FROM sym s JOIN cc c ON c.node = s.b
+  WHERE c.lbl < s.a
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM cc GROUP BY node ORDER BY doc_id
+"""

@@ -10887,3 +10887,146 @@ SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM cc GROUP BY node ORDER BY doc_id
 """
+
+
+def x_seasonal_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: per event type, the hourly event
+    count is forecast by the (day-of-week, hour) mean over a 3-week
+    train window (Jan 1-21) and scored MAE against the held-out week
+    (Jan 22-28, dense 168-hour grid — silent hours count as zeros, not
+    missing rows). The canonical capacity-planning baseline every
+    fancier model must beat. Integer end-to-end: dow from epoch-day
+    arithmetic ((day+4) % 7 — no engine dayofweek convention), forecast
+    = sum*1e6 div n (truncating), MAE = sum|diff| div 168. Output per
+    type: n_test_hours, mae_e6."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts_ms div 86400000").alias("day"),
+        F.expr("(ts_ms div 3600000) % 24").alias("hour"))
+    e = e.withColumn("dow", F.expr("(day + 4) % 7"))
+    hourly = (e.groupBy("event_type", "day", "dow", "hour")
+              .agg(F.count(F.lit(1)).alias("n")))
+    train = (hourly.filter(F.col("day") < 19744)
+             .groupBy("event_type", "dow", "hour")
+             .agg(F.expr("(sum(n) * 1000000) div count(*)")
+                  .alias("fc_e6")))
+    types = e.select("event_type").distinct()
+    grid = (types.crossJoin(
+        F.broadcast(spark.range(19744, 19751).select(
+            F.col("id").alias("day"))))
+        .crossJoin(F.broadcast(spark.range(0, 24).select(
+            F.col("id").alias("hour"))))
+        .withColumn("dow", F.expr("(day + 4) % 7")))
+    actual = (hourly.filter((F.col("day") >= 19744)
+                            & (F.col("day") < 19751))
+              .select("event_type", "day", "hour", "n"))
+    test = (grid.join(actual, ["event_type", "day", "hour"], "left")
+            .join(train, ["event_type", "dow", "hour"], "left")
+            .select("event_type",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.coalesce("fc_e6", F.lit(0)).alias("fc_e6")))
+    return (test.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_test_hours"),
+                 F.expr("sum(abs(n * 1000000 - fc_e6)) div count(*)")
+                  .cast("bigint").alias("mae_e6"))
+            .orderBy("event_type"))
+
+
+QUERIES["x_seasonal_mae"] = x_seasonal_mae
+
+ORACLES["x_seasonal_mae"] = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         (epoch_ms(ts) // 3600000) % 24 AS hour
+  FROM events
+), e2 AS (SELECT *, (day + 4) % 7 AS dow FROM e),
+hourly AS (
+  SELECT event_type, day, dow, hour, count(*) AS n
+  FROM e2 GROUP BY 1, 2, 3, 4
+), train AS (
+  SELECT event_type, dow, hour, (sum(n) * 1000000) // count(*) AS fc_e6
+  FROM hourly WHERE day < 19744 GROUP BY 1, 2, 3
+), grid AS (
+  SELECT t.event_type, d.day, h.hour, (d.day + 4) % 7 AS dow
+  FROM (SELECT DISTINCT event_type FROM e) t
+  CROSS JOIN range(19744, 19751) d(day)
+  CROSS JOIN range(0, 24) h(hour)
+), actual AS (
+  SELECT event_type, day, hour, n FROM hourly
+  WHERE day >= 19744 AND day < 19751
+), test AS (
+  SELECT g.event_type, coalesce(a.n, 0) AS n,
+         coalesce(tr.fc_e6, 0) AS fc_e6
+  FROM grid g
+  LEFT JOIN actual a ON a.event_type = g.event_type
+                    AND a.day = g.day AND a.hour = g.hour
+  LEFT JOIN train tr ON tr.event_type = g.event_type
+                    AND tr.dow = g.dow AND tr.hour = g.hour
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_test_hours,
+       CAST(sum(abs(n * 1000000 - fc_e6)) // count(*) AS BIGINT) AS mae_e6
+FROM test GROUP BY 1 ORDER BY 1
+"""
+
+
+def x_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical BI share-of-total report: revenue per nation, its
+    share inside its region, and its rank within the region — revenue in
+    EXACT e4 fixed point (round(price*100) * round((1-disc)*100), the
+    attribution-credit convention: the doubles in the fixture carry two
+    decimals, so the integer product is exact and sums are order-free),
+    share = rev*1e6 div region_rev (truncating). One fact scan, dims
+    broadcast, one region-partitioned window over the |nations| frame."""
+    from pyspark.sql import Window
+    li = load_table(_prep(spark), sf_dir, "lineitem")
+    orders = load_table(_prep(spark), sf_dir, "orders")
+    cust = load_table(_prep(spark), sf_dir, "customer")
+    nation = load_table(_prep(spark), sf_dir, "nation")
+    region = load_table(_prep(spark), sf_dir, "region")
+    rev_e4 = (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+              * F.round((1 - F.col("l_discount")) * 100).cast("bigint"))
+    per_nation = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                  .join(cust, orders.o_custkey == cust.c_custkey)
+                  .join(F.broadcast(nation),
+                        cust.c_nationkey == nation.n_nationkey)
+                  .join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+                  .groupBy("r_name", "n_name")
+                  .agg(F.sum(rev_e4).alias("rev_e4")))
+    w_tot = Window.partitionBy("r_name")
+    w_rk = Window.partitionBy("r_name").orderBy(F.col("rev_e4").desc(),
+                                                F.col("n_name"))
+    return (per_nation
+            .withColumn("region_rev_e4", F.sum("rev_e4").over(w_tot))
+            .withColumn("share_e6",
+                        F.expr("(rev_e4 * 1000000) div region_rev_e4"))
+            .withColumn("rk", F.row_number().over(w_rk))
+            .select("r_name", "n_name",
+                    F.col("rev_e4").cast("bigint").alias("rev_e4"),
+                    F.col("share_e6").cast("bigint").alias("share_e6"),
+                    F.col("rk").cast("int").alias("rk"))
+            .orderBy("r_name", "rk"))
+
+
+QUERIES["x_share_report"] = x_share_report
+
+ORACLES["x_share_report"] = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, CAST(rev_e4 AS BIGINT) AS rev_e4,
+       CAST((rev_e4 * 1000000) // sum(rev_e4) OVER (PARTITION BY r_name)
+            AS BIGINT) AS share_e6,
+       CAST(row_number() OVER (PARTITION BY r_name
+              ORDER BY rev_e4 DESC, n_name) AS INT) AS rk
+FROM per_nation
+ORDER BY r_name, rk
+"""

@@ -11030,3 +11030,90 @@ SELECT r_name, n_name, CAST(rev_e4 AS BIGINT) AS rev_e4,
 FROM per_nation
 ORDER BY r_name, rk
 """
+
+
+def x_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native ``WITH RECURSIVE`` exercised end-to-end: documents
+    arranged as the implicit binary-heap hierarchy (parent = id div 2,
+    root 0 — the org-chart/BOM shape every warehouse eventually needs)
+    and the ancestor closure computed by the ENGINE's recursive CTE
+    (UNION ALL recursion — the tree is acyclic so distinct-union is not
+    needed; Spark 4 does not support it yet). Output per ancestor depth:
+    pair count and an integer node-sum checksum. DuckDB replays the
+    identical recursion."""
+    _docs(spark, sf_dir).select("doc_id").createOrReplaceTempView(
+        "frde_rec_docs")
+    return spark.sql("""
+        WITH RECURSIVE anc(node, ancestor, depth) AS (
+          SELECT doc_id, doc_id div 2, 1
+          FROM frde_rec_docs WHERE doc_id >= 1
+          UNION ALL
+          SELECT node, ancestor div 2, depth + 1
+          FROM anc WHERE ancestor >= 1
+        )
+        SELECT CAST(depth AS INT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(node) AS BIGINT) AS node_sum
+        FROM anc GROUP BY depth ORDER BY depth
+    """)
+
+
+QUERIES["x_recursive_ancestors"] = x_recursive_ancestors
+
+ORACLES["x_recursive_ancestors"] = """
+WITH RECURSIVE anc(node, ancestor, depth) AS (
+  SELECT doc_id, doc_id // 2, 1 FROM documents WHERE doc_id >= 1
+  UNION ALL
+  SELECT node, ancestor // 2, depth + 1 FROM anc WHERE ancestor >= 1
+)
+SELECT CAST(depth AS INT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM anc GROUP BY depth ORDER BY depth
+"""
+
+
+def x_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse in-place backfill: a table partitioned by
+    event_type, then ONE partition ('click') rewritten with corrected
+    values under ``partitionOverwriteMode=dynamic`` — overwrite replaces
+    only the partitions present in the incoming frame, every other
+    partition's files untouched (the write-side twin of partition
+    pruning; static mode would wipe the whole table). Values carried as
+    exact e6 ints. The final-state aggregate proves exactly the touched
+    partition changed; DuckDB replays the end state from the
+    definition."""
+    import tempfile
+    base = _events(spark, sf_dir).select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_e6"))
+    out = tempfile.mkdtemp(prefix="frde_dynow_")
+    (base.write.mode("overwrite").partitionBy("event_type").parquet(out))
+    fixed = (base.filter(F.col("event_type") == "click")
+             .withColumn("v_e6", F.col("v_e6") * 2))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum("v_e6").cast("bigint").alias("sum_v_e6"))
+            .orderBy("event_type"))
+
+
+QUERIES["x_dynamic_overwrite"] = x_dynamic_overwrite
+
+ORACLES["x_dynamic_overwrite"] = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_e6
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type = 'click' THEN v_e6 * 2
+                ELSE v_e6 END) AS BIGINT) AS sum_v_e6
+FROM base GROUP BY 1 ORDER BY 1
+"""

@@ -14,7 +14,8 @@ bucket before exact scoring. Recall/probe tradeoff documented per function.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import (Column, DataFrame, SparkSession, Window as W,
+                         functions as F)
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:
@@ -614,6 +615,121 @@ def ivf_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select(query_id, id_col, "score", "rk"))
 
 
+def pq_train_books(corpus: DataFrame, m: int = 16, ks: int = 32,
+                   iters: int = 2, train_max: int = 512,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> list:
+    """Train the ``m`` per-subspace integer-Lloyd codebooks on the bounded
+    md5-smallest sample (the :func:`pq_topk_exact` trainer, factored out
+    so a persisted index can train ONCE and serve many queries). Returns
+    the plain ``m x ks x d`` nested int list — a bounded trained artifact
+    (m*ks*d ints, corpus-size-independent) that round-trips through a
+    1-row parquet and replays bit-for-bit in SQL."""
+    qv = corpus.select(F.col(id_col), quantize_e6(vec_col).alias("q6"))
+    sample_rows = (qv.select(
+                       "q6", F.md5(F.col(id_col).cast("string")).alias("h"),
+                       F.col(id_col))
+                     .orderBy("h", id_col).limit(train_max).collect())
+    sample = [list(r["q6"]) for r in sample_rows]
+    dim = len(sample[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    # Per-subspace codebooks: same sample, same seed rule (first ks rows
+    # of the md5 order), same integer recurrence — just on subvectors.
+    books = [_lloyd_local([v[s * d:(s + 1) * d] for v in sample], ks, iters)
+             for s in range(m)]
+    return [[list(cvec) for _, cvec in b] for b in books]
+
+
+def _pq_books_df(spark: SparkSession, books: list) -> DataFrame:
+    """The codebook travels as ONE broadcast DATA row (m x ks x d nested
+    array), never as literal expression nodes: a literal codebook is
+    ~64k plan nodes and Catalyst analysis alone cost ~4.5 s per build
+    (and the per-codeword unrolled form before it OOMed the driver)."""
+    return spark.createDataFrame([(books,)], "B array<array<array<bigint>>>")
+
+
+def _pq_d2(sub: Column, cvec: Column) -> Column:
+    """Exact integer squared L2 between two e6 subvectors."""
+    return F.aggregate(
+        F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def pq_encode(corpus: DataFrame, books: list,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """One map-side encode pass: ``id_col, codes`` — ``m`` small ints per
+    vector (m=16, ks=32: 80 bits), the persisted PQ index artifact. The
+    corpus never shuffles; the argmin over codewords is a runtime
+    transform lambda over the broadcast codebook row."""
+    d = len(books[0][0])
+    bdf = _pq_books_df(corpus.sparkSession, books)
+    qv = corpus.select(F.col(id_col), quantize_e6(vec_col).alias("q6"))
+    # codes[s] = argmin over codewords of d2(subvector s, codeword) —
+    # (d2, code) lexicographic array_min is the shared tie-break.
+    codes_col = F.transform(
+        F.col("B"), lambda book, s: F.array_min(
+            F.transform(book, lambda cv, i: F.struct(
+                _pq_d2(F.slice(F.col("q6"), s * d + 1, F.lit(d)),
+                       cv).alias("d2"),
+                i.cast("int").alias("code"))))["code"])
+    return (qv.crossJoin(F.broadcast(bdf))
+              .select(id_col, codes_col.alias("codes")))
+
+
+def pq_adc_topk(codes: DataFrame, books: list, queries: DataFrame,
+                corpus: DataFrame | None = None, k: int = 5,
+                shortlist: int | None = None, exclude_self: bool = True,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_id: str = "query_id") -> DataFrame:
+    """Asymmetric-distance top-k over an ALREADY-ENCODED code table — the
+    scan a persisted PQ index serves at 100 TB: ADC reads only the
+    80-bit codes (plus the broadcast per-query integer lookup tables);
+    raw embeddings are touched only for the ``shortlist`` rerank rows
+    (``corpus`` required iff ``shortlist`` is set). Same semantics and
+    output schema as :func:`pq_topk_exact`'s scoring stage."""
+    spark = codes.sparkSession
+    d = len(books[0][0])
+    bdf = _pq_books_df(spark, books)
+    # Per-query ADC tables: dt[s][c] = d2(query subvector s, codeword c).
+    q = queries.select(F.col(query_id), quantize_e6(vec_col).alias("qq6"))
+    dt = F.transform(
+        F.col("B"), lambda book, s: F.transform(
+            book, lambda cv: _pq_d2(
+                F.slice(F.col("qq6"), s * d + 1, F.lit(d)), cv)))
+    qt = (q.crossJoin(F.broadcast(bdf))
+            .select(query_id, dt.alias("dt")))
+
+    scored = codes.crossJoin(F.broadcast(qt))
+    if exclude_self:
+        scored = scored.filter(F.col(query_id) != F.col(id_col))
+    adc = F.aggregate(
+        F.zip_with("dt", "codes", lambda row, c: F.element_at(row, c + 1)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    w = W.partitionBy(query_id).orderBy("adc_d2", id_col)
+    ranked = scored.withColumn("adc_d2", adc).withColumn(
+        "rk", F.row_number().over(w))
+    if shortlist is None:
+        return (ranked.filter(F.col("rk") <= k)
+                .select(query_id, id_col, "adc_d2", "rk"))
+    # Two-stage: ADC shortlist (queries × shortlist rows — tiny), then
+    # exact cosine over ONLY those rows; both small sides broadcast.
+    cand = (ranked.filter(F.col("rk") <= shortlist)
+            .select(query_id, id_col))
+    qv_full = queries.select(F.col(query_id),
+                             F.col(vec_col).alias("q_vec"))
+    rer = (cand.join(corpus.select(id_col, vec_col), id_col)
+           .join(F.broadcast(qv_full), query_id)
+           .select(query_id, id_col,
+                   F.round(cosine("q_vec", vec_col), 6).alias("score")))
+    w2 = W.partitionBy(query_id).orderBy(F.col("score").desc(), id_col)
+    return (rer.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select(query_id, id_col, "score", "rk"))
+
+
 def pq_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   m: int = 16, ks: int = 32, iters: int = 2,
                   train_max: int = 512, shortlist: int | None = None,
@@ -658,76 +774,136 @@ def pq_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Output: query_id, vec_id, score (cosine, rounded 6) + rk with
     rerank; query_id, vec_id, adc_d2, rk without.
     """
-    spark = corpus.sparkSession
-    qv = corpus.select(F.col(id_col), quantize_e6(vec_col).alias("q6"))
+    books = pq_train_books(corpus, m=m, ks=ks, iters=iters,
+                           train_max=train_max, vec_col=vec_col,
+                           id_col=id_col)
+    codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
+    return pq_adc_topk(codes, books, queries, corpus=corpus, k=k,
+                       shortlist=shortlist, exclude_self=exclude_self,
+                       vec_col=vec_col, id_col=id_col, query_id=query_id)
 
+
+def ivfpq_train(corpus: DataFrame, n_lists: int = 8, coarse_iters: int = 3,
+                m: int = 16, ks: int = 32, pq_iters: int = 2,
+                train_max: int = 512, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> tuple:
+    """Train the IVFADC index's two codebooks on ONE bounded md5-smallest
+    sample: the coarse ``n_lists x dim`` centroid table (integer Lloyd on
+    vectors) and the ``m`` per-subspace residual codebooks (Lloyd on the
+    sample's residuals after coarse assignment — argmin ties to the
+    lowest cell, numpy argmin's first-minimum, same as the SQL replay).
+    Returns ``(coarse, books)`` as plain nested int lists — bounded
+    trained artifacts (corpus-size-independent) that round-trip through a
+    1-row parquet and replay bit-for-bit in SQL (factored out of
+    :func:`ivfpq_topk_exact` so a persisted index trains ONCE)."""
+    import numpy as np
+    qv = corpus.select(F.col(id_col), quantize_e6(vec_col).alias("q6"))
     sample_rows = (qv.select(
                        "q6", F.md5(F.col(id_col).cast("string")).alias("h"),
                        F.col(id_col))
                      .orderBy("h", id_col).limit(train_max).collect())
-    sample = [list(r["q6"]) for r in sample_rows]
-    dim = len(sample[0])
+    sample = np.asarray([list(r["q6"]) for r in sample_rows], dtype=np.int64)
+    dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d = dim // m
-    # Per-subspace codebooks: same sample, same seed rule (first ks rows
-    # of the md5 order), same integer recurrence — just on subvectors.
-    books = [_lloyd_local([v[s * d:(s + 1) * d] for v in sample], ks, iters)
-             for s in range(m)]
+    coarse = _lloyd_local([list(v) for v in sample], n_lists, coarse_iters)
+    cents = np.asarray([c[1] for c in coarse], dtype=np.int64)
+    d2s = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    res = sample - cents[d2s.argmin(axis=1)]
+    books = [_lloyd_local([list(v[s * d:(s + 1) * d]) for v in res],
+                          ks, pq_iters) for s in range(m)]
+    return ([list(cvec) for _, cvec in coarse],
+            [[list(cvec) for _, cvec in books[s]] for s in range(m)])
 
-    # The codebook travels as ONE broadcast DATA row (m × ks × d nested
-    # array), never as literal expression nodes: a literal codebook is
-    # ~64k plan nodes and Catalyst analysis alone cost ~4.5 s per build
-    # (and the per-codeword unrolled form before it OOMed the driver).
-    # All loops are runtime transform lambdas over the array value.
-    bdf = spark.createDataFrame(
-        [([[list(cvec) for _, cvec in books[s]] for s in range(m)],)],
-        "B array<array<array<bigint>>>")
 
-    def _d2(sub: Column, cvec: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+def _ivfpq_books_df(spark: SparkSession, coarse: list,
+                    books: list) -> DataFrame:
+    """Both codebooks travel as ONE broadcast DATA row (see pq_topk_exact:
+    literal codebooks cost seconds of Catalyst analysis per build)."""
+    return spark.createDataFrame(
+        [(coarse, books)],
+        "C array<array<bigint>>, B array<array<array<bigint>>>")
 
-    def _sub_at(col: Column, s: Column) -> Column:
-        return F.slice(col, s * d + 1, F.lit(d))
 
-    # codes[s] = argmin over codewords of d2(subvector s, codeword) —
-    # (d2, code) lexicographic array_min is the shared tie-break.
+def ivfpq_encode(corpus: DataFrame, coarse: list, books: list,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """One map-side encode pass: ``id_col, cell, codes`` — the coarse
+    cell (argmin over broadcast centroids) plus the ``m`` residual codes.
+    This is the persisted IVFADC artifact: n_lists posting lists of
+    80-bit codes; the corpus never shuffles during encoding."""
+    d = len(books[0][0])
+    bdf = _ivfpq_books_df(corpus.sparkSession, coarse, books)
+    qv = corpus.select(F.col(id_col), quantize_e6(vec_col).alias("q6"))
+    cell_col = F.array_min(
+        F.transform(F.col("C"), lambda cv, i: F.struct(
+            _pq_d2(F.col("q6"), cv).alias("d2"),
+            i.cast("int").alias("cell"))))["cell"]
+    enc = (qv.crossJoin(F.broadcast(bdf))
+             .withColumn("cell", cell_col)
+             .withColumn("r6", F.zip_with(
+                 "q6", F.element_at(F.col("C"), F.col("cell") + 1),
+                 lambda a, b: a - b)))
     codes_col = F.transform(
         F.col("B"), lambda book, s: F.array_min(
             F.transform(book, lambda cv, i: F.struct(
-                _d2(_sub_at(F.col("q6"), s), cv).alias("d2"),
+                _pq_d2(F.slice(F.col("r6"), s * d + 1, F.lit(d)),
+                       cv).alias("d2"),
                 i.cast("int").alias("code"))))["code"])
-    codes = (qv.crossJoin(F.broadcast(bdf))
-               .select(id_col, codes_col.alias("codes")))
+    return enc.select(id_col, "cell", codes_col.alias("codes"))
 
-    # Per-query ADC tables: dt[s][c] = d2(query subvector s, codeword c).
-    q = queries.select(F.col(query_id), quantize_e6(vec_col).alias("qq6"))
+
+def ivfpq_adc_topk(codes: DataFrame, coarse: list, books: list,
+                   queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   n_probe: int = 2, shortlist: int = 50,
+                   exclude_self: bool = True,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   query_id: str = "query_id") -> DataFrame:
+    """Probe + residual-ADC + exact rerank over an ALREADY-ENCODED
+    ``(id, cell, codes)`` table — the scan a persisted IVFADC index
+    serves at 100 TB: queries explode to their ``n_probe`` nearest
+    cells, the probe join is an equi-join on ``cell`` touching
+    n_probe/n_lists of the code table, and raw embeddings are read only
+    for the queries x shortlist rerank rows. Same semantics and output
+    schema as :func:`ivfpq_topk_exact`'s scoring stage."""
+    spark = codes.sparkSession
+    d = len(books[0][0])
+    bdf = _ivfpq_books_df(spark, coarse, books)
+    # --- queries: n_probe nearest cells, one row per (query, cell) with
+    # that cell's residual ADC table.
+    q = (queries.select(F.col(query_id), quantize_e6(vec_col).alias("qq6"))
+                .crossJoin(F.broadcast(bdf)))
+    probe_structs = F.array_sort(
+        F.transform(F.col("C"), lambda cv, i: F.struct(
+            _pq_d2(F.col("qq6"), cv).alias("d2"),
+            i.cast("int").alias("cell"))))
+    probes = (q.withColumn("pc", F.slice(probe_structs, 1, n_probe))
+               .select(query_id, "qq6", "C", "B",
+                       F.explode(F.col("pc.cell")).alias("cell")))
+    qres = probes.withColumn(
+        "qr6", F.zip_with("qq6",
+                          F.element_at(F.col("C"), F.col("cell") + 1),
+                          lambda a, b: a - b))
     dt = F.transform(
         F.col("B"), lambda book, s: F.transform(
-            book, lambda cv: _d2(_sub_at(F.col("qq6"), s), cv)))
-    qt = (q.crossJoin(F.broadcast(bdf))
-            .select(query_id, dt.alias("dt")))
+            book, lambda cv: _pq_d2(
+                F.slice(F.col("qr6"), s * d + 1, F.lit(d)), cv)))
+    qt = qres.select(query_id, "cell", dt.alias("dt"))
 
-    scored = codes.crossJoin(F.broadcast(qt))
+    # --- ADC over the probed cells only: equi-join on cell.
+    scored = codes.join(F.broadcast(qt), "cell")
     if exclude_self:
         scored = scored.filter(F.col(query_id) != F.col(id_col))
     adc = F.aggregate(
         F.zip_with("dt", "codes", lambda row, c: F.element_at(row, c + 1)),
         F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     w = W.partitionBy(query_id).orderBy("adc_d2", id_col)
-    ranked = scored.withColumn("adc_d2", adc).withColumn(
-        "rk", F.row_number().over(w))
-    if shortlist is None:
-        return (ranked.filter(F.col("rk") <= k)
-                .select(query_id, id_col, "adc_d2", "rk"))
-    # Two-stage: ADC shortlist (queries × shortlist rows — tiny), then
-    # exact cosine over ONLY those rows; both small sides broadcast.
-    cand = (ranked.filter(F.col("rk") <= shortlist)
+    cand = (scored.withColumn("adc_d2", adc)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= shortlist)
             .select(query_id, id_col))
-    qv_full = queries.select(F.col(query_id),
-                             F.col(vec_col).alias("q_vec"))
+    qv_full = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
     rer = (cand.join(corpus.select(id_col, vec_col), id_col)
            .join(F.broadcast(qv_full), query_id)
            .select(query_id, id_col,
@@ -769,103 +945,16 @@ def ivfpq_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Output: query_id, vec_id, score (cosine, rounded 6), rk.
     """
-    import numpy as np
-    spark = corpus.sparkSession
-    qv = corpus.select(F.col(id_col), quantize_e6(vec_col).alias("q6"))
-
-    sample_rows = (qv.select(
-                       "q6", F.md5(F.col(id_col).cast("string")).alias("h"),
-                       F.col(id_col))
-                     .orderBy("h", id_col).limit(train_max).collect())
-    sample = np.asarray([list(r["q6"]) for r in sample_rows], dtype=np.int64)
-    dim = sample.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    d = dim // m
-
-    # Coarse codebook on vectors; then residual codebooks on the SAME
-    # sample's residuals (sample assignment replays the argmin rule).
-    coarse = _lloyd_local([list(v) for v in sample], n_lists, coarse_iters)
-    cents = np.asarray([c[1] for c in coarse], dtype=np.int64)
-    d2s = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    res = sample - cents[d2s.argmin(axis=1)]
-    books = [_lloyd_local([list(v[s * d:(s + 1) * d]) for v in res],
-                          ks, pq_iters) for s in range(m)]
-
-    # Both codebooks travel as ONE broadcast data row (see pq_topk_exact:
-    # literal codebooks cost seconds of Catalyst analysis per build).
-    bdf = spark.createDataFrame(
-        [([list(cvec) for _, cvec in coarse],
-          [[list(cvec) for _, cvec in books[s]] for s in range(m)])],
-        "C array<array<bigint>>, B array<array<array<bigint>>>")
-
-    def _d2c(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-
-    def _sub_at(col: Column, s: Column) -> Column:
-        return F.slice(col, s * d + 1, F.lit(d))
-
-    # --- corpus: cell (argmin over coarse), residual, PQ codes — all in
-    # one map-side pass.
-    cell_col = F.array_min(
-        F.transform(F.col("C"), lambda cv, i: F.struct(
-            _d2c(F.col("q6"), cv).alias("d2"),
-            i.cast("int").alias("cell"))))["cell"]
-    enc = (qv.crossJoin(F.broadcast(bdf))
-             .withColumn("cell", cell_col)
-             .withColumn("r6", F.zip_with(
-                 "q6", F.element_at(F.col("C"), F.col("cell") + 1),
-                 lambda a, b: a - b)))
-    codes_col = F.transform(
-        F.col("B"), lambda book, s: F.array_min(
-            F.transform(book, lambda cv, i: F.struct(
-                _d2c(_sub_at(F.col("r6"), s), cv).alias("d2"),
-                i.cast("int").alias("code"))))["code"])
-    codes = enc.select(id_col, "cell", codes_col.alias("codes"))
-
-    # --- queries: n_probe nearest cells, one row per (query, cell) with
-    # that cell's residual ADC table.
-    q = (queries.select(F.col(query_id), quantize_e6(vec_col).alias("qq6"))
-                .crossJoin(F.broadcast(bdf)))
-    probe_structs = F.array_sort(
-        F.transform(F.col("C"), lambda cv, i: F.struct(
-            _d2c(F.col("qq6"), cv).alias("d2"),
-            i.cast("int").alias("cell"))))
-    probes = (q.withColumn("pc", F.slice(probe_structs, 1, n_probe))
-               .select(query_id, "qq6", "C", "B",
-                       F.explode(F.col("pc.cell")).alias("cell")))
-    qres = probes.withColumn(
-        "qr6", F.zip_with("qq6",
-                          F.element_at(F.col("C"), F.col("cell") + 1),
-                          lambda a, b: a - b))
-    dt = F.transform(
-        F.col("B"), lambda book, s: F.transform(
-            book, lambda cv: _d2c(_sub_at(F.col("qr6"), s), cv)))
-    qt = qres.select(query_id, "cell", dt.alias("dt"))
-
-    # --- ADC over the probed cells only: equi-join on cell.
-    scored = codes.join(F.broadcast(qt), "cell")
-    if exclude_self:
-        scored = scored.filter(F.col(query_id) != F.col(id_col))
-    adc = F.aggregate(
-        F.zip_with("dt", "codes", lambda row, c: F.element_at(row, c + 1)),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    w = W.partitionBy(query_id).orderBy("adc_d2", id_col)
-    cand = (scored.withColumn("adc_d2", adc)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= shortlist)
-            .select(query_id, id_col))
-    qv_full = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
-    rer = (cand.join(corpus.select(id_col, vec_col), id_col)
-           .join(F.broadcast(qv_full), query_id)
-           .select(query_id, id_col,
-                   F.round(cosine("q_vec", vec_col), 6).alias("score")))
-    w2 = W.partitionBy(query_id).orderBy(F.col("score").desc(), id_col)
-    return (rer.withColumn("rk", F.row_number().over(w2))
-            .filter(F.col("rk") <= k)
-            .select(query_id, id_col, "score", "rk"))
+    coarse, books = ivfpq_train(corpus, n_lists=n_lists,
+                                coarse_iters=coarse_iters, m=m, ks=ks,
+                                pq_iters=pq_iters, train_max=train_max,
+                                vec_col=vec_col, id_col=id_col)
+    codes = ivfpq_encode(corpus, coarse, books, vec_col=vec_col,
+                         id_col=id_col)
+    return ivfpq_adc_topk(codes, coarse, books, queries, corpus, k=k,
+                          n_probe=n_probe, shortlist=shortlist,
+                          exclude_self=exclude_self, vec_col=vec_col,
+                          id_col=id_col, query_id=query_id)
 
 
 def mmr_diversify(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -9373,14 +9373,22 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k and the exact-cosine top-k — the recall@k curve one runs before
     trusting a PQ index at scale (the x_lsh_recall pattern applied to
     quantized ANN). Both sides are deterministic, so the overlap is an
-    exact integer and the row hash-matches cross-engine. Output per
+    exact integer and the row hash-matches cross-engine. The PQ side
+    serves from the PERSISTED index (``_pq_index_dir`` — training is
+    deterministic so it reproduces the inline x_pq_topk build
+    bit-for-bit); x_pq_topk remains the inline build-parity form, the
+    x_dedup_stats/x_dedup_report split applied to ANN. Output per
     query: n_overlap, recall@5."""
+    import os
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    pq = similarity.pq_topk_exact(emb, q, k=5, m=16, ks=32, iters=2,
-                                  train_max=512,
-                                  shortlist=50).select("query_id", "vec_id")
+    base = _pq_index_dir(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(base, "codes"))
+    row = spark.read.parquet(os.path.join(base, "books")).collect()[0]
+    books = [[list(cv) for cv in book] for book in row["B"]]
+    pq = similarity.pq_adc_topk(codes, books, q, corpus=emb, k=5,
+                                shortlist=50).select("query_id", "vec_id")
     bf = similarity.brute_force_topk(emb, q, k=5).select(
         "query_id", "vec_id")
     hit = pq.join(bf, ["query_id", "vec_id"])
@@ -9770,6 +9778,116 @@ WHERE rk <= {k}
 
 
 ORACLES["x_ivfpq_topk"] = _ivfpq_oracle()
+
+
+def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """PQ index persisted ONCE per (corpus, params): ``codes/`` (vec_id +
+    16 5-bit codes — 80 bits/vector, ~50x smaller than the e6 vectors)
+    and ``books/`` (the 1-row m x ks x d codebook artifact). The
+    ``_edges_parquet_dir`` pattern applied to ANN: at 100 TB the nightly
+    index job trains + encodes once and every retrieval query ADC-scans
+    the code table, never the raw embeddings. ``books/`` is written last
+    so its _SUCCESS marks the whole index complete."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:pq_m16k32i2t512"
+        .encode()).hexdigest()[:12]
+    out = os.path.join(_tempfile.gettempdir(), f"frde_pqidx_{tag}")
+    if not os.path.exists(os.path.join(out, "books", "_SUCCESS")):
+        emb = _emb(spark, sf_dir)
+        books = similarity.pq_train_books(emb, m=16, ks=32, iters=2,
+                                          train_max=512)
+        similarity.pq_encode(emb, books).write.mode("overwrite").parquet(
+            os.path.join(out, "codes"))
+        similarity._pq_books_df(spark, books).write.mode(
+            "overwrite").parquet(os.path.join(out, "books"))
+    return out
+
+
+def x_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieval over the PERSISTED index — the serving shape
+    pq_topk_exact's docstring promises for 100 TB: the 80-bit code table
+    and the codebook row are read from parquet (written once by
+    ``_pq_index_dir``), ADC scans codes only, and raw embeddings are
+    touched just for the 10 x 50 shortlist rerank rows. Same parameters
+    and SAME ORACLE as x_pq_topk (training is deterministic, so the
+    persisted index reproduces the inline build bit-for-bit) — the
+    build-vs-serve pair beside x_dedup_stats / x_dedup_report."""
+    import os
+    base = _pq_index_dir(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(base, "codes"))
+    row = spark.read.parquet(os.path.join(base, "books")).collect()[0]
+    books = [[list(cv) for cv in book] for book in row["B"]]
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.pq_adc_topk(codes, books, q, corpus=emb, k=5,
+                                  shortlist=50)
+
+
+QUERIES["x_pq_persisted_topk"] = x_pq_persisted_topk
+
+ORACLES["x_pq_persisted_topk"] = _pq_oracle(k=5, m=16, ks=32, iters=2,
+                                            train_max=512, shortlist=50)
+
+
+def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """IVFADC index persisted ONCE per (corpus, params): ``codes/``
+    (vec_id + coarse cell + 16 residual 5-bit codes — the n_lists
+    posting lists) and ``books/`` (the 1-row coarse-centroid + residual-
+    codebook artifact). ``_pq_index_dir``'s pattern for the composed
+    index; ``books/`` is written last so its _SUCCESS marks the whole
+    index complete."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:"
+        "ivfpq_l8c3_m16k32i2t512".encode()).hexdigest()[:12]
+    out = os.path.join(_tempfile.gettempdir(), f"frde_ivfpqidx_{tag}")
+    if not os.path.exists(os.path.join(out, "books", "_SUCCESS")):
+        emb = _emb(spark, sf_dir)
+        coarse, books = similarity.ivfpq_train(
+            emb, n_lists=8, coarse_iters=3, m=16, ks=32, pq_iters=2,
+            train_max=512)
+        similarity.ivfpq_encode(emb, coarse, books).write.mode(
+            "overwrite").parquet(os.path.join(out, "codes"))
+        similarity._ivfpq_books_df(spark, coarse, books).write.mode(
+            "overwrite").parquet(os.path.join(out, "books"))
+    return out
+
+
+def x_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC retrieval over the PERSISTED index — the serving shape of
+    the composed FAISS-standard index at 100 TB: the (cell, codes)
+    posting lists and the codebook row are read from parquet (written
+    once by ``_ivfpq_index_dir``), queries probe 3 of 8 cells via an
+    equi-join on cell, ADC scans only the probed cells' codes, and raw
+    embeddings are touched just for the 10 x 50 shortlist rerank rows.
+    Same parameters and SAME ORACLE as the inline x_ivfpq_topk build
+    (training is deterministic, so the persisted index reproduces it
+    bit-for-bit) — completing the build-vs-serve pair story for ANN:
+    x_pq_topk/x_pq_persisted_topk for flat PQ, this pair for IVFADC."""
+    import os
+    base = _ivfpq_index_dir(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(base, "codes"))
+    row = spark.read.parquet(os.path.join(base, "books")).collect()[0]
+    coarse = [list(cv) for cv in row["C"]]
+    books = [[list(cv) for cv in book] for book in row["B"]]
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivfpq_adc_topk(codes, coarse, books, q, emb, k=5,
+                                     n_probe=3, shortlist=50)
+
+
+QUERIES["x_ivfpq_persisted_topk"] = x_ivfpq_persisted_topk
+
+ORACLES["x_ivfpq_persisted_topk"] = _ivfpq_oracle()
 
 
 def x_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

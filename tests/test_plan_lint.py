@@ -34,7 +34,11 @@ NESTED_LOOP_OK = {
                                 # trained artifact: queries × m × ks ints)
     "x_ivfpq_topk",             # same bounded broadcast artifacts (coarse
                                 # centroids + per-cell ADC tables)
-    "x_pq_recall",              # composes x_pq_topk + brute force (audit)
+    "x_pq_recall",              # persisted-index ADC + brute force (audit)
+    "x_pq_persisted_topk",      # same bounded ADC-table broadcast, codes
+                                # and codebook read from the persisted index
+    "x_ivfpq_persisted_topk",   # same: coarse centroids + per-cell ADC
+                                # tables broadcast over the persisted index
     "x_hard_negatives",         # brute-force anchor broadcast by design
     "x_knn_eval",               # brute-force anchor broadcast by design
     "x_contrastive_pairs",      # negatives side reuses the anchor
@@ -80,6 +84,11 @@ NESTED_LOOP_OK = {
     "x_retrieval_metrics",      # brute-force ideal side of the eval
                                 # (queries broadcast, the audit's definition)
     "x_quality_auc",            # 1-row (N, V) totals broadcast (unigram LM)
+    "x_pareto_docs",            # 1-row (N, V) totals broadcast (unigram LM
+                                # inside the quality key); the skyline
+                                # itself is windows, never a self-join
+    "x_seasonal_mae",           # dense test grid: |types| × 7-day × 24-hour
+                                # broadcast ranges (bounded calendar dims)
 }
 
 BATCH_QUERIES = sorted(set(registry.QUERIES) - registry.STREAMING_DEMOS)

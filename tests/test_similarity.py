@@ -309,6 +309,62 @@ def test_pq_rejects_indivisible_subspaces(spark):
         similarity.pq_topk_exact(df, q, m=2, ks=1, train_max=4)
 
 
+def test_pq_persisted_index_roundtrip_matches_inline(spark, tmp_path):
+    """Train once, persist codes + codebook to parquet, serve with
+    pq_adc_topk from the parquet — bit-identical to the inline
+    pq_topk_exact build (the x_pq_persisted_topk contract)."""
+    from flink_realtime_data_eng_spark.schemas import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id",
+                                                   "embedding")
+    books = similarity.pq_train_books(emb, m=8, ks=16, iters=2,
+                                      train_max=256)
+    similarity.pq_encode(emb, books).write.parquet(str(tmp_path / "codes"))
+    similarity._pq_books_df(spark, books).write.parquet(
+        str(tmp_path / "books"))
+    codes = spark.read.parquet(str(tmp_path / "codes"))
+    row = spark.read.parquet(str(tmp_path / "books")).collect()[0]
+    books_rt = [[list(cv) for cv in book] for book in row["B"]]
+    assert books_rt == books  # the nested int artifact survives parquet
+    served = similarity.pq_adc_topk(codes, books_rt, q, corpus=emb, k=3,
+                                    shortlist=20).collect()
+    inline = similarity.pq_topk_exact(emb, q, k=3, m=8, ks=16, iters=2,
+                                      train_max=256,
+                                      shortlist=20).collect()
+    assert sorted(served) == sorted(inline) and len(served) == 15
+
+
+def test_ivfpq_persisted_index_roundtrip_matches_inline(spark, tmp_path):
+    """Train once, persist (cell, codes) posting lists + both codebooks
+    to parquet, serve with ivfpq_adc_topk from the parquet —
+    bit-identical to the inline ivfpq_topk_exact build (the
+    x_ivfpq_persisted_topk contract)."""
+    from flink_realtime_data_eng_spark.schemas import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).selectExpr("vec_id AS query_id",
+                                                   "embedding")
+    coarse, books = similarity.ivfpq_train(emb, n_lists=4, coarse_iters=2,
+                                           m=8, ks=16, pq_iters=2,
+                                           train_max=256)
+    similarity.ivfpq_encode(emb, coarse, books).write.parquet(
+        str(tmp_path / "codes"))
+    similarity._ivfpq_books_df(spark, coarse, books).write.parquet(
+        str(tmp_path / "books"))
+    codes = spark.read.parquet(str(tmp_path / "codes"))
+    row = spark.read.parquet(str(tmp_path / "books")).collect()[0]
+    coarse_rt = [list(cv) for cv in row["C"]]
+    books_rt = [[list(cv) for cv in book] for book in row["B"]]
+    assert coarse_rt == coarse and books_rt == books
+    served = similarity.ivfpq_adc_topk(codes, coarse_rt, books_rt, q, emb,
+                                       k=3, n_probe=2,
+                                       shortlist=20).collect()
+    inline = similarity.ivfpq_topk_exact(emb, q, k=3, n_lists=4, n_probe=2,
+                                         coarse_iters=2, m=8, ks=16,
+                                         pq_iters=2, train_max=256,
+                                         shortlist=20).collect()
+    assert sorted(served) == sorted(inline) and len(served) == 15
+
+
 def test_ivfpq_topk_recall_and_determinism(spark):
     """Composed IVFADC: recall@5 bounded below (cell-miss dominates at
     3/8 cells probed on this weakly clustered fixture; measured 0.64),

@@ -11093,8 +11093,12 @@ def x_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT e4 fixed point (round(price*100) * round((1-disc)*100), the
     attribution-credit convention: the doubles in the fixture carry two
     decimals, so the integer product is exact and sums are order-free),
-    share = rev*1e6 div region_rev (truncating). One fact scan, dims
-    broadcast, one region-partitioned window over the |nations| frame."""
+    share = rev*1e6 div region_rev (truncating). The share multiply runs
+    in 128-bit (DECIMAL(38,0) / DuckDB HUGEINT): region revenue reaches
+    ~1e15 e4 at sf0.1 and rev*1e6 overflows int64 from sf0.1 up — caught
+    by the sf0.1 bench, invisible at the sf0.01 correctness gate. One
+    fact scan, dims broadcast, one region-partitioned window over the
+    |nations| frame."""
     from pyspark.sql import Window
     li = load_table(_prep(spark), sf_dir, "lineitem")
     orders = load_table(_prep(spark), sf_dir, "orders")
@@ -11117,7 +11121,8 @@ def x_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_nation
             .withColumn("region_rev_e4", F.sum("rev_e4").over(w_tot))
             .withColumn("share_e6",
-                        F.expr("(rev_e4 * 1000000) div region_rev_e4"))
+                        F.expr("CAST(rev_e4 AS DECIMAL(38,0)) * 1000000"
+                               " div region_rev_e4"))
             .withColumn("rk", F.row_number().over(w_rk))
             .select("r_name", "n_name",
                     F.col("rev_e4").cast("bigint").alias("rev_e4"),
@@ -11141,8 +11146,9 @@ WITH per_nation AS (
   GROUP BY 1, 2
 )
 SELECT r_name, n_name, CAST(rev_e4 AS BIGINT) AS rev_e4,
-       CAST((rev_e4 * 1000000) // sum(rev_e4) OVER (PARTITION BY r_name)
-            AS BIGINT) AS share_e6,
+       CAST((CAST(rev_e4 AS HUGEINT) * 1000000)
+            // sum(rev_e4) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_e6,
        CAST(row_number() OVER (PARTITION BY r_name
               ORDER BY rev_e4 DESC, n_name) AS INT) AS rk
 FROM per_nation
@@ -11234,4 +11240,95 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN event_type = 'click' THEN v_e6 * 2
                 ELSE v_e6 END) AS BIGINT) AS sum_v_e6
 FROM base GROUP BY 1 ORDER BY 1
+"""
+
+
+def x_chained_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query (the Spark 3.5+
+    multiple-stateful-operator support): a 5 s tumbling per-type count
+    whose APPEND-mode output feeds a second 60 s window aggregation —
+    the streaming rollup cascade (seconds -> minutes -> hours) every
+    metrics pipeline runs, expressed without an intermediate sink or a
+    second job. The watermark propagates through stage 1 (5 s windows
+    finalize when it passes their end) so stage 2 aggregates exactly the
+    finalized rows; the far-future flush sentinel pushes the final
+    watermark past every real window, and its own never-finalizing
+    window keeps it out of stage 2 (the output filter is belt-and-
+    braces). Stage-2 assignment uses window_time() (window end minus
+    1 us), which reduces to integer division because 5 s divides 60 s —
+    the oracle is the same two-level GROUP BY."""
+    from .sources import file_csv_stream
+    path = _events_csv_dir_flush(spark, sf_dir)
+    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    s1 = (ev.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "5 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    s2 = (s1.groupBy(F.window(F.window_time("window"), "60 seconds"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_5s"),
+                 F.sum("cnt").cast("bigint").alias("sum_cnt"),
+                 F.max("cnt").cast("bigint").alias("max_cnt")))
+    out = s2.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type", "n_5s", "sum_cnt", "max_cnt")
+    res = _run_to_memory(out, spark)
+    return res.filter(F.col("event_type") != "__flush__")
+
+
+QUERIES["x_chained_windows_stream"] = x_chained_windows_stream
+STREAMING_DEMOS.add("x_chained_windows_stream")
+
+ORACLES["x_chained_windows_stream"] = """
+WITH s1 AS (
+  SELECT (epoch_ms(ts) // 5000) * 5000 AS w5, event_type,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT (w5 // 60000) * 60000 AS window_start_ms, event_type,
+       CAST(count(*) AS BIGINT) AS n_5s,
+       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+       CAST(max(cnt) AS BIGINT) AS max_cnt
+FROM s1 GROUP BY 1, 2
+"""
+
+
+def x_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline STATE inspection (the Spark 4 state data source): run the
+    A2 running-totals aggregation to completion over the events CSV
+    replay, then read the aggregation operator's state store DIRECTLY
+    from the checkpoint with ``spark.read.format("statestore")`` — the
+    operational tool for auditing, migrating, or debugging 100 TB of
+    streaming state without replaying the stream or touching the job.
+    The state rows ARE the per-key running counts, so the batch GROUP BY
+    oracle checks the checkpoint's contents value-for-value (state is
+    read per-partition in parallel — it scales with the state's own
+    partitioning, not the stream's history)."""
+    from .sinks import memory_sink, run_available_now
+    ev = _stream_events(spark, sf_dir)
+    agg = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("total")))
+    name = "frde_" + _uuid.uuid4().hex[:12]
+    ckpt = _tempfile.mkdtemp(prefix="frde_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        writer = (memory_sink(agg, name, "update")
+                  .option("checkpointLocation", ckpt))
+        q = run_available_now(writer)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"state fixture stream {name} timed out")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = spark.read.format("statestore").option("path", ckpt).load()
+    return st.select(F.col("key.user_id").alias("user_id"),
+                     F.col("value.count").cast("bigint").alias("total"))
+
+
+QUERIES["x_statestore_read"] = x_statestore_read
+STREAMING_DEMOS.add("x_statestore_read")
+
+ORACLES["x_statestore_read"] = """
+SELECT user_id, count(*) AS total FROM events GROUP BY user_id
 """

@@ -1462,3 +1462,75 @@ def test_attribution_state_survives_checkpoint_restart(spark, tmp_path):
     run_once()
     assert emitted == [("v", "(none)", "(none)"),
                        ("u", "view", "click"), ("u", "view", "click")]
+
+
+def test_chained_window_aggs_single_query(spark, tmp_path):
+    """Two stateful window aggregations CHAINED in one streaming query
+    (Spark 3.5+ multiple-stateful-operator support): 5 s tumbling counts
+    re-aggregated at 60 s. The watermark propagates through stage 1, so
+    stage 2 sees exactly the finalized 5 s windows; the far-future flush
+    row finalizes every real window but its own window never closes, so
+    it self-excludes from stage 2."""
+    src, ckpt = tmp_path / "csrc", tmp_path / "cck"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        '"1","u","click","1000"\n"2","u","click","3000"\n'
+        '"3","u","view","7000"\n"9","x","__flush__","4000000000000"\n')
+    stream = sources.file_csv_stream(spark, str(src), T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    s1 = (stream.withWatermark("ts", "0 seconds")
+          .groupBy(F.window("ts", "5 seconds"), "event_type")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    s2 = (s1.groupBy(F.window(F.window_time("window"), "60 seconds"),
+                     "event_type")
+          .agg(F.count(F.lit(1)).alias("n_5s"),
+               F.sum("cnt").alias("sum_cnt"),
+               F.max("cnt").alias("max_cnt")))
+    out = s2.select(
+        F.unix_millis(F.col("window.start")).alias("w_ms"),
+        "event_type", "n_5s", "sum_cnt", "max_cnt")
+    name = "chain_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    rows = {(r["event_type"]): (r["w_ms"], r["n_5s"], r["sum_cnt"],
+                                r["max_cnt"])
+            for r in spark.table(name).collect()}
+    assert rows == {"click": (0, 1, 2, 2), "view": (0, 1, 1, 1)}
+
+
+def test_statestore_reader_exposes_agg_state(spark, tmp_path):
+    """The Spark 4 state data source reads a finished (or live) query's
+    aggregation state straight from the checkpoint: per-key counts come
+    back as (key.user_id, value.count), and state-metadata lists the
+    stateful operator — offline state audit without replaying the
+    stream."""
+    src, ckpt = tmp_path / "ssrc", tmp_path / "sck"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        '"1","u","view","10"\n"2","u","view","20"\n"3","u","click","30"\n'
+        '"4","v","view","40"\n"5","v","click","50"\n')
+    stream = sources.file_csv_stream(spark, str(src), T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]))
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("total"))
+    name = "ss_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("update").option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    st = spark.read.format("statestore").option("path", str(ckpt)).load()
+    state = {r["key"]["user_id"]: r["value"]["count"]
+             for r in st.collect()}
+    assert state == {"u": 3, "v": 2}
+    md = spark.read.format("state-metadata").load(str(ckpt))
+    ops = [r["operatorName"] for r in md.collect()]
+    assert ops == ["stateStoreSave"]

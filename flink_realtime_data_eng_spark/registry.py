@@ -11332,3 +11332,50 @@ STREAMING_DEMOS.add("x_statestore_read")
 ORACLES["x_statestore_read"] = """
 SELECT user_id, count(*) AS total FROM events GROUP BY user_id
 """
+
+
+def x_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality metrics via ``Dataset.observe`` (the
+    CollectMetrics operator): row count, null count, ts range and an e6
+    value checksum are accumulator-collected DURING the main per-type
+    aggregation job — at 100 TB the DQ numbers come for free with the
+    job instead of costing a second full scan. Metrics must be
+    deterministic aggregates (DISTINCT is rejected by CheckAnalysis), so
+    everything here is count/sum/min/max — and therefore replayable by
+    the oracle's plain one-pass GROUP-less aggregate. The observed row
+    returns as a 1-row bounded DataFrame (the x_profile contract)."""
+    from pyspark.sql import Observation
+    ev = _events(spark, sf_dir)
+    obs = Observation("dq")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_null_value"),
+        F.min("ts_ms").alias("min_ts_ms"),
+        F.max("ts_ms").alias("max_ts_ms"),
+        F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+         .alias("sum_v_e6"))
+    # The main job the metrics piggyback on (its own result is checked by
+    # a1/a6-family rows; here it only has to RUN so the accumulators fill).
+    (observed.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+             .write.mode("overwrite").format("noop").save())
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_null_value"], m["min_ts_ms"], m["max_ts_ms"],
+          m["sum_v_e6"])],
+        "n_rows bigint, n_null_value bigint, min_ts_ms bigint, "
+        "max_ts_ms bigint, sum_v_e6 bigint")
+
+
+QUERIES["x_observe_metrics"] = x_observe_metrics
+
+ORACLES["x_observe_metrics"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
+       CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ts_ms,
+       CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ts_ms,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_v_e6
+FROM events
+"""

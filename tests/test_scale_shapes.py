@@ -691,3 +691,37 @@ def test_compact_files_collapses_file_count_and_preserves_rows(spark, tmp_path):
     assert n_dst == 1  # total bytes far below one target file
     assert back.count() == 10_000
     assert back.agg({"v": "sum"}).collect()[0][0] == df.agg({"v": "sum"}).collect()[0][0]
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_join(spark,
+                                                             tmp_path):
+    """Runtime partition pruning (DPP): a fact table partitioned by day
+    joined to a dim with a selective filter must plan a
+    dynamicpruning subquery on the fact scan — at 100 TB this is the
+    difference between scanning 3 day-partitions and scanning all of
+    them, decided at RUNTIME from the dim side (no literal day predicate
+    exists in the query)."""
+    from pyspark.sql import functions as F
+    from flink_realtime_data_eng_spark.schemas import load_table
+    ev = (load_table(spark, "/root/testdata/sf0.001", "events")
+          .withColumn("day", F.expr("ts_ms div 86400000").cast("bigint")))
+    fact = str(tmp_path / "fact")
+    ev.write.mode("overwrite").partitionBy("day").parquet(fact)
+    days = [r["day"] for r in ev.select("day").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(d, "keep" if i < 3 else "drop") for i, d in enumerate(sorted(days))],
+        "day bigint, flag string")
+    f = spark.read.parquet(fact)
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                   "true")
+    try:
+        joined = (f.join(dim.filter(F.col("flag") == "keep"), "day")
+                   .groupBy("day").agg(F.count(F.lit(1)).alias("cnt")))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        got = {r["day"] for r in joined.collect()}
+        assert got == set(sorted(days)[:3])
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                       prev)

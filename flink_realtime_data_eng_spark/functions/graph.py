@@ -280,3 +280,46 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 8,
     return (sym.groupBy(F.col("a").alias("node"))
                .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
                .orderBy("node"))
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
+             src: str = "id_a", dst: str = "id_b",
+             id_col: str = "node") -> DataFrame:
+    """Multi-source BFS over the undirected edge set: the minimum hop
+    distance (0..rounds) from ANY seed — the N-hop neighborhood
+    expansion behind lineage walks, contamination blast-radius checks
+    and "everything within k links of a flagged doc" policies.
+
+    BFS visits a node first at its minimum distance, so hop = the round
+    that discovered it; each round is ONE equi-join of the current
+    FRONTIER (not the whole visited set) against the adjacency list,
+    followed by an anti-join on visited — O(rounds) keyed shuffles
+    whose inputs shrink toward the fringe, never a corpus-sized
+    recursion. Fixed ``rounds`` keeps the answer a pure function of
+    (edges, seeds, rounds) so an unrolled-CTE DuckDB oracle replays it
+    exactly (the kcore recipe). localCheckpoint per round: visited is
+    referenced by the next round's anti-join AND the final union, and
+    the frontier chain would otherwise re-execute cumulatively.
+
+    Returns (node, hop) with hop 0 for the seeds themselves.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    frontier = (seeds.select(F.col(id_col).cast("bigint").alias("node"))
+                .distinct().localCheckpoint(eager=True))
+    layers = [frontier.select("node", F.lit(0).cast("int").alias("hop"))]
+    visited = frontier
+    for r in range(1, rounds + 1):
+        frontier = (frontier.join(sym, frontier.node == sym.a)
+                    .select(F.col("b").alias("node")).distinct()
+                    .join(visited, "node", "left_anti")
+                    .localCheckpoint(eager=True))
+        layers.append(frontier.select("node",
+                                      F.lit(r).cast("int").alias("hop")))
+        visited = visited.union(frontier).localCheckpoint(eager=True)
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.unionByName(lay)
+    return out.orderBy("node")

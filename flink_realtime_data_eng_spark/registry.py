@@ -11379,3 +11379,55 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
          AS sum_v_e6
 FROM events
 """
+
+
+def x_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the verified near-dup graph: minimum hop
+    distance (<= 3) from the seed set doc_id % 7 == 0 — the
+    "everything within k links of a flagged document" blast-radius
+    query (contamination spread, lineage walk). Frontier-only joins +
+    visited anti-joins, persisted edge parquet input (see x_pagerank);
+    unrolled-CTE DuckDB oracle replays the same three expansions."""
+    from .functions import graph
+    seeds = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0) \
+        .select(F.col("doc_id").alias("node"))
+    return graph.bfs_hops(_edges(spark, sf_dir), seeds, rounds=3)
+
+
+QUERIES["x_bfs_hops"] = x_bfs_hops
+
+
+def _bfs_oracle(rounds: int = 3, seed_mod: int = 7) -> str:
+    hops = []
+    prev_not_in = ["d0"]
+    for i in range(1, rounds + 1):
+        frm = "d0" if i == 1 else f"r{i - 1}"
+        not_in = " AND ".join(
+            f"s.b NOT IN (SELECT node FROM {t})" for t in prev_not_in)
+        hops.append(
+            f"r{i} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT s.b AS node FROM sym s\n"
+            f"  JOIN {frm} f ON f.node = s.a\n"
+            f"  WHERE {not_in}\n"
+            f")")
+        prev_not_in.append(f"r{i}")
+    selects = ["SELECT node, CAST(0 AS INT) AS hop FROM d0"] + [
+        f"SELECT node, CAST({i} AS INT) AS hop FROM r{i}"
+        for i in range(1, rounds + 1)]
+    return f"""
+WITH cand AS MATERIALIZED ({_minhash_lsh_oracle()}),
+jac AS MATERIALIZED ({_jaccard_oracle(threshold=0.5)}),
+edges AS MATERIALIZED (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % {seed_mod} = 0
+),
+{", ".join(hops)}
+SELECT * FROM ({" UNION ALL ".join(selects)}) ORDER BY node
+"""
+
+
+ORACLES["x_bfs_hops"] = _bfs_oracle()

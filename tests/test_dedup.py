@@ -519,3 +519,23 @@ def test_kcore_fixture_reaches_fixpoint(spark):
     five = {(r.node, r.deg) for r in kcore(pairs, 2, rounds=5).collect()}
     six = {(r.node, r.deg) for r in kcore(pairs, 2, rounds=6).collect()}
     assert five == six
+
+
+def test_bfs_hops_chain_and_unreachable(spark):
+    """BFS must assign MIN hop (first-discovery round), stop at the round
+    budget, and leave unreachable nodes out: chain 1-2-3-4-5 seeded at 1
+    with rounds=3 reaches 4 (hop 3) but not 5; the 1-2 back-edge and the
+    2-3/3-2 symmetry must not re-discover visited nodes at later hops."""
+    from flink_realtime_data_eng_spark.functions.graph import bfs_hops
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 1)],
+        "id_a bigint, id_b bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds,
+                                                 rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # two seeds meeting in the middle: each node takes the nearer one
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got2 = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds2,
+                                                  rounds=3).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}

@@ -1534,3 +1534,44 @@ def test_statestore_reader_exposes_agg_state(spark, tmp_path):
     md = spark.read.format("state-metadata").load(str(ckpt))
     ops = [r["operatorName"] for r in md.collect()]
     assert ops == ["stateStoreSave"]
+
+
+def test_statestore_reader_join_sides(spark, tmp_path):
+    """Stream-stream join state is readable per side via the state data
+    source's joinSide option: each side's buffered rows come back with
+    the original column names — the tool for answering 'what is the
+    join still holding (and why is state growing)' on a live pipeline."""
+    src, ckpt = tmp_path / "jsrc", tmp_path / "jck"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        '"1","u","click","1000"\n"2","u","view","2000"\n')
+    stream = sources.file_csv_stream(spark, str(src), T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    left = (stream.filter(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("lts"))
+            .withWatermark("lts", "0 seconds"))
+    right = (stream.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("r_user"),
+                     F.col("ts").alias("rts"))
+             .withWatermark("rts", "0 seconds"))
+    joined = left.join(
+        right, (F.col("user_id") == F.col("r_user"))
+        & (F.col("rts").between(F.col("lts"),
+                                F.col("lts") + F.expr("INTERVAL 10 SECONDS"))))
+    name = "jst_" + uuid.uuid4().hex[:8]
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    lst = (spark.read.format("statestore").option("path", str(ckpt))
+           .option("joinSide", "left").load().collect())
+    rst = (spark.read.format("statestore").option("path", str(ckpt))
+           .option("joinSide", "right").load().collect())
+    assert [(r["value"]["user_id"], r["value"]["lts"].second)
+            for r in lst] == [("u", 1)]
+    assert [(r["value"]["r_user"], r["value"]["rts"].second)
+            for r in rst] == [("u", 2)]

@@ -11431,3 +11431,50 @@ SELECT * FROM ({" UNION ALL ".join(selects)}) ORDER BY node
 
 
 ORACLES["x_bfs_hops"] = _bfs_oracle()
+
+
+def x_join_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER chained-stateful shape (x_chained_windows_stream covers
+    agg -> agg): a stream-stream windowed JOIN feeding a windowed
+    AGGREGATION in the same query — join clicks to views on (user, 1 h
+    window), then count the joined pairs per (window, user), all in one
+    checkpointed pipeline (Spark 3.5+ multiple-stateful-operator
+    support). Grouping on the join's own watermark-tagged window struct
+    keeps event-time semantics through the second operator; the flush
+    sentinel (fed to BOTH sides) pushes the final watermark past every
+    real window so join state and agg windows both finalize under
+    availableNow. Oracle: the batch join + GROUP BY."""
+    from .sources import file_csv_stream
+    path = _events_csv_dir_flush(spark, sf_dir)
+    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    lw = (ev.filter(F.col("event_type").isin("click", "__flush__"))
+            .withWatermark("ts", "0 seconds")
+            .select("user_id", F.window("ts", "3600 seconds").alias("w")))
+    rw = (ev.filter(F.col("event_type").isin("view", "__flush__"))
+            .withWatermark("ts", "0 seconds")
+            .select(F.col("user_id").alias("r_user"),
+                    F.window("ts", "3600 seconds").alias("r_w")))
+    joined = lw.join(rw, (F.col("user_id") == F.col("r_user"))
+                     & (F.col("w") == F.col("r_w")))
+    agg = (joined.groupBy("w", "user_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+    out = agg.select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                     "user_id", "n_pairs")
+    res = _run_to_memory(out, spark)
+    return res.filter(F.col("user_id") >= 0)
+
+
+QUERIES["x_join_agg_stream"] = x_join_agg_stream
+STREAMING_DEMOS.add("x_join_agg_stream")
+
+ORACLES["x_join_agg_stream"] = """
+WITH l AS (SELECT user_id, epoch_ms(ts) // 3600000 AS w FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) // 3600000 AS w FROM events
+      WHERE event_type = 'view')
+SELECT l.w * 3600000 AS window_start_ms, l.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM l JOIN r ON r.user_id = l.user_id AND r.w = l.w
+GROUP BY 1, 2
+"""

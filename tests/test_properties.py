@@ -806,3 +806,34 @@ def test_bootstrap_ci_matches_sequential_replica(spark, vals):
     assert got.mean_e6 == sum(v * 1_000_000 for v in vals) // len(vals)
     assert got.boot_lo_e6 == means[1]
     assert got.boot_hi_e6 == means[30]
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=9),
+                          st.integers(min_value=0, max_value=9)),
+                min_size=1, max_size=20),
+       st.sets(st.integers(min_value=0, max_value=9), min_size=1,
+               max_size=3),
+       st.integers(min_value=1, max_value=4))
+def test_bfs_hops_matches_reference_bfs(spark, edge_list, seed_set, rounds):
+    """graph.bfs_hops must equal a plain Python level-order BFS on any
+    small random graph: same reachable set within the round budget, same
+    minimum hop per node (self-loops, parallel edges, seeds absent from
+    the graph, and disconnected nodes included)."""
+    from flink_realtime_data_eng_spark.functions.graph import bfs_hops
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {s: 0 for s in seed_set}
+    frontier = set(seed_set)
+    for hop in range(1, rounds + 1):
+        frontier = {v for u in frontier for v in adj.get(u, ())
+                    if v not in expect}
+        for v in frontier:
+            expect[v] = hop
+    edges = spark.createDataFrame(edge_list, "id_a bigint, id_b bigint")
+    seeds = spark.createDataFrame([(s,) for s in seed_set], "node bigint")
+    got = {r["node"]: r["hop"]
+           for r in bfs_hops(edges, seeds, rounds=rounds).collect()}
+    assert got == expect

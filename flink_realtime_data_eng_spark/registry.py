@@ -11478,3 +11478,82 @@ SELECT l.w * 3600000 AS window_start_ms, l.user_id,
 FROM l JOIN r ON r.user_id = l.user_id AND r.w = l.w
 GROUP BY 1, 2
 """
+
+
+def x_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement between the engine's two quality systems —
+    Cohen's kappa of the Gopher rule verdict vs the C4-style composed
+    filter over the same documents. The label-quality diligence every
+    training-data pipeline owes its filters: raw overlap (po) overstates
+    agreement when both filters keep most docs, kappa subtracts the
+    chance-agreement floor (pe). Exact integer fixed point: po/pe in e6,
+    kappa_e6 = (po-pe)*1e6 div (1e6-pe); the pe numerator multiplies
+    marginal COUNTS (aggregates — they scale with SF), so it runs in
+    DECIMAL(38,0) / HUGEINT per this round's overflow rule. One row:
+    the confusion quadrants + po_e6, pe_e6, kappa_e6."""
+    g = (text.gopher_rules(_docs(spark, sf_dir))
+         .select("doc_id", F.col("keep").alias("g_keep")))
+    c = (filtering.corpus_filter(_docs(spark, sf_dir))
+         .select("doc_id", F.col("keep").alias("c_keep")))
+    j = g.join(c, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("g_keep") & F.col("c_keep")).cast("bigint"))
+         .alias("n_both_keep"),
+        F.sum((F.col("g_keep") & ~F.col("c_keep")).cast("bigint"))
+         .alias("n_gopher_only"),
+        F.sum((~F.col("g_keep") & F.col("c_keep")).cast("bigint"))
+         .alias("n_c4_only"),
+        F.sum((~F.col("g_keep") & ~F.col("c_keep")).cast("bigint"))
+         .alias("n_both_drop"))
+    return agg.select(
+        "n_docs", "n_both_keep", "n_gopher_only", "n_c4_only",
+        "n_both_drop",
+        F.expr("CAST(CAST(n_both_keep + n_both_drop AS DECIMAL(38,0))"
+               " * 1000000 DIV n_docs AS BIGINT)").alias("po_e6"),
+        F.expr("CAST((CAST(n_both_keep + n_gopher_only AS DECIMAL(38,0))"
+               "       * (n_both_keep + n_c4_only)"
+               "     + CAST(n_c4_only + n_both_drop AS DECIMAL(38,0))"
+               "       * (n_gopher_only + n_both_drop))"
+               " * 1000000 DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs)"
+               " AS BIGINT)").alias("pe_e6")
+    ).select(
+        "*",
+        F.expr("CAST(CAST(po_e6 - pe_e6 AS DECIMAL(38,0)) * 1000000"
+               " DIV (1000000 - pe_e6) AS BIGINT)").alias("kappa_e6"))
+
+
+QUERIES["x_filter_agreement"] = x_filter_agreement
+
+ORACLES["x_filter_agreement"] = f"""
+WITH g AS (SELECT doc_id, keep AS g_keep FROM ({ORACLES["x_gopher_rules"]})),
+c AS (SELECT doc_id, keep AS c_keep FROM ({ORACLES["x_corpus_filter"]})),
+q AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN g_keep AND c_keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both_keep,
+         CAST(sum(CASE WHEN g_keep AND NOT c_keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_gopher_only,
+         CAST(sum(CASE WHEN NOT g_keep AND c_keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_c4_only,
+         CAST(sum(CASE WHEN NOT g_keep AND NOT c_keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both_drop
+  FROM g JOIN c USING (doc_id)
+), p AS (
+  SELECT *,
+         CAST(CAST(n_both_keep + n_both_drop AS HUGEINT) * 1000000
+              // n_docs AS BIGINT) AS po_e6,
+         CAST((CAST(n_both_keep + n_gopher_only AS HUGEINT)
+                 * (n_both_keep + n_c4_only)
+               + CAST(n_c4_only + n_both_drop AS HUGEINT)
+                 * (n_gopher_only + n_both_drop))
+              * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+           AS pe_e6
+  FROM q
+)
+SELECT n_docs, n_both_keep, n_gopher_only, n_c4_only, n_both_drop,
+       po_e6, pe_e6,
+       CAST(CAST(po_e6 - pe_e6 AS HUGEINT) * 1000000
+            // (1000000 - pe_e6) AS BIGINT) AS kappa_e6
+FROM p
+"""

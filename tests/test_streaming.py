@@ -1575,3 +1575,52 @@ def test_statestore_reader_join_sides(spark, tmp_path):
             for r in lst] == [("u", 1)]
     assert [(r["value"]["r_user"], r["value"]["rts"].second)
             for r in rst] == [("u", 2)]
+
+
+def test_chained_window_aggs_survive_checkpoint_restart(spark, tmp_path):
+    """BOTH stateful operators' state (the 5 s stage's open windows AND
+    the 60 s re-aggregation stage) must round-trip one checkpoint: run 1
+    sees two clicks, run 2 adds a third in the SAME 5 s window plus a
+    far-future flush — the final 60 s row must count run-1 and run-2
+    events together (cnt 3 in one 5 s window), which only happens if the
+    first stage's partial window state was restored."""
+    src, ckpt = tmp_path / "crsrc", tmp_path / "crck"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    emitted: list[tuple] = []
+
+    def run_once():
+        stream = (sources.file_csv_stream(spark, str(src), schema)
+                  .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+        s1 = (stream.withWatermark("ts", "0 seconds")
+              .groupBy(F.window("ts", "5 seconds"), "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+        s2 = (s1.groupBy(F.window(F.window_time("window"), "60 seconds"),
+                         "event_type")
+              .agg(F.sum("cnt").alias("sum_cnt"),
+                   F.max("cnt").alias("max_cnt")))
+        out = s2.select(F.unix_millis(F.col("window.start")).alias("w_ms"),
+                        "event_type", "sum_cnt", "max_cnt")
+        # foreachBatch, not the memory sink: memory cannot recover from a
+        # checkpoint, and recovery is exactly what this test exercises.
+        q = (out.writeStream
+             .foreachBatch(lambda bdf, bid: emitted.extend(
+                 (r["event_type"], r["w_ms"], r["sum_cnt"], r["max_cnt"])
+                 for r in bdf.collect()))
+             .outputMode("append").option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    (src / "a.csv").write_text('"1","u","click","1000"\n'
+                               '"2","u","click","2000"\n')
+    run_once()
+    assert emitted == []  # nothing finalized yet
+    (src / "b.csv").write_text('"3","u","click","3000"\n'
+                               '"9","x","__flush__","4000000000000"\n')
+    run_once()
+    assert emitted == [("click", 0, 3, 3)]

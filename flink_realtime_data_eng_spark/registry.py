@@ -11557,3 +11557,64 @@ SELECT n_docs, n_both_keep, n_gopher_only, n_c4_only, n_both_drop,
             // (1000000 - pe_e6) AS BIGINT) AS kappa_e6
 FROM p
 """
+
+
+def x_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER survivorship — the GOLDEN RECORD per resolved entity, the step
+    after x_entity_clusters that MDM pipelines actually ship: for every
+    multi-record entity, attribute-level survivorship rules pick the
+    canonical value per field (name/brand/type from the LOWEST record id
+    — source-stability rule, via min(struct(id, attr)); price = max in
+    exact e2 — most-complete-value rule; size = min — conservative
+    rule), plus the record count. One equi-join of records onto their
+    cluster and one hash aggregate per entity; every rule is a
+    decomposable min/max so the merge is shuffle-partial and
+    order-free."""
+    records = x_entity_clusters(spark, sf_dir)
+    pt = load_table(_prep(spark), sf_dir, "part")
+    j = records.join(
+        pt.select(F.col("p_partkey").alias("part_id"), "p_name", "p_brand",
+                  "p_type", "p_size",
+                  F.round(F.col("p_retailprice") * 100).cast("bigint")
+                   .alias("price_e2")),
+        "part_id")
+    low = F.min(F.struct(F.col("part_id"), F.col("p_name"),
+                         F.col("p_brand"), F.col("p_type")))
+    return (j.groupBy("entity_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"),
+                 low.alias("lo"),
+                 F.max("price_e2").cast("bigint").alias("max_price_e2"),
+                 F.min("p_size").cast("int").alias("min_size"))
+            .select(F.col("entity_id").cast("bigint").alias("entity_id"),
+                    "n_records",
+                    F.col("lo.p_name").alias("name"),
+                    F.col("lo.p_brand").alias("brand"),
+                    F.col("lo.p_type").alias("type"),
+                    "max_price_e2", "min_size")
+            .orderBy("entity_id"))
+
+
+QUERIES["x_golden_record"] = x_golden_record
+
+ORACLES["x_golden_record"] = f"""
+WITH rec AS ({ORACLES["x_entity_clusters"]}),
+j AS (
+  SELECT rec.entity_id, rec.part_id, p.p_name, p.p_brand, p.p_type,
+         p.p_size, CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_e2
+  FROM rec JOIN part p ON p.p_partkey = rec.part_id
+), lo AS (
+  SELECT entity_id, p_name, p_brand, p_type FROM (
+    SELECT entity_id, p_name, p_brand, p_type,
+           row_number() OVER (PARTITION BY entity_id
+                              ORDER BY part_id) AS rn
+    FROM j) WHERE rn = 1
+)
+SELECT j.entity_id, CAST(count(*) AS BIGINT) AS n_records,
+       any_value(lo.p_name) AS name, any_value(lo.p_brand) AS brand,
+       any_value(lo.p_type) AS type,
+       CAST(max(j.price_e2) AS BIGINT) AS max_price_e2,
+       CAST(min(j.p_size) AS INT) AS min_size
+FROM j JOIN lo ON lo.entity_id = j.entity_id
+GROUP BY j.entity_id
+ORDER BY j.entity_id
+"""

@@ -152,10 +152,29 @@ try:  # pyspark >= 4 only; the module stays importable elsewhere
         def simpleStreamReader(self, schema) -> "AuditStreamReader":
             return AuditStreamReader(self.options)
 
+    _AUDIT_USERS = ["Tom", "Harry", "Bob"]
+    _AUDIT_ENTITIES = ["Customer", "SalesRep"]
+    _AUDIT_OPERATIONS = ["Create", "Modify", "Query", "Delete"]
+
+    def _audit_tuples(lo: int, hi: int, base: int, step: int) -> list:
+        """The deterministic audit rows for ids [lo, hi) as plain tuples —
+        shared by the batch reader (which repacks them into one Arrow
+        RecordBatch) and the Simple stream reader (whose prefetch cache
+        pickles tuples, not Arrow batches)."""
+        return [(i,
+                 _AUDIT_USERS[_h32_py("au", i) % len(_AUDIT_USERS)],
+                 _AUDIT_ENTITIES[_h32_py("ae", i) % len(_AUDIT_ENTITIES)],
+                 _AUDIT_OPERATIONS[_h32_py("ao", i)
+                                   % len(_AUDIT_OPERATIONS)],
+                 base + i * step,
+                 _h32_py("ad", i) % 10 + 1,
+                 _h32_py("ac", i) % 4 + 1)
+                for i in range(lo, hi)]
+
     class AuditReader(DataSourceReader):
-        USERS = ["Tom", "Harry", "Bob"]
-        ENTITIES = ["Customer", "SalesRep"]
-        OPERATIONS = ["Create", "Modify", "Query", "Delete"]
+        USERS = _AUDIT_USERS
+        ENTITIES = _AUDIT_ENTITIES
+        OPERATIONS = _AUDIT_OPERATIONS
 
         def __init__(self, options):
             self.n = int(options.get("n", 100))
@@ -169,16 +188,20 @@ try:  # pyspark >= 4 only; the module stays importable elsewhere
                     for lo in range(0, self.n, per)]
 
         def read(self, partition):
+            # One Arrow RecordBatch per partition instead of 1 pickled
+            # tuple per row: the md5 loop is the same, but the
+            # Python->JVM hop becomes a single columnar transfer (the
+            # API accepts pyarrow.RecordBatch iterators since Spark 4).
+            import pyarrow as pa
             lo, hi = partition.value
-            for i in range(lo, hi):
-                yield (i,
-                       self.USERS[_h32_py("au", i) % len(self.USERS)],
-                       self.ENTITIES[_h32_py("ae", i) % len(self.ENTITIES)],
-                       self.OPERATIONS[_h32_py("ao", i)
-                                       % len(self.OPERATIONS)],
-                       self.base + i * self.step,
-                       _h32_py("ad", i) % 10 + 1,
-                       _h32_py("ac", i) % 4 + 1)
+            rows = _audit_tuples(lo, hi, self.base, self.step)
+            cols = list(zip(*rows)) if rows else [[]] * 7
+            types = [pa.int64(), pa.string(), pa.string(), pa.string(),
+                     pa.int64(), pa.int32(), pa.int32()]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(c), t) for c, t in zip(cols, types)],
+                names=["id", "user", "entity", "operation", "ts_ms",
+                       "duration", "cnt"])
 
     class AuditStreamReader(SimpleDataSourceStreamReader):
         """Streaming twin of AuditReader — the audit generator as a REAL
@@ -199,12 +222,12 @@ try:  # pyspark >= 4 only; the module stays importable elsewhere
             return {"i": 0}
 
         def _rows(self, lo: int, hi: int):
-            r = AuditReader({"n": str(self.n),
-                             "base_ts_ms": str(self.base),
-                             "step_ms": str(self.step)})
-            # a LIST, not a generator: the engine pickles the prefetched
-            # batch to hand it to the JVM, and generators don't pickle
-            return list(r.read(InputPartition((lo, hi))))
+            # tuples, NOT the batch reader's Arrow path: the Simple
+            # reader's prefetch cache pickles rows, and the engine treats
+            # any non-empty list as "records emitted" — a 0-row
+            # RecordBatch object would trip SIMPLE_STREAM_READER_OFFSET_
+            # DID_NOT_ADVANCE at the drained offset
+            return _audit_tuples(lo, hi, self.base, self.step)
 
         def read(self, start):
             lo = int(start["i"])

@@ -14,6 +14,7 @@ import glob
 import json
 import os
 import re
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,7 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _last_verified_round() -> dict[str, int]:
-    """name -> latest round whose CORRECTNESS_r*.json records a pass."""
+    """name -> latest round whose CORRECTNESS_r*.json records a pass,
+    EXPIRED when the query's code changed since that pass.
+
+    A green only counts while the query's current content hash (function
+    source + oracle, tools/query_hashes.py) still equals the hash the
+    green was recorded against in query_hashes.json — the r6 ADVICE
+    case (x_ivf_topk re-algorithmed after its r5 green) demotes back to
+    never-verified and re-queues automatically.
+    """
     best: dict[str, int] = {}
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
@@ -48,7 +57,32 @@ def _last_verified_round() -> dict[str, int]:
                 and res.get("spark_rows") is not None)
             if ok:
                 best[name] = max(best.get(name, 0), rnd)
+    try:
+        with open(os.path.join(_HERE, "query_hashes.json")) as f:
+            ledger = json.load(f)
+        sys.path.insert(0, _HERE)
+        from tools.query_hashes import content_hashes
+        cur = content_hashes()
+        for name in list(best):
+            green = ledger.get(name, {}).get("green_hash")
+            if green is None or green != cur.get(name):
+                del best[name]
+    except Exception:
+        pass  # no ledger → fall back to raw correctness history
     return best
+
+
+#: Queries this round's VERDICT demands driver evidence for — they jump
+#: the never-verified queue so a >50-query backlog can't starve them.
+_PRIORITY = (
+    "x_bucketed_join",       # r6 red — tie-free e4 key fix must prove out
+    "x_salted_join",         # r6 red — no local cause; watch
+    "x_salted_join_plain",   # diagnostic twin isolating the above
+    "x_round_ties",          # rounding-semantics canary (VERDICT next-8)
+    "x_ivf_topk",            # stale green expired (ADVICE r6)
+    "x_custom_watermark_replay",  # W2's oracle row (VERDICT next-6)
+    "q2_min_cost_supplier",  # tie-site fix (r7 audit) — green expired
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -57,13 +91,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The verify harness checks a bounded prefix of this dict per round
     (r02 recorded exactly the first 50 of 102). To accumulate oracle
     evidence for EVERY query across rounds, order by (last round the
-    query verified clean, registry order): never-verified and
-    previously-failing queries go first, queries that already
-    hash-matched most recently go last. Deterministic at call time.
+    query verified clean-on-current-code, priority, registry order):
+    never-verified / previously-failing / changed-since-green queries go
+    first (VERDICT-flagged names among them first of all), queries that
+    already hash-matched most recently go last. Deterministic at call
+    time.
     """
     order = list(registry.QUERIES)
     best = _last_verified_round()
-    ranked = sorted(order, key=lambda n: (best.get(n, -1), order.index(n)))
+    ranked = sorted(order, key=lambda n: (
+        best.get(n, -1),
+        0 if n in _PRIORITY else 1,
+        order.index(n)))
     return {n: registry.QUERIES[n] for n in ranked}
 
 

@@ -317,12 +317,18 @@ def decode_png_stats(media: DataFrame, id_col: str = "media_id",
 def decode_png_ahash(media: DataFrame, id_col: str = "media_id",
                      payload_col: str = "payload") -> DataFrame:
     """REAL-codec perceptual hash: decode each PNG payload and emit the
-    64-bit average-hash (aHash) — bit *i* set iff ``px_i * n >= sum(px)``
-    (the integer form of "pixel above mean", no division) — as a 16-char
-    hex string, MSB-first. Identical images produce identical hashes
-    through the full encode→decode round trip, so grouping on the hash
-    IS image-level exact dedup; near-dup variants would group by Hamming
-    bands exactly like SimHash. Arrow-batched mapInPandas, one pass."""
+    n-bit average-hash (aHash, n = pixel count — 64 bits only for the
+    8x8 case) — bit *i* set iff ``px_i * n >= sum(px)`` (the integer
+    form of "pixel above mean", no division) — as a hex string,
+    MSB-first, zero-padded to whole bytes (``2*ceil(n/8)`` hex chars).
+    Identical images produce identical hashes through the full
+    encode→decode round trip, so grouping on the hash IS image-level
+    exact dedup; near-dup variants would group by Hamming bands exactly
+    like SimHash. Arrow-batched mapInPandas; the threshold compare and
+    bit packing are vectorized numpy (``np.packbits``), not a per-pixel
+    Python loop, so real-size images stay one C pass per image."""
+    import numpy as np
+
     from . import png as _png
 
     schema = T.StructType([
@@ -334,13 +340,12 @@ def decode_png_ahash(media: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             ids, hashes = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                flat = b"".join(_png.decode_gray(bytes(payload)))
-                n, total = len(flat), sum(flat)
-                bits = 0
-                for px in flat:
-                    bits = (bits << 1) | (1 if px * n >= total else 0)
+                flat = np.frombuffer(
+                    b"".join(_png.decode_gray(bytes(payload))), dtype=np.uint8)
+                n = flat.size
+                above = flat.astype(np.int64) * n >= int(flat.sum(dtype=np.int64))
                 ids.append(int(mid))
-                hashes.append(f"{bits:0{(n + 3) // 4}x}")
+                hashes.append(np.packbits(above).tobytes().hex())
             yield pd.DataFrame({"media_id": ids, "ahash": hashes})
 
     return media.mapInPandas(decode, schema)

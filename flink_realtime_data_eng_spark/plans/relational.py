@@ -607,9 +607,15 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str,
     The defining pattern is the correlated scalar MIN subquery; here it is
     the window rewrite — one shuffle on p_partkey computes the per-part
     minimum and the argmin filter in the same exchange, instead of a
-    self-join back onto the aggregated subquery. Unit price is rounded to
-    fixed-point e4 per row *before* the MIN, so equality at the minimum is
-    exact integer comparison in both engines. Ties keep all suppliers at
+    self-join back onto the aggregated subquery. Unit price folds to
+    fixed-point e4 per row *before* the MIN as exact tie-free integer
+    arithmetic — price in cents (round of an integer-valued double, no
+    tie possible on 2-decimal source data) times 100, floor-divided by
+    the integer quantity — so equality at the minimum is exact integer
+    comparison in both engines. The previous `round(price/qty * 1e4)`
+    form landed 1676 sf0.01 rows on an exact .5 tie, where DuckDB builds
+    differ in tie direction (the x_bucketed_join r6 driver red, latent
+    here under the MIN). Ties keep all suppliers at
     the minimum (Q2 semantics). nation⋈region broadcasts; part/supplier
     slices join under AQE's choice (broadcast while they fit); lineitem is the only large input and arrives pre-aggregated
     per (part, supplier) before the window.
@@ -626,7 +632,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str,
          .filter(F.col("p_size") == size)
          .select("p_partkey", "p_name", "p_type"))
     li = load_table(spark, sf_dir, "lineitem")
-    unit_e4 = _e4(F.col("l_extendedprice") / F.col("l_quantity"))
+    unit_e4 = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT) * 100 "
+                     "DIV CAST(l_quantity AS BIGINT)")
     costs = (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
                .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
                .groupBy("p_partkey", "p_name", "p_type",

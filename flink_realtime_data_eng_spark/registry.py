@@ -11727,3 +11727,132 @@ FROM j JOIN lo ON lo.entity_id = j.entity_id
 GROUP BY j.entity_id
 ORDER BY j.entity_id
 """
+
+
+def _aggview_base_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized-aggregate PARTIALS of the base days (all but the
+    last event day) persisted once per (fixture, code) — the standing
+    dashboard view a 100 TB deployment maintains nightly. Only the
+    partial table (|keys| rows of exact-BIGINT counters) is ever stored;
+    the base fact rows are never rescanned after this write."""
+    import hashlib
+    import os
+    from .operators import incremental
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:aggview_e4"
+        f":{_code_tag(incremental.agg_partials)}".encode()).hexdigest()[:12]
+    out = os.path.join(_tempfile.gettempdir(), f"frde_aggview_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e = (_events(spark, sf_dir)
+             .withColumn("day", F.expr("ts_ms div 86400000")))
+        last = e.agg(F.max("day")).collect()[0][0]  # 1-row artifact
+        base = (e.filter(F.col("day") < F.lit(last))
+                .withColumn("value_e4",
+                            F.round(F.col("value") * 10_000).cast("bigint")))
+        incremental.agg_partials(base, ["event_type"], "value_e4") \
+            .write.mode("overwrite").parquet(out)
+    return out
+
+
+def x_incremental_aggview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the standing per-type
+    dashboard aggregate is refreshed by folding ONLY the newest day's
+    delta into the persisted base PARTIALS (count/sum/min/max as exact
+    BIGINT e4) — `merge_partials(agg_partials(base), agg_partials(delta))
+    == agg_partials(all)`, which is precisely what the full-recompute
+    oracle asserts. Refresh cost is O(|delta| + |keys|), independent of
+    base size: the plan scans the delta day and a |keys|-row parquet,
+    never the base facts. Derived avg reads off the merged partials as
+    exact integer floor division (no float, no tie).
+    Reference inspiration: the running keyed reduce
+    (AggregationOperations.java keyed running sums) lifted across jobs
+    via a persisted mergeable intermediate — the same algebra that makes
+    the portable HLL/CMS sketches fold (functions/sketches.py)."""
+    from .operators import incremental
+    base = spark.read.parquet(_aggview_base_dir(spark, sf_dir))
+    e = (_events(spark, sf_dir)
+         .withColumn("day", F.expr("ts_ms div 86400000")))
+    last = e.agg(F.max("day")).collect()[0][0]  # 1-row artifact
+    delta_rows = (e.filter(F.col("day") == F.lit(last))
+                  .withColumn("value_e4",
+                              F.round(F.col("value") * 10_000)
+                               .cast("bigint")))
+    delta = incremental.agg_partials(delta_rows, ["event_type"], "value_e4")
+    merged = incremental.merge_partials(base, delta, ["event_type"])
+    return (incremental.finalize_view(merged, ["event_type"])
+            .orderBy("event_type"))
+
+
+QUERIES["x_incremental_aggview"] = x_incremental_aggview
+
+ORACLES["x_incremental_aggview"] = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS value_e4
+  FROM events
+)
+SELECT event_type,
+       CAST(count(value_e4) AS BIGINT) AS n,
+       CAST(sum(value_e4) AS BIGINT) AS sum_e,
+       CAST(min(value_e4) AS BIGINT) AS min_e,
+       CAST(max(value_e4) AS BIGINT) AS max_e,
+       CASE WHEN count(value_e4) > 0
+            THEN CAST(sum(value_e4) AS BIGINT) // count(value_e4)
+       END AS avg_e_floor
+FROM v
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (Deequ-style) compiled to ONE scan:
+    five checks (null-completeness, key uniqueness, numeric range,
+    volume floor) contribute exact-BIGINT (metric, basis) counters to a
+    single aggregate, and the verdict table unpivots from that one row —
+    at 100 TB the cost of N checks is one pass, not N. All counters are
+    exact integers, so the verdict hash-matches the plain-SQL oracle.
+    The single countDistinct turns the agg into one expand+aggregate,
+    still a single scan (operators/constraints.py:run_checks)."""
+    from .operators import constraints as C
+    ev = _events(spark, sf_dir)
+    return C.run_checks(ev, [
+        C.completeness("user_id"),
+        C.completeness("value"),
+        C.uniqueness("event_id"),
+        C.in_range("value", 0.0, 10000.0),
+        C.min_rows(100),
+    ])
+
+
+QUERIES["x_dq_checks"] = x_dq_checks
+
+ORACLES["x_dq_checks"] = """
+WITH a AS (
+  SELECT count(*) AS total,
+         count(user_id) AS c_user,
+         count(value) AS c_value,
+         count(DISTINCT event_id) AS d_eid,
+         count(event_id) AS c_eid,
+         count(CASE WHEN value BETWEEN 0.0 AND 10000.0 THEN 1 END) AS r_val
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'completeness:user_id' AS "check", CAST(c_user AS BIGINT) AS metric,
+         CAST(total AS BIGINT) AS basis, c_user = total AS passed FROM a
+  UNION ALL
+  SELECT 'completeness:value', CAST(c_value AS BIGINT),
+         CAST(total AS BIGINT), c_value = total FROM a
+  UNION ALL
+  SELECT 'uniqueness:event_id', CAST(d_eid AS BIGINT),
+         CAST(c_eid AS BIGINT), d_eid = c_eid FROM a
+  UNION ALL
+  SELECT 'in_range:value:0.0:10000.0', CAST(r_val AS BIGINT),
+         CAST(c_value AS BIGINT), r_val = c_value FROM a
+  UNION ALL
+  SELECT 'min_rows:100', CAST(total AS BIGINT),
+         CAST(100 AS BIGINT), total >= 100 FROM a
+)
+ORDER BY "check"
+"""

@@ -11741,14 +11741,14 @@ def _aggview_base_dir(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:aggview_e4"
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:aggview_e4b"
         f":{_code_tag(incremental.agg_partials)}".encode()).hexdigest()[:12]
     out = os.path.join(_tempfile.gettempdir(), f"frde_aggview_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        e = (_events(spark, sf_dir)
-             .withColumn("day", F.expr("ts_ms div 86400000")))
-        last = e.agg(F.max("day")).collect()[0][0]  # 1-row artifact
-        base = (e.filter(F.col("day") < F.lit(last))
+        e = _events(spark, sf_dir)
+        last_start = e.agg(
+            F.date_trunc("DAY", F.max("ts")).alias("d")).collect()[0][0]
+        base = (e.filter(F.col("ts") < F.lit(last_start))
                 .withColumn("value_e4",
                             F.round(F.col("value") * 10_000).cast("bigint")))
         incremental.agg_partials(base, ["event_type"], "value_e4") \
@@ -11772,10 +11772,15 @@ def x_incremental_aggview(spark: SparkSession, sf_dir: str) -> DataFrame:
     the portable HLL/CMS sketches fold (functions/sketches.py)."""
     from .operators import incremental
     base = spark.read.parquet(_aggview_base_dir(spark, sf_dir))
-    e = (_events(spark, sf_dir)
-         .withColumn("day", F.expr("ts_ms div 86400000")))
-    last = e.agg(F.max("day")).collect()[0][0]  # 1-row artifact
-    delta_rows = (e.filter(F.col("day") == F.lit(last))
+    e = _events(spark, sf_dir)
+    # Delta cutoff as a RANGE predicate on the raw ts column, not on the
+    # derived day (ts_ms div 86400000): a derived-column equality can
+    # never reach the parquet scan, but ts >= <day-start literal> pushes
+    # down (plan pytest-asserted) — at 100 TB with date-partitioned
+    # layout this is the partition-pruned delta read, not a rescan.
+    last_start = e.agg(
+        F.date_trunc("DAY", F.max("ts")).alias("d")).collect()[0][0]
+    delta_rows = (e.filter(F.col("ts") >= F.lit(last_start))
                   .withColumn("value_e4",
                               F.round(F.col("value") * 10_000)
                                .cast("bigint")))
@@ -11855,4 +11860,60 @@ SELECT * FROM (
          CAST(100 AS BIGINT), total >= 100 FROM a
 )
 ORDER BY "check"
+"""
+
+
+def x_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → live-table snapshot (merge-on-read compaction):
+    events become a keyed change stream on user_id (op 'D' for an
+    md5-derived ~10% of records, 'U' otherwise — engine-mirrored), and
+    the snapshot keeps each user's LATEST record by the deterministic
+    (ts_ms, event_id) sequence, dropping users whose final op is a
+    delete. One shuffle on the key; per-key churn (n_changes) rides the
+    same window pass. The lakehouse MERGE/upsert read path — the
+    row-level-state complement of x_incremental_aggview and the
+    head-only twin of x_scd2's full interval history
+    (operators/cdc.py:snapshot_from_changelog)."""
+    from .functions.dedup import _md5_hash32
+    from .operators.cdc import snapshot_from_changelog
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        "user_id", "ts_ms", "event_id",
+        F.when(_md5_hash32("cdc", F.col("event_id").cast("string")) % 10
+               == 0, "D").otherwise("U").alias("op"),
+        F.round(F.col("value") * 10_000).cast("bigint").alias("value_e4"))
+    snap = snapshot_from_changelog(log, "user_id", ["ts_ms", "event_id"],
+                                   op_col="op", delete_op="D")
+    return (snap.select(F.col("user_id").cast("bigint").alias("user_id"),
+                        F.col("ts_ms").cast("bigint").alias("last_ts_ms"),
+                        F.col("event_id").cast("bigint")
+                         .alias("last_event_id"),
+                        "value_e4", "n_changes")
+            .orderBy("user_id"))
+
+
+QUERIES["x_cdc_snapshot"] = x_cdc_snapshot
+
+_CDC_OP_H = _H32.format(x="concat('cdc', ':', CAST(event_id AS VARCHAR))")
+
+ORACLES["x_cdc_snapshot"] = f"""
+WITH log AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         CASE WHEN {_CDC_OP_H} % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(round(value * 10000) AS BIGINT) AS value_e4
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_ms DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM log
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(ts_ms AS BIGINT) AS last_ts_ms,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       value_e4,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM r WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
 """

@@ -45,6 +45,21 @@ class TestIncrementalAggView:
         assert _rows_by_key(merged) == _rows_by_key(
             inc.agg_partials(df, ["k"], "v"))
 
+    def test_refresh_plan_never_rescans_base_facts(self, spark):
+        """The registry query's scale claim, pinned: the refresh plan has
+        exactly two scans — the delta slice of events (with the day
+        filter pushed to the scan) and the |keys|-row partials parquet.
+        A third scan would mean the base facts are being recomputed."""
+        from flink_realtime_data_eng_spark import registry
+        df = registry.QUERIES["x_incremental_aggview"](
+            spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 2, plan
+        assert "frde_aggview_" in plan  # one scan is the partial table
+        # the delta cutoff must reach the events parquet scan as a range
+        # predicate on the RAW ts column (partition pruning at 100 TB)
+        assert "GreaterThanOrEqual(ts," in plan, plan
+
     def test_finalize_avg_is_floor_division(self, spark):
         df = spark.createDataFrame([("a", 3), ("a", 4)], "k string, v long")
         out = inc.finalize_view(inc.agg_partials(df, ["k"], "v"), ["k"])

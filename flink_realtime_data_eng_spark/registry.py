@@ -11917,3 +11917,61 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM r WHERE rn = 1 AND op <> 'D'
 ORDER BY user_id
 """
+
+
+def x_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_cdc_snapshot's STREAMING twin: the live-table snapshot maintained
+    on the change stream itself. Latest-wins is a plain update-mode
+    max_by aggregation — the winner under the deterministic
+    (ts_ms, event_id) sequence only ever advances, so no custom state or
+    watermark is needed and state is bounded at one struct per key (the
+    x_hll_stream / x_minhash_stream monotone-aggregate argument applied
+    to row-level state). Delete filtering happens on the drained table:
+    a 'D' winner must keep occupying the key's state while the stream
+    runs (a later change can resurrect the key), which is exactly why
+    tombstones exist in lakehouse formats. Same derived op/field
+    vocabulary as the batch oracle."""
+    from .functions.dedup import _md5_hash32
+    ev = _stream_events(spark, sf_dir)
+    log = ev.select(
+        "user_id", "ts_ms", "event_id", "event_type",
+        F.when(_md5_hash32("cdc", F.col("event_id").cast("string")) % 10
+               == 0, "D").otherwise("U").alias("op"))
+    agg = (log.groupBy("user_id")
+           .agg(F.max_by(F.struct("ts_ms", "event_id", "event_type", "op"),
+                         F.struct("ts_ms", "event_id")).alias("w"),
+                F.count(F.lit(1)).cast("bigint").alias("n_changes")))
+    drained = _run_to_memory(agg, spark, output_mode="update")
+    return (drained.filter(F.col("w.op") != "D")
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    F.col("w.ts_ms").cast("bigint").alias("last_ts_ms"),
+                    F.col("w.event_id").cast("bigint")
+                     .alias("last_event_id"),
+                    F.col("w.event_type").alias("last_event_type"),
+                    "n_changes")
+            .orderBy("user_id"))
+
+
+QUERIES["x_cdc_stream"] = x_cdc_stream
+STREAMING_DEMOS.add("x_cdc_stream")
+
+ORACLES["x_cdc_stream"] = f"""
+WITH log AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+         CASE WHEN {_CDC_OP_H} % 10 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_ms DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM log
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(ts_ms AS BIGINT) AS last_ts_ms,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       event_type AS last_event_type,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM r WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""

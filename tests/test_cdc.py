@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from flink_realtime_data_eng_spark.operators.cdc import snapshot_from_changelog
@@ -33,6 +34,28 @@ class TestSnapshotFromChangelog:
         b = _snap(snapshot_from_changelog(df.orderBy(F.rand(1)), "k",
                                           ["ts", "seq"]))
         assert a == b == {"a": (1, 19, "U", 19, 20)}
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.tuples(st.sampled_from("abc"),
+                              st.integers(0, 5),
+                              st.sampled_from("UD"),
+                              st.integers(-9, 9)),
+                    min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1])))
+    def test_matches_python_reference(self, spark, rows):
+        """Latest-wins + delete-wins equals a literal Python recomputation
+        for arbitrary changelogs (seq = ts, unique per key)."""
+        log = [(k, ts, ts, op, v) for k, ts, op, v in rows]
+        got = _snap(snapshot_from_changelog(
+            spark.createDataFrame(log, SCHEMA), "k", ["ts", "seq"]))
+        want = {}
+        for k in set(x[0] for x in rows):
+            hist = sorted((r for r in rows if r[0] == k),
+                          key=lambda r: r[1])
+            n = len(hist)
+            _, ts, op, v = hist[-1]
+            if op != "D":
+                want[k] = (ts, ts, op, v, n)
+        assert got == want
 
     def test_incremental_fold_equals_full_compaction(self, spark):
         """snapshot(snapshot(base)-as-log ∪ delta) == snapshot(base ∪ delta)

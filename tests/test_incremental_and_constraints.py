@@ -98,6 +98,32 @@ class TestConstraints:
                                 C.in_range("v", 0.0, 10.0), C.min_rows(1)])
         assert all(r["passed"] for r in out.collect())
 
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 6),
+                              st.one_of(st.none(), st.sampled_from("pq")),
+                              st.one_of(st.none(),
+                                        st.floats(-5, 15, allow_nan=False))),
+                    min_size=1, max_size=25))
+    def test_verdicts_match_python_reference(self, spark, rows):
+        """The compiled single-pass verdicts equal a literal Python
+        recomputation for arbitrary null-riddled frames."""
+        df = spark.createDataFrame(rows, "id long, user string, v double")
+        out = {r["check"]: (r["metric"], r["basis"], r["passed"])
+               for r in C.run_checks(df, [
+                   C.completeness("user"), C.uniqueness("id"),
+                   C.in_range("v", 0.0, 10.0), C.min_rows(5)]).collect()}
+        ids = [i for i, _, _ in rows]
+        users = [u for _, u, _ in rows]
+        vs = [v for _, _, v in rows]
+        nn_u, total = sum(u is not None for u in users), len(rows)
+        d_id, nn_id = len(set(ids)), len(ids)
+        inr = sum(v is not None and 0.0 <= v <= 10.0 for v in vs)
+        nn_v = sum(v is not None for v in vs)
+        assert out["completeness:user"] == (nn_u, total, nn_u == total)
+        assert out["uniqueness:id"] == (d_id, nn_id, d_id == nn_id)
+        assert out["in_range:v:0.0:10.0"] == (inr, nn_v, inr == nn_v)
+        assert out["min_rows:5"] == (total, 5, total >= 5)
+
     def test_single_scan_plan(self, frame):
         """N checks must compile to ONE scan of the input."""
         out = C.run_checks(frame, [C.completeness("user"),

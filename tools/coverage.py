@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Print (registered, driver-verified, pending) from CORRECTNESS_r*.json.
+"""Print (registered, hash-verified, rows-only, pending, expired) coverage.
 
 Both the r4 and r5 judges had to recompute these numbers by hand; this
 makes the round-close bookkeeping a one-liner:

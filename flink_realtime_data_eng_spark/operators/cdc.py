@@ -35,7 +35,10 @@ def snapshot_from_changelog(log: DataFrame, key: str,
     seq_cols: ordering columns, most significant first (e.g.
     ``["ts_ms", "event_id"]``) — the full tuple must be unique per key
     for a deterministic winner.  Rows whose winning op is ``delete_op``
-    remove the key from the snapshot. Output: the winning rows minus
+    remove the key from the snapshot; a winning row with a NULL op is
+    KEPT (null-safe comparison) — this repo's CSV sources surface
+    malformed lines as nulls, and silently treating them as deletes
+    would be invisible data loss. Output: the winning rows minus
     deletes, plus ``n_changes`` (total changelog entries per key —
     kept because compaction monitoring wants churn per key for free;
     it rides the same window pass).
@@ -47,5 +50,5 @@ def snapshot_from_changelog(log: DataFrame, key: str,
                              F.count(F.lit(1)).over(Window.partitionBy(key))
                               .cast("bigint")))
     return (ranked.filter(F.col("_rn") == 1)
-                  .filter(F.col(op_col) != delete_op)
+                  .filter(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
                   .drop("_rn"))

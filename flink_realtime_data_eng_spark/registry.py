@@ -11741,10 +11741,16 @@ def _aggview_base_dir(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:aggview_e4b"
-        f":{_code_tag(incremental.agg_partials)}".encode()).hexdigest()[:12]
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:aggview_e4c"
+        f":{_code_tag(incremental.agg_partials, _aggview_base_dir)}"
+        .encode()).hexdigest()[:12]
     out = os.path.join(_tempfile.gettempdir(), f"frde_aggview_{tag}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    # meta/ (the delta cutoff, 1 row) is written LAST: its _SUCCESS marks
+    # the whole artifact complete. Persisting the cutoff beside the
+    # partials is what makes the REFRESH truly incremental — the query
+    # reads it back instead of re-scanning all of events for max(ts),
+    # and base/delta split on exactly the same boundary by construction.
+    if not os.path.exists(os.path.join(out, "meta", "_SUCCESS")):
         e = _events(spark, sf_dir)
         last_start = e.agg(
             F.date_trunc("DAY", F.max("ts")).alias("d")).collect()[0][0]
@@ -11752,7 +11758,9 @@ def _aggview_base_dir(spark: SparkSession, sf_dir: str) -> str:
                 .withColumn("value_e4",
                             F.round(F.col("value") * 10_000).cast("bigint")))
         incremental.agg_partials(base, ["event_type"], "value_e4") \
-            .write.mode("overwrite").parquet(out)
+            .write.mode("overwrite").parquet(os.path.join(out, "partials"))
+        spark.createDataFrame([(last_start,)], "cutoff timestamp_ntz") \
+            .write.mode("overwrite").parquet(os.path.join(out, "meta"))
     return out
 
 
@@ -11770,16 +11778,21 @@ def x_incremental_aggview(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AggregationOperations.java keyed running sums) lifted across jobs
     via a persisted mergeable intermediate — the same algebra that makes
     the portable HLL/CMS sketches fold (functions/sketches.py)."""
+    import os
     from .operators import incremental
-    base = spark.read.parquet(_aggview_base_dir(spark, sf_dir))
+    view_dir = _aggview_base_dir(spark, sf_dir)
+    base = spark.read.parquet(os.path.join(view_dir, "partials"))
     e = _events(spark, sf_dir)
     # Delta cutoff as a RANGE predicate on the raw ts column, not on the
     # derived day (ts_ms div 86400000): a derived-column equality can
     # never reach the parquet scan, but ts >= <day-start literal> pushes
     # down (plan pytest-asserted) — at 100 TB with date-partitioned
-    # layout this is the partition-pruned delta read, not a rescan.
-    last_start = e.agg(
-        F.date_trunc("DAY", F.max("ts")).alias("d")).collect()[0][0]
+    # layout this is the partition-pruned delta read, not a rescan. The
+    # cutoff comes from the view's own 1-row meta parquet, NOT from a
+    # max(ts) over events — re-deriving it would full-scan the base facts
+    # at every refresh and void the O(|delta| + |keys|) contract.
+    last_start = spark.read.parquet(
+        os.path.join(view_dir, "meta")).collect()[0][0]
     delta_rows = (e.filter(F.col("ts") >= F.lit(last_start))
                   .withColumn("value_e4",
                               F.round(F.col("value") * 10_000)
@@ -11942,7 +11955,18 @@ def x_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.struct("ts_ms", "event_id")).alias("w"),
                 F.count(F.lit(1)).cast("bigint").alias("n_changes")))
     drained = _run_to_memory(agg, spark, output_mode="update")
-    return (drained.filter(F.col("w.op") != "D")
+    # Update-mode memory sink appends one row per key PER EMISSION; if
+    # the availableNow drain spans >1 micro-batch a key carries stale
+    # earlier rows too. Re-fold per key exactly like the sibling
+    # update-mode drains (x_hll_stream / x_minhash_stream): the winner
+    # struct and n_changes both only advance, so max/max_by of the
+    # emissions is the final state.
+    final = (drained.groupBy("user_id")
+             .agg(F.max_by(F.col("w"),
+                           F.struct(F.col("w.ts_ms"), F.col("w.event_id")))
+                   .alias("w"),
+                  F.max("n_changes").cast("bigint").alias("n_changes")))
+    return (final.filter(F.col("w.op") != "D")
             .select(F.col("user_id").cast("bigint").alias("user_id"),
                     F.col("w.ts_ms").cast("bigint").alias("last_ts_ms"),
                     F.col("w.event_id").cast("bigint")

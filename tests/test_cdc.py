@@ -26,6 +26,15 @@ class TestSnapshotFromChangelog:
         assert "b" not in out                   # latest op is delete
         assert out["c"] == (9, 2, "U", 7, 2)    # seq breaks the ts tie
 
+    def test_null_op_winner_is_kept_not_deleted(self, spark):
+        """A winning row with NULL op (malformed source line) must stay in
+        the snapshot — op != 'D' evaluates NULL and a plain filter would
+        silently drop the key (invisible data loss)."""
+        rows = [("a", 1, 1, "U", 10), ("a", 2, 1, None, 20)]
+        out = _snap(snapshot_from_changelog(
+            spark.createDataFrame(rows, SCHEMA), "k", ["ts", "seq"]))
+        assert out["a"] == (2, 1, None, 20, 2)
+
     def test_deterministic_under_shuffled_input(self, spark):
         rows = [("a", 1, i, "U", i) for i in range(20)]
         df = spark.createDataFrame(rows, SCHEMA)

@@ -42,14 +42,19 @@ def main() -> None:
 
     # A green only counts while the query's code is unchanged since the
     # green (query_hashes.json ledger; r6 ADVICE: x_ivf_topk's r5 green
-    # predates its r6 re-algorithm and must not count).
-    ledger, cur = load_ledger(), content_hashes()
-    expired = sorted(
-        n for n in list(hash_green) + list(rows_only)
-        if ledger.get(n, {}).get("green_hash") != cur.get(n))
-    for n in expired:
-        hash_green.pop(n, None)
-        rows_only.pop(n, None)
+    # predates its r6 re-algorithm and must not count). No ledger → fall
+    # back to raw correctness history, mirroring __spark_entry__ (a
+    # missing file must not read as total verification loss).
+    ledger = load_ledger()
+    expired = []
+    if ledger:
+        cur = content_hashes()
+        expired = sorted(
+            n for n in list(hash_green) + list(rows_only)
+            if ledger.get(n, {}).get("green_hash") != cur.get(n))
+        for n in expired:
+            hash_green.pop(n, None)
+            rows_only.pop(n, None)
 
     pending = [n for n in registered
                if n not in hash_green and n not in rows_only]

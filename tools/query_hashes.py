@@ -6,35 +6,108 @@ The r6 ADVICE found the gap: `x_ivf_topk`'s algorithm changed in r6
 (pre-change), and both `tools/coverage.py` and `__spark_entry__`'s
 verification-order ranking counted that stale green as evidence. This
 ledger closes it: `query_hashes.json` records, per query, the md5 of its
-(function source + oracle SQL) plus the hash the last driver green
-applied to. A green is only live while the current hash equals the
-green hash; editing a query silently re-queues it for driver
-verification (never-verified sorts first in `__spark_entry__.queries()`).
+content plus the hash the last driver verification applied to. A green
+is only live while the current hash equals the green hash; editing a
+query silently re-queues it for driver verification (never-verified
+sorts first in `__spark_entry__.queries()`).
+
+Content hash = the query function's source + its oracle SQL + the
+source of every DIRECTLY-CALLED function defined in this package
+(resolved by AST over the function body against its globals, one level
+deep). The one-level closure is what catches the common edit shape —
+the 2-line `q*` wrappers delegating to `plans/relational.py`, the `x_*`
+wrappers delegating to `functions/*.py` — without recursing into the
+whole package (a deep closure would expire every green on any library
+touch). Deeper helper-only changes still need a manual `expire`.
 
 Round ritual:
     python tools/query_hashes.py absorb CORRECTNESS_r07.json  # round START,
-        before any edits — greens in that file apply to the committed code
+        BEFORE any edits — greens in that file apply to the committed code.
+        Refuses if the product tree is dirty (a post-edit absorb would pin
+        unverified code as green); --force overrides.
     python tools/query_hashes.py update    # round CLOSE (and after any
         mid-round edit) — re-hash everything; changed queries lose greens
     python tools/query_hashes.py changed   # list stale/pending names
-
-Limitations (documented, not hidden): the hash covers the query function
-body and its oracle, not transitively-called helpers — a helper-only
-change (e.g. `functions/similarity.py` internals) must be expired by
-hand via `expire NAME...`. That is the same granularity the ADVICE asked
-for ("e.g., track a per-query content hash").
+    python tools/query_hashes.py rehash    # after editing THIS hashing
+        scheme: re-identify current code under the new scheme, preserving
+        greens that were pinned to current code under the old one
 """
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import inspect
 import json
 import os
+import subprocess
 import sys
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER = os.path.join(_HERE, "query_hashes.json")
+_PKG = "flink_realtime_data_eng_spark"
+
+
+def _callee_sources(fn) -> list[str]:
+    """Sources of package functions the query function calls directly."""
+    import textwrap
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except Exception:
+        return []
+    g = dict(getattr(fn, "__globals__", {}))
+    # Registry convention imports helpers INSIDE the query body
+    # (`from .operators import incremental`); resolve those bindings too,
+    # else the most common delegation shape would escape the hash.
+    import importlib
+    pkg = getattr(fn, "__module__", "").rsplit(".", 1)[0] or None
+    for node in ast.walk(tree):
+        try:
+            if isinstance(node, ast.ImportFrom):
+                mod = importlib.import_module(
+                    "." * node.level + (node.module or ""), pkg)
+                for alias in node.names:
+                    bound = getattr(mod, alias.name, None)
+                    if bound is None:
+                        # `from .operators import incremental` names a
+                        # SUBMODULE, invisible to getattr until imported
+                        try:
+                            bound = importlib.import_module(
+                                "." * node.level + (node.module or "")
+                                + "." + alias.name, pkg)
+                        except Exception:
+                            bound = mod
+                    g.setdefault(alias.asname or alias.name, bound)
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    g.setdefault(alias.asname or alias.name.split(".")[0],
+                                 importlib.import_module(alias.name))
+        except Exception:
+            continue
+    seen, out = set(), []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        obj = None
+        f = node.func
+        if isinstance(f, ast.Attribute) and isinstance(f.value, ast.Name):
+            mod = g.get(f.value.id)
+            obj = getattr(mod, f.attr, None) if mod is not None else None
+        elif isinstance(f, ast.Name):
+            obj = g.get(f.id)
+        if obj is None or not callable(obj):
+            continue
+        if not getattr(obj, "__module__", "").startswith(_PKG):
+            continue
+        key = f"{obj.__module__}.{getattr(obj, '__qualname__', '')}"
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            out.append(inspect.getsource(obj))
+        except (OSError, TypeError):
+            out.append(repr(obj))
+    return sorted(out)
 
 
 def content_hashes() -> dict[str, str]:
@@ -47,9 +120,9 @@ def content_hashes() -> dict[str, str]:
             src = inspect.getsource(fn)
         except (OSError, TypeError):
             src = repr(fn)
-        oracle = registry.ORACLES.get(name, "")
+        parts = [src, registry.ORACLES.get(name, "")] + _callee_sources(fn)
         out[name] = hashlib.md5(
-            (src + "\x00" + oracle).encode()).hexdigest()[:16]
+            "\x00".join(parts).encode()).hexdigest()[:16]
     return out
 
 
@@ -88,17 +161,44 @@ def cmd_update() -> None:
           + (f" ({', '.join(changed)})" if changed else ""))
 
 
-def cmd_absorb(path: str) -> None:
+def _product_tree_dirty() -> list[str]:
+    paths = [f"{_PKG}/", "plans/", "__spark_entry__.py"]
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--"] + paths,
+            cwd=_HERE, capture_output=True, text=True, timeout=30)
+        return [ln for ln in out.stdout.splitlines() if ln.strip()]
+    except Exception:
+        return []
+
+
+def cmd_absorb(path: str, force: bool = False) -> None:
+    dirty = _product_tree_dirty()
+    if dirty and not force:
+        print("REFUSING absorb: product tree is dirty — a correctness file "
+              "produced against committed code must not pin greens onto "
+              "edited code. Commit/stash first, or pass --force.\n  "
+              + "\n  ".join(dirty[:10]), file=sys.stderr)
+        sys.exit(1)
     with open(path) as f:
         results = json.load(f)
     ledger = load()
-    greens = 0
+    greens = rows_only = 0
     for name, res in results.items():
-        if res.get("hash_match") is True and name in ledger:
+        if name not in ledger:
+            continue
+        if res.get("hash_match") is True:
             ledger[name]["green_hash"] = ledger[name]["hash"]
             greens += 1
+        elif (res.get("hash_match") is None and not res.get("err")
+              and res.get("spark_rows") is not None):
+            # rows-only verification expires on code change exactly like
+            # a hash green (weaker evidence, same staleness semantics)
+            ledger[name]["green_hash"] = ledger[name]["hash"]
+            rows_only += 1
     save(ledger)
-    print(f"absorbed {path}: {greens} greens pinned to current hashes")
+    print(f"absorbed {path}: {greens} hash greens + {rows_only} rows-only "
+          "pinned to current hashes")
 
 
 def cmd_expire(names: list[str]) -> None:
@@ -110,6 +210,34 @@ def cmd_expire(names: list[str]) -> None:
         else:
             print(f"unknown query: {name}", file=sys.stderr)
     save(ledger)
+
+
+def cmd_rehash() -> None:
+    """Migrate the ledger across a change to the hashing scheme itself:
+    a query whose green was pinned to its CURRENT code (green_hash ==
+    hash under the old scheme) stays green under the new scheme — the
+    code is unchanged, only its identifier moved."""
+    cur = content_hashes()
+    ledger = load()
+    kept = dropped = 0
+    for name, h in cur.items():
+        row = ledger.get(name)
+        if row is None:
+            ledger[name] = {"hash": h, "green_hash": None}
+            continue
+        was_green_on_current = row.get("green_hash") == row.get("hash")
+        row["hash"] = h
+        if was_green_on_current and row.get("green_hash") is not None:
+            row["green_hash"] = h
+            kept += 1
+        elif row.get("green_hash") is not None:
+            row["green_hash"] = None
+            dropped += 1
+    for name in set(ledger) - set(cur):
+        del ledger[name]
+    save(ledger)
+    print(f"rehashed: {kept} greens migrated, {dropped} stale greens "
+          "dropped (were already not-on-current-code)")
 
 
 def cmd_changed() -> None:
@@ -128,9 +256,11 @@ def main() -> None:
     if cmd == "update":
         cmd_update()
     elif cmd == "absorb":
-        cmd_absorb(sys.argv[2])
+        cmd_absorb(sys.argv[2], force="--force" in sys.argv)
     elif cmd == "expire":
         cmd_expire(sys.argv[2:])
+    elif cmd == "rehash":
+        cmd_rehash()
     elif cmd == "changed":
         cmd_changed()
     else:

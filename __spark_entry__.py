@@ -75,13 +75,31 @@ def _last_verified_round() -> dict[str, int]:
 #: Queries this round's VERDICT demands driver evidence for — they jump
 #: the never-verified queue so a >50-query backlog can't starve them.
 _PRIORITY = (
-    "x_bucketed_join",       # r6 red — tie-free e4 key fix must prove out
-    "x_salted_join",         # r6 red — no local cause; watch
-    "x_salted_join_plain",   # diagnostic twin isolating the above
-    "x_round_ties",          # rounding-semantics canary (VERDICT next-8)
-    "x_ivf_topk",            # stale green expired (ADVICE r6)
-    "x_custom_watermark_replay",  # W2's oracle row (VERDICT next-6)
-    "q2_min_cost_supplier",  # tie-site fix (r7 audit) — green expired
+    # The 23 never-driver-verified queries (VERDICT r7 next-1): all are
+    # locally dual-SF hash-green; landing them makes 290/290 driver-backed.
+    "x_cdc_snapshot",
+    "x_cdc_stream",
+    "x_dq_checks",
+    "x_incremental_aggview",
+    "x_statestore_read",
+    "x_datasource_scan",
+    "x_datasource_stream",
+    "x_udtf_chunks",
+    "x_recursive_ancestors",
+    "x_bfs_hops",
+    "x_lpa_communities",
+    "x_cc_incremental",
+    "x_golden_record",
+    "x_filter_agreement",
+    "x_source_overlap",
+    "x_pareto_docs",
+    "x_maxsim_labels",       # also the r7 scale fix — must re-prove
+    "x_seasonal_mae",
+    "x_share_report",
+    "x_dynamic_overwrite",
+    "x_observe_metrics",
+    "x_chained_windows_stream",
+    "x_join_agg_stream",
 )
 
 

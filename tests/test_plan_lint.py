@@ -48,8 +48,9 @@ NESTED_LOOP_OK = {
                                 # (projected + full-dim), query broadcast
     "x_nb_source_classifier",   # |sources|-bounded model frame + 1-row
                                 # vocab/total broadcasts
-    "x_maxsim_labels",          # bounded query-label side broadcast
-                                # (late-interaction MaxSim by design)
+    "x_maxsim_labels",          # bounded 32-per-label query sample
+                                # broadcast (ColBERT query-length cap;
+                                # fixed size regardless of corpus SF)
     "x_rag_retrieve",           # same brute-force retrieval stage inside
     "x_mmr_diversify",          # same brute-force retrieval stage; the
                                 # MMR greedy itself is pair-scale

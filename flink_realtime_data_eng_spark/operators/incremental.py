@@ -61,12 +61,14 @@ def merge_partials(base: DataFrame, delta: DataFrame,
 def finalize_view(partials: DataFrame, keys: Sequence[str],
                   prefix: str = "p") -> DataFrame:
     """Read the serving view off the partial table: the four maintained
-    aggregates plus derived avg as exact integer floor division (no
-    float, no rounding tie — `a DIV b` / `//` agree across engines)."""
+    aggregates plus derived avg as exact integer division TRUNCATING
+    TOWARD ZERO (Spark `DIV` and DuckDB `//` both truncate — for a
+    negative sum this differs from floor: -7 DIV 2 = -3, floor = -4;
+    no float, no rounding tie, engines agree either way)."""
     return partials.select(
         *keys,
         F.col(f"{prefix}_cnt").alias("n"),
         F.col(f"{prefix}_sum").alias("sum_e"),
         F.col(f"{prefix}_min").alias("min_e"),
         F.col(f"{prefix}_max").alias("max_e"),
-        F.expr(f"{prefix}_sum DIV {prefix}_cnt").alias("avg_e_floor"))
+        F.expr(f"{prefix}_sum DIV {prefix}_cnt").alias("avg_e_trunc"))

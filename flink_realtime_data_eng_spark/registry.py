@@ -324,7 +324,11 @@ def _code_tag(*fns) -> str:
         try:
             parts.append(inspect.getsource(fn))
         except (OSError, TypeError):
-            parts.append(repr(fn))
+            # Stable fallback — repr() embeds the process memory address
+            # and would defeat the cache every run in any source-less
+            # environment (r7 ADVICE).
+            parts.append(f"{getattr(fn, '__module__', '')}."
+                         f"{getattr(fn, '__qualname__', repr(type(fn)))}")
     return hashlib.md5("\x00".join(parts).encode()).hexdigest()[:8]
 
 
@@ -11830,7 +11834,7 @@ SELECT event_type,
        CAST(max(value_e4) AS BIGINT) AS max_e,
        CASE WHEN count(value_e4) > 0
             THEN CAST(sum(value_e4) AS BIGINT) // count(value_e4)
-       END AS avg_e_floor
+       END AS avg_e_trunc
 FROM v
 GROUP BY event_type
 ORDER BY event_type

@@ -72,7 +72,15 @@ def log_sink(df: DataFrame,
     """K4: the reference's log-side-effect "sink" (MapCountPrinter.java:28-34
     — a map that logs and returns null). Spark-first this is a foreachBatch
     that hands each micro-batch's rows to a logger — the stream itself stays
-    declarative; the side effect is confined to the sink."""
+    declarative; the side effect is confined to the sink.
+
+    DEBUG ONLY — unbounded driver transfer: every micro-batch is
+    ``collect()``-ed to the driver in full, which is exactly right for
+    the K4 debugging surface it emulates and exactly wrong for any
+    pipeline path. Registered queries must never route through this
+    sink (tests/test_plan_lint.py's registry sweep guards the batch
+    side; this sink is streaming-only and excluded from STREAMING_DEMOS
+    by convention)."""
     def _log(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.collect()  # sink boundary: rows leave the plan here
         if log_fn is not None:

@@ -65,7 +65,7 @@ class TestIncrementalAggView:
         out = inc.finalize_view(inc.agg_partials(df, ["k"], "v"), ["k"])
         row = out.collect()[0]
         assert (row["n"], row["sum_e"], row["min_e"], row["max_e"],
-                row["avg_e_floor"]) == (2, 7, 3, 4, 3)  # 7 DIV 2 = 3
+                row["avg_e_trunc"]) == (2, 7, 3, 4, 3)  # 7 DIV 2 = 3
 
 
 class TestConstraints:

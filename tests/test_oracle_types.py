@@ -56,6 +56,101 @@ def test_no_exotic_oracle_output_types(con):
     assert not bad, f"oracles with non-portable output columns: {bad}"
 
 
+#: Queries whose oracles round exact .5 ties BY DESIGN.
+TIE_WHITELIST = {
+    "x_round_ties",  # the canary that pins each engine's tie direction
+}
+
+#: LEGACY e6 snapped-tie sites: rounding sites where some fixture value
+#: times 1e6 snaps onto an exact .5 the true value does not sit on.
+#: All seven are long-term driver-green — on the double path both
+#: engines resolve these identically (Spark rounds the shortest decimal
+#: repr HALF_UP, DuckDB snaps and rounds half-away; for e6 ratios these
+#: agree) — but they are in the zone where a DIFFERENT oracle type path
+#: (DECIMAL-exact arithmetic) would diverge, which is exactly the r6
+#: x_bucketed_join failure shape at e2. FROZEN: do not add names here.
+#: New oracles must use tie-free fixed-point keys (round-workflow
+#: rule 10) instead.
+LEGACY_SNAP_SITES = {
+    "x_unigram_logprob",
+    "x_bigram_logprob",
+    "x_label_centroids",
+    "x_bpe_apply",
+    "x_hist_quantiles",
+    "x_domain_caps",
+    "x_quality_auc",
+}
+
+
+def test_seeded_tie_fixture_fails():
+    """Self-test: the instrumentation must catch a deliberately seeded
+    e2 tie (2-dec price times 2-dec rate — the exact r6 hazard)."""
+    from tools.tie_audit import instrument
+    # 1.15 * (1 - 0.70): true decimal 0.3450 (a .5 tie at e2) but the
+    # double is 0.344999999999999973... — the near-tie that diverges.
+    seeded = """
+    SELECT round(CAST(price AS DOUBLE) * (1 - CAST(disc AS DOUBLE)), 2)
+           AS chg
+    FROM (VALUES (1.15, 0.70), (3.50, 0.30)) AS t(price, disc)
+    """
+    sql, n = instrument(seeded, "seeded")
+    assert n == 1
+    c = duckdb.connect()
+    with pytest.raises(Exception, match="rounding near-tie"):
+        c.sql(sql).fetchall()
+    # an EXACT binary-representable tie is safe (both engines round the
+    # identical value half-away-from-zero — x_round_ties pins this)
+    exact_sql, _ = instrument(
+        "SELECT round(x, 2) AS r FROM (VALUES (CAST(0.125 AS DOUBLE))) "
+        "t(x)", "exact")
+    assert c.sql(exact_sql).fetchall() == [(0.13,)]
+    # and a tie-free rounding sails through untouched
+    ok_sql, _ = instrument(
+        "SELECT round(x, 2) AS r FROM (VALUES (1.234), (9.876)) t(x)",
+        "ok")
+    assert c.sql(ok_sql).fetchall() == [(1.23,), (9.88,)]
+
+
+def test_no_rounding_ties_in_any_oracle(con):
+    """Structural r6-hazard gate: every registered oracle runs with all
+    its round() sites instrumented to ERROR on a NEAR .5 tie (within
+    1e-9 of the tie but not exactly on it — the zone where engine
+    representation differences flip the rounding direction). A new
+    oracle that rounds continuous data at a tie-prone scale fails here
+    before it can reach the driver. Exact binary-representable ties are
+    allowed: both engines round those half-away-from-zero identically
+    (pinned by x_round_ties)."""
+    from tools.tie_audit import instrument
+    failures = {}
+    for name, sql in registry.ORACLES.items():
+        if name in TIE_WHITELIST or name in LEGACY_SNAP_SITES:
+            continue
+        inst, n_sites = instrument(sql, name)
+        if n_sites == 0:
+            continue
+        try:
+            con.sql(inst).fetchall()
+        except Exception as e:  # noqa: BLE001 — collect all, report once
+            failures[name] = str(e).split("\n")[0][:200]
+    assert not failures, (
+        f"oracles whose rounding hits a NEAR .5 tie on fixture data "
+        f"(engine-dependent rounding direction hazard): {failures}")
+    # keep LEGACY_SNAP_SITES honest: an entry that no longer trips the
+    # canary has been rewritten tie-free — remove it from the freeze
+    # list so it regains full coverage.
+    stale = []
+    for name in sorted(LEGACY_SNAP_SITES):
+        inst, _ = instrument(registry.ORACLES[name], name)
+        try:
+            con.sql(inst).fetchall()
+            stale.append(name)
+        except Exception:
+            pass
+    assert not stale, (
+        f"LEGACY_SNAP_SITES entries that no longer snap-tie — drop "
+        f"them from the freeze list: {stale}")
+
+
 def test_query_hash_ledger_in_sync():
     """query_hashes.json must cover exactly the registered queries with
     current content hashes — run `python tools/query_hashes.py update`

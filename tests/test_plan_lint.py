@@ -163,3 +163,26 @@ def test_no_forced_broadcast_of_sf_scaled_tables(name, spark):
             if rel in body and "Aggregate" not in body.split(rel)[0]:
                 raise AssertionError(
                     f"{name}: broadcast hint over un-aggregated {rel}")
+
+
+def test_no_registered_query_uses_driver_collect_sink():
+    """sinks.log_sink collect()s every micro-batch to the driver — it is
+    the K4 DEBUG surface and must never route a registered query
+    (r7 VERDICT item 7, made mechanical). Sweep the source of every
+    registered query function plus its one-level package callees (the
+    same closure the query-hash ledger covers) for a log_sink
+    reference."""
+    import inspect
+
+    from tools.query_hashes import _callee_sources
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        try:
+            srcs = [inspect.getsource(fn)] + _callee_sources(fn)
+        except (OSError, TypeError):
+            continue
+        if any("log_sink" in s for s in srcs):
+            offenders.append(name)
+    assert not offenders, (
+        f"registered queries routed through the debug-only driver-"
+        f"collect log_sink: {offenders}")

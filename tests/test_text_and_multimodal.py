@@ -176,6 +176,24 @@ def test_audio_energy_frames_and_values(spark):
         multimodal.audio_energy(media, fake=False)
 
 
+def test_ahash_hex_format_non_multiple_of_8(spark):
+    """Pin the aHash hex format for pixel counts not divisible by 8
+    (r7 ADVICE): np.packbits pads with TRAILING zero bits to whole
+    bytes, so a 3x3 image (n=9) emits 2*ceil(9/8) = 4 hex chars with
+    the 9th bit in the second byte's MSB. A silent format change here
+    would split every existing hash-grouped dedup cluster."""
+    from flink_realtime_data_eng_spark.functions import multimodal, png
+
+    # px*9 >= sum(=535) ⇔ px >= 59.44…: bits 6,7,8 set →
+    # 0b00000011 0b10000000 → "0380"
+    pixels = bytes([0, 10, 20, 30, 40, 50, 60, 70, 255])
+    payload = png.encode_gray([pixels[0:3], pixels[3:6], pixels[6:9]])
+    media = spark.createDataFrame([(1, bytearray(payload))],
+                                  "media_id long, payload binary")
+    rows = multimodal.decode_png_ahash(media).collect()
+    assert [(r["media_id"], r["ahash"]) for r in rows] == [(1, "0380")]
+
+
 def test_multimodal_udfs_survive_foreign_cwd():
     """Python workers inherit the driver's cwd; when that is NOT the repo
     root the package is unimportable on workers and by-REFERENCE pickled

@@ -106,7 +106,10 @@ def _callee_sources(fn) -> list[str]:
         try:
             out.append(inspect.getsource(obj))
         except (OSError, TypeError):
-            out.append(repr(obj))
+            # Stable identifier — repr() would embed the per-process
+            # memory address and spuriously expire every green in any
+            # source-less environment (r7 ADVICE).
+            out.append(key)
     return sorted(out)
 
 
@@ -162,7 +165,10 @@ def cmd_update() -> None:
 
 
 def _product_tree_dirty() -> list[str]:
-    paths = [f"{_PKG}/", "plans/", "__spark_entry__.py"]
+    # tools/query_hashes.py is included: editing the hashing scheme
+    # itself changes what every hash means, so an absorb after such an
+    # edit would pin greens against hashes the driver never saw.
+    paths = [f"{_PKG}/", "__spark_entry__.py", "tools/query_hashes.py"]
     try:
         out = subprocess.run(
             ["git", "status", "--porcelain", "--"] + paths,
@@ -183,10 +189,22 @@ def cmd_absorb(path: str, force: bool = False) -> None:
     with open(path) as f:
         results = json.load(f)
     ledger = load()
+    cur = content_hashes()
     greens = rows_only = 0
     for name, res in results.items():
         if name not in ledger:
-            continue
+            # A green for a query added after the last `update` must
+            # not be dropped silently (r7 ADVICE): auto-add the row at
+            # its current hash — the dirty-tree gate above already
+            # guarantees current code == the code the driver verified.
+            if name in cur:
+                ledger[name] = {"hash": cur[name], "green_hash": None}
+                print(f"note: {name} was missing from the ledger — "
+                      "auto-added at its current content hash")
+            else:
+                print(f"warning: {name} appears in {path} but is not a "
+                      "registered query; skipping", file=sys.stderr)
+                continue
         if res.get("hash_match") is True:
             ledger[name]["green_hash"] = ledger[name]["hash"]
             greens += 1

@@ -12016,3 +12016,94 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM r WHERE rn = 1 AND op <> 'D'
 ORDER BY user_id
 """
+
+
+def _events_kafka_topic_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture+code revision) a kafka_standin topic from
+    the events table, ENTIRELY Spark-side: partition = kafka_standin's
+    md5-of-key partitioner (key = user_id), offset = dense per-partition
+    row_number over the deterministic (ts, event_id) order, value = the
+    audit CSV line. No driver loop — the topic build is one window pass
+    written as JSON lines, so it scales like any other layout job."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from . import kafka_standin as _ks
+    src = _os.path.join(sf_dir, "events.parquet")
+    st = _os.stat(src)
+    tag = _hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_os.getuid()}:"
+        f"{_code_tag(_events_kafka_topic_dir, _ks.produce)}".encode()
+    ).hexdigest()[:12]
+    out = _os.path.join(_tempfile.gettempdir(), f"frde_kafka_topic_{tag}")
+    data = _os.path.join(out, "data")
+    marker = _os.path.join(data, "_SUCCESS")
+    if not _os.path.exists(marker):
+        from pyspark.sql import Window as _W
+        ev = _events(spark, sf_dir)
+        key = F.col("user_id").cast("string")
+        part = F.pmod(F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+                      .cast("bigint"), F.lit(3)).cast("int")
+        rows = ev.select(
+            F.base64(key.cast("binary")).alias("key_b64"),
+            F.base64(F.concat_ws(
+                ",", F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"), F.col("event_type"),
+                F.col("ts_ms").cast("string")).cast("binary"))
+             .alias("value_b64"),
+            F.lit("events").alias("topic"),
+            part.alias("partition"),
+            (F.row_number().over(
+                _W.partitionBy(part).orderBy("ts_ms", "event_id")) - 1)
+             .cast("bigint").alias("offset"),
+            F.col("ts_ms").alias("ts_ms"),
+            F.lit(0).alias("timestampType"))
+        (rows.select(F.to_json(F.struct(*rows.columns)).alias("value"))
+         .write.mode("overwrite").text(data))
+    return out
+
+
+def x_kafka_standin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/K2 contract row: the events table flows through the
+    file-backed Kafka stand-in (kafka_standin.py — the same 7-column
+    schema Spark's real format('kafka') source emits) and is consumed
+    exactly as chapter3/WindowingOperations.java:47-60 consumes its
+    topic: key + CAST(value AS STRING). Per partition the query emits
+    (n_events, max_offset, n_users); the oracle replays the md5
+    partitioner, so a hash match certifies BOTH the key→partition
+    assignment and that offsets are dense 0..n-1 per partition —
+    Kafka's ordering contract, proven end to end rather than assumed.
+    The live-broker leg stays env-gated in tests/test_streaming.py."""
+    from . import kafka_standin as _ks
+    topic = _events_kafka_topic_dir(spark, sf_dir)
+    k = _ks.read_stream(spark, topic)
+    # distinct-user count must be exact for the oracle hash: drain the
+    # consumed records, then aggregate the drained table (streaming
+    # COUNT DISTINCT would need complete-mode per-key state).
+    drained = _run_to_memory(
+        k.select("partition", "offset",
+                 F.col("key").cast("string").alias("user")),
+        spark)
+    return (drained.groupBy("partition")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.max("offset").cast("bigint").alias("max_offset"),
+                 F.countDistinct("user").cast("bigint").alias("n_users"))
+            .orderBy("partition"))
+
+
+QUERIES["x_kafka_standin_stream"] = x_kafka_standin_stream
+STREAMING_DEMOS.add("x_kafka_standin_stream")
+
+ORACLES["x_kafka_standin_stream"] = """
+WITH p AS (
+  SELECT CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) % 3 AS INTEGER) AS partition,
+         user_id
+  FROM events
+)
+SELECT partition,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) - 1 AS BIGINT) AS max_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p GROUP BY 1 ORDER BY 1
+"""

@@ -12107,3 +12107,218 @@ SELECT partition,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM p GROUP BY 1 ORDER BY 1
 """
+
+
+def x_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the count-min sketch, completing the
+    sketch-maintenance family (HLL = update-mode max, fixed-bin
+    histogram = update-mode sum, CMS = update-mode count): the map-side
+    (seed, bucket) explode runs on the live stream and the depth×width
+    counter table is a plain update-mode aggregation — no custom state,
+    no watermark, state bounded at depth×width by construction. The
+    drained table's last emission per key is the running count (counts
+    only grow → fold with max, same idempotent drain as x_hll_stream).
+    Point queries probe the drained sketch batch-side; same oracle as
+    the batch x_cms_estimate — replaying the same events through
+    streaming maintenance yields the identical sketch."""
+    ev = _stream_events(spark, sf_dir)
+    sk_stream = sketches.cms_sketch(ev.select("user_id"), "user_id",
+                                    depth=4, width=256)
+    drained = _run_to_memory(sk_stream, spark, output_mode="update")
+    sk = (drained.groupBy("seed", "bucket")
+          .agg(F.max("cnt").alias("cnt")))
+    vals = _events(spark, sf_dir).select("user_id")
+    watch = vals.where(F.col("user_id") < 10).distinct()
+    est = sketches.cms_estimate(watch, "user_id", sk, depth=4, width=256)
+    exact = (vals.where(F.col("user_id") < 10).groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_exact")))
+    return (est.join(exact, "user_id")
+            .select("user_id",
+                    F.col("n_exact").cast("bigint").alias("n_exact"),
+                    "cms_est",
+                    (F.col("cms_est") - F.col("n_exact")).cast("bigint")
+                    .alias("overcount"))
+            .orderBy("user_id"))
+
+
+QUERIES["x_cms_stream"] = x_cms_stream
+STREAMING_DEMOS.add("x_cms_stream")
+ORACLES["x_cms_stream"] = ORACLES["x_cms_estimate"]
+
+
+def x_order_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle-quality audit: run-length statistics of
+    the source sequence in x_interleave's deterministic stride order —
+    the number a data loader checks before an epoch ships (a long
+    same-source run concentrates gradient steps on one distribution;
+    proportional interleaving should keep max_run tiny).
+
+    Scale shape: the global position key is EXACT integer arithmetic
+    (pos_e6 = (2r-1)*1e6 DIV 2n_s — no double rounding anywhere), the
+    global sequence number comes from the two-phase distributed prefix
+    sum (never a single-partition window), adjacency is a self
+    equi-join on n = n+1, and runs fall out of the classic n - rank
+    gaps-and-islands trick with every window partitioned by source.
+    Output per source: n_docs, n_runs, max_run, n_same_adj
+    (n_runs + n_same_adj == n_docs by construction)."""
+    from pyspark.sql import Window as W
+
+    from .functions.dedup import _md5_hash32
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    h = _md5_hash32("ilv", F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select("doc_id", "source",
+                      F.row_number().over(w).alias("r"))
+    n_s = ranked.groupBy("source").agg(F.max("r").alias("n_source"))
+    keyed = (ranked.join(F.broadcast(n_s), "source")
+             .select("doc_id", "source",
+                     F.expr("((2*r - 1) * 1000000) DIV (2 * n_source)")
+                      .alias("pos_e6")))
+    # okey unique: doc_id < 1e12 (fixture ids are dense smallints; a
+    # corpus beyond that widens the key to a struct range partitioner)
+    # three consumers (adjacency join, per-source aggregate, run islands)
+    # read seq — checkpoint once so the two-phase prefix sum never replays
+    seq = (stats.global_prefix_sum(
+        keyed.select(
+            "source",
+            (F.col("pos_e6") * F.lit(1_000_000_000_000) + F.col("doc_id"))
+            .alias("okey"),
+            F.lit(1).alias("one")),
+        "one", "okey", out_col="n").select("source", "n")
+        .localCheckpoint(eager=True))
+    prev = seq.select((F.col("n") + 1).alias("n"),
+                      F.col("source").alias("prev_source"))
+    adj = seq.join(prev, "n", "left")
+    per_src = (adj.groupBy("source")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum(F.when(F.col("prev_source") == F.col("source"),
+                                 1).otherwise(0))
+                     .cast("bigint").alias("n_same_adj")))
+    w_src = W.partitionBy("source").orderBy("n")
+    runs = (seq.withColumn("grp",
+                           F.col("n") - F.row_number().over(w_src))
+            .groupBy("source", "grp")
+            .agg(F.count(F.lit(1)).alias("len")))
+    run_stats = (runs.groupBy("source")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+                      F.max("len").cast("bigint").alias("max_run")))
+    return (per_src.join(run_stats, "source")
+            .select("source", "n_docs", "n_runs", "max_run", "n_same_adj")
+            .orderBy("source"))
+
+
+QUERIES["x_order_runs"] = x_order_runs
+
+ORACLES["x_order_runs"] = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_H32.format(x="concat('ilv', ':', CAST(doc_id AS VARCHAR))")},
+                    doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n_source
+  FROM documents
+), seq AS (
+  SELECT source,
+         row_number() OVER (
+           ORDER BY ((2*r - 1) * 1000000) // (2 * n_source)
+                    * 1000000000000 + doc_id) AS n
+  FROM ranked
+), flg AS (
+  SELECT source, n,
+         CASE WHEN lag(source) OVER (ORDER BY n) = source
+              THEN 1 ELSE 0 END AS same_adj
+  FROM seq
+), runlen AS (
+  SELECT source, count(*) AS len
+  FROM (SELECT source,
+               n - row_number() OVER (PARTITION BY source ORDER BY n)
+                 AS grp
+        FROM seq) t
+  GROUP BY source, grp
+)
+SELECT f.source,
+       CAST(f.n_docs AS BIGINT) AS n_docs,
+       CAST(r.n_runs AS BIGINT) AS n_runs,
+       CAST(r.max_run AS BIGINT) AS max_run,
+       CAST(f.n_same_adj AS BIGINT) AS n_same_adj
+FROM (SELECT source, count(*) AS n_docs, sum(same_adj) AS n_same_adj
+      FROM flg GROUP BY source) f
+JOIN (SELECT source, count(*) AS n_runs, max(len) AS max_run
+      FROM runlen GROUP BY source) r USING (source)
+ORDER BY f.source
+"""
+
+
+def x_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit the hash split alone cannot see: count
+    verified NEAR-DUP edges that cross train/val/test boundaries — a
+    val doc whose near-duplicate sits in train is memorization leakage
+    that survives any id-level split. Composes two persisted/oracled
+    stages ids-only: the near-dup edge parquet (_edges_parquet_dir,
+    never re-derives LSH) and the deterministic md5 80/10/10 split.
+    Output per unordered split pair: n_edges, n_docs (distinct docs on
+    crossing edges); the (train, val)/(train, test) rows are the
+    leakage to fix (drop or re-bucket by cluster, keeping clusters
+    intact — the fix x_training_manifest's policy applies upstream)."""
+    from .functions.sketches import train_val_test_split
+    edges = _edges(spark, sf_dir)
+    split = train_val_test_split(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id")
+    sa = split.select(F.col("doc_id").alias("id_a"),
+                      F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"),
+                      F.col("split").alias("split_b"))
+    tagged = (edges.join(sa, "id_a").join(sb, "id_b")
+              .select(F.least("split_a", "split_b").alias("split_lo"),
+                      F.greatest("split_a", "split_b").alias("split_hi"),
+                      "id_a", "id_b"))
+    n_edges = (tagged.groupBy("split_lo", "split_hi")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+    docs_in = (tagged.select("split_lo", "split_hi",
+                             F.explode(F.array("id_a", "id_b")).alias("id"))
+               .groupBy("split_lo", "split_hi")
+               .agg(F.countDistinct("id").cast("bigint").alias("n_docs")))
+    return (n_edges.join(docs_in, ["split_lo", "split_hi"])
+            .orderBy("split_lo", "split_hi"))
+
+
+QUERIES["x_split_leakage"] = x_split_leakage
+
+ORACLES["x_split_leakage"] = f"""
+WITH cand AS ({{LSH}}),
+jac AS ({{JAC}}),
+edges AS (
+  SELECT jac.id_a, jac.id_b FROM jac
+  JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_SPLIT_DRAW} < 0.8 THEN 'train'
+              WHEN {_SPLIT_DRAW} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tagged AS (
+  SELECT least(a.split, b.split) AS split_lo,
+         greatest(a.split, b.split) AS split_hi,
+         e.id_a, e.id_b
+  FROM edges e
+  JOIN sp a ON e.id_a = a.doc_id
+  JOIN sp b ON e.id_b = b.doc_id
+)
+SELECT split_lo, split_hi,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST((SELECT count(DISTINCT id) FROM (
+              SELECT t2.split_lo, t2.split_hi, t2.id_a AS id FROM tagged t2
+              UNION ALL
+              SELECT t2.split_lo, t2.split_hi, t2.id_b FROM tagged t2) u
+             WHERE u.split_lo = t.split_lo AND u.split_hi = t.split_hi)
+            AS BIGINT) AS n_docs
+FROM tagged t
+GROUP BY split_lo, split_hi
+ORDER BY split_lo, split_hi
+"""
+ORACLES["x_split_leakage"] = (ORACLES["x_split_leakage"]
+                              .replace("{LSH}", _minhash_lsh_oracle())
+                              .replace("{JAC}", _jaccard_oracle(threshold=0.5)))

@@ -837,3 +837,33 @@ def test_bfs_hops_matches_reference_bfs(spark, edge_list, seed_set, rounds):
     got = {r["node"]: r["hop"]
            for r in bfs_hops(edges, seeds, rounds=rounds).collect()}
     assert got == expect
+
+
+def test_order_runs_invariants(spark):
+    """Run-length accounting closes exactly: every doc either starts a
+    run or extends one (n_runs + n_same_adj == n_docs per source), the
+    per-source totals cover the corpus, and a run is at least 1 long."""
+    from flink_realtime_data_eng_spark import registry
+    rows = registry.x_order_runs(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert r["n_runs"] + r["n_same_adj"] == r["n_docs"], dict(r.asDict())
+        assert 1 <= r["max_run"] <= r["n_docs"]
+    docs = registry._docs(spark, "/root/testdata/sf0.001")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_split_leakage_edge_accounting(spark):
+    """Every verified near-dup edge lands in exactly one split-pair
+    bucket, and buckets only ever name the three split labels."""
+    from flink_realtime_data_eng_spark import registry
+    sf = "/root/testdata/sf0.001"
+    rows = registry.x_split_leakage(spark, sf).collect()
+    n_edges_total = registry._edges(spark, sf).count()
+    assert sum(r["n_edges"] for r in rows) == n_edges_total
+    labels = {"train", "val", "test"}
+    for r in rows:
+        assert r["split_lo"] in labels and r["split_hi"] in labels
+        assert r["split_lo"] <= r["split_hi"]
+        # an edge has 2 endpoints; distinct docs can't exceed 2x edges
+        assert 1 <= r["n_docs"] <= 2 * r["n_edges"]

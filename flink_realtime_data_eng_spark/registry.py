@@ -12322,3 +12322,79 @@ ORDER BY split_lo, split_hi
 ORACLES["x_split_leakage"] = (ORACLES["x_split_leakage"]
                               .replace("{LSH}", _minhash_lsh_oracle())
                               .replace("{JAC}", _jaccard_oracle(threshold=0.5)))
+
+
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (Flink temporal table join / kdb aj): each purchase
+    attaches the LATEST view by the same user at or before its
+    timestamp — the canonical "state of X as of event time T" lookup.
+
+    Scale shape: NOT a range join (ts-inequality joins explode into
+    per-key cross products) — the union-merge form: tag both sides,
+    union, ONE window per user over (ts, side, event_id) carrying the
+    last-seen view forward with last(ignorenulls); right rows sort
+    before left at equal ts so ties resolve to <= semantics with the
+    max event_id among equal-ts views. One shuffle on user_id, state
+    one row per user, works identically as a streaming state machine.
+    Output: purchase_id, user_id, ts_ms, view_id, view_ts_ms, wait_ms
+    (nulls when no prior view exists)."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts_ms",
+                    F.col("event_id").alias("purchase_id"),
+                    F.lit(None).cast("bigint").alias("view_id"),
+                    F.lit(None).cast("bigint").alias("view_ts"),
+                    F.lit(1).alias("side")))
+    right = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts_ms",
+                     F.lit(None).cast("bigint").alias("purchase_id"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts_ms").alias("view_ts"),
+                     F.lit(0).alias("side")))
+    u = left.unionByName(right)
+    w = (W.partitionBy("user_id")
+         .orderBy("ts_ms", "side",
+                  F.coalesce("view_id", "purchase_id"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    carried = (u.withColumn("m_view", F.last("view_id", True).over(w))
+               .withColumn("m_ts", F.last("view_ts", True).over(w)))
+    return (carried.filter(F.col("side") == 1)
+            .select(F.col("purchase_id"), "user_id",
+                    F.col("ts_ms").cast("bigint").alias("ts_ms"),
+                    F.col("m_view").alias("view_id"),
+                    F.col("m_ts").cast("bigint").alias("view_ts_ms"),
+                    (F.col("ts_ms") - F.col("m_ts")).cast("bigint")
+                    .alias("wait_ms"))
+            .orderBy("purchase_id"))
+
+
+QUERIES["x_asof_join"] = x_asof_join
+
+ORACLES["x_asof_join"] = """
+WITH u AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id AS purchase_id,
+         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS BIGINT) AS view_ts,
+         1 AS side
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, epoch_ms(ts), NULL, event_id, epoch_ms(ts), 0
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT *,
+         last_value(view_id IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts_ms, side, coalesce(view_id, purchase_id)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_view,
+         last_value(view_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts_ms, side, coalesce(view_id, purchase_id)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts
+  FROM u
+)
+SELECT purchase_id, user_id, CAST(ts_ms AS BIGINT) AS ts_ms,
+       m_view AS view_id, CAST(m_ts AS BIGINT) AS view_ts_ms,
+       CAST(ts_ms - m_ts AS BIGINT) AS wait_ms
+FROM c WHERE side = 1
+ORDER BY purchase_id
+"""

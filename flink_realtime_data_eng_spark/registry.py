@@ -12398,3 +12398,139 @@ SELECT purchase_id, user_id, CAST(ts_ms AS BIGINT) AS ts_ms,
 FROM c WHERE side = 1
 ORDER BY purchase_id
 """
+
+
+def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09 — the fusion Elasticsearch/Vespa ship for BM25+ANN hybrid
+    search): a lexical ranking (exact token-set Jaccard, posting-list
+    join shape) and a semantic ranking (cosine over embeddings, bounded
+    anchor broadcast) each produce a per-query top-10, then fuse with
+    rrf = sum over lists of 1/(60 + rank) — computed as EXACT integer
+    1e6 DIV (60+rk) so the fused ranking hash-checks. Docs found by
+    only one leg still fuse (full-outer on the hit lists) — the whole
+    point of RRF is rewarding cross-evidence without score calibration.
+    Output: query_id, doc_id, rk_lex, rk_sem (NULL = not in that leg's
+    top-10), rrf_e6, rk (fused, <= 10)."""
+    from pyspark.sql import Window as W
+    emb = _emb(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+
+    # --- semantic leg: exact cosine, 5-anchor broadcast (ANN at scale)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"))
+    sem_pairs = (emb.crossJoin(F.broadcast(q))
+                 .filter(F.col("vec_id") != F.col("query_id"))
+                 .select("query_id", F.col("vec_id").alias("doc_id"),
+                         F.round(similarity.cosine("q_vec", "embedding"), 6)
+                          .alias("score")))
+    w_sem = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                              F.col("doc_id"))
+    sem = (sem_pairs.withColumn("rk_sem", F.row_number().over(w_sem))
+           .filter(F.col("rk_sem") <= 10)
+           .select("query_id", "doc_id", "rk_sem"))
+
+    # --- lexical leg: exact Jaccard of DISTINCT token sets, hits join
+    # on shared tokens (posting-list shape — corpus side never fans out
+    # beyond docs actually sharing a query token)
+    toks = (docs.select("doc_id", F.explode(text.tokens("text"))
+                        .alias("tok")).distinct()
+            .localCheckpoint(eager=True))  # read by sizes + both join
+    # sides — checkpoint so the explode+distinct runs once
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    q_toks = (toks.filter(F.col("doc_id") < 5)
+              .select(F.col("doc_id").alias("query_id"), "tok"))
+    q_sizes = (sizes.filter(F.col("doc_id") < 5)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.col("n_tok").alias("n_q")))
+    common = (q_toks.join(toks, "tok")
+              .filter(F.col("doc_id") != F.col("query_id"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    lex_pairs = (common.join(F.broadcast(q_sizes), "query_id")
+                 .join(sizes, "doc_id")
+                 .select("query_id", "doc_id",
+                         F.expr("n_common * 1000000 DIV "
+                                "(n_q + n_tok - n_common)")
+                          .alias("jac_e6")))
+    w_lex = W.partitionBy("query_id").orderBy(F.col("jac_e6").desc(),
+                                              F.col("doc_id"))
+    lex = (lex_pairs.withColumn("rk_lex", F.row_number().over(w_lex))
+           .filter(F.col("rk_lex") <= 10)
+           .select("query_id", "doc_id", "rk_lex"))
+
+    # --- fuse: full outer on the hit lists, integer reciprocal ranks
+    fused = (lex.join(sem, ["query_id", "doc_id"], "fullOuter")
+             .select("query_id", "doc_id",
+                     F.col("rk_lex").cast("bigint").alias("rk_lex"),
+                     F.col("rk_sem").cast("bigint").alias("rk_sem"),
+                     (F.coalesce(F.expr("1000000 DIV (60 + rk_lex)"),
+                                 F.lit(0))
+                      + F.coalesce(F.expr("1000000 DIV (60 + rk_sem)"),
+                                   F.lit(0)))
+                     .cast("bigint").alias("rrf_e6")))
+    w_f = W.partitionBy("query_id").orderBy(F.col("rrf_e6").desc(),
+                                            F.col("doc_id"))
+    return (fused.withColumn("rk", F.row_number().over(w_f)
+                             .cast("bigint"))
+            .filter(F.col("rk") <= 10)
+            .orderBy("query_id", "rk"))
+
+
+QUERIES["x_rrf_fusion"] = x_rrf_fusion
+
+ORACLES["x_rrf_fusion"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings
+  WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding AS v FROM embeddings
+), sem_s AS (
+  SELECT query_id, vec_id AS doc_id, round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE vec_id <> query_id
+), sem AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk_sem
+  FROM sem_s QUALIFY rk_sem <= 10
+), toks AS (
+  SELECT DISTINCT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS query_id, b.doc_id, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok
+  WHERE a.doc_id < 5 AND b.doc_id <> a.doc_id
+  GROUP BY 1, 2
+), lex_s AS (
+  SELECT c2.query_id, c2.doc_id,
+         c2.n_common * 1000000 // (sq.n_tok + sd.n_tok - c2.n_common)
+           AS jac_e6
+  FROM common c2
+  JOIN sizes sq ON sq.doc_id = c2.query_id
+  JOIN sizes sd ON sd.doc_id = c2.doc_id
+), lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY jac_e6 DESC, doc_id) AS rk_lex
+  FROM lex_s QUALIFY rk_lex <= 10
+), fused AS (
+  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         CAST(lex.rk_lex AS BIGINT) AS rk_lex,
+         CAST(sem.rk_sem AS BIGINT) AS rk_sem,
+         CAST(coalesce(1000000 // (60 + lex.rk_lex), 0)
+              + coalesce(1000000 // (60 + sem.rk_sem), 0) AS BIGINT)
+           AS rrf_e6
+  FROM lex FULL OUTER JOIN sem
+    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+)
+SELECT query_id, doc_id, rk_lex, rk_sem, rrf_e6,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_e6 DESC, doc_id) AS BIGINT)
+         AS rk
+FROM fused
+QUALIFY rk <= 10
+ORDER BY query_id, rk
+"""

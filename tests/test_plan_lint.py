@@ -51,6 +51,9 @@ NESTED_LOOP_OK = {
     "x_maxsim_labels",          # bounded 32-per-label query sample
                                 # broadcast (ColBERT query-length cap;
                                 # fixed size regardless of corpus SF)
+    "x_rrf_fusion",             # semantic leg's bounded 5-anchor
+                                # broadcast (brute force baseline; ANN
+                                # index at scale)
     "x_rag_retrieve",           # same brute-force retrieval stage inside
     "x_mmr_diversify",          # same brute-force retrieval stage; the
                                 # MMR greedy itself is pair-scale

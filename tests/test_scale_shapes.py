@@ -725,3 +725,17 @@ def test_dynamic_partition_pruning_fires_on_partitioned_join(spark,
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
                        prev)
+
+
+def test_maxsim_query_sample_is_windowgrouplimit_bounded(spark):
+    """x_maxsim_labels' broadcast side must stay FIXED-SIZE at any
+    corpus SF (the r7 VERDICT scale-killer): the per-label top-32
+    sample has to plan as WindowGroupLimit (partial+final map-side
+    top-k — no full per-label sort) and exactly one BroadcastExchange,
+    with no corpus-fraction filter feeding it."""
+    from flink_realtime_data_eng_spark import registry
+    df = registry.x_maxsim_labels(spark, "/root/testdata/sf0.001")
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("WindowGroupLimit") >= 2, plan[:800]  # partial+final
+    assert plan.count("BroadcastExchange") == 1, plan[:800]

@@ -739,3 +739,17 @@ def test_maxsim_query_sample_is_windowgrouplimit_bounded(spark):
             .split("== Initial Plan ==")[0])
     assert plan.count("WindowGroupLimit") >= 2, plan[:800]  # partial+final
     assert plan.count("BroadcastExchange") == 1, plan[:800]
+
+
+def test_keyword_persisted_serves_from_pushed_down_index_scan(spark):
+    """The persisted-postings serving query must (a) push the term IN
+    filter into the parquet scan (PushedFilters/DataFilters on the
+    FileScan — the index lookup happens at the storage layer) and (b)
+    never read the documents table at query time."""
+    from flink_realtime_data_eng_spark import registry
+    df = registry.x_keyword_persisted(spark, "/root/testdata/sf0.001")
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan and "IN (table,join,window)" in scan[0], scan
+    assert "documents.parquet" not in plan

@@ -151,6 +151,34 @@ def test_no_rounding_ties_in_any_oracle(con):
         f"them from the freeze list: {stale}")
 
 
+def test_content_hashes_independent_of_import_order():
+    """Content hashes must not depend on which package submodules other
+    code happens to have imported first (r8 regression: `from . import
+    kafka_standin` resolved to the PACKAGE in a fresh process because
+    the submodule fallback built a '..X' name, so the callee silently
+    dropped out of the hash until a test imported the module). Compute
+    the full hash set in one interpreter before and after force-
+    importing every package submodule — they must be identical."""
+    import subprocess
+    import sys
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from tools.query_hashes import content_hashes\n"
+        "fresh = content_hashes()\n"
+        "import importlib, pkgutil\n"
+        "import flink_realtime_data_eng_spark as pkg\n"
+        "for m in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + '.'):\n"
+        "    try: importlib.import_module(m.name)\n"
+        "    except Exception: pass\n"
+        "warm = content_hashes()\n"
+        "diff = [k for k in fresh if fresh[k] != warm.get(k)]\n"
+        "print('DIFF', diff)\n")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "DIFF []" in r.stdout, r.stdout
+
+
 def test_query_hash_ledger_in_sync():
     """query_hashes.json must cover exactly the registered queries with
     current content hashes — run `python tools/query_hashes.py update`

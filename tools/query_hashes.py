@@ -70,11 +70,19 @@ def _callee_sources(fn) -> list[str]:
                     bound = getattr(mod, alias.name, None)
                     if bound is None:
                         # `from .operators import incremental` names a
-                        # SUBMODULE, invisible to getattr until imported
+                        # SUBMODULE, invisible to getattr until imported.
+                        # With module=None (`from . import X`) the dotted
+                        # name is ".X", NOT "..X" — the old concat
+                        # produced the latter and silently bound the
+                        # package instead, making the hash depend on
+                        # whether some OTHER code had already imported
+                        # the submodule (r8: x_kafka_standin_stream
+                        # drifted after tests imported kafka_standin).
                         try:
                             bound = importlib.import_module(
-                                "." * node.level + (node.module or "")
-                                + "." + alias.name, pkg)
+                                "." * node.level
+                                + (node.module + "." if node.module else "")
+                                + alias.name, pkg)
                         except Exception:
                             bound = mod
                     g.setdefault(alias.asname or alias.name, bound)

@@ -9361,14 +9361,16 @@ QUERIES["x_pq_topk"] = x_pq_topk
 
 def _pq_oracle(k: int = 5, m: int = 16, ks: int = 32, iters: int = 2,
                train_max: int = 512, shortlist: int | None = None,
-               dim: int = 64) -> str:
+               dim: int = 64, train_filter: str = "") -> str:
     """Replays similarity.pq_topk_exact bit-for-bit: e6 BIGINT vectors,
     per-subspace seeds = first `ks` sample rows in (md5, id) order,
     `iters` unrolled integer-Lloyd rounds partitioned by subspace
     (argmin ties (d2, code); update sum // count, truncating; emptied
     codeword kept), then map-side encode + ADC join-sum ranking —
     followed, when `shortlist` is set, by the exact-cosine rerank of the
-    ADC shortlist (the Spark side's two-stage path)."""
+    ADC shortlist (the Spark side's two-stage path). `train_filter`
+    restricts the TRAINING sample only (the incremental-index form:
+    books frozen on the base corpus, every vector still encoded)."""
     d = dim // m
     d2 = ("list_sum(list_transform(list_zip({a}, {b}),"
           " p -> (p[1] - p[2]) * (p[1] - p[2])))")
@@ -9378,7 +9380,7 @@ WITH qv AS (
            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
   FROM embeddings
 ),
-tv AS (SELECT *, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv
+tv AS (SELECT *, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv{train_filter}
        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {train_max}),
 sub AS (
   SELECT s, vec_id, h, list_slice(q6, s * {d} + 1, s * {d} + {d}) AS v
@@ -12583,3 +12585,66 @@ def x_keyword_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["x_keyword_persisted"] = x_keyword_persisted
 ORACLES["x_keyword_persisted"] = ORACLES["x_keyword_search"]
+
+
+def _pq_incr_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The BASE leg of the incremental PQ index: books trained and codes
+    encoded on the first 80% of vec_ids only, persisted once. The
+    nightly-build / daily-delta split every production ANN index lives
+    with: retraining codebooks per delta would invalidate every stored
+    code, so books FREEZE on the base corpus and deltas only encode."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:pq_incr80"
+        f":{_code_tag(similarity.pq_train_books, similarity.pq_encode)}"
+        .encode()).hexdigest()[:12]
+    out = os.path.join(_tempfile.gettempdir(), f"frde_pqincr_{tag}")
+    if not os.path.exists(os.path.join(out, "books", "_SUCCESS")):
+        emb = _emb(spark, sf_dir)
+        cutoff = 4 * emb.count() // 5
+        base = emb.filter(F.col("vec_id") < cutoff)
+        books = similarity.pq_train_books(base, m=16, ks=32, iters=2,
+                                          train_max=512)
+        similarity.pq_encode(base, books).write.mode("overwrite").parquet(
+            os.path.join(out, "codes"))
+        similarity._pq_books_df(spark, books).write.mode(
+            "overwrite").parquet(os.path.join(out, "books"))
+    return out
+
+
+def x_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the leg the build-vs-serve
+    pair was missing (x_cc_incremental's proof shape applied to PQ):
+    codebooks train ONCE on the base 80% of the corpus and freeze, the
+    base codes persist, and the newest 20% delta is ONLY ENCODED with
+    the frozen books (one map-side pass over the delta — base codes and
+    raw base vectors are never touched by the refresh). Serving runs
+    ADC over base-codes UNION delta-codes with the usual exact-cosine
+    shortlist rerank. The oracle replays train-on-base/encode-all in
+    SQL, so the hash match proves the incremental fold serves exactly
+    what a monolithic base-trained build would — the invariant that
+    makes delta maintenance SAFE to ship nightly."""
+    import os
+    emb = _emb(spark, sf_dir)
+    cutoff = 4 * emb.count() // 5
+    idx = _pq_incr_index_dir(spark, sf_dir)
+    codes_base = spark.read.parquet(os.path.join(idx, "codes"))
+    row = spark.read.parquet(os.path.join(idx, "books")).collect()[0]
+    books = [[list(cv) for cv in book] for book in row["B"]]
+    delta = emb.filter(F.col("vec_id") >= cutoff)
+    codes = codes_base.unionByName(similarity.pq_encode(delta, books))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.pq_adc_topk(codes, books, q, corpus=emb, k=5,
+                                  shortlist=50)
+
+
+QUERIES["x_pq_incremental"] = x_pq_incremental
+
+ORACLES["x_pq_incremental"] = _pq_oracle(
+    k=5, m=16, ks=32, iters=2, train_max=512, shortlist=50,
+    train_filter=" WHERE vec_id < (SELECT 4 * count(*) // 5"
+                 " FROM embeddings)")

@@ -37,6 +37,8 @@ NESTED_LOOP_OK = {
     "x_pq_recall",              # persisted-index ADC + brute force (audit)
     "x_pq_persisted_topk",      # same bounded ADC-table broadcast, codes
                                 # and codebook read from the persisted index
+    "x_pq_incremental",         # same bounded ADC-table broadcast over
+                                # base-codes UNION delta-codes
     "x_ivfpq_persisted_topk",   # same: coarse centroids + per-cell ADC
                                 # tables broadcast over the persisted index
     "x_hard_negatives",         # brute-force anchor broadcast by design

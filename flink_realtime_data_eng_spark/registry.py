@@ -21,12630 +21,30 @@ Cross-engine hash-match rules observed throughout:
 - md5-derived hashes (dedup/minhash/simhash) reproduce as
   ``CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)`` ↔ Spark
   ``conv(substring(md5(x), 1, 8), 16, 10)``.
-"""
-
-from __future__ import annotations
-
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
-
-from .functions import (contamination, dedup, filtering, multimodal, packing,
-                        pii, similarity, sketches, text)
-from .operators import (funnel, joins, projections, rollup, split_merge, stateful,
-                        stats, windows)
-from .plans import relational
-from .schemas import load_table
-
-# ---------------------------------------------------------------------------
-# Session prep: the driver runs queries on ITS OWN SparkSession; make the two
-# confs correctness depends on explicit (both are runtime-settable SQL confs).
-# ---------------------------------------------------------------------------
-
-
-def _prep(spark: SparkSession) -> SparkSession:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet is TIMESTAMP(NANOS); without this the scan throws.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(_prep(spark), sf_dir, "events")
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(_prep(spark), sf_dir, "documents")
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(_prep(spark), sf_dir, "embeddings")
-
-
-# Shared oracle fragments ----------------------------------------------------
-
-_EV = "SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events"
-
-# Normalized text: lowercase, strip non-alnum, squeeze spaces, trim — must
-# mirror dedup._norm / text.fingerprint exactly.
-_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
-             " ' +', ' ', 'g'))")
-
-_H32 = "CAST(concat('0x', substring(md5({x}), 1, 8)) AS BIGINT)"
-
-
-# ---------------------------------------------------------------------------
-# Reference-parity operators (SURVEY §2) — batch forms over `events`
-# ---------------------------------------------------------------------------
-
-_AUDIT_LIKE = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("ts_ms", T.LongType()),
-    T.StructField("value", T.DoubleType()),
-])
-
-
-def p1_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 (AuditTrail.java:15-30): CSV line → typed record. Round-trips the
-    events table through quoted CSV lines and ``from_csv``; the oracle is the
-    original projection (exact round-trip is the correctness claim)."""
-    e = _events(spark, sf_dir)
-    # coalesce keeps the field COUNT stable under NULLs (concat of a NULL
-    # field is NULL and concat_ws would silently drop it, shifting every
-    # later column); a NULL round-trips as the empty field.
-    line = F.concat_ws(",", *[
-        F.concat(F.lit('"'), F.coalesce(F.col(c).cast("string"), F.lit("")),
-                 F.lit('"'))
-        for c in ["event_id", "user_id", "event_type", "ts_ms", "value"]])
-    lines = e.select(line.alias("value"))
-    return projections.parse_csv_lines(lines, _AUDIT_LIKE)
-
-
-def p2_parse_browser(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 (CourseUseCase.java:69-84): positional parse dropping column 0."""
-    e = _events(spark, sf_dir)
-    line = F.concat_ws(",", *[
-        F.coalesce(F.col(c).cast("string"), F.lit(""))
-        for c in ["event_id", "user_id", "event_type", "ts_ms"]])
-    schema = T.StructType([
-        T.StructField("id", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("ts_ms", T.LongType()),
-    ])
-    parsed = projections.parse_csv_lines(e.select(line.alias("value")), schema)
-    return projections.project(parsed, "user_id", "event_type", "ts_ms")
-
-
-def p3_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 (KeyedStreamOperations.java:62-66 and 7 more cites): record →
-    tuple projection maps — the (user, duration)-style narrow select, here
-    (user_id, value, lit 1) with a computed column, fused into the scan."""
-    e = _events(spark, sf_dir)
-    return projections.project(
-        e, F.col("user_id"), F.col("event_type"),
-        F.round(F.col("value") * 10_000).cast("bigint").alias("value_e4"),
-        F.lit(1).cast("bigint").alias("one"))
-
-
-def p4_filter_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 (StatefulOperations.java:120-126): sentinel-drop filter."""
-    e = _events(spark, sf_dir)
-    return projections.filter_sentinel(e, "event_type", "error") \
-        .select("event_id", "user_id", "event_type", "ts_ms")
-
-
-def p5_split_main(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 main branch (StreamSplitAndCombine.java:72-100): predicate side
-    keeps the full record schema."""
-    e = _events(spark, sf_dir)
-    main, _side = split_merge.split_by_predicate(e, F.col("event_type") == "click")
-    return main.select("event_id", "user_id", "event_type", "ts_ms", "value")
-
-
-def p5_split_side(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 side output: the non-matching branch projected to (user, 1) — the
-    side output carries a DIFFERENT schema, as in the reference."""
-    e = _events(spark, sf_dir)
-    _main, side = split_merge.split_by_predicate(e, F.col("event_type") == "click")
-    return side.select(F.col("user_id"), F.lit(1).cast("bigint").alias("one"))
-
-
-def p6_tag_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 (StreamSplitAndCombine.java:112-128): CoMap tag-and-union."""
-    e = _events(spark, sf_dir)
-    main, side = split_merge.split_by_predicate(e, F.col("event_type") == "click")
-    merged = split_merge.tag_and_merge(main, side, key_col="user_id")
-    return merged.select("src", "key", F.col("one").cast("bigint").alias("one"))
-
-
-def a1_tumbling_count_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 (MapCountPrinter.java:15-34): global 5 s tumbling count."""
-    e = _events(spark, sf_dir)
-    return windows.tumbling_agg(e, "ts_ms", 5000,
-                                aggs=[F.count(F.lit(1)).alias("cnt")])
-
-
-def a2_running_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 (KeyedStreamOperations.java:67-68): per-key cumulative sum emitted
-    per record. Fixed-point value so the running sum is exact."""
-    e = _events(spark, sf_dir).withColumn(
-        "value_e4", F.round(F.col("value") * 10000).cast("bigint"))
-    out = windows.running_reduce(e, ["user_id"], ["ts_ms", "event_id"],
-                                 "value_e4", "running_e4")
-    return out.select("event_id", "user_id", "ts_ms", "running_e4")
-
-
-def a3_sliding_agg_10s_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 (WindowingOperations.java:77-92): 10 s / 5 s sliding count+min+max."""
-    e = _events(spark, sf_dir)
-    return windows.sliding_agg(
-        e, "ts_ms", 10_000, 5_000,
-        aggs=[F.count(F.lit(1)).alias("cnt"),
-              F.min("ts_ms").alias("min_ts_ms"),
-              F.max("ts_ms").alias("max_ts_ms")])
-
-
-def a4_session_agg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 (WindowingOperations.java:115-128): keyed session windows (1 h gap
-    on this fixture's cadence) with count/min/max."""
-    e = _events(spark, sf_dir)
-    return windows.session_agg(
-        e, "ts_ms", 3_600_000, keys=["user_id"],
-        aggs=[F.count(F.lit(1)).alias("cnt"),
-              F.min("ts_ms").alias("min_ts_ms"),
-              F.max("ts_ms").alias("max_ts_ms")])
-
-
-def a5_keyed_tumbling_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 (CourseUseCase.java:90-104): composite-key 10 s tumbling count."""
-    e = _events(spark, sf_dir)
-    return windows.tumbling_agg(e, "ts_ms", 10_000,
-                                keys=["user_id", "event_type"],
-                                aggs=[F.count(F.lit(1)).alias("cnt")])
-
-
-def a5_salted_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 under skew mitigation: the same keyed tumbling count computed as a
-    salted two-stage aggregation (operators/skew.py) — identical results to
-    a5_keyed_tumbling_10s by construction, same oracle proves it."""
-    from .operators.skew import salted_count
-    e = _events(spark, sf_dir)
-    bucketed = e.select(joins.window_bucket("ts_ms", 10_000),
-                        "user_id", "event_type")
-    return salted_count(bucketed, ["window_start_ms", "user_id", "event_type"],
-                        salt=16, out_col="cnt")
-
-
-def a6_tumbling_count_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 (EventTimeOperations.java:151-160): 1 s event-time tumbling count
-    (batch form; the late-data streaming form lives in streaming/)."""
-    e = _events(spark, sf_dir)
-    return windows.tumbling_agg(e, "ts_ms", 1000,
-                                aggs=[F.count(F.lit(1)).alias("cnt")])
-
-
-def j1_windowed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 (WindowJoins.java:106-121): windowed inner equi-join of two event
-    streams (clicks ⋈ views) on user within the same 1 h tumbling window."""
-    e = _events(spark, sf_dir)
-    left = e.filter(F.col("event_type") == "click").select("user_id", "ts_ms", "event_id")
-    right = e.filter(F.col("event_type") == "view").select("user_id", "ts_ms", "event_id")
-    return joins.windowed_equi_join(left, right, key="user_id",
-                                    ts_ms="ts_ms", size_ms=3_600_000)
-
-
-def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 (beyond the reference): as-of join — each click matched to the
-    user's latest purchase at-or-before it. Right side pre-aggregated to one
-    row per (user, ts) so the match is deterministic on both engines."""
-    e = _events(spark, sf_dir)
-    left = (e.filter(F.col("event_type") == "click")
-             .select("user_id", "ts_ms", "event_id"))
-    right = (e.filter(F.col("event_type") == "purchase")
-              .groupBy("user_id", "ts_ms")
-              .agg(F.max("value").alias("purchase_value")))
-    return joins.asof_join(left, right, key="user_id", ts_ms="ts_ms",
-                           value_cols=["purchase_value"])
-
-
-def j2_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of: each click matched to the user's EARLIEST purchase
-    at-or-after it (next-conversion lookup) — the mirrored direction of
-    j2, same one-shuffle union+carry machinery via timestamp negation."""
-    e = _events(spark, sf_dir)
-    left = (e.filter(F.col("event_type") == "click")
-             .select("user_id", "ts_ms", "event_id"))
-    right = (e.filter(F.col("event_type") == "purchase")
-              .groupBy("user_id", "ts_ms")
-              .agg(F.max("value").alias("purchase_value")))
-    return joins.asof_join_forward(left, right, key="user_id", ts_ms="ts_ms",
-                                   value_cols=["purchase_value"])
-
-
-def j3_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 (Flink DataStream ``intervalJoin`` shape): view pairs with a click
-    by the same user within ±12 h of the click — range-bucketed equi-join
-    (negative lower bound included), never an all-pairs-per-key blowup."""
-    e = _events(spark, sf_dir)
-    left = (e.filter(F.col("event_type") == "click")
-             .select("user_id", "ts_ms"))
-    right = (e.filter(F.col("event_type") == "view")
-              .select("user_id", "ts_ms"))
-    return joins.interval_join(left, right, key="user_id", ts_ms="ts_ms",
-                               lower_ms=-43_200_000, upper_ms=43_200_000)
-
-
-def st1_interval_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST1 (StatefulOperations.java:87-119): two matching events for the same
-    key closer than the threshold → alert with the interval."""
-    e = _events(spark, sf_dir)
-    return stateful.interval_alerts(e, key="user_id", ts_ms="ts_ms",
-                                    event_col="event_type", match_value="error",
-                                    threshold_ms=21_600_000,
-                                    order_by=["ts_ms", "event_id"])
-
-
-def st2_action_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST2 (CourseUseCase.java:120-176): previous-action duration machine;
-    'signup' plays Login (fresh), 'error' plays Logout (clears state)."""
-    e = _events(spark, sf_dir)
-    return stateful.action_durations(e, key="user_id", ts_ms="ts_ms",
-                                     action_col="event_type",
-                                     session_start="signup", session_end="error",
-                                     order_by=["ts_ms", "event_id"])
-
-
-# ---------------------------------------------------------------------------
-# Structured-Streaming forms, driven end-to-end (SURVEY §2 streaming half).
-#
-# Each entry materializes `events` as CSV files, streams them back through
-# the REAL streaming operator (file source → transform → availableNow →
-# memory sink) and returns the sink table — so the driver's DuckDB hash
-# compare covers the actual Structured Streaming execution path, not a
-# batch stand-in.
-# ---------------------------------------------------------------------------
-
-import tempfile as _tempfile
-import uuid as _uuid
-
-
-def _code_tag(*fns) -> str:
-    """8-hex code-version token for /tmp index cache tags: the md5 of the
-    builder functions' SOURCE, so an algorithm change invalidates the
-    persisted artifact even though the input fixture's size/mtime did not
-    move (r6 ADVICE: the param-string-only tags served stale indexes
-    across code revisions)."""
-    import hashlib
-    import inspect
-    parts = []
-    for fn in fns:
-        try:
-            parts.append(inspect.getsource(fn))
-        except (OSError, TypeError):
-            # Stable fallback — repr() embeds the process memory address
-            # and would defeat the cache every run in any source-less
-            # environment (r7 ADVICE).
-            parts.append(f"{getattr(fn, '__module__', '')}."
-                         f"{getattr(fn, '__qualname__', repr(type(fn)))}")
-    return hashlib.md5("\x00".join(parts).encode()).hexdigest()[:8]
-
-
-def _events_csv_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write events (event_id, user_id, event_type, ts_ms) as CSV lines for
-    the file-monitor source. One file per input partition; cached per sf_dir
-    within a session via a deterministic temp path."""
-    import hashlib
-    import os
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    # Cache key covers path + size + mtime + uid: a regenerated fixture
-    # invalidates the cache, and concurrent users don't collide in /tmp.
-    tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}".encode()
-    ).hexdigest()[:12]
-    out = os.path.join(_tempfile.gettempdir(), f"frde_events_csv_{tag}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        (_events(spark, sf_dir)
-         .select("event_id", "user_id", "event_type", "ts_ms")
-         .write.mode("overwrite").csv(out))
-    return out
-
-
-_EVENTS_CSV_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("ts_ms", T.LongType()),
-])
-
-
-def _run_to_memory(df: DataFrame, spark: SparkSession,
-                   output_mode: str = "append") -> DataFrame:
-    """Drive a streaming DataFrame to completion into a memory table.
-
-    Shuffle partitions are clamped for the run: streaming state stores cost
-    per-partition fixed overhead (open/commit per micro-batch), so state
-    partitioning should track data volume — 8 is right for the fixture
-    scale; a cluster deployment sizes it via submit conf instead.
-    """
-    from .sinks import memory_sink, run_available_now
-    name = "frde_" + _uuid.uuid4().hex[:12]
-    ckpt = _tempfile.mkdtemp(prefix="frde_ckpt_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        writer = memory_sink(df, name, output_mode).option("checkpointLocation", ckpt)
-        q = run_available_now(writer)
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                f"streaming round-trip {name} did not finish in 600 s — "
-                "result would be partial, refusing to return it")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
-
-
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources import file_csv_stream
-    path = _events_csv_dir(spark, sf_dir)
-    return file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
-
-
-def st1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST1 streaming form (StatefulOperations.java:87-119) through
-    applyInPandasWithState; same oracle as the batch analog."""
-    from .streaming.stateful import interval_alerts_stream
-    ev = _stream_events(spark, sf_dir)
-    out = interval_alerts_stream(ev, key="user_id", ts_ms="ts_ms",
-                                 event_col="event_type", match_value="error",
-                                 threshold_ms=21_600_000,
-                                 order_by=["ts_ms", "event_id"])
-    return _run_to_memory(out, spark)
-
-
-def st1_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST1 through Spark 4's ``transformWithStateInPandas`` handle API
-    (StatefulOperations.java:87-119) — the direct ValueStateDescriptor
-    analog. Same oracle as ``st1_stream``; registered only when
-    ``google.protobuf`` is importable (worker-side state serialization),
-    so it costs nothing in containers without it."""
-    from .streaming.stateful import interval_alerts_tws
-    ev = _stream_events(spark, sf_dir)
-    out = interval_alerts_tws(ev, key="user_id", ts_ms="ts_ms",
-                              event_col="event_type", match_value="error",
-                              threshold_ms=21_600_000,
-                              order_by=["ts_ms", "event_id"])
-    return _run_to_memory(out, spark)
-
-
-def _protobuf_available() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
-        return True
-    except ImportError:
-        return False
-
-
-def st2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST2 streaming form (CourseUseCase.java:120-176); same oracle as the
-    batch lag analog."""
-    from .streaming.stateful import action_durations_stream
-    ev = _stream_events(spark, sf_dir)
-    out = action_durations_stream(ev, key="user_id", ts_ms="ts_ms",
-                                  action_col="event_type",
-                                  session_start="signup", session_end="error",
-                                  order_by=["ts_ms", "event_id"])
-    return _run_to_memory(out, spark)
-
-
-def a6_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 streaming form: event-time tumbling 1 s count through the
-    streaming aggregation path (complete mode emits every window)."""
-    from .streaming.pipelines import tumbling_counts
-    ev = _stream_events(spark, sf_dir).withColumn(
-        "ts", F.timestamp_millis(F.col("ts_ms")))
-    out = tumbling_counts(ev, "ts", "1 second")
-    return _run_to_memory(out, spark, output_mode="complete")
-
-
-def a2_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 streaming form (KeyedStreamOperations.java:67-68): per-key running
-    totals in update mode; with one availableNow batch the final emission is
-    the per-key total."""
-    from .streaming.pipelines import running_totals
-    ev = _stream_events(spark, sf_dir).withColumn(
-        "one", F.lit(1).cast("bigint"))
-    out = running_totals(ev, ["user_id"], "one", out_col="total")
-    return _run_to_memory(out, spark, output_mode="update")
-
-
-def j1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 streaming form (WindowJoins.java:106-121): stream-stream inner
-    join of the click/view branches on (user, 1 h window)."""
-    from .streaming.pipelines import windowed_join
-    ev = _stream_events(spark, sf_dir).withColumn(
-        "ts", F.timestamp_millis(F.col("ts_ms")))
-    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
-    out = windowed_join(left, right, key="user_id", ts_col="ts",
-                        size="3600 seconds")
-    return _run_to_memory(out, spark)
-
-
-# Far past any fixture timestamp (year ~2096); advances the final watermark
-# beyond every real window so outer-join state fully flushes before the
-# availableNow replay terminates.
-_FLUSH_TS_MS = 4_000_000_000_000
-
-
-def _events_csv_dir_flush(spark: SparkSession, sf_dir: str) -> str:
-    """Events CSV replay dir + one flush sentinel row (user_id = -1,
-    event_type '__flush__', far-future ts). Kept separate from the shared
-    replay dir so the sentinel never leaks into other demos' windows;
-    base part-files are hardlinked, not copied."""
-    import os
-    base = _events_csv_dir(spark, sf_dir)
-    out = base + "_flush"
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        os.makedirs(out, exist_ok=True)
-        for f in os.listdir(base):
-            if f.endswith(".csv"):
-                dst = os.path.join(out, f)
-                if not os.path.exists(dst):
-                    os.link(os.path.join(base, f), dst)
-        with open(os.path.join(out, "zz_flush.csv"), "w") as fh:
-            fh.write(f"-1,-1,__flush__,{_FLUSH_TS_MS}\n")
-        with open(marker, "w"):
-            pass
-    return out
-
-
-def j5_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-outer windowed stream-stream join — the reference's J1
-    (WindowJoins.java:106-121) extended to the outer form real users reach
-    for next: every click row survives, matched views attach, unmatched
-    clicks emit null ``r_ts_ms`` once the watermark passes their window.
-
-    Determinism under availableNow: outer rows emit on state eviction,
-    which is watermark-driven, so a flush sentinel (ts far past every
-    fixture window, fed to BOTH sides) pushes the final watermark beyond
-    every real window's end — all unmatched rows have flushed by
-    termination and the result equals the batch LEFT JOIN oracle. The
-    sentinel key (-1) is filtered after the join."""
-    from .sources import file_csv_stream
-    from .streaming.pipelines import windowed_join
-    path = _events_csv_dir_flush(spark, sf_dir)
-    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
-          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
-    left = (ev.filter(F.col("event_type").isin("click", "__flush__"))
-              .select("user_id", "ts"))
-    right = (ev.filter(F.col("event_type").isin("view", "__flush__"))
-               .select("user_id", "ts"))
-    out = windowed_join(left, right, key="user_id", ts_col="ts",
-                        size="3600 seconds", how="leftOuter")
-    res = _run_to_memory(out, spark)
-    return res.filter(F.col("user_id") >= 0)
-
-
-def x_compact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming form of x_compact_latest: the continuously-maintained
-    upsert view. Same one-aggregate shape — ``max(struct(...))`` per key in
-    update mode — so each micro-batch revises only the keys it touched;
-    state is one struct per key (bounded by key cardinality, not stream
-    length). Same oracle as the batch compaction.
-
-    The replayed CSV carries no ``value`` column, so value is re-derived
-    from event_id exactly like j4's replay contract; the oracle does the
-    same."""
-    ev = _stream_events(spark, sf_dir)
-    latest = (ev.groupBy("user_id")
-                .agg(F.max(F.struct("ts_ms", "event_id", "event_type"))
-                      .alias("m")))
-    out = latest.select(
-        "user_id", F.col("m.ts_ms").alias("ts_ms"),
-        F.col("m.event_id").alias("event_id"),
-        F.col("m.event_type").alias("event_type"))
-    return _run_to_memory(out, spark, output_mode="complete")
-
-
-def x_cep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CEP (Flink CEP.pattern begin('view').next('click')
-    .next('purchase').within(24h) analog) through a REAL
-    applyInPandasWithState state machine over the events CSV replay —
-    per-key state buffers the last two events, so matches spanning
-    micro-batches emit; same oracle as the batch lead()-window form
-    x_cep_pattern."""
-    from .streaming.stateful import sequence_match_stream
-    ev = _stream_events(spark, sf_dir)
-    out = sequence_match_stream(ev, ["view", "click", "purchase"],
-                                within_ms=86_400_000, key="user_id",
-                                ts_ms="ts_ms", type_col="event_type",
-                                id_col="event_id")
-    return _run_to_memory(out, spark)
-
-
-def j4_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static join — the Structured Streaming pattern the
-    stream-stream demos don't cover: each micro-batch of the (streaming)
-    events CSV replay joins a STATIC bands dim via the broadcast
-    containment join of x_range_lookup, then aggregates per band in
-    update mode. No watermark and no stream-stream state: the static side
-    is re-broadcast per micro-batch, state is only the running aggregate.
-    Oracle = the batch band rollup restricted to the replayed columns."""
-    bands = spark.createDataFrame(_BANDS, "band_id int, lo double, hi double")
-    ev = _stream_events(spark, sf_dir)
-    # the CSV replay carries (event_id, user_id, event_type, ts_ms); value
-    # is re-derived deterministically from event_id so the oracle can too
-    fact = ev.select("event_id",
-                     (F.col("event_id") % 500).cast("double").alias("value"))
-    hit = joins.range_lookup(fact, bands, "value")
-    out = (hit.groupBy(F.col("band_id").cast("bigint").alias("band_id"))
-              .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.sum(F.col("event_id")).alias("sum_event_id")))
-    return _run_to_memory(out, spark, output_mode="complete")
-
-
-def a3_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 streaming form (WindowingOperations.java:77-92): 10 s / 5 s
-    sliding count+min+max through the streaming aggregation path (complete
-    mode emits every window); same oracle as the batch form."""
-    from .streaming.pipelines import sliding_counts
-    ev = _stream_events(spark, sf_dir).withColumn(
-        "ts", F.timestamp_millis(F.col("ts_ms")))
-    out = sliding_counts(ev, "ts", "10 seconds", "5 seconds",
-                         aggs=[F.count(F.lit(1)).alias("cnt"),
-                               F.min("ts_ms").alias("min_ts_ms"),
-                               F.max("ts_ms").alias("max_ts_ms")])
-    return _run_to_memory(out, spark, output_mode="complete")
-
-
-def a5_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 streaming form (CourseUseCase.java:90-104): composite-key 10 s
-    tumbling count through the streaming aggregation path; same oracle as
-    the batch form."""
-    from .streaming.pipelines import tumbling_counts
-    ev = _stream_events(spark, sf_dir).withColumn(
-        "ts", F.timestamp_millis(F.col("ts_ms")))
-    out = tumbling_counts(ev, "ts", "10 seconds",
-                          keys=["user_id", "event_type"],
-                          aggs=[F.count(F.lit(1)).alias("cnt")])
-    return _run_to_memory(out, spark, output_mode="complete")
-
-
-def a4_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 streaming form (WindowingOperations.java:115-128): keyed 1 h
-    session windows through the streaming merge path. Append mode emits only
-    FINALIZED sessions (end + gap <= terminal watermark = max event time);
-    the oracle applies the same finalization filter — Spark's session
-    windows do not support update mode, so this asymmetry is the honest
-    streaming semantics, not a shortcut."""
-    from .streaming.pipelines import session_counts
-    ev = _stream_events(spark, sf_dir).withColumn(
-        "ts", F.timestamp_millis(F.col("ts_ms")))
-    out = session_counts(ev, "ts", "3600 seconds", keys=["user_id"],
-                         aggs=[F.count(F.lit(1)).alias("cnt"),
-                               F.min("ts_ms").alias("min_ts_ms"),
-                               F.max("ts_ms").alias("max_ts_ms")])
-    return _run_to_memory(out, spark)
-
-
-def j2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 streaming form (Flink temporal join): clicks matched to the
-    latest purchase at-or-before via O(1)-per-key state; raw purchase rows
-    feed the machine (equal-ts overwrite-ascending reproduces the batch
-    form's max-per-(user,ts) pre-agg). Same oracle as j2_asof_join."""
-    from .streaming.stateful import asof_join_stream
-    ev = _stream_events(spark, sf_dir)
-    left = (ev.filter(F.col("event_type") == "click")
-              .select("user_id", "ts_ms", "event_id"))
-    # the CSV fixture carries no `value` column — event_id stands in as the
-    # purchase value (equal-ts ties resolve to max, mirrored in the oracle)
-    right = (ev.filter(F.col("event_type") == "purchase")
-               .select("user_id", "ts_ms",
-                       F.col("event_id").cast("double").alias("purchase_value")))
-    out = asof_join_stream(left, right, key="user_id", ts_ms="ts_ms",
-                           value_col="purchase_value",
-                           left_cols=["event_id"])
-    return _run_to_memory(out, spark)
-
-
-def j3_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 streaming form (Flink ``intervalJoin``): click-vs-view pairs within
-    ±12 h through a watermarked stream-stream range join; same oracle as the
-    batch bucketed form."""
-    from .streaming.pipelines import interval_join_stream
-    ev = _stream_events(spark, sf_dir).withColumn(
-        "ts", F.timestamp_millis(F.col("ts_ms")))
-    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
-    out = interval_join_stream(left, right, key="user_id", ts_col="ts",
-                               lower_ms=-43_200_000, upper_ms=43_200_000)
-    return _run_to_memory(out, spark)
-
-
-# ---------------------------------------------------------------------------
-# Relational / bench plans
-# ---------------------------------------------------------------------------
-
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.pricing_summary(_prep(spark), sf_dir)
-
-
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.shipping_priority(_prep(spark), sf_dir)
-
-
-def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.local_supplier_volume(_prep(spark), sf_dir)
-
-
-def q7_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.two_nation_volume(_prep(spark), sf_dir)
-
-
-def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.large_quantity_orders(_prep(spark), sf_dir)
-
-
-def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.top_parts_per_brand(_prep(spark), sf_dir)
-
-
-def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.distinct_users_per_type(_prep(spark), sf_dir)
-
-
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.order_priority_check(_prep(spark), sf_dir)
-
-
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.promo_revenue(_prep(spark), sf_dir)
-
-
-def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.idle_rich_customers(_prep(spark), sf_dir)
-
-
-def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.disjunctive_part_revenue(_prep(spark), sf_dir)
-
-
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.forecast_revenue(_prep(spark), sf_dir)
-
-
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.returned_item_revenue(_prep(spark), sf_dir)
-
-
-def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.nation_market_share(_prep(spark), sf_dir)
-
-
-def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.product_type_profit(_prep(spark), sf_dir)
-
-
-def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.ship_lag_priority(_prep(spark), sf_dir)
-
-
-def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.customer_order_distribution(_prep(spark), sf_dir)
-
-
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.top_supplier(_prep(spark), sf_dir)
-
-
-def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.small_quantity_revenue(_prep(spark), sf_dir)
-
-
-def q_returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.returns_cube(_prep(spark), sf_dir)
-
-
-def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.min_cost_supplier(_prep(spark), sf_dir)
-
-
-def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.important_parts(_prep(spark), sf_dir)
-
-
-def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.supplier_part_counts(_prep(spark), sf_dir)
-
-
-def q20_prolific_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.prolific_suppliers(_prep(spark), sf_dir)
-
-
-def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.waiting_orders(_prep(spark), sf_dir)
-
-
-def x_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature resampling toward a uniform source mixture (τ=0.5):
-    per-source keep probabilities broadcast into one map-side hash-draw
-    filter — no collect, no corpus shuffle."""
-    return packing.temperature_sample(_docs(spark, sf_dir), tau=0.5)
-
-
-def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view→click→purchase funnel over events: chained
-    conditional-min windows on ONE user-partition shuffle."""
-    return funnel.funnel_counts(_events(spark, sf_dir),
-                                steps=["view", "click", "purchase"])
-
-
-def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar-week cohort retention over events (first-event cohorts)."""
-    return funnel.retention_cohorts(_events(spark, sf_dir))
-
-
-def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct users per event type, certification form: the
-    Spark-private sketch runs AND is audited against the exact count in
-    the same aggregation; output is (exact, within-3σ boolean), which the
-    DuckDB oracle replays exactly — converting the former rows-only row
-    into a hash-checked invariant (the x_lsh_recall pattern). Sketch-only
-    twin: functions/sketches.approx_distinct_per_group; portable-register
-    twin: x_hll_portable."""
-    return sketches.approx_distinct_check(
-        _events(spark, sf_dir), "event_type", "user_id")
-
-
-def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx per event type, certification form: each sketch
-    quantile is re-ranked against its group and the Greenwald-Khanna rank
-    guarantee emitted as booleans, hash-checkable cross-engine (exact twin
-    x_group_quantiles; estimate-emitting twin
-    functions/sketches.approx_group_quantiles)."""
-    return sketches.approx_quantile_rank_check(
-        _events(spark, sf_dir), "event_type", "value")
-
-
-def x_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style head/middle/tail corpus partition by mean unigram
-    log-probability; exact-integer ranking key so the tercile boundaries
-    hash-match the oracle's NTILE."""
-    return text.quality_buckets(_docs(spark, sf_dir), n_buckets=3)
-
-
-def x_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fixed-size per-source sample (reservoir analog):
-    k smallest md5 draws per stratum, reproducible across engines."""
-    return sketches.group_sample(
-        _docs(spark, sf_dir).select("doc_id", "source"),
-        strata_col="source", key_col="doc_id", k=5)
-
-
-_BANDS = [(i, float(i * 50), float((i + 1) * 50)) for i in range(10)]
-
-
-def x_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast band lookup (IP→geo / price→tier shape): events.value
-    mapped into 10 static half-open bands via a non-equi broadcast join
-    that stays map-side; per-band count + exact fixed-point value sum."""
-    bands = spark.createDataFrame(_BANDS, "band_id int, lo double, hi double")
-    fact = _events(spark, sf_dir).select("event_id", "value")
-    hit = joins.range_lookup(fact, bands, "value")
-    return (hit.groupBy(F.col("band_id").cast("bigint").alias("band_id"))
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum(F.round(F.col("value") * 10000).cast("bigint"))
-                  .alias("value_e4"))
-            .orderBy("band_id"))
-
-
-def x_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed JSON extraction (from_json with explicit schema, map-side)
-    + per-type aggregate over the events props column."""
-    return stats.json_props_stats(_events(spark, sf_dir))
-
-
-def x_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 VariantType extraction over the events props column:
-    parse_json once (open schema, binary encoding), try_variant_get the
-    typed path — the schema-free twin of x_json_stats."""
-    return stats.variant_props_stats(_events(spark, sf_dir))
-
-
-def x_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long→wide pivot with explicit value list: events per (day, type)
-    as one conditional-count aggregate."""
-    e = _events(spark, sf_dir).withColumn(
-        "day_ms", (F.floor(F.col("ts_ms") / 86400000) * 86400000)
-        .cast("bigint"))
-    return stats.pivot_counts(
-        e, "day_ms", "event_type",
-        ["view", "click", "purchase", "signup", "error"])
-
-
-# ---------------------------------------------------------------------------
-# LLM-data-pipeline extensions (SURVEY §2.9)
-# ---------------------------------------------------------------------------
-
-def x_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(_docs(spark, sf_dir))
-
-
-def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(_docs(spark, sf_dir))
-
-
-def x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
-
-
-def x_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subset-duplicate pairs: containment = |A∩B| / min(|A|,|B|) catches a
-    doc pasted inside a longer one, which union-normalized Jaccard scores
-    low. Same shingle-overlap core (and LSH candidate gating at scale) as
-    the Jaccard verifier."""
-    return dedup.containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
-
-
-def x_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir),
-                                        num_hashes=16, bands=4, n=3)
-
-
-def x_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed scale flow: MinHash-LSH candidates verified with exact
-    Jaccard, all-pairs work never materialized."""
-    return dedup.neardup_pipeline(_docs(spark, sf_dir), num_hashes=16,
-                                  bands=4, n=3, threshold=0.5)
-
-
-def x_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: the verified pair graph collapsed to connected
-    components (iterative min-label propagation; oracle = recursive CTE)."""
-    return dedup.neardup_clusters(_docs(spark, sf_dir), num_hashes=16,
-                                  bands=4, n=3, threshold=0.5)
-
-
-def x_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deduped corpus itself: near-dup clusters collapsed to their
-    smallest-id canonical, everything else kept — LSH + candidate verify +
-    one broadcast anti-join over the full scan."""
-    return dedup.neardup_keep(_docs(spark, sf_dir), num_hashes=16,
-                              bands=4, n=3, threshold=0.5)
-
-
-def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingestion-time dedup candidates: docs with doc_id >= 400 play the
-    daily batch, the rest the deduped history; pairs touching a new doc
-    surface (cross flagged), old-old pairs are skipped — join cost scales
-    with the batch, not the corpus."""
-    docs = _docs(spark, sf_dir)
-    new_df = docs.filter(F.col("doc_id") >= 400)
-    old_df = docs.filter(F.col("doc_id") < 400)
-    return dedup.incremental_lsh_candidates(new_df, old_df,
-                                            num_hashes=16, bands=4, n=3)
-
-
-def x_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source duplication forensics: verified near-dup pairs
-    attributed to (source, source) — which sources copy each other, the
-    input to dedup-priority and crawl-dedup decisions. The pair list is
-    duplicate-scale, so its join strategy stays with AQE (broadcast while
-    it fits); the source pair is order-normalized so (A,B)==(B,A).
-    Reads the persisted edge parquet (``_edges_parquet_dir``) — see
-    x_pagerank."""
-    docs = _docs(spark, sf_dir)
-    pairs = _edges(spark, sf_dir).select("id_a", "id_b")
-    src = docs.select(F.col("doc_id"), F.col("source"))
-    attributed = (src.withColumnRenamed("source", "src_a")
-                  .join(pairs, F.col("doc_id") == F.col("id_a"))
-                  .drop("doc_id")
-                  .join(src.withColumnRenamed("source", "src_b"),
-                        F.col("doc_id") == F.col("id_b")))
-    lo = F.least("src_a", "src_b")
-    hi = F.greatest("src_a", "src_b")
-    return (attributed.select(lo.alias("source_x"), hi.alias("source_y"))
-            .groupBy("source_x", "source_y")
-            .agg(F.count(F.lit(1)).alias("n_pairs"))
-            .orderBy("source_x", "source_y"))
-
-
-def x_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup dashboard row: corpus size, exact-dup count, near-dup
-    cluster/member counts, and the final keep count in ONE result —
-    the monitoring contract of a production dedup stage. Composes the
-    existing exact + near-dup pipelines; each input frame is tiny
-    (aggregates / pair-scale), so the combine is a driver-free union of
-    1-row aggregates."""
-    docs = _docs(spark, sf_dir)
-    exact = dedup.exact_dedup(docs)
-    clusters = dedup.neardup_clusters(docs, num_hashes=16, bands=4, n=3,
-                                      threshold=0.5)
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    n_exact = exact.agg(
-        F.count(F.lit(1)).alias("n_distinct_content"),
-        F.sum(F.col("n_copies") - 1).alias("n_exact_dup_rows"))
-    n_near = clusters.agg(
-        F.count(F.lit(1)).alias("n_neardup_members"),
-        F.countDistinct("cluster_id").alias("n_neardup_clusters"))
-    # kept = all docs minus non-canonical members; exact arithmetic on the
-    # cluster aggregate — running neardup_keep here would re-execute the
-    # whole LSH+verify pipeline a second time for the same number.
-    return (n_docs.crossJoin(n_exact).crossJoin(n_near)
-            .select("n_docs", "n_distinct_content", "n_exact_dup_rows",
-                    "n_neardup_clusters", "n_neardup_members",
-                    (F.col("n_docs") - (F.col("n_neardup_members")
-                                        - F.col("n_neardup_clusters")))
-                    .alias("n_kept")))
-
-
-def _clusters_parquet_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Near-dup cluster output persisted ONCE per (corpus, params) to a
-    cached parquet path — the production layout where a dashboard reads
-    yesterday's cluster table instead of re-running LSH+verify+CC."""
-    import hashlib
-    import os
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:h16b4n3t0.5"
-        f":{_code_tag(dedup.neardup_clusters)}".encode()).hexdigest()[:12]
-    out = os.path.join(_tempfile.gettempdir(), f"frde_clusters_{tag}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        clusters = dedup.neardup_clusters(_docs(spark, sf_dir),
-                                          num_hashes=16, bands=4, n=3,
-                                          threshold=0.5)
-        clusters.write.mode("overwrite").parquet(out)
-    return out
-
-
-def _edges_parquet_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Verified near-dup PAIR table (LSH candidates → exact Jaccard)
-    persisted ONCE per (corpus, params) — the ``_clusters_parquet_dir``
-    pattern applied to the edge list. Every graph pass over the duplicate
-    similarity graph (x_pagerank / x_triangles / x_kcore) reads this
-    parquet instead of re-deriving LSH+verify from raw text per query:
-    at 100 TB the edge table is written once by the nightly dedup job and
-    each analysis is a scan + joins over ids-only rows. Cold-run parity
-    for the build itself stays registered as ``x_neardup_pipeline``."""
-    import hashlib
-    import os
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:edges_h16b4n3t0.5"
-        f":{_code_tag(dedup.neardup_pipeline)}".encode()).hexdigest()[:12]
-    out = os.path.join(_tempfile.gettempdir(), f"frde_edges_{tag}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        pairs = dedup.neardup_pipeline(_docs(spark, sf_dir), num_hashes=16,
-                                       bands=4, n=3, threshold=0.5)
-        pairs.write.mode("overwrite").parquet(out)
-    return out
-
-
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(_edges_parquet_dir(spark, sf_dir))
-
-
-def x_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x_dedup_stats from PERSISTED cluster output: identical dashboard
-    row, but the near-dup numbers come from a parquet scan of the
-    once-written cluster table rather than recomputing the LSH pipeline
-    per refresh — the shape a 100 TB monitoring query must have (the
-    recompute form exists as x_dedup_stats for parity with a cold run).
-    Exact-dup numbers stay live: one hash aggregate is dashboard-cheap."""
-    docs = _docs(spark, sf_dir)
-    exact = dedup.exact_dedup(docs)
-    clusters = spark.read.parquet(_clusters_parquet_dir(spark, sf_dir))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    n_exact = exact.agg(
-        F.count(F.lit(1)).alias("n_distinct_content"),
-        F.sum(F.col("n_copies") - 1).alias("n_exact_dup_rows"))
-    n_near = clusters.agg(
-        F.count(F.lit(1)).alias("n_neardup_members"),
-        F.countDistinct("cluster_id").alias("n_neardup_clusters"))
-    return (n_docs.crossJoin(n_exact).crossJoin(n_near)
-            .select("n_docs", "n_distinct_content", "n_exact_dup_rows",
-                    "n_neardup_clusters", "n_neardup_members",
-                    (F.col("n_docs") - (F.col("n_neardup_members")
-                                        - F.col("n_neardup_clusters")))
-                    .alias("n_kept")))
-
-
-def x_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaccard estimated from signature agreement on LSH candidates —
-    the k-th-fraction estimator, one signature equi-join instead of a
-    shingle re-explode."""
-    return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir),
-                                          num_hashes=16, bands=4, n=3)
-
-
-def x_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest freshness report: per event type, latest event time and its
-    lag behind the corpus max — the staleness monitor every pipeline
-    alert reads. One aggregate + a 1-row corpus-max broadcast."""
-    e = _events(spark, sf_dir)
-    per_type = e.groupBy("event_type").agg(
-        F.max("ts_ms").alias("latest_ts_ms"),
-        F.count(F.lit(1)).alias("n_events"))
-    corpus = e.agg(F.max("ts_ms").alias("corpus_max_ms"))
-    return (per_type.crossJoin(F.broadcast(corpus))
-            .select("event_type", "latest_ts_ms", "n_events",
-                    (F.col("corpus_max_ms") - F.col("latest_ts_ms"))
-                    .alias("staleness_ms"))
-            .orderBy("event_type"))
-
-
-def x_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column null audit over events — the first data-quality query any
-    ingest runs: one aggregate, count + null count per column (long
-    format so new columns don't change the schema)."""
-    e = _events(spark, sf_dir).select("event_id", "user_id", "event_type",
-                                      "ts_ms", "value", "props")
-    aggs = []
-    for c in e.columns:
-        aggs.append(F.struct(
-            F.lit(c).alias("col"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col(c).isNull().cast("bigint")).alias("n_null")))
-    return (e.agg(F.array(*aggs).alias("a"))
-            .select(F.explode("a").alias("r"))
-            .select("r.col", "r.n_rows", "r.n_null")
-            .orderBy("col"))
-
-
-def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_docs(spark, sf_dir))
-
-
-def x_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = text.quality_features(_docs(spark, sf_dir))
-    return out.select("doc_id",
-                      F.col("n_chars_m").cast("bigint").alias("n_chars_m"),
-                      F.col("n_tokens").cast("bigint").alias("n_tokens"),
-                      "mean_token_len", "punct_ratio", "stopword_ratio",
-                      "quality_score")
-
-
-def x_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = text.language_id(_docs(spark, sf_dir))
-    casts = [F.col(c).cast("bigint").alias(c) if c.startswith("score_") else F.col(c)
-             for c in out.columns]
-    return out.select(*casts)
-
-
-def x_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.norm_stats_by_label(_emb(spark, sf_dir))
-
-
-def x_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.brute_force_topk(emb, q, k=5)
-
-
-def x_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The retrieval-augmented fetch: ANN top-k over the embedding corpus
-    joined back to the document store for payload metadata — the two-table
-    pattern every RAG/index serving path runs. The top-k result is
-    pair-scale (queries × k), so the fetch join broadcasts it onto the
-    documents scan via AQE; the corpus never shuffles in either stage."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    hits = similarity.brute_force_topk(emb, q, k=5)
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("vec_id"), "lang", "source", "n_chars")
-    return (hits.join(docs, "vec_id")
-            .select("query_id", "rk", F.col("vec_id").alias("doc_id"),
-                    "score", "lang", "source", "n_chars"))
-
-
-def x_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding quality report: candidate recall/precision against the
-    ground-truth Jaccard pairs (threshold 0.5) — the tuning loop for
-    (num_hashes, bands) runs exactly this query on a corpus sample before
-    committing to a full-corpus dedup. One row: truth/candidate/TP/FN/FP
-    counts plus recall and precision (exact integer counts; ratios derived
-    from them, so cross-engine determinism is free). Ground truth is the
-    full shingle self-join — sample-scale by design; the candidates reuse
-    the production LSH path."""
-    docs = _docs(spark, sf_dir)
-    cand = (dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=3)
-            .select("id_a", "id_b").withColumn("c", F.lit(1)))
-    truth = (dedup.jaccard_pairs(docs, n=3, threshold=0.5)
-             .select("id_a", "id_b").withColumn("t", F.lit(1)))
-    u = truth.join(cand, ["id_a", "id_b"], "full")
-    agg = u.agg(
-        F.sum(F.coalesce("t", F.lit(0))).alias("n_truth"),
-        F.sum(F.coalesce("c", F.lit(0))).alias("n_cand"),
-        F.sum(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
-               .otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("t").isNotNull() & F.col("c").isNull(), 1)
-               .otherwise(0)).alias("fn"),
-        F.sum(F.when(F.col("t").isNull() & F.col("c").isNotNull(), 1)
-               .otherwise(0)).alias("fp"))
-    return agg.select(
-        F.col("n_truth").cast("bigint").alias("n_truth"),
-        F.col("n_cand").cast("bigint").alias("n_cand"),
-        F.col("tp").cast("bigint").alias("tp"),
-        F.col("fn").cast("bigint").alias("fn"),
-        F.col("fp").cast("bigint").alias("fp"),
-        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)),
-                6).alias("recall"),
-        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
-                6).alias("precision"))
-
-
-def x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN, exact-oracle-checked: the md5-parity planes are
-    deterministic and the measured sign margin (min |proj| >= 2e-4 across
-    every vector × plane at all SFs) is 9 orders above float-association
-    noise, so DuckDB reproduces the bucket signatures bit-for-bit (see
-    ``_lsh_bucket_sql``)."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.lsh_bucketed_topk(emb, q, k=5, num_planes=8)
-
-
-def x_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH ANN: the query probes its bucket + all Hamming-1
-    buckets (flip one sign bit) — the standard recall lever at
-    (planes+1)× probe cost, still exactly oracle-reproducible."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.lsh_multiprobe_topk(emb, q, k=5, num_planes=8)
-
-
-def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate ANN, HASH-oracle-checked: the deterministic
-    integer-Lloyd trainer (``ivf_topk_exact``) replaces MLlib KMeans —
-    e6 fixed-point vectors, md5-ordered seeds, fixed iterations with
-    ``sum div count`` centroid updates — so DuckDB replays the centroids,
-    cells, probes, and final cosine ranking bit-for-bit (``_ivf_oracle``).
-    The MLlib-trained ``ivf_topk`` remains the production-speed variant,
-    pytest-checked against brute force.
-
-    ``train_max=512``: Lloyd trains driver-locally on the bounded
-    md5-smallest sample (one TakeOrdered + one collect, FAISS-style) and
-    the full corpus is distance-assigned ONCE — one corpus-wide pass
-    instead of ``iters + 1``, training cost independent of corpus size
-    (the r5 verdict's scale fix; the oracle replays the identical sample
-    so the hash check is unchanged)."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ivf_topk_exact(emb, q, k=5, n_lists=8, n_probe=2,
-                                     iters=3, train_max=512)
-
-
-def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact baseline on a bounded slice
-    (all-pairs is the verification primitive; the LSH-gated variant below is
-    the scale path)."""
-    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
-    return similarity.embedding_neardup_pairs(emb, threshold=0.3)
-
-
-def x_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-gated embedding near-dup over the full corpus, exact-oracle-
-    checked: recall < 1 by design, but the candidate SET is deterministic
-    (md5-parity planes, measured 2e-4 sign margins), so the oracle
-    reproduces the same gated pairs exactly (``_lsh_bucket_sql``)."""
-    return similarity.embedding_neardup_candidates(
-        _emb(spark, sf_dir), threshold=0.3, num_planes=8)
-
-
-def x_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace-ish word tokens + BPE-ish sub-tokens
-    (letter runs / digit runs / single punctuation), both pure Catalyst
-    regex — map-side only at any scale."""
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id",
-                    text.token_count("text").cast("bigint").alias("n_tokens"),
-                    text.word_token_count("text").cast("bigint").alias("n_subtokens"))
-
-
-def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing, ORACLE-checked: the deterministic fake
-    decoder's byte statistics are reproducible from the text's char codes
-    in SQL, so this hash-match proves the whole Python/Arrow path
-    (binary encode → mapInPandas → FEATURE_SCHEMA) end to end. The
-    float32 feature array flattens to doubles (all values < 2^24, exact).
-
-    Arrow/Python stages want FEWER, FATTER partitions than JVM stages: each
-    partition spins a Python worker (pandas import + Arrow init), so the
-    fixture-scale input is coalesced to 8 before crossing the boundary —
-    fat Arrow batches amortize the per-worker overhead. At real scale the
-    partition count comes from the data and executors, not this clamp."""
-    media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
-    out = multimodal.extract_features(media, fake=True)
-    return out.select(
-        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
-        "checksum",
-        *[F.element_at("features", i + 1).cast("double").alias(f"f{i}")
-          for i in range(8)])
-
-
-def x_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media resize plumbing, ORACLE-checked via output-buffer md5: the
-    stride sampler / NUL padding is reproducible from the text's chars in
-    SQL, so the hash-match proves the binary-in/binary-out Arrow stage."""
-    media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
-    out = multimodal.resize(media, width=8, height=8)
-    return out.select("media_id", "width", "height",
-                      F.md5("payload").alias("payload_fp"))
-
-
-def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing, ORACLE-checked via per-frame md5 (every
-    4th 16-byte chunk is a substring SQL reproduces exactly)."""
-    media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
-    out = multimodal.frame_sample(media, every_n=4, frame_bytes=16)
-    return out.select("media_id", "frame_no", F.md5("frame").alias("frame_fp"))
-
-
-def x_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio frame-energy plumbing, ORACLE-checked exactly: the fake PCM
-    reads payload bytes as unsigned 8-bit samples, and the fixture text is
-    ASCII, so SQL reproduces each frame's sum-of-squares from char codes."""
-    media = multimodal.attach_binary_payload(_docs(spark, sf_dir).coalesce(8))
-    return multimodal.audio_energy(media, frame_samples=32)
-
-
-def x_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style minute/hour/day/total rollup of event counts and
-    fixed-point value sums per event_type — ALL resolutions in one shuffle
-    (single Expand + hash aggregate), not one groupBy per tier."""
-    e = _events(spark, sf_dir).withColumn(
-        "v_e4", F.round(F.col("value") * 10000).cast("bigint"))
-    return rollup.hierarchical_rollup(
-        e, "ts_ms", keys=["event_type"],
-        aggs=[F.count(F.lit(1)).alias("cnt"),
-              F.sum("v_e4").alias("sum_value_e4")])
-
-
-def x_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment per doc (80/10/10 by md5
-    unit hash — stable under corpus growth, no leakage across re-runs),
-    plus the per-source split counts a dataset card reports."""
-    d = sketches.train_val_test_split(
-        _docs(spark, sf_dir).select("doc_id", "source"), key_col="doc_id")
-    return (d.groupBy("source", "split")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy("source", "split"))
-
-
-def x_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-WIDE token offsets via the two-phase distributed prefix sum
-    (range-partition → local cumsum → partition totals cumsum broadcast
-    back) — no single-partition window anywhere; the global analog of
-    x_pack_offsets' per-shard form. Offsets feed shard assignment:
-    shard = running_total div budget."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.size(text.tokens("text")).cast("bigint").alias("n_tokens"))
-    out = stats.global_prefix_sum(d, "n_tokens", "doc_id",
-                                  out_col="end_offset")
-    return (out.select("doc_id", "n_tokens", "end_offset",
-                       (F.col("end_offset") - F.col("n_tokens"))
-                       .alias("start_offset"),
-                       F.expr("(end_offset - n_tokens) div 4096")
-                       .cast("bigint").alias("shard"))
-            .orderBy("doc_id"))
-
-
-def x_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus length report: doc counts + token mass per power-of-two
-    token-count bucket (the length histogram every corpus card prints).
-    One map-side bucket expression + one tiny aggregate; empty docs land
-    in bucket -1."""
-    d = _docs(spark, sf_dir).select(
-        F.size(text.tokens("text")).cast("bigint").alias("n_tokens"))
-    bucket = (F.when(F.col("n_tokens") > 0,
-                     F.floor(F.log2("n_tokens")).cast("bigint"))
-               .otherwise(F.lit(-1)))
-    return (d.select(bucket.alias("log2_bucket"), "n_tokens")
-            .groupBy("log2_bucket")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tokens").alias("total_tokens"))
-            .orderBy("log2_bucket"))
-
-
-def x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 corpus vocabulary with term/doc frequencies — explode, one
-    hash agg, TakeOrdered; the tokenizer-training first pass."""
-    return text.vocab_topk(_docs(spark, sf_dir), k=100)
-
-
-_SEARCH_TERMS = ["table", "join", "window"]
-
-
-def x_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean AND retrieval with TF ranking: docs containing EVERY query
-    term, scored by total matched-term frequency. The inverted-index
-    shape: explode to (doc, term), semi-restrict to the query terms
-    (tiny IN-list, evaluated map-side), one aggregate with a HAVING on
-    distinct matched terms — no full-corpus scoring, no UDFs. Top-20 via
-    TakeOrderedAndProject."""
-    d = _docs(spark, sf_dir)
-    tok = (d.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("tok"))
-            .filter(F.col("tok").isin(*_SEARCH_TERMS)))
-    return (tok.groupBy("doc_id")
-            .agg(F.countDistinct("tok").alias("n_terms"),
-                 F.count(F.lit(1)).alias("tf_sum"))
-            .filter(F.col("n_terms") == len(_SEARCH_TERMS))
-            .select("doc_id", "tf_sum")
-            .orderBy(F.col("tf_sum").desc(), "doc_id")
-            .limit(20))
-
-
-def x_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index construction: per token, document frequency,
-    collection frequency, and the posting list as a sorted ``doc:tf``
-    string (string form keeps the contract engine-portable). One explode +
-    two keyed aggregates on well-distributed token keys; the df floor
-    bounds output to common-token scale (a production index keeps all
-    tokens but shards postings by token — same plan shape)."""
-    d = _docs(spark, sf_dir)
-    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
-    per_doc = tok.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    return (per_doc.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("df"),
-                 F.sum("tf").alias("cf"),
-                 F.concat_ws(",", F.array_sort(F.collect_list(
-                     F.concat_ws(":", F.col("doc_id"), F.col("tf")))))
-                  .alias("postings"))
-            .filter(F.col("df") >= 10))
-
-
-def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene-style idf) for the
-    standing query terms, OR semantics: any doc matching a term scores.
-
-    Scale shape: hits are the term-filtered explode (tiny next to the
-    corpus), per-term df and the (N, avgdl) constants are broadcast
-    aggregates, and the only corpus-keyed join attaches doc length to the
-    hit rows. Per-term scores scale to exact e6 integers BEFORE the sum so
-    the ranking key is order-independent (double summation is not);
-    top-20 via TakeOrderedAndProject."""
-    d = _docs(spark, sf_dir)
-    dl = d.select("doc_id", F.size(text.tokens("text")).alias("dl"))
-    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
-    hits = (tok.filter(F.col("tok").isin(*_SEARCH_TERMS))
-               .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = hits.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfreq"))
-    consts = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.avg("dl").alias("avgdl"))
-    scored = (hits.join(F.broadcast(dfreq), "tok")
-                  .join(dl, "doc_id")
-                  .crossJoin(F.broadcast(consts)))
-    idf = F.log((F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
-                / (F.col("dfreq") + F.lit(0.5)) + F.lit(1.0))
-    denom = (F.col("tf") + F.lit(1.2)
-             * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")))
-    term_score = idf * F.col("tf") * F.lit(2.2) / denom
-    per_term = scored.select(
-        "doc_id", F.round(term_score * F.lit(1000000.0)).cast("bigint")
-                   .alias("s_e6"))
-    return (per_term.groupBy("doc_id").agg(F.sum("s_e6").alias("score_e6"))
-            .orderBy(F.desc("score_e6"), "doc_id").limit(20)
-            .select("doc_id", "score_e6",
-                    F.round(F.col("score_e6") / F.lit(1000000.0), 6)
-                     .alias("bm25")))
-
-
-def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 TF-IDF terms per document (keyword extraction): two keyed
-    aggregates + a term join + partition-local top-k."""
-    return text.tfidf_topk(_docs(spark, sf_dir), k=5)
-
-
-def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc token-distribution entropy (nats, e6 fixed point) — the
-    distribution-side gibberish/repetition signal."""
-    return text.token_entropy(_docs(spark, sf_dir))
-
-
-def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-aware perplexity proxy: mean add-one-smoothed corpus bigram
-    conditional log-probability per doc (fixed-point e6, order-free sum)."""
-    return text.bigram_logprob(_docs(spark, sf_dir))
-
-
-def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval n-gram decontamination: overlap pairs between the corpus
-    and a held-out slice (doc_id % 50 == 0). Eval shingles broadcast; the
-    corpus streams map-side through one explode + hash join."""
-    docs = _docs(spark, sf_dir)
-    ev = docs.filter(F.col("doc_id") % 50 == 0)
-    tr = docs.filter(F.col("doc_id") % 50 != 0)
-    return contamination.ngram_overlap(tr, ev, n=5, min_shared=1)
-
-
-def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signals per doc: duplicate-token fraction,
-    top-token fraction, top-bigram fraction — explode + two-level agg."""
-    return text.repetition_features(_docs(spark, sf_dir))
-
-
-def x_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII hit counts + redacted-text fingerprint per doc (all JVM-side
-    regexp; one map pass, no shuffle)."""
-    return pii.pii_features(_docs(spark, sf_dir))
-
-
-def x_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk packing offsets (seq_len=256) per source shard:
-    one prefix-sum window pass, partitioned so no global sort exists."""
-    return packing.pack_offsets(_docs(spark, sf_dir), seq_len=256)
-
-
-def x_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source token shares + uniform-target sampling weights: one tiny
-    aggregate + unpartitioned window over the per-source rows."""
-    return packing.source_mixture(_docs(spark, sf_dir))
-
-
-def x_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking (64-token chunks, 16 overlap):
-    map-side-only posexplode+slice, chunk bodies leave only as md5 fps."""
-    return packing.chunk_documents(_docs(spark, sf_dir),
-                                   chunk_size=64, overlap=16)
-
-
-def x_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level duplication report: 8-token spans in ≥2 distinct docs —
-    fingerprint map-side, one exact distinct-count aggregate."""
-    return dedup.repeated_spans(_docs(spark, sf_dir), n=8, min_docs=2)
-
-
-def x_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed C4-style cleaning verdict (length/repetition/stopword/PII/
-    dedup) with per-rule audit flags: one scan + one fingerprint window."""
-    return filtering.corpus_filter(_docs(spark, sf_dir))
-
-
-def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet as a file-source stream.
-
-    The file source only monitors directories, so the single parquet file
-    is exposed through a per-(file,mtime) temp dir of symlinks — no data
-    copy, and a regenerated fixture invalidates the cache key."""
-    import hashlib
-    import os
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}".encode()
-    ).hexdigest()[:12]
-    link_dir = os.path.join(_tempfile.gettempdir(), f"frde_docs_{tag}")
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    batch = _docs(spark, sf_dir)
-    return spark.readStream.schema(batch.schema).parquet(link_dir)
-
-
-def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ingest filter: the documents parquet replayed through the
-    file-stream source into the stateless rule flags (no watermark, no
-    state store — the micro-batch is pure map work). Oracle = the batch
-    rules minus the dedup flag."""
-    stream = _docs_stream(spark, sf_dir)
-    return _run_to_memory(filtering.corpus_filter_stream(stream), spark)
-
-
-def x_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup on the S1 file-replay source:
-    ``dropDuplicatesWithinWatermark`` on the content fingerprint keeps
-    dedup state bounded by the watermark horizon (vs an ever-growing
-    seen-set). Event time is synthesized per doc (1 s apart by doc_id) so
-    the watermark semantics are exercised, not bypassed.
-
-    Output is the surviving fingerprint set ONLY: which representative row
-    survives depends on micro-batch arrival order, but the fp set does
-    not — so the result is deterministic and hash-matches the batch
-    ``DISTINCT md5(norm(text))`` oracle."""
-    stream = _docs_stream(spark, sf_dir).withColumn(
-        "ts", F.timestamp_millis(F.lit(1_700_000_000_000)
-                                 + F.col("doc_id") * 1000))
-    out = dedup.exact_dedup_stream(stream, "ts", watermark="10 seconds")
-    return _run_to_memory(out.select("fp"), spark)
-
-
-def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perplexity-style quality signal: mean add-one-smoothed corpus
-    unigram log-probability per doc (fixed-point per-term, order-free
-    sum)."""
-    return text.unigram_logprob(_docs(spark, sf_dir))
-
-
-def x_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 embedding quantization (storage format): map-side
-    transform only; quantized vectors compare as md5 fingerprints."""
-    return similarity.quantize_int8(_emb(spark, sf_dir))
-
-
-def x_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-layout round trip UNDER the oracle gate: events written
-    partitioned by event_type (cached per sf_dir), read back through the
-    pruned scan, aggregated per user for one partition value. A hash match
-    proves the partitioned layout preserves rows/values exactly and the
-    partition-column round trip is lossless — the write path as an
-    oracle-checked query, not just a unit test."""
-    import hashlib
-    import os
-    from .operators.bucketing import write_partitioned
-    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type",
-                                       "ts_ms", "value")
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}"
-                      .encode()).hexdigest()[:12]
-    path = os.path.join(_tempfile.gettempdir(), f"frde_part_{tag}")
-    marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker):
-        back = (spark.read.schema(ev.schema).parquet(path)
-                .select(*[f.name for f in ev.schema.fields]))
-    else:
-        back = write_partitioned(ev, path, "event_type")
-    return (back.filter(F.col("event_type") == "click")
-                .groupBy("user_id")
-                .agg(F.count(F.lit(1)).alias("n_clicks"),
-                     F.sum(F.round(F.col("value") * 10_000).cast("bigint"))
-                      .alias("sum_value_e4"))
-                .orderBy("user_id"))
-
-
-def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS ((event_type), (day)) — two independent
-    one-dimension aggregates in ONE Expand + hash-aggregate pass (neither
-    cube nor rollup expresses this set list; the per-row fan-out is 2×,
-    never 2 scans). grouping_id disambiguates rolled-up NULLs, as in
-    q_returns_cube."""
-    e = (_events(spark, sf_dir)
-         .withColumn("day", F.expr("ts_ms div 86400000").cast("bigint")))
-    return (e.groupingSets([["event_type"], ["day"]], "event_type", "day")
-             .agg(F.grouping_id().cast("bigint").alias("gid"),
-                  F.count(F.lit(1)).alias("n_events"),
-                  F.sum(F.round(F.col("value") * 10_000).cast("bigint"))
-                   .alias("sum_value_e4"))
-             .orderBy("gid", "event_type", "day"))
-
-
-def x_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) layout round trip UNDER the oracle gate: events
-    written range-partitioned + sorted on the interleaved
-    (user_id, day) code (cached per sf_dir), read back through a 2-D box
-    predicate on the RAW columns, aggregated. The hash match proves the
-    layout is lossless and the box filter semantics survive the
-    round trip; the row-group-skip pytest proves the layout actually
-    prunes (footer min/max stats, both dimensions)."""
-    import hashlib
-    import os
-    from .operators.bucketing import write_zordered
-    ev = (_events(spark, sf_dir)
-          .select("event_id", "user_id", "event_type", "ts_ms", "value")
-          .withColumn("day", F.expr("ts_ms div 86400000").cast("bigint")))
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}"
-                      .encode()).hexdigest()[:12]
-    path = os.path.join(_tempfile.gettempdir(), f"frde_zord_{tag}")
-    marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker):
-        back = (spark.read.schema(ev.schema).parquet(path)
-                .select(*[f.name for f in ev.schema.fields]))
-    else:
-        back = write_zordered(ev, path, "user_id", "day", bits=8)
-    lo_u, hi_u, lo_d, hi_d = 100, 140, 19730, 19739
-    return (back.filter((F.col("user_id") >= lo_u) & (F.col("user_id") <= hi_u)
-                        & (F.col("day") >= lo_d) & (F.col("day") <= hi_d))
-                .groupBy("event_type")
-                .agg(F.count(F.lit(1)).alias("n_events"),
-                     F.sum(F.round(F.col("value") * 10_000).cast("bigint"))
-                      .alias("sum_value_e4"))
-                .orderBy("event_type"))
-
-
-def x_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic-gap sessionization (Spark's session_window(col, expr)
-    capability, lag form): a 'click' holds its session open 30 min, any
-    other event 10 min — per-session aggregates per user."""
-    gap = (F.when(F.col("event_type") == "click", F.lit(1_800_000))
-            .otherwise(F.lit(600_000)))
-    labeled = windows.sessionize_dynamic(
-        _events(spark, sf_dir)
-        .select("user_id", "event_type", "ts_ms", "event_id"),
-        ["user_id"], "ts_ms", gap, order_by=["event_id"])
-    return (labeled.groupBy("user_id", "session_start_ms")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.max("ts_ms").alias("last_ts_ms"))
-            .orderBy("user_id", "session_start_ms"))
-
-
-def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram PMI over documents (phrase-mining primitive): map-side
-    zip_with bigrams, two aggregates, vocabulary-sized broadcast joins."""
-    return text.collocations(_docs(spark, sf_dir), min_count=5)
-
-
-def x_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event lag features (feature-engineering primitive): previous
-    value and inter-event gap per user — one key-partition window pass,
-    exact integer/fixed-point outputs."""
-    e = _events(spark, sf_dir).select("user_id", "ts_ms", "event_id", "value")
-    from pyspark.sql import Window as W
-    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    prev_v = F.lag(F.round(F.col("value") * 10_000).cast("bigint")).over(w)
-    prev_t = F.lag("ts_ms").over(w)
-    return e.select(
-        "user_id", "ts_ms", "event_id",
-        F.round(F.col("value") * 10_000).cast("bigint").alias("value_e4"),
-        F.coalesce(prev_v, F.lit(-1)).alias("prev_value_e4"),
-        F.coalesce(F.col("ts_ms") - prev_t, F.lit(-1)).alias("gap_ms"))
-
-
-def x_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct users per 6 h tumbling window — Spark plans the
-    windowed COUNT(DISTINCT) as the two-phase expand aggregate (partial
-    distinct map-side), never a per-window row collect."""
-    e = _events(spark, sf_dir)
-    return windows.tumbling_agg(
-        e, "ts_ms", 21_600_000,
-        aggs=[F.countDistinct("user_id").alias("n_users"),
-              F.count(F.lit(1)).alias("n_events")])
-
-
-def x_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trending top-k: the 3 most active users per 6 h tumbling window —
-    one windowed count aggregate, then a rank window partitioned BY THE
-    TIME WINDOW (partition-local top-k; adding the window key to the rank
-    partition is what keeps this scalable — a global rank would funnel)."""
-    from pyspark.sql import Window as W
-    counts = windows.tumbling_agg(
-        _events(spark, sf_dir), "ts_ms", 21_600_000, keys=["user_id"],
-        aggs=[F.count(F.lit(1)).alias("n_events")])
-    w = W.partitionBy("window_start_ms").orderBy(
-        F.col("n_events").desc(), F.col("user_id"))
-    return (counts.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 3)
-            .orderBy("window_start_ms", "rk"))
-
-
-def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-level profiling report — the data-quality staple run before
-    any pipeline trusts a new drop: per column, row/null/distinct counts
-    and min/max (numerics as exact e6-scaled integers, strings raw, so the
-    contract is engine-portable with no float-formatting ambiguity).
-
-    Scale shape: ONE wide aggregate computes every metric in a single
-    corpus pass (the multi-countDistinct expands rows by #columns before
-    the partial agg — a constant-factor map-side cost, not an extra scan),
-    then a stack() pivots the 1-row result to long form driver-free."""
-    e = _events(spark, sf_dir)
-    num_cols = ["event_id", "user_id", "ts_ms"]
-    dbl_cols = ["value"]
-    str_cols = ["event_type", "props"]
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in num_cols + dbl_cols + str_cols:
-        aggs += [F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                  .alias(f"{c}__nn"),
-                 F.countDistinct(c).alias(f"{c}__nd")]
-    for c in num_cols:
-        aggs += [(F.min(c) * 1_000_000).cast("bigint").alias(f"{c}__mn"),
-                 (F.max(c) * 1_000_000).cast("bigint").alias(f"{c}__mx")]
-    for c in dbl_cols:
-        aggs += [F.round(F.min(c) * 1_000_000).cast("bigint")
-                  .alias(f"{c}__mn"),
-                 F.round(F.max(c) * 1_000_000).cast("bigint")
-                  .alias(f"{c}__mx")]
-    for c in str_cols:
-        aggs += [F.min(c).alias(f"{c}__smn"), F.max(c).alias(f"{c}__smx")]
-    wide = e.agg(*aggs)
-    parts = []
-    for c in num_cols + dbl_cols:
-        parts.append(f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, "
-                     "CAST(NULL AS STRING), CAST(NULL AS STRING)")
-    for c in str_cols:
-        parts.append(f"'{c}', {c}__nn, {c}__nd, CAST(NULL AS BIGINT), "
-                     f"CAST(NULL AS BIGINT), {c}__smn, {c}__smx")
-    n = len(num_cols) + len(dbl_cols) + len(str_cols)
-    stacked = wide.selectExpr(
-        "n_rows",
-        f"stack({n}, {', '.join(parts)}) AS "
-        "(col_name, n_null, n_distinct, min_e6, max_e6, min_str, max_str)")
-    return stacked.select("col_name", "n_rows",
-                          F.col("n_null").cast("bigint").alias("n_null"),
-                          F.col("n_distinct").cast("bigint")
-                           .alias("n_distinct"),
-                          "min_e6", "max_e6", "min_str", "max_str")
-
-
-def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series resample + gap fill — the hypertable op the event table
-    invites: per user, an hourly grid from first to last observation,
-    each hour carrying its event count and the last-observed value
-    (forward-filled across empty hours).
-
-    Scale shape: the hourly "close" is ONE hash aggregate
-    (``max(struct(ts, id, value))`` — no per-hour window sort); the grid
-    explodes a bounded ``sequence`` per user (span-hours, data-independent
-    fan-out); the forward fill is ``last(ignorenulls)`` over a per-user
-    window ordered by hour — grid-sized input, never raw events. No
-    corpus-wide sort anywhere."""
-    e = _events(spark, sf_dir)
-    hourly = (e.groupBy("user_id",
-                        F.floor(F.col("ts_ms") / 3_600_000).cast("bigint")
-                         .alias("h"))
-               .agg(F.count(F.lit(1)).alias("n_events"),
-                    F.max(F.struct("ts_ms", "event_id", "value")).alias("m"))
-               .select("user_id", "h", "n_events",
-                       F.col("m.value").alias("close")))
-    spans = hourly.groupBy("user_id").agg(F.min("h").alias("h0"),
-                                          F.max("h").alias("h1"))
-    grid = spans.select("user_id",
-                        F.explode(F.sequence("h0", "h1")).alias("h"))
-    joined = grid.join(hourly, ["user_id", "h"], "left")
-    from pyspark.sql import Window as W
-    w = W.partitionBy("user_id").orderBy("h")
-    return joined.select(
-        "user_id", (F.col("h") * 3_600_000).cast("bigint").alias("hour_ms"),
-        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint")
-         .alias("n_events"),
-        F.round(F.last("close", ignorenulls=True).over(w), 6)
-         .alias("value_ffill"))
-
-
-def x_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-record-per-key compaction — the CDC/upsert read primitive
-    (mirror of what a MERGE materializes): each user's most recent event
-    wins, ties broken by event_id.
-
-    Scale shape: ONE hash aggregate of ``max(struct(ts, id, payload))``
-    (struct max compares fieldwise, so the ordering is total and
-    deterministic) — partial aggregation halves shuffle volume and there is
-    no per-key window sort; the window row_number form shuffles the same
-    rows but sorts every partition. The aggregate IS the compaction."""
-    e = _events(spark, sf_dir)
-    latest = (e.groupBy("user_id")
-               .agg(F.max(F.struct("ts_ms", "event_id", "event_type",
-                                   "value")).alias("m")))
-    return latest.select(
-        "user_id", F.col("m.ts_ms").alias("ts_ms"),
-        F.col("m.event_id").alias("event_id"),
-        F.col("m.event_type").alias("event_type"),
-        F.round(F.col("m.value"), 6).alias("value"))
-
-
-def x_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic proportional source interleaving: the training-order
-    shuffle. Each doc gets a per-source sequence number r (md5-hash order,
-    so the permutation is reproducible) and a stride position
-    ``(r - 0.5) / n_source`` — sorting by it round-robins sources
-    proportionally to their size, so a consumer reading in position order
-    sees the mixture ratio in every prefix.
-
-    Scale note: ranks here come from a per-source window (fine while
-    source count × docs-per-source fits a task after AQE split); at
-    corpus scale swap the rank for the two-phase distributed prefix sum
-    (`operators/stats.py:global_prefix_sum`) keyed by source — the
-    position formula is unchanged."""
-    d = _docs(spark, sf_dir)
-    from pyspark.sql import Window as W
-    from .functions.dedup import _md5_hash32
-    h = _md5_hash32("ilv", F.col("doc_id").cast("string"))
-    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
-    ranked = d.select("doc_id", "source",
-                      F.row_number().over(w).alias("r"))
-    n_s = ranked.groupBy("source").agg(F.max("r").alias("n_source"))
-    return (ranked.join(F.broadcast(n_s), "source")
-            .select("doc_id", "source", F.col("r").cast("bigint").alias("r"),
-                    F.col("n_source").cast("bigint").alias("n_source"),
-                    F.round((F.col("r") - F.lit(0.5))
-                            / F.col("n_source"), 6).alias("position")))
-
-
-def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event session labeling (1 h gap, same rule as a4's aggregate
-    form): gaps-and-islands over one user-partition shuffle."""
-    out = windows.sessionize(_events(spark, sf_dir), ["user_id"], "ts_ms",
-                             3_600_000, order_by=["event_id"])
-    return out.select("event_id", "user_id", "ts_ms",
-                      "session_start_ms", "event_seq")
-
-
-def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-ball near-dup pairs: pigeonhole band join (4×8-bit
-    slices ⇒ distance ≤3 pairs must share a slice), exact bit_count verify.
-    Oracle is the brute-force all-pairs form — proving the banding is
-    lossless."""
-    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir),
-                                       bands=4, max_hamming=3)
-
-
-def x_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event trailing 1 h activity features (RANGE frame per row —
-    the rolling-feature primitive tumbling windows can't express)."""
-    return windows.trailing_agg(_events(spark, sf_dir), ["user_id"],
-                                "ts_ms", 3_600_000, "value")
-
-
-def x_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-operation segmentation: INTERSECT (users who both clicked and
-    purchased) and EXCEPT (clicked but never purchased) — Catalyst plans
-    both as semi/anti joins over the distinct key sets, no row blowup.
-    Output: one row per user with the segment label."""
-    e = _events(spark, sf_dir)
-    clickers = e.filter(F.col("event_type") == "click").select("user_id")
-    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
-    both = clickers.intersect(buyers).withColumn("segment", F.lit("click_and_buy"))
-    # subtract = EXCEPT DISTINCT. exceptAll would be a bug here: a user
-    # with 5 clicks and 2 purchases survives the multiset difference
-    # (5-2=3 occurrences) and lands in BOTH segments.
-    only = clickers.subtract(buyers).withColumn("segment", F.lit("click_no_buy"))
-    return both.unionByName(only).orderBy("segment", "user_id")
-
-
-def x_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey-fence outlier counts per event type: exact quartiles broadcast
-    back onto the scan for a map-side flag — the numeric data-quality
-    gate."""
-    return stats.iqr_outliers(_events(spark, sf_dir), "event_type", "value")
-
-
-def x_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle-key skew diagnostic over events(event_type, user_id): one
-    (col,value) aggregate + two-level bucketed top-k + broadcast stats —
-    no per-column single-partition funnel anywhere."""
-    return stats.key_skew_profile(_events(spark, sf_dir),
-                                  ["event_type", "user_id"], k=10)
-
-
-def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact p25/p50/p90/p99 of event value per type: per-group sort inside
-    ONE hash aggregate, never a global sort."""
-    return stats.exact_group_quantiles(
-        _events(spark, sf_dir), ["event_type"], "value")
-
-
-def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV distinct-count sketch over events.user_id (k=256): one hash
-    projection + TakeOrdered(k) — the 100 TB answer to COUNT DISTINCT."""
-    return sketches.kmv_distinct(_events(spark, sf_dir), "user_id", k=256)
-
-
-def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 10% document sample keyed on doc_id — map-side filter,
-    identical row choice on every engine/run."""
-    return sketches.hash_sample(_docs(spark, sf_dir), "doc_id", 0.1) \
-        .select("doc_id", "lang", "source")
-
-
-def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sample without replacement: 100 docs drawn proportional to
-    length (n_chars) via deterministic Efraimidis-Spirakis scores — the
-    quality/length-weighted corpus draw a training mix needs. Map-side
-    score + TakeOrderedAndProject; no global sort."""
-    d = _docs(spark, sf_dir)
-    out = sketches.weighted_sample_topk(d, key_col="doc_id",
-                                        weight_col="n_chars", k=100)
-    return out.select("doc_id", "source", "n_chars", "score")
-
-
-def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified deterministic sampling: keep ALL rare purchases, 5% of
-    views, 20% of everything else — the class-rebalance primitive."""
-    out = sketches.stratified_hash_sample(
-        _events(spark, sf_dir), strata_col="event_type", key_col="event_id",
-        rates={"purchase": 1.0, "view": 0.05}, default_rate=0.2)
-    return out.select("event_id", "user_id", "event_type")
-
-
-def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runtime Bloom-filter join pruning: build a bitmap over the filtered
-    customer keys (the small build side), map-side prune orders BEFORE any
-    exchange, then an exact semi-join clears the Bloom's false positives —
-    result byte-identical to the plain semi-join, but at 100 TB the fact
-    scan ships only the ~1/segment fraction that can match. The explicit,
-    tunable form of AQE's InjectRuntimeFilter."""
-    cust = (load_table(_prep(spark), sf_dir, "customer")
-            .where(F.col("c_mktsegment") == "BUILDING"))
-    orders = load_table(_prep(spark), sf_dir, "orders")
-    hit = sketches.bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
-    return (hit.groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.sum(F.round(F.col("o_totalprice") * 10000).cast("bigint"))
-                  .cast("bigint").alias("revenue_e4"))
-            .orderBy("o_orderpriority"))
-
-
-def x_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch point queries: per-user event counts estimated
-    from a 4x256 sketch whose shuffle is bounded by the SKETCH size (not
-    the key cardinality), probed for a 10-user watchlist and compared to
-    the exact counts — overcount shows the collision inflation CMS trades
-    for its fixed footprint. md5 bucket hashes make the sketch (and so
-    the estimates) bit-identical in the SQL oracle."""
-    e = _events(spark, sf_dir)
-    vals = e.select("user_id")
-    sk = sketches.cms_sketch(vals, "user_id", depth=4, width=256)
-    watch = vals.where(F.col("user_id") < 10).distinct()
-    est = sketches.cms_estimate(watch, "user_id", sk, depth=4, width=256)
-    exact = (vals.where(F.col("user_id") < 10).groupBy("user_id")
-             .agg(F.count(F.lit(1)).alias("n_exact")))
-    return (est.join(exact, "user_id")
-            .select("user_id", F.col("n_exact").cast("bigint").alias("n_exact"),
-                    "cms_est",
-                    (F.col("cms_est") - F.col("n_exact")).cast("bigint")
-                    .alias("overcount"))
-            .orderBy("user_id"))
-
-
-def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact corpus heavy hitters without a full-vocabulary groupBy:
-    per-partition candidate generation (pigeonhole: a token with global
-    count >= T has local count >= T/P somewhere) + exact count restricted
-    to candidates — the remaining shuffle carries candidate tokens only.
-    The candidate pass is partition-local state, so it runs as
-    Arrow-batched mapInPandas; the exact verify makes the output
-    partitioning-invariant and oracle-checkable."""
-    toks = _docs(spark, sf_dir).select(
-        F.explode(text.tokens("text")).alias("tok"))
-    # load_table repartitions the doc scan to defaultParallelism and the
-    # explode is map-side, so defaultParallelism IS the token frame's
-    # partition count — passing it skips the .rdd introspection that
-    # would execute the repartition shuffle twice under AQE.
-    return (sketches.heavy_hitters(
-                toks, "tok", threshold=700,
-                num_partitions=spark.sparkContext.defaultParallelism)
-            .orderBy("tok"))
-
-
-def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paragraph-level dedup with document reconstruction (the
-    sub-document stage between exact and near dedup): keep the globally
-    first occurrence of every 8-token chunk, stitch survivors back per
-    doc. One chunking explode + one high-cardinality window + one
-    re-aggregation."""
-    return dedup.paragraph_dedup(_docs(spark, sf_dir), chunk_tokens=8)
-
-
-def x_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CEP-lite strict-contiguity pattern match (Flink CEP
-    begin('view').next('click').next('purchase').within(24h) analog):
-    stacked lead() windows on ONE user-partition sort detect every
-    position whose consecutive event types equal the pattern."""
-    return funnel.sequence_match(_events(spark, sf_dir),
-                                 ["view", "click", "purchase"],
-                                 within_ms=86_400_000)
-
-
-def x_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD type-2 dimension build from the event log: collapse each
-    user's stream into (value, valid_from, valid_to, is_current) validity
-    intervals — change detection via lag, interval close via lead over
-    the already-collapsed change points."""
-    return funnel.scd2_intervals(_events(spark, sf_dir))
-
-
-def x_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC MERGE apply — the missing piece next to latest-per-key
-    compaction (x_compact_latest): a change log with DELETES. Events play
-    the log per user ('error' = delete marker, everything else = upsert
-    of value); the applied state is each user's LAST operation if it was
-    an upsert, or absent if the tombstone came last.
-
-    One ``max(struct(ts, id, op, payload))`` hash aggregate + a map-side
-    tombstone filter — same single-shuffle shape as the compaction, which
-    is exactly how a MERGE materializes at 100 TB (never a per-key loop).
-    """
-    e = _events(spark, sf_dir)
-    last = (e.groupBy("user_id")
-            .agg(F.max(F.struct("ts_ms", "event_id", "event_type", "value"))
-                 .alias("m")))
-    return (last.where(F.col("m.event_type") != "error")
-            .select("user_id", F.col("m.ts_ms").alias("ts_ms"),
-                    F.col("m.event_id").alias("event_id"),
-                    F.col("m.event_type").alias("last_op"),
-                    F.round(F.col("m.value"), 6).alias("value")))
-
-
-def x_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking (the rsync/LBFS trick, token-granular):
-    a chunk boundary falls AFTER any token whose hash ≡ 0 (mod 8), so
-    boundaries depend on content, not position — inserting a token early
-    in a document shifts fixed-size chunk frames (x_paragraph_dedup's
-    weakness) but leaves every later CDC chunk identical, which is what
-    makes chunk-level dedup robust to edits.
-
-    Plan: tokenize map-side, per-doc running boundary count (window over
-    (doc, position) — partitioned by doc, so it spreads), group tokens
-    into chunks, fingerprint, then count cross-corpus duplication per
-    chunk fingerprint. Output: one row per distinct chunk with n_docs /
-    n_occurrences, duplicated chunks only (n_occurrences > 1)."""
-    from pyspark.sql import Window as W
-    d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " "))
-        .alias("pos", "tok"))
-    h = dedup._md5_hash32("cdc", F.col("tok"))
-    w = (W.partitionBy("doc_id").orderBy("pos")
-         .rowsBetween(W.unboundedPreceding, -1))
-    # chunk id = number of boundary tokens strictly BEFORE this one: the
-    # boundary token closes its own chunk.
-    marked = toks.withColumn("is_b", (h % 8 == 0).cast("bigint"))
-    chunked = marked.withColumn(
-        "chunk_idx", F.coalesce(F.sum("is_b").over(w), F.lit(0)))
-    chunks = (chunked.groupBy("doc_id", "chunk_idx")
-              .agg(F.concat_ws(
-                  " ",
-                  F.transform(F.array_sort(F.collect_list(
-                      F.struct("pos", "tok"))),
-                      lambda x: x["tok"])).alias("chunk")))
-    return (chunks.groupBy(F.md5("chunk").alias("chunk_fp"))
-            .agg(F.countDistinct("doc_id").alias("n_docs"),
-                 F.count(F.lit(1)).alias("n_occurrences"))
-            .where(F.col("n_occurrences") > 1))
-
-
-def x_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental aggregate maintenance (the materialized-view merge):
-    daily partials (cnt, sum, min, max) merged into calendar-month
-    aggregates WITHOUT touching raw rows again — count→sum, sum→sum,
-    min→min, max→max are decomposable, the algebra that makes MV/rollup
-    refresh possible at 100 TB (a monthly refresh reads ~30 partial rows
-    per key, not a month of raw events). avg is carried as (sum, cnt) and
-    derived at the end — the standard treatment of non-decomposable
-    aggregates. The oracle computes the monthly numbers directly from raw
-    events; equality IS the merge-correctness proof."""
-    e = _events(spark, sf_dir).withColumn(
-        "v_e4", F.round(F.col("value") * 10000).cast("bigint"))
-    day = (F.floor(F.col("ts_ms") / 86_400_000) * 86_400_000).cast("bigint")
-    daily = (e.groupBy("event_type", day.alias("day_ms"))
-             .agg(F.count(F.lit(1)).alias("cnt"),
-                  F.sum("v_e4").alias("sum_e4"),
-                  F.min("v_e4").alias("min_e4"),
-                  F.max("v_e4").alias("max_e4")))
-    month = F.unix_millis(F.date_trunc(
-        "month", F.timestamp_millis(F.col("day_ms"))))
-    return (daily.groupBy("event_type", month.alias("month_ms"))
-            .agg(F.sum("cnt").cast("bigint").alias("cnt"),
-                 F.sum("sum_e4").cast("bigint").alias("sum_value_e4"),
-                 F.min("min_e4").cast("bigint").alias("min_value_e4"),
-                 F.max("max_e4").cast("bigint").alias("max_value_e4"))
-            .withColumn("avg_value",
-                        F.round(F.col("sum_value_e4") / F.col("cnt") / 1e4, 6))
-            .orderBy("event_type", "month_ms"))
-
-
-def x_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time disorder profile — the measurement that picks W1's
-    bounded-out-of-orderness delay: per event_type, how many events
-    arrive (arrival order = event_id, the generator's emit order) with an
-    event time BEHIND the running maximum, and how far behind (max and
-    mean regression). A stream with max_late_ms ≤ D is fully captured by
-    ``withWatermark(ts, D)``.
-
-    The running max is the grouped two-phase prefix max
-    (``stats.global_prefix_max(group_cols=["event_type"])``) — per-type
-    rows never funnel through one task, so the registered (and driver-
-    hash-checked) form IS the 100 TB shape. Set
-    ``SPARK_GRAFT_DISORDER_WINDOW=1`` to run the plain per-type ordered
-    window instead (the fixture-scale comparison form; identical output,
-    asserted by tests/test_scale_shapes.py)."""
-    import os as _os
-    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
-    if _os.environ.get("SPARK_GRAFT_DISORDER_WINDOW") == "1":
-        from pyspark.sql import Window as W
-        w = (W.partitionBy("event_type").orderBy("event_id")
-             .rowsBetween(W.unboundedPreceding, -1))
-        late = e.withColumn("prev_max", F.max("ts_ms").over(w))
-    else:
-        late = stats.global_prefix_max(e, "ts_ms", "event_id",
-                                       out_col="prev_max", inclusive=False,
-                                       group_cols=["event_type"])
-    late = (late.withColumn("late_ms",
-                        F.greatest(F.col("prev_max") - F.col("ts_ms"),
-                                   F.lit(0)))
-            .na.fill({"late_ms": 0}))
-    return (late.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum((F.col("late_ms") > 0).cast("bigint"))
-                  .cast("bigint").alias("n_late"),
-                 F.max("late_ms").cast("bigint").alias("max_late_ms"),
-                 F.sum("late_ms").cast("bigint").alias("sum_late_ms"))
-            .withColumn("late_frac",
-                        F.round(F.col("n_late") / F.col("n_events"), 6))
-            .orderBy("event_type"))
-
-
-_PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
-
-
-def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide → long): melt the daily pivot back into
-    (day, type, cnt) rows — a pure map-side expand, zero cells kept as
-    explicit rows, proving the pivot/unpivot round trip."""
-    e = _events(spark, sf_dir).withColumn(
-        "day_ms", (F.floor(F.col("ts_ms") / 86_400_000) * 86_400_000)
-        .cast("bigint"))
-    wide = stats.pivot_counts(e, "day_ms", "event_type", _PIVOT_TYPES)
-    return stats.unpivot_counts(wide, "day_ms", _PIVOT_TYPES)
-
-
-# ---------------------------------------------------------------------------
-# Registry
-# ---------------------------------------------------------------------------
-
-# Streaming round-trip demos: correctness-checked like everything else, but
-# excluded from bench.py — they measure state-store fixed overhead at fixture
-# scale, not analytics throughput.
-STREAMING_DEMOS = {"st1_stream", "st2_stream", "a6_stream", "j4_stream_static",
-                   "a2_stream_totals", "j1_stream", "j5_stream_outer",
-                   "j3_stream", "a4_stream",
-                   "a3_stream", "a5_stream", "j2_stream", "x_filter_stream",
-                   "x_dedup_stream", "x_compact_stream"}
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "p1_parse_csv": p1_parse_csv,
-    "p2_parse_browser": p2_parse_browser,
-    "p3_project": p3_project,
-    "p4_filter_sentinel": p4_filter_sentinel,
-    "p5_split_main": p5_split_main,
-    "p5_split_side": p5_split_side,
-    "p6_tag_merge": p6_tag_merge,
-    "a1_tumbling_count_5s": a1_tumbling_count_5s,
-    "a2_running_reduce": a2_running_reduce,
-    "a3_sliding_agg_10s_5s": a3_sliding_agg_10s_5s,
-    "a4_session_agg_1h": a4_session_agg_1h,
-    "a5_keyed_tumbling_10s": a5_keyed_tumbling_10s,
-    "a5_salted_tumbling": a5_salted_tumbling,
-    "a6_tumbling_count_1s": a6_tumbling_count_1s,
-    "j1_windowed_join": j1_windowed_join,
-    "j2_asof_join": j2_asof_join,
-    "j2_asof_forward": j2_asof_forward,
-    "j3_interval_join": j3_interval_join,
-    "st1_interval_alerts": st1_interval_alerts,
-    "st2_action_durations": st2_action_durations,
-    "st1_stream": st1_stream,
-    "st2_stream": st2_stream,
-    "a6_stream": a6_stream,
-    "a2_stream_totals": a2_stream_totals,
-    "j1_stream": j1_stream,
-    "j4_stream_static": j4_stream_static,
-    "j3_stream": j3_stream,
-    "a4_stream": a4_stream,
-    "a3_stream": a3_stream,
-    "a5_stream": a5_stream,
-    "j2_stream": j2_stream,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q7_two_nation_volume": q7_two_nation_volume,
-    "q18_large_quantity_orders": q18_large_quantity_orders,
-    "q_top_parts_per_brand": q_top_parts_per_brand,
-    "q4_order_priority": q4_order_priority,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q8_market_share": q8_market_share,
-    "q9_product_profit": q9_product_profit,
-    "q12_ship_lag_priority": q12_ship_lag_priority,
-    "q13_order_distribution": q13_order_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q17_small_quantity": q17_small_quantity,
-    "q_returns_cube": q_returns_cube,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q11_important_parts": q11_important_parts,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q20_prolific_suppliers": q20_prolific_suppliers,
-    "q21_waiting_orders": q21_waiting_orders,
-    "q10_returned_items": q10_returned_items,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q19_disjunctive_bands": q19_disjunctive_bands,
-    "q22_idle_rich_customers": q22_idle_rich_customers,
-    "q_distinct_users_per_type": q_distinct_users_per_type,
-    "x_exact_dedup": x_exact_dedup,
-    "x_fingerprint": x_fingerprint,
-    "x_jaccard_pairs": x_jaccard_pairs,
-    "x_minhash_lsh": x_minhash_lsh,
-    "x_neardup_pipeline": x_neardup_pipeline,
-    "x_neardup_clusters": x_neardup_clusters,
-    "x_neardup_keep": x_neardup_keep,
-    "x_dedup_stats": x_dedup_stats,
-    "x_cross_source_dups": x_cross_source_dups,
-    "x_incremental_dedup": x_incremental_dedup,
-    "x_minhash_estimate": x_minhash_estimate,
-    "x_null_audit": x_null_audit,
-    "x_freshness": x_freshness,
-    "x_simhash": x_simhash,
-    "x_quality_features": x_quality_features,
-    "x_language_id": x_language_id,
-    "x_norm_stats": x_norm_stats,
-    "x_brute_force_topk": x_brute_force_topk,
-    "x_lsh_topk": x_lsh_topk,
-    "x_lsh_multiprobe_topk": x_lsh_multiprobe_topk,
-    "x_ivf_topk": x_ivf_topk,
-    "x_embedding_neardup": x_embedding_neardup,
-    "x_embedding_neardup_lsh": x_embedding_neardup_lsh,
-    "x_token_counts": x_token_counts,
-    "x_multimodal_features": x_multimodal_features,
-    "x_resize": x_resize,
-    "x_frame_sample": x_frame_sample,
-    "x_audio_energy": x_audio_energy,
-    "x_kmv_distinct": x_kmv_distinct,
-    "x_hash_sample": x_hash_sample,
-    "x_stratified_sample": x_stratified_sample,
-    "x_time_rollup": x_time_rollup,
-    "x_train_val_split": x_train_val_split,
-    "x_global_offsets": x_global_offsets,
-    "x_token_histogram": x_token_histogram,
-    "x_vocab_topk": x_vocab_topk,
-    "x_keyword_search": x_keyword_search,
-    "x_tfidf_topk": x_tfidf_topk,
-    "x_group_quantiles": x_group_quantiles,
-    "x_set_ops": x_set_ops,
-    "x_iqr_outliers": x_iqr_outliers,
-    "x_key_skew": x_key_skew,
-    "x_trailing": x_trailing,
-    "x_simhash_pairs": x_simhash_pairs,
-    "x_lag_features": x_lag_features,
-    "x_window_distinct": x_window_distinct,
-    "x_trending": x_trending,
-    "x_sessionize": x_sessionize,
-    "x_dynamic_sessions": x_dynamic_sessions,
-    "x_collocations": x_collocations,
-    "x_partitioned_prune": x_partitioned_prune,
-    "x_zorder_prune": x_zorder_prune,
-    "x_grouping_sets": x_grouping_sets,
-    "x_quantize": x_quantize,
-    "x_unigram_logprob": x_unigram_logprob,
-    "x_bigram_logprob": x_bigram_logprob,
-    "x_token_entropy": x_token_entropy,
-    "x_decontaminate": x_decontaminate,
-    "x_repetition": x_repetition,
-    "x_pii": x_pii,
-    "x_pack_offsets": x_pack_offsets,
-    "x_chunks": x_chunks,
-    "x_repeated_spans": x_repeated_spans,
-    "x_corpus_filter": x_corpus_filter,
-    "x_filter_stream": x_filter_stream,
-    "x_dedup_stream": x_dedup_stream,
-    "x_quality_buckets": x_quality_buckets,
-    "x_group_sample": x_group_sample,
-    "x_range_lookup": x_range_lookup,
-    "x_source_mixture": x_source_mixture,
-    "x_temperature_sample": x_temperature_sample,
-    "x_funnel": x_funnel,
-    "x_retention": x_retention,
-    "x_json_stats": x_json_stats,
-    "x_variant_extract": x_variant_extract,
-    "x_pivot_daily": x_pivot_daily,
-    "x_hll_distinct": x_hll_distinct,
-    "x_approx_quantiles": x_approx_quantiles,
-}
-
-# Round-4 additions register at the TAIL so the driver's bounded
-# correctness window drains older never-verified queries first
-# (the rotation in __spark_entry__.queries() breaks ties by registry
-# order).
-QUERIES["j5_stream_outer"] = j5_stream_outer
-QUERIES["x_profile"] = x_profile
-QUERIES["x_lsh_recall"] = x_lsh_recall
-QUERIES["x_dedup_report"] = x_dedup_report
-QUERIES["x_containment_pairs"] = x_containment_pairs
-QUERIES["x_weighted_sample"] = x_weighted_sample
-QUERIES["x_posting_lists"] = x_posting_lists
-QUERIES["x_bm25_topk"] = x_bm25_topk
-QUERIES["x_compact_latest"] = x_compact_latest
-QUERIES["x_interleave"] = x_interleave
-QUERIES["x_resample_ffill"] = x_resample_ffill
-QUERIES["x_compact_stream"] = x_compact_stream
-QUERIES["x_rag_retrieve"] = x_rag_retrieve
-QUERIES["x_bloom_prune"] = x_bloom_prune
-QUERIES["x_cms_estimate"] = x_cms_estimate
-QUERIES["x_heavy_hitters"] = x_heavy_hitters
-QUERIES["x_paragraph_dedup"] = x_paragraph_dedup
-QUERIES["x_cep_pattern"] = x_cep_pattern
-QUERIES["x_scd2"] = x_scd2
-QUERIES["x_unpivot"] = x_unpivot
-QUERIES["x_cep_stream"] = x_cep_stream
-STREAMING_DEMOS.add("x_cep_stream")
-QUERIES["x_rollup_merge"] = x_rollup_merge
-QUERIES["x_disorder_stats"] = x_disorder_stats
-QUERIES["x_merge_apply"] = x_merge_apply
-QUERIES["x_content_chunks"] = x_content_chunks
-
-
-def _simhash_oracle(bits: int = 32) -> str:
-    h = _H32.format(x="concat('sim', ':', tok)")
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
-), hs AS (
-  SELECT doc_id, {h} AS h FROM toks WHERE tok <> ''
-), bitsums AS (
-  SELECT doc_id, j,
-         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM hs CROSS JOIN (SELECT unnest(range(0, {bits})) AS j) bits
-  GROUP BY doc_id, j
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
-         AS simhash
-FROM bitsums GROUP BY doc_id
-"""
-
-
-def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
-    rows_per_band = num_hashes // bands
-    hb = _H32.format(x="concat('mh', ':', shingle)")
-    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
-                          in enumerate(dedup.affine_consts(num_hashes)))
-    return f"""
-WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS MATERIALIZED (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - {n - 1}
-), hb AS (
-  SELECT doc_id, {hb} AS hb FROM sh
-), sig AS (
-  SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
-  FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
-  GROUP BY doc_id, seed
-), banded AS MATERIALIZED (
-  SELECT doc_id, seed // {rows_per_band} AS band,
-         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
-  FROM sig GROUP BY doc_id, seed // {rows_per_band}
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
-FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-WHERE a.doc_id < b.doc_id
-GROUP BY 1, 2
-"""
-
-
-def _jaccard_oracle(n: int = 3, threshold: float = 0.1) -> str:
-    return f"""
-WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS MATERIALIZED (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - {n - 1}
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
-"""
-
-
-def _lsh_recall_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3,
-                       threshold: float = 0.5) -> str:
-    rows_per_band = num_hashes // bands
-    hb = _H32.format(x="concat('mh', ':', shingle)")
-    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
-                          in enumerate(dedup.affine_consts(num_hashes)))
-    return f"""
-WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS MATERIALIZED (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - {n - 1}
-), hb AS (
-  SELECT doc_id, {hb} AS hb FROM sh
-), sig AS (
-  SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
-  FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
-  GROUP BY doc_id, seed
-), banded AS MATERIALIZED (
-  SELECT doc_id, seed // {rows_per_band} AS band,
-         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
-  FROM sig GROUP BY doc_id, seed // {rows_per_band}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), truth AS (
-  SELECT id_a, id_b FROM common
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
-        >= {threshold}
-), u AS (
-  SELECT coalesce(t.id_a, c.id_a) AS id_a, coalesce(t.id_b, c.id_b) AS id_b,
-         (t.id_a IS NOT NULL) AS in_t, (c.id_a IS NOT NULL) AS in_c
-  FROM truth t FULL JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
-), agg AS (
-  SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
-         CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
-         CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         CAST(sum(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         CAST(sum(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp
-  FROM u
-)
-SELECT n_truth, n_cand, tp, fn, fp,
-       round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
-       round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision
-FROM agg
-"""
-
-
-def _containment_oracle(n: int = 3, threshold: float = 0.5) -> str:
-    return f"""
-WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS MATERIALIZED (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - {n - 1}
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
-       round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
-FROM common
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= {threshold}
-"""
-
-
-def _cosine_sql(a: str, b: str) -> str:
-    """DuckDB cosine with the same association order as the Spark
-    expression (sequential left fold over the array)."""
-    sq = ("sqrt(list_sum(list_transform({v},"
-          " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
-    return (f"list_sum(list_transform(range(1, len({a}) + 1),"
-            f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-            f" / ({sq.format(v=a)} * {sq.format(v=b)})")
-
-
-_COSINE_Q = _cosine_sql("q", "v")
-
-
-def _brute_force_oracle(k: int = 5) -> str:
-    return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id, embedding AS v FROM embeddings),
-s AS (
-  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
-  FROM q CROSS JOIN c WHERE query_id <> vec_id
-), r AS (
-  SELECT query_id, vec_id, score,
-         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rk
-  FROM s
-)
-SELECT query_id, vec_id, score, rk FROM r WHERE rk <= {k}
-"""
-
-
-def _ivf_oracle(k: int = 5, n_lists: int = 8, n_probe: int = 2,
-                iters: int = 3, train_max: int | None = None) -> str:
-    """Replays similarity.ivf_topk_exact bit-for-bit: e6 BIGINT vectors,
-    seeds = n_lists smallest md5(id), `iters` unrolled integer-Lloyd rounds
-    (assignment argmin ties (d2, cell); centroid update sum // count — DuckDB
-    `//` truncates toward zero exactly like Spark `div`; an emptied cell
-    keeps its previous centroid), then n_probe nearest cells per query and
-    exact cosine ranking inside them. ``train_max`` replays the bounded
-    md5-smallest training sample (`tv`) that the Spark side trains on
-    driver-locally; the final assignment always covers the full corpus."""
-    d2 = ("list_sum(list_transform(list_zip({a}, {b}),"
-          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
-    if train_max is None:
-        tv = "qv"
-        tv_cte = ""
-    else:
-        tv = "tv"
-        tv_cte = (",\ntv AS (SELECT * FROM qv"
-                  " ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"
-                  f" LIMIT {train_max})")
-    parts = [f"""
-WITH qv AS (
-  SELECT vec_id, embedding,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
-  FROM embeddings
-){tv_cte},
-c0 AS (
-  SELECT CAST(row_number() OVER (
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
-         q6 AS cvec
-  FROM {tv} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists}
-)"""]
-    for i in range(1, iters + 1):
-        prev = f"c{i - 1}"
-        parts.append(f""",
-a{i} AS (
-  SELECT vec_id, q6, cell FROM (
-    SELECT v.vec_id, v.q6, c.cell,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
-    FROM {tv} v CROSS JOIN {prev} c) WHERE rn = 1
-),
-n{i} AS (
-  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
-    SELECT cell, pos, sum(v) // count(*) AS m FROM (
-      SELECT cell, unnest(q6) AS v, unnest(range(len(q6))) AS pos FROM a{i})
-    GROUP BY cell, pos)
-  GROUP BY cell
-),
-c{i} AS (
-  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
-  FROM {prev} p LEFT JOIN n{i} n USING (cell)
-)""")
-    last = f"c{iters}"
-    parts.append(f""",
-fa AS (
-  SELECT vec_id, embedding, cell FROM (
-    SELECT v.vec_id, v.embedding, c.cell,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
-    FROM qv v CROSS JOIN {last} c) WHERE rn = 1
-),
-pr AS (
-  SELECT query_id, q_vec, cell FROM (
-    SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cell,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY {d2.format(a='q.q6', b='c.cvec')}, c.cell) AS rn
-    FROM qv q CROSS JOIN {last} c WHERE q.vec_id < 10) WHERE rn <= {n_probe}
-),
-s AS (
-  SELECT p.query_id, f.vec_id,
-         round({_cosine_sql('p.q_vec', 'f.embedding')}, 6) AS score
-  FROM pr p JOIN fa f USING (cell)
-  WHERE p.query_id <> f.vec_id
-)
-SELECT query_id, vec_id, score, rk FROM (
-  SELECT query_id, vec_id, score,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY score DESC, vec_id) AS INT) AS rk
-  FROM s)
-WHERE rk <= {k}
-""")
-    return "".join(parts)
-
-
-_QF_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-_QF_STOP = r"regexp_extract_all(lower(text), '\b(the|and|of|to|is|a|in|that)\b')"
-_QF_PUNCT = "regexp_extract_all(text, '[^a-zA-Z0-9 ]')"
-
-
-def _quality_oracle() -> str:
-    # Score uses the UN-rounded ratios with the same association order as the
-    # Spark expression: (min(tok/100,1)*0.4 + stop*0.4) + (1-punct)*0.2.
-    return f"""
-WITH f AS (
-  SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_chars_m,
-         CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens,
-         CAST(length(array_to_string({_QF_TOKS}, '')) AS DOUBLE) AS tok_len_sum,
-         CAST(len({_QF_PUNCT}) AS BIGINT) AS n_punct,
-         CAST(len({_QF_STOP}) AS BIGINT) AS n_stop
-  FROM documents
-), r AS (
-  SELECT doc_id, n_chars_m, n_tokens,
-         CASE WHEN n_tokens > 0 THEN tok_len_sum / n_tokens ELSE 0.0 END AS mean_tok_raw,
-         CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END AS punct_raw,
-         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_raw
-  FROM f
-)
-SELECT doc_id, n_chars_m, n_tokens,
-       round(mean_tok_raw, 6) AS mean_token_len,
-       round(punct_raw, 6) AS punct_ratio,
-       round(stop_raw, 6) AS stopword_ratio,
-       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 + stop_raw * 0.4
-             + (1.0 - punct_raw) * 0.2, 6) AS quality_score
-FROM r
-"""
-
-
-def _language_oracle() -> str:
-    markers = {k: "|".join(v) for k, v in text.LANG_MARKERS.items()}
-    scores = {k: rf"CAST(len(regexp_extract_all(lower(text), '\b({v})\b')) AS BIGINT)"
-              for k, v in markers.items()}
-    best = f"greatest({scores['en']}, {scores['es']}, {scores['fr']}, {scores['de']})"
-    return f"""
-WITH s AS (
-  SELECT doc_id,
-         {scores['en']} AS score_en, {scores['es']} AS score_es,
-         {scores['fr']} AS score_fr, {scores['de']} AS score_de,
-         {best} AS best
-  FROM documents
-)
-SELECT doc_id, score_en, score_es, score_fr, score_de,
-       CASE WHEN best = 0 THEN 'und'
-            WHEN score_en = best THEN 'en'
-            WHEN score_es = best THEN 'es'
-            WHEN score_fr = best THEN 'fr'
-            WHEN score_de = best THEN 'de'
-            ELSE 'und' END AS lang_guess
-FROM s
-"""
-
-
-_NORM_VEC = ("sqrt(list_sum(list_transform(embedding,"
-             " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
-
-_REV_E4 = "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
-
-ORACLES: dict[str, str] = {
-    "p1_parse_csv": _EV,
-    "p2_parse_browser": "SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events",
-    "p4_filter_sentinel":
-        "SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms "
-        "FROM events WHERE event_type <> 'error'",
-    "p5_split_main": _EV + " WHERE event_type = 'click'",
-    "p5_split_side":
-        "SELECT user_id, CAST(1 AS BIGINT) AS one FROM events WHERE event_type <> 'click'",
-    "p6_tag_merge": """
-SELECT 'Stream-1' AS src, CAST(user_id AS VARCHAR) AS key, CAST(1 AS BIGINT) AS one
-FROM events WHERE event_type = 'click'
-UNION ALL
-SELECT 'Stream-2' AS src, CAST(user_id AS VARCHAR) AS key, CAST(1 AS BIGINT) AS one
-FROM events WHERE event_type <> 'click'
-""",
-    "a1_tumbling_count_5s": """
-SELECT (epoch_ms(ts) // 5000) * 5000 AS window_start_ms, count(*) AS cnt
-FROM events GROUP BY 1
-""",
-    "a2_running_reduce": """
-SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
-       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER (
-            PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_e4
-FROM events
-""",
-    "a3_sliding_agg_10s_5s": """
-WITH e AS (SELECT epoch_ms(ts) AS t FROM events),
-w AS (SELECT (t // 5000 - o.o) * 5000 AS window_start_ms, t
-      FROM e CROSS JOIN (VALUES (0), (1)) o(o))
-SELECT window_start_ms, count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
-FROM w GROUP BY 1
-""",
-    "a4_session_agg_1h": """
-WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
-m AS (SELECT user_id, t,
-             CASE WHEN lag(t) OVER w IS NULL
-                  OR t - lag(t) OVER w > 3600000 THEN 1 ELSE 0 END AS brk
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
-g AS (SELECT user_id, t,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
-                            ROWS UNBOUNDED PRECEDING) AS grp
-      FROM m)
-SELECT CAST(min(t) AS BIGINT) AS session_start_ms, user_id,
-       count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
-FROM g GROUP BY user_id, grp
-""",
-    "a5_keyed_tumbling_10s": """
-SELECT (epoch_ms(ts) // 10000) * 10000 AS window_start_ms, user_id, event_type,
-       count(*) AS cnt
-FROM events GROUP BY 1, 2, 3
-""",
-    "a5_salted_tumbling": """
-SELECT (epoch_ms(ts) // 10000) * 10000 AS window_start_ms, user_id, event_type,
-       count(*) AS cnt
-FROM events GROUP BY 1, 2, 3
-""",
-    "a6_tumbling_count_1s": """
-SELECT (epoch_ms(ts) // 1000) * 1000 AS window_start_ms, count(*) AS cnt
-FROM events GROUP BY 1
-""",
-    "j1_windowed_join": """
-WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
-      WHERE event_type = 'view')
-SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
-       l.ts_ms AS l_ts_ms, l.event_id AS l_event_id,
-       r.ts_ms AS r_ts_ms, r.event_id AS r_event_id
-FROM l JOIN r ON l.user_id = r.user_id
-             AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
-""",
-    "j2_asof_join": """
-WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS purchase_value
-      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-SELECT l.user_id, l.ts_ms, l.event_id, r.purchase_value,
-       r.ts_ms AS matched_ts_ms
-FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
-""",
-    "j3_interval_join": """
-WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-      WHERE event_type = 'view')
-SELECT l.user_id, l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
-FROM l JOIN r ON l.user_id = r.user_id
-             AND r.ts_ms BETWEEN l.ts_ms - 43200000 AND l.ts_ms + 43200000
-""",
-    "st1_interval_alerts": """
-WITH d AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
-           WHERE event_type = 'error'),
-x AS (SELECT user_id, ts_ms, event_id,
-             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
-                                      ORDER BY ts_ms, event_id) AS diff_ms
-      FROM d)
-SELECT user_id, ts_ms, event_id, diff_ms FROM x WHERE diff_ms < 21600000
-""",
-    "st2_action_durations": """
-WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
-x AS (SELECT user_id, ts_ms, event_id, event_type,
-             lag(event_type) OVER w AS pa, lag(ts_ms) OVER w AS pt
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
-SELECT user_id, ts_ms, event_id,
-       CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
-            THEN 'None' ELSE pa END AS prev_action,
-       CAST(CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
-                 THEN 0 ELSE ts_ms - pt END AS BIGINT) AS duration_ms
-FROM x
-""",
-    # Streaming forms share the batch oracles (same semantics, streaming
-    # execution path) or a purpose-built one.
-    "st1_stream": """
-WITH d AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
-           WHERE event_type = 'error'),
-x AS (SELECT user_id, ts_ms, event_id,
-             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
-                                      ORDER BY ts_ms, event_id) AS diff_ms
-      FROM d)
-SELECT user_id, ts_ms, event_id, diff_ms FROM x WHERE diff_ms < 21600000
-""",
-    "st2_stream": """
-WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
-x AS (SELECT user_id, ts_ms, event_id, event_type,
-             lag(event_type) OVER w AS pa, lag(ts_ms) OVER w AS pt
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
-SELECT user_id, ts_ms, event_id,
-       CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
-            THEN 'None' ELSE pa END AS prev_action,
-       CAST(CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
-                 THEN 0 ELSE ts_ms - pt END AS BIGINT) AS duration_ms
-FROM x
-""",
-    "a6_stream": """
-SELECT (epoch_ms(ts) // 1000) * 1000 AS window_start_ms, count(*) AS cnt
-FROM events GROUP BY 1
-""",
-    "a2_stream_totals": """
-SELECT user_id, count(*) AS total FROM events GROUP BY user_id
-""",
-    "j1_stream": """
-WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-      WHERE event_type = 'view')
-SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
-       l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
-FROM l JOIN r ON l.user_id = r.user_id
-             AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
-""",
-    "j5_stream_outer": """
-WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-      WHERE event_type = 'view')
-SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
-       l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
-FROM l LEFT JOIN r ON l.user_id = r.user_id
-                  AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
-""",
-    "j2_stream": """
-WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
-             max(CAST(event_id AS DOUBLE)) AS purchase_value
-      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-SELECT l.user_id, l.ts_ms, l.event_id, r.purchase_value,
-       r.ts_ms AS matched_ts_ms
-FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
-""",
-    "j3_stream": """
-WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-      WHERE event_type = 'view')
-SELECT l.user_id, l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
-FROM l JOIN r ON l.user_id = r.user_id
-             AND r.ts_ms BETWEEN l.ts_ms - 43200000 AND l.ts_ms + 43200000
-""",
-    "a5_stream": """
-SELECT (epoch_ms(ts) // 10000) * 10000 AS window_start_ms, user_id, event_type,
-       count(*) AS cnt
-FROM events GROUP BY 1, 2, 3
-""",
-    "a3_stream": """
-WITH e AS (SELECT epoch_ms(ts) AS t FROM events),
-w AS (SELECT (t // 5000 - o.o) * 5000 AS window_start_ms, t
-      FROM e CROSS JOIN (VALUES (0), (1)) o(o))
-SELECT window_start_ms, count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
-FROM w GROUP BY 1
-""",
-    "a4_stream": """
-WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
-m AS (SELECT user_id, t,
-             CASE WHEN lag(t) OVER w IS NULL
-                  OR t - lag(t) OVER w > 3600000 THEN 1 ELSE 0 END AS brk
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
-g AS (SELECT user_id, t,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
-                            ROWS UNBOUNDED PRECEDING) AS grp
-      FROM m)
-SELECT CAST(min(t) AS BIGINT) AS session_start_ms, user_id,
-       count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
-FROM g GROUP BY user_id, grp
-HAVING max(t) + 3600000 <= (SELECT max(epoch_ms(ts)) FROM events)
-""",
-    "q1_pricing_summary": """
-WITH a AS (
-  SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sum_qty_e4,
-         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS sum_base_price_e4,
-         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
-         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS BIGINT) AS sum_charge_e4,
-         count(*) AS count_order
-  FROM lineitem
-  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-  GROUP BY l_returnflag, l_linestatus
-)
-SELECT l_returnflag, l_linestatus, sum_qty_e4, sum_base_price_e4,
-       sum_disc_price_e4, sum_charge_e4, count_order,
-       round(sum_qty_e4 / count_order / 10000.0, 6) AS avg_qty,
-       round(sum_base_price_e4 / count_order / 10000.0, 6) AS avg_price
-FROM a
-""",
-    "q3_shipping_priority": f"""
-SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
-       {_REV_E4} AS revenue_e4
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-GROUP BY 1, 2, 3
-ORDER BY revenue_e4 DESC, o_orderdate_ms, l_orderkey
-LIMIT 10
-""",
-    "q5_local_supplier_volume": f"""
-SELECT n_name, {_REV_E4} AS revenue_e4
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY 1
-ORDER BY revenue_e4 DESC
-""",
-    "q7_two_nation_volume": f"""
-SELECT supp_nation, cust_nation, l_year, {_REV_E4} AS revenue_e4
-FROM (
-  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-         CAST(year(l_shipdate) AS BIGINT) AS l_year,
-         l_extendedprice, l_discount
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation ns ON s_nationkey = ns.n_nationkey
-  JOIN nation nc ON c_nationkey = nc.n_nationkey
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-    AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
-)
-GROUP BY 1, 2, 3
-""",
-    "q18_large_quantity_orders": """
-WITH qty AS (
-  SELECT l_orderkey,
-         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_e2
-  FROM lineitem GROUP BY l_orderkey
-  HAVING total_qty_e2 > 30000
-)
-SELECT c_name, c_custkey, l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
-       round(o_totalprice, 2) AS o_totalprice, total_qty_e2
-FROM qty
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-ORDER BY o_totalprice DESC, o_orderdate_ms, l_orderkey
-LIMIT 100
-""",
-    "q_top_parts_per_brand": f"""
-WITH rev AS (
-  SELECT l_partkey, {_REV_E4} AS revenue_e4 FROM lineitem GROUP BY 1
-), j AS (
-  SELECT p_brand, p_partkey, revenue_e4 FROM rev JOIN part ON l_partkey = p_partkey
-), r AS (
-  SELECT p_brand, p_partkey, revenue_e4,
-         CAST(row_number() OVER (PARTITION BY p_brand
-                                 ORDER BY revenue_e4 DESC, p_partkey) AS INT) AS rk
-  FROM j
-)
-SELECT p_brand, p_partkey, revenue_e4, rk FROM r WHERE rk <= 3
-""",
-    "q_distinct_users_per_type": """
-SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       count(*) AS n_events
-FROM events GROUP BY 1
-""",
-    "q4_order_priority": """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders o
-WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1996-07-01'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
-GROUP BY o_orderpriority
-""",
-    "q6_forecast_revenue": """
-SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
-            AS BIGINT) AS revenue_e4,
-       count(*) AS n_lines
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount >= 0.05 AND l_discount <= 0.07
-  AND l_quantity < 24
-""",
-    "q10_returned_items": """
-WITH rev AS (
-  SELECT o_custkey,
-         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                       AS BIGINT)) AS BIGINT) AS revenue_e4
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE l_returnflag = 'R'
-    AND o_orderdate >= TIMESTAMP '1996-01-01'
-    AND o_orderdate < TIMESTAMP '1996-04-01'
-  GROUP BY o_custkey
-)
-SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
-       revenue_e4
-FROM rev JOIN customer ON o_custkey = c_custkey
-ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
-""",
-    "q14_promo_revenue": """
-WITH j AS (
-  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
-           AS disc_e4, p_type
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1996-02-01')
-SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_e4 ELSE 0 END) AS BIGINT)
-         AS promo_e4,
-       CAST(SUM(disc_e4) AS BIGINT) AS total_e4,
-       round(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN disc_e4 ELSE 0 END)
-             / SUM(disc_e4), 6) AS promo_pct
-FROM j
-""",
-    "q22_idle_rich_customers": """
-WITH pos AS (
-  SELECT c_custkey, c_nationkey,
-         CAST(round(c_acctbal * 10000) AS BIGINT) AS bal_e4
-  FROM customer WHERE c_acctbal > 0
-),
-stats AS (SELECT CAST(SUM(bal_e4) AS BIGINT) AS total_e4, count(*) AS n FROM pos),
-rich AS (SELECT pos.* FROM pos, stats WHERE bal_e4 * n > total_e4),
-idle AS (SELECT rich.* FROM rich
-         WHERE NOT EXISTS (SELECT 1 FROM orders o
-                           WHERE o.o_custkey = rich.c_custkey
-                             AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
-SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_custs,
-       CAST(SUM(bal_e4) AS BIGINT) AS total_bal_e4
-FROM idle GROUP BY 1
-""",
-    "q8_market_share": """
-WITH f AS (
-  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
-           AS rev_e4,
-         sn.n_name AS supp_nation
-  FROM lineitem
-  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation cn ON c_nationkey = cn.n_nationkey
-  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation sn ON s_nationkey = sn.n_nationkey
-  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-    AND o_orderdate < TIMESTAMP '1997-01-01')
-SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_e4 ELSE 0 END)
-            AS BIGINT) AS nation_rev_e4,
-       CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4,
-       round(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_e4 ELSE 0 END)
-             / SUM(rev_e4), 6) AS mkt_share
-FROM f GROUP BY o_year ORDER BY o_year
-""",
-    "q9_product_profit": """
-SELECT n_name AS nation,
-       CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                     AS BIGINT)) AS BIGINT) AS profit_e4,
-       count(*) AS n_lines
-FROM lineitem
-JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
-JOIN orders ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-GROUP BY 1, 2 ORDER BY nation, o_year DESC
-""",
-    "q12_ship_lag_priority": """
-WITH j AS (
-  SELECT date_diff('day', o_orderdate, l_shipdate) AS lag_days,
-         o_orderpriority
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1997-01-01')
-SELECT CASE WHEN lag_days < 0 THEN 'before_order'
-            WHEN lag_days <= 90 THEN '0-90d'
-            WHEN lag_days <= 365 THEN '91-365d'
-            ELSE 'over_1y' END AS lag_band,
-       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-FROM j GROUP BY 1 ORDER BY lag_band
-""",
-    "q13_order_distribution": """
-WITH per_cust AS (
-  SELECT c_custkey, count(o_orderkey) AS c_count
-  FROM customer LEFT OUTER JOIN orders
-    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
-  GROUP BY c_custkey)
-SELECT c_count, count(*) AS custdist
-FROM per_cust GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC
-""",
-    "q15_top_supplier": """
-WITH rev AS (
-  SELECT l_suppkey,
-         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                       AS BIGINT)) AS BIGINT) AS total_rev_e4
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1996-04-01'
-  GROUP BY l_suppkey)
-SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev_e4
-FROM rev JOIN supplier ON l_suppkey = s_suppkey
-WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
-ORDER BY s_suppkey
-""",
-    "q17_small_quantity": """
-WITH li AS (
-  SELECT l_partkey, l_quantity, l_extendedprice, l_discount
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_brand = 'Brand#1'),
-per_part AS (
-  SELECT l_partkey AS ag_partkey,
-         CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT)
-           AS sum_qty_e4,
-         count(*) AS n_qty
-  FROM li GROUP BY 1)
-SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                     AS BIGINT)) AS BIGINT) AS revenue_e4,
-       count(*) AS n_lines
-FROM li JOIN per_part ON l_partkey = ag_partkey
-WHERE 2 * CAST(round(l_quantity * 10000) AS BIGINT) * n_qty < sum_qty_e4
-""",
-    "q2_min_cost_supplier": """
-WITH costs AS (
-  SELECT p_partkey, p_name, s.s_suppkey, s_name, s_acctbal, n_name,
-         CAST(MIN(CAST(round(l_extendedprice * 100) AS BIGINT) * 100
-                  // CAST(l_quantity AS BIGINT))
-              AS BIGINT) AS cost_e4
-  FROM lineitem
-  JOIN part ON l_partkey = p_partkey AND p_size = 15
-  JOIN supplier s ON l_suppkey = s.s_suppkey
-  JOIN nation ON s_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
-  GROUP BY ALL)
-SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_e4
-FROM costs c
-WHERE cost_e4 = (SELECT MIN(c2.cost_e4) FROM costs c2
-                 WHERE c2.p_partkey = c.p_partkey)
-""",
-    "q11_important_parts": """
-WITH per_part AS (
-  SELECT l_partkey,
-         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT)
-           AS val_e4
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
-  GROUP BY 1)
-SELECT l_partkey, val_e4
-FROM per_part, (SELECT SUM(val_e4) AS total_e4 FROM per_part)
-WHERE val_e4 * 1000 > total_e4 * 1
-""",
-    "q16_supplier_part_counts": """
-SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
-       count(DISTINCT l_suppkey) AS supplier_cnt
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE p_brand <> 'Brand#1' AND p_size IN (1, 15, 22, 30, 49)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-GROUP BY 1, 2, 3
-""",
-    "q20_prolific_suppliers": """
-SELECT s_suppkey, s_name, n_name
-FROM supplier JOIN nation ON s_nationkey = n_nationkey
-WHERE s_suppkey IN (
-  SELECT l_suppkey
-  FROM lineitem
-  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-    AND l_shipdate < TIMESTAMP '1998-01-01'
-  GROUP BY l_suppkey, l_partkey
-  HAVING SUM(CAST(round(l_quantity * 10000) AS BIGINT)) > 400000)
-""",
-    "q21_waiting_orders": """
-WITH lf AS (
-  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE o_orderstatus = 'F'),
-sole AS (
-  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
-  FROM lf l1
-  WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
-    AND EXISTS (SELECT 1 FROM lf l2
-                WHERE l2.l_orderkey = l1.l_orderkey
-                  AND l2.l_suppkey <> l1.l_suppkey)
-    AND NOT EXISTS (SELECT 1 FROM lf l3
-                    WHERE l3.l_orderkey = l1.l_orderkey
-                      AND l3.l_suppkey <> l1.l_suppkey
-                      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY))
-SELECT s_name, count(*) AS numwait
-FROM sole JOIN supplier ON l_suppkey = s_suppkey
-GROUP BY sole.l_suppkey, s_name
-ORDER BY numwait DESC, s_name
-LIMIT 100
-""",
-    "q_returns_cube": """
-SELECT l_returnflag, l_linestatus,
-       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-       CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT)
-         AS sum_qty_e4,
-       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                     AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
-       count(*) AS n_lines
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag, l_linestatus
-""",
-    "q19_disjunctive_bands": """
-SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-            AS BIGINT) AS revenue_e4,
-       count(*) AS n_lines
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-       AND l_quantity BETWEEN 1 AND 11)
-   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-       AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-       AND l_quantity BETWEEN 20 AND 30)
-""",
-    "x_exact_dedup": f"""
-WITH n AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
-SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
-FROM n GROUP BY fp
-""",
-    "x_fingerprint": f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
-    "x_jaccard_pairs": _jaccard_oracle(),
-    "x_minhash_lsh": _minhash_lsh_oracle(),
-    "x_neardup_pipeline": f"""
-WITH cand AS ({_minhash_lsh_oracle()}),
-jac AS ({_jaccard_oracle(threshold=0.5)})
-SELECT jac.id_a, jac.id_b, jac.jaccard
-FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-""",
-    "x_neardup_clusters": f"""
-WITH RECURSIVE
-cand AS ({_minhash_lsh_oracle()}),
-jac AS ({_jaccard_oracle(threshold=0.5)}),
-edges AS (
-  SELECT jac.id_a AS a, jac.id_b AS b
-  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-reach(node, r) AS (
-  SELECT a, a FROM sym
-  UNION
-  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
-)
-SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-FROM reach GROUP BY node
-""",
-    "x_simhash": _simhash_oracle(),
-    # Brute-force all-pairs Hamming — independent of the banding trick the
-    # Spark side uses, so a PASS proves pigeonhole candidate generation
-    # lost no pair.
-    "x_simhash_pairs": f"""
-WITH sims AS ({_simhash_oracle()})
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-""",
-    "x_quality_features": _quality_oracle(),
-    "x_language_id": _language_oracle(),
-    "x_norm_stats": f"""
-SELECT label, count(*) AS n_vecs,
-       round(min({_NORM_VEC}), 6) AS min_norm,
-       round(avg({_NORM_VEC}), 6) AS avg_norm,
-       round(max({_NORM_VEC}), 6) AS max_norm
-FROM embeddings GROUP BY label
-""",
-    "x_brute_force_topk": _brute_force_oracle(),
-    "x_ivf_topk": _ivf_oracle(k=5, n_lists=8, n_probe=2, iters=3,
-                              train_max=512),
-    "x_embedding_neardup": f"""
-WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
-  FROM s a JOIN s b ON a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, score FROM p WHERE score >= 0.3
-""",
-    "x_token_counts": f"""
-SELECT doc_id,
-       CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
-         AS n_subtokens
-FROM documents
-""",
-    "x_kmv_distinct": f"""
-WITH h AS (
-  SELECT DISTINCT {_H32.format(x="concat('kmv', ':', CAST(user_id AS VARCHAR))")} AS h
-  FROM events WHERE user_id IS NOT NULL
-), k AS (SELECT h FROM h ORDER BY h LIMIT 256)
-SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash,
-       round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-                  ELSE 255.0 / (max(h) / 4294967296.0) END, 6) AS distinct_est
-FROM k
-""",
-    "x_hash_sample": f"""
-SELECT doc_id, lang, source FROM documents
-WHERE {_H32.format(x="concat('sample', ':', CAST(doc_id AS VARCHAR))")}
-      / 4294967296.0 < 0.1
-""",
-    "x_stratified_sample": f"""
-SELECT event_id, user_id, event_type FROM events
-WHERE {_H32.format(x="concat('sample', ':', CAST(event_id AS VARCHAR))")}
-      / 4294967296.0 <
-      CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'view' THEN 0.05
-           ELSE 0.2 END
-""",
-    "x_time_rollup": """
-WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),
-b AS (SELECT event_type,
-             (ts_ms // 86400000) * 86400000 AS day_ms,
-             (ts_ms // 3600000) * 3600000 AS hour_ms,
-             (ts_ms // 60000) * 60000 AS minute_ms,
-             CAST(round(value * 10000) AS BIGINT) AS v_e4
-      FROM e)
-SELECT CASE WHEN minute_ms IS NOT NULL THEN 'minute'
-            WHEN hour_ms IS NOT NULL THEN 'hour'
-            WHEN day_ms IS NOT NULL THEN 'day' ELSE 'total' END AS resolution,
-       event_type,
-       coalesce(minute_ms, hour_ms, day_ms) AS bucket_start_ms,
-       CAST(count(*) AS BIGINT) AS cnt,
-       CAST(sum(v_e4) AS BIGINT) AS sum_value_e4
-FROM b
-GROUP BY event_type, ROLLUP(day_ms, hour_ms, minute_ms)
-""",
-    "x_vocab_topk": f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-), c AS (
-  SELECT tok, CAST(count(*) AS BIGINT) AS term_freq,
-         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
-  FROM toks GROUP BY tok
-)
-SELECT tok, term_freq, doc_freq FROM c
-ORDER BY term_freq DESC, tok LIMIT 100
-""",
-    "x_tfidf_topk": f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-), tf AS (
-  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
-), dfreq AS (
-  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-s AS (
-  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
-         round(tf.tf * ln((n.n_docs + 1) / (dfreq.df + 1)), 6) AS tfidf
-  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
-), r AS (
-  SELECT s.*, CAST(row_number() OVER (PARTITION BY doc_id
-                   ORDER BY tfidf DESC, tok) AS INT) AS rk FROM s
-)
-SELECT doc_id, tok, tf, df, tfidf, rk FROM r WHERE rk <= 5
-""",
-    "x_group_quantiles": """
-SELECT event_type, CAST(count(value) AS BIGINT) AS n,
-       round(quantile_cont(value, 0.25), 6) AS p25,
-       round(quantile_cont(value, 0.5), 6) AS p50,
-       round(quantile_cont(value, 0.9), 6) AS p90,
-       round(quantile_cont(value, 0.99), 6) AS p99
-FROM events GROUP BY event_type
-""",
-    "x_decontaminate": f"""
-WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS MATERIALIZED (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - 4
-)
-SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
-       count(*) AS shared_ngrams
-FROM sh t JOIN sh e ON t.shingle = e.shingle
-WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
-GROUP BY 1, 2 HAVING count(*) >= 1
-""",
-    "x_repetition": f"""
-WITH lists AS (
-  SELECT doc_id, {_QF_TOKS} AS l FROM documents
-), toks AS (
-  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
-  FROM lists
-), tc AS (
-  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
-), tstats AS (
-  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-         count(*) AS n_distinct_tokens, max(c) AS top_cnt
-  FROM tc GROUP BY 1
-), bg AS (
-  SELECT doc_id,
-         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
-  FROM toks
-), bc AS (
-  SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2
-), bstats AS (
-  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, max(c) AS top_bg
-  FROM bc GROUP BY 1
-)
-SELECT d.doc_id,
-       coalesce(n_tokens, 0) AS n_tokens,
-       coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
-       round(CASE WHEN coalesce(n_tokens, 0) > 0
-                  THEN CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens
-                  ELSE 0 END, 6) AS dup_token_frac,
-       round(CASE WHEN coalesce(n_tokens, 0) > 0
-                  THEN CAST(top_cnt AS DOUBLE) / n_tokens ELSE 0 END, 6)
-         AS top_token_frac,
-       round(CASE WHEN coalesce(n_bigrams, 0) > 0
-                  THEN CAST(top_bg AS DOUBLE) / n_bigrams ELSE 0 END, 6)
-         AS top_bigram_frac
-FROM documents d
-LEFT JOIN tstats USING (doc_id)
-LEFT JOIN bstats USING (doc_id)
-""",
-    "x_pii": r"""
-WITH s1 AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(text,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-           AS n_email,
-         regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
-             'g') AS t1
-  FROM documents
-), s2 AS (
-  SELECT doc_id, n_email,
-         CAST(len(regexp_extract_all(t1,
-              '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
-         regexp_replace(t1, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
-                        '<PHONE>', 'g') AS t2
-  FROM s1
-), s3 AS (
-  SELECT doc_id, n_email, n_phone,
-         CAST(len(regexp_extract_all(t2,
-              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
-         regexp_replace(t2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g')
-           AS t3
-  FROM s2
-), s4 AS (
-  SELECT doc_id, n_email, n_phone, n_ssn,
-         CAST(len(regexp_extract_all(t3,
-              '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ipv4,
-         regexp_replace(t3, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')
-           AS t4
-  FROM s3
-)
-SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
-       n_email + n_phone + n_ssn + n_ipv4 AS n_pii, md5(t4) AS redacted_fp
-FROM s4
-""",
-    "x_chunks": f"""
-WITH toks AS (
-  SELECT doc_id, {_QF_TOKS} AS tk FROM documents
-), st AS (
-  SELECT doc_id, tk, unnest(range(1, greatest(len(tk), 1) + 1, 48)) AS s
-  FROM toks
-)
-SELECT doc_id,
-       CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
-       CAST(s - 1 AS BIGINT) AS chunk_start,
-       CAST(len(tk[s:s+63]) AS BIGINT) AS chunk_len,
-       md5(array_to_string(tk[s:s+63], ' ')) AS chunk_fp
-FROM st
-""",
-    "x_repeated_spans": f"""
-WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS span_fp
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - 7
-)
-SELECT span_fp, count(*) AS n_docs
-FROM sh GROUP BY 1 HAVING count(*) >= 2
-""",
-    "x_corpus_filter": f"""
-WITH t AS (
-  SELECT doc_id, text, {_QF_TOKS} AS tk FROM documents
-), s1 AS (
-  SELECT doc_id, tk,
-         CAST(len(regexp_extract_all(text,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
-           AS c1,
-         regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>',
-             'g') AS t1,
-         md5({_NORM_SQL}) AS fp,
-         CASE WHEN len(tk) > 0 THEN
-           1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
-         ELSE 0.0 END AS dup_frac,
-         CASE WHEN len(tk) > 0 THEN
-           CAST(len(regexp_extract_all(lower(text),
-                '\\b(the|and|of|to|is|a|in|that)\\b')) AS DOUBLE) / len(tk)
-         ELSE 0.0 END AS stop_ratio
-  FROM t
-), s2 AS (
-  SELECT *, c1 + CAST(len(regexp_extract_all(t1,
-              '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b')) AS BIGINT) AS c2,
-         regexp_replace(t1, '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b',
-                        '<PHONE>', 'g') AS t2
-  FROM s1
-), s3 AS (
-  SELECT *, c2 + CAST(len(regexp_extract_all(t2,
-              '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b')) AS BIGINT) AS c3,
-         regexp_replace(t2, '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b', '<SSN>',
-                        'g') AS t3
-  FROM s2
-), s4 AS (
-  SELECT *, c3 + CAST(len(regexp_extract_all(t3,
-              '\\b[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}\\b')) AS BIGINT) AS n_pii
-  FROM s3
-), fl AS (
-  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-         (len(tk) < 20 OR len(tk) > 10000) AS fail_len,
-         (dup_frac > 0.6) AS fail_rep,
-         (stop_ratio < 0.02) AS fail_stop,
-         (n_pii > 0) AS fail_pii,
-         (MIN(doc_id) OVER (PARTITION BY fp) <> doc_id) AS is_dup
-  FROM s4
-)
-SELECT doc_id, n_tokens, fail_len, fail_rep, fail_stop, fail_pii, is_dup,
-       NOT (fail_len OR fail_rep OR fail_stop OR fail_pii OR is_dup) AS keep
-FROM fl
-""",
-    # Streaming form: identical rule CTEs (ORACLES["x_corpus_filter"] is the
-    # source of truth — this entry is derived from it below), final SELECT
-    # without the arrival-order-dependent dedup flag.
-    "x_filter_stream": "",
-    "x_pack_offsets": f"""
-WITH t AS (
-  SELECT source, doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens
-  FROM documents
-), o AS (
-  SELECT source, doc_id, n_tokens,
-         CAST(SUM(n_tokens) OVER (PARTITION BY source
-              ORDER BY doc_id, n_tokens
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
-  FROM t
-)
-SELECT source, doc_id, n_tokens,
-       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
-       CAST(CASE WHEN n_tokens > 0
-                 THEN floor((end_offset - n_tokens) / 256.0)
-                 ELSE -1 END AS BIGINT) AS chunk_first,
-       CAST(CASE WHEN n_tokens > 0 THEN floor((end_offset - 1) / 256.0)
-                 ELSE -1 END AS BIGINT) AS chunk_last
-FROM o
-""",
-    "x_source_mixture": f"""
-WITH per_src AS (
-  SELECT source, count(*) AS n_docs,
-         CAST(SUM(len({_QF_TOKS})) AS BIGINT) AS total_tokens
-  FROM documents GROUP BY source
-), tot AS (
-  SELECT *, CAST(SUM(total_tokens) OVER () AS BIGINT) AS corpus_tokens,
-         count(*) OVER () AS n_sources
-  FROM per_src
-)
-SELECT source, n_docs, total_tokens,
-       round(CAST(total_tokens AS DOUBLE) / corpus_tokens, 6) AS token_share,
-       round((1.0 / n_sources)
-             / (CAST(total_tokens AS DOUBLE) / corpus_tokens), 6)
-         AS sample_weight
-FROM tot ORDER BY source
-""",
-    "x_funnel": """
-WITH e AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
-), u0 AS (
-  SELECT user_id,
-         min(CASE WHEN event_type = 'view' THEN ts_ms END) AS t0
-  FROM e GROUP BY 1
-), u1 AS (
-  SELECT e.user_id,
-         min(CASE WHEN event_type = 'click' AND ts_ms > t0 THEN ts_ms END)
-           AS t1
-  FROM e JOIN u0 USING (user_id) GROUP BY 1
-), u2 AS (
-  SELECT e.user_id,
-         min(CASE WHEN event_type = 'purchase' AND ts_ms > t1 THEN ts_ms END)
-           AS t2
-  FROM e JOIN u1 USING (user_id) GROUP BY 1
-), c AS (
-  SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2
-  FROM u0 JOIN u1 USING (user_id) JOIN u2 USING (user_id)
-)
-SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-       CAST(n0 AS BIGINT) AS n_users,
-       round(CAST(n0 AS DOUBLE) / n0, 6) AS conversion FROM c
-UNION ALL
-SELECT CAST(2 AS BIGINT), 'click', CAST(n1 AS BIGINT),
-       round(CAST(n1 AS DOUBLE) / n0, 6) FROM c
-UNION ALL
-SELECT CAST(3 AS BIGINT), 'purchase', CAST(n2 AS BIGINT),
-       round(CAST(n2 AS DOUBLE) / n0, 6) FROM c
-""",
-    "x_retention": """
-WITH e AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-), f AS (
-  SELECT user_id, ts_ms,
-         min(ts_ms) OVER (PARTITION BY user_id) AS first_ms
-  FROM e
-)
-SELECT CAST((first_ms // 604800000) * 604800000 AS BIGINT) AS cohort_week_ms,
-       CAST(ts_ms // 604800000 - first_ms // 604800000 AS BIGINT) AS week_idx,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM f
-WHERE ts_ms // 604800000 - first_ms // 604800000 <= 12
-GROUP BY 1, 2
-""",
-    "x_json_stats": """
-WITH e AS (
-  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS v
-  FROM events
-)
-SELECT event_type,
-       CAST(count(v) AS BIGINT) AS n_present,
-       CAST(SUM(v) AS BIGINT) AS sum_v,
-       CAST(min(v) AS BIGINT) AS min_v,
-       CAST(max(v) AS BIGINT) AS max_v
-FROM e GROUP BY event_type
-""",
-    "x_unigram_logprob": f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-), tf AS (
-  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
-), uni AS (
-  SELECT tok, SUM(tf) AS c FROM tf GROUP BY 1
-), tot AS (
-  SELECT SUM(c) AS n_corpus, count(*) AS vocab FROM uni
-), scored AS (
-  SELECT doc_id,
-         CAST(SUM(CAST(round(tf * ln(CAST(c + 1 AS DOUBLE)
-                                     / (n_corpus + vocab)) * 1000000)
-                       AS BIGINT)) AS BIGINT) AS logprob_e6,
-         CAST(SUM(tf) AS BIGINT) AS n_tokens
-  FROM tf JOIN uni USING (tok) CROSS JOIN tot
-  GROUP BY doc_id
-)
-SELECT d.doc_id,
-       coalesce(n_tokens, 0) AS n_tokens,
-       coalesce(logprob_e6, 0) AS logprob_e6,
-       coalesce(round(CAST(logprob_e6 AS DOUBLE) / n_tokens / 1000000, 6),
-                0.0) AS mean_logprob
-FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
-""",
-    "x_quantize": """
-WITH v AS (
-  SELECT vec_id, embedding,
-         list_max(list_transform(embedding,
-                                 x -> abs(CAST(x AS DOUBLE)))) AS max_abs
-  FROM embeddings
-), q AS (
-  SELECT vec_id, len(embedding) AS dim, max_abs / 127.0 AS scale,
-         CASE WHEN max_abs = 0
-              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-              ELSE list_transform(embedding,
-                   x -> CAST(round(CAST(x AS DOUBLE) / (max_abs / 127.0))
-                             AS BIGINT))
-         END AS qv
-  FROM v
-)
-SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(scale, 6) AS scale,
-       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
-       md5(array_to_string(qv, ',')) AS q_fp
-FROM q
-""",
-    "x_partitioned_prune": """
-SELECT user_id, count(*) AS n_clicks,
-       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
-         AS sum_value_e4
-FROM events WHERE event_type = 'click'
-GROUP BY user_id
-""",
-    "x_resize": """
-WITH d AS (
-  SELECT doc_id AS media_id, text, len(text) AS n FROM documents
-), long AS (
-  SELECT media_id,
-         md5(string_agg(substring(text,
-               CAST(floor(i * (CAST(n AS DOUBLE) / 64)) AS INT) + 1, 1),
-             '' ORDER BY i)) AS payload_fp
-  FROM d, unnest(range(0, 64)) AS t(i)
-  WHERE n >= 64 GROUP BY media_id
-), short AS (
-  SELECT media_id, md5(text || repeat(chr(0), 64 - n)) AS payload_fp
-  FROM d WHERE n < 64
-)
-SELECT media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
-       payload_fp
-FROM (SELECT * FROM long UNION ALL SELECT * FROM short)
-""",
-    "x_frame_sample": """
-WITH f AS (
-  SELECT doc_id AS media_id, text, len(text) // 16 AS n_frames
-  FROM documents
-)
-SELECT media_id, CAST(fno AS INT) AS frame_no,
-       md5(substring(text, CAST(fno AS INT) * 16 + 1, 16)) AS frame_fp
-FROM f, unnest(range(0, n_frames, 4)) AS t(fno)
-""",
-    "x_multimodal_features": """
-WITH ch AS (
-  SELECT doc_id AS media_id, len(text) AS n,
-         list_transform(range(1, len(text) + 1),
-                        i -> ascii(substring(text, i, 1))) AS codes
-  FROM documents
-)
-SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
-       CAST(list_sum(codes) % 100003 AS BIGINT) AS checksum,
-       CAST(n AS DOUBLE) AS f0,
-       CAST(codes[1] AS DOUBLE) AS f1,
-       CAST(codes[n] AS DOUBLE) AS f2,
-       CAST(list_sum(codes[1:64]) % 997 AS DOUBLE) AS f3,
-       CAST(list_min(codes) AS DOUBLE) AS f4,
-       CAST(list_max(codes) AS DOUBLE) AS f5,
-       CAST(list_sum(codes) % 10007 AS DOUBLE) AS f6,
-       CAST(n % 251 AS DOUBLE) AS f7
-FROM ch
-""",
-    "x_collocations": f"""
-WITH toks AS (
-  SELECT doc_id, {_QF_TOKS} AS tk FROM documents
-), uni AS (
-  SELECT unnest(tk) AS tok FROM toks
-), ucnt AS (
-  SELECT tok, count(*) AS n_tok FROM uni GROUP BY 1
-), bg AS (
-  SELECT tk[i] AS tok_a, tk[i + 1] AS tok_b
-  FROM toks CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(tk) - 1
-), pc AS (
-  SELECT tok_a, tok_b, count(*) AS n_ab FROM bg GROUP BY 1, 2
-  HAVING count(*) >= 5
-)
-SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
-       round(ln(CAST(n_ab * (SELECT SUM(n_tok) FROM ucnt) AS DOUBLE)
-                / (a.n_tok * b.n_tok)), 6) AS pmi
-FROM pc
-JOIN ucnt a ON pc.tok_a = a.tok
-JOIN ucnt b ON pc.tok_b = b.tok
-""",
-    "x_sessionize": """
-WITH e AS (
-  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
-), b AS (
-  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
-                  OR ts_ms - lag(ts_ms) OVER w > 3600000
-             THEN 1 ELSE 0 END AS brk
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-), i AS (
-  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                           ROWS UNBOUNDED PRECEDING) AS isl
-  FROM b
-)
-SELECT event_id, user_id, ts_ms,
-       CAST(MIN(ts_ms) OVER (PARTITION BY user_id, isl) AS BIGINT)
-         AS session_start_ms,
-       row_number() OVER (PARTITION BY user_id, isl
-                          ORDER BY ts_ms, event_id) AS event_seq
-FROM i
-""",
-    "x_trailing": """
-SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
-       count(*) OVER w AS trail_cnt,
-       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT)
-         AS trail_sum_e4,
-       round(CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS DOUBLE)
-             / count(*) OVER w / 10000, 6) AS trail_avg
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
-             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
-""",
-    "x_key_skew": """
-WITH pairs AS (
-  SELECT 'event_type' AS col,
-         coalesce(CAST(event_type AS VARCHAR), '<NULL>') AS key FROM events
-  UNION ALL
-  SELECT 'user_id', coalesce(CAST(user_id AS VARCHAR), '<NULL>') FROM events
-), counts AS (
-  SELECT col, key, count(*) AS cnt FROM pairs GROUP BY 1, 2
-), cstats AS (
-  SELECT col, SUM(cnt) AS _total, count(*) AS n_distinct
-  FROM counts GROUP BY 1
-), ranked AS (
-  SELECT col, key, cnt,
-         row_number() OVER (PARTITION BY col ORDER BY cnt DESC, key) AS rank
-  FROM counts
-)
-SELECT col, key, CAST(cnt AS BIGINT) AS cnt,
-       round(CAST(cnt AS DOUBLE) / _total, 6) AS share,
-       CAST(n_distinct AS BIGINT) AS n_distinct,
-       round(CAST(cnt AS DOUBLE) / _total * n_distinct, 6) AS skew_ratio,
-       rank
-FROM ranked JOIN cstats USING (col)
-WHERE rank <= 10
-""",
-    "x_pivot_daily": """
-SELECT CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS day_ms,
-       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
-         AS view,
-       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
-         AS click,
-       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-            AS BIGINT) AS purchase,
-       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
-         AS signup,
-       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
-         AS error
-FROM events GROUP BY 1
-""",
-    # x_lsh_topk, x_embedding_neardup_lsh: rows-only (bucket signs sit on
-    # float zero-crossings — one last-ulp difference between engines flips
-    # a bucket, so no stable hash oracle exists by design).
-    # x_hll_distinct / x_approx_quantiles: the sketch ESTIMATES are
-    # engine-private, so the queries emit the invariant instead (exact
-    # answer + bound-check booleans), which the oracle replays exactly.
-    "x_hll_distinct": """
-SELECT event_type,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
-       TRUE AS within_bound
-FROM events GROUP BY event_type ORDER BY event_type
-""",
-    "x_approx_quantiles": """
-SELECT event_type,
-       CAST(COUNT(value) AS BIGINT) AS n,
-       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
-FROM events GROUP BY event_type ORDER BY event_type
-""",
-}
-
-# Derive the streaming filter's oracle from the batch one (same rule CTEs;
-# drop the arrival-order-dependent dedup flag from the verdict).
-ORACLES["x_filter_stream"] = ORACLES["x_corpus_filter"].replace(
-    "SELECT doc_id, n_tokens, fail_len, fail_rep, fail_stop, fail_pii,"
-    " is_dup,\n"
-    "       NOT (fail_len OR fail_rep OR fail_stop OR fail_pii OR is_dup)"
-    " AS keep",
-    "SELECT doc_id, n_tokens, fail_len, fail_rep, fail_stop, fail_pii,\n"
-    "       NOT (fail_len OR fail_rep OR fail_stop OR fail_pii) AS keep")
-assert "is_dup" not in ORACLES["x_filter_stream"].split("FROM fl")[0] \
-    .rsplit("SELECT", 1)[1], "x_filter_stream oracle derivation went stale"
-
-ORACLES["x_dedup_stream"] = (
-    f"SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents")
-
-# Same CTE chain as x_unigram_logprob, then the exact-integer ranking key
-# (positive numerator -> DuckDB's flooring // and Spark's truncating `div`
-# agree) and NTILE terciles. Empty docs key to -1 (tail).
-ORACLES["x_quality_buckets"] = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-), tf AS (
-  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
-), uni AS (
-  SELECT tok, SUM(tf) AS c FROM tf GROUP BY 1
-), tot AS (
-  SELECT SUM(c) AS n_corpus, count(*) AS vocab FROM uni
-), scored AS (
-  SELECT doc_id,
-         CAST(SUM(CAST(round(tf * ln(CAST(c + 1 AS DOUBLE)
-                                     / (n_corpus + vocab)) * 1000000)
-                       AS BIGINT)) AS BIGINT) AS logprob_e6,
-         CAST(SUM(tf) AS BIGINT) AS n_tokens
-  FROM tf JOIN uni USING (tok) CROSS JOIN tot
-  GROUP BY doc_id
-), base AS (
-  SELECT d.doc_id,
-         coalesce(n_tokens, 0) AS n_tokens,
-         coalesce(logprob_e6, 0) AS logprob_e6
-  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
-), keyed AS (
-  SELECT doc_id, n_tokens, logprob_e6,
-         CAST(CASE WHEN n_tokens > 0
-              THEN ((logprob_e6 + 100000000 * n_tokens) * 1000) // n_tokens
-              ELSE -1 END AS BIGINT) AS qkey_milli
-  FROM base
-), bk AS (
-  SELECT doc_id, n_tokens, logprob_e6, qkey_milli,
-         CAST(ntile(3) OVER (ORDER BY qkey_milli DESC, doc_id) AS INT)
-           AS bucket
-  FROM keyed
-)
-SELECT doc_id, n_tokens, logprob_e6, qkey_milli, bucket,
-       CASE WHEN bucket = 1 THEN 'head'
-            WHEN bucket = 3 THEN 'tail'
-            ELSE 'middle' END AS bucket_name
-FROM bk
-"""
-
-_GS_H = _H32.format(x="concat('gsample', ':', CAST(doc_id AS VARCHAR))")
-ORACLES["x_group_sample"] = f"""
-WITH h AS (
-  SELECT doc_id, source, {_GS_H} AS _h FROM documents
-), r AS (
-  SELECT doc_id, source,
-         CAST(row_number() OVER (PARTITION BY source ORDER BY _h, doc_id)
-              AS INT) AS rk
-  FROM h
-)
-SELECT doc_id, source, rk FROM r WHERE rk <= 5
-"""
-
-_BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
-ORACLES["x_range_lookup"] = f"""
-WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_VALUES})
-SELECT CAST(band_id AS BIGINT) AS band_id,
-       count(*) AS n_events,
-       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
-FROM events JOIN bands ON value >= lo AND value < hi
-GROUP BY band_id
-"""
-
-# Same recursive-CTE component labeling as x_neardup_clusters, carried to
-# the corpus-level keep decision (threshold 0.5, matching the Spark call).
-ORACLES["x_neardup_keep"] = f"""
-WITH RECURSIVE
-cand AS ({_minhash_lsh_oracle()}),
-jac AS ({_jaccard_oracle(threshold=0.5)}),
-edges AS (
-  SELECT jac.id_a AS a, jac.id_b AS b
-  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-reach(node, r) AS (
-  SELECT a, a FROM sym
-  UNION
-  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
-),
-cc AS (
-  SELECT node, min(r) AS label FROM reach GROUP BY node
-)
-SELECT d.doc_id,
-       coalesce(d.doc_id IN (SELECT node FROM cc WHERE node = label), FALSE)
-         AS is_canonical
-FROM documents d
-WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> label)
-"""
-
-_TS_DRAW = (_H32.format(x="concat('tsample', ':', CAST(doc_id AS VARCHAR))")
-            + " / 4294967296.0")
-ORACLES["x_temperature_sample"] = f"""
-WITH per_src AS (
-  SELECT source, CAST(SUM(len({_QF_TOKS})) AS BIGINT) AS total_tokens
-  FROM documents GROUP BY source
-), tot AS (
-  SELECT *, CAST(SUM(total_tokens) OVER () AS BIGINT) AS corpus_tokens,
-         count(*) OVER () AS n_sources
-  FROM per_src
-), probs AS (
-  SELECT source,
-         round(least(1.0,
-               pow(round((1.0 / n_sources)
-                         / (CAST(total_tokens AS DOUBLE) / corpus_tokens), 6),
-                   0.5)), 6) AS keep_prob
-  FROM tot
-)
-SELECT d.doc_id, d.source
-FROM documents d JOIN probs USING (source)
-WHERE {_TS_DRAW} < keep_prob
-"""
-
-
-def _lsh_bucket_sql(vec: str, num_planes: int = 8, dim: int = 64) -> str:
-    """DuckDB analog of similarity.lsh_signature: bit p = sign of the dot
-    product with the md5-parity ±1 plane (same constants, materialized as
-    SQL literals; the fixture dim is 64 — a dim change would surface as a
-    loud hash mismatch, not silent truncation, because out-of-range list
-    indexing yields NULL sums).
-
-    Promoting x_lsh_topk / x_embedding_neardup_lsh from rows-only to exact
-    oracles is justified by measurement, not hope: the closest projection
-    to a sign flip across every (vector, plane) is |proj| >= 2.0e-4 at all
-    three SFs, nine orders above float-association noise (~1e-13), so both
-    engines compute identical bucket signatures.
-    """
-    import hashlib
-    terms = []
-    for p in range(num_planes):
-        signs = ",".join(
-            "1.0" if int(hashlib.md5(f"plane{p}:{i}".encode())
-                         .hexdigest()[:8], 16) % 2 == 1 else "-1.0"
-            for i in range(dim))
-        proj = (f"list_sum(list_transform(range(1, len({vec}) + 1),"
-                f" i -> CAST({vec}[i] AS DOUBLE) * ([{signs}])[i]))")
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
-
-
-ORACLES["x_lsh_topk"] = f"""
-WITH c AS (
-  SELECT vec_id, embedding AS v, {_lsh_bucket_sql("embedding")} AS bucket
-  FROM embeddings
-), qs AS (
-  SELECT vec_id AS query_id, embedding AS q,
-         {_lsh_bucket_sql("embedding")} AS q_bucket
-  FROM embeddings WHERE vec_id < 10
-), s AS (
-  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
-  FROM qs JOIN c ON bucket = q_bucket AND query_id <> vec_id
-), r AS (
-  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                 ORDER BY score DESC, vec_id) AS INT) AS rk
-  FROM s
-)
-SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
-"""
-
-_CVA_VB = _cosine_sql("va", "vb")
-ORACLES["x_embedding_neardup_lsh"] = f"""
-WITH t AS (
-  SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
-  FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_CVA_VB}, 6) AS score
-FROM (SELECT vec_id, embedding AS va, bucket FROM t) a
-JOIN (SELECT vec_id, embedding AS vb, bucket FROM t) b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({_CVA_VB}, 6) >= 0.3
-"""
-
-ORACLES["x_zorder_prune"] = """
-WITH e AS (
-  SELECT event_type, value, user_id, epoch_ms(ts) // 86400000 AS day
-  FROM events
-)
-SELECT event_type, count(*) AS n_events,
-       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
-         AS sum_value_e4
-FROM e
-WHERE user_id BETWEEN 100 AND 140 AND day BETWEEN 19730 AND 19739
-GROUP BY event_type
-"""
-
-ORACLES["x_grouping_sets"] = """
-SELECT CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
-       event_type, day, count(*) AS n_events,
-       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
-         AS sum_value_e4
-FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day, value FROM events)
-GROUP BY GROUPING SETS ((event_type), (day))
-"""
-
-ORACLES["x_variant_extract"] = """
-SELECT event_type,
-       count(CASE WHEN props IS NOT NULL THEN 1 END) AS n_rows,
-       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-         AS n_typed,
-       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS sum_v,
-       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_v,
-       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_v
-FROM events GROUP BY event_type
-"""
-
-_FLIPS = ", ".join(f"({v})" for v in [0] + [1 << p for p in range(8)])
-ORACLES["x_lsh_multiprobe_topk"] = f"""
-WITH c AS (
-  SELECT vec_id, embedding AS v, {_lsh_bucket_sql("embedding")} AS bucket
-  FROM embeddings
-), qs AS (
-  SELECT vec_id AS query_id, embedding AS q,
-         {_lsh_bucket_sql("embedding")} AS q_bucket
-  FROM embeddings WHERE vec_id < 10
-), probes AS (
-  SELECT query_id, q, xor(q_bucket, flip) AS probe_bucket
-  FROM qs CROSS JOIN (VALUES {_FLIPS}) flips(flip)
-), s AS (
-  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
-  FROM probes JOIN c ON bucket = probe_bucket AND query_id <> vec_id
-), r AS (
-  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                 ORDER BY score DESC, vec_id) AS INT) AS rk
-  FROM s
-)
-SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
-"""
-
-ORACLES["j4_stream_static"] = f"""
-WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_VALUES}),
-f AS (SELECT event_id, CAST(event_id % 500 AS DOUBLE) AS value FROM events)
-SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n_events,
-       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
-FROM f JOIN bands ON value >= lo AND value < hi
-GROUP BY band_id
-"""
-
-ORACLES["x_dedup_stats"] = f"""
-WITH RECURSIVE
-n AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
-ex AS (SELECT fp, count(*) AS n_copies FROM n GROUP BY fp),
-cand AS ({_minhash_lsh_oracle()}),
-jac AS ({_jaccard_oracle(threshold=0.5)}),
-edges AS (
-  SELECT jac.id_a AS a, jac.id_b AS b
-  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-reach(node, r) AS (
-  SELECT a, a FROM sym
-  UNION
-  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
-),
-cc AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
-SELECT (SELECT count(*) FROM documents) AS n_docs,
-       (SELECT count(*) FROM ex) AS n_distinct_content,
-       (SELECT CAST(SUM(n_copies - 1) AS BIGINT) FROM ex)
-         AS n_exact_dup_rows,
-       (SELECT count(DISTINCT label) FROM cc) AS n_neardup_clusters,
-       (SELECT count(*) FROM cc) AS n_neardup_members,
-       (SELECT count(*) FROM documents
-        WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> label))
-         AS n_kept
-"""
-
-ORACLES["x_iqr_outliers"] = """
-WITH q AS (
-  SELECT event_type,
-         round(quantile_cont(value, 0.25), 6) AS q1,
-         round(quantile_cont(value, 0.75), 6) AS q3
-  FROM events GROUP BY event_type
-), f AS (
-  SELECT event_type,
-         round(q1 - 1.5 * (q3 - q1), 6) AS lo,
-         round(q3 + 1.5 * (q3 - q1), 6) AS hi
-  FROM q
-)
-SELECT e.event_type, count(*) AS n_rows,
-       CAST(SUM(CAST(e.value < f.lo OR e.value > f.hi AS BIGINT)) AS BIGINT)
-         AS n_outliers
-FROM events e JOIN f ON e.event_type = f.event_type
-GROUP BY e.event_type
-"""
-
-# ascii() per char == payload byte because the fixture text is pure ASCII
-# (attach_binary_payload encodes UTF-8; any non-ASCII char would surface
-# as a loud hash mismatch, not silent corruption).
-ORACLES["x_audio_energy"] = """
-WITH m AS (SELECT doc_id AS media_id, text FROM documents),
-f AS (
-  SELECT media_id, CAST(i AS INT) AS frame_no, text
-  FROM m CROSS JOIN (SELECT unnest(range(0, 100000)) AS i) idx
-  WHERE i < len(text) // 32
-)
-SELECT media_id, frame_no,
-       CAST(list_sum(list_transform(range(1, 33),
-            j -> ascii(substring(text, CAST(frame_no * 32 + j AS INT), 1))
-                 * ascii(substring(text, CAST(frame_no * 32 + j AS INT), 1))))
-            AS BIGINT) AS energy
-FROM f
-"""
-
-ORACLES["x_cross_source_dups"] = f"""
-WITH cand AS ({_minhash_lsh_oracle()}),
-jac AS ({_jaccard_oracle(threshold=0.5)}),
-pairs AS (
-  SELECT jac.id_a, jac.id_b
-  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-att AS (
-  SELECT least(da.source, db.source) AS source_x,
-         greatest(da.source, db.source) AS source_y
-  FROM pairs
-  JOIN documents da ON da.doc_id = pairs.id_a
-  JOIN documents db ON db.doc_id = pairs.id_b
-)
-SELECT source_x, source_y, count(*) AS n_pairs
-FROM att GROUP BY source_x, source_y
-"""
-
-ORACLES["x_token_histogram"] = f"""
-WITH t AS (
-  SELECT CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens FROM documents
-)
-SELECT CASE WHEN n_tokens > 0
-            THEN CAST(floor(log2(n_tokens)) AS BIGINT)
-            ELSE -1 END AS log2_bucket,
-       count(*) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-FROM t GROUP BY 1
-"""
-
-ORACLES["p3_project"] = """
-SELECT user_id, event_type,
-       CAST(round(value * 10000) AS BIGINT) AS value_e4,
-       CAST(1 AS BIGINT) AS one
-FROM events
-"""
-
-_SPLIT_H = (_H32.format(x="concat('split', ':', CAST(doc_id AS VARCHAR))")
-            + " / 4294967296.0")
-ORACLES["x_train_val_split"] = f"""
-WITH s AS (
-  SELECT source,
-         CASE WHEN {_SPLIT_H} < 0.8 THEN 'train'
-              WHEN {_SPLIT_H} < 0.9 THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents
-)
-SELECT source, split, count(*) AS n_docs
-FROM s GROUP BY source, split
-"""
-
-# Full-corpus candidate pairs filtered to those touching a new doc equal
-# the incremental new×(old+new) computation exactly (same signatures);
-# id_b is the pair max, so old-old pairs are precisely id_b < 400.
-ORACLES["x_incremental_dedup"] = f"""
-WITH base AS ({_minhash_lsh_oracle()})
-SELECT id_a, id_b, n_shared_bands, id_a < 400 AS is_cross
-FROM base WHERE id_b >= 400
-"""
-
-ORACLES["x_set_ops"] = """
-WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-SELECT user_id, 'click_and_buy' AS segment FROM (SELECT * FROM c INTERSECT SELECT * FROM b)
-UNION ALL
-SELECT user_id, 'click_no_buy' AS segment FROM (SELECT * FROM c EXCEPT SELECT * FROM b)
-"""
-
-ORACLES["x_global_offsets"] = f"""
-WITH t AS (
-  SELECT doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens FROM documents
-)
-SELECT doc_id, n_tokens,
-       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
-            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset,
-       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
-            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset,
-       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-             - n_tokens) // 4096 AS BIGINT) AS shard
-FROM t
-"""
-
-ORACLES["x_dynamic_sessions"] = """
-WITH e AS (
-  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
-         CASE WHEN event_type = 'click' THEN 1800000 ELSE 600000 END AS gap
-  FROM events
-), lagd AS (
-  SELECT user_id, ts_ms,
-         lag(ts_ms) OVER w AS prev_ts, lag(gap) OVER w AS prev_gap
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-), brk AS (
-  SELECT user_id, ts_ms,
-         CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > prev_gap
-              THEN 1 ELSE 0 END AS b
-  FROM lagd
-), isl AS (
-  SELECT user_id, ts_ms,
-         SUM(b) OVER (PARTITION BY user_id ORDER BY ts_ms
-                      ROWS UNBOUNDED PRECEDING) AS island
-  FROM brk
-)
-SELECT user_id,
-       CAST(MIN(ts_ms) AS BIGINT) AS session_start_ms,
-       count(*) AS n_events,
-       CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms
-FROM isl GROUP BY user_id, island
-"""
-
-ORACLES["j2_asof_forward"] = """
-WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS purchase_value
-      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-SELECT l.user_id, l.ts_ms, l.event_id, r.purchase_value,
-       r.ts_ms AS matched_ts_ms
-FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms <= r.ts_ms
-"""
-
-ORACLES["x_trending"] = """
-WITH c AS (
-  SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
-         user_id, count(*) AS n_events
-  FROM events GROUP BY 1, 2
-), r AS (
-  SELECT *, CAST(row_number() OVER (PARTITION BY window_start_ms
-                 ORDER BY n_events DESC, user_id) AS INT) AS rk
-  FROM c
-)
-SELECT CAST(window_start_ms AS BIGINT) AS window_start_ms, user_id,
-       n_events, rk
-FROM r WHERE rk <= 3
-"""
-
-ORACLES["x_lag_features"] = """
-WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
-                  CAST(round(value * 10000) AS BIGINT) AS value_e4
-           FROM events)
-SELECT user_id, ts_ms, event_id, value_e4,
-       coalesce(lag(value_e4) OVER w, -1) AS prev_value_e4,
-       coalesce(ts_ms - lag(ts_ms) OVER w, -1) AS gap_ms
-FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-"""
-
-ORACLES["x_window_distinct"] = """
-SELECT CAST((epoch_ms(ts) // 21600000) * 21600000 AS BIGINT)
-         AS window_start_ms,
-       count(DISTINCT user_id) AS n_users,
-       count(*) AS n_events
-FROM events GROUP BY 1
-"""
-
-ORACLES["x_bigram_logprob"] = f"""
-WITH toks AS (
-  SELECT doc_id, {_QF_TOKS} AS tk FROM documents
-), bg AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, greatest(len(tk), 1)),
-                j -> {{'tok_a': tk[j], 'tok_b': tk[j+1]}})) AS s
-  FROM toks
-), pairs AS (
-  SELECT doc_id, s.tok_a AS tok_a, s.tok_b AS tok_b FROM bg
-), tf AS (
-  SELECT doc_id, tok_a, tok_b, count(*) AS tf FROM pairs GROUP BY 1, 2, 3
-), c_ab AS (
-  SELECT tok_a, tok_b, SUM(tf) AS c_ab FROM tf GROUP BY 1, 2
-), uni AS (
-  SELECT tok, count(*) AS c_a
-  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1
-), voc AS (SELECT count(*) AS v FROM uni),
-scored AS (
-  SELECT doc_id,
-         CAST(SUM(CAST(round(tf * ln(CAST(c_ab + 1 AS DOUBLE) / (c_a + v))
-                       * 1000000) AS BIGINT)) AS BIGINT) AS logprob_e6,
-         CAST(SUM(tf) AS BIGINT) AS n_bigrams
-  FROM tf
-  JOIN c_ab USING (tok_a, tok_b)
-  JOIN uni ON uni.tok = tf.tok_a
-  CROSS JOIN voc
-  GROUP BY doc_id
-)
-SELECT d.doc_id,
-       coalesce(n_bigrams, 0) AS n_bigrams,
-       coalesce(logprob_e6, 0) AS logprob_e6,
-       coalesce(round(CAST(logprob_e6 AS DOUBLE) / n_bigrams / 1000000, 6),
-                0.0) AS mean_logprob
-FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
-"""
-
-def _minhash_est_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
-    rows_per_band = num_hashes // bands
-    hb = _H32.format(x="concat('mh', ':', shingle)")
-    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
-                          in enumerate(dedup.affine_consts(num_hashes)))
-    return f"""
-WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS MATERIALIZED (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - {n - 1}
-), hb AS (
-  SELECT doc_id, {hb} AS hb FROM sh
-), sig AS (
-  SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
-  FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
-  GROUP BY doc_id, seed
-), banded AS MATERIALIZED (
-  SELECT doc_id, seed // {rows_per_band} AS band,
-         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
-  FROM sig GROUP BY doc_id, seed // {rows_per_band}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id
-)
-SELECT cand.id_a, cand.id_b,
-       CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_match,
-       round(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
-             / {float(num_hashes)}, 6) AS est_jaccard
-FROM cand
-JOIN sig sa ON sa.doc_id = cand.id_a
-JOIN sig sb ON sb.doc_id = cand.id_b AND sb.seed = sa.seed
-GROUP BY cand.id_a, cand.id_b
-"""
-
-
-ORACLES["x_minhash_estimate"] = _minhash_est_oracle()
-
-_NULL_COLS = [("event_id", "event_id"), ("user_id", "user_id"),
-              ("event_type", "event_type"), ("ts_ms", "epoch_ms(ts)"),
-              ("value", "value"), ("props", "props")]
-ORACLES["x_null_audit"] = "\nUNION ALL\n".join(
-    f"SELECT '{name}' AS col, count(*) AS n_rows,"
-    f" CAST(SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
-    f" AS n_null FROM events"
-    for name, expr in _NULL_COLS)
-
-ORACLES["x_token_entropy"] = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-), tf AS (
-  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
-), with_n AS (
-  SELECT doc_id, tf, SUM(tf) OVER (PARTITION BY doc_id) AS n FROM tf
-), scored AS (
-  SELECT doc_id,
-         CAST(SUM(CAST(round(-(CAST(tf AS DOUBLE) / n)
-                        * ln(CAST(tf AS DOUBLE) / n) * 1000000)
-                       AS BIGINT)) AS BIGINT) AS entropy_e6,
-         CAST(MAX(n) AS BIGINT) AS n_tokens
-  FROM with_n GROUP BY doc_id
-)
-SELECT d.doc_id,
-       coalesce(n_tokens, 0) AS n_tokens,
-       coalesce(entropy_e6, 0) AS entropy_e6,
-       coalesce(round(CAST(entropy_e6 AS DOUBLE) / 1000000, 6), 0.0)
-         AS entropy
-FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
-"""
-
-_ST = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
-ORACLES["x_keyword_search"] = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-), hit AS (
-  SELECT doc_id, count(DISTINCT tok) AS n_terms, count(*) AS tf_sum
-  FROM tok WHERE tok IN ({_ST})
-  GROUP BY doc_id
-  HAVING count(DISTINCT tok) = {len(_SEARCH_TERMS)}
-)
-SELECT doc_id, CAST(tf_sum AS BIGINT) AS tf_sum
-FROM hit ORDER BY tf_sum DESC, doc_id LIMIT 20
-"""
-
-ORACLES["x_freshness"] = """
-WITH pt AS (
-  SELECT event_type, CAST(MAX(epoch_ms(ts)) AS BIGINT) AS latest_ts_ms,
-         count(*) AS n_events
-  FROM events GROUP BY event_type
-), cm AS (SELECT CAST(MAX(epoch_ms(ts)) AS BIGINT) AS corpus_max_ms FROM events)
-SELECT event_type, latest_ts_ms, n_events,
-       CAST(corpus_max_ms - latest_ts_ms AS BIGINT) AS staleness_ms
-FROM pt CROSS JOIN cm
-"""
-
-# Same dashboard contract, same oracle: only the Spark-side provenance of
-# the cluster numbers differs (persisted parquet vs live recompute).
-ORACLES["x_dedup_report"] = ORACLES["x_dedup_stats"]
-
-ORACLES["x_containment_pairs"] = _containment_oracle()
-
-ORACLES["x_weighted_sample"] = f"""
-WITH s AS (
-  SELECT doc_id, source, n_chars,
-         pow({_H32.format(x="concat('wsample', ':', CAST(doc_id AS VARCHAR))")}
-               / 4294967296.0,
-             1.0 / greatest(CAST(n_chars AS DOUBLE), 0.000000001)) AS score
-  FROM documents
-), k AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 100)
-SELECT doc_id, source, n_chars, round(score, 6) AS score FROM k
-"""
-
-ORACLES["x_posting_lists"] = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-), pd AS (
-  SELECT tok, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
-), ag AS (
-  SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
-         string_agg(concat(CAST(doc_id AS VARCHAR), ':', CAST(tf AS VARCHAR)),
-                    ',' ORDER BY concat(CAST(doc_id AS VARCHAR), ':',
-                                        CAST(tf AS VARCHAR))) AS postings
-  FROM pd GROUP BY tok
-)
-SELECT tok, df, cf, postings FROM ag WHERE df >= 10
-"""
-
-ORACLES["x_bm25_topk"] = f"""
-WITH dl AS (
-  SELECT doc_id, len({_QF_TOKS}) AS dl FROM documents
-), tok AS (
-  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-), hits AS (
-  SELECT doc_id, tok, count(*) AS tf FROM tok
-  WHERE tok IN ({_ST}) GROUP BY 1, 2
-), dfreq AS (
-  SELECT tok, count(DISTINCT doc_id) AS dfreq FROM hits GROUP BY tok
-), consts AS (
-  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
-), per AS (
-  SELECT h.doc_id,
-         CAST(round(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
-                    * tf * 2.2
-                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                    * 1000000.0) AS BIGINT) AS s_e6
-  FROM hits h JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN consts
-), ag AS (
-  SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6 FROM per GROUP BY doc_id
-)
-SELECT doc_id, score_e6,
-       round(CAST(score_e6 AS DOUBLE) / 1000000.0, 6) AS bm25
-FROM ag ORDER BY score_e6 DESC, doc_id LIMIT 20
-"""
-
-ORACLES["x_compact_latest"] = """
-WITH r AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
-  FROM events
-)
-SELECT user_id, ts_ms, event_id, event_type, round(value, 6) AS value
-FROM r WHERE rn = 1
-"""
-
-def _profile_oracle() -> str:
-    num = ["event_id", "user_id", "ts_ms"]
-    dbl = ["value"]
-    s = ["event_type", "props"]
-    rows = []
-    for c in num:
-        rows.append(f"""
-SELECT '{c}' AS col_name, (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_rows,
-       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       CAST(min({c}) * 1000000 AS BIGINT) AS min_e6,
-       CAST(max({c}) * 1000000 AS BIGINT) AS max_e6,
-       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-FROM e""")
-    for c in dbl:
-        rows.append(f"""
-SELECT '{c}', (SELECT CAST(count(*) AS BIGINT) FROM e),
-       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(count(DISTINCT {c}) AS BIGINT),
-       CAST(round(min({c}) * 1000000) AS BIGINT),
-       CAST(round(max({c}) * 1000000) AS BIGINT),
-       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
-FROM e""")
-    for c in s:
-        rows.append(f"""
-SELECT '{c}', (SELECT CAST(count(*) AS BIGINT) FROM e),
-       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(count(DISTINCT {c}) AS BIGINT),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-       min({c}), max({c})
-FROM e""")
-    return ("WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, "
-            "value, event_type, props FROM events)"
-            + "\nUNION ALL".join(rows))
-
-
-ORACLES["x_profile"] = _profile_oracle()
-ORACLES["x_lsh_recall"] = _lsh_recall_oracle()
-
-ORACLES["x_rag_retrieve"] = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id, embedding AS v FROM embeddings),
-s AS (
-  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
-  FROM q CROSS JOIN c WHERE query_id <> vec_id
-), r AS (
-  SELECT query_id, vec_id, score,
-         CAST(row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, vec_id) AS INT) AS rk
-  FROM s
-)
-SELECT query_id, rk, r.vec_id AS doc_id, score, lang, source, n_chars
-FROM r JOIN documents d ON r.vec_id = d.doc_id
-WHERE rk <= 5
-"""
-
-ORACLES["x_resample_ffill"] = """
-WITH e AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value FROM events
-), ranked AS (
-  SELECT user_id, ts_ms // 3600000 AS h, value,
-         row_number() OVER (PARTITION BY user_id, ts_ms // 3600000
-                            ORDER BY ts_ms DESC, event_id DESC) AS rn
-  FROM e
-), cls AS (
-  SELECT user_id, h, value AS close FROM ranked WHERE rn = 1
-), cnt AS (
-  SELECT user_id, ts_ms // 3600000 AS h, count(*) AS n_events
-  FROM e GROUP BY 1, 2
-), spans AS (
-  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM cnt GROUP BY user_id
-), grid AS (
-  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM spans
-), j AS (
-  SELECT g.user_id, g.h, coalesce(n_events, 0) AS n_events, close
-  FROM grid g
-  LEFT JOIN cnt USING (user_id, h)
-  LEFT JOIN cls USING (user_id, h)
-)
-SELECT user_id, CAST(h * 3600000 AS BIGINT) AS hour_ms,
-       CAST(n_events AS BIGINT) AS n_events,
-       round(last_value(close IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY h
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-         AS value_ffill
-FROM j
-"""
-
-ORACLES["x_compact_stream"] = """
-WITH r AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
-  FROM events
-)
-SELECT user_id, ts_ms, event_id, event_type FROM r WHERE rn = 1
-"""
-
-ORACLES["x_interleave"] = f"""
-WITH ranked AS (
-  SELECT doc_id, source,
-         row_number() OVER (
-           PARTITION BY source
-           ORDER BY {_H32.format(x="concat('ilv', ':', CAST(doc_id AS VARCHAR))")},
-                    doc_id) AS r
-  FROM documents
-), ns AS (SELECT source, max(r) AS n_source FROM ranked GROUP BY source)
-SELECT doc_id, ranked.source, CAST(r AS BIGINT) AS r,
-       CAST(n_source AS BIGINT) AS n_source,
-       round((r - 0.5) / n_source, 6) AS position
-FROM ranked JOIN ns ON ranked.source = ns.source
-"""
-
-ORACLES["x_bloom_prune"] = """
-SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT)
-         AS revenue_e4
-FROM orders
-WHERE o_custkey IN (SELECT c_custkey FROM customer
-                    WHERE c_mktsegment = 'BUILDING')
-GROUP BY 1
-"""
-
-_CMS_H = _H32.format(
-    x="concat('cms', CAST(seed AS VARCHAR), ':', CAST(user_id AS VARCHAR))")
-ORACLES["x_cms_estimate"] = f"""
-WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
-b AS (
-  SELECT user_id, seed, CAST({_CMS_H} % 256 AS INT) AS bucket
-  FROM events CROSS JOIN seeds
-), sk AS (
-  SELECT seed, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
-), watch AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
-wp AS (
-  SELECT user_id, seed, CAST({_CMS_H} % 256 AS INT) AS bucket
-  FROM watch CROSS JOIN seeds
-), est AS (
-  SELECT user_id, min(coalesce(cnt, 0)) AS cms_est
-  FROM wp LEFT JOIN sk USING (seed, bucket) GROUP BY user_id
-), ex AS (
-  SELECT user_id, count(*) AS n_exact FROM events
-  WHERE user_id < 10 GROUP BY user_id
-)
-SELECT user_id, CAST(n_exact AS BIGINT) AS n_exact,
-       CAST(cms_est AS BIGINT) AS cms_est,
-       CAST(cms_est - n_exact AS BIGINT) AS overcount
-FROM est JOIN ex USING (user_id)
-"""
-
-ORACLES["x_heavy_hitters"] = f"""
-SELECT tok, CAST(count(*) AS BIGINT) AS n
-FROM (SELECT unnest({_QF_TOKS}) AS tok FROM documents)
-GROUP BY tok HAVING count(*) >= 700
-"""
-
-ORACLES["x_paragraph_dedup"] = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-tok AS (
-  SELECT doc_id, w[i] AS tok, i
-  FROM t CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w)
-), ch AS (
-  SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS idx,
-         string_agg(tok, ' ' ORDER BY i) AS chunk
-  FROM tok GROUP BY 1, 2
-), firsts AS (
-  SELECT doc_id, idx, chunk,
-         row_number() OVER (PARTITION BY chunk
-                            ORDER BY doc_id, idx) AS rn
-  FROM ch
-), reb AS (
-  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_dedup,
-         count(*) AS n_kept
-  FROM firsts WHERE rn = 1 GROUP BY doc_id
-)
-SELECT d.doc_id, coalesce(text_dedup, '') AS text_dedup,
-       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
-FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
-"""
-
-ORACLES["x_cep_pattern"] = """
-WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
-           FROM events),
-x AS (
-  SELECT user_id, ts_ms, event_id, event_type,
-         lead(event_type, 1) OVER w AS t1,
-         lead(event_type, 2) OVER w AS t2,
-         lead(ts_ms, 2) OVER w AS ts2
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-)
-SELECT user_id, ts_ms AS start_ts_ms, ts2 AS end_ts_ms,
-       event_id AS start_event_id
-FROM x
-WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
-  AND ts2 - ts_ms <= 86400000
-"""
-
-ORACLES["x_scd2"] = """
-WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
-           FROM events),
-m AS (
-  SELECT user_id, event_type, ts_ms, event_id,
-         lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts_ms, event_id) AS prev
-  FROM e
-), c AS (
-  SELECT user_id, event_type, ts_ms, event_id FROM m
-  WHERE prev IS NULL OR prev <> event_type
-)
-SELECT user_id, event_type, CAST(ts_ms AS BIGINT) AS valid_from_ms,
-       CAST(lead(ts_ms) OVER w AS BIGINT) AS valid_to_ms,
-       lead(ts_ms) OVER w IS NULL AS is_current
-FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-"""
-
-ORACLES["x_unpivot"] = """
-WITH e AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
-                  event_type FROM events),
-days AS (SELECT DISTINCT day_ms FROM e),
-types AS (SELECT unnest(['view', 'click', 'purchase', 'signup', 'error'])
-            AS event_type),
-c AS (SELECT day_ms, event_type, count(*) AS cnt FROM e GROUP BY 1, 2)
-SELECT d.day_ms, t.event_type, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
-FROM days d CROSS JOIN types t
-LEFT JOIN c ON c.day_ms = d.day_ms AND c.event_type = t.event_type
-"""
-
-# Streaming CEP shares the batch pattern-match oracle (same semantics,
-# state-machine execution path).
-ORACLES["x_cep_stream"] = ORACLES["x_cep_pattern"]
-
-# The merge-correctness proof: the oracle aggregates RAW events straight
-# to months; the Spark side merges daily partials. Equality shows the
-# decomposition is lossless.
-ORACLES["x_rollup_merge"] = """
-WITH e AS (
-  SELECT event_type,
-         epoch_ms(date_trunc('month', ts)) AS month_ms,
-         CAST(round(value * 10000) AS BIGINT) AS v_e4
-  FROM events
-)
-SELECT event_type, CAST(month_ms AS BIGINT) AS month_ms,
-       CAST(count(*) AS BIGINT) AS cnt,
-       CAST(sum(v_e4) AS BIGINT) AS sum_value_e4,
-       CAST(min(v_e4) AS BIGINT) AS min_value_e4,
-       CAST(max(v_e4) AS BIGINT) AS max_value_e4,
-       round(CAST(sum(v_e4) AS BIGINT) / count(*) / 10000.0, 6) AS avg_value
-FROM e GROUP BY 1, 2
-"""
-
-ORACLES["x_merge_apply"] = """
-WITH r AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
-         round(value, 6) AS value,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
-  FROM events
-)
-SELECT user_id, ts_ms, event_id, event_type AS last_op, value
-FROM r WHERE rn = 1 AND event_type <> 'error'
-"""
-
-_CDC_H = _H32.format(x="concat('cdc', ':', tok)")
-ORACLES["x_content_chunks"] = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-tok AS (
-  SELECT doc_id, w[i] AS tok, i
-  FROM t CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w)
-), marked AS (
-  SELECT doc_id, tok, i,
-         CASE WHEN {_CDC_H} % 8 = 0 THEN 1 ELSE 0 END AS is_b
-  FROM tok
-), chunked AS (
-  SELECT doc_id, tok, i,
-         coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY i
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING), 0) AS chunk_idx
-  FROM marked
-), chunks AS (
-  SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY i) AS chunk
-  FROM chunked GROUP BY 1, 2
-)
-SELECT md5(chunk) AS chunk_fp,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_occurrences
-FROM chunks GROUP BY 1 HAVING count(*) > 1
-"""
-
-ORACLES["x_disorder_stats"] = """
-WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ts_ms FROM events),
-x AS (
-  SELECT event_type,
-         greatest(coalesce(max(ts_ms) OVER (
-             PARTITION BY event_type ORDER BY event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_ms)
-           - ts_ms, 0) AS late_ms
-  FROM e
-)
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-       CAST(max(late_ms) AS BIGINT) AS max_late_ms,
-       CAST(sum(late_ms) AS BIGINT) AS sum_late_ms,
-       round(CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             / count(*), 6) AS late_frac
-FROM x GROUP BY event_type
-"""
-
-# transformWithStateInPandas needs google.protobuf on workers; probe at
-# import so the query registers automatically once the container gains it
-# (VERDICT r3 item 2) and stays invisible otherwise.
-if _protobuf_available():
-    QUERIES["st1_tws"] = st1_tws
-    ORACLES["st1_tws"] = ORACLES["st1_stream"]
-    STREAMING_DEMOS.add("st1_tws")
-
-
-# ---------------------------------------------------------------------------
-# Round 4 additions
-# ---------------------------------------------------------------------------
-
-
-def x_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document-level duplicate-n-gram fraction filter (Lee et al., ACL
-    2022 exact-substring dedup at n-gram granularity): fraction of each
-    doc's distinct 8-token spans that appear in >=2 docs corpus-wide, plus
-    the keep/drop verdict at the 0.5 boilerplate threshold. Totals are
-    map-side; only dup-span hits join (small side = boilerplate list)."""
-    return dedup.dup_ngram_fraction(_docs(spark, sf_dir), n=8, min_docs=2,
-                                    max_frac=0.5)
-
-
-QUERIES["x_dup_ngram_frac"] = x_dup_ngram_frac
-
-ORACLES["x_dup_ngram_frac"] = f"""
-WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS span_fp
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - 7
-), dup AS (
-  SELECT span_fp FROM sh GROUP BY 1 HAVING count(*) >= 2
-), tot AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM sh GROUP BY 1
-), dc AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
-  FROM sh JOIN dup USING (span_fp) GROUP BY 1
-), j AS (
-  SELECT d.doc_id,
-         coalesce(t.n_spans, 0) AS n_spans,
-         coalesce(dc.n_dup_spans, 0) AS n_dup_spans
-  FROM documents d
-  LEFT JOIN tot t USING (doc_id) LEFT JOIN dc USING (doc_id)
-)
-SELECT doc_id, n_spans, n_dup_spans,
-       CASE WHEN n_spans > 0
-            THEN round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6)
-            ELSE 0.0 END AS dup_frac,
-       (CASE WHEN n_spans > 0
-             THEN round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6)
-             ELSE 0.0 END) <= 0.5 AS keep
-FROM j
-"""
-
-
-def x_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup keep-list: hyperplane-LSH buckets as coarse semantic cells,
-    within-cell cosine >= 0.3 pairs -> connected components -> keep the
-    smallest vec_id per component. The embedding-space twin of
-    x_neardup_keep (same output contract over `embeddings`)."""
-    return similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3,
-                                    num_planes=8)
-
-
-QUERIES["x_semdedup_keep"] = x_semdedup_keep
-
-ORACLES["x_semdedup_keep"] = f"""
-WITH RECURSIVE
-edges AS MATERIALIZED ({ORACLES["x_embedding_neardup_lsh"]}),
-sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM edges
-        UNION SELECT id_b, id_a FROM edges),
-reach(node, r) AS (
-  SELECT a, a FROM sym
-  UNION
-  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
-),
-cc AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
-SELECT e.vec_id,
-       coalesce(e.vec_id IN (SELECT node FROM cc WHERE node = label), FALSE)
-         AS is_canonical
-FROM embeddings e
-WHERE e.vec_id NOT IN (SELECT node FROM cc WHERE node <> label)
-"""
-
-
-def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-exact PageRank (5 power iterations) over the verified
-    near-dup similarity graph — ranks each connected doc by duplication
-    centrality (hub docs whose content radiates through the corpus).
-    Exact BIGINT arithmetic end to end, so the unrolled-recurrence DuckDB
-    oracle hash-matches; the iterative plan is one edge join + one keyed
-    aggregate per round with the edge table checkpointed once.
-
-    Edges come from the PERSISTED pair parquet (``_edges_parquet_dir``) —
-    the 100 TB shape: graph passes scan the once-written edge table, they
-    never re-derive LSH+verify from raw text (build parity:
-    x_neardup_pipeline). Same answers, same oracle."""
-    from .functions import graph
-    pr = graph.pagerank(_edges(spark, sf_dir), iterations=5)
-    return pr.select(F.col("node").alias("doc_id"), "rank_i9")
-
-
-QUERIES["x_pagerank"] = x_pagerank
-
-
-def _pagerank_oracle(iterations: int = 5) -> str:
-    head = f"""
-WITH cand AS ({_minhash_lsh_oracle()}),
-jac AS ({_jaccard_oracle(threshold=0.5)}),
-edges AS (
-  SELECT jac.id_a AS a, jac.id_b AS b FROM jac
-  JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
-s0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score FROM deg)"""
-    steps = []
-    for i in range(1, iterations + 1):
-        steps.append(f""", s{i} AS (
-  SELECT s.b AS node,
-         CAST(150000000 + (17 * CAST(sum(p.score // d.deg) AS BIGINT)) // 20
-              AS BIGINT) AS score
-  FROM sym s JOIN s{i - 1} p ON p.node = s.a JOIN deg d ON d.node = s.a
-  GROUP BY s.b)""")
-    return (head + "".join(steps)
-            + f"\nSELECT node AS doc_id, score AS rank_i9 FROM s{iterations}")
-
-
-ORACLES["x_pagerank"] = _pagerank_oracle()
-
-
-def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher quality-rule table over documents: per-rule boolean columns
-    (word count / mean word length / alpha-word fraction / symbol ratio /
-    stopword floor) + composite keep. Pure map-side — scan-speed at any
-    scale."""
-    return text.gopher_rules(_docs(spark, sf_dir))
-
-
-QUERIES["x_gopher_rules"] = x_gopher_rules
-
-ORACLES["x_gopher_rules"] = r"""
-WITH t AS (
-  SELECT doc_id, text,
-         CASE WHEN len(trim(text)) > 0
-              THEN string_split_regex(trim(text), '\s+')
-              ELSE [] END AS w
-  FROM documents
-), feat AS (
-  SELECT doc_id,
-         CAST(len(w) AS BIGINT) AS n_words,
-         CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
-              AS BIGINT) AS sum_len,
-         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
-              AS BIGINT) AS n_alpha,
-         CAST(len(regexp_extract_all(text, '#'))
-              + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym,
-         CAST(len(regexp_extract_all(lower(text),
-              '\b(the|and|of|to|is|a|in|that)\b')) AS BIGINT) AS n_stop
-  FROM t
-), m AS (
-  SELECT doc_id, n_words,
-         round(CASE WHEN n_words > 0
-                    THEN CAST(sum_len AS DOUBLE) / n_words
-                    ELSE 0.0 END, 6) AS mean_word_len,
-         round(CASE WHEN n_words > 0
-                    THEN CAST(n_alpha AS DOUBLE) / n_words
-                    ELSE 0.0 END, 6) AS alpha_word_frac,
-         round(CASE WHEN n_words > 0
-                    THEN CAST(n_sym AS DOUBLE) / n_words
-                    ELSE 0.0 END, 6) AS symbol_word_ratio,
-         n_stop AS n_stopwords
-  FROM feat
-)
-SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
-       n_stopwords,
-       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
-       (alpha_word_frac >= 0.8) AS r_alpha_words,
-       (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
-       (n_stopwords >= 2) AS r_stopwords,
-       ((n_words >= 50 AND n_words <= 100000)
-        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-        AND (alpha_word_frac >= 0.8)
-        AND (symbol_word_ratio <= 0.1)
-        AND (n_stopwords >= 2)) AS keep
-FROM m
-"""
-
-
-def x_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 ingest with dead-letter routing: events round-trip through CSV
-    lines with every 13th record deterministically mangled (non-numeric
-    user_id, truncated fields); the PERMISSIVE parse routes exactly those
-    to the 'dead' lane carrying the raw line, clean rows round-trip typed.
-    The quarantine pattern a 100 TB ingest needs instead of die-on-first-
-    bad-line."""
-    e = _events(spark, sf_dir)
-    bad = F.col("event_id") % 13 == 0
-    ok_line = F.concat_ws(",", *[
-        F.coalesce(F.col(c).cast("string"), F.lit(""))
-        for c in ["event_id", "user_id", "event_type", "ts_ms"]])
-    bad_line = F.concat(F.col("event_id").cast("string"), F.lit(",xx,"),
-                        F.coalesce(F.col("event_type"), F.lit("")))
-    lines = e.select(F.when(bad, bad_line).otherwise(ok_line).alias("value"))
-    schema = T.StructType([
-        T.StructField("event_id", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("ts_ms", T.LongType()),
-    ])
-    return projections.parse_csv_routed(lines, schema)
-
-
-QUERIES["x_corrupt_routing"] = x_corrupt_routing
-
-ORACLES["x_corrupt_routing"] = """
-WITH e AS (
-  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
-), l AS (
-  SELECT *, (event_id % 13 = 0) AS is_bad,
-         concat(CAST(event_id AS VARCHAR), ',xx,',
-                coalesce(event_type, '')) AS bad_line
-  FROM e
-)
-SELECT CASE WHEN is_bad THEN NULL ELSE event_id END AS event_id,
-       CASE WHEN is_bad THEN NULL ELSE user_id END AS user_id,
-       CASE WHEN is_bad THEN NULL ELSE event_type END AS event_type,
-       CASE WHEN is_bad THEN NULL ELSE ts_ms END AS ts_ms,
-       CASE WHEN is_bad THEN 'dead' ELSE 'ok' END AS route,
-       CASE WHEN is_bad THEN bad_line ELSE NULL END AS raw
-FROM l
-"""
-
-
-def j6_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-SEMI windowed stream-stream join — J1's existence form: each
-    click emits (once) iff ANY view shares its (user, 1 h window). Only
-    left columns flow, so hot keys can't blow up output or pairing state;
-    emit timing is inner-like (on first match), deterministic under
-    availableNow without a flush sentinel."""
-    from .streaming.pipelines import windowed_join
-    ev = _stream_events(spark, sf_dir).withColumn(
-        "ts", F.timestamp_millis(F.col("ts_ms")))
-    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
-    out = windowed_join(left, right, key="user_id", ts_col="ts",
-                        size="3600 seconds", how="leftSemi")
-    return _run_to_memory(out, spark)
-
-
-QUERIES["j6_stream_semi"] = j6_stream_semi
-STREAMING_DEMOS.add("j6_stream_semi")
-
-ORACLES["j6_stream_semi"] = """
-WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-      WHERE event_type = 'view')
-SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
-       l.ts_ms AS l_ts_ms
-FROM l
-WHERE EXISTS (SELECT 1 FROM r
-              WHERE r.user_id = l.user_id
-                AND r.ts_ms // 3600000 = l.ts_ms // 3600000)
-"""
-
-
-def x_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming MV maintenance end to end: the events CSV replay feeds a
-    foreachBatch merge keeping daily partials fresh (decomposable
-    cnt/sum/min/max — x_rollup_merge's algebra, now maintained
-    incrementally per micro-batch); the monthly report then reads ONLY the
-    MV. The replay carries no value column, so the measure is event_id
-    (exact BIGINT, j4's replay contract); the oracle aggregates raw events
-    directly — equality proves batching-invariance of the merge."""
-    from .streaming.pipelines import incremental_rollup
-    ev = _stream_events(spark, sf_dir)
-    day = (F.floor(F.col("ts_ms") / 86_400_000) * 86_400_000).cast("bigint")
-    src = ev.select("event_type", day.alias("day_ms"),
-                    F.col("event_id").alias("m"))
-    mv = incremental_rollup(src, spark, ["event_type", "day_ms"], "m")
-    month = F.unix_millis(F.date_trunc(
-        "month", F.timestamp_millis(F.col("day_ms"))))
-    return (mv.groupBy("event_type", month.alias("month_ms"))
-            .agg(F.sum("cnt").cast("bigint").alias("cnt"),
-                 F.sum("sum_m").cast("bigint").alias("sum_id"),
-                 F.min("min_m").cast("bigint").alias("min_id"),
-                 F.max("max_m").cast("bigint").alias("max_id"))
-            .withColumn("avg_id",
-                        F.round(F.col("sum_id") / F.col("cnt"), 6)))
-
-
-QUERIES["x_mv_stream"] = x_mv_stream
-STREAMING_DEMOS.add("x_mv_stream")
-
-ORACLES["x_mv_stream"] = """
-WITH e AS (
-  SELECT event_type,
-         epoch_ms(date_trunc('month', ts)) AS month_ms,
-         event_id
-  FROM events
-)
-SELECT event_type, CAST(month_ms AS BIGINT) AS month_ms,
-       CAST(count(*) AS BIGINT) AS cnt,
-       CAST(sum(event_id) AS BIGINT) AS sum_id,
-       CAST(min(event_id) AS BIGINT) AS min_id,
-       CAST(max(event_id) AS BIGINT) AS max_id,
-       round(CAST(sum(event_id) AS BIGINT) / count(*), 6) AS avg_id
-FROM e GROUP BY 1, 2
-"""
-
-
-def x_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked entity resolution over part names — the classic ER shape,
-    built SCALE-FIRST: records first collapse to DISTINCT names (exact
-    dedup — one hash aggregate), candidate pairs then come only from a
-    blocking key (the name's head noun = last token) over the distinct-
-    name table, and an edit-distance verify (levenshtein <= 3) decides
-    matches. Pairwise work and output are bounded by the NAME VOCABULARY
-    squared — independent of record count — where naive record-pair ER is
-    quadratic in duplicated records (the round-4 bench caught exactly
-    that: the record-pair form was the heaviest query at sf0.1 and grows
-    ~100x per SF). Same candidate-then-verify discipline as MinHash LSH
-    with a lexical verifier; add further blocking passes (phonetic key,
-    brand) to recover cross-block matches. Output carries each name's
-    record count and smallest record id, so record-level joins stay
-    one map-side hop away."""
-    p = load_table(_prep(spark), sf_dir, "part")
-    names = (p.groupBy("p_name")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"),
-                  F.min("p_partkey").cast("bigint").alias("rep_id")))
-    t = names.withColumn("blk", F.element_at(F.split("p_name", " "), -1))
-    a = t.select(F.col("p_name").alias("name_a"),
-                 F.col("n_records").alias("n_a"),
-                 F.col("rep_id").alias("rep_a"), "blk")
-    b = t.select(F.col("p_name").alias("name_b"),
-                 F.col("n_records").alias("n_b"),
-                 F.col("rep_id").alias("rep_b"),
-                 F.col("blk").alias("b_blk"))
-    return (a.join(b, (F.col("blk") == F.col("b_blk"))
-                   & (F.col("name_a") < F.col("name_b")))
-            .withColumn("lev", F.levenshtein("name_a", "name_b")
-                               .cast("bigint"))
-            .filter(F.col("lev") <= 3)
-            .select("name_a", "name_b", "lev", "n_a", "n_b",
-                    "rep_a", "rep_b"))
-
-
-QUERIES["x_entity_match"] = x_entity_match
-
-ORACLES["x_entity_match"] = """
-WITH names AS (
-  SELECT p_name, CAST(count(*) AS BIGINT) AS n_records,
-         CAST(min(p_partkey) AS BIGINT) AS rep_id
-  FROM part GROUP BY p_name
-), t AS (
-  SELECT p_name, n_records, rep_id,
-         list_extract(string_split(p_name, ' '), -1) AS blk
-  FROM names
-)
-SELECT a.p_name AS name_a, b.p_name AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
-       a.n_records AS n_a, b.n_records AS n_b,
-       a.rep_id AS rep_a, b.rep_id AS rep_b
-FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) <= 3
-"""
-
-
-def x_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly OHLC bars per event_type — the time-series compaction shape
-    (open/high/low/close): open/close via ``min/max(struct(ts_ms,
-    event_id, value))`` — a total order, so ties on ts_ms resolve
-    deterministically by event_id — high/low as plain min/max, all in ONE
-    hash aggregate (no per-key window sort, partial aggs halve the
-    shuffle; the same plan at 100 TB). Values ride as exact e4 integers;
-    the close of bar N feeding gap-fill is x_resample_ffill's job."""
-    e = (_events(spark, sf_dir)
-         .withColumn("v_e4", F.round(F.col("value") * 10000).cast("bigint"))
-         # total tick order as ONE bigint (ts dominates, event_id breaks
-         # ties; both bounded far below the 2^63 headroom) — the argmin/
-         # argmax key DuckDB's min_by/max_by can replay exactly
-         .withColumn("tick", (F.col("ts_ms") * 1_000_000
-                              + F.col("event_id")).cast("bigint")))
-    hour = (F.floor(F.col("ts_ms") / 3_600_000) * 3_600_000).cast("bigint")
-    return (e.groupBy("event_type", hour.alias("hour_ms"))
-            .agg(F.min_by("v_e4", "tick").alias("open_e4"),
-                 F.max("v_e4").alias("high_e4"),
-                 F.min("v_e4").alias("low_e4"),
-                 F.max_by("v_e4", "tick").alias("close_e4"),
-                 F.count(F.lit(1)).cast("bigint").alias("n_ticks")))
-
-
-QUERIES["x_ohlc_bars"] = x_ohlc_bars
-
-ORACLES["x_ohlc_bars"] = """
-WITH e AS (
-  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
-         CAST(round(value * 10000) AS BIGINT) AS v_e4,
-         CAST(epoch_ms(ts) * 1000000 + event_id AS BIGINT) AS tick
-  FROM events
-)
-SELECT event_type,
-       CAST((ts_ms // 3600000) * 3600000 AS BIGINT) AS hour_ms,
-       CAST(min_by(v_e4, tick) AS BIGINT) AS open_e4,
-       CAST(max(v_e4) AS BIGINT) AS high_e4,
-       CAST(min(v_e4) AS BIGINT) AS low_e4,
-       CAST(max_by(v_e4, tick) AS BIGINT) AS close_e4,
-       CAST(count(*) AS BIGINT) AS n_ticks
-FROM e GROUP BY 1, 2
-"""
-
-
-def x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality expectation suite (Deequ/dbt-test shape): declared
-    contracts — not-null, key uniqueness, accepted values, value ranges,
-    referential integrity — each reported as (table, expectation,
-    n_violations, passed). The fixture data genuinely violates two
-    (negative acctbals, an undeclared doc language), so the report shows
-    both verdicts.
-
-    Plan shape: all same-table rules FUSE into one wide aggregate per
-    table (one scan computes every violation count — x_profile's
-    discipline), stack()-pivoted to long form; referential checks are
-    left-anti joins aggregated to one row, where AQE broadcasts the dim
-    side. Total cost at 100 TB: one scan per table + one join per FK."""
-    o = load_table(_prep(spark), sf_dir, "orders")
-    c = load_table(_prep(spark), sf_dir, "customer")
-    li = load_table(_prep(spark), sf_dir, "lineitem")
-    d = _docs(spark, sf_dir)
-    n_viol = "CAST(n_violations AS BIGINT) AS n_violations"
-
-    orders_wide = o.agg(
-        F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias("v_null"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
-        F.sum((~F.col("o_orderstatus").isin("O", "F", "P"))
-              .cast("bigint")).alias("v_vals"))
-    orders_rules = orders_wide.selectExpr(
-        "stack(3, 'not_null:o_orderkey', v_null,"
-        " 'unique:o_orderkey', v_uniq,"
-        " 'accepted_values:o_orderstatus', v_vals)"
-        " AS (expectation, n_violations)").selectExpr(
-        "'orders' AS table_name", "expectation", n_viol)
-
-    li_rules = li.agg(
-        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
-              .cast("bigint")).alias("n_violations")).selectExpr(
-        "'lineitem' AS table_name", "'range:l_quantity[1,50]' AS expectation",
-        n_viol)
-
-    cust_rules = c.agg(
-        F.sum((F.col("c_acctbal") < 0).cast("bigint"))
-         .alias("n_violations")).selectExpr(
-        "'customer' AS table_name", "'non_negative:c_acctbal' AS expectation",
-        n_viol)
-
-    doc_rules = d.agg(
-        F.sum((~F.col("lang").isin("en", "de", "fr", "es")).cast("bigint"))
-         .alias("n_violations")).selectExpr(
-        "'documents' AS table_name", "'accepted_values:lang' AS expectation",
-        n_viol)
-
-    fk_orders = (o.join(c.select("c_custkey"),
-                        o["o_custkey"] == c["c_custkey"], "left_anti")
-                 .agg(F.count(F.lit(1)).alias("n_violations"))
-                 .selectExpr("'orders' AS table_name",
-                             "'fk:o_custkey->customer' AS expectation",
-                             n_viol))
-    fk_li = (li.join(o.select("o_orderkey"),
-                     li["l_orderkey"] == o["o_orderkey"], "left_anti")
-             .agg(F.count(F.lit(1)).alias("n_violations"))
-             .selectExpr("'lineitem' AS table_name",
-                         "'fk:l_orderkey->orders' AS expectation", n_viol))
-
-    out = orders_rules
-    for r in (li_rules, cust_rules, doc_rules, fk_orders, fk_li):
-        out = out.unionByName(r)
-    return out.withColumn("passed", F.col("n_violations") == 0)
-
-
-QUERIES["x_expectations"] = x_expectations
-
-ORACLES["x_expectations"] = """
-WITH rules AS (
-  SELECT 'orders' AS table_name, 'not_null:o_orderkey' AS expectation,
-         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_violations
-  FROM orders
-  UNION ALL
-  SELECT 'orders', 'unique:o_orderkey',
-         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
-  FROM orders
-  UNION ALL
-  SELECT 'orders', 'accepted_values:o_orderstatus',
-         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                       THEN 1 ELSE 0 END) AS BIGINT)
-  FROM orders
-  UNION ALL
-  SELECT 'lineitem', 'range:l_quantity[1,50]',
-         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                       THEN 1 ELSE 0 END) AS BIGINT)
-  FROM lineitem
-  UNION ALL
-  SELECT 'customer', 'non_negative:c_acctbal',
-         CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
-  FROM customer
-  UNION ALL
-  SELECT 'orders', 'fk:o_custkey->customer',
-         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-  UNION ALL
-  SELECT 'lineitem', 'fk:l_orderkey->orders',
-         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-  UNION ALL
-  SELECT 'documents', 'accepted_values:lang',
-         CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es')
-                       THEN 1 ELSE 0 END) AS BIGINT)
-  FROM documents
-)
-SELECT table_name, expectation, n_violations,
-       (n_violations = 0) AS passed
-FROM rules
-"""
-
-
-def x_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroid (class prototype) in exact e6-integer
-    arithmetic — explode collapses via partial aggs into one bounded
-    |labels|x|dims| shuffle."""
-    return similarity.label_centroids(_emb(spark, sf_dir))
-
-
-QUERIES["x_label_centroids"] = x_label_centroids
-
-ORACLES["x_label_centroids"] = """
-WITH e AS (
-  SELECT label, i - 1 AS dim,
-         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
-  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(embedding)
-)
-SELECT label, CAST(dim AS BIGINT) AS dim,
-       CAST(count(*) AS BIGINT) AS n_vecs,
-       CAST(sum(v_e6) AS BIGINT) AS sum_e6,
-       round(CAST(sum(v_e6) AS BIGINT) / count(*) / 1000000.0, 6) AS mean_val
-FROM e GROUP BY 1, 2
-"""
-
-
-def x_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage retrieval cascade: LSH-gated candidates -> exact int8-dot
-    shortlist (20) -> full-precision cosine rerank (top 5). The serving
-    shape where the quantized corpus is 4x smaller and float vectors are
-    touched only for the shortlist."""
-    emb = _emb(spark, sf_dir)
-    return similarity.int8_rerank_topk(emb, emb.filter(F.col("vec_id") < 10),
-                                       k=5, shortlist=20, num_planes=8)
-
-
-QUERIES["x_rag_rerank"] = x_rag_rerank
-
-ORACLES["x_rag_rerank"] = f"""
-WITH t AS (
-  SELECT vec_id, embedding,
-         {_lsh_bucket_sql("embedding")} AS bucket,
-         list_max(list_transform(embedding,
-                                 x -> abs(CAST(x AS DOUBLE)))) AS max_abs
-  FROM embeddings
-), qz AS (
-  SELECT vec_id, embedding, bucket,
-         CASE WHEN max_abs = 0
-              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-              ELSE list_transform(embedding,
-                   x -> CAST(round(CAST(x AS DOUBLE) / (max_abs / 127.0))
-                             AS BIGINT))
-         END AS qv
-  FROM t
-), cand AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-         a.embedding AS q, b.embedding AS v,
-         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
-              i -> a.qv[i] * b.qv[i])) AS BIGINT) AS coarse_dot
-  FROM qz a JOIN qz b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-  WHERE a.vec_id < 10
-), short AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY coarse_dot DESC, vec_id) AS crk
-  FROM cand
-), rr AS (
-  SELECT query_id, vec_id, coarse_dot, round({_COSINE_Q}, 6) AS score
-  FROM short WHERE crk <= 20
-), rk AS (
-  SELECT query_id, vec_id, coarse_dot, score,
-         CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY score DESC, vec_id) AS INT) AS rk
-  FROM rr
-)
-SELECT * FROM rk WHERE rk <= 5
-"""
-
-
-def x_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ER completed, record level: the NAME-pair graph (x_entity_match)
-    collapses through connected components into name clusters; records
-    then map onto their cluster with one equi-join, and the entity id is
-    the smallest record id in the entity (canonical-record policy).
-    Output: (part_id, entity_id) for every record in a multi-record
-    entity — including exact-duplicate names that needed no fuzzy pair.
-    The CC fixpoint runs on the vocabulary-bounded name graph, never on
-    record pairs."""
-    from .functions import graph
-    pt = load_table(_prep(spark), sf_dir, "part")
-    pairs = x_entity_match(spark, sf_dir)
-    cc = graph.connected_components(pairs, src="name_a", dst="name_b")
-    names = (pt.groupBy("p_name")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"),
-                  F.min("p_partkey").cast("bigint").alias("rep_id")))
-    labeled = (names.join(cc, names["p_name"] == cc["node"], "left")
-               .select("p_name", "n_records", "rep_id",
-                       F.coalesce("label", "p_name").alias("cluster")))
-    ent = (labeled.groupBy("cluster")
-           .agg(F.sum("n_records").alias("n_recs"),
-                F.min("rep_id").cast("bigint").alias("entity_id"))
-           .filter(F.col("n_recs") >= 2).select("cluster", "entity_id"))
-    return (pt.select(F.col("p_partkey").alias("part_id"), "p_name")
-            .join(labeled.select("p_name", "cluster"), "p_name")
-            .join(ent, "cluster")
-            .select(F.col("part_id").cast("bigint").alias("part_id"),
-                    "entity_id"))
-
-
-QUERIES["x_entity_clusters"] = x_entity_clusters
-
-ORACLES["x_entity_clusters"] = f"""
-WITH RECURSIVE
-edges AS ({ORACLES["x_entity_match"]}),
-sym AS (SELECT name_a AS a, name_b AS b FROM edges
-        UNION SELECT name_b, name_a FROM edges),
-reach(node, r) AS (
-  SELECT a, a FROM sym
-  UNION
-  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
-),
-cc AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
-names AS (
-  SELECT p_name, CAST(count(*) AS BIGINT) AS n_records,
-         CAST(min(p_partkey) AS BIGINT) AS rep_id
-  FROM part GROUP BY p_name
-),
-labeled AS (
-  SELECT n.p_name, n.n_records, n.rep_id,
-         coalesce(cc.label, n.p_name) AS cluster
-  FROM names n LEFT JOIN cc ON cc.node = n.p_name
-),
-ent AS (
-  SELECT cluster, CAST(min(rep_id) AS BIGINT) AS entity_id
-  FROM labeled GROUP BY cluster HAVING sum(n_records) >= 2
-)
-SELECT CAST(p.p_partkey AS BIGINT) AS part_id, e.entity_id
-FROM part p
-JOIN labeled l ON p.p_name = l.p_name
-JOIN ent e ON l.cluster = e.cluster
-"""
-
-
-def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge-round statistic: top-20 adjacent character pairs weighted
-    by word frequency — pair counting over the vocab table, never the raw
-    token stream (the optimization that makes tokenizer training
-    corpus-feasible)."""
-    return text.bpe_pair_counts(_docs(spark, sf_dir), k=20)
-
-
-QUERIES["x_bpe_merges"] = x_bpe_merges
-
-ORACLES["x_bpe_merges"] = f"""
-WITH toks AS (
-  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
-), wc AS (
-  SELECT w, CAST(count(*) AS BIGINT) AS freq
-  FROM toks WHERE len(w) > 0 GROUP BY w
-), pairs AS (
-  SELECT w[i:i] || ' ' || w[i+1:i+1] AS pair, freq
-  FROM wc CROSS JOIN (SELECT unnest(range(1, 1000)) AS i) idx
-  WHERE len(w) >= 2 AND i <= len(w) - 1
-), agg AS (
-  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs GROUP BY pair
-)
-SELECT pair, cnt,
-       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rk
-FROM agg ORDER BY rk LIMIT 20
-"""
-
-
-def x_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source quality-score calibration (the FineWeb/CCNet per-dump
-    move): percent_rank of the quality score WITHIN each source, so a
-    threshold like "keep the top half" adapts to every source's own score
-    distribution instead of letting one clean source crowd out the rest.
-    percent_rank depends only on the (deterministic, tie-sharing) rank, so
-    it hash-matches cross-engine. Scale: one window partitioned by source
-    (high-cardinality key, spreads); at extreme per-source row counts swap
-    in approx-quantile cutoffs + map-side filter (quality_buckets_approx's
-    shape)."""
-    from pyspark.sql import Window as W
-    d = _docs(spark, sf_dir)
-    qf = text.quality_features(d).select("doc_id", "quality_score")
-    j = d.select("doc_id", "source").join(qf, "doc_id")
-    w = W.partitionBy("source").orderBy("quality_score")
-    return (j.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
-            .withColumn("keep_top_half", F.col("pct_rank") >= 0.5)
-            .select("doc_id", "source", "quality_score", "pct_rank",
-                    "keep_top_half"))
-
-
-QUERIES["x_quality_calibration"] = x_quality_calibration
-
-ORACLES["x_quality_calibration"] = f"""
-WITH q AS ({_quality_oracle()})
-SELECT d.doc_id, d.source, q.quality_score,
-       round(percent_rank() OVER (PARTITION BY d.source
-             ORDER BY q.quality_score), 6) AS pct_rank,
-       (round(percent_rank() OVER (PARTITION BY d.source
-              ORDER BY q.quality_score), 6) >= 0.5) AS keep_top_half
-FROM documents d JOIN q ON d.doc_id = q.doc_id
-"""
-
-
-def x_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming z-score anomaly alerts through a REAL
-    applyInPandasWithState machine: per event_type, exact-integer running
-    (n, S, Q) state flags rows whose squared mean-deviation exceeds 4x the
-    running variance after 30 observations. The replayed CSV carries no
-    value, so the metric is a heavy-tailed deterministic derivation
-    (md5-draw mod 100, squared) both engines compute identically; the
-    oracle is the same recurrence as prefix-window SQL."""
-    from .streaming.stateful import zscore_alert_stream
-    ev = _stream_events(spark, sf_dir)
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit("aval:"), F.col("event_id").cast("string"))),
-        1, 8), 16, 10).cast("bigint")
-    src = ev.withColumn("v", ((h % 100) * (h % 100)).cast("bigint"))
-    out = zscore_alert_stream(src, key="event_type", ts_ms="ts_ms",
-                              id_col="event_id", value_col="v",
-                              k2=4, min_obs=30)
-    return _run_to_memory(out, spark)
-
-
-QUERIES["x_anomaly_stream"] = x_anomaly_stream
-STREAMING_DEMOS.add("x_anomaly_stream")
-
-_AH = _H32.format(x="concat('aval:', CAST(event_id AS VARCHAR))")
-ORACLES["x_anomaly_stream"] = f"""
-WITH e AS (
-  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
-         CAST(({_AH} % 100) * ({_AH} % 100) AS BIGINT) AS v
-  FROM events
-), w AS (
-  SELECT event_type, event_id, ts_ms, v,
-         count(*) OVER win AS n_prev,
-         coalesce(sum(v) OVER win, 0) AS s_prev,
-         coalesce(sum(v * v) OVER win, 0) AS q_prev
-  FROM e
-  WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-)
-SELECT event_type, event_id, ts_ms, v, CAST(n_prev AS BIGINT) AS n_prev
-FROM w
-WHERE n_prev >= 30
-  AND (n_prev * v - s_prev) * (n_prev * v - s_prev)
-      > 4 * (n_prev * q_prev - s_prev * s_prev)
-"""
-
-
-def x_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-size estimation via CMS inner product — the optimizer-side use
-    of sketches: how many (click, purchase) same-user pairs would a join
-    produce, WITHOUT joining the tables? Exact answer = Σ_k fA(k)·fB(k)
-    (computed from per-key counts, never materializing pairs); estimate =
-    min over seeds of the sketch inner product (never an underestimate).
-    Both sketches are depth×width-bounded, so the estimator's cost is
-    independent of table size. Output: exact_pairs, cms_est, overcount."""
-    e = _events(spark, sf_dir)
-    clicks = e.filter(F.col("event_type") == "click")
-    purchases = e.filter(F.col("event_type") == "purchase")
-    sk_a = sketches.cms_sketch(clicks, "user_id", depth=4, width=256)
-    sk_b = sketches.cms_sketch(purchases, "user_id", depth=4, width=256)
-    est = sketches.cms_inner_product(sk_a, sk_b)
-    fa = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("na"))
-    fb = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
-    exact = (fa.join(fb, "user_id")
-             .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint")
-                  .alias("exact_pairs")))
-    return (exact.crossJoin(est)
-            .select("exact_pairs", "cms_est",
-                    (F.col("cms_est") - F.col("exact_pairs")).cast("bigint")
-                     .alias("overcount")))
-
-
-QUERIES["x_join_size_estimate"] = x_join_size_estimate
-
-ORACLES["x_join_size_estimate"] = f"""
-WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
-a AS (SELECT user_id FROM events WHERE event_type = 'click'),
-b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
-ba AS (
-  SELECT seed, CAST({_CMS_H} % 256 AS INT) AS bucket, count(*) AS cnt_a
-  FROM a CROSS JOIN seeds GROUP BY 1, 2
-), bb AS (
-  SELECT seed, CAST({_CMS_H} % 256 AS INT) AS bucket, count(*) AS cnt_b
-  FROM b CROSS JOIN seeds GROUP BY 1, 2
-), ip AS (
-  SELECT seed, sum(cnt_a * cnt_b) AS ip
-  FROM ba JOIN bb USING (seed, bucket) GROUP BY seed
-), est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM ip),
-fa AS (SELECT user_id, count(*) AS na FROM a GROUP BY 1),
-fb AS (SELECT user_id, count(*) AS nb FROM b GROUP BY 1),
-ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_pairs
-       FROM fa JOIN fb USING (user_id))
-SELECT exact_pairs, cms_est,
-       CAST(cms_est - exact_pairs AS BIGINT) AS overcount
-FROM ex CROSS JOIN est
-"""
-
-
-def x_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary growth curve (Heaps' law): distinct-token count after
-    each 100-doc prefix of the corpus — the measurement behind vocab-size
-    and tokenizer-budget decisions. Plan: one explode + min-aggregate
-    finds each token's FIRST document (token-keyed shuffle, partial aggs
-    collapse repeats); bucketing first-docs to the grid and one small
-    cumulative window over |grid| rows yields the curve — the corpus
-    never sorts globally."""
-    d = _docs(spark, sf_dir)
-    from pyspark.sql import Window as W
-    first = (d.select(F.col("doc_id"), F.explode(text.tokens("text"))
-                      .alias("tok"))
-             .groupBy("tok").agg(F.min("doc_id").alias("first_doc")))
-    grid = 100
-    bucket = (F.floor(F.col("first_doc") / grid) + 1) * grid
-    per_bucket = (first.groupBy(bucket.cast("bigint").alias("prefix_docs"))
-                  .agg(F.count(F.lit(1)).alias("new_tokens")))
-    w = W.orderBy("prefix_docs").rowsBetween(W.unboundedPreceding, 0)
-    return (per_bucket
-            .withColumn("vocab_size", F.sum("new_tokens").over(w)
-                                       .cast("bigint"))
-            .select("prefix_docs",
-                    F.col("new_tokens").cast("bigint").alias("new_tokens"),
-                    "vocab_size"))
-
-
-QUERIES["x_heaps_law"] = x_heaps_law
-
-ORACLES["x_heaps_law"] = f"""
-WITH first AS (
-  SELECT tok, min(doc_id) AS first_doc
-  FROM (SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents) t
-  GROUP BY tok
-), pb AS (
-  SELECT CAST((first_doc // 100 + 1) * 100 AS BIGINT) AS prefix_docs,
-         CAST(count(*) AS BIGINT) AS new_tokens
-  FROM first GROUP BY 1
-)
-SELECT prefix_docs, new_tokens,
-       CAST(sum(new_tokens) OVER (ORDER BY prefix_docs
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         AS vocab_size
-FROM pb
-"""
-
-
-def x_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation between document length (tokens) and quality
-    score, computed the scale-correct way: ONE aggregate pass accumulates
-    exact BIGINT sums (x, y as e6 ints, their squares and product), then
-    the r formula evaluates once in double with an identical expression
-    tree on both engines — IEEE multiply/divide/sqrt are deterministic, so
-    even the floating-point step hash-matches. No second pass, no
-    centering pass, no per-row doubles."""
-    d = _docs(spark, sf_dir)
-    qf = text.quality_features(d)
-    t = qf.select(
-        F.col("n_tokens").cast("bigint").alias("x"),
-        F.round(F.col("quality_score") * 1_000_000).cast("bigint").alias("y"))
-    s = t.agg(F.count(F.lit(1)).alias("n"),
-              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-              F.sum(F.col("x") * F.col("x")).alias("sxx"),
-              F.sum(F.col("y") * F.col("y")).alias("syy"),
-              F.sum(F.col("x") * F.col("y")).alias("sxy"))
-    num = (F.col("n").cast("double") * F.col("sxy").cast("double")
-           - F.col("sx").cast("double") * F.col("sy").cast("double"))
-    den = (F.sqrt(F.col("n").cast("double") * F.col("sxx").cast("double")
-                  - F.col("sx").cast("double") * F.col("sx").cast("double"))
-           * F.sqrt(F.col("n").cast("double") * F.col("syy").cast("double")
-                    - F.col("sy").cast("double") * F.col("sy").cast("double")))
-    return s.select(
-        F.col("n").cast("bigint").alias("n"),
-        F.col("sx").cast("bigint").alias("sum_tokens"),
-        F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
-         .alias("pearson_r"))
-
-
-QUERIES["x_correlation"] = x_correlation
-
-ORACLES["x_correlation"] = f"""
-WITH q AS ({_quality_oracle()}),
-t AS (
-  SELECT CAST(n_tokens AS BIGINT) AS x,
-         CAST(round(quality_score * 1000000) AS BIGINT) AS y
-  FROM q
-), s AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy,
-         CAST(sum(x * y) AS BIGINT) AS sxy
-  FROM t
-)
-SELECT n, sx AS sum_tokens,
-       round(CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
-             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-             ELSE 0.0 END, 6) AS pearson_r
-FROM s
-"""
-
-
-def _events_csv_dir_flush_users(spark: SparkSession, sf_dir: str) -> str:
-    """Events CSV replay dir + one flush sentinel PER DISTINCT USER
-    (event_type '__flush__', far-future ts, unique ids) — per-key state
-    machines need a per-key close signal, unlike the global-watermark
-    sentinel of _events_csv_dir_flush. Base part-files hardlinked."""
-    import os
-    base = _events_csv_dir(spark, sf_dir)
-    out = base + "_flush_users"
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        import duckdb
-        users = [r[0] for r in duckdb.sql(
-            f"SELECT DISTINCT user_id FROM '{sf_dir}/events.parquet' "
-            "ORDER BY user_id").fetchall()]
-        os.makedirs(out, exist_ok=True)
-        for f in os.listdir(base):
-            if f.endswith(".csv"):
-                dst = os.path.join(out, f)
-                if not os.path.exists(dst):
-                    os.link(os.path.join(base, f), dst)
-        with open(os.path.join(out, "zz_flush.csv"), "w") as fh:
-            for i, u in enumerate(users):
-                fh.write(f"{10**9 + i},{u},__flush__,{_FLUSH_TS_MS}\n")
-        with open(marker, "w"):
-            pass
-    return out
-
-
-def x_dynsession_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic-gap sessionization on the STREAM: the x_dynamic_sessions
-    state machine through real applyInPandasWithState (4 longs of state
-    per user), per-user flush sentinels draining every open session so
-    the availableNow replay equals the batch gaps-and-islands oracle."""
-    from .sources import file_csv_stream
-    from .streaming.stateful import dynamic_sessions_stream
-    path = _events_csv_dir_flush_users(spark, sf_dir)
-    ev = file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
-    gap = (F.when(F.col("event_type") == "__flush__",
-                  F.lit(None).cast("bigint"))
-            .when(F.col("event_type") == "click", F.lit(1_800_000))
-            .otherwise(F.lit(600_000)))
-    src = ev.select("user_id", "ts_ms", "event_id", gap.alias("gap"))
-    out = dynamic_sessions_stream(src, key="user_id", ts_ms="ts_ms",
-                                  gap_col="gap", id_col="event_id")
-    return _run_to_memory(out, spark)
-
-
-QUERIES["x_dynsession_stream"] = x_dynsession_stream
-STREAMING_DEMOS.add("x_dynsession_stream")
-ORACLES["x_dynsession_stream"] = ORACLES["x_dynamic_sessions"]
-
-
-def x_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2's exactly-once-visibility mitigation exercised end to end: the
-    purchase branch of the events replay streams through the two-phase
-    commit-manifest sink (stage files, atomically publish a per-batch
-    manifest) and the result is read back through the manifest reader —
-    only committed batches are visible, so the round trip equals the
-    batch filter exactly (the property Delta/Iceberg commit logs
-    productionize)."""
-    from .sinks import manifest_file_sink, read_manifest, run_available_now
-    ev = _stream_events(spark, sf_dir)
-    sel = (ev.filter(F.col("event_type") == "purchase")
-             .select("event_id", "user_id", "ts_ms"))
-    out_dir = _tempfile.mkdtemp(prefix="frde_manifest_")
-    ckpt = _tempfile.mkdtemp(prefix="frde_manifest_ckpt_")
-    q = run_available_now(manifest_file_sink(sel, out_dir, ckpt))
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("manifest stream did not finish")
-    return read_manifest(spark, out_dir)
-
-
-QUERIES["x_manifest_stream"] = x_manifest_stream
-STREAMING_DEMOS.add("x_manifest_stream")
-
-ORACLES["x_manifest_stream"] = """
-SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
-FROM events WHERE event_type = 'purchase'
-"""
-
-
-def x_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-based tumbling windows (Flink DataStream ``countWindow(10)``
-    — a core DataStream feature the reference's time windows sit beside):
-    per user, every 10 consecutive events (arrival order = (ts, id))
-    form one window; emit count/min/max per full-or-trailing window.
-    One per-key window rank + one aggregate; the rank partitions by a
-    high-cardinality key so the sort spreads."""
-    from pyspark.sql import Window as W
-    e = _events(spark, sf_dir).select("user_id", "ts_ms", "event_id")
-    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    rn = F.row_number().over(w)
-    return (e.withColumn("win_idx", ((rn - 1) / 10).cast("bigint"))
-            .groupBy("user_id", "win_idx")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.min("ts_ms").alias("first_ts_ms"),
-                 F.max("ts_ms").alias("last_ts_ms")))
-
-
-QUERIES["x_count_windows"] = x_count_windows
-
-ORACLES["x_count_windows"] = """
-WITH r AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY epoch_ms(ts), event_id) AS rn
-  FROM events
-)
-SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win_idx,
-       count(*) AS n_events,
-       CAST(min(ts_ms) AS BIGINT) AS first_ts_ms,
-       CAST(max(ts_ms) AS BIGINT) AS last_ts_ms
-FROM r GROUP BY 1, 2
-"""
-
-
-def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event sequences:
-    counts and probabilities of event_type -> next event_type (ordered by
-    (ts, id) within user). One lag window on the user partitioning + one
-    small aggregate over |types|² rows; probabilities are exact-count
-    divisions rounded once."""
-    from pyspark.sql import Window as W
-    e = _events(spark, sf_dir).select("user_id", "event_type", "ts_ms",
-                                      "event_id")
-    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    t = (e.withColumn("next_type", F.lead("event_type").over(w))
-         .filter(F.col("next_type").isNotNull()))
-    counts = (t.groupBy(F.col("event_type").alias("from_type"),
-                        F.col("next_type").alias("to_type"))
-              .agg(F.count(F.lit(1)).alias("n")))
-    w2 = W.partitionBy("from_type")
-    return (counts
-            .withColumn("p", F.round(F.col("n") / F.sum("n").over(w2), 6))
-            .select("from_type", "to_type",
-                    F.col("n").cast("bigint").alias("n"), "p"))
-
-
-QUERIES["x_markov_transitions"] = x_markov_transitions
-
-ORACLES["x_markov_transitions"] = """
-WITH s AS (
-  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY epoch_ms(ts), event_id) AS next_type
-  FROM events
-), c AS (
-  SELECT event_type AS from_type, next_type AS to_type,
-         CAST(count(*) AS BIGINT) AS n
-  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
-)
-SELECT from_type, to_type, n,
-       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 6) AS p
-FROM c
-"""
-
-
-def x_countwin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flink ``countWindow(10)`` on the stream: per-user count-tumbling
-    windows through applyInPandasWithState (4 longs of state per key),
-    full windows emit the moment they fill, per-user flush sentinels
-    drain the trailing partials — result equals the batch rank-based
-    form's oracle."""
-    from .sources import file_csv_stream
-    from .streaming.stateful import count_windows_stream
-    path = _events_csv_dir_flush_users(spark, sf_dir)
-    ev = file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
-    src = ev.select("user_id", "ts_ms", "event_id",
-                    (F.col("event_type") == "__flush__").alias("is_flush"))
-    out = count_windows_stream(src, size=10, key="user_id", ts_ms="ts_ms",
-                               id_col="event_id", flush_col="is_flush")
-    return _run_to_memory(out, spark)
-
-
-QUERIES["x_countwin_stream"] = x_countwin_stream
-STREAMING_DEMOS.add("x_countwin_stream")
-ORACLES["x_countwin_stream"] = ORACLES["x_count_windows"]
-
-
-def x_rule_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher-rule ops dashboard: per (source, rule) failure rate —
-    the view that answers "which rule is rejecting 40% of source X". One
-    wide aggregate per source over the map-side rule table, stacked to
-    long form; |sources|x|rules| output regardless of corpus size."""
-    d = _docs(spark, sf_dir)
-    g = text.gopher_rules(d).join(d.select("doc_id", "source"), "doc_id")
-    rules = ["r_word_count", "r_mean_word_len", "r_alpha_words",
-             "r_symbol_ratio", "r_stopwords", "keep"]
-    wide = g.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        *[F.sum((~F.col(r)).cast("bigint")).alias(f"f_{r}") for r in rules])
-    stack = ", ".join(f"'{r}', f_{r}" for r in rules)
-    return (wide.selectExpr(
-                "source", "n_docs",
-                f"stack({len(rules)}, {stack}) AS (rule, n_fail)")
-            .select("source", "rule",
-                    F.col("n_docs").cast("bigint").alias("n_docs"),
-                    F.col("n_fail").cast("bigint").alias("n_fail"),
-                    F.round(F.col("n_fail") / F.col("n_docs"), 6)
-                     .alias("fail_rate")))
-
-
-QUERIES["x_rule_rates"] = x_rule_rates
-
-ORACLES["x_rule_rates"] = f"""
-WITH g AS ({ORACLES["x_gopher_rules"]}),
-j AS (
-  SELECT d.source, g.* FROM g JOIN documents d USING (doc_id)
-), wide AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-         CAST(sum(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f2,
-         CAST(sum(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS f3,
-         CAST(sum(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS f4,
-         CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS f5,
-         CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS f6
-  FROM j GROUP BY source
-), longf AS (
-  SELECT source, n_docs, 'r_word_count' AS rule, f1 AS n_fail FROM wide
-  UNION ALL SELECT source, n_docs, 'r_mean_word_len', f2 FROM wide
-  UNION ALL SELECT source, n_docs, 'r_alpha_words', f3 FROM wide
-  UNION ALL SELECT source, n_docs, 'r_symbol_ratio', f4 FROM wide
-  UNION ALL SELECT source, n_docs, 'r_stopwords', f5 FROM wide
-  UNION ALL SELECT source, n_docs, 'keep', f6 FROM wide
-)
-SELECT source, rule, n_docs, n_fail,
-       round(n_fail / CAST(n_docs AS BIGINT), 6) AS fail_rate
-FROM longf
-"""
-
-
-def x_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion z-test — the experimentation primitive: users split
-    into deterministic cohorts (user_id parity = the hash-bucket
-    assignment of a real A/B system), conversion = "made >=1 purchase",
-    pooled-variance z statistic on EXACT counts with one IEEE double
-    expression evaluated identically by both engines. One per-user
-    aggregate + one 2-row rollup; at any scale the test reads two rows."""
-    e = _events(spark, sf_dir)
-    # conversion = the user's purchase share exceeds the 1/5 uniform
-    # baseline — a per-user predicate with real variation at every SF
-    # (a "did anything" flag saturates to p=1 on this fixture, and a
-    # degenerate pooled variance is a divide-by-zero, not a test)
-    per_user = (e.groupBy("user_id")
-                .agg((5 * F.sum((F.col("event_type") == "purchase")
-                                .cast("bigint"))
-                      > F.count(F.lit(1))).cast("bigint")
-                     .alias("converted")))
-    grp = (per_user.groupBy((F.col("user_id") % 2).cast("bigint")
-                            .alias("cohort"))
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum("converted").alias("conv")))
-    a = grp.filter(F.col("cohort") == 0).select(
-        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"))
-    b = grp.filter(F.col("cohort") == 1).select(
-        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"))
-    j = a.crossJoin(b)
-    d = lambda c: F.col(c).cast("double")
-    p_pool = (d("conv_a") + d("conv_b")) / (d("n_a") + d("n_b"))
-    se = F.sqrt(p_pool * (1 - p_pool) * (1 / d("n_a") + 1 / d("n_b")))
-    z = (d("conv_a") / d("n_a") - d("conv_b") / d("n_b")) / se
-    return (j.select(
-        F.col("n_a").cast("bigint").alias("n_a"),
-        F.col("conv_a").cast("bigint").alias("conv_a"),
-        F.col("n_b").cast("bigint").alias("n_b"),
-        F.col("conv_b").cast("bigint").alias("conv_b"),
-        F.round(z, 6).alias("z_stat"))
-        .withColumn("significant", F.abs(F.col("z_stat")) > 1.96))
-
-
-QUERIES["x_ab_test"] = x_ab_test
-
-ORACLES["x_ab_test"] = """
-WITH pu AS (
-  SELECT user_id,
-         CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase'
-                                THEN 1 ELSE 0 END) > count(*)
-              THEN 1 ELSE 0 END AS converted
-  FROM events GROUP BY user_id
-), g AS (
-  SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
-         CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv
-  FROM pu GROUP BY 1
-), a AS (SELECT n AS n_a, conv AS conv_a FROM g WHERE cohort = 0),
-b AS (SELECT n AS n_b, conv AS conv_b FROM g WHERE cohort = 1),
-j AS (SELECT * FROM a CROSS JOIN b),
-s AS (
-  SELECT n_a, conv_a, n_b, conv_b,
-         (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
-           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p_pool
-  FROM j
-)
-SELECT n_a, conv_a, n_b, conv_b,
-       round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-             / sqrt(p_pool * (1 - p_pool)
-                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
-             6) AS z_stat,
-       abs(round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-             / sqrt(p_pool * (1 - p_pool)
-                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
-             6)) > 1.96 AS significant
-FROM s
-"""
-
-
-def x_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time (SCD2) join — the warehouse lookup as-of joins can't
-    do: each purchase fact attaches the dimension row whose validity
-    interval CONTAINS the fact's timestamp (user's click/view activity
-    state at purchase time). The join is an equi-join on the key with the
-    interval predicate filtering post-match — per-key interval counts are
-    change-rate-bounded, so the equi-join carries the scale and the range
-    never goes unbounded. Current (open) intervals match with NULL
-    valid_to."""
-    e = _events(spark, sf_dir)
-    # Rename the dim's lineage-shared columns up front: fact and dim both
-    # descend from the same scan, and column-object equality on shared
-    # lineage degenerates to a trivially-true predicate.
-    dim = (funnel.scd2_intervals(
-               e.filter(F.col("event_type").isin("click", "view")))
-           .select(F.col("user_id").alias("d_user_id"),
-                   F.col("event_type").alias("state_at_purchase"),
-                   "valid_from_ms", "valid_to_ms"))
-    fact = (e.filter(F.col("event_type") == "purchase")
-            .select("user_id", "event_id", "ts_ms"))
-    cond = ((F.col("user_id") == F.col("d_user_id"))
-            & (F.col("ts_ms") >= F.col("valid_from_ms"))
-            & (F.col("valid_to_ms").isNull()
-               | (F.col("ts_ms") < F.col("valid_to_ms"))))
-    return (fact.join(dim, cond)
-            .select("user_id", "event_id", "ts_ms", "state_at_purchase",
-                    "valid_from_ms"))
-
-
-QUERIES["x_pit_join"] = x_pit_join
-
-ORACLES["x_pit_join"] = """
-WITH src AS (
-  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
-  FROM events WHERE event_type IN ('click', 'view')
-), marked AS (
-  SELECT user_id, event_type, ts_ms, event_id,
-         lag(event_type) OVER w AS prev
-  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-), chg AS (
-  SELECT user_id, event_type, ts_ms, event_id FROM marked
-  WHERE prev IS NULL OR prev <> event_type
-), dim AS (
-  SELECT user_id, event_type,
-         CAST(ts_ms AS BIGINT) AS valid_from_ms,
-         CAST(lead(ts_ms) OVER (PARTITION BY user_id
-                                ORDER BY ts_ms, event_id) AS BIGINT)
-           AS valid_to_ms
-  FROM chg
-), fact AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
-  FROM events WHERE event_type = 'purchase'
-)
-SELECT f.user_id, f.event_id, f.ts_ms,
-       d.event_type AS state_at_purchase, d.valid_from_ms
-FROM fact f JOIN dim d
-  ON f.user_id = d.user_id
- AND f.ts_ms >= d.valid_from_ms
- AND (d.valid_to_ms IS NULL OR f.ts_ms < d.valid_to_ms)
-"""
-
-
-def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer vocab coverage: with a top-20 frequency vocabulary, what
-    fraction of each source's token stream is out-of-vocabulary — the
-    OOV-rate check run before freezing any tokenizer. Vocab is a
-    |V|-bounded aggregate that broadcasts into a map-side anti probe of
-    the token stream; per-source totals ride the same explode."""
-    d = _docs(spark, sf_dir)
-    toks = d.select("source", F.explode(text.tokens("text")).alias("tok"))
-    # Vocab selection via orderBy().limit() — TakeOrderedAndProject, not a
-    # single-partition global-rank window (the 100 TB vocab is millions of
-    # rows; a per-partition heap of 20 is free).
-    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-             .orderBy(F.col("n").desc(), F.col("tok")).limit(20)
-             .select("tok"))
-    per_src = toks.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_tokens"))
-    oov = (toks.join(vocab, "tok", "left_anti")
-           .groupBy("source").agg(F.count(F.lit(1)).alias("n_oov")))
-    return (per_src.join(oov, "source", "left")
-            .select("source",
-                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
-                    F.coalesce("n_oov", F.lit(0)).cast("bigint")
-                     .alias("n_oov"))
-            .withColumn("oov_rate",
-                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
-
-
-QUERIES["x_vocab_coverage"] = x_vocab_coverage
-
-ORACLES["x_vocab_coverage"] = f"""
-WITH toks AS (
-  SELECT source, unnest({_QF_TOKS}) AS tok FROM documents
-), vocab AS (
-  SELECT tok FROM (
-    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
-    FROM toks GROUP BY tok
-  ) WHERE rk <= 20
-), per_src AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1
-), oov AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_oov
-  FROM toks WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY 1
-)
-SELECT p.source, p.n_tokens, coalesce(o.n_oov, 0) AS n_oov,
-       round(coalesce(o.n_oov, 0) / p.n_tokens, 6) AS oov_rate
-FROM per_src p LEFT JOIN oov o USING (source)
-"""
-
-
-def x_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL ingest — the LLM-corpus interchange format: documents export
-    to JSON-Lines (one object per line, stable key order) and read back
-    through the schema-declared JSONL reader; byte-exact field round-trip
-    is the correctness claim (the oracle is the original projection).
-    Schema-on-read with a DECLARED schema — never inference — keeps the
-    scan single-pass at 100 TB."""
-    import os
-    from .sources import jsonl_read
-    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source",
-                                    "n_chars")
-    base = _events_csv_dir(spark, sf_dir)  # reuse the per-sf cache root
-    out = base + "_docs_jsonl"
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        d.write.mode("overwrite").json(out)
-    schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ])
-    return jsonl_read(spark, out, schema)
-
-
-QUERIES["x_jsonl_roundtrip"] = x_jsonl_roundtrip
-
-ORACLES["x_jsonl_roundtrip"] = """
-SELECT doc_id, text, lang, source, n_chars FROM documents
-"""
-
-
-def x_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decision x_disorder_stats feeds: for candidate watermark delays
-    (0 s, 1 s, 10 s, 60 s), how many events per type would arrive LATE
-    (behind running-max event time by more than the delay) and be dropped
-    by ``withWatermark(ts, D)`` — the coverage-vs-latency curve that picks
-    W1's bound (EventTimeOperations.java:82-94 hardcodes 10 s; this query
-    is how you'd justify it). One running-max window pass shared by all
-    candidates (map-side explode of the delay grid), one aggregate."""
-    from pyspark.sql import Window as W
-    from .functions.dedup import _md5_hash32
-    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
-    # The fixture's event time is perfectly monotone in generation order
-    # (x_disorder_stats measures exactly 0 — the honest but vacuous
-    # curve), so model the thing watermarks exist for: network jitter.
-    # Arrival = ts + deterministic md5 jitter in [-1 h, +1 h) — sized
-    # against the fixture's ~15 min median inter-arrival so reordering
-    # actually occurs; events replay in arrival order, lateness =
-    # running-max(event time) - ts.
-    jitter = (_md5_hash32("arr", F.col("event_id").cast("string"))
-              % 7_200_000) - 3_600_000
-    e = e.withColumn("arrival_key", F.col("ts_ms") + jitter)
-    w = (W.partitionBy("event_type").orderBy("arrival_key", "event_id")
-         .rowsBetween(W.unboundedPreceding, -1))
-    late = (e.withColumn(
-        "late_ms",
-        F.greatest(F.coalesce(F.max("ts_ms").over(w), F.col("ts_ms"))
-                   - F.col("ts_ms"), F.lit(0))))
-    grid = F.array(*[F.lit(d) for d in (0, 60_000, 600_000, 3_600_000)])
-    x = late.select("event_type", "late_ms",
-                    F.explode(grid).alias("delay_ms"))
-    return (x.groupBy("event_type",
-                      F.col("delay_ms").cast("bigint").alias("delay_ms"))
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum((F.col("late_ms") > F.col("delay_ms"))
-                       .cast("bigint")).alias("n_dropped"))
-            .withColumn("drop_rate",
-                        F.round(F.col("n_dropped") / F.col("n_events"), 6))
-            .select("event_type", "delay_ms",
-                    F.col("n_events").cast("bigint").alias("n_events"),
-                    F.col("n_dropped").cast("bigint").alias("n_dropped"),
-                    "drop_rate"))
-
-
-QUERIES["x_watermark_sweep"] = x_watermark_sweep
-
-_ARR_J = (_H32.format(x="concat('arr', ':', CAST(event_id AS VARCHAR))")
-          + " % 7200000 - 3600000")
-ORACLES["x_watermark_sweep"] = f"""
-WITH e AS (
-  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
-         epoch_ms(ts) + {_ARR_J} AS arrival_key
-  FROM events
-), x AS (
-  SELECT event_type,
-         greatest(coalesce(max(ts_ms) OVER (
-             PARTITION BY event_type ORDER BY arrival_key, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_ms)
-           - ts_ms, 0) AS late_ms
-  FROM e
-), g AS (
-  SELECT event_type, late_ms, unnest([0, 60000, 600000, 3600000]) AS delay_ms
-  FROM x
-)
-SELECT event_type, CAST(delay_ms AS BIGINT) AS delay_ms,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_dropped,
-       round(CAST(sum(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END)
-                  AS BIGINT) / count(*), 6) AS drop_rate
-FROM g GROUP BY 1, 2
-"""
-
-
-def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution on a growing landing zone: generation 1 files
-    carry (doc_id, lang), generation 2 added a ``source`` column;
-    ``mergeSchema`` unifies the footprints at read time and backfills the
-    missing column with NULLs — the additive-evolution contract
-    Delta/Iceberg formalize. Scale note: mergeSchema reconciles FOOTER
-    schemas (one metadata read per file), not data; pin the merged schema
-    explicitly once it stabilizes so the scan skips reconciliation."""
-    import os
-    d = _docs(spark, sf_dir)
-    base = _events_csv_dir(spark, sf_dir)
-    out = base + "_docs_evo"
-    if not os.path.exists(os.path.join(out, "gen2", "_SUCCESS")):
-        half = F.col("doc_id") % 2 == 0
-        (d.filter(half).select("doc_id", "lang")
-         .write.mode("overwrite").parquet(os.path.join(out, "gen1")))
-        (d.filter(~half).select("doc_id", "lang", "source")
-         .write.mode("overwrite").parquet(os.path.join(out, "gen2")))
-    return (spark.read.option("mergeSchema", "true")
-            .parquet(os.path.join(out, "gen1"), os.path.join(out, "gen2")))
-
-
-QUERIES["x_schema_evolution"] = x_schema_evolution
-
-ORACLES["x_schema_evolution"] = """
-SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
-UNION ALL
-SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 <> 0
-"""
-
-
-def x_sliding_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flink ``countWindow(size, slide)`` — the sliding COUNT window:
-    per user, every 5th event (slide) emits an aggregate over its last 10
-    events (size). ONE ordered window pass with a ROWS frame computes the
-    trailing aggregates for every row; the slide filter then keeps every
-    5th — no self-join, no per-window explode, same plan at any scale
-    (the frame is row-bounded, so state is O(size))."""
-    from pyspark.sql import Window as W
-    size, slide = 10, 5
-    e = _events(spark, sf_dir).select("user_id", "ts_ms", "event_id")
-    w_ord = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    w_frame = w_ord.rowsBetween(-(size - 1), 0)
-    rn = F.row_number().over(w_ord)
-    return (e.withColumn("rn", rn)
-            .withColumn("n_events",
-                        F.count(F.lit(1)).over(w_frame).cast("bigint"))
-            .withColumn("first_ts_ms",
-                        F.min("ts_ms").over(w_frame).cast("bigint"))
-            .withColumn("last_ts_ms",
-                        F.max("ts_ms").over(w_frame).cast("bigint"))
-            .filter(F.col("rn") % slide == 0)
-            .select("user_id", F.col("rn").cast("bigint").alias("end_rank"),
-                    "n_events", "first_ts_ms", "last_ts_ms"))
-
-
-QUERIES["x_sliding_count_windows"] = x_sliding_count_windows
-
-ORACLES["x_sliding_count_windows"] = """
-WITH r AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms,
-         row_number() OVER w AS rn,
-         count(*) OVER f AS n_events,
-         min(epoch_ms(ts)) OVER f AS first_ts_ms,
-         max(epoch_ms(ts)) OVER f AS last_ts_ms
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id),
-         f AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-)
-SELECT user_id, CAST(rn AS BIGINT) AS end_rank,
-       CAST(n_events AS BIGINT) AS n_events,
-       CAST(first_ts_ms AS BIGINT) AS first_ts_ms,
-       CAST(last_ts_ms AS BIGINT) AS last_ts_ms
-FROM r WHERE rn % 5 = 0
-"""
-
-
-def x_backfill_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-data backfill repair — the incremental answer to "events
-    arrived days late, fix the rollup": a deterministic 10% of events
-    (md5 draw) arrive late; the daily MV is first built from on-time
-    events only, then REPAIRED by merging the late batch's partials into
-    ONLY the (event_type, day) groups the late data touches — decomposable
-    cnt/sum/min/max, so repair cost is proportional to the late batch,
-    never a recompute. The oracle aggregates ALL events directly:
-    equality proves repair == full recompute."""
-    e = (_events(spark, sf_dir)
-         .withColumn("v_e4", F.round(F.col("value") * 10000).cast("bigint"))
-         .withColumn("day_ms", (F.floor(F.col("ts_ms") / 86_400_000)
-                                * 86_400_000).cast("bigint")))
-    from .functions.dedup import _md5_hash32
-    is_late = (_md5_hash32("late", F.col("event_id").cast("string"))
-               % 10) == 0
-
-    def daily(df: DataFrame) -> DataFrame:
-        return (df.groupBy("event_type", "day_ms")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
-                     F.sum("v_e4").cast("bigint").alias("sum_e4"),
-                     F.min("v_e4").cast("bigint").alias("min_e4"),
-                     F.max("v_e4").cast("bigint").alias("max_e4")))
-
-    mv = daily(e.filter(~is_late))
-    late_partial = daily(e.filter(is_late))
-    # Repair: restrict the MV to touched groups, merge, and union back the
-    # untouched remainder — at 100 TB "touched" is a partition-pruned read
-    # of the MV table, so the merge reads O(|late batch|) rows.
-    touched_keys = late_partial.select("event_type", "day_ms")
-    touched_mv = mv.join(touched_keys, ["event_type", "day_ms"], "left_semi")
-    untouched = mv.join(touched_keys, ["event_type", "day_ms"], "left_anti")
-    merged = (touched_mv.unionByName(late_partial)
-              .groupBy("event_type", "day_ms")
-              .agg(F.sum("cnt").cast("bigint").alias("cnt"),
-                   F.sum("sum_e4").cast("bigint").alias("sum_e4"),
-                   F.min("min_e4").cast("bigint").alias("min_e4"),
-                   F.max("max_e4").cast("bigint").alias("max_e4")))
-    return untouched.unionByName(merged)
-
-
-QUERIES["x_backfill_repair"] = x_backfill_repair
-
-ORACLES["x_backfill_repair"] = """
-WITH e AS (
-  SELECT event_type,
-         CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS day_ms,
-         CAST(round(value * 10000) AS BIGINT) AS v_e4
-  FROM events
-)
-SELECT event_type, day_ms,
-       CAST(count(*) AS BIGINT) AS cnt,
-       CAST(sum(v_e4) AS BIGINT) AS sum_e4,
-       CAST(min(v_e4) AS BIGINT) AS min_e4,
-       CAST(max(v_e4) AS BIGINT) AS max_e4
-FROM e GROUP BY 1, 2
-"""
-
-
-def x_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup threshold tuning curve: from ONE low-threshold verified pair
-    table, how many near-dup pairs and affected docs survive each
-    candidate Jaccard threshold (0.1..0.9) — the sweep that picks the
-    keep/drop cut WITHOUT re-running LSH per candidate. Map-side grid
-    explode over the pair-scale table; exact-e6 integer comparison
-    against the rounded jaccard avoids float-boundary drift."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
-    grid = F.array(*[F.lit(t) for t in range(1, 10)])
-    x = (pairs.select((F.round(F.col("jaccard") * 1_000_000).cast("bigint"))
-                      .alias("j_e6"), "id_a", "id_b")
-         .select("j_e6", "id_a", "id_b", F.explode(grid).alias("t10")))
-    kept = x.filter(F.col("j_e6") >= F.col("t10") * 100_000)
-    n_pairs = (kept.groupBy("t10")
-               .agg(F.count(F.lit(1)).alias("n_pairs")))
-    docs = (kept.select("t10", F.col("id_a").alias("d"))
-            .unionByName(kept.select("t10", F.col("id_b").alias("d")))
-            .groupBy("t10").agg(F.countDistinct("d").alias("n_docs")))
-    return (n_pairs.join(docs, "t10")
-            .select(F.round(F.col("t10") / 10.0, 1).alias("threshold"),
-                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
-                    F.col("n_docs").cast("bigint").alias("n_docs")))
-
-
-QUERIES["x_jaccard_sweep"] = x_jaccard_sweep
-
-ORACLES["x_jaccard_sweep"] = f"""
-WITH jac AS ({_jaccard_oracle(threshold=0.1)}),
-g AS (
-  SELECT CAST(round(jaccard * 1000000) AS BIGINT) AS j_e6, id_a, id_b,
-         unnest(range(1, 10)) AS t10
-  FROM jac
-), kept AS (
-  SELECT * FROM g WHERE j_e6 >= t10 * 100000
-), np AS (
-  SELECT t10, CAST(count(*) AS BIGINT) AS n_pairs FROM kept GROUP BY 1
-), nd AS (
-  SELECT t10, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
-  FROM (SELECT t10, id_a AS d FROM kept
-        UNION ALL SELECT t10, id_b FROM kept)
-  GROUP BY 1
-)
-SELECT round(t10 / 10.0, 1) AS threshold, n_pairs, n_docs
-FROM np JOIN nd USING (t10)
-"""
-
-
-def x_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over quasi-identifiers — the privacy check run
-    before releasing a dataset: every (nation, market segment) group's
-    size, flagged when under k=5 (a record in a small group is
-    re-identifiable). One hash aggregate over the QI columns; at 100 TB
-    the group table is |QI-combinations|-bounded."""
-    c = load_table(_prep(spark), sf_dir, "customer")
-    return (c.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"),
-                      F.col("c_mktsegment").alias("mktsegment"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
-            .withColumn("meets_k5", F.col("group_n") >= 5))
-
-
-QUERIES["x_k_anonymity"] = x_k_anonymity
-
-ORACLES["x_k_anonymity"] = """
-SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-       c_mktsegment AS mktsegment,
-       CAST(count(*) AS BIGINT) AS group_n,
-       count(*) >= 5 AS meets_k5
-FROM customer GROUP BY 1, 2
-"""
-
-
-def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC EXTRACTION — the inverse of x_merge_apply: given two corpus
-    snapshots, emit the change log (insert / delete / update / unchanged
-    counts plus per-row ops for changed rows). Snapshots are derived
-    deterministically from documents: "before" drops every 7th doc and
-    keeps raw text; "after" has every doc with paragraph-deduped text —
-    so inserts, updates AND unchanged rows all occur. One full-outer join
-    on the key with md5 fingerprints comparing payloads map-side; at
-    100 TB both sides bucket by key and the join is the only shuffle.
-    Output: changed rows only (op, doc_id, fp_before, fp_after)."""
-    d = _docs(spark, sf_dir)
-    before = (d.filter(F.col("doc_id") % 7 != 0)
-              .select("doc_id", F.md5("text").alias("fp_before")))
-    after_txt = dedup.paragraph_dedup(d, chunk_tokens=8)
-    after = after_txt.select("doc_id", F.md5("text_dedup").alias("fp_after"))
-    j = before.join(after, "doc_id", "full_outer")
-    op = (F.when(F.col("fp_before").isNull(), F.lit("insert"))
-          .when(F.col("fp_after").isNull(), F.lit("delete"))
-          .when(F.col("fp_before") != F.col("fp_after"), F.lit("update"))
-          .otherwise(F.lit("unchanged")))
-    return (j.withColumn("op", op)
-            .filter(F.col("op") != "unchanged")
-            .select("op", "doc_id", "fp_before", "fp_after"))
-
-
-QUERIES["x_snapshot_diff"] = x_snapshot_diff
-
-ORACLES["x_snapshot_diff"] = f"""
-WITH before AS (
-  SELECT doc_id, md5(text) AS fp_before FROM documents WHERE doc_id % 7 <> 0
-),
-t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-tok AS (
-  SELECT doc_id,
-         CAST((i - 1) // 8 AS BIGINT) AS idx, i,
-         w[i] AS tk
-  FROM t CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) ix
-  WHERE i <= len(w)
-), chunks AS (
-  SELECT doc_id, idx, string_agg(tk, ' ' ORDER BY i) AS chunk
-  FROM tok GROUP BY 1, 2
-), ranked AS (
-  SELECT doc_id, idx, chunk,
-         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
-  FROM chunks
-), kept AS (
-  SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1
-), rebuilt AS (
-  SELECT d.doc_id,
-         coalesce(string_agg(k.chunk, ' ' ORDER BY k.idx), '') AS text_dedup
-  FROM documents d LEFT JOIN kept k USING (doc_id)
-  GROUP BY d.doc_id
-), after AS (
-  SELECT doc_id, md5(text_dedup) AS fp_after FROM rebuilt
-), j AS (
-  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.fp_before, a.fp_after
-  FROM before b FULL OUTER JOIN after a ON b.doc_id = a.doc_id
-)
-SELECT CASE WHEN fp_before IS NULL THEN 'insert'
-            WHEN fp_after IS NULL THEN 'delete'
-            WHEN fp_before <> fp_after THEN 'update'
-            ELSE 'unchanged' END AS op,
-       doc_id, fp_before, fp_after
-FROM j
-WHERE (CASE WHEN fp_before IS NULL THEN 'insert'
-            WHEN fp_after IS NULL THEN 'delete'
-            WHEN fp_before <> fp_after THEN 'update'
-            ELSE 'unchanged' END) <> 'unchanged'
-"""
-
-
-def x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BPE loop closed: apply the top-5 trained merges (x_bpe_merges)
-    to the corpus and measure per-source compression — symbols per word
-    before vs after, the number that says whether the merge table is
-    earning its vocabulary slots. The merge table is the bounded trained
-    artifact (k rows to the driver, like IVF's centroids); application is
-    five sequential map-side string replaces over space-separated symbol
-    words (left-to-right non-overlapping in both engines), then one
-    aggregate."""
-    d = _docs(spark, sf_dir)
-    merges = [r["pair"] for r in
-              text.bpe_pair_counts(d, k=5).orderBy("rk").collect()]
-    from .functions.dedup import _norm
-    words = (d.select("source",
-                      F.explode(F.split(_norm("text"), " ")).alias("w"))
-             .filter(F.length("w") > 0))
-    # word -> ' c h a r s ' symbol string
-    sym = F.concat(F.lit(" "),
-                   F.array_join(F.split(F.col("w"), ""), " "), F.lit(" "))
-    for m in merges:
-        a, b = m.split(" ")
-        sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    n_sym = F.size(F.split(F.trim(sym), " ")).cast("bigint")
-    return (words.select("source", F.length("w").cast("bigint").alias("n0"),
-                         n_sym.alias("n1"))
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
-                 F.sum("n0").cast("bigint").alias("symbols_before"),
-                 F.sum("n1").cast("bigint").alias("symbols_after"))
-            .withColumn("compression",
-                        F.round(F.col("symbols_after")
-                                / F.col("symbols_before"), 6)))
-
-
-QUERIES["x_bpe_apply"] = x_bpe_apply
-
-
-def _bpe_apply_oracle() -> str:
-    top = f"""
-WITH toks0 AS (
-  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
-), wc AS (
-  SELECT w, CAST(count(*) AS BIGINT) AS freq
-  FROM toks0 WHERE len(w) > 0 GROUP BY w
-), prs AS (
-  SELECT w[i:i] || ' ' || w[i+1:i+1] AS pair, freq
-  FROM wc CROSS JOIN (SELECT unnest(range(1, 1000)) AS i) idx
-  WHERE len(w) >= 2 AND i <= len(w) - 1
-), agg AS (
-  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM prs GROUP BY pair
-), merges AS (
-  SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
-  FROM agg ORDER BY cnt DESC, pair LIMIT 5
-)"""
-    # DuckDB cannot iterate merges data-dependently in pure SQL without
-    # recursion; inline the same 5 sequential replaces via a correlated
-    # scalar loop unrolled through 5 CTE stages.
-    stages = []
-    prev = "s0"
-    stages.append("""
-, words AS (
-  SELECT source, w FROM (
-    SELECT source, unnest(string_split({norm}, ' ')) AS w FROM documents
-  ) WHERE len(w) > 0
-), s0 AS (
-  SELECT source, w,
-         ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym
-  FROM words
-)""".format(norm=_NORM_SQL))
-    for i in range(1, 6):
-        stages.append(f"""
-, s{i} AS (
-  SELECT source, w,
-         replace(sym,
-                 ' ' || (SELECT pair FROM merges WHERE rk = {i}) || ' ',
-                 ' ' || replace((SELECT pair FROM merges WHERE rk = {i}),
-                                ' ', '') || ' ') AS sym
-  FROM s{i - 1}
-)""")
-        prev = f"s{i}"
-    return top + "".join(stages) + f"""
-SELECT source, CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(len(w)) AS BIGINT) AS symbols_before,
-       CAST(sum(len(string_split(trim(sym), ' '))) AS BIGINT)
-         AS symbols_after,
-       round(CAST(sum(len(string_split(trim(sym), ' '))) AS BIGINT)
-             / CAST(sum(len(w)) AS BIGINT), 6) AS compression
-FROM {prev} GROUP BY source
-"""
-
-
-ORACLES["x_bpe_apply"] = _bpe_apply_oracle()
-
-
-def x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population stability index per source — the drift metric ML-ops
-    monitors compute between a candidate slice and the reference
-    population: bucket document lengths into fixed 200-char bins, compare
-    each source's bucket shares p against the corpus shares q, PSI =
-    Σ (p-q)·ln(p/q) with +1-count smoothing so empty buckets stay finite.
-    Shares come from exact counts; the ln/multiply tree is identical IEEE
-    both engines, rounded once. Plan: one (source, bucket) aggregate, the
-    corpus totals derived from it, one small join — drift at 100 TB costs
-    one aggregate pass."""
-    d = _docs(spark, sf_dir)
-    bucket = F.least(F.floor(F.col("n_chars") / 200), F.lit(9)).cast("bigint")
-    sb = (d.groupBy("source", bucket.alias("bucket"))
-          .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
-    # dense (source x bucket) grid so empty buckets participate smoothed
-    sources = sb.select("source").distinct()
-    buckets = spark.range(0, 10).select(F.col("id").alias("bucket"))
-    grid = sources.crossJoin(buckets)
-    sbf = (grid.join(sb, ["source", "bucket"], "left")
-           .select("source", "bucket",
-                   F.coalesce("n", F.lit(0)).cast("bigint").alias("n")))
-    tot_src = sbf.groupBy("source").agg(F.sum("n").alias("n_src"))
-    corpus = sbf.groupBy("bucket").agg(F.sum("n").alias("n_corp"))
-    n_all = sbf.agg(F.sum("n").alias("n_all"))
-    j = (sbf.join(tot_src, "source").join(corpus, "bucket")
-         .crossJoin(F.broadcast(n_all)))
-    p = (F.col("n").cast("double") + 1.0) / (F.col("n_src").cast("double") + 10.0)
-    q = (F.col("n_corp").cast("double") + 1.0) / (F.col("n_all").cast("double") + 10.0)
-    term = (p - q) * F.log(p / q)
-    return (j.groupBy("source")
-            .agg(F.round(F.sum(term), 6).alias("psi"))
-            .withColumn("drifted", F.col("psi") > 0.2))
-
-
-QUERIES["x_psi_drift"] = x_psi_drift
-
-ORACLES["x_psi_drift"] = """
-WITH sb0 AS (
-  SELECT source, least(n_chars // 200, 9) AS bucket, count(*) AS n
-  FROM documents GROUP BY 1, 2
-), grid AS (
-  SELECT s.source, b.bucket
-  FROM (SELECT DISTINCT source FROM sb0) s
-  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b
-), sbf AS (
-  SELECT g.source, g.bucket, CAST(coalesce(sb0.n, 0) AS BIGINT) AS n
-  FROM grid g LEFT JOIN sb0 ON g.source = sb0.source AND g.bucket = sb0.bucket
-), ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM sbf GROUP BY 1),
-tc AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_corp FROM sbf GROUP BY 1),
-ta AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM sbf),
-j AS (
-  SELECT sbf.source,
-         (CAST(sbf.n AS DOUBLE) + 1.0) / (CAST(ts.n_src AS DOUBLE) + 10.0) AS p,
-         (CAST(tc.n_corp AS DOUBLE) + 1.0) / (CAST(ta.n_all AS DOUBLE) + 10.0) AS q
-  FROM sbf JOIN ts USING (source) JOIN tc USING (bucket) CROSS JOIN ta
-)
-SELECT source, round(sum((p - q) * ln(p / q)), 6) AS psi,
-       round(sum((p - q) * ln(p / q)), 6) > 0.2 AS drifted
-FROM j GROUP BY source
-"""
-
-
-def x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov distance between src0's and src1's
-    document-length distributions — PSI's exact-statistic sibling: D =
-    max |ECDF1 - ECDF2|, computed in EXACT integer arithmetic (the max of
-    |c1·n2 - c2·n1| over observed points, divided once at the end), so
-    the statistic hash-matches across engines. One sort-free plan: both
-    ECDFs come from ONE cumulative window over the merged value set
-    (distinct lengths — bounded by value cardinality, not rows)."""
-    from pyspark.sql import Window as W
-    d = _docs(spark, sf_dir).filter(F.col("source").isin("src0", "src1"))
-    counts = (d.groupBy("n_chars",
-                        (F.col("source") == "src0").alias("is_a"))
-              .agg(F.count(F.lit(1)).alias("c")))
-    per_val = (counts.groupBy("n_chars")
-               .agg(F.sum(F.when(F.col("is_a"), F.col("c")).otherwise(0))
-                     .alias("c1"),
-                    F.sum(F.when(~F.col("is_a"), F.col("c")).otherwise(0))
-                     .alias("c2")))
-    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
-    cum = (per_val
-           .withColumn("f1", F.sum("c1").over(w).cast("bigint"))
-           .withColumn("f2", F.sum("c2").over(w).cast("bigint")))
-    tot = cum.agg(F.max("f1").alias("n1"), F.max("f2").alias("n2"))
-    j = cum.crossJoin(F.broadcast(tot))
-    num = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
-    stat = (j.agg(F.max(num).alias("max_num"),
-                  F.max("n1").alias("n1"), F.max("n2").alias("n2")))
-    d_stat = F.round(F.col("max_num").cast("double")
-                     / (F.col("n1").cast("double")
-                        * F.col("n2").cast("double")), 6)
-    crit = F.round(
-        F.lit(1.358) * F.sqrt((F.col("n1") + F.col("n2")).cast("double")
-                              / (F.col("n1") * F.col("n2")).cast("double")),
-        6)
-    return (stat.select(F.col("n1").cast("bigint").alias("n1"),
-                        F.col("n2").cast("bigint").alias("n2"),
-                        d_stat.alias("ks_d"), crit.alias("crit_05"))
-            .withColumn("reject_same_dist", F.col("ks_d") > F.col("crit_05")))
-
-
-QUERIES["x_ks_test"] = x_ks_test
-
-ORACLES["x_ks_test"] = """
-WITH d AS (
-  SELECT n_chars, source FROM documents WHERE source IN ('src0', 'src1')
-), pv AS (
-  SELECT n_chars,
-         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-  FROM d GROUP BY 1
-), cum AS (
-  SELECT n_chars,
-         CAST(sum(c1) OVER (ORDER BY n_chars
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
-         CAST(sum(c2) OVER (ORDER BY n_chars
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
-  FROM pv
-), tot AS (SELECT max(f1) AS n1, max(f2) AS n2 FROM cum),
-s AS (
-  SELECT CAST(max(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT) AS max_num,
-         CAST(max(t.n1) AS BIGINT) AS n1, CAST(max(t.n2) AS BIGINT) AS n2
-  FROM cum CROSS JOIN tot t
-)
-SELECT n1, n2,
-       round(CAST(max_num AS DOUBLE)
-             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d,
-       round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
-                          / CAST(n1 * n2 AS DOUBLE)), 6) AS crit_05,
-       round(CAST(max_num AS DOUBLE)
-             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
-         > round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
-                              / CAST(n1 * n2 AS DOUBLE)), 6)
-         AS reject_same_dist
-FROM s
-"""
-
-
-def x_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal with a REAL codec: deterministic 8x8 grayscale pixel
-    arrays (md5-derived per doc) encode to genuine PNG files (pure-stdlib
-    codec — signature, CRC-checked chunks, zlib scanlines) and decode
-    back through the Arrow-batched decode stage; the oracle recomputes
-    the pixel statistics directly from the generative definition, so
-    equality proves the encode→decode round trip through the actual file
-    format is the identity. PNG is the real path; other formats remain
-    documented stubs."""
-    from .functions.dedup import _md5_hash32
-    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
-    px = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: (_md5_hash32(
-            "px", F.concat(F.col("media_id").cast("string"),
-                           F.lit(":"), i.cast("string"))) % 256)
-        .cast("int"))
-    pixels = d.withColumn("pixels", px)
-    media = multimodal.encode_png_images(pixels, width=8)
-    return multimodal.decode_png_stats(media)
-
-
-QUERIES["x_png_decode"] = x_png_decode
-
-_PX_H = _H32.format(
-    x="concat('px', ':', CAST(media_id AS VARCHAR), ':', CAST(i AS VARCHAR))")
-ORACLES["x_png_decode"] = f"""
-WITH ids AS (SELECT doc_id AS media_id FROM documents),
-px AS (
-  SELECT media_id, CAST({_PX_H} % 256 AS BIGINT) AS v
-  FROM ids CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
-)
-SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
-       CAST(min(v) AS BIGINT) AS px_min,
-       CAST(max(v) AS BIGINT) AS px_max,
-       CAST(sum(v) AS BIGINT) AS px_sum
-FROM px GROUP BY media_id
-"""
-
-
-def x_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-batch shaping: docs bucket by length (powers of two —
-    the padding-efficiency binning sequence batchers use), then pack into
-    fixed-size batches of 32 within each bucket (md5-deterministic order);
-    per batch: doc count and total tokens — the table a data loader reads
-    to schedule work. One bucket-keyed rank + one aggregate; bucket keys
-    spread the sort."""
-    from pyspark.sql import Window as W
-    from .functions.dedup import _md5_hash32
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(text.tokens("text")).cast("bigint").alias("n_tokens"))
-    bucket = F.pow(F.lit(2.0),
-                   F.ceil(F.log2(F.greatest(F.col("n_tokens"),
-                                            F.lit(1))))).cast("bigint")
-    w = W.partitionBy("bucket").orderBy(
-        _md5_hash32("batch", F.col("doc_id").cast("string")), "doc_id")
-    return (d.withColumn("bucket", bucket)
-            .withColumn("rk", F.row_number().over(w))
-            .withColumn("batch_idx", ((F.col("rk") - 1) / 32)
-                        .cast("bigint"))
-            .groupBy("bucket", "batch_idx")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-                 F.max("n_tokens").cast("bigint").alias("max_tokens")))
-
-
-QUERIES["x_length_batching"] = x_length_batching
-
-_BH = _H32.format(x="concat('batch', ':', CAST(doc_id AS VARCHAR))")
-ORACLES["x_length_batching"] = f"""
-WITH d AS (
-  SELECT doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens FROM documents
-), b AS (
-  SELECT doc_id, n_tokens,
-         CAST(pow(2.0, ceil(log2(greatest(n_tokens, 1)))) AS BIGINT)
-           AS bucket,
-         {_BH} AS h
-  FROM d
-), r AS (
-  SELECT bucket, n_tokens,
-         row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
-  FROM b
-)
-SELECT bucket, CAST((rk - 1) // 32 AS BIGINT) AS batch_idx,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(max(n_tokens) AS BIGINT) AS max_tokens
-FROM r GROUP BY 1, 2
-"""
-
-
-def x_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differential-privacy mechanism demo: per-event-type counts with
-    Laplace(sensitivity/epsilon = 1/1) noise from the inverse CDF of a
-    DETERMINISTIC md5 uniform draw — testable (the oracle replays the
-    same draw) where true DP requires fresh randomness; the mechanism,
-    sensitivity reasoning, and post-processing shape are exactly what a
-    production release pipeline runs. Counts are 1-sensitive (one event
-    changes one count by 1); noise is added to the exact aggregate —
-    one hash aggregate, noise map-side on |types| rows."""
-    e = _events(spark, sf_dir)
-    c = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint")
-                                    .alias("n_true"))
-    from .functions.dedup import _md5_hash32
-    u = (_md5_hash32("dp", F.col("event_type"))
-         + F.lit(0.5)) / F.lit(4294967296.0)
-    centered = u - F.lit(0.5)
-    noise = (-F.signum(centered)
-             * F.log(1.0 - 2.0 * F.abs(centered)))
-    return (c.withColumn("noisy_n",
-                         F.round(F.col("n_true") + noise, 6))
-            .select("event_type", "n_true", "noisy_n"))
-
-
-QUERIES["x_dp_counts"] = x_dp_counts
-
-_DPH = _H32.format(x="concat('dp', ':', event_type)")
-ORACLES["x_dp_counts"] = f"""
-WITH c AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
-  FROM events GROUP BY 1
-), u AS (
-  SELECT event_type, n_true,
-         ({_DPH} + 0.5) / 4294967296.0 - 0.5 AS centered
-  FROM c
-)
-SELECT event_type, n_true,
-       round(n_true + (-sign(centered) * ln(1.0 - 2.0 * abs(centered))), 6)
-         AS noisy_n
-FROM u
-"""
-
-
-def x_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sampling ON THE STREAM: the md5 hash-draw filter
-    (functions.sketches.hash_sample) applied to the events replay — pure
-    map-side, so it runs identically in batch and streaming (the
-    batch/stream unification the DataFrame API promises); the kept set is
-    a pure function of the key, so replays, retries, and the batch oracle
-    all pick the same rows."""
-    from .functions.sketches import hash_sample
-    ev = _stream_events(spark, sf_dir)
-    out = hash_sample(ev.select("event_id", "user_id", "ts_ms"),
-                      "event_id", rate=0.2, prefix="evsample")
-    return _run_to_memory(out, spark)
-
-
-QUERIES["x_sample_stream"] = x_sample_stream
-STREAMING_DEMOS.add("x_sample_stream")
-
-_ES_DRAW = (_H32.format(x="concat('evsample', ':', CAST(event_id AS VARCHAR))")
-            + " / 4294967296.0")
-ORACLES["x_sample_stream"] = f"""
-SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
-FROM events WHERE {_ES_DRAW} < 0.2
-"""
-
-
-def x_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OHLC bars maintained ON THE STREAM — x_ohlc_bars' one-aggregate
-    shape in update mode: per (event_type, hour), min_by/max_by on the
-    composite tick key revise open/close as ticks arrive; state is one
-    row per bar. The replay carries no value column, so the tick metric
-    is event_id (exact BIGINT, the j4 replay contract); the oracle is
-    the batch aggregate over the same columns."""
-    ev = _stream_events(spark, sf_dir)
-    e = ev.withColumn("tick", (F.col("ts_ms") * 1_000_000
-                               + F.col("event_id")).cast("bigint"))
-    hour = (F.floor(F.col("ts_ms") / 3_600_000) * 3_600_000).cast("bigint")
-    out = (e.groupBy("event_type", hour.alias("hour_ms"))
-           .agg(F.min_by("event_id", "tick").cast("bigint").alias("open_id"),
-                F.max("event_id").cast("bigint").alias("high_id"),
-                F.min("event_id").cast("bigint").alias("low_id"),
-                F.max_by("event_id", "tick").cast("bigint").alias("close_id"),
-                F.count(F.lit(1)).cast("bigint").alias("n_ticks")))
-    return _run_to_memory(out, spark, output_mode="complete")
-
-
-QUERIES["x_ohlc_stream"] = x_ohlc_stream
-STREAMING_DEMOS.add("x_ohlc_stream")
-
-ORACLES["x_ohlc_stream"] = """
-WITH e AS (
-  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
-         CAST(epoch_ms(ts) * 1000000 + event_id AS BIGINT) AS tick
-  FROM events
-)
-SELECT event_type,
-       CAST((ts_ms // 3600000) * 3600000 AS BIGINT) AS hour_ms,
-       CAST(min_by(event_id, tick) AS BIGINT) AS open_id,
-       CAST(max(event_id) AS BIGINT) AS high_id,
-       CAST(min(event_id) AS BIGINT) AS low_id,
-       CAST(max_by(event_id, tick) AS BIGINT) AS close_id,
-       CAST(count(*) AS BIGINT) AS n_ticks
-FROM e GROUP BY 1, 2
-"""
-
-
-def x_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming funnel completion (view -> click -> purchase), greedy
-    first-touch, through a 2-long-per-key applyInPandasWithState machine:
-    each user's row emits the moment their purchase lands strictly after
-    their first qualifying click after their first view. Oracle = the
-    nested strictly-after-min chain in SQL — batch and stream
-    formulations of the same funnel must agree."""
-    from .streaming.stateful import funnel_stream
-    ev = _stream_events(spark, sf_dir)
-    out = funnel_stream(ev, ["view", "click", "purchase"], key="user_id",
-                        ts_ms="ts_ms", type_col="event_type",
-                        id_col="event_id")
-    return _run_to_memory(out, spark)
-
-
-QUERIES["x_funnel_stream"] = x_funnel_stream
-STREAMING_DEMOS.add("x_funnel_stream")
-
-ORACLES["x_funnel_stream"] = """
-WITH e AS (
-  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
-), s1 AS (
-  SELECT user_id, CAST(min(ts_ms) AS BIGINT) AS t1_ms
-  FROM e WHERE event_type = 'view' GROUP BY 1
-), s2 AS (
-  SELECT e.user_id, CAST(min(ts_ms) AS BIGINT) AS t2_ms
-  FROM e JOIN s1 USING (user_id)
-  WHERE event_type = 'click' AND ts_ms > t1_ms GROUP BY 1
-), s3 AS (
-  SELECT e.user_id, CAST(min(ts_ms) AS BIGINT) AS t3_ms
-  FROM e JOIN s2 USING (user_id)
-  WHERE event_type = 'purchase' AND ts_ms > t2_ms GROUP BY 1
-)
-SELECT user_id, t1_ms, t2_ms, t3_ms
-FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
-"""
-
-
-def x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count of the verified near-dup graph via degree-ordered
-    wedge counting — each triangle counted once at its lowest-ordered
-    vertex, wedge fan-out bounded by oriented out-degree (no hub
-    blowup). One row: n_triangles. Reads the persisted edge parquet
-    (``_edges_parquet_dir``) — see x_pagerank."""
-    from .functions import graph
-    return graph.triangle_count(_edges(spark, sf_dir))
-
-
-QUERIES["x_triangles"] = x_triangles
-
-ORACLES["x_triangles"] = f"""
-WITH cand AS ({_minhash_lsh_oracle()}),
-jac AS ({_jaccard_oracle(threshold=0.5)}),
-edges AS (
-  SELECT jac.id_a AS a, jac.id_b AS b FROM jac
-  JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-)
-SELECT CAST(count(*) AS BIGINT) AS n_triangles
-FROM edges e1
-JOIN edges e2 ON e1.b = e2.a
-JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
-"""
-
-
-def x_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal dedup policy: a document survives only if BOTH the
-    text near-dup pass (MinHash-LSH → Jaccard → CC keep-one) and the
-    embedding SemDeDup pass keep its id — the union-of-drop-lists
-    composition real pipelines run, since lexical and semantic dedup
-    catch different duplicates. Both keep-lists are ids-only; the
-    composition is two anti-join-shaped intersections, corpus never
-    rescanned. Output: (doc_id, kept_text, kept_embedding, kept)."""
-    text_keep = dedup.neardup_keep(_docs(spark, sf_dir)).select(
-        F.col("doc_id"), F.lit(True).alias("kept_text"))
-    emb_keep = similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3,
-                                        num_planes=8).select(
-        F.col("vec_id").alias("doc_id"), F.lit(True).alias("kept_embedding"))
-    ids = _docs(spark, sf_dir).select("doc_id")
-    return (ids.join(text_keep, "doc_id", "left")
-            .join(emb_keep, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("kept_text", F.lit(False)).alias("kept_text"),
-                    F.coalesce("kept_embedding", F.lit(False))
-                     .alias("kept_embedding"))
-            .withColumn("kept", F.col("kept_text") & F.col("kept_embedding")))
-
-
-QUERIES["x_joint_dedup"] = x_joint_dedup
-
-ORACLES["x_joint_dedup"] = f"""
-WITH tk AS MATERIALIZED (
-  SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
-), ek AS MATERIALIZED (
-  SELECT vec_id AS doc_id FROM ({ORACLES["x_semdedup_keep"]})
-)
-SELECT d.doc_id,
-       d.doc_id IN (SELECT doc_id FROM tk) AS kept_text,
-       d.doc_id IN (SELECT doc_id FROM ek) AS kept_embedding,
-       (d.doc_id IN (SELECT doc_id FROM tk)
-        AND d.doc_id IN (SELECT doc_id FROM ek)) AS kept
-FROM documents d
-"""
-
-
-def _events_csv_dir_arrival2(spark: SparkSession, sf_dir: str) -> str:
-    """Events replay split into exactly TWO files by simulated arrival
-    order (ts + the x_watermark_sweep jitter): file a = first half, file b
-    = second half, mtimes pinned so the file source forms batch 0 from a
-    and batch 1 from b under maxFilesPerTrigger=1 — the deterministic
-    two-batch replay that makes late-data capture oracle-checkable."""
-    import hashlib
-    import os
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:arr2"
-                      .encode()).hexdigest()[:12]
-    out = os.path.join(_tempfile.gettempdir(), f"frde_events_arr2_{tag}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        import duckdb
-        rows = duckdb.sql(f"""
-            SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
-            FROM '{src}'
-            ORDER BY epoch_ms(ts)
-                     + (CAST(concat('0x', substring(md5(concat('arr', ':',
-                        CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT)
-                        % 7200000 - 3600000),
-                     event_id
-        """).fetchall()
-        os.makedirs(out, exist_ok=True)
-        half = (len(rows) + 1) // 2
-        for name, chunk, mt in [("a.csv", rows[:half], 1_700_000_000),
-                                ("b.csv", rows[half:], 1_700_000_001)]:
-            p = os.path.join(out, name)
-            with open(p, "w") as fh:
-                for r in chunk:
-                    fh.write(",".join("" if v is None else str(v)
-                                      for v in r) + "\n")
-            os.utime(p, (mt, mt))
-        with open(marker, "w"):
-            pass
-    return out
-
-
-def x_late_capture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 oracle-checked END TO END: the jittered-arrival replay runs in
-    two deterministic micro-batches through LateDataCapture (bounded
-    out-of-orderness 60 s, full late set spilled to the parquet
-    dead-letter sink); the returned DataFrame is the dead-letter read.
-    Batch 1 establishes the watermark (max event time − 60 s); batch 2's
-    rows at or behind it are the late set — exactly what the oracle
-    computes from the same split. This promotes the reference's
-    sideOutputLateData (EventTimeOperations.java:148-176) from
-    pytest-only evidence to a driver-hash-checked row."""
-    from .streaming.watermark import LateDataCapture
-    from .sources import file_csv_stream
-    path = _events_csv_dir_arrival2(spark, sf_dir)
-    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False,
-                          max_files_per_trigger=1)
-          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
-    spill = _tempfile.mkdtemp(prefix="frde_late_spill_") + "/late"
-    ckpt = _tempfile.mkdtemp(prefix="frde_late_ckpt_")
-    cap = LateDataCapture("ts", delay_ms=60_000, spill_path=spill)
-    q = (ev.writeStream.foreachBatch(cap)
-         .trigger(availableNow=True)
-         .option("checkpointLocation", ckpt).start())
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("late-capture replay did not finish")
-    if cap.late_count == 0:
-        return spark.createDataFrame(
-            [], "event_id long, user_id long, ts_ms long")
-    return (spark.read.parquet(spill)
-            .select("event_id", "user_id", "ts_ms"))
-
-
-QUERIES["x_late_capture_stream"] = x_late_capture_stream
-STREAMING_DEMOS.add("x_late_capture_stream")
-
-ORACLES["x_late_capture_stream"] = f"""
-WITH e AS (
-  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
-         epoch_ms(ts) + {_ARR_J} AS arrival_key
-  FROM events
-), r AS (
-  SELECT *, row_number() OVER (ORDER BY arrival_key, event_id) AS rn,
-         count(*) OVER () AS n
-  FROM e
-), wm AS (
-  SELECT max(ts_ms) - 60000 AS w FROM r WHERE rn <= (n + 1) // 2
-)
-SELECT event_id, user_id, ts_ms
-FROM r CROSS JOIN wm
-WHERE rn > (n + 1) // 2 AND ts_ms <= w
-"""
-
-
-def x_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Held-out LM evaluation: the add-one unigram model fits on the
-    deterministic hash-split TRAIN docs only and scores the VAL docs —
-    generalization, not memorization (OOV tokens take the smoothing
-    floor and are counted). The composition every eval pipeline runs:
-    leakage-free split -> fit on train -> score held-out."""
-    from .functions.sketches import train_val_test_split
-    d = train_val_test_split(_docs(spark, sf_dir), "doc_id")
-    train = d.filter(F.col("split") == "train")
-    val = d.filter(F.col("split") == "val")
-    return text.heldout_logprob(train, val)
-
-
-QUERIES["x_heldout_ppl"] = x_heldout_ppl
-
-_SPLIT_DRAW = (_H32.format(x="concat('split', ':', CAST(doc_id AS VARCHAR))")
-               + " / 4294967296.0")
-ORACLES["x_heldout_ppl"] = f"""
-WITH tagged AS (
-  SELECT doc_id, text,
-         CASE WHEN {_SPLIT_DRAW} < 0.8 THEN 'train'
-              WHEN {_SPLIT_DRAW} < 0.9 THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents
-), train_tok AS (
-  SELECT unnest({_QF_TOKS}) AS tok FROM tagged WHERE split = 'train'
-), uni AS (
-  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM train_tok GROUP BY tok
-), tot AS (
-  SELECT CAST(sum(c) AS BIGINT) AS n_corpus,
-         CAST(count(*) AS BIGINT) AS vocab
-  FROM uni
-), ev AS (
-  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, unnest({_QF_TOKS}) AS tok
-        FROM tagged WHERE split = 'val') t
-  GROUP BY 1, 2
-), j AS (
-  SELECT ev.doc_id, ev.tf, coalesce(uni.c, 0) AS c, tot.n_corpus, tot.vocab
-  FROM ev LEFT JOIN uni USING (tok) CROSS JOIN tot
-), scored AS (
-  SELECT doc_id,
-         CAST(sum(CAST(round(tf * ln((c + 1.0) / (n_corpus + vocab))
-                             * 1000000) AS BIGINT)) AS BIGINT) AS logprob_e6,
-         CAST(sum(tf) AS BIGINT) AS n_tokens,
-         CAST(sum(CASE WHEN c = 0 THEN tf ELSE 0 END) AS BIGINT)
-           AS oov_tokens
-  FROM j GROUP BY doc_id
-)
-SELECT t.doc_id,
-       coalesce(s.n_tokens, 0) AS n_tokens,
-       coalesce(s.oov_tokens, 0) AS oov_tokens,
-       coalesce(s.logprob_e6, 0) AS logprob_e6,
-       coalesce(round(s.logprob_e6 / s.n_tokens / 1000000.0, 6), 0.0)
-         AS mean_logprob
-FROM tagged t LEFT JOIN scored s USING (doc_id)
-WHERE t.split = 'val'
-"""
-
-
-def x_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5+P6 on the STREAM as one driver row: the side-output split
-    (purchases = 'main' lane keeping the full record shape, everything
-    else = 'side' lane as (user, 1)) and the CoMap-style re-merge into a
-    tagged common schema — one source scan, two filters, schema-normalized
-    union, exactly the declarative form of StreamSplitAndCombine.java's
-    ProcessFunction + OutputTag + connect/CoMap, running through the real
-    file-monitor replay."""
-    ev = _stream_events(spark, sf_dir)
-    main = (ev.filter(F.col("event_type") == "purchase")
-            .select(F.lit("main").alias("lane"), "event_id", "user_id",
-                    "ts_ms"))
-    side = (ev.filter(F.col("event_type") != "purchase")
-            .select(F.lit("side").alias("lane"),
-                    F.lit(None).cast("bigint").alias("event_id"),
-                    "user_id", "ts_ms"))
-    return _run_to_memory(main.unionByName(side), spark)
-
-
-QUERIES["x_split_stream"] = x_split_stream
-STREAMING_DEMOS.add("x_split_stream")
-
-ORACLES["x_split_stream"] = """
-SELECT 'main' AS lane, event_id, user_id, epoch_ms(ts) AS ts_ms
-FROM events WHERE event_type = 'purchase'
-UNION ALL
-SELECT 'side', NULL, user_id, epoch_ms(ts)
-FROM events WHERE event_type <> 'purchase'
-"""
-
-
-def x_union_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-SOURCE streaming union — the two-topics/two-landing-zones
-    pattern: two independent file-monitor sources (each watching one half
-    of the arrival-ordered replay via pathGlobFilter) union into a single
-    streaming query; the union of streams is itself a stream, and the
-    result equals the batch union of both halves. Each source keeps its
-    own discovery/offset log in the shared checkpoint."""
-    path = _events_csv_dir_arrival2(spark, sf_dir)
-
-    def half(glob: str) -> DataFrame:
-        from .operators.projections import schema_ddl
-        lines = (spark.readStream.format("text")
-                 .option("pathGlobFilter", glob).load(path))
-        return lines.select(F.from_csv(
-            "value", schema_ddl(_EVENTS_CSV_SCHEMA)).alias("r")).select("r.*")
-
-    a = half("a.csv").withColumn("src", F.lit("a"))
-    b = half("b.csv").withColumn("src", F.lit("b"))
-    out = a.unionByName(b).select("src", "event_id", "user_id", "ts_ms")
-    return _run_to_memory(out, spark)
-
-
-QUERIES["x_union_stream"] = x_union_stream
-STREAMING_DEMOS.add("x_union_stream")
-
-ORACLES["x_union_stream"] = f"""
-WITH e AS (
-  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
-         epoch_ms(ts) + {_ARR_J} AS arrival_key
-  FROM events
-), r AS (
-  SELECT *, row_number() OVER (ORDER BY arrival_key, event_id) AS rn,
-         count(*) OVER () AS n
-  FROM e
-)
-SELECT CASE WHEN rn <= (n + 1) // 2 THEN 'a' ELSE 'b' END AS src,
-       event_id, user_id, ts_ms
-FROM r
-"""
-
-
-def x_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session path mining — the clickstream product question "which
-    event sequences do sessions actually follow": each (user, 1 h-gap)
-    session becomes its '>' -joined event-type path (deterministic
-    (ts, id) order via array_sort over structs — no ordered collect_list
-    races), then the top-10 paths by frequency. One session labeling
-    window + one path aggregate + TakeOrdered; path cardinality is
-    bounded by distinct behaviors, not sessions."""
-    labeled = windows.sessionize(
-        _events(spark, sf_dir).select("user_id", "event_type", "ts_ms",
-                                      "event_id"),
-        ["user_id"], "ts_ms", 3_600_000, order_by=["event_id"])
-    paths = (labeled.groupBy("user_id", "session_start_ms")
-             .agg(F.concat_ws(">", F.transform(
-                 F.array_sort(F.collect_list(
-                     F.struct("ts_ms", "event_id", "event_type"))),
-                 lambda x: x["event_type"])).alias("path")))
-    counts = paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint")
-                                       .alias("n_sessions"))
-    return (counts.orderBy(F.col("n_sessions").desc(), F.col("path"))
-            .limit(10))
-
-
-QUERIES["x_path_mining"] = x_path_mining
-
-ORACLES["x_path_mining"] = """
-WITH e AS (
-  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
-), lagd AS (
-  SELECT *, lag(ts_ms) OVER w AS prev_ts
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-), isl AS (
-  SELECT *, SUM(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 3600000
-                     THEN 1 ELSE 0 END)
-            OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                  ROWS UNBOUNDED PRECEDING) AS island
-  FROM lagd
-), paths AS (
-  SELECT user_id, island,
-         string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
-  FROM isl GROUP BY 1, 2
-), counts AS (
-  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
-  FROM paths GROUP BY path
-)
-SELECT path, n_sessions FROM counts
-ORDER BY n_sessions DESC, path LIMIT 10
-"""
-
-
-def x_dynsession_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic-gap sessions drained by EVENT-TIME TIMEOUT (the
-    GroupStateTimeout API, unused by every other machine): open sessions
-    register their deadline with the engine and fire when the watermark
-    passes it — the single global flush row advances the watermark, no
-    per-key sentinels (the production shape; compare x_dynsession_stream
-    which flushes per key). Same oracle as the batch gaps-and-islands
-    form: the two draining strategies must agree exactly."""
-    from .sources import file_csv_stream
-    from .streaming.stateful import dynamic_sessions_timeout_stream
-    path = _events_csv_dir_flush(spark, sf_dir)  # ONE global sentinel
-    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
-          .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
-          .withWatermark("ts", "0 seconds"))
-    gap = (F.when(F.col("event_type") == "click", F.lit(1_800_000))
-            .otherwise(F.lit(600_000)))
-    src = ev.select("user_id", "ts", "ts_ms", "event_id", gap.alias("gap"))
-    out = dynamic_sessions_timeout_stream(src, key="user_id", ts_col="ts",
-                                          ts_ms="ts_ms", gap_col="gap",
-                                          id_col="event_id")
-    res = _run_to_memory(out, spark)
-    return res.filter(F.col("user_id") >= 0)
-
-
-QUERIES["x_dynsession_timeout"] = x_dynsession_timeout
-STREAMING_DEMOS.add("x_dynsession_timeout")
-ORACLES["x_dynsession_timeout"] = ORACLES["x_dynamic_sessions"]
-
-
-def _policy_tables_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Dedup keep/drop-lists persisted ONCE per (corpus, params) — the
-    production layout (same pattern as ``_clusters_parquet_dir``): the
-    nightly dedup jobs write ids-only keep/drop tables; every policy
-    composition afterwards is a parquet scan + anti-join, never a
-    recompute of LSH/verify/CC. Tables written:
-
-    - ``text_keep``        (doc_id)  — lexical near-dup survivors
-    - ``emb_keep``         (doc_id)  — SemDeDup survivors
-    - ``containment_drop`` (doc_id)  — keep-first policy: in every
-      containment pair >= 0.5 the larger id drops (the contained copy of
-      an earlier doc)
-    - ``paragraph_drop``   (doc_id)  — docs where over half the 8-token
-      chunks already appeared earlier in the corpus (sub-document
-      duplication, the Dolma-style boilerplate rule); the comparison is
-      integer (2*n_kept < n_chunks), hash-stable cross-engine
-    """
-    import hashlib
-    import os
-    src = os.path.join(sf_dir, "documents.parquet")
-    esrc = os.path.join(sf_dir, "embeddings.parquet")
-    st, se = os.stat(src), os.stat(esrc)
-    tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{se.st_size}:{se.st_mtime_ns}"
-        f":{os.getuid()}:policy_v1:{_code_tag(dedup.neardup_keep, similarity.semdedup_keep, dedup.containment_pairs, dedup.paragraph_dedup)}"
-        .encode()).hexdigest()[:12]
-    out = os.path.join(_tempfile.gettempdir(), f"frde_policy_{tag}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        docs = _docs(spark, sf_dir)
-        dedup.neardup_keep(docs).select("doc_id") \
-            .write.mode("overwrite").parquet(os.path.join(out, "text_keep"))
-        similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3,
-                                 num_planes=8) \
-            .select(F.col("vec_id").alias("doc_id")) \
-            .write.mode("overwrite").parquet(os.path.join(out, "emb_keep"))
-        dedup.containment_pairs(docs, n=3, threshold=0.5) \
-            .select(F.col("id_b").alias("doc_id")).distinct() \
-            .write.mode("overwrite") \
-            .parquet(os.path.join(out, "containment_drop"))
-        (docs.select("doc_id", F.expr(
-                "CAST((size(split(text, ' ')) + 7) DIV 8 AS BIGINT)")
-                .alias("n_chunks"))
-             .join(dedup.paragraph_dedup(docs, chunk_tokens=8)
-                   .select("doc_id", "n_kept"), "doc_id")
-             .filter(F.col("n_kept") * 2 < F.col("n_chunks"))
-             .select("doc_id")
-             .write.mode("overwrite")
-             .parquet(os.path.join(out, "paragraph_drop")))
-        with open(marker, "w"):
-            pass
-    return out
-
-
-def x_joint_dedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x_joint_dedup's answer from PERSISTED keep-lists: identical output
-    row-for-row, but both keep-lists come from parquet scans of the
-    once-written policy tables instead of re-running LSH+verify+CC and
-    SemDeDup inline per refresh — the x_dedup_report pattern applied to
-    the composition (the recompute form stays registered as x_joint_dedup
-    for cold-run parity). Ids-only joins; strategy left to AQE."""
-    import os
-    base = _policy_tables_dir(spark, sf_dir)
-    text_keep = (spark.read.parquet(os.path.join(base, "text_keep"))
-                 .withColumn("kept_text", F.lit(True)))
-    emb_keep = (spark.read.parquet(os.path.join(base, "emb_keep"))
-                .withColumn("kept_embedding", F.lit(True)))
-    ids = _docs(spark, sf_dir).select("doc_id")
-    return (ids.join(text_keep, "doc_id", "left")
-            .join(emb_keep, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("kept_text", F.lit(False)).alias("kept_text"),
-                    F.coalesce("kept_embedding", F.lit(False))
-                     .alias("kept_embedding"))
-            .withColumn("kept", F.col("kept_text") & F.col("kept_embedding")))
-
-
-QUERIES["x_joint_dedup_persisted"] = x_joint_dedup_persisted
-ORACLES["x_joint_dedup_persisted"] = ORACLES["x_joint_dedup"]
-
-
-def x_full_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full Dolma/FineWeb-style document-retention policy, composed
-    ids-only over the persisted policy tables: a doc survives only if it
-    (1) anchors/escapes lexical near-dup removal, (2) survives SemDeDup,
-    (3) is not the contained copy in any containment pair >= 0.5, and
-    (4) is not majority-duplicated at the 8-token-chunk level. Four
-    boolean lineage columns + the final verdict, so downstream sampling
-    can re-weight by drop reason. Corpus is scanned once (ids only);
-    every signal is a parquet-scan + hash-join of a duplicate-scale
-    table — the composition itself adds no LSH/CC work at any SF."""
-    import os
-    base = _policy_tables_dir(spark, sf_dir)
-
-    def _flag(sub: str, col: str) -> DataFrame:
-        return (spark.read.parquet(os.path.join(base, sub))
-                .withColumn(col, F.lit(True)))
-
-    ids = _docs(spark, sf_dir).select("doc_id")
-    return (ids.join(_flag("text_keep", "kt"), "doc_id", "left")
-            .join(_flag("emb_keep", "ke"), "doc_id", "left")
-            .join(_flag("containment_drop", "dc"), "doc_id", "left")
-            .join(_flag("paragraph_drop", "dp"), "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("kt", F.lit(False)).alias("kept_text"),
-                F.coalesce("ke", F.lit(False)).alias("kept_embedding"),
-                (~F.coalesce("dc", F.lit(False))).alias("kept_containment"),
-                (~F.coalesce("dp", F.lit(False))).alias("kept_paragraph"))
-            .withColumn("kept",
-                        F.col("kept_text") & F.col("kept_embedding")
-                        & F.col("kept_containment")
-                        & F.col("kept_paragraph")))
-
-
-QUERIES["x_full_dedup_policy"] = x_full_dedup_policy
-
-ORACLES["x_full_dedup_policy"] = f"""
-WITH tk AS MATERIALIZED (
-  SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
-), ek AS MATERIALIZED (
-  SELECT vec_id AS doc_id FROM ({ORACLES["x_semdedup_keep"]})
-), cd AS MATERIALIZED (
-  SELECT DISTINCT id_b AS doc_id FROM ({ORACLES["x_containment_pairs"]})
-), pd AS MATERIALIZED (
-  SELECT p.doc_id
-  FROM ({ORACLES["x_paragraph_dedup"]}) p
-  JOIN (SELECT doc_id,
-               (len(string_split(text, ' ')) + 7) // 8 AS n_chunks
-        FROM documents) c ON p.doc_id = c.doc_id
-  WHERE p.n_kept * 2 < c.n_chunks
-)
-SELECT d.doc_id,
-       d.doc_id IN (SELECT doc_id FROM tk) AS kept_text,
-       d.doc_id IN (SELECT doc_id FROM ek) AS kept_embedding,
-       d.doc_id NOT IN (SELECT doc_id FROM cd) AS kept_containment,
-       d.doc_id NOT IN (SELECT doc_id FROM pd) AS kept_paragraph,
-       (d.doc_id IN (SELECT doc_id FROM tk)
-        AND d.doc_id IN (SELECT doc_id FROM ek)
-        AND d.doc_id NOT IN (SELECT doc_id FROM cd)
-        AND d.doc_id NOT IN (SELECT doc_id FROM pd)) AS kept
-FROM documents d
-"""
-
-
-def x_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-portable HyperLogLog distinct users per event type: unlike
-    x_hll_distinct (Spark-private HLL++ registers, rows-only), this
-    sketch is md5-derived so registers AND estimate reproduce bit-for-bit
-    in DuckDB — the hash-checked form of the mergeable-sketch path a
-    100 TB pipeline uses to persist per-partition sketches for later
-    cross-engine folding. Register table is bounded by m=1024 rows per
-    group no matter the input size."""
-    return sketches.hll_portable(_events(spark, sf_dir),
-                                 "event_type", "user_id", p=10)
-
-
-QUERIES["x_hll_portable"] = x_hll_portable
-
-# Constants mirrored exactly from sketches.hll_portable(p=10): m=1024,
-# wbits=22, shift=23; the scaled-alpha numerator is embedded via repr()
-# so both engines parse the identical binary64.
-_HLL_M = 1024
-_HLL_SHIFT = 23
-_HLL_NUM = repr(0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
-                * (1 << _HLL_SHIFT))
-
-ORACLES["x_hll_portable"] = f"""
-WITH h AS (
-  SELECT event_type,
-         CAST(concat('0x', substring(md5(concat('hll', ':',
-              CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
-  FROM events WHERE user_id IS NOT NULL
-), b AS (
-  SELECT event_type, h // 4194304 AS bucket, h % 4194304 AS w FROM h
-), r AS (
-  SELECT event_type, bucket,
-         MAX(CASE WHEN w = 0 THEN 23
-                  ELSE 23 - length(bin(w)) END) AS reg
-  FROM b GROUP BY 1, 2
-), g AS (
-  SELECT event_type, COUNT(*) AS v_nonzero,
-         SUM(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - reg)) AS z_scaled
-  FROM r GROUP BY 1
-), e AS (
-  SELECT event_type, v_nonzero,
-         {_HLL_NUM} / (z_scaled + ({_HLL_M} - v_nonzero)
-                       * CAST(1 AS BIGINT) * {1 << _HLL_SHIFT}) AS raw,
-         {_HLL_M} - v_nonzero AS zeros
-  FROM g
-)
-SELECT event_type, v_nonzero,
-       ROUND(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
-                  THEN {float(_HLL_M)} * ln({float(_HLL_M)}
-                                            / CAST(zeros AS DOUBLE))
-                  ELSE raw END, 6) AS hll_est
-FROM e
-ORDER BY event_type
-"""
-
-
-def _bucketed_tpch_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write-once bucketed copies of orders/lineitem (8 buckets on the
-    orderkey), fingerprint-cached like the partitioned/z-order layouts:
-    first call per dataset pays the bucketing shuffle and persists the
-    files; later SESSIONS re-attach the existing location to their
-    in-memory catalog (register_bucketed) instead of rewriting."""
-    import hashlib
-    import os
-    from .operators.bucketing import register_bucketed, write_bucketed
-    so = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    sl = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-    tag = hashlib.md5(
-        f"{sf_dir}:{so.st_size}:{so.st_mtime_ns}:{sl.st_size}"
-        f":{sl.st_mtime_ns}:{os.getuid()}:bkt_v2".encode()).hexdigest()[:12]
-    base = os.path.join(_tempfile.gettempdir(), f"frde_bkt_{tag}")
-    specs = [
-        ("orders",
-         load_table(_prep(spark), sf_dir, "orders")
-         .select("o_orderkey", "o_orderpriority"), "o_orderkey"),
-        ("lineitem",
-         load_table(_prep(spark), sf_dir, "lineitem")
-         .select("l_orderkey", "l_extendedprice", "l_discount"),
-         "l_orderkey"),
-    ]
-    names = []
-    for name, df, key in specs:
-        tbl = f"frde_bkt_{name}_{tag}"
-        loc = os.path.join(base, name)
-        if not spark.catalog.tableExists(tbl):
-            if os.path.exists(os.path.join(loc, "_SUCCESS")):
-                ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                                for f in df.schema.fields)
-                register_bucketed(spark, tbl, loc, ddl, 8, key)
-            else:
-                write_bucketed(df, tbl, 8, key, path=loc)
-        names.append(tbl)
-    return names[0], names[1]
-
-
-def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈fact join over PERSISTED bucketed tables — the
-    pay-the-shuffle-once layout for 100 TB joins, under the oracle gate:
-    orders and lineitem are bucketed (and bucket-sorted) on the orderkey,
-    so this SortMergeJoin plans with ZERO Exchange on either scan (plan
-    pytest-asserted); the only shuffle left is the final tiny per-priority
-    aggregate. The hash match against a plain-join oracle proves the
-    bucketed round trip is lossless — same story as x_partitioned_prune
-    and x_zorder_prune for the hash-layout dimension. Revenue folds as
-    per-row e4 BIGINT built from two independently-exact integer factors
-    (price is 2-decimal source data, discount is 2-decimal source data),
-    so NO cross-engine rounding tie can ever arise: the r6 driver red was
-    traced to the old e2 key `round(price*(1-disc)*100)` landing 804 sf0.01
-    rows on an exact .5 tie, where DuckDB builds differ in tie direction
-    (Spark rounds HALF_UP). `round(price*100)` and `round(disc*100)` are
-    tie-free because the sources carry exactly 2 decimals."""
-    o_tbl, l_tbl = _bucketed_tpch_tables(spark, sf_dir)
-    o, line = spark.table(o_tbl), spark.table(l_tbl)
-    rev = (F.round(F.col("l_extendedprice") * 100).cast("bigint")
-           * (100 - F.round(F.col("l_discount") * 100).cast("bigint")))
-    return (o.join(line.hint("merge"),
-                   F.col("o_orderkey") == F.col("l_orderkey"))
-            .groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.sum(rev).alias("revenue_e4"))
-            .orderBy("o_orderpriority"))
-
-
-QUERIES["x_bucketed_join"] = x_bucketed_join
-
-ORACLES["x_bucketed_join"] = """
-SELECT o_orderpriority,
-       COUNT(*) AS n_items,
-       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-            AS BIGINT) AS revenue_e4
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-
-def x_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR (lambda=0.5) diversification of RAG retrieval: top-20 cosine
-    candidates per query re-ranked so each of the 5 picks maximizes
-    relevance minus max-similarity-to-already-picked. All scoring is e6
-    integer, ties on smaller id — the DuckDB oracle replays the greedy
-    pick-for-pick via 5 unrolled selection levels. Post-retrieval cost is
-    pair-scale (queries x m^2), corpus-size-independent."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.mmr_diversify(emb, q, k=5, m=20)
-
-
-QUERIES["x_mmr_diversify"] = x_mmr_diversify
-
-
-def _mmr_oracle(k: int = 5, m: int = 20) -> str:
-    """Unrolled greedy MMR: level N picks the argmax of
-    rel_e6 - MAX(sim_e6 to the previous picks) over the not-yet-picked
-    candidates — no recursion, the selection depth is the literal k."""
-    cos_q = _cosine_sql("q", "v")
-    cos_ab = _cosine_sql("a.v", "b.v")
-    sql = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
-c0 AS (SELECT vec_id, embedding AS v FROM embeddings),
-s AS (
-  SELECT query_id, vec_id, round({cos_q}, 6) AS score
-  FROM q CROSS JOIN c0 WHERE query_id <> vec_id
-), r AS (
-  SELECT query_id, vec_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
-  FROM s
-), cand AS (
-  SELECT query_id, vec_id,
-         CAST(round(score * 1000000) AS BIGINT) AS rel_e6
-  FROM r WHERE rk <= {m}
-), pv AS (
-  SELECT cand.query_id, cand.vec_id, e.embedding AS v
-  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
-), ps AS (
-  SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
-         CAST(round(({cos_ab}) * 1000000) AS BIGINT) AS sim_e6
-  FROM pv a JOIN pv b
-    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
-), p1 AS (
-  SELECT query_id, vec_id, rel_e6 FROM (
-    SELECT cand.*, row_number() OVER (
-      PARTITION BY query_id ORDER BY rel_e6 DESC, vec_id) AS rn
-    FROM cand) WHERE rn = 1
-)"""
-    for n in range(2, k + 1):
-        prev = " UNION ALL ".join(
-            f"SELECT query_id, vec_id FROM p{i}" for i in range(1, n))
-        sql += f"""
-, picked{n - 1} AS ({prev})
-, p{n} AS (
-  SELECT query_id, vec_id, rel_e6 FROM (
-    SELECT c.query_id, c.vec_id, c.rel_e6,
-           row_number() OVER (PARTITION BY c.query_id ORDER BY
-             c.rel_e6 - (SELECT MAX(ps.sim_e6) FROM ps
-                         WHERE ps.query_id = c.query_id
-                           AND ps.id_a = c.vec_id
-                           AND ps.id_b IN (SELECT vec_id FROM picked{n - 1} pp
-                                           WHERE pp.query_id = c.query_id))
-               DESC, c.vec_id) AS rn
-    FROM cand c
-    WHERE NOT EXISTS (SELECT 1 FROM picked{n - 1} pp
-                      WHERE pp.query_id = c.query_id
-                        AND pp.vec_id = c.vec_id)
-  ) WHERE rn = 1
-)"""
-    finals = " UNION ALL ".join(
-        f"SELECT query_id, vec_id, {i} AS rk, rel_e6 FROM p{i}"
-        for i in range(1, k + 1))
-    return sql + f"\nSELECT * FROM ({finals}) ORDER BY query_id, rk\n"
-
-
-ORACLES["x_mmr_diversify"] = _mmr_oracle(k=5, m=20)
-
-
-def x_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming maintenance of the portable HLL: registers only grow, so
-    the sketch IS a plain update-mode max-aggregation — no custom state,
-    no watermark (state is bounded at m x groups by construction, the
-    mergeable-sketch property doing the eviction argument's job). The
-    estimate is computed batch-side from the drained register table and
-    hash-matches x_hll_portable's oracle: replaying the same events
-    through streaming maintenance yields the identical sketch."""
-    ev = _stream_events(spark, sf_dir)
-    regs_stream = (sketches.hll_rho(ev, "event_type", "user_id", p=10)
-                   .groupBy("event_type", "bucket")
-                   .agg(F.max("rho").alias("reg")))
-    drained = _run_to_memory(regs_stream, spark, output_mode="update")
-    # update mode re-emits a (group, bucket) row each batch its register
-    # grows; the last emission per key is max(reg) — same fold, idempotent.
-    regs = (drained.groupBy("event_type", "bucket")
-            .agg(F.max("reg").alias("reg")))
-    return sketches.hll_estimate(regs, "event_type", p=10)
-
-
-QUERIES["x_hll_stream"] = x_hll_stream
-STREAMING_DEMOS.add("x_hll_stream")
-ORACLES["x_hll_stream"] = ORACLES["x_hll_portable"]
-
-
-def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The explicit skew-mitigation join under the oracle gate: events are
-    maximally hot on event_type (5 distinct keys for the whole corpus), so
-    the salted form scatters each hot key across 16 sub-keys while the
-    dim side replicates 16x (operators/skew.py:salted_join — the tool for
-    skew AQE's SMJ-partition splitting can't reach). The hash match
-    proves the scatter/replicate/join round trip loses and duplicates
-    nothing; determinism-under-retry comes from hashing the full big-side
-    row instead of rand()."""
-    from .operators.skew import salted_join
-    ev = _events(spark, sf_dir)
-    dim = (ev.select("event_type").distinct()
-           .withColumn("type_weight", F.length("event_type").cast("bigint")))
-    joined = salted_join(ev, dim, "event_type", salt=16)
-    return (joined.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum(F.round(F.col("value") * 10_000).cast("bigint")
-                       * F.col("type_weight")).alias("sum_weighted_e4"))
-            .orderBy("event_type"))
-
-
-QUERIES["x_salted_join"] = x_salted_join
-
-ORACLES["x_salted_join"] = """
-SELECT event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(round(value * 10000) AS BIGINT) * length(event_type))
-            AS BIGINT) AS sum_weighted_e4
-FROM events
-GROUP BY event_type
-ORDER BY event_type
-"""
-
-
-def x_salted_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diagnostic twin of x_salted_join WITHOUT the salt machinery: same
-    arithmetic, same grouping, same oracle, but a plain broadcast join of
-    the 5-row dim. x_salted_join driver-hash-failed in r6 with rows/schema
-    green and no local repro (judge adjudication, VERDICT r6 §wrong-2);
-    this twin isolates the cause on the next red: if x_salted_join reds
-    and this greens, the scatter/replicate path is implicated; if BOTH
-    red, the divergence is driver-environment arithmetic (as with
-    x_bucketed_join's DuckDB rounding-tie), not the operator."""
-    ev = _events(spark, sf_dir)
-    dim = (ev.select("event_type").distinct()
-           .withColumn("type_weight", F.length("event_type").cast("bigint")))
-    joined = ev.join(F.broadcast(dim), "event_type")
-    return (joined.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum(F.round(F.col("value") * 10_000).cast("bigint")
-                       * F.col("type_weight")).alias("sum_weighted_e4"))
-            .orderBy("event_type"))
-
-
-QUERIES["x_salted_join_plain"] = x_salted_join_plain
-ORACLES["x_salted_join_plain"] = ORACLES["x_salted_join"]
-
-
-def x_round_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rounding-semantics canary (VERDICT r6 next-8): rounds a LITERAL
-    table of exact .5 ties, negative ties, and binary-unrepresentable
-    near-ties in both engines, pinning the driver's DuckDB tie direction
-    forever. The r6 x_bucketed_join red took a full adjudication cycle to
-    trace to a HALF_UP-vs-half-even divergence on 804 tie rows; had this
-    canary existed, the driver row itself would have said so. Spark
-    rounds doubles HALF_UP (2.5→3, -2.5→-3); duckdb 1.0.0 locally agrees.
-    Values are constructed per-row from integer halves (k + 0.5 is exact
-    in binary for small k) so BOTH engines see bit-identical inputs; the
-    near-tie rows (2.675 ≈ 2.67499…) additionally pin shared IEEE-754
-    representation behavior. sf_dir is unused — the canary must not
-    depend on data."""
-    rows = [(-3.5,), (-2.5,), (-1.5,), (-0.5,), (0.5,), (1.5,), (2.5,),
-            (3.5,), (2.675,), (1.005,), (0.145,),
-            # exact binary fractions that tie at e1 (x.25 → x*10 = .5)
-            # and e2 (x.125 → x*100 = .5): the tie canary at every scale
-            # the corpus rounds at.
-            (0.25,), (-0.25,), (1.25,), (0.125,), (-0.125,), (0.375,),
-            # odd/2^7 — the ONLY doubles whose exact decimal expansion
-            # terminates with 5 at the 7th place, i.e. the e6 ties the
-            # corpus's round(ratio, 6) sites could ever hit. Spark rounds
-            # these via exact BigDecimal HALF_UP; this pins the driver
-            # DuckDB's direction.
-            (0.0078125,), (3 / 128,), (-0.0078125,)]
-    df = spark.createDataFrame(rows, "v double")
-    return (df.select(
-                F.format_number(F.col("v"), 7).alias("v_label"),
-                F.round(F.col("v")).cast("bigint").alias("r0"),
-                F.round(F.col("v") * 10).cast("bigint").alias("r1_e1"),
-                F.round(F.col("v") * 100).cast("bigint").alias("r2_e2"),
-                F.round(F.col("v"), 6).alias("r6_e6"))
-            .orderBy("v_label"))
-
-
-QUERIES["x_round_ties"] = x_round_ties
-
-ORACLES["x_round_ties"] = """
-WITH t(v) AS (
-  VALUES (-3.5::DOUBLE), (-2.5), (-1.5), (-0.5), (0.5), (1.5), (2.5),
-         (3.5), (2.675), (1.005), (0.145),
-         (0.25), (-0.25), (1.25), (0.125), (-0.125), (0.375),
-         (0.0078125), (0.0234375), (-0.0078125)
-)
-SELECT printf('%.7f', v) AS v_label,
-       CAST(round(v) AS BIGINT) AS r0,
-       CAST(round(v * 10) AS BIGINT) AS r1_e1,
-       CAST(round(v * 100) AS BIGINT) AS r2_e2,
-       round(v, 6) AS r6_e6
-FROM t
-ORDER BY v_label
-"""
-
-
-def x_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable bounded-state quantile sketch: 256-bin equi-width
-    histogram per event type, quantiles read from exact-integer
-    cumulative-count thresholds (error <= one bin width, reported value =
-    qualifying bin's lower edge). The hash-checked member of the quantile
-    family — percentile_approx (x_approx_quantiles) is engine-private,
-    the exact per-group sort (x_group_quantiles) doesn't bound memory;
-    histogram counts ADD, so this sketch merges across partitions/days/
-    engines like the portable HLL."""
-    return sketches.hist_quantiles(_events(spark, sf_dir),
-                                   "event_type", "value", bins=256)
-
-
-QUERIES["x_hist_quantiles"] = x_hist_quantiles
-
-ORACLES["x_hist_quantiles"] = """
-WITH e AS (
-  SELECT event_type, value FROM events WHERE value IS NOT NULL
-), s AS (
-  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
-         COUNT(value) AS n
-  FROM e GROUP BY event_type
-), sw AS (
-  SELECT event_type, lo, n,
-         CASE WHEN hi > lo THEN (hi - lo) / 256.0 ELSE 1.0 END AS w
-  FROM s
-), b AS (
-  SELECT e.event_type,
-         LEAST(CAST(floor((e.value - sw.lo) / sw.w) AS BIGINT), 255) AS bin,
-         COUNT(*) AS cnt
-  FROM e JOIN sw ON e.event_type = sw.event_type
-  GROUP BY 1, 2
-), c AS (
-  SELECT event_type, bin,
-         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
-  FROM b
-), q AS (
-  SELECT c.event_type, bp.bp, MIN(c.bin) AS qbin
-  FROM c
-  JOIN sw ON c.event_type = sw.event_type
-  JOIN (VALUES (2500), (5000), (9000), (9900)) bp(bp)
-    ON 10000 * c.cum >= bp.bp * sw.n
-  GROUP BY 1, 2
-)
-SELECT sw.event_type, sw.n,
-       ROUND(sw.lo + MAX(CASE WHEN q.bp = 2500 THEN q.qbin END) * sw.w, 6) AS p2500,
-       ROUND(sw.lo + MAX(CASE WHEN q.bp = 5000 THEN q.qbin END) * sw.w, 6) AS p5000,
-       ROUND(sw.lo + MAX(CASE WHEN q.bp = 9000 THEN q.qbin END) * sw.w, 6) AS p9000,
-       ROUND(sw.lo + MAX(CASE WHEN q.bp = 9900 THEN q.qbin END) * sw.w, 6) AS p9900
-FROM q JOIN sw ON q.event_type = sw.event_type
-GROUP BY sw.event_type, sw.n, sw.lo, sw.w
-ORDER BY sw.event_type
-"""
-
-
-def j7_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-outer windowed stream-stream join — completes the J1 join-type
-    matrix (inner j1 / leftOuter j5 / leftSemi j6): every click AND every
-    view survives; unmatched rows on EITHER side emit with nulls once the
-    watermark evicts their window's state. Same flush-sentinel
-    determinism as j5 (fed to both sides, so both directions' state fully
-    drains under availableNow); sentinel key filtered after the join."""
-    from .sources import file_csv_stream
-    from .streaming.pipelines import windowed_join
-    path = _events_csv_dir_flush(spark, sf_dir)
-    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
-          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
-    left = (ev.filter(F.col("event_type").isin("click", "__flush__"))
-              .select("user_id", "ts"))
-    right = (ev.filter(F.col("event_type").isin("view", "__flush__"))
-               .select("user_id", "ts"))
-    out = windowed_join(left, right, key="user_id", ts_col="ts",
-                        size="3600 seconds", how="fullOuter")
-    res = _run_to_memory(out, spark)
-    return res.filter(F.col("user_id") >= 0)
-
-
-QUERIES["j7_stream_full"] = j7_stream_full
-STREAMING_DEMOS.add("j7_stream_full")
-
-ORACLES["j7_stream_full"] = """
-WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
-      WHERE event_type = 'view')
-SELECT COALESCE(l.user_id, r.user_id) AS user_id,
-       COALESCE(l.ts_ms // 3600000, r.ts_ms // 3600000) * 3600000
-         AS window_start_ms,
-       l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
-FROM l FULL JOIN r ON l.user_id = r.user_id
-                  AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
-"""
-
-
-def x_histq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming maintenance of the quantile sketch: fixed bin edges
-    (the streaming contract — no min/max pre-pass exists on a stream, so
-    edges are declared up front and out-of-range mass clamps into the
-    edge bins), per-(type, bin) counts maintained as a plain update-mode
-    sum with state bounded at bins x groups, quantiles read off the
-    drained table batch-side. The replayed CSV carries no value column,
-    so value re-derives from event_id as in j4's replay contract; the
-    oracle replays the same fixed-edge binning in SQL."""
-    ev = _stream_events(spark, sf_dir)
-    fact = ev.select("event_type",
-                     (F.col("event_id") % 500).cast("double").alias("value"))
-    binned_stream = sketches.hist_bins_fixed(fact, "event_type", "value",
-                                             lo=0.0, width=2.0, bins=256)
-    drained = _run_to_memory(binned_stream, spark, output_mode="update")
-    # last emission per (group, bin) is the final count — max is the
-    # idempotent re-fold (counts only grow across update emissions)
-    binned = (drained.groupBy("event_type", "bin")
-              .agg(F.max("cnt").alias("cnt")))
-    return sketches.hist_quantiles_fixed(binned, "event_type",
-                                         lo=0.0, width=2.0)
-
-
-QUERIES["x_histq_stream"] = x_histq_stream
-STREAMING_DEMOS.add("x_histq_stream")
-
-ORACLES["x_histq_stream"] = """
-WITH f AS (
-  SELECT event_type, CAST(event_id % 500 AS DOUBLE) AS value FROM events
-), b AS (
-  SELECT event_type,
-         LEAST(GREATEST(CAST(floor((value - 0.0) / 2.0) AS BIGINT), 0),
-               255) AS bin,
-         COUNT(*) AS cnt
-  FROM f GROUP BY 1, 2
-), c AS (
-  SELECT event_type, bin, cnt,
-         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
-         SUM(cnt) OVER (PARTITION BY event_type) AS n
-  FROM b
-), q AS (
-  SELECT event_type, MAX(n) AS n,
-         MIN(CASE WHEN 10000 * cum >= 2500 * n THEN bin END) AS q2500,
-         MIN(CASE WHEN 10000 * cum >= 5000 * n THEN bin END) AS q5000,
-         MIN(CASE WHEN 10000 * cum >= 9000 * n THEN bin END) AS q9000,
-         MIN(CASE WHEN 10000 * cum >= 9900 * n THEN bin END) AS q9900
-  FROM c GROUP BY event_type
-)
-SELECT event_type, CAST(n AS BIGINT) AS n,
-       ROUND(CAST(q2500 * 2 AS DOUBLE), 6) AS p2500,
-       ROUND(CAST(q5000 * 2 AS DOUBLE), 6) AS p5000,
-       ROUND(CAST(q9000 * 2 AS DOUBLE), 6) AS p9000,
-       ROUND(CAST(q9900 * 2 AS DOUBLE), 6) AS p9900
-FROM q
-ORDER BY event_type
-"""
-
-
-def x_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC ingest/egress — Spark's second native columnar format (the one
-    Hive-lineage warehouses hand you): documents export to ORC and read
-    back through a declared schema; the oracle is the original projection,
-    so the hash match proves the ORC round trip is byte-lossless exactly
-    like the parquet-layout rows (x_partitioned_prune / x_zorder_prune).
-    Same predicate-pushdown/column-pruning machinery as parquet applies —
-    swap `format("orc")` for parquet anywhere in the engine."""
-    import os
-    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source",
-                                    "n_chars")
-    base = _events_csv_dir(spark, sf_dir)  # reuse the per-sf cache root
-    out = base + "_docs_orc"
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        d.write.mode("overwrite").orc(out)
-    return (spark.read.schema(d.schema).orc(out)
-            .select("doc_id", "text", "lang", "source", "n_chars"))
-
-
-QUERIES["x_orc_roundtrip"] = x_orc_roundtrip
-
-ORACLES["x_orc_roundtrip"] = ORACLES["x_jsonl_roundtrip"]
-
-
-def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus datasheet ('dataset card' statistics block): per source —
-    doc count, whitespace-token total, language spread, English fraction,
-    Gopher quality pass rate, and lexical-dedup survival rate. Quality
-    signals are the map-side Gopher gates; the dedup signal reads the
-    persisted keep-list policy table (x_dedup_report pattern — no LSH/CC
-    recompute per card refresh). One documents scan + one bounded
-    ids-only join feeding a single per-source aggregate."""
-    import os
-    from .functions import text as _text
-    docs = _docs(spark, sf_dir)
-    g = _text.gopher_rules(docs).select("doc_id", "keep")
-    tk = (spark.read.parquet(
-              os.path.join(_policy_tables_dir(spark, sf_dir), "text_keep"))
-          .withColumn("kept_text", F.lit(True)))
-    d = (docs.select("doc_id", "source", "lang",
-                     F.size(F.split(F.col("text"), " "))
-                      .cast("bigint").alias("n_tokens"))
-         .join(g, "doc_id")
-         .join(tk, "doc_id", "left"))
-    n = F.count(F.lit(1))
-    return (d.groupBy("source")
-            .agg(n.alias("n_docs"),
-                 F.sum("n_tokens").alias("total_tokens"),
-                 F.countDistinct("lang").cast("bigint").alias("n_langs"),
-                 F.round(F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-                          .cast("double") / n, 6).alias("en_frac"),
-                 F.round(F.sum(F.when(F.col("keep"), 1).otherwise(0))
-                          .cast("double") / n, 6).alias("gopher_pass_frac"),
-                 F.round(F.sum(F.when(F.col("kept_text").isNotNull(), 1)
-                               .otherwise(0)).cast("double") / n, 6)
-                  .alias("text_keep_frac"))
-            .orderBy("source"))
-
-
-QUERIES["x_dataset_card"] = x_dataset_card
-
-ORACLES["x_dataset_card"] = f"""
-WITH tk AS MATERIALIZED (
-  SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
-), g AS MATERIALIZED (
-  SELECT doc_id, keep FROM ({ORACLES["x_gopher_rules"]})
-)
-SELECT d.source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
-       COUNT(DISTINCT d.lang) AS n_langs,
-       ROUND(CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS en_frac,
-       ROUND(CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS gopher_pass_frac,
-       ROUND(CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM tk)
-                      THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS text_keep_frac
-FROM documents d JOIN g ON g.doc_id = d.doc_id
-GROUP BY d.source
-ORDER BY d.source
-"""
-
-
-def x_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-files compaction under the oracle gate: documents are first
-    fragmented into 64 tiny parquet files (a streaming-ingest morning),
-    then compacted to byte-targeted right-sized files
-    (operators/bucketing.py:compact_files); reading the compacted layout
-    must hash-match the original projection — compaction moves bytes,
-    never rows. The file-count collapse itself is pytest-asserted."""
-    import os
-    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source",
-                                    "n_chars")
-    base = _events_csv_dir(spark, sf_dir)  # per-sf cache root
-    frag, compacted = base + "_docs_frag", base + "_docs_compact"
-    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
-        d.repartition(64).write.mode("overwrite").parquet(frag)
-        from .operators.bucketing import compact_files
-        compact_files(spark, frag, compacted,
-                      target_file_bytes=8 * 1024 * 1024)
-    return (spark.read.schema(d.schema).parquet(compacted)
-            .select("doc_id", "text", "lang", "source", "n_chars"))
-
-
-QUERIES["x_compaction_roundtrip"] = x_compaction_roundtrip
-ORACLES["x_compaction_roundtrip"] = ORACLES["x_jsonl_roundtrip"]
-
-
-def x_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard set-similarity join via PREFIX FILTERING
-    (SSJoin/PPJoin candidate rule): each doc contributes only its
-    |d| - ceil(t|d|) + 1 globally-rarest shingles to the candidate
-    self-join, then exact verification — the deterministic, lossless
-    scale path beside the probabilistic MinHash-LSH family. The rule is
-    provably complete for J >= t, so the oracle is simply the plain
-    exact Jaccard join: a hash-match here certifies losslessness
-    cross-engine (functions/dedup.py:prefix_filter_pairs)."""
-    return dedup.prefix_filter_pairs(_docs(spark, sf_dir), n=3,
-                                     threshold=0.5)
-
-
-QUERIES["x_prefix_filter_join"] = x_prefix_filter_join
-ORACLES["x_prefix_filter_join"] = _jaccard_oracle(threshold=0.5)
-
-
-def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-core of the verified near-dup graph (fixed 6 peel rounds,
-    fixpoint on the fixture pinned by pytest): nodes that survive
-    iterative removal of degree<2 vertices form the mutually-reinforcing
-    duplicate FAMILIES; the peeled-off nodes were incidental one-pair
-    bridges. Unrolled-CTE DuckDB oracle replays the same 6 peels
-    (functions/graph.py:kcore). Reads the persisted edge parquet
-    (``_edges_parquet_dir``) — see x_pagerank."""
-    from .functions import graph
-    return graph.kcore(_edges(spark, sf_dir), k=2, rounds=6)
-
-
-QUERIES["x_kcore"] = x_kcore
-
-
-def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
-    # Every CTE is AS MATERIALIZED: each peel references its predecessor
-    # three times, and DuckDB INLINES plain CTEs — without materialization
-    # the LSH+Jaccard pipeline re-expands 3^rounds times and the oracle
-    # never finishes.
-    peels = []
-    prev = "sym"
-    for i in range(rounds):
-        peels.append(
-            f"deg{i} AS MATERIALIZED (\n"
-            f"  SELECT a, count(*) AS d FROM {prev} GROUP BY a\n"
-            f"),\n"
-            f"peel{i} AS MATERIALIZED (\n"
-            f"  SELECT s.a, s.b FROM {prev} s\n"
-            f"  JOIN deg{i} da ON da.a = s.a AND da.d >= {k}\n"
-            f"  JOIN deg{i} db ON db.a = s.b AND db.d >= {k}\n"
-            f")")
-        prev = f"peel{i}"
-    return f"""
-WITH cand AS MATERIALIZED ({_minhash_lsh_oracle()}),
-jac AS MATERIALIZED ({_jaccard_oracle(threshold=0.5)}),
-edges AS MATERIALIZED (
-  SELECT jac.id_a AS a, jac.id_b AS b
-  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-{", ".join(peels)}
-SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
-FROM {prev} GROUP BY a ORDER BY node
-"""
-
-
-ORACLES["x_kcore"] = _kcore_oracle()
-
-
-def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-touch / last-touch conversion attribution: for every
-    purchase event, the earliest and the latest non-purchase touch the
-    same user made BEFORE it (deterministic (ts, event_id) order);
-    conversions and exact-micros revenue credit grouped by the
-    (first_touch, last_touch) channel pair. Two ignore-nulls running
-    windows on ONE user-partition shuffle + a |types|²-bounded aggregate
-    — the marketing-analytics query every clickstream store runs
-    (operators/funnel.py:touch_attribution)."""
-    e = _events(spark, sf_dir).select("user_id", "event_type", "ts_ms",
-                                      "event_id", "value")
-    return funnel.touch_attribution(e, key="user_id", ts_ms="ts_ms",
-                                    id_col="event_id",
-                                    type_col="event_type",
-                                    convert_on="purchase",
-                                    value_col="value")
-
-
-QUERIES["x_attribution"] = x_attribution
-
-ORACLES["x_attribution"] = f"""
-WITH e AS ({_EV}),
-tagged AS (
-  SELECT event_type, value,
-         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
-                     IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS first_touch,
-         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
-                    IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS last_touch
-  FROM e
-)
-SELECT coalesce(first_touch, '(none)') AS first_touch,
-       coalesce(last_touch, '(none)') AS last_touch,
-       CAST(count(*) AS BIGINT) AS n_conversions,
-       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-         AS revenue_e6
-FROM tagged WHERE event_type = 'purchase'
-GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-def x_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit — k-anonymity's stronger sibling: a released
-    group can be large (k-anonymous) yet still leak if every member
-    shares one SENSITIVE value, so each (nation, market segment)
-    quasi-identifier group is also scored on its count of DISTINCT
-    account-balance bands (the sensitive attribute, bucketed to 1000s)
-    and flagged when l < 3. Same |QI|-bounded single aggregate as
-    x_k_anonymity."""
-    c = load_table(_prep(spark), sf_dir, "customer")
-    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
-    return (c.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"),
-                      F.col("c_mktsegment").alias("mktsegment"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"),
-                 F.countDistinct(band).cast("bigint").alias("l_distinct"))
-            .withColumn("meets_l3", F.col("l_distinct") >= 3)
-            .orderBy("nationkey", "mktsegment"))
-
-
-QUERIES["x_l_diversity"] = x_l_diversity
-
-ORACLES["x_l_diversity"] = """
-SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-       c_mktsegment AS mktsegment,
-       CAST(count(*) AS BIGINT) AS group_n,
-       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
-            AS BIGINT) AS l_distinct,
-       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3
-         AS meets_l3
-FROM customer
-GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-def x_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x_attribution live: per-user (first, last) touch held as two
-    strings of keyed state (streaming/stateful.py:attribution_stream);
-    each purchase emits attributed the moment it arrives, and the drained
-    conversion rows aggregate to the SAME (first, last) matrix as the
-    batch two-window form — the oracle is the batch SQL minus the revenue
-    column (the CSV replay carries no value field)."""
-    from .streaming.stateful import attribution_stream
-    ev = _stream_events(spark, sf_dir)
-    out = attribution_stream(ev, key="user_id", ts_ms="ts_ms",
-                             type_col="event_type", id_col="event_id",
-                             convert_on="purchase")
-    mem = _run_to_memory(out, spark)
-    return (mem.groupBy("first_touch", "last_touch")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
-            .orderBy("first_touch", "last_touch"))
-
-
-QUERIES["x_attribution_stream"] = x_attribution_stream
-STREAMING_DEMOS.add("x_attribution_stream")
-
-ORACLES["x_attribution_stream"] = f"""
-WITH e AS ({_EV}),
-tagged AS (
-  SELECT event_type,
-         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
-                     IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS first_touch,
-         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
-                    IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS last_touch
-  FROM e
-)
-SELECT coalesce(first_touch, '(none)') AS first_touch,
-       coalesce(last_touch, '(none)') AS last_touch,
-       CAST(count(*) AS BIGINT) AS n_conversions
-FROM tagged WHERE event_type = 'purchase'
-GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-def x_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashing-trick bag-of-words into 64 signed buckets — the
-    vocabulary-free featurizer (no dictionary pass, no fit/transform
-    split, nothing to broadcast), sparse (doc, bucket, feat) output;
-    md5-derived bucket and sign replay bit-for-bit in the oracle
-    (functions/text.py:feature_hash)."""
-    return text.feature_hash(_docs(spark, sf_dir), buckets=64)
-
-
-QUERIES["x_feature_hash"] = x_feature_hash
-
-ORACLES["x_feature_hash"] = f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-)
-SELECT doc_id,
-       {_H32.format(x="concat('fh', ':', tok)")} % 64 AS bucket,
-       CAST(sum(CASE WHEN {_H32.format(x="concat('fs', ':', tok)")} % 2 = 0
-                     THEN 1 ELSE -1 END) AS BIGINT) AS feat
-FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket
-"""
-
-
-def x_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percent-rank normalization of events.value per event type — the
-    rank transform for heavy-tailed features, built scale-correct: the
-    ranking window runs over DISTINCT (type, value) rows, never the raw
-    stream (a plain percent_rank window serializes each type through one
-    task). Oracle = DuckDB's BUILTIN percent_rank, so the decomposition
-    is pinned to the textbook definition
-    (operators/stats.py:rank_normalize)."""
-    return stats.rank_normalize(_events(spark, sf_dir), group="event_type",
-                                value="value")
-
-
-QUERIES["x_rank_normalize"] = x_rank_normalize
-
-ORACLES["x_rank_normalize"] = """
-SELECT event_id, event_type,
-       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value),
-             6) AS pct6
-FROM events WHERE value IS NOT NULL
-ORDER BY event_id
-"""
-
-
-def x_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out target encoding of event_type against value
-    (smoothing m=10): the label-leak-free categorical featurizer, exact
-    e6 integer sums with one final rounded division so the oracle
-    replays every encoding (operators/stats.py:target_encode_loo)."""
-    return stats.target_encode_loo(_events(spark, sf_dir),
-                                   category="event_type", target="value")
-
-
-QUERIES["x_target_encode"] = x_target_encode
-
-ORACLES["x_target_encode"] = """
-WITH rows_ AS (
-  SELECT event_id, event_type,
-         CAST(round(value * 1000000) AS BIGINT) AS y6
-  FROM events WHERE value IS NOT NULL
-), cat AS (
-  SELECT event_type, SUM(y6) AS sum6, COUNT(*) AS n
-  FROM rows_ GROUP BY event_type
-), gl AS (
-  SELECT SUM(y6) // COUNT(*) AS prior6 FROM rows_
-)
-SELECT r.event_id, r.event_type,
-       round(CAST(cat.sum6 - r.y6 + 10 * gl.prior6 AS DOUBLE)
-             / (cat.n - 1 + 10) / 1000000, 6) AS enc6
-FROM rows_ r JOIN cat USING (event_type) CROSS JOIN gl
-ORDER BY r.event_id
-"""
-
-
-_BENFORD = [(d, round(__import__("math").log10(1 + 1 / d), 6))
-            for d in range(1, 10)]
-
-
-def x_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law audit of events.value — the fabricated-data smell
-    test finance/quality teams run: observed first-significant-digit
-    distribution vs log10(1+1/d). The digit comes from the STRING form
-    of exact integer cents (substring of a BIGINT cast — float log10 at
-    power-of-ten boundaries is not engine-portable, digit strings are);
-    expectations are shared 6-dp literals. One map-side digit extraction
-    + a 9-row aggregate."""
-    e = _events(spark, sf_dir).filter(F.col("value") > 0)
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("bigint")
-    obs = (e.select(digit.alias("digit"))
-            .groupBy("digit")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs")))
-    total = obs.agg(F.sum("n_obs").alias("n_total"))
-    bexp = spark.createDataFrame(_BENFORD, "digit bigint, benford6 double")
-    return (obs.crossJoin(total).join(F.broadcast(bexp), "digit")
-            .select("digit", "n_obs",
-                    F.round(F.col("n_obs").cast("double")
-                            / F.col("n_total"), 6).alias("frac6"),
-                    "benford6")
-            .orderBy("digit"))
-
-
-QUERIES["x_benford"] = x_benford
-
-ORACLES["x_benford"] = f"""
-WITH obs AS (
-  SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
-              1, 1) AS BIGINT) AS digit,
-         CAST(count(*) AS BIGINT) AS n_obs
-  FROM events WHERE value > 0 GROUP BY 1
-), t AS (SELECT SUM(n_obs) AS n_total FROM obs),
-bexp(digit, benford6) AS (
-  VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD)}
-)
-SELECT obs.digit, obs.n_obs,
-       round(CAST(obs.n_obs AS DOUBLE) / t.n_total, 6) AS frac6,
-       CAST(bexp.benford6 AS DOUBLE) AS benford6
-FROM obs CROSS JOIN t JOIN bexp ON bexp.digit = obs.digit
-ORDER BY obs.digit
-"""
-
-
-def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorized events.value per event type (clip into the exact
-    [p5, p95] band): the outlier treatment that keeps the row, beside
-    the IQR filter that drops it (x_iqr_outliers). Quantiles computed
-    once per group and broadcast back; clip is map-side
-    (operators/stats.py:winsorize)."""
-    return stats.winsorize(_events(spark, sf_dir), group="event_type",
-                           value="value", lo=0.05, hi=0.95)
-
-
-QUERIES["x_winsorize"] = x_winsorize
-
-ORACLES["x_winsorize"] = """
-WITH q AS (
-  SELECT event_type,
-         round(quantile_cont(value, 0.05), 6) AS q_lo,
-         round(quantile_cont(value, 0.95), 6) AS q_hi
-  FROM events WHERE value IS NOT NULL GROUP BY event_type
-)
-SELECT e.event_id, e.event_type,
-       round(least(greatest(e.value, q.q_lo), q.q_hi), 6) AS clipped6
-FROM events e JOIN q USING (event_type)
-WHERE e.value IS NOT NULL
-ORDER BY e.event_id
-"""
-
-
-def x_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window distinct users via SKETCH MERGING — the pattern the
-    portable HLL exists for at 100 TB: registers are maintained once per
-    10-minute bucket (the expensive pass touches each event once), and
-    every 1-hour sliding window is answered by max-folding its 6 member
-    buckets' registers — no re-scan per window, and the same persisted
-    bucket sketches answer ANY window granularity later. Register table
-    is (buckets × m)-bounded; the window expansion explodes registers,
-    never events. Exact twin: x_window_distinct (shuffles raw ids per
-    window)."""
-    e = _events(spark, sf_dir).select("user_id", "ts_ms")
-    b = e.withColumn("bucket_ms",
-                     F.expr("ts_ms div 600000") * F.lit(600000))
-    rho = sketches.hll_rho(b, "bucket_ms", "user_id")
-    regs = (rho.groupBy("bucket_ms", "bucket")
-               .agg(F.max("rho").alias("reg")))
-    win = (regs.select(F.explode(F.expr("sequence(0, 5)")).alias("k"),
-                       "bucket_ms", "bucket", "reg")
-               .withColumn("w_start",
-                           F.col("bucket_ms") - F.col("k") * 600000))
-    merged = (win.groupBy("w_start", "bucket")
-                 .agg(F.max("reg").alias("reg")))
-    return sketches.hll_estimate(merged, "w_start")
-
-
-QUERIES["x_hll_sliding"] = x_hll_sliding
-
-ORACLES["x_hll_sliding"] = f"""
-WITH h AS (
-  SELECT (epoch_ms(ts) // 600000) * 600000 AS bucket_ms,
-         CAST(concat('0x', substring(md5(concat('hll', ':',
-              CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
-  FROM events WHERE user_id IS NOT NULL
-), b AS (
-  SELECT bucket_ms, h // 4194304 AS bucket, h % 4194304 AS w FROM h
-), r AS (
-  SELECT bucket_ms, bucket,
-         MAX(CASE WHEN w = 0 THEN 23
-                  ELSE 23 - length(bin(w)) END) AS reg
-  FROM b GROUP BY 1, 2
-), wn AS (
-  SELECT bucket_ms - k * 600000 AS w_start, bucket, reg
-  FROM r CROSS JOIN (SELECT unnest(range(0, 6)) AS k) ks
-), m AS (
-  SELECT w_start, bucket, MAX(reg) AS reg FROM wn GROUP BY 1, 2
-), g AS (
-  SELECT w_start, COUNT(*) AS v_nonzero,
-         SUM(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - reg)) AS z_scaled
-  FROM m GROUP BY 1
-), e AS (
-  SELECT w_start, v_nonzero,
-         {_HLL_NUM} / (z_scaled + ({_HLL_M} - v_nonzero)
-                       * CAST(1 AS BIGINT) * {1 << _HLL_SHIFT}) AS raw,
-         {_HLL_M} - v_nonzero AS zeros
-  FROM g
-)
-SELECT w_start, v_nonzero,
-       ROUND(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
-                  THEN {float(_HLL_M)} * ln({float(_HLL_M)}
-                                            / CAST(zeros AS DOUBLE))
-                  ELSE raw END, 6) AS hll_est
-FROM e
-ORDER BY w_start
-"""
-
-
-def x_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer scoring — the classic segmentation query: per user,
-    Recency (ms since their last event, against the corpus max ts),
-    Frequency (event count) and Monetary (exact e6 value sum), each
-    scored into quintiles. NTILE runs on the per-user AGGREGATE (never
-    raw events) with user_id tie-breaks so both engines assign identical
-    buckets; at corpus scale (billions of users) each global rank swaps
-    to the two-phase ``stats.global_prefix_sum`` row-numbering — the
-    x_interleave/x_global_offsets recipe — since a global NTILE funnels
-    the user table through one task. One keyed aggregate + one 1-row
-    max broadcast + three windows."""
-    from pyspark.sql import Window as W
-    e = _events(spark, sf_dir).select("user_id", "ts_ms", "value")
-    per_user = (e.groupBy("user_id")
-                 .agg(F.max("ts_ms").alias("last_ms"),
-                      F.count(F.lit(1)).cast("bigint").alias("frequency"),
-                      F.sum(F.round(F.col("value") * 1_000_000)
-                            .cast("bigint")).alias("monetary_e6")))
-    corpus_max = e.agg(F.max("ts_ms").alias("corpus_max_ms"))
-    rfm = (per_user.crossJoin(corpus_max)
-           .withColumn("recency_ms",
-                       F.col("corpus_max_ms") - F.col("last_ms")))
-    w_r = W.orderBy("recency_ms", "user_id")
-    w_f = W.orderBy(F.col("frequency").desc(), "user_id")
-    w_m = W.orderBy(F.col("monetary_e6").desc(), "user_id")
-    return (rfm.select("user_id", "recency_ms", "frequency", "monetary_e6",
-                       F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
-                       F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
-                       F.ntile(5).over(w_m).cast("bigint").alias("m_score"))
-            .orderBy("user_id"))
-
-
-QUERIES["x_rfm"] = x_rfm
-
-ORACLES["x_rfm"] = f"""
-WITH e AS ({_EV}),
-per_user AS (
-  SELECT user_id, MAX(ts_ms) AS last_ms,
-         CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-           AS monetary_e6
-  FROM e GROUP BY user_id
-), mx AS (SELECT MAX(ts_ms) AS corpus_max_ms FROM e)
-SELECT user_id,
-       CAST(corpus_max_ms - last_ms AS BIGINT) AS recency_ms,
-       frequency, monetary_e6,
-       CAST(ntile(5) OVER (ORDER BY corpus_max_ms - last_ms, user_id)
-            AS BIGINT) AS r_score,
-       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
-            AS BIGINT) AS f_score,
-       CAST(ntile(5) OVER (ORDER BY monetary_e6 DESC, user_id)
-            AS BIGINT) AS m_score
-FROM per_user CROSS JOIN mx
-ORDER BY user_id
-"""
-
-
-def x_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort LTV curve (retention's revenue sibling): first-event-week
-    cohorts, exact e6 revenue per (cohort, weeks-since) cell, cumulative
-    along the horizon — the cumulative window runs on the cohort grid,
-    never raw events (operators/funnel.py:cohort_ltv)."""
-    return funnel.cohort_ltv(_events(spark, sf_dir))
-
-
-QUERIES["x_cohort_ltv"] = x_cohort_ltv
-
-ORACLES["x_cohort_ltv"] = f"""
-WITH e AS ({_EV}),
-wf AS (
-  SELECT user_id, ts_ms,
-         CAST(round(value * 1000000) AS BIGINT) AS v6,
-         MIN(ts_ms) OVER (PARTITION BY user_id) AS first_ms
-  FROM e
-), cells AS (
-  SELECT CAST(floor(first_ms / 604800000) * 604800000 AS BIGINT)
-           AS cohort_week_ms,
-         CAST(floor(ts_ms / 604800000)
-              - floor(first_ms / 604800000) AS BIGINT) AS week_idx,
-         SUM(v6) AS revenue_e6
-  FROM wf
-  WHERE floor(ts_ms / 604800000) - floor(first_ms / 604800000) <= 12
-  GROUP BY 1, 2
-)
-SELECT cohort_week_ms, week_idx,
-       CAST(revenue_e6 AS BIGINT) AS revenue_e6,
-       CAST(SUM(revenue_e6) OVER (PARTITION BY cohort_week_ms
-                                  ORDER BY week_idx
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) AS BIGINT)
-         AS cum_revenue_e6
-FROM cells
-ORDER BY cohort_week_ms, week_idx
-"""
-
-
-def x_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka-style dimension-truncation audit: top-10 ANN per query
-    using only the FIRST 16 of 64 embedding dims, recall measured against
-    the full-dimension exact top-10 (the x_lsh_recall pattern applied to
-    dimensionality instead of hashing) — the number that tells you
-    whether the cheap prefix-dim index is safe to deploy as a first-stage
-    retriever. Both sides are the deterministic brute-force ranking
-    (rounded-score + id tie-break), so the per-query recall is
-    hash-stable cross-engine."""
-    emb = _emb(spark, sf_dir)
-    q_full = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    full = similarity.brute_force_topk(emb, q_full, k=10)
-    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16)
-                       .alias("embedding"))
-    q16 = emb16.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    trunc = similarity.brute_force_topk(emb16, q16, k=10)
-    hits = (full.select("query_id", "vec_id")
-            .join(trunc.select("query_id", "vec_id"),
-                  ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
-    base = full.select("query_id").distinct()
-    return (base.join(hits, "query_id", "left")
-            .select("query_id",
-                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
-                     .alias("n_hits"),
-                    F.round(F.coalesce("n_hits", F.lit(0)).cast("double")
-                            / 10, 6).alias("recall6"))
-            .orderBy("query_id"))
-
-
-QUERIES["x_dim_recall"] = x_dim_recall
-
-ORACLES["x_dim_recall"] = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
-           WHERE vec_id < 10),
-c AS (SELECT vec_id, embedding AS v FROM embeddings),
-full_s AS (
-  SELECT query_id, vec_id,
-         round({_COSINE_Q}, 6) AS score
-  FROM q CROSS JOIN c WHERE query_id <> vec_id
-), full_r AS (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, vec_id) AS rk
-  FROM full_s
-), q16 AS (SELECT query_id, q[1:16] AS q FROM q),
-c16 AS (SELECT vec_id, v[1:16] AS v FROM c),
-t_s AS (
-  SELECT query_id, vec_id,
-         round({_COSINE_Q}, 6) AS score
-  FROM q16 CROSS JOIN c16 WHERE query_id <> vec_id
-), t_r AS (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, vec_id) AS rk
-  FROM t_s
-), hits AS (
-  SELECT f.query_id, count(*) AS n_hits
-  FROM (SELECT query_id, vec_id FROM full_r WHERE rk <= 10) f
-  JOIN (SELECT query_id, vec_id FROM t_r WHERE rk <= 10) t
-    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
-  GROUP BY 1
-)
-SELECT q.query_id,
-       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
-       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / 10, 6) AS recall6
-FROM (SELECT DISTINCT query_id FROM q) q
-LEFT JOIN hits ON hits.query_id = q.query_id
-ORDER BY q.query_id
-"""
-
-
-def x_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capstone composition — the manifest a training run actually
-    consumes, assembled ids-only from the engine's own stages: a doc
-    ships iff it (1) survives the full dedup policy (persisted keep
-    tables, x_full_dedup_policy), (2) passes the C4-style quality verdict
-    (x_corpus_filter), (3) is outside the eval slice and shares no 5-gram
-    with it (x_decontaminate's contract), then gets its deterministic
-    md5 train/val/test split and — train rows only — corpus-wide token
-    offsets via the two-phase prefix sum (never a single-partition
-    window). Every stage is an already-oracled operator; this row proves
-    the COMPOSITION agrees cross-engine too."""
-    docs = _docs(spark, sf_dir)
-    policy = x_full_dedup_policy(spark, sf_dir).select("doc_id", "kept")
-    filt = x_corpus_filter(spark, sf_dir).select("doc_id", "keep")
-    tr = docs.filter(F.col("doc_id") % 50 != 0)
-    ev = docs.filter(F.col("doc_id") % 50 == 0)
-    flagged = (contamination.ngram_overlap(tr, ev, n=5, min_shared=1)
-               .select(F.col("train_id").alias("doc_id")).distinct()
-               .withColumn("contaminated", F.lit(True)))
-    base = docs.select(
-        "doc_id", F.size(text.tokens("text")).cast("bigint")
-        .alias("n_tokens"))
-    kept = (base.filter(F.col("doc_id") % 50 != 0)
-            .join(policy, "doc_id").join(filt, "doc_id")
-            .join(flagged, "doc_id", "left")
-            .filter(F.col("kept") & F.col("keep")
-                    & F.coalesce(~F.col("contaminated"), F.lit(True)))
-            .select("doc_id", "n_tokens"))
-    split_df = sketches.train_val_test_split(kept, key_col="doc_id")
-    train = split_df.filter(F.col("split") == "train") \
-                    .select("doc_id", "n_tokens")
-    off = stats.global_prefix_sum(train, "n_tokens", "doc_id",
-                                  out_col="end_offset")
-    off = off.select("doc_id", (F.col("end_offset") - F.col("n_tokens"))
-                     .cast("bigint").alias("start_offset"))
-    return (split_df.join(off, "doc_id", "left")
-            .select("doc_id", "n_tokens", "split", "start_offset")
-            .orderBy("doc_id"))
-
-
-QUERIES["x_training_manifest"] = x_training_manifest
-
-ORACLES["x_training_manifest"] = f"""
-WITH pol AS MATERIALIZED (
-  SELECT doc_id, kept FROM ({ORACLES["x_full_dedup_policy"]})
-), qual AS MATERIALIZED (
-  SELECT doc_id, keep FROM ({ORACLES["x_corpus_filter"]})
-), words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh5 AS MATERIALIZED (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - 4
-), contam AS MATERIALIZED (
-  SELECT DISTINCT t.doc_id
-  FROM sh5 t JOIN sh5 e ON t.shingle = e.shingle
-  WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
-), kept AS MATERIALIZED (
-  SELECT d.doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens
-  FROM documents d
-  JOIN pol ON pol.doc_id = d.doc_id
-  JOIN qual ON qual.doc_id = d.doc_id
-  WHERE d.doc_id % 50 <> 0 AND pol.kept AND qual.keep
-    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
-), sp AS MATERIALIZED (
-  SELECT doc_id, n_tokens,
-         CASE WHEN {_SPLIT_H} < 0.8 THEN 'train'
-              WHEN {_SPLIT_H} < 0.9 THEN 'val'
-              ELSE 'test' END AS split
-  FROM kept
-), off AS (
-  SELECT doc_id,
-         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW)
-              - n_tokens AS BIGINT) AS start_offset
-  FROM sp WHERE split = 'train'
-)
-SELECT sp.doc_id, sp.n_tokens, sp.split, off.start_offset
-FROM sp LEFT JOIN off ON off.doc_id = sp.doc_id
-ORDER BY sp.doc_id
-"""
-
-
-def x_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source quality cap: each source keeps only its top-50 docs by
-    mean unigram log-probability (shared exact-integer ranking key, id
-    tie-breaks) — the curation step that stops one noisy over-represented
-    domain from swamping the mixture; quality-ordered, unlike the
-    hash-uniform x_group_sample (functions/text.py:domain_caps)."""
-    return text.domain_caps(_docs(spark, sf_dir), k=50)
-
-
-QUERIES["x_domain_caps"] = x_domain_caps
-
-ORACLES["x_domain_caps"] = f"""
-WITH lp AS MATERIALIZED ({ORACLES["x_unigram_logprob"]}),
-keyed AS (
-  SELECT d.source, lp.doc_id,
-         CASE WHEN lp.n_tokens > 0
-              THEN ((lp.logprob_e6 + 100000000 * lp.n_tokens) * 1000)
-                   // lp.n_tokens
-              ELSE -1 END AS qkey_milli
-  FROM lp JOIN documents d ON d.doc_id = lp.doc_id
-), ranked AS (
-  SELECT source, doc_id, CAST(qkey_milli AS BIGINT) AS qkey_milli,
-         CAST(row_number() OVER (PARTITION BY source
-                                 ORDER BY qkey_milli DESC, doc_id)
-              AS BIGINT) AS rk
-  FROM keyed
-)
-SELECT source, doc_id, qkey_milli, rk
-FROM ranked WHERE rk <= 50
-ORDER BY source, rk
-"""
-
-
-def x_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval-eval scorecard for the ANN index: hits@10, MRR and
-    graded nDCG@10 of the LSH-bucketed top-10 against the exact
-    brute-force ideal, per query — the go/no-go numbers for replacing
-    exact retrieval with the bucketed index (recall alone misses
-    rank-order quality; nDCG is what the RAG stack actually feels).
-    All DCG terms are e9 integers before summing, so the metric is
-    hash-stable cross-engine (functions/similarity.py:ranking_metrics)."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    system = similarity.lsh_bucketed_topk(emb, q, k=10, num_planes=8)
-    ideal = similarity.brute_force_topk(emb, q, k=10)
-    return similarity.ranking_metrics(system, ideal, k=10)
-
-
-QUERIES["x_retrieval_metrics"] = x_retrieval_metrics
-
-ORACLES["x_retrieval_metrics"] = f"""
-WITH c AS MATERIALIZED (
-  SELECT vec_id, embedding AS v, {_lsh_bucket_sql("embedding")} AS bucket
-  FROM embeddings
-), qs AS (
-  SELECT vec_id AS query_id, v AS q, bucket AS q_bucket
-  FROM c WHERE vec_id < 10
-), sys_s AS (
-  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
-  FROM qs JOIN c ON bucket = q_bucket AND query_id <> vec_id
-), sys_r AS (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, vec_id) AS rk
-  FROM sys_s
-), ideal_s AS (
-  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
-  FROM qs CROSS JOIN c WHERE query_id <> vec_id
-), ideal_r AS (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, vec_id) AS rk
-  FROM ideal_s QUALIFY rk <= 10
-), rel AS (
-  SELECT query_id, vec_id, CAST(11 - rk AS BIGINT) AS rel FROM ideal_r
-), sys_j AS (
-  SELECT s.query_id, s.rk, coalesce(r.rel, 0) AS rel
-  FROM (SELECT * FROM sys_r WHERE rk <= 10) s
-  LEFT JOIN rel r ON r.query_id = s.query_id AND r.vec_id = s.vec_id
-), per_sys AS (
-  SELECT query_id,
-         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         MIN(CASE WHEN rel > 0 THEN rk END) AS first_hit,
-         SUM(CASE WHEN rel > 0
-                  THEN CAST(round(rel * 1e9 / log2(rk + 1)) AS BIGINT)
-                  ELSE 0 END) AS dcg_e9
-  FROM sys_j GROUP BY query_id
-), per_ideal AS (
-  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ideal,
-         SUM(CAST(round((11 - rk) * 1e9 / log2(rk + 1)) AS BIGINT))
-           AS idcg_e9
-  FROM ideal_r GROUP BY query_id
-)
-SELECT i.query_id, i.n_ideal,
-       CAST(coalesce(s.n_hits, 0) AS BIGINT) AS n_hits,
-       coalesce(round(1.0 / s.first_hit, 6), 0.0) AS mrr6,
-       CASE WHEN i.idcg_e9 > 0
-            THEN round(coalesce(s.dcg_e9, 0) / CAST(i.idcg_e9 AS DOUBLE), 6)
-            ELSE 0.0 END AS ndcg6
-FROM per_ideal i LEFT JOIN per_sys s ON s.query_id = i.query_id
-ORDER BY i.query_id
-"""
-
-
-def x_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source ROC-AUC of the cheap quality score (exact-integer mean
-    unigram log-prob key) against the Gopher keep verdict — the
-    classifier-eval number that says whether the cheap score can gate
-    documents BEFORE the expensive rule cascade runs. Exact Mann-Whitney
-    U over distinct scores, integers until the final division
-    (operators/stats.py:roc_auc)."""
-    docs = _docs(spark, sf_dir)
-    lp = text.unigram_logprob(docs)
-    keyed = (lp.withColumn("qkey_milli", text._quality_key())
-             .join(docs.select("doc_id", "source"), "doc_id")
-             .join(text.gopher_rules(docs).select("doc_id", "keep"),
-                   "doc_id"))
-    return stats.roc_auc(keyed, label="keep", score="qkey_milli",
-                         group="source")
-
-
-QUERIES["x_quality_auc"] = x_quality_auc
-
-ORACLES["x_quality_auc"] = f"""
-WITH lp AS MATERIALIZED ({ORACLES["x_unigram_logprob"]}),
-g AS MATERIALIZED (
-  SELECT doc_id, keep FROM ({ORACLES["x_gopher_rules"]})
-), keyed AS (
-  SELECT d.source,
-         CASE WHEN lp.n_tokens > 0
-              THEN ((lp.logprob_e6 + 100000000 * lp.n_tokens) * 1000)
-                   // lp.n_tokens
-              ELSE -1 END AS qkey_milli,
-         g.keep
-  FROM lp JOIN documents d ON d.doc_id = lp.doc_id
-  JOIN g ON g.doc_id = lp.doc_id
-), cs AS (
-  SELECT source, qkey_milli,
-         SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS np,
-         SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS nn
-  FROM keyed GROUP BY source, qkey_milli
-), cum AS (
-  SELECT source, np, nn,
-         SUM(nn) OVER (PARTITION BY source ORDER BY qkey_milli) - nn
-           AS below
-  FROM cs
-), agg AS (
-  SELECT source, SUM(np) AS p, SUM(nn) AS n,
-         SUM(np * (2 * below + nn)) AS u2
-  FROM cum GROUP BY source
-)
-SELECT source, CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
-       CAST(u2 AS BIGINT) AS u2,
-       CASE WHEN p > 0 AND n > 0
-            THEN round(u2 / (2.0 * p * n), 6) END AS auc6
-FROM agg ORDER BY source
-"""
-
-
-def x_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget water-filling across sources (budget = 100k tokens,
-    4-epoch repetition cap, 3 unrolled integer redistribution passes) —
-    the data-mixing planning step that turns target weights into an
-    ACHIEVABLE per-source allocation; saturated sources spill their
-    unused share to the rest (functions/packing.py:mixture_allocation)."""
-    return packing.mixture_allocation(_docs(spark, sf_dir),
-                                      budget_tokens=100_000,
-                                      epochs_cap=4, rounds=3)
-
-
-QUERIES["x_mixture_allocation"] = x_mixture_allocation
-
-_MA_ROUND = """
-SELECT source, n_docs, avail, cap,
-       CASE WHEN alloc < cap AND uw > 0
-            THEN alloc + least(cap - alloc, rem // uw)
-            ELSE alloc END AS alloc
-FROM (SELECT *,
-             {budget} - SUM(alloc) OVER () AS rem,
-             SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END) OVER () AS uw
-      FROM {src}) t
-"""
-
-ORACLES["x_mixture_allocation"] = f"""
-WITH r0 AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(coalesce(SUM(len({_QF_TOKS})), 0) AS BIGINT) AS avail,
-         CAST(4 * coalesce(SUM(len({_QF_TOKS})), 0) AS BIGINT) AS cap,
-         CAST(0 AS BIGINT) AS alloc
-  FROM documents GROUP BY source
-), r1 AS ({_MA_ROUND.format(budget=100_000, src="r0")}
-), r2 AS ({_MA_ROUND.format(budget=100_000, src="r1")}
-), r3 AS ({_MA_ROUND.format(budget=100_000, src="r2")}
-)
-SELECT source, n_docs, avail AS avail_tokens, cap AS cap_tokens,
-       CAST(alloc AS BIGINT) AS alloc_tokens,
-       CASE WHEN avail > 0 THEN round(alloc / CAST(avail AS DOUBLE), 6)
-            ELSE 0.0 END AS epochs6,
-       alloc >= cap AS saturated
-FROM r3 ORDER BY source
-"""
-
-
-def x_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type least-squares trend of the metric over time (the
-    scaling-law / drift fit): y = e3 fixed-point value, x = days since
-    the FIXED 2024-01-01 epoch constant (no data-dependent second pass),
-    one exact-BIGINT sufficient-statistics aggregate, closed-form
-    slope/intercept/R² (operators/stats.py:ols_trend). Units: e3 value
-    per day; R² says whether the drift is real or noise."""
-    ev = load_table(spark, sf_dir, "events")
-    t = ev.select(
-        "event_type",
-        F.expr("unix_millis(cast(ts as timestamp)) div 86400000 - 19723")
-         .cast("bigint").alias("x"),
-        F.round(F.col("value") * 1000).cast("bigint").alias("y"))
-    return stats.ols_trend(t, group="event_type", x="x", y="y")
-
-
-QUERIES["x_trend_ols"] = x_trend_ols
-
-ORACLES["x_trend_ols"] = """
-WITH t AS (
-  SELECT event_type,
-         CAST(epoch_ms(ts) // 86400000 - 19723 AS BIGINT) AS x,
-         CAST(round(value * 1000) AS BIGINT) AS y
-  FROM events
-), s AS (
-  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
-  FROM t GROUP BY event_type
-)
-SELECT event_type, CAST(n AS BIGINT) AS n,
-       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
-                  THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                  ELSE 0.0 END, 6) AS slope6,
-       round((CAST(sy AS DOUBLE)
-              - (CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
-                      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                      ELSE 0.0 END) * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE), 6) AS intercept6,
-       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
-                   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
-                  THEN ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                        * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-                       / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-                  ELSE 0.0 END, 6) AS r2_6
-FROM s ORDER BY event_type
-"""
-
-
-def x_trend_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming maintenance of the OLS trend: the six sufficient
-    statistics are plain update-mode running sums per event_type (they
-    merge associatively, so streaming aggregation IS the maintenance —
-    no custom state), and the closed-form combine runs batch-side on the
-    drained state. Re-emissions are resolved by keeping each key's
-    highest-n row (n only grows; every emission is internally
-    consistent), so the result is robust to multi-batch replays and
-    hash-matches the batch oracle."""
-    from pyspark.sql import Window as W
-    ev = _stream_events(spark, sf_dir)
-    # The CSV replay carries no value column (the a2/j4 replay contract):
-    # the metric is a deterministic md5 draw both engines derive identically.
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit("tval:"), F.col("event_id").cast("string"))),
-        1, 8), 16, 10).cast("bigint")
-    t = ev.select(
-        "event_type",
-        F.expr("ts_ms div 86400000 - 19723").cast("bigint").alias("x"),
-        (h % 1000).cast("bigint").alias("y"))
-    sums = (t.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
-                 F.sum(F.col("y") * F.col("y")).alias("syy"),
-                 F.sum(F.col("x") * F.col("y")).alias("sxy")))
-    drained = _run_to_memory(sums, spark, output_mode="update")
-    w = W.partitionBy("event_type").orderBy(F.col("n").desc())
-    latest = (drained.withColumn("_rk", F.row_number().over(w))
-              .filter(F.col("_rk") == 1).drop("_rk"))
-    return stats.ols_combine(latest, group="event_type")
-
-
-QUERIES["x_trend_stream"] = x_trend_stream
-STREAMING_DEMOS.add("x_trend_stream")
-
-_TH = _H32.format(x="concat('tval:', CAST(event_id AS VARCHAR))")
-ORACLES["x_trend_stream"] = f"""
-WITH t AS (
-  SELECT event_type,
-         CAST(epoch_ms(ts) // 86400000 - 19723 AS BIGINT) AS x,
-         CAST({_TH} % 1000 AS BIGINT) AS y
-  FROM events
-), s AS (
-  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
-  FROM t GROUP BY event_type
-)
-SELECT event_type, CAST(n AS BIGINT) AS n,
-       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
-                  THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                  ELSE 0.0 END, 6) AS slope6,
-       round((CAST(sy AS DOUBLE)
-              - (CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
-                      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                      ELSE 0.0 END) * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE), 6) AS intercept6,
-       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
-                   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
-                  THEN ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                        * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-                       / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-                  ELSE 0.0 END, 6) AS r2_6
-FROM s ORDER BY event_type
-"""
-
-
-def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson-bootstrap CI for each source's mean token count (32
-    deterministic hash replicas, rank-based ~93.75% interval) — the
-    uncertainty bar every dataset-card statistic should carry. Replica
-    weights draw from md5(b, doc_id) against exact integer Poisson(1)
-    CDF thresholds, so resamples are replayable in SQL and never
-    materialize (operators/stats.py:bootstrap_ci)."""
-    d = _docs(spark, sf_dir).select(
-        "source", "doc_id",
-        (F.size(text.tokens("text")) * F.lit(1_000_000))
-        .cast("bigint").alias("tok_e6"))
-    return stats.bootstrap_ci(d, value="tok_e6", group="source",
-                              id_col="doc_id", replicas=32)
-
-
-QUERIES["x_bootstrap_ci"] = x_bootstrap_ci
-
-_BH = _H32.format(x="concat('boot', CAST(b AS VARCHAR), ':', "
-                    "CAST(doc_id AS VARCHAR))")
-ORACLES["x_bootstrap_ci"] = f"""
-WITH d AS (
-  SELECT source, doc_id,
-         CAST(len({_QF_TOKS}) * 1000000 AS BIGINT) AS y
-  FROM documents
-), rep AS (
-  SELECT source, doc_id, y, b,
-         CASE WHEN {_BH} < 1580030168 THEN 0
-              WHEN {_BH} < 3160060337 THEN 1
-              WHEN {_BH} < 3950075421 THEN 2
-              WHEN {_BH} < 4213413783 THEN 3
-              ELSE 4 END AS w
-  FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs
-), per_rep AS (
-  SELECT source, b,
-         CASE WHEN SUM(w) > 0 THEN SUM(w * y) // SUM(w) ELSE 0 END AS m
-  FROM rep GROUP BY source, b
-), ranked AS (
-  SELECT source, m,
-         row_number() OVER (PARTITION BY source ORDER BY m, b) AS rk
-  FROM per_rep
-), ci AS (
-  SELECT source,
-         MAX(CASE WHEN rk = 2 THEN m END) AS boot_lo_e6,
-         MAX(CASE WHEN rk = 31 THEN m END) AS boot_hi_e6
-  FROM ranked GROUP BY source
-), base AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(y) // COUNT(*) AS BIGINT) AS mean_e6
-  FROM d GROUP BY source
-)
-SELECT base.source, base.n, base.mean_e6,
-       CAST(ci.boot_lo_e6 AS BIGINT) AS boot_lo_e6,
-       CAST(ci.boot_hi_e6 AS BIGINT) AS boot_hi_e6
-FROM base JOIN ci ON ci.source = base.source
-ORDER BY base.source
-"""
-
-
-# ---------------------------------------------------------------------------
-# Round 6: W2 custom-watermark policy, replayed with an oracle
-# ---------------------------------------------------------------------------
-
-def x_custom_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 emulated-with-oracle: deterministic replay of the reference's
-    hand-rolled processing-time watermark generator
-    (EventTimeOperations.java:96-141 — re-anchor the watermark to current
-    wall-clock at most every `delay`, emit `anchor - buffer` after every
-    event, judge each event against the watermark emitted after its
-    predecessor). Wall-clock is modeled by the x_watermark_sweep jittered
-    arrival (ts + md5 jitter in [-1 h, +1 h)), replayed per event_type —
-    the per-subtask watermark-generator analog. The reference's 10 s / 2 s
-    constants target its ~1 Hz audit stream; the fixture's per-type
-    cadence is ~1300 s, so both scale by 720x (delay 2 h, buffer 24 min,
-    same 5:1 ratio). Output per type: n_events, n_late, n_refresh,
-    wm_final_ms.
-
-    The DuckDB oracle replays the identical recurrence through its
-    refresh-point characterization: refreshes are >= delay apart, so a
-    recursive CTE walks refresh -> next refresh (lex-min arrival strictly
-    past prev + delay) and a running-max + lag window reconstructs the
-    watermark each event was judged against — no event-by-event
-    recursion."""
-    from .functions.dedup import _md5_hash32
-    from .streaming.watermark import processing_time_watermark_replay
-    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
-    jitter = (_md5_hash32("arr", F.col("event_id").cast("string"))
-              % 7_200_000) - 3_600_000
-    e = e.withColumn("arrival_ms", F.col("ts_ms") + jitter)
-    return processing_time_watermark_replay(
-        e, key_col="event_type", id_col="event_id", ts_col="ts_ms",
-        arrival_col="arrival_ms", delay_ms=7_200_000, buffer_ms=1_440_000)
-
-
-QUERIES["x_custom_watermark_replay"] = x_custom_watermark_replay
-
-ORACLES["x_custom_watermark_replay"] = f"""
-WITH RECURSIVE arr AS (
-  SELECT event_type, event_id, epoch_ms(ts) AS t,
-         epoch_ms(ts) + {_ARR_J} AS a
-  FROM events
-), refresh(event_type, a, event_id) AS (
-  SELECT event_type, a, event_id FROM (
-    SELECT event_type, a, event_id,
-           row_number() OVER (PARTITION BY event_type
-                              ORDER BY a, event_id) AS rn
-    FROM arr) WHERE rn = 1
-  UNION ALL
-  SELECT r.event_type, n.a, n.event_id
-  FROM refresh r, LATERAL (
-    SELECT a, event_id FROM arr
-    WHERE arr.event_type = r.event_type AND arr.a > r.a + 7200000
-    ORDER BY a, event_id LIMIT 1) n
-), f AS (
-  SELECT arr.event_type, arr.event_id, arr.t, arr.a,
-         (ref.event_id IS NOT NULL) AS is_refresh
-  FROM arr LEFT JOIN refresh ref
-    ON ref.event_type = arr.event_type AND ref.a = arr.a
-   AND ref.event_id = arr.event_id
-), c AS (
-  SELECT *, max(CASE WHEN is_refresh THEN a END) OVER (
-      PARTITION BY event_type ORDER BY a, event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw_after
-  FROM f
-), d AS (
-  SELECT *, lag(cw_after) OVER (
-      PARTITION BY event_type ORDER BY a, event_id) AS cw_before
-  FROM c
-)
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CASE WHEN cw_before IS NOT NULL
-                      AND t < cw_before - 1440000
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-       CAST(sum(CASE WHEN is_refresh THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_refresh,
-       CAST(max(cw_after) - 1440000 AS BIGINT) AS wm_final_ms
-FROM d GROUP BY event_type
-"""
-
-
-def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN, hash-oracle-checked: per-subspace integer
-    Lloyd codebooks on the bounded md5 sample (the ivf_topk_exact trainer
-    run per subspace), one map-side encode pass (16 x 5-bit codes per
-    64-dim vector), asymmetric-distance shortlisting from broadcast
-    integer lookup tables, exact-cosine rerank of the shortlist
-    (similarity.pq_topk_exact; Jegou et al. TPAMI 2011). Measured
-    recall@5 vs brute force: 0.94 (x_pq_recall audits it). With
-    x_ivf_topk this completes the FAISS-standard IVF+PQ pair."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.pq_topk_exact(emb, q, k=5, m=16, ks=32, iters=2,
-                                    train_max=512, shortlist=50)
-
-
-QUERIES["x_pq_topk"] = x_pq_topk
-
-
-def _pq_oracle(k: int = 5, m: int = 16, ks: int = 32, iters: int = 2,
-               train_max: int = 512, shortlist: int | None = None,
-               dim: int = 64, train_filter: str = "") -> str:
-    """Replays similarity.pq_topk_exact bit-for-bit: e6 BIGINT vectors,
-    per-subspace seeds = first `ks` sample rows in (md5, id) order,
-    `iters` unrolled integer-Lloyd rounds partitioned by subspace
-    (argmin ties (d2, code); update sum // count, truncating; emptied
-    codeword kept), then map-side encode + ADC join-sum ranking —
-    followed, when `shortlist` is set, by the exact-cosine rerank of the
-    ADC shortlist (the Spark side's two-stage path). `train_filter`
-    restricts the TRAINING sample only (the incremental-index form:
-    books frozen on the base corpus, every vector still encoded)."""
-    d = dim // m
-    d2 = ("list_sum(list_transform(list_zip({a}, {b}),"
-          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
-    head = f"""
-WITH qv AS (
-  SELECT vec_id, list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
-  FROM embeddings
-),
-tv AS (SELECT *, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv{train_filter}
-       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {train_max}),
-sub AS (
-  SELECT s, vec_id, h, list_slice(q6, s * {d} + 1, s * {d} + {d}) AS v
-  FROM tv CROSS JOIN (SELECT unnest(range({m})) AS s)
-),
-c0 AS (
-  SELECT s, CAST(rn - 1 AS INT) AS cell, v AS cvec FROM (
-    SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY h, vec_id) AS rn
-    FROM sub) WHERE rn <= {ks}
-)"""
-    steps = []
-    for i in range(1, iters + 1):
-        prev = f"c{i - 1}"
-        steps.append(f""",
-a{i} AS (
-  SELECT s, vec_id, v, cell FROM (
-    SELECT sub.s, sub.vec_id, sub.v, c.cell,
-           row_number() OVER (PARTITION BY sub.s, sub.vec_id
-             ORDER BY {d2.format(a='sub.v', b='c.cvec')}, c.cell) AS rn
-    FROM sub JOIN {prev} c ON c.s = sub.s) WHERE rn = 1
-),
-n{i} AS (
-  SELECT s, cell, list(mu ORDER BY pos) AS cvec FROM (
-    SELECT s, cell, pos, sum(val) // count(*) AS mu FROM (
-      SELECT s, cell, unnest(v) AS val, unnest(range(len(v))) AS pos
-      FROM a{i})
-    GROUP BY s, cell, pos)
-  GROUP BY s, cell
-),
-c{i} AS (
-  SELECT p.s, p.cell, coalesce(n.cvec, p.cvec) AS cvec
-  FROM {prev} p LEFT JOIN n{i} n ON n.s = p.s AND n.cell = p.cell
-)""")
-    last = f"c{iters}"
-    tail = f""",
-codes AS (
-  SELECT vec_id, s, cell FROM (
-    SELECT v.vec_id, c.s, c.cell,
-           row_number() OVER (PARTITION BY v.vec_id, c.s
-             ORDER BY {d2.format(
-                 a=f'list_slice(v.q6, c.s * {d} + 1, c.s * {d} + {d})',
-                 b='c.cvec')}, c.cell) AS rn
-    FROM qv v CROSS JOIN {last} c) WHERE rn = 1
-),
-qt AS (
-  SELECT q.vec_id AS query_id, c.s, c.cell,
-         {d2.format(
-             a=f'list_slice(q.q6, c.s * {d} + 1, c.s * {d} + {d})',
-             b='c.cvec')} AS dtv
-  FROM qv q CROSS JOIN {last} c WHERE q.vec_id < 10
-),
-sc AS (
-  SELECT qt.query_id, codes.vec_id,
-         CAST(sum(qt.dtv) AS BIGINT) AS adc_d2
-  FROM codes JOIN qt ON qt.s = codes.s AND qt.cell = codes.cell
-  WHERE qt.query_id <> codes.vec_id
-  GROUP BY 1, 2
-)"""
-    if shortlist is None:
-        tail += f"""
-SELECT query_id, vec_id, adc_d2, rk FROM (
-  SELECT query_id, vec_id, adc_d2,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY adc_d2, vec_id) AS INT) AS rk
-  FROM sc)
-WHERE rk <= {k}
-"""
-    else:
-        cos = _cosine_sql("q.embedding", "c.embedding")
-        tail += f""",
-sl AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY adc_d2, vec_id) AS rk
-    FROM sc) WHERE rk <= {shortlist}
-),
-rer AS (
-  SELECT sl.query_id, sl.vec_id, round({cos}, 6) AS score
-  FROM sl
-  JOIN embeddings c ON c.vec_id = sl.vec_id
-  JOIN embeddings q ON q.vec_id = sl.query_id
-)
-SELECT query_id, vec_id, score, rk FROM (
-  SELECT query_id, vec_id, score,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY score DESC, vec_id) AS INT) AS rk
-  FROM rer)
-WHERE rk <= {k}
-"""
-    return head + "".join(steps) + tail
-
-
-ORACLES["x_pq_topk"] = _pq_oracle(k=5, m=16, ks=32, iters=2, train_max=512,
-                                  shortlist=50)
-
-
-def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ quality audit: per-query overlap between the 32-bit-code ADC
-    top-k and the exact-cosine top-k — the recall@k curve one runs before
-    trusting a PQ index at scale (the x_lsh_recall pattern applied to
-    quantized ANN). Both sides are deterministic, so the overlap is an
-    exact integer and the row hash-matches cross-engine. The PQ side
-    serves from the PERSISTED index (``_pq_index_dir`` — training is
-    deterministic so it reproduces the inline x_pq_topk build
-    bit-for-bit); x_pq_topk remains the inline build-parity form, the
-    x_dedup_stats/x_dedup_report split applied to ANN. Output per
-    query: n_overlap, recall@5."""
-    import os
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    base = _pq_index_dir(spark, sf_dir)
-    codes = spark.read.parquet(os.path.join(base, "codes"))
-    row = spark.read.parquet(os.path.join(base, "books")).collect()[0]
-    books = [[list(cv) for cv in book] for book in row["B"]]
-    pq = similarity.pq_adc_topk(codes, books, q, corpus=emb, k=5,
-                                shortlist=50).select("query_id", "vec_id")
-    bf = similarity.brute_force_topk(emb, q, k=5).select(
-        "query_id", "vec_id")
-    hit = pq.join(bf, ["query_id", "vec_id"])
-    return (q.select("query_id")
-            .join(hit.groupBy("query_id")
-                     .agg(F.count(F.lit(1)).alias("n_overlap")),
-                  "query_id", "left")
-            .select("query_id",
-                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
-                     .alias("n_overlap"))
-            .withColumn("recall_at_5",
-                        F.round(F.col("n_overlap") / F.lit(5.0), 6)))
-
-
-QUERIES["x_pq_recall"] = x_pq_recall
-
-ORACLES["x_pq_recall"] = f"""
-WITH pq AS ({_pq_oracle(k=5, m=16, ks=32, iters=2, train_max=512,
-                        shortlist=50)}),
-bf AS ({_brute_force_oracle(k=5)}),
-hit AS (
-  SELECT pq.query_id, count(*) AS n_overlap
-  FROM pq JOIN bf ON bf.query_id = pq.query_id AND bf.vec_id = pq.vec_id
-  GROUP BY 1
-)
-SELECT q.vec_id AS query_id,
-       CAST(coalesce(hit.n_overlap, 0) AS BIGINT) AS n_overlap,
-       round(coalesce(hit.n_overlap, 0) / 5.0, 6) AS recall_at_5
-FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
-LEFT JOIN hit ON hit.query_id = q.vec_id
-"""
-
-
-def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive embedding training: per
-    anchor, the top-5 most-cosine-similar corpus vectors with a DIFFERENT
-    label — the negatives that actually move the loss (random negatives
-    are trivially separated). Anchors are a bounded query set broadcast
-    against the corpus (linear scan per anchor, the brute_force_topk
-    shape); at scale the anchor set is a sample and the corpus side would
-    be the PQ/IVF index. Output: query_id, vec_id, score, rk."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("label").alias("q_label"))
-    from pyspark.sql import Window
-    pair = (emb.crossJoin(F.broadcast(q))
-            .filter(F.col("label") != F.col("q_label"))
-            .select("query_id", "vec_id",
-                    F.round(similarity.cosine("q_vec", "embedding"), 6)
-                     .alias("score")))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                               F.col("vec_id"))
-    return (pair.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 5)
-            .select("query_id", "vec_id", "score", "rk"))
-
-
-QUERIES["x_hard_negatives"] = x_hard_negatives
-
-ORACLES["x_hard_negatives"] = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q, label AS q_label
-           FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
-s AS (
-  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
-  FROM q CROSS JOIN c WHERE c.label <> q.q_label
-), r AS (
-  SELECT query_id, vec_id, score,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY score DESC, vec_id) AS INT) AS rk
-  FROM s
-)
-SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
-"""
-
-
-def x_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out kNN label eval (k=5, majority vote, ties broken by
-    (count desc, label asc)) on a bounded anchor sample — the standard
-    embedding-quality probe: if 5-NN majority recovers the label, the
-    space clusters by label. The anchor set stays bounded (vec_id < 50)
-    so the scan is linear in the corpus, never quadratic; at 100 TB the
-    anchors are a hash-sample and the neighbor scan runs against the ANN
-    index. Output per true label: n_eval, n_correct, acc6."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("label").alias("true_label"))
-    from pyspark.sql import Window
-    pair = (emb.crossJoin(F.broadcast(q))
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "true_label", "vec_id", "label",
-                    F.round(similarity.cosine("q_vec", "embedding"), 6)
-                     .alias("score")))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                               F.col("vec_id"))
-    nn = pair.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
-    votes = (nn.groupBy("query_id", "true_label", "label")
-             .agg(F.count(F.lit(1)).alias("n_votes")))
-    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(),
-                                                F.col("label"))
-    pred = (votes.withColumn("vr", F.row_number().over(wv))
-            .filter(F.col("vr") == 1)
-            .select("query_id", "true_label",
-                    F.col("label").alias("pred_label")))
-    return (pred.groupBy("true_label")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval"),
-                 F.sum((F.col("pred_label") == F.col("true_label"))
-                       .cast("bigint")).cast("bigint").alias("n_correct"))
-            .withColumn("acc6", F.round(F.col("n_correct")
-                                        / F.col("n_eval"), 6))
-            .orderBy("true_label"))
-
-
-QUERIES["x_knn_eval"] = x_knn_eval
-
-ORACLES["x_knn_eval"] = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q, label AS true_label
-           FROM embeddings WHERE vec_id < 50),
-c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
-s AS (
-  SELECT query_id, true_label, vec_id, label,
-         round({_COSINE_Q}, 6) AS score
-  FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id
-), nn AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= 5
-), votes AS (
-  SELECT query_id, true_label, label, count(*) AS n_votes
-  FROM nn GROUP BY 1, 2, 3
-), pred AS (
-  SELECT query_id, true_label, label AS pred_label FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY n_votes DESC, label) AS vr FROM votes)
-  WHERE vr = 1
-)
-SELECT true_label,
-       CAST(count(*) AS BIGINT) AS n_eval,
-       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_correct,
-       round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
-             / count(*), 6) AS acc6
-FROM pred GROUP BY 1 ORDER BY 1
-"""
-
-
-def x_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key alert throttling (1 h cooldown anchored on the last KEPT
-    event): the monitoring-pipeline primitive that turns an error burst
-    into one page. Not a session/lag window — suppression anchors on the
-    last emitted event, so it needs the keyed sequential pass
-    (functions/filtering.py:cooldown_throttle, applyInPandas per
-    event_type); the oracle walks the kept set's refresh points with a
-    recursive CTE (kept events are >= cooldown apart, so the recursion is
-    span/cooldown deep, never event-deep)."""
-    from .functions.filtering import cooldown_throttle
-    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
-    return cooldown_throttle(e, key_col="event_type", id_col="event_id",
-                             ts_col="ts_ms", cooldown_ms=3_600_000)
-
-
-QUERIES["x_throttle"] = x_throttle
-
-ORACLES["x_throttle"] = """
-WITH RECURSIVE arr AS (
-  SELECT event_type, event_id, epoch_ms(ts) AS t FROM events
-), kept(event_type, t, event_id) AS (
-  SELECT event_type, t, event_id FROM (
-    SELECT event_type, t, event_id,
-           row_number() OVER (PARTITION BY event_type
-                              ORDER BY t, event_id) AS rn
-    FROM arr) WHERE rn = 1
-  UNION ALL
-  SELECT r.event_type, n.t, n.event_id
-  FROM kept r, LATERAL (
-    SELECT t, event_id FROM arr
-    WHERE arr.event_type = r.event_type AND arr.t > r.t + 3600000
-    ORDER BY t, event_id LIMIT 1) n
-)
-SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
-       CAST(t AS BIGINT) AS ts_ms
-FROM kept
-"""
-
-
-def x_throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x_throttle through the S1 file replay + applyInPandasWithState —
-    the ValueState cooldown survives micro-batch boundaries. Same kept
-    set, same oracle as the batch form."""
-    from .streaming.stateful import cooldown_throttle_stream
-    ev = _stream_events(spark, sf_dir).select(
-        "event_type", "event_id", F.col("ts_ms").cast("long").alias("ts_ms"))
-    out = cooldown_throttle_stream(ev, key="event_type", id_col="event_id",
-                                   ts_ms="ts_ms", cooldown_ms=3_600_000)
-    return _run_to_memory(out, spark)
-
-
-QUERIES["x_throttle_stream"] = x_throttle_stream
-STREAMING_DEMOS.add("x_throttle_stream")
-ORACLES["x_throttle_stream"] = ORACLES["x_throttle"]
-
-
-def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed FAISS-standard IVFADC index: IVF coarse routing
-    (probe 3 of 8 cells) + product quantization of the RESIDUAL
-    vector - centroid (16 x 5-bit codes) + per-cell ADC tables + exact
-    rerank of the 50-deep shortlist (similarity.ivfpq_topk_exact; Jegou
-    et al. TPAMI 2011 SIV). Measured recall@5 vs brute force 0.64 at
-    3/8 cells probed — the cell-miss rate dominates on this weakly
-    clustered fixture; the PQ+rerank stages inside probed cells are
-    near-exact. Fully integer end-to-end: DuckDB replays coarse
-    centroids, residual codebooks, codes, probes and both rankings."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ivfpq_topk_exact(emb, q, k=5, n_lists=8, n_probe=3,
-                                       coarse_iters=3, m=16, ks=32,
-                                       pq_iters=2, train_max=512,
-                                       shortlist=50)
-
-
-QUERIES["x_ivfpq_topk"] = x_ivfpq_topk
-
-
-def _ivfpq_oracle(k: int = 5, n_lists: int = 8, n_probe: int = 3,
-                  coarse_iters: int = 3, m: int = 16, ks: int = 32,
-                  pq_iters: int = 2, train_max: int = 512,
-                  shortlist: int = 50, dim: int = 64) -> str:
-    """Replays similarity.ivfpq_topk_exact bit-for-bit: the _ivf_oracle
-    coarse-Lloyd CTE chain, sample residuals, the _pq_oracle per-subspace
-    Lloyd chain on those residuals, map-side corpus encode (cell +
-    residual codes), per-cell query ADC via an (s, cell, code) join-sum,
-    then shortlist + exact-cosine rerank."""
-    d = dim // m
-    d2 = ("list_sum(list_transform(list_zip({a}, {b}),"
-          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
-    rsub = ("list_slice(list_transform(list_zip({v}, {c}),"
-            " p -> p[1] - p[2]), {lo}, {hi})")
-    parts = [f"""
-WITH qv AS (
-  SELECT vec_id, embedding, list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
-  FROM embeddings
-),
-tv AS (SELECT vec_id, q6, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv
-       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {train_max}),
-c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cell,
-         q6 AS cvec
-  FROM tv ORDER BY h, vec_id LIMIT {n_lists}
-)"""]
-    for i in range(1, coarse_iters + 1):
-        prev = f"c{i - 1}"
-        parts.append(f""",
-a{i} AS (
-  SELECT vec_id, q6, cell FROM (
-    SELECT v.vec_id, v.q6, c.cell,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
-    FROM tv v CROSS JOIN {prev} c) WHERE rn = 1
-),
-n{i} AS (
-  SELECT cell, list(mu ORDER BY pos) AS cvec FROM (
-    SELECT cell, pos, sum(val) // count(*) AS mu FROM (
-      SELECT cell, unnest(q6) AS val, unnest(range(len(q6))) AS pos
-      FROM a{i})
-    GROUP BY cell, pos)
-  GROUP BY cell
-),
-c{i} AS (
-  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
-  FROM {prev} p LEFT JOIN n{i} n USING (cell)
-)""")
-    cc = f"c{coarse_iters}"
-    # Sample residual subvectors (assignment replays the same argmin).
-    parts.append(f""",
-sa AS (
-  SELECT vec_id, h, q6, cell, cvec FROM (
-    SELECT v.vec_id, v.h, v.q6, c.cell, c.cvec,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
-    FROM tv v CROSS JOIN {cc} c) WHERE rn = 1
-),
-rs AS (
-  SELECT s, vec_id, h,
-         {rsub.format(v='q6', c='cvec',
-                      lo=f's * {d} + 1', hi=f's * {d} + {d}')} AS v
-  FROM sa CROSS JOIN (SELECT unnest(range({m})) AS s)
-),
-p0 AS (
-  SELECT s, CAST(rn - 1 AS INT) AS code, v AS cvec FROM (
-    SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY h, vec_id) AS rn
-    FROM rs) WHERE rn <= {ks}
-)""")
-    for i in range(1, pq_iters + 1):
-        prev = f"p{i - 1}"
-        parts.append(f""",
-pa{i} AS (
-  SELECT s, vec_id, v, code FROM (
-    SELECT rs.s, rs.vec_id, rs.v, c.code,
-           row_number() OVER (PARTITION BY rs.s, rs.vec_id
-             ORDER BY {d2.format(a='rs.v', b='c.cvec')}, c.code) AS rn
-    FROM rs JOIN {prev} c ON c.s = rs.s) WHERE rn = 1
-),
-pn{i} AS (
-  SELECT s, code, list(mu ORDER BY pos) AS cvec FROM (
-    SELECT s, code, pos, sum(val) // count(*) AS mu FROM (
-      SELECT s, code, unnest(v) AS val, unnest(range(len(v))) AS pos
-      FROM pa{i})
-    GROUP BY s, code, pos)
-  GROUP BY s, code
-),
-p{i} AS (
-  SELECT p.s, p.code, coalesce(n.cvec, p.cvec) AS cvec
-  FROM {prev} p LEFT JOIN pn{i} n ON n.s = p.s AND n.code = p.code
-)""")
-    pp = f"p{pq_iters}"
-    parts.append(f""",
-fa AS (
-  SELECT vec_id, q6, cell, cvec FROM (
-    SELECT v.vec_id, v.q6, c.cell, c.cvec,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
-    FROM qv v CROSS JOIN {cc} c) WHERE rn = 1
-),
-codes AS (
-  SELECT vec_id, cell, s, code FROM (
-    SELECT fa.vec_id, fa.cell, b.s, b.code,
-           row_number() OVER (PARTITION BY fa.vec_id, b.s
-             ORDER BY {d2.format(
-                 a=('list_slice(list_transform(list_zip(fa.q6, fa.cvec),'
-                    ' p -> p[1] - p[2]),'
-                    f' b.s * {d} + 1, b.s * {d} + {d})'),
-                 b='b.cvec')}, b.code) AS rn
-    FROM fa CROSS JOIN {pp} b) WHERE rn = 1
-),
-pr AS (
-  SELECT query_id, q6, cell, cvec FROM (
-    SELECT q.vec_id AS query_id, q.q6, c.cell, c.cvec,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY {d2.format(a='q.q6', b='c.cvec')}, c.cell) AS rn
-    FROM qv q CROSS JOIN {cc} c WHERE q.vec_id < 10) WHERE rn <= {n_probe}
-),
-qd AS (
-  SELECT pr.query_id, pr.cell, b.s, b.code,
-         {d2.format(
-             a=('list_slice(list_transform(list_zip(pr.q6, pr.cvec),'
-                ' p -> p[1] - p[2]),'
-                f' b.s * {d} + 1, b.s * {d} + {d})'),
-             b='b.cvec')} AS dtv
-  FROM pr CROSS JOIN {pp} b
-),
-sc AS (
-  SELECT qd.query_id, codes.vec_id, CAST(sum(qd.dtv) AS BIGINT) AS adc_d2
-  FROM codes
-  JOIN qd ON qd.cell = codes.cell AND qd.s = codes.s
-         AND qd.code = codes.code
-  WHERE qd.query_id <> codes.vec_id
-  GROUP BY 1, 2
-),
-sl AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY adc_d2, vec_id) AS rk
-    FROM sc) WHERE rk <= {shortlist}
-),
-rer AS (
-  SELECT sl.query_id, sl.vec_id,
-         round({_cosine_sql('q.embedding', 'c.embedding')}, 6) AS score
-  FROM sl
-  JOIN embeddings c ON c.vec_id = sl.vec_id
-  JOIN embeddings q ON q.vec_id = sl.query_id
-)
-SELECT query_id, vec_id, score, rk FROM (
-  SELECT query_id, vec_id, score,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY score DESC, vec_id) AS INT) AS rk
-  FROM rer)
-WHERE rk <= {k}
-""")
-    return "".join(parts)
-
-
-ORACLES["x_ivfpq_topk"] = _ivfpq_oracle()
-
-
-def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """PQ index persisted ONCE per (corpus, params): ``codes/`` (vec_id +
-    16 5-bit codes — 80 bits/vector, ~50x smaller than the e6 vectors)
-    and ``books/`` (the 1-row m x ks x d codebook artifact). The
-    ``_edges_parquet_dir`` pattern applied to ANN: at 100 TB the nightly
-    index job trains + encodes once and every retrieval query ADC-scans
-    the code table, never the raw embeddings. ``books/`` is written last
-    so its _SUCCESS marks the whole index complete."""
-    import hashlib
-    import os
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:pq_m16k32i2t512"
-        f":{_code_tag(similarity.pq_train_books, similarity.pq_encode)}"
-        .encode()).hexdigest()[:12]
-    out = os.path.join(_tempfile.gettempdir(), f"frde_pqidx_{tag}")
-    if not os.path.exists(os.path.join(out, "books", "_SUCCESS")):
-        emb = _emb(spark, sf_dir)
-        books = similarity.pq_train_books(emb, m=16, ks=32, iters=2,
-                                          train_max=512)
-        similarity.pq_encode(emb, books).write.mode("overwrite").parquet(
-            os.path.join(out, "codes"))
-        similarity._pq_books_df(spark, books).write.mode(
-            "overwrite").parquet(os.path.join(out, "books"))
-    return out
-
-
-def x_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ retrieval over the PERSISTED index — the serving shape
-    pq_topk_exact's docstring promises for 100 TB: the 80-bit code table
-    and the codebook row are read from parquet (written once by
-    ``_pq_index_dir``), ADC scans codes only, and raw embeddings are
-    touched just for the 10 x 50 shortlist rerank rows. Same parameters
-    and SAME ORACLE as x_pq_topk (training is deterministic, so the
-    persisted index reproduces the inline build bit-for-bit) — the
-    build-vs-serve pair beside x_dedup_stats / x_dedup_report."""
-    import os
-    base = _pq_index_dir(spark, sf_dir)
-    codes = spark.read.parquet(os.path.join(base, "codes"))
-    row = spark.read.parquet(os.path.join(base, "books")).collect()[0]
-    books = [[list(cv) for cv in book] for book in row["B"]]
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.pq_adc_topk(codes, books, q, corpus=emb, k=5,
-                                  shortlist=50)
-
-
-QUERIES["x_pq_persisted_topk"] = x_pq_persisted_topk
-
-ORACLES["x_pq_persisted_topk"] = _pq_oracle(k=5, m=16, ks=32, iters=2,
-                                            train_max=512, shortlist=50)
-
-
-def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """IVFADC index persisted ONCE per (corpus, params): ``codes/``
-    (vec_id + coarse cell + 16 residual 5-bit codes — the n_lists
-    posting lists) and ``books/`` (the 1-row coarse-centroid + residual-
-    codebook artifact). ``_pq_index_dir``'s pattern for the composed
-    index; ``books/`` is written last so its _SUCCESS marks the whole
-    index complete."""
-    import hashlib
-    import os
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:"
-        "ivfpq_l8c3_m16k32i2t512"
-        f":{_code_tag(similarity.ivfpq_train, similarity.ivfpq_encode)}"
-        .encode()).hexdigest()[:12]
-    out = os.path.join(_tempfile.gettempdir(), f"frde_ivfpqidx_{tag}")
-    if not os.path.exists(os.path.join(out, "books", "_SUCCESS")):
-        emb = _emb(spark, sf_dir)
-        coarse, books = similarity.ivfpq_train(
-            emb, n_lists=8, coarse_iters=3, m=16, ks=32, pq_iters=2,
-            train_max=512)
-        similarity.ivfpq_encode(emb, coarse, books).write.mode(
-            "overwrite").parquet(os.path.join(out, "codes"))
-        similarity._ivfpq_books_df(spark, coarse, books).write.mode(
-            "overwrite").parquet(os.path.join(out, "books"))
-    return out
-
-
-def x_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC retrieval over the PERSISTED index — the serving shape of
-    the composed FAISS-standard index at 100 TB: the (cell, codes)
-    posting lists and the codebook row are read from parquet (written
-    once by ``_ivfpq_index_dir``), queries probe 3 of 8 cells via an
-    equi-join on cell, ADC scans only the probed cells' codes, and raw
-    embeddings are touched just for the 10 x 50 shortlist rerank rows.
-    Same parameters and SAME ORACLE as the inline x_ivfpq_topk build
-    (training is deterministic, so the persisted index reproduces it
-    bit-for-bit) — completing the build-vs-serve pair story for ANN:
-    x_pq_topk/x_pq_persisted_topk for flat PQ, this pair for IVFADC."""
-    import os
-    base = _ivfpq_index_dir(spark, sf_dir)
-    codes = spark.read.parquet(os.path.join(base, "codes"))
-    row = spark.read.parquet(os.path.join(base, "books")).collect()[0]
-    coarse = [list(cv) for cv in row["C"]]
-    books = [[list(cv) for cv in book] for book in row["B"]]
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ivfpq_adc_topk(codes, coarse, books, q, emb, k=5,
-                                     n_probe=3, shortlist=50)
-
-
-QUERIES["x_ivfpq_persisted_topk"] = x_ivfpq_persisted_topk
-
-ORACLES["x_ivfpq_persisted_topk"] = _ivfpq_oracle()
-
-
-def x_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive training-pair generation — the composition a retrieval
-    fine-tune actually consumes: POSITIVES are the verified text near-dup
-    pairs (read from the persisted edge parquet, label 1), NEGATIVES are
-    each anchor's top-2 hardest cross-label embedding neighbors (label 0,
-    the x_hard_negatives miner). One labeled pair table out; at 100 TB
-    the positives are the nightly dedup job's edge artifact and the
-    negatives come from the ANN index instead of the exact scan. Output:
-    (anchor, other, lbl, rk) — rk ranks negatives per anchor, 0 for
-    positives."""
-    from pyspark.sql import Window
-    edges = _edges(spark, sf_dir).select("id_a", "id_b")
-    pos = edges.select(F.col("id_a").alias("anchor"),
-                       F.col("id_b").alias("other"),
-                       F.lit(1).alias("lbl"),
-                       F.lit(0).alias("rk"))
-    emb = _emb(spark, sf_dir)
-    anchors = (edges.select(F.col("id_a").alias("anchor")).distinct()
-               .join(emb.select(F.col("vec_id").alias("anchor"),
-                                F.col("embedding").alias("q_vec"),
-                                F.col("label").alias("q_label")), "anchor"))
-    neg_pair = (emb.crossJoin(F.broadcast(anchors))
-                .filter(F.col("label") != F.col("q_label"))
-                .select("anchor", "vec_id",
-                        F.round(similarity.cosine("q_vec", "embedding"), 6)
-                         .alias("score")))
-    w = Window.partitionBy("anchor").orderBy(F.col("score").desc(),
-                                             F.col("vec_id"))
-    neg = (neg_pair.withColumn("rk", F.row_number().over(w))
-           .filter(F.col("rk") <= 2)
-           .select("anchor", F.col("vec_id").alias("other"),
-                   F.lit(0).alias("lbl"), "rk"))
-    return pos.unionByName(neg).select(
-        F.col("anchor").cast("bigint").alias("anchor"),
-        F.col("other").cast("bigint").alias("other"),
-        F.col("lbl").cast("int").alias("lbl"),
-        F.col("rk").cast("int").alias("rk"))
-
-
-QUERIES["x_contrastive_pairs"] = x_contrastive_pairs
-
-ORACLES["x_contrastive_pairs"] = f"""
-WITH cand AS ({_minhash_lsh_oracle()}),
-jac AS ({_jaccard_oracle(threshold=0.5)}),
-edges AS (
-  SELECT jac.id_a, jac.id_b FROM jac
-  JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-pos AS (
-  SELECT id_a AS anchor, id_b AS other, 1 AS lbl, 0 AS rk FROM edges
-),
-anch AS (
-  SELECT DISTINCT e.id_a AS anchor, emb.embedding AS q, emb.label AS q_label
-  FROM edges e JOIN embeddings emb ON emb.vec_id = e.id_a
-),
-s AS (
-  SELECT anchor, c.vec_id, round({_cosine_sql('q', 'c.embedding')}, 6)
-           AS score
-  FROM anch CROSS JOIN embeddings c WHERE c.label <> anch.q_label
-),
-neg AS (
-  SELECT anchor, vec_id AS other, 0 AS lbl, rk FROM (
-    SELECT anchor, vec_id, row_number() OVER (PARTITION BY anchor
-             ORDER BY score DESC, vec_id) AS rk
-    FROM s) WHERE rk <= 2
-)
-SELECT CAST(anchor AS BIGINT) AS anchor, CAST(other AS BIGINT) AS other,
-       CAST(lbl AS INT) AS lbl, CAST(rk AS INT) AS rk
-FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
-"""
-
-
-def x_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit over every FK edge of the schema,
-    reported one row per FK — the data-quality gate a warehouse runs
-    after each load. Each CHILD table scans exactly ONCE regardless of
-    how many FK edges leave it: all its parents left-join in one pass
-    (parent sides reduced to distinct keys, broadcast where they fit) and
-    per-edge orphan rows/keys come out of a single aggregate, unpivoted
-    to rows. The fixture is referentially clean, so every orphan count
-    is 0 — the audit PROVES it rather than assumes it."""
-    def audit(child: DataFrame, child_name: str,
-              edges: list) -> DataFrame:
-        # edges: (fk_label, child_key, parent_df, parent_key)
-        j = child
-        for i, (_, ck, parent, pk) in enumerate(edges):
-            keys = parent.select(F.col(pk).alias(f"_p{i}")).distinct()
-            j = j.join(keys, F.col(ck) == F.col(f"_p{i}"), "left")
-        aggs = [F.count(F.lit(1)).alias("n_child")]
-        for i, (_, ck, _, _) in enumerate(edges):
-            miss = F.col(f"_p{i}").isNull()
-            aggs.append(F.sum(miss.cast("bigint"))
-                         .alias(f"rows{i}"))
-            aggs.append(F.countDistinct(F.when(miss, F.col(ck)))
-                         .alias(f"keys{i}"))
-        a = j.agg(*aggs)
-        # ONE aggregate row exploded map-side to per-FK rows — selecting
-        # per edge would re-execute the whole join+agg once per edge.
-        items = F.array(*[
-            F.struct(F.lit(lbl).alias("fk"),
-                     F.col(f"rows{i}").cast("bigint")
-                      .alias("n_orphan_rows"),
-                     F.col(f"keys{i}").cast("bigint")
-                      .alias("n_orphan_keys"))
-            for i, (lbl, _, _, _) in enumerate(edges)])
-        return (a.select(F.col("n_child").cast("bigint").alias("n_child"),
-                         F.explode(items).alias("e"))
-                 .select("e.fk", "n_child", "e.n_orphan_rows",
-                         "e.n_orphan_keys"))
-
-    li = load_table(_prep(spark), sf_dir, "lineitem")
-    orders = load_table(_prep(spark), sf_dir, "orders")
-    cust = load_table(_prep(spark), sf_dir, "customer")
-    part = load_table(_prep(spark), sf_dir, "part")
-    supp = load_table(_prep(spark), sf_dir, "supplier")
-    nation = load_table(_prep(spark), sf_dir, "nation")
-    out = audit(li, "lineitem", [
-        ("lineitem.l_orderkey->orders", "l_orderkey", orders, "o_orderkey"),
-        ("lineitem.l_partkey->part", "l_partkey", part, "p_partkey"),
-        ("lineitem.l_suppkey->supplier", "l_suppkey", supp, "s_suppkey")])
-    out = out.unionByName(audit(orders, "orders", [
-        ("orders.o_custkey->customer", "o_custkey", cust, "c_custkey")]))
-    out = out.unionByName(audit(cust, "customer", [
-        ("customer.c_nationkey->nation", "c_nationkey",
-         nation, "n_nationkey")]))
-    return out.unionByName(audit(supp, "supplier", [
-        ("supplier.s_nationkey->nation", "s_nationkey",
-         nation, "n_nationkey")]))
-
-
-QUERIES["x_fk_orphans"] = x_fk_orphans
-
-ORACLES["x_fk_orphans"] = """
-WITH e AS (
-  SELECT 'lineitem.l_orderkey->orders' AS fk,
-         (SELECT count(*) FROM lineitem) AS n_child,
-         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
-            ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey IS NULL)
-           AS n_orphan_rows,
-         (SELECT count(DISTINCT l.l_orderkey) FROM lineitem l
-            LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
-            WHERE o.o_orderkey IS NULL) AS n_orphan_keys
-  UNION ALL
-  SELECT 'lineitem.l_partkey->part',
-         (SELECT count(*) FROM lineitem),
-         (SELECT count(*) FROM lineitem l LEFT JOIN part p
-            ON p.p_partkey = l.l_partkey WHERE p.p_partkey IS NULL),
-         (SELECT count(DISTINCT l.l_partkey) FROM lineitem l
-            LEFT JOIN part p ON p.p_partkey = l.l_partkey
-            WHERE p.p_partkey IS NULL)
-  UNION ALL
-  SELECT 'lineitem.l_suppkey->supplier',
-         (SELECT count(*) FROM lineitem),
-         (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
-            ON s.s_suppkey = l.l_suppkey WHERE s.s_suppkey IS NULL),
-         (SELECT count(DISTINCT l.l_suppkey) FROM lineitem l
-            LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
-            WHERE s.s_suppkey IS NULL)
-  UNION ALL
-  SELECT 'orders.o_custkey->customer',
-         (SELECT count(*) FROM orders),
-         (SELECT count(*) FROM orders o LEFT JOIN customer c
-            ON c.c_custkey = o.o_custkey WHERE c.c_custkey IS NULL),
-         (SELECT count(DISTINCT o.o_custkey) FROM orders o
-            LEFT JOIN customer c ON c.c_custkey = o.o_custkey
-            WHERE c.c_custkey IS NULL)
-  UNION ALL
-  SELECT 'customer.c_nationkey->nation',
-         (SELECT count(*) FROM customer),
-         (SELECT count(*) FROM customer c LEFT JOIN nation n
-            ON n.n_nationkey = c.c_nationkey WHERE n.n_nationkey IS NULL),
-         (SELECT count(DISTINCT c.c_nationkey) FROM customer c
-            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
-            WHERE n.n_nationkey IS NULL)
-  UNION ALL
-  SELECT 'supplier.s_nationkey->nation',
-         (SELECT count(*) FROM supplier),
-         (SELECT count(*) FROM supplier s LEFT JOIN nation n
-            ON n.n_nationkey = s.s_nationkey WHERE n.n_nationkey IS NULL),
-         (SELECT count(DISTINCT s.s_nationkey) FROM supplier s
-            LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
-            WHERE n.n_nationkey IS NULL)
-)
-SELECT fk, CAST(n_child AS BIGINT) AS n_child,
-       CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
-       CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys
-FROM e
-"""
-
-
-def _rp_signs(out_dim: int = 16, in_dim: int = 64) -> list:
-    """Deterministic ±1 Johnson-Lindenstrauss sign matrix from md5 parity
-    — computed ONCE here and inlined as a literal constant into BOTH the
-    Spark plan and the oracle SQL, so there is nothing to replay."""
-    import hashlib
-    return [[1 if int(hashlib.md5(f"rp:{j}:{i}".encode())
-                      .hexdigest()[:8], 16) % 2 == 0 else -1
-             for i in range(in_dim)] for j in range(out_dim)]
-
-
-def x_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Johnson-Lindenstrauss audit: top-10 ANN in a 16-dim ±1 random-sign
-    projection (Achlioptas 2003 — database-friendly random projections,
-    here a fixed md5-derived sign matrix) vs the full-dim exact top-10.
-    The complement of x_dim_recall: truncation keeps a COORDINATE prefix,
-    JL mixes ALL coordinates, which is what makes the distance bound
-    dimension-free. Projection is one map-side integer transform
-    (e6 ints x ±1 — exact, engine-identical); ranking in the projected
-    space is integer L2. Output per query: n_hits, recall6."""
-    signs = _rp_signs()
-    R = similarity._lit_matrix(signs)
-    emb = _emb(spark, sf_dir)
-    qv = emb.select("vec_id", similarity.quantize_e6("embedding")
-                    .alias("q6"))
-    proj = qv.select(
-        "vec_id",
-        F.transform(R, lambda row: F.aggregate(
-            F.zip_with(F.col("q6"), row, lambda a, b: a * b),
-            F.lit(0).cast("bigint"), lambda acc, x: acc + x)).alias("p"))
-    qp = (proj.filter(F.col("vec_id") < 10)
-          .select(F.col("vec_id").alias("query_id"),
-                  F.col("p").alias("qp")))
-    d2 = F.aggregate(F.zip_with("qp", "p", lambda a, b: (a - b) * (a - b)),
-                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
-    rp = (proj.crossJoin(F.broadcast(qp))
-          .filter(F.col("query_id") != F.col("vec_id"))
-          .withColumn("d2", d2)
-          .withColumn("rk", F.row_number().over(w))
-          .filter(F.col("rk") <= 10)
-          .select("query_id", "vec_id"))
-    q_full = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    full = similarity.brute_force_topk(emb, q_full, k=10)
-    hits = (full.select("query_id", "vec_id")
-            .join(rp, ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
-    base = full.select("query_id").distinct()
-    return (base.join(hits, "query_id", "left")
-            .select("query_id",
-                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
-                     .alias("n_hits"),
-                    F.round(F.coalesce("n_hits", F.lit(0)).cast("double")
-                            / 10, 6).alias("recall6"))
-            .orderBy("query_id"))
-
-
-QUERIES["x_rp_recall"] = x_rp_recall
-
-
-def _rp_oracle() -> str:
-    rlit = "[" + ", ".join(
-        "[" + ", ".join(str(s) for s in row) + "]"
-        for row in _rp_signs()) + "]"
-    return f"""
-WITH qv AS (
-  SELECT vec_id, embedding, list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
-  FROM embeddings
-),
-pj AS (
-  SELECT vec_id,
-         list_transform({rlit}::BIGINT[][],
-           row -> list_sum(list_transform(range(1, len(row) + 1),
-                             i -> row[i] * q6[i]))) AS p
-  FROM qv
-),
-rp AS (
-  SELECT query_id, vec_id FROM (
-    SELECT q.vec_id AS query_id, c.vec_id,
-           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             list_sum(list_transform(list_zip(q.p, c.p),
-                        z -> (z[1] - z[2]) * (z[1] - z[2]))), c.vec_id)
-             AS rk
-    FROM pj q JOIN pj c ON c.vec_id <> q.vec_id
-    WHERE q.vec_id < 10) WHERE rk <= 10
-),
-q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
-      WHERE vec_id < 10),
-c AS (SELECT vec_id, embedding AS v FROM embeddings),
-s AS (
-  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
-  FROM q CROSS JOIN c WHERE query_id <> vec_id
-),
-full10 AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-             ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= 10
-),
-hits AS (
-  SELECT f.query_id, count(*) AS n_hits
-  FROM full10 f JOIN rp ON rp.query_id = f.query_id
-                       AND rp.vec_id = f.vec_id
-  GROUP BY 1
-)
-SELECT b.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall6
-FROM (SELECT DISTINCT query_id FROM full10) b
-LEFT JOIN hits h ON h.query_id = b.query_id
-ORDER BY b.query_id
-"""
-
-
-ORACLES["x_rp_recall"] = _rp_oracle()
-
-
-def x_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gram matrix of the e6-quantized embedding corpus — the one-pass
-    sufficient statistic for PCA/whitening/covariance: upper-triangle
-    (i, j, sum q6_i*q6_j) cells, exact int64. The distributed shape is
-    the map-side partial-aggregate pattern made explicit: mapInPandas
-    accumulates a dense dim x dim numpy X^T X per Arrow batch and emits
-    ONE 2080-row triangle per partition, so the shuffle carries
-    partitions x dim^2 tiny rows, never corpus rows. (int64 headroom:
-    |q6| <= 1e6 so products are <= 1e12 — fine to ~1e6 rows per sum; at
-    larger scale quantize coarser or split the sum, documented here.)"""
-    import pandas as pd
-
-    emb = _emb(spark, sf_dir)
-    qv = emb.select(similarity.quantize_e6("embedding").alias("q6"))
-
-    def gram(batches):
-        import numpy as np
-        acc = None
-        for pdf in batches:
-            x = np.asarray([list(v) for v in pdf["q6"]], dtype=np.int64)
-            if len(x):
-                g = x.T @ x
-                acc = g if acc is None else acc + g
-        if acc is None:
-            return
-        dim = acc.shape[0]
-        iu = [(i, j) for i in range(dim) for j in range(i, dim)]
-        yield pd.DataFrame({
-            "i": [i for i, _ in iu],
-            "j": [j for _, j in iu],
-            "s": [int(acc[i, j]) for i, j in iu]})
-
-    partials = qv.mapInPandas(gram, "i int, j int, s long")
-    return (partials.groupBy("i", "j")
-            .agg(F.sum("s").cast("bigint").alias("gram"))
-            .orderBy("i", "j"))
-
-
-QUERIES["x_embedding_gram"] = x_embedding_gram
-
-ORACLES["x_embedding_gram"] = """
-WITH qv AS (
-  SELECT list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
-  FROM embeddings
-)
-SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
-       CAST(sum(q6[i] * q6[j]) AS BIGINT) AS gram
-FROM qv, range(1, 65) r1(i), range(1, 65) r2(j)
-WHERE j >= i
-GROUP BY 1, 2
-ORDER BY 1, 2
-"""
-
-
-def x_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingestion-gap audit per event type: inter-event gaps from one lag
-    window, reported as count-over-threshold (2 h), max and total gap —
-    the monitoring view that catches a stalled producer that
-    x_freshness's end-lag alone misses (a mid-stream outage leaves the
-    latest timestamp fresh). Map-side after one keyed sort window."""
-    from pyspark.sql import Window
-    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
-    w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
-    g = e.withColumn("gap", F.col("ts_ms") - F.lag("ts_ms").over(w))
-    return (g.groupBy("event_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                 F.sum((F.col("gap") > 7_200_000).cast("bigint"))
-                  .cast("bigint").alias("n_gaps_gt_2h"),
-                 F.max("gap").cast("bigint").alias("max_gap_ms"),
-                 F.sum("gap").cast("bigint").alias("sum_gap_ms"))
-            .orderBy("event_type"))
-
-
-QUERIES["x_gap_report"] = x_gap_report
-
-ORACLES["x_gap_report"] = """
-WITH g AS (
-  SELECT event_type,
-         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
-           PARTITION BY event_type ORDER BY epoch_ms(ts), event_id) AS gap
-  FROM events
-)
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CASE WHEN gap > 7200000 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_gaps_gt_2h,
-       CAST(max(gap) AS BIGINT) AS max_gap_ms,
-       CAST(sum(gap) AS BIGINT) AS sum_gap_ms
-FROM g GROUP BY 1 ORDER BY 1
-"""
-
-
-def x_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-level dedup through the REAL codec path: deterministic 8x8
-    grayscale images (pixels md5-derived from ``doc_id % 40``, so ~40
-    duplicate groups exist by construction) encode to genuine PNG bytes,
-    decode back, and the decoded pixels hash to the 64-bit average-hash
-    (multimodal.decode_png_ahash — bit i set iff px*n >= sum, the
-    division-free 'above mean'). Grouping on the hash is exact image
-    dedup; the oracle recomputes the hash from the generative pixel
-    definition, so a match proves encode -> decode -> hash is the
-    identity through the actual file format. Output per distinct image:
-    (ahash, n_members, min_media_id)."""
-    from .functions.dedup import _md5_hash32
-    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"),
-                                    (F.col("doc_id") % 40).alias("img"))
-    px = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: (_md5_hash32(
-            "px", F.concat(F.col("img").cast("string"),
-                           F.lit(":"), i.cast("string"))) % 256)
-        .cast("int"))
-    pixels = d.withColumn("pixels", px).drop("img")
-    media = multimodal.encode_png_images(pixels, width=8)
-    hashes = multimodal.decode_png_ahash(media)
-    return (hashes.groupBy("ahash")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
-                 F.min("media_id").cast("bigint").alias("min_media_id"))
-            .orderBy("ahash"))
-
-
-QUERIES["x_phash_dedup"] = x_phash_dedup
-
-_IMG_H = _H32.format(
-    x="concat('px', ':', CAST(img AS VARCHAR), ':', CAST(i AS VARCHAR))")
-
-ORACLES["x_phash_dedup"] = f"""
-WITH d AS (SELECT doc_id AS media_id, doc_id % 40 AS img FROM documents),
-px AS (
-  SELECT media_id, i, {_IMG_H} % 256 AS v
-  FROM d CROSS JOIN range(0, 64) r(i)
-),
-st AS (SELECT media_id, sum(v) AS total FROM px GROUP BY 1),
-bits AS (
-  SELECT px.media_id, px.i,
-         CASE WHEN px.v * 64 >= st.total THEN 1 ELSE 0 END AS b
-  FROM px JOIN st USING (media_id)
-),
-nib AS (
-  SELECT media_id, i // 4 AS nb,
-         sum(b << (3 - (i % 4))) AS nv
-  FROM bits GROUP BY 1, 2
-),
-h AS (
-  SELECT media_id,
-         string_agg(substring('0123456789abcdef', CAST(nv AS INT) + 1, 1),
-                    '' ORDER BY nb) AS ahash
-  FROM nib GROUP BY 1
-)
-SELECT ahash, CAST(count(*) AS BIGINT) AS n_members,
-       CAST(min(media_id) AS BIGINT) AS min_media_id
-FROM h GROUP BY 1 ORDER BY 1
-"""
-
-
-def x_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming maintenance of the MinHash dedup index — the x_hll_stream
-    argument applied to signatures: a minhash only ever DECREASES, so the
-    signature under streaming is a plain update-mode min-aggregation per
-    doc (no custom state, no watermark; state bounded at docs x k longs).
-    Shingle explode + the k affine hashes are map-side on the stream
-    (array_distinct inside `shingles` keeps it stateless; duplicate
-    shingles wouldn't change a min anyway). Drained signatures
-    posexplode to the (doc_id, seed, minhash) contract and hash-match
-    the batch signature oracle — replaying the corpus through streaming
-    maintenance yields the identical index."""
-    num_hashes = 16
-    stream = _docs_stream(spark, sf_dir)
-    sh = dedup.shingles(stream, 3)
-    based = sh.select("doc_id",
-                      dedup._md5_hash32("mh", F.col("shingle")).alias("hb"))
-    consts = dedup.affine_consts(num_hashes)
-    hashed = based.select(
-        "doc_id",
-        *[((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(1 << 32))
-          .cast("bigint").alias(f"h{s}")
-          for s, (a, b) in enumerate(consts)])
-    mins = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)])
-    drained = _run_to_memory(mins, spark, output_mode="update")
-    # update mode re-emits a doc each batch a register shrinks; the last
-    # emission per doc is the min fold — idempotent to refold.
-    folded = drained.groupBy("doc_id").agg(
-        *[F.min(f"m{s}").alias(f"m{s}") for s in range(num_hashes)])
-    return (folded.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"m{s}")
-                               for s in range(num_hashes)]))
-         .alias("seed", "minhash"))
-        .select("doc_id", F.col("seed").cast("int").alias("seed"),
-                F.col("minhash").cast("bigint").alias("minhash")))
-
-
-QUERIES["x_minhash_stream"] = x_minhash_stream
-STREAMING_DEMOS.add("x_minhash_stream")
-
-_MH_SEEDS = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
-                      in enumerate(dedup.affine_consts(16)))
-ORACLES["x_minhash_stream"] = f"""
-WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS MATERIALIZED (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - 2
-), hb AS (
-  SELECT doc_id, {_H32.format(x="concat('mh', ':', shingle)")} AS hb FROM sh
-)
-SELECT doc_id, CAST(seed AS INT) AS seed,
-       CAST(MIN((a * hb + b) % 4294967296) AS BIGINT) AS minhash
-FROM hb CROSS JOIN (VALUES {_MH_SEEDS}) seeds(seed, a, b)
-GROUP BY doc_id, seed
-"""
-
-
-def x_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive Bayes predicting each document's SOURCE from its
-    tokens (add-one smoothing, global vocabulary) — the classic cheap
-    domain classifier (fastText-style quality/domain filters are this
-    plus embeddings), evaluated in-corpus as a confusion matrix. Exact
-    cross-engine: every per-term contribution rounds to e6 fixed point
-    BEFORE summation (the unigram_logprob contract — ln on identical
-    integer ratios, order-free integer sums), argmax ties break
-    (score desc, source asc).
-
-    Plan: one tokenize pass feeds per-source counts, vocabulary and
-    per-doc tf; scoring fans tf out over the |sources|-bounded broadcast
-    frame and left-joins the (source, token) model with AQE (vocabulary
-    is unbounded at 100 TB). Output: (source, pred_source, n_docs)."""
-    from pyspark.sql import Window
-    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    tok = docs.select("doc_id", "source",
-                      F.explode(text.tokens("text")).alias("tok"))
-    tf = (tok.groupBy("doc_id", "tok")
-             .agg(F.count(F.lit(1)).alias("tf"))
-             .localCheckpoint(eager=True))
-    src_counts = tok.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).alias("c"))
-    src_frame = (tok.groupBy("source")
-                 .agg(F.count(F.lit(1)).alias("n_src")))
-    vocab = tf.select("tok").distinct().agg(
-        F.count(F.lit(1)).alias("v"))
-    priors = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_s"))
-    n_total = docs.agg(F.count(F.lit(1)).alias("n_docs_t"))
-    srcs = (src_frame.join(priors, "source")
-            .crossJoin(F.broadcast(n_total)))
-
-    pairs = (tf.crossJoin(F.broadcast(srcs))
-               .join(src_counts, ["source", "tok"], "left")
-               .crossJoin(F.broadcast(vocab)))
-    term = F.round(F.col("tf")
-                   * F.log((F.coalesce(F.col("c"), F.lit(0)) + 1)
-                           / (F.col("n_src") + F.col("v")))
-                   * 1_000_000).cast("bigint")
-    prior_e6 = F.round(F.log(F.col("n_docs_s") / F.col("n_docs_t"))
-                       * 1_000_000).cast("bigint")
-    scored = (pairs.groupBy("doc_id", "source")
-              .agg(F.sum(term).alias("ll_e6"),
-                   F.first(prior_e6).alias("prior_e6"))
-              .withColumn("score_e6", F.col("ll_e6") + F.col("prior_e6")))
-    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(),
-                                             F.col("source"))
-    pred = (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("doc_id", F.col("source").alias("pred_source")))
-    return (docs.select("doc_id", "source").join(pred, "doc_id")
-            .groupBy("source", "pred_source")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-            .orderBy("source", "pred_source"))
-
-
-QUERIES["x_nb_source_classifier"] = x_nb_source_classifier
-
-ORACLES["x_nb_source_classifier"] = f"""
-WITH tok AS (
-  SELECT doc_id, source, unnest({_QF_TOKS}) AS tok FROM documents
-), tf AS (
-  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
-), sc AS (
-  SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2
-), sf AS (
-  SELECT source, count(*) AS n_src FROM tok GROUP BY 1
-), v AS (SELECT count(DISTINCT tok) AS v FROM tf),
-pri AS (SELECT source, count(*) AS n_docs_s FROM documents GROUP BY 1),
-nt AS (SELECT count(*) AS n_docs_t FROM documents),
-srcs AS (
-  SELECT sf.source, sf.n_src, pri.n_docs_s, nt.n_docs_t
-  FROM sf JOIN pri ON pri.source = sf.source CROSS JOIN nt
-),
-pairs AS (
-  SELECT tf.doc_id, s.source, tf.tf, coalesce(sc.c, 0) AS c,
-         s.n_src, s.n_docs_s, s.n_docs_t, v.v
-  FROM tf CROSS JOIN srcs s
-  LEFT JOIN sc ON sc.source = s.source AND sc.tok = tf.tok
-  CROSS JOIN v
-),
-scored AS (
-  SELECT doc_id, source,
-         sum(CAST(round(tf * ln((c + 1) / CAST(n_src + v AS DOUBLE))
-                        * 1000000) AS BIGINT)) +
-         CAST(round(ln(n_docs_s / CAST(n_docs_t AS DOUBLE)) * 1000000)
-              AS BIGINT) AS score_e6
-  FROM pairs
-  GROUP BY doc_id, source, n_docs_s, n_docs_t
-),
-pred AS (
-  SELECT doc_id, source AS pred_source FROM (
-    SELECT doc_id, source, row_number() OVER (PARTITION BY doc_id
-             ORDER BY score_e6 DESC, source) AS rk
-    FROM scored) WHERE rk = 1
-)
-SELECT d.source, p.pred_source, CAST(count(*) AS BIGINT) AS n_docs
-FROM documents d JOIN pred p ON p.doc_id = d.doc_id
-GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-def x_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skyline (Pareto frontier) of documents over (mean unigram quality,
-    length) — the Börzsönyi et al. ICDE'01 skyline operator: a doc
-    survives iff no other doc is >= on BOTH axes and > on at least one
-    (the docs you cannot discard without giving something up; equal
-    twins both survive). Expressed WITHOUT the quadratic self-join:
-    dominated(B) iff max{len : q > q_B} >= len_B OR
-    max{len : q = q_B} > len_B — one RANGE window over the strictly-
-    greater quality frame plus one per-quality partition max, both over
-    integer keys. Quality key = (logprob_e6 * 1000) div n_tokens
-    (truncating division agrees cross-engine, the quality_buckets
-    contract).
-
-    Scale shape — the distributed-skyline two-phase: phase 1 computes a
-    LOCAL skyline per input partition (same window logic keyed by
-    spark_partition_id — local pruning only ever removes globally
-    dominated rows, so the final answer is untouched); phase 2 runs the
-    global single-partition window on the union of the tiny local
-    frontiers, never on the corpus. Output: (doc_id, qkey_e3, n_chars)."""
-    from pyspark.sql import Window
-
-    def skyline(frame: DataFrame, *extra_part) -> DataFrame:
-        w_gt = (Window.partitionBy(*extra_part)
-                .orderBy(F.col("qkey_e3").desc())
-                .rangeBetween(Window.unboundedPreceding, -1))
-        w_eq = Window.partitionBy(*extra_part, "qkey_e3")
-        flagged = (frame.withColumn("m_gt", F.max("n_chars").over(w_gt))
-                        .withColumn("m_eq", F.max("n_chars").over(w_eq)))
-        dominated = ((F.col("m_gt").isNotNull()
-                      & (F.col("m_gt") >= F.col("n_chars")))
-                     | (F.col("m_eq") > F.col("n_chars")))
-        return flagged.filter(~dominated).drop("m_gt", "m_eq")
-
-    q = text.unigram_logprob(_docs(spark, sf_dir)).filter(
-        F.col("n_tokens") > 0)
-    d = (q.join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
-          .select("doc_id",
-                  F.expr("(logprob_e6 * 1000) div n_tokens")
-                   .cast("bigint").alias("qkey_e3"),
-                  F.col("n_chars").cast("bigint").alias("n_chars")))
-    local = skyline(d.withColumn("pid", F.spark_partition_id()), "pid")
-    return (skyline(local.drop("pid"))
-            .select("doc_id", "qkey_e3", "n_chars")
-            .orderBy("doc_id"))
-
-
-QUERIES["x_pareto_docs"] = x_pareto_docs
-
-ORACLES["x_pareto_docs"] = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-), tf AS (
-  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
-), uni AS (
-  SELECT tok, sum(tf) AS c FROM tf GROUP BY 1
-), tot AS (
-  SELECT sum(c) AS n_corpus, count(*) AS vocab FROM uni
-), sc AS (
-  SELECT tf.doc_id,
-         sum(CAST(round(tf.tf * ln((uni.c + 1)
-                        / CAST(tot.n_corpus + tot.vocab AS DOUBLE))
-                        * 1000000) AS BIGINT)) AS logprob_e6,
-         sum(tf.tf) AS n_tokens
-  FROM tf JOIN uni USING (tok) CROSS JOIN tot
-  GROUP BY 1
-), d AS (
-  SELECT sc.doc_id,
-         (sc.logprob_e6 * 1000) // sc.n_tokens AS qkey_e3,
-         doc.n_chars
-  FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id
-  WHERE sc.n_tokens > 0
-), flagged AS (
-  SELECT doc_id, qkey_e3, n_chars,
-         max(n_chars) OVER (ORDER BY qkey_e3 DESC
-           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt,
-         max(n_chars) OVER (PARTITION BY qkey_e3) AS m_eq
-  FROM d
-)
-SELECT doc_id, CAST(qkey_e3 AS BIGINT) AS qkey_e3,
-       CAST(n_chars AS BIGINT) AS n_chars
-FROM flagged
-WHERE NOT ((m_gt IS NOT NULL AND m_gt >= n_chars) OR m_eq > n_chars)
-ORDER BY doc_id
-"""
-
-
-def x_maxsim_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ColBERT-style late-interaction scoring (Khattab & Zaharia,
-    SIGIR'20) at the group level: treating each LABEL's vectors as a
-    multi-vector document, score(A, B) = sum over query vectors a in A
-    of max over document vectors b in B of cosine(a, b) — the MaxSim
-    sum that makes late interaction beat single-vector retrieval. The
-    query side is a BOUNDED per-label sample — 32 vectors per label
-    (labels 0-2), the ColBERT query-length cap — picked deterministically
-    by lowest vec_id via a per-label top-k window (Spark 3.5+ rewrites
-    the rn<=k filter into WindowGroupLimit partial top-k, so no full
-    sort). The broadcast is therefore |labels|*32 rows no matter the
-    corpus size — the r7-judge-flagged corpus-fraction broadcast is gone.
-    The max collapses per (query vector, doc label) BEFORE the per-pair
-    sum, so the wide pairwise frame reduces in two keyed aggregates.
-    Scores in e6 fixed point (each cosine rounds to 6 dp first —
-    order-free sums). Output: (label_a, label_b, n_qvecs, maxsim_e6)."""
-    from pyspark.sql import Window
-    emb = _emb(spark, sf_dir)
-    w = Window.partitionBy("label").orderBy("vec_id")
-    qside = (emb.filter(F.col("label") < 3)
-             .withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= 32)
-             .select(F.col("label").alias("label_a"),
-                     F.col("vec_id").alias("qid"),
-                     F.col("embedding").alias("qv")))
-    pair = (emb.select(F.col("label").alias("label_b"), "vec_id",
-                       "embedding")
-            .crossJoin(F.broadcast(qside))
-            .select("label_a", "qid", "label_b",
-                    # explicit re-round before the int cast: Spark's cast
-                    # truncates while DuckDB's rounds, and 6-dp doubles
-                    # times 1e6 can sit one ulp under the integer.
-                    F.round(F.round(similarity.cosine("qv", "embedding"),
-                                    6) * 1_000_000)
-                     .cast("bigint").alias("cos_e6")))
-    per_qvec = (pair.groupBy("label_a", "qid", "label_b")
-                .agg(F.max("cos_e6").alias("best_e6")))
-    return (per_qvec.groupBy("label_a", "label_b")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_qvecs"),
-                 F.sum("best_e6").cast("bigint").alias("maxsim_e6"))
-            .orderBy("label_a", "label_b"))
-
-
-QUERIES["x_maxsim_labels"] = x_maxsim_labels
-
-ORACLES["x_maxsim_labels"] = f"""
-WITH qr AS (
-  SELECT label, vec_id, embedding,
-         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-  FROM embeddings WHERE label < 3
-), q AS (
-  SELECT label AS label_a, vec_id AS qid, embedding AS q
-  FROM qr WHERE rn <= 32
-), c AS (
-  SELECT label AS label_b, vec_id, embedding AS v FROM embeddings
-), pair AS (
-  SELECT q.label_a, q.qid, c.label_b,
-         CAST(round(round({_COSINE_Q}, 6) * 1000000) AS BIGINT) AS cos_e6
-  FROM q CROSS JOIN c
-), best AS (
-  SELECT label_a, qid, label_b, max(cos_e6) AS best_e6
-  FROM pair GROUP BY 1, 2, 3
-)
-SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS n_qvecs,
-       CAST(sum(best_e6) AS BIGINT) AS maxsim_e6
-FROM best GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source n-gram contamination matrix: Jaccard overlap of the
-    DISTINCT 3-gram shingle sets of every source pair — the corpus
-    forensic that catches one crawl republishing another (doc-level
-    dedup sees pairs; this sees the systemic overlap). Shingle sets
-    reduce to (source, shingle) DISTINCT rows first, the pair join keys
-    on the shingle (posting-list shape: fan-out concentrates in shared
-    shingles), and |A∪B| comes from |A|+|B|-|A∩B| — set sizes join in
-    at |sources| scale. Output: (src_a, src_b, n_a, n_b, n_common,
-    jaccard6) for src_a < src_b."""
-    docs = _docs(spark, sf_dir)
-    sh = (dedup.shingles(docs, 3)
-          .join(docs.select("doc_id", "source"), "doc_id")
-          .select("source", "shingle").distinct()
-          .localCheckpoint(eager=True))
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("source").alias("src_a"), "shingle")
-    b = sh.select(F.col("source").alias("src_b"), "shingle")
-    common = (a.join(b, "shingle")
-              .filter(F.col("src_a") < F.col("src_b"))
-              .groupBy("src_a", "src_b")
-              .agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.select(F.col("source").alias("src_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("source").alias("src_b"),
-                      F.col("n_sh").alias("n_b"))
-    return (common.join(F.broadcast(sa), "src_a")
-            .join(F.broadcast(sb), "src_b")
-            .select("src_a", "src_b",
-                    F.col("n_a").cast("bigint").alias("n_a"),
-                    F.col("n_b").cast("bigint").alias("n_b"),
-                    F.col("n_common").cast("bigint").alias("n_common"),
-                    F.round(F.col("n_common")
-                            / (F.col("n_a") + F.col("n_b")
-                               - F.col("n_common")), 6).alias("jaccard6"))
-            .orderBy("src_a", "src_b"))
-
-
-QUERIES["x_source_overlap"] = x_source_overlap
-
-ORACLES["x_source_overlap"] = f"""
-WITH words AS (
-  SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS w FROM documents
-), sh AS MATERIALIZED (
-  SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS shingle
-  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
-  WHERE i <= len(w) - 2
-), sizes AS (
-  SELECT source, count(*) AS n_sh FROM sh GROUP BY 1
-), common AS (
-  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
-  GROUP BY 1, 2
-)
-SELECT c.src_a, c.src_b,
-       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
-       CAST(c.n_common AS BIGINT) AS n_common,
-       round(c.n_common / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE), 6)
-         AS jaccard6
-FROM common c
-JOIN sizes sa ON sa.source = c.src_a
-JOIN sizes sb ON sb.source = c.src_b
-ORDER BY 1, 2
-"""
-
-
-def x_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The S3 audit generator as a REAL Spark data source (Spark 4 Python
-    DataSource API, sources.AuditDataSource): register, scan 20k
-    generated records across 8 parallel range partitions, aggregate the
-    audit dashboard (per user x operation: events, total duration,
-    record-count sum). Every field is md5(i)-derived, so DuckDB replays
-    the generator row-for-row — a generated SOURCE with a correctness
-    oracle. sf_dir is unused: the source IS the data."""
-    from .sources import register_audit_source
-    register_audit_source(spark)
-    df = (spark.read.format("frde_audit")
-          .option("n", 20000).option("parts", 8).load())
-    return (df.groupBy("user", "operation")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                 F.sum("duration").cast("bigint").alias("sum_duration"),
-                 F.sum("cnt").cast("bigint").alias("sum_cnt"))
-            .orderBy("user", "operation"))
-
-
-QUERIES["x_datasource_scan"] = x_datasource_scan
-
-ORACLES["x_datasource_scan"] = f"""
-WITH g AS (
-  SELECT i,
-         (['Tom', 'Harry', 'Bob'])[
-           {_H32.format(x="concat('au', ':', CAST(i AS VARCHAR))")} % 3 + 1]
-           AS "user",
-         (['Create', 'Modify', 'Query', 'Delete'])[
-           {_H32.format(x="concat('ao', ':', CAST(i AS VARCHAR))")} % 4 + 1]
-           AS operation,
-         {_H32.format(x="concat('ad', ':', CAST(i AS VARCHAR))")} % 10 + 1
-           AS duration,
-         {_H32.format(x="concat('ac', ':', CAST(i AS VARCHAR))")} % 4 + 1
-           AS cnt
-  FROM range(0, 20000) r(i)
-)
-SELECT "user", operation, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(duration) AS BIGINT) AS sum_duration,
-       CAST(sum(cnt) AS BIGINT) AS sum_cnt
-FROM g GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-def x_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 Python UDTF surface: a user-defined TABLE function
-    (stride chunker: windows of 8 whitespace tokens, stride 6) applied
-    with SQL ``LATERAL`` — one input doc row fans out to its chunk rows
-    engine-side, the API a row-to-many text operator should use instead
-    of explode-over-collected-arrays when the expansion logic is
-    imperative. The chunk rule is pure arithmetic over the token list,
-    so DuckDB replays it with a range generator. Output: (doc_id,
-    chunk_idx, n_words, chunk) for doc_id < 50."""
-    from pyspark.sql.functions import udtf
-
-    @udtf(returnType="chunk_idx int, n_words int, chunk string")
-    class StrideChunker:
-        def eval(self, text: str):
-            words = [w for w in (text or "").split(" ") if w]
-            size, stride = 8, 6
-            idx = 0
-            for start in range(0, len(words), stride):
-                piece = words[start:start + size]
-                if not piece:
-                    break
-                yield idx, len(piece), " ".join(piece)
-                idx += 1
-                if start + size >= len(words):
-                    break
-
-    spark.udtf.register("frde_chunk", StrideChunker)
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
-    docs.createOrReplaceTempView("frde_udtf_docs")
-    return spark.sql("""
-        SELECT d.doc_id, c.chunk_idx, c.n_words, c.chunk
-        FROM frde_udtf_docs d, LATERAL frde_chunk(d.text) c
-        ORDER BY d.doc_id, c.chunk_idx
-    """)
-
-
-QUERIES["x_udtf_chunks"] = x_udtf_chunks
-
-ORACLES["x_udtf_chunks"] = """
-WITH w AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-  FROM documents WHERE doc_id < 50
-), idx AS (
-  SELECT doc_id, ws, CAST(i AS INT) AS chunk_idx, i * 6 AS start
-  FROM w CROSS JOIN range(0, 100000) r(i)
-  WHERE i * 6 < len(ws) AND (i = 0 OR (i - 1) * 6 + 8 < len(ws))
-)
-SELECT doc_id, chunk_idx,
-       CAST(len(ws[start + 1:start + 8]) AS INT) AS n_words,
-       array_to_string(ws[start + 1:start + 8], ' ') AS chunk
-FROM idx
-ORDER BY doc_id, chunk_idx
-"""
-
-
-def x_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The audit generator as a REAL Structured Streaming source (Spark 4
-    Python DataSource streamReader): offsets are record indices, each
-    micro-batch generates the next 4096 ids engine-side — no files, no
-    broker, replay-exact via readBetweenOffsets. The same dashboard
-    aggregate as x_datasource_scan maintained in update mode across ~5
-    micro-batches; counts/sums only grow, so the final emission per key
-    is the answer (max-refold after drain). Same oracle as the batch
-    scan — streaming replay builds the identical dashboard."""
-    from .sources import register_audit_source
-    register_audit_source(spark)
-    df = (spark.readStream.format("frde_audit")
-          .option("n", 20000).option("batch_size", 4096).load())
-    agg = (df.groupBy("user", "operation")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                F.sum("duration").cast("bigint").alias("sum_duration"),
-                F.sum("cnt").cast("bigint").alias("sum_cnt")))
-    # availableNow snapshots ONE prefetched batch of a simple stream
-    # reader as "available", so a single run drains 4096 ids. Chaining
-    # availableNow runs over a SHARED checkpoint is both the fix and the
-    # restart-continuity demo (ST3): each run resumes from the committed
-    # offset and the state store, like a nightly job catching up.
-    ckpt = _tempfile.mkdtemp(prefix="frde_ckpt_")
-    out_dir = _tempfile.mkdtemp(prefix="frde_dsrc_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-
-    def _sink(batch_df, batch_id):
-        # Unconditional write: an empty micro-batch appends nothing, and
-        # gating on count() would recompute the whole aggregation twice
-        # per batch (r6 ADVICE).
-        batch_df.write.mode("append").parquet(out_dir)
-
-    try:
-        seen = -1
-        for _ in range(12):
-            q = (agg.writeStream.outputMode("update")
-                 .foreachBatch(_sink)
-                 .option("checkpointLocation", ckpt)
-                 .trigger(availableNow=True).start())
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError("datasource stream batch hung")
-            try:
-                got = spark.read.parquet(out_dir).count()
-            except Exception:
-                got = 0
-            if got == seen:
-                break  # a run that emitted nothing: offsets at n
-            seen = got
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    drained = spark.read.parquet(out_dir)
-    return (drained.groupBy("user", "operation")
-            .agg(F.max("n_events").cast("bigint").alias("n_events"),
-                 F.max("sum_duration").cast("bigint").alias("sum_duration"),
-                 F.max("sum_cnt").cast("bigint").alias("sum_cnt"))
-            .orderBy("user", "operation"))
-
-
-QUERIES["x_datasource_stream"] = x_datasource_stream
-STREAMING_DEMOS.add("x_datasource_stream")
-ORACLES["x_datasource_stream"] = ORACLES["x_datasource_scan"]
-
-
-def x_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous label propagation (Raghavan et al. 2007) over the
-    persisted near-dup graph — community detection, the coarser cousin
-    of connected components (CC answers "reachable?", LPA groups by
-    DENSITY of mutual duplication). Deterministic variant: 4 synchronous
-    rounds, each node adopts the most frequent label among its neighbors
-    with ties (count desc, label asc), isolated from update-order by the
-    synchronous schedule; fixed rounds + total tie order make the
-    unrolled-CTE DuckDB replay exact. Each round is one edge join + one
-    (node, label) count + one argmax window — the same per-round shape
-    as PageRank, edges scanned from the once-written parquet. Output:
-    (doc_id, community) for every node of the pair graph."""
-    from pyspark.sql import Window
-    edges = _edges(spark, sf_dir).select("id_a", "id_b")
-    sym = (edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-           .unionByName(edges.select(F.col("id_b").alias("a"),
-                                     F.col("id_a").alias("b")))
-           .localCheckpoint(eager=True))
-    labels = sym.select(F.col("a").alias("node")).distinct() \
-                .withColumn("lbl", F.col("node"))
-    for _ in range(4):
-        w = Window.partitionBy("a").orderBy(F.col("n").desc(), F.col("lbl"))
-        votes = (sym.join(labels.withColumnRenamed("node", "b"), "b")
-                 .groupBy("a", "lbl").agg(F.count(F.lit(1)).alias("n")))
-        labels = (votes.withColumn("rk", F.row_number().over(w))
-                  .filter(F.col("rk") == 1)
-                  .select(F.col("a").alias("node"), "lbl"))
-        labels = labels.localCheckpoint(eager=True)
-    return (labels.select(F.col("node").cast("bigint").alias("doc_id"),
-                          F.col("lbl").cast("bigint").alias("community"))
-            .orderBy("doc_id"))
-
-
-QUERIES["x_lpa_communities"] = x_lpa_communities
-
-
-def _lpa_oracle(rounds: int = 4) -> str:
-    steps = []
-    prev = "l0"
-    for i in range(1, rounds + 1):
-        steps.append(f""",
-v{i} AS MATERIALIZED (
-  SELECT s.a, p.lbl, count(*) AS n
-  FROM sym s JOIN {prev} p ON p.node = s.b
-  GROUP BY 1, 2
-),
-l{i} AS MATERIALIZED (
-  SELECT a AS node, lbl FROM (
-    SELECT a, lbl, row_number() OVER (PARTITION BY a
-             ORDER BY n DESC, lbl) AS rk
-    FROM v{i}) WHERE rk = 1
-)""")
-        prev = f"l{i}"
-    return f"""
-WITH cand AS MATERIALIZED ({_minhash_lsh_oracle()}),
-jac AS MATERIALIZED ({_jaccard_oracle(threshold=0.5)}),
-edges AS MATERIALIZED (
-  SELECT jac.id_a AS a, jac.id_b AS b
-  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM sym)
-{''.join(steps)}
-SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS community
-FROM {prev} ORDER BY doc_id
-"""
-
-
-ORACLES["x_lpa_communities"] = _lpa_oracle()
-
-
-def x_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL connected components — the nightly-ingest shape: 20%
-    of the verified near-dup edges (md5-chosen, simulating today's new
-    pairs) merge into YESTERDAY's component labels without re-walking
-    the historical graph. Yesterday's labels act as star edges
-    (node -> old label): CC over (star edges UNION new edges) converges
-    in a few rounds because history is already diameter-1, touching only
-    label rows + new edges instead of every historical pair. The answer
-    provably equals full CC over all edges (min-label is path-
-    independent), and THAT is the oracle: the incremental merge must
-    reproduce the from-scratch clustering bit-for-bit."""
-    from .functions import graph
-    from .functions.dedup import _md5_hash32
-    edges = _edges(spark, sf_dir).select("id_a", "id_b")
-    is_new = (_md5_hash32(
-        "inc", F.concat(F.col("id_a").cast("string"), F.lit(":"),
-                        F.col("id_b").cast("string"))) % 5 == 0)
-    hist = edges.filter(~is_new)
-    new = edges.filter(is_new)
-    # Yesterday's artifact: labels over the historical graph only.
-    hist_labels = graph.connected_components(hist)
-    star = hist_labels.select(F.col("node").alias("id_a"),
-                              F.col("label").alias("id_b"))
-    merged = graph.connected_components(star.unionByName(new))
-    return (merged.select(F.col("node").cast("bigint").alias("doc_id"),
-                          F.col("label").cast("bigint").alias("cluster_id"))
-            .orderBy("doc_id"))
-
-
-QUERIES["x_cc_incremental"] = x_cc_incremental
-
-ORACLES["x_cc_incremental"] = f"""
-WITH RECURSIVE
-cand AS MATERIALIZED ({_minhash_lsh_oracle()}),
-jac AS MATERIALIZED ({_jaccard_oracle(threshold=0.5)}),
-edges AS MATERIALIZED (
-  SELECT jac.id_a AS a, jac.id_b AS b
-  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-cc(node, lbl) AS (
-  SELECT DISTINCT a, a FROM sym
-  UNION
-  SELECT s.a, c.lbl FROM sym s JOIN cc c ON c.node = s.b
-  WHERE c.lbl < s.a
-)
-SELECT CAST(node AS BIGINT) AS doc_id,
-       CAST(min(lbl) AS BIGINT) AS cluster_id
-FROM cc GROUP BY node ORDER BY doc_id
-"""
-
-
-def x_seasonal_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonal-naive forecast backtest: per event type, the hourly event
-    count is forecast by the (day-of-week, hour) mean over a 3-week
-    train window (Jan 1-21) and scored MAE against the held-out week
-    (Jan 22-28, dense 168-hour grid — silent hours count as zeros, not
-    missing rows). The canonical capacity-planning baseline every
-    fancier model must beat. Integer end-to-end: dow from epoch-day
-    arithmetic ((day+4) % 7 — no engine dayofweek convention), forecast
-    = sum*1e6 div n (truncating), MAE = sum|diff| div 168. Output per
-    type: n_test_hours, mae_e6."""
-    e = _events(spark, sf_dir).select(
-        "event_type",
-        F.expr("ts_ms div 86400000").alias("day"),
-        F.expr("(ts_ms div 3600000) % 24").alias("hour"))
-    e = e.withColumn("dow", F.expr("(day + 4) % 7"))
-    hourly = (e.groupBy("event_type", "day", "dow", "hour")
-              .agg(F.count(F.lit(1)).alias("n")))
-    train = (hourly.filter(F.col("day") < 19744)
-             .groupBy("event_type", "dow", "hour")
-             .agg(F.expr("(sum(n) * 1000000) div count(*)")
-                  .alias("fc_e6")))
-    types = e.select("event_type").distinct()
-    grid = (types.crossJoin(
-        F.broadcast(spark.range(19744, 19751).select(
-            F.col("id").alias("day"))))
-        .crossJoin(F.broadcast(spark.range(0, 24).select(
-            F.col("id").alias("hour"))))
-        .withColumn("dow", F.expr("(day + 4) % 7")))
-    actual = (hourly.filter((F.col("day") >= 19744)
-                            & (F.col("day") < 19751))
-              .select("event_type", "day", "hour", "n"))
-    test = (grid.join(actual, ["event_type", "day", "hour"], "left")
-            .join(train, ["event_type", "dow", "hour"], "left")
-            .select("event_type",
-                    F.coalesce("n", F.lit(0)).alias("n"),
-                    F.coalesce("fc_e6", F.lit(0)).alias("fc_e6")))
-    return (test.groupBy("event_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_test_hours"),
-                 F.expr("sum(abs(n * 1000000 - fc_e6)) div count(*)")
-                  .cast("bigint").alias("mae_e6"))
-            .orderBy("event_type"))
-
-
-QUERIES["x_seasonal_mae"] = x_seasonal_mae
-
-ORACLES["x_seasonal_mae"] = """
-WITH e AS (
-  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-         (epoch_ms(ts) // 3600000) % 24 AS hour
-  FROM events
-), e2 AS (SELECT *, (day + 4) % 7 AS dow FROM e),
-hourly AS (
-  SELECT event_type, day, dow, hour, count(*) AS n
-  FROM e2 GROUP BY 1, 2, 3, 4
-), train AS (
-  SELECT event_type, dow, hour, (sum(n) * 1000000) // count(*) AS fc_e6
-  FROM hourly WHERE day < 19744 GROUP BY 1, 2, 3
-), grid AS (
-  SELECT t.event_type, d.day, h.hour, (d.day + 4) % 7 AS dow
-  FROM (SELECT DISTINCT event_type FROM e) t
-  CROSS JOIN range(19744, 19751) d(day)
-  CROSS JOIN range(0, 24) h(hour)
-), actual AS (
-  SELECT event_type, day, hour, n FROM hourly
-  WHERE day >= 19744 AND day < 19751
-), test AS (
-  SELECT g.event_type, coalesce(a.n, 0) AS n,
-         coalesce(tr.fc_e6, 0) AS fc_e6
-  FROM grid g
-  LEFT JOIN actual a ON a.event_type = g.event_type
-                    AND a.day = g.day AND a.hour = g.hour
-  LEFT JOIN train tr ON tr.event_type = g.event_type
-                    AND tr.dow = g.dow AND tr.hour = g.hour
-)
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_test_hours,
-       CAST(sum(abs(n * 1000000 - fc_e6)) // count(*) AS BIGINT) AS mae_e6
-FROM test GROUP BY 1 ORDER BY 1
-"""
-
-
-def x_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical BI share-of-total report: revenue per nation, its
-    share inside its region, and its rank within the region — revenue in
-    EXACT e4 fixed point (round(price*100) * round((1-disc)*100), the
-    attribution-credit convention: the doubles in the fixture carry two
-    decimals, so the integer product is exact and sums are order-free),
-    share = rev*1e6 div region_rev (truncating). The share multiply runs
-    in 128-bit (DECIMAL(38,0) / DuckDB HUGEINT): region revenue reaches
-    ~1e15 e4 at sf0.1 and rev*1e6 overflows int64 from sf0.1 up — caught
-    by the sf0.1 bench, invisible at the sf0.01 correctness gate. One
-    fact scan, dims broadcast, one region-partitioned window over the
-    |nations| frame."""
-    from pyspark.sql import Window
-    li = load_table(_prep(spark), sf_dir, "lineitem")
-    orders = load_table(_prep(spark), sf_dir, "orders")
-    cust = load_table(_prep(spark), sf_dir, "customer")
-    nation = load_table(_prep(spark), sf_dir, "nation")
-    region = load_table(_prep(spark), sf_dir, "region")
-    rev_e4 = (F.round(F.col("l_extendedprice") * 100).cast("bigint")
-              * F.round((1 - F.col("l_discount")) * 100).cast("bigint"))
-    per_nation = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-                  .join(cust, orders.o_custkey == cust.c_custkey)
-                  .join(F.broadcast(nation),
-                        cust.c_nationkey == nation.n_nationkey)
-                  .join(F.broadcast(region),
-                        nation.n_regionkey == region.r_regionkey)
-                  .groupBy("r_name", "n_name")
-                  .agg(F.sum(rev_e4).alias("rev_e4")))
-    w_tot = Window.partitionBy("r_name")
-    w_rk = Window.partitionBy("r_name").orderBy(F.col("rev_e4").desc(),
-                                                F.col("n_name"))
-    return (per_nation
-            .withColumn("region_rev_e4", F.sum("rev_e4").over(w_tot))
-            .withColumn("share_e6",
-                        F.expr("CAST(rev_e4 AS DECIMAL(38,0)) * 1000000"
-                               " div region_rev_e4"))
-            .withColumn("rk", F.row_number().over(w_rk))
-            .select("r_name", "n_name",
-                    F.col("rev_e4").cast("bigint").alias("rev_e4"),
-                    F.col("share_e6").cast("bigint").alias("share_e6"),
-                    F.col("rk").cast("int").alias("rk"))
-            .orderBy("r_name", "rk"))
-
-
-QUERIES["x_share_report"] = x_share_report
-
-ORACLES["x_share_report"] = """
-WITH per_nation AS (
-  SELECT r.r_name, n.n_name,
-         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-             * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS rev_e4
-  FROM lineitem l
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN nation n ON n.n_nationkey = c.c_nationkey
-  JOIN region r ON r.r_regionkey = n.n_regionkey
-  GROUP BY 1, 2
-)
-SELECT r_name, n_name, CAST(rev_e4 AS BIGINT) AS rev_e4,
-       CAST((CAST(rev_e4 AS HUGEINT) * 1000000)
-            // sum(rev_e4) OVER (PARTITION BY r_name) AS BIGINT)
-         AS share_e6,
-       CAST(row_number() OVER (PARTITION BY r_name
-              ORDER BY rev_e4 DESC, n_name) AS INT) AS rk
-FROM per_nation
-ORDER BY r_name, rk
-"""
-
-
-def x_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 native ``WITH RECURSIVE`` exercised end-to-end: documents
-    arranged as the implicit binary-heap hierarchy (parent = id div 2,
-    root 0 — the org-chart/BOM shape every warehouse eventually needs)
-    and the ancestor closure computed by the ENGINE's recursive CTE
-    (UNION ALL recursion — the tree is acyclic so distinct-union is not
-    needed; Spark 4 does not support it yet). Output per ancestor depth:
-    pair count and an integer node-sum checksum. DuckDB replays the
-    identical recursion."""
-    _docs(spark, sf_dir).select("doc_id").createOrReplaceTempView(
-        "frde_rec_docs")
-    return spark.sql("""
-        WITH RECURSIVE anc(node, ancestor, depth) AS (
-          SELECT doc_id, doc_id div 2, 1
-          FROM frde_rec_docs WHERE doc_id >= 1
-          UNION ALL
-          SELECT node, ancestor div 2, depth + 1
-          FROM anc WHERE ancestor >= 1
-        )
-        SELECT CAST(depth AS INT) AS depth,
-               CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(node) AS BIGINT) AS node_sum
-        FROM anc GROUP BY depth ORDER BY depth
-    """)
-
-
-QUERIES["x_recursive_ancestors"] = x_recursive_ancestors
-
-ORACLES["x_recursive_ancestors"] = """
-WITH RECURSIVE anc(node, ancestor, depth) AS (
-  SELECT doc_id, doc_id // 2, 1 FROM documents WHERE doc_id >= 1
-  UNION ALL
-  SELECT node, ancestor // 2, depth + 1 FROM anc WHERE ancestor >= 1
-)
-SELECT CAST(depth AS INT) AS depth,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(sum(node) AS BIGINT) AS node_sum
-FROM anc GROUP BY depth ORDER BY depth
-"""
-
-
-def x_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The lakehouse in-place backfill: a table partitioned by
-    event_type, then ONE partition ('click') rewritten with corrected
-    values under ``partitionOverwriteMode=dynamic`` — overwrite replaces
-    only the partitions present in the incoming frame, every other
-    partition's files untouched (the write-side twin of partition
-    pruning; static mode would wipe the whole table). Values carried as
-    exact e6 ints. The final-state aggregate proves exactly the touched
-    partition changed; DuckDB replays the end state from the
-    definition."""
-    import tempfile
-    base = _events(spark, sf_dir).select(
-        "event_type", "event_id",
-        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_e6"))
-    out = tempfile.mkdtemp(prefix="frde_dynow_")
-    (base.write.mode("overwrite").partitionBy("event_type").parquet(out))
-    fixed = (base.filter(F.col("event_type") == "click")
-             .withColumn("v_e6", F.col("v_e6") * 2))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        fixed.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return (spark.read.parquet(out)
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                 F.sum("v_e6").cast("bigint").alias("sum_v_e6"))
-            .orderBy("event_type"))
-
-
-QUERIES["x_dynamic_overwrite"] = x_dynamic_overwrite
-
-ORACLES["x_dynamic_overwrite"] = """
-WITH base AS (
-  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_e6
-  FROM events
-)
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN event_type = 'click' THEN v_e6 * 2
-                ELSE v_e6 END) AS BIGINT) AS sum_v_e6
-FROM base GROUP BY 1 ORDER BY 1
-"""
-
-
-def x_chained_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CHAINED stateful operators in ONE streaming query (the Spark 3.5+
-    multiple-stateful-operator support): a 5 s tumbling per-type count
-    whose APPEND-mode output feeds a second 60 s window aggregation —
-    the streaming rollup cascade (seconds -> minutes -> hours) every
-    metrics pipeline runs, expressed without an intermediate sink or a
-    second job. The watermark propagates through stage 1 (5 s windows
-    finalize when it passes their end) so stage 2 aggregates exactly the
-    finalized rows; the far-future flush sentinel pushes the final
-    watermark past every real window, and its own never-finalizing
-    window keeps it out of stage 2 (the output filter is belt-and-
-    braces). Stage-2 assignment uses window_time() (window end minus
-    1 us), which reduces to integer division because 5 s divides 60 s —
-    the oracle is the same two-level GROUP BY."""
-    from .sources import file_csv_stream
-    path = _events_csv_dir_flush(spark, sf_dir)
-    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
-          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
-    s1 = (ev.withWatermark("ts", "0 seconds")
-            .groupBy(F.window("ts", "5 seconds"), "event_type")
-            .agg(F.count(F.lit(1)).alias("cnt")))
-    s2 = (s1.groupBy(F.window(F.window_time("window"), "60 seconds"),
-                     "event_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_5s"),
-                 F.sum("cnt").cast("bigint").alias("sum_cnt"),
-                 F.max("cnt").cast("bigint").alias("max_cnt")))
-    out = s2.select(
-        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
-        "event_type", "n_5s", "sum_cnt", "max_cnt")
-    res = _run_to_memory(out, spark)
-    return res.filter(F.col("event_type") != "__flush__")
-
-
-QUERIES["x_chained_windows_stream"] = x_chained_windows_stream
-STREAMING_DEMOS.add("x_chained_windows_stream")
-
-ORACLES["x_chained_windows_stream"] = """
-WITH s1 AS (
-  SELECT (epoch_ms(ts) // 5000) * 5000 AS w5, event_type,
-         CAST(count(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
-)
-SELECT (w5 // 60000) * 60000 AS window_start_ms, event_type,
-       CAST(count(*) AS BIGINT) AS n_5s,
-       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
-       CAST(max(cnt) AS BIGINT) AS max_cnt
-FROM s1 GROUP BY 1, 2
-"""
-
-
-def x_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offline STATE inspection (the Spark 4 state data source): run the
-    A2 running-totals aggregation to completion over the events CSV
-    replay, then read the aggregation operator's state store DIRECTLY
-    from the checkpoint with ``spark.read.format("statestore")`` — the
-    operational tool for auditing, migrating, or debugging 100 TB of
-    streaming state without replaying the stream or touching the job.
-    The state rows ARE the per-key running counts, so the batch GROUP BY
-    oracle checks the checkpoint's contents value-for-value (state is
-    read per-partition in parallel — it scales with the state's own
-    partitioning, not the stream's history)."""
-    from .sinks import memory_sink, run_available_now
-    ev = _stream_events(spark, sf_dir)
-    agg = (ev.groupBy("user_id")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("total")))
-    name = "frde_" + _uuid.uuid4().hex[:12]
-    ckpt = _tempfile.mkdtemp(prefix="frde_ckpt_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        writer = (memory_sink(agg, name, "update")
-                  .option("checkpointLocation", ckpt))
-        q = run_available_now(writer)
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(f"state fixture stream {name} timed out")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    st = spark.read.format("statestore").option("path", ckpt).load()
-    return st.select(F.col("key.user_id").alias("user_id"),
-                     F.col("value.count").cast("bigint").alias("total"))
-
-
-QUERIES["x_statestore_read"] = x_statestore_read
-STREAMING_DEMOS.add("x_statestore_read")
-
-ORACLES["x_statestore_read"] = """
-SELECT user_id, count(*) AS total FROM events GROUP BY user_id
-"""
-
-
-def x_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass data-quality metrics via ``Dataset.observe`` (the
-    CollectMetrics operator): row count, null count, ts range and an e6
-    value checksum are accumulator-collected DURING the main per-type
-    aggregation job — at 100 TB the DQ numbers come for free with the
-    job instead of costing a second full scan. Metrics must be
-    deterministic aggregates (DISTINCT is rejected by CheckAnalysis), so
-    everything here is count/sum/min/max — and therefore replayable by
-    the oracle's plain one-pass GROUP-less aggregate. The observed row
-    returns as a 1-row bounded DataFrame (the x_profile contract)."""
-    from pyspark.sql import Observation
-    ev = _events(spark, sf_dir)
-    obs = Observation("dq")
-    observed = ev.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("value").isNull().cast("bigint")).alias("n_null_value"),
-        F.min("ts_ms").alias("min_ts_ms"),
-        F.max("ts_ms").alias("max_ts_ms"),
-        F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
-         .alias("sum_v_e6"))
-    # The main job the metrics piggyback on (its own result is checked by
-    # a1/a6-family rows; here it only has to RUN so the accumulators fill).
-    (observed.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-             .write.mode("overwrite").format("noop").save())
-    m = obs.get
-    return spark.createDataFrame(
-        [(m["n_rows"], m["n_null_value"], m["min_ts_ms"], m["max_ts_ms"],
-          m["sum_v_e6"])],
-        "n_rows bigint, n_null_value bigint, min_ts_ms bigint, "
-        "max_ts_ms bigint, sum_v_e6 bigint")
-
-
-QUERIES["x_observe_metrics"] = x_observe_metrics
-
-ORACLES["x_observe_metrics"] = """
-SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_null_value,
-       CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ts_ms,
-       CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ts_ms,
-       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-         AS sum_v_e6
-FROM events
-"""
-
-
-def x_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-source BFS over the verified near-dup graph: minimum hop
-    distance (<= 3) from the seed set doc_id % 7 == 0 — the
-    "everything within k links of a flagged document" blast-radius
-    query (contamination spread, lineage walk). Frontier-only joins +
-    visited anti-joins, persisted edge parquet input (see x_pagerank);
-    unrolled-CTE DuckDB oracle replays the same three expansions."""
-    from .functions import graph
-    seeds = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0) \
-        .select(F.col("doc_id").alias("node"))
-    return graph.bfs_hops(_edges(spark, sf_dir), seeds, rounds=3)
-
-
-QUERIES["x_bfs_hops"] = x_bfs_hops
-
-
-def _bfs_oracle(rounds: int = 3, seed_mod: int = 7) -> str:
-    hops = []
-    prev_not_in = ["d0"]
-    for i in range(1, rounds + 1):
-        frm = "d0" if i == 1 else f"r{i - 1}"
-        not_in = " AND ".join(
-            f"s.b NOT IN (SELECT node FROM {t})" for t in prev_not_in)
-        hops.append(
-            f"r{i} AS MATERIALIZED (\n"
-            f"  SELECT DISTINCT s.b AS node FROM sym s\n"
-            f"  JOIN {frm} f ON f.node = s.a\n"
-            f"  WHERE {not_in}\n"
-            f")")
-        prev_not_in.append(f"r{i}")
-    selects = ["SELECT node, CAST(0 AS INT) AS hop FROM d0"] + [
-        f"SELECT node, CAST({i} AS INT) AS hop FROM r{i}"
-        for i in range(1, rounds + 1)]
-    return f"""
-WITH cand AS MATERIALIZED ({_minhash_lsh_oracle()}),
-jac AS MATERIALIZED ({_jaccard_oracle(threshold=0.5)}),
-edges AS MATERIALIZED (
-  SELECT jac.id_a AS a, jac.id_b AS b
-  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-d0 AS MATERIALIZED (
-  SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % {seed_mod} = 0
-),
-{", ".join(hops)}
-SELECT * FROM ({" UNION ALL ".join(selects)}) ORDER BY node
-"""
-
-
-ORACLES["x_bfs_hops"] = _bfs_oracle()
-
-
-def x_join_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The OTHER chained-stateful shape (x_chained_windows_stream covers
-    agg -> agg): a stream-stream windowed JOIN feeding a windowed
-    AGGREGATION in the same query — join clicks to views on (user, 1 h
-    window), then count the joined pairs per (window, user), all in one
-    checkpointed pipeline (Spark 3.5+ multiple-stateful-operator
-    support). Grouping on the join's own watermark-tagged window struct
-    keeps event-time semantics through the second operator; the flush
-    sentinel (fed to BOTH sides) pushes the final watermark past every
-    real window so join state and agg windows both finalize under
-    availableNow. Oracle: the batch join + GROUP BY."""
-    from .sources import file_csv_stream
-    path = _events_csv_dir_flush(spark, sf_dir)
-    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
-          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
-    lw = (ev.filter(F.col("event_type").isin("click", "__flush__"))
-            .withWatermark("ts", "0 seconds")
-            .select("user_id", F.window("ts", "3600 seconds").alias("w")))
-    rw = (ev.filter(F.col("event_type").isin("view", "__flush__"))
-            .withWatermark("ts", "0 seconds")
-            .select(F.col("user_id").alias("r_user"),
-                    F.window("ts", "3600 seconds").alias("r_w")))
-    joined = lw.join(rw, (F.col("user_id") == F.col("r_user"))
-                     & (F.col("w") == F.col("r_w")))
-    agg = (joined.groupBy("w", "user_id")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
-    out = agg.select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
-                     "user_id", "n_pairs")
-    res = _run_to_memory(out, spark)
-    return res.filter(F.col("user_id") >= 0)
-
-
-QUERIES["x_join_agg_stream"] = x_join_agg_stream
-STREAMING_DEMOS.add("x_join_agg_stream")
-
-ORACLES["x_join_agg_stream"] = """
-WITH l AS (SELECT user_id, epoch_ms(ts) // 3600000 AS w FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, epoch_ms(ts) // 3600000 AS w FROM events
-      WHERE event_type = 'view')
-SELECT l.w * 3600000 AS window_start_ms, l.user_id,
-       CAST(count(*) AS BIGINT) AS n_pairs
-FROM l JOIN r ON r.user_id = l.user_id AND r.w = l.w
-GROUP BY 1, 2
-"""
-
-
-def x_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-rater agreement between the engine's two quality systems —
-    Cohen's kappa of the Gopher rule verdict vs the C4-style composed
-    filter over the same documents. The label-quality diligence every
-    training-data pipeline owes its filters: raw overlap (po) overstates
-    agreement when both filters keep most docs, kappa subtracts the
-    chance-agreement floor (pe). Exact integer fixed point: po/pe in e6,
-    kappa_e6 = (po-pe)*1e6 div (1e6-pe); the pe numerator multiplies
-    marginal COUNTS (aggregates — they scale with SF), so it runs in
-    DECIMAL(38,0) / HUGEINT per this round's overflow rule. One row:
-    the confusion quadrants + po_e6, pe_e6, kappa_e6."""
-    g = (text.gopher_rules(_docs(spark, sf_dir))
-         .select("doc_id", F.col("keep").alias("g_keep")))
-    c = (filtering.corpus_filter(_docs(spark, sf_dir))
-         .select("doc_id", F.col("keep").alias("c_keep")))
-    j = g.join(c, "doc_id")
-    agg = j.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("g_keep") & F.col("c_keep")).cast("bigint"))
-         .alias("n_both_keep"),
-        F.sum((F.col("g_keep") & ~F.col("c_keep")).cast("bigint"))
-         .alias("n_gopher_only"),
-        F.sum((~F.col("g_keep") & F.col("c_keep")).cast("bigint"))
-         .alias("n_c4_only"),
-        F.sum((~F.col("g_keep") & ~F.col("c_keep")).cast("bigint"))
-         .alias("n_both_drop"))
-    return agg.select(
-        "n_docs", "n_both_keep", "n_gopher_only", "n_c4_only",
-        "n_both_drop",
-        F.expr("CAST(CAST(n_both_keep + n_both_drop AS DECIMAL(38,0))"
-               " * 1000000 DIV n_docs AS BIGINT)").alias("po_e6"),
-        F.expr("CAST((CAST(n_both_keep + n_gopher_only AS DECIMAL(38,0))"
-               "       * (n_both_keep + n_c4_only)"
-               "     + CAST(n_c4_only + n_both_drop AS DECIMAL(38,0))"
-               "       * (n_gopher_only + n_both_drop))"
-               " * 1000000 DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs)"
-               " AS BIGINT)").alias("pe_e6")
-    ).select(
-        "*",
-        F.expr("CAST(CAST(po_e6 - pe_e6 AS DECIMAL(38,0)) * 1000000"
-               " DIV (1000000 - pe_e6) AS BIGINT)").alias("kappa_e6"))
-
-
-QUERIES["x_filter_agreement"] = x_filter_agreement
-
-ORACLES["x_filter_agreement"] = f"""
-WITH g AS (SELECT doc_id, keep AS g_keep FROM ({ORACLES["x_gopher_rules"]})),
-c AS (SELECT doc_id, keep AS c_keep FROM ({ORACLES["x_corpus_filter"]})),
-q AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(CASE WHEN g_keep AND c_keep THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_both_keep,
-         CAST(sum(CASE WHEN g_keep AND NOT c_keep THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_gopher_only,
-         CAST(sum(CASE WHEN NOT g_keep AND c_keep THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_c4_only,
-         CAST(sum(CASE WHEN NOT g_keep AND NOT c_keep THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_both_drop
-  FROM g JOIN c USING (doc_id)
-), p AS (
-  SELECT *,
-         CAST(CAST(n_both_keep + n_both_drop AS HUGEINT) * 1000000
-              // n_docs AS BIGINT) AS po_e6,
-         CAST((CAST(n_both_keep + n_gopher_only AS HUGEINT)
-                 * (n_both_keep + n_c4_only)
-               + CAST(n_c4_only + n_both_drop AS HUGEINT)
-                 * (n_gopher_only + n_both_drop))
-              * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
-           AS pe_e6
-  FROM q
-)
-SELECT n_docs, n_both_keep, n_gopher_only, n_c4_only, n_both_drop,
-       po_e6, pe_e6,
-       CAST(CAST(po_e6 - pe_e6 AS HUGEINT) * 1000000
-            // (1000000 - pe_e6) AS BIGINT) AS kappa_e6
-FROM p
-"""
-
-
-def x_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ER survivorship — the GOLDEN RECORD per resolved entity, the step
-    after x_entity_clusters that MDM pipelines actually ship: for every
-    multi-record entity, attribute-level survivorship rules pick the
-    canonical value per field (name/brand/type from the LOWEST record id
-    — source-stability rule, via min(struct(id, attr)); price = max in
-    exact e2 — most-complete-value rule; size = min — conservative
-    rule), plus the record count. One equi-join of records onto their
-    cluster and one hash aggregate per entity; every rule is a
-    decomposable min/max so the merge is shuffle-partial and
-    order-free."""
-    records = x_entity_clusters(spark, sf_dir)
-    pt = load_table(_prep(spark), sf_dir, "part")
-    j = records.join(
-        pt.select(F.col("p_partkey").alias("part_id"), "p_name", "p_brand",
-                  "p_type", "p_size",
-                  F.round(F.col("p_retailprice") * 100).cast("bigint")
-                   .alias("price_e2")),
-        "part_id")
-    low = F.min(F.struct(F.col("part_id"), F.col("p_name"),
-                         F.col("p_brand"), F.col("p_type")))
-    return (j.groupBy("entity_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"),
-                 low.alias("lo"),
-                 F.max("price_e2").cast("bigint").alias("max_price_e2"),
-                 F.min("p_size").cast("int").alias("min_size"))
-            .select(F.col("entity_id").cast("bigint").alias("entity_id"),
-                    "n_records",
-                    F.col("lo.p_name").alias("name"),
-                    F.col("lo.p_brand").alias("brand"),
-                    F.col("lo.p_type").alias("type"),
-                    "max_price_e2", "min_size")
-            .orderBy("entity_id"))
-
-
-QUERIES["x_golden_record"] = x_golden_record
-
-ORACLES["x_golden_record"] = f"""
-WITH rec AS ({ORACLES["x_entity_clusters"]}),
-j AS (
-  SELECT rec.entity_id, rec.part_id, p.p_name, p.p_brand, p.p_type,
-         p.p_size, CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_e2
-  FROM rec JOIN part p ON p.p_partkey = rec.part_id
-), lo AS (
-  SELECT entity_id, p_name, p_brand, p_type FROM (
-    SELECT entity_id, p_name, p_brand, p_type,
-           row_number() OVER (PARTITION BY entity_id
-                              ORDER BY part_id) AS rn
-    FROM j) WHERE rn = 1
-)
-SELECT j.entity_id, CAST(count(*) AS BIGINT) AS n_records,
-       any_value(lo.p_name) AS name, any_value(lo.p_brand) AS brand,
-       any_value(lo.p_type) AS type,
-       CAST(max(j.price_e2) AS BIGINT) AS max_price_e2,
-       CAST(min(j.p_size) AS INT) AS min_size
-FROM j JOIN lo ON lo.entity_id = j.entity_id
-GROUP BY j.entity_id
-ORDER BY j.entity_id
-"""
-
-
-def _aggview_base_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialized-aggregate PARTIALS of the base days (all but the
-    last event day) persisted once per (fixture, code) — the standing
-    dashboard view a 100 TB deployment maintains nightly. Only the
-    partial table (|keys| rows of exact-BIGINT counters) is ever stored;
-    the base fact rows are never rescanned after this write."""
-    import hashlib
-    import os
-    from .operators import incremental
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:aggview_e4c"
-        f":{_code_tag(incremental.agg_partials, _aggview_base_dir)}"
-        .encode()).hexdigest()[:12]
-    out = os.path.join(_tempfile.gettempdir(), f"frde_aggview_{tag}")
-    # meta/ (the delta cutoff, 1 row) is written LAST: its _SUCCESS marks
-    # the whole artifact complete. Persisting the cutoff beside the
-    # partials is what makes the REFRESH truly incremental — the query
-    # reads it back instead of re-scanning all of events for max(ts),
-    # and base/delta split on exactly the same boundary by construction.
-    if not os.path.exists(os.path.join(out, "meta", "_SUCCESS")):
-        e = _events(spark, sf_dir)
-        last_start = e.agg(
-            F.date_trunc("DAY", F.max("ts")).alias("d")).collect()[0][0]
-        base = (e.filter(F.col("ts") < F.lit(last_start))
-                .withColumn("value_e4",
-                            F.round(F.col("value") * 10_000).cast("bigint")))
-        incremental.agg_partials(base, ["event_type"], "value_e4") \
-            .write.mode("overwrite").parquet(os.path.join(out, "partials"))
-        spark.createDataFrame([(last_start,)], "cutoff timestamp_ntz") \
-            .write.mode("overwrite").parquet(os.path.join(out, "meta"))
-    return out
-
-
-def x_incremental_aggview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized-view maintenance: the standing per-type
-    dashboard aggregate is refreshed by folding ONLY the newest day's
-    delta into the persisted base PARTIALS (count/sum/min/max as exact
-    BIGINT e4) — `merge_partials(agg_partials(base), agg_partials(delta))
-    == agg_partials(all)`, which is precisely what the full-recompute
-    oracle asserts. Refresh cost is O(|delta| + |keys|), independent of
-    base size: the plan scans the delta day and a |keys|-row parquet,
-    never the base facts. Derived avg reads off the merged partials as
-    exact integer floor division (no float, no tie).
-    Reference inspiration: the running keyed reduce
-    (AggregationOperations.java keyed running sums) lifted across jobs
-    via a persisted mergeable intermediate — the same algebra that makes
-    the portable HLL/CMS sketches fold (functions/sketches.py)."""
-    import os
-    from .operators import incremental
-    view_dir = _aggview_base_dir(spark, sf_dir)
-    base = spark.read.parquet(os.path.join(view_dir, "partials"))
-    e = _events(spark, sf_dir)
-    # Delta cutoff as a RANGE predicate on the raw ts column, not on the
-    # derived day (ts_ms div 86400000): a derived-column equality can
-    # never reach the parquet scan, but ts >= <day-start literal> pushes
-    # down (plan pytest-asserted) — at 100 TB with date-partitioned
-    # layout this is the partition-pruned delta read, not a rescan. The
-    # cutoff comes from the view's own 1-row meta parquet, NOT from a
-    # max(ts) over events — re-deriving it would full-scan the base facts
-    # at every refresh and void the O(|delta| + |keys|) contract.
-    last_start = spark.read.parquet(
-        os.path.join(view_dir, "meta")).collect()[0][0]
-    delta_rows = (e.filter(F.col("ts") >= F.lit(last_start))
-                  .withColumn("value_e4",
-                              F.round(F.col("value") * 10_000)
-                               .cast("bigint")))
-    delta = incremental.agg_partials(delta_rows, ["event_type"], "value_e4")
-    merged = incremental.merge_partials(base, delta, ["event_type"])
-    return (incremental.finalize_view(merged, ["event_type"])
-            .orderBy("event_type"))
-
-
-QUERIES["x_incremental_aggview"] = x_incremental_aggview
-
-ORACLES["x_incremental_aggview"] = """
-WITH v AS (
-  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS value_e4
-  FROM events
-)
-SELECT event_type,
-       CAST(count(value_e4) AS BIGINT) AS n,
-       CAST(sum(value_e4) AS BIGINT) AS sum_e,
-       CAST(min(value_e4) AS BIGINT) AS min_e,
-       CAST(max(value_e4) AS BIGINT) AS max_e,
-       CASE WHEN count(value_e4) > 0
-            THEN CAST(sum(value_e4) AS BIGINT) // count(value_e4)
-       END AS avg_e_trunc
-FROM v
-GROUP BY event_type
-ORDER BY event_type
-"""
-
-
-def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality gate (Deequ-style) compiled to ONE scan:
-    five checks (null-completeness, key uniqueness, numeric range,
-    volume floor) contribute exact-BIGINT (metric, basis) counters to a
-    single aggregate, and the verdict table unpivots from that one row —
-    at 100 TB the cost of N checks is one pass, not N. All counters are
-    exact integers, so the verdict hash-matches the plain-SQL oracle.
-    The single countDistinct turns the agg into one expand+aggregate,
-    still a single scan (operators/constraints.py:run_checks)."""
-    from .operators import constraints as C
-    ev = _events(spark, sf_dir)
-    return C.run_checks(ev, [
-        C.completeness("user_id"),
-        C.completeness("value"),
-        C.uniqueness("event_id"),
-        C.in_range("value", 0.0, 10000.0),
-        C.min_rows(100),
-    ])
-
-
-QUERIES["x_dq_checks"] = x_dq_checks
-
-ORACLES["x_dq_checks"] = """
-WITH a AS (
-  SELECT count(*) AS total,
-         count(user_id) AS c_user,
-         count(value) AS c_value,
-         count(DISTINCT event_id) AS d_eid,
-         count(event_id) AS c_eid,
-         count(CASE WHEN value BETWEEN 0.0 AND 10000.0 THEN 1 END) AS r_val
-  FROM events
-)
-SELECT * FROM (
-  SELECT 'completeness:user_id' AS "check", CAST(c_user AS BIGINT) AS metric,
-         CAST(total AS BIGINT) AS basis, c_user = total AS passed FROM a
-  UNION ALL
-  SELECT 'completeness:value', CAST(c_value AS BIGINT),
-         CAST(total AS BIGINT), c_value = total FROM a
-  UNION ALL
-  SELECT 'uniqueness:event_id', CAST(d_eid AS BIGINT),
-         CAST(c_eid AS BIGINT), d_eid = c_eid FROM a
-  UNION ALL
-  SELECT 'in_range:value:0.0:10000.0', CAST(r_val AS BIGINT),
-         CAST(c_value AS BIGINT), r_val = c_value FROM a
-  UNION ALL
-  SELECT 'min_rows:100', CAST(total AS BIGINT),
-         CAST(100 AS BIGINT), total >= 100 FROM a
-)
-ORDER BY "check"
-"""
-
-
-def x_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC changelog → live-table snapshot (merge-on-read compaction):
-    events become a keyed change stream on user_id (op 'D' for an
-    md5-derived ~10% of records, 'U' otherwise — engine-mirrored), and
-    the snapshot keeps each user's LATEST record by the deterministic
-    (ts_ms, event_id) sequence, dropping users whose final op is a
-    delete. One shuffle on the key; per-key churn (n_changes) rides the
-    same window pass. The lakehouse MERGE/upsert read path — the
-    row-level-state complement of x_incremental_aggview and the
-    head-only twin of x_scd2's full interval history
-    (operators/cdc.py:snapshot_from_changelog)."""
-    from .functions.dedup import _md5_hash32
-    from .operators.cdc import snapshot_from_changelog
-    ev = _events(spark, sf_dir)
-    log = ev.select(
-        "user_id", "ts_ms", "event_id",
-        F.when(_md5_hash32("cdc", F.col("event_id").cast("string")) % 10
-               == 0, "D").otherwise("U").alias("op"),
-        F.round(F.col("value") * 10_000).cast("bigint").alias("value_e4"))
-    snap = snapshot_from_changelog(log, "user_id", ["ts_ms", "event_id"],
-                                   op_col="op", delete_op="D")
-    return (snap.select(F.col("user_id").cast("bigint").alias("user_id"),
-                        F.col("ts_ms").cast("bigint").alias("last_ts_ms"),
-                        F.col("event_id").cast("bigint")
-                         .alias("last_event_id"),
-                        "value_e4", "n_changes")
-            .orderBy("user_id"))
-
-
-QUERIES["x_cdc_snapshot"] = x_cdc_snapshot
-
-_CDC_OP_H = _H32.format(x="concat('cdc', ':', CAST(event_id AS VARCHAR))")
-
-ORACLES["x_cdc_snapshot"] = f"""
-WITH log AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
-         CASE WHEN {_CDC_OP_H} % 10 = 0 THEN 'D' ELSE 'U' END AS op,
-         CAST(round(value * 10000) AS BIGINT) AS value_e4
-  FROM events
-), r AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts_ms DESC, event_id DESC) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n_changes
-  FROM log
-)
-SELECT CAST(user_id AS BIGINT) AS user_id,
-       CAST(ts_ms AS BIGINT) AS last_ts_ms,
-       CAST(event_id AS BIGINT) AS last_event_id,
-       value_e4,
-       CAST(n_changes AS BIGINT) AS n_changes
-FROM r WHERE rn = 1 AND op <> 'D'
-ORDER BY user_id
-"""
-
-
-def x_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x_cdc_snapshot's STREAMING twin: the live-table snapshot maintained
-    on the change stream itself. Latest-wins is a plain update-mode
-    max_by aggregation — the winner under the deterministic
-    (ts_ms, event_id) sequence only ever advances, so no custom state or
-    watermark is needed and state is bounded at one struct per key (the
-    x_hll_stream / x_minhash_stream monotone-aggregate argument applied
-    to row-level state). Delete filtering happens on the drained table:
-    a 'D' winner must keep occupying the key's state while the stream
-    runs (a later change can resurrect the key), which is exactly why
-    tombstones exist in lakehouse formats. Same derived op/field
-    vocabulary as the batch oracle."""
-    from .functions.dedup import _md5_hash32
-    ev = _stream_events(spark, sf_dir)
-    log = ev.select(
-        "user_id", "ts_ms", "event_id", "event_type",
-        F.when(_md5_hash32("cdc", F.col("event_id").cast("string")) % 10
-               == 0, "D").otherwise("U").alias("op"))
-    agg = (log.groupBy("user_id")
-           .agg(F.max_by(F.struct("ts_ms", "event_id", "event_type", "op"),
-                         F.struct("ts_ms", "event_id")).alias("w"),
-                F.count(F.lit(1)).cast("bigint").alias("n_changes")))
-    drained = _run_to_memory(agg, spark, output_mode="update")
-    # Update-mode memory sink appends one row per key PER EMISSION; if
-    # the availableNow drain spans >1 micro-batch a key carries stale
-    # earlier rows too. Re-fold per key exactly like the sibling
-    # update-mode drains (x_hll_stream / x_minhash_stream): the winner
-    # struct and n_changes both only advance, so max/max_by of the
-    # emissions is the final state.
-    final = (drained.groupBy("user_id")
-             .agg(F.max_by(F.col("w"),
-                           F.struct(F.col("w.ts_ms"), F.col("w.event_id")))
-                   .alias("w"),
-                  F.max("n_changes").cast("bigint").alias("n_changes")))
-    return (final.filter(F.col("w.op") != "D")
-            .select(F.col("user_id").cast("bigint").alias("user_id"),
-                    F.col("w.ts_ms").cast("bigint").alias("last_ts_ms"),
-                    F.col("w.event_id").cast("bigint")
-                     .alias("last_event_id"),
-                    F.col("w.event_type").alias("last_event_type"),
-                    "n_changes")
-            .orderBy("user_id"))
-
-
-QUERIES["x_cdc_stream"] = x_cdc_stream
-STREAMING_DEMOS.add("x_cdc_stream")
-
-ORACLES["x_cdc_stream"] = f"""
-WITH log AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
-         CASE WHEN {_CDC_OP_H} % 10 = 0 THEN 'D' ELSE 'U' END AS op
-  FROM events
-), r AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts_ms DESC, event_id DESC) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n_changes
-  FROM log
-)
-SELECT CAST(user_id AS BIGINT) AS user_id,
-       CAST(ts_ms AS BIGINT) AS last_ts_ms,
-       CAST(event_id AS BIGINT) AS last_event_id,
-       event_type AS last_event_type,
-       CAST(n_changes AS BIGINT) AS n_changes
-FROM r WHERE rn = 1 AND op <> 'D'
-ORDER BY user_id
-"""
-
-
-def _events_kafka_topic_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per fixture+code revision) a kafka_standin topic from
-    the events table, ENTIRELY Spark-side: partition = kafka_standin's
-    md5-of-key partitioner (key = user_id), offset = dense per-partition
-    row_number over the deterministic (ts, event_id) order, value = the
-    audit CSV line. No driver loop — the topic build is one window pass
-    written as JSON lines, so it scales like any other layout job."""
-    import hashlib as _hashlib
-    import os as _os
-
-    from . import kafka_standin as _ks
-    src = _os.path.join(sf_dir, "events.parquet")
-    st = _os.stat(src)
-    tag = _hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_os.getuid()}:"
-        f"{_code_tag(_events_kafka_topic_dir, _ks.produce)}".encode()
-    ).hexdigest()[:12]
-    out = _os.path.join(_tempfile.gettempdir(), f"frde_kafka_topic_{tag}")
-    data = _os.path.join(out, "data")
-    marker = _os.path.join(data, "_SUCCESS")
-    if not _os.path.exists(marker):
-        from pyspark.sql import Window as _W
-        ev = _events(spark, sf_dir)
-        key = F.col("user_id").cast("string")
-        part = F.pmod(F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
-                      .cast("bigint"), F.lit(3)).cast("int")
-        rows = ev.select(
-            F.base64(key.cast("binary")).alias("key_b64"),
-            F.base64(F.concat_ws(
-                ",", F.col("event_id").cast("string"),
-                F.col("user_id").cast("string"), F.col("event_type"),
-                F.col("ts_ms").cast("string")).cast("binary"))
-             .alias("value_b64"),
-            F.lit("events").alias("topic"),
-            part.alias("partition"),
-            (F.row_number().over(
-                _W.partitionBy(part).orderBy("ts_ms", "event_id")) - 1)
-             .cast("bigint").alias("offset"),
-            F.col("ts_ms").alias("ts_ms"),
-            F.lit(0).alias("timestampType"))
-        (rows.select(F.to_json(F.struct(*rows.columns)).alias("value"))
-         .write.mode("overwrite").text(data))
-    return out
-
-
-def x_kafka_standin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2/K2 contract row: the events table flows through the
-    file-backed Kafka stand-in (kafka_standin.py — the same 7-column
-    schema Spark's real format('kafka') source emits) and is consumed
-    exactly as chapter3/WindowingOperations.java:47-60 consumes its
-    topic: key + CAST(value AS STRING). Per partition the query emits
-    (n_events, max_offset, n_users); the oracle replays the md5
-    partitioner, so a hash match certifies BOTH the key→partition
-    assignment and that offsets are dense 0..n-1 per partition —
-    Kafka's ordering contract, proven end to end rather than assumed.
-    The live-broker leg stays env-gated in tests/test_streaming.py."""
-    from . import kafka_standin as _ks
-    topic = _events_kafka_topic_dir(spark, sf_dir)
-    k = _ks.read_stream(spark, topic)
-    # distinct-user count must be exact for the oracle hash: drain the
-    # consumed records, then aggregate the drained table (streaming
-    # COUNT DISTINCT would need complete-mode per-key state).
-    drained = _run_to_memory(
-        k.select("partition", "offset",
-                 F.col("key").cast("string").alias("user")),
-        spark)
-    return (drained.groupBy("partition")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                 F.max("offset").cast("bigint").alias("max_offset"),
-                 F.countDistinct("user").cast("bigint").alias("n_users"))
-            .orderBy("partition"))
-
-
-QUERIES["x_kafka_standin_stream"] = x_kafka_standin_stream
-STREAMING_DEMOS.add("x_kafka_standin_stream")
-
-ORACLES["x_kafka_standin_stream"] = """
-WITH p AS (
-  SELECT CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
-                          1, 8)) AS BIGINT) % 3 AS INTEGER) AS partition,
-         user_id
-  FROM events
-)
-SELECT partition,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(count(*) - 1 AS BIGINT) AS max_offset,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM p GROUP BY 1 ORDER BY 1
-"""
-
-
-def x_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming maintenance of the count-min sketch, completing the
-    sketch-maintenance family (HLL = update-mode max, fixed-bin
-    histogram = update-mode sum, CMS = update-mode count): the map-side
-    (seed, bucket) explode runs on the live stream and the depth×width
-    counter table is a plain update-mode aggregation — no custom state,
-    no watermark, state bounded at depth×width by construction. The
-    drained table's last emission per key is the running count (counts
-    only grow → fold with max, same idempotent drain as x_hll_stream).
-    Point queries probe the drained sketch batch-side; same oracle as
-    the batch x_cms_estimate — replaying the same events through
-    streaming maintenance yields the identical sketch."""
-    ev = _stream_events(spark, sf_dir)
-    sk_stream = sketches.cms_sketch(ev.select("user_id"), "user_id",
-                                    depth=4, width=256)
-    drained = _run_to_memory(sk_stream, spark, output_mode="update")
-    sk = (drained.groupBy("seed", "bucket")
-          .agg(F.max("cnt").alias("cnt")))
-    vals = _events(spark, sf_dir).select("user_id")
-    watch = vals.where(F.col("user_id") < 10).distinct()
-    est = sketches.cms_estimate(watch, "user_id", sk, depth=4, width=256)
-    exact = (vals.where(F.col("user_id") < 10).groupBy("user_id")
-             .agg(F.count(F.lit(1)).alias("n_exact")))
-    return (est.join(exact, "user_id")
-            .select("user_id",
-                    F.col("n_exact").cast("bigint").alias("n_exact"),
-                    "cms_est",
-                    (F.col("cms_est") - F.col("n_exact")).cast("bigint")
-                    .alias("overcount"))
-            .orderBy("user_id"))
-
-
-QUERIES["x_cms_stream"] = x_cms_stream
-STREAMING_DEMOS.add("x_cms_stream")
-ORACLES["x_cms_stream"] = ORACLES["x_cms_estimate"]
-
-
-def x_order_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-order shuffle-quality audit: run-length statistics of
-    the source sequence in x_interleave's deterministic stride order —
-    the number a data loader checks before an epoch ships (a long
-    same-source run concentrates gradient steps on one distribution;
-    proportional interleaving should keep max_run tiny).
-
-    Scale shape: the global position key is EXACT integer arithmetic
-    (pos_e6 = (2r-1)*1e6 DIV 2n_s — no double rounding anywhere), the
-    global sequence number comes from the two-phase distributed prefix
-    sum (never a single-partition window), adjacency is a self
-    equi-join on n = n+1, and runs fall out of the classic n - rank
-    gaps-and-islands trick with every window partitioned by source.
-    Output per source: n_docs, n_runs, max_run, n_same_adj
-    (n_runs + n_same_adj == n_docs by construction)."""
-    from pyspark.sql import Window as W
-
-    from .functions.dedup import _md5_hash32
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    h = _md5_hash32("ilv", F.col("doc_id").cast("string"))
-    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
-    ranked = d.select("doc_id", "source",
-                      F.row_number().over(w).alias("r"))
-    n_s = ranked.groupBy("source").agg(F.max("r").alias("n_source"))
-    keyed = (ranked.join(F.broadcast(n_s), "source")
-             .select("doc_id", "source",
-                     F.expr("((2*r - 1) * 1000000) DIV (2 * n_source)")
-                      .alias("pos_e6")))
-    # okey unique: doc_id < 1e12 (fixture ids are dense smallints; a
-    # corpus beyond that widens the key to a struct range partitioner)
-    # three consumers (adjacency join, per-source aggregate, run islands)
-    # read seq — checkpoint once so the two-phase prefix sum never replays
-    seq = (stats.global_prefix_sum(
-        keyed.select(
-            "source",
-            (F.col("pos_e6") * F.lit(1_000_000_000_000) + F.col("doc_id"))
-            .alias("okey"),
-            F.lit(1).alias("one")),
-        "one", "okey", out_col="n").select("source", "n")
-        .localCheckpoint(eager=True))
-    prev = seq.select((F.col("n") + 1).alias("n"),
-                      F.col("source").alias("prev_source"))
-    adj = seq.join(prev, "n", "left")
-    per_src = (adj.groupBy("source")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                    F.sum(F.when(F.col("prev_source") == F.col("source"),
-                                 1).otherwise(0))
-                     .cast("bigint").alias("n_same_adj")))
-    w_src = W.partitionBy("source").orderBy("n")
-    runs = (seq.withColumn("grp",
-                           F.col("n") - F.row_number().over(w_src))
-            .groupBy("source", "grp")
-            .agg(F.count(F.lit(1)).alias("len")))
-    run_stats = (runs.groupBy("source")
-                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"),
-                      F.max("len").cast("bigint").alias("max_run")))
-    return (per_src.join(run_stats, "source")
-            .select("source", "n_docs", "n_runs", "max_run", "n_same_adj")
-            .orderBy("source"))
-
-
-QUERIES["x_order_runs"] = x_order_runs
-
-ORACLES["x_order_runs"] = f"""
-WITH ranked AS (
-  SELECT doc_id, source,
-         row_number() OVER (
-           PARTITION BY source
-           ORDER BY {_H32.format(x="concat('ilv', ':', CAST(doc_id AS VARCHAR))")},
-                    doc_id) AS r,
-         count(*) OVER (PARTITION BY source) AS n_source
-  FROM documents
-), seq AS (
-  SELECT source,
-         row_number() OVER (
-           ORDER BY ((2*r - 1) * 1000000) // (2 * n_source)
-                    * 1000000000000 + doc_id) AS n
-  FROM ranked
-), flg AS (
-  SELECT source, n,
-         CASE WHEN lag(source) OVER (ORDER BY n) = source
-              THEN 1 ELSE 0 END AS same_adj
-  FROM seq
-), runlen AS (
-  SELECT source, count(*) AS len
-  FROM (SELECT source,
-               n - row_number() OVER (PARTITION BY source ORDER BY n)
-                 AS grp
-        FROM seq) t
-  GROUP BY source, grp
-)
-SELECT f.source,
-       CAST(f.n_docs AS BIGINT) AS n_docs,
-       CAST(r.n_runs AS BIGINT) AS n_runs,
-       CAST(r.max_run AS BIGINT) AS max_run,
-       CAST(f.n_same_adj AS BIGINT) AS n_same_adj
-FROM (SELECT source, count(*) AS n_docs, sum(same_adj) AS n_same_adj
-      FROM flg GROUP BY source) f
-JOIN (SELECT source, count(*) AS n_runs, max(len) AS max_run
-      FROM runlen GROUP BY source) r USING (source)
-ORDER BY f.source
-"""
-
-
-def x_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-contamination audit the hash split alone cannot see: count
-    verified NEAR-DUP edges that cross train/val/test boundaries — a
-    val doc whose near-duplicate sits in train is memorization leakage
-    that survives any id-level split. Composes two persisted/oracled
-    stages ids-only: the near-dup edge parquet (_edges_parquet_dir,
-    never re-derives LSH) and the deterministic md5 80/10/10 split.
-    Output per unordered split pair: n_edges, n_docs (distinct docs on
-    crossing edges); the (train, val)/(train, test) rows are the
-    leakage to fix (drop or re-bucket by cluster, keeping clusters
-    intact — the fix x_training_manifest's policy applies upstream)."""
-    from .functions.sketches import train_val_test_split
-    edges = _edges(spark, sf_dir)
-    split = train_val_test_split(
-        _docs(spark, sf_dir).select("doc_id"), "doc_id")
-    sa = split.select(F.col("doc_id").alias("id_a"),
-                      F.col("split").alias("split_a"))
-    sb = split.select(F.col("doc_id").alias("id_b"),
-                      F.col("split").alias("split_b"))
-    tagged = (edges.join(sa, "id_a").join(sb, "id_b")
-              .select(F.least("split_a", "split_b").alias("split_lo"),
-                      F.greatest("split_a", "split_b").alias("split_hi"),
-                      "id_a", "id_b"))
-    n_edges = (tagged.groupBy("split_lo", "split_hi")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
-    docs_in = (tagged.select("split_lo", "split_hi",
-                             F.explode(F.array("id_a", "id_b")).alias("id"))
-               .groupBy("split_lo", "split_hi")
-               .agg(F.countDistinct("id").cast("bigint").alias("n_docs")))
-    return (n_edges.join(docs_in, ["split_lo", "split_hi"])
-            .orderBy("split_lo", "split_hi"))
-
-
-QUERIES["x_split_leakage"] = x_split_leakage
-
-ORACLES["x_split_leakage"] = f"""
-WITH cand AS ({{LSH}}),
-jac AS ({{JAC}}),
-edges AS (
-  SELECT jac.id_a, jac.id_b FROM jac
-  JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-),
-sp AS (
-  SELECT doc_id,
-         CASE WHEN {_SPLIT_DRAW} < 0.8 THEN 'train'
-              WHEN {_SPLIT_DRAW} < 0.9 THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents
-),
-tagged AS (
-  SELECT least(a.split, b.split) AS split_lo,
-         greatest(a.split, b.split) AS split_hi,
-         e.id_a, e.id_b
-  FROM edges e
-  JOIN sp a ON e.id_a = a.doc_id
-  JOIN sp b ON e.id_b = b.doc_id
-)
-SELECT split_lo, split_hi,
-       CAST(count(*) AS BIGINT) AS n_edges,
-       CAST((SELECT count(DISTINCT id) FROM (
-              SELECT t2.split_lo, t2.split_hi, t2.id_a AS id FROM tagged t2
-              UNION ALL
-              SELECT t2.split_lo, t2.split_hi, t2.id_b FROM tagged t2) u
-             WHERE u.split_lo = t.split_lo AND u.split_hi = t.split_hi)
-            AS BIGINT) AS n_docs
-FROM tagged t
-GROUP BY split_lo, split_hi
-ORDER BY split_lo, split_hi
-"""
-ORACLES["x_split_leakage"] = (ORACLES["x_split_leakage"]
-                              .replace("{LSH}", _minhash_lsh_oracle())
-                              .replace("{JAC}", _jaccard_oracle(threshold=0.5)))
-
-
-def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF join (Flink temporal table join / kdb aj): each purchase
-    attaches the LATEST view by the same user at or before its
-    timestamp — the canonical "state of X as of event time T" lookup.
-
-    Scale shape: NOT a range join (ts-inequality joins explode into
-    per-key cross products) — the union-merge form: tag both sides,
-    union, ONE window per user over (ts, side, event_id) carrying the
-    last-seen view forward with last(ignorenulls); right rows sort
-    before left at equal ts so ties resolve to <= semantics with the
-    max event_id among equal-ts views. One shuffle on user_id, state
-    one row per user, works identically as a streaming state machine.
-    Output: purchase_id, user_id, ts_ms, view_id, view_ts_ms, wait_ms
-    (nulls when no prior view exists)."""
-    from pyspark.sql import Window as W
-    ev = _events(spark, sf_dir)
-    left = (ev.filter(F.col("event_type") == "purchase")
-            .select("user_id", "ts_ms",
-                    F.col("event_id").alias("purchase_id"),
-                    F.lit(None).cast("bigint").alias("view_id"),
-                    F.lit(None).cast("bigint").alias("view_ts"),
-                    F.lit(1).alias("side")))
-    right = (ev.filter(F.col("event_type") == "view")
-             .select("user_id", "ts_ms",
-                     F.lit(None).cast("bigint").alias("purchase_id"),
-                     F.col("event_id").alias("view_id"),
-                     F.col("ts_ms").alias("view_ts"),
-                     F.lit(0).alias("side")))
-    u = left.unionByName(right)
-    w = (W.partitionBy("user_id")
-         .orderBy("ts_ms", "side",
-                  F.coalesce("view_id", "purchase_id"))
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    carried = (u.withColumn("m_view", F.last("view_id", True).over(w))
-               .withColumn("m_ts", F.last("view_ts", True).over(w)))
-    return (carried.filter(F.col("side") == 1)
-            .select(F.col("purchase_id"), "user_id",
-                    F.col("ts_ms").cast("bigint").alias("ts_ms"),
-                    F.col("m_view").alias("view_id"),
-                    F.col("m_ts").cast("bigint").alias("view_ts_ms"),
-                    (F.col("ts_ms") - F.col("m_ts")).cast("bigint")
-                    .alias("wait_ms"))
-            .orderBy("purchase_id"))
-
-
-QUERIES["x_asof_join"] = x_asof_join
-
-ORACLES["x_asof_join"] = """
-WITH u AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id AS purchase_id,
-         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS BIGINT) AS view_ts,
-         1 AS side
-  FROM events WHERE event_type = 'purchase'
-  UNION ALL
-  SELECT user_id, epoch_ms(ts), NULL, event_id, epoch_ms(ts), 0
-  FROM events WHERE event_type = 'view'
-), c AS (
-  SELECT *,
-         last_value(view_id IGNORE NULLS) OVER (
-           PARTITION BY user_id
-           ORDER BY ts_ms, side, coalesce(view_id, purchase_id)
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_view,
-         last_value(view_ts IGNORE NULLS) OVER (
-           PARTITION BY user_id
-           ORDER BY ts_ms, side, coalesce(view_id, purchase_id)
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts
-  FROM u
-)
-SELECT purchase_id, user_id, CAST(ts_ms AS BIGINT) AS ts_ms,
-       m_view AS view_id, CAST(m_ts AS BIGINT) AS view_ts_ms,
-       CAST(ts_ms - m_ts AS BIGINT) AS wait_ms
-FROM c WHERE side = 1
-ORDER BY purchase_id
-"""
-
-
-def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
-    SIGIR'09 — the fusion Elasticsearch/Vespa ship for BM25+ANN hybrid
-    search): a lexical ranking (exact token-set Jaccard, posting-list
-    join shape) and a semantic ranking (cosine over embeddings, bounded
-    anchor broadcast) each produce a per-query top-10, then fuse with
-    rrf = sum over lists of 1/(60 + rank) — computed as EXACT integer
-    1e6 DIV (60+rk) so the fused ranking hash-checks. Docs found by
-    only one leg still fuse (full-outer on the hit lists) — the whole
-    point of RRF is rewarding cross-evidence without score calibration.
-    Output: query_id, doc_id, rk_lex, rk_sem (NULL = not in that leg's
-    top-10), rrf_e6, rk (fused, <= 10)."""
-    from pyspark.sql import Window as W
-    emb = _emb(spark, sf_dir)
-    docs = _docs(spark, sf_dir)
-
-    # --- semantic leg: exact cosine, 5-anchor broadcast (ANN at scale)
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"))
-    sem_pairs = (emb.crossJoin(F.broadcast(q))
-                 .filter(F.col("vec_id") != F.col("query_id"))
-                 .select("query_id", F.col("vec_id").alias("doc_id"),
-                         F.round(similarity.cosine("q_vec", "embedding"), 6)
-                          .alias("score")))
-    w_sem = W.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                              F.col("doc_id"))
-    sem = (sem_pairs.withColumn("rk_sem", F.row_number().over(w_sem))
-           .filter(F.col("rk_sem") <= 10)
-           .select("query_id", "doc_id", "rk_sem"))
-
-    # --- lexical leg: exact Jaccard of DISTINCT token sets, hits join
-    # on shared tokens (posting-list shape — corpus side never fans out
-    # beyond docs actually sharing a query token)
-    toks = (docs.select("doc_id", F.explode(text.tokens("text"))
-                        .alias("tok")).distinct()
-            .localCheckpoint(eager=True))  # read by sizes + both join
-    # sides — checkpoint so the explode+distinct runs once
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    q_toks = (toks.filter(F.col("doc_id") < 5)
-              .select(F.col("doc_id").alias("query_id"), "tok"))
-    q_sizes = (sizes.filter(F.col("doc_id") < 5)
-               .select(F.col("doc_id").alias("query_id"),
-                       F.col("n_tok").alias("n_q")))
-    common = (q_toks.join(toks, "tok")
-              .filter(F.col("doc_id") != F.col("query_id"))
-              .groupBy("query_id", "doc_id")
-              .agg(F.count(F.lit(1)).alias("n_common")))
-    lex_pairs = (common.join(F.broadcast(q_sizes), "query_id")
-                 .join(sizes, "doc_id")
-                 .select("query_id", "doc_id",
-                         F.expr("n_common * 1000000 DIV "
-                                "(n_q + n_tok - n_common)")
-                          .alias("jac_e6")))
-    w_lex = W.partitionBy("query_id").orderBy(F.col("jac_e6").desc(),
-                                              F.col("doc_id"))
-    lex = (lex_pairs.withColumn("rk_lex", F.row_number().over(w_lex))
-           .filter(F.col("rk_lex") <= 10)
-           .select("query_id", "doc_id", "rk_lex"))
-
-    # --- fuse: full outer on the hit lists, integer reciprocal ranks
-    fused = (lex.join(sem, ["query_id", "doc_id"], "fullOuter")
-             .select("query_id", "doc_id",
-                     F.col("rk_lex").cast("bigint").alias("rk_lex"),
-                     F.col("rk_sem").cast("bigint").alias("rk_sem"),
-                     (F.coalesce(F.expr("1000000 DIV (60 + rk_lex)"),
-                                 F.lit(0))
-                      + F.coalesce(F.expr("1000000 DIV (60 + rk_sem)"),
-                                   F.lit(0)))
-                     .cast("bigint").alias("rrf_e6")))
-    w_f = W.partitionBy("query_id").orderBy(F.col("rrf_e6").desc(),
-                                            F.col("doc_id"))
-    return (fused.withColumn("rk", F.row_number().over(w_f)
-                             .cast("bigint"))
-            .filter(F.col("rk") <= 10)
-            .orderBy("query_id", "rk"))
-
-
-QUERIES["x_rrf_fusion"] = x_rrf_fusion
-
-ORACLES["x_rrf_fusion"] = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS q FROM embeddings
-  WHERE vec_id < 5
-), c AS (
-  SELECT vec_id, embedding AS v FROM embeddings
-), sem_s AS (
-  SELECT query_id, vec_id AS doc_id, round({_COSINE_Q}, 6) AS score
-  FROM q CROSS JOIN c WHERE vec_id <> query_id
-), sem AS (
-  SELECT query_id, doc_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id) AS rk_sem
-  FROM sem_s QUALIFY rk_sem <= 10
-), toks AS (
-  SELECT DISTINCT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
-), sizes AS (
-  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1
-), common AS (
-  SELECT a.doc_id AS query_id, b.doc_id, count(*) AS n_common
-  FROM toks a JOIN toks b ON a.tok = b.tok
-  WHERE a.doc_id < 5 AND b.doc_id <> a.doc_id
-  GROUP BY 1, 2
-), lex_s AS (
-  SELECT c2.query_id, c2.doc_id,
-         c2.n_common * 1000000 // (sq.n_tok + sd.n_tok - c2.n_common)
-           AS jac_e6
-  FROM common c2
-  JOIN sizes sq ON sq.doc_id = c2.query_id
-  JOIN sizes sd ON sd.doc_id = c2.doc_id
-), lex AS (
-  SELECT query_id, doc_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY jac_e6 DESC, doc_id) AS rk_lex
-  FROM lex_s QUALIFY rk_lex <= 10
-), fused AS (
-  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
-         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-         CAST(lex.rk_lex AS BIGINT) AS rk_lex,
-         CAST(sem.rk_sem AS BIGINT) AS rk_sem,
-         CAST(coalesce(1000000 // (60 + lex.rk_lex), 0)
-              + coalesce(1000000 // (60 + sem.rk_sem), 0) AS BIGINT)
-           AS rrf_e6
-  FROM lex FULL OUTER JOIN sem
-    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
-)
-SELECT query_id, doc_id, rk_lex, rk_sem, rrf_e6,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY rrf_e6 DESC, doc_id) AS BIGINT)
-         AS rk
-FROM fused
-QUALIFY rk <= 10
-ORDER BY query_id, rk
-"""
-
-
-def _postings_parquet_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Per-token postings (tok, doc_id, tf) persisted ONCE per
-    (corpus, code) — the lexical build-vs-serve twin of the PQ/IVFADC
-    index parquets: the nightly index job writes postings sorted WITHIN
-    files by token (sortWithinPartitions after a token repartition), so
-    every term lookup prunes on parquet row-group min/max stats instead
-    of re-exploding the corpus per query."""
-    import hashlib as _hashlib
-    import os as _os
-    src = _os.path.join(sf_dir, "documents.parquet")
-    st = _os.stat(src)
-    tag = _hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_os.getuid()}:postings_v1:"
-        f"{_code_tag(_postings_parquet_dir)}".encode()).hexdigest()[:12]
-    out = _os.path.join(_tempfile.gettempdir(), f"frde_postings_{tag}")
-    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
-        d = _docs(spark, sf_dir)
-        tok = d.select("doc_id",
-                       F.explode(text.tokens("text")).alias("tok"))
-        per_doc = (tok.groupBy("tok", "doc_id")
-                   .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
-        (per_doc.repartition("tok").sortWithinPartitions("tok", "doc_id")
-         .write.mode("overwrite").parquet(out))
-    return out
-
-
-def x_keyword_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x_keyword_search served from the PERSISTED inverted index: the
-    term lookup is a pushed-down IN filter on the postings parquet
-    (PushedFilters reaches the scan; row groups are token-sorted so
-    min/max stats prune) plus one aggregate over the tiny hit set — the
-    corpus text is never touched at query time. Build parity stays
-    x_keyword_search/x_posting_lists (cold-run forms); same oracle, so
-    the hash match proves index serving equals corpus recompute."""
-    postings = spark.read.parquet(_postings_parquet_dir(spark, sf_dir))
-    hits = postings.filter(F.col("tok").isin(*_SEARCH_TERMS))
-    return (hits.groupBy("doc_id")
-            .agg(F.countDistinct("tok").alias("n_terms"),
-                 F.sum("tf").alias("tf_sum"))
-            .filter(F.col("n_terms") == len(_SEARCH_TERMS))
-            .select("doc_id", F.col("tf_sum").cast("bigint").alias("tf_sum"))
-            .orderBy(F.col("tf_sum").desc(), "doc_id")
-            .limit(20))
-
-
-QUERIES["x_keyword_persisted"] = x_keyword_persisted
-ORACLES["x_keyword_persisted"] = ORACLES["x_keyword_search"]
-
-
-def _pq_incr_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """The BASE leg of the incremental PQ index: books trained and codes
-    encoded on the first 80% of vec_ids only, persisted once. The
-    nightly-build / daily-delta split every production ANN index lives
-    with: retraining codebooks per delta would invalidate every stored
-    code, so books FREEZE on the base corpus and deltas only encode."""
-    import hashlib
-    import os
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:pq_incr80"
-        f":{_code_tag(similarity.pq_train_books, similarity.pq_encode)}"
-        .encode()).hexdigest()[:12]
-    out = os.path.join(_tempfile.gettempdir(), f"frde_pqincr_{tag}")
-    if not os.path.exists(os.path.join(out, "books", "_SUCCESS")):
-        emb = _emb(spark, sf_dir)
-        cutoff = 4 * emb.count() // 5
-        base = emb.filter(F.col("vec_id") < cutoff)
-        books = similarity.pq_train_books(base, m=16, ks=32, iters=2,
-                                          train_max=512)
-        similarity.pq_encode(base, books).write.mode("overwrite").parquet(
-            os.path.join(out, "codes"))
-        similarity._pq_books_df(spark, books).write.mode(
-            "overwrite").parquet(os.path.join(out, "books"))
-    return out
-
-
-def x_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ANN index maintenance — the leg the build-vs-serve
-    pair was missing (x_cc_incremental's proof shape applied to PQ):
-    codebooks train ONCE on the base 80% of the corpus and freeze, the
-    base codes persist, and the newest 20% delta is ONLY ENCODED with
-    the frozen books (one map-side pass over the delta — base codes and
-    raw base vectors are never touched by the refresh). Serving runs
-    ADC over base-codes UNION delta-codes with the usual exact-cosine
-    shortlist rerank. The oracle replays train-on-base/encode-all in
-    SQL, so the hash match proves the incremental fold serves exactly
-    what a monolithic base-trained build would — the invariant that
-    makes delta maintenance SAFE to ship nightly."""
-    import os
-    emb = _emb(spark, sf_dir)
-    cutoff = 4 * emb.count() // 5
-    idx = _pq_incr_index_dir(spark, sf_dir)
-    codes_base = spark.read.parquet(os.path.join(idx, "codes"))
-    row = spark.read.parquet(os.path.join(idx, "books")).collect()[0]
-    books = [[list(cv) for cv in book] for book in row["B"]]
-    delta = emb.filter(F.col("vec_id") >= cutoff)
-    codes = codes_base.unionByName(similarity.pq_encode(delta, books))
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.pq_adc_topk(codes, books, q, corpus=emb, k=5,
-                                  shortlist=50)
-
-
-QUERIES["x_pq_incremental"] = x_pq_incremental
 
-ORACLES["x_pq_incremental"] = _pq_oracle(
-    k=5, m=16, ks=32, iters=2, train_max=512, shortlist=50,
-    train_filter=" WHERE vec_id < (SELECT 4 * count(*) // 5"
-                 " FROM embeddings)")
+This module is the ASSEMBLER for the registry_* chunk modules (split
+in r9 to keep every file under ~3,000 lines): it executes them in the
+original definition order and re-exports every top-level name, so
+``registry.QUERIES`` / ``registry.ORACLES`` / ``registry.<helper>``
+keep working for the driver, bench.py, tools/ and tests/.
+"""
+
+from . import (  # noqa: F401 — import order IS registration order
+    registry_core,
+    registry_ops,
+    registry_llm,
+    registry_catalog,
+    registry_ext_a,
+    registry_ext_b,
+    registry_ext_c,
+)
+
+_CHUNKS = (registry_core, registry_ops, registry_llm, registry_catalog, registry_ext_a, registry_ext_b, registry_ext_c)
+
+# Re-export every top-level name (public AND private: tests and
+# tools reach registry._events / registry.x_* / registry._*_oracle).
+for _m in _CHUNKS:
+    for _k, _v in vars(_m).items():
+        if not _k.startswith('__'):
+            globals().setdefault(_k, _v)
+del _m, _k, _v

@@ -1,0 +1,2885 @@
+"""The registry tables: QUERIES / ORACLES / STREAMING_DEMOS base entries for everything defined in registry_ops + registry_llm.
+
+Split out of the original registry.py (r9); statement text is
+verbatim so per-query content hashes are unchanged.
+"""
+
+from __future__ import annotations
+
+from .registry_core import (  # noqa: F401
+    Callable,
+    DataFrame,
+    ORACLES,
+    QUERIES,
+    STREAMING_DEMOS,
+    SparkSession,
+    _EV,
+    _H32,
+    _NORM_SQL,
+    dedup,
+    text,
+)
+from .registry_ops import (  # noqa: F401
+    _BANDS,
+    _protobuf_available,
+    a1_tumbling_count_5s,
+    a2_running_reduce,
+    a2_stream_totals,
+    a3_sliding_agg_10s_5s,
+    a3_stream,
+    a4_session_agg_1h,
+    a4_stream,
+    a5_keyed_tumbling_10s,
+    a5_salted_tumbling,
+    a5_stream,
+    a6_stream,
+    a6_tumbling_count_1s,
+    j1_stream,
+    j1_windowed_join,
+    j2_asof_forward,
+    j2_asof_join,
+    j2_stream,
+    j3_interval_join,
+    j3_stream,
+    j4_stream_static,
+    j5_stream_outer,
+    p1_parse_csv,
+    p2_parse_browser,
+    p3_project,
+    p4_filter_sentinel,
+    p5_split_main,
+    p5_split_side,
+    p6_tag_merge,
+    q10_returned_items,
+    q11_important_parts,
+    q12_ship_lag_priority,
+    q13_order_distribution,
+    q14_promo_revenue,
+    q15_top_supplier,
+    q16_supplier_part_counts,
+    q17_small_quantity,
+    q18_large_quantity_orders,
+    q19_disjunctive_bands,
+    q1_pricing_summary,
+    q20_prolific_suppliers,
+    q21_waiting_orders,
+    q22_idle_rich_customers,
+    q2_min_cost_supplier,
+    q3_shipping_priority,
+    q4_order_priority,
+    q5_local_supplier_volume,
+    q6_forecast_revenue,
+    q7_two_nation_volume,
+    q8_market_share,
+    q9_product_profit,
+    q_distinct_users_per_type,
+    q_returns_cube,
+    q_top_parts_per_brand,
+    st1_interval_alerts,
+    st1_stream,
+    st1_tws,
+    st2_action_durations,
+    st2_stream,
+    x_approx_quantiles,
+    x_cep_stream,
+    x_compact_stream,
+    x_funnel,
+    x_group_sample,
+    x_hll_distinct,
+    x_json_stats,
+    x_pivot_daily,
+    x_quality_buckets,
+    x_range_lookup,
+    x_retention,
+    x_temperature_sample,
+    x_variant_extract,
+)
+from .registry_llm import (  # noqa: F401
+    _SEARCH_TERMS,
+    x_audio_energy,
+    x_bigram_logprob,
+    x_bloom_prune,
+    x_bm25_topk,
+    x_brute_force_topk,
+    x_cep_pattern,
+    x_chunks,
+    x_cms_estimate,
+    x_collocations,
+    x_compact_latest,
+    x_containment_pairs,
+    x_content_chunks,
+    x_corpus_filter,
+    x_cross_source_dups,
+    x_decontaminate,
+    x_dedup_report,
+    x_dedup_stats,
+    x_dedup_stream,
+    x_disorder_stats,
+    x_dynamic_sessions,
+    x_embedding_neardup,
+    x_embedding_neardup_lsh,
+    x_exact_dedup,
+    x_filter_stream,
+    x_fingerprint,
+    x_frame_sample,
+    x_freshness,
+    x_global_offsets,
+    x_group_quantiles,
+    x_grouping_sets,
+    x_hash_sample,
+    x_heavy_hitters,
+    x_incremental_dedup,
+    x_interleave,
+    x_iqr_outliers,
+    x_ivf_topk,
+    x_jaccard_pairs,
+    x_key_skew,
+    x_keyword_search,
+    x_kmv_distinct,
+    x_lag_features,
+    x_language_id,
+    x_lsh_multiprobe_topk,
+    x_lsh_recall,
+    x_lsh_topk,
+    x_merge_apply,
+    x_minhash_estimate,
+    x_minhash_lsh,
+    x_multimodal_features,
+    x_neardup_clusters,
+    x_neardup_keep,
+    x_neardup_pipeline,
+    x_norm_stats,
+    x_null_audit,
+    x_pack_offsets,
+    x_paragraph_dedup,
+    x_partitioned_prune,
+    x_pii,
+    x_posting_lists,
+    x_profile,
+    x_quality_features,
+    x_quantize,
+    x_rag_retrieve,
+    x_repeated_spans,
+    x_repetition,
+    x_resample_ffill,
+    x_resize,
+    x_rollup_merge,
+    x_scd2,
+    x_sessionize,
+    x_set_ops,
+    x_simhash,
+    x_simhash_pairs,
+    x_source_mixture,
+    x_stratified_sample,
+    x_tfidf_topk,
+    x_time_rollup,
+    x_token_counts,
+    x_token_entropy,
+    x_token_histogram,
+    x_trailing,
+    x_train_val_split,
+    x_trending,
+    x_unigram_logprob,
+    x_unpivot,
+    x_vocab_topk,
+    x_weighted_sample,
+    x_window_distinct,
+    x_zorder_prune,
+)
+
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# Streaming round-trip demos: correctness-checked like everything else, but
+# excluded from bench.py — they measure state-store fixed overhead at fixture
+# scale, not analytics throughput.
+STREAMING_DEMOS.update({"st1_stream", "st2_stream", "a6_stream", "j4_stream_static",
+                   "a2_stream_totals", "j1_stream", "j5_stream_outer",
+                   "j3_stream", "a4_stream",
+                   "a3_stream", "a5_stream", "j2_stream", "x_filter_stream",
+                   "x_dedup_stream", "x_compact_stream"})
+
+QUERIES.update({
+    "p1_parse_csv": p1_parse_csv,
+    "p2_parse_browser": p2_parse_browser,
+    "p3_project": p3_project,
+    "p4_filter_sentinel": p4_filter_sentinel,
+    "p5_split_main": p5_split_main,
+    "p5_split_side": p5_split_side,
+    "p6_tag_merge": p6_tag_merge,
+    "a1_tumbling_count_5s": a1_tumbling_count_5s,
+    "a2_running_reduce": a2_running_reduce,
+    "a3_sliding_agg_10s_5s": a3_sliding_agg_10s_5s,
+    "a4_session_agg_1h": a4_session_agg_1h,
+    "a5_keyed_tumbling_10s": a5_keyed_tumbling_10s,
+    "a5_salted_tumbling": a5_salted_tumbling,
+    "a6_tumbling_count_1s": a6_tumbling_count_1s,
+    "j1_windowed_join": j1_windowed_join,
+    "j2_asof_join": j2_asof_join,
+    "j2_asof_forward": j2_asof_forward,
+    "j3_interval_join": j3_interval_join,
+    "st1_interval_alerts": st1_interval_alerts,
+    "st2_action_durations": st2_action_durations,
+    "st1_stream": st1_stream,
+    "st2_stream": st2_stream,
+    "a6_stream": a6_stream,
+    "a2_stream_totals": a2_stream_totals,
+    "j1_stream": j1_stream,
+    "j4_stream_static": j4_stream_static,
+    "j3_stream": j3_stream,
+    "a4_stream": a4_stream,
+    "a3_stream": a3_stream,
+    "a5_stream": a5_stream,
+    "j2_stream": j2_stream,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q7_two_nation_volume": q7_two_nation_volume,
+    "q18_large_quantity_orders": q18_large_quantity_orders,
+    "q_top_parts_per_brand": q_top_parts_per_brand,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q12_ship_lag_priority": q12_ship_lag_priority,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
+    "q_returns_cube": q_returns_cube,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_prolific_suppliers": q20_prolific_suppliers,
+    "q21_waiting_orders": q21_waiting_orders,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_disjunctive_bands": q19_disjunctive_bands,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q_distinct_users_per_type": q_distinct_users_per_type,
+    "x_exact_dedup": x_exact_dedup,
+    "x_fingerprint": x_fingerprint,
+    "x_jaccard_pairs": x_jaccard_pairs,
+    "x_minhash_lsh": x_minhash_lsh,
+    "x_neardup_pipeline": x_neardup_pipeline,
+    "x_neardup_clusters": x_neardup_clusters,
+    "x_neardup_keep": x_neardup_keep,
+    "x_dedup_stats": x_dedup_stats,
+    "x_cross_source_dups": x_cross_source_dups,
+    "x_incremental_dedup": x_incremental_dedup,
+    "x_minhash_estimate": x_minhash_estimate,
+    "x_null_audit": x_null_audit,
+    "x_freshness": x_freshness,
+    "x_simhash": x_simhash,
+    "x_quality_features": x_quality_features,
+    "x_language_id": x_language_id,
+    "x_norm_stats": x_norm_stats,
+    "x_brute_force_topk": x_brute_force_topk,
+    "x_lsh_topk": x_lsh_topk,
+    "x_lsh_multiprobe_topk": x_lsh_multiprobe_topk,
+    "x_ivf_topk": x_ivf_topk,
+    "x_embedding_neardup": x_embedding_neardup,
+    "x_embedding_neardup_lsh": x_embedding_neardup_lsh,
+    "x_token_counts": x_token_counts,
+    "x_multimodal_features": x_multimodal_features,
+    "x_resize": x_resize,
+    "x_frame_sample": x_frame_sample,
+    "x_audio_energy": x_audio_energy,
+    "x_kmv_distinct": x_kmv_distinct,
+    "x_hash_sample": x_hash_sample,
+    "x_stratified_sample": x_stratified_sample,
+    "x_time_rollup": x_time_rollup,
+    "x_train_val_split": x_train_val_split,
+    "x_global_offsets": x_global_offsets,
+    "x_token_histogram": x_token_histogram,
+    "x_vocab_topk": x_vocab_topk,
+    "x_keyword_search": x_keyword_search,
+    "x_tfidf_topk": x_tfidf_topk,
+    "x_group_quantiles": x_group_quantiles,
+    "x_set_ops": x_set_ops,
+    "x_iqr_outliers": x_iqr_outliers,
+    "x_key_skew": x_key_skew,
+    "x_trailing": x_trailing,
+    "x_simhash_pairs": x_simhash_pairs,
+    "x_lag_features": x_lag_features,
+    "x_window_distinct": x_window_distinct,
+    "x_trending": x_trending,
+    "x_sessionize": x_sessionize,
+    "x_dynamic_sessions": x_dynamic_sessions,
+    "x_collocations": x_collocations,
+    "x_partitioned_prune": x_partitioned_prune,
+    "x_zorder_prune": x_zorder_prune,
+    "x_grouping_sets": x_grouping_sets,
+    "x_quantize": x_quantize,
+    "x_unigram_logprob": x_unigram_logprob,
+    "x_bigram_logprob": x_bigram_logprob,
+    "x_token_entropy": x_token_entropy,
+    "x_decontaminate": x_decontaminate,
+    "x_repetition": x_repetition,
+    "x_pii": x_pii,
+    "x_pack_offsets": x_pack_offsets,
+    "x_chunks": x_chunks,
+    "x_repeated_spans": x_repeated_spans,
+    "x_corpus_filter": x_corpus_filter,
+    "x_filter_stream": x_filter_stream,
+    "x_dedup_stream": x_dedup_stream,
+    "x_quality_buckets": x_quality_buckets,
+    "x_group_sample": x_group_sample,
+    "x_range_lookup": x_range_lookup,
+    "x_source_mixture": x_source_mixture,
+    "x_temperature_sample": x_temperature_sample,
+    "x_funnel": x_funnel,
+    "x_retention": x_retention,
+    "x_json_stats": x_json_stats,
+    "x_variant_extract": x_variant_extract,
+    "x_pivot_daily": x_pivot_daily,
+    "x_hll_distinct": x_hll_distinct,
+    "x_approx_quantiles": x_approx_quantiles,
+})
+
+# Round-4 additions register at the TAIL so the driver's bounded
+# correctness window drains older never-verified queries first
+# (the rotation in __spark_entry__.queries() breaks ties by registry
+# order).
+QUERIES["j5_stream_outer"] = j5_stream_outer
+QUERIES["x_profile"] = x_profile
+QUERIES["x_lsh_recall"] = x_lsh_recall
+QUERIES["x_dedup_report"] = x_dedup_report
+QUERIES["x_containment_pairs"] = x_containment_pairs
+QUERIES["x_weighted_sample"] = x_weighted_sample
+QUERIES["x_posting_lists"] = x_posting_lists
+QUERIES["x_bm25_topk"] = x_bm25_topk
+QUERIES["x_compact_latest"] = x_compact_latest
+QUERIES["x_interleave"] = x_interleave
+QUERIES["x_resample_ffill"] = x_resample_ffill
+QUERIES["x_compact_stream"] = x_compact_stream
+QUERIES["x_rag_retrieve"] = x_rag_retrieve
+QUERIES["x_bloom_prune"] = x_bloom_prune
+QUERIES["x_cms_estimate"] = x_cms_estimate
+QUERIES["x_heavy_hitters"] = x_heavy_hitters
+QUERIES["x_paragraph_dedup"] = x_paragraph_dedup
+QUERIES["x_cep_pattern"] = x_cep_pattern
+QUERIES["x_scd2"] = x_scd2
+QUERIES["x_unpivot"] = x_unpivot
+QUERIES["x_cep_stream"] = x_cep_stream
+STREAMING_DEMOS.add("x_cep_stream")
+QUERIES["x_rollup_merge"] = x_rollup_merge
+QUERIES["x_disorder_stats"] = x_disorder_stats
+QUERIES["x_merge_apply"] = x_merge_apply
+QUERIES["x_content_chunks"] = x_content_chunks
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    h = _H32.format(x="concat('sim', ':', tok)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), hs AS (
+  SELECT doc_id, {h} AS h FROM toks WHERE tok <> ''
+), bitsums AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hs CROSS JOIN (SELECT unnest(range(0, {bits})) AS j) bits
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bitsums GROUP BY doc_id
+"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    rows_per_band = num_hashes // bands
+    hb = _H32.format(x="concat('mh', ':', shingle)")
+    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
+                          in enumerate(dedup.affine_consts(num_hashes)))
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - {n - 1}
+), hb AS (
+  SELECT doc_id, {hb} AS hb FROM sh
+), sig AS (
+  SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
+  FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
+  GROUP BY doc_id, seed
+), banded AS MATERIALIZED (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
+  FROM sig GROUP BY doc_id, seed // {rows_per_band}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _jaccard_oracle(n: int = 3, threshold: float = 0.1) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - {n - 1}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
+"""
+
+
+def _lsh_recall_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3,
+                       threshold: float = 0.5) -> str:
+    rows_per_band = num_hashes // bands
+    hb = _H32.format(x="concat('mh', ':', shingle)")
+    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
+                          in enumerate(dedup.affine_consts(num_hashes)))
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - {n - 1}
+), hb AS (
+  SELECT doc_id, {hb} AS hb FROM sh
+), sig AS (
+  SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
+  FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
+  GROUP BY doc_id, seed
+), banded AS MATERIALIZED (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
+  FROM sig GROUP BY doc_id, seed // {rows_per_band}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+        >= {threshold}
+), u AS (
+  SELECT coalesce(t.id_a, c.id_a) AS id_a, coalesce(t.id_b, c.id_b) AS id_b,
+         (t.id_a IS NOT NULL) AS in_t, (c.id_a IS NOT NULL) AS in_c
+  FROM truth t FULL JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+), agg AS (
+  SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp
+  FROM u
+)
+SELECT n_truth, n_cand, tp, fn, fp,
+       round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
+       round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision
+FROM agg
+"""
+
+
+def _containment_oracle(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - {n - 1}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+       round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= {threshold}
+"""
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """DuckDB cosine with the same association order as the Spark
+    expression (sequential left fold over the array)."""
+    sq = ("sqrt(list_sum(list_transform({v},"
+          " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return (f"list_sum(list_transform(range(1, len({a}) + 1),"
+            f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+            f" / ({sq.format(v=a)} * {sq.format(v=b)})")
+
+
+_COSINE_Q = _cosine_sql("q", "v")
+
+
+def _brute_force_oracle(k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE query_id <> vec_id
+), r AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, score, rk FROM r WHERE rk <= {k}
+"""
+
+
+def _ivf_oracle(k: int = 5, n_lists: int = 8, n_probe: int = 2,
+                iters: int = 3, train_max: int | None = None) -> str:
+    """Replays similarity.ivf_topk_exact bit-for-bit: e6 BIGINT vectors,
+    seeds = n_lists smallest md5(id), `iters` unrolled integer-Lloyd rounds
+    (assignment argmin ties (d2, cell); centroid update sum // count — DuckDB
+    `//` truncates toward zero exactly like Spark `div`; an emptied cell
+    keeps its previous centroid), then n_probe nearest cells per query and
+    exact cosine ranking inside them. ``train_max`` replays the bounded
+    md5-smallest training sample (`tv`) that the Spark side trains on
+    driver-locally; the final assignment always covers the full corpus."""
+    d2 = ("list_sum(list_transform(list_zip({a}, {b}),"
+          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    if train_max is None:
+        tv = "qv"
+        tv_cte = ""
+    else:
+        tv = "tv"
+        tv_cte = (",\ntv AS (SELECT * FROM qv"
+                  " ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"
+                  f" LIMIT {train_max})")
+    parts = [f"""
+WITH qv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+){tv_cte},
+c0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
+         q6 AS cvec
+  FROM {tv} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists}
+)"""]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, q6, cell FROM (
+    SELECT v.vec_id, v.q6, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
+    FROM {tv} v CROSS JOIN {prev} c) WHERE rn = 1
+),
+n{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cell, pos, sum(v) // count(*) AS m FROM (
+      SELECT cell, unnest(q6) AS v, unnest(range(len(q6))) AS pos FROM a{i})
+    GROUP BY cell, pos)
+  GROUP BY cell
+),
+c{i} AS (
+  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN n{i} n USING (cell)
+)""")
+    last = f"c{iters}"
+    parts.append(f""",
+fa AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
+    FROM qv v CROSS JOIN {last} c) WHERE rn = 1
+),
+pr AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {d2.format(a='q.q6', b='c.cvec')}, c.cell) AS rn
+    FROM qv q CROSS JOIN {last} c WHERE q.vec_id < 10) WHERE rn <= {n_probe}
+),
+s AS (
+  SELECT p.query_id, f.vec_id,
+         round({_cosine_sql('p.q_vec', 'f.embedding')}, 6) AS score
+  FROM pr p JOIN fa f USING (cell)
+  WHERE p.query_id <> f.vec_id
+)
+SELECT query_id, vec_id, score, rk FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s)
+WHERE rk <= {k}
+""")
+    return "".join(parts)
+
+
+_QF_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_QF_STOP = r"regexp_extract_all(lower(text), '\b(the|and|of|to|is|a|in|that)\b')"
+_QF_PUNCT = "regexp_extract_all(text, '[^a-zA-Z0-9 ]')"
+
+
+def _quality_oracle() -> str:
+    # Score uses the UN-rounded ratios with the same association order as the
+    # Spark expression: (min(tok/100,1)*0.4 + stop*0.4) + (1-punct)*0.2.
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(array_to_string({_QF_TOKS}, '')) AS DOUBLE) AS tok_len_sum,
+         CAST(len({_QF_PUNCT}) AS BIGINT) AS n_punct,
+         CAST(len({_QF_STOP}) AS BIGINT) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars_m, n_tokens,
+         CASE WHEN n_tokens > 0 THEN tok_len_sum / n_tokens ELSE 0.0 END AS mean_tok_raw,
+         CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END AS punct_raw,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_raw
+  FROM f
+)
+SELECT doc_id, n_chars_m, n_tokens,
+       round(mean_tok_raw, 6) AS mean_token_len,
+       round(punct_raw, 6) AS punct_ratio,
+       round(stop_raw, 6) AS stopword_ratio,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 + stop_raw * 0.4
+             + (1.0 - punct_raw) * 0.2, 6) AS quality_score
+FROM r
+"""
+
+
+def _language_oracle() -> str:
+    markers = {k: "|".join(v) for k, v in text.LANG_MARKERS.items()}
+    scores = {k: rf"CAST(len(regexp_extract_all(lower(text), '\b({v})\b')) AS BIGINT)"
+              for k, v in markers.items()}
+    best = f"greatest({scores['en']}, {scores['es']}, {scores['fr']}, {scores['de']})"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {scores['en']} AS score_en, {scores['es']} AS score_es,
+         {scores['fr']} AS score_fr, {scores['de']} AS score_de,
+         {best} AS best
+  FROM documents
+)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN score_en = best THEN 'en'
+            WHEN score_es = best THEN 'es'
+            WHEN score_fr = best THEN 'fr'
+            WHEN score_de = best THEN 'de'
+            ELSE 'und' END AS lang_guess
+FROM s
+"""
+
+
+_NORM_VEC = ("sqrt(list_sum(list_transform(embedding,"
+             " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+_REV_E4 = "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
+
+ORACLES.update({
+    "p1_parse_csv": _EV,
+    "p2_parse_browser": "SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events",
+    "p4_filter_sentinel":
+        "SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms "
+        "FROM events WHERE event_type <> 'error'",
+    "p5_split_main": _EV + " WHERE event_type = 'click'",
+    "p5_split_side":
+        "SELECT user_id, CAST(1 AS BIGINT) AS one FROM events WHERE event_type <> 'click'",
+    "p6_tag_merge": """
+SELECT 'Stream-1' AS src, CAST(user_id AS VARCHAR) AS key, CAST(1 AS BIGINT) AS one
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'Stream-2' AS src, CAST(user_id AS VARCHAR) AS key, CAST(1 AS BIGINT) AS one
+FROM events WHERE event_type <> 'click'
+""",
+    "a1_tumbling_count_5s": """
+SELECT (epoch_ms(ts) // 5000) * 5000 AS window_start_ms, count(*) AS cnt
+FROM events GROUP BY 1
+""",
+    "a2_running_reduce": """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_e4
+FROM events
+""",
+    "a3_sliding_agg_10s_5s": """
+WITH e AS (SELECT epoch_ms(ts) AS t FROM events),
+w AS (SELECT (t // 5000 - o.o) * 5000 AS window_start_ms, t
+      FROM e CROSS JOIN (VALUES (0), (1)) o(o))
+SELECT window_start_ms, count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
+FROM w GROUP BY 1
+""",
+    "a4_session_agg_1h": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                  OR t - lag(t) OVER w > 3600000 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+g AS (SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m)
+SELECT CAST(min(t) AS BIGINT) AS session_start_ms, user_id,
+       count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
+FROM g GROUP BY user_id, grp
+""",
+    "a5_keyed_tumbling_10s": """
+SELECT (epoch_ms(ts) // 10000) * 10000 AS window_start_ms, user_id, event_type,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
+    "a5_salted_tumbling": """
+SELECT (epoch_ms(ts) // 10000) * 10000 AS window_start_ms, user_id, event_type,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
+    "a6_tumbling_count_1s": """
+SELECT (epoch_ms(ts) // 1000) * 1000 AS window_start_ms, count(*) AS cnt
+FROM events GROUP BY 1
+""",
+    "j1_windowed_join": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
+       l.ts_ms AS l_ts_ms, l.event_id AS l_event_id,
+       r.ts_ms AS r_ts_ms, r.event_id AS r_event_id
+FROM l JOIN r ON l.user_id = r.user_id
+             AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
+""",
+    "j2_asof_join": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.user_id, l.ts_ms, l.event_id, r.purchase_value,
+       r.ts_ms AS matched_ts_ms
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
+""",
+    "j3_interval_join": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.ts_ms BETWEEN l.ts_ms - 43200000 AND l.ts_ms + 43200000
+""",
+    "st1_interval_alerts": """
+WITH d AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'error'),
+x AS (SELECT user_id, ts_ms, event_id,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ms, event_id) AS diff_ms
+      FROM d)
+SELECT user_id, ts_ms, event_id, diff_ms FROM x WHERE diff_ms < 21600000
+""",
+    "st2_action_durations": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+x AS (SELECT user_id, ts_ms, event_id, event_type,
+             lag(event_type) OVER w AS pa, lag(ts_ms) OVER w AS pt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+SELECT user_id, ts_ms, event_id,
+       CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
+            THEN 'None' ELSE pa END AS prev_action,
+       CAST(CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
+                 THEN 0 ELSE ts_ms - pt END AS BIGINT) AS duration_ms
+FROM x
+""",
+    # Streaming forms share the batch oracles (same semantics, streaming
+    # execution path) or a purpose-built one.
+    "st1_stream": """
+WITH d AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'error'),
+x AS (SELECT user_id, ts_ms, event_id,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ms, event_id) AS diff_ms
+      FROM d)
+SELECT user_id, ts_ms, event_id, diff_ms FROM x WHERE diff_ms < 21600000
+""",
+    "st2_stream": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+x AS (SELECT user_id, ts_ms, event_id, event_type,
+             lag(event_type) OVER w AS pa, lag(ts_ms) OVER w AS pt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+SELECT user_id, ts_ms, event_id,
+       CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
+            THEN 'None' ELSE pa END AS prev_action,
+       CAST(CASE WHEN pa IS NULL OR pa = 'error' OR event_type = 'signup'
+                 THEN 0 ELSE ts_ms - pt END AS BIGINT) AS duration_ms
+FROM x
+""",
+    "a6_stream": """
+SELECT (epoch_ms(ts) // 1000) * 1000 AS window_start_ms, count(*) AS cnt
+FROM events GROUP BY 1
+""",
+    "a2_stream_totals": """
+SELECT user_id, count(*) AS total FROM events GROUP BY user_id
+""",
+    "j1_stream": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
+       l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
+FROM l JOIN r ON l.user_id = r.user_id
+             AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
+""",
+    "j5_stream_outer": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
+       l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+                  AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
+""",
+    "j2_stream": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+             max(CAST(event_id AS DOUBLE)) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.user_id, l.ts_ms, l.event_id, r.purchase_value,
+       r.ts_ms AS matched_ts_ms
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
+""",
+    "j3_stream": """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.ts_ms BETWEEN l.ts_ms - 43200000 AND l.ts_ms + 43200000
+""",
+    "a5_stream": """
+SELECT (epoch_ms(ts) // 10000) * 10000 AS window_start_ms, user_id, event_type,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
+    "a3_stream": """
+WITH e AS (SELECT epoch_ms(ts) AS t FROM events),
+w AS (SELECT (t // 5000 - o.o) * 5000 AS window_start_ms, t
+      FROM e CROSS JOIN (VALUES (0), (1)) o(o))
+SELECT window_start_ms, count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
+FROM w GROUP BY 1
+""",
+    "a4_stream": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                  OR t - lag(t) OVER w > 3600000 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+g AS (SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m)
+SELECT CAST(min(t) AS BIGINT) AS session_start_ms, user_id,
+       count(*) AS cnt, min(t) AS min_ts_ms, max(t) AS max_ts_ms
+FROM g GROUP BY user_id, grp
+HAVING max(t) + 3600000 <= (SELECT max(epoch_ms(ts)) FROM events)
+""",
+    "q1_pricing_summary": """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sum_qty_e4,
+         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS sum_base_price_e4,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS BIGINT) AS sum_charge_e4,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty_e4, sum_base_price_e4,
+       sum_disc_price_e4, sum_charge_e4, count_order,
+       round(sum_qty_e4 / count_order / 10000.0, 6) AS avg_qty,
+       round(sum_base_price_e4 / count_order / 10000.0, 6) AS avg_price
+FROM a
+""",
+    "q3_shipping_priority": f"""
+SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
+       {_REV_E4} AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, o_orderdate_ms, l_orderkey
+LIMIT 10
+""",
+    "q5_local_supplier_volume": f"""
+SELECT n_name, {_REV_E4} AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY revenue_e4 DESC
+""",
+    "q7_two_nation_volume": f"""
+SELECT supp_nation, cust_nation, l_year, {_REV_E4} AS revenue_e4
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+)
+GROUP BY 1, 2, 3
+""",
+    "q18_large_quantity_orders": """
+WITH qty AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_e2
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty_e2 > 30000
+)
+SELECT c_name, c_custkey, l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+       round(o_totalprice, 2) AS o_totalprice, total_qty_e2
+FROM qty
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate_ms, l_orderkey
+LIMIT 100
+""",
+    "q_top_parts_per_brand": f"""
+WITH rev AS (
+  SELECT l_partkey, {_REV_E4} AS revenue_e4 FROM lineitem GROUP BY 1
+), j AS (
+  SELECT p_brand, p_partkey, revenue_e4 FROM rev JOIN part ON l_partkey = p_partkey
+), r AS (
+  SELECT p_brand, p_partkey, revenue_e4,
+         CAST(row_number() OVER (PARTITION BY p_brand
+                                 ORDER BY revenue_e4 DESC, p_partkey) AS INT) AS rk
+  FROM j
+)
+SELECT p_brand, p_partkey, revenue_e4, rk FROM r WHERE rk <= 3
+""",
+    "q_distinct_users_per_type": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""",
+    "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+    "q6_forecast_revenue": """
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "q10_returned_items": """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS revenue_e4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       revenue_e4
+FROM rev JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+""",
+    "q14_promo_revenue": """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS disc_e4, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-02-01')
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_e4 ELSE 0 END) AS BIGINT)
+         AS promo_e4,
+       CAST(SUM(disc_e4) AS BIGINT) AS total_e4,
+       round(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN disc_e4 ELSE 0 END)
+             / SUM(disc_e4), 6) AS promo_pct
+FROM j
+""",
+    "q22_idle_rich_customers": """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 10000) AS BIGINT) AS bal_e4
+  FROM customer WHERE c_acctbal > 0
+),
+stats AS (SELECT CAST(SUM(bal_e4) AS BIGINT) AS total_e4, count(*) AS n FROM pos),
+rich AS (SELECT pos.* FROM pos, stats WHERE bal_e4 * n > total_e4),
+idle AS (SELECT rich.* FROM rich
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = rich.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_custs,
+       CAST(SUM(bal_e4) AS BIGINT) AS total_bal_e4
+FROM idle GROUP BY 1
+""",
+    "q8_market_share": """
+WITH f AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev_e4,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_e4 ELSE 0 END)
+            AS BIGINT) AS nation_rev_e4,
+       CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4,
+       round(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_e4 ELSE 0 END)
+             / SUM(rev_e4), 6) AS mkt_share
+FROM f GROUP BY o_year ORDER BY o_year
+""",
+    "q9_product_profit": """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS profit_e4,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+""",
+    "q12_ship_lag_priority": """
+WITH j AS (
+  SELECT date_diff('day', o_orderdate, l_shipdate) AS lag_days,
+         o_orderpriority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01')
+SELECT CASE WHEN lag_days < 0 THEN 'before_order'
+            WHEN lag_days <= 90 THEN '0-90d'
+            WHEN lag_days <= 365 THEN '91-365d'
+            ELSE 'over_1y' END AS lag_band,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM j GROUP BY 1 ORDER BY lag_band
+""",
+    "q13_order_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+ORDER BY s_suppkey
+""",
+    "q17_small_quantity": """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice, l_discount
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'),
+per_part AS (
+  SELECT l_partkey AS ag_partkey,
+         CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT)
+           AS sum_qty_e4,
+         count(*) AS n_qty
+  FROM li GROUP BY 1)
+SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM li JOIN per_part ON l_partkey = ag_partkey
+WHERE 2 * CAST(round(l_quantity * 10000) AS BIGINT) * n_qty < sum_qty_e4
+""",
+    "q2_min_cost_supplier": """
+WITH costs AS (
+  SELECT p_partkey, p_name, s.s_suppkey, s_name, s_acctbal, n_name,
+         CAST(MIN(CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+                  // CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS cost_e4
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_size = 15
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY ALL)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_e4
+FROM costs c
+WHERE cost_e4 = (SELECT MIN(c2.cost_e4) FROM costs c2
+                 WHERE c2.p_partkey = c.p_partkey)
+""",
+    "q11_important_parts": """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT)
+           AS val_e4
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+  GROUP BY 1)
+SELECT l_partkey, val_e4
+FROM per_part, (SELECT SUM(val_e4) AS total_e4 FROM per_part)
+WHERE val_e4 * 1000 > total_e4 * 1
+""",
+    "q16_supplier_part_counts": """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 15, 22, 30, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    "q20_prolific_suppliers": """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(round(l_quantity * 10000) AS BIGINT)) > 400000)
+""",
+    "q21_waiting_orders": """
+WITH lf AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+sole AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lf l1
+  WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+    AND EXISTS (SELECT 1 FROM lf l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lf l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY))
+SELECT s_name, count(*) AS numwait
+FROM sole JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY sole.l_suppkey, s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    "q_returns_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e4,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+    "q19_disjunctive_bands": """
+SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    "x_exact_dedup": f"""
+WITH n AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+FROM n GROUP BY fp
+""",
+    "x_fingerprint": f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+    "x_jaccard_pairs": _jaccard_oracle(),
+    "x_minhash_lsh": _minhash_lsh_oracle(),
+    "x_neardup_pipeline": f"""
+WITH cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)})
+SELECT jac.id_a, jac.id_b, jac.jaccard
+FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+""",
+    "x_neardup_clusters": f"""
+WITH RECURSIVE
+cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""",
+    "x_simhash": _simhash_oracle(),
+    # Brute-force all-pairs Hamming — independent of the banding trick the
+    # Spark side uses, so a PASS proves pigeonhole candidate generation
+    # lost no pair.
+    "x_simhash_pairs": f"""
+WITH sims AS ({_simhash_oracle()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    "x_quality_features": _quality_oracle(),
+    "x_language_id": _language_oracle(),
+    "x_norm_stats": f"""
+SELECT label, count(*) AS n_vecs,
+       round(min({_NORM_VEC}), 6) AS min_norm,
+       round(avg({_NORM_VEC}), 6) AS avg_norm,
+       round(max({_NORM_VEC}), 6) AS max_norm
+FROM embeddings GROUP BY label
+""",
+    "x_brute_force_topk": _brute_force_oracle(),
+    "x_ivf_topk": _ivf_oracle(k=5, n_lists=8, n_probe=2, iters=3,
+                              train_max=512),
+    "x_embedding_neardup": f"""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, score FROM p WHERE score >= 0.3
+""",
+    "x_token_counts": f"""
+SELECT doc_id,
+       CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+         AS n_subtokens
+FROM documents
+""",
+    "x_kmv_distinct": f"""
+WITH h AS (
+  SELECT DISTINCT {_H32.format(x="concat('kmv', ':', CAST(user_id AS VARCHAR))")} AS h
+  FROM events WHERE user_id IS NOT NULL
+), k AS (SELECT h FROM h ORDER BY h LIMIT 256)
+SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash,
+       round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 255.0 / (max(h) / 4294967296.0) END, 6) AS distinct_est
+FROM k
+""",
+    "x_hash_sample": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_H32.format(x="concat('sample', ':', CAST(doc_id AS VARCHAR))")}
+      / 4294967296.0 < 0.1
+""",
+    "x_stratified_sample": f"""
+SELECT event_id, user_id, event_type FROM events
+WHERE {_H32.format(x="concat('sample', ':', CAST(event_id AS VARCHAR))")}
+      / 4294967296.0 <
+      CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'view' THEN 0.05
+           ELSE 0.2 END
+""",
+    "x_time_rollup": """
+WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),
+b AS (SELECT event_type,
+             (ts_ms // 86400000) * 86400000 AS day_ms,
+             (ts_ms // 3600000) * 3600000 AS hour_ms,
+             (ts_ms // 60000) * 60000 AS minute_ms,
+             CAST(round(value * 10000) AS BIGINT) AS v_e4
+      FROM e)
+SELECT CASE WHEN minute_ms IS NOT NULL THEN 'minute'
+            WHEN hour_ms IS NOT NULL THEN 'hour'
+            WHEN day_ms IS NOT NULL THEN 'day' ELSE 'total' END AS resolution,
+       event_type,
+       coalesce(minute_ms, hour_ms, day_ms) AS bucket_start_ms,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v_e4) AS BIGINT) AS sum_value_e4
+FROM b
+GROUP BY event_type, ROLLUP(day_ms, hour_ms, minute_ms)
+""",
+    "x_vocab_topk": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), c AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS term_freq,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM toks GROUP BY tok
+)
+SELECT tok, term_freq, doc_freq FROM c
+ORDER BY term_freq DESC, tok LIMIT 100
+""",
+    "x_tfidf_topk": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         round(tf.tf * ln((n.n_docs + 1) / (dfreq.df + 1)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+), r AS (
+  SELECT s.*, CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, tok) AS INT) AS rk FROM s
+)
+SELECT doc_id, tok, tf, df, tfidf, rk FROM r WHERE rk <= 5
+""",
+    "x_group_quantiles": """
+SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+    "x_decontaminate": f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 4
+)
+SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+       count(*) AS shared_ngrams
+FROM sh t JOIN sh e ON t.shingle = e.shingle
+WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+GROUP BY 1, 2 HAVING count(*) >= 1
+""",
+    "x_repetition": f"""
+WITH lists AS (
+  SELECT doc_id, {_QF_TOKS} AS l FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), tstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct_tokens, max(c) AS top_cnt
+  FROM tc GROUP BY 1
+), bg AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks
+), bc AS (
+  SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2
+), bstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, max(c) AS top_bg
+  FROM bc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+       round(CASE WHEN coalesce(n_tokens, 0) > 0
+                  THEN CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens
+                  ELSE 0 END, 6) AS dup_token_frac,
+       round(CASE WHEN coalesce(n_tokens, 0) > 0
+                  THEN CAST(top_cnt AS DOUBLE) / n_tokens ELSE 0 END, 6)
+         AS top_token_frac,
+       round(CASE WHEN coalesce(n_bigrams, 0) > 0
+                  THEN CAST(top_bg AS DOUBLE) / n_bigrams ELSE 0 END, 6)
+         AS top_bigram_frac
+FROM documents d
+LEFT JOIN tstats USING (doc_id)
+LEFT JOIN bstats USING (doc_id)
+""",
+    "x_pii": r"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_email,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1,
+              '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+         regexp_replace(t1, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+                        '<PHONE>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_phone,
+         CAST(len(regexp_extract_all(t2,
+              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+         regexp_replace(t2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g')
+           AS t3
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_email, n_phone, n_ssn,
+         CAST(len(regexp_extract_all(t3,
+              '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t3, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')
+           AS t4
+  FROM s3
+)
+SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
+       n_email + n_phone + n_ssn + n_ipv4 AS n_pii, md5(t4) AS redacted_fp
+FROM s4
+""",
+    "x_chunks": f"""
+WITH toks AS (
+  SELECT doc_id, {_QF_TOKS} AS tk FROM documents
+), st AS (
+  SELECT doc_id, tk, unnest(range(1, greatest(len(tk), 1) + 1, 48)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+       CAST(s - 1 AS BIGINT) AS chunk_start,
+       CAST(len(tk[s:s+63]) AS BIGINT) AS chunk_len,
+       md5(array_to_string(tk[s:s+63], ' ')) AS chunk_fp
+FROM st
+""",
+    "x_repeated_spans": f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS span_fp
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 7
+)
+SELECT span_fp, count(*) AS n_docs
+FROM sh GROUP BY 1 HAVING count(*) >= 2
+""",
+    "x_corpus_filter": f"""
+WITH t AS (
+  SELECT doc_id, text, {_QF_TOKS} AS tk FROM documents
+), s1 AS (
+  SELECT doc_id, tk,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+           AS c1,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>',
+             'g') AS t1,
+         md5({_NORM_SQL}) AS fp,
+         CASE WHEN len(tk) > 0 THEN
+           1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS dup_frac,
+         CASE WHEN len(tk) > 0 THEN
+           CAST(len(regexp_extract_all(lower(text),
+                '\\b(the|and|of|to|is|a|in|that)\\b')) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS stop_ratio
+  FROM t
+), s2 AS (
+  SELECT *, c1 + CAST(len(regexp_extract_all(t1,
+              '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b')) AS BIGINT) AS c2,
+         regexp_replace(t1, '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b',
+                        '<PHONE>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, c2 + CAST(len(regexp_extract_all(t2,
+              '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b')) AS BIGINT) AS c3,
+         regexp_replace(t2, '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b', '<SSN>',
+                        'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT *, c3 + CAST(len(regexp_extract_all(t3,
+              '\\b[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}\\b')) AS BIGINT) AS n_pii
+  FROM s3
+), fl AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         (len(tk) < 20 OR len(tk) > 10000) AS fail_len,
+         (dup_frac > 0.6) AS fail_rep,
+         (stop_ratio < 0.02) AS fail_stop,
+         (n_pii > 0) AS fail_pii,
+         (MIN(doc_id) OVER (PARTITION BY fp) <> doc_id) AS is_dup
+  FROM s4
+)
+SELECT doc_id, n_tokens, fail_len, fail_rep, fail_stop, fail_pii, is_dup,
+       NOT (fail_len OR fail_rep OR fail_stop OR fail_pii OR is_dup) AS keep
+FROM fl
+""",
+    # Streaming form: identical rule CTEs (ORACLES["x_corpus_filter"] is the
+    # source of truth — this entry is derived from it below), final SELECT
+    # without the arrival-order-dependent dedup flag.
+    "x_filter_stream": "",
+    "x_pack_offsets": f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id, n_tokens
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN floor((end_offset - n_tokens) / 256.0)
+                 ELSE -1 END AS BIGINT) AS chunk_first,
+       CAST(CASE WHEN n_tokens > 0 THEN floor((end_offset - 1) / 256.0)
+                 ELSE -1 END AS BIGINT) AS chunk_last
+FROM o
+""",
+    "x_source_mixture": f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(SUM(len({_QF_TOKS})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT *, CAST(SUM(total_tokens) OVER () AS BIGINT) AS corpus_tokens,
+         count(*) OVER () AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / corpus_tokens, 6) AS token_share,
+       round((1.0 / n_sources)
+             / (CAST(total_tokens AS DOUBLE) / corpus_tokens), 6)
+         AS sample_weight
+FROM tot ORDER BY source
+""",
+    "x_funnel": """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+), u0 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_ms END) AS t0
+  FROM e GROUP BY 1
+), u1 AS (
+  SELECT e.user_id,
+         min(CASE WHEN event_type = 'click' AND ts_ms > t0 THEN ts_ms END)
+           AS t1
+  FROM e JOIN u0 USING (user_id) GROUP BY 1
+), u2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN event_type = 'purchase' AND ts_ms > t1 THEN ts_ms END)
+           AS t2
+  FROM e JOIN u1 USING (user_id) GROUP BY 1
+), c AS (
+  SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2
+  FROM u0 JOIN u1 USING (user_id) JOIN u2 USING (user_id)
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       CAST(n0 AS BIGINT) AS n_users,
+       round(CAST(n0 AS DOUBLE) / n0, 6) AS conversion FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(n1 AS BIGINT),
+       round(CAST(n1 AS DOUBLE) / n0, 6) FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(n2 AS BIGINT),
+       round(CAST(n2 AS DOUBLE) / n0, 6) FROM c
+""",
+    "x_retention": """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+), f AS (
+  SELECT user_id, ts_ms,
+         min(ts_ms) OVER (PARTITION BY user_id) AS first_ms
+  FROM e
+)
+SELECT CAST((first_ms // 604800000) * 604800000 AS BIGINT) AS cohort_week_ms,
+       CAST(ts_ms // 604800000 - first_ms // 604800000 AS BIGINT) AS week_idx,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f
+WHERE ts_ms // 604800000 - first_ms // 604800000 <= 12
+GROUP BY 1, 2
+""",
+    "x_json_stats": """
+WITH e AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type,
+       CAST(count(v) AS BIGINT) AS n_present,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM e GROUP BY event_type
+""",
+    "x_unigram_logprob": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), uni AS (
+  SELECT tok, SUM(tf) AS c FROM tf GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS n_corpus, count(*) AS vocab FROM uni
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(tf * ln(CAST(c + 1 AS DOUBLE)
+                                     / (n_corpus + vocab)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS logprob_e6,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens
+  FROM tf JOIN uni USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(logprob_e6, 0) AS logprob_e6,
+       coalesce(round(CAST(logprob_e6 AS DOUBLE) / n_tokens / 1000000, 6),
+                0.0) AS mean_logprob
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+""",
+    "x_quantize": """
+WITH v AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings
+), q AS (
+  SELECT vec_id, len(embedding) AS dim, max_abs / 127.0 AS scale,
+         CASE WHEN max_abs = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / (max_abs / 127.0))
+                             AS BIGINT))
+         END AS qv
+  FROM v
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(scale, 6) AS scale,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       md5(array_to_string(qv, ',')) AS q_fp
+FROM q
+""",
+    "x_partitioned_prune": """
+SELECT user_id, count(*) AS n_clicks,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM events WHERE event_type = 'click'
+GROUP BY user_id
+""",
+    "x_resize": """
+WITH d AS (
+  SELECT doc_id AS media_id, text, len(text) AS n FROM documents
+), long AS (
+  SELECT media_id,
+         md5(string_agg(substring(text,
+               CAST(floor(i * (CAST(n AS DOUBLE) / 64)) AS INT) + 1, 1),
+             '' ORDER BY i)) AS payload_fp
+  FROM d, unnest(range(0, 64)) AS t(i)
+  WHERE n >= 64 GROUP BY media_id
+), short AS (
+  SELECT media_id, md5(text || repeat(chr(0), 64 - n)) AS payload_fp
+  FROM d WHERE n < 64
+)
+SELECT media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       payload_fp
+FROM (SELECT * FROM long UNION ALL SELECT * FROM short)
+""",
+    "x_frame_sample": """
+WITH f AS (
+  SELECT doc_id AS media_id, text, len(text) // 16 AS n_frames
+  FROM documents
+)
+SELECT media_id, CAST(fno AS INT) AS frame_no,
+       md5(substring(text, CAST(fno AS INT) * 16 + 1, 16)) AS frame_fp
+FROM f, unnest(range(0, n_frames, 4)) AS t(fno)
+""",
+    "x_multimodal_features": """
+WITH ch AS (
+  SELECT doc_id AS media_id, len(text) AS n,
+         list_transform(range(1, len(text) + 1),
+                        i -> ascii(substring(text, i, 1))) AS codes
+  FROM documents
+)
+SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(list_sum(codes) % 100003 AS BIGINT) AS checksum,
+       CAST(n AS DOUBLE) AS f0,
+       CAST(codes[1] AS DOUBLE) AS f1,
+       CAST(codes[n] AS DOUBLE) AS f2,
+       CAST(list_sum(codes[1:64]) % 997 AS DOUBLE) AS f3,
+       CAST(list_min(codes) AS DOUBLE) AS f4,
+       CAST(list_max(codes) AS DOUBLE) AS f5,
+       CAST(list_sum(codes) % 10007 AS DOUBLE) AS f6,
+       CAST(n % 251 AS DOUBLE) AS f7
+FROM ch
+""",
+    "x_collocations": f"""
+WITH toks AS (
+  SELECT doc_id, {_QF_TOKS} AS tk FROM documents
+), uni AS (
+  SELECT unnest(tk) AS tok FROM toks
+), ucnt AS (
+  SELECT tok, count(*) AS n_tok FROM uni GROUP BY 1
+), bg AS (
+  SELECT tk[i] AS tok_a, tk[i + 1] AS tok_b
+  FROM toks CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(tk) - 1
+), pc AS (
+  SELECT tok_a, tok_b, count(*) AS n_ab FROM bg GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(ln(CAST(n_ab * (SELECT SUM(n_tok) FROM ucnt) AS DOUBLE)
+                / (a.n_tok * b.n_tok)), 6) AS pmi
+FROM pc
+JOIN ucnt a ON pc.tok_a = a.tok
+JOIN ucnt b ON pc.tok_b = b.tok
+""",
+    "x_sessionize": """
+WITH e AS (
+  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
+), b AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                  OR ts_ms - lag(ts_ms) OVER w > 3600000
+             THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM b
+)
+SELECT event_id, user_id, ts_ms,
+       CAST(MIN(ts_ms) OVER (PARTITION BY user_id, isl) AS BIGINT)
+         AS session_start_ms,
+       row_number() OVER (PARTITION BY user_id, isl
+                          ORDER BY ts_ms, event_id) AS event_seq
+FROM i
+""",
+    "x_trailing": """
+SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
+       count(*) OVER w AS trail_cnt,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+         AS trail_sum_e4,
+       round(CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS DOUBLE)
+             / count(*) OVER w / 10000, 6) AS trail_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+""",
+    "x_key_skew": """
+WITH pairs AS (
+  SELECT 'event_type' AS col,
+         coalesce(CAST(event_type AS VARCHAR), '<NULL>') AS key FROM events
+  UNION ALL
+  SELECT 'user_id', coalesce(CAST(user_id AS VARCHAR), '<NULL>') FROM events
+), counts AS (
+  SELECT col, key, count(*) AS cnt FROM pairs GROUP BY 1, 2
+), cstats AS (
+  SELECT col, SUM(cnt) AS _total, count(*) AS n_distinct
+  FROM counts GROUP BY 1
+), ranked AS (
+  SELECT col, key, cnt,
+         row_number() OVER (PARTITION BY col ORDER BY cnt DESC, key) AS rank
+  FROM counts
+)
+SELECT col, key, CAST(cnt AS BIGINT) AS cnt,
+       round(CAST(cnt AS DOUBLE) / _total, 6) AS share,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(CAST(cnt AS DOUBLE) / _total * n_distinct, 6) AS skew_ratio,
+       rank
+FROM ranked JOIN cstats USING (col)
+WHERE rank <= 10
+""",
+    "x_pivot_daily": """
+SELECT CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS day_ms,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS error
+FROM events GROUP BY 1
+""",
+    # x_lsh_topk, x_embedding_neardup_lsh: rows-only (bucket signs sit on
+    # float zero-crossings — one last-ulp difference between engines flips
+    # a bucket, so no stable hash oracle exists by design).
+    # x_hll_distinct / x_approx_quantiles: the sketch ESTIMATES are
+    # engine-private, so the queries emit the invariant instead (exact
+    # answer + bound-check booleans), which the oracle replays exactly.
+    "x_hll_distinct": """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "x_approx_quantiles": """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+})
+
+# Derive the streaming filter's oracle from the batch one (same rule CTEs;
+# drop the arrival-order-dependent dedup flag from the verdict).
+ORACLES["x_filter_stream"] = ORACLES["x_corpus_filter"].replace(
+    "SELECT doc_id, n_tokens, fail_len, fail_rep, fail_stop, fail_pii,"
+    " is_dup,\n"
+    "       NOT (fail_len OR fail_rep OR fail_stop OR fail_pii OR is_dup)"
+    " AS keep",
+    "SELECT doc_id, n_tokens, fail_len, fail_rep, fail_stop, fail_pii,\n"
+    "       NOT (fail_len OR fail_rep OR fail_stop OR fail_pii) AS keep")
+assert "is_dup" not in ORACLES["x_filter_stream"].split("FROM fl")[0] \
+    .rsplit("SELECT", 1)[1], "x_filter_stream oracle derivation went stale"
+
+ORACLES["x_dedup_stream"] = (
+    f"SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents")
+
+# Same CTE chain as x_unigram_logprob, then the exact-integer ranking key
+# (positive numerator -> DuckDB's flooring // and Spark's truncating `div`
+# agree) and NTILE terciles. Empty docs key to -1 (tail).
+ORACLES["x_quality_buckets"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), uni AS (
+  SELECT tok, SUM(tf) AS c FROM tf GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS n_corpus, count(*) AS vocab FROM uni
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(tf * ln(CAST(c + 1 AS DOUBLE)
+                                     / (n_corpus + vocab)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS logprob_e6,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens
+  FROM tf JOIN uni USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+), base AS (
+  SELECT d.doc_id,
+         coalesce(n_tokens, 0) AS n_tokens,
+         coalesce(logprob_e6, 0) AS logprob_e6
+  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+), keyed AS (
+  SELECT doc_id, n_tokens, logprob_e6,
+         CAST(CASE WHEN n_tokens > 0
+              THEN ((logprob_e6 + 100000000 * n_tokens) * 1000) // n_tokens
+              ELSE -1 END AS BIGINT) AS qkey_milli
+  FROM base
+), bk AS (
+  SELECT doc_id, n_tokens, logprob_e6, qkey_milli,
+         CAST(ntile(3) OVER (ORDER BY qkey_milli DESC, doc_id) AS INT)
+           AS bucket
+  FROM keyed
+)
+SELECT doc_id, n_tokens, logprob_e6, qkey_milli, bucket,
+       CASE WHEN bucket = 1 THEN 'head'
+            WHEN bucket = 3 THEN 'tail'
+            ELSE 'middle' END AS bucket_name
+FROM bk
+"""
+
+_GS_H = _H32.format(x="concat('gsample', ':', CAST(doc_id AS VARCHAR))")
+ORACLES["x_group_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, source, {_GS_H} AS _h FROM documents
+), r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY _h, doc_id)
+              AS INT) AS rk
+  FROM h
+)
+SELECT doc_id, source, rk FROM r WHERE rk <= 5
+"""
+
+_BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+ORACLES["x_range_lookup"] = f"""
+WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_VALUES})
+SELECT CAST(band_id AS BIGINT) AS band_id,
+       count(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id
+"""
+
+# Same recursive-CTE component labeling as x_neardup_clusters, carried to
+# the corpus-level keep decision (threshold 0.5, matching the Spark call).
+ORACLES["x_neardup_keep"] = f"""
+WITH RECURSIVE
+cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+),
+cc AS (
+  SELECT node, min(r) AS label FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(d.doc_id IN (SELECT node FROM cc WHERE node = label), FALSE)
+         AS is_canonical
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> label)
+"""
+
+_TS_DRAW = (_H32.format(x="concat('tsample', ':', CAST(doc_id AS VARCHAR))")
+            + " / 4294967296.0")
+ORACLES["x_temperature_sample"] = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len({_QF_TOKS})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT *, CAST(SUM(total_tokens) OVER () AS BIGINT) AS corpus_tokens,
+         count(*) OVER () AS n_sources
+  FROM per_src
+), probs AS (
+  SELECT source,
+         round(least(1.0,
+               pow(round((1.0 / n_sources)
+                         / (CAST(total_tokens AS DOUBLE) / corpus_tokens), 6),
+                   0.5)), 6) AS keep_prob
+  FROM tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN probs USING (source)
+WHERE {_TS_DRAW} < keep_prob
+"""
+
+
+def _lsh_bucket_sql(vec: str, num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB analog of similarity.lsh_signature: bit p = sign of the dot
+    product with the md5-parity ±1 plane (same constants, materialized as
+    SQL literals; the fixture dim is 64 — a dim change would surface as a
+    loud hash mismatch, not silent truncation, because out-of-range list
+    indexing yields NULL sums).
+
+    Promoting x_lsh_topk / x_embedding_neardup_lsh from rows-only to exact
+    oracles is justified by measurement, not hope: the closest projection
+    to a sign flip across every (vector, plane) is |proj| >= 2.0e-4 at all
+    three SFs, nine orders above float-association noise (~1e-13), so both
+    engines compute identical bucket signatures.
+    """
+    import hashlib
+    terms = []
+    for p in range(num_planes):
+        signs = ",".join(
+            "1.0" if int(hashlib.md5(f"plane{p}:{i}".encode())
+                         .hexdigest()[:8], 16) % 2 == 1 else "-1.0"
+            for i in range(dim))
+        proj = (f"list_sum(list_transform(range(1, len({vec}) + 1),"
+                f" i -> CAST({vec}[i] AS DOUBLE) * ([{signs}])[i]))")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLES["x_lsh_topk"] = f"""
+WITH c AS (
+  SELECT vec_id, embedding AS v, {_lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, embedding AS q,
+         {_lsh_bucket_sql("embedding")} AS q_bucket
+  FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM qs JOIN c ON bucket = q_bucket AND query_id <> vec_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
+"""
+
+_CVA_VB = _cosine_sql("va", "vb")
+ORACLES["x_embedding_neardup_lsh"] = f"""
+WITH t AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_CVA_VB}, 6) AS score
+FROM (SELECT vec_id, embedding AS va, bucket FROM t) a
+JOIN (SELECT vec_id, embedding AS vb, bucket FROM t) b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_CVA_VB}, 6) >= 0.3
+"""
+
+ORACLES["x_zorder_prune"] = """
+WITH e AS (
+  SELECT event_type, value, user_id, epoch_ms(ts) // 86400000 AS day
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM e
+WHERE user_id BETWEEN 100 AND 140 AND day BETWEEN 19730 AND 19739
+GROUP BY event_type
+"""
+
+ORACLES["x_grouping_sets"] = """
+SELECT CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
+       event_type, day, count(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day, value FROM events)
+GROUP BY GROUPING SETS ((event_type), (day))
+"""
+
+ORACLES["x_variant_extract"] = """
+SELECT event_type,
+       count(CASE WHEN props IS NOT NULL THEN 1 END) AS n_rows,
+       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_typed,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_v,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_v,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_v
+FROM events GROUP BY event_type
+"""
+
+_FLIPS = ", ".join(f"({v})" for v in [0] + [1 << p for p in range(8)])
+ORACLES["x_lsh_multiprobe_topk"] = f"""
+WITH c AS (
+  SELECT vec_id, embedding AS v, {_lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, embedding AS q,
+         {_lsh_bucket_sql("embedding")} AS q_bucket
+  FROM embeddings WHERE vec_id < 10
+), probes AS (
+  SELECT query_id, q, xor(q_bucket, flip) AS probe_bucket
+  FROM qs CROSS JOIN (VALUES {_FLIPS}) flips(flip)
+), s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM probes JOIN c ON bucket = probe_bucket AND query_id <> vec_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
+"""
+
+ORACLES["j4_stream_static"] = f"""
+WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_VALUES}),
+f AS (SELECT event_id, CAST(event_id % 500 AS DOUBLE) AS value FROM events)
+SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM f JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id
+"""
+
+ORACLES["x_dedup_stats"] = f"""
+WITH RECURSIVE
+n AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+ex AS (SELECT fp, count(*) AS n_copies FROM n GROUP BY fp),
+cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+),
+cc AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM ex) AS n_distinct_content,
+       (SELECT CAST(SUM(n_copies - 1) AS BIGINT) FROM ex)
+         AS n_exact_dup_rows,
+       (SELECT count(DISTINCT label) FROM cc) AS n_neardup_clusters,
+       (SELECT count(*) FROM cc) AS n_neardup_members,
+       (SELECT count(*) FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> label))
+         AS n_kept
+"""
+
+ORACLES["x_iqr_outliers"] = """
+WITH q AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS q1,
+         round(quantile_cont(value, 0.75), 6) AS q3
+  FROM events GROUP BY event_type
+), f AS (
+  SELECT event_type,
+         round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+         round(q3 + 1.5 * (q3 - q1), 6) AS hi
+  FROM q
+)
+SELECT e.event_type, count(*) AS n_rows,
+       CAST(SUM(CAST(e.value < f.lo OR e.value > f.hi AS BIGINT)) AS BIGINT)
+         AS n_outliers
+FROM events e JOIN f ON e.event_type = f.event_type
+GROUP BY e.event_type
+"""
+
+# ascii() per char == payload byte because the fixture text is pure ASCII
+# (attach_binary_payload encodes UTF-8; any non-ASCII char would surface
+# as a loud hash mismatch, not silent corruption).
+ORACLES["x_audio_energy"] = """
+WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+f AS (
+  SELECT media_id, CAST(i AS INT) AS frame_no, text
+  FROM m CROSS JOIN (SELECT unnest(range(0, 100000)) AS i) idx
+  WHERE i < len(text) // 32
+)
+SELECT media_id, frame_no,
+       CAST(list_sum(list_transform(range(1, 33),
+            j -> ascii(substring(text, CAST(frame_no * 32 + j AS INT), 1))
+                 * ascii(substring(text, CAST(frame_no * 32 + j AS INT), 1))))
+            AS BIGINT) AS energy
+FROM f
+"""
+
+ORACLES["x_cross_source_dups"] = f"""
+WITH cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+pairs AS (
+  SELECT jac.id_a, jac.id_b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+att AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.id_a
+  JOIN documents db ON db.doc_id = pairs.id_b
+)
+SELECT source_x, source_y, count(*) AS n_pairs
+FROM att GROUP BY source_x, source_y
+"""
+
+ORACLES["x_token_histogram"] = f"""
+WITH t AS (
+  SELECT CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT CASE WHEN n_tokens > 0
+            THEN CAST(floor(log2(n_tokens)) AS BIGINT)
+            ELSE -1 END AS log2_bucket,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1
+"""
+
+ORACLES["p3_project"] = """
+SELECT user_id, event_type,
+       CAST(round(value * 10000) AS BIGINT) AS value_e4,
+       CAST(1 AS BIGINT) AS one
+FROM events
+"""
+
+_SPLIT_H = (_H32.format(x="concat('split', ':', CAST(doc_id AS VARCHAR))")
+            + " / 4294967296.0")
+ORACLES["x_train_val_split"] = f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {_SPLIT_H} < 0.8 THEN 'train'
+              WHEN {_SPLIT_H} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, count(*) AS n_docs
+FROM s GROUP BY source, split
+"""
+
+# Full-corpus candidate pairs filtered to those touching a new doc equal
+# the incremental new×(old+new) computation exactly (same signatures);
+# id_b is the pair max, so old-old pairs are precisely id_b < 400.
+ORACLES["x_incremental_dedup"] = f"""
+WITH base AS ({_minhash_lsh_oracle()})
+SELECT id_a, id_b, n_shared_bands, id_a < 400 AS is_cross
+FROM base WHERE id_b >= 400
+"""
+
+ORACLES["x_set_ops"] = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT user_id, 'click_and_buy' AS segment FROM (SELECT * FROM c INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT user_id, 'click_no_buy' AS segment FROM (SELECT * FROM c EXCEPT SELECT * FROM b)
+"""
+
+ORACLES["x_global_offsets"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // 4096 AS BIGINT) AS shard
+FROM t
+"""
+
+ORACLES["x_dynamic_sessions"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+         CASE WHEN event_type = 'click' THEN 1800000 ELSE 600000 END AS gap
+  FROM events
+), lagd AS (
+  SELECT user_id, ts_ms,
+         lag(ts_ms) OVER w AS prev_ts, lag(gap) OVER w AS prev_gap
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), brk AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > prev_gap
+              THEN 1 ELSE 0 END AS b
+  FROM lagd
+), isl AS (
+  SELECT user_id, ts_ms,
+         SUM(b) OVER (PARTITION BY user_id ORDER BY ts_ms
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT user_id,
+       CAST(MIN(ts_ms) AS BIGINT) AS session_start_ms,
+       count(*) AS n_events,
+       CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms
+FROM isl GROUP BY user_id, island
+"""
+
+ORACLES["j2_asof_forward"] = """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.user_id, l.ts_ms, l.event_id, r.purchase_value,
+       r.ts_ms AS matched_ts_ms
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms <= r.ts_ms
+"""
+
+ORACLES["x_trending"] = """
+WITH c AS (
+  SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+         user_id, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY window_start_ms
+                 ORDER BY n_events DESC, user_id) AS INT) AS rk
+  FROM c
+)
+SELECT CAST(window_start_ms AS BIGINT) AS window_start_ms, user_id,
+       n_events, rk
+FROM r WHERE rk <= 3
+"""
+
+ORACLES["x_lag_features"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+                  CAST(round(value * 10000) AS BIGINT) AS value_e4
+           FROM events)
+SELECT user_id, ts_ms, event_id, value_e4,
+       coalesce(lag(value_e4) OVER w, -1) AS prev_value_e4,
+       coalesce(ts_ms - lag(ts_ms) OVER w, -1) AS gap_ms
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+"""
+
+ORACLES["x_window_distinct"] = """
+SELECT CAST((epoch_ms(ts) // 21600000) * 21600000 AS BIGINT)
+         AS window_start_ms,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+ORACLES["x_bigram_logprob"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_QF_TOKS} AS tk FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk), 1)),
+                j -> {{'tok_a': tk[j], 'tok_b': tk[j+1]}})) AS s
+  FROM toks
+), pairs AS (
+  SELECT doc_id, s.tok_a AS tok_a, s.tok_b AS tok_b FROM bg
+), tf AS (
+  SELECT doc_id, tok_a, tok_b, count(*) AS tf FROM pairs GROUP BY 1, 2, 3
+), c_ab AS (
+  SELECT tok_a, tok_b, SUM(tf) AS c_ab FROM tf GROUP BY 1, 2
+), uni AS (
+  SELECT tok, count(*) AS c_a
+  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1
+), voc AS (SELECT count(*) AS v FROM uni),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(tf * ln(CAST(c_ab + 1 AS DOUBLE) / (c_a + v))
+                       * 1000000) AS BIGINT)) AS BIGINT) AS logprob_e6,
+         CAST(SUM(tf) AS BIGINT) AS n_bigrams
+  FROM tf
+  JOIN c_ab USING (tok_a, tok_b)
+  JOIN uni ON uni.tok = tf.tok_a
+  CROSS JOIN voc
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(logprob_e6, 0) AS logprob_e6,
+       coalesce(round(CAST(logprob_e6 AS DOUBLE) / n_bigrams / 1000000, 6),
+                0.0) AS mean_logprob
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
+def _minhash_est_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    rows_per_band = num_hashes // bands
+    hb = _H32.format(x="concat('mh', ':', shingle)")
+    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
+                          in enumerate(dedup.affine_consts(num_hashes)))
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - {n - 1}
+), hb AS (
+  SELECT doc_id, {hb} AS hb FROM sh
+), sig AS (
+  SELECT doc_id, seed, MIN((a * hb + b) % 4294967296) AS minhash
+  FROM hb CROSS JOIN (VALUES {seed_rows}) seeds(seed, a, b)
+  GROUP BY doc_id, seed
+), banded AS MATERIALIZED (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bucket
+  FROM sig GROUP BY doc_id, seed // {rows_per_band}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match,
+       round(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+             / {float(num_hashes)}, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.id_a
+JOIN sig sb ON sb.doc_id = cand.id_b AND sb.seed = sa.seed
+GROUP BY cand.id_a, cand.id_b
+"""
+
+
+ORACLES["x_minhash_estimate"] = _minhash_est_oracle()
+
+_NULL_COLS = [("event_id", "event_id"), ("user_id", "user_id"),
+              ("event_type", "event_type"), ("ts_ms", "epoch_ms(ts)"),
+              ("value", "value"), ("props", "props")]
+ORACLES["x_null_audit"] = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS col, count(*) AS n_rows,"
+    f" CAST(SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_null FROM events"
+    for name, expr in _NULL_COLS)
+
+ORACLES["x_token_entropy"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), with_n AS (
+  SELECT doc_id, tf, SUM(tf) OVER (PARTITION BY doc_id) AS n FROM tf
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(-(CAST(tf AS DOUBLE) / n)
+                        * ln(CAST(tf AS DOUBLE) / n) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS entropy_e6,
+         CAST(MAX(n) AS BIGINT) AS n_tokens
+  FROM with_n GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(entropy_e6, 0) AS entropy_e6,
+       coalesce(round(CAST(entropy_e6 AS DOUBLE) / 1000000, 6), 0.0)
+         AS entropy
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
+_ST = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+ORACLES["x_keyword_search"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), hit AS (
+  SELECT doc_id, count(DISTINCT tok) AS n_terms, count(*) AS tf_sum
+  FROM tok WHERE tok IN ({_ST})
+  GROUP BY doc_id
+  HAVING count(DISTINCT tok) = {len(_SEARCH_TERMS)}
+)
+SELECT doc_id, CAST(tf_sum AS BIGINT) AS tf_sum
+FROM hit ORDER BY tf_sum DESC, doc_id LIMIT 20
+"""
+
+ORACLES["x_freshness"] = """
+WITH pt AS (
+  SELECT event_type, CAST(MAX(epoch_ms(ts)) AS BIGINT) AS latest_ts_ms,
+         count(*) AS n_events
+  FROM events GROUP BY event_type
+), cm AS (SELECT CAST(MAX(epoch_ms(ts)) AS BIGINT) AS corpus_max_ms FROM events)
+SELECT event_type, latest_ts_ms, n_events,
+       CAST(corpus_max_ms - latest_ts_ms AS BIGINT) AS staleness_ms
+FROM pt CROSS JOIN cm
+"""
+
+# Same dashboard contract, same oracle: only the Spark-side provenance of
+# the cluster numbers differs (persisted parquet vs live recompute).
+ORACLES["x_dedup_report"] = ORACLES["x_dedup_stats"]
+
+ORACLES["x_containment_pairs"] = _containment_oracle()
+
+ORACLES["x_weighted_sample"] = f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         pow({_H32.format(x="concat('wsample', ':', CAST(doc_id AS VARCHAR))")}
+               / 4294967296.0,
+             1.0 / greatest(CAST(n_chars AS DOUBLE), 0.000000001)) AS score
+  FROM documents
+), k AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 100)
+SELECT doc_id, source, n_chars, round(score, 6) AS score FROM k
+"""
+
+ORACLES["x_posting_lists"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), pd AS (
+  SELECT tok, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+), ag AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         string_agg(concat(CAST(doc_id AS VARCHAR), ':', CAST(tf AS VARCHAR)),
+                    ',' ORDER BY concat(CAST(doc_id AS VARCHAR), ':',
+                                        CAST(tf AS VARCHAR))) AS postings
+  FROM pd GROUP BY tok
+)
+SELECT tok, df, cf, postings FROM ag WHERE df >= 10
+"""
+
+ORACLES["x_bm25_topk"] = f"""
+WITH dl AS (
+  SELECT doc_id, len({_QF_TOKS}) AS dl FROM documents
+), tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), hits AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok
+  WHERE tok IN ({_ST}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS dfreq FROM hits GROUP BY tok
+), consts AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), per AS (
+  SELECT h.doc_id,
+         CAST(round(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+                    * tf * 2.2
+                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                    * 1000000.0) AS BIGINT) AS s_e6
+  FROM hits h JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN consts
+), ag AS (
+  SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6 FROM per GROUP BY doc_id
+)
+SELECT doc_id, score_e6,
+       round(CAST(score_e6 AS DOUBLE) / 1000000.0, 6) AS bm25
+FROM ag ORDER BY score_e6 DESC, doc_id LIMIT 20
+"""
+
+ORACLES["x_compact_latest"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_ms, event_id, event_type, round(value, 6) AS value
+FROM r WHERE rn = 1
+"""
+
+def _profile_oracle() -> str:
+    num = ["event_id", "user_id", "ts_ms"]
+    dbl = ["value"]
+    s = ["event_type", "props"]
+    rows = []
+    for c in num:
+        rows.append(f"""
+SELECT '{c}' AS col_name, (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) * 1000000 AS BIGINT) AS min_e6,
+       CAST(max({c}) * 1000000 AS BIGINT) AS max_e6,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM e""")
+    for c in dbl:
+        rows.append(f"""
+SELECT '{c}', (SELECT CAST(count(*) AS BIGINT) FROM e),
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT {c}) AS BIGINT),
+       CAST(round(min({c}) * 1000000) AS BIGINT),
+       CAST(round(max({c}) * 1000000) AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM e""")
+    for c in s:
+        rows.append(f"""
+SELECT '{c}', (SELECT CAST(count(*) AS BIGINT) FROM e),
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT {c}) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       min({c}), max({c})
+FROM e""")
+    return ("WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, "
+            "value, event_type, props FROM events)"
+            + "\nUNION ALL".join(rows))
+
+
+ORACLES["x_profile"] = _profile_oracle()
+ORACLES["x_lsh_recall"] = _lsh_recall_oracle()
+
+ORACLES["x_rag_retrieve"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE query_id <> vec_id
+), r AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s
+)
+SELECT query_id, rk, r.vec_id AS doc_id, score, lang, source, n_chars
+FROM r JOIN documents d ON r.vec_id = d.doc_id
+WHERE rk <= 5
+"""
+
+ORACLES["x_resample_ffill"] = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value FROM events
+), ranked AS (
+  SELECT user_id, ts_ms // 3600000 AS h, value,
+         row_number() OVER (PARTITION BY user_id, ts_ms // 3600000
+                            ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM e
+), cls AS (
+  SELECT user_id, h, value AS close FROM ranked WHERE rn = 1
+), cnt AS (
+  SELECT user_id, ts_ms // 3600000 AS h, count(*) AS n_events
+  FROM e GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM cnt GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM spans
+), j AS (
+  SELECT g.user_id, g.h, coalesce(n_events, 0) AS n_events, close
+  FROM grid g
+  LEFT JOIN cnt USING (user_id, h)
+  LEFT JOIN cls USING (user_id, h)
+)
+SELECT user_id, CAST(h * 3600000 AS BIGINT) AS hour_ms,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(last_value(close IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS value_ffill
+FROM j
+"""
+
+ORACLES["x_compact_stream"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_ms, event_id, event_type FROM r WHERE rn = 1
+"""
+
+ORACLES["x_interleave"] = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_H32.format(x="concat('ilv', ':', CAST(doc_id AS VARCHAR))")},
+                    doc_id) AS r
+  FROM documents
+), ns AS (SELECT source, max(r) AS n_source FROM ranked GROUP BY source)
+SELECT doc_id, ranked.source, CAST(r AS BIGINT) AS r,
+       CAST(n_source AS BIGINT) AS n_source,
+       round((r - 0.5) / n_source, 6) AS position
+FROM ranked JOIN ns ON ranked.source = ns.source
+"""
+
+ORACLES["x_bloom_prune"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+"""
+
+_CMS_H = _H32.format(
+    x="concat('cms', CAST(seed AS VARCHAR), ':', CAST(user_id AS VARCHAR))")
+ORACLES["x_cms_estimate"] = f"""
+WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
+b AS (
+  SELECT user_id, seed, CAST({_CMS_H} % 256 AS INT) AS bucket
+  FROM events CROSS JOIN seeds
+), sk AS (
+  SELECT seed, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+), watch AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+wp AS (
+  SELECT user_id, seed, CAST({_CMS_H} % 256 AS INT) AS bucket
+  FROM watch CROSS JOIN seeds
+), est AS (
+  SELECT user_id, min(coalesce(cnt, 0)) AS cms_est
+  FROM wp LEFT JOIN sk USING (seed, bucket) GROUP BY user_id
+), ex AS (
+  SELECT user_id, count(*) AS n_exact FROM events
+  WHERE user_id < 10 GROUP BY user_id
+)
+SELECT user_id, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - n_exact AS BIGINT) AS overcount
+FROM est JOIN ex USING (user_id)
+"""
+
+ORACLES["x_heavy_hitters"] = f"""
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_QF_TOKS}) AS tok FROM documents)
+GROUP BY tok HAVING count(*) >= 700
+"""
+
+ORACLES["x_paragraph_dedup"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, w[i] AS tok, i
+  FROM t CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w)
+), ch AS (
+  SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS idx,
+         string_agg(tok, ' ' ORDER BY i) AS chunk
+  FROM tok GROUP BY 1, 2
+), firsts AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, idx) AS rn
+  FROM ch
+), reb AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_dedup,
+         count(*) AS n_kept
+  FROM firsts WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(text_dedup, '') AS text_dedup,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+"""
+
+ORACLES["x_cep_pattern"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+           FROM events),
+x AS (
+  SELECT user_id, ts_ms, event_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts_ms, 2) OVER w AS ts2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+)
+SELECT user_id, ts_ms AS start_ts_ms, ts2 AS end_ts_ms,
+       event_id AS start_event_id
+FROM x
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND ts2 - ts_ms <= 86400000
+"""
+
+ORACLES["x_scd2"] = """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+           FROM events),
+m AS (
+  SELECT user_id, event_type, ts_ms, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id) AS prev
+  FROM e
+), c AS (
+  SELECT user_id, event_type, ts_ms, event_id FROM m
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, CAST(ts_ms AS BIGINT) AS valid_from_ms,
+       CAST(lead(ts_ms) OVER w AS BIGINT) AS valid_to_ms,
+       lead(ts_ms) OVER w IS NULL AS is_current
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+"""
+
+ORACLES["x_unpivot"] = """
+WITH e AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+                  event_type FROM events),
+days AS (SELECT DISTINCT day_ms FROM e),
+types AS (SELECT unnest(['view', 'click', 'purchase', 'signup', 'error'])
+            AS event_type),
+c AS (SELECT day_ms, event_type, count(*) AS cnt FROM e GROUP BY 1, 2)
+SELECT d.day_ms, t.event_type, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+FROM days d CROSS JOIN types t
+LEFT JOIN c ON c.day_ms = d.day_ms AND c.event_type = t.event_type
+"""
+
+# Streaming CEP shares the batch pattern-match oracle (same semantics,
+# state-machine execution path).
+ORACLES["x_cep_stream"] = ORACLES["x_cep_pattern"]
+
+# The merge-correctness proof: the oracle aggregates RAW events straight
+# to months; the Spark side merges daily partials. Equality shows the
+# decomposition is lossless.
+ORACLES["x_rollup_merge"] = """
+WITH e AS (
+  SELECT event_type,
+         epoch_ms(date_trunc('month', ts)) AS month_ms,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4
+  FROM events
+)
+SELECT event_type, CAST(month_ms AS BIGINT) AS month_ms,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v_e4) AS BIGINT) AS sum_value_e4,
+       CAST(min(v_e4) AS BIGINT) AS min_value_e4,
+       CAST(max(v_e4) AS BIGINT) AS max_value_e4,
+       round(CAST(sum(v_e4) AS BIGINT) / count(*) / 10000.0, 6) AS avg_value
+FROM e GROUP BY 1, 2
+"""
+
+ORACLES["x_merge_apply"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+         round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_ms, event_id, event_type AS last_op, value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+_CDC_H = _H32.format(x="concat('cdc', ':', tok)")
+ORACLES["x_content_chunks"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, w[i] AS tok, i
+  FROM t CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w)
+), marked AS (
+  SELECT doc_id, tok, i,
+         CASE WHEN {_CDC_H} % 8 = 0 THEN 1 ELSE 0 END AS is_b
+  FROM tok
+), chunked AS (
+  SELECT doc_id, tok, i,
+         coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS chunk_idx
+  FROM marked
+), chunks AS (
+  SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY i) AS chunk
+  FROM chunked GROUP BY 1, 2
+)
+SELECT md5(chunk) AS chunk_fp,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM chunks GROUP BY 1 HAVING count(*) > 1
+"""
+
+ORACLES["x_disorder_stats"] = """
+WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ts_ms FROM events),
+x AS (
+  SELECT event_type,
+         greatest(coalesce(max(ts_ms) OVER (
+             PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_ms)
+           - ts_ms, 0) AS late_ms
+  FROM e
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+       CAST(sum(late_ms) AS BIGINT) AS sum_late_ms,
+       round(CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS late_frac
+FROM x GROUP BY event_type
+"""
+
+# transformWithStateInPandas needs google.protobuf on workers; probe at
+# import so the query registers automatically once the container gains it
+# (VERDICT r3 item 2) and stays invisible otherwise.
+if _protobuf_available():
+    QUERIES["st1_tws"] = st1_tws
+    ORACLES["st1_tws"] = ORACLES["st1_stream"]
+    STREAMING_DEMOS.add("st1_tws")

@@ -1,0 +1,2574 @@
+"""Extended queries, rounds 4-6 (registration-order chunk A): each block is def + QUERIES[...] + ORACLES[...] kept adjacent.
+
+Split out of the original registry.py (r9); statement text is
+verbatim so per-query content hashes are unchanged.
+"""
+
+from __future__ import annotations
+
+from .registry_core import (  # noqa: F401
+    DataFrame,
+    F,
+    ORACLES,
+    QUERIES,
+    STREAMING_DEMOS,
+    SparkSession,
+    T,
+    _H32,
+    _NORM_SQL,
+    _docs,
+    _emb,
+    _events,
+    _prep,
+    dedup,
+    funnel,
+    load_table,
+    multimodal,
+    projections,
+    similarity,
+    sketches,
+    text,
+    windows,
+)
+from .registry_ops import (  # noqa: F401
+    _EVENTS_CSV_SCHEMA,
+    _FLUSH_TS_MS,
+    _events_csv_dir,
+    _run_to_memory,
+    _stream_events,
+    _tempfile,
+)
+from .registry_llm import (  # noqa: F401
+    _edges,
+)
+from .registry_catalog import (  # noqa: F401
+    _CMS_H,
+    _COSINE_Q,
+    _QF_TOKS,
+    _jaccard_oracle,
+    _lsh_bucket_sql,
+    _minhash_lsh_oracle,
+    _quality_oracle,
+)
+
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions
+# ---------------------------------------------------------------------------
+
+
+def x_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level duplicate-n-gram fraction filter (Lee et al., ACL
+    2022 exact-substring dedup at n-gram granularity): fraction of each
+    doc's distinct 8-token spans that appear in >=2 docs corpus-wide, plus
+    the keep/drop verdict at the 0.5 boilerplate threshold. Totals are
+    map-side; only dup-span hits join (small side = boilerplate list)."""
+    return dedup.dup_ngram_fraction(_docs(spark, sf_dir), n=8, min_docs=2,
+                                    max_frac=0.5)
+
+
+QUERIES["x_dup_ngram_frac"] = x_dup_ngram_frac
+
+ORACLES["x_dup_ngram_frac"] = f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS span_fp
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 7
+), dup AS (
+  SELECT span_fp FROM sh GROUP BY 1 HAVING count(*) >= 2
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM sh GROUP BY 1
+), dc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+  FROM sh JOIN dup USING (span_fp) GROUP BY 1
+), j AS (
+  SELECT d.doc_id,
+         coalesce(t.n_spans, 0) AS n_spans,
+         coalesce(dc.n_dup_spans, 0) AS n_dup_spans
+  FROM documents d
+  LEFT JOIN tot t USING (doc_id) LEFT JOIN dc USING (doc_id)
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       CASE WHEN n_spans > 0
+            THEN round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6)
+            ELSE 0.0 END AS dup_frac,
+       (CASE WHEN n_spans > 0
+             THEN round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6)
+             ELSE 0.0 END) <= 0.5 AS keep
+FROM j
+"""
+
+
+def x_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list: hyperplane-LSH buckets as coarse semantic cells,
+    within-cell cosine >= 0.3 pairs -> connected components -> keep the
+    smallest vec_id per component. The embedding-space twin of
+    x_neardup_keep (same output contract over `embeddings`)."""
+    return similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3,
+                                    num_planes=8)
+
+
+QUERIES["x_semdedup_keep"] = x_semdedup_keep
+
+ORACLES["x_semdedup_keep"] = f"""
+WITH RECURSIVE
+edges AS MATERIALIZED ({ORACLES["x_embedding_neardup_lsh"]}),
+sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+),
+cc AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+SELECT e.vec_id,
+       coalesce(e.vec_id IN (SELECT node FROM cc WHERE node = label), FALSE)
+         AS is_canonical
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT node FROM cc WHERE node <> label)
+"""
+
+
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (5 power iterations) over the verified
+    near-dup similarity graph — ranks each connected doc by duplication
+    centrality (hub docs whose content radiates through the corpus).
+    Exact BIGINT arithmetic end to end, so the unrolled-recurrence DuckDB
+    oracle hash-matches; the iterative plan is one edge join + one keyed
+    aggregate per round with the edge table checkpointed once.
+
+    Edges come from the PERSISTED pair parquet (``_edges_parquet_dir``) —
+    the 100 TB shape: graph passes scan the once-written edge table, they
+    never re-derive LSH+verify from raw text (build parity:
+    x_neardup_pipeline). Same answers, same oracle."""
+    from .functions import graph
+    pr = graph.pagerank(_edges(spark, sf_dir), iterations=5)
+    return pr.select(F.col("node").alias("doc_id"), "rank_i9")
+
+
+QUERIES["x_pagerank"] = x_pagerank
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    head = f"""
+WITH cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a AS a, jac.id_b AS b FROM jac
+  JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+s0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score FROM deg)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""", s{i} AS (
+  SELECT s.b AS node,
+         CAST(150000000 + (17 * CAST(sum(p.score // d.deg) AS BIGINT)) // 20
+              AS BIGINT) AS score
+  FROM sym s JOIN s{i - 1} p ON p.node = s.a JOIN deg d ON d.node = s.a
+  GROUP BY s.b)""")
+    return (head + "".join(steps)
+            + f"\nSELECT node AS doc_id, score AS rank_i9 FROM s{iterations}")
+
+
+ORACLES["x_pagerank"] = _pagerank_oracle()
+
+
+def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule table over documents: per-rule boolean columns
+    (word count / mean word length / alpha-word fraction / symbol ratio /
+    stopword floor) + composite keep. Pure map-side — scan-speed at any
+    scale."""
+    return text.gopher_rules(_docs(spark, sf_dir))
+
+
+QUERIES["x_gopher_rules"] = x_gopher_rules
+
+ORACLES["x_gopher_rules"] = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) > 0
+              THEN string_split_regex(trim(text), '\s+')
+              ELSE [] END AS w
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+              AS BIGINT) AS sum_len,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym,
+         CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|is|a|in|that)\b')) AS BIGINT) AS n_stop
+  FROM t
+), m AS (
+  SELECT doc_id, n_words,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(sum_len AS DOUBLE) / n_words
+                    ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(n_alpha AS DOUBLE) / n_words
+                    ELSE 0.0 END, 6) AS alpha_word_frac,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(n_sym AS DOUBLE) / n_words
+                    ELSE 0.0 END, 6) AS symbol_word_ratio,
+         n_stop AS n_stopwords
+  FROM feat
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+       n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+       (alpha_word_frac >= 0.8) AS r_alpha_words,
+       (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
+       (n_stopwords >= 2) AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (alpha_word_frac >= 0.8)
+        AND (symbol_word_ratio <= 0.1)
+        AND (n_stopwords >= 2)) AS keep
+FROM m
+"""
+
+
+def x_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 ingest with dead-letter routing: events round-trip through CSV
+    lines with every 13th record deterministically mangled (non-numeric
+    user_id, truncated fields); the PERMISSIVE parse routes exactly those
+    to the 'dead' lane carrying the raw line, clean rows round-trip typed.
+    The quarantine pattern a 100 TB ingest needs instead of die-on-first-
+    bad-line."""
+    e = _events(spark, sf_dir)
+    bad = F.col("event_id") % 13 == 0
+    ok_line = F.concat_ws(",", *[
+        F.coalesce(F.col(c).cast("string"), F.lit(""))
+        for c in ["event_id", "user_id", "event_type", "ts_ms"]])
+    bad_line = F.concat(F.col("event_id").cast("string"), F.lit(",xx,"),
+                        F.coalesce(F.col("event_type"), F.lit("")))
+    lines = e.select(F.when(bad, bad_line).otherwise(ok_line).alias("value"))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    return projections.parse_csv_routed(lines, schema)
+
+
+QUERIES["x_corrupt_routing"] = x_corrupt_routing
+
+ORACLES["x_corrupt_routing"] = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), l AS (
+  SELECT *, (event_id % 13 = 0) AS is_bad,
+         concat(CAST(event_id AS VARCHAR), ',xx,',
+                coalesce(event_type, '')) AS bad_line
+  FROM e
+)
+SELECT CASE WHEN is_bad THEN NULL ELSE event_id END AS event_id,
+       CASE WHEN is_bad THEN NULL ELSE user_id END AS user_id,
+       CASE WHEN is_bad THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN is_bad THEN NULL ELSE ts_ms END AS ts_ms,
+       CASE WHEN is_bad THEN 'dead' ELSE 'ok' END AS route,
+       CASE WHEN is_bad THEN bad_line ELSE NULL END AS raw
+FROM l
+"""
+
+
+def j6_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-SEMI windowed stream-stream join — J1's existence form: each
+    click emits (once) iff ANY view shares its (user, 1 h window). Only
+    left columns flow, so hot keys can't blow up output or pairing state;
+    emit timing is inner-like (on first match), deterministic under
+    availableNow without a flush sentinel."""
+    from .streaming.pipelines import windowed_join
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms")))
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = windowed_join(left, right, key="user_id", ts_col="ts",
+                        size="3600 seconds", how="leftSemi")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["j6_stream_semi"] = j6_stream_semi
+STREAMING_DEMOS.add("j6_stream_semi")
+
+ORACLES["j6_stream_semi"] = """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT l.user_id, (l.ts_ms // 3600000) * 3600000 AS window_start_ms,
+       l.ts_ms AS l_ts_ms
+FROM l
+WHERE EXISTS (SELECT 1 FROM r
+              WHERE r.user_id = l.user_id
+                AND r.ts_ms // 3600000 = l.ts_ms // 3600000)
+"""
+
+
+def x_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MV maintenance end to end: the events CSV replay feeds a
+    foreachBatch merge keeping daily partials fresh (decomposable
+    cnt/sum/min/max — x_rollup_merge's algebra, now maintained
+    incrementally per micro-batch); the monthly report then reads ONLY the
+    MV. The replay carries no value column, so the measure is event_id
+    (exact BIGINT, j4's replay contract); the oracle aggregates raw events
+    directly — equality proves batching-invariance of the merge."""
+    from .streaming.pipelines import incremental_rollup
+    ev = _stream_events(spark, sf_dir)
+    day = (F.floor(F.col("ts_ms") / 86_400_000) * 86_400_000).cast("bigint")
+    src = ev.select("event_type", day.alias("day_ms"),
+                    F.col("event_id").alias("m"))
+    mv = incremental_rollup(src, spark, ["event_type", "day_ms"], "m")
+    month = F.unix_millis(F.date_trunc(
+        "month", F.timestamp_millis(F.col("day_ms"))))
+    return (mv.groupBy("event_type", month.alias("month_ms"))
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"),
+                 F.sum("sum_m").cast("bigint").alias("sum_id"),
+                 F.min("min_m").cast("bigint").alias("min_id"),
+                 F.max("max_m").cast("bigint").alias("max_id"))
+            .withColumn("avg_id",
+                        F.round(F.col("sum_id") / F.col("cnt"), 6)))
+
+
+QUERIES["x_mv_stream"] = x_mv_stream
+STREAMING_DEMOS.add("x_mv_stream")
+
+ORACLES["x_mv_stream"] = """
+WITH e AS (
+  SELECT event_type,
+         epoch_ms(date_trunc('month', ts)) AS month_ms,
+         event_id
+  FROM events
+)
+SELECT event_type, CAST(month_ms AS BIGINT) AS month_ms,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id,
+       round(CAST(sum(event_id) AS BIGINT) / count(*), 6) AS avg_id
+FROM e GROUP BY 1, 2
+"""
+
+
+def x_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over part names — the classic ER shape,
+    built SCALE-FIRST: records first collapse to DISTINCT names (exact
+    dedup — one hash aggregate), candidate pairs then come only from a
+    blocking key (the name's head noun = last token) over the distinct-
+    name table, and an edit-distance verify (levenshtein <= 3) decides
+    matches. Pairwise work and output are bounded by the NAME VOCABULARY
+    squared — independent of record count — where naive record-pair ER is
+    quadratic in duplicated records (the round-4 bench caught exactly
+    that: the record-pair form was the heaviest query at sf0.1 and grows
+    ~100x per SF). Same candidate-then-verify discipline as MinHash LSH
+    with a lexical verifier; add further blocking passes (phonetic key,
+    brand) to recover cross-block matches. Output carries each name's
+    record count and smallest record id, so record-level joins stay
+    one map-side hop away."""
+    p = load_table(_prep(spark), sf_dir, "part")
+    names = (p.groupBy("p_name")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"),
+                  F.min("p_partkey").cast("bigint").alias("rep_id")))
+    t = names.withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    a = t.select(F.col("p_name").alias("name_a"),
+                 F.col("n_records").alias("n_a"),
+                 F.col("rep_id").alias("rep_a"), "blk")
+    b = t.select(F.col("p_name").alias("name_b"),
+                 F.col("n_records").alias("n_b"),
+                 F.col("rep_id").alias("rep_b"),
+                 F.col("blk").alias("b_blk"))
+    return (a.join(b, (F.col("blk") == F.col("b_blk"))
+                   & (F.col("name_a") < F.col("name_b")))
+            .withColumn("lev", F.levenshtein("name_a", "name_b")
+                               .cast("bigint"))
+            .filter(F.col("lev") <= 3)
+            .select("name_a", "name_b", "lev", "n_a", "n_b",
+                    "rep_a", "rep_b"))
+
+
+QUERIES["x_entity_match"] = x_entity_match
+
+ORACLES["x_entity_match"] = """
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_records,
+         CAST(min(p_partkey) AS BIGINT) AS rep_id
+  FROM part GROUP BY p_name
+), t AS (
+  SELECT p_name, n_records, rep_id,
+         list_extract(string_split(p_name, ' '), -1) AS blk
+  FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+       a.n_records AS n_a, b.n_records AS n_b,
+       a.rep_id AS rep_a, b.rep_id AS rep_b
+FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+def x_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — the time-series compaction shape
+    (open/high/low/close): open/close via ``min/max(struct(ts_ms,
+    event_id, value))`` — a total order, so ties on ts_ms resolve
+    deterministically by event_id — high/low as plain min/max, all in ONE
+    hash aggregate (no per-key window sort, partial aggs halve the
+    shuffle; the same plan at 100 TB). Values ride as exact e4 integers;
+    the close of bar N feeding gap-fill is x_resample_ffill's job."""
+    e = (_events(spark, sf_dir)
+         .withColumn("v_e4", F.round(F.col("value") * 10000).cast("bigint"))
+         # total tick order as ONE bigint (ts dominates, event_id breaks
+         # ties; both bounded far below the 2^63 headroom) — the argmin/
+         # argmax key DuckDB's min_by/max_by can replay exactly
+         .withColumn("tick", (F.col("ts_ms") * 1_000_000
+                              + F.col("event_id")).cast("bigint")))
+    hour = (F.floor(F.col("ts_ms") / 3_600_000) * 3_600_000).cast("bigint")
+    return (e.groupBy("event_type", hour.alias("hour_ms"))
+            .agg(F.min_by("v_e4", "tick").alias("open_e4"),
+                 F.max("v_e4").alias("high_e4"),
+                 F.min("v_e4").alias("low_e4"),
+                 F.max_by("v_e4", "tick").alias("close_e4"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_ticks")))
+
+
+QUERIES["x_ohlc_bars"] = x_ohlc_bars
+
+ORACLES["x_ohlc_bars"] = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4,
+         CAST(epoch_ms(ts) * 1000000 + event_id AS BIGINT) AS tick
+  FROM events
+)
+SELECT event_type,
+       CAST((ts_ms // 3600000) * 3600000 AS BIGINT) AS hour_ms,
+       CAST(min_by(v_e4, tick) AS BIGINT) AS open_e4,
+       CAST(max(v_e4) AS BIGINT) AS high_e4,
+       CAST(min(v_e4) AS BIGINT) AS low_e4,
+       CAST(max_by(v_e4, tick) AS BIGINT) AS close_e4,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM e GROUP BY 1, 2
+"""
+
+
+def x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (Deequ/dbt-test shape): declared
+    contracts — not-null, key uniqueness, accepted values, value ranges,
+    referential integrity — each reported as (table, expectation,
+    n_violations, passed). The fixture data genuinely violates two
+    (negative acctbals, an undeclared doc language), so the report shows
+    both verdicts.
+
+    Plan shape: all same-table rules FUSE into one wide aggregate per
+    table (one scan computes every violation count — x_profile's
+    discipline), stack()-pivoted to long form; referential checks are
+    left-anti joins aggregated to one row, where AQE broadcasts the dim
+    side. Total cost at 100 TB: one scan per table + one join per FK."""
+    o = load_table(_prep(spark), sf_dir, "orders")
+    c = load_table(_prep(spark), sf_dir, "customer")
+    li = load_table(_prep(spark), sf_dir, "lineitem")
+    d = _docs(spark, sf_dir)
+    n_viol = "CAST(n_violations AS BIGINT) AS n_violations"
+
+    orders_wide = o.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P"))
+              .cast("bigint")).alias("v_vals"))
+    orders_rules = orders_wide.selectExpr(
+        "stack(3, 'not_null:o_orderkey', v_null,"
+        " 'unique:o_orderkey', v_uniq,"
+        " 'accepted_values:o_orderstatus', v_vals)"
+        " AS (expectation, n_violations)").selectExpr(
+        "'orders' AS table_name", "expectation", n_viol)
+
+    li_rules = li.agg(
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+              .cast("bigint")).alias("n_violations")).selectExpr(
+        "'lineitem' AS table_name", "'range:l_quantity[1,50]' AS expectation",
+        n_viol)
+
+    cust_rules = c.agg(
+        F.sum((F.col("c_acctbal") < 0).cast("bigint"))
+         .alias("n_violations")).selectExpr(
+        "'customer' AS table_name", "'non_negative:c_acctbal' AS expectation",
+        n_viol)
+
+    doc_rules = d.agg(
+        F.sum((~F.col("lang").isin("en", "de", "fr", "es")).cast("bigint"))
+         .alias("n_violations")).selectExpr(
+        "'documents' AS table_name", "'accepted_values:lang' AS expectation",
+        n_viol)
+
+    fk_orders = (o.join(c.select("c_custkey"),
+                        o["o_custkey"] == c["c_custkey"], "left_anti")
+                 .agg(F.count(F.lit(1)).alias("n_violations"))
+                 .selectExpr("'orders' AS table_name",
+                             "'fk:o_custkey->customer' AS expectation",
+                             n_viol))
+    fk_li = (li.join(o.select("o_orderkey"),
+                     li["l_orderkey"] == o["o_orderkey"], "left_anti")
+             .agg(F.count(F.lit(1)).alias("n_violations"))
+             .selectExpr("'lineitem' AS table_name",
+                         "'fk:l_orderkey->orders' AS expectation", n_viol))
+
+    out = orders_rules
+    for r in (li_rules, cust_rules, doc_rules, fk_orders, fk_li):
+        out = out.unionByName(r)
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+QUERIES["x_expectations"] = x_expectations
+
+ORACLES["x_expectations"] = """
+WITH rules AS (
+  SELECT 'orders' AS table_name, 'not_null:o_orderkey' AS expectation,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'unique:o_orderkey',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'accepted_values:o_orderstatus',
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'range:l_quantity[1,50]',
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer', 'non_negative:c_acctbal',
+         CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'orders', 'fk:o_custkey->customer',
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem', 'fk:l_orderkey->orders',
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'documents', 'accepted_values:lang',
+         CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+)
+SELECT table_name, expectation, n_violations,
+       (n_violations = 0) AS passed
+FROM rules
+"""
+
+
+def x_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (class prototype) in exact e6-integer
+    arithmetic — explode collapses via partial aggs into one bounded
+    |labels|x|dims| shuffle."""
+    return similarity.label_centroids(_emb(spark, sf_dir))
+
+
+QUERIES["x_label_centroids"] = x_label_centroids
+
+ORACLES["x_label_centroids"] = """
+WITH e AS (
+  SELECT label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(embedding)
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(v_e6) AS BIGINT) AS sum_e6,
+       round(CAST(sum(v_e6) AS BIGINT) / count(*) / 1000000.0, 6) AS mean_val
+FROM e GROUP BY 1, 2
+"""
+
+
+def x_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval cascade: LSH-gated candidates -> exact int8-dot
+    shortlist (20) -> full-precision cosine rerank (top 5). The serving
+    shape where the quantized corpus is 4x smaller and float vectors are
+    touched only for the shortlist."""
+    emb = _emb(spark, sf_dir)
+    return similarity.int8_rerank_topk(emb, emb.filter(F.col("vec_id") < 10),
+                                       k=5, shortlist=20, num_planes=8)
+
+
+QUERIES["x_rag_rerank"] = x_rag_rerank
+
+ORACLES["x_rag_rerank"] = f"""
+WITH t AS (
+  SELECT vec_id, embedding,
+         {_lsh_bucket_sql("embedding")} AS bucket,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings
+), qz AS (
+  SELECT vec_id, embedding, bucket,
+         CASE WHEN max_abs = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / (max_abs / 127.0))
+                             AS BIGINT))
+         END AS qv
+  FROM t
+), cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         a.embedding AS q, b.embedding AS v,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> a.qv[i] * b.qv[i])) AS BIGINT) AS coarse_dot
+  FROM qz a JOIN qz b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+), short AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY coarse_dot DESC, vec_id) AS crk
+  FROM cand
+), rr AS (
+  SELECT query_id, vec_id, coarse_dot, round({_COSINE_Q}, 6) AS score
+  FROM short WHERE crk <= 20
+), rk AS (
+  SELECT query_id, vec_id, coarse_dot, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM rr
+)
+SELECT * FROM rk WHERE rk <= 5
+"""
+
+
+def x_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER completed, record level: the NAME-pair graph (x_entity_match)
+    collapses through connected components into name clusters; records
+    then map onto their cluster with one equi-join, and the entity id is
+    the smallest record id in the entity (canonical-record policy).
+    Output: (part_id, entity_id) for every record in a multi-record
+    entity — including exact-duplicate names that needed no fuzzy pair.
+    The CC fixpoint runs on the vocabulary-bounded name graph, never on
+    record pairs."""
+    from .functions import graph
+    pt = load_table(_prep(spark), sf_dir, "part")
+    pairs = x_entity_match(spark, sf_dir)
+    cc = graph.connected_components(pairs, src="name_a", dst="name_b")
+    names = (pt.groupBy("p_name")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"),
+                  F.min("p_partkey").cast("bigint").alias("rep_id")))
+    labeled = (names.join(cc, names["p_name"] == cc["node"], "left")
+               .select("p_name", "n_records", "rep_id",
+                       F.coalesce("label", "p_name").alias("cluster")))
+    ent = (labeled.groupBy("cluster")
+           .agg(F.sum("n_records").alias("n_recs"),
+                F.min("rep_id").cast("bigint").alias("entity_id"))
+           .filter(F.col("n_recs") >= 2).select("cluster", "entity_id"))
+    return (pt.select(F.col("p_partkey").alias("part_id"), "p_name")
+            .join(labeled.select("p_name", "cluster"), "p_name")
+            .join(ent, "cluster")
+            .select(F.col("part_id").cast("bigint").alias("part_id"),
+                    "entity_id"))
+
+
+QUERIES["x_entity_clusters"] = x_entity_clusters
+
+ORACLES["x_entity_clusters"] = f"""
+WITH RECURSIVE
+edges AS ({ORACLES["x_entity_match"]}),
+sym AS (SELECT name_a AS a, name_b AS b FROM edges
+        UNION SELECT name_b, name_a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON reach.node = sym.b
+),
+cc AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_records,
+         CAST(min(p_partkey) AS BIGINT) AS rep_id
+  FROM part GROUP BY p_name
+),
+labeled AS (
+  SELECT n.p_name, n.n_records, n.rep_id,
+         coalesce(cc.label, n.p_name) AS cluster
+  FROM names n LEFT JOIN cc ON cc.node = n.p_name
+),
+ent AS (
+  SELECT cluster, CAST(min(rep_id) AS BIGINT) AS entity_id
+  FROM labeled GROUP BY cluster HAVING sum(n_records) >= 2
+)
+SELECT CAST(p.p_partkey AS BIGINT) AS part_id, e.entity_id
+FROM part p
+JOIN labeled l ON p.p_name = l.p_name
+JOIN ent e ON l.cluster = e.cluster
+"""
+
+
+def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-round statistic: top-20 adjacent character pairs weighted
+    by word frequency — pair counting over the vocab table, never the raw
+    token stream (the optimization that makes tokenizer training
+    corpus-feasible)."""
+    return text.bpe_pair_counts(_docs(spark, sf_dir), k=20)
+
+
+QUERIES["x_bpe_merges"] = x_bpe_merges
+
+ORACLES["x_bpe_merges"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM toks WHERE len(w) > 0 GROUP BY w
+), pairs AS (
+  SELECT w[i:i] || ' ' || w[i+1:i+1] AS pair, freq
+  FROM wc CROSS JOIN (SELECT unnest(range(1, 1000)) AS i) idx
+  WHERE len(w) >= 2 AND i <= len(w) - 1
+), agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT pair, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rk
+FROM agg ORDER BY rk LIMIT 20
+"""
+
+
+def x_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration (the FineWeb/CCNet per-dump
+    move): percent_rank of the quality score WITHIN each source, so a
+    threshold like "keep the top half" adapts to every source's own score
+    distribution instead of letting one clean source crowd out the rest.
+    percent_rank depends only on the (deterministic, tie-sharing) rank, so
+    it hash-matches cross-engine. Scale: one window partitioned by source
+    (high-cardinality key, spreads); at extreme per-source row counts swap
+    in approx-quantile cutoffs + map-side filter (quality_buckets_approx's
+    shape)."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir)
+    qf = text.quality_features(d).select("doc_id", "quality_score")
+    j = d.select("doc_id", "source").join(qf, "doc_id")
+    w = W.partitionBy("source").orderBy("quality_score")
+    return (j.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+            .withColumn("keep_top_half", F.col("pct_rank") >= 0.5)
+            .select("doc_id", "source", "quality_score", "pct_rank",
+                    "keep_top_half"))
+
+
+QUERIES["x_quality_calibration"] = x_quality_calibration
+
+ORACLES["x_quality_calibration"] = f"""
+WITH q AS ({_quality_oracle()})
+SELECT d.doc_id, d.source, q.quality_score,
+       round(percent_rank() OVER (PARTITION BY d.source
+             ORDER BY q.quality_score), 6) AS pct_rank,
+       (round(percent_rank() OVER (PARTITION BY d.source
+              ORDER BY q.quality_score), 6) >= 0.5) AS keep_top_half
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+"""
+
+
+def x_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming z-score anomaly alerts through a REAL
+    applyInPandasWithState machine: per event_type, exact-integer running
+    (n, S, Q) state flags rows whose squared mean-deviation exceeds 4x the
+    running variance after 30 observations. The replayed CSV carries no
+    value, so the metric is a heavy-tailed deterministic derivation
+    (md5-draw mod 100, squared) both engines compute identically; the
+    oracle is the same recurrence as prefix-window SQL."""
+    from .streaming.stateful import zscore_alert_stream
+    ev = _stream_events(spark, sf_dir)
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("aval:"), F.col("event_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint")
+    src = ev.withColumn("v", ((h % 100) * (h % 100)).cast("bigint"))
+    out = zscore_alert_stream(src, key="event_type", ts_ms="ts_ms",
+                              id_col="event_id", value_col="v",
+                              k2=4, min_obs=30)
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_anomaly_stream"] = x_anomaly_stream
+STREAMING_DEMOS.add("x_anomaly_stream")
+
+_AH = _H32.format(x="concat('aval:', CAST(event_id AS VARCHAR))")
+ORACLES["x_anomaly_stream"] = f"""
+WITH e AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+         CAST(({_AH} % 100) * ({_AH} % 100) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT event_type, event_id, ts_ms, v,
+         count(*) OVER win AS n_prev,
+         coalesce(sum(v) OVER win, 0) AS s_prev,
+         coalesce(sum(v * v) OVER win, 0) AS q_prev
+  FROM e
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, event_id, ts_ms, v, CAST(n_prev AS BIGINT) AS n_prev
+FROM w
+WHERE n_prev >= 30
+  AND (n_prev * v - s_prev) * (n_prev * v - s_prev)
+      > 4 * (n_prev * q_prev - s_prev * s_prev)
+"""
+
+
+def x_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation via CMS inner product — the optimizer-side use
+    of sketches: how many (click, purchase) same-user pairs would a join
+    produce, WITHOUT joining the tables? Exact answer = Σ_k fA(k)·fB(k)
+    (computed from per-key counts, never materializing pairs); estimate =
+    min over seeds of the sketch inner product (never an underestimate).
+    Both sketches are depth×width-bounded, so the estimator's cost is
+    independent of table size. Output: exact_pairs, cms_est, overcount."""
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    sk_a = sketches.cms_sketch(clicks, "user_id", depth=4, width=256)
+    sk_b = sketches.cms_sketch(purchases, "user_id", depth=4, width=256)
+    est = sketches.cms_inner_product(sk_a, sk_b)
+    fa = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("na"))
+    fb = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
+    exact = (fa.join(fb, "user_id")
+             .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint")
+                  .alias("exact_pairs")))
+    return (exact.crossJoin(est)
+            .select("exact_pairs", "cms_est",
+                    (F.col("cms_est") - F.col("exact_pairs")).cast("bigint")
+                     .alias("overcount")))
+
+
+QUERIES["x_join_size_estimate"] = x_join_size_estimate
+
+ORACLES["x_join_size_estimate"] = f"""
+WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
+a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+ba AS (
+  SELECT seed, CAST({_CMS_H} % 256 AS INT) AS bucket, count(*) AS cnt_a
+  FROM a CROSS JOIN seeds GROUP BY 1, 2
+), bb AS (
+  SELECT seed, CAST({_CMS_H} % 256 AS INT) AS bucket, count(*) AS cnt_b
+  FROM b CROSS JOIN seeds GROUP BY 1, 2
+), ip AS (
+  SELECT seed, sum(cnt_a * cnt_b) AS ip
+  FROM ba JOIN bb USING (seed, bucket) GROUP BY seed
+), est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM ip),
+fa AS (SELECT user_id, count(*) AS na FROM a GROUP BY 1),
+fb AS (SELECT user_id, count(*) AS nb FROM b GROUP BY 1),
+ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_pairs
+       FROM fa JOIN fb USING (user_id))
+SELECT exact_pairs, cms_est,
+       CAST(cms_est - exact_pairs AS BIGINT) AS overcount
+FROM ex CROSS JOIN est
+"""
+
+
+def x_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): distinct-token count after
+    each 100-doc prefix of the corpus — the measurement behind vocab-size
+    and tokenizer-budget decisions. Plan: one explode + min-aggregate
+    finds each token's FIRST document (token-keyed shuffle, partial aggs
+    collapse repeats); bucketing first-docs to the grid and one small
+    cumulative window over |grid| rows yields the curve — the corpus
+    never sorts globally."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+    first = (d.select(F.col("doc_id"), F.explode(text.tokens("text"))
+                      .alias("tok"))
+             .groupBy("tok").agg(F.min("doc_id").alias("first_doc")))
+    grid = 100
+    bucket = (F.floor(F.col("first_doc") / grid) + 1) * grid
+    per_bucket = (first.groupBy(bucket.cast("bigint").alias("prefix_docs"))
+                  .agg(F.count(F.lit(1)).alias("new_tokens")))
+    w = W.orderBy("prefix_docs").rowsBetween(W.unboundedPreceding, 0)
+    return (per_bucket
+            .withColumn("vocab_size", F.sum("new_tokens").over(w)
+                                       .cast("bigint"))
+            .select("prefix_docs",
+                    F.col("new_tokens").cast("bigint").alias("new_tokens"),
+                    "vocab_size"))
+
+
+QUERIES["x_heaps_law"] = x_heaps_law
+
+ORACLES["x_heaps_law"] = f"""
+WITH first AS (
+  SELECT tok, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents) t
+  GROUP BY tok
+), pb AS (
+  SELECT CAST((first_doc // 100 + 1) * 100 AS BIGINT) AS prefix_docs,
+         CAST(count(*) AS BIGINT) AS new_tokens
+  FROM first GROUP BY 1
+)
+SELECT prefix_docs, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY prefix_docs
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM pb
+"""
+
+
+def x_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length (tokens) and quality
+    score, computed the scale-correct way: ONE aggregate pass accumulates
+    exact BIGINT sums (x, y as e6 ints, their squares and product), then
+    the r formula evaluates once in double with an identical expression
+    tree on both engines — IEEE multiply/divide/sqrt are deterministic, so
+    even the floating-point step hash-matches. No second pass, no
+    centering pass, no per-row doubles."""
+    d = _docs(spark, sf_dir)
+    qf = text.quality_features(d)
+    t = qf.select(
+        F.col("n_tokens").cast("bigint").alias("x"),
+        F.round(F.col("quality_score") * 1_000_000).cast("bigint").alias("y"))
+    s = t.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    num = (F.col("n").cast("double") * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double"))
+    den = (F.sqrt(F.col("n").cast("double") * F.col("sxx").cast("double")
+                  - F.col("sx").cast("double") * F.col("sx").cast("double"))
+           * F.sqrt(F.col("n").cast("double") * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy").cast("double")))
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("sum_tokens"),
+        F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
+         .alias("pearson_r"))
+
+
+QUERIES["x_correlation"] = x_correlation
+
+ORACLES["x_correlation"] = f"""
+WITH q AS ({_quality_oracle()}),
+t AS (
+  SELECT CAST(n_tokens AS BIGINT) AS x,
+         CAST(round(quality_score * 1000000) AS BIGINT) AS y
+  FROM q
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM t
+)
+SELECT n, sx AS sum_tokens,
+       round(CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             ELSE 0.0 END, 6) AS pearson_r
+FROM s
+"""
+
+
+def _events_csv_dir_flush_users(spark: SparkSession, sf_dir: str) -> str:
+    """Events CSV replay dir + one flush sentinel PER DISTINCT USER
+    (event_type '__flush__', far-future ts, unique ids) — per-key state
+    machines need a per-key close signal, unlike the global-watermark
+    sentinel of _events_csv_dir_flush. Base part-files hardlinked."""
+    import os
+    base = _events_csv_dir(spark, sf_dir)
+    out = base + "_flush_users"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import duckdb
+        users = [r[0] for r in duckdb.sql(
+            f"SELECT DISTINCT user_id FROM '{sf_dir}/events.parquet' "
+            "ORDER BY user_id").fetchall()]
+        os.makedirs(out, exist_ok=True)
+        for f in os.listdir(base):
+            if f.endswith(".csv"):
+                dst = os.path.join(out, f)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(base, f), dst)
+        with open(os.path.join(out, "zz_flush.csv"), "w") as fh:
+            for i, u in enumerate(users):
+                fh.write(f"{10**9 + i},{u},__flush__,{_FLUSH_TS_MS}\n")
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def x_dynsession_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization on the STREAM: the x_dynamic_sessions
+    state machine through real applyInPandasWithState (4 longs of state
+    per user), per-user flush sentinels draining every open session so
+    the availableNow replay equals the batch gaps-and-islands oracle."""
+    from .sources import file_csv_stream
+    from .streaming.stateful import dynamic_sessions_stream
+    path = _events_csv_dir_flush_users(spark, sf_dir)
+    ev = file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+    gap = (F.when(F.col("event_type") == "__flush__",
+                  F.lit(None).cast("bigint"))
+            .when(F.col("event_type") == "click", F.lit(1_800_000))
+            .otherwise(F.lit(600_000)))
+    src = ev.select("user_id", "ts_ms", "event_id", gap.alias("gap"))
+    out = dynamic_sessions_stream(src, key="user_id", ts_ms="ts_ms",
+                                  gap_col="gap", id_col="event_id")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_dynsession_stream"] = x_dynsession_stream
+STREAMING_DEMOS.add("x_dynsession_stream")
+ORACLES["x_dynsession_stream"] = ORACLES["x_dynamic_sessions"]
+
+
+def x_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2's exactly-once-visibility mitigation exercised end to end: the
+    purchase branch of the events replay streams through the two-phase
+    commit-manifest sink (stage files, atomically publish a per-batch
+    manifest) and the result is read back through the manifest reader —
+    only committed batches are visible, so the round trip equals the
+    batch filter exactly (the property Delta/Iceberg commit logs
+    productionize)."""
+    from .sinks import manifest_file_sink, read_manifest, run_available_now
+    ev = _stream_events(spark, sf_dir)
+    sel = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts_ms"))
+    out_dir = _tempfile.mkdtemp(prefix="frde_manifest_")
+    ckpt = _tempfile.mkdtemp(prefix="frde_manifest_ckpt_")
+    q = run_available_now(manifest_file_sink(sel, out_dir, ckpt))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("manifest stream did not finish")
+    return read_manifest(spark, out_dir)
+
+
+QUERIES["x_manifest_stream"] = x_manifest_stream
+STREAMING_DEMOS.add("x_manifest_stream")
+
+ORACLES["x_manifest_stream"] = """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def x_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based tumbling windows (Flink DataStream ``countWindow(10)``
+    — a core DataStream feature the reference's time windows sit beside):
+    per user, every 10 consecutive events (arrival order = (ts, id))
+    form one window; emit count/min/max per full-or-trailing window.
+    One per-key window rank + one aggregate; the rank partitions by a
+    high-cardinality key so the sort spreads."""
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir).select("user_id", "ts_ms", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    rn = F.row_number().over(w)
+    return (e.withColumn("win_idx", ((rn - 1) / 10).cast("bigint"))
+            .groupBy("user_id", "win_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts_ms").alias("first_ts_ms"),
+                 F.max("ts_ms").alias("last_ts_ms")))
+
+
+QUERIES["x_count_windows"] = x_count_windows
+
+ORACLES["x_count_windows"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts), event_id) AS rn
+  FROM events
+)
+SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win_idx,
+       count(*) AS n_events,
+       CAST(min(ts_ms) AS BIGINT) AS first_ts_ms,
+       CAST(max(ts_ms) AS BIGINT) AS last_ts_ms
+FROM r GROUP BY 1, 2
+"""
+
+
+def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    counts and probabilities of event_type -> next event_type (ordered by
+    (ts, id) within user). One lag window on the user partitioning + one
+    small aggregate over |types|² rows; probabilities are exact-count
+    divisions rounded once."""
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts_ms",
+                                      "event_id")
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    t = (e.withColumn("next_type", F.lead("event_type").over(w))
+         .filter(F.col("next_type").isNotNull()))
+    counts = (t.groupBy(F.col("event_type").alias("from_type"),
+                        F.col("next_type").alias("to_type"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w2 = W.partitionBy("from_type")
+    return (counts
+            .withColumn("p", F.round(F.col("n") / F.sum("n").over(w2), 6))
+            .select("from_type", "to_type",
+                    F.col("n").cast("bigint").alias("n"), "p"))
+
+
+QUERIES["x_markov_transitions"] = x_markov_transitions
+
+ORACLES["x_markov_transitions"] = """
+WITH s AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 6) AS p
+FROM c
+"""
+
+
+def x_countwin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``countWindow(10)`` on the stream: per-user count-tumbling
+    windows through applyInPandasWithState (4 longs of state per key),
+    full windows emit the moment they fill, per-user flush sentinels
+    drain the trailing partials — result equals the batch rank-based
+    form's oracle."""
+    from .sources import file_csv_stream
+    from .streaming.stateful import count_windows_stream
+    path = _events_csv_dir_flush_users(spark, sf_dir)
+    ev = file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+    src = ev.select("user_id", "ts_ms", "event_id",
+                    (F.col("event_type") == "__flush__").alias("is_flush"))
+    out = count_windows_stream(src, size=10, key="user_id", ts_ms="ts_ms",
+                               id_col="event_id", flush_col="is_flush")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_countwin_stream"] = x_countwin_stream
+STREAMING_DEMOS.add("x_countwin_stream")
+ORACLES["x_countwin_stream"] = ORACLES["x_count_windows"]
+
+
+def x_rule_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-rule ops dashboard: per (source, rule) failure rate —
+    the view that answers "which rule is rejecting 40% of source X". One
+    wide aggregate per source over the map-side rule table, stacked to
+    long form; |sources|x|rules| output regardless of corpus size."""
+    d = _docs(spark, sf_dir)
+    g = text.gopher_rules(d).join(d.select("doc_id", "source"), "doc_id")
+    rules = ["r_word_count", "r_mean_word_len", "r_alpha_words",
+             "r_symbol_ratio", "r_stopwords", "keep"]
+    wide = g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum((~F.col(r)).cast("bigint")).alias(f"f_{r}") for r in rules])
+    stack = ", ".join(f"'{r}', f_{r}" for r in rules)
+    return (wide.selectExpr(
+                "source", "n_docs",
+                f"stack({len(rules)}, {stack}) AS (rule, n_fail)")
+            .select("source", "rule",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_fail").cast("bigint").alias("n_fail"),
+                    F.round(F.col("n_fail") / F.col("n_docs"), 6)
+                     .alias("fail_rate")))
+
+
+QUERIES["x_rule_rates"] = x_rule_rates
+
+ORACLES["x_rule_rates"] = f"""
+WITH g AS ({ORACLES["x_gopher_rules"]}),
+j AS (
+  SELECT d.source, g.* FROM g JOIN documents d USING (doc_id)
+), wide AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(sum(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+         CAST(sum(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+         CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+         CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS f6
+  FROM j GROUP BY source
+), longf AS (
+  SELECT source, n_docs, 'r_word_count' AS rule, f1 AS n_fail FROM wide
+  UNION ALL SELECT source, n_docs, 'r_mean_word_len', f2 FROM wide
+  UNION ALL SELECT source, n_docs, 'r_alpha_words', f3 FROM wide
+  UNION ALL SELECT source, n_docs, 'r_symbol_ratio', f4 FROM wide
+  UNION ALL SELECT source, n_docs, 'r_stopwords', f5 FROM wide
+  UNION ALL SELECT source, n_docs, 'keep', f6 FROM wide
+)
+SELECT source, rule, n_docs, n_fail,
+       round(n_fail / CAST(n_docs AS BIGINT), 6) AS fail_rate
+FROM longf
+"""
+
+
+def x_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation primitive: users split
+    into deterministic cohorts (user_id parity = the hash-bucket
+    assignment of a real A/B system), conversion = "made >=1 purchase",
+    pooled-variance z statistic on EXACT counts with one IEEE double
+    expression evaluated identically by both engines. One per-user
+    aggregate + one 2-row rollup; at any scale the test reads two rows."""
+    e = _events(spark, sf_dir)
+    # conversion = the user's purchase share exceeds the 1/5 uniform
+    # baseline — a per-user predicate with real variation at every SF
+    # (a "did anything" flag saturates to p=1 on this fixture, and a
+    # degenerate pooled variance is a divide-by-zero, not a test)
+    per_user = (e.groupBy("user_id")
+                .agg((5 * F.sum((F.col("event_type") == "purchase")
+                                .cast("bigint"))
+                      > F.count(F.lit(1))).cast("bigint")
+                     .alias("converted")))
+    grp = (per_user.groupBy((F.col("user_id") % 2).cast("bigint")
+                            .alias("cohort"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("converted").alias("conv")))
+    a = grp.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"))
+    b = grp.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"))
+    j = a.crossJoin(b)
+    d = lambda c: F.col(c).cast("double")
+    p_pool = (d("conv_a") + d("conv_b")) / (d("n_a") + d("n_b"))
+    se = F.sqrt(p_pool * (1 - p_pool) * (1 / d("n_a") + 1 / d("n_b")))
+    z = (d("conv_a") / d("n_a") - d("conv_b") / d("n_b")) / se
+    return (j.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(z, 6).alias("z_stat"))
+        .withColumn("significant", F.abs(F.col("z_stat")) > 1.96))
+
+
+QUERIES["x_ab_test"] = x_ab_test
+
+ORACLES["x_ab_test"] = """
+WITH pu AS (
+  SELECT user_id,
+         CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) > count(*)
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv
+  FROM pu GROUP BY 1
+), a AS (SELECT n AS n_a, conv AS conv_a FROM g WHERE cohort = 0),
+b AS (SELECT n AS n_b, conv AS conv_b FROM g WHERE cohort = 1),
+j AS (SELECT * FROM a CROSS JOIN b),
+s AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p_pool
+  FROM j
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(p_pool * (1 - p_pool)
+                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
+             6) AS z_stat,
+       abs(round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(p_pool * (1 - p_pool)
+                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
+             6)) > 1.96 AS significant
+FROM s
+"""
+
+
+def x_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) join — the warehouse lookup as-of joins can't
+    do: each purchase fact attaches the dimension row whose validity
+    interval CONTAINS the fact's timestamp (user's click/view activity
+    state at purchase time). The join is an equi-join on the key with the
+    interval predicate filtering post-match — per-key interval counts are
+    change-rate-bounded, so the equi-join carries the scale and the range
+    never goes unbounded. Current (open) intervals match with NULL
+    valid_to."""
+    e = _events(spark, sf_dir)
+    # Rename the dim's lineage-shared columns up front: fact and dim both
+    # descend from the same scan, and column-object equality on shared
+    # lineage degenerates to a trivially-true predicate.
+    dim = (funnel.scd2_intervals(
+               e.filter(F.col("event_type").isin("click", "view")))
+           .select(F.col("user_id").alias("d_user_id"),
+                   F.col("event_type").alias("state_at_purchase"),
+                   "valid_from_ms", "valid_to_ms"))
+    fact = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "ts_ms"))
+    cond = ((F.col("user_id") == F.col("d_user_id"))
+            & (F.col("ts_ms") >= F.col("valid_from_ms"))
+            & (F.col("valid_to_ms").isNull()
+               | (F.col("ts_ms") < F.col("valid_to_ms"))))
+    return (fact.join(dim, cond)
+            .select("user_id", "event_id", "ts_ms", "state_at_purchase",
+                    "valid_from_ms"))
+
+
+QUERIES["x_pit_join"] = x_pit_join
+
+ORACLES["x_pit_join"] = """
+WITH src AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+  FROM events WHERE event_type IN ('click', 'view')
+), marked AS (
+  SELECT user_id, event_type, ts_ms, event_id,
+         lag(event_type) OVER w AS prev
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), chg AS (
+  SELECT user_id, event_type, ts_ms, event_id FROM marked
+  WHERE prev IS NULL OR prev <> event_type
+), dim AS (
+  SELECT user_id, event_type,
+         CAST(ts_ms AS BIGINT) AS valid_from_ms,
+         CAST(lead(ts_ms) OVER (PARTITION BY user_id
+                                ORDER BY ts_ms, event_id) AS BIGINT)
+           AS valid_to_ms
+  FROM chg
+), fact AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id, f.event_id, f.ts_ms,
+       d.event_type AS state_at_purchase, d.valid_from_ms
+FROM fact f JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts_ms >= d.valid_from_ms
+ AND (d.valid_to_ms IS NULL OR f.ts_ms < d.valid_to_ms)
+"""
+
+
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab coverage: with a top-20 frequency vocabulary, what
+    fraction of each source's token stream is out-of-vocabulary — the
+    OOV-rate check run before freezing any tokenizer. Vocab is a
+    |V|-bounded aggregate that broadcasts into a map-side anti probe of
+    the token stream; per-source totals ride the same explode."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(text.tokens("text")).alias("tok"))
+    # Vocab selection via orderBy().limit() — TakeOrderedAndProject, not a
+    # single-partition global-rank window (the 100 TB vocab is millions of
+    # rows; a per-partition heap of 20 is free).
+    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.col("n").desc(), F.col("tok")).limit(20)
+             .select("tok"))
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    oov = (toks.join(vocab, "tok", "left_anti")
+           .groupBy("source").agg(F.count(F.lit(1)).alias("n_oov")))
+    return (per_src.join(oov, "source", "left")
+            .select("source",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.coalesce("n_oov", F.lit(0)).cast("bigint")
+                     .alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
+
+
+QUERIES["x_vocab_coverage"] = x_vocab_coverage
+
+ORACLES["x_vocab_coverage"] = f"""
+WITH toks AS (
+  SELECT source, unnest({_QF_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+    FROM toks GROUP BY tok
+  ) WHERE rk <= 20
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1
+), oov AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_oov
+  FROM toks WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY 1
+)
+SELECT p.source, p.n_tokens, coalesce(o.n_oov, 0) AS n_oov,
+       round(coalesce(o.n_oov, 0) / p.n_tokens, 6) AS oov_rate
+FROM per_src p LEFT JOIN oov o USING (source)
+"""
+
+
+def x_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest — the LLM-corpus interchange format: documents export
+    to JSON-Lines (one object per line, stable key order) and read back
+    through the schema-declared JSONL reader; byte-exact field round-trip
+    is the correctness claim (the oracle is the original projection).
+    Schema-on-read with a DECLARED schema — never inference — keeps the
+    scan single-pass at 100 TB."""
+    import os
+    from .sources import jsonl_read
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source",
+                                    "n_chars")
+    base = _events_csv_dir(spark, sf_dir)  # reuse the per-sf cache root
+    out = base + "_docs_jsonl"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        d.write.mode("overwrite").json(out)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    return jsonl_read(spark, out, schema)
+
+
+QUERIES["x_jsonl_roundtrip"] = x_jsonl_roundtrip
+
+ORACLES["x_jsonl_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+def x_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision x_disorder_stats feeds: for candidate watermark delays
+    (0 s, 1 s, 10 s, 60 s), how many events per type would arrive LATE
+    (behind running-max event time by more than the delay) and be dropped
+    by ``withWatermark(ts, D)`` — the coverage-vs-latency curve that picks
+    W1's bound (EventTimeOperations.java:82-94 hardcodes 10 s; this query
+    is how you'd justify it). One running-max window pass shared by all
+    candidates (map-side explode of the delay grid), one aggregate."""
+    from pyspark.sql import Window as W
+    from .functions.dedup import _md5_hash32
+    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
+    # The fixture's event time is perfectly monotone in generation order
+    # (x_disorder_stats measures exactly 0 — the honest but vacuous
+    # curve), so model the thing watermarks exist for: network jitter.
+    # Arrival = ts + deterministic md5 jitter in [-1 h, +1 h) — sized
+    # against the fixture's ~15 min median inter-arrival so reordering
+    # actually occurs; events replay in arrival order, lateness =
+    # running-max(event time) - ts.
+    jitter = (_md5_hash32("arr", F.col("event_id").cast("string"))
+              % 7_200_000) - 3_600_000
+    e = e.withColumn("arrival_key", F.col("ts_ms") + jitter)
+    w = (W.partitionBy("event_type").orderBy("arrival_key", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    late = (e.withColumn(
+        "late_ms",
+        F.greatest(F.coalesce(F.max("ts_ms").over(w), F.col("ts_ms"))
+                   - F.col("ts_ms"), F.lit(0))))
+    grid = F.array(*[F.lit(d) for d in (0, 60_000, 600_000, 3_600_000)])
+    x = late.select("event_type", "late_ms",
+                    F.explode(grid).alias("delay_ms"))
+    return (x.groupBy("event_type",
+                      F.col("delay_ms").cast("bigint").alias("delay_ms"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum((F.col("late_ms") > F.col("delay_ms"))
+                       .cast("bigint")).alias("n_dropped"))
+            .withColumn("drop_rate",
+                        F.round(F.col("n_dropped") / F.col("n_events"), 6))
+            .select("event_type", "delay_ms",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    F.col("n_dropped").cast("bigint").alias("n_dropped"),
+                    "drop_rate"))
+
+
+QUERIES["x_watermark_sweep"] = x_watermark_sweep
+
+_ARR_J = (_H32.format(x="concat('arr', ':', CAST(event_id AS VARCHAR))")
+          + " % 7200000 - 3600000")
+ORACLES["x_watermark_sweep"] = f"""
+WITH e AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) + {_ARR_J} AS arrival_key
+  FROM events
+), x AS (
+  SELECT event_type,
+         greatest(coalesce(max(ts_ms) OVER (
+             PARTITION BY event_type ORDER BY arrival_key, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_ms)
+           - ts_ms, 0) AS late_ms
+  FROM e
+), g AS (
+  SELECT event_type, late_ms, unnest([0, 60000, 600000, 3600000]) AS delay_ms
+  FROM x
+)
+SELECT event_type, CAST(delay_ms AS BIGINT) AS delay_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       round(CAST(sum(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END)
+                  AS BIGINT) / count(*), 6) AS drop_rate
+FROM g GROUP BY 1, 2
+"""
+
+
+def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing landing zone: generation 1 files
+    carry (doc_id, lang), generation 2 added a ``source`` column;
+    ``mergeSchema`` unifies the footprints at read time and backfills the
+    missing column with NULLs — the additive-evolution contract
+    Delta/Iceberg formalize. Scale note: mergeSchema reconciles FOOTER
+    schemas (one metadata read per file), not data; pin the merged schema
+    explicitly once it stabilizes so the scan skips reconciliation."""
+    import os
+    d = _docs(spark, sf_dir)
+    base = _events_csv_dir(spark, sf_dir)
+    out = base + "_docs_evo"
+    if not os.path.exists(os.path.join(out, "gen2", "_SUCCESS")):
+        half = F.col("doc_id") % 2 == 0
+        (d.filter(half).select("doc_id", "lang")
+         .write.mode("overwrite").parquet(os.path.join(out, "gen1")))
+        (d.filter(~half).select("doc_id", "lang", "source")
+         .write.mode("overwrite").parquet(os.path.join(out, "gen2")))
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(out, "gen1"), os.path.join(out, "gen2")))
+
+
+QUERIES["x_schema_evolution"] = x_schema_evolution
+
+ORACLES["x_schema_evolution"] = """
+SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 <> 0
+"""
+
+
+def x_sliding_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``countWindow(size, slide)`` — the sliding COUNT window:
+    per user, every 5th event (slide) emits an aggregate over its last 10
+    events (size). ONE ordered window pass with a ROWS frame computes the
+    trailing aggregates for every row; the slide filter then keeps every
+    5th — no self-join, no per-window explode, same plan at any scale
+    (the frame is row-bounded, so state is O(size))."""
+    from pyspark.sql import Window as W
+    size, slide = 10, 5
+    e = _events(spark, sf_dir).select("user_id", "ts_ms", "event_id")
+    w_ord = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    w_frame = w_ord.rowsBetween(-(size - 1), 0)
+    rn = F.row_number().over(w_ord)
+    return (e.withColumn("rn", rn)
+            .withColumn("n_events",
+                        F.count(F.lit(1)).over(w_frame).cast("bigint"))
+            .withColumn("first_ts_ms",
+                        F.min("ts_ms").over(w_frame).cast("bigint"))
+            .withColumn("last_ts_ms",
+                        F.max("ts_ms").over(w_frame).cast("bigint"))
+            .filter(F.col("rn") % slide == 0)
+            .select("user_id", F.col("rn").cast("bigint").alias("end_rank"),
+                    "n_events", "first_ts_ms", "last_ts_ms"))
+
+
+QUERIES["x_sliding_count_windows"] = x_sliding_count_windows
+
+ORACLES["x_sliding_count_windows"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         row_number() OVER w AS rn,
+         count(*) OVER f AS n_events,
+         min(epoch_ms(ts)) OVER f AS first_ts_ms,
+         max(epoch_ms(ts)) OVER f AS last_ts_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id),
+         f AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, CAST(rn AS BIGINT) AS end_rank,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(first_ts_ms AS BIGINT) AS first_ts_ms,
+       CAST(last_ts_ms AS BIGINT) AS last_ts_ms
+FROM r WHERE rn % 5 = 0
+"""
+
+
+def x_backfill_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data backfill repair — the incremental answer to "events
+    arrived days late, fix the rollup": a deterministic 10% of events
+    (md5 draw) arrive late; the daily MV is first built from on-time
+    events only, then REPAIRED by merging the late batch's partials into
+    ONLY the (event_type, day) groups the late data touches — decomposable
+    cnt/sum/min/max, so repair cost is proportional to the late batch,
+    never a recompute. The oracle aggregates ALL events directly:
+    equality proves repair == full recompute."""
+    e = (_events(spark, sf_dir)
+         .withColumn("v_e4", F.round(F.col("value") * 10000).cast("bigint"))
+         .withColumn("day_ms", (F.floor(F.col("ts_ms") / 86_400_000)
+                                * 86_400_000).cast("bigint")))
+    from .functions.dedup import _md5_hash32
+    is_late = (_md5_hash32("late", F.col("event_id").cast("string"))
+               % 10) == 0
+
+    def daily(df: DataFrame) -> DataFrame:
+        return (df.groupBy("event_type", "day_ms")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                     F.sum("v_e4").cast("bigint").alias("sum_e4"),
+                     F.min("v_e4").cast("bigint").alias("min_e4"),
+                     F.max("v_e4").cast("bigint").alias("max_e4")))
+
+    mv = daily(e.filter(~is_late))
+    late_partial = daily(e.filter(is_late))
+    # Repair: restrict the MV to touched groups, merge, and union back the
+    # untouched remainder — at 100 TB "touched" is a partition-pruned read
+    # of the MV table, so the merge reads O(|late batch|) rows.
+    touched_keys = late_partial.select("event_type", "day_ms")
+    touched_mv = mv.join(touched_keys, ["event_type", "day_ms"], "left_semi")
+    untouched = mv.join(touched_keys, ["event_type", "day_ms"], "left_anti")
+    merged = (touched_mv.unionByName(late_partial)
+              .groupBy("event_type", "day_ms")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt"),
+                   F.sum("sum_e4").cast("bigint").alias("sum_e4"),
+                   F.min("min_e4").cast("bigint").alias("min_e4"),
+                   F.max("max_e4").cast("bigint").alias("max_e4")))
+    return untouched.unionByName(merged)
+
+
+QUERIES["x_backfill_repair"] = x_backfill_repair
+
+ORACLES["x_backfill_repair"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS day_ms,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4
+  FROM events
+)
+SELECT event_type, day_ms,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v_e4) AS BIGINT) AS sum_e4,
+       CAST(min(v_e4) AS BIGINT) AS min_e4,
+       CAST(max(v_e4) AS BIGINT) AS max_e4
+FROM e GROUP BY 1, 2
+"""
+
+
+def x_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning curve: from ONE low-threshold verified pair
+    table, how many near-dup pairs and affected docs survive each
+    candidate Jaccard threshold (0.1..0.9) — the sweep that picks the
+    keep/drop cut WITHOUT re-running LSH per candidate. Map-side grid
+    explode over the pair-scale table; exact-e6 integer comparison
+    against the rounded jaccard avoids float-boundary drift."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+    grid = F.array(*[F.lit(t) for t in range(1, 10)])
+    x = (pairs.select((F.round(F.col("jaccard") * 1_000_000).cast("bigint"))
+                      .alias("j_e6"), "id_a", "id_b")
+         .select("j_e6", "id_a", "id_b", F.explode(grid).alias("t10")))
+    kept = x.filter(F.col("j_e6") >= F.col("t10") * 100_000)
+    n_pairs = (kept.groupBy("t10")
+               .agg(F.count(F.lit(1)).alias("n_pairs")))
+    docs = (kept.select("t10", F.col("id_a").alias("d"))
+            .unionByName(kept.select("t10", F.col("id_b").alias("d")))
+            .groupBy("t10").agg(F.countDistinct("d").alias("n_docs")))
+    return (n_pairs.join(docs, "t10")
+            .select(F.round(F.col("t10") / 10.0, 1).alias("threshold"),
+                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.col("n_docs").cast("bigint").alias("n_docs")))
+
+
+QUERIES["x_jaccard_sweep"] = x_jaccard_sweep
+
+ORACLES["x_jaccard_sweep"] = f"""
+WITH jac AS ({_jaccard_oracle(threshold=0.1)}),
+g AS (
+  SELECT CAST(round(jaccard * 1000000) AS BIGINT) AS j_e6, id_a, id_b,
+         unnest(range(1, 10)) AS t10
+  FROM jac
+), kept AS (
+  SELECT * FROM g WHERE j_e6 >= t10 * 100000
+), np AS (
+  SELECT t10, CAST(count(*) AS BIGINT) AS n_pairs FROM kept GROUP BY 1
+), nd AS (
+  SELECT t10, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT t10, id_a AS d FROM kept
+        UNION ALL SELECT t10, id_b FROM kept)
+  GROUP BY 1
+)
+SELECT round(t10 / 10.0, 1) AS threshold, n_pairs, n_docs
+FROM np JOIN nd USING (t10)
+"""
+
+
+def x_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy check run
+    before releasing a dataset: every (nation, market segment) group's
+    size, flagged when under k=5 (a record in a small group is
+    re-identifiable). One hash aggregate over the QI columns; at 100 TB
+    the group table is |QI-combinations|-bounded."""
+    c = load_table(_prep(spark), sf_dir, "customer")
+    return (c.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"),
+                      F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
+            .withColumn("meets_k5", F.col("group_n") >= 5))
+
+
+QUERIES["x_k_anonymity"] = x_k_anonymity
+
+ORACLES["x_k_anonymity"] = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS group_n,
+       count(*) >= 5 AS meets_k5
+FROM customer GROUP BY 1, 2
+"""
+
+
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC EXTRACTION — the inverse of x_merge_apply: given two corpus
+    snapshots, emit the change log (insert / delete / update / unchanged
+    counts plus per-row ops for changed rows). Snapshots are derived
+    deterministically from documents: "before" drops every 7th doc and
+    keeps raw text; "after" has every doc with paragraph-deduped text —
+    so inserts, updates AND unchanged rows all occur. One full-outer join
+    on the key with md5 fingerprints comparing payloads map-side; at
+    100 TB both sides bucket by key and the join is the only shuffle.
+    Output: changed rows only (op, doc_id, fp_before, fp_after)."""
+    d = _docs(spark, sf_dir)
+    before = (d.filter(F.col("doc_id") % 7 != 0)
+              .select("doc_id", F.md5("text").alias("fp_before")))
+    after_txt = dedup.paragraph_dedup(d, chunk_tokens=8)
+    after = after_txt.select("doc_id", F.md5("text_dedup").alias("fp_after"))
+    j = before.join(after, "doc_id", "full_outer")
+    op = (F.when(F.col("fp_before").isNull(), F.lit("insert"))
+          .when(F.col("fp_after").isNull(), F.lit("delete"))
+          .when(F.col("fp_before") != F.col("fp_after"), F.lit("update"))
+          .otherwise(F.lit("unchanged")))
+    return (j.withColumn("op", op)
+            .filter(F.col("op") != "unchanged")
+            .select("op", "doc_id", "fp_before", "fp_after"))
+
+
+QUERIES["x_snapshot_diff"] = x_snapshot_diff
+
+ORACLES["x_snapshot_diff"] = f"""
+WITH before AS (
+  SELECT doc_id, md5(text) AS fp_before FROM documents WHERE doc_id % 7 <> 0
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id,
+         CAST((i - 1) // 8 AS BIGINT) AS idx, i,
+         w[i] AS tk
+  FROM t CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) ix
+  WHERE i <= len(w)
+), chunks AS (
+  SELECT doc_id, idx, string_agg(tk, ' ' ORDER BY i) AS chunk
+  FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM chunks
+), kept AS (
+  SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1
+), rebuilt AS (
+  SELECT d.doc_id,
+         coalesce(string_agg(k.chunk, ' ' ORDER BY k.idx), '') AS text_dedup
+  FROM documents d LEFT JOIN kept k USING (doc_id)
+  GROUP BY d.doc_id
+), after AS (
+  SELECT doc_id, md5(text_dedup) AS fp_after FROM rebuilt
+), j AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.fp_before, a.fp_after
+  FROM before b FULL OUTER JOIN after a ON b.doc_id = a.doc_id
+)
+SELECT CASE WHEN fp_before IS NULL THEN 'insert'
+            WHEN fp_after IS NULL THEN 'delete'
+            WHEN fp_before <> fp_after THEN 'update'
+            ELSE 'unchanged' END AS op,
+       doc_id, fp_before, fp_after
+FROM j
+WHERE (CASE WHEN fp_before IS NULL THEN 'insert'
+            WHEN fp_after IS NULL THEN 'delete'
+            WHEN fp_before <> fp_after THEN 'update'
+            ELSE 'unchanged' END) <> 'unchanged'
+"""
+
+
+def x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE loop closed: apply the top-5 trained merges (x_bpe_merges)
+    to the corpus and measure per-source compression — symbols per word
+    before vs after, the number that says whether the merge table is
+    earning its vocabulary slots. The merge table is the bounded trained
+    artifact (k rows to the driver, like IVF's centroids); application is
+    five sequential map-side string replaces over space-separated symbol
+    words (left-to-right non-overlapping in both engines), then one
+    aggregate."""
+    d = _docs(spark, sf_dir)
+    merges = [r["pair"] for r in
+              text.bpe_pair_counts(d, k=5).orderBy("rk").collect()]
+    from .functions.dedup import _norm
+    words = (d.select("source",
+                      F.explode(F.split(_norm("text"), " ")).alias("w"))
+             .filter(F.length("w") > 0))
+    # word -> ' c h a r s ' symbol string
+    sym = F.concat(F.lit(" "),
+                   F.array_join(F.split(F.col("w"), ""), " "), F.lit(" "))
+    for m in merges:
+        a, b = m.split(" ")
+        sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    n_sym = F.size(F.split(F.trim(sym), " ")).cast("bigint")
+    return (words.select("source", F.length("w").cast("bigint").alias("n0"),
+                         n_sym.alias("n1"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("n0").cast("bigint").alias("symbols_before"),
+                 F.sum("n1").cast("bigint").alias("symbols_after"))
+            .withColumn("compression",
+                        F.round(F.col("symbols_after")
+                                / F.col("symbols_before"), 6)))
+
+
+QUERIES["x_bpe_apply"] = x_bpe_apply
+
+
+def _bpe_apply_oracle() -> str:
+    top = f"""
+WITH toks0 AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM toks0 WHERE len(w) > 0 GROUP BY w
+), prs AS (
+  SELECT w[i:i] || ' ' || w[i+1:i+1] AS pair, freq
+  FROM wc CROSS JOIN (SELECT unnest(range(1, 1000)) AS i) idx
+  WHERE len(w) >= 2 AND i <= len(w) - 1
+), agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM prs GROUP BY pair
+), merges AS (
+  SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+  FROM agg ORDER BY cnt DESC, pair LIMIT 5
+)"""
+    # DuckDB cannot iterate merges data-dependently in pure SQL without
+    # recursion; inline the same 5 sequential replaces via a correlated
+    # scalar loop unrolled through 5 CTE stages.
+    stages = []
+    prev = "s0"
+    stages.append("""
+, words AS (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split({norm}, ' ')) AS w FROM documents
+  ) WHERE len(w) > 0
+), s0 AS (
+  SELECT source, w,
+         ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym
+  FROM words
+)""".format(norm=_NORM_SQL))
+    for i in range(1, 6):
+        stages.append(f"""
+, s{i} AS (
+  SELECT source, w,
+         replace(sym,
+                 ' ' || (SELECT pair FROM merges WHERE rk = {i}) || ' ',
+                 ' ' || replace((SELECT pair FROM merges WHERE rk = {i}),
+                                ' ', '') || ' ') AS sym
+  FROM s{i - 1}
+)""")
+        prev = f"s{i}"
+    return top + "".join(stages) + f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(w)) AS BIGINT) AS symbols_before,
+       CAST(sum(len(string_split(trim(sym), ' '))) AS BIGINT)
+         AS symbols_after,
+       round(CAST(sum(len(string_split(trim(sym), ' '))) AS BIGINT)
+             / CAST(sum(len(w)) AS BIGINT), 6) AS compression
+FROM {prev} GROUP BY source
+"""
+
+
+ORACLES["x_bpe_apply"] = _bpe_apply_oracle()
+
+
+def x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per source — the drift metric ML-ops
+    monitors compute between a candidate slice and the reference
+    population: bucket document lengths into fixed 200-char bins, compare
+    each source's bucket shares p against the corpus shares q, PSI =
+    Σ (p-q)·ln(p/q) with +1-count smoothing so empty buckets stay finite.
+    Shares come from exact counts; the ln/multiply tree is identical IEEE
+    both engines, rounded once. Plan: one (source, bucket) aggregate, the
+    corpus totals derived from it, one small join — drift at 100 TB costs
+    one aggregate pass."""
+    d = _docs(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("n_chars") / 200), F.lit(9)).cast("bigint")
+    sb = (d.groupBy("source", bucket.alias("bucket"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    # dense (source x bucket) grid so empty buckets participate smoothed
+    sources = sb.select("source").distinct()
+    buckets = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    grid = sources.crossJoin(buckets)
+    sbf = (grid.join(sb, ["source", "bucket"], "left")
+           .select("source", "bucket",
+                   F.coalesce("n", F.lit(0)).cast("bigint").alias("n")))
+    tot_src = sbf.groupBy("source").agg(F.sum("n").alias("n_src"))
+    corpus = sbf.groupBy("bucket").agg(F.sum("n").alias("n_corp"))
+    n_all = sbf.agg(F.sum("n").alias("n_all"))
+    j = (sbf.join(tot_src, "source").join(corpus, "bucket")
+         .crossJoin(F.broadcast(n_all)))
+    p = (F.col("n").cast("double") + 1.0) / (F.col("n_src").cast("double") + 10.0)
+    q = (F.col("n_corp").cast("double") + 1.0) / (F.col("n_all").cast("double") + 10.0)
+    term = (p - q) * F.log(p / q)
+    return (j.groupBy("source")
+            .agg(F.round(F.sum(term), 6).alias("psi"))
+            .withColumn("drifted", F.col("psi") > 0.2))
+
+
+QUERIES["x_psi_drift"] = x_psi_drift
+
+ORACLES["x_psi_drift"] = """
+WITH sb0 AS (
+  SELECT source, least(n_chars // 200, 9) AS bucket, count(*) AS n
+  FROM documents GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, b.bucket
+  FROM (SELECT DISTINCT source FROM sb0) s
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b
+), sbf AS (
+  SELECT g.source, g.bucket, CAST(coalesce(sb0.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN sb0 ON g.source = sb0.source AND g.bucket = sb0.bucket
+), ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM sbf GROUP BY 1),
+tc AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_corp FROM sbf GROUP BY 1),
+ta AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM sbf),
+j AS (
+  SELECT sbf.source,
+         (CAST(sbf.n AS DOUBLE) + 1.0) / (CAST(ts.n_src AS DOUBLE) + 10.0) AS p,
+         (CAST(tc.n_corp AS DOUBLE) + 1.0) / (CAST(ta.n_all AS DOUBLE) + 10.0) AS q
+  FROM sbf JOIN ts USING (source) JOIN tc USING (bucket) CROSS JOIN ta
+)
+SELECT source, round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((p - q) * ln(p / q)), 6) > 0.2 AS drifted
+FROM j GROUP BY source
+"""
+
+
+def x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between src0's and src1's
+    document-length distributions — PSI's exact-statistic sibling: D =
+    max |ECDF1 - ECDF2|, computed in EXACT integer arithmetic (the max of
+    |c1·n2 - c2·n1| over observed points, divided once at the end), so
+    the statistic hash-matches across engines. One sort-free plan: both
+    ECDFs come from ONE cumulative window over the merged value set
+    (distinct lengths — bounded by value cardinality, not rows)."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir).filter(F.col("source").isin("src0", "src1"))
+    counts = (d.groupBy("n_chars",
+                        (F.col("source") == "src0").alias("is_a"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    per_val = (counts.groupBy("n_chars")
+               .agg(F.sum(F.when(F.col("is_a"), F.col("c")).otherwise(0))
+                     .alias("c1"),
+                    F.sum(F.when(~F.col("is_a"), F.col("c")).otherwise(0))
+                     .alias("c2")))
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+    cum = (per_val
+           .withColumn("f1", F.sum("c1").over(w).cast("bigint"))
+           .withColumn("f2", F.sum("c2").over(w).cast("bigint")))
+    tot = cum.agg(F.max("f1").alias("n1"), F.max("f2").alias("n2"))
+    j = cum.crossJoin(F.broadcast(tot))
+    num = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    stat = (j.agg(F.max(num).alias("max_num"),
+                  F.max("n1").alias("n1"), F.max("n2").alias("n2")))
+    d_stat = F.round(F.col("max_num").cast("double")
+                     / (F.col("n1").cast("double")
+                        * F.col("n2").cast("double")), 6)
+    crit = F.round(
+        F.lit(1.358) * F.sqrt((F.col("n1") + F.col("n2")).cast("double")
+                              / (F.col("n1") * F.col("n2")).cast("double")),
+        6)
+    return (stat.select(F.col("n1").cast("bigint").alias("n1"),
+                        F.col("n2").cast("bigint").alias("n2"),
+                        d_stat.alias("ks_d"), crit.alias("crit_05"))
+            .withColumn("reject_same_dist", F.col("ks_d") > F.col("crit_05")))
+
+
+QUERIES["x_ks_test"] = x_ks_test
+
+ORACLES["x_ks_test"] = """
+WITH d AS (
+  SELECT n_chars, source FROM documents WHERE source IN ('src0', 'src1')
+), pv AS (
+  SELECT n_chars,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM d GROUP BY 1
+), cum AS (
+  SELECT n_chars,
+         CAST(sum(c1) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+  FROM pv
+), tot AS (SELECT max(f1) AS n1, max(f2) AS n2 FROM cum),
+s AS (
+  SELECT CAST(max(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT) AS max_num,
+         CAST(max(t.n1) AS BIGINT) AS n1, CAST(max(t.n2) AS BIGINT) AS n2
+  FROM cum CROSS JOIN tot t
+)
+SELECT n1, n2,
+       round(CAST(max_num AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d,
+       round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                          / CAST(n1 * n2 AS DOUBLE)), 6) AS crit_05,
+       round(CAST(max_num AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+         > round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                              / CAST(n1 * n2 AS DOUBLE)), 6)
+         AS reject_same_dist
+FROM s
+"""
+
+
+def x_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal with a REAL codec: deterministic 8x8 grayscale pixel
+    arrays (md5-derived per doc) encode to genuine PNG files (pure-stdlib
+    codec — signature, CRC-checked chunks, zlib scanlines) and decode
+    back through the Arrow-batched decode stage; the oracle recomputes
+    the pixel statistics directly from the generative definition, so
+    equality proves the encode→decode round trip through the actual file
+    format is the identity. PNG is the real path; other formats remain
+    documented stubs."""
+    from .functions.dedup import _md5_hash32
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (_md5_hash32(
+            "px", F.concat(F.col("media_id").cast("string"),
+                           F.lit(":"), i.cast("string"))) % 256)
+        .cast("int"))
+    pixels = d.withColumn("pixels", px)
+    media = multimodal.encode_png_images(pixels, width=8)
+    return multimodal.decode_png_stats(media)
+
+
+QUERIES["x_png_decode"] = x_png_decode
+
+_PX_H = _H32.format(
+    x="concat('px', ':', CAST(media_id AS VARCHAR), ':', CAST(i AS VARCHAR))")
+ORACLES["x_png_decode"] = f"""
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+px AS (
+  SELECT media_id, CAST({_PX_H} % 256 AS BIGINT) AS v
+  FROM ids CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+)
+SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max,
+       CAST(sum(v) AS BIGINT) AS px_sum
+FROM px GROUP BY media_id
+"""
+
+
+def x_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch shaping: docs bucket by length (powers of two —
+    the padding-efficiency binning sequence batchers use), then pack into
+    fixed-size batches of 32 within each bucket (md5-deterministic order);
+    per batch: doc count and total tokens — the table a data loader reads
+    to schedule work. One bucket-keyed rank + one aggregate; bucket keys
+    spread the sort."""
+    from pyspark.sql import Window as W
+    from .functions.dedup import _md5_hash32
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(text.tokens("text")).cast("bigint").alias("n_tokens"))
+    bucket = F.pow(F.lit(2.0),
+                   F.ceil(F.log2(F.greatest(F.col("n_tokens"),
+                                            F.lit(1))))).cast("bigint")
+    w = W.partitionBy("bucket").orderBy(
+        _md5_hash32("batch", F.col("doc_id").cast("string")), "doc_id")
+    return (d.withColumn("bucket", bucket)
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn("batch_idx", ((F.col("rk") - 1) / 32)
+                        .cast("bigint"))
+            .groupBy("bucket", "batch_idx")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.max("n_tokens").cast("bigint").alias("max_tokens")))
+
+
+QUERIES["x_length_batching"] = x_length_batching
+
+_BH = _H32.format(x="concat('batch', ':', CAST(doc_id AS VARCHAR))")
+ORACLES["x_length_batching"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), b AS (
+  SELECT doc_id, n_tokens,
+         CAST(pow(2.0, ceil(log2(greatest(n_tokens, 1)))) AS BIGINT)
+           AS bucket,
+         {_BH} AS h
+  FROM d
+), r AS (
+  SELECT bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+  FROM b
+)
+SELECT bucket, CAST((rk - 1) // 32 AS BIGINT) AS batch_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM r GROUP BY 1, 2
+"""
+
+
+def x_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy mechanism demo: per-event-type counts with
+    Laplace(sensitivity/epsilon = 1/1) noise from the inverse CDF of a
+    DETERMINISTIC md5 uniform draw — testable (the oracle replays the
+    same draw) where true DP requires fresh randomness; the mechanism,
+    sensitivity reasoning, and post-processing shape are exactly what a
+    production release pipeline runs. Counts are 1-sensitive (one event
+    changes one count by 1); noise is added to the exact aggregate —
+    one hash aggregate, noise map-side on |types| rows."""
+    e = _events(spark, sf_dir)
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("n_true"))
+    from .functions.dedup import _md5_hash32
+    u = (_md5_hash32("dp", F.col("event_type"))
+         + F.lit(0.5)) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    noise = (-F.signum(centered)
+             * F.log(1.0 - 2.0 * F.abs(centered)))
+    return (c.withColumn("noisy_n",
+                         F.round(F.col("n_true") + noise, 6))
+            .select("event_type", "n_true", "noisy_n"))
+
+
+QUERIES["x_dp_counts"] = x_dp_counts
+
+_DPH = _H32.format(x="concat('dp', ':', event_type)")
+ORACLES["x_dp_counts"] = f"""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+  FROM events GROUP BY 1
+), u AS (
+  SELECT event_type, n_true,
+         ({_DPH} + 0.5) / 4294967296.0 - 0.5 AS centered
+  FROM c
+)
+SELECT event_type, n_true,
+       round(n_true + (-sign(centered) * ln(1.0 - 2.0 * abs(centered))), 6)
+         AS noisy_n
+FROM u
+"""
+
+
+def x_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling ON THE STREAM: the md5 hash-draw filter
+    (functions.sketches.hash_sample) applied to the events replay — pure
+    map-side, so it runs identically in batch and streaming (the
+    batch/stream unification the DataFrame API promises); the kept set is
+    a pure function of the key, so replays, retries, and the batch oracle
+    all pick the same rows."""
+    from .functions.sketches import hash_sample
+    ev = _stream_events(spark, sf_dir)
+    out = hash_sample(ev.select("event_id", "user_id", "ts_ms"),
+                      "event_id", rate=0.2, prefix="evsample")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_sample_stream"] = x_sample_stream
+STREAMING_DEMOS.add("x_sample_stream")
+
+_ES_DRAW = (_H32.format(x="concat('evsample', ':', CAST(event_id AS VARCHAR))")
+            + " / 4294967296.0")
+ORACLES["x_sample_stream"] = f"""
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+FROM events WHERE {_ES_DRAW} < 0.2
+"""
+
+
+def x_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars maintained ON THE STREAM — x_ohlc_bars' one-aggregate
+    shape in update mode: per (event_type, hour), min_by/max_by on the
+    composite tick key revise open/close as ticks arrive; state is one
+    row per bar. The replay carries no value column, so the tick metric
+    is event_id (exact BIGINT, the j4 replay contract); the oracle is
+    the batch aggregate over the same columns."""
+    ev = _stream_events(spark, sf_dir)
+    e = ev.withColumn("tick", (F.col("ts_ms") * 1_000_000
+                               + F.col("event_id")).cast("bigint"))
+    hour = (F.floor(F.col("ts_ms") / 3_600_000) * 3_600_000).cast("bigint")
+    out = (e.groupBy("event_type", hour.alias("hour_ms"))
+           .agg(F.min_by("event_id", "tick").cast("bigint").alias("open_id"),
+                F.max("event_id").cast("bigint").alias("high_id"),
+                F.min("event_id").cast("bigint").alias("low_id"),
+                F.max_by("event_id", "tick").cast("bigint").alias("close_id"),
+                F.count(F.lit(1)).cast("bigint").alias("n_ticks")))
+    return _run_to_memory(out, spark, output_mode="complete")
+
+
+QUERIES["x_ohlc_stream"] = x_ohlc_stream
+STREAMING_DEMOS.add("x_ohlc_stream")
+
+ORACLES["x_ohlc_stream"] = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(epoch_ms(ts) * 1000000 + event_id AS BIGINT) AS tick
+  FROM events
+)
+SELECT event_type,
+       CAST((ts_ms // 3600000) * 3600000 AS BIGINT) AS hour_ms,
+       CAST(min_by(event_id, tick) AS BIGINT) AS open_id,
+       CAST(max(event_id) AS BIGINT) AS high_id,
+       CAST(min(event_id) AS BIGINT) AS low_id,
+       CAST(max_by(event_id, tick) AS BIGINT) AS close_id,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM e GROUP BY 1, 2
+"""
+
+
+def x_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel completion (view -> click -> purchase), greedy
+    first-touch, through a 2-long-per-key applyInPandasWithState machine:
+    each user's row emits the moment their purchase lands strictly after
+    their first qualifying click after their first view. Oracle = the
+    nested strictly-after-min chain in SQL — batch and stream
+    formulations of the same funnel must agree."""
+    from .streaming.stateful import funnel_stream
+    ev = _stream_events(spark, sf_dir)
+    out = funnel_stream(ev, ["view", "click", "purchase"], key="user_id",
+                        ts_ms="ts_ms", type_col="event_type",
+                        id_col="event_id")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_funnel_stream"] = x_funnel_stream
+STREAMING_DEMOS.add("x_funnel_stream")
+
+ORACLES["x_funnel_stream"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), s1 AS (
+  SELECT user_id, CAST(min(ts_ms) AS BIGINT) AS t1_ms
+  FROM e WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, CAST(min(ts_ms) AS BIGINT) AS t2_ms
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts_ms > t1_ms GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, CAST(min(ts_ms) AS BIGINT) AS t3_ms
+  FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts_ms > t2_ms GROUP BY 1
+)
+SELECT user_id, t1_ms, t2_ms, t3_ms
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+"""
+
+
+def x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the verified near-dup graph via degree-ordered
+    wedge counting — each triangle counted once at its lowest-ordered
+    vertex, wedge fan-out bounded by oriented out-degree (no hub
+    blowup). One row: n_triangles. Reads the persisted edge parquet
+    (``_edges_parquet_dir``) — see x_pagerank."""
+    from .functions import graph
+    return graph.triangle_count(_edges(spark, sf_dir))
+
+
+QUERIES["x_triangles"] = x_triangles
+
+ORACLES["x_triangles"] = f"""
+WITH cand AS ({_minhash_lsh_oracle()}),
+jac AS ({_jaccard_oracle(threshold=0.5)}),
+edges AS (
+  SELECT jac.id_a AS a, jac.id_b AS b FROM jac
+  JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.b = e2.a
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def x_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup policy: a document survives only if BOTH the
+    text near-dup pass (MinHash-LSH → Jaccard → CC keep-one) and the
+    embedding SemDeDup pass keep its id — the union-of-drop-lists
+    composition real pipelines run, since lexical and semantic dedup
+    catch different duplicates. Both keep-lists are ids-only; the
+    composition is two anti-join-shaped intersections, corpus never
+    rescanned. Output: (doc_id, kept_text, kept_embedding, kept)."""
+    text_keep = dedup.neardup_keep(_docs(spark, sf_dir)).select(
+        F.col("doc_id"), F.lit(True).alias("kept_text"))
+    emb_keep = similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3,
+                                        num_planes=8).select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("kept_embedding"))
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return (ids.join(text_keep, "doc_id", "left")
+            .join(emb_keep, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("kept_text", F.lit(False)).alias("kept_text"),
+                    F.coalesce("kept_embedding", F.lit(False))
+                     .alias("kept_embedding"))
+            .withColumn("kept", F.col("kept_text") & F.col("kept_embedding")))
+
+
+QUERIES["x_joint_dedup"] = x_joint_dedup
+
+ORACLES["x_joint_dedup"] = f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
+), ek AS MATERIALIZED (
+  SELECT vec_id AS doc_id FROM ({ORACLES["x_semdedup_keep"]})
+)
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM tk) AS kept_text,
+       d.doc_id IN (SELECT doc_id FROM ek) AS kept_embedding,
+       (d.doc_id IN (SELECT doc_id FROM tk)
+        AND d.doc_id IN (SELECT doc_id FROM ek)) AS kept
+FROM documents d
+"""
+
+
+def _events_csv_dir_arrival2(spark: SparkSession, sf_dir: str) -> str:
+    """Events replay split into exactly TWO files by simulated arrival
+    order (ts + the x_watermark_sweep jitter): file a = first half, file b
+    = second half, mtimes pinned so the file source forms batch 0 from a
+    and batch 1 from b under maxFilesPerTrigger=1 — the deterministic
+    two-batch replay that makes late-data capture oracle-checkable."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:arr2"
+                      .encode()).hexdigest()[:12]
+    out = os.path.join(_tempfile.gettempdir(), f"frde_events_arr2_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import duckdb
+        rows = duckdb.sql(f"""
+            SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+            FROM '{src}'
+            ORDER BY epoch_ms(ts)
+                     + (CAST(concat('0x', substring(md5(concat('arr', ':',
+                        CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                        % 7200000 - 3600000),
+                     event_id
+        """).fetchall()
+        os.makedirs(out, exist_ok=True)
+        half = (len(rows) + 1) // 2
+        for name, chunk, mt in [("a.csv", rows[:half], 1_700_000_000),
+                                ("b.csv", rows[half:], 1_700_000_001)]:
+            p = os.path.join(out, name)
+            with open(p, "w") as fh:
+                for r in chunk:
+                    fh.write(",".join("" if v is None else str(v)
+                                      for v in r) + "\n")
+            os.utime(p, (mt, mt))
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def x_late_capture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 oracle-checked END TO END: the jittered-arrival replay runs in
+    two deterministic micro-batches through LateDataCapture (bounded
+    out-of-orderness 60 s, full late set spilled to the parquet
+    dead-letter sink); the returned DataFrame is the dead-letter read.
+    Batch 1 establishes the watermark (max event time − 60 s); batch 2's
+    rows at or behind it are the late set — exactly what the oracle
+    computes from the same split. This promotes the reference's
+    sideOutputLateData (EventTimeOperations.java:148-176) from
+    pytest-only evidence to a driver-hash-checked row."""
+    from .streaming.watermark import LateDataCapture
+    from .sources import file_csv_stream
+    path = _events_csv_dir_arrival2(spark, sf_dir)
+    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False,
+                          max_files_per_trigger=1)
+          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    spill = _tempfile.mkdtemp(prefix="frde_late_spill_") + "/late"
+    ckpt = _tempfile.mkdtemp(prefix="frde_late_ckpt_")
+    cap = LateDataCapture("ts", delay_ms=60_000, spill_path=spill)
+    q = (ev.writeStream.foreachBatch(cap)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("late-capture replay did not finish")
+    if cap.late_count == 0:
+        return spark.createDataFrame(
+            [], "event_id long, user_id long, ts_ms long")
+    return (spark.read.parquet(spill)
+            .select("event_id", "user_id", "ts_ms"))
+
+
+QUERIES["x_late_capture_stream"] = x_late_capture_stream
+STREAMING_DEMOS.add("x_late_capture_stream")
+
+ORACLES["x_late_capture_stream"] = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) + {_ARR_J} AS arrival_key
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY arrival_key, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM e
+), wm AS (
+  SELECT max(ts_ms) - 60000 AS w FROM r WHERE rn <= (n + 1) // 2
+)
+SELECT event_id, user_id, ts_ms
+FROM r CROSS JOIN wm
+WHERE rn > (n + 1) // 2 AND ts_ms <= w
+"""
+
+
+def x_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation: the add-one unigram model fits on the
+    deterministic hash-split TRAIN docs only and scores the VAL docs —
+    generalization, not memorization (OOV tokens take the smoothing
+    floor and are counted). The composition every eval pipeline runs:
+    leakage-free split -> fit on train -> score held-out."""
+    from .functions.sketches import train_val_test_split
+    d = train_val_test_split(_docs(spark, sf_dir), "doc_id")
+    train = d.filter(F.col("split") == "train")
+    val = d.filter(F.col("split") == "val")
+    return text.heldout_logprob(train, val)
+
+
+QUERIES["x_heldout_ppl"] = x_heldout_ppl
+
+_SPLIT_DRAW = (_H32.format(x="concat('split', ':', CAST(doc_id AS VARCHAR))")
+               + " / 4294967296.0")
+ORACLES["x_heldout_ppl"] = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SPLIT_DRAW} < 0.8 THEN 'train'
+              WHEN {_SPLIT_DRAW} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), train_tok AS (
+  SELECT unnest({_QF_TOKS}) AS tok FROM tagged WHERE split = 'train'
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM train_tok GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_corpus,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM uni
+), ev AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_QF_TOKS}) AS tok
+        FROM tagged WHERE split = 'val') t
+  GROUP BY 1, 2
+), j AS (
+  SELECT ev.doc_id, ev.tf, coalesce(uni.c, 0) AS c, tot.n_corpus, tot.vocab
+  FROM ev LEFT JOIN uni USING (tok) CROSS JOIN tot
+), scored AS (
+  SELECT doc_id,
+         CAST(sum(CAST(round(tf * ln((c + 1.0) / (n_corpus + vocab))
+                             * 1000000) AS BIGINT)) AS BIGINT) AS logprob_e6,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c = 0 THEN tf ELSE 0 END) AS BIGINT)
+           AS oov_tokens
+  FROM j GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.oov_tokens, 0) AS oov_tokens,
+       coalesce(s.logprob_e6, 0) AS logprob_e6,
+       coalesce(round(s.logprob_e6 / s.n_tokens / 1000000.0, 6), 0.0)
+         AS mean_logprob
+FROM tagged t LEFT JOIN scored s USING (doc_id)
+WHERE t.split = 'val'
+"""
+
+
+def x_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+P6 on the STREAM as one driver row: the side-output split
+    (purchases = 'main' lane keeping the full record shape, everything
+    else = 'side' lane as (user, 1)) and the CoMap-style re-merge into a
+    tagged common schema — one source scan, two filters, schema-normalized
+    union, exactly the declarative form of StreamSplitAndCombine.java's
+    ProcessFunction + OutputTag + connect/CoMap, running through the real
+    file-monitor replay."""
+    ev = _stream_events(spark, sf_dir)
+    main = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.lit("main").alias("lane"), "event_id", "user_id",
+                    "ts_ms"))
+    side = (ev.filter(F.col("event_type") != "purchase")
+            .select(F.lit("side").alias("lane"),
+                    F.lit(None).cast("bigint").alias("event_id"),
+                    "user_id", "ts_ms"))
+    return _run_to_memory(main.unionByName(side), spark)
+
+
+QUERIES["x_split_stream"] = x_split_stream
+STREAMING_DEMOS.add("x_split_stream")
+
+ORACLES["x_split_stream"] = """
+SELECT 'main' AS lane, event_id, user_id, epoch_ms(ts) AS ts_ms
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'side', NULL, user_id, epoch_ms(ts)
+FROM events WHERE event_type <> 'purchase'
+"""
+
+
+def x_union_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-SOURCE streaming union — the two-topics/two-landing-zones
+    pattern: two independent file-monitor sources (each watching one half
+    of the arrival-ordered replay via pathGlobFilter) union into a single
+    streaming query; the union of streams is itself a stream, and the
+    result equals the batch union of both halves. Each source keeps its
+    own discovery/offset log in the shared checkpoint."""
+    path = _events_csv_dir_arrival2(spark, sf_dir)
+
+    def half(glob: str) -> DataFrame:
+        from .operators.projections import schema_ddl
+        lines = (spark.readStream.format("text")
+                 .option("pathGlobFilter", glob).load(path))
+        return lines.select(F.from_csv(
+            "value", schema_ddl(_EVENTS_CSV_SCHEMA)).alias("r")).select("r.*")
+
+    a = half("a.csv").withColumn("src", F.lit("a"))
+    b = half("b.csv").withColumn("src", F.lit("b"))
+    out = a.unionByName(b).select("src", "event_id", "user_id", "ts_ms")
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_union_stream"] = x_union_stream
+STREAMING_DEMOS.add("x_union_stream")
+
+ORACLES["x_union_stream"] = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) + {_ARR_J} AS arrival_key
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY arrival_key, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM e
+)
+SELECT CASE WHEN rn <= (n + 1) // 2 THEN 'a' ELSE 'b' END AS src,
+       event_id, user_id, ts_ms
+FROM r
+"""
+
+
+def x_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining — the clickstream product question "which
+    event sequences do sessions actually follow": each (user, 1 h-gap)
+    session becomes its '>' -joined event-type path (deterministic
+    (ts, id) order via array_sort over structs — no ordered collect_list
+    races), then the top-10 paths by frequency. One session labeling
+    window + one path aggregate + TakeOrdered; path cardinality is
+    bounded by distinct behaviors, not sessions."""
+    labeled = windows.sessionize(
+        _events(spark, sf_dir).select("user_id", "event_type", "ts_ms",
+                                      "event_id"),
+        ["user_id"], "ts_ms", 3_600_000, order_by=["event_id"])
+    paths = (labeled.groupBy("user_id", "session_start_ms")
+             .agg(F.concat_ws(">", F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("ts_ms", "event_id", "event_type"))),
+                 lambda x: x["event_type"])).alias("path")))
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint")
+                                       .alias("n_sessions"))
+    return (counts.orderBy(F.col("n_sessions").desc(), F.col("path"))
+            .limit(10))
+
+
+QUERIES["x_path_mining"] = x_path_mining

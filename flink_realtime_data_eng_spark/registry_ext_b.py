@@ -1,0 +1,2578 @@
+"""Extended queries, rounds 6-7 (registration-order chunk B).
+
+Split out of the original registry.py (r9); statement text is
+verbatim so per-query content hashes are unchanged.
+"""
+
+from __future__ import annotations
+
+from .registry_core import (  # noqa: F401
+    DataFrame,
+    F,
+    ORACLES,
+    QUERIES,
+    STREAMING_DEMOS,
+    SparkSession,
+    _EV,
+    _H32,
+    _NORM_SQL,
+    _docs,
+    _emb,
+    _events,
+    _prep,
+    contamination,
+    dedup,
+    funnel,
+    load_table,
+    packing,
+    similarity,
+    sketches,
+    stats,
+    text,
+)
+from .registry_ops import (  # noqa: F401
+    _EVENTS_CSV_SCHEMA,
+    _code_tag,
+    _events_csv_dir,
+    _events_csv_dir_flush,
+    _run_to_memory,
+    _stream_events,
+    _tempfile,
+)
+from .registry_llm import (  # noqa: F401
+    _edges,
+    x_corpus_filter,
+)
+from .registry_catalog import (  # noqa: F401
+    _COSINE_Q,
+    _QF_TOKS,
+    _SPLIT_H,
+    _brute_force_oracle,
+    _cosine_sql,
+    _jaccard_oracle,
+    _lsh_bucket_sql,
+    _minhash_lsh_oracle,
+)
+from .registry_ext_a import (  # noqa: F401
+    _ARR_J,
+)
+
+
+ORACLES["x_path_mining"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
+), lagd AS (
+  SELECT *, lag(ts_ms) OVER w AS prev_ts
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), isl AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 3600000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM lagd
+), paths AS (
+  SELECT user_id, island,
+         string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+  FROM isl GROUP BY 1, 2
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path
+)
+SELECT path, n_sessions FROM counts
+ORDER BY n_sessions DESC, path LIMIT 10
+"""
+
+
+def x_dynsession_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions drained by EVENT-TIME TIMEOUT (the
+    GroupStateTimeout API, unused by every other machine): open sessions
+    register their deadline with the engine and fire when the watermark
+    passes it — the single global flush row advances the watermark, no
+    per-key sentinels (the production shape; compare x_dynsession_stream
+    which flushes per key). Same oracle as the batch gaps-and-islands
+    form: the two draining strategies must agree exactly."""
+    from .sources import file_csv_stream
+    from .streaming.stateful import dynamic_sessions_timeout_stream
+    path = _events_csv_dir_flush(spark, sf_dir)  # ONE global sentinel
+    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+          .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+          .withWatermark("ts", "0 seconds"))
+    gap = (F.when(F.col("event_type") == "click", F.lit(1_800_000))
+            .otherwise(F.lit(600_000)))
+    src = ev.select("user_id", "ts", "ts_ms", "event_id", gap.alias("gap"))
+    out = dynamic_sessions_timeout_stream(src, key="user_id", ts_col="ts",
+                                          ts_ms="ts_ms", gap_col="gap",
+                                          id_col="event_id")
+    res = _run_to_memory(out, spark)
+    return res.filter(F.col("user_id") >= 0)
+
+
+QUERIES["x_dynsession_timeout"] = x_dynsession_timeout
+STREAMING_DEMOS.add("x_dynsession_timeout")
+ORACLES["x_dynsession_timeout"] = ORACLES["x_dynamic_sessions"]
+
+
+def _policy_tables_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Dedup keep/drop-lists persisted ONCE per (corpus, params) — the
+    production layout (same pattern as ``_clusters_parquet_dir``): the
+    nightly dedup jobs write ids-only keep/drop tables; every policy
+    composition afterwards is a parquet scan + anti-join, never a
+    recompute of LSH/verify/CC. Tables written:
+
+    - ``text_keep``        (doc_id)  — lexical near-dup survivors
+    - ``emb_keep``         (doc_id)  — SemDeDup survivors
+    - ``containment_drop`` (doc_id)  — keep-first policy: in every
+      containment pair >= 0.5 the larger id drops (the contained copy of
+      an earlier doc)
+    - ``paragraph_drop``   (doc_id)  — docs where over half the 8-token
+      chunks already appeared earlier in the corpus (sub-document
+      duplication, the Dolma-style boilerplate rule); the comparison is
+      integer (2*n_kept < n_chunks), hash-stable cross-engine
+    """
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, "documents.parquet")
+    esrc = os.path.join(sf_dir, "embeddings.parquet")
+    st, se = os.stat(src), os.stat(esrc)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{se.st_size}:{se.st_mtime_ns}"
+        f":{os.getuid()}:policy_v1:{_code_tag(dedup.neardup_keep, similarity.semdedup_keep, dedup.containment_pairs, dedup.paragraph_dedup)}"
+        .encode()).hexdigest()[:12]
+    out = os.path.join(_tempfile.gettempdir(), f"frde_policy_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = _docs(spark, sf_dir)
+        dedup.neardup_keep(docs).select("doc_id") \
+            .write.mode("overwrite").parquet(os.path.join(out, "text_keep"))
+        similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3,
+                                 num_planes=8) \
+            .select(F.col("vec_id").alias("doc_id")) \
+            .write.mode("overwrite").parquet(os.path.join(out, "emb_keep"))
+        dedup.containment_pairs(docs, n=3, threshold=0.5) \
+            .select(F.col("id_b").alias("doc_id")).distinct() \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(out, "containment_drop"))
+        (docs.select("doc_id", F.expr(
+                "CAST((size(split(text, ' ')) + 7) DIV 8 AS BIGINT)")
+                .alias("n_chunks"))
+             .join(dedup.paragraph_dedup(docs, chunk_tokens=8)
+                   .select("doc_id", "n_kept"), "doc_id")
+             .filter(F.col("n_kept") * 2 < F.col("n_chunks"))
+             .select("doc_id")
+             .write.mode("overwrite")
+             .parquet(os.path.join(out, "paragraph_drop")))
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def x_joint_dedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_joint_dedup's answer from PERSISTED keep-lists: identical output
+    row-for-row, but both keep-lists come from parquet scans of the
+    once-written policy tables instead of re-running LSH+verify+CC and
+    SemDeDup inline per refresh — the x_dedup_report pattern applied to
+    the composition (the recompute form stays registered as x_joint_dedup
+    for cold-run parity). Ids-only joins; strategy left to AQE."""
+    import os
+    base = _policy_tables_dir(spark, sf_dir)
+    text_keep = (spark.read.parquet(os.path.join(base, "text_keep"))
+                 .withColumn("kept_text", F.lit(True)))
+    emb_keep = (spark.read.parquet(os.path.join(base, "emb_keep"))
+                .withColumn("kept_embedding", F.lit(True)))
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return (ids.join(text_keep, "doc_id", "left")
+            .join(emb_keep, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("kept_text", F.lit(False)).alias("kept_text"),
+                    F.coalesce("kept_embedding", F.lit(False))
+                     .alias("kept_embedding"))
+            .withColumn("kept", F.col("kept_text") & F.col("kept_embedding")))
+
+
+QUERIES["x_joint_dedup_persisted"] = x_joint_dedup_persisted
+ORACLES["x_joint_dedup_persisted"] = ORACLES["x_joint_dedup"]
+
+
+def x_full_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Dolma/FineWeb-style document-retention policy, composed
+    ids-only over the persisted policy tables: a doc survives only if it
+    (1) anchors/escapes lexical near-dup removal, (2) survives SemDeDup,
+    (3) is not the contained copy in any containment pair >= 0.5, and
+    (4) is not majority-duplicated at the 8-token-chunk level. Four
+    boolean lineage columns + the final verdict, so downstream sampling
+    can re-weight by drop reason. Corpus is scanned once (ids only);
+    every signal is a parquet-scan + hash-join of a duplicate-scale
+    table — the composition itself adds no LSH/CC work at any SF."""
+    import os
+    base = _policy_tables_dir(spark, sf_dir)
+
+    def _flag(sub: str, col: str) -> DataFrame:
+        return (spark.read.parquet(os.path.join(base, sub))
+                .withColumn(col, F.lit(True)))
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return (ids.join(_flag("text_keep", "kt"), "doc_id", "left")
+            .join(_flag("emb_keep", "ke"), "doc_id", "left")
+            .join(_flag("containment_drop", "dc"), "doc_id", "left")
+            .join(_flag("paragraph_drop", "dp"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("kt", F.lit(False)).alias("kept_text"),
+                F.coalesce("ke", F.lit(False)).alias("kept_embedding"),
+                (~F.coalesce("dc", F.lit(False))).alias("kept_containment"),
+                (~F.coalesce("dp", F.lit(False))).alias("kept_paragraph"))
+            .withColumn("kept",
+                        F.col("kept_text") & F.col("kept_embedding")
+                        & F.col("kept_containment")
+                        & F.col("kept_paragraph")))
+
+
+QUERIES["x_full_dedup_policy"] = x_full_dedup_policy
+
+ORACLES["x_full_dedup_policy"] = f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
+), ek AS MATERIALIZED (
+  SELECT vec_id AS doc_id FROM ({ORACLES["x_semdedup_keep"]})
+), cd AS MATERIALIZED (
+  SELECT DISTINCT id_b AS doc_id FROM ({ORACLES["x_containment_pairs"]})
+), pd AS MATERIALIZED (
+  SELECT p.doc_id
+  FROM ({ORACLES["x_paragraph_dedup"]}) p
+  JOIN (SELECT doc_id,
+               (len(string_split(text, ' ')) + 7) // 8 AS n_chunks
+        FROM documents) c ON p.doc_id = c.doc_id
+  WHERE p.n_kept * 2 < c.n_chunks
+)
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM tk) AS kept_text,
+       d.doc_id IN (SELECT doc_id FROM ek) AS kept_embedding,
+       d.doc_id NOT IN (SELECT doc_id FROM cd) AS kept_containment,
+       d.doc_id NOT IN (SELECT doc_id FROM pd) AS kept_paragraph,
+       (d.doc_id IN (SELECT doc_id FROM tk)
+        AND d.doc_id IN (SELECT doc_id FROM ek)
+        AND d.doc_id NOT IN (SELECT doc_id FROM cd)
+        AND d.doc_id NOT IN (SELECT doc_id FROM pd)) AS kept
+FROM documents d
+"""
+
+
+def x_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct users per event type: unlike
+    x_hll_distinct (Spark-private HLL++ registers, rows-only), this
+    sketch is md5-derived so registers AND estimate reproduce bit-for-bit
+    in DuckDB — the hash-checked form of the mergeable-sketch path a
+    100 TB pipeline uses to persist per-partition sketches for later
+    cross-engine folding. Register table is bounded by m=1024 rows per
+    group no matter the input size."""
+    return sketches.hll_portable(_events(spark, sf_dir),
+                                 "event_type", "user_id", p=10)
+
+
+QUERIES["x_hll_portable"] = x_hll_portable
+
+# Constants mirrored exactly from sketches.hll_portable(p=10): m=1024,
+# wbits=22, shift=23; the scaled-alpha numerator is embedded via repr()
+# so both engines parse the identical binary64.
+_HLL_M = 1024
+_HLL_SHIFT = 23
+_HLL_NUM = repr(0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+                * (1 << _HLL_SHIFT))
+
+ORACLES["x_hll_portable"] = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substring(md5(concat('hll', ':',
+              CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), b AS (
+  SELECT event_type, h // 4194304 AS bucket, h % 4194304 AS w FROM h
+), r AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN w = 0 THEN 23
+                  ELSE 23 - length(bin(w)) END) AS reg
+  FROM b GROUP BY 1, 2
+), g AS (
+  SELECT event_type, COUNT(*) AS v_nonzero,
+         SUM(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - reg)) AS z_scaled
+  FROM r GROUP BY 1
+), e AS (
+  SELECT event_type, v_nonzero,
+         {_HLL_NUM} / (z_scaled + ({_HLL_M} - v_nonzero)
+                       * CAST(1 AS BIGINT) * {1 << _HLL_SHIFT}) AS raw,
+         {_HLL_M} - v_nonzero AS zeros
+  FROM g
+)
+SELECT event_type, v_nonzero,
+       ROUND(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                  THEN {float(_HLL_M)} * ln({float(_HLL_M)}
+                                            / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS hll_est
+FROM e
+ORDER BY event_type
+"""
+
+
+def _bucketed_tpch_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write-once bucketed copies of orders/lineitem (8 buckets on the
+    orderkey), fingerprint-cached like the partitioned/z-order layouts:
+    first call per dataset pays the bucketing shuffle and persists the
+    files; later SESSIONS re-attach the existing location to their
+    in-memory catalog (register_bucketed) instead of rewriting."""
+    import hashlib
+    import os
+    from .operators.bucketing import register_bucketed, write_bucketed
+    so = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    sl = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}:{so.st_size}:{so.st_mtime_ns}:{sl.st_size}"
+        f":{sl.st_mtime_ns}:{os.getuid()}:bkt_v2".encode()).hexdigest()[:12]
+    base = os.path.join(_tempfile.gettempdir(), f"frde_bkt_{tag}")
+    specs = [
+        ("orders",
+         load_table(_prep(spark), sf_dir, "orders")
+         .select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+        ("lineitem",
+         load_table(_prep(spark), sf_dir, "lineitem")
+         .select("l_orderkey", "l_extendedprice", "l_discount"),
+         "l_orderkey"),
+    ]
+    names = []
+    for name, df, key in specs:
+        tbl = f"frde_bkt_{name}_{tag}"
+        loc = os.path.join(base, name)
+        if not spark.catalog.tableExists(tbl):
+            if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                                for f in df.schema.fields)
+                register_bucketed(spark, tbl, loc, ddl, 8, key)
+            else:
+                write_bucketed(df, tbl, 8, key, path=loc)
+        names.append(tbl)
+    return names[0], names[1]
+
+
+def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over PERSISTED bucketed tables — the
+    pay-the-shuffle-once layout for 100 TB joins, under the oracle gate:
+    orders and lineitem are bucketed (and bucket-sorted) on the orderkey,
+    so this SortMergeJoin plans with ZERO Exchange on either scan (plan
+    pytest-asserted); the only shuffle left is the final tiny per-priority
+    aggregate. The hash match against a plain-join oracle proves the
+    bucketed round trip is lossless — same story as x_partitioned_prune
+    and x_zorder_prune for the hash-layout dimension. Revenue folds as
+    per-row e4 BIGINT built from two independently-exact integer factors
+    (price is 2-decimal source data, discount is 2-decimal source data),
+    so NO cross-engine rounding tie can ever arise: the r6 driver red was
+    traced to the old e2 key `round(price*(1-disc)*100)` landing 804 sf0.01
+    rows on an exact .5 tie, where DuckDB builds differ in tie direction
+    (Spark rounds HALF_UP). `round(price*100)` and `round(disc*100)` are
+    tie-free because the sources carry exactly 2 decimals."""
+    o_tbl, l_tbl = _bucketed_tpch_tables(spark, sf_dir)
+    o, line = spark.table(o_tbl), spark.table(l_tbl)
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+           * (100 - F.round(F.col("l_discount") * 100).cast("bigint")))
+    return (o.join(line.hint("merge"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(rev).alias("revenue_e4"))
+            .orderBy("o_orderpriority"))
+
+
+QUERIES["x_bucketed_join"] = x_bucketed_join
+
+ORACLES["x_bucketed_join"] = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def x_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (lambda=0.5) diversification of RAG retrieval: top-20 cosine
+    candidates per query re-ranked so each of the 5 picks maximizes
+    relevance minus max-similarity-to-already-picked. All scoring is e6
+    integer, ties on smaller id — the DuckDB oracle replays the greedy
+    pick-for-pick via 5 unrolled selection levels. Post-retrieval cost is
+    pair-scale (queries x m^2), corpus-size-independent."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.mmr_diversify(emb, q, k=5, m=20)
+
+
+QUERIES["x_mmr_diversify"] = x_mmr_diversify
+
+
+def _mmr_oracle(k: int = 5, m: int = 20) -> str:
+    """Unrolled greedy MMR: level N picks the argmax of
+    rel_e6 - MAX(sim_e6 to the previous picks) over the not-yet-picked
+    candidates — no recursion, the selection depth is the literal k."""
+    cos_q = _cosine_sql("q", "v")
+    cos_ab = _cosine_sql("a.v", "b.v")
+    sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
+c0 AS (SELECT vec_id, embedding AS v FROM embeddings),
+s AS (
+  SELECT query_id, vec_id, round({cos_q}, 6) AS score
+  FROM q CROSS JOIN c0 WHERE query_id <> vec_id
+), r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+  FROM s
+), cand AS (
+  SELECT query_id, vec_id,
+         CAST(round(score * 1000000) AS BIGINT) AS rel_e6
+  FROM r WHERE rk <= {m}
+), pv AS (
+  SELECT cand.query_id, cand.vec_id, e.embedding AS v
+  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+), ps AS (
+  SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(round(({cos_ab}) * 1000000) AS BIGINT) AS sim_e6
+  FROM pv a JOIN pv b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+), p1 AS (
+  SELECT query_id, vec_id, rel_e6 FROM (
+    SELECT cand.*, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel_e6 DESC, vec_id) AS rn
+    FROM cand) WHERE rn = 1
+)"""
+    for n in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM p{i}" for i in range(1, n))
+        sql += f"""
+, picked{n - 1} AS ({prev})
+, p{n} AS (
+  SELECT query_id, vec_id, rel_e6 FROM (
+    SELECT c.query_id, c.vec_id, c.rel_e6,
+           row_number() OVER (PARTITION BY c.query_id ORDER BY
+             c.rel_e6 - (SELECT MAX(ps.sim_e6) FROM ps
+                         WHERE ps.query_id = c.query_id
+                           AND ps.id_a = c.vec_id
+                           AND ps.id_b IN (SELECT vec_id FROM picked{n - 1} pp
+                                           WHERE pp.query_id = c.query_id))
+               DESC, c.vec_id) AS rn
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM picked{n - 1} pp
+                      WHERE pp.query_id = c.query_id
+                        AND pp.vec_id = c.vec_id)
+  ) WHERE rn = 1
+)"""
+    finals = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, {i} AS rk, rel_e6 FROM p{i}"
+        for i in range(1, k + 1))
+    return sql + f"\nSELECT * FROM ({finals}) ORDER BY query_id, rk\n"
+
+
+ORACLES["x_mmr_diversify"] = _mmr_oracle(k=5, m=20)
+
+
+def x_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the portable HLL: registers only grow, so
+    the sketch IS a plain update-mode max-aggregation — no custom state,
+    no watermark (state is bounded at m x groups by construction, the
+    mergeable-sketch property doing the eviction argument's job). The
+    estimate is computed batch-side from the drained register table and
+    hash-matches x_hll_portable's oracle: replaying the same events
+    through streaming maintenance yields the identical sketch."""
+    ev = _stream_events(spark, sf_dir)
+    regs_stream = (sketches.hll_rho(ev, "event_type", "user_id", p=10)
+                   .groupBy("event_type", "bucket")
+                   .agg(F.max("rho").alias("reg")))
+    drained = _run_to_memory(regs_stream, spark, output_mode="update")
+    # update mode re-emits a (group, bucket) row each batch its register
+    # grows; the last emission per key is max(reg) — same fold, idempotent.
+    regs = (drained.groupBy("event_type", "bucket")
+            .agg(F.max("reg").alias("reg")))
+    return sketches.hll_estimate(regs, "event_type", p=10)
+
+
+QUERIES["x_hll_stream"] = x_hll_stream
+STREAMING_DEMOS.add("x_hll_stream")
+ORACLES["x_hll_stream"] = ORACLES["x_hll_portable"]
+
+
+def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-mitigation join under the oracle gate: events are
+    maximally hot on event_type (5 distinct keys for the whole corpus), so
+    the salted form scatters each hot key across 16 sub-keys while the
+    dim side replicates 16x (operators/skew.py:salted_join — the tool for
+    skew AQE's SMJ-partition splitting can't reach). The hash match
+    proves the scatter/replicate/join round trip loses and duplicates
+    nothing; determinism-under-retry comes from hashing the full big-side
+    row instead of rand()."""
+    from .operators.skew import salted_join
+    ev = _events(spark, sf_dir)
+    dim = (ev.select("event_type").distinct()
+           .withColumn("type_weight", F.length("event_type").cast("bigint")))
+    joined = salted_join(ev, dim, "event_type", salt=16)
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 10_000).cast("bigint")
+                       * F.col("type_weight")).alias("sum_weighted_e4"))
+            .orderBy("event_type"))
+
+
+QUERIES["x_salted_join"] = x_salted_join
+
+ORACLES["x_salted_join"] = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT) * length(event_type))
+            AS BIGINT) AS sum_weighted_e4
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def x_salted_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of x_salted_join WITHOUT the salt machinery: same
+    arithmetic, same grouping, same oracle, but a plain broadcast join of
+    the 5-row dim. x_salted_join driver-hash-failed in r6 with rows/schema
+    green and no local repro (judge adjudication, VERDICT r6 §wrong-2);
+    this twin isolates the cause on the next red: if x_salted_join reds
+    and this greens, the scatter/replicate path is implicated; if BOTH
+    red, the divergence is driver-environment arithmetic (as with
+    x_bucketed_join's DuckDB rounding-tie), not the operator."""
+    ev = _events(spark, sf_dir)
+    dim = (ev.select("event_type").distinct()
+           .withColumn("type_weight", F.length("event_type").cast("bigint")))
+    joined = ev.join(F.broadcast(dim), "event_type")
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 10_000).cast("bigint")
+                       * F.col("type_weight")).alias("sum_weighted_e4"))
+            .orderBy("event_type"))
+
+
+QUERIES["x_salted_join_plain"] = x_salted_join_plain
+ORACLES["x_salted_join_plain"] = ORACLES["x_salted_join"]
+
+
+def x_round_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-semantics canary (VERDICT r6 next-8): rounds a LITERAL
+    table of exact .5 ties, negative ties, and binary-unrepresentable
+    near-ties in both engines, pinning the driver's DuckDB tie direction
+    forever. The r6 x_bucketed_join red took a full adjudication cycle to
+    trace to a HALF_UP-vs-half-even divergence on 804 tie rows; had this
+    canary existed, the driver row itself would have said so. Spark
+    rounds doubles HALF_UP (2.5→3, -2.5→-3); duckdb 1.0.0 locally agrees.
+    Values are constructed per-row from integer halves (k + 0.5 is exact
+    in binary for small k) so BOTH engines see bit-identical inputs; the
+    near-tie rows (2.675 ≈ 2.67499…) additionally pin shared IEEE-754
+    representation behavior. sf_dir is unused — the canary must not
+    depend on data."""
+    rows = [(-3.5,), (-2.5,), (-1.5,), (-0.5,), (0.5,), (1.5,), (2.5,),
+            (3.5,), (2.675,), (1.005,), (0.145,),
+            # exact binary fractions that tie at e1 (x.25 → x*10 = .5)
+            # and e2 (x.125 → x*100 = .5): the tie canary at every scale
+            # the corpus rounds at.
+            (0.25,), (-0.25,), (1.25,), (0.125,), (-0.125,), (0.375,),
+            # odd/2^7 — the ONLY doubles whose exact decimal expansion
+            # terminates with 5 at the 7th place, i.e. the e6 ties the
+            # corpus's round(ratio, 6) sites could ever hit. Spark rounds
+            # these via exact BigDecimal HALF_UP; this pins the driver
+            # DuckDB's direction.
+            (0.0078125,), (3 / 128,), (-0.0078125,)]
+    df = spark.createDataFrame(rows, "v double")
+    return (df.select(
+                F.format_number(F.col("v"), 7).alias("v_label"),
+                F.round(F.col("v")).cast("bigint").alias("r0"),
+                F.round(F.col("v") * 10).cast("bigint").alias("r1_e1"),
+                F.round(F.col("v") * 100).cast("bigint").alias("r2_e2"),
+                F.round(F.col("v"), 6).alias("r6_e6"))
+            .orderBy("v_label"))
+
+
+QUERIES["x_round_ties"] = x_round_ties
+
+ORACLES["x_round_ties"] = """
+WITH t(v) AS (
+  VALUES (-3.5::DOUBLE), (-2.5), (-1.5), (-0.5), (0.5), (1.5), (2.5),
+         (3.5), (2.675), (1.005), (0.145),
+         (0.25), (-0.25), (1.25), (0.125), (-0.125), (0.375),
+         (0.0078125), (0.0234375), (-0.0078125)
+)
+SELECT printf('%.7f', v) AS v_label,
+       CAST(round(v) AS BIGINT) AS r0,
+       CAST(round(v * 10) AS BIGINT) AS r1_e1,
+       CAST(round(v * 100) AS BIGINT) AS r2_e2,
+       round(v, 6) AS r6_e6
+FROM t
+ORDER BY v_label
+"""
+
+
+def x_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable bounded-state quantile sketch: 256-bin equi-width
+    histogram per event type, quantiles read from exact-integer
+    cumulative-count thresholds (error <= one bin width, reported value =
+    qualifying bin's lower edge). The hash-checked member of the quantile
+    family — percentile_approx (x_approx_quantiles) is engine-private,
+    the exact per-group sort (x_group_quantiles) doesn't bound memory;
+    histogram counts ADD, so this sketch merges across partitions/days/
+    engines like the portable HLL."""
+    return sketches.hist_quantiles(_events(spark, sf_dir),
+                                   "event_type", "value", bins=256)
+
+
+QUERIES["x_hist_quantiles"] = x_hist_quantiles
+
+ORACLES["x_hist_quantiles"] = """
+WITH e AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+         COUNT(value) AS n
+  FROM e GROUP BY event_type
+), sw AS (
+  SELECT event_type, lo, n,
+         CASE WHEN hi > lo THEN (hi - lo) / 256.0 ELSE 1.0 END AS w
+  FROM s
+), b AS (
+  SELECT e.event_type,
+         LEAST(CAST(floor((e.value - sw.lo) / sw.w) AS BIGINT), 255) AS bin,
+         COUNT(*) AS cnt
+  FROM e JOIN sw ON e.event_type = sw.event_type
+  GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM b
+), q AS (
+  SELECT c.event_type, bp.bp, MIN(c.bin) AS qbin
+  FROM c
+  JOIN sw ON c.event_type = sw.event_type
+  JOIN (VALUES (2500), (5000), (9000), (9900)) bp(bp)
+    ON 10000 * c.cum >= bp.bp * sw.n
+  GROUP BY 1, 2
+)
+SELECT sw.event_type, sw.n,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 2500 THEN q.qbin END) * sw.w, 6) AS p2500,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 5000 THEN q.qbin END) * sw.w, 6) AS p5000,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 9000 THEN q.qbin END) * sw.w, 6) AS p9000,
+       ROUND(sw.lo + MAX(CASE WHEN q.bp = 9900 THEN q.qbin END) * sw.w, 6) AS p9900
+FROM q JOIN sw ON q.event_type = sw.event_type
+GROUP BY sw.event_type, sw.n, sw.lo, sw.w
+ORDER BY sw.event_type
+"""
+
+
+def j7_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer windowed stream-stream join — completes the J1 join-type
+    matrix (inner j1 / leftOuter j5 / leftSemi j6): every click AND every
+    view survives; unmatched rows on EITHER side emit with nulls once the
+    watermark evicts their window's state. Same flush-sentinel
+    determinism as j5 (fed to both sides, so both directions' state fully
+    drains under availableNow); sentinel key filtered after the join."""
+    from .sources import file_csv_stream
+    from .streaming.pipelines import windowed_join
+    path = _events_csv_dir_flush(spark, sf_dir)
+    ev = (file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+          .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    left = (ev.filter(F.col("event_type").isin("click", "__flush__"))
+              .select("user_id", "ts"))
+    right = (ev.filter(F.col("event_type").isin("view", "__flush__"))
+               .select("user_id", "ts"))
+    out = windowed_join(left, right, key="user_id", ts_col="ts",
+                        size="3600 seconds", how="fullOuter")
+    res = _run_to_memory(out, spark)
+    return res.filter(F.col("user_id") >= 0)
+
+
+QUERIES["j7_stream_full"] = j7_stream_full
+STREAMING_DEMOS.add("j7_stream_full")
+
+ORACLES["j7_stream_full"] = """
+WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'view')
+SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+       COALESCE(l.ts_ms // 3600000, r.ts_ms // 3600000) * 3600000
+         AS window_start_ms,
+       l.ts_ms AS l_ts_ms, r.ts_ms AS r_ts_ms
+FROM l FULL JOIN r ON l.user_id = r.user_id
+                  AND (l.ts_ms // 3600000) = (r.ts_ms // 3600000)
+"""
+
+
+def x_histq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the quantile sketch: fixed bin edges
+    (the streaming contract — no min/max pre-pass exists on a stream, so
+    edges are declared up front and out-of-range mass clamps into the
+    edge bins), per-(type, bin) counts maintained as a plain update-mode
+    sum with state bounded at bins x groups, quantiles read off the
+    drained table batch-side. The replayed CSV carries no value column,
+    so value re-derives from event_id as in j4's replay contract; the
+    oracle replays the same fixed-edge binning in SQL."""
+    ev = _stream_events(spark, sf_dir)
+    fact = ev.select("event_type",
+                     (F.col("event_id") % 500).cast("double").alias("value"))
+    binned_stream = sketches.hist_bins_fixed(fact, "event_type", "value",
+                                             lo=0.0, width=2.0, bins=256)
+    drained = _run_to_memory(binned_stream, spark, output_mode="update")
+    # last emission per (group, bin) is the final count — max is the
+    # idempotent re-fold (counts only grow across update emissions)
+    binned = (drained.groupBy("event_type", "bin")
+              .agg(F.max("cnt").alias("cnt")))
+    return sketches.hist_quantiles_fixed(binned, "event_type",
+                                         lo=0.0, width=2.0)
+
+
+QUERIES["x_histq_stream"] = x_histq_stream
+STREAMING_DEMOS.add("x_histq_stream")
+
+ORACLES["x_histq_stream"] = """
+WITH f AS (
+  SELECT event_type, CAST(event_id % 500 AS DOUBLE) AS value FROM events
+), b AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(floor((value - 0.0) / 2.0) AS BIGINT), 0),
+               255) AS bin,
+         COUNT(*) AS cnt
+  FROM f GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b
+), q AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN 10000 * cum >= 2500 * n THEN bin END) AS q2500,
+         MIN(CASE WHEN 10000 * cum >= 5000 * n THEN bin END) AS q5000,
+         MIN(CASE WHEN 10000 * cum >= 9000 * n THEN bin END) AS q9000,
+         MIN(CASE WHEN 10000 * cum >= 9900 * n THEN bin END) AS q9900
+  FROM c GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(q2500 * 2 AS DOUBLE), 6) AS p2500,
+       ROUND(CAST(q5000 * 2 AS DOUBLE), 6) AS p5000,
+       ROUND(CAST(q9000 * 2 AS DOUBLE), 6) AS p9000,
+       ROUND(CAST(q9900 * 2 AS DOUBLE), 6) AS p9900
+FROM q
+ORDER BY event_type
+"""
+
+
+def x_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest/egress — Spark's second native columnar format (the one
+    Hive-lineage warehouses hand you): documents export to ORC and read
+    back through a declared schema; the oracle is the original projection,
+    so the hash match proves the ORC round trip is byte-lossless exactly
+    like the parquet-layout rows (x_partitioned_prune / x_zorder_prune).
+    Same predicate-pushdown/column-pruning machinery as parquet applies —
+    swap `format("orc")` for parquet anywhere in the engine."""
+    import os
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source",
+                                    "n_chars")
+    base = _events_csv_dir(spark, sf_dir)  # reuse the per-sf cache root
+    out = base + "_docs_orc"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        d.write.mode("overwrite").orc(out)
+    return (spark.read.schema(d.schema).orc(out)
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+
+
+QUERIES["x_orc_roundtrip"] = x_orc_roundtrip
+
+ORACLES["x_orc_roundtrip"] = ORACLES["x_jsonl_roundtrip"]
+
+
+def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet ('dataset card' statistics block): per source —
+    doc count, whitespace-token total, language spread, English fraction,
+    Gopher quality pass rate, and lexical-dedup survival rate. Quality
+    signals are the map-side Gopher gates; the dedup signal reads the
+    persisted keep-list policy table (x_dedup_report pattern — no LSH/CC
+    recompute per card refresh). One documents scan + one bounded
+    ids-only join feeding a single per-source aggregate."""
+    import os
+    from .functions import text as _text
+    docs = _docs(spark, sf_dir)
+    g = _text.gopher_rules(docs).select("doc_id", "keep")
+    tk = (spark.read.parquet(
+              os.path.join(_policy_tables_dir(spark, sf_dir), "text_keep"))
+          .withColumn("kept_text", F.lit(True)))
+    d = (docs.select("doc_id", "source", "lang",
+                     F.size(F.split(F.col("text"), " "))
+                      .cast("bigint").alias("n_tokens"))
+         .join(g, "doc_id")
+         .join(tk, "doc_id", "left"))
+    n = F.count(F.lit(1))
+    return (d.groupBy("source")
+            .agg(n.alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                 F.round(F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                          .cast("double") / n, 6).alias("en_frac"),
+                 F.round(F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                          .cast("double") / n, 6).alias("gopher_pass_frac"),
+                 F.round(F.sum(F.when(F.col("kept_text").isNotNull(), 1)
+                               .otherwise(0)).cast("double") / n, 6)
+                  .alias("text_keep_frac"))
+            .orderBy("source"))
+
+
+QUERIES["x_dataset_card"] = x_dataset_card
+
+ORACLES["x_dataset_card"] = f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id FROM ({ORACLES["x_neardup_keep"]})
+), g AS MATERIALIZED (
+  SELECT doc_id, keep FROM ({ORACLES["x_gopher_rules"]})
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT d.lang) AS n_langs,
+       ROUND(CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS en_frac,
+       ROUND(CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS gopher_pass_frac,
+       ROUND(CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM tk)
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS text_keep_frac
+FROM documents d JOIN g ON g.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+def x_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction under the oracle gate: documents are first
+    fragmented into 64 tiny parquet files (a streaming-ingest morning),
+    then compacted to byte-targeted right-sized files
+    (operators/bucketing.py:compact_files); reading the compacted layout
+    must hash-match the original projection — compaction moves bytes,
+    never rows. The file-count collapse itself is pytest-asserted."""
+    import os
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source",
+                                    "n_chars")
+    base = _events_csv_dir(spark, sf_dir)  # per-sf cache root
+    frag, compacted = base + "_docs_frag", base + "_docs_compact"
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        d.repartition(64).write.mode("overwrite").parquet(frag)
+        from .operators.bucketing import compact_files
+        compact_files(spark, frag, compacted,
+                      target_file_bytes=8 * 1024 * 1024)
+    return (spark.read.schema(d.schema).parquet(compacted)
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+
+
+QUERIES["x_compaction_roundtrip"] = x_compaction_roundtrip
+ORACLES["x_compaction_roundtrip"] = ORACLES["x_jsonl_roundtrip"]
+
+
+def x_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard set-similarity join via PREFIX FILTERING
+    (SSJoin/PPJoin candidate rule): each doc contributes only its
+    |d| - ceil(t|d|) + 1 globally-rarest shingles to the candidate
+    self-join, then exact verification — the deterministic, lossless
+    scale path beside the probabilistic MinHash-LSH family. The rule is
+    provably complete for J >= t, so the oracle is simply the plain
+    exact Jaccard join: a hash-match here certifies losslessness
+    cross-engine (functions/dedup.py:prefix_filter_pairs)."""
+    return dedup.prefix_filter_pairs(_docs(spark, sf_dir), n=3,
+                                     threshold=0.5)
+
+
+QUERIES["x_prefix_filter_join"] = x_prefix_filter_join
+ORACLES["x_prefix_filter_join"] = _jaccard_oracle(threshold=0.5)
+
+
+def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the verified near-dup graph (fixed 6 peel rounds,
+    fixpoint on the fixture pinned by pytest): nodes that survive
+    iterative removal of degree<2 vertices form the mutually-reinforcing
+    duplicate FAMILIES; the peeled-off nodes were incidental one-pair
+    bridges. Unrolled-CTE DuckDB oracle replays the same 6 peels
+    (functions/graph.py:kcore). Reads the persisted edge parquet
+    (``_edges_parquet_dir``) — see x_pagerank."""
+    from .functions import graph
+    return graph.kcore(_edges(spark, sf_dir), k=2, rounds=6)
+
+
+QUERIES["x_kcore"] = x_kcore
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    # Every CTE is AS MATERIALIZED: each peel references its predecessor
+    # three times, and DuckDB INLINES plain CTEs — without materialization
+    # the LSH+Jaccard pipeline re-expands 3^rounds times and the oracle
+    # never finishes.
+    peels = []
+    prev = "sym"
+    for i in range(rounds):
+        peels.append(
+            f"deg{i} AS MATERIALIZED (\n"
+            f"  SELECT a, count(*) AS d FROM {prev} GROUP BY a\n"
+            f"),\n"
+            f"peel{i} AS MATERIALIZED (\n"
+            f"  SELECT s.a, s.b FROM {prev} s\n"
+            f"  JOIN deg{i} da ON da.a = s.a AND da.d >= {k}\n"
+            f"  JOIN deg{i} db ON db.a = s.b AND db.d >= {k}\n"
+            f")")
+        prev = f"peel{i}"
+    return f"""
+WITH cand AS MATERIALIZED ({_minhash_lsh_oracle()}),
+jac AS MATERIALIZED ({_jaccard_oracle(threshold=0.5)}),
+edges AS MATERIALIZED (
+  SELECT jac.id_a AS a, jac.id_b AS b
+  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+{", ".join(peels)}
+SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+FROM {prev} GROUP BY a ORDER BY node
+"""
+
+
+ORACLES["x_kcore"] = _kcore_oracle()
+
+
+def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    purchase event, the earliest and the latest non-purchase touch the
+    same user made BEFORE it (deterministic (ts, event_id) order);
+    conversions and exact-micros revenue credit grouped by the
+    (first_touch, last_touch) channel pair. Two ignore-nulls running
+    windows on ONE user-partition shuffle + a |types|²-bounded aggregate
+    — the marketing-analytics query every clickstream store runs
+    (operators/funnel.py:touch_attribution)."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts_ms",
+                                      "event_id", "value")
+    return funnel.touch_attribution(e, key="user_id", ts_ms="ts_ms",
+                                    id_col="event_id",
+                                    type_col="event_type",
+                                    convert_on="purchase",
+                                    value_col="value")
+
+
+QUERIES["x_attribution"] = x_attribution
+
+ORACLES["x_attribution"] = f"""
+WITH e AS ({_EV}),
+tagged AS (
+  SELECT event_type, value,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM e
+)
+SELECT coalesce(first_touch, '(none)') AS first_touch,
+       coalesce(last_touch, '(none)') AS last_touch,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS revenue_e6
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def x_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a released
+    group can be large (k-anonymous) yet still leak if every member
+    shares one SENSITIVE value, so each (nation, market segment)
+    quasi-identifier group is also scored on its count of DISTINCT
+    account-balance bands (the sensitive attribute, bucketed to 1000s)
+    and flagged when l < 3. Same |QI|-bounded single aggregate as
+    x_k_anonymity."""
+    c = load_table(_prep(spark), sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    return (c.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"),
+                      F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"),
+                 F.countDistinct(band).cast("bigint").alias("l_distinct"))
+            .withColumn("meets_l3", F.col("l_distinct") >= 3)
+            .orderBy("nationkey", "mktsegment"))
+
+
+QUERIES["x_l_diversity"] = x_l_diversity
+
+ORACLES["x_l_diversity"] = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS group_n,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+            AS BIGINT) AS l_distinct,
+       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3
+         AS meets_l3
+FROM customer
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def x_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_attribution live: per-user (first, last) touch held as two
+    strings of keyed state (streaming/stateful.py:attribution_stream);
+    each purchase emits attributed the moment it arrives, and the drained
+    conversion rows aggregate to the SAME (first, last) matrix as the
+    batch two-window form — the oracle is the batch SQL minus the revenue
+    column (the CSV replay carries no value field)."""
+    from .streaming.stateful import attribution_stream
+    ev = _stream_events(spark, sf_dir)
+    out = attribution_stream(ev, key="user_id", ts_ms="ts_ms",
+                             type_col="event_type", id_col="event_id",
+                             convert_on="purchase")
+    mem = _run_to_memory(out, spark)
+    return (mem.groupBy("first_touch", "last_touch")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+            .orderBy("first_touch", "last_touch"))
+
+
+QUERIES["x_attribution_stream"] = x_attribution_stream
+STREAMING_DEMOS.add("x_attribution_stream")
+
+ORACLES["x_attribution_stream"] = f"""
+WITH e AS ({_EV}),
+tagged AS (
+  SELECT event_type,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM e
+)
+SELECT coalesce(first_touch, '(none)') AS first_touch,
+       coalesce(last_touch, '(none)') AS last_touch,
+       CAST(count(*) AS BIGINT) AS n_conversions
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def x_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words into 64 signed buckets — the
+    vocabulary-free featurizer (no dictionary pass, no fit/transform
+    split, nothing to broadcast), sparse (doc, bucket, feat) output;
+    md5-derived bucket and sign replay bit-for-bit in the oracle
+    (functions/text.py:feature_hash)."""
+    return text.feature_hash(_docs(spark, sf_dir), buckets=64)
+
+
+QUERIES["x_feature_hash"] = x_feature_hash
+
+ORACLES["x_feature_hash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+)
+SELECT doc_id,
+       {_H32.format(x="concat('fh', ':', tok)")} % 64 AS bucket,
+       CAST(sum(CASE WHEN {_H32.format(x="concat('fs', ':', tok)")} % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS feat
+FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket
+"""
+
+
+def x_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-rank normalization of events.value per event type — the
+    rank transform for heavy-tailed features, built scale-correct: the
+    ranking window runs over DISTINCT (type, value) rows, never the raw
+    stream (a plain percent_rank window serializes each type through one
+    task). Oracle = DuckDB's BUILTIN percent_rank, so the decomposition
+    is pinned to the textbook definition
+    (operators/stats.py:rank_normalize)."""
+    return stats.rank_normalize(_events(spark, sf_dir), group="event_type",
+                                value="value")
+
+
+QUERIES["x_rank_normalize"] = x_rank_normalize
+
+ORACLES["x_rank_normalize"] = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value),
+             6) AS pct6
+FROM events WHERE value IS NOT NULL
+ORDER BY event_id
+"""
+
+
+def x_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value
+    (smoothing m=10): the label-leak-free categorical featurizer, exact
+    e6 integer sums with one final rounded division so the oracle
+    replays every encoding (operators/stats.py:target_encode_loo)."""
+    return stats.target_encode_loo(_events(spark, sf_dir),
+                                   category="event_type", target="value")
+
+
+QUERIES["x_target_encode"] = x_target_encode
+
+ORACLES["x_target_encode"] = """
+WITH rows_ AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS y6
+  FROM events WHERE value IS NOT NULL
+), cat AS (
+  SELECT event_type, SUM(y6) AS sum6, COUNT(*) AS n
+  FROM rows_ GROUP BY event_type
+), gl AS (
+  SELECT SUM(y6) // COUNT(*) AS prior6 FROM rows_
+)
+SELECT r.event_id, r.event_type,
+       round(CAST(cat.sum6 - r.y6 + 10 * gl.prior6 AS DOUBLE)
+             / (cat.n - 1 + 10) / 1000000, 6) AS enc6
+FROM rows_ r JOIN cat USING (event_type) CROSS JOIN gl
+ORDER BY r.event_id
+"""
+
+
+_BENFORD = [(d, round(__import__("math").log10(1 + 1 / d), 6))
+            for d in range(1, 10)]
+
+
+def x_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of events.value — the fabricated-data smell
+    test finance/quality teams run: observed first-significant-digit
+    distribution vs log10(1+1/d). The digit comes from the STRING form
+    of exact integer cents (substring of a BIGINT cast — float log10 at
+    power-of-ten boundaries is not engine-portable, digit strings are);
+    expectations are shared 6-dp literals. One map-side digit extraction
+    + a 9-row aggregate."""
+    e = _events(spark, sf_dir).filter(F.col("value") > 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("bigint")
+    obs = (e.select(digit.alias("digit"))
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs")))
+    total = obs.agg(F.sum("n_obs").alias("n_total"))
+    bexp = spark.createDataFrame(_BENFORD, "digit bigint, benford6 double")
+    return (obs.crossJoin(total).join(F.broadcast(bexp), "digit")
+            .select("digit", "n_obs",
+                    F.round(F.col("n_obs").cast("double")
+                            / F.col("n_total"), 6).alias("frac6"),
+                    "benford6")
+            .orderBy("digit"))
+
+
+QUERIES["x_benford"] = x_benford
+
+ORACLES["x_benford"] = f"""
+WITH obs AS (
+  SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM events WHERE value > 0 GROUP BY 1
+), t AS (SELECT SUM(n_obs) AS n_total FROM obs),
+bexp(digit, benford6) AS (
+  VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD)}
+)
+SELECT obs.digit, obs.n_obs,
+       round(CAST(obs.n_obs AS DOUBLE) / t.n_total, 6) AS frac6,
+       CAST(bexp.benford6 AS DOUBLE) AS benford6
+FROM obs CROSS JOIN t JOIN bexp ON bexp.digit = obs.digit
+ORDER BY obs.digit
+"""
+
+
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized events.value per event type (clip into the exact
+    [p5, p95] band): the outlier treatment that keeps the row, beside
+    the IQR filter that drops it (x_iqr_outliers). Quantiles computed
+    once per group and broadcast back; clip is map-side
+    (operators/stats.py:winsorize)."""
+    return stats.winsorize(_events(spark, sf_dir), group="event_type",
+                           value="value", lo=0.05, hi=0.95)
+
+
+QUERIES["x_winsorize"] = x_winsorize
+
+ORACLES["x_winsorize"] = """
+WITH q AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS q_lo,
+         round(quantile_cont(value, 0.95), 6) AS q_hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, q.q_lo), q.q_hi), 6) AS clipped6
+FROM events e JOIN q USING (event_type)
+WHERE e.value IS NOT NULL
+ORDER BY e.event_id
+"""
+
+
+def x_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users via SKETCH MERGING — the pattern the
+    portable HLL exists for at 100 TB: registers are maintained once per
+    10-minute bucket (the expensive pass touches each event once), and
+    every 1-hour sliding window is answered by max-folding its 6 member
+    buckets' registers — no re-scan per window, and the same persisted
+    bucket sketches answer ANY window granularity later. Register table
+    is (buckets × m)-bounded; the window expansion explodes registers,
+    never events. Exact twin: x_window_distinct (shuffles raw ids per
+    window)."""
+    e = _events(spark, sf_dir).select("user_id", "ts_ms")
+    b = e.withColumn("bucket_ms",
+                     F.expr("ts_ms div 600000") * F.lit(600000))
+    rho = sketches.hll_rho(b, "bucket_ms", "user_id")
+    regs = (rho.groupBy("bucket_ms", "bucket")
+               .agg(F.max("rho").alias("reg")))
+    win = (regs.select(F.explode(F.expr("sequence(0, 5)")).alias("k"),
+                       "bucket_ms", "bucket", "reg")
+               .withColumn("w_start",
+                           F.col("bucket_ms") - F.col("k") * 600000))
+    merged = (win.groupBy("w_start", "bucket")
+                 .agg(F.max("reg").alias("reg")))
+    return sketches.hll_estimate(merged, "w_start")
+
+
+QUERIES["x_hll_sliding"] = x_hll_sliding
+
+ORACLES["x_hll_sliding"] = f"""
+WITH h AS (
+  SELECT (epoch_ms(ts) // 600000) * 600000 AS bucket_ms,
+         CAST(concat('0x', substring(md5(concat('hll', ':',
+              CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), b AS (
+  SELECT bucket_ms, h // 4194304 AS bucket, h % 4194304 AS w FROM h
+), r AS (
+  SELECT bucket_ms, bucket,
+         MAX(CASE WHEN w = 0 THEN 23
+                  ELSE 23 - length(bin(w)) END) AS reg
+  FROM b GROUP BY 1, 2
+), wn AS (
+  SELECT bucket_ms - k * 600000 AS w_start, bucket, reg
+  FROM r CROSS JOIN (SELECT unnest(range(0, 6)) AS k) ks
+), m AS (
+  SELECT w_start, bucket, MAX(reg) AS reg FROM wn GROUP BY 1, 2
+), g AS (
+  SELECT w_start, COUNT(*) AS v_nonzero,
+         SUM(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - reg)) AS z_scaled
+  FROM m GROUP BY 1
+), e AS (
+  SELECT w_start, v_nonzero,
+         {_HLL_NUM} / (z_scaled + ({_HLL_M} - v_nonzero)
+                       * CAST(1 AS BIGINT) * {1 << _HLL_SHIFT}) AS raw,
+         {_HLL_M} - v_nonzero AS zeros
+  FROM g
+)
+SELECT w_start, v_nonzero,
+       ROUND(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                  THEN {float(_HLL_M)} * ln({float(_HLL_M)}
+                                            / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS hll_est
+FROM e
+ORDER BY w_start
+"""
+
+
+def x_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring — the classic segmentation query: per user,
+    Recency (ms since their last event, against the corpus max ts),
+    Frequency (event count) and Monetary (exact e6 value sum), each
+    scored into quintiles. NTILE runs on the per-user AGGREGATE (never
+    raw events) with user_id tie-breaks so both engines assign identical
+    buckets; at corpus scale (billions of users) each global rank swaps
+    to the two-phase ``stats.global_prefix_sum`` row-numbering — the
+    x_interleave/x_global_offsets recipe — since a global NTILE funnels
+    the user table through one task. One keyed aggregate + one 1-row
+    max broadcast + three windows."""
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir).select("user_id", "ts_ms", "value")
+    per_user = (e.groupBy("user_id")
+                 .agg(F.max("ts_ms").alias("last_ms"),
+                      F.count(F.lit(1)).cast("bigint").alias("frequency"),
+                      F.sum(F.round(F.col("value") * 1_000_000)
+                            .cast("bigint")).alias("monetary_e6")))
+    corpus_max = e.agg(F.max("ts_ms").alias("corpus_max_ms"))
+    rfm = (per_user.crossJoin(corpus_max)
+           .withColumn("recency_ms",
+                       F.col("corpus_max_ms") - F.col("last_ms")))
+    w_r = W.orderBy("recency_ms", "user_id")
+    w_f = W.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = W.orderBy(F.col("monetary_e6").desc(), "user_id")
+    return (rfm.select("user_id", "recency_ms", "frequency", "monetary_e6",
+                       F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
+                       F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
+                       F.ntile(5).over(w_m).cast("bigint").alias("m_score"))
+            .orderBy("user_id"))
+
+
+QUERIES["x_rfm"] = x_rfm
+
+ORACLES["x_rfm"] = f"""
+WITH e AS ({_EV}),
+per_user AS (
+  SELECT user_id, MAX(ts_ms) AS last_ms,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS monetary_e6
+  FROM e GROUP BY user_id
+), mx AS (SELECT MAX(ts_ms) AS corpus_max_ms FROM e)
+SELECT user_id,
+       CAST(corpus_max_ms - last_ms AS BIGINT) AS recency_ms,
+       frequency, monetary_e6,
+       CAST(ntile(5) OVER (ORDER BY corpus_max_ms - last_ms, user_id)
+            AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+            AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_e6 DESC, user_id)
+            AS BIGINT) AS m_score
+FROM per_user CROSS JOIN mx
+ORDER BY user_id
+"""
+
+
+def x_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (retention's revenue sibling): first-event-week
+    cohorts, exact e6 revenue per (cohort, weeks-since) cell, cumulative
+    along the horizon — the cumulative window runs on the cohort grid,
+    never raw events (operators/funnel.py:cohort_ltv)."""
+    return funnel.cohort_ltv(_events(spark, sf_dir))
+
+
+QUERIES["x_cohort_ltv"] = x_cohort_ltv
+
+ORACLES["x_cohort_ltv"] = f"""
+WITH e AS ({_EV}),
+wf AS (
+  SELECT user_id, ts_ms,
+         CAST(round(value * 1000000) AS BIGINT) AS v6,
+         MIN(ts_ms) OVER (PARTITION BY user_id) AS first_ms
+  FROM e
+), cells AS (
+  SELECT CAST(floor(first_ms / 604800000) * 604800000 AS BIGINT)
+           AS cohort_week_ms,
+         CAST(floor(ts_ms / 604800000)
+              - floor(first_ms / 604800000) AS BIGINT) AS week_idx,
+         SUM(v6) AS revenue_e6
+  FROM wf
+  WHERE floor(ts_ms / 604800000) - floor(first_ms / 604800000) <= 12
+  GROUP BY 1, 2
+)
+SELECT cohort_week_ms, week_idx,
+       CAST(revenue_e6 AS BIGINT) AS revenue_e6,
+       CAST(SUM(revenue_e6) OVER (PARTITION BY cohort_week_ms
+                                  ORDER BY week_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_e6
+FROM cells
+ORDER BY cohort_week_ms, week_idx
+"""
+
+
+def x_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: top-10 ANN per query
+    using only the FIRST 16 of 64 embedding dims, recall measured against
+    the full-dimension exact top-10 (the x_lsh_recall pattern applied to
+    dimensionality instead of hashing) — the number that tells you
+    whether the cheap prefix-dim index is safe to deploy as a first-stage
+    retriever. Both sides are the deterministic brute-force ranking
+    (rounded-score + id tie-break), so the per-query recall is
+    hash-stable cross-engine."""
+    emb = _emb(spark, sf_dir)
+    q_full = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    full = similarity.brute_force_topk(emb, q_full, k=10)
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16)
+                       .alias("embedding"))
+    q16 = emb16.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    trunc = similarity.brute_force_topk(emb16, q16, k=10)
+    hits = (full.select("query_id", "vec_id")
+            .join(trunc.select("query_id", "vec_id"),
+                  ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+    base = full.select("query_id").distinct()
+    return (base.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                     .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)).cast("double")
+                            / 10, 6).alias("recall6"))
+            .orderBy("query_id"))
+
+
+QUERIES["x_dim_recall"] = x_dim_recall
+
+ORACLES["x_dim_recall"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+full_s AS (
+  SELECT query_id, vec_id,
+         round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE query_id <> vec_id
+), full_r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rk
+  FROM full_s
+), q16 AS (SELECT query_id, q[1:16] AS q FROM q),
+c16 AS (SELECT vec_id, v[1:16] AS v FROM c),
+t_s AS (
+  SELECT query_id, vec_id,
+         round({_COSINE_Q}, 6) AS score
+  FROM q16 CROSS JOIN c16 WHERE query_id <> vec_id
+), t_r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rk
+  FROM t_s
+), hits AS (
+  SELECT f.query_id, count(*) AS n_hits
+  FROM (SELECT query_id, vec_id FROM full_r WHERE rk <= 10) f
+  JOIN (SELECT query_id, vec_id FROM t_r WHERE rk <= 10) t
+    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / 10, 6) AS recall6
+FROM (SELECT DISTINCT query_id FROM q) q
+LEFT JOIN hits ON hits.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+def x_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — the manifest a training run actually
+    consumes, assembled ids-only from the engine's own stages: a doc
+    ships iff it (1) survives the full dedup policy (persisted keep
+    tables, x_full_dedup_policy), (2) passes the C4-style quality verdict
+    (x_corpus_filter), (3) is outside the eval slice and shares no 5-gram
+    with it (x_decontaminate's contract), then gets its deterministic
+    md5 train/val/test split and — train rows only — corpus-wide token
+    offsets via the two-phase prefix sum (never a single-partition
+    window). Every stage is an already-oracled operator; this row proves
+    the COMPOSITION agrees cross-engine too."""
+    docs = _docs(spark, sf_dir)
+    policy = x_full_dedup_policy(spark, sf_dir).select("doc_id", "kept")
+    filt = x_corpus_filter(spark, sf_dir).select("doc_id", "keep")
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    flagged = (contamination.ngram_overlap(tr, ev, n=5, min_shared=1)
+               .select(F.col("train_id").alias("doc_id")).distinct()
+               .withColumn("contaminated", F.lit(True)))
+    base = docs.select(
+        "doc_id", F.size(text.tokens("text")).cast("bigint")
+        .alias("n_tokens"))
+    kept = (base.filter(F.col("doc_id") % 50 != 0)
+            .join(policy, "doc_id").join(filt, "doc_id")
+            .join(flagged, "doc_id", "left")
+            .filter(F.col("kept") & F.col("keep")
+                    & F.coalesce(~F.col("contaminated"), F.lit(True)))
+            .select("doc_id", "n_tokens"))
+    split_df = sketches.train_val_test_split(kept, key_col="doc_id")
+    train = split_df.filter(F.col("split") == "train") \
+                    .select("doc_id", "n_tokens")
+    off = stats.global_prefix_sum(train, "n_tokens", "doc_id",
+                                  out_col="end_offset")
+    off = off.select("doc_id", (F.col("end_offset") - F.col("n_tokens"))
+                     .cast("bigint").alias("start_offset"))
+    return (split_df.join(off, "doc_id", "left")
+            .select("doc_id", "n_tokens", "split", "start_offset")
+            .orderBy("doc_id"))
+
+
+QUERIES["x_training_manifest"] = x_training_manifest
+
+ORACLES["x_training_manifest"] = f"""
+WITH pol AS MATERIALIZED (
+  SELECT doc_id, kept FROM ({ORACLES["x_full_dedup_policy"]})
+), qual AS MATERIALIZED (
+  SELECT doc_id, keep FROM ({ORACLES["x_corpus_filter"]})
+), words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh5 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 4
+), contam AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id
+  FROM sh5 t JOIN sh5 e ON t.shingle = e.shingle
+  WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+), kept AS MATERIALIZED (
+  SELECT d.doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN pol ON pol.doc_id = d.doc_id
+  JOIN qual ON qual.doc_id = d.doc_id
+  WHERE d.doc_id % 50 <> 0 AND pol.kept AND qual.keep
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+), sp AS MATERIALIZED (
+  SELECT doc_id, n_tokens,
+         CASE WHEN {_SPLIT_H} < 0.8 THEN 'train'
+              WHEN {_SPLIT_H} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+), off AS (
+  SELECT doc_id,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM sp WHERE split = 'train'
+)
+SELECT sp.doc_id, sp.n_tokens, sp.split, off.start_offset
+FROM sp LEFT JOIN off ON off.doc_id = sp.doc_id
+ORDER BY sp.doc_id
+"""
+
+
+def x_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality cap: each source keeps only its top-50 docs by
+    mean unigram log-probability (shared exact-integer ranking key, id
+    tie-breaks) — the curation step that stops one noisy over-represented
+    domain from swamping the mixture; quality-ordered, unlike the
+    hash-uniform x_group_sample (functions/text.py:domain_caps)."""
+    return text.domain_caps(_docs(spark, sf_dir), k=50)
+
+
+QUERIES["x_domain_caps"] = x_domain_caps
+
+ORACLES["x_domain_caps"] = f"""
+WITH lp AS MATERIALIZED ({ORACLES["x_unigram_logprob"]}),
+keyed AS (
+  SELECT d.source, lp.doc_id,
+         CASE WHEN lp.n_tokens > 0
+              THEN ((lp.logprob_e6 + 100000000 * lp.n_tokens) * 1000)
+                   // lp.n_tokens
+              ELSE -1 END AS qkey_milli
+  FROM lp JOIN documents d ON d.doc_id = lp.doc_id
+), ranked AS (
+  SELECT source, doc_id, CAST(qkey_milli AS BIGINT) AS qkey_milli,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY qkey_milli DESC, doc_id)
+              AS BIGINT) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, qkey_milli, rk
+FROM ranked WHERE rk <= 50
+ORDER BY source, rk
+"""
+
+
+def x_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval scorecard for the ANN index: hits@10, MRR and
+    graded nDCG@10 of the LSH-bucketed top-10 against the exact
+    brute-force ideal, per query — the go/no-go numbers for replacing
+    exact retrieval with the bucketed index (recall alone misses
+    rank-order quality; nDCG is what the RAG stack actually feels).
+    All DCG terms are e9 integers before summing, so the metric is
+    hash-stable cross-engine (functions/similarity.py:ranking_metrics)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    system = similarity.lsh_bucketed_topk(emb, q, k=10, num_planes=8)
+    ideal = similarity.brute_force_topk(emb, q, k=10)
+    return similarity.ranking_metrics(system, ideal, k=10)
+
+
+QUERIES["x_retrieval_metrics"] = x_retrieval_metrics
+
+ORACLES["x_retrieval_metrics"] = f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id, embedding AS v, {_lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, v AS q, bucket AS q_bucket
+  FROM c WHERE vec_id < 10
+), sys_s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM qs JOIN c ON bucket = q_bucket AND query_id <> vec_id
+), sys_r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rk
+  FROM sys_s
+), ideal_s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM qs CROSS JOIN c WHERE query_id <> vec_id
+), ideal_r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rk
+  FROM ideal_s QUALIFY rk <= 10
+), rel AS (
+  SELECT query_id, vec_id, CAST(11 - rk AS BIGINT) AS rel FROM ideal_r
+), sys_j AS (
+  SELECT s.query_id, s.rk, coalesce(r.rel, 0) AS rel
+  FROM (SELECT * FROM sys_r WHERE rk <= 10) s
+  LEFT JOIN rel r ON r.query_id = s.query_id AND r.vec_id = s.vec_id
+), per_sys AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         MIN(CASE WHEN rel > 0 THEN rk END) AS first_hit,
+         SUM(CASE WHEN rel > 0
+                  THEN CAST(round(rel * 1e9 / log2(rk + 1)) AS BIGINT)
+                  ELSE 0 END) AS dcg_e9
+  FROM sys_j GROUP BY query_id
+), per_ideal AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ideal,
+         SUM(CAST(round((11 - rk) * 1e9 / log2(rk + 1)) AS BIGINT))
+           AS idcg_e9
+  FROM ideal_r GROUP BY query_id
+)
+SELECT i.query_id, i.n_ideal,
+       CAST(coalesce(s.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(round(1.0 / s.first_hit, 6), 0.0) AS mrr6,
+       CASE WHEN i.idcg_e9 > 0
+            THEN round(coalesce(s.dcg_e9, 0) / CAST(i.idcg_e9 AS DOUBLE), 6)
+            ELSE 0.0 END AS ndcg6
+FROM per_ideal i LEFT JOIN per_sys s ON s.query_id = i.query_id
+ORDER BY i.query_id
+"""
+
+
+def x_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC of the cheap quality score (exact-integer mean
+    unigram log-prob key) against the Gopher keep verdict — the
+    classifier-eval number that says whether the cheap score can gate
+    documents BEFORE the expensive rule cascade runs. Exact Mann-Whitney
+    U over distinct scores, integers until the final division
+    (operators/stats.py:roc_auc)."""
+    docs = _docs(spark, sf_dir)
+    lp = text.unigram_logprob(docs)
+    keyed = (lp.withColumn("qkey_milli", text._quality_key())
+             .join(docs.select("doc_id", "source"), "doc_id")
+             .join(text.gopher_rules(docs).select("doc_id", "keep"),
+                   "doc_id"))
+    return stats.roc_auc(keyed, label="keep", score="qkey_milli",
+                         group="source")
+
+
+QUERIES["x_quality_auc"] = x_quality_auc
+
+ORACLES["x_quality_auc"] = f"""
+WITH lp AS MATERIALIZED ({ORACLES["x_unigram_logprob"]}),
+g AS MATERIALIZED (
+  SELECT doc_id, keep FROM ({ORACLES["x_gopher_rules"]})
+), keyed AS (
+  SELECT d.source,
+         CASE WHEN lp.n_tokens > 0
+              THEN ((lp.logprob_e6 + 100000000 * lp.n_tokens) * 1000)
+                   // lp.n_tokens
+              ELSE -1 END AS qkey_milli,
+         g.keep
+  FROM lp JOIN documents d ON d.doc_id = lp.doc_id
+  JOIN g ON g.doc_id = lp.doc_id
+), cs AS (
+  SELECT source, qkey_milli,
+         SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS nn
+  FROM keyed GROUP BY source, qkey_milli
+), cum AS (
+  SELECT source, np, nn,
+         SUM(nn) OVER (PARTITION BY source ORDER BY qkey_milli) - nn
+           AS below
+  FROM cs
+), agg AS (
+  SELECT source, SUM(np) AS p, SUM(nn) AS n,
+         SUM(np * (2 * below + nn)) AS u2
+  FROM cum GROUP BY source
+)
+SELECT source, CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+       CAST(u2 AS BIGINT) AS u2,
+       CASE WHEN p > 0 AND n > 0
+            THEN round(u2 / (2.0 * p * n), 6) END AS auc6
+FROM agg ORDER BY source
+"""
+
+
+def x_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling across sources (budget = 100k tokens,
+    4-epoch repetition cap, 3 unrolled integer redistribution passes) —
+    the data-mixing planning step that turns target weights into an
+    ACHIEVABLE per-source allocation; saturated sources spill their
+    unused share to the rest (functions/packing.py:mixture_allocation)."""
+    return packing.mixture_allocation(_docs(spark, sf_dir),
+                                      budget_tokens=100_000,
+                                      epochs_cap=4, rounds=3)
+
+
+QUERIES["x_mixture_allocation"] = x_mixture_allocation
+
+_MA_ROUND = """
+SELECT source, n_docs, avail, cap,
+       CASE WHEN alloc < cap AND uw > 0
+            THEN alloc + least(cap - alloc, rem // uw)
+            ELSE alloc END AS alloc
+FROM (SELECT *,
+             {budget} - SUM(alloc) OVER () AS rem,
+             SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END) OVER () AS uw
+      FROM {src}) t
+"""
+
+ORACLES["x_mixture_allocation"] = f"""
+WITH r0 AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(SUM(len({_QF_TOKS})), 0) AS BIGINT) AS avail,
+         CAST(4 * coalesce(SUM(len({_QF_TOKS})), 0) AS BIGINT) AS cap,
+         CAST(0 AS BIGINT) AS alloc
+  FROM documents GROUP BY source
+), r1 AS ({_MA_ROUND.format(budget=100_000, src="r0")}
+), r2 AS ({_MA_ROUND.format(budget=100_000, src="r1")}
+), r3 AS ({_MA_ROUND.format(budget=100_000, src="r2")}
+)
+SELECT source, n_docs, avail AS avail_tokens, cap AS cap_tokens,
+       CAST(alloc AS BIGINT) AS alloc_tokens,
+       CASE WHEN avail > 0 THEN round(alloc / CAST(avail AS DOUBLE), 6)
+            ELSE 0.0 END AS epochs6,
+       alloc >= cap AS saturated
+FROM r3 ORDER BY source
+"""
+
+
+def x_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of the metric over time (the
+    scaling-law / drift fit): y = e3 fixed-point value, x = days since
+    the FIXED 2024-01-01 epoch constant (no data-dependent second pass),
+    one exact-BIGINT sufficient-statistics aggregate, closed-form
+    slope/intercept/R² (operators/stats.py:ols_trend). Units: e3 value
+    per day; R² says whether the drift is real or noise."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000 - 19723")
+         .cast("bigint").alias("x"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("y"))
+    return stats.ols_trend(t, group="event_type", x="x", y="y")
+
+
+QUERIES["x_trend_ols"] = x_trend_ols
+
+ORACLES["x_trend_ols"] = """
+WITH t AS (
+  SELECT event_type,
+         CAST(epoch_ms(ts) // 86400000 - 19723 AS BIGINT) AS x,
+         CAST(round(value * 1000) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM t GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                  THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  ELSE 0.0 END, 6) AS slope6,
+       round((CAST(sy AS DOUBLE)
+              - (CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      ELSE 0.0 END) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept6,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                  THEN ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                       / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                  ELSE 0.0 END, 6) AS r2_6
+FROM s ORDER BY event_type
+"""
+
+
+def x_trend_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the OLS trend: the six sufficient
+    statistics are plain update-mode running sums per event_type (they
+    merge associatively, so streaming aggregation IS the maintenance —
+    no custom state), and the closed-form combine runs batch-side on the
+    drained state. Re-emissions are resolved by keeping each key's
+    highest-n row (n only grows; every emission is internally
+    consistent), so the result is robust to multi-batch replays and
+    hash-matches the batch oracle."""
+    from pyspark.sql import Window as W
+    ev = _stream_events(spark, sf_dir)
+    # The CSV replay carries no value column (the a2/j4 replay contract):
+    # the metric is a deterministic md5 draw both engines derive identically.
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("tval:"), F.col("event_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint")
+    t = ev.select(
+        "event_type",
+        F.expr("ts_ms div 86400000 - 19723").cast("bigint").alias("x"),
+        (h % 1000).cast("bigint").alias("y"))
+    sums = (t.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    drained = _run_to_memory(sums, spark, output_mode="update")
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc())
+    latest = (drained.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") == 1).drop("_rk"))
+    return stats.ols_combine(latest, group="event_type")
+
+
+QUERIES["x_trend_stream"] = x_trend_stream
+STREAMING_DEMOS.add("x_trend_stream")
+
+_TH = _H32.format(x="concat('tval:', CAST(event_id AS VARCHAR))")
+ORACLES["x_trend_stream"] = f"""
+WITH t AS (
+  SELECT event_type,
+         CAST(epoch_ms(ts) // 86400000 - 19723 AS BIGINT) AS x,
+         CAST({_TH} % 1000 AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM t GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                  THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  ELSE 0.0 END, 6) AS slope6,
+       round((CAST(sy AS DOUBLE)
+              - (CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      ELSE 0.0 END) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept6,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                  THEN ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                       / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                  ELSE 0.0 END, 6) AS r2_6
+FROM s ORDER BY event_type
+"""
+
+
+def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for each source's mean token count (32
+    deterministic hash replicas, rank-based ~93.75% interval) — the
+    uncertainty bar every dataset-card statistic should carry. Replica
+    weights draw from md5(b, doc_id) against exact integer Poisson(1)
+    CDF thresholds, so resamples are replayable in SQL and never
+    materialize (operators/stats.py:bootstrap_ci)."""
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id",
+        (F.size(text.tokens("text")) * F.lit(1_000_000))
+        .cast("bigint").alias("tok_e6"))
+    return stats.bootstrap_ci(d, value="tok_e6", group="source",
+                              id_col="doc_id", replicas=32)
+
+
+QUERIES["x_bootstrap_ci"] = x_bootstrap_ci
+
+_BH = _H32.format(x="concat('boot', CAST(b AS VARCHAR), ':', "
+                    "CAST(doc_id AS VARCHAR))")
+ORACLES["x_bootstrap_ci"] = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len({_QF_TOKS}) * 1000000 AS BIGINT) AS y
+  FROM documents
+), rep AS (
+  SELECT source, doc_id, y, b,
+         CASE WHEN {_BH} < 1580030168 THEN 0
+              WHEN {_BH} < 3160060337 THEN 1
+              WHEN {_BH} < 3950075421 THEN 2
+              WHEN {_BH} < 4213413783 THEN 3
+              ELSE 4 END AS w
+  FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs
+), per_rep AS (
+  SELECT source, b,
+         CASE WHEN SUM(w) > 0 THEN SUM(w * y) // SUM(w) ELSE 0 END AS m
+  FROM rep GROUP BY source, b
+), ranked AS (
+  SELECT source, m,
+         row_number() OVER (PARTITION BY source ORDER BY m, b) AS rk
+  FROM per_rep
+), ci AS (
+  SELECT source,
+         MAX(CASE WHEN rk = 2 THEN m END) AS boot_lo_e6,
+         MAX(CASE WHEN rk = 31 THEN m END) AS boot_hi_e6
+  FROM ranked GROUP BY source
+), base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) // COUNT(*) AS BIGINT) AS mean_e6
+  FROM d GROUP BY source
+)
+SELECT base.source, base.n, base.mean_e6,
+       CAST(ci.boot_lo_e6 AS BIGINT) AS boot_lo_e6,
+       CAST(ci.boot_hi_e6 AS BIGINT) AS boot_hi_e6
+FROM base JOIN ci ON ci.source = base.source
+ORDER BY base.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 6: W2 custom-watermark policy, replayed with an oracle
+# ---------------------------------------------------------------------------
+
+def x_custom_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 emulated-with-oracle: deterministic replay of the reference's
+    hand-rolled processing-time watermark generator
+    (EventTimeOperations.java:96-141 — re-anchor the watermark to current
+    wall-clock at most every `delay`, emit `anchor - buffer` after every
+    event, judge each event against the watermark emitted after its
+    predecessor). Wall-clock is modeled by the x_watermark_sweep jittered
+    arrival (ts + md5 jitter in [-1 h, +1 h)), replayed per event_type —
+    the per-subtask watermark-generator analog. The reference's 10 s / 2 s
+    constants target its ~1 Hz audit stream; the fixture's per-type
+    cadence is ~1300 s, so both scale by 720x (delay 2 h, buffer 24 min,
+    same 5:1 ratio). Output per type: n_events, n_late, n_refresh,
+    wm_final_ms.
+
+    The DuckDB oracle replays the identical recurrence through its
+    refresh-point characterization: refreshes are >= delay apart, so a
+    recursive CTE walks refresh -> next refresh (lex-min arrival strictly
+    past prev + delay) and a running-max + lag window reconstructs the
+    watermark each event was judged against — no event-by-event
+    recursion."""
+    from .functions.dedup import _md5_hash32
+    from .streaming.watermark import processing_time_watermark_replay
+    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
+    jitter = (_md5_hash32("arr", F.col("event_id").cast("string"))
+              % 7_200_000) - 3_600_000
+    e = e.withColumn("arrival_ms", F.col("ts_ms") + jitter)
+    return processing_time_watermark_replay(
+        e, key_col="event_type", id_col="event_id", ts_col="ts_ms",
+        arrival_col="arrival_ms", delay_ms=7_200_000, buffer_ms=1_440_000)
+
+
+QUERIES["x_custom_watermark_replay"] = x_custom_watermark_replay
+
+ORACLES["x_custom_watermark_replay"] = f"""
+WITH RECURSIVE arr AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS t,
+         epoch_ms(ts) + {_ARR_J} AS a
+  FROM events
+), refresh(event_type, a, event_id) AS (
+  SELECT event_type, a, event_id FROM (
+    SELECT event_type, a, event_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY a, event_id) AS rn
+    FROM arr) WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, n.a, n.event_id
+  FROM refresh r, LATERAL (
+    SELECT a, event_id FROM arr
+    WHERE arr.event_type = r.event_type AND arr.a > r.a + 7200000
+    ORDER BY a, event_id LIMIT 1) n
+), f AS (
+  SELECT arr.event_type, arr.event_id, arr.t, arr.a,
+         (ref.event_id IS NOT NULL) AS is_refresh
+  FROM arr LEFT JOIN refresh ref
+    ON ref.event_type = arr.event_type AND ref.a = arr.a
+   AND ref.event_id = arr.event_id
+), c AS (
+  SELECT *, max(CASE WHEN is_refresh THEN a END) OVER (
+      PARTITION BY event_type ORDER BY a, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw_after
+  FROM f
+), d AS (
+  SELECT *, lag(cw_after) OVER (
+      PARTITION BY event_type ORDER BY a, event_id) AS cw_before
+  FROM c
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN cw_before IS NOT NULL
+                      AND t < cw_before - 1440000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN is_refresh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_refresh,
+       CAST(max(cw_after) - 1440000 AS BIGINT) AS wm_final_ms
+FROM d GROUP BY event_type
+"""
+
+
+def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, hash-oracle-checked: per-subspace integer
+    Lloyd codebooks on the bounded md5 sample (the ivf_topk_exact trainer
+    run per subspace), one map-side encode pass (16 x 5-bit codes per
+    64-dim vector), asymmetric-distance shortlisting from broadcast
+    integer lookup tables, exact-cosine rerank of the shortlist
+    (similarity.pq_topk_exact; Jegou et al. TPAMI 2011). Measured
+    recall@5 vs brute force: 0.94 (x_pq_recall audits it). With
+    x_ivf_topk this completes the FAISS-standard IVF+PQ pair."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.pq_topk_exact(emb, q, k=5, m=16, ks=32, iters=2,
+                                    train_max=512, shortlist=50)
+
+
+QUERIES["x_pq_topk"] = x_pq_topk
+
+
+def _pq_oracle(k: int = 5, m: int = 16, ks: int = 32, iters: int = 2,
+               train_max: int = 512, shortlist: int | None = None,
+               dim: int = 64, train_filter: str = "") -> str:
+    """Replays similarity.pq_topk_exact bit-for-bit: e6 BIGINT vectors,
+    per-subspace seeds = first `ks` sample rows in (md5, id) order,
+    `iters` unrolled integer-Lloyd rounds partitioned by subspace
+    (argmin ties (d2, code); update sum // count, truncating; emptied
+    codeword kept), then map-side encode + ADC join-sum ranking —
+    followed, when `shortlist` is set, by the exact-cosine rerank of the
+    ADC shortlist (the Spark side's two-stage path). `train_filter`
+    restricts the TRAINING sample only (the incremental-index form:
+    books frozen on the base corpus, every vector still encoded)."""
+    d = dim // m
+    d2 = ("list_sum(list_transform(list_zip({a}, {b}),"
+          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    head = f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+),
+tv AS (SELECT *, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv{train_filter}
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {train_max}),
+sub AS (
+  SELECT s, vec_id, h, list_slice(q6, s * {d} + 1, s * {d} + {d}) AS v
+  FROM tv CROSS JOIN (SELECT unnest(range({m})) AS s)
+),
+c0 AS (
+  SELECT s, CAST(rn - 1 AS INT) AS cell, v AS cvec FROM (
+    SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY h, vec_id) AS rn
+    FROM sub) WHERE rn <= {ks}
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        steps.append(f""",
+a{i} AS (
+  SELECT s, vec_id, v, cell FROM (
+    SELECT sub.s, sub.vec_id, sub.v, c.cell,
+           row_number() OVER (PARTITION BY sub.s, sub.vec_id
+             ORDER BY {d2.format(a='sub.v', b='c.cvec')}, c.cell) AS rn
+    FROM sub JOIN {prev} c ON c.s = sub.s) WHERE rn = 1
+),
+n{i} AS (
+  SELECT s, cell, list(mu ORDER BY pos) AS cvec FROM (
+    SELECT s, cell, pos, sum(val) // count(*) AS mu FROM (
+      SELECT s, cell, unnest(v) AS val, unnest(range(len(v))) AS pos
+      FROM a{i})
+    GROUP BY s, cell, pos)
+  GROUP BY s, cell
+),
+c{i} AS (
+  SELECT p.s, p.cell, coalesce(n.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN n{i} n ON n.s = p.s AND n.cell = p.cell
+)""")
+    last = f"c{iters}"
+    tail = f""",
+codes AS (
+  SELECT vec_id, s, cell FROM (
+    SELECT v.vec_id, c.s, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id, c.s
+             ORDER BY {d2.format(
+                 a=f'list_slice(v.q6, c.s * {d} + 1, c.s * {d} + {d})',
+                 b='c.cvec')}, c.cell) AS rn
+    FROM qv v CROSS JOIN {last} c) WHERE rn = 1
+),
+qt AS (
+  SELECT q.vec_id AS query_id, c.s, c.cell,
+         {d2.format(
+             a=f'list_slice(q.q6, c.s * {d} + 1, c.s * {d} + {d})',
+             b='c.cvec')} AS dtv
+  FROM qv q CROSS JOIN {last} c WHERE q.vec_id < 10
+),
+sc AS (
+  SELECT qt.query_id, codes.vec_id,
+         CAST(sum(qt.dtv) AS BIGINT) AS adc_d2
+  FROM codes JOIN qt ON qt.s = codes.s AND qt.cell = codes.cell
+  WHERE qt.query_id <> codes.vec_id
+  GROUP BY 1, 2
+)"""
+    if shortlist is None:
+        tail += f"""
+SELECT query_id, vec_id, adc_d2, rk FROM (
+  SELECT query_id, vec_id, adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_d2, vec_id) AS INT) AS rk
+  FROM sc)
+WHERE rk <= {k}
+"""
+    else:
+        cos = _cosine_sql("q.embedding", "c.embedding")
+        tail += f""",
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_d2, vec_id) AS rk
+    FROM sc) WHERE rk <= {shortlist}
+),
+rer AS (
+  SELECT sl.query_id, sl.vec_id, round({cos}, 6) AS score
+  FROM sl
+  JOIN embeddings c ON c.vec_id = sl.vec_id
+  JOIN embeddings q ON q.vec_id = sl.query_id
+)
+SELECT query_id, vec_id, score, rk FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM rer)
+WHERE rk <= {k}
+"""
+    return head + "".join(steps) + tail
+
+
+ORACLES["x_pq_topk"] = _pq_oracle(k=5, m=16, ks=32, iters=2, train_max=512,
+                                  shortlist=50)
+
+
+def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality audit: per-query overlap between the 32-bit-code ADC
+    top-k and the exact-cosine top-k — the recall@k curve one runs before
+    trusting a PQ index at scale (the x_lsh_recall pattern applied to
+    quantized ANN). Both sides are deterministic, so the overlap is an
+    exact integer and the row hash-matches cross-engine. The PQ side
+    serves from the PERSISTED index (``_pq_index_dir`` — training is
+    deterministic so it reproduces the inline x_pq_topk build
+    bit-for-bit); x_pq_topk remains the inline build-parity form, the
+    x_dedup_stats/x_dedup_report split applied to ANN. Output per
+    query: n_overlap, recall@5."""
+    import os
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    base = _pq_index_dir(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(base, "codes"))
+    row = spark.read.parquet(os.path.join(base, "books")).collect()[0]
+    books = [[list(cv) for cv in book] for book in row["B"]]
+    pq = similarity.pq_adc_topk(codes, books, q, corpus=emb, k=5,
+                                shortlist=50).select("query_id", "vec_id")
+    bf = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "vec_id")
+    hit = pq.join(bf, ["query_id", "vec_id"])
+    return (q.select("query_id")
+            .join(hit.groupBy("query_id")
+                     .agg(F.count(F.lit(1)).alias("n_overlap")),
+                  "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                     .alias("n_overlap"))
+            .withColumn("recall_at_5",
+                        F.round(F.col("n_overlap") / F.lit(5.0), 6)))
+
+
+QUERIES["x_pq_recall"] = x_pq_recall
+
+ORACLES["x_pq_recall"] = f"""
+WITH pq AS ({_pq_oracle(k=5, m=16, ks=32, iters=2, train_max=512,
+                        shortlist=50)}),
+bf AS ({_brute_force_oracle(k=5)}),
+hit AS (
+  SELECT pq.query_id, count(*) AS n_overlap
+  FROM pq JOIN bf ON bf.query_id = pq.query_id AND bf.vec_id = pq.vec_id
+  GROUP BY 1
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(hit.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(hit.n_overlap, 0) / 5.0, 6) AS recall_at_5
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+LEFT JOIN hit ON hit.query_id = q.vec_id
+"""
+
+
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the top-5 most-cosine-similar corpus vectors with a DIFFERENT
+    label — the negatives that actually move the loss (random negatives
+    are trivially separated). Anchors are a bounded query set broadcast
+    against the corpus (linear scan per anchor, the brute_force_topk
+    shape); at scale the anchor set is a sample and the corpus side would
+    be the PQ/IVF index. Output: query_id, vec_id, score, rk."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"))
+    from pyspark.sql import Window
+    pair = (emb.crossJoin(F.broadcast(q))
+            .filter(F.col("label") != F.col("q_label"))
+            .select("query_id", "vec_id",
+                    F.round(similarity.cosine("q_vec", "embedding"), 6)
+                     .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("vec_id"))
+    return (pair.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "vec_id", "score", "rk"))
+
+
+QUERIES["x_hard_negatives"] = x_hard_negatives
+
+ORACLES["x_hard_negatives"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q, label AS q_label
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+s AS (
+  SELECT query_id, vec_id, round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE c.label <> q.q_label
+), r AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
+"""
+
+
+def x_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label eval (k=5, majority vote, ties broken by
+    (count desc, label asc)) on a bounded anchor sample — the standard
+    embedding-quality probe: if 5-NN majority recovers the label, the
+    space clusters by label. The anchor set stays bounded (vec_id < 50)
+    so the scan is linear in the corpus, never quadratic; at 100 TB the
+    anchors are a hash-sample and the neighbor scan runs against the ANN
+    index. Output per true label: n_eval, n_correct, acc6."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("true_label"))
+    from pyspark.sql import Window
+    pair = (emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "true_label", "vec_id", "label",
+                    F.round(similarity.cosine("q_vec", "embedding"), 6)
+                     .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("vec_id"))
+    nn = pair.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    votes = (nn.groupBy("query_id", "true_label", "label")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(),
+                                                F.col("label"))
+    pred = (votes.withColumn("vr", F.row_number().over(wv))
+            .filter(F.col("vr") == 1)
+            .select("query_id", "true_label",
+                    F.col("label").alias("pred_label")))
+    return (pred.groupBy("true_label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+                 F.sum((F.col("pred_label") == F.col("true_label"))
+                       .cast("bigint")).cast("bigint").alias("n_correct"))
+            .withColumn("acc6", F.round(F.col("n_correct")
+                                        / F.col("n_eval"), 6))
+            .orderBy("true_label"))
+
+
+QUERIES["x_knn_eval"] = x_knn_eval
+
+ORACLES["x_knn_eval"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q, label AS true_label
+           FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+s AS (
+  SELECT query_id, true_label, vec_id, label,
+         round({_COSINE_Q}, 6) AS score
+  FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id
+), nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, vec_id) AS rk FROM s) WHERE rk <= 5
+), votes AS (
+  SELECT query_id, true_label, label, count(*) AS n_votes
+  FROM nn GROUP BY 1, 2, 3
+), pred AS (
+  SELECT query_id, true_label, label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, label) AS vr FROM votes)
+  WHERE vr = 1
+)
+SELECT true_label,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             / count(*), 6) AS acc6
+FROM pred GROUP BY 1 ORDER BY 1
+"""
+
+
+def x_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key alert throttling (1 h cooldown anchored on the last KEPT
+    event): the monitoring-pipeline primitive that turns an error burst
+    into one page. Not a session/lag window — suppression anchors on the
+    last emitted event, so it needs the keyed sequential pass
+    (functions/filtering.py:cooldown_throttle, applyInPandas per
+    event_type); the oracle walks the kept set's refresh points with a
+    recursive CTE (kept events are >= cooldown apart, so the recursion is
+    span/cooldown deep, never event-deep)."""
+    from .functions.filtering import cooldown_throttle
+    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ms")
+    return cooldown_throttle(e, key_col="event_type", id_col="event_id",
+                             ts_col="ts_ms", cooldown_ms=3_600_000)
+
+
+QUERIES["x_throttle"] = x_throttle
+
+ORACLES["x_throttle"] = """
+WITH RECURSIVE arr AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS t FROM events
+), kept(event_type, t, event_id) AS (
+  SELECT event_type, t, event_id FROM (
+    SELECT event_type, t, event_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY t, event_id) AS rn
+    FROM arr) WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, n.t, n.event_id
+  FROM kept r, LATERAL (
+    SELECT t, event_id FROM arr
+    WHERE arr.event_type = r.event_type AND arr.t > r.t + 3600000
+    ORDER BY t, event_id LIMIT 1) n
+)
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+       CAST(t AS BIGINT) AS ts_ms
+FROM kept
+"""
+
+
+def x_throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_throttle through the S1 file replay + applyInPandasWithState —
+    the ValueState cooldown survives micro-batch boundaries. Same kept
+    set, same oracle as the batch form."""
+    from .streaming.stateful import cooldown_throttle_stream
+    ev = _stream_events(spark, sf_dir).select(
+        "event_type", "event_id", F.col("ts_ms").cast("long").alias("ts_ms"))
+    out = cooldown_throttle_stream(ev, key="event_type", id_col="event_id",
+                                   ts_ms="ts_ms", cooldown_ms=3_600_000)
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_throttle_stream"] = x_throttle_stream
+STREAMING_DEMOS.add("x_throttle_stream")
+ORACLES["x_throttle_stream"] = ORACLES["x_throttle"]
+
+
+def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-standard IVFADC index: IVF coarse routing
+    (probe 3 of 8 cells) + product quantization of the RESIDUAL
+    vector - centroid (16 x 5-bit codes) + per-cell ADC tables + exact
+    rerank of the 50-deep shortlist (similarity.ivfpq_topk_exact; Jegou
+    et al. TPAMI 2011 SIV). Measured recall@5 vs brute force 0.64 at
+    3/8 cells probed — the cell-miss rate dominates on this weakly
+    clustered fixture; the PQ+rerank stages inside probed cells are
+    near-exact. Fully integer end-to-end: DuckDB replays coarse
+    centroids, residual codebooks, codes, probes and both rankings."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivfpq_topk_exact(emb, q, k=5, n_lists=8, n_probe=3,
+                                       coarse_iters=3, m=16, ks=32,
+                                       pq_iters=2, train_max=512,
+                                       shortlist=50)
+
+
+QUERIES["x_ivfpq_topk"] = x_ivfpq_topk
+
+
+def _ivfpq_oracle(k: int = 5, n_lists: int = 8, n_probe: int = 3,
+                  coarse_iters: int = 3, m: int = 16, ks: int = 32,
+                  pq_iters: int = 2, train_max: int = 512,
+                  shortlist: int = 50, dim: int = 64) -> str:
+    """Replays similarity.ivfpq_topk_exact bit-for-bit: the _ivf_oracle
+    coarse-Lloyd CTE chain, sample residuals, the _pq_oracle per-subspace
+    Lloyd chain on those residuals, map-side corpus encode (cell +
+    residual codes), per-cell query ADC via an (s, cell, code) join-sum,
+    then shortlist + exact-cosine rerank."""
+    d = dim // m
+    d2 = ("list_sum(list_transform(list_zip({a}, {b}),"
+          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    rsub = ("list_slice(list_transform(list_zip({v}, {c}),"
+            " p -> p[1] - p[2]), {lo}, {hi})")
+    parts = [f"""
+WITH qv AS (
+  SELECT vec_id, embedding, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+),
+tv AS (SELECT vec_id, q6, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {train_max}),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cell,
+         q6 AS cvec
+  FROM tv ORDER BY h, vec_id LIMIT {n_lists}
+)"""]
+    for i in range(1, coarse_iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, q6, cell FROM (
+    SELECT v.vec_id, v.q6, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
+    FROM tv v CROSS JOIN {prev} c) WHERE rn = 1
+),
+n{i} AS (
+  SELECT cell, list(mu ORDER BY pos) AS cvec FROM (
+    SELECT cell, pos, sum(val) // count(*) AS mu FROM (
+      SELECT cell, unnest(q6) AS val, unnest(range(len(q6))) AS pos
+      FROM a{i})
+    GROUP BY cell, pos)
+  GROUP BY cell
+),
+c{i} AS (
+  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN n{i} n USING (cell)
+)""")
+    cc = f"c{coarse_iters}"
+    # Sample residual subvectors (assignment replays the same argmin).
+    parts.append(f""",
+sa AS (
+  SELECT vec_id, h, q6, cell, cvec FROM (
+    SELECT v.vec_id, v.h, v.q6, c.cell, c.cvec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
+    FROM tv v CROSS JOIN {cc} c) WHERE rn = 1
+),
+rs AS (
+  SELECT s, vec_id, h,
+         {rsub.format(v='q6', c='cvec',
+                      lo=f's * {d} + 1', hi=f's * {d} + {d}')} AS v
+  FROM sa CROSS JOIN (SELECT unnest(range({m})) AS s)
+),
+p0 AS (
+  SELECT s, CAST(rn - 1 AS INT) AS code, v AS cvec FROM (
+    SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY h, vec_id) AS rn
+    FROM rs) WHERE rn <= {ks}
+)""")
+    for i in range(1, pq_iters + 1):
+        prev = f"p{i - 1}"
+        parts.append(f""",
+pa{i} AS (
+  SELECT s, vec_id, v, code FROM (
+    SELECT rs.s, rs.vec_id, rs.v, c.code,
+           row_number() OVER (PARTITION BY rs.s, rs.vec_id
+             ORDER BY {d2.format(a='rs.v', b='c.cvec')}, c.code) AS rn
+    FROM rs JOIN {prev} c ON c.s = rs.s) WHERE rn = 1
+),
+pn{i} AS (
+  SELECT s, code, list(mu ORDER BY pos) AS cvec FROM (
+    SELECT s, code, pos, sum(val) // count(*) AS mu FROM (
+      SELECT s, code, unnest(v) AS val, unnest(range(len(v))) AS pos
+      FROM pa{i})
+    GROUP BY s, code, pos)
+  GROUP BY s, code
+),
+p{i} AS (
+  SELECT p.s, p.code, coalesce(n.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN pn{i} n ON n.s = p.s AND n.code = p.code
+)""")
+    pp = f"p{pq_iters}"
+    parts.append(f""",
+fa AS (
+  SELECT vec_id, q6, cell, cvec FROM (
+    SELECT v.vec_id, v.q6, c.cell, c.cvec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2.format(a='v.q6', b='c.cvec')}, c.cell) AS rn
+    FROM qv v CROSS JOIN {cc} c) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, cell, s, code FROM (
+    SELECT fa.vec_id, fa.cell, b.s, b.code,
+           row_number() OVER (PARTITION BY fa.vec_id, b.s
+             ORDER BY {d2.format(
+                 a=('list_slice(list_transform(list_zip(fa.q6, fa.cvec),'
+                    ' p -> p[1] - p[2]),'
+                    f' b.s * {d} + 1, b.s * {d} + {d})'),
+                 b='b.cvec')}, b.code) AS rn
+    FROM fa CROSS JOIN {pp} b) WHERE rn = 1
+),
+pr AS (
+  SELECT query_id, q6, cell, cvec FROM (
+    SELECT q.vec_id AS query_id, q.q6, c.cell, c.cvec,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {d2.format(a='q.q6', b='c.cvec')}, c.cell) AS rn
+    FROM qv q CROSS JOIN {cc} c WHERE q.vec_id < 10) WHERE rn <= {n_probe}
+),
+qd AS (
+  SELECT pr.query_id, pr.cell, b.s, b.code,
+         {d2.format(
+             a=('list_slice(list_transform(list_zip(pr.q6, pr.cvec),'
+                ' p -> p[1] - p[2]),'
+                f' b.s * {d} + 1, b.s * {d} + {d})'),
+             b='b.cvec')} AS dtv
+  FROM pr CROSS JOIN {pp} b
+),
+sc AS (
+  SELECT qd.query_id, codes.vec_id, CAST(sum(qd.dtv) AS BIGINT) AS adc_d2
+  FROM codes
+  JOIN qd ON qd.cell = codes.cell AND qd.s = codes.s
+         AND qd.code = codes.code
+  WHERE qd.query_id <> codes.vec_id
+  GROUP BY 1, 2
+),
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_d2, vec_id) AS rk
+    FROM sc) WHERE rk <= {shortlist}
+),
+rer AS (
+  SELECT sl.query_id, sl.vec_id,
+         round({_cosine_sql('q.embedding', 'c.embedding')}, 6) AS score
+  FROM sl
+  JOIN embeddings c ON c.vec_id = sl.vec_id
+  JOIN embeddings q ON q.vec_id = sl.query_id
+)
+SELECT query_id, vec_id, score, rk FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id) AS INT) AS rk
+  FROM rer)
+WHERE rk <= {k}
+""")
+    return "".join(parts)
+
+
+ORACLES["x_ivfpq_topk"] = _ivfpq_oracle()
+
+
+def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """PQ index persisted ONCE per (corpus, params): ``codes/`` (vec_id +
+    16 5-bit codes — 80 bits/vector, ~50x smaller than the e6 vectors)
+    and ``books/`` (the 1-row m x ks x d codebook artifact). The
+    ``_edges_parquet_dir`` pattern applied to ANN: at 100 TB the nightly
+    index job trains + encodes once and every retrieval query ADC-scans
+    the code table, never the raw embeddings. ``books/`` is written last
+    so its _SUCCESS marks the whole index complete."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:pq_m16k32i2t512"
+        f":{_code_tag(similarity.pq_train_books, similarity.pq_encode)}"
+        .encode()).hexdigest()[:12]
+    out = os.path.join(_tempfile.gettempdir(), f"frde_pqidx_{tag}")
+    if not os.path.exists(os.path.join(out, "books", "_SUCCESS")):
+        emb = _emb(spark, sf_dir)
+        books = similarity.pq_train_books(emb, m=16, ks=32, iters=2,
+                                          train_max=512)
+        similarity.pq_encode(emb, books).write.mode("overwrite").parquet(
+            os.path.join(out, "codes"))
+        similarity._pq_books_df(spark, books).write.mode(
+            "overwrite").parquet(os.path.join(out, "books"))
+    return out

@@ -109,7 +109,12 @@ def produce(topic_dir: str, topic: str,
               else str(key).encode()) if key is not None else None
         vb = value if isinstance(value, bytes) else str(value).encode()
         lines.append(json.dumps({
-            "key_b64": base64.b64encode(kb).decode() if kb else None,
+            # `is not None`, not truthiness: an EMPTY key (b'') must
+            # round-trip as empty bytes — _partition_for already hashed
+            # it (md5(b'')), so storing it as a null key would pair a
+            # null key with a hashed partition, unlike a real broker.
+            "key_b64": (base64.b64encode(kb).decode()
+                        if kb is not None else None),
             "value_b64": base64.b64encode(vb).decode(),
             "topic": topic,
             "partition": part,

@@ -2742,7 +2742,10 @@ def _pq_incr_index_dir(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     tag = hashlib.md5(
         f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:pq_incr80"
-        f":{_code_tag(similarity.pq_train_books, similarity.pq_encode)}"
+        # tag the BUILDER's own source too (r9 ADVICE): the 80% cutoff
+        # and index layout live here, not in the trained-fn sources —
+        # matching _postings_parquet_dir / _events_kafka_topic_dir.
+        f":{_code_tag(similarity.pq_train_books, similarity.pq_encode, _pq_incr_index_dir)}"
         .encode()).hexdigest()[:12]
     out = os.path.join(_tempfile.gettempdir(), f"frde_pqincr_{tag}")
     if not os.path.exists(os.path.join(out, "books", "_SUCCESS")):

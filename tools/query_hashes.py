@@ -186,6 +186,29 @@ def _product_tree_dirty() -> list[str]:
         return []
 
 
+def _product_changed_since_results(path: str) -> list[str]:
+    """Product files committed AFTER the commit that produced the results
+    file (r9 ADVICE): the clean-tree gate proves the working tree matches
+    HEAD, but not that HEAD is the code the driver ran — commits landing
+    between the driver run and the absorb would pin greens onto code the
+    driver never saw. The results file's own last-touch commit is the
+    best available generation-time marker."""
+    paths = [f"{_PKG}/", "__spark_entry__.py", "tools/query_hashes.py"]
+    try:
+        base = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", os.path.basename(path)],
+            cwd=_HERE, capture_output=True, text=True, timeout=30
+        ).stdout.strip()
+        if not base:
+            return []  # results file never committed (fresh driver drop)
+        out = subprocess.run(
+            ["git", "diff", "--name-only", base, "HEAD", "--"] + paths,
+            cwd=_HERE, capture_output=True, text=True, timeout=30)
+        return [ln for ln in out.stdout.splitlines() if ln.strip()]
+    except Exception:
+        return []
+
+
 def cmd_absorb(path: str, force: bool = False) -> None:
     dirty = _product_tree_dirty()
     if dirty and not force:
@@ -193,6 +216,14 @@ def cmd_absorb(path: str, force: bool = False) -> None:
               "produced against committed code must not pin greens onto "
               "edited code. Commit/stash first, or pass --force.\n  "
               + "\n  ".join(dirty[:10]), file=sys.stderr)
+        sys.exit(1)
+    drifted = _product_changed_since_results(path)
+    if drifted and not force:
+        print("REFUSING absorb: product files changed in commits AFTER the "
+              "results file landed — these greens were measured on older "
+              "code. Pass --force only if you know the changed files touch "
+              "no absorbed query.\n  " + "\n  ".join(drifted[:10]),
+              file=sys.stderr)
         sys.exit(1)
     with open(path) as f:
         results = json.load(f)

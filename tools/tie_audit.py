@@ -128,11 +128,26 @@ def instrument(sql: str, label: str = "oracle") -> tuple[str, int]:
     preserved — the canary wraps each site independently).
     """
     out, pos, sites = [], 0, 0
+    in_str = False  # literal state carried across the scan (r9 ADVICE:
+    # the regex alone would rewrite a round( inside a VARCHAR literal)
     while True:
         m = _ROUND.search(sql, pos)
         if m is None:
             out.append(sql[pos:])
             break
+        # replay quote parity over the skipped span; '' escapes a quote
+        j = pos
+        while j < m.start():
+            if sql[j] == "'":
+                if in_str and j + 1 < len(sql) and sql[j + 1] == "'":
+                    j += 1
+                else:
+                    in_str = not in_str
+            j += 1
+        if in_str:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
         open_idx = m.end() - 1
         close_idx = _find_close(sql, open_idx)
         inner = sql[m.end():close_idx]
@@ -153,8 +168,16 @@ def instrument(sql: str, label: str = "oracle") -> tuple[str, int]:
         except ValueError:
             exact_split = False
         a = f"abs(CAST(({expr_rw}) AS DOUBLE))"
+        # fmod(x, 1.0) is meaningless once x >= 2^53 (ulp >= 2): the
+        # guard cannot see ties there, so FLAG scaled operands leaving
+        # its domain instead of silently passing (r9 ADVICE). k = 0 is
+        # exempt: a double >= 2^53 is already an integer, round() is
+        # the identity and no tie can exist.
+        dom = "FALSE"
         if exact_split:
             s = float(10 ** k)
+            if k > 0:
+                dom = f"(({a}) * {s} >= 9007199254740992.0)"
             # Dekker split of A (C = 2^27 + 1); S is a power of ten
             # <= 1e15 so its own split is (S, 0) and drops out.
             eh = f"(({a}) * 134217729.0 - (({a}) * 134217729.0 - ({a})))"
@@ -164,8 +187,11 @@ def instrument(sql: str, label: str = "oracle") -> tuple[str, int]:
             hazard = (f"(({f_} = 0.5 AND {err} <> 0.0) OR "
                       f"({f_} <> 0.5 AND abs({f_} - 0.5) < {TOL}))")
         else:
-            f_ = f"fmod(({a}) * pow(10.0, ({scale})), 1.0)"
+            sc = f"pow(10.0, ({scale}))"
+            dom = f"(({a}) * {sc} >= 9007199254740992.0 AND ({scale}) > 0)"
+            f_ = f"fmod(({a}) * {sc}, 1.0)"
             hazard = f"({f_} <> 0.5 AND abs({f_} - 0.5) < {TOL})"
+        hazard = f"({hazard} OR {dom})"
         out.append(
             f"(CASE WHEN {hazard} "
             f"THEN CAST(error('rounding near-tie in {label}: round(..., "

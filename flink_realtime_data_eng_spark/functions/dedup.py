@@ -668,3 +668,61 @@ def prefix_filter_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     # tokenizes exactly once across candidate generation AND verify.
     return jaccard_pairs(df, n=n, threshold=threshold, text_col=text_col,
                          id_col=id_col, candidates=cand, shingles_df=sh)
+
+
+def exact_substr_spans(df: DataFrame, n: int = 8, min_count: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact substring-level dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022 — the ExactSubstr form):
+    the maximal token regions of each document that sit inside ANY
+    substring of >= ``n`` tokens occurring >= ``min_count`` times
+    corpus-wide (within-document repeats count, as in the paper).
+
+    The reference implementation builds a corpus suffix array; that is a
+    single-node ACCELERATION, not part of the semantics. Distributed, the
+    removal set is computed exactly from fixed-width windows:
+
+    - every duplicated substring of length >= n is a union of its
+      n-token sub-windows, each of which is itself duplicated;
+    - every duplicated n-token window is a duplicated substring;
+
+    so "position covered by a duplicated >=n substring" IS "position
+    covered by a duplicated n-window". A groupBy on window fingerprints
+    therefore reproduces the suffix array's answer — and the suffix
+    array's "suffix-ordered span growth" merge step becomes a per-doc
+    interval union of the covering windows (gaps-and-islands over the
+    hit positions). No pass ever shuffles corpus text: windows travel as
+    md5 fingerprints, hits as (id, pos) ints, and the duplicated-window
+    list is boilerplate-proportional, never corpus-proportional.
+
+    Output: one row per maximal removed region —
+    (id, span_start, span_end, removed_tokens), token positions 0-based
+    inclusive. Feed to ``transform``/``filter`` over the token array to
+    emit cleaned text; the span table itself is the auditable artifact.
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(F.col(id_col), F.split(_norm(text_col), " ").alias("w"))
+    grams = (words.filter(F.size("w") >= n)
+             .select(F.col(id_col), F.explode(F.expr(
+                 f"transform(sequence(0, size(w) - {n}), i -> "
+                 f"named_struct('pos', i, 'fp',"
+                 f" md5(concat_ws(' ', slice(w, i + 1, {n})))))")).alias("s"))
+             .select(F.col(id_col), F.col("s.pos").alias("pos"),
+                     F.col("s.fp").alias("fp")))
+    dup = (grams.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") >= min_count).select("fp"))
+    hits = grams.join(dup, "fp").select(id_col, "pos")
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    # consecutive hit windows at pos_prev and pos cover contiguous tokens
+    # iff pos <= pos_prev + n; a larger jump starts a new removed region
+    brk = F.when(F.col("pos") - F.lag("pos").over(w_ord) > n, 1).otherwise(0)
+    isl = hits.withColumn("island", F.sum(brk).over(w_ord))
+    return (isl.groupBy(id_col, "island")
+               .agg(F.min("pos").cast("bigint").alias("span_start"),
+                    (F.max("pos") + F.lit(n - 1)).cast("bigint")
+                    .alias("span_end"),
+                    (F.max("pos") - F.min("pos") + F.lit(n)).cast("bigint")
+                    .alias("removed_tokens"))
+               .select(id_col, "span_start", "span_end", "removed_tokens"))

@@ -2794,3 +2794,49 @@ ORACLES["x_pq_incremental"] = _pq_oracle(
     k=5, m=16, ks=32, iters=2, train_max=512, shortlist=50,
     train_filter=" WHERE vec_id < (SELECT 4 * count(*) // 5"
                  " FROM embeddings)")
+
+
+def x_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. ACL 2022, ExactSubstr —
+    reference has no analog; extends x_dup_ngram_frac/x_repeated_spans
+    beyond fixed 8-gram GRANULARITY to maximal-span removal SEMANTICS):
+    per document, the maximal token regions covered by any substring of
+    >= 8 tokens appearing >= 2 times corpus-wide (within-doc repeats
+    count, as in the paper). Duplicated-window coverage + per-doc
+    interval union is EXACTLY the suffix array's removal set — see
+    dedup.exact_substr_spans for the equivalence argument. Shuffles
+    carry fingerprints and (id, pos) ints only; the dup-window list is
+    boilerplate-proportional, so the shape holds at 100 TB."""
+    return dedup.exact_substr_spans(_docs(spark, sf_dir), n=8, min_count=2)
+
+
+QUERIES["x_exact_substr_spans"] = x_exact_substr_spans
+
+ORACLES["x_exact_substr_spans"] = f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS fp
+  FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(w) - 7
+), dup AS (
+  SELECT fp FROM g GROUP BY 1 HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM g JOIN dup USING (fp)
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS b
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS removed_tokens
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""

@@ -539,3 +539,33 @@ def test_bfs_hops_chain_and_unreachable(spark):
     got2 = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds2,
                                                   rounds=3).collect()}
     assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_exact_substr_spans_merges_overlapping_windows(spark):
+    # Shared run "a b c d e" (5 tokens) across docs 1 and 2, n=4: windows
+    # at doc-1 positions 2 and 3 both duplicate -> ONE maximal region
+    # [2, 6] of 5 tokens; singleton tails are never covered.
+    df = _docs(spark, [(1, "x y a b c d e p q"),
+                       (2, "m a b c d e n")])
+    out = {(r["doc_id"], r["span_start"], r["span_end"], r["removed_tokens"])
+           for r in dedup.exact_substr_spans(df, n=4, min_count=2).collect()}
+    assert out == {(1, 2, 6, 5), (2, 1, 5, 5)}
+
+
+def test_exact_substr_spans_within_doc_repeats_count(spark):
+    # Lee et al. count within-document repeats: one doc repeating its own
+    # 4-gram twice is a duplicate even with no second document.
+    df = _docs(spark, [(1, "a b c d z z z a b c d"),
+                       (2, "totally unrelated words here")])
+    out = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in dedup.exact_substr_spans(df, n=4, min_count=2).collect()}
+    assert out == {(1, 0, 3), (1, 7, 10)}
+
+
+def test_exact_substr_spans_distinct_regions_stay_split(spark):
+    # Two duplicated runs separated by a gap wider than n must NOT merge.
+    df = _docs(spark, [(1, "a b c d u v w x y z e f g h"),
+                       (2, "a b c d q r s t e f g h")])
+    out = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                 for r in dedup.exact_substr_spans(df, n=4, min_count=2).collect())
+    assert out == [(1, 0, 3), (1, 10, 13), (2, 0, 3), (2, 8, 11)]

@@ -225,3 +225,68 @@ def mixture_allocation(df: DataFrame, budget_tokens: int,
          .otherwise(F.lit(0.0)).alias("epochs6"),
         (F.col("alloc") >= F.col("cap")).alias("saturated"))
         .orderBy(source_col))
+
+
+def token_budget_select(df: DataFrame, budget_pct: int = 50,
+                        band_div: int = 10_000_000,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        group_col: str = "source") -> DataFrame:
+    """Budget-constrained corpus selection — the "build an N-token
+    training set from a bigger pool" step: take documents best-quality
+    first (mean unigram logprob, the CCNet-style key shared with
+    :func:`~..functions.text.quality_buckets`) until the selected token
+    count reaches ``budget_pct`` percent of the pool, then report what
+    was taken per ``group_col``. Complements :func:`mixture_allocation`:
+    that op PLANS per-source token counts against weights; this one
+    EXECUTES a global greedy selection against a single budget.
+
+    The greedy prefix under a budget is a running sum over a global
+    quality ordering — the textbook driver-side trap. Here it is a
+    two-tier distributed prefix sum:
+
+    - tier 1: coarse quality BANDS (``qkey_milli div band_div``). The
+      key is mean-logprob in milli-e6 units, so its span is bounded by
+      the token-probability range, not the corpus: ~2,000-4,000 bands at
+      any SF. Band token totals + a cumulative window over that tiny
+      frame give each band's global offset.
+    - tier 2: within-band running sum, windowed ``partitionBy(band)`` —
+      per-band state only, never a single global partition.
+
+    A document is selected iff band_offset + its within-band running
+    total stays inside the budget — exactly the sequential greedy
+    answer, with deterministic (qkey desc, id) tie order. Empty docs are
+    excluded up front (they consume no budget and train nothing).
+
+    Output: (group_col, docs_sel, tokens_sel) BIGINT, one row per group
+    with at least one selected doc.
+    """
+    from .text import _quality_key, unigram_logprob
+
+    # Materialize ONCE (ids + int key columns only): band totals, the
+    # budget aggregate, and the per-doc running sum all consume this
+    # frame — without the checkpoint each reference re-derives the
+    # unigram scoring chain.
+    scored = (unigram_logprob(df, text_col=text_col, id_col=id_col)
+              .filter(F.col("n_tokens") > 0)
+              .withColumn("qkey_milli", _quality_key())
+              .withColumn("band", F.expr(f"qkey_milli div {band_div}"))
+              .select(id_col, "n_tokens", "qkey_milli", "band")
+              .localCheckpoint(eager=True))
+    btot = scored.groupBy("band").agg(F.sum("n_tokens").alias("bt"))
+    w_b = (W.orderBy(F.col("band").desc())
+            .rowsBetween(W.unboundedPreceding, -1))
+    boff = btot.withColumn(
+        "prev", F.coalesce(F.sum("bt").over(w_b), F.lit(0)).cast("bigint"))
+    w_in = (W.partitionBy("band")
+             .orderBy(F.col("qkey_milli").desc(), F.col(id_col)))
+    budget = scored.agg(
+        F.expr(f"(sum(n_tokens) * {budget_pct}) div 100").alias("B"))
+    cum = (scored.join(boff.select("band", "prev"), "band")
+           .withColumn("cum", F.col("prev")
+                       + F.sum("n_tokens").over(w_in).cast("bigint")))
+    sel = cum.crossJoin(budget).filter(F.col("cum") <= F.col("B"))
+    return (sel.join(df.select(id_col, group_col), id_col)
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("docs_sel"),
+                 F.sum("n_tokens").cast("bigint").alias("tokens_sel"))
+            .orderBy(group_col))

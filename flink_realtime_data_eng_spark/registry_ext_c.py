@@ -2840,3 +2840,72 @@ SELECT doc_id,
 FROM isl GROUP BY doc_id, island
 ORDER BY doc_id, span_start
 """
+
+
+def x_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection (no reference analog — §2.9
+    training-data surface): greedy best-quality-first selection of
+    documents until 50% of the pool's tokens are taken, reported per
+    source. The global greedy prefix sum is computed as a two-tier
+    band-offset + within-band window (never one global partition) —
+    see packing.token_budget_select for the scale argument. Quality key
+    = the exact-integer mean-unigram-logprob key shared with
+    x_quality_buckets, so selection order is tie-free and the DuckDB
+    oracle replays it bit-for-bit."""
+    from .functions import packing
+    return packing.token_budget_select(_docs(spark, sf_dir), budget_pct=50)
+
+
+QUERIES["x_token_budget_select"] = x_token_budget_select
+
+ORACLES["x_token_budget_select"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), uni AS (
+  SELECT tok, SUM(tf) AS c FROM tf GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS n_corpus, count(*) AS vocab FROM uni
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(tf * ln(CAST(c + 1 AS DOUBLE)
+                                     / (n_corpus + vocab)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS logprob_e6,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens
+  FROM tf JOIN uni USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, n_tokens,
+         ((logprob_e6 + 100000000 * n_tokens) * 1000) // n_tokens
+           AS qkey_milli
+  FROM scored WHERE n_tokens > 0
+), banded AS (
+  SELECT doc_id, n_tokens, qkey_milli,
+         qkey_milli // 10000000 AS band
+  FROM keyed
+), btot AS (
+  SELECT band, SUM(n_tokens) AS bt FROM banded GROUP BY 1
+), boff AS (
+  SELECT band,
+         CAST(coalesce(SUM(bt) OVER (ORDER BY band DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev
+  FROM btot
+), bud AS (
+  SELECT (SUM(n_tokens) * 50) // 100 AS B FROM keyed
+), cum AS (
+  SELECT b.doc_id, b.n_tokens,
+         o.prev + SUM(b.n_tokens) OVER (PARTITION BY b.band
+                    ORDER BY b.qkey_milli DESC, b.doc_id) AS cg
+  FROM banded b JOIN boff o USING (band)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS docs_sel,
+       CAST(SUM(c.n_tokens) AS BIGINT) AS tokens_sel
+FROM cum c JOIN documents d ON c.doc_id = d.doc_id
+CROSS JOIN bud
+WHERE c.cg <= B
+GROUP BY d.source
+ORDER BY d.source
+"""

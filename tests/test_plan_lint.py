@@ -46,6 +46,8 @@ NESTED_LOOP_OK = {
     "x_contrastive_pairs",      # negatives side reuses the anchor
                                 # broadcast; anchors are edge-bounded
     "x_fk_orphans",             # crossJoin of 1-row audit aggregates
+    "x_token_budget_select",    # 1-row token-budget aggregate broadcast
+                                # (band/prefix sums are all equi-joins)
     "x_rp_recall",              # brute-force audit on both sides
                                 # (projected + full-dim), query broadcast
     "x_nb_source_classifier",   # |sources|-bounded model frame + 1-row

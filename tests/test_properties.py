@@ -867,3 +867,38 @@ def test_split_leakage_edge_accounting(spark):
         assert r["split_lo"] <= r["split_hi"]
         # an edge has 2 endpoints; distinct docs can't exceed 2x edges
         assert 1 <= r["n_docs"] <= 2 * r["n_edges"]
+
+
+def test_token_budget_select_matches_sequential_greedy(spark):
+    """token_budget_select's two-tier prefix sum must equal the
+    sequential greedy: order docs by (quality key desc, id), take while
+    cumulative tokens <= budget."""
+    from flink_realtime_data_eng_spark.functions import packing, text
+
+    rows = [(i, f"s{i % 3}",
+             " ".join(f"w{(i * 7 + j) % 11}" for j in range(3 + (i % 9))))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    scored = (text.unigram_logprob(df).filter("n_tokens > 0")
+              .withColumn("qkey_milli", text._quality_key())
+              .collect())
+    docs = sorted(scored, key=lambda r: (-r["qkey_milli"], r["doc_id"]))
+    budget = sum(r["n_tokens"] for r in docs) * 50 // 100
+    # the operator's rule is cum<=B over the FULL quality order (a prefix
+    # of the running sum), replayed sequentially here
+    cum, sel = 0, set()
+    for r in docs:
+        cum += r["n_tokens"]
+        if cum <= budget:
+            sel.add(r["doc_id"])
+    src_of = {r["doc_id"]: r["source"] for r in df.collect()}
+    ntok = {r["doc_id"]: r["n_tokens"] for r in scored}
+    by_src: dict[str, list[int]] = {}
+    for d in sel:
+        agg = by_src.setdefault(src_of[d], [0, 0])
+        agg[0] += 1
+        agg[1] += ntok[d]
+    out = {r["source"]: (r["docs_sel"], r["tokens_sel"])
+           for r in packing.token_budget_select(df, budget_pct=50).collect()}
+    assert out == {s: tuple(v) for s, v in by_src.items()}

@@ -290,3 +290,55 @@ def token_budget_select(df: DataFrame, budget_pct: int = 50,
             .agg(F.count(F.lit(1)).cast("bigint").alias("docs_sel"),
                  F.sum("n_tokens").cast("bigint").alias("tokens_sel"))
             .orderBy(group_col))
+
+
+def curriculum_order(df: DataFrame, n_phases: int = 3,
+                     band_div: int = 10_000_000,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic curriculum ordering: a dense global rank over the
+    corpus by quality (best first — the CCNet-style mean-unigram-logprob
+    key shared with :func:`~..functions.text.quality_buckets`), plus an
+    equal-count training phase 1..``n_phases``. Curriculum schedules
+    need a STABLE global order any re-run reproduces; a naive
+    ``row_number() over (order by ...)`` is a single global partition,
+    so the rank is assembled the same two-tier way as
+    :func:`token_budget_select`: per-band doc-count offsets over the
+    bounded band frame + a within-band row_number. Phases come from the
+    rank arithmetically (``1 + (rank-1)*n div total``) — no second sort.
+
+    Docs with no tokens rank last (the shared key's -1 empty sentinel
+    lands them in band -1, ordered by id after all scored docs — the
+    rank still covers EVERY input doc, which a filter-then-rank would
+    lose).
+
+    Output: (id, rank BIGINT dense 1..N, phase INT), exactly one row per
+    input doc.
+    """
+    from .text import _quality_key, unigram_logprob
+
+    # unigram_logprob left-joins its own id spine, so every input doc is
+    # already present (empty docs at n_tokens=0 -> qkey -1).
+    scored = (unigram_logprob(df, text_col=text_col, id_col=id_col)
+              .withColumn("qkey_milli", _quality_key())
+              .withColumn("band",
+                          F.when(F.col("qkey_milli") < 0, F.lit(-1))
+                           .otherwise(F.expr(f"qkey_milli div {band_div}")))
+              .select(id_col, "qkey_milli", "band")
+              .localCheckpoint(eager=True))
+    btot = scored.groupBy("band").agg(F.count(F.lit(1)).alias("bc"))
+    w_b = (W.orderBy(F.col("band").desc())
+            .rowsBetween(W.unboundedPreceding, -1))
+    boff = btot.withColumn(
+        "prev", F.coalesce(F.sum("bc").over(w_b), F.lit(0)).cast("bigint"))
+    w_in = (W.partitionBy("band")
+             .orderBy(F.col("qkey_milli").desc(), F.col(id_col)))
+    total = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = (scored.join(boff.select("band", "prev"), "band")
+              .withColumn("rank", (F.col("prev")
+                                   + F.row_number().over(w_in)).cast("bigint")))
+    return (ranked.crossJoin(total)
+            .select(id_col, "rank",
+                    (F.lit(1) + F.expr(f"((rank - 1) * {n_phases})"
+                                       " div n_total"))
+                    .cast("int").alias("phase")))

@@ -2909,3 +2909,56 @@ WHERE c.cg <= B
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering (no reference analog — §2.9
+    training-data surface): a dense global quality rank (best first, the
+    exact-integer mean-unigram-logprob key shared with x_quality_buckets)
+    plus an equal-count training phase 1..3 per doc. The global
+    row_number is assembled as band offsets + within-band row_number
+    (never one global sort partition) — see packing.curriculum_order for
+    the scale argument; phases are rank arithmetic, no second sort."""
+    from .functions import packing
+    return packing.curriculum_order(_docs(spark, sf_dir), n_phases=3)
+
+
+QUERIES["x_curriculum_order"] = x_curriculum_order
+
+ORACLES["x_curriculum_order"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_QF_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), uni AS (
+  SELECT tok, SUM(tf) AS c FROM tf GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS n_corpus, count(*) AS vocab FROM uni
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(tf * ln(CAST(c + 1 AS DOUBLE)
+                                     / (n_corpus + vocab)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS logprob_e6,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens
+  FROM tf JOIN uni USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+), keyed AS (
+  SELECT d.doc_id,
+         CASE WHEN coalesce(s.n_tokens, 0) > 0
+              THEN ((s.logprob_e6 + 100000000 * s.n_tokens) * 1000)
+                     // s.n_tokens
+              ELSE -1 END AS qkey_milli
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+), ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY qkey_milli DESC, doc_id) AS rnk
+  FROM keyed
+), n AS (
+  SELECT count(*) AS n_total FROM documents
+)
+SELECT doc_id,
+       CAST(rnk AS BIGINT) AS rank,
+       CAST(1 + ((rnk - 1) * 3) // n_total AS INTEGER) AS phase
+FROM ranked CROSS JOIN n
+ORDER BY rank
+"""

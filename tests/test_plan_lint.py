@@ -48,6 +48,8 @@ NESTED_LOOP_OK = {
     "x_fk_orphans",             # crossJoin of 1-row audit aggregates
     "x_token_budget_select",    # 1-row token-budget aggregate broadcast
                                 # (band/prefix sums are all equi-joins)
+    "x_curriculum_order",       # 1-row corpus-count broadcast (phase
+                                # arithmetic); rank joins are equi-joins
     "x_rp_recall",              # brute-force audit on both sides
                                 # (projected + full-dim), query broadcast
     "x_nb_source_classifier",   # |sources|-bounded model frame + 1-row

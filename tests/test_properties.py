@@ -902,3 +902,34 @@ def test_token_budget_select_matches_sequential_greedy(spark):
     out = {r["source"]: (r["docs_sel"], r["tokens_sel"])
            for r in packing.token_budget_select(df, budget_pct=50).collect()}
     assert out == {s: tuple(v) for s, v in by_src.items()}
+
+
+def test_curriculum_order_matches_global_sort(spark):
+    """curriculum_order's two-tier (band offset + within-band row_number)
+    rank must equal a plain global row_number over (quality key desc,
+    id), with empty/NULL-text docs ranked last by id and equal-count
+    phases."""
+    from flink_realtime_data_eng_spark.functions import packing, text
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 11}" for j in range(3 + (i % 9))))
+            for i in range(28)] + [(28, ""), (29, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    scored = (text.unigram_logprob(df)
+              .withColumn("qkey_milli", text._quality_key())
+              .collect())
+    order = sorted(scored, key=lambda r: (-r["qkey_milli"], r["doc_id"]))
+    want_rank = {r["doc_id"]: i + 1 for i, r in enumerate(order)}
+    n = len(rows)
+    got = {r["doc_id"]: (r["rank"], r["phase"])
+           for r in packing.curriculum_order(df, n_phases=3).collect()}
+    assert len(got) == n
+    for doc, (rank, phase) in got.items():
+        assert rank == want_rank[doc]
+        assert phase == 1 + ((rank - 1) * 3) // n
+    # empty-text docs rank last, by id
+    assert got[28][0] == n - 1 and got[29][0] == n
+    # phases are equal-count
+    from collections import Counter
+    sizes = Counter(p for _, p in got.values())
+    assert sorted(sizes) == [1, 2, 3] and max(sizes.values()) - min(sizes.values()) <= 1

@@ -151,7 +151,7 @@ def pick_queries() -> list[str]:
     return names
 
 
-def run(dst: str) -> None:
+def run(dst: str, only: list[str] | None = None) -> None:
     from pyspark.sql import SparkSession
 
     from flink_realtime_data_eng_spark import registry
@@ -164,13 +164,13 @@ def run(dst: str) -> None:
              .appName("scale_dryrun").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = pick_queries()
-    print(f"running {len(names)} queries at sf0.1 and sf1-equivalent")
+    names = only or pick_queries()
+    print(f"running {len(names)} queries at sf0.1 and {dst}")
     results = {}
     for name in names:
         fn = registry.QUERIES[name]
         row = {}
-        for label, d in (("sf0.1", SRC), ("sf1", dst)):
+        for label, d in (("sf0.1", SRC), (os.path.basename(dst), dst)):
             try:
                 fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
                 t0 = time.monotonic()
@@ -178,12 +178,19 @@ def run(dst: str) -> None:
                 row[label] = round(time.monotonic() - t0, 2)
             except Exception as e:
                 row[label] = f"ERROR: {type(e).__name__}: {str(e)[:300]}"
-        if isinstance(row.get("sf0.1"), float) and isinstance(row.get("sf1"), float):
+        lab = os.path.basename(dst)
+        if isinstance(row.get("sf0.1"), float) and isinstance(row.get(lab), float):
+            # exponent normalized per decade of data growth: /tmp names
+            # encode copies (frde_sf1 = 10x sf0.1, frde_sf10 = 100x)
+            decades = 2.0 if "sf10" in lab else 1.0
             row["exponent"] = round(
-                math.log10(max(row["sf1"], 0.01) / max(row["sf0.1"], 0.01)), 2)
+                math.log10(max(row[lab], 0.01)
+                           / max(row["sf0.1"], 0.01)) / decades, 2)
         results[name] = row
         print(json.dumps({name: row}), flush=True)
-    with open(os.path.join(_HERE, "SCALE_DRYRUN_r09.json"), "w") as f:
+    out_name = ("SCALE_DRYRUN_r09.json" if "sf10" not in dst
+                else "SCALE_DRYRUN_sf10_r09.json")
+    with open(os.path.join(_HERE, out_name), "w") as f:
         json.dump(results, f, indent=1)
     errs = [n for n, r in results.items()
             if any(isinstance(v, str) for v in r.values())]
@@ -197,7 +204,7 @@ if __name__ == "__main__":
         copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
         synth(dst, copies)
     elif cmd == "run":
-        run(dst)
+        run(dst, only=sys.argv[3:] or None)
     else:
         print(__doc__)
         sys.exit(2)

@@ -75,6 +75,19 @@ def _last_verified_round() -> dict[str, int]:
 #: Queries this round's VERDICT demands driver evidence for — they jump
 #: the never-verified queue so a >50-query backlog can't starve them.
 _PRIORITY = (
+    # r9 must-verify: the 3 new ops + the 6 greens expired by the
+    # adaptive-planes scale fix (all locally dual-SF hash-green; the
+    # adaptive set additionally engine-vs-oracle-proven at /tmp sf1
+    # where planes=12 actually diverges from the old fixed-8 form).
+    "x_exact_substr_spans",
+    "x_token_budget_select",
+    "x_curriculum_order",
+    "x_embedding_neardup_lsh",
+    "x_semdedup_keep",
+    "x_joint_dedup",
+    "x_joint_dedup_persisted",
+    "x_full_dedup_policy",
+    "x_training_manifest",
     # The 23 never-driver-verified queries (VERDICT r7 next-1): all are
     # locally dual-SF hash-green; landing them makes 290/290 driver-backed.
     "x_cdc_snapshot",

@@ -139,16 +139,40 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
              .filter(F.col("score") >= threshold))
 
 
+def auto_planes(n_rows: int, min_planes: int = 8, avg_bucket: int = 8) -> int:
+    """Corpus-size-adaptive hyperplane count: the smallest p with
+    2^p >= ceil(n/avg_bucket), floored at ``min_planes`` — expected bucket
+    occupancy stays ~``avg_bucket`` as the corpus grows, so within-bucket
+    pair work stays LINEAR in n. A fixed plane count is quadratic
+    (n²/2^p pairs): the r9 two-decade dry-run measured x_semdedup_keep at
+    scaling exponent 1.18/decade with p frozen at 8. Integer-exact
+    (bit_length), so the DuckDB oracle's count-of-powers replay
+    (``_lsh_bucket_sql_adaptive``) agrees on every n."""
+    m = max(1, (n_rows + avg_bucket - 1) // avg_bucket)
+    return max(min_planes, (m - 1).bit_length())
+
+
 def embedding_neardup_candidates(emb: DataFrame, threshold: float = 0.95,
                                  num_planes: int = 8,
                                  vec_col: str = "embedding",
-                                 id_col: str = "vec_id") -> DataFrame:
+                                 id_col: str = "vec_id",
+                                 avg_bucket: int | None = 8) -> DataFrame:
     """Embedding-cosine near-dup, LSH-gated (the scale path): bucket vectors
     by random-hyperplane signature, compare only same-bucket pairs with the
     exact cosine. Bucket join is an equi-join on a high-cardinality key —
     well-distributed shuffle, no all-pairs blowup; recall < 1 by design
     (near-identical vectors share all plane signs with high probability).
+
+    With ``avg_bucket`` set (default), the plane count GROWS with the
+    corpus — ``auto_planes`` — so bucket occupancy, and with it the
+    within-bucket quadratic term, is bounded at any SF; ``num_planes``
+    becomes the floor (at the sf0.01/sf0.1 gate sizes the result is
+    bit-identical to the fixed-plane form). The corpus count is one
+    bounded scalar to the driver, same discipline as the CC fixpoint.
+    ``avg_bucket=None`` pins the fixed-plane form.
     """
+    if avg_bucket is not None:
+        num_planes = auto_planes(emb.count(), num_planes, avg_bucket)
     sig = lsh_signature(vec_col, num_planes)
     tagged = emb.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
     a = tagged.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -317,7 +341,8 @@ def lsh_multiprobe_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def semdedup_keep(emb: DataFrame, threshold: float = 0.3,
                   num_planes: int = 8, vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id",
+                  avg_bucket: int | None = 8) -> DataFrame:
     """SemDeDup-style semantic dedup keep-list (Abbas et al. 2023): prune
     embedding-space near-duplicates, keeping one representative per
     semantic cluster. Cluster structure comes from the deterministic
@@ -335,7 +360,8 @@ def semdedup_keep(emb: DataFrame, threshold: float = 0.3,
     """
     from .graph import connected_components
     pairs = embedding_neardup_candidates(emb, threshold, num_planes,
-                                         vec_col, id_col)
+                                         vec_col, id_col,
+                                         avg_bucket=avg_bucket)
     cc = connected_components(pairs, src="id_a", dst="id_b")
     drop = (cc.filter(F.col("node") != F.col("label"))
               .select(F.col("node").alias(id_col)))

@@ -2047,6 +2047,29 @@ def _lsh_bucket_sql(vec: str, num_planes: int = 8, dim: int = 64) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _lsh_bucket_sql_adaptive(vec: str, table: str = "embeddings",
+                             min_planes: int = 8, avg_bucket: int = 8,
+                             cap: int = 20, dim: int = 64) -> str:
+    """DuckDB analog of similarity.auto_planes + lsh_signature: the engine
+    unrolls exactly p(N) = max(min_planes, ceil(log2(ceil(N/avg_bucket))))
+    planes; static SQL can't vary its unroll, so the oracle computes the
+    full ``cap``-plane signature and masks to the low p(N) bits — bit p of
+    the signature is independent of the total plane count, so the masked
+    value equals the engine's p(N)-plane bucket exactly. p(N) is integer
+    arithmetic on both sides (count of powers of two below ceil(N/avg) ==
+    Python bit_length), never float log2. Beyond the cap the mask would
+    silently diverge from the engine, so it errors loudly instead
+    (error()); cap=20 covers ~8M vectors, far past any oracle-checked SF.
+    """
+    m = f"(SELECT (count(*) + {avg_bucket - 1}) // {avg_bucket} FROM {table})"
+    p_n = (f"GREATEST({min_planes}, (SELECT count(*) FROM range(0, 63) t(p)"
+           f" WHERE (1::BIGINT << p) < {m}))")
+    guard = (f"CASE WHEN {p_n} > {cap}"
+             f" THEN CAST(error('adaptive planes exceed oracle cap {cap}')"
+             f" AS BIGINT) ELSE (1::BIGINT << {p_n}) END")
+    return f"({_lsh_bucket_sql(vec, cap, dim)} % ({guard}))"
+
+
 ORACLES["x_lsh_topk"] = f"""
 WITH c AS (
   SELECT vec_id, embedding AS v, {_lsh_bucket_sql("embedding")} AS bucket
@@ -2069,7 +2092,7 @@ SELECT query_id, vec_id, score, rk FROM r WHERE rk <= 5
 _CVA_VB = _cosine_sql("va", "vb")
 ORACLES["x_embedding_neardup_lsh"] = f"""
 WITH t AS (
-  SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+  SELECT vec_id, embedding, {_lsh_bucket_sql_adaptive("embedding")} AS bucket
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

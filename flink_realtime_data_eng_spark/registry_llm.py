@@ -408,7 +408,11 @@ def x_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-gated embedding near-dup over the full corpus, exact-oracle-
     checked: recall < 1 by design, but the candidate SET is deterministic
     (md5-parity planes, measured 2e-4 sign margins), so the oracle
-    reproduces the same gated pairs exactly (``_lsh_bucket_sql``)."""
+    reproduces the same gated pairs exactly. The plane count is
+    corpus-adaptive (auto_planes, floor 8: bit-identical at the gate SFs)
+    so bucket occupancy — and the within-bucket quadratic term the r9
+    sf10 dry-run caught at exponent 1.18/decade — stays bounded; the
+    oracle replays the adaptivity via ``_lsh_bucket_sql_adaptive``."""
     return similarity.embedding_neardup_candidates(
         _emb(spark, sf_dir), threshold=0.3, num_planes=8)
 

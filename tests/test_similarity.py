@@ -398,3 +398,29 @@ def test_ivfpq_probe_widening_monotone_recall(spark):
                                                     n_probe=np_).collect()}
         rec.append(len(got & bf))
     assert rec[0] <= rec[1] <= rec[2]
+
+
+def test_auto_planes_integer_exact():
+    """auto_planes = max(floor, ceil(log2(ceil(n/avg)))) with integer
+    arithmetic; agrees with the oracle's count-of-powers replay."""
+    from flink_realtime_data_eng_spark.functions.similarity import auto_planes
+
+    def oracle_count(n, avg=8):
+        m = max(1, (n + avg - 1) // avg)
+        return max(8, sum(1 for p in range(63) if (1 << p) < m))
+
+    # gate SFs stay at the floor -> bit-identical to the fixed-plane form
+    assert auto_planes(500) == 8
+    assert auto_planes(2000) == 8
+    # one / two decades up
+    assert auto_planes(20_000) == 12
+    assert auto_planes(200_000) == 15
+    # exact power-of-two boundaries and tiny corpora
+    assert auto_planes(8 * 256) == 8          # m=256 -> exactly 8
+    assert auto_planes(8 * 256 + 1) == 9      # one past -> 9
+    assert auto_planes(1) == 8 and auto_planes(0) == 8
+    for n in [1, 7, 8, 63, 64, 500, 2000, 2047, 2048, 2049, 10**6, 10**9]:
+        assert auto_planes(n) == oracle_count(n), n
+    # occupancy bound: n / 2^planes <= avg_bucket for all n
+    for n in range(1, 5000, 37):
+        assert n / (1 << auto_planes(n)) <= 8

@@ -88,6 +88,8 @@ _PRIORITY = (
     "x_joint_dedup_persisted",
     "x_full_dedup_policy",
     "x_training_manifest",
+    "x_simhash",
+    "x_simhash_pairs",
     # The 23 never-driver-verified queries (VERDICT r7 next-1): all are
     # locally dual-SF hash-green; landing them makes 290/290 driver-backed.
     "x_cdc_snapshot",

@@ -180,6 +180,16 @@ def _md5_hash32(prefix: Column | str, value: Column) -> Column:
                               1, 8), 16, 10).cast("bigint")
 
 
+def _md5_hash60(prefix: Column | str, value: Column) -> Column:
+    """60-bit sibling of :func:`_md5_hash32` (first 15 hex chars): the
+    signature space for hash-bucketed pairing must outgrow the corpus —
+    32 bits full-collides ~N²/2³² pairs (23k false-identicals at 10⁷
+    docs). 60 bits stays inside signed BIGINT on both engines."""
+    p = F.lit(prefix) if isinstance(prefix, str) else prefix
+    return F.conv(F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), value)),
+                              1, 15), 16, 10).cast("bigint")
+
+
 def affine_consts(num_hashes: int) -> list[tuple[int, int]]:
     """Per-seed (a, b) for the derived MinHash family
     ``h_s = (a_s·h + b_s) mod 2³²`` over one 32-bit base hash.
@@ -354,16 +364,20 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash signature over tokens.
 
-    Plan: explode tokens once with their 32-bit hash, then ONE aggregate with
-    ``bits`` conditional sums (no 32× row blowup); signature bit j is set when
-    the signed sum of bit j over all token hashes is positive.
+    Plan: explode tokens once with their hash, then ONE aggregate with
+    ``bits`` conditional sums (no bits× row blowup); signature bit j is set
+    when the signed sum of bit j over all token hashes is positive.
+    ``bits <= 32`` draws from the 32-bit md5 hash (unchanged legacy form);
+    33..60 from the 60-bit one (the at-scale signature — see _md5_hash60).
     """
-    if not 1 <= bits <= 32:
-        raise ValueError(f"bits must be in [1, 32] (md5-derived hash is 32-bit), got {bits}")
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60] (md5-derived hash caps at"
+                         f" 60 signed bits), got {bits}")
+    tok_hash = _md5_hash32 if bits <= 32 else _md5_hash60
     toks = (df.select(F.col(id_col),
                       F.explode(F.split(_norm(text_col), " ")).alias("tok"))
               .filter(F.col("tok") != "")
-              .select(F.col(id_col), _md5_hash32("sim", F.col("tok")).alias("h")))
+              .select(F.col(id_col), tok_hash("sim", F.col("tok")).alias("h")))
     sums = toks.groupBy(id_col).agg(*[
         F.sum(F.when(F.expr(f"(h div {1 << j}) % 2") == 1, 1).otherwise(-1))
          .alias(f"b{j}")
@@ -463,36 +477,56 @@ def simhash_neardup_pairs(df: DataFrame, bands: int = 4,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance — the
-    constant-size-signature counterpart to MinHash LSH (one 32-bit word per
-    doc instead of ``num_hashes`` values).
+    constant-size-signature counterpart to MinHash LSH (one signature word
+    per doc instead of ``num_hashes`` values).
 
-    Pigeonhole candidate generation: the signature splits into ``bands``
-    contiguous bit-slices; two signatures within Hamming distance
-    ``max_hamming`` < bands must agree EXACTLY on at least one slice, so
-    candidates come from ``bands`` equi-joins on (band_idx, slice_value) —
-    never an all-pairs product. Exact Hamming (bit_count of xor) then
-    verifies each candidate once (pairs deduped across bands first).
+    Pigeonhole candidate generation, Manku et al. WWW 2007 form: the
+    signature splits into ``bands`` contiguous bit-slices; ≤ ``max_hamming``
+    differing bits touch ≤ ``max_hamming`` slices, so every qualifying pair
+    agrees EXACTLY on some (bands − max_hamming)-subset of slices.
+    Candidates come from C(bands, bands − max_hamming) equi-joins, each
+    keyed on a CONCATENATION of that subset's slices — never an all-pairs
+    product. Exact Hamming (bit_count of xor) then verifies each candidate
+    once (pairs deduped across combinations first).
+
+    The join-key width is what decides the 100 TB shape: keys carry
+    (bands − max_hamming)·(bits/bands) bits, so expected bucket occupancy
+    is N / 2^that — a SINGLE-slice key (the bands = max_hamming + 1
+    minimum) is quadratic once N outgrows 2^(bits/bands) (the r9 sf10
+    dry-run class). Size bands and bits so the key width clears
+    log2(N): bits=60, bands=6, max_hamming=3 gives 30-bit keys and 20
+    combinations — linear to ~10¹⁰ docs at ~1 expected collision per key.
 
     Output: id_a < id_b, hamming.
     """
+    from itertools import combinations
+
     if not 1 <= bands <= bits:
         raise ValueError(f"need 1 <= bands <= bits, got {bands}/{bits}")
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole needs max_hamming < bands, got "
             f"{max_hamming}/{bands} — raise bands or lower max_hamming")
+    if bits % bands:
+        raise ValueError(f"bands must divide bits, got {bands}/{bits}")
     sig = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
     width = bits // bands
+    keep = bands - max_hamming
+    keys = []
+    for kept in combinations(range(bands), keep):
+        kv = " + ".join(
+            f"((simhash div {1 << (blk * width)}) % {1 << width})"
+            f" * cast({1 << (j * width)} as bigint)"
+            for j, blk in enumerate(kept))
+        keys.append(F.expr(f"({kv})").cast("bigint"))
     slices = sig.select(
         F.col(id_col), F.col("simhash"),
-        F.posexplode(F.array(*[
-            F.expr(f"(simhash div {1 << (b * width)}) % {1 << width}")
-            for b in range(bands)])).alias("band", "slice"))
+        F.posexplode(F.array(*keys)).alias("combo", "kv"))
     a = slices.select(F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("sig_a"), "band", "slice")
+                      F.col("simhash").alias("sig_a"), "combo", "kv")
     b = slices.select(F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("sig_b"), "band", "slice")
-    cand = (a.join(b, ["band", "slice"])
+                      F.col("simhash").alias("sig_b"), "combo", "kv")
+    cand = (a.join(b, ["combo", "kv"])
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "sig_a", "sig_b")
              .distinct())

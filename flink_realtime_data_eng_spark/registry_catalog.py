@@ -372,7 +372,11 @@ QUERIES["x_content_chunks"] = x_content_chunks
 
 
 def _simhash_oracle(bits: int = 32) -> str:
-    h = _H32.format(x="concat('sim', ':', tok)")
+    # bits <= 32 draws from the 8-hex-char hash, 33..60 from the
+    # 15-hex-char one — mirror of dedup._md5_hash32/_md5_hash60.
+    hexn = 8 if bits <= 32 else 15
+    h = (f"CAST(concat('0x', substring(md5(concat('sim', ':', tok)),"
+         f" 1, {hexn})) AS BIGINT)")
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
@@ -1307,7 +1311,7 @@ FROM reach GROUP BY node
     # Spark side uses, so a PASS proves pigeonhole candidate generation
     # lost no pair.
     "x_simhash_pairs": f"""
-WITH sims AS ({_simhash_oracle()})
+WITH sims AS ({_simhash_oracle(bits=60)})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id

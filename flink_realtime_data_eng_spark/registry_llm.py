@@ -1036,12 +1036,14 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-ball near-dup pairs: pigeonhole band join (4×8-bit
-    slices ⇒ distance ≤3 pairs must share a slice), exact bit_count verify.
-    Oracle is the brute-force all-pairs form — proving the banding is
-    lossless."""
+    """SimHash Hamming-ball near-dup pairs (Manku et al. WWW 2007): 60-bit
+    signature, distance ≤3 pairs must agree exactly on one of C(6,3)=20
+    3-slice combinations ⇒ 30-bit join keys (expected occupancy ~1 to
+    10^10 docs — the single-slice 8-bit-key form was the r9 sf10 dry-run's
+    quadratic class), exact bit_count verify. Oracle is the brute-force
+    all-pairs form — proving the combination banding is lossless."""
     return dedup.simhash_neardup_pairs(_docs(spark, sf_dir),
-                                       bands=4, max_hamming=3)
+                                       bands=6, max_hamming=3, bits=60)
 
 
 def x_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:

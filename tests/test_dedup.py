@@ -56,7 +56,12 @@ def test_simhash_identical_for_same_tokens_and_bits_validated(spark):
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
     with pytest.raises(ValueError):
-        dedup.simhash(df, bits=33)
+        dedup.simhash(df, bits=61)
+    # 33..60 draws from the 60-bit hash: signatures can exceed 32 bits
+    wide = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(df, bits=60).collect()}
+    assert wide[1] == wide[2] and wide[1] != wide[3]
+    assert all(0 <= s < (1 << 60) for s in wide.values())
 
 
 def test_neardup_pipeline_candidates_verified(spark):

@@ -90,6 +90,7 @@ _PRIORITY = (
     "x_training_manifest",
     "x_simhash",
     "x_simhash_pairs",
+    "x_pq_incremental",      # green expired by the r9 cache-tag ADVICE fix
     # The 23 never-driver-verified queries (VERDICT r7 next-1): all are
     # locally dual-SF hash-green; landing them makes 290/290 driver-backed.
     "x_cdc_snapshot",

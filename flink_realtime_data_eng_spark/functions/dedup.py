@@ -507,18 +507,25 @@ def simhash_neardup_pairs(df: DataFrame, bands: int = 4,
         raise ValueError(
             f"pigeonhole needs max_hamming < bands, got "
             f"{max_hamming}/{bands} — raise bands or lower max_hamming")
-    if bits % bands:
-        raise ValueError(f"bands must divide bits, got {bands}/{bits}")
     sig = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
-    width = bits // bands
+    # Slices need not be equal width — the pigeonhole argument only needs a
+    # partition of the signature into ``bands`` contiguous slices. When
+    # bands does not divide bits, the first (bits % bands) slices take one
+    # extra bit (ragged split); for dividing band counts this reduces to
+    # the uniform bits/bands layout bit-for-bit.
+    base, rem = divmod(bits, bands)
+    widths = [base + 1 if i < rem else base for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
     keep = bands - max_hamming
     keys = []
     for kept in combinations(range(bands), keep):
-        kv = " + ".join(
-            f"((simhash div {1 << (blk * width)}) % {1 << width})"
-            f" * cast({1 << (j * width)} as bigint)"
-            for j, blk in enumerate(kept))
-        keys.append(F.expr(f"({kv})").cast("bigint"))
+        shift, terms = 0, []
+        for blk in kept:
+            terms.append(
+                f"((simhash div {1 << offsets[blk]}) % {1 << widths[blk]})"
+                f" * cast({1 << shift} as bigint)")
+            shift += widths[blk]
+        keys.append(F.expr(f"({' + '.join(terms)})").cast("bigint"))
     slices = sig.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.array(*keys)).alias("combo", "kv"))

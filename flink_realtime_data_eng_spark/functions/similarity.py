@@ -156,7 +156,8 @@ def embedding_neardup_candidates(emb: DataFrame, threshold: float = 0.95,
                                  num_planes: int = 8,
                                  vec_col: str = "embedding",
                                  id_col: str = "vec_id",
-                                 avg_bucket: int | None = 8) -> DataFrame:
+                                 avg_bucket: int | None = 8,
+                                 n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup, LSH-gated (the scale path): bucket vectors
     by random-hyperplane signature, compare only same-bucket pairs with the
     exact cosine. Bucket join is an equi-join on a high-cardinality key —
@@ -170,9 +171,16 @@ def embedding_neardup_candidates(emb: DataFrame, threshold: float = 0.95,
     bit-identical to the fixed-plane form). The corpus count is one
     bounded scalar to the driver, same discipline as the CC fixpoint.
     ``avg_bucket=None`` pins the fixed-plane form.
+
+    The adaptive form needs the corpus cardinality, which makes this an
+    ACTION at plan-construction time: pass a precomputed ``n_rows`` when
+    composing several adaptive-LSH stages over the same frame (or when
+    ``emb`` is an expensive derived frame) so the count is paid once,
+    not once per stage.
     """
     if avg_bucket is not None:
-        num_planes = auto_planes(emb.count(), num_planes, avg_bucket)
+        num_planes = auto_planes(emb.count() if n_rows is None else n_rows,
+                                 num_planes, avg_bucket)
     sig = lsh_signature(vec_col, num_planes)
     tagged = emb.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
     a = tagged.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -342,7 +350,8 @@ def lsh_multiprobe_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def semdedup_keep(emb: DataFrame, threshold: float = 0.3,
                   num_planes: int = 8, vec_col: str = "embedding",
                   id_col: str = "vec_id",
-                  avg_bucket: int | None = 8) -> DataFrame:
+                  avg_bucket: int | None = 8,
+                  n_rows: int | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup keep-list (Abbas et al. 2023): prune
     embedding-space near-duplicates, keeping one representative per
     semantic cluster. Cluster structure comes from the deterministic
@@ -361,7 +370,8 @@ def semdedup_keep(emb: DataFrame, threshold: float = 0.3,
     from .graph import connected_components
     pairs = embedding_neardup_candidates(emb, threshold, num_planes,
                                          vec_col, id_col,
-                                         avg_bucket=avg_bucket)
+                                         avg_bucket=avg_bucket,
+                                         n_rows=n_rows)
     cc = connected_components(pairs, src="id_a", dst="id_b")
     drop = (cc.filter(F.col("node") != F.col("label"))
               .select(F.col("node").alias(id_col)))

@@ -43,8 +43,20 @@ _CHUNKS = (registry_core, registry_ops, registry_llm, registry_catalog, registry
 
 # Re-export every top-level name (public AND private: tests and
 # tools reach registry._events / registry.x_* / registry._*_oracle).
+# Collisions of DIFFERENT objects under one name would silently resolve
+# to the first chunk's version for anything reached via registry.<name>,
+# so they are a hard error; re-exports of the identical object (shared
+# imports like F, SparkSession) are fine.
 for _m in _CHUNKS:
     for _k, _v in vars(_m).items():
-        if not _k.startswith('__'):
-            globals().setdefault(_k, _v)
-del _m, _k, _v
+        if _k.startswith('__'):
+            continue
+        _prev = globals().get(_k, _v)
+        if _prev is not _v:
+            raise ImportError(
+                f"registry chunk name collision: {_k!r} is defined with "
+                f"different values in multiple registry_* chunks "
+                f"(latest: {_m.__name__}); rename the chunk-private helper"
+            )
+        globals()[_k] = _v
+del _m, _k, _v, _prev

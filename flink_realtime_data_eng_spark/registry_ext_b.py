@@ -1877,7 +1877,7 @@ def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["x_bootstrap_ci"] = x_bootstrap_ci
 
-_BH = _H32.format(x="concat('boot', CAST(b AS VARCHAR), ':', "
+_BOOT_BH = _H32.format(x="concat('boot', CAST(b AS VARCHAR), ':', "
                     "CAST(doc_id AS VARCHAR))")
 ORACLES["x_bootstrap_ci"] = f"""
 WITH d AS (
@@ -1886,10 +1886,10 @@ WITH d AS (
   FROM documents
 ), rep AS (
   SELECT source, doc_id, y, b,
-         CASE WHEN {_BH} < 1580030168 THEN 0
-              WHEN {_BH} < 3160060337 THEN 1
-              WHEN {_BH} < 3950075421 THEN 2
-              WHEN {_BH} < 4213413783 THEN 3
+         CASE WHEN {_BOOT_BH} < 1580030168 THEN 0
+              WHEN {_BOOT_BH} < 3160060337 THEN 1
+              WHEN {_BOOT_BH} < 3950075421 THEN 2
+              WHEN {_BOOT_BH} < 4213413783 THEN 3
               ELSE 4 END AS w
   FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs
 ), per_rep AS (

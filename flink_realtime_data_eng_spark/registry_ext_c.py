@@ -2814,7 +2814,15 @@ QUERIES["x_exact_substr_spans"] = x_exact_substr_spans
 
 ORACLES["x_exact_substr_spans"] = f"""
 WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+  -- The window-position unroll below enumerates range(1, 100000); a doc
+  -- longer than that cap would silently lose n-gram windows, so error()
+  -- loudly instead (same cap discipline as _lsh_bucket_sql_adaptive).
+  SELECT doc_id,
+         CASE WHEN len(string_split({_NORM_SQL}, ' ')) - 7 >= 100000
+              THEN CAST(error('x_exact_substr_spans oracle: document exceeds'
+                              ' the 100000-window unroll cap') AS VARCHAR[])
+              ELSE string_split({_NORM_SQL}, ' ') END AS w
+  FROM documents
 ), g AS (
   SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS fp
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx

@@ -186,6 +186,33 @@ def test_simhash_pairs_pigeonhole_matches_bruteforce(spark):
     assert got[(0, 3)] == 0  # identical docs at distance zero
 
 
+def test_simhash_pairs_ragged_bands_match_bruteforce(spark):
+    """Non-dividing band counts (bands=5, bits=32 → slice widths
+    7,7,6,6,6) must stay lossless: the ragged contiguous split still
+    satisfies the pigeonhole argument, so candidates + exact verify equal
+    brute-force all-pairs Hamming filtering."""
+    from flink_realtime_data_eng_spark.functions import dedup
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy cat today",
+        "a completely different sentence with other words here",
+        "spark structured streaming with watermarks and state stores",
+        "the quick brown fox jumps over the lazy dog today",  # identical
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_neardup_pairs(
+               df, bands=5, max_hamming=3, bits=32).collect()}
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(df, bits=32).collect()}
+    want = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a in sigs for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    assert got == want
+    assert got[(0, 4)] == 0
+
+
 def test_simhash_pairs_rejects_unsatisfiable_pigeonhole(spark):
     import pytest
     from flink_realtime_data_eng_spark.functions import dedup

@@ -174,6 +174,78 @@ def test_no_forced_broadcast_of_sf_scaled_tables(name, spark):
                     f"{name}: broadcast hint over un-aggregated {rel}")
 
 
+# Queries whose plan INTENTIONALLY contains an unpartitioned (global)
+# Window / WindowGroupLimit node. The r9 scale dry-run proved global
+# windows are where one-task quadratic shapes hide (semdedup planes,
+# simhash slices), so every entry here must state why its window INPUT
+# is bounded — either by construction (grids, |sources|, |bands|,
+# value cardinality) or by a documented aggregate-reduction with a
+# written 100 TB escape hatch in the function's docstring.
+GLOBAL_WINDOW_OK = {
+    "q15_top_supplier":     # global max over the per-supplier AGGREGATE
+        "aggregate-reduced (16 B/supplier); docstring documents the "
+        "broadcast-the-max swap if supplier cardinality outgrows a task",
+    "x_bpe_merges":         # top-merge rank over the pair-count aggregate
+        "pair vocabulary bounded (within-word char/token bigrams)",
+    "x_curriculum_order":   # band-offset prefix sum, tier 2 of two-tier
+        "|bands| rows by construction (two-tier band-offset design)",
+    "x_funnel":             # final global max over the per-step frame
+        "|steps| rows (funnel step list is a query constant)",
+    "x_global_offsets":     # partition-totals cumsum of global_prefix_sum
+        "|shuffle partitions| rows (two-phase distributed prefix sum)",
+    "x_heaps_law":          # cumulative vocab curve over the doc grid
+        "|grid| rows (100-doc buckets of first-occurrence aggregate)",
+    "x_ks_test":            # two ECDF cumsums over merged value set
+        "distinct n_chars values — value-cardinality bounded",
+    "x_mixture_allocation": # allocation waterfall over source weights
+        "|sources| rows",
+    "x_pareto_docs":        # skyline prefix-max over the quality order
+        "aggregate-reduced per-doc frame; exact skyline is a report-set "
+        "op — band-partitioned prefix-max is the 100 TB swap",
+    "x_quality_buckets":    # exact ntile over the quality key
+        "docstring documents quality_buckets_approx as the 100 TB path "
+        "(approx-quantile cutoffs, map-side assignment; pytest-checked)",
+    "x_rfm":                # three ntile ranks over the per-user aggregate
+        "aggregate-reduced; docstring documents the global_prefix_sum "
+        "swap at billion-user scale",
+    "x_source_mixture":     # mixture shares over per-source aggregate
+        "|sources| rows",
+    "x_temperature_sample": # per-source keep probabilities
+        "|sources| rows",
+    "x_token_budget_select":  # band-offset prefix sum, tier 2
+        "|bands| rows by construction (two-tier band-offset design)",
+    "x_training_manifest":  # embedded token-budget selection, tier 2
+        "|bands| rows (same two-tier budget-selection subplan)",
+}
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_unintended_global_window(name, plans):
+    """An unpartitioned Window funnels its whole input through ONE task —
+    the shape that turned x_semdedup_keep super-linear before r9. Every
+    global window must ride a bounded frame and be whitelisted with the
+    boundedness argument."""
+    from tools.window_scan import global_window_lines
+    hits = global_window_lines(plans[name])
+    if name in GLOBAL_WINDOW_OK:
+        return  # audited shape (AQE may also legitimately remove it)
+    assert not hits, (
+        f"{name}: unpartitioned Window/WindowGroupLimit at sf0.001 — "
+        f"single-task at scale. Partition it, use the two-tier "
+        f"band-offset prefix sum, or whitelist with a boundedness "
+        f"argument. Nodes: {hits}")
+
+
+def test_global_window_whitelist_is_not_stale(plans):
+    """Whitelisted queries must still exist AND still contain a global
+    window — else the entry is stale and would mask a future one."""
+    from tools.window_scan import global_window_lines
+    assert set(GLOBAL_WINDOW_OK) <= set(BATCH_QUERIES)
+    stale = [n for n in GLOBAL_WINDOW_OK
+             if not global_window_lines(plans[n])]
+    assert not stale, f"whitelist entries without a global window: {stale}"
+
+
 def test_no_registered_query_uses_driver_collect_sink():
     """sinks.log_sink collect()s every micro-batch to the driver — it is
     the K4 DEBUG surface and must never route a registered query

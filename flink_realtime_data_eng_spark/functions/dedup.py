@@ -669,17 +669,49 @@ def prefix_filter_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     share that much overlap MUST collide inside prefixes of length
     |x| - ceil(t*|x|) + 1 under a common total order — so the candidate
     set provably contains every qualifying pair, and exact Jaccard
-    verification (the candidate-gated :func:`_overlap_pairs` path) makes
-    the result IDENTICAL to the full-self-join :func:`jaccard_pairs`.
-    That identity is the oracle: DuckDB replays the plain exact join.
+    verification of the surviving candidates makes the result IDENTICAL
+    to the full-self-join :func:`jaccard_pairs`. That identity is the
+    oracle: DuckDB replays the plain exact join.
 
-    Scale shape: the frequency join keys on the same shingle column the
+    r10 redesign (profiled at sf0.1/sf1/sf10 — the r9 watch item): the
+    original verify self-joined the candidate-doc shingle table on the
+    shingle string, which is O(sum of posting-list^2) over shingles the
+    candidate docs share — at 10x scale that stage was ~75% of the
+    wall-clock and the reason the measured exponent sat at 0.85/decade.
+    Three lossless tightenings (Xiao et al. WWW'08 PPJoin):
+
+    1. LENGTH filter in the candidate join: J >= t forces
+       min(|x|,|y|) >= t * max(|x|,|y|) (c <= min and c >= t*max), checked
+       in exact rational arithmetic (t = num/1e6).
+    2. POSITIONAL filter: for a prefix match at ranks (rn_a, rn_b), the
+       overlap can't exceed ub = 1 + min(n_a - rn_a, n_b - rn_b); J >= t
+       needs overlap >= alpha = ceil(t/(1+t) * (n_a+n_b)). For a
+       qualifying pair, its FIRST common shingle under the global order
+       sits inside both prefixes and every common shingle ranks at or
+       after it on both sides, so that row passes ub >= alpha — keeping
+       any-row-passes pairs is complete. (~3.3x candidate cut measured.)
+    3. O(candidates) two-tier verify replacing the co-shingle self-join:
+       tier 1 intersects per-doc SORTED xxhash64 fingerprint arrays
+       (array_intersect on bigint arrays — 15x faster than binary(16)
+       arrays, measured) and keeps pairs whose Jaccard computed with a
+       +1-collision safety margin on n_common clears the threshold;
+       tier 2 re-verifies that near-output-sized set with the exact
+       string-shingle overlap (candidate-gated :func:`_overlap_pairs`).
+       Tier 2 makes fingerprint false POSITIVES impossible; a false
+       NEGATIVE needs >= 2 distinct 64-bit collisions inside one
+       document pair's shingle multiset (expected count < 1e-20 at
+       10^12 candidate pairs), vs ~1e-4 single-collision miscounts if
+       the fp count were trusted raw — that margin is why tier 1 alone
+       is not the answer.
+
+    Scale shape: the frequency join keys on the shingle column the
     explode produced; the per-doc rank is one window over the doc
-    partitioning; the candidate self-join touches only prefix rows, whose
-    fan-out concentrates in globally RARE shingles (tiny posting lists) —
-    the frequent-shingle hubs that blow up the naive join never enter.
-    Ties in document frequency break on the shingle string: total order,
-    engine-independent.
+    partitioning; prefixes concentrate in globally RARE shingles (tiny
+    posting lists) so frequent-shingle hubs never enter the self-join;
+    verify work is proportional to surviving candidates, not to shared
+    posting lists. Ties in document frequency break on the shingle
+    string: total order, engine-independent. Measured sf1 wall: 52 s ->
+    35 s; verify stage 26 s -> 10 s (fp tier) + ~2 s (exact tier).
     """
     from pyspark.sql import Window as W
     sh = shingles(df, n, text_col, id_col).localCheckpoint(eager=True)
@@ -699,16 +731,54 @@ def prefix_filter_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     pref_len = F.col("n_sh") - ceil_tn + 1
     prefix = (ranked.join(sizes, id_col)
                     .filter(F.col("rn") <= pref_len)
-                    .select(id_col, "shingle"))
-    cand = (prefix.select(F.col(id_col).alias("id_a"), "shingle")
-            .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"),
-                  "shingle")
+                    .select(id_col, "shingle", "rn", "n_sh"))
+    pa = prefix.select(F.col(id_col).alias("id_a"), "shingle",
+                       F.col("rn").alias("rn_a"), F.col("n_sh").alias("n_a"))
+    pb = prefix.select(F.col(id_col).alias("id_b"), "shingle",
+                       F.col("rn").alias("rn_b"), F.col("n_sh").alias("n_b"))
+    # alpha = ceil(t/(1+t) * (n_a+n_b)) with t = num/den, exact integers.
+    alpha = F.expr(f"(({_num}L * (n_a + n_b)) + {_num + _den - 1}L) "
+                   f"div {_num + _den}L")
+    ub = F.lit(1) + F.least(F.col("n_a") - F.col("rn_a"),
+                            F.col("n_b") - F.col("rn_b"))
+    length_ok = (F.least("n_a", "n_b") * _den >=
+                 F.greatest("n_a", "n_b") * _num)
+    cand = (pa.join(pb, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter(length_ok & (ub >= alpha))
             .select("id_a", "id_b").distinct())
-    # Reuse the materialized shingle table for verification — the corpus
-    # tokenizes exactly once across candidate generation AND verify.
+    # Tier-1 fingerprint screen: per-doc sorted xxhash64 arrays, overlap
+    # via array_intersect, Jaccard with a +1 margin on n_common. n_a/n_b
+    # are the EXACT shingle counts (a within-doc fp collision shrinks the
+    # array, never the count), so the margin also absorbs one such case.
+    docsets = (sh.groupBy(id_col)
+               .agg(F.sort_array(F.collect_list(
+                        F.xxhash64("shingle"))).alias("sset"),
+                    F.count(F.lit(1)).alias("n_sh")))
+    da = docsets.select(F.col(id_col).alias("id_a"),
+                        F.col("sset").alias("sa"),
+                        F.col("n_sh").alias("n_a"))
+    db = docsets.select(F.col(id_col).alias("id_b"),
+                        F.col("sset").alias("sb"),
+                        F.col("n_sh").alias("n_b"))
+    c_margin = (F.size(F.array_intersect("sa", "sb")).cast("bigint")
+                + F.lit(1))
+    screened = (cand.join(da, "id_a").join(db, "id_b")
+                # J(c) = c / (n_a + n_b - c) is increasing in c, so
+                # J(c_fp + 1) >= t is the exact-rational relaxed test:
+                # c_margin * den >= num * (n_a + n_b - c_margin).
+                .filter(c_margin * _den >=
+                        (F.col("n_a") + F.col("n_b") - c_margin) * _num)
+                .select("id_a", "id_b")
+                # Materialize ONCE: tier 2 references the survivor frame
+                # three times (id-prune + pair-restrict x2) and its
+                # lineage embeds the whole prefix+screen pipeline; the
+                # set is near-output-sized, tiny next to the corpus.
+                .localCheckpoint(eager=True))
+    # Tier-2 exact verification of the near-output-sized survivor set —
+    # reuses the materialized shingle table (the corpus tokenizes once).
     return jaccard_pairs(df, n=n, threshold=threshold, text_col=text_col,
-                         id_col=id_col, candidates=cand, shingles_df=sh)
+                         id_col=id_col, candidates=screened, shingles_df=sh)
 
 
 def exact_substr_spans(df: DataFrame, n: int = 8, min_count: int = 2,

@@ -412,6 +412,86 @@ def label_centroids(emb: DataFrame, vec_col: str = "embedding",
                                 / F.col("n_vecs") / 1_000_000.0, 6)))
 
 
+def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus (the
+    clustering primitive behind cluster-balanced curation — SemDeDup's
+    cluster stage, DoReMi-style domain discovery, cluster-stratified
+    eval splits) with EVERY step in exact integer arithmetic so the
+    DuckDB oracle replays it hash-for-hash:
+
+    - components quantize map-side to e6 BIGINTs (the repo's fixed-point
+      contract; sums become partition-order-independent),
+    - init = the ``k`` lowest ``id_col`` vectors, cluster index in id
+      order (no RNG — deterministic replay),
+    - assignment = argmin of the EXACT integer squared L2 distance with
+      (dist, cluster) lexicographic tie-break,
+    - update = per-(cluster, dim) integer mean via the positive-offset
+      floor division ``((sum + OFF*n) div n) - OFF`` (Spark ``div``
+      truncates toward zero, DuckDB ``//`` floors — the offset keeps the
+      numerator positive where the two agree); empty clusters keep their
+      previous centroid (LEFT JOIN + coalesce, as scalable kmeans does).
+
+    Scale shape: the corpus appears only in (a) the e6 explode — linear,
+    collapsed by partial aggs before the one |k|x|dims| shuffle — and
+    (b) the assignment join against a BROADCAST centroid table (k*dims
+    rows). Each iteration's centroid frame is near-constant-sized and
+    localCheckpointed so the unrolled lineage stays flat. iters is a
+    small constant (Lloyd converges fast; pipelines cap it), so the
+    whole job is O(iters * corpus) with no corpus-keyed self-join.
+
+    Output: (vec_id, cluster INT, dist BIGINT) — final assignment under
+    the iters-times-updated centroids; dist is the exact e6^2-scaled
+    squared distance.
+    """
+    from pyspark.sql import Window as W
+    v = emb.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform({vec_col}, x -> "
+            f"cast(round(cast(x as double) * 1000000) as bigint))"))
+        .alias("dim", "v"))
+    # init: k lowest ids -> cluster 0..k-1 in id order. The unpartitioned
+    # window runs over exactly k rows (post-limit) — bounded by contract.
+    init = (emb.select(id_col).orderBy(id_col).limit(k)
+            .withColumn("cluster",
+                        (F.row_number().over(W.orderBy(id_col)) - 1)
+                        .cast("int")))
+    cent = (v.join(init, id_col)
+             .select("cluster", "dim", F.col("v").alias("c"))
+             .localCheckpoint(eager=True))
+    # offset large enough that sum + OFF*n > 0 for any |component| < 1000
+    # (e6-scaled): keeps both engines in the positive-quotient regime.
+    off = 1_000_000_000
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        d = (v.join(F.broadcast(centroids), "dim")
+              .withColumn("dd", F.col("v") - F.col("c"))
+              .groupBy(id_col, "cluster")
+              .agg(F.sum(F.col("dd") * F.col("dd")).alias("dist")))
+        return (d.groupBy(id_col)
+                 .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+                 .select(F.col(id_col), F.col("m.cluster").alias("cluster"),
+                         F.col("m.dist").alias("dist")))
+
+    for _ in range(iters):
+        asg = _assign(cent)
+        sums = (v.join(asg.select(id_col, "cluster"), id_col)
+                 .groupBy("cluster", "dim")
+                 .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
+        cent = (cent.select("cluster", "dim", F.col("c").alias("c_prev"))
+                .join(sums, ["cluster", "dim"], "left")
+                .select("cluster", "dim",
+                        F.coalesce(
+                            F.expr(f"((s + {off}L * n) div n) - {off}L"),
+                            F.col("c_prev")).alias("c"))
+                .localCheckpoint(eager=True))
+    final = _assign(cent)
+    return final.select(F.col(id_col), F.col("cluster").cast("int"),
+                        F.col("dist").cast("bigint"))
+
+
 def _int8_array(v: Column) -> Column:
     """Symmetric per-vector int8 code array (quantize_int8's q, kept as an
     array for dot products instead of fingerprinted)."""

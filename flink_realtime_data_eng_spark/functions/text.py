@@ -676,6 +676,63 @@ def feature_hash(df: DataFrame, buckets: int = 64, text_col: str = "text",
                .orderBy(id_col, "bucket"))
 
 
+def dsir_weights(df: DataFrame, target_col: str = "lang",
+                 target_value: str = "en", buckets: int = 1024,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS'23
+    — DSIR): score every document by how much more likely its hashed
+    bag-of-words is under a TARGET distribution (here: the
+    ``target_col = target_value`` slice) than under the RAW corpus,
+    weight(doc) = sum over token occurrences of
+    log(p_target(bucket) / p_raw(bucket)), add-1 smoothed. Docs with
+    positive weight look more target-like than corpus-average — the
+    signal DSIR resamples pretraining data by.
+
+    Exactness: the per-bucket log-ratio rounds to an e6 BIGINT once
+    (|buckets| rows), so per-doc sums are integer-exact and
+    partition-order-independent; the DuckDB oracle replays the same md5
+    bucket hash, the same smoothing, the same single rounding point.
+
+    Scale shape: one token explode (linear, map-side), ONE bucket-keyed
+    aggregate bounded at |buckets| rows, a 1-row totals broadcast, then
+    the per-doc sum joins tokens against the BROADCAST |buckets|-row
+    weight table — no corpus-keyed self-join, no vocabulary dictionary
+    (the hashing trick needs no vocab pass: Weinberger ICML'09), nothing
+    driver-side. Output: (doc_id, n_tokens, weight_e6, target_like).
+    """
+    from .dedup import _md5_hash32
+    tok = df.select(
+        F.col(id_col),
+        (F.col(target_col) == F.lit(target_value)).alias("is_tgt"),
+        F.explode(tokens(text_col)).alias("tok"))
+    bt = tok.select(id_col, "is_tgt",
+                    (_md5_hash32("dw", F.col("tok")) % buckets)
+                    .alias("bucket"))
+    counts = bt.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("n_tgt"))
+    totals = counts.agg(F.sum("n_raw").alias("tot_raw"),
+                        F.sum("n_tgt").alias("tot_tgt"))
+    w = (counts.crossJoin(F.broadcast(totals))
+         .select("bucket",
+                 F.round((F.log((F.col("n_tgt") + 1).cast("double")
+                                / (F.col("tot_tgt") + buckets))
+                          - F.log((F.col("n_raw") + 1).cast("double")
+                                  / (F.col("tot_raw") + buckets)))
+                         * 1_000_000).cast("bigint").alias("w_e6")))
+    per_doc = (bt.join(F.broadcast(w), "bucket")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                    F.sum("w_e6").cast("bigint").alias("weight_e6")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+                     .alias("n_tokens"),
+                    F.coalesce("weight_e6", F.lit(0)).cast("bigint")
+                     .alias("weight_e6"))
+            .withColumn("target_like", F.col("weight_e6") > 0))
+
+
 def domain_caps(df: DataFrame, k: int = 50, text_col: str = "text",
                 id_col: str = "doc_id",
                 source_col: str = "source") -> DataFrame:

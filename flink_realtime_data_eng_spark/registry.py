@@ -37,9 +37,10 @@ from . import (  # noqa: F401 — import order IS registration order
     registry_ext_a,
     registry_ext_b,
     registry_ext_c,
+    registry_ext_d,
 )
 
-_CHUNKS = (registry_core, registry_ops, registry_llm, registry_catalog, registry_ext_a, registry_ext_b, registry_ext_c)
+_CHUNKS = (registry_core, registry_ops, registry_llm, registry_catalog, registry_ext_a, registry_ext_b, registry_ext_c, registry_ext_d)
 
 # Re-export every top-level name (public AND private: tests and
 # tools reach registry._events / registry.x_* / registry._*_oracle).

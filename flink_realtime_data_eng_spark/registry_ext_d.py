@@ -1,0 +1,124 @@
+"""Extended queries, round 10+ (registration-order chunk D).
+
+New operators land here; chunks A-C are frozen at their r9 split so
+per-query content hashes stay stable.
+"""
+
+from __future__ import annotations
+
+from .registry_core import (  # noqa: F401
+    DataFrame,
+    F,
+    ORACLES,
+    QUERIES,
+    SparkSession,
+    _H32,
+    _docs,
+    _emb,
+    similarity,
+    text,
+)
+
+_QF_TOKS_D = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS'23): per-doc hashed
+    bag-of-words log-likelihood ratio between the lang='en' target slice
+    and the raw corpus — the pretraining-data resampling signal. One
+    token explode, one |buckets|-bounded aggregate, broadcast weight
+    join; no vocabulary pass (functions/text.py:dsir_weights)."""
+    return text.dsir_weights(_docs(spark, sf_dir), target_col="lang",
+                             target_value="en", buckets=1024)
+
+
+QUERIES["x_dsir_weights"] = x_dsir_weights
+
+ORACLES["x_dsir_weights"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_tgt,
+         {_H32.format(x="concat('dw', ':', tok)")} % 1024 AS bucket
+  FROM (SELECT doc_id, lang, unnest({_QF_TOKS_D}) AS tok FROM documents)
+), counts AS (
+  SELECT bucket, count(*) AS n_raw,
+         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS n_tgt
+  FROM toks GROUP BY 1
+), totals AS (
+  SELECT SUM(n_raw) AS tot_raw, SUM(n_tgt) AS tot_tgt FROM counts
+), w AS (
+  SELECT bucket,
+         CAST(round((ln(CAST(n_tgt + 1 AS DOUBLE) / (tot_tgt + 1024))
+                     - ln(CAST(n_raw + 1 AS DOUBLE) / (tot_raw + 1024)))
+                    * 1000000) AS BIGINT) AS w_e6
+  FROM counts CROSS JOIN totals
+), per_doc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w.w_e6) AS BIGINT) AS weight_e6
+  FROM toks t JOIN w USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.weight_e6, 0) AS BIGINT) AS weight_e6,
+       coalesce(p.weight_e6, 0) > 0 AS target_like
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def x_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=4, 2 iterations, k-lowest-id init)
+    over the embedding corpus in exact e6-integer arithmetic — the
+    cluster-balanced-curation primitive; assignment joins a BROADCAST
+    k x dims centroid table, updates are |k * dims|-bounded aggregates
+    (functions/similarity.py:kmeans_assign)."""
+    return similarity.kmeans_assign(_emb(spark, sf_dir), k=4, iters=2)
+
+
+QUERIES["x_kmeans_assign"] = x_kmeans_assign
+
+_KM_V = """
+  SELECT vec_id, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(embedding)
+"""
+
+_KM_STEP = """
+, d{it} AS (
+  SELECT v.vec_id, c.cluster, SUM((v.v - c.c) * (v.v - c.c)) AS dist
+  FROM v JOIN c{prev} c USING (dim) GROUP BY 1, 2
+), a{it} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rk
+    FROM d{it}) WHERE rk = 1
+), s{it} AS (
+  SELECT a.cluster, v.dim, SUM(v.v) AS s, count(*) AS n
+  FROM v JOIN a{it} a USING (vec_id) GROUP BY 1, 2
+), c{it} AS (
+  SELECT c.cluster, c.dim,
+         coalesce(((s.s + 1000000000 * s.n) // s.n) - 1000000000, c.c) AS c
+  FROM c{prev} c LEFT JOIN s{it} s
+    ON c.cluster = s.cluster AND c.dim = s.dim
+)"""
+
+ORACLES["x_kmeans_assign"] = f"""
+WITH v AS ({_KM_V}
+), init AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), c0 AS (
+  SELECT i.cluster, v.dim, v.v AS c FROM v JOIN init i USING (vec_id)
+){_KM_STEP.format(it=1, prev=0)}{_KM_STEP.format(it=2, prev=1)}
+, dF AS (
+  SELECT v.vec_id, c.cluster, SUM((v.v - c.c) * (v.v - c.c)) AS dist
+  FROM v JOIN c2 c USING (dim) GROUP BY 1, 2
+)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, CAST(dist AS BIGINT) AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cluster) AS rk
+  FROM dF) WHERE rk = 1
+ORDER BY vec_id
+"""

@@ -57,6 +57,8 @@ NESTED_LOOP_OK = {
     "x_maxsim_labels",          # bounded 32-per-label query sample
                                 # broadcast (ColBERT query-length cap;
                                 # fixed size regardless of corpus SF)
+    "x_dsir_weights",           # 1-row token-totals broadcast into the
+                                # |buckets|-bounded weight table
     "x_rrf_fusion",             # semantic leg's bounded 5-anchor
                                 # broadcast (brute force baseline; ANN
                                 # index at scale)
@@ -195,6 +197,9 @@ GLOBAL_WINDOW_OK = {
         "|shuffle partitions| rows (two-phase distributed prefix sum)",
     "x_heaps_law":          # cumulative vocab curve over the doc grid
         "|grid| rows (100-doc buckets of first-occurrence aggregate)",
+    # x_kmeans_assign's init rank (k rows after limit(k)) runs inside a
+    # localCheckpoint during plan construction, so the final plan the
+    # lint sees has no Window node — nothing to whitelist.
     "x_ks_test":            # two ECDF cumsums over merged value set
         "distinct n_chars values — value-cardinality bounded",
     "x_mixture_allocation": # allocation waterfall over source weights

@@ -424,3 +424,42 @@ def test_auto_planes_integer_exact():
     # occupancy bound: n / 2^planes <= avg_bucket for all n
     for n in range(1, 5000, 37):
         assert n / (1 << auto_planes(n)) <= 8
+
+
+def test_kmeans_assign_separates_obvious_clusters(spark):
+    # two tight groups on opposite axes; k=2 init = vecs 0 and 1 (one in
+    # each group by construction), so Lloyd must recover the grouping.
+    corpus = _emb(spark, [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]), (3, [0.1, 0.9]),
+        (4, [1.1, -0.1]), (5, [-0.1, 1.1])])
+    out = {r["vec_id"]: r["cluster"]
+           for r in similarity.kmeans_assign(corpus, k=2, iters=2).collect()}
+    assert out[0] == out[2] == out[4]
+    assert out[1] == out[3] == out[5]
+    assert out[0] != out[1]
+
+
+def test_kmeans_assign_deterministic_and_total(spark):
+    corpus = _emb(spark, [(i, [float(i % 3), float((i * 7) % 5)])
+                          for i in range(20)])
+    a = sorted(map(tuple, similarity.kmeans_assign(corpus, k=4,
+                                                   iters=2).collect()))
+    b = sorted(map(tuple, similarity.kmeans_assign(corpus, k=4,
+                                                   iters=2).collect()))
+    assert a == b                      # bit-identical across runs
+    assert len(a) == 20                # every vector assigned exactly once
+    assert all(0 <= r[1] < 4 for r in a)
+    assert all(r[2] >= 0 for r in a)   # exact integer squared distance
+
+
+def test_kmeans_assign_empty_cluster_keeps_previous_centroid(spark):
+    # k=3 over vectors where seeds 0,1,2 start distinct but every point
+    # is nearest seed 0's region -> clusters 1,2 go empty after iter 1;
+    # the update must keep their centroids (no NULL / dropped clusters).
+    corpus = _emb(spark, [(0, [0.0, 0.0]), (1, [0.1, 0.0]),
+                          (2, [0.0, 0.1]), (3, [0.01, 0.01]),
+                          (4, [0.02, 0.0])])
+    out = similarity.kmeans_assign(corpus, k=3, iters=2).collect()
+    assert len(out) == 5
+    assert all(r["dist"] >= 0 for r in out)

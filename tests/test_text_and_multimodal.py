@@ -339,3 +339,34 @@ def test_png_decoder_rejects_corruption():
         png.decode_gray(bytes(payload))
     with _pytest.raises(ValueError, match="signature"):
         png.decode_gray(b"notapng" + bytes(payload))
+
+
+def test_dsir_weights_favors_target_slice(spark):
+    from flink_realtime_data_eng_spark.functions import text as T
+    # target slice (lang=en) speaks 'alpha beta'; raw background speaks
+    # 'gamma delta' -> en-style docs must score higher than raw-style.
+    rows = [(i, "alpha beta alpha beta", "en") for i in range(5)] + \
+           [(i + 5, "gamma delta gamma delta", "de") for i in range(5)] + \
+           [(10, "alpha beta", "de"),          # de doc with en-style text
+            (11, "", "en")]                    # empty doc -> weight 0
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           T.dsir_weights(df, buckets=64).collect()}
+    assert len(out) == 12                      # every doc present
+    assert out[11]["weight_e6"] == 0 and out[11]["n_tokens"] == 0
+    # en-vocabulary docs weigh more than de-vocabulary docs, regardless
+    # of their own label (content decides, not the label):
+    assert out[0]["weight_e6"] > out[5]["weight_e6"]
+    assert out[10]["weight_e6"] > out[5]["weight_e6"]
+    assert out[0]["target_like"] and not out[5]["target_like"]
+
+
+def test_dsir_weights_additive_in_tokens(spark):
+    from flink_realtime_data_eng_spark.functions import text as T
+    df = spark.createDataFrame(
+        [(0, "word", "en"), (1, "word word", "en"), (2, "other", "de")],
+        "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["weight_e6"]
+           for r in T.dsir_weights(df, buckets=16).collect()}
+    # weight is a per-occurrence sum: doubling the token doubles the score
+    assert out[1] == 2 * out[0]

@@ -428,10 +428,12 @@ def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
     - assignment = argmin of the EXACT integer squared L2 distance with
       (dist, cluster) lexicographic tie-break,
     - update = per-(cluster, dim) integer mean via the positive-offset
-      floor division ``((sum + OFF*n) div n) - OFF`` (Spark ``div``
-      truncates toward zero, DuckDB ``//`` floors — the offset keeps the
-      numerator positive where the two agree); empty clusters keep their
-      previous centroid (LEFT JOIN + coalesce, as scalable kmeans does).
+      division ``((sum + OFF*n) div n) - OFF`` (Spark ``div`` and DuckDB
+      ``//`` both truncate toward zero — measured, not floored — so they
+      already agree; the offset pins the numerator positive as a belt-
+      and-suspenders guard and keeps the rounding direction of the mean
+      uniform across signs); empty clusters keep their previous centroid
+      (LEFT JOIN + coalesce, as scalable kmeans does).
 
     Scale shape: the corpus appears only in (a) the e6 explode — linear,
     collapsed by partial aggs before the one |k|x|dims| shuffle — and
@@ -490,6 +492,95 @@ def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
     final = _assign(cent)
     return final.select(F.col(id_col), F.col("cluster").cast("int"),
                         F.col("dist").cast("bigint"))
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Spark ``div`` / DuckDB
+    ``//`` semantics (Python's ``//`` floors, which differs for negative
+    quotients; driver-side math must match the engines)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def pca_project(emb: DataFrame, iters: int = 6, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Projection of every vector onto the corpus's dominant principal
+    component — the 1-D quality/outlier axis used for embedding-space
+    corpus triage (ordering by PC1 exposes cluster structure and
+    off-manifold outliers) — computed deterministically in EXACT integer
+    arithmetic end to end so the DuckDB oracle replays it hash-for-hash:
+
+    - components quantize to e6 BIGINTs; per-dim means are truncating
+      integer divisions of exact sums,
+    - the mean-centered second-moment matrix C (d x d = 4096 entries) is
+      one map-side pair-product flatten per row collapsed by partial
+      aggregation into a |d^2|-bounded shuffle — the dense-Gramian cost
+      (d^2 multiplies per row) that RowMatrix.computeGramian pays too;
+      entries are averaged then e6-rescaled with truncating division,
+    - the dominant eigenvector comes from ``iters`` fixed power-iteration
+      steps on that 4096-int matrix, DRIVER-side (a bounded trained
+      artifact, same pattern as the PQ codebooks): w = C v, then rescale
+      by max|w| div 1e6 in truncating arithmetic; init v0 = all-1e6,
+      no RNG,
+    - the projection joins nothing: score = sum_d (x_d - mean_d) * v_d
+      with the 64 means and 64 eigenvector components inlined as
+      literals — map-side over the corpus, embarrassingly parallel.
+
+    All magnitudes stay under 2^63: |x_e6| < 2^20 in practice, products
+    < 2^41, 64-dim sums < 2^47, iteration products < 2^47.
+
+    Output: (vec_id, pc1 BIGINT) — e12-scaled projection onto the
+    (unnormalized, deterministic-scale) dominant eigenvector.
+    """
+    d6, den = 1_000_000, 1_000_000
+    v = emb.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform({vec_col}, x -> "
+            f"cast(round(cast(x as double) * {d6}) as bigint))"))
+        .alias("dim", "x"))
+    means = (v.groupBy("dim")
+              .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+              .select("dim", F.expr("s div n").alias("m"))
+              .collect())
+    mean_arr = [0] * (max(r["dim"] for r in means) + 1)
+    for r in means:
+        mean_arr[r["dim"]] = r["m"]
+    mean_lit = "array(" + ",".join(f"{m}L" for m in mean_arr) + ")"
+    xc = (emb.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, (x, i) -> "
+               f"cast(round(cast(x as double) * {d6}) as bigint) "
+               f"- element_at({mean_lit}, i + 1))").alias("xc")))
+    pairs = xc.select(F.explode(F.expr(
+        "flatten(transform(xc, (a, i) -> transform(xc, (b, j) -> "
+        "struct(i, j, a * b as p))))")).alias("e")) \
+        .select(F.col("e.i").alias("i"), F.col("e.j").alias("j"),
+                F.col("e.p").alias("p"))
+    cov_rows = (pairs.groupBy("i", "j")
+                .agg(F.sum("p").alias("s"), F.count(F.lit(1)).alias("n"))
+                .select("i", "j",
+                        F.expr(f"(s div n) div {den}").alias("c"))
+                .collect())
+    d = len(mean_arr)
+    C = [[0] * d for _ in range(d)]
+    for r in cov_rows:
+        C[r["i"]][r["j"]] = r["c"]
+    vec = [d6] * d
+    for _ in range(iters):
+        w = [sum(C[i][j] * vec[j] for j in range(d)) for i in range(d)]
+        scale = _tdiv(max(abs(x) for x in w), d6)
+        if scale > 0:
+            w = [_tdiv(x, scale) for x in w]
+        vec = w
+    v_lit = "array(" + ",".join(f"{x}L" for x in vec) + ")"
+    proj = F.expr(
+        f"aggregate(zip_with(transform({vec_col}, (x, i) -> "
+        f"cast(round(cast(x as double) * {d6}) as bigint) "
+        f"- element_at({mean_lit}, i + 1)), {v_lit}, "
+        f"(a, b) -> a * b), 0L, (acc, e) -> acc + e)")
+    return (emb.select(F.col(id_col), proj.cast("bigint").alias("pc1"))
+            .orderBy(id_col))
 
 
 def _int8_array(v: Column) -> Column:

@@ -122,3 +122,50 @@ FROM (
   FROM dF) WHERE rk = 1
 ORDER BY vec_id
 """
+
+
+def x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PC1 projection of the embedding corpus — deterministic power
+    iteration on the exact-integer mean-centered second-moment matrix
+    (the 1-D triage axis for embedding-space curation). Corpus work is
+    one map-side pair-product flatten collapsed to a |d^2|-bounded
+    aggregate plus a literal-inlined projection scan; the 4096-int
+    eigensolve is a bounded driver artifact like the PQ codebooks
+    (functions/similarity.py:pca_project)."""
+    return similarity.pca_project(_emb(spark, sf_dir), iters=6)
+
+
+QUERIES["x_pca_project"] = x_pca_project
+
+_PCA_STEP = """
+, w{it} AS (
+  SELECT c.i, SUM(c.c * p.v) AS w FROM cov c JOIN v{prev} p ON c.j = p.i
+  GROUP BY 1
+), s{it} AS (
+  SELECT max(abs(w)) // 1000000 AS sc FROM w{it}
+), v{it} AS (
+  SELECT i, CASE WHEN sc > 0 THEN w // sc ELSE w END AS v
+  FROM w{it} CROSS JOIN s{it}
+)"""
+
+ORACLES["x_pca_project"] = f"""
+WITH v AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
+  WHERE i <= len(embedding)
+), m AS (
+  SELECT dim, SUM(x) // count(*) AS m FROM v GROUP BY 1
+), xc AS (
+  SELECT v.vec_id, v.dim, v.x - m.m AS x FROM v JOIN m USING (dim)
+), cov AS (
+  SELECT a.dim AS i, b.dim AS j,
+         (SUM(a.x * b.x) // count(*)) // 1000000 AS c
+  FROM xc a JOIN xc b USING (vec_id) GROUP BY 1, 2
+), v0 AS (
+  SELECT dim AS i, CAST(1000000 AS BIGINT) AS v FROM m
+){"".join(_PCA_STEP.format(it=k, prev=k - 1) for k in range(1, 7))}
+SELECT x.vec_id, CAST(SUM(x.x * e.v) AS BIGINT) AS pc1
+FROM xc x JOIN v6 e ON x.dim = e.i
+GROUP BY 1 ORDER BY vec_id
+"""

@@ -463,3 +463,28 @@ def test_kmeans_assign_empty_cluster_keeps_previous_centroid(spark):
     out = similarity.kmeans_assign(corpus, k=3, iters=2).collect()
     assert len(out) == 5
     assert all(r["dist"] >= 0 for r in out)
+
+
+def test_pca_project_recovers_dominant_axis(spark):
+    # points spread along (1, 1)/sqrt2 with tiny orthogonal noise: PC1
+    # scores must order with the position along that axis.
+    pts = [(i, [float(t), float(t + (0.001 if i % 2 else -0.001))])
+           for i, t in enumerate([-0.9, -0.5, -0.1, 0.2, 0.6, 0.9])]
+    out = {r["vec_id"]: r["pc1"]
+           for r in similarity.pca_project(_emb(spark, pts),
+                                           iters=6).collect()}
+    scores = [out[i] for i in range(6)]
+    assert scores == sorted(scores) or scores == sorted(scores, reverse=True)
+
+
+def test_pca_project_deterministic_and_centered(spark):
+    corpus = _emb(spark, [(i, [float((i * 3) % 7) / 7.0,
+                               float((i * 5) % 11) / 11.0,
+                               float(i % 2)])
+                          for i in range(30)])
+    a = sorted(map(tuple, similarity.pca_project(corpus, iters=6).collect()))
+    b = sorted(map(tuple, similarity.pca_project(corpus, iters=6).collect()))
+    assert a == b and len(a) == 30
+    # projections of mean-centered data onto a fixed axis sum to ~0
+    # (integer truncation leaves at most d*|v|max slack per vector)
+    assert abs(sum(r[1] for r in a)) < 30 * 3 * 2_000_000

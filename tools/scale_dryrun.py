@@ -188,8 +188,8 @@ def run(dst: str, only: list[str] | None = None) -> None:
                            / max(row["sf0.1"], 0.01)) / decades, 2)
         results[name] = row
         print(json.dumps({name: row}), flush=True)
-    out_name = ("SCALE_DRYRUN_r09.json" if "sf10" not in dst
-                else "SCALE_DRYRUN_sf10_r09.json")
+    out_name = ("SCALE_DRYRUN_r10.json" if "sf10" not in dst
+                else "SCALE_DRYRUN_sf10_r10.json")
     with open(os.path.join(_HERE, out_name), "w") as f:
         json.dump(results, f, indent=1)
     errs = [n for n, r in results.items()

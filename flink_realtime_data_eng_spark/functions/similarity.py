@@ -494,6 +494,96 @@ def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
                         F.col("dist").cast("bigint"))
 
 
+def kmeans_incremental(base: DataFrame, delta: DataFrame, k: int = 4,
+                       iters: int = 2, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Incremental k-means maintenance — the ingest-day step of a
+    cluster-balanced curation pipeline (web-scale mini-batch k-means,
+    Sculley WWW'10, in its exact-replay form): centroids are trained on
+    the BASE corpus by :func:`kmeans_assign`'s Lloyd loop, then a DELTA
+    batch arrives and each touched centroid moves to the exact integer
+    mean over (its base members + its newly-assigned delta members) —
+    one pass over the delta plus |k x dims|-bounded arithmetic, never a
+    base re-train. Output: final (vec_id, cluster, dist, is_delta) for
+    the UNION corpus under the updated centroids, so downstream
+    selection sees one consistent clustering.
+
+    Same exactness contract as kmeans_assign (e6 integers, truncating
+    division via the positive-offset form, lexicographic argmin
+    tie-break); the DuckDB oracle replays base training, delta
+    assignment, the merged-mean update, and the final union assignment.
+
+    Scale shape: base appears in the Lloyd loop (broadcast-centroid
+    assignment joins) and ONCE more for the merged means; delta is one
+    explode + one broadcast-assignment join; the update itself is
+    |k x dims| arithmetic. The base final-assignment frame is reused
+    for sums and counts (localCheckpoint), so nothing base-sized runs
+    twice.
+    """
+    ve = F.posexplode(F.expr(
+        f"transform({vec_col}, x -> "
+        f"cast(round(cast(x as double) * 1000000) as bigint))"))
+    off = 1_000_000_000
+
+    def _explode(df: DataFrame) -> DataFrame:
+        return df.select(F.col(id_col), ve.alias("dim", "v"))
+
+    def _assign(vv: DataFrame, centroids: DataFrame) -> DataFrame:
+        d = (vv.join(F.broadcast(centroids), "dim")
+               .withColumn("dd", F.col("v") - F.col("c"))
+               .groupBy(id_col, "cluster")
+               .agg(F.sum(F.col("dd") * F.col("dd")).alias("dist")))
+        return (d.groupBy(id_col)
+                 .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+                 .select(F.col(id_col), F.col("m.cluster").alias("cluster"),
+                         F.col("m.dist").alias("dist")))
+
+    # --- base training: identical loop to kmeans_assign -----------------
+    from pyspark.sql import Window as W
+    vb = _explode(base)
+    init = (base.select(id_col).orderBy(id_col).limit(k)
+            .withColumn("cluster",
+                        (F.row_number().over(W.orderBy(id_col)) - 1)
+                        .cast("int")))
+    cent = (vb.join(init, id_col)
+              .select("cluster", "dim", F.col("v").alias("c"))
+              .localCheckpoint(eager=True))
+    for _ in range(iters):
+        asg = _assign(vb, cent)
+        sums = (vb.join(asg.select(id_col, "cluster"), id_col)
+                  .groupBy("cluster", "dim")
+                  .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
+        cent = (cent.select("cluster", "dim", F.col("c").alias("c_prev"))
+                .join(sums, ["cluster", "dim"], "left")
+                .select("cluster", "dim",
+                        F.coalesce(
+                            F.expr(f"((s + {off}L * n) div n) - {off}L"),
+                            F.col("c_prev")).alias("c"))
+                .localCheckpoint(eager=True))
+    # --- delta step: assign delta, move centroids to the merged mean ----
+    vd = _explode(delta)
+    base_asg = _assign(vb, cent).select(id_col, "cluster") \
+        .localCheckpoint(eager=True)
+    delta_asg = _assign(vd, cent).select(id_col, "cluster")
+    merged = (vb.join(base_asg, id_col)
+              .unionByName(vd.join(delta_asg, id_col))
+              .groupBy("cluster", "dim")
+              .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
+    cent2 = (cent.select("cluster", "dim", F.col("c").alias("c_prev"))
+             .join(merged, ["cluster", "dim"], "left")
+             .select("cluster", "dim",
+                     F.coalesce(
+                         F.expr(f"((s + {off}L * n) div n) - {off}L"),
+                         F.col("c_prev")).alias("c"))
+             .localCheckpoint(eager=True))
+    # --- final: one consistent assignment of the union corpus -----------
+    out_b = _assign(vb, cent2).withColumn("is_delta", F.lit(False))
+    out_d = _assign(vd, cent2).withColumn("is_delta", F.lit(True))
+    return (out_b.unionByName(out_d)
+            .select(F.col(id_col), F.col("cluster").cast("int"),
+                    F.col("dist").cast("bigint"), "is_delta"))
+
+
 def _tdiv(a: int, b: int) -> int:
     """Integer division truncating toward zero — Spark ``div`` / DuckDB
     ``//`` semantics (Python's ``//`` floors, which differs for negative

@@ -169,3 +169,91 @@ SELECT x.vec_id, CAST(SUM(x.x * e.v) AS BIGINT) AS pc1
 FROM xc x JOIN v6 e ON x.dim = e.i
 GROUP BY 1 ORDER BY vec_id
 """
+
+
+def x_kmeans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental k-means maintenance: centroids Lloyd-trained on the
+    base corpus (vec_id % 10 != 0), then the 10% delta batch assigns and
+    moves touched centroids to the exact merged integer mean — one delta
+    pass + |k x dims| arithmetic, no base re-train; final union
+    assignment is one consistent clustering
+    (functions/similarity.py:kmeans_incremental)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.kmeans_incremental(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0), k=4, iters=2)
+
+
+QUERIES["x_kmeans_incremental"] = x_kmeans_incremental
+
+_KMI_STEP = """
+, d{it} AS (
+  SELECT b.vec_id, c.cluster, SUM((b.v - c.c) * (b.v - c.c)) AS dist
+  FROM vb b JOIN c{prev} c USING (dim) GROUP BY 1, 2
+), a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rk
+    FROM d{it}) WHERE rk = 1
+), s{it} AS (
+  SELECT a.cluster, b.dim, SUM(b.v) AS s, count(*) AS n
+  FROM vb b JOIN a{it} a USING (vec_id) GROUP BY 1, 2
+), c{it} AS (
+  SELECT c.cluster, c.dim,
+         coalesce(((s.s + 1000000000 * s.n) // s.n) - 1000000000, c.c) AS c
+  FROM c{prev} c LEFT JOIN s{it} s
+    ON c.cluster = s.cluster AND c.dim = s.dim
+)"""
+
+ORACLES["x_kmeans_incremental"] = f"""
+WITH vall AS ({_KM_V}
+), vb AS (
+  SELECT * FROM vall WHERE vec_id % 10 <> 0
+), vd AS (
+  SELECT * FROM vall WHERE vec_id % 10 = 0
+), init AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
+  FROM embeddings WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 4
+), c0 AS (
+  SELECT i.cluster, b.dim, b.v AS c FROM vb b JOIN init i USING (vec_id)
+){_KMI_STEP.format(it=1, prev=0)}{_KMI_STEP.format(it=2, prev=1)}
+, dB AS (
+  SELECT b.vec_id, c.cluster, SUM((b.v - c.c) * (b.v - c.c)) AS dist
+  FROM vb b JOIN c2 c USING (dim) GROUP BY 1, 2
+), aB AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rk
+    FROM dB) WHERE rk = 1
+), dD AS (
+  SELECT b.vec_id, c.cluster, SUM((b.v - c.c) * (b.v - c.c)) AS dist
+  FROM vd b JOIN c2 c USING (dim) GROUP BY 1, 2
+), aD AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rk
+    FROM dD) WHERE rk = 1
+), merged AS (
+  SELECT u.cluster, u.dim, SUM(u.v) AS s, count(*) AS n FROM (
+    SELECT a.cluster, b.dim, b.v FROM vb b JOIN aB a USING (vec_id)
+    UNION ALL
+    SELECT a.cluster, b.dim, b.v FROM vd b JOIN aD a USING (vec_id)
+  ) u GROUP BY 1, 2
+), c3 AS (
+  SELECT c.cluster, c.dim,
+         coalesce(((m.s + 1000000000 * m.n) // m.n) - 1000000000, c.c) AS c
+  FROM c2 c LEFT JOIN merged m
+    ON c.cluster = m.cluster AND c.dim = m.dim
+), dF AS (
+  SELECT b.vec_id, c.cluster, SUM((b.v - c.c) * (b.v - c.c)) AS dist
+  FROM vall b JOIN c3 c USING (dim) GROUP BY 1, 2
+)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+       CAST(dist AS BIGINT) AS dist, vec_id % 10 = 0 AS is_delta
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cluster) AS rk
+  FROM dF) WHERE rk = 1
+ORDER BY vec_id
+"""

@@ -488,3 +488,34 @@ def test_pca_project_deterministic_and_centered(spark):
     # projections of mean-centered data onto a fixed axis sum to ~0
     # (integer truncation leaves at most d*|v|max slack per vector)
     assert abs(sum(r[1] for r in a)) < 30 * 3 * 2_000_000
+
+
+def test_kmeans_incremental_consistent_with_full_when_delta_empty(spark):
+    corpus = _emb(spark, [(i, [float(i % 3), float((i * 7) % 5)])
+                          for i in range(20)])
+    empty = corpus.filter(F.col("vec_id") < 0)
+    inc = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in similarity.kmeans_incremental(corpus, empty,
+                                                  k=4, iters=2).collect()}
+    # empty delta -> merged mean over base members = one extra Lloyd
+    # half-step; assignments must still be total and deterministic
+    assert len(inc) == 20
+    full = {r["vec_id"]: (r["cluster"], r["dist"])
+            for r in similarity.kmeans_incremental(corpus, empty,
+                                                   k=4, iters=2).collect()}
+    assert inc == full
+
+
+def test_kmeans_incremental_delta_rows_flagged_and_assigned(spark):
+    base = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+                        (2, [0.9, 0.1]), (3, [0.1, 0.9])])
+    delta = _emb(spark, [(10, [1.05, 0.0]), (11, [0.0, 1.05])])
+    out = {r["vec_id"]: r for r in
+           similarity.kmeans_incremental(base, delta, k=2,
+                                         iters=2).collect()}
+    assert len(out) == 6
+    assert out[10]["is_delta"] and out[11]["is_delta"]
+    assert not out[0]["is_delta"]
+    # delta vectors land with their obvious groups
+    assert out[10]["cluster"] == out[0]["cluster"] == out[2]["cluster"]
+    assert out[11]["cluster"] == out[1]["cluster"] == out[3]["cluster"]

@@ -194,6 +194,45 @@ def embedding_neardup_candidates(emb: DataFrame, threshold: float = 0.95,
              .filter(F.col("score") >= threshold))
 
 
+def semantic_leakage(corpus: DataFrame, bench: DataFrame,
+                     threshold: float = 0.25, num_planes: int = 8,
+                     avg_bucket: int | None = 8, n_rows: int | None = None,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Cross-set semantic contamination check — the embedding-space
+    analog of n-gram decontamination (x_decontaminate): flag every
+    (benchmark vector, corpus vector) pair whose cosine clears the
+    threshold, so eval items with a semantic twin in the training pool
+    are caught even when no n-gram overlaps (paraphrases, translations,
+    re-chunked text). This is an ASYMMETRIC ANN join, not the self-join
+    dedup shape: the benchmark side is small by definition, the corpus
+    side is the 100 TB one.
+
+    Scale shape: both sides bucket under the SAME corpus-adaptive
+    hyperplane signature (``auto_planes`` on the CORPUS cardinality, so
+    bucket occupancy — and the per-bucket join fan-out — stays bounded
+    at any SF); the join is an equi-join on the bucket key with the
+    bench side naturally broadcast-sized; exact cosines run only inside
+    shared buckets. Recall < 1 by LSH design, but the candidate set is
+    deterministic (md5-parity planes), so the DuckDB oracle replays the
+    identical gated pairs. Pass ``n_rows`` when composing to pay the
+    corpus count once. Output: (bench_id, corpus_id, score).
+    """
+    if avg_bucket is not None:
+        num_planes = auto_planes(corpus.count() if n_rows is None else n_rows,
+                                 num_planes, avg_bucket)
+    c = (corpus.select(F.col(id_col).alias("corpus_id"),
+                       F.col(vec_col).alias("vc"))
+         .withColumn("bucket", lsh_signature("vc", num_planes)))
+    b = (bench.select(F.col(id_col).alias("bench_id"),
+                      F.col(vec_col).alias("vbm"))
+         .withColumn("bucket", lsh_signature("vbm", num_planes)))
+    return (b.join(c, "bucket")
+            .select("bench_id", "corpus_id",
+                    F.round(cosine("vbm", "vc"), 6).alias("score"))
+            .filter(F.col("score") >= threshold))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_lists: int = 16, n_probe: int = 2, max_iter: int = 8,
              exclude_self: bool = True,

@@ -700,12 +700,26 @@ def dsir_weights(df: DataFrame, target_col: str = "lang",
     (the hashing trick needs no vocab pass: Weinberger ICML'09), nothing
     driver-side. Output: (doc_id, n_tokens, weight_e6, target_like).
     """
+    w = dsir_bucket_weights(df, target_col, target_value, buckets,
+                            text_col, id_col)
+    return dsir_score(df, w, buckets, text_col, id_col)
+
+
+def dsir_bucket_weights(df: DataFrame, target_col: str = "lang",
+                        target_value: str = "en", buckets: int = 1024,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The DSIR TRAINED ARTIFACT: one (bucket, w_e6) row per hash bucket,
+    w_e6 = round(1e6 * [ln p_target(bucket) - ln p_raw(bucket)]), add-1
+    smoothed — |buckets| rows total, persistable and broadcastable. One
+    token explode + one bucket-keyed aggregate + a 1-row totals
+    broadcast; the single rounding point keeps per-doc sums integer-exact
+    downstream."""
     from .dedup import _md5_hash32
     tok = df.select(
-        F.col(id_col),
         (F.col(target_col) == F.lit(target_value)).alias("is_tgt"),
         F.explode(tokens(text_col)).alias("tok"))
-    bt = tok.select(id_col, "is_tgt",
+    bt = tok.select("is_tgt",
                     (_md5_hash32("dw", F.col("tok")) % buckets)
                     .alias("bucket"))
     counts = bt.groupBy("bucket").agg(
@@ -713,17 +727,32 @@ def dsir_weights(df: DataFrame, target_col: str = "lang",
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("n_tgt"))
     totals = counts.agg(F.sum("n_raw").alias("tot_raw"),
                         F.sum("n_tgt").alias("tot_tgt"))
-    w = (counts.crossJoin(F.broadcast(totals))
-         .select("bucket",
-                 F.round((F.log((F.col("n_tgt") + 1).cast("double")
-                                / (F.col("tot_tgt") + buckets))
-                          - F.log((F.col("n_raw") + 1).cast("double")
-                                  / (F.col("tot_raw") + buckets)))
-                         * 1_000_000).cast("bigint").alias("w_e6")))
-    per_doc = (bt.join(F.broadcast(w), "bucket")
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("bucket",
+                    F.round((F.log((F.col("n_tgt") + 1).cast("double")
+                                   / (F.col("tot_tgt") + buckets))
+                             - F.log((F.col("n_raw") + 1).cast("double")
+                                     / (F.col("tot_raw") + buckets)))
+                            * 1_000_000).cast("bigint").alias("w_e6")))
+
+
+def dsir_score(df: DataFrame, weights: DataFrame, buckets: int = 1024,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The DSIR SERVING pass: score documents against an already-trained
+    (possibly persisted) bucket-weight table — one token explode + a
+    broadcast join against the |buckets|-row artifact + one per-doc sum;
+    the corpus that trained the weights is never rescanned. Missing
+    buckets (never seen in training) score 0 via the left join."""
+    from .dedup import _md5_hash32
+    bt = df.select(F.col(id_col),
+                   F.explode(tokens(text_col)).alias("tok")) \
+           .select(id_col, (_md5_hash32("dw", F.col("tok")) % buckets)
+                   .alias("bucket"))
+    per_doc = (bt.join(F.broadcast(weights), "bucket", "left")
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-                    F.sum("w_e6").cast("bigint").alias("weight_e6")))
+                    F.sum(F.coalesce("w_e6", F.lit(0))).cast("bigint")
+                     .alias("weight_e6")))
     return (df.select(id_col).join(per_doc, id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("n_tokens", F.lit(0)).cast("bigint")

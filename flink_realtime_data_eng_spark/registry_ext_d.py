@@ -257,3 +257,111 @@ FROM (
   FROM dF) WHERE rk = 1
 ORDER BY vec_id
 """
+
+
+def x_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set semantic contamination: benchmark slice (vec_id % 20 == 0)
+    vs training corpus (the rest) — an asymmetric LSH-bucketed ANN join
+    with exact cosine verification inside shared buckets, planes adaptive
+    on the corpus cardinality. Catches paraphrase-level eval leakage that
+    n-gram decontamination (x_decontaminate) cannot
+    (functions/similarity.py:semantic_leakage)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.semantic_leakage(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0), threshold=0.25)
+
+
+QUERIES["x_semantic_leakage"] = x_semantic_leakage
+
+from .registry_catalog import (  # noqa: E402,F401 — shared oracle fragments
+    _cosine_sql,
+    _lsh_bucket_sql_adaptive,
+)
+
+_SL_CORPUS_N = "(SELECT * FROM embeddings WHERE vec_id % 20 <> 0) corpus_n"
+
+ORACLES["x_semantic_leakage"] = f"""
+WITH c AS (
+  SELECT vec_id AS corpus_id, embedding AS vc,
+         {_lsh_bucket_sql_adaptive("embedding", table=_SL_CORPUS_N)} AS bucket
+  FROM embeddings WHERE vec_id % 20 <> 0
+), b AS (
+  SELECT vec_id AS bench_id, embedding AS vbm,
+         {_lsh_bucket_sql_adaptive("embedding", table=_SL_CORPUS_N)} AS bucket
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT b.bench_id, c.corpus_id, round({_cosine_sql("vbm", "vc")}, 6) AS score
+FROM b JOIN c USING (bucket)
+WHERE round({_cosine_sql("vbm", "vc")}, 6) >= 0.25
+ORDER BY bench_id, corpus_id
+"""
+
+
+def _dsir_weights_dir(spark: SparkSession, sf_dir: str) -> str:
+    """DSIR bucket-weight table persisted ONCE per (corpus, params, code):
+    the |buckets|-row trained artifact (_pq_index_dir pattern). At 100 TB
+    the nightly curation job trains the hashed-LM weights once and every
+    scoring pass — incoming batches, re-scores, audits — reads the tiny
+    parquet and never rescans the training corpus."""
+    import hashlib
+    import os
+    import tempfile
+    from .registry_ops import _code_tag
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:dsir_en_b1024"
+        f":{_code_tag(text.dsir_bucket_weights)}".encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"frde_dsirw_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        w = text.dsir_bucket_weights(_docs(spark, sf_dir), target_col="lang",
+                                     target_value="en", buckets=1024)
+        w.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def x_dsir_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR serving split: score ONLY the incoming batch slice
+    (doc_id % 10 == 0) against the persisted corpus-trained bucket-weight
+    artifact — one batch-sized explode + a broadcast join against the
+    1024-row parquet; the training corpus is never rescanned at serve
+    time (functions/text.py:dsir_score; artifact: _dsir_weights_dir)."""
+    w = spark.read.parquet(_dsir_weights_dir(spark, sf_dir))
+    batch = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return text.dsir_score(batch, w, buckets=1024)
+
+
+QUERIES["x_dsir_persisted"] = x_dsir_persisted
+
+ORACLES["x_dsir_persisted"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_tgt,
+         {_H32.format(x="concat('dw', ':', tok)")} % 1024 AS bucket
+  FROM (SELECT doc_id, lang, unnest({_QF_TOKS_D}) AS tok FROM documents)
+), counts AS (
+  SELECT bucket, count(*) AS n_raw,
+         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS n_tgt
+  FROM toks GROUP BY 1
+), totals AS (
+  SELECT SUM(n_raw) AS tot_raw, SUM(n_tgt) AS tot_tgt FROM counts
+), w AS (
+  SELECT bucket,
+         CAST(round((ln(CAST(n_tgt + 1 AS DOUBLE) / (tot_tgt + 1024))
+                     - ln(CAST(n_raw + 1 AS DOUBLE) / (tot_raw + 1024)))
+                    * 1000000) AS BIGINT) AS w_e6
+  FROM counts CROSS JOIN totals
+), per_doc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(coalesce(w.w_e6, 0)) AS BIGINT) AS weight_e6
+  FROM (SELECT * FROM toks WHERE doc_id % 10 = 0) t
+  LEFT JOIN w USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.weight_e6, 0) AS BIGINT) AS weight_e6,
+       coalesce(p.weight_e6, 0) > 0 AS target_like
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""

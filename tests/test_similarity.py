@@ -519,3 +519,28 @@ def test_kmeans_incremental_delta_rows_flagged_and_assigned(spark):
     # delta vectors land with their obvious groups
     assert out[10]["cluster"] == out[0]["cluster"] == out[2]["cluster"]
     assert out[11]["cluster"] == out[1]["cluster"] == out[3]["cluster"]
+
+
+def test_semantic_leakage_flags_planted_twin(spark):
+    import math
+    # corpus vector 2 is a near-copy of bench vector 100; vector 3 is
+    # orthogonal junk. Fixed planes (avg_bucket=None) keep it exact.
+    corpus = _emb(spark, [(2, [0.70, 0.70, 0.1]), (3, [-0.9, 0.1, 0.0])])
+    bench = _emb(spark, [(100, [0.71, 0.69, 0.1])])
+    out = similarity.semantic_leakage(corpus, bench, threshold=0.9,
+                                      avg_bucket=None).collect()
+    assert [(r["bench_id"], r["corpus_id"]) for r in out] == [(100, 2)]
+    assert out[0]["score"] > 0.99
+
+
+def test_semantic_leakage_asymmetric_no_self_pairs(spark):
+    import math
+    # bench and corpus share no ids; every returned pair crosses the sets
+    df = _emb(spark, [(i, [float(math.cos(i * 0.7)),
+                           float(math.sin(i * 0.7))]) for i in range(40)])
+    out = similarity.semantic_leakage(df.filter(F.col("vec_id") % 4 != 0),
+                                      df.filter(F.col("vec_id") % 4 == 0),
+                                      threshold=0.5).collect()
+    assert all(r["bench_id"] % 4 == 0 and r["corpus_id"] % 4 != 0
+               for r in out)
+    assert len(out) > 0

@@ -601,3 +601,19 @@ def test_exact_substr_spans_distinct_regions_stay_split(spark):
     out = sorted((r["doc_id"], r["span_start"], r["span_end"])
                  for r in dedup.exact_substr_spans(df, n=4, min_count=2).collect())
     assert out == [(1, 0, 3), (1, 10, 13), (2, 0, 3), (2, 8, 11)]
+
+
+def test_prefix_filter_lossless_across_thresholds(spark):
+    """The r10 PPJoin filters + fingerprint-screen verify must stay
+    lossless at LOW thresholds (long prefixes, weak positional bound)
+    and HIGH ones (short prefixes, tight bound) — not just the registry's
+    t=0.5."""
+    from flink_realtime_data_eng_spark.functions import dedup
+    from flink_realtime_data_eng_spark.schemas import load_table
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for t in (0.3, 0.8):
+        full = {(r.id_a, r.id_b, r.jaccard) for r in
+                dedup.jaccard_pairs(d, n=3, threshold=t).collect()}
+        pref = {(r.id_a, r.id_b, r.jaccard) for r in
+                dedup.prefix_filter_pairs(d, n=3, threshold=t).collect()}
+        assert pref == full, f"threshold {t}: prefix-filter != full join"

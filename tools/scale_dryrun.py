@@ -131,6 +131,9 @@ HEAVY = [
     "x_golden_record", "x_bigram_logprob", "x_incremental_dedup",
     "x_entity_clusters", "x_fk_orphans", "x_join_size_estimate",
     "x_source_overlap",
+    # r10 additions
+    "x_kmeans_assign", "x_kmeans_incremental", "x_pca_project",
+    "x_dsir_weights", "x_dsir_persisted", "x_semantic_leakage",
 ]
 
 

@@ -365,3 +365,74 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
 LEFT JOIN per_doc p USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def _emb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet as a file-source stream (the _docs_stream
+    symlink-dir pattern: the file source monitors directories only)."""
+    import hashlib
+    import os
+    import tempfile
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}".encode()
+    ).hexdigest()[:12]
+    link_dir = os.path.join(tempfile.gettempdir(), f"frde_embs_{tag}")
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    batch = _emb(spark, sf_dir)
+    return spark.readStream.schema(batch.schema).parquet(link_dir)
+
+
+def x_ann_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving: query vectors ARRIVE as a stream and each
+    micro-batch is scored against the PERSISTED IVFADC index inside
+    foreachBatch (probe 3/8 cells by equi-join, ADC over probed codes,
+    float rerank only for the shortlist) — the online-retrieval shape
+    where the index is a nightly artifact and queries are the stream.
+    Scoring is stateless per query (no cross-batch state, no watermark),
+    so replaying the query set through micro-batches reproduces the
+    batch serving result bit-for-bit: SAME ORACLE as x_ivfpq_topk /
+    x_ivfpq_persisted_topk. Results land in a parquet sink per batch
+    (K1 file-sink contract, checkpointed per ST3)."""
+    import os
+    import tempfile
+    from .registry_ext_c import _ivfpq_index_dir
+    base = _ivfpq_index_dir(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(base, "codes"))
+    row = spark.read.parquet(os.path.join(base, "books")).collect()[0]
+    coarse = [list(cv) for cv in row["C"]]
+    books = [[list(cv) for cv in book] for book in row["B"]]
+    emb = _emb(spark, sf_dir)
+    qs = (_emb_stream(spark, sf_dir)
+          .filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out_dir = tempfile.mkdtemp(prefix="frde_annserve_")
+
+    def _score(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        similarity.ivfpq_adc_topk(
+            codes, coarse, books, batch_df, emb, k=5, n_probe=3,
+            shortlist=50).write.mode("append").parquet(out_dir)
+
+    q = (qs.writeStream.foreachBatch(_score)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", out_dir + "_ckpt")
+         .start())
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
+QUERIES["x_ann_serve_stream"] = x_ann_serve_stream
+
+from .registry_core import STREAMING_DEMOS  # noqa: E402
+
+STREAMING_DEMOS.add("x_ann_serve_stream")
+
+from .registry_ext_b import _ivfpq_oracle  # noqa: E402
+
+ORACLES["x_ann_serve_stream"] = _ivfpq_oracle()

@@ -436,3 +436,43 @@ STREAMING_DEMOS.add("x_ann_serve_stream")
 from .registry_ext_b import _ivfpq_oracle  # noqa: E402
 
 ORACLES["x_ann_serve_stream"] = _ivfpq_oracle()
+
+
+def x_leakage_guard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time contamination guard: NEW TRAINING VECTORS arrive as a
+    stream and every micro-batch is checked against the (static,
+    broadcast-sized) benchmark slice in embedding space — the
+    x_semantic_leakage join with the corpus side streaming. The
+    LSH-bucket + exact-cosine check is stateless per corpus vector (no
+    cross-batch state), so the micro-batch replay reproduces the batch
+    detector bit-for-bit: SAME ORACLE as x_semantic_leakage. At 100 TB
+    this runs inside the ingest pipeline and quarantines eval twins
+    BEFORE they enter the training pool. Plane count pins to the corpus
+    cardinality exactly as the batch form (paid once, at stream
+    definition)."""
+    emb = _emb(spark, sf_dir)
+    corpus_n = emb.filter(F.col("vec_id") % 20 != 0).count()
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    stream = (_emb_stream(spark, sf_dir)
+              .filter(F.col("vec_id") % 20 != 0))
+    import tempfile
+    out_dir = tempfile.mkdtemp(prefix="frde_leakguard_")
+
+    def _check(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        similarity.semantic_leakage(
+            batch_df, bench, threshold=0.25, n_rows=corpus_n
+        ).write.mode("append").parquet(out_dir)
+
+    q = (stream.writeStream.foreachBatch(_check)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", out_dir + "_ckpt")
+         .start())
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
+QUERIES["x_leakage_guard_stream"] = x_leakage_guard_stream
+STREAMING_DEMOS.add("x_leakage_guard_stream")
+ORACLES["x_leakage_guard_stream"] = ORACLES["x_semantic_leakage"]

@@ -553,3 +553,76 @@ def bootstrap_ci(df: DataFrame, value: str, group: str,
     return (base.join(ci, group)
             .select(group, "n", "mean_e6", "boot_lo_e6", "boot_hi_e6")
             .orderBy(group))
+
+
+def kaplan_meier(df: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", censor_days: int = 7) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes — the churn curve
+    product-limit estimator (Kaplan & Meier, JASA 1958), the standard
+    answer to "what fraction of users is still active after d days"
+    under right-censoring: a user's observation = [first event, last
+    event]; a user whose last event falls within ``censor_days`` of the
+    corpus horizon is CENSORED (still active — their true lifetime is
+    only known to exceed the observed one), everyone else is a churn
+    event at duration (last - first) in whole days.
+
+    At each distinct duration d with at least one churn:
+    ``S(d) = prod_{d' <= d} (1 - events(d') / at_risk(d'))``,
+    computed in the repo's exact-replay style: each factor rounds ONCE
+    to an e6 log-space BIGINT (ln of a ratio of exact integers), the
+    cumulative sum is integer-exact, and the final survival double is
+    one exp + one 6 dp round. at_risk(d) is a DESCENDING-duration
+    running sum — no corpus-total scalar needed. Factors where
+    at_risk == events (curve extinction) are not representable in log
+    space (-inf); such durations are excluded from the output support,
+    the standard presentation (the curve is reported while positive).
+
+    Scale shape: one (user) aggregate over the event stream, then ALL
+    remaining work happens on the distinct-duration frame — value-
+    cardinality bounded (<= observation-window days), the x_ks_test
+    argument — so the global windows ride a bounded input at any SF.
+    The horizon is a 1-row broadcast (the sanctioned scalar).
+
+    Output: (duration_days, n_at_risk, n_events, surv_lle6, survival).
+    """
+    from pyspark.sql import Window as W
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    day_ms = 86_400_000
+    per_user = (df.select(F.col(user_col).alias("u"), ms.alias("ms"))
+                .groupBy("u")
+                .agg(F.min("ms").alias("first_ms"),
+                     F.max("ms").alias("last_ms")))
+    horizon = per_user.agg(F.max("last_ms").alias("h_ms"))
+    pu = (per_user.crossJoin(F.broadcast(horizon))
+          .select(F.expr(f"(last_ms - first_ms) div {day_ms}")
+                  .alias("duration_days"),
+                  (F.col("last_ms")
+                   < F.col("h_ms") - F.lit(censor_days * day_ms))
+                  .alias("churned")))
+    byd = (pu.groupBy("duration_days")
+           .agg(F.count(F.lit(1)).alias("n_at_d"),
+                F.sum(F.when(F.col("churned"), 1).otherwise(0))
+                 .alias("n_events")))
+    w_desc = (W.orderBy(F.col("duration_days").desc())
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    risk = byd.withColumn("n_at_risk", F.sum("n_at_d").over(w_desc))
+    step = F.when(
+        (F.col("n_events") > 0) & (F.col("n_at_risk") > F.col("n_events")),
+        F.round(F.log((F.col("n_at_risk") - F.col("n_events"))
+                      .cast("double") / F.col("n_at_risk"))
+                * 1_000_000).cast("bigint")).otherwise(F.lit(0))
+    w_asc = (W.orderBy("duration_days")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    curve = (risk.withColumn("step_lle6", step)
+             .withColumn("surv_lle6",
+                         F.sum("step_lle6").over(w_asc).cast("bigint")))
+    return (curve
+            .filter((F.col("n_events") > 0)
+                    & (F.col("n_at_risk") > F.col("n_events")))
+            .select(F.col("duration_days").cast("bigint"),
+                    F.col("n_at_risk").cast("bigint"),
+                    F.col("n_events").cast("bigint"),
+                    "surv_lle6",
+                    F.round(F.exp(F.col("surv_lle6").cast("double")
+                                  / 1_000_000.0), 6).alias("survival"))
+            .orderBy("duration_days"))

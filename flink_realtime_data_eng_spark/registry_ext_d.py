@@ -15,6 +15,7 @@ from .registry_core import (  # noqa: F401
     _H32,
     _docs,
     _emb,
+    _events,
     similarity,
     text,
 )
@@ -476,3 +477,56 @@ def x_leakage_guard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_leakage_guard_stream"] = x_leakage_guard_stream
 STREAMING_DEMOS.add("x_leakage_guard_stream")
 ORACLES["x_leakage_guard_stream"] = ORACLES["x_semantic_leakage"]
+
+
+def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-churn survival curve with 1-day right-censoring
+    — product-limit estimator in the exact-replay style: e6 log-space
+    integer factors, descending-duration running sum for the at-risk
+    counts, one exp + one round at the end. All post-aggregate work runs
+    on the value-cardinality-bounded distinct-duration frame
+    (operators/stats.py:kaplan_meier)."""
+    from .registry_core import stats
+    return stats.kaplan_meier(_events(spark, sf_dir), censor_days=1)
+
+
+QUERIES["x_kaplan_meier"] = x_kaplan_meier
+
+ORACLES["x_kaplan_meier"] = """
+WITH pu AS (
+  SELECT user_id, min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+  FROM events GROUP BY 1
+), h AS (
+  SELECT max(last_ms) AS h_ms FROM pu
+), d AS (
+  SELECT (last_ms - first_ms) // 86400000 AS duration_days,
+         last_ms < h_ms - 1 * 86400000 AS churned
+  FROM pu CROSS JOIN h
+), byd AS (
+  SELECT duration_days, count(*) AS n_at_d,
+         SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS n_events
+  FROM d GROUP BY 1
+), risk AS (
+  SELECT *, SUM(n_at_d) OVER (ORDER BY duration_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+  FROM byd
+), curve AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN n_events > 0 AND n_at_risk > n_events
+                  THEN CAST(round(ln(CAST(n_at_risk - n_events AS DOUBLE)
+                                     / n_at_risk) * 1000000) AS BIGINT)
+                  ELSE 0 END)
+              OVER (ORDER BY duration_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS surv_lle6
+  FROM risk
+)
+SELECT CAST(duration_days AS BIGINT) AS duration_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       surv_lle6,
+       round(exp(CAST(surv_lle6 AS DOUBLE) / 1000000.0), 6) AS survival
+FROM curve
+WHERE n_events > 0 AND n_at_risk > n_events
+ORDER BY duration_days
+"""

@@ -59,6 +59,7 @@ NESTED_LOOP_OK = {
                                 # fixed size regardless of corpus SF)
     "x_dsir_weights",           # 1-row token-totals broadcast into the
                                 # |buckets|-bounded weight table
+    "x_kaplan_meier",           # 1-row observation-horizon broadcast
     "x_rrf_fusion",             # semantic leg's bounded 5-anchor
                                 # broadcast (brute force baseline; ANN
                                 # index at scale)
@@ -200,6 +201,9 @@ GLOBAL_WINDOW_OK = {
     # x_kmeans_assign's init rank (k rows after limit(k)) runs inside a
     # localCheckpoint during plan construction, so the final plan the
     # lint sees has no Window node — nothing to whitelist.
+    "x_kaplan_meier":       # at-risk + log-survival cumsums
+        "distinct duration days — value-cardinality bounded by the "
+        "observation window",
     "x_ks_test":            # two ECDF cumsums over merged value set
         "distinct n_chars values — value-cardinality bounded",
     "x_mixture_allocation": # allocation waterfall over source weights

@@ -87,3 +87,42 @@ def test_variant_extract_matches_schema_ful_json(spark):
     via_variant = {r["event_type"]: (r["n_typed"], r["sum_v"], r["min_v"], r["max_v"])
                    for r in stats.variant_props_stats(e).collect()}
     assert via_schema == via_variant
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """5 users, horizon day 12 (u5's last event), censor 1 day:
+    churners u1/u2 at duration 2, u3 at 5, u4 at 10 (last event day 10 —
+    more than a day before the horizon); u5 (duration 10, last event AT
+    the horizon) is censored. S(2) = 1 - 2/5 = 0.6;
+    S(5) = 0.6 * (1 - 1/3) = 0.4; S(10) = 0.4 * (1 - 1/2) = 0.2."""
+    from flink_realtime_data_eng_spark.operators import stats
+    base = 1_700_000_000_000
+    day = 86_400_000
+
+    def ev(u, d0, d1):
+        return [(u, d0 * day + base), (u, d1 * day + base)]
+
+    rows = (ev(1, 0, 2) + ev(2, 3, 5) + ev(3, 1, 6)
+            + ev(4, 0, 10) + ev(5, 2, 12))
+    df = spark.createDataFrame(
+        [(u, ms) for u, ms in rows], "user_id long, ms long"
+    ).selectExpr("user_id", "timestamp_millis(ms) AS ts")
+    out = {r["duration_days"]: r
+           for r in stats.kaplan_meier(df, censor_days=1).collect()}
+    assert set(out) == {2, 5, 10}
+    assert out[2]["n_at_risk"] == 5 and out[2]["n_events"] == 2
+    assert out[5]["n_at_risk"] == 3 and out[5]["n_events"] == 1
+    assert out[10]["n_at_risk"] == 2 and out[10]["n_events"] == 1
+    assert abs(out[2]["survival"] - 0.6) < 1e-4
+    assert abs(out[5]["survival"] - 0.4) < 1e-4
+    assert abs(out[10]["survival"] - 0.2) < 1e-4
+
+
+def test_kaplan_meier_all_censored_is_empty(spark):
+    from flink_realtime_data_eng_spark.operators import stats
+    base = 1_700_000_000_000
+    df = spark.createDataFrame(
+        [(1, base), (1, base + 1000), (2, base), (2, base + 2000)],
+        "user_id long, ms long"
+    ).selectExpr("user_id", "timestamp_millis(ms) AS ts")
+    assert stats.kaplan_meier(df, censor_days=1).count() == 0

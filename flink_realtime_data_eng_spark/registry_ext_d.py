@@ -462,8 +462,13 @@ def x_leakage_guard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _check(batch_df, _batch_id):
         if batch_df.isEmpty():
             return
+        # The file-stream micro-batch partitions BY FILE (one task per
+        # file, however large) — measured 13x slower than the batch twin
+        # at sf10 before this repartition spread the plane/cosine work
+        # across the cluster.
         similarity.semantic_leakage(
-            batch_df, bench, threshold=0.25, n_rows=corpus_n
+            batch_df.repartition(32), bench, threshold=0.25,
+            n_rows=corpus_n
         ).write.mode("append").parquet(out_dir)
 
     q = (stream.writeStream.foreachBatch(_check)

@@ -385,7 +385,11 @@ def _emb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     batch = _emb(spark, sf_dir)
-    return spark.readStream.schema(batch.schema).parquet(link_dir)
+    # Same by-file micro-batch partitioning hazard as _docs_stream: spread
+    # the scan so per-batch plane/cosine work parallelizes regardless of
+    # input file layout.
+    return (spark.readStream.schema(batch.schema).parquet(link_dir)
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 def x_ann_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -686,7 +686,8 @@ def x_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtering.corpus_filter(_docs(spark, sf_dir))
 
 
-def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_stream(spark: SparkSession, sf_dir: str,
+                 spread: bool = True) -> DataFrame:
     """documents.parquet as a file-source stream.
 
     The file source only monitors directories, so the single parquet file
@@ -705,7 +706,20 @@ def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     batch = _docs(spark, sf_dir)
-    return spark.readStream.schema(batch.schema).parquet(link_dir)
+    # The file source partitions micro-batches BY FILE (one task per
+    # file, however large) — a single-large-file input serializes every
+    # stateless map stage before the first exchange. spread=True inserts
+    # a round-robin exchange right after the scan: x_filter_stream
+    # (map-only sink, no other exchange) measured 64 s -> 5.7 s at 100x
+    # SF, x_minhash_stream (heavy explode+hash map) 66 s -> 34 s. The
+    # exchange carries FULL text rows, so a consumer whose map stage is
+    # cheap relative to one text shuffle (x_dedup_stream: one md5 per
+    # row, measured 19 s -> 31 s under spread) opts out with
+    # spread=False and lets its keyed aggregation redistribute instead.
+    stream = spark.readStream.schema(batch.schema).parquet(link_dir)
+    if spread:
+        stream = stream.repartition(spark.sparkContext.defaultParallelism)
+    return stream
 
 
 def x_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,7 +742,10 @@ def x_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives depends on micro-batch arrival order, but the fp set does
     not — so the result is deterministic and hash-matches the batch
     ``DISTINCT md5(norm(text))`` oracle."""
-    stream = _docs_stream(spark, sf_dir).withColumn(
+    # spread=False: the map stage is one md5 per row — cheaper than the
+    # full-text exchange spread would insert (measured 19 s vs 31 s at
+    # 100x SF); the fingerprint aggregation redistributes downstream.
+    stream = _docs_stream(spark, sf_dir, spread=False).withColumn(
         "ts", F.timestamp_millis(F.lit(1_700_000_000_000)
                                  + F.col("doc_id") * 1000))
     out = dedup.exact_dedup_stream(stream, "ts", watermark="10 seconds")

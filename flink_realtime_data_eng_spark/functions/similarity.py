@@ -486,51 +486,86 @@ def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
     the iters-times-updated centroids; dist is the exact e6^2-scaled
     squared distance.
     """
-    from pyspark.sql import Window as W
-    v = emb.select(
+    v = _km_explode(emb, vec_col, id_col)
+    cent = _lloyd_train(emb, v, k, iters, id_col)
+    final = _km_assign(v, cent, id_col)
+    return final.select(F.col(id_col), F.col("cluster").cast("int"),
+                        F.col("dist").cast("bigint"))
+
+
+# offset large enough that sum + OFF*n > 0 for any |component| < 1000
+# (e6-scaled): keeps both engines in the positive-quotient regime.
+_KM_OFF = 1_000_000_000
+
+
+def _km_explode(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, dim, v): the map-side e6 quantization of a vector frame."""
+    return df.select(
         F.col(id_col),
         F.posexplode(F.expr(
             f"transform({vec_col}, x -> "
             f"cast(round(cast(x as double) * 1000000) as bigint))"))
         .alias("dim", "v"))
+
+
+def _km_assign(vv: DataFrame, centroids: DataFrame,
+               id_col: str) -> DataFrame:
+    """Argmin assignment of exploded vectors against a broadcast centroid
+    table: exact integer squared L2, (dist, cluster) lexicographic
+    tie-break. Returns (id, cluster, dist)."""
+    d = (vv.join(F.broadcast(centroids), "dim")
+           .withColumn("dd", F.col("v") - F.col("c"))
+           .groupBy(id_col, "cluster")
+           .agg(F.sum(F.col("dd") * F.col("dd")).alias("dist")))
+    return (d.groupBy(id_col)
+             .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+             .select(F.col(id_col), F.col("m.cluster").alias("cluster"),
+                     F.col("m.dist").alias("dist")))
+
+
+def _km_mean_update(cent: DataFrame, sums: DataFrame) -> DataFrame:
+    """Move each centroid to the exact integer mean of its members
+    (positive-offset truncating division; DECIMAL(38,0) member sums —
+    corpus-linear accumulators get 128 bits, matching DuckDB's HUGEINT
+    promotion); clusters with no members keep their previous centroid.
+    Checkpointed: the frame is |k x dims|-bounded and anchors the next
+    iteration's lineage."""
+    return (cent.select("cluster", "dim", F.col("c").alias("c_prev"))
+            .join(sums, ["cluster", "dim"], "left")
+            .select("cluster", "dim",
+                    F.coalesce(
+                        F.expr(f"((s + {_KM_OFF}L * n) div n) - {_KM_OFF}L"),
+                        F.col("c_prev")).alias("c"))
+            .localCheckpoint(eager=True))
+
+
+def _km_member_sums(vv: DataFrame, asg: DataFrame,
+                    id_col: str) -> DataFrame:
+    """Per-(cluster, dim) member sums + counts for a mean update."""
+    return (vv.join(asg.select(id_col, "cluster"), id_col)
+            .groupBy("cluster", "dim")
+            .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def _lloyd_train(df: DataFrame, vv: DataFrame, k: int, iters: int,
+                 id_col: str) -> DataFrame:
+    """``iters`` Lloyd rounds from the k-lowest-id init; returns the
+    final |k x dims| centroid frame (checkpointed)."""
+    from pyspark.sql import Window as W
     # init: k lowest ids -> cluster 0..k-1 in id order. The unpartitioned
     # window runs over exactly k rows (post-limit) — bounded by contract.
-    init = (emb.select(id_col).orderBy(id_col).limit(k)
+    init = (df.select(id_col).orderBy(id_col).limit(k)
             .withColumn("cluster",
                         (F.row_number().over(W.orderBy(id_col)) - 1)
                         .cast("int")))
-    cent = (v.join(init, id_col)
-             .select("cluster", "dim", F.col("v").alias("c"))
-             .localCheckpoint(eager=True))
-    # offset large enough that sum + OFF*n > 0 for any |component| < 1000
-    # (e6-scaled): keeps both engines in the positive-quotient regime.
-    off = 1_000_000_000
-
-    def _assign(centroids: DataFrame) -> DataFrame:
-        d = (v.join(F.broadcast(centroids), "dim")
-              .withColumn("dd", F.col("v") - F.col("c"))
-              .groupBy(id_col, "cluster")
-              .agg(F.sum(F.col("dd") * F.col("dd")).alias("dist")))
-        return (d.groupBy(id_col)
-                 .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-                 .select(F.col(id_col), F.col("m.cluster").alias("cluster"),
-                         F.col("m.dist").alias("dist")))
-
+    cent = (vv.join(init, id_col)
+              .select("cluster", "dim", F.col("v").alias("c"))
+              .localCheckpoint(eager=True))
     for _ in range(iters):
-        asg = _assign(cent)
-        sums = (v.join(asg.select(id_col, "cluster"), id_col)
-                 .groupBy("cluster", "dim")
-                 .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
-        cent = (cent.select("cluster", "dim", F.col("c").alias("c_prev"))
-                .join(sums, ["cluster", "dim"], "left")
-                .select("cluster", "dim",
-                        F.coalesce(
-                            F.expr(f"((s + {off}L * n) div n) - {off}L"),
-                            F.col("c_prev")).alias("c"))
-                .localCheckpoint(eager=True))
-    final = _assign(cent)
-    return final.select(F.col(id_col), F.col("cluster").cast("int"),
-                        F.col("dist").cast("bigint"))
+        asg = _km_assign(vv, cent, id_col)
+        cent = _km_mean_update(cent, _km_member_sums(vv, asg, id_col))
+    return cent
 
 
 def kmeans_incremental(base: DataFrame, delta: DataFrame, k: int = 4,
@@ -559,65 +594,25 @@ def kmeans_incremental(base: DataFrame, delta: DataFrame, k: int = 4,
     for sums and counts (localCheckpoint), so nothing base-sized runs
     twice.
     """
-    ve = F.posexplode(F.expr(
-        f"transform({vec_col}, x -> "
-        f"cast(round(cast(x as double) * 1000000) as bigint))"))
-    off = 1_000_000_000
-
-    def _explode(df: DataFrame) -> DataFrame:
-        return df.select(F.col(id_col), ve.alias("dim", "v"))
-
-    def _assign(vv: DataFrame, centroids: DataFrame) -> DataFrame:
-        d = (vv.join(F.broadcast(centroids), "dim")
-               .withColumn("dd", F.col("v") - F.col("c"))
-               .groupBy(id_col, "cluster")
-               .agg(F.sum(F.col("dd") * F.col("dd")).alias("dist")))
-        return (d.groupBy(id_col)
-                 .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-                 .select(F.col(id_col), F.col("m.cluster").alias("cluster"),
-                         F.col("m.dist").alias("dist")))
-
-    # --- base training: identical loop to kmeans_assign -----------------
-    from pyspark.sql import Window as W
-    vb = _explode(base)
-    init = (base.select(id_col).orderBy(id_col).limit(k)
-            .withColumn("cluster",
-                        (F.row_number().over(W.orderBy(id_col)) - 1)
-                        .cast("int")))
-    cent = (vb.join(init, id_col)
-              .select("cluster", "dim", F.col("v").alias("c"))
-              .localCheckpoint(eager=True))
-    for _ in range(iters):
-        asg = _assign(vb, cent)
-        sums = (vb.join(asg.select(id_col, "cluster"), id_col)
-                  .groupBy("cluster", "dim")
-                  .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
-        cent = (cent.select("cluster", "dim", F.col("c").alias("c_prev"))
-                .join(sums, ["cluster", "dim"], "left")
-                .select("cluster", "dim",
-                        F.coalesce(
-                            F.expr(f"((s + {off}L * n) div n) - {off}L"),
-                            F.col("c_prev")).alias("c"))
-                .localCheckpoint(eager=True))
+    # --- base training: the shared Lloyd core ---------------------------
+    vb = _km_explode(base, vec_col, id_col)
+    cent = _lloyd_train(base, vb, k, iters, id_col)
     # --- delta step: assign delta, move centroids to the merged mean ----
-    vd = _explode(delta)
-    base_asg = _assign(vb, cent).select(id_col, "cluster") \
+    vd = _km_explode(delta, vec_col, id_col)
+    base_asg = _km_assign(vb, cent, id_col).select(id_col, "cluster") \
         .localCheckpoint(eager=True)
-    delta_asg = _assign(vd, cent).select(id_col, "cluster")
+    delta_asg = _km_assign(vd, cent, id_col).select(id_col, "cluster")
     merged = (vb.join(base_asg, id_col)
               .unionByName(vd.join(delta_asg, id_col))
               .groupBy("cluster", "dim")
-              .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
-    cent2 = (cent.select("cluster", "dim", F.col("c").alias("c_prev"))
-             .join(merged, ["cluster", "dim"], "left")
-             .select("cluster", "dim",
-                     F.coalesce(
-                         F.expr(f"((s + {off}L * n) div n) - {off}L"),
-                         F.col("c_prev")).alias("c"))
-             .localCheckpoint(eager=True))
+              .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+                   F.count(F.lit(1)).alias("n")))
+    cent2 = _km_mean_update(cent, merged)
     # --- final: one consistent assignment of the union corpus -----------
-    out_b = _assign(vb, cent2).withColumn("is_delta", F.lit(False))
-    out_d = _assign(vd, cent2).withColumn("is_delta", F.lit(True))
+    out_b = _km_assign(vb, cent2, id_col).withColumn("is_delta",
+                                                     F.lit(False))
+    out_d = _km_assign(vd, cent2, id_col).withColumn("is_delta",
+                                                     F.lit(True))
     return (out_b.unionByName(out_d)
             .select(F.col(id_col), F.col("cluster").cast("int"),
                     F.col("dist").cast("bigint"), "is_delta"))
@@ -655,8 +650,14 @@ def pca_project(emb: DataFrame, iters: int = 6, vec_col: str = "embedding",
       with the 64 means and 64 eigenvector components inlined as
       literals — map-side over the corpus, embarrassingly parallel.
 
-    All magnitudes stay under 2^63: |x_e6| < 2^20 in practice, products
-    < 2^41, 64-dim sums < 2^47, iteration products < 2^47.
+    Overflow discipline (the x_share_report rule: corpus-LINEAR sums get
+    128-bit accumulators, per-row terms don't need them): the per-dim
+    mean sums and the per-(i,j) product sums grow with N (products are
+    ~2^41 each, so Spark's non-ANSI SUM(bigint) would wrap silently at
+    N ~ 2^22 vectors) — both aggregate as DECIMAL(38,0), matching
+    DuckDB's automatic HUGEINT promotion. Post-aggregate quotients
+    (mean < 2^20, C6 < 2^21) and the driver-side iteration products
+    (< 2^47) fit comfortably in 64 bits.
 
     Output: (vec_id, pc1 BIGINT) — e12-scaled projection onto the
     (unnormalized, deterministic-scale) dominant eigenvector.
@@ -669,7 +670,8 @@ def pca_project(emb: DataFrame, iters: int = 6, vec_col: str = "embedding",
             f"cast(round(cast(x as double) * {d6}) as bigint))"))
         .alias("dim", "x"))
     means = (v.groupBy("dim")
-              .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+              .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+                   F.count(F.lit(1)).alias("n"))
               .select("dim", F.expr("s div n").alias("m"))
               .collect())
     mean_arr = [0] * (max(r["dim"] for r in means) + 1)
@@ -687,7 +689,8 @@ def pca_project(emb: DataFrame, iters: int = 6, vec_col: str = "embedding",
         .select(F.col("e.i").alias("i"), F.col("e.j").alias("j"),
                 F.col("e.p").alias("p"))
     cov_rows = (pairs.groupBy("i", "j")
-                .agg(F.sum("p").alias("s"), F.count(F.lit(1)).alias("n"))
+                .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"),
+                     F.count(F.lit(1)).alias("n"))
                 .select("i", "j",
                         F.expr(f"(s div n) div {den}").alias("c"))
                 .collect())

@@ -20,22 +20,13 @@ from .registry_core import (  # noqa: F401
     text,
 )
 
-_QF_TOKS_D = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+from .registry_catalog import _QF_TOKS as _QF_TOKS_D  # noqa: E402 — shared
+# token regex (same engine-side tokens() the quality-family oracles replay)
 
-
-def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights (Xie et al. NeurIPS'23): per-doc hashed
-    bag-of-words log-likelihood ratio between the lang='en' target slice
-    and the raw corpus — the pretraining-data resampling signal. One
-    token explode, one |buckets|-bounded aggregate, broadcast weight
-    join; no vocabulary pass (functions/text.py:dsir_weights)."""
-    return text.dsir_weights(_docs(spark, sf_dir), target_col="lang",
-                             target_value="en", buckets=1024)
-
-
-QUERIES["x_dsir_weights"] = x_dsir_weights
-
-ORACLES["x_dsir_weights"] = f"""
+# The DSIR TRAIN block, shared verbatim by the full-corpus scorer and the
+# persisted-serving oracle: hashed-bucket token stream, smoothed bucket
+# counts, 1-row totals, and the single-rounding-point e6 weight table.
+_DSIR_TRAIN_SQL = f"""
 WITH toks AS (
   SELECT doc_id, lang = 'en' AS is_tgt,
          {_H32.format(x="concat('dw', ':', tok)")} % 1024 AS bucket
@@ -52,7 +43,22 @@ WITH toks AS (
                      - ln(CAST(n_raw + 1 AS DOUBLE) / (tot_raw + 1024)))
                     * 1000000) AS BIGINT) AS w_e6
   FROM counts CROSS JOIN totals
-), per_doc AS (
+)"""
+
+
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS'23): per-doc hashed
+    bag-of-words log-likelihood ratio between the lang='en' target slice
+    and the raw corpus — the pretraining-data resampling signal. One
+    token explode, one |buckets|-bounded aggregate, broadcast weight
+    join; no vocabulary pass (functions/text.py:dsir_weights)."""
+    return text.dsir_weights(_docs(spark, sf_dir), target_col="lang",
+                             target_value="en", buckets=1024)
+
+
+QUERIES["x_dsir_weights"] = x_dsir_weights
+
+ORACLES["x_dsir_weights"] = f"""{_DSIR_TRAIN_SQL}, per_doc AS (
   SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          CAST(SUM(w.w_e6) AS BIGINT) AS weight_e6
   FROM toks t JOIN w USING (bucket) GROUP BY 1
@@ -335,24 +341,7 @@ def x_dsir_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["x_dsir_persisted"] = x_dsir_persisted
 
-ORACLES["x_dsir_persisted"] = f"""
-WITH toks AS (
-  SELECT doc_id, lang = 'en' AS is_tgt,
-         {_H32.format(x="concat('dw', ':', tok)")} % 1024 AS bucket
-  FROM (SELECT doc_id, lang, unnest({_QF_TOKS_D}) AS tok FROM documents)
-), counts AS (
-  SELECT bucket, count(*) AS n_raw,
-         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS n_tgt
-  FROM toks GROUP BY 1
-), totals AS (
-  SELECT SUM(n_raw) AS tot_raw, SUM(n_tgt) AS tot_tgt FROM counts
-), w AS (
-  SELECT bucket,
-         CAST(round((ln(CAST(n_tgt + 1 AS DOUBLE) / (tot_tgt + 1024))
-                     - ln(CAST(n_raw + 1 AS DOUBLE) / (tot_raw + 1024)))
-                    * 1000000) AS BIGINT) AS w_e6
-  FROM counts CROSS JOIN totals
-), per_doc AS (
+ORACLES["x_dsir_persisted"] = f"""{_DSIR_TRAIN_SQL}, per_doc AS (
   SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          CAST(SUM(coalesce(w.w_e6, 0)) AS BIGINT) AS weight_e6
   FROM (SELECT * FROM toks WHERE doc_id % 10 = 0) t
@@ -428,7 +417,9 @@ def x_ann_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True)
          .option("checkpointLocation", out_dir + "_ckpt")
          .start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("x_ann_serve_stream did not drain in 300s")
     return spark.read.parquet(out_dir)
 
 
@@ -466,20 +457,20 @@ def x_leakage_guard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _check(batch_df, _batch_id):
         if batch_df.isEmpty():
             return
-        # The file-stream micro-batch partitions BY FILE (one task per
-        # file, however large) — measured 13x slower than the batch twin
-        # at sf10 before this repartition spread the plane/cosine work
-        # across the cluster.
+        # Micro-batch parallelism comes from _emb_stream's source spread
+        # (the by-file single-task fix lives there — 148 s -> 9.8 s at
+        # 100x SF); no second repartition here.
         similarity.semantic_leakage(
-            batch_df.repartition(32), bench, threshold=0.25,
-            n_rows=corpus_n
+            batch_df, bench, threshold=0.25, n_rows=corpus_n
         ).write.mode("append").parquet(out_dir)
 
     q = (stream.writeStream.foreachBatch(_check)
          .trigger(availableNow=True)
          .option("checkpointLocation", out_dir + "_ckpt")
          .start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("x_leakage_guard_stream did not drain in 300s")
     return spark.read.parquet(out_dir)
 
 

@@ -668,10 +668,14 @@ def prefix_filter_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     shingles (from J = c/(|x|+|y|-c) and |y| >= c), and two sets that
     share that much overlap MUST collide inside prefixes of length
     |x| - ceil(t*|x|) + 1 under a common total order — so the candidate
-    set provably contains every qualifying pair, and exact Jaccard
-    verification of the surviving candidates makes the result IDENTICAL
-    to the full-self-join :func:`jaccard_pairs`. That identity is the
-    oracle: DuckDB replays the plain exact join.
+    set provably contains every qualifying pair. Exact Jaccard
+    verification of the surviving candidates then matches the
+    full-self-join :func:`jaccard_pairs` result — identical up to the
+    tier-1 fingerprint screen below, whose only loss mode is >= 2
+    within-pair 64-bit hash collisions (expected < 1e-20 at 10^12
+    candidate pairs; the prefix/length/positional filters themselves are
+    strictly lossless). That match is the oracle: DuckDB replays the
+    plain exact join.
 
     r10 redesign (profiled at sf0.1/sf1/sf10 — the r9 watch item): the
     original verify self-joined the candidate-doc shingle table on the

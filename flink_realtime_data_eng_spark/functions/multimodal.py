@@ -7,14 +7,17 @@ never per-row — and are the ONLY sanctioned Python hot path in the engine.
 
 The image/audio codec LIBRARIES are not in this container; general decode
 is stubbed: ``decode_image``/``decode_audio`` raise ``NotImplementedError``
-unless the deterministic fake decoder is selected. One format IS real:
+unless the deterministic fake decoder is selected. Two formats ARE real:
 8-bit grayscale PNG encodes/decodes through the pure-stdlib codec in
 ``functions.png`` (``encode_png_images``/``decode_png_stats`` below —
 signature, CRC-checked chunks, zlib scanlines, all five filter types),
-oracle-checked end to end by ``registry.x_png_decode``. Everything around
-the remaining stubs — schema, batch iteration, partition sizing, output
-contract — is real and tested; swapping in PIL/librosa later touches only
-``_decode_payload``.
+oracle-checked end to end by ``registry.x_png_decode``; and RIFF/WAVE
+s16 PCM through ``functions.wav`` (``encode_wav_audio``/
+``decode_wav_stats`` below, plus ``audio_energy(codec="wav")``),
+oracle-checked by ``registry.x_wav_decode``/``x_wav_energy``. Everything
+around the remaining stubs — schema, batch iteration, partition sizing,
+output contract — is real and tested; swapping in PIL/librosa later
+touches only ``_decode_payload``.
 """
 
 from __future__ import annotations
@@ -204,22 +207,28 @@ def frame_sample(media: DataFrame, every_n: int = 10, frame_bytes: int = 16,
 
 
 def audio_energy(media: DataFrame, frame_samples: int = 32,
-                 fake: bool = True) -> DataFrame:
+                 fake: bool = True, codec: str = "bytes") -> DataFrame:
     """Audio frame-energy extraction: each payload is windowed into frames
     of ``frame_samples`` samples; each full frame emits its energy (sum of
     squared sample values, exact BIGINT).
 
-    Real audio decode (PCM from wav/mp3) needs codec libs absent from this
-    container; the deterministic fake reads the payload bytes as unsigned
-    8-bit samples — the Spark plumbing (Arrow batch in, frame fan-out rows
-    out, exact-integer energies) is exactly what a librosa-backed decoder
-    would feed. Per-frame energies are the front half of audio dedup /
-    silence trimming / VAD-style segmentation in a media pipeline.
+    ``codec="wav"`` is the REAL path: payloads are genuine RIFF/WAVE s16
+    PCM files decoded through the pure-stdlib :mod:`.wav` codec (chunk
+    walk, fmt validation, little-endian sample unpack) — the audio
+    analogue of ``decode_png_stats``. ``codec="bytes"`` keeps the
+    deterministic fake (payload bytes as unsigned 8-bit samples) for
+    formats whose decoders are absent from this container (mp3/ogg —
+    ``fake=False`` there still raises). Per-frame energies are the front
+    half of audio dedup / silence trimming / VAD-style segmentation in a
+    media pipeline.
     """
-    if not fake:
+    if codec not in ("bytes", "wav"):
+        raise ValueError(f"unknown codec {codec!r}")
+    if codec == "bytes" and not fake:
         raise NotImplementedError(
             "audio decode requires codec libs not present in this "
-            "environment; pass fake=True for the byte-sample stub")
+            "environment; pass fake=True for the byte-sample stub or "
+            "codec='wav' for the real RIFF/PCM16 path")
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_no", T.IntegerType()),
@@ -227,21 +236,95 @@ def audio_energy(media: DataFrame, frame_samples: int = 32,
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import wav as _wav
         for pdf in batches:
             ids, nos, es = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                n_frames = len(payload) // frame_samples
+                if codec == "wav":
+                    _, _, samples = _wav.decode_pcm16(bytes(payload))
+                else:
+                    samples = list(payload)
+                n_frames = len(samples) // frame_samples
                 for fno in range(n_frames):
-                    chunk = payload[fno * frame_samples:(fno + 1) * frame_samples]
+                    chunk = samples[fno * frame_samples:
+                                    (fno + 1) * frame_samples]
                     ids.append(mid)
                     nos.append(fno)
-                    es.append(sum(b * b for b in chunk))
+                    es.append(sum(s * s for s in chunk))
             yield pd.DataFrame({"media_id": ids, "frame_no": nos,
                                 "energy": pd.Series(es, dtype="int64")})
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+WAV_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_channels", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("smp_min", T.LongType()),
+    T.StructField("smp_max", T.LongType()),
+    T.StructField("smp_sum", T.LongType()),
+])
+
+
+def encode_wav_audio(samples_df: DataFrame, id_col: str = "media_id",
+                     smp_col: str = "samples",
+                     sample_rate: int = 8000) -> DataFrame:
+    """REAL audio encode stage: turn per-row signed-16-bit sample arrays
+    into genuine RIFF/WAVE binary payloads via the pure-stdlib codec
+    (``functions.wav``) — Arrow-batched mapInPandas, the same plumbing
+    contract as ``encode_png_images``. Output: (id, payload binary,
+    mime). The bytes on the wire are a real file format."""
+    from . import wav as _wav
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+    ])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_wav.encode_pcm16([int(s) for s in smps],
+                                          sample_rate=sample_rate)
+                        for smps in pdf[smp_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "payload": payloads,
+                "mime": ["audio/wav"] * len(pdf),
+            })
+
+    return samples_df.mapInPandas(encode, out_schema)
+
+
+def decode_wav_stats(media: DataFrame, id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode stage: parse each RIFF/WAVE payload (chunk walk,
+    fmt validation, s16 sample unpack) and emit exact sample statistics —
+    the audio decode slot holding an actual decoder instead of the
+    byte-sample fake. Unsupported profiles raise; they do not silently
+    produce wrong samples."""
+    from . import wav as _wav
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_channels",
+                                   "n_samples", "smp_min", "smp_max",
+                                   "smp_sum")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, chans, samples = _wav.decode_pcm16(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(chans)
+                out["n_samples"].append(len(samples))
+                out["smp_min"].append(min(samples))
+                out["smp_max"].append(max(samples))
+                out["smp_sum"].append(sum(samples))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, WAV_STATS_SCHEMA)
 
 
 PNG_STATS_SCHEMA = T.StructType([

@@ -512,11 +512,17 @@ def _km_assign(vv: DataFrame, centroids: DataFrame,
                id_col: str) -> DataFrame:
     """Argmin assignment of exploded vectors against a broadcast centroid
     table: exact integer squared L2, (dist, cluster) lexicographic
-    tie-break. Returns (id, cluster, dist)."""
+    tie-break. Returns (id, cluster, dist).
+
+    The squared-term sum accumulates in DECIMAL(38,0): each dd*dd fits
+    int64 for the documented |component| < 1000 e6-scaled domain, but a
+    64-dim SUM of 4e18-scale terms does not — non-ANSI Spark would wrap
+    silently where DuckDB promotes to HUGEINT, diverging the oracle."""
     d = (vv.join(F.broadcast(centroids), "dim")
            .withColumn("dd", F.col("v") - F.col("c"))
            .groupBy(id_col, "cluster")
-           .agg(F.sum(F.col("dd") * F.col("dd")).alias("dist")))
+           .agg(F.sum(F.expr("cast(dd as decimal(38,0)) * dd"))
+                .alias("dist")))
     return (d.groupBy(id_col)
              .agg(F.min(F.struct("dist", "cluster")).alias("m"))
              .select(F.col(id_col), F.col("m.cluster").alias("cluster"),

@@ -603,6 +603,11 @@ def kaplan_meier(df: DataFrame, user_col: str = "user_id",
            .agg(F.count(F.lit(1)).alias("n_at_d"),
                 F.sum(F.when(F.col("churned"), 1).otherwise(0))
                  .alias("n_events")))
+    # Both unpartitioned windows below ride `byd`, the distinct-duration
+    # AGGREGATE (<= observation-window days at any SF) — safe by
+    # construction despite Spark's "moving all data to a single
+    # partition" log line; whitelisted with this boundedness argument in
+    # tests/test_plan_lint.py GLOBAL_WINDOW_OK.
     w_desc = (W.orderBy(F.col("duration_days").desc())
               .rowsBetween(W.unboundedPreceding, W.currentRow))
     risk = byd.withColumn("n_at_risk", F.sum("n_at_d").over(w_desc))

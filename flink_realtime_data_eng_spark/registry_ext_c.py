@@ -654,7 +654,14 @@ _MH_SEEDS = ", ".join(f"({s}, {a}, {b})" for s, (a, b)
                       in enumerate(dedup.affine_consts(16)))
 ORACLES["x_minhash_stream"] = f"""
 WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+  -- error() past the 100000-window unroll cap instead of silently
+  -- dropping shingles (x_exact_substr_spans guard discipline).
+  SELECT doc_id,
+         CASE WHEN len(string_split({_NORM_SQL}, ' ')) - 1 >= 100000
+              THEN CAST(error('x_minhash_stream oracle: document exceeds'
+                              ' the 100000-window unroll cap') AS VARCHAR[])
+              ELSE string_split({_NORM_SQL}, ' ') END AS w
+  FROM documents
 ), sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx
@@ -968,7 +975,14 @@ QUERIES["x_source_overlap"] = x_source_overlap
 
 ORACLES["x_source_overlap"] = f"""
 WITH words AS (
-  SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS w FROM documents
+  -- error() past the 100000-window unroll cap instead of silently
+  -- dropping shingles (x_exact_substr_spans guard discipline).
+  SELECT doc_id, source,
+         CASE WHEN len(string_split({_NORM_SQL}, ' ')) - 1 >= 100000
+              THEN CAST(error('x_source_overlap oracle: document exceeds'
+                              ' the 100000-window unroll cap') AS VARCHAR[])
+              ELSE string_split({_NORM_SQL}, ' ') END AS w
+  FROM documents
 ), sh AS MATERIALIZED (
   SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS shingle
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx

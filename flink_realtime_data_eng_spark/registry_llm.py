@@ -686,6 +686,27 @@ def x_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtering.corpus_filter(_docs(spark, sf_dir))
 
 
+def _symlink_stream_dir(sf_dir: str, filename: str, kind: str) -> str:
+    """Per-(file, size, mtime) temp dir holding one symlink to a fixture
+    parquet — the file-source stream adapter (the source monitors
+    DIRECTORIES only). No data copy; a regenerated fixture changes the
+    tag and so invalidates the cached dir. Shared by _docs_stream and
+    registry_ext_d._emb_stream (r10 ADVICE: the pattern was duplicated)."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, filename)
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}".encode()
+    ).hexdigest()[:12]
+    link_dir = os.path.join(_tempfile.gettempdir(), f"frde_{kind}_{tag}")
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, filename)
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return link_dir
+
+
 def _docs_stream(spark: SparkSession, sf_dir: str,
                  spread: bool = True) -> DataFrame:
     """documents.parquet as a file-source stream.
@@ -693,18 +714,7 @@ def _docs_stream(spark: SparkSession, sf_dir: str,
     The file source only monitors directories, so the single parquet file
     is exposed through a per-(file,mtime) temp dir of symlinks — no data
     copy, and a regenerated fixture invalidates the cache key."""
-    import hashlib
-    import os
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}".encode()
-    ).hexdigest()[:12]
-    link_dir = os.path.join(_tempfile.gettempdir(), f"frde_docs_{tag}")
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    link_dir = _symlink_stream_dir(sf_dir, "documents.parquet", "docs")
     batch = _docs(spark, sf_dir)
     # The file source partitions micro-batches BY FILE (one task per
     # file, however large) — a single-large-file input serializes every

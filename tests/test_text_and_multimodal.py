@@ -370,3 +370,88 @@ def test_dsir_weights_additive_in_tokens(spark):
            for r in T.dsir_weights(df, buckets=16).collect()}
     # weight is a per-occurrence sum: doubling the token doubles the score
     assert out[1] == 2 * out[0]
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+    from flink_realtime_data_eng_spark.functions import wav
+    s = [0, 1, -1, 32767, -32768, 100, -200, 5]
+    p = wav.encode_pcm16(s, 8000)
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    assert wav.decode_pcm16(p) == (8000, 1, s)
+    # interleaved stereo round trip
+    p2 = wav.encode_pcm16([1, 2, 3, 4], 44100, channels=2)
+    assert wav.decode_pcm16(p2) == (44100, 2, [1, 2, 3, 4])
+    # unknown odd-size chunk before fmt: skipped via the spec pad byte
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    body = b"WAVE" + extra + p[12:]
+    padded = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert wav.decode_pcm16(padded) == (8000, 1, s)
+    # fmt chunk with the cbSize extension (size 18) still parses
+    fmt = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+    data = struct.pack("<4h", 9, -9, 3, 4)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    ext = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert wav.decode_pcm16(ext) == (8000, 1, [9, -9, 3, 4])
+
+
+def test_wav_codec_rejects_bad_profiles():
+    import struct
+    import pytest as _pytest
+    from flink_realtime_data_eng_spark.functions import wav
+    p = wav.encode_pcm16([1, 2], 8000)
+    with _pytest.raises(ValueError, match="RIFF"):
+        wav.decode_pcm16(b"RIFX" + p[4:])
+    with _pytest.raises(ValueError, match="truncated|RIFF"):
+        wav.decode_pcm16(p[:14])
+    with _pytest.raises(ValueError, match="s16 range"):
+        wav.encode_pcm16([70000])
+    with _pytest.raises(ValueError, match="frame-aligned"):
+        wav.encode_pcm16([1, 2, 3], channels=2)
+    # float PCM (format tag 3) rejected, not silently misread
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt3
+            + b"data" + struct.pack("<I", 0))
+    f32 = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError, match="format tag"):
+        wav.decode_pcm16(f32)
+    # 8-bit PCM rejected
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt8
+            + b"data" + struct.pack("<I", 0))
+    u8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError, match="bit depth"):
+        wav.decode_pcm16(u8)
+
+
+def test_wav_stages_roundtrip_stats(spark):
+    from flink_realtime_data_eng_spark.functions import multimodal
+    d = spark.createDataFrame(
+        [(1, [0, 5, -5, 32767]), (2, [-32768, 7])],
+        "media_id long, samples array<int>")
+    media = multimodal.encode_wav_audio(d, sample_rate=16000)
+    got = {r["media_id"]: r for r in multimodal.decode_wav_stats(media).collect()}
+    assert got[1]["sample_rate"] == 16000 and got[1]["n_channels"] == 1
+    assert (got[1]["n_samples"], got[1]["smp_min"], got[1]["smp_max"],
+            got[1]["smp_sum"]) == (4, -5, 32767, 32767)
+    assert (got[2]["n_samples"], got[2]["smp_min"], got[2]["smp_max"],
+            got[2]["smp_sum"]) == (2, -32768, 7, -32761)
+    mimes = {r["mime"] for r in media.select("mime").collect()}
+    assert mimes == {"audio/wav"}
+
+
+def test_audio_energy_wav_codec_real_samples(spark):
+    import pytest as _pytest
+    from flink_realtime_data_eng_spark.functions import multimodal
+    d = spark.createDataFrame(
+        [(1, [3, -4] * 8 + [10] * 8)],  # 24 samples -> 3 full 8-frames
+        "media_id long, samples array<int>")
+    media = multimodal.encode_wav_audio(d)
+    rows = {(r["media_id"], r["frame_no"]): r["energy"]
+            for r in multimodal.audio_energy(
+                media, frame_samples=8, codec="wav").collect()}
+    assert rows == {(1, 0): 4 * (9 + 16), (1, 1): 4 * (9 + 16),
+                    (1, 2): 8 * 100}
+    with _pytest.raises(ValueError, match="unknown codec"):
+        multimodal.audio_energy(media, codec="flac")

@@ -83,6 +83,14 @@ def main() -> None:
     # queries should measure the probe + ADC scan + rerank read path.
     registry._pq_index_dir(spark, sf_dir)
     registry._ivfpq_index_dir(spark, sf_dir)
+    # ... and the r11 persisted artifacts: the MERGE commit chain (the
+    # merge job is the nightly write; x_merge_* measure snapshot reads),
+    # the per-day HLL register parquet (x_hll_grain_rollup measures the
+    # fold, not the register build), and the DSIR weight table
+    # (x_dsir_persisted measures the serve path).
+    registry._merge_table_dir(spark, sf_dir)
+    registry._hll_day_registers_dir(spark, sf_dir)
+    registry._dsir_weights_dir(spark, sf_dir)
 
     timings: dict[str, float] = {}
     bench_queries = {n: f for n, f in registry.QUERIES.items()

@@ -1624,3 +1624,68 @@ def test_chained_window_aggs_survive_checkpoint_restart(spark, tmp_path):
                                '"9","x","__flush__","4000000000000"\n')
     run_once()
     assert emitted == [("click", 0, 3, 3)]
+
+
+def test_merge_into_upsert_file_pruning(spark, tmp_path):
+    """MERGE INTO on the manifest table: upsert replaces matches and
+    inserts the rest; only files containing a matching key are rewritten
+    (tombstoned), untouched files survive by identity."""
+    import json
+    import os
+    out = str(tmp_path / "mt")
+    target = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string")
+    # spread over multiple files keyed so pruning has granularity
+    sinks.publish_batch(target.repartition(4, "k"), out, 0)
+    src = spark.createDataFrame(
+        [(3, "upd3"), (7, "upd7"), (1000, "new1000")], "k long, v string")
+    bid = sinks.merge_into(spark, out, src, ["k"])
+    assert bid == 1
+    got = {r["k"]: r["v"] for r in sinks.read_manifest(spark, out).collect()}
+    assert got == {**{i: f"v{i}" for i in range(100)},
+                   3: "upd3", 7: "upd7", 1000: "new1000"}
+    m1 = json.load(open(os.path.join(out, "_manifests", "batch-1.json")))
+    m0 = json.load(open(os.path.join(out, "_manifests", "batch-0.json")))
+    b0_files = {os.path.join(m0["dir"], f) for f in m0["files"]}
+    # only files containing k=3 / k=7 are tombstoned (<= 2 of the 4);
+    # the insert-only key 1000 touches nothing — pruning was real
+    assert set(m1["removed"]) <= b0_files
+    assert 1 <= len(m1["removed"]) <= 2 < len(b0_files)
+    # time travel to the pre-merge snapshot still resolves original files
+    pre = {r["k"]: r["v"]
+           for r in sinks.read_manifest(spark, out, as_of_batch=0).collect()}
+    assert pre == {i: f"v{i}" for i in range(100)}
+
+
+def test_merge_into_delete_and_validation(spark, tmp_path):
+    import pytest as _pytest
+    out = str(tmp_path / "mtd")
+    target = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "k long, x long")
+    sinks.publish_batch(target.repartition(2, "k"), out, 0)
+    # schema mismatch rejected for update
+    bad = spark.createDataFrame([(1, "s")], "k long, other string")
+    with _pytest.raises(ValueError, match="must match target schema"):
+        sinks.merge_into(spark, out, bad, ["k"])
+    with _pytest.raises(ValueError, match="when_matched"):
+        sinks.merge_into(spark, out, target, ["k"], when_matched="upsert")
+    # WHEN MATCHED DELETE: key-only source frame, unmatched keys no-op
+    dels = spark.createDataFrame([(2,), (5,), (99,)], "k long")
+    sinks.merge_into(spark, out, dels, ["k"], when_matched="delete")
+    got = {r["k"] for r in sinks.read_manifest(spark, out).collect()}
+    assert got == {0, 1, 3, 4, 6, 7}
+
+
+def test_merge_into_numeric_commit_order(spark, tmp_path):
+    """Stacked rewrites: a later MERGE tombstones files added by an
+    earlier MERGE; numeric manifest ordering (batch-10 > batch-2) keeps
+    removal application correct past one-digit ids."""
+    out = str(tmp_path / "mts")
+    t = spark.createDataFrame([(i, 0) for i in range(4)], "k long, g long")
+    sinks.publish_batch(t.repartition(1), out, 0)
+    for step in range(1, 12):
+        src = spark.createDataFrame([(step % 4, step)], "k long, g long")
+        sinks.merge_into(spark, out, src, ["k"])
+    got = {r["k"]: r["g"] for r in sinks.read_manifest(spark, out).collect()}
+    # last writer per key wins: k=1 last updated at step 9, k=2 at 10, k=3 at 11, k=0 at 8
+    assert got == {0: 8, 1: 9, 2: 10, 3: 11}

@@ -22,7 +22,8 @@ Synthesis = union of `copies` id-shifted replicas of each sf0.1 table:
 
 Usage:
     python tools/scale_dryrun.py synth [dst=/tmp/frde_sf1] [copies=10]
-    python tools/scale_dryrun.py run   [dst=/tmp/frde_sf1]
+    python tools/scale_dryrun.py run   [dst=/tmp/frde_sf1] [query ...]
+    python tools/scale_dryrun.py runstream [dst=/tmp/frde_sf10] [query ...]
 """
 
 from __future__ import annotations
@@ -137,6 +138,47 @@ HEAVY = [
 ]
 
 
+# r11 (VERDICT task 6): the 10 heaviest streaming demos — doc-corpus
+# streams (per-batch explode/hash/dedup work scales with the corpus) and
+# the stateful/window event streams. x_ann_serve_stream /
+# x_leakage_guard_stream already carry r10 sf10 evidence (0.02 / 0.24
+# per decade) and are excluded to keep the pass bounded.
+STREAM_HEAVY = [
+    "x_minhash_stream", "x_dedup_stream", "x_histq_stream",
+    "x_chained_windows_stream", "x_join_agg_stream",
+    "x_dynsession_stream", "x_dynsession_timeout", "x_cep_stream",
+    "x_attribution_stream", "x_cms_stream",
+]
+
+
+def _round_no() -> int:
+    """Round in progress = 1 + newest driver BENCH_r{N}, as bench.py."""
+    import glob
+    rounds = [int(m.group(1))
+              for p in glob.glob(os.path.join(_HERE, "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def _out_path(dst: str) -> str:
+    rnd = _round_no()
+    base = (f"SCALE_DRYRUN_r{rnd:02d}.json" if "sf10" not in dst
+            else f"SCALE_DRYRUN_sf10_r{rnd:02d}.json")
+    return os.path.join(_HERE, base)
+
+
+def _merge_write(path: str, results: dict) -> None:
+    """Update-merge into the round file so batch and streaming passes
+    accumulate instead of overwriting each other."""
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    existing.update(results)
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=1)
+
+
 def pick_queries() -> list[str]:
     from flink_realtime_data_eng_spark import registry
     names = list(HEAVY)
@@ -191,13 +233,60 @@ def run(dst: str, only: list[str] | None = None) -> None:
                            / max(row["sf0.1"], 0.01)) / decades, 2)
         results[name] = row
         print(json.dumps({name: row}), flush=True)
-    out_name = ("SCALE_DRYRUN_r10.json" if "sf10" not in dst
-                else "SCALE_DRYRUN_sf10_r10.json")
-    with open(os.path.join(_HERE, out_name), "w") as f:
-        json.dump(results, f, indent=1)
+    _merge_write(_out_path(dst), results)
     errs = [n for n, r in results.items()
             if any(isinstance(v, str) for v in r.values())]
     print(f"done: {len(results)} queries, {len(errs)} errors {errs}")
+
+
+def run_streams(dst: str, only: list[str] | None = None) -> None:
+    """Streaming-family scale dry-run (r11 VERDICT task 6): unlike the
+    batch path, a STREAMING_DEMOS fn drains its whole stream (foreachBatch
+    / availableNow, fresh checkpoint + sink dirs per call) DURING the
+    fn() call and returns the materialized sink as a batch frame — so the
+    timed region wraps the fn() call itself plus the noop read-back, i.e.
+    the arrival replay end to end. Two passes per scale; the second is
+    recorded (the first builds shared artifacts: symlink dirs, persisted
+    indexes, JVM/codegen warmup)."""
+    from pyspark.sql import SparkSession
+
+    from flink_realtime_data_eng_spark import registry
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .appName("scale_dryrun_streams").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = only or STREAM_HEAVY
+    print(f"replaying {len(names)} streams at sf0.1 and {dst}")
+    results = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        row = {}
+        for label, d in (("sf0.1", SRC), (os.path.basename(dst), dst)):
+            try:
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                t0 = time.monotonic()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                row[label] = round(time.monotonic() - t0, 2)
+            except Exception as e:
+                row[label] = f"ERROR: {type(e).__name__}: {str(e)[:300]}"
+        lab = os.path.basename(dst)
+        if isinstance(row.get("sf0.1"), float) and isinstance(row.get(lab), float):
+            decades = 2.0 if "sf10" in lab else 1.0
+            row["exponent"] = round(
+                math.log10(max(row[lab], 0.01)
+                           / max(row["sf0.1"], 0.01)) / decades, 2)
+        row["mode"] = "stream_replay"
+        results[name] = row
+        print(json.dumps({name: row}), flush=True)
+    _merge_write(_out_path(dst), results)
+    errs = [n for n, r in results.items()
+            if any(isinstance(v, str) for v in r.values())]
+    print(f"done: {len(results)} streams, {len(errs)} errors {errs}")
 
 
 if __name__ == "__main__":
@@ -208,6 +297,8 @@ if __name__ == "__main__":
         synth(dst, copies)
     elif cmd == "run":
         run(dst, only=sys.argv[3:] or None)
+    elif cmd == "runstream":
+        run_streams(dst, only=sys.argv[3:] or None)
     else:
         print(__doc__)
         sys.exit(2)

@@ -91,6 +91,10 @@ def main() -> None:
     registry._merge_table_dir(spark, sf_dir)
     registry._hll_day_registers_dir(spark, sf_dir)
     registry._dsir_weights_dir(spark, sf_dir)
+    # ... and the persisted quality verdict (the corpus_filter scan is
+    # the nightly scoring job, measured via x_corpus_filter itself;
+    # x_training_manifest measures the composition read path).
+    registry._quality_verdict_dir(spark, sf_dir)
 
     timings: dict[str, float] = {}
     bench_queries = {n: f for n, f in registry.QUERIES.items()

@@ -36,6 +36,23 @@ def ngram_overlap(train: DataFrame, eval_df: DataFrame, n: int = 5,
              .filter(F.col("shared_ngrams") >= min_shared))
 
 
+def contaminated_ids(train: DataFrame, eval_df: DataFrame, n: int = 5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Ids of train docs sharing ANY distinct word n-gram with ANY eval
+    doc — the ``min_shared=1`` fast path of :func:`ngram_overlap`
+    (identical flagged set): LEFT SEMI against the DISTINCT eval shingle
+    set, so a train shingle matching k eval docs emits one probe row
+    instead of k joined rows and the per-pair count aggregate disappears
+    (r11 profile: the pair fanout was ~2x the semi-join cost at 100x SF).
+    Use :func:`ngram_overlap` when the per-pair shared count matters."""
+    t = shingles(train, n=n, text_col=text_col, id_col=id_col)
+    e = (shingles(eval_df, n=n, text_col=text_col, id_col=id_col)
+         .select("shingle").distinct())
+    return (t.join(F.broadcast(e), "shingle", "left_semi")
+             .select(id_col).distinct())
+
+
 def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 5,
                   min_shared: int = 1, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:

@@ -245,15 +245,21 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16, n: int = 3,
 
 def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                            n: int = 3, text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           signatures_df: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     band bucket = md5 of the band's concatenated minhash values; docs in the
     same bucket for any band become a candidate pair. Output: id_a, id_b,
     n_shared_bands. Verify candidates with :func:`jaccard_pairs` semantics.
+    ``signatures_df`` lets a caller that already materialized the
+    signature table (minhash_jaccard_estimate) reuse it instead of paying
+    the corpus shingle-explode + min-fold a second time (r11 profile:
+    the duplicated signature pass was ~40% of the estimator's wall).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    sig = (signatures_df if signatures_df is not None
+           else minhash_signatures(df, num_hashes, n, text_col, id_col))
     # Band bucket = md5 of the '|'-joined minhash values in seed order — a
     # plain string contract the SQL oracle reproduces with string_agg(...
     # ORDER BY seed), with no JSON-formatting ambiguity.
@@ -345,7 +351,8 @@ def minhash_jaccard_estimate(df: DataFrame, num_hashes: int = 16,
     """
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col) \
         .localCheckpoint(eager=True)
-    cand = minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col) \
+    cand = minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col,
+                                  signatures_df=sig) \
         .select("id_a", "id_b")
     a = sig.select(F.col(id_col).alias("id_a"), "seed",
                    F.col("minhash").alias("mh_a"))

@@ -35,6 +35,7 @@ from .registry_ops import (  # noqa: F401
     _FLUSH_TS_MS,
     _events_csv_dir,
     _run_to_memory,
+    _run_to_parquet,
     _stream_events,
     _tempfile,
 )
@@ -1030,7 +1031,10 @@ def x_dynsession_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = ev.select("user_id", "ts_ms", "event_id", gap.alias("gap"))
     out = dynamic_sessions_stream(src, key="user_id", ts_ms="ts_ms",
                                   gap_col="gap", id_col="event_id")
-    return _run_to_memory(out, spark)
+    # Parquet round trip, not memory: sessions are ~one per event, and a
+    # corpus-sized output must not funnel through a driver collection
+    # (r11 100x replay: the memory sink dominated the wall).
+    return _run_to_parquet(out, spark)
 
 
 QUERIES["x_dynsession_stream"] = x_dynsession_stream

@@ -37,6 +37,7 @@ from .registry_ops import (  # noqa: F401
     _events_csv_dir,
     _events_csv_dir_flush,
     _run_to_memory,
+    _run_to_parquet,
     _stream_events,
     _tempfile,
 )
@@ -104,7 +105,8 @@ def x_dynsession_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dynamic_sessions_timeout_stream(src, key="user_id", ts_col="ts",
                                           ts_ms="ts_ms", gap_col="gap",
                                           id_col="event_id")
-    res = _run_to_memory(out, spark)
+    # Parquet round trip (corpus-sized output; see x_dynsession_stream).
+    res = _run_to_parquet(out, spark)
     return res.filter(F.col("user_id") >= 0)
 
 

@@ -263,6 +263,7 @@ def st2_action_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch stand-in.
 # ---------------------------------------------------------------------------
 
+import os as _os
 import tempfile as _tempfile
 import uuid as _uuid
 
@@ -343,6 +344,36 @@ def _run_to_memory(df: DataFrame, spark: SparkSession,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def _run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a PARQUET sink and
+    read the result back — the distributed-output twin of
+    :func:`_run_to_memory` for streams whose output is CORPUS-SIZED
+    (dynamic sessionization emits ~one row per event): the memory sink
+    funnels every row through a single driver collection, which at 100x
+    SF dominated the replay wall and is a shape no production stream has
+    (K1 file sink is the production contract). Same availableNow drain,
+    same shuffle-clamp policy, append mode only (the parquet sink's own
+    constraint)."""
+    from .sinks import run_available_now
+    out = _tempfile.mkdtemp(prefix="frde_sout_")
+    ckpt = _tempfile.mkdtemp(prefix="frde_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    try:
+        writer = (df.writeStream.format("parquet").option("path", out)
+                  .option("checkpointLocation", ckpt).outputMode("append"))
+        q = run_available_now(writer)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                f"streaming round-trip {out} did not finish in 600 s — "
+                "result would be partial, refusing to return it")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -459,30 +460,79 @@ def dynamic_sessions_stream(df: DataFrame, key: str = "user_id",
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        # Vectorized gaps-and-islands (r11: the itertuples row loop plus
+        # per-session tuple appends were the dominant cost at 100x SF —
+        # sessions are near-output-sized there). Key facts making the
+        # rewrite exact: (1) only REAL rows (non-null gap) advance
+        # (last_ts, last_gap), so the island partition of real rows is
+        # independent of flush placement; (2) a flush (or any later row)
+        # at ts > last_ts + last_gap closes the open session, and because
+        # rows are (ts, id)-sorted a flush can break a deadline only if
+        # the next real row would break it too — so flushes matter ONLY
+        # for whether the FINAL island emits. Within a batch rows replay
+        # in (ts, id) order after concatenating Arrow chunks — the
+        # ST1/ST2 determinism contract.
         start, last_ts, last_gap, n = (state.get if state.exists
                                        else (None, None, None, 0))
-        out: list[tuple] = []
-        chunks = list(pdfs)
-        pdf = (pd.concat(chunks) if len(chunks) > 1 else
-               (chunks[0] if chunks else pd.DataFrame(columns=order)))
-        if len(pdf):
-            for row in pdf.sort_values(order).itertuples(index=False):
-                t = int(getattr(row, ts_ms))
-                g = getattr(row, gap_col)
-                if start is not None and t - last_ts > last_gap:
-                    out.append((start, n, last_ts))
+        starts = ns = lasts = None
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(order)
+            ts = pdf[ts_ms].to_numpy(dtype="int64")
+            gap = pd.to_numeric(pdf[gap_col], errors="coerce") \
+                .to_numpy(dtype="float64")
+            real = ~np.isnan(gap)
+            rts, fts = ts[real], ts[~real]
+            rgap = gap[real].astype("int64")
+            if rts.size:
+                brk = np.empty(rts.size, dtype=bool)
+                brk[0] = start is None or rts[0] - last_ts > last_gap
+                np.greater(rts[1:] - rts[:-1], rgap[:-1], out=brk[1:])
+                # island STRUCTURE: row 0 always heads the first island
+                # (brk[0] only decides whether it merges with the carried
+                # session / emits it) — flatnonzero on raw brk would drop
+                # the whole first island when brk[0] is False.
+                heads = brk.copy()
+                heads[0] = True
+                s_idx = np.flatnonzero(heads)
+                e_idx = np.append(s_idx[1:] - 1, rts.size - 1)
+                i_start = rts[s_idx].copy()
+                i_last = rts[e_idx]
+                i_gap = rgap[e_idx]
+                i_n = (e_idx - s_idx + 1).astype("int64")
+                carried_emit = start is not None and brk[0]
+                if start is not None and not brk[0]:
+                    i_start[0] = start
+                    i_n[0] += n
+                final_closed = (fts.size > 0
+                                and int(fts.max()) - int(i_last[-1])
+                                > int(i_gap[-1]))
+                cut = len(i_start) if final_closed else len(i_start) - 1
+                starts, ns, lasts = i_start[:cut], i_n[:cut], i_last[:cut]
+                if carried_emit:
+                    starts = np.concatenate(([start], starts))
+                    ns = np.concatenate(([n], ns))
+                    lasts = np.concatenate(([last_ts], lasts))
+                if final_closed:
                     start, last_ts, last_gap, n = None, None, None, 0
-                if pd.isna(g):      # flush marker: close-only
-                    continue
-                if start is None:
-                    start = t
-                n, last_ts, last_gap = n + 1, t, int(g)
+                else:
+                    start, last_ts, last_gap, n = (
+                        int(i_start[-1]), int(i_last[-1]),
+                        int(i_gap[-1]), int(i_n[-1]))
+            elif (start is not None and fts.size
+                  and int(fts.max()) - last_ts > last_gap):
+                starts, ns, lasts = ([start], [n], [last_ts])
+                start, last_ts, last_gap, n = None, None, None, 0
         if start is not None:
             state.update((start, last_ts, last_gap, n))
         elif state.exists:
             state.remove()
-        res = pd.DataFrame(out, columns=["session_start_ms", "n_events",
-                                         "last_ts_ms"])
+        if starts is None:
+            starts = ns = lasts = np.empty(0, dtype="int64")
+        res = pd.DataFrame({"session_start_ms": np.asarray(starts, "int64"),
+                            "n_events": np.asarray(ns, "int64"),
+                            "last_ts_ms": np.asarray(lasts, "int64")})
         res.insert(0, key, key_tuple[0])
         yield res
 
@@ -655,35 +705,73 @@ def dynamic_sessions_timeout_stream(df: DataFrame, key: str = "user_id",
             return
         start, last_ts, last_gap, n = (state.get if state.exists
                                        else (None, None, None, 0))
-        out: list[tuple] = []
-        chunks = list(pdfs)
-        pdf = (pd.concat(chunks) if len(chunks) > 1 else
-               (chunks[0] if chunks else pd.DataFrame(columns=order)))
-        if len(pdf):
-            for row in pdf.sort_values(order).itertuples(index=False):
-                t = int(getattr(row, ts_ms))
-                g = getattr(row, gap_col)
-                if start is not None and t - last_ts > last_gap:
-                    out.append((start, n, last_ts))
-                    start, n = None, 0
-                if pd.isna(g):
-                    # Watermark-only flush marker (null gap): closes any
-                    # in-batch-expired session above but must NOT open a
-                    # session of its own — otherwise the far-future sentinel
-                    # registers a timeout the watermark can never pass and
-                    # leaks one state row per sentinel key.
-                    continue
-                if start is None:
-                    start = t
-                n, last_ts, last_gap = n + 1, t, int(g)
+        # Same vectorized gaps-and-islands core as dynamic_sessions_stream
+        # (see its fn for the exactness argument); the watermark-only
+        # flush marker (null gap) closes any in-batch-expired session but
+        # must NOT open one of its own — otherwise the far-future sentinel
+        # registers a timeout the watermark can never pass and leaks one
+        # state row per sentinel key.
+        starts = ns = lasts = None
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(order)
+            ts = pdf[ts_ms].to_numpy(dtype="int64")
+            gap = pd.to_numeric(pdf[gap_col], errors="coerce") \
+                .to_numpy(dtype="float64")
+            real = ~np.isnan(gap)
+            rts, fts = ts[real], ts[~real]
+            rgap = gap[real].astype("int64")
+            if rts.size:
+                brk = np.empty(rts.size, dtype=bool)
+                brk[0] = start is None or rts[0] - last_ts > last_gap
+                np.greater(rts[1:] - rts[:-1], rgap[:-1], out=brk[1:])
+                # island STRUCTURE: row 0 always heads the first island
+                # (brk[0] only decides whether it merges with the carried
+                # session / emits it) — flatnonzero on raw brk would drop
+                # the whole first island when brk[0] is False.
+                heads = brk.copy()
+                heads[0] = True
+                s_idx = np.flatnonzero(heads)
+                e_idx = np.append(s_idx[1:] - 1, rts.size - 1)
+                i_start = rts[s_idx].copy()
+                i_last = rts[e_idx]
+                i_gap = rgap[e_idx]
+                i_n = (e_idx - s_idx + 1).astype("int64")
+                carried_emit = start is not None and brk[0]
+                if start is not None and not brk[0]:
+                    i_start[0] = start
+                    i_n[0] += n
+                final_closed = (fts.size > 0
+                                and int(fts.max()) - int(i_last[-1])
+                                > int(i_gap[-1]))
+                cut = len(i_start) if final_closed else len(i_start) - 1
+                starts, ns, lasts = i_start[:cut], i_n[:cut], i_last[:cut]
+                if carried_emit:
+                    starts = np.concatenate(([start], starts))
+                    ns = np.concatenate(([n], ns))
+                    lasts = np.concatenate(([last_ts], lasts))
+                if final_closed:
+                    start, last_ts, last_gap, n = None, None, None, 0
+                else:
+                    start, last_ts, last_gap, n = (
+                        int(i_start[-1]), int(i_last[-1]),
+                        int(i_gap[-1]), int(i_n[-1]))
+            elif (start is not None and fts.size
+                  and int(fts.max()) - last_ts > last_gap):
+                starts, ns, lasts = ([start], [n], [last_ts])
+                start, last_ts, last_gap, n = None, None, None, 0
         if start is not None:
             state.update((start, last_ts, last_gap, n))
             # fire when the watermark passes the session deadline
             state.setTimeoutTimestamp(last_ts + last_gap + 1)
         elif state.exists:
             state.remove()
-        res = pd.DataFrame(out, columns=["session_start_ms", "n_events",
-                                         "last_ts_ms"])
+        if starts is None:
+            starts = ns = lasts = np.empty(0, dtype="int64")
+        res = pd.DataFrame({"session_start_ms": np.asarray(starts, "int64"),
+                            "n_events": np.asarray(ns, "int64"),
+                            "last_ts_ms": np.asarray(lasts, "int64")})
         res.insert(0, key, key_tuple[0])
         yield res
 

@@ -285,7 +285,7 @@ def run_streams(dst: str, only: list[str] | None = None) -> None:
         print(json.dumps({name: row}), flush=True)
     _merge_write(_out_path(dst), results)
     errs = [n for n, r in results.items()
-            if any(isinstance(v, str) for v in r.values())]
+            if any(isinstance(v, str) for k, v in r.items() if k != "mode")]
     print(f"done: {len(results)} streams, {len(errs)} errors {errs}")
 
 

@@ -426,7 +426,10 @@ def st2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   action_col="event_type",
                                   session_start="signup", session_end="error",
                                   order_by=["ts_ms", "event_id"])
-    return _run_to_memory(out, spark)
+    # Parquet round trip: this machine emits one row PER EVENT, and a
+    # corpus-sized output must not funnel through the memory sink's
+    # driver collection (see x_dynsession_stream).
+    return _run_to_parquet(out, spark)
 
 
 def a6_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

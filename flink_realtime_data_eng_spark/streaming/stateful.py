@@ -101,32 +101,48 @@ def action_durations_stream(df: DataFrame, key: str = "user",
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        # Vectorized (r11: this machine emits ONE ROW PER EVENT, so the
+        # itertuples loop was corpus-sized work at 100x SF — measured
+        # 1.07/decade, the repo's worst). Each row's (prev_action,
+        # duration) depends only on its PREDECESSOR row (or the carried
+        # state for row 0), with a session_end predecessor reading as
+        # "no previous" — a shift + two masks, no recurrence, because
+        # unlike sessionization nothing propagates further than one row.
         last_action, last_ts = state.get if state.exists else (None, None)
-        out: list[tuple] = []
         # Concatenate ALL Arrow chunks before sorting (chunk-local sort
         # would replay out of order when a key spans >1 chunk). Empty
         # iterator (a timed-out key under a timeout mode) -> empty frame.
-        chunks = list(pdfs)
-        pdf = (pd.concat(chunks) if len(chunks) > 1 else
-               (chunks[0] if chunks else pd.DataFrame(columns=order)))
-        for row in pdf.sort_values(order).itertuples(index=False):
-            t, action = int(getattr(row, ts_ms)), getattr(row, action_col)
-            fresh = (last_action is None
-                     or (session_start is not None and action == session_start))
-            ocols = tuple(getattr(row, c) for c in order)
-            if fresh:
-                out.append(ocols + ("None", 0))
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(order)
+            acts = pdf[action_col].to_numpy(dtype=object)
+            ts = pdf[ts_ms].to_numpy(dtype="int64")
+            n = acts.size
+            pa = np.empty(n, dtype=object)
+            pa[0] = last_action
+            pa[1:] = acts[:-1]
+            pt = np.empty(n, dtype="int64")
+            pt[0] = last_ts if last_ts is not None else 0
+            pt[1:] = ts[:-1]
+            if session_end is not None and n > 1:
+                pa[1:][acts[:-1] == session_end] = None
+            no_prev = np.array([a is None for a in pa], dtype=bool)
+            fresh = no_prev if session_start is None else \
+                no_prev | (acts == session_start)
+            res = pdf[order].copy()
+            res["prev_action"] = np.where(fresh, "None", pa)
+            res["duration_ms"] = np.where(fresh, 0, ts - pt)
+            if session_end is not None and acts[-1] == session_end:
+                last_action, last_ts = None, None
             else:
-                out.append(ocols + (last_action, t - last_ts))
-            if session_end is not None and action == session_end:
-                last_action, last_ts = None, None  # state.remove() analog
-            else:
-                last_action, last_ts = action, t
+                last_action, last_ts = acts[-1], int(ts[-1])
+        else:
+            res = pd.DataFrame(columns=order + ["prev_action", "duration_ms"])
         if last_action is None:
             state.remove()
         else:
             state.update((last_action, last_ts))
-        res = pd.DataFrame(out, columns=order + ["prev_action", "duration_ms"])
         res.insert(0, key, key_tuple[0])
         yield res
 
@@ -332,24 +348,44 @@ def sequence_match_stream(df: DataFrame, steps: Sequence[str],
             buf = [b for b in buf if b[0] is not None]
         else:
             buf = []
-        out: list[tuple] = []
-        chunks = list(pdfs)
-        pdf = (pd.concat(chunks) if len(chunks) > 1 else
-               (chunks[0] if chunks else pd.DataFrame()))
-        if len(pdf):
-            for row in pdf.sort_values([ts_ms, id_col]).itertuples(index=False):
-                t = int(getattr(row, ts_ms))
-                tp = getattr(row, type_col)
-                eid = int(getattr(row, id_col))
-                if (len(buf) == depth and tp == steps[-1]
-                        and all(buf[i][0] == steps[i] for i in range(depth))
-                        and (within_ms is None or t - buf[0][1] <= within_ms)):
-                    out.append((buf[0][1], t, buf[0][2]))
-                buf = (buf + [(tp, t, eid)])[-depth:]
+        starts = ends = sids = None
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            # Vectorized sliding-window match (r11: the itertuples loop
+            # was the per-event Python cost at 100x SF): prepend the
+            # carried buffer as pseudo-rows, then a match ends at
+            # position j iff the depth+1 consecutive types ending at j
+            # equal `steps` — shifted elementwise compares, no row loop.
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values([ts_ms, id_col])
+            btypes = np.array([b[0] for b in buf], dtype=object)
+            bts = np.array([b[1] for b in buf], dtype="int64")
+            bids = np.array([b[2] for b in buf], dtype="int64")
+            types = np.concatenate(
+                [btypes, pdf[type_col].to_numpy(dtype=object)])
+            ts = np.concatenate([bts, pdf[ts_ms].to_numpy(dtype="int64")])
+            ids = np.concatenate([bids, pdf[id_col].to_numpy(dtype="int64")])
+            n = types.size
+            if n > depth:
+                m = np.ones(n - depth, dtype=bool)
+                for i, s in enumerate(steps):
+                    m &= types[i: n - depth + i] == s
+                # matches may only END at a NEW row (j >= len(buf)):
+                # windows ending inside the carry were emitted last batch
+                m[: max(0, len(buf) - depth)] = False
+                if within_ms is not None:
+                    m &= ts[depth:] - ts[:-depth] <= within_ms
+                starts, ends, sids = ts[:-depth][m], ts[depth:][m], \
+                    ids[:-depth][m]
+            buf = list(zip(types[-depth:].tolist(),
+                           ts[-depth:].tolist(), ids[-depth:].tolist()))
         pad = [(None, None, None)] * (depth - len(buf))
         state.update(tuple(v for b in (pad + buf) for v in b))
-        res = pd.DataFrame(out, columns=["start_ts_ms", "end_ts_ms",
-                                         "start_event_id"])
+        if starts is None:
+            starts = ends = sids = np.empty(0, dtype="int64")
+        res = pd.DataFrame({"start_ts_ms": np.asarray(starts, "int64"),
+                            "end_ts_ms": np.asarray(ends, "int64"),
+                            "start_event_id": np.asarray(sids, "int64")})
         res.insert(0, key, key_tuple[0])
         yield res
 

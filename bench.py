@@ -96,6 +96,23 @@ def main() -> None:
     # x_training_manifest measures the composition read path).
     registry._quality_verdict_dir(spark, sf_dir)
 
+    # HOST CANARY (r11 verdict item 5): a frozen 12-query TPC-H subset
+    # timed FIRST, before the main loop. The TPC-H plans have been frozen
+    # since r5, so cross-round drift in this number measures the HOST,
+    # not the code — normalization rule in BASELINE.md: compare rounds as
+    # total / (host_canary_sec ratio) before attributing drift to code.
+    _CANARY = ["q1_pricing_summary", "q2_min_cost_supplier",
+               "q3_shipping_priority", "q4_order_priority",
+               "q5_local_supplier_volume", "q6_forecast_revenue",
+               "q7_two_nation_volume", "q8_market_share",
+               "q9_product_profit", "q10_returned_items",
+               "q11_important_parts", "q12_ship_lag_priority"]
+    t0 = time.time()
+    for name in _CANARY:
+        registry.QUERIES[name](spark, sf_dir).write.mode(
+            "overwrite").format("noop").save()
+    host_canary = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
     bench_queries = {n: f for n, f in registry.QUERIES.items()
                      if n not in registry.STREAMING_DEMOS}
@@ -115,7 +132,7 @@ def main() -> None:
     # list on stdout.
     here = os.path.dirname(os.path.abspath(__file__))
     detail = {"metric": "total_query_sec", "value": total, "unit": "sec",
-              "queries": timings, "sf": sf}
+              "queries": timings, "host_canary_sec": host_canary, "sf": sf}
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     # Per-round snapshot so per-query diffs survive the overwrite (the r4
@@ -141,6 +158,7 @@ def main() -> None:
         groups[g] = round(groups.get(g, 0.0) + t, 3)
     line = {"metric": "total_query_sec", "value": total, "unit": "sec",
             "queries": groups, "n_queries": len(timings), "n_fail": n_fail,
+            "host_canary_sec": host_canary,
             "detail": "BENCH_DETAIL.json", "sf": sf}
     print(json.dumps(line))
 

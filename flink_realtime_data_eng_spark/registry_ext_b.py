@@ -1466,11 +1466,18 @@ def _quality_verdict_dir(spark: SparkSession, sf_dir: str) -> str:
     by its own registered row, x_corpus_filter."""
     import hashlib
     import os
+    from .functions import pii
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
+    # Tag covers the builder AND the helpers that determine the persisted
+    # columns — text.tokens (n_tokens) and the PII pattern table (fail
+    # flags): a tokenizer or pattern change must invalidate the artifact,
+    # else a stale verdict is served against a freshly updated oracle
+    # (r11 ADVICE, the _dsir_weights_dir staleness class).
     tag = hashlib.md5(
         f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:quality_v1"
-        f":{_code_tag(filtering.corpus_filter, filtering._rule_flags)}"
+        f":{_code_tag(filtering.corpus_filter, filtering._rule_flags, text.tokens)}"
+        f":{sorted(pii.PII_PATTERNS.items())!r}"
         .encode()).hexdigest()[:12]
     out = os.path.join(_tempfile.gettempdir(), f"frde_quality_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):

@@ -652,20 +652,37 @@ def _merge_table_dir(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(tempfile.gettempdir(), f"frde_merge_{tag}")
     done = os.path.join(out, "_manifests", "batch-2.json")
     if not os.path.exists(done):
+        # Build in a scratch dir and rename into place atomically: a run
+        # that crashed mid-history would otherwise leave batch-N.json
+        # files a rebuild then interleaves with, so "batch-2.json exists"
+        # could be true while batch 1 references replaced batch-0 files
+        # (r11 ADVICE). rename() makes the completed history appear as
+        # one unit; a concurrent winner's table is equivalent by
+        # construction, so losing the race just discards the scratch.
+        import shutil
+        import uuid
+        tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
         base = _docs(spark, sf_dir).select(
             "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
         target = base.filter(F.col("doc_id") % 3 != 1)
         # CREATE spreads the table over several files so the MERGE's
         # file-level pruning has real granularity to prune against.
-        sinks.publish_batch(target.repartition(8, "doc_id"), out, 0)
+        sinks.publish_batch(target.repartition(8, "doc_id"), tmp, 0)
         upsert_src = (base.filter(F.col("doc_id") % 2 == 0)
                       .select("doc_id", "source",
                               (F.col("n_chars") + 1000).alias("n_chars")))
-        sinks.merge_into(spark, out, upsert_src, ["doc_id"],
+        sinks.merge_into(spark, tmp, upsert_src, ["doc_id"],
                          when_matched="update")
         del_keys = base.filter(F.col("doc_id") % 7 == 0).select("doc_id")
-        sinks.merge_into(spark, out, del_keys, ["doc_id"],
+        sinks.merge_into(spark, tmp, del_keys, ["doc_id"],
                          when_matched="delete")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.exists(done):  # concurrent builder won the rename
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
     return out
 
 

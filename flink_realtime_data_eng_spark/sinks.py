@@ -162,7 +162,11 @@ def publish_batch(batch_df: DataFrame, path: str, batch_id: int,
                    if not f.startswith(("_", ".")))
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
-    meta = {"batch_id": batch_id, "dir": staging, "files": files}
+    # TABLE-RELATIVE paths (what Delta/Iceberg logs record): the table
+    # stays readable after a directory move/rename — which also makes
+    # build-in-scratch-then-rename publication of whole tables sound.
+    meta = {"batch_id": batch_id,
+            "dir": os.path.relpath(staging, path), "files": files}
     if removed:
         meta["removed"] = sorted(removed)
     tmp = os.path.join(mdir, f".batch-{batch_id}.json.tmp")
@@ -193,6 +197,12 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
     for m in _glob.glob(os.path.join(path, "_manifests", "*.json")):
         with open(m) as fh:
             metas.append(json.load(fh))
+
+    def _abs(p: str) -> str:
+        # manifests record table-relative paths (older ones absolute —
+        # honor both); everything resolves against the CURRENT table dir
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
     # numeric commit order — lexicographic glob order would apply
     # batch-10's tombstones before batch-2's additions
     live: dict[str, None] = {}
@@ -200,9 +210,9 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
         if as_of_batch is not None and meta["batch_id"] > as_of_batch:
             continue
         for rm in meta.get("removed", []):
-            live.pop(rm, None)
+            live.pop(_abs(rm), None)
         for f in meta["files"]:
-            live[os.path.join(meta["dir"], f)] = None
+            live[os.path.join(_abs(meta["dir"]), f)] = None
     paths = list(live)
     if not paths:
         raise FileNotFoundError(
@@ -237,6 +247,14 @@ def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
     table. Readers before/after see consistent snapshots (atomic
     manifest publish), and time travel to any pre-merge batch still
     resolves the original files. Returns the new commit's batch_id.
+
+    SINGLE WRITER is a hard precondition (as it is for Delta/Iceberg
+    without a locking catalog): batch_id allocation reads the manifest
+    dir without a lock, so two concurrent merges would both publish the
+    same batch-N.json and the loser's commit would be silently
+    overwritten. Production table formats arbitrate this through a
+    catalog/conditional-put; this module documents the mechanism, not
+    the arbitration service.
     """
     import glob as _glob
     import json
@@ -256,15 +274,21 @@ def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
     touched = [r["_file"] for r in
                (tagged.join(keys, key_cols, "left_semi")
                 .select("_file").distinct().collect())]
-    manifests = _glob.glob(os.path.join(path, "_manifests", "*.json"))
-    next_id = 1 + max(json.load(open(m))["batch_id"] for m in manifests)
+    next_id = 0
+    for m in _glob.glob(os.path.join(path, "_manifests", "*.json")):
+        with open(m) as fh:
+            next_id = max(next_id, json.load(fh)["batch_id"] + 1)
     if touched:
         kept = (spark.read.format(fmt).load(touched)
                 .join(keys, key_cols, "left_anti"))
     else:
         kept = spark.createDataFrame([], snap.schema)
     new_rows = kept.unionByName(source) if when_matched == "update" else kept
-    publish_batch(new_rows, path, next_id, fmt=fmt, removed=touched)
+    # tombstones table-relative, like the manifests' own file lists —
+    # they must keep resolving if the table directory is moved
+    rel_removed = [os.path.relpath(t, os.path.abspath(path))
+                   for t in touched]
+    publish_batch(new_rows, path, next_id, fmt=fmt, removed=rel_removed)
     return next_id
 
 

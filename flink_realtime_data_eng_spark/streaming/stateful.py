@@ -53,25 +53,36 @@ def interval_alerts_stream(df: DataFrame, key: str = "user",
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        # Vectorized (r12: the itertuples loop was per-event Python work;
+        # the r11 ST2 rewrite proved the pattern). Delete-interval is a
+        # pure diff of CONSECUTIVE match timestamps — row i's alert
+        # depends only on row i-1 (or the carried last_ts for row 0), so
+        # a shift + subtract + mask replaces the loop exactly; nothing
+        # propagates further than one row.
         (last_ts,) = state.get if state.exists else (None,)
-        out: list[tuple] = []
         # A key's micro-batch arrives as MULTIPLE Arrow chunks (default
         # 10k rows each) in shuffle order — concatenate before sorting or
         # a later-timestamp chunk can be replayed before an earlier one.
         chunks = [pdf[pdf[event_col] == match_value] for pdf in pdfs]
-        pdf = pd.concat(chunks) if len(chunks) > 1 else (
-            chunks[0] if chunks else pd.DataFrame())
-        if len(pdf):
-            for row in pdf.sort_values(order).itertuples(index=False):
-                t = int(getattr(row, ts_ms))
-                if last_ts is not None and t - last_ts < threshold_ms:
-                    out.append(tuple(getattr(row, c) for c in order)
-                               + (t - last_ts,))
-                last_ts = t
+        chunks = [c for c in chunks if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(order)
+            ts = pdf[ts_ms].to_numpy(dtype="int64")
+            prev = np.empty(ts.size, dtype="int64")
+            prev[0] = last_ts if last_ts is not None else 0
+            prev[1:] = ts[:-1]
+            diff = ts - prev
+            m = diff < threshold_ms
+            if last_ts is None:
+                m[0] = False
+            res = pdf[order][m].copy()
+            res["diff_ms"] = diff[m]
+            last_ts = int(ts[-1])
+        else:
+            res = pd.DataFrame(columns=order + ["diff_ms"])
         if last_ts is not None:
             state.update((last_ts,))
-        cols = order + ["diff_ms"]
-        res = pd.DataFrame(out, columns=cols)
         res.insert(0, key, key_tuple[0])
         yield res
 
@@ -209,26 +220,46 @@ def asof_join_stream(left: DataFrame, right: DataFrame, key: str,
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        # Vectorized (r12, the ST2 pattern): in (ts, side, value) sorted
+        # order each left row's match is the NEAREST PRECEDING right row
+        # — a forward-fill. maximum.accumulate over (right ? position :
+        # -1) yields, at every row, the index of that preceding right
+        # (-1 = only the carried state precedes it); in-batch rights
+        # satisfy last_ts <= t by sort order, so only the carried match
+        # needs the explicit future-guard the row loop applied.
         last_ts, last_val = state.get if state.exists else (None, None)
-        chunks = list(pdfs)
-        pdf = (pd.concat(chunks) if len(chunks) > 1 else
-               (chunks[0] if chunks else pd.DataFrame(columns=order)))
-        out: list[tuple] = []
-        if len(pdf):
-            for row in pdf.sort_values(order).itertuples(index=False):
-                t = int(getattr(row, ts_ms))
-                if getattr(row, "asof_side") == 0:
-                    last_ts, last_val = t, getattr(row, value_col)
-                elif last_ts is not None and last_ts <= t:
-                    # last_ts <= t: a left row arriving in a later batch
-                    # than a newer right row must not match that FUTURE
-                    # right row (state may be ahead of this row's ts)
-                    out.append((t,) + tuple(getattr(row, c) for c in left_cols)
-                               + (last_val, last_ts))
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(order)
+            side = pdf["asof_side"].to_numpy(dtype="int64")
+            ts = pdf[ts_ms].to_numpy(dtype="int64")
+            vals = pdf[value_col].to_numpy()
+            n = ts.size
+            ridx = np.where(side == 0, np.arange(n), -1)
+            np.maximum.accumulate(ridx, out=ridx)
+            li = np.flatnonzero(side == 1)
+            src = ridx[li]
+            pos = src >= 0
+            has_carry = last_ts is not None
+            matched = pos | (has_carry & (ts[li] >= (last_ts or 0)))
+            keep = li[matched]
+            res = pdf.iloc[keep][[ts_ms, *left_cols]].copy()
+            mval = np.empty(li.size, dtype=object)
+            mval[pos] = vals[src[pos]]
+            mval[~pos] = last_val
+            mts = np.where(pos, ts[np.clip(src, 0, None)],
+                           last_ts if has_carry else 0)
+            res[value_col] = mval[matched]
+            res["matched_ts_ms"] = mts[matched]
+            j = int(ridx[-1])
+            if j >= 0:  # state ends at the last right row in sorted order
+                last_ts, last_val = int(ts[j]), vals[j]
+        else:
+            res = pd.DataFrame(columns=[ts_ms, *left_cols, value_col,
+                                        "matched_ts_ms"])
         if last_ts is not None:
             state.update((last_ts, last_val))
-        res = pd.DataFrame(out, columns=[ts_ms, *left_cols, value_col,
-                                         "matched_ts_ms"])
         res.insert(0, key, key_tuple[0])
         yield res
 
@@ -435,22 +466,35 @@ def zscore_alert_stream(df: DataFrame, key: str = "event_type",
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        # Vectorized (r12, the ST2 pattern): the alert test reads only
+        # the EXCLUSIVE prefix (n, S, Q) at each row — a shifted cumsum,
+        # no recurrence. Arithmetic stays on object-dtype arrays (Python
+        # ints, arbitrary precision) so the cross-multiplied comparison
+        # is bit-identical to the row loop it replaces: the cumsums fit
+        # int64 (documented n*x^2 < 2^63 bound) but (n*x - S)^2 need not.
         n, s, q = state.get if state.exists else (0, 0, 0)
-        out: list[tuple] = []
-        chunks = list(pdfs)
-        pdf = (pd.concat(chunks) if len(chunks) > 1 else
-               (chunks[0] if chunks else pd.DataFrame(columns=order)))
-        if len(pdf):
-            for row in pdf.sort_values(order).itertuples(index=False):
-                x = int(getattr(row, value_col))
-                if (n >= min_obs
-                        and (n * x - s) ** 2 > k2 * (n * q - s * s)):
-                    out.append(tuple(getattr(row, c) for c in order)
-                               + (x, n))
-                n, s, q = n + 1, s + x, q + x * x
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(order)
+            x = pdf[value_col].to_numpy(dtype="int64").astype(object)
+            m = x.size
+            cs = np.concatenate(([s], np.cumsum(x)[:-1] + s))
+            cq = np.concatenate(([q], np.cumsum(x * x)[:-1] + q))
+            cn = np.arange(m).astype(object) + n
+            alert = np.asarray(
+                (cn >= min_obs) & ((cn * x - cs) ** 2
+                                   > k2 * (cn * cq - cs * cs)),
+                dtype=bool)
+            res = pdf[order][alert].copy()
+            res["v"] = x[alert].astype("int64")
+            res["n_prev"] = cn[alert].astype("int64")
+            n = int(cn[-1]) + 1
+            s = int(cs[-1] + x[-1])
+            q = int(cq[-1] + x[-1] * x[-1])
+        else:
+            res = pd.DataFrame(columns=order + ["v", "n_prev"])
         state.update((n, s, q))
-        cols = order + ["v", "n_prev"]
-        res = pd.DataFrame(out, columns=cols)
         res.insert(0, key, key_tuple[0])
         yield res
 
@@ -521,6 +565,13 @@ def dynamic_sessions_stream(df: DataFrame, key: str = "user_id",
             real = ~np.isnan(gap)
             rts, fts = ts[real], ts[~real]
             rgap = gap[real].astype("int64")
+            if rgap.size and int(rgap.min()) < 0:
+                # final_closed reads fts.max() over ALL flush timestamps,
+                # equivalent to the row-ordered machine only when gaps
+                # are non-negative (a flush sorting before the last real
+                # row cannot then break its deadline) — pin the
+                # assumption the vectorization relies on
+                raise ValueError("dynamic session gaps must be >= 0")
             if rts.size:
                 brk = np.empty(rts.size, dtype=bool)
                 brk[0] = start is None or rts[0] - last_ts > last_gap
@@ -610,23 +661,57 @@ def count_windows_stream(df: DataFrame, size: int, key: str = "user_id",
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        # Vectorized (r12, the ST2 pattern): window membership is pure
+        # RANK ARITHMETIC — with n events carried in, the j-th event of
+        # a run fills a window iff (n + j + 1) % size == 0, its window
+        # index and first/last timestamps are index expressions on the
+        # sorted timestamp array. Flush rows reset the rank origin, so
+        # the batch splits into (flush-count + 1) segments — a Python
+        # loop over SEGMENTS (one per flush sentinel, ~1 per key per
+        # replay), never over rows.
         win, n, first_ts, last_ts = (state.get if state.exists
                                      else (0, 0, None, None))
         out: list[tuple] = []
-        chunks = list(pdfs)
-        pdf = (pd.concat(chunks) if len(chunks) > 1 else
-               (chunks[0] if chunks else pd.DataFrame(columns=order)))
-        if len(pdf):
-            for row in pdf.sort_values(order).itertuples(index=False):
-                if flush_col is not None and bool(getattr(row, flush_col)):
-                    if n > 0:
-                        out.append((win, n, first_ts, last_ts))
-                        win, n, first_ts, last_ts = win + 1, 0, None, None
-                    continue
-                t = int(getattr(row, ts_ms))
-                first_ts = t if n == 0 else first_ts
-                last_ts, n = t, n + 1
-                if n == size:
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(order)
+            ts_all = pdf[ts_ms].to_numpy(dtype="int64")
+            if flush_col is not None:
+                fl = pdf[flush_col].to_numpy(dtype=bool)
+            else:
+                fl = np.zeros(ts_all.size, dtype=bool)
+            fpos = np.flatnonzero(fl)
+            seg_a = np.concatenate(([0], fpos + 1))
+            seg_b = np.concatenate((fpos, [ts_all.size]))
+            for a, b in zip(seg_a, seg_b):
+                ts = ts_all[a:b]
+                m = int(b - a)
+                if m:
+                    j = np.flatnonzero((n + 1 + np.arange(m)) % size == 0)
+                    if j.size:
+                        # only j[0] can reach back into the carried
+                        # partial window (wstart < 0)
+                        wstart = j - size + 1
+                        firsts = np.where(
+                            wstart >= 0, ts[np.clip(wstart, 0, None)],
+                            first_ts if first_ts is not None else 0)
+                        wins = win + (n + 1 + j) // size - 1
+                        out.extend(zip(wins.tolist(),
+                                       [size] * j.size,
+                                       firsts.tolist(), ts[j].tolist()))
+                    total = n + m
+                    win += total // size
+                    rem = total % size
+                    if rem == 0:
+                        n, first_ts, last_ts = 0, None, None
+                    else:
+                        # rem > m means no window filled and the carry's
+                        # first_ts still heads the open window
+                        if rem <= m:
+                            first_ts = int(ts[m - rem])
+                        n, last_ts = rem, int(ts[-1])
+                if b < ts_all.size and n > 0:  # flush row closes partial
                     out.append((win, n, first_ts, last_ts))
                     win, n, first_ts, last_ts = win + 1, 0, None, None
         state.update((win, n, first_ts, last_ts))
@@ -670,23 +755,32 @@ def funnel_stream(df: DataFrame, steps: Sequence[str],
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        # Vectorized (r12, the ST2 pattern): the greedy chain advances to
+        # the FIRST row of the right type with ts strictly after the
+        # previous conversion — rows are (ts, id)-sorted, so "strictly
+        # after by ts" subsumes "later in replay order" and each step is
+        # one flatnonzero over a type/ts mask. The Python loop runs over
+        # FUNNEL STAGES (len(steps), a small constant), never over rows.
         stage, ts_list = (state.get if state.exists else (0, []))
         ts_list = list(ts_list or [])
         out: list[tuple] = []
-        chunks = list(pdfs)
-        pdf = (pd.concat(chunks) if len(chunks) > 1 else
-               (chunks[0] if chunks else pd.DataFrame(columns=order)))
-        if len(pdf) and stage < len(steps):
-            for row in pdf.sort_values(order).itertuples(index=False):
-                if stage >= len(steps):
+        chunks = [c for c in pdfs if len(c)]
+        if chunks and stage < len(steps):
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(order)
+            types = pdf[type_col].to_numpy(dtype=object)
+            ts = pdf[ts_ms].to_numpy(dtype="int64")
+            while stage < len(steps):
+                m = types == steps[stage]
+                if stage > 0:
+                    m &= ts > ts_list[-1]
+                idx = np.flatnonzero(m)
+                if not idx.size:
                     break
-                t = int(getattr(row, ts_ms))
-                if (getattr(row, type_col) == steps[stage]
-                        and (stage == 0 or t > ts_list[-1])):
-                    ts_list.append(t)
-                    stage += 1
-                    if stage == len(steps):
-                        out.append((key_tuple[0], *ts_list))
+                ts_list.append(int(ts[idx[0]]))
+                stage += 1
+            if stage == len(steps):
+                out.append((key_tuple[0], *ts_list))
         state.update((stage, ts_list))
         cols = [key] + [f"t{i + 1}_ms" for i in range(len(steps))]
         yield pd.DataFrame(out, columns=cols)
@@ -758,6 +852,13 @@ def dynamic_sessions_timeout_stream(df: DataFrame, key: str = "user_id",
             real = ~np.isnan(gap)
             rts, fts = ts[real], ts[~real]
             rgap = gap[real].astype("int64")
+            if rgap.size and int(rgap.min()) < 0:
+                # final_closed reads fts.max() over ALL flush timestamps,
+                # equivalent to the row-ordered machine only when gaps
+                # are non-negative (a flush sorting before the last real
+                # row cannot then break its deadline) — pin the
+                # assumption the vectorization relies on
+                raise ValueError("dynamic session gaps must be >= 0")
             if rts.size:
                 brk = np.empty(rts.size, dtype=bool)
                 brk[0] = start is None or rts[0] - last_ts > last_gap
@@ -846,23 +947,44 @@ def attribution_stream(df: DataFrame, key: str = "user_id",
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        # Vectorized (r12, the ST2 pattern): a conversion at position i
+        # attributes to (first non-conversion ever, latest non-conversion
+        # BEFORE i) — the latter is maximum.accumulate over (touch ?
+        # position : -1), the former a single flatnonzero; no recurrence
+        # crosses a conversion row.
         first, last = (state.get if state.exists else (None, None))
-        out: list[tuple] = []
-        chunks = list(pdfs)
-        pdf = (pd.concat(chunks) if len(chunks) > 1 else
-               (chunks[0] if chunks else pd.DataFrame(columns=order)))
-        if len(pdf):
-            for row in pdf.sort_values(order).itertuples(index=False):
-                t = getattr(row, type_col)
-                if t == convert_on:
-                    out.append((key_tuple[0], first or "(none)",
-                                last or "(none)"))
-                else:
-                    last = t
-                    if first is None:
-                        first = t
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(order)
+            types = pdf[type_col].to_numpy(dtype=object)
+            conv = types == convert_on
+            tidx = np.where(~conv, np.arange(types.size), -1)
+            np.maximum.accumulate(tidx, out=tidx)
+            ci = np.flatnonzero(conv)
+            # a conversion's own entry is -1, so its accumulate value is
+            # the max of PRIOR positions — strictly-before semantics free
+            src = tidx[ci]
+            lasts = np.where(src >= 0, types[np.clip(src, 0, None)],
+                             last if last is not None else "(none)")
+            fi = np.flatnonzero(~conv)
+            if first is not None:
+                firsts = np.full(ci.size, first, dtype=object)
+            elif fi.size:
+                firsts = np.where(ci > fi[0], types[fi[0]], "(none)")
+            else:
+                firsts = np.full(ci.size, "(none)", dtype=object)
+            out = pd.DataFrame({key: np.full(ci.size, key_tuple[0]),
+                                "first_touch": firsts.astype(object),
+                                "last_touch": lasts.astype(object)})
+            if fi.size:
+                last = types[fi[-1]]
+                if first is None:
+                    first = types[fi[0]]
+        else:
+            out = pd.DataFrame(columns=[key, "first_touch", "last_touch"])
         state.update((first, last))
-        yield pd.DataFrame(out, columns=[key, "first_touch", "last_touch"])
+        yield out
 
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",

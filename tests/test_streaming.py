@@ -848,8 +848,11 @@ def test_manifest_sink_commits_atomically(spark, tmp_path):
 
     # replay of batch 0 (same data, overwrite + republish) -> no duplicates
     import json
-    m = json.load(open(os.path.join(out, "_manifests", "batch-0.json")))
-    spark.read.parquet(m["dir"]).write.mode("overwrite").parquet(m["dir"] + "_re")
+    with open(os.path.join(out, "_manifests", "batch-0.json")) as fh:
+        m = json.load(fh)
+    assert not os.path.isabs(m["dir"])  # manifests record table-relative paths
+    d = os.path.join(out, m["dir"])
+    spark.read.parquet(d).write.mode("overwrite").parquet(d + "_re")
     n_before = sinks.read_manifest(spark, out).count()
     assert n_before == 2
 
@@ -1674,6 +1677,27 @@ def test_merge_into_delete_and_validation(spark, tmp_path):
     sinks.merge_into(spark, out, dels, ["k"], when_matched="delete")
     got = {r["k"] for r in sinks.read_manifest(spark, out).collect()}
     assert got == {0, 1, 3, 4, 6, 7}
+
+
+def test_manifest_table_survives_directory_move(spark, tmp_path):
+    """Manifests record table-relative paths, so a completed table can be
+    built in a scratch dir and atomically renamed into place (the r11
+    ADVICE partial-build hazard on _merge_table_dir): additions AND
+    merge tombstones must keep resolving at the new location."""
+    import os
+    build = str(tmp_path / "scratch")
+    target = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string")
+    sinks.publish_batch(target.repartition(3, "k"), build, 0)
+    src = spark.createDataFrame([(3, "upd3")], "k long, v string")
+    sinks.merge_into(spark, build, src, ["k"])
+    final = str(tmp_path / "final")
+    os.rename(build, final)
+    got = {r["k"]: r["v"] for r in sinks.read_manifest(spark, final).collect()}
+    assert got == {**{i: f"v{i}" for i in range(20)}, 3: "upd3"}
+    pre = {r["k"]: r["v"]
+           for r in sinks.read_manifest(spark, final, as_of_batch=0).collect()}
+    assert pre == {i: f"v{i}" for i in range(20)}
 
 
 def test_merge_into_numeric_commit_order(spark, tmp_path):

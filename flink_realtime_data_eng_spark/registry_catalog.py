@@ -425,10 +425,11 @@ GROUP BY 1, 2
 """
 
 
-def _jaccard_oracle(n: int = 3, threshold: float = 0.1) -> str:
+def _jaccard_oracle(n: int = 3, threshold: float = 0.1,
+                    src: str = "documents") -> str:
     return f"""
 WITH words AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM {src}
 ), sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
   FROM words CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) idx

@@ -1710,6 +1710,69 @@ FROM np JOIN nd USING (t10)
 """
 
 
+def x_jaccard_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of x_jaccard_sweep (r11 verdict watch item): the
+    threshold-tuning curve certified on a deterministic SIZE-CAPPED
+    sample — the 2048 doc_ids ranking lowest by md5 (a uniform draw that
+    both engines replay exactly; TakeOrderedAndProject = map-side
+    partial top-K, never a global sort). The exhaustive row stays as the
+    small-SF ground-truth parity twin; this row is what runs on the
+    100 TB corpus, where its pair stage is O(sample²)-bounded regardless
+    of corpus size and the only corpus-scaled work is the doc_id rank
+    scan. Same 9-threshold sweep arithmetic, exact-e6 comparison."""
+    docs = _docs(spark, sf_dir)
+    ids = (docs.select("doc_id")
+           .withColumn("h", F.md5(F.concat(F.lit("jsw:"),
+                                           F.col("doc_id").cast("string"))))
+           .orderBy("h", "doc_id").limit(2048).select("doc_id"))
+    sample = docs.join(F.broadcast(ids), "doc_id")
+    pairs = dedup.jaccard_pairs(sample, n=3, threshold=0.1)
+    grid = F.array(*[F.lit(t) for t in range(1, 10)])
+    x = (pairs.select((F.round(F.col("jaccard") * 1_000_000).cast("bigint"))
+                      .alias("j_e6"), "id_a", "id_b")
+         .select("j_e6", "id_a", "id_b", F.explode(grid).alias("t10")))
+    kept = x.filter(F.col("j_e6") >= F.col("t10") * 100_000)
+    n_pairs = (kept.groupBy("t10")
+               .agg(F.count(F.lit(1)).alias("n_pairs")))
+    docs_n = (kept.select("t10", F.col("id_a").alias("d"))
+              .unionByName(kept.select("t10", F.col("id_b").alias("d")))
+              .groupBy("t10").agg(F.countDistinct("d").alias("n_docs")))
+    return (n_pairs.join(docs_n, "t10")
+            .select(F.round(F.col("t10") / 10.0, 1).alias("threshold"),
+                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.col("n_docs").cast("bigint").alias("n_docs")))
+
+
+QUERIES["x_jaccard_sweep_sampled"] = x_jaccard_sweep_sampled
+
+ORACLES["x_jaccard_sweep_sampled"] = f"""
+WITH sample_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(concat('jsw:', CAST(doc_id AS VARCHAR))), doc_id
+  LIMIT 2048
+), docs_s AS (
+  SELECT * FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM sample_ids)
+), jac AS ({_jaccard_oracle(threshold=0.1, src="docs_s")}),
+g AS (
+  SELECT CAST(round(jaccard * 1000000) AS BIGINT) AS j_e6, id_a, id_b,
+         unnest(range(1, 10)) AS t10
+  FROM jac
+), kept AS (
+  SELECT * FROM g WHERE j_e6 >= t10 * 100000
+), np AS (
+  SELECT t10, CAST(count(*) AS BIGINT) AS n_pairs FROM kept GROUP BY 1
+), nd AS (
+  SELECT t10, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT t10, id_a AS d FROM kept
+        UNION ALL SELECT t10, id_b FROM kept)
+  GROUP BY 1
+)
+SELECT round(t10 / 10.0, 1) AS threshold, n_pairs, n_docs
+FROM np JOIN nd USING (t10)
+"""
+
+
 def x_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over quasi-identifiers — the privacy check run
     before releasing a dataset: every (nation, market segment) group's

@@ -769,6 +769,87 @@ FROM documents WHERE doc_id % 3 <> 1
 """
 
 
+def _expiry_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Commit-manifest table for the snapshot-expiry family: three
+    commits (CREATE doc_id % 3 != 2; MERGE upsert doc_id % 5 == 0 with
+    n_chars + 500; MERGE delete doc_id % 11 == 0), then
+    ``expire_manifests(keep_last=2)`` — batch 0's delta manifest is
+    compacted into a batch-1 checkpoint, its tombstoned/unreferenced
+    staging files are GC'd, and time travel to batch 0 errors loudly.
+    Built in scratch + atomic rename, like _merge_table_dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from . import sinks
+    from .registry_ops import _code_tag
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:expiry_v1"
+        f":{_code_tag(sinks.merge_into, sinks.publish_batch, sinks.read_manifest, sinks.expire_manifests)}"
+        .encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"frde_expiry_{tag}")
+    done = os.path.join(out, "_manifests", "batch-2.json")
+    if not os.path.exists(done):
+        tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
+        base = _docs(spark, sf_dir).select(
+            "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+        target = base.filter(F.col("doc_id") % 3 != 2)
+        sinks.publish_batch(target.repartition(8, "doc_id"), tmp, 0)
+        upsert_src = (base.filter(F.col("doc_id") % 5 == 0)
+                      .select("doc_id", "source",
+                              (F.col("n_chars") + 500).alias("n_chars")))
+        sinks.merge_into(spark, tmp, upsert_src, ["doc_id"],
+                         when_matched="update")
+        del_keys = base.filter(F.col("doc_id") % 11 == 0).select("doc_id")
+        sinks.merge_into(spark, tmp, del_keys, ["doc_id"],
+                         when_matched="delete")
+        sinks.expire_manifests(tmp, keep_last=2)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.exists(done):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+    return out
+
+
+def x_manifest_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry + orphan GC (sinks.expire_manifests — the
+    Iceberg expire_snapshots / Delta VACUUM analog, r11 verdict item 7):
+    after expiring to the newest 2 commits, the as-of-horizon snapshot
+    is served ENTIRELY from the compacted checkpoint manifest (batch 0's
+    delta log and its dead files are gone). The oracle recomputes the
+    post-upsert state relationally, so equality proves the compaction
+    lost nothing and kept nothing dead; the loud-failure and
+    orphan-sweep contracts are pinned by
+    tests/test_streaming.py::test_expire_manifests_compacts_and_collects_orphans."""
+    from . import sinks
+    return (sinks.read_manifest(spark, _expiry_table_dir(spark, sf_dir),
+                                as_of_batch=1)
+            .select("doc_id", "source", "n_chars"))
+
+
+QUERIES["x_manifest_expiry"] = x_manifest_expiry
+
+ORACLES["x_manifest_expiry"] = """
+WITH target AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2
+), src AS (
+  SELECT doc_id, source, CAST(n_chars + 500 AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id, source, n_chars FROM src
+UNION ALL
+SELECT doc_id, source, n_chars FROM target
+WHERE doc_id NOT IN (SELECT doc_id FROM src)
+"""
+
+
 from .registry_core import sketches  # noqa: E402
 
 

@@ -211,8 +211,10 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
             continue
         for rm in meta.get("removed", []):
             live.pop(_abs(rm), None)
-        for f in meta["files"]:
+        for f in meta.get("files", []):
             live[os.path.join(_abs(meta["dir"]), f)] = None
+        for p in meta.get("file_paths", []):  # expiry checkpoint manifest
+            live[_abs(p)] = None
     paths = list(live)
     if not paths:
         raise FileNotFoundError(
@@ -290,6 +292,100 @@ def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
                    for t in touched]
     publish_batch(new_rows, path, next_id, fmt=fmt, removed=rel_removed)
     return next_id
+
+
+def expire_manifests(path: str, keep_last: int) -> dict:
+    """Snapshot expiry + orphan-file GC for the commit-manifest table —
+    the retention side of the protocol (Iceberg ``expire_snapshots`` +
+    ``remove_orphan_files``; Delta ``VACUUM`` + log checkpointing),
+    completing the MERGE/time-travel story: a 100 TB table cannot keep
+    every commit forever.
+
+    Retains the newest ``keep_last`` commits. Because manifests are
+    DELTAS (file additions + remove-action tombstones), older commits
+    cannot simply be deleted — the live files they added would vanish.
+    Expiry therefore COMPACTS: the net live file set as of the oldest
+    retained commit is written as a checkpoint manifest under that
+    commit's id (atomic ``os.replace``, so readers never see a partial
+    expiry), then the older manifest JSONs are deleted. Time travel to
+    any retained batch still resolves exactly as before; time travel
+    past the horizon now raises the protocol's loud
+    ``FileNotFoundError`` instead of answering from a silently
+    incomplete log.
+
+    The orphan sweep then deletes every data file under ``_staging``
+    that no remaining manifest references — files tombstoned by merges
+    inside the compacted range, and crashed batches' never-published
+    staging output. Hidden bookkeeping files (``_SUCCESS``, ``.crc``)
+    ride along with their directory: a staging dir with no live data
+    files left is removed entirely.
+
+    Single writer, like :func:`merge_into`. Returns
+    ``{"horizon": H, "expired": [...], "orphans_removed": N}``.
+    """
+    import glob as _glob
+    import json
+    import os
+    import shutil
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    mdir = os.path.join(path, "_manifests")
+    metas = []
+    for m in _glob.glob(os.path.join(mdir, "*.json")):
+        with open(m) as fh:
+            metas.append(json.load(fh))
+    metas.sort(key=lambda m: m["batch_id"])
+    if len(metas) <= keep_last:
+        return {"horizon": metas[0]["batch_id"] if metas else None,
+                "expired": [], "orphans_removed": 0}
+    horizon = metas[-keep_last]["batch_id"]
+    # net live set as-of the horizon, in table-relative paths (replaying
+    # the same ordered delta logic read_manifest applies)
+    live: dict[str, None] = {}
+    for meta in metas:
+        if meta["batch_id"] > horizon:
+            continue
+        for rm in meta.get("removed", []):
+            live.pop(rm, None)
+        for f in meta.get("files", []):
+            live[os.path.join(meta["dir"], f)] = None
+        for p in meta.get("file_paths", []):
+            live[p] = None
+    ckpt = {"batch_id": horizon, "file_paths": sorted(live)}
+    tmp = os.path.join(mdir, f".batch-{horizon}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(ckpt, fh)
+    os.replace(tmp, os.path.join(mdir, f"batch-{horizon}.json"))
+    expired = [m["batch_id"] for m in metas if m["batch_id"] < horizon]
+    for bid in expired:
+        os.remove(os.path.join(mdir, f"batch-{bid}.json"))
+    # orphan sweep: anything under _staging no remaining manifest names
+    referenced: set[str] = set()
+    for m in _glob.glob(os.path.join(mdir, "*.json")):
+        with open(m) as fh:
+            meta = json.load(fh)
+        for f in meta.get("files", []):
+            referenced.add(os.path.join(meta["dir"], f))
+        referenced.update(meta.get("file_paths", []))
+    sdir = os.path.join(path, "_staging")
+    n_orphans = 0
+    for bdir in sorted(_glob.glob(os.path.join(sdir, "*"))):
+        keep_dir = False
+        for f in sorted(os.listdir(bdir)):
+            if f.startswith(("_", ".")):
+                continue
+            ap = os.path.join(bdir, f)
+            rel = os.path.relpath(ap, path)
+            # legacy manifests may reference absolute paths — honor both
+            if rel in referenced or ap in referenced:
+                keep_dir = True
+            else:
+                os.remove(ap)
+                n_orphans += 1
+        if not keep_dir:
+            shutil.rmtree(bdir)
+    return {"horizon": horizon, "expired": expired,
+            "orphans_removed": n_orphans}
 
 
 def run_available_now(writer: DataStreamWriter) -> StreamingQuery:

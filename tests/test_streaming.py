@@ -1700,6 +1700,69 @@ def test_manifest_table_survives_directory_move(spark, tmp_path):
     assert pre == {i: f"v{i}" for i in range(20)}
 
 
+def test_expire_manifests_compacts_and_collects_orphans(spark, tmp_path):
+    """Snapshot expiry (r11 verdict item 7): retain the newest K commits,
+    compact older deltas into a checkpoint manifest, GC unreferenced
+    staging files. Time travel to retained batches resolves identically;
+    travel past the horizon errors loudly; merge tombstoned files and
+    crashed-batch staging output are physically deleted."""
+    import glob
+    import json
+    import os
+    out = str(tmp_path / "exp")
+    target = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string")
+    sinks.publish_batch(target.repartition(4, "k"), out, 0)
+    sinks.merge_into(spark, out, spark.createDataFrame(
+        [(3, "upd3")], "k long, v string"), ["k"])          # batch 1
+    sinks.merge_into(spark, out, spark.createDataFrame(
+        [(5,)], "k long"), ["k"], when_matched="delete")    # batch 2
+    # a crashed batch: staging written, never published
+    spark.createDataFrame([(999, "zz")], "k long, v string") \
+        .write.mode("overwrite").parquet(os.path.join(out, "_staging",
+                                                      "batch-9"))
+    pre_full = {r["k"]: r["v"]
+                for r in sinks.read_manifest(spark, out).collect()}
+    pre_b1 = {r["k"]: r["v"]
+              for r in sinks.read_manifest(spark, out,
+                                           as_of_batch=1).collect()}
+
+    stats = sinks.expire_manifests(out, keep_last=2)
+    assert stats["horizon"] == 1 and stats["expired"] == [0]
+    assert stats["orphans_removed"] >= 1  # tombstoned + crashed files
+    names = sorted(os.path.basename(p) for p in
+                   glob.glob(os.path.join(out, "_manifests", "*.json")))
+    assert names == ["batch-1.json", "batch-2.json"]
+    with open(os.path.join(out, "_manifests", "batch-1.json")) as fh:
+        ckpt = json.load(fh)
+    assert "file_paths" in ckpt and all(not os.path.isabs(p)
+                                        for p in ckpt["file_paths"])
+    # retained snapshots answer exactly as before
+    post_full = {r["k"]: r["v"]
+                 for r in sinks.read_manifest(spark, out).collect()}
+    post_b1 = {r["k"]: r["v"]
+               for r in sinks.read_manifest(spark, out,
+                                            as_of_batch=1).collect()}
+    assert post_full == pre_full and post_b1 == pre_b1
+    # expired snapshot errors loudly
+    with pytest.raises(FileNotFoundError):
+        sinks.read_manifest(spark, out, as_of_batch=0)
+    # crashed staging dir is gone; every remaining staged file is live
+    assert not os.path.exists(os.path.join(out, "_staging", "batch-9"))
+    live = set(ckpt["file_paths"])
+    with open(os.path.join(out, "_manifests", "batch-2.json")) as fh:
+        m2 = json.load(fh)
+    live |= {os.path.join(m2["dir"], f) for f in m2["files"]}
+    on_disk = {os.path.relpath(p, out)
+               for p in glob.glob(os.path.join(out, "_staging", "*", "*"))
+               if not os.path.basename(p).startswith(("_", "."))}
+    assert on_disk == live
+    # idempotent / no-op when nothing is older than the window
+    assert sinks.expire_manifests(out, keep_last=2)["expired"] == []
+    with pytest.raises(ValueError, match="keep_last"):
+        sinks.expire_manifests(out, keep_last=0)
+
+
 def test_merge_into_numeric_commit_order(spark, tmp_path):
     """Stacked rewrites: a later MERGE tombstones files added by an
     earlier MERGE; numeric manifest ordering (batch-10 > batch-2) keeps

@@ -938,3 +938,29 @@ SELECT CAST(week AS BIGINT) AS week, CAST(v_nonzero AS BIGINT) AS v_nonzero,
                   ELSE raw END, 6) AS hll_est
 FROM e ORDER BY week
 """
+
+
+def x_st1_keygroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 (StatefulOperations.java:87-119) sharded by KEY GROUP — the
+    state layout Flink's own runtime uses (keys hash into a fixed set of
+    key groups; per-key state lives inside a group). The r12 profile
+    (tools/profile_cep.py, SCALE.md r12) showed the 100x replay wall of
+    every low-output machine is the ENGINE's per-distinct-key floor
+    (state row encode/decode + Arrow framing + Python invocation), not
+    the machines' arithmetic — this form pays that floor key_groups
+    times per micro-batch instead of |users| times, and vectorizes the
+    per-user diff across user-segment boundaries inside each group.
+    Same alert set, same oracle, as st1_stream."""
+    from .registry_ops import _run_to_memory, _stream_events
+    from .streaming.stateful import interval_alerts_keygroup_stream
+    ev = _stream_events(spark, sf_dir)
+    out = interval_alerts_keygroup_stream(
+        ev, key="user_id", ts_ms="ts_ms", event_col="event_type",
+        match_value="error", threshold_ms=21_600_000, key_groups=1024,
+        order_by=["ts_ms", "event_id"])
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_st1_keygroup_stream"] = x_st1_keygroup_stream
+STREAMING_DEMOS.add("x_st1_keygroup_stream")
+ORACLES["x_st1_keygroup_stream"] = ORACLES["st1_stream"]

@@ -91,6 +91,101 @@ def interval_alerts_stream(df: DataFrame, key: str = "user",
                                       GroupStateTimeout.NoTimeout))
 
 
+def interval_alerts_keygroup_stream(df: DataFrame, key: str = "user",
+                                    ts_ms: str = "ts_ms",
+                                    event_col: str = "op",
+                                    match_value: str = "Delete",
+                                    threshold_ms: int = 10_000,
+                                    key_groups: int = 1024,
+                                    order_by: Sequence[str] | None = None
+                                    ) -> DataFrame:
+    """ST1 sharded by KEY GROUP — the architecture Flink itself runs
+    keyed state on (keys hash into a fixed number of key groups; state
+    lives per key within a group): ``groupBy(xxhash64(key) % key_groups)``
+    so the engine's per-group machinery (state row encode/decode, Arrow
+    framing, Python invocation) is paid ``key_groups`` times per
+    micro-batch instead of once per DISTINCT KEY — the r12 profile found
+    that per-key floor, not the state machine's arithmetic, dominates
+    the 100x replay of every low-output machine (tools/profile_cep.py,
+    SCALE.md r12). Within a group the per-user recurrence is the same
+    shift+mask diff as :func:`interval_alerts_stream`, vectorized across
+    user segment boundaries; group state is the (user, last_ts) pair
+    arrays, bounded by keys/key_groups per group (size ``key_groups`` so
+    a group's state stays a few MB at the target key cardinality).
+
+    Emits exactly :func:`interval_alerts_stream`'s rows (same oracle).
+    ``key`` must be an integral column (hash externally for strings).
+    """
+    order = list(order_by) if order_by else [ts_ms]
+    kfield = _field(df, key)
+    out_schema = T.StructType(
+        [kfield] + [_field(df, c) for c in order]
+        + [T.StructField("diff_ms", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("last_ts", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ku_l, kt_l = state.get
+            ku = np.asarray(ku_l, dtype="int64")
+            kt = np.asarray(kt_l, dtype="int64")
+        else:
+            ku = kt = np.empty(0, dtype="int64")
+        chunks = [pdf[pdf[event_col] == match_value] for pdf in pdfs]
+        chunks = [c for c in chunks if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values([key] + order)
+            u = pdf[key].to_numpy(dtype="int64")
+            ts = pdf[ts_ms].to_numpy(dtype="int64")
+            n = ts.size
+            heads = np.empty(n, dtype=bool)
+            heads[0] = True
+            np.not_equal(u[1:], u[:-1], out=heads[1:])
+            prev = np.empty(n, dtype="int64")
+            prev[1:] = ts[:-1]
+            has_prev = np.ones(n, dtype=bool)
+            hidx = np.flatnonzero(heads)
+            hu = u[hidx]
+            if ku.size:
+                pos = np.searchsorted(ku, hu)
+                safe = np.clip(pos, 0, ku.size - 1)
+                found = (pos < ku.size) & (ku[safe] == hu)
+                prev[hidx] = np.where(found, kt[safe], 0)
+            else:
+                found = np.zeros(hu.size, dtype=bool)
+                prev[hidx] = 0
+            has_prev[hidx] = found
+            diff = ts - prev
+            m = has_prev & (diff < threshold_ms)
+            res = pdf[[key] + order][m].copy()
+            res["diff_ms"] = diff[m]
+            # new state: last match ts per user, merged over the carry
+            lidx = np.append(hidx[1:] - 1, n - 1)
+            lu, lt = u[lidx], ts[lidx]
+            keep = ~np.isin(ku, lu)
+            mu = np.concatenate([ku[keep], lu])
+            mt = np.concatenate([kt[keep], lt])
+            o = np.argsort(mu, kind="stable")
+            ku, kt = mu[o], mt[o]
+        else:
+            res = pd.DataFrame(columns=[key] + order + ["diff_ms"])
+        if ku.size:
+            state.update((ku.tolist(), kt.tolist()))
+        yield res
+
+    grp = F.pmod(F.xxhash64(F.col(key)), F.lit(key_groups))
+    # applyInPandasWithState groups by COLUMNS, not expressions —
+    # materialize the key-group id first
+    return (df.withColumn("key_group", grp)
+              .groupBy("key_group")
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))
+
+
 def action_durations_stream(df: DataFrame, key: str = "user",
                             ts_ms: str = "ts_ms", action_col: str = "action",
                             session_start: str | None = "Login",

@@ -964,3 +964,55 @@ def x_st1_keygroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_st1_keygroup_stream"] = x_st1_keygroup_stream
 STREAMING_DEMOS.add("x_st1_keygroup_stream")
 ORACLES["x_st1_keygroup_stream"] = ORACLES["st1_stream"]
+
+
+def x_countwin_keygroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``countWindow(10)`` sharded by KEY GROUP (see
+    x_st1_keygroup_stream): same per-user count-tumbling windows and
+    flush drain as x_countwin_stream, but the engine's per-distinct-key
+    invocation floor is paid per group — the r12 profile's scale fix for
+    the low-output machines. Same oracle as the per-key form."""
+    from .registry_ops import (_EVENTS_CSV_SCHEMA, _run_to_memory)
+    from .registry_ext_a import _events_csv_dir_flush_users
+    from .sources import file_csv_stream
+    from .streaming.stateful import count_windows_keygroup_stream
+    path = _events_csv_dir_flush_users(spark, sf_dir)
+    ev = file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+    src = ev.select("user_id", "ts_ms", "event_id",
+                    (F.col("event_type") == "__flush__").alias("is_flush"))
+    out = count_windows_keygroup_stream(src, size=10, key="user_id",
+                                        ts_ms="ts_ms", id_col="event_id",
+                                        flush_col="is_flush",
+                                        key_groups=1024)
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_countwin_keygroup_stream"] = x_countwin_keygroup_stream
+STREAMING_DEMOS.add("x_countwin_keygroup_stream")
+ORACLES["x_countwin_keygroup_stream"] = ORACLES["x_countwin_stream"]
+
+
+def x_attribution_keygroup_stream(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """x_attribution_stream sharded by KEY GROUP (see
+    x_st1_keygroup_stream): same live first/last-touch attribution, the
+    per-user state held as arrays inside 1024 key groups so the engine's
+    per-distinct-key floor disappears from the replay wall. Same
+    aggregate and oracle as the per-key form."""
+    from .registry_ops import _run_to_memory, _stream_events
+    from .streaming.stateful import attribution_keygroup_stream
+    ev = _stream_events(spark, sf_dir)
+    out = attribution_keygroup_stream(ev, key="user_id", ts_ms="ts_ms",
+                                      type_col="event_type",
+                                      id_col="event_id",
+                                      convert_on="purchase",
+                                      key_groups=1024)
+    mem = _run_to_memory(out, spark)
+    return (mem.groupBy("first_touch", "last_touch")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+            .orderBy("first_touch", "last_touch"))
+
+
+QUERIES["x_attribution_keygroup_stream"] = x_attribution_keygroup_stream
+STREAMING_DEMOS.add("x_attribution_keygroup_stream")
+ORACLES["x_attribution_keygroup_stream"] = ORACLES["x_attribution_stream"]

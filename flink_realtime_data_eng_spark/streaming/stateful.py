@@ -820,6 +820,179 @@ def count_windows_stream(df: DataFrame, size: int, key: str = "user_id",
                                       GroupStateTimeout.NoTimeout))
 
 
+def count_windows_keygroup_stream(df: DataFrame, size: int,
+                                  key: str = "user_id",
+                                  ts_ms: str = "ts_ms",
+                                  id_col: str = "event_id",
+                                  flush_col: str | None = None,
+                                  key_groups: int = 1024) -> DataFrame:
+    """:func:`count_windows_stream` sharded by KEY GROUP (see
+    :func:`interval_alerts_keygroup_stream` for the floor argument and
+    the Flink key-group parallel). Per group, rows sort by (key, ts, id)
+    and split into ROUNDS by each key's flush ordinal — the Python loop
+    runs over rounds (flushes per key per batch + 1, ~2 in practice),
+    never rows; inside a round the window fills are rank arithmetic over
+    per-user segments (reduceat-free index math). Group state: per-user
+    (user, win, n, first_ts, last_ts) arrays. Same output and oracle as
+    the per-key form."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    order = [ts_ms, id_col]
+    kfield = _field(df, key)
+    out_schema = T.StructType(
+        [kfield,
+         T.StructField("win_idx", T.LongType()),
+         T.StructField("n_events", T.LongType()),
+         T.StructField("first_ts_ms", T.LongType()),
+         T.StructField("last_ts_ms", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("win", T.ArrayType(T.LongType())),
+        T.StructField("n", T.ArrayType(T.LongType())),
+        T.StructField("first_ts", T.ArrayType(T.LongType())),
+        T.StructField("last_ts", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            su, sw, sn, sf, sl = (np.asarray(a, dtype="int64")
+                                  for a in state.get)
+        else:
+            su = sw = sn = sf = sl = np.empty(0, dtype="int64")
+        out_u: list[np.ndarray] = []
+        out_w: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_f: list[np.ndarray] = []
+        out_l: list[np.ndarray] = []
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values([key] + order)
+            u_all = pdf[key].to_numpy(dtype="int64")
+            ts_all = pdf[ts_ms].to_numpy(dtype="int64")
+            if flush_col is not None:
+                fl = pdf[flush_col].to_numpy(dtype=bool)
+            else:
+                fl = np.zeros(ts_all.size, dtype=bool)
+            heads = np.empty(u_all.size, dtype=bool)
+            heads[0] = True
+            np.not_equal(u_all[1:], u_all[:-1], out=heads[1:])
+            # per-user flush ordinal: # flush rows of this user BEFORE row
+            c = np.cumsum(fl)
+            hidx = np.flatnonzero(heads)
+            seg_len = np.diff(np.append(hidx, u_all.size))
+            base = np.repeat(c[hidx] - fl[hidx], seg_len)
+            ordinal = c - base - fl  # exclusive of the row itself
+            # working per-user state, aligned to this batch's user set
+            bu = u_all[hidx]
+            pos = np.searchsorted(su, bu)
+            safe = np.clip(pos, 0, max(su.size - 1, 0))
+            known = ((pos < su.size) & (su[safe] == bu)) if su.size \
+                else np.zeros(bu.size, dtype=bool)
+            w = np.where(known, sw[safe] if su.size else 0, 0)
+            n = np.where(known, sn[safe] if su.size else 0, 0)
+            ft = np.where(known, sf[safe] if su.size else 0, 0)
+            lt = np.where(known, sl[safe] if su.size else 0, 0)
+            # map every row to its user's index in bu
+            urow = np.repeat(np.arange(bu.size), seg_len)
+            n_rounds = int(ordinal.max()) + 1 if ordinal.size else 1
+            for r in range(n_rounds):
+                sel = np.flatnonzero((ordinal == r) & ~fl)
+                if sel.size:
+                    ts = ts_all[sel]
+                    ur = urow[sel]
+                    rh = np.empty(ur.size, dtype=bool)
+                    rh[0] = True
+                    np.not_equal(ur[1:], ur[:-1], out=rh[1:])
+                    rhi = np.flatnonzero(rh)
+                    rlen = np.diff(np.append(rhi, ur.size))
+                    uu = ur[rhi]  # users present in this round
+                    # rank of each row within (user, round): 0-based
+                    rk = np.arange(ur.size) - np.repeat(rhi, rlen)
+                    # absolute event count for the user at this row
+                    cnt = np.repeat(n[uu], rlen) + rk + 1
+                    fill = cnt % size == 0
+                    fi = np.flatnonzero(fill)
+                    if fi.size:
+                        wstart = fi - size + 1
+                        seg0 = np.repeat(rhi, rlen)[fi]
+                        inseg = wstart >= seg0
+                        firsts = np.where(
+                            inseg, ts[np.clip(wstart, 0, None)],
+                            np.repeat(ft[uu], rlen)[fi])
+                        wins = (np.repeat(w[uu], rlen)[fi]
+                                + cnt[fi] // size - 1)
+                        out_u.append(u_all[sel][fi])
+                        out_w.append(wins)
+                        out_n.append(np.full(fi.size, size,
+                                             dtype="int64"))
+                        out_f.append(firsts)
+                        out_l.append(ts[fi])
+                    total = n[uu] + rlen
+                    w[uu] = w[uu] + total // size
+                    rem = total % size
+                    lasts = ts[np.append(rhi[1:] - 1, ur.size - 1)]
+                    # tail window head: rem rows back from segment end;
+                    # rem > rlen keeps the carried first_ts (no fill)
+                    tail0 = np.append(rhi[1:], ur.size) - rem
+                    inb = (rem > 0) & (rem <= rlen)
+                    # clip both ends: rem == 0 puts tail0 at the segment
+                    # end (even ur.size), np.where still evaluates it
+                    ft[uu] = np.where(
+                        inb, ts[np.clip(tail0, 0, ur.size - 1)], ft[uu])
+                    lt[uu] = np.where(rem > 0, lasts, lt[uu])
+                    n[uu] = rem
+                    zero = rem == 0
+                    ft[uu] = np.where(zero, 0, ft[uu])
+                    lt[uu] = np.where(zero, 0, lt[uu])
+                # users whose r-th flush terminates this round
+                fsel = np.flatnonzero(fl & (ordinal == r))
+                if fsel.size:
+                    fu = urow[fsel]
+                    emit = n[fu] > 0
+                    eu = fu[emit]
+                    if eu.size:
+                        out_u.append(bu[eu])
+                        out_w.append(w[eu])
+                        out_n.append(n[eu])
+                        out_f.append(ft[eu])
+                        out_l.append(lt[eu])
+                        w[eu] += 1
+                        n[eu] = 0
+                        ft[eu] = 0
+                        lt[eu] = 0
+            # merge updated per-user state back over the carry
+            keep = ~np.isin(su, bu)
+            mu = np.concatenate([su[keep], bu])
+            o = np.argsort(mu, kind="stable")
+            su = mu[o]
+            sw = np.concatenate([sw[keep], w])[o]
+            sn = np.concatenate([sn[keep], n])[o]
+            sf = np.concatenate([sf[keep], ft])[o]
+            sl = np.concatenate([sl[keep], lt])[o]
+        if su.size:
+            state.update((su.tolist(), sw.tolist(), sn.tolist(),
+                          sf.tolist(), sl.tolist()))
+        if out_u:
+            res = pd.DataFrame({
+                key: np.concatenate(out_u),
+                "win_idx": np.concatenate(out_w),
+                "n_events": np.concatenate(out_n),
+                "first_ts_ms": np.concatenate(out_f),
+                "last_ts_ms": np.concatenate(out_l)})
+        else:
+            res = pd.DataFrame(columns=[key, "win_idx", "n_events",
+                                        "first_ts_ms", "last_ts_ms"])
+        yield res
+
+    grp = F.pmod(F.xxhash64(F.col(key)), F.lit(key_groups))
+    return (df.withColumn("key_group", grp)
+              .groupBy("key_group")
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))
+
+
 def funnel_stream(df: DataFrame, steps: Sequence[str],
                   key: str = "user_id", ts_ms: str = "ts_ms",
                   type_col: str = "event_type",
@@ -1082,6 +1255,121 @@ def attribution_stream(df: DataFrame, key: str = "user_id",
         yield out
 
     return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))
+
+
+def attribution_keygroup_stream(df: DataFrame, key: str = "user_id",
+                                ts_ms: str = "ts_ms",
+                                type_col: str = "event_type",
+                                id_col: str = "event_id",
+                                convert_on: str = "purchase",
+                                key_groups: int = 1024) -> DataFrame:
+    """:func:`attribution_stream` sharded by KEY GROUP (see
+    :func:`interval_alerts_keygroup_stream`): per group, the
+    latest-touch-before-conversion is one maximum.accumulate clamped at
+    user-segment starts (out-of-segment resolves to the user's carried
+    state), first-touch one minimum.reduceat per segment. Group state:
+    per-user (user, first, last) arrays. Same rows and oracle as the
+    per-key form."""
+    order = [ts_ms, id_col]
+    kfield = _field(df, key)
+    out_schema = T.StructType(
+        [kfield,
+         T.StructField("first_touch", T.StringType()),
+         T.StructField("last_touch", T.StringType())])
+    state_schema = T.StructType([
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("first", T.ArrayType(T.StringType())),
+        T.StructField("last", T.ArrayType(T.StringType())),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            su_l, sf_l, sl_l = state.get
+            su = np.asarray(su_l, dtype="int64")
+            sfirst = np.asarray(sf_l, dtype=object)
+            slast = np.asarray(sl_l, dtype=object)
+        else:
+            su = np.empty(0, dtype="int64")
+            sfirst = slast = np.empty(0, dtype=object)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values([key] + order)
+            u = pdf[key].to_numpy(dtype="int64")
+            types = pdf[type_col].to_numpy(dtype=object)
+            n = u.size
+            conv = types == convert_on
+            heads = np.empty(n, dtype=bool)
+            heads[0] = True
+            np.not_equal(u[1:], u[:-1], out=heads[1:])
+            hidx = np.flatnonzero(heads)
+            seg_len = np.diff(np.append(hidx, n))
+            bu = u[hidx]
+            pos = np.searchsorted(su, bu)
+            safe = np.clip(pos, 0, max(su.size - 1, 0))
+            known = ((pos < su.size) & (su[safe] == bu)) if su.size \
+                else np.zeros(bu.size, dtype=bool)
+            wfirst = np.empty(bu.size, dtype=object)
+            wlast = np.empty(bu.size, dtype=object)
+            wfirst[:] = None
+            wlast[:] = None
+            if su.size:
+                wfirst[known] = sfirst[safe[known]]
+                wlast[known] = slast[safe[known]]
+            arange = np.arange(n)
+            seg0 = np.repeat(hidx, seg_len)
+            urow = np.repeat(np.arange(bu.size), seg_len)
+            tarr = np.where(~conv, arange, -1)
+            np.maximum.accumulate(tarr, out=tarr)
+            # per-user first in-batch touch position (n = none)
+            ftouch = np.where(~conv, arange, n)
+            fmin = np.minimum.reduceat(ftouch, hidx)
+            ci = np.flatnonzero(conv)
+            if ci.size:
+                uix = urow[ci]
+                src = tarr[ci]
+                inb = src >= seg0[ci]
+                lasts = np.where(inb, types[np.clip(src, 0, None)],
+                                 wlast[uix])
+                lasts[pd.isnull(lasts)] = "(none)"
+                carried = wfirst[uix]
+                inb_first = fmin[uix] < ci
+                batch_first = np.where(
+                    inb_first, types[np.clip(fmin[uix], 0, n - 1)], None)
+                firsts = np.where(pd.isnull(carried), batch_first, carried)
+                firsts[pd.isnull(firsts)] = "(none)"
+                res = pd.DataFrame({key: u[ci],
+                                    "first_touch": firsts,
+                                    "last_touch": lasts})
+            else:
+                res = pd.DataFrame(columns=[key, "first_touch",
+                                            "last_touch"])
+            # state update: last/first touch per user over the batch
+            tl = tarr[np.append(hidx[1:] - 1, n - 1)]
+            has_touch = tl >= hidx
+            wlast = np.where(has_touch, types[np.clip(tl, 0, None)], wlast)
+            has_first = fmin < np.append(hidx[1:], n)
+            batch_f = np.where(has_first, types[np.clip(fmin, 0, n - 1)],
+                               None)
+            wfirst = np.where(pd.isnull(wfirst), batch_f, wfirst)
+            keep = ~np.isin(su, bu)
+            mu = np.concatenate([su[keep], bu])
+            o = np.argsort(mu, kind="stable")
+            su = mu[o]
+            sfirst = np.concatenate([sfirst[keep], wfirst])[o]
+            slast = np.concatenate([slast[keep], wlast])[o]
+        else:
+            res = pd.DataFrame(columns=[key, "first_touch", "last_touch"])
+        if su.size:
+            state.update((su.tolist(), sfirst.tolist(), slast.tolist()))
+        yield res
+
+    grp = F.pmod(F.xxhash64(F.col(key)), F.lit(key_groups))
+    return (df.withColumn("key_group", grp)
+              .groupBy("key_group")
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
 

@@ -1016,3 +1016,72 @@ def x_attribution_keygroup_stream(spark: SparkSession,
 QUERIES["x_attribution_keygroup_stream"] = x_attribution_keygroup_stream
 STREAMING_DEMOS.add("x_attribution_keygroup_stream")
 ORACLES["x_attribution_keygroup_stream"] = ORACLES["x_attribution_stream"]
+
+
+def x_j2_keygroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming temporal join (j2_stream) sharded by KEY GROUP (see
+    x_st1_keygroup_stream): clicks match the latest at-or-before purchase
+    through per-user (last_ts, last_val) arrays held in 1024 key groups —
+    the forward-fill is one segment-clamped maximum.accumulate per group.
+    Same oracle as j2_asof_join / j2_stream."""
+    from .registry_ops import _run_to_memory, _stream_events
+    from .streaming.stateful import asof_join_keygroup_stream
+    ev = _stream_events(spark, sf_dir)
+    left = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts_ms", "event_id"))
+    right = (ev.filter(F.col("event_type") == "purchase")
+               .select("user_id", "ts_ms",
+                       F.col("event_id").cast("double")
+                        .alias("purchase_value")))
+    out = asof_join_keygroup_stream(left, right, key="user_id",
+                                    ts_ms="ts_ms",
+                                    value_col="purchase_value",
+                                    left_cols=["event_id"],
+                                    key_groups=1024)
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_j2_keygroup_stream"] = x_j2_keygroup_stream
+STREAMING_DEMOS.add("x_j2_keygroup_stream")
+ORACLES["x_j2_keygroup_stream"] = ORACLES["j2_stream"]
+
+
+def x_funnel_keygroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel completion sharded by KEY GROUP (see
+    x_st1_keygroup_stream): each greedy stage is one masked
+    minimum.reduceat over user segments per pass — len(steps) passes, no
+    per-user Python. Same rows and oracle as x_funnel_stream."""
+    from .registry_ops import _run_to_memory, _stream_events
+    from .streaming.stateful import funnel_keygroup_stream
+    ev = _stream_events(spark, sf_dir)
+    out = funnel_keygroup_stream(ev, ["view", "click", "purchase"],
+                                 key="user_id", ts_ms="ts_ms",
+                                 type_col="event_type",
+                                 id_col="event_id", key_groups=1024)
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_funnel_keygroup_stream"] = x_funnel_keygroup_stream
+STREAMING_DEMOS.add("x_funnel_keygroup_stream")
+ORACLES["x_funnel_keygroup_stream"] = ORACLES["x_funnel_stream"]
+
+
+def x_cep_keygroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP (view->click->purchase within 24h, strict
+    contiguity) sharded by KEY GROUP (see x_st1_keygroup_stream): carried
+    per-user buffers splice in as synthetic rows before each user's new
+    rows, the match stays one shifted elementwise compare with a
+    same-user window guard. Same rows and oracle as x_cep_stream."""
+    from .registry_ops import _run_to_memory, _stream_events
+    from .streaming.stateful import sequence_match_keygroup_stream
+    ev = _stream_events(spark, sf_dir)
+    out = sequence_match_keygroup_stream(
+        ev, ["view", "click", "purchase"], within_ms=86_400_000,
+        key="user_id", ts_ms="ts_ms", type_col="event_type",
+        id_col="event_id", key_groups=1024)
+    return _run_to_memory(out, spark)
+
+
+QUERIES["x_cep_keygroup_stream"] = x_cep_keygroup_stream
+STREAMING_DEMOS.add("x_cep_keygroup_stream")
+ORACLES["x_cep_keygroup_stream"] = ORACLES["x_cep_stream"]

@@ -363,6 +363,127 @@ def asof_join_stream(left: DataFrame, right: DataFrame, key: str,
                                      GroupStateTimeout.NoTimeout))
 
 
+def asof_join_keygroup_stream(left: DataFrame, right: DataFrame, key: str,
+                              ts_ms: str, value_col: str,
+                              left_cols: Sequence[str] = (),
+                              key_groups: int = 1024) -> DataFrame:
+    """:func:`asof_join_stream` sharded by KEY GROUP (see
+    :func:`interval_alerts_keygroup_stream` for the floor argument):
+    the nearest-preceding-right forward-fill becomes one
+    maximum.accumulate clamped at user-segment starts — out-of-segment
+    positions resolve against the user's carried (last_ts, last_val).
+    Group state: per-user parallel arrays. Same rows and oracle as the
+    per-key form; same one-sided future-guard for carried matches."""
+    rfield = right.schema[value_col]
+    clash = ((set(left_cols) | {key, ts_ms})
+             & {value_col, "matched_ts_ms", "asof_side"}) \
+        | ({"matched_ts_ms", "asof_side"} & {value_col})
+    if clash:
+        raise ValueError(
+            f"output column collision {sorted(clash)}: rename left columns "
+            "or value_col (matched right values join the left schema)")
+    order = [ts_ms, "asof_side", value_col]
+    tagged_l = left.select(
+        F.col(key), F.col(ts_ms), F.lit(1).alias("asof_side"),
+        *[F.col(c) for c in left_cols],
+        F.lit(None).cast(rfield.dataType).alias(value_col))
+    tagged_r = right.select(
+        F.col(key), F.col(ts_ms), F.lit(0).alias("asof_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols],
+        F.col(value_col))
+    u_df = tagged_l.unionByName(tagged_r)
+
+    out_schema = T.StructType(
+        [_field(u_df, key), _field(u_df, ts_ms)]
+        + [_field(u_df, c) for c in left_cols]
+        + [T.StructField(value_col, rfield.dataType),
+           T.StructField("matched_ts_ms", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("last_ts", T.ArrayType(T.LongType())),
+        T.StructField("last_val", T.ArrayType(rfield.dataType)),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            su_l, st_l, sv_l = state.get
+            su = np.asarray(su_l, dtype="int64")
+            sts = np.asarray(st_l, dtype="int64")
+            svl = np.asarray(sv_l, dtype=object)
+        else:
+            su = sts = np.empty(0, dtype="int64")
+            svl = np.empty(0, dtype=object)
+        cols = [ts_ms, *left_cols, value_col, "matched_ts_ms"]
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values([key] + order)
+            u = pdf[key].to_numpy(dtype="int64")
+            side = pdf["asof_side"].to_numpy(dtype="int64")
+            ts = pdf[ts_ms].to_numpy(dtype="int64")
+            vals = pdf[value_col].to_numpy()
+            n = u.size
+            heads = np.empty(n, dtype=bool)
+            heads[0] = True
+            np.not_equal(u[1:], u[:-1], out=heads[1:])
+            hidx = np.flatnonzero(heads)
+            seg_len = np.diff(np.append(hidx, n))
+            bu = u[hidx]
+            pos = np.searchsorted(su, bu)
+            safe = np.clip(pos, 0, max(su.size - 1, 0))
+            known = ((pos < su.size) & (su[safe] == bu)) if su.size \
+                else np.zeros(bu.size, dtype=bool)
+            cts = np.where(known, sts[safe] if su.size else 0, 0)
+            cvl = np.empty(bu.size, dtype=object)
+            cvl[:] = None
+            if su.size:
+                cvl[known] = svl[safe[known]]
+            seg0 = np.repeat(hidx, seg_len)
+            urow = np.repeat(np.arange(bu.size), seg_len)
+            ridx = np.where(side == 0, np.arange(n), -1)
+            np.maximum.accumulate(ridx, out=ridx)
+            li = np.flatnonzero(side == 1)
+            src = ridx[li]
+            inb = src >= seg0[li]
+            uix = urow[li]
+            matched = inb | (known[uix] & (cts[uix] <= ts[li]))
+            keep = li[matched]
+            res = pdf.iloc[keep][[key, ts_ms, *left_cols]].copy()
+            mval = np.empty(li.size, dtype=object)
+            mval[inb] = vals[src[inb]]
+            mval[~inb] = cvl[uix[~inb]]
+            mts = np.where(inb, ts[np.clip(src, 0, None)], cts[uix])
+            res[value_col] = mval[matched]
+            res["matched_ts_ms"] = mts[matched]
+            # state: per-user last right row (sorted order), else carry
+            tl = ridx[np.append(hidx[1:] - 1, n - 1)]
+            has_r = tl >= hidx
+            cts = np.where(has_r, ts[np.clip(tl, 0, None)], cts)
+            cvl = np.where(has_r, vals[np.clip(tl, 0, None)], cvl)
+            has_state = known | has_r
+            keep_c = ~np.isin(su, bu)
+            mu = np.concatenate([su[keep_c], bu[has_state]])
+            o = np.argsort(mu, kind="stable")
+            su = mu[o]
+            sts = np.concatenate([sts[keep_c], cts[has_state]])[o]
+            svl = np.concatenate([svl[keep_c],
+                                  cvl[has_state].astype(object)])[o]
+        else:
+            res = pd.DataFrame(columns=[key] + cols)
+        if su.size:
+            state.update((su.tolist(), sts.tolist(), svl.tolist()))
+        yield res
+
+    grp = F.pmod(F.xxhash64(F.col(key)), F.lit(key_groups))
+    return (u_df.withColumn("key_group", grp)
+                .groupBy("key_group")
+                .applyInPandasWithState(fn, out_schema, state_schema,
+                                        "append",
+                                        GroupStateTimeout.NoTimeout))
+
+
 def interval_alerts_tws(df: DataFrame, key: str = "user",
                         ts_ms: str = "ts_ms", event_col: str = "op",
                         match_value: str = "Delete",
@@ -516,6 +637,167 @@ def sequence_match_stream(df: DataFrame, steps: Sequence[str],
         yield res
 
     return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))
+
+
+def sequence_match_keygroup_stream(df: DataFrame, steps: Sequence[str],
+                                   within_ms: int | None = None,
+                                   key: str = "user_id",
+                                   ts_ms: str = "ts_ms",
+                                   type_col: str = "event_type",
+                                   id_col: str = "event_id",
+                                   key_groups: int = 1024) -> DataFrame:
+    """:func:`sequence_match_stream` sharded by KEY GROUP (see
+    :func:`interval_alerts_keygroup_stream`): each user's carried
+    (type, ts, id) buffer becomes synthetic rows spliced BEFORE the
+    user's new rows (same prepend order as the per-key machine), then
+    the strict-contiguity match is the same shifted elementwise compare
+    — with an extra same-user guard so windows never cross a segment
+    boundary, and the new-row flag reproducing the only-end-at-new-rows
+    rule. Group state: per-user buffer arrays. Same rows and oracle as
+    the per-key form."""
+    if len(steps) < 2:
+        raise ValueError("steps must have at least 2 entries")
+    depth = len(steps) - 1
+    kfield = _field(df, key)
+    out_schema = T.StructType(
+        [kfield,
+         T.StructField("start_ts_ms", T.LongType()),
+         T.StructField("end_ts_ms", T.LongType()),
+         T.StructField("start_event_id", _field(df, id_col).dataType)])
+    fields = [T.StructField("users", T.ArrayType(T.LongType()))]
+    for i in range(depth):
+        fields += [T.StructField(f"t{i}", T.ArrayType(T.StringType())),
+                   T.StructField(f"s{i}", T.ArrayType(T.LongType())),
+                   T.StructField(f"i{i}", T.ArrayType(T.LongType()))]
+    state_schema = T.StructType(fields)
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            flat = state.get
+            su = np.asarray(flat[0], dtype="int64")
+            bt = [np.asarray(flat[1 + 3 * i], dtype=object)
+                  for i in range(depth)]
+            bs = [np.asarray(flat[2 + 3 * i], dtype="int64")
+                  for i in range(depth)]
+            bi = [np.asarray(flat[3 + 3 * i], dtype="int64")
+                  for i in range(depth)]
+        else:
+            su = np.empty(0, dtype="int64")
+            bt = [np.empty(0, dtype=object) for _ in range(depth)]
+            bs = [np.empty(0, dtype="int64") for _ in range(depth)]
+            bi = [np.empty(0, dtype="int64") for _ in range(depth)]
+        cols = [key, "start_ts_ms", "end_ts_ms", "start_event_id"]
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values([key, ts_ms, id_col])
+            nu = pdf[key].to_numpy(dtype="int64")
+            ntypes = pdf[type_col].to_numpy(dtype=object)
+            nts = pdf[ts_ms].to_numpy(dtype="int64")
+            nid = pdf[id_col].to_numpy(dtype="int64")
+            batch_users = np.unique(nu)
+            # splice carried buffers (only of users present in the batch)
+            # as synthetic rows ordered BEFORE that user's new rows
+            act = np.isin(su, batch_users) if su.size else \
+                np.zeros(0, dtype=bool)
+            syn_u, syn_t, syn_ts, syn_id, syn_rank = [], [], [], [], []
+            for i in range(depth):
+                have = act & (np.asarray(
+                    [t is not None for t in bt[i]], dtype=bool)
+                    if su.size else False)
+                hi = np.flatnonzero(have)
+                if hi.size:
+                    syn_u.append(su[hi])
+                    syn_t.append(bt[i][hi])
+                    syn_ts.append(bs[i][hi])
+                    syn_id.append(bi[i][hi])
+                    syn_rank.append(np.full(hi.size, i, dtype="int64"))
+            if syn_u:
+                cu = np.concatenate(syn_u + [nu])
+                ctypes = np.concatenate(
+                    [a.astype(object) for a in syn_t] + [ntypes])
+                cts = np.concatenate(syn_ts + [nts])
+                cid = np.concatenate(syn_id + [nid])
+                nsyn = sum(a.size for a in syn_u)
+                new = np.concatenate([np.zeros(nsyn, dtype=bool),
+                                      np.ones(nu.size, dtype=bool)])
+                # order: user, then carried rows by buffer rank, then new
+                # rows by (ts, id) — carried sort keys are (rank, 0)
+                k_ts = np.concatenate(
+                    [np.concatenate(syn_rank), nts])
+                k_id = np.concatenate(
+                    [np.zeros(nsyn, dtype="int64"), nid])
+                o = np.lexsort((k_id, k_ts, new, cu))
+                cu, ctypes, cts, cid, new = (cu[o], ctypes[o], cts[o],
+                                             cid[o], new[o])
+            else:
+                cu, ctypes, cts, cid = nu, ntypes, nts, nid
+                new = np.ones(nu.size, dtype=bool)
+            m_all = cu.size
+            starts = ends = sids = eus = None
+            if m_all > depth:
+                m = np.ones(m_all - depth, dtype=bool)
+                for i, s in enumerate(steps):
+                    m &= ctypes[i: m_all - depth + i] == s
+                m &= cu[depth:] == cu[:-depth]  # window within one user
+                m &= new[depth:]  # matches may only END at a NEW row
+                if within_ms is not None:
+                    m &= cts[depth:] - cts[:-depth] <= within_ms
+                starts, ends = cts[:-depth][m], cts[depth:][m]
+                sids, eus = cid[:-depth][m], cu[depth:][m]
+            # new buffers: last `depth` rows of each user's combined run
+            heads = np.empty(m_all, dtype=bool)
+            heads[0] = True
+            np.not_equal(cu[1:], cu[:-1], out=heads[1:])
+            hidx = np.flatnonzero(heads)
+            seg_end = np.append(hidx[1:], m_all)
+            seg_len = seg_end - hidx
+            bu = cu[hidx]
+            wt = [np.empty(bu.size, dtype=object) for _ in range(depth)]
+            ws = [np.zeros(bu.size, dtype="int64") for _ in range(depth)]
+            wi = [np.zeros(bu.size, dtype="int64") for _ in range(depth)]
+            for i in range(depth):
+                back = depth - i  # slot i = oldest of the kept tail
+                idx = seg_end - back
+                ok = seg_len >= back
+                wt[i][:] = None
+                oi = np.flatnonzero(ok)
+                if oi.size:
+                    wt[i][oi] = ctypes[idx[oi]]
+                    ws[i][oi] = cts[idx[oi]]
+                    wi[i][oi] = cid[idx[oi]]
+            keep = ~np.isin(su, bu)
+            mu = np.concatenate([su[keep], bu])
+            o2 = np.argsort(mu, kind="stable")
+            su = mu[o2]
+            bt = [np.concatenate([bt[i][keep], wt[i]])[o2]
+                  for i in range(depth)]
+            bs = [np.concatenate([bs[i][keep], ws[i]])[o2]
+                  for i in range(depth)]
+            bi = [np.concatenate([bi[i][keep], wi[i]])[o2]
+                  for i in range(depth)]
+            if starts is not None:
+                res = pd.DataFrame({key: eus,
+                                    "start_ts_ms": starts,
+                                    "end_ts_ms": ends,
+                                    "start_event_id": sids})
+            else:
+                res = pd.DataFrame(columns=cols)
+        else:
+            res = pd.DataFrame(columns=cols)
+        if su.size:
+            parts: tuple = (su.tolist(),)
+            for i in range(depth):
+                parts += (bt[i].tolist(), bs[i].tolist(), bi[i].tolist())
+            state.update(parts)
+        yield res
+
+    grp = F.pmod(F.xxhash64(F.col(key)), F.lit(key_groups))
+    return (df.withColumn("key_group", grp)
+              .groupBy("key_group")
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
 
@@ -1054,6 +1336,117 @@ def funnel_stream(df: DataFrame, steps: Sequence[str],
         yield pd.DataFrame(out, columns=cols)
 
     return (df.groupBy(key)
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))
+
+
+def funnel_keygroup_stream(df: DataFrame, steps: Sequence[str],
+                           key: str = "user_id", ts_ms: str = "ts_ms",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id",
+                           key_groups: int = 1024) -> DataFrame:
+    """:func:`funnel_stream` sharded by KEY GROUP (see
+    :func:`interval_alerts_keygroup_stream`): the greedy chain advances
+    ALL users one stage per pass — each pass is one masked
+    minimum.reduceat over user segments (first qualifying row per user),
+    so the Python loop runs len(steps) times, never over rows or users.
+    Group state: per-user (user, stage, t1..td) arrays; completed users
+    keep the terminal stage so replays cannot double-emit. Same rows and
+    oracle as the per-key form."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    d = len(steps)
+    order = [ts_ms, id_col]
+    kfield = _field(df, key)
+    out_schema = T.StructType(
+        [kfield]
+        + [T.StructField(f"t{i + 1}_ms", T.LongType()) for i in range(d)])
+    state_schema = T.StructType(
+        [T.StructField("users", T.ArrayType(T.LongType())),
+         T.StructField("stage", T.ArrayType(T.LongType()))]
+        + [T.StructField(f"ts{i + 1}", T.ArrayType(T.LongType()))
+           for i in range(d)])
+    steps_arr = np.array(list(steps), dtype=object)
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            flat = state.get
+            su = np.asarray(flat[0], dtype="int64")
+            sst = np.asarray(flat[1], dtype="int64")
+            smat = np.stack([np.asarray(a, dtype="int64")
+                             for a in flat[2:]], axis=1) if su.size \
+                else np.empty((0, d), dtype="int64")
+        else:
+            su = sst = np.empty(0, dtype="int64")
+            smat = np.empty((0, d), dtype="int64")
+        cols = [key] + [f"t{i + 1}_ms" for i in range(d)]
+        out_rows: list[tuple[np.ndarray, np.ndarray]] = []
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values([key] + order)
+            u = pdf[key].to_numpy(dtype="int64")
+            types = pdf[type_col].to_numpy(dtype=object)
+            ts = pdf[ts_ms].to_numpy(dtype="int64")
+            n = u.size
+            heads = np.empty(n, dtype=bool)
+            heads[0] = True
+            np.not_equal(u[1:], u[:-1], out=heads[1:])
+            hidx = np.flatnonzero(heads)
+            seg_len = np.diff(np.append(hidx, n))
+            seg_end = np.append(hidx[1:], n)
+            bu = u[hidx]
+            pos = np.searchsorted(su, bu)
+            safe = np.clip(pos, 0, max(su.size - 1, 0))
+            known = ((pos < su.size) & (su[safe] == bu)) if su.size \
+                else np.zeros(bu.size, dtype=bool)
+            stg = np.where(known, sst[safe] if su.size else 0, 0)
+            tmat = np.zeros((bu.size, d), dtype="int64")
+            if su.size:
+                tmat[known] = smat[safe[known]]
+            urow = np.repeat(np.arange(bu.size), seg_len)
+            arange = np.arange(n)
+            for _pass in range(d):
+                rs = stg[urow]
+                live = rs < d
+                tgt = steps_arr[np.clip(rs, 0, d - 1)]
+                prev_t = tmat[urow, np.clip(rs - 1, 0, d - 1)]
+                m = live & (types == tgt) & ((rs == 0) | (ts > prev_t))
+                cand = np.where(m, arange, n)
+                first = np.minimum.reduceat(cand, hidx) \
+                    if hidx.size else np.empty(0, dtype="int64")
+                adv = first < seg_end
+                if not adv.any():
+                    break
+                ai = np.flatnonzero(adv)
+                tmat[ai, stg[ai]] = ts[first[ai]]
+                stg[ai] += 1
+                done = ai[stg[ai] == d]
+                if done.size:
+                    out_rows.append((bu[done], tmat[done]))
+            keep = ~np.isin(su, bu)
+            mu = np.concatenate([su[keep], bu])
+            o = np.argsort(mu, kind="stable")
+            su = mu[o]
+            sst = np.concatenate([sst[keep], stg])[o]
+            smat = np.concatenate([smat[keep], tmat], axis=0)[o]
+        if su.size:
+            state.update((su.tolist(), sst.tolist())
+                         + tuple(smat[:, i].tolist() for i in range(d)))
+        if out_rows:
+            eu = np.concatenate([r[0] for r in out_rows])
+            em = np.concatenate([r[1] for r in out_rows], axis=0)
+            res = pd.DataFrame({cols[0]: eu,
+                                **{cols[i + 1]: em[:, i]
+                                   for i in range(d)}})
+        else:
+            res = pd.DataFrame(columns=cols)
+        yield res
+
+    grp = F.pmod(F.xxhash64(F.col(key)), F.lit(key_groups))
+    return (df.withColumn("key_group", grp)
+              .groupBy("key_group")
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
 

@@ -1776,3 +1776,151 @@ def test_merge_into_numeric_commit_order(spark, tmp_path):
     got = {r["k"]: r["g"] for r in sinks.read_manifest(spark, out).collect()}
     # last writer per key wins: k=1 last updated at step 9, k=2 at 10, k=3 at 11, k=0 at 8
     assert got == {0: 8, 1: 9, 2: 10, 3: 11}
+
+
+# ---------------------------------------------------------------------------
+# Key-group machines (r12): each must emit EXACTLY its per-key twin's rows
+# on a multi-micro-batch replay — the cross-batch carry (per-user arrays in
+# group state) is the part the single-batch driver fixtures don't exercise.
+# ---------------------------------------------------------------------------
+
+_KG_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+])
+
+
+def _kg_stream(spark, tmp_path, tag, rows_per_batch):
+    """Write one CSV file per micro-batch (mtime-ordered) and return the
+    stream replaying them one file per trigger."""
+    import os
+    d = tmp_path / f"kg_{tag}"
+    d.mkdir()
+    for b, rows in enumerate(rows_per_batch):
+        (d / f"b{b}.csv").write_text(
+            "".join(f"{u},{ts},{eid},{et}\n" for u, ts, eid, et in rows))
+        os.utime(d / f"b{b}.csv", (1_700_000_000 + b, 1_700_000_000 + b))
+    return sources.file_csv_stream(spark, str(d), _KG_SCHEMA,
+                                   max_files_per_trigger=1, quoted=False)
+
+
+def _kg_events():
+    """Three micro-batches over 6 users: funnels that complete across
+    batches, repeated errors inside/outside the threshold, equal-ts
+    purchases, count windows spanning batches, and a trailing flush."""
+    base = 1_700_000_000_000
+    types = ["view", "click", "purchase", "error", "view", "click",
+             "error", "error", "purchase", "view", "purchase", "click"]
+    batches = [[], [], []]
+    eid = 0
+    for u in range(1, 7):
+        for k in range(12):
+            eid += 1
+            # users hit types in different rotations; ts strides differ
+            et = types[(k + u) % len(types)]
+            ts = base + k * 10_000 + u * 7  # in-order per user
+            batches[min(k // 4, 2)].append((u, ts, eid, et))
+    # flush sentinels for the count-window drain, one per user, last batch
+    for u in range(1, 7):
+        eid += 1
+        batches[2].append((u, base + 10_000_000, eid, "__flush__"))
+    return batches
+
+
+def _kg_collect(spark, df):
+    _, res = _mem(spark, df)
+    return sorted(tuple(r) for r in res.collect())
+
+
+def test_keygroup_machines_match_per_key_twins(spark, tmp_path):
+    batches = _kg_events()
+
+    def ev(tag):
+        return _kg_stream(spark, tmp_path, tag, batches)
+
+    def noflush(tag):
+        return _kg_stream(
+            spark, tmp_path, tag,
+            [[r for r in b if r[3] != "__flush__"] for b in batches])
+
+    # ST1 interval alerts
+    a = stateful.interval_alerts_stream(
+        noflush("s1a"), key="user_id", ts_ms="ts_ms",
+        event_col="event_type", match_value="error", threshold_ms=25_000,
+        order_by=["ts_ms", "event_id"])
+    b = stateful.interval_alerts_keygroup_stream(
+        noflush("s1b"), key="user_id", ts_ms="ts_ms",
+        event_col="event_type", match_value="error", threshold_ms=25_000,
+        key_groups=4, order_by=["ts_ms", "event_id"])
+    assert _kg_collect(spark, a) == _kg_collect(spark, b) != []
+
+    # count windows with flush drain
+    fa = noflush("cwa").withColumn("is_flush", F.lit(False))
+    fb = noflush("cwb").withColumn("is_flush", F.lit(False))
+    wa = stateful.count_windows_stream(
+        ev("cwa2").withColumn(
+            "is_flush", F.col("event_type") == "__flush__"),
+        size=5, key="user_id", ts_ms="ts_ms", id_col="event_id",
+        flush_col="is_flush")
+    wb = stateful.count_windows_keygroup_stream(
+        ev("cwb2").withColumn(
+            "is_flush", F.col("event_type") == "__flush__"),
+        size=5, key="user_id", ts_ms="ts_ms", id_col="event_id",
+        flush_col="is_flush", key_groups=4)
+    assert _kg_collect(spark, wa) == _kg_collect(spark, wb) != []
+    del fa, fb
+
+    # attribution
+    aa = stateful.attribution_stream(
+        noflush("ata"), key="user_id", ts_ms="ts_ms",
+        type_col="event_type", id_col="event_id", convert_on="purchase")
+    ab = stateful.attribution_keygroup_stream(
+        noflush("atb"), key="user_id", ts_ms="ts_ms",
+        type_col="event_type", id_col="event_id", convert_on="purchase",
+        key_groups=4)
+    assert _kg_collect(spark, aa) == _kg_collect(spark, ab) != []
+
+    # funnel
+    fna = stateful.funnel_stream(
+        noflush("fna"), ["view", "click", "purchase"], key="user_id",
+        ts_ms="ts_ms", type_col="event_type", id_col="event_id")
+    fnb = stateful.funnel_keygroup_stream(
+        noflush("fnb"), ["view", "click", "purchase"], key="user_id",
+        ts_ms="ts_ms", type_col="event_type", id_col="event_id",
+        key_groups=4)
+    assert _kg_collect(spark, fna) == _kg_collect(spark, fnb) != []
+
+    # CEP strict contiguity with a within bound
+    ca = stateful.sequence_match_stream(
+        noflush("cpa"), ["view", "click", "purchase"],
+        within_ms=50_000, key="user_id", ts_ms="ts_ms",
+        type_col="event_type", id_col="event_id")
+    cb = stateful.sequence_match_keygroup_stream(
+        noflush("cpb"), ["view", "click", "purchase"],
+        within_ms=50_000, key="user_id", ts_ms="ts_ms",
+        type_col="event_type", id_col="event_id", key_groups=4)
+    assert _kg_collect(spark, ca) == _kg_collect(spark, cb) != []
+
+
+def test_keygroup_asof_matches_per_key_twin(spark, tmp_path):
+    batches = _kg_events()
+    def split(tag):
+        ev = _kg_stream(spark, tmp_path, tag, batches)
+        left = (ev.filter(F.col("event_type") == "click")
+                  .select("user_id", "ts_ms", "event_id"))
+        right = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts_ms",
+                           F.col("event_id").cast("double").alias("px")))
+        return left, right
+    la, ra = split("asa")
+    lb, rb = split("asb")
+    a = stateful.asof_join_stream(la, ra, key="user_id", ts_ms="ts_ms",
+                                  value_col="px", left_cols=["event_id"])
+    b = stateful.asof_join_keygroup_stream(
+        lb, rb, key="user_id", ts_ms="ts_ms", value_col="px",
+        left_cols=["event_id"], key_groups=4)
+    ga = _kg_collect(spark, a)
+    gb = _kg_collect(spark, b)
+    assert ga == gb != []

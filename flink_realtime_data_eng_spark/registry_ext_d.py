@@ -1085,3 +1085,34 @@ def x_cep_keygroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_cep_keygroup_stream"] = x_cep_keygroup_stream
 STREAMING_DEMOS.add("x_cep_keygroup_stream")
 ORACLES["x_cep_keygroup_stream"] = ORACLES["x_cep_stream"]
+
+
+def x_dynsession_keygroup_stream(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization sharded by KEY GROUP (see
+    x_st1_keygroup_stream): the gaps-and-islands partition runs once over
+    every real row in the group with breaks forced at user-segment heads,
+    flush verdicts are one max per user. Corpus-sized session output
+    round-trips through parquet like the per-key form. Same oracle as
+    x_dynsession_stream / x_dynamic_sessions."""
+    from .registry_ops import (_EVENTS_CSV_SCHEMA, _run_to_parquet)
+    from .registry_ext_a import _events_csv_dir_flush_users
+    from .sources import file_csv_stream
+    from .streaming.stateful import dynamic_sessions_keygroup_stream
+    path = _events_csv_dir_flush_users(spark, sf_dir)
+    ev = file_csv_stream(spark, path, _EVENTS_CSV_SCHEMA, quoted=False)
+    gap = (F.when(F.col("event_type") == "__flush__",
+                  F.lit(None).cast("bigint"))
+            .when(F.col("event_type") == "click", F.lit(1_800_000))
+            .otherwise(F.lit(600_000)))
+    src = ev.select("user_id", "ts_ms", "event_id", gap.alias("gap"))
+    out = dynamic_sessions_keygroup_stream(src, key="user_id",
+                                           ts_ms="ts_ms", gap_col="gap",
+                                           id_col="event_id",
+                                           key_groups=1024)
+    return _run_to_parquet(out, spark)
+
+
+QUERIES["x_dynsession_keygroup_stream"] = x_dynsession_keygroup_stream
+STREAMING_DEMOS.add("x_dynsession_keygroup_stream")
+ORACLES["x_dynsession_keygroup_stream"] = ORACLES["x_dynsession_stream"]

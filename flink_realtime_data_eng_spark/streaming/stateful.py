@@ -1005,6 +1005,190 @@ def dynamic_sessions_stream(df: DataFrame, key: str = "user_id",
                                       GroupStateTimeout.NoTimeout))
 
 
+def dynamic_sessions_keygroup_stream(df: DataFrame, key: str = "user_id",
+                                     ts_ms: str = "ts_ms",
+                                     gap_col: str = "gap",
+                                     id_col: str = "event_id",
+                                     key_groups: int = 1024) -> DataFrame:
+    """:func:`dynamic_sessions_stream` sharded by KEY GROUP (see
+    :func:`interval_alerts_keygroup_stream`): the gaps-and-islands
+    partition runs over ALL real rows at once with breaks forced at
+    user-segment heads (where the carried session decides merge-or-emit),
+    and each user's flush verdict is one max over its null-gap rows.
+    Group state: per-user (user, start, last_ts, last_gap, n) arrays.
+    Same sessions and oracle as the per-key form; same gap >= 0 pin.
+    """
+    order = [ts_ms, id_col]
+    kfield = _field(df, key)
+    out_schema = T.StructType(
+        [kfield,
+         T.StructField("session_start_ms", T.LongType()),
+         T.StructField("n_events", T.LongType()),
+         T.StructField("last_ts_ms", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("start", T.ArrayType(T.LongType())),
+        T.StructField("last_ts", T.ArrayType(T.LongType())),
+        T.StructField("last_gap", T.ArrayType(T.LongType())),
+        T.StructField("n", T.ArrayType(T.LongType())),
+    ])
+    NEG = np.int64(-(1 << 62))
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            su, cst, clt, cgp, cn = (np.asarray(a, dtype="int64")
+                                     for a in state.get)
+        else:
+            su = cst = clt = cgp = cn = np.empty(0, dtype="int64")
+        out_u: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_l: list[np.ndarray] = []
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values([key] + order)
+            u_all = pdf[key].to_numpy(dtype="int64")
+            ts_all = pdf[ts_ms].to_numpy(dtype="int64")
+            gap_all = pd.to_numeric(pdf[gap_col], errors="coerce") \
+                .to_numpy(dtype="float64")
+            real = ~np.isnan(gap_all)
+            # working state aligned to this batch's users
+            heads_a = np.empty(u_all.size, dtype=bool)
+            heads_a[0] = True
+            np.not_equal(u_all[1:], u_all[:-1], out=heads_a[1:])
+            hidx_a = np.flatnonzero(heads_a)
+            bu = u_all[hidx_a]
+            seg_len_a = np.diff(np.append(hidx_a, u_all.size))
+            urow_a = np.repeat(np.arange(bu.size), seg_len_a)
+            pos = np.searchsorted(su, bu)
+            safe = np.clip(pos, 0, max(su.size - 1, 0))
+            known = ((pos < su.size) & (su[safe] == bu)) if su.size \
+                else np.zeros(bu.size, dtype=bool)
+            w_has = known.copy()
+            w_st = np.where(known, cst[safe] if su.size else 0, 0)
+            w_lt = np.where(known, clt[safe] if su.size else 0, NEG)
+            w_gp = np.where(known, cgp[safe] if su.size else 0, 0)
+            w_n = np.where(known, cn[safe] if su.size else 0, 0)
+            # per-user max flush timestamp (NEG = no flush)
+            fts = np.where(real, NEG, ts_all)
+            fmax = np.maximum.reduceat(fts, hidx_a) \
+                if hidx_a.size else np.empty(0, dtype="int64")
+            ri = np.flatnonzero(real)
+            if ri.size:
+                rts = ts_all[ri]
+                rgap = gap_all[ri].astype("int64")
+                if int(rgap.min()) < 0:
+                    raise ValueError("dynamic session gaps must be >= 0")
+                ru_row = urow_a[ri]
+                rh = np.empty(ri.size, dtype=bool)
+                rh[0] = True
+                np.not_equal(ru_row[1:], ru_row[:-1], out=rh[1:])
+                brk = np.empty(ri.size, dtype=bool)
+                brk[1:] = rts[1:] - rts[:-1] > rgap[:-1]
+                rhi = np.flatnonzero(rh)
+                hu = ru_row[rhi]
+                brk[rhi] = ~w_has[hu] | (rts[rhi] - w_lt[hu] > w_gp[hu])
+                # carried sessions that the first real row does NOT merge:
+                # emit them as-is
+                ce = w_has[hu] & brk[rhi]
+                if ce.any():
+                    cei = hu[ce]
+                    out_u.append(bu[cei])
+                    out_s.append(w_st[cei])
+                    out_n.append(w_n[cei])
+                    out_l.append(w_lt[cei])
+                heads = brk.copy()
+                heads[rhi] = True
+                s_idx = np.flatnonzero(heads)
+                e_idx = np.append(s_idx[1:] - 1, ri.size - 1)
+                i_u = ru_row[s_idx]
+                i_start = rts[s_idx].copy()
+                i_last = rts[e_idx]
+                i_gap = rgap[e_idx]
+                i_n = (e_idx - s_idx + 1).astype("int64")
+                merge = np.zeros(s_idx.size, dtype=bool)
+                # first island of a user merges the carried session when
+                # its head row did not break
+                first_isl = np.empty(s_idx.size, dtype=bool)
+                first_isl[0] = True
+                np.not_equal(i_u[1:], i_u[:-1], out=first_isl[1:])
+                fi = np.flatnonzero(first_isl)
+                merge[fi] = w_has[i_u[fi]] & ~brk[rhi][
+                    np.searchsorted(hu, i_u[fi])]
+                i_start[merge] = w_st[i_u[merge]]
+                i_n[merge] += w_n[i_u[merge]]
+                # last island per user: closed only by a late-enough flush
+                last_isl = np.empty(s_idx.size, dtype=bool)
+                last_isl[-1] = True
+                np.not_equal(i_u[1:], i_u[:-1], out=last_isl[:-1])
+                closed = np.ones(s_idx.size, dtype=bool)
+                li = np.flatnonzero(last_isl)
+                closed[li] = fmax[i_u[li]] - i_last[li] > i_gap[li]
+                if closed.any():
+                    ci = np.flatnonzero(closed)
+                    out_u.append(bu[i_u[ci]])
+                    out_s.append(i_start[ci])
+                    out_n.append(i_n[ci])
+                    out_l.append(i_last[ci])
+                # new per-user state: the unclosed final island
+                w_has[i_u[li]] = ~closed[li]
+                open_li = li[~closed[li]]
+                ou = i_u[open_li]
+                w_st[ou] = i_start[open_li]
+                w_lt[ou] = i_last[open_li]
+                w_gp[ou] = i_gap[open_li]
+                w_n[ou] = i_n[open_li]
+                # users whose batch rows were ALL real keep w_has as set;
+                # carried users absent from ru but flushed handled below
+                had_real = np.zeros(bu.size, dtype=bool)
+                had_real[np.unique(ru_row)] = True
+            else:
+                had_real = np.zeros(bu.size, dtype=bool)
+            # flush-only users: carried session closes if the flush is
+            # past its deadline
+            fo = np.flatnonzero(~had_real & w_has & (fmax != NEG)
+                                & (fmax - w_lt > w_gp))
+            if fo.size:
+                out_u.append(bu[fo])
+                out_s.append(w_st[fo])
+                out_n.append(w_n[fo])
+                out_l.append(w_lt[fo])
+                w_has[fo] = False
+            # merge back over the carry
+            keep = ~np.isin(su, bu)
+            live = np.flatnonzero(w_has)
+            mu = np.concatenate([su[keep], bu[live]])
+            o = np.argsort(mu, kind="stable")
+            su = mu[o]
+            cst = np.concatenate([cst[keep], w_st[live]])[o]
+            clt = np.concatenate([clt[keep], w_lt[live]])[o]
+            cgp = np.concatenate([cgp[keep], w_gp[live]])[o]
+            cn = np.concatenate([cn[keep], w_n[live]])[o]
+        if su.size:
+            state.update((su.tolist(), cst.tolist(), clt.tolist(),
+                          cgp.tolist(), cn.tolist()))
+        elif state.exists:
+            state.remove()
+        if out_u:
+            res = pd.DataFrame({
+                key: np.concatenate(out_u),
+                "session_start_ms": np.concatenate(out_s),
+                "n_events": np.concatenate(out_n),
+                "last_ts_ms": np.concatenate(out_l)})
+        else:
+            res = pd.DataFrame(columns=[key, "session_start_ms",
+                                        "n_events", "last_ts_ms"])
+        yield res
+
+    grp = F.pmod(F.xxhash64(F.col(key)), F.lit(key_groups))
+    return (df.withColumn("key_group", grp)
+              .groupBy("key_group")
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))
+
+
 def count_windows_stream(df: DataFrame, size: int, key: str = "user_id",
                          ts_ms: str = "ts_ms", id_col: str = "event_id",
                          flush_col: str | None = None) -> DataFrame:

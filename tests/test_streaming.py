@@ -1892,6 +1892,22 @@ def test_keygroup_machines_match_per_key_twins(spark, tmp_path):
         key_groups=4)
     assert _kg_collect(spark, fna) == _kg_collect(spark, fnb) != []
 
+    # dynamic sessions (null-gap flush markers close trailing sessions)
+    def gapped(tag):
+        gap = (F.when(F.col("event_type") == "__flush__",
+                      F.lit(None).cast("bigint"))
+                .when(F.col("event_type") == "click", F.lit(25_000))
+                .otherwise(F.lit(12_000)))
+        return ev(tag).select("user_id", "ts_ms", "event_id",
+                              gap.alias("gap"))
+    da = stateful.dynamic_sessions_stream(
+        gapped("dsa"), key="user_id", ts_ms="ts_ms", gap_col="gap",
+        id_col="event_id")
+    db = stateful.dynamic_sessions_keygroup_stream(
+        gapped("dsb"), key="user_id", ts_ms="ts_ms", gap_col="gap",
+        id_col="event_id", key_groups=4)
+    assert _kg_collect(spark, da) == _kg_collect(spark, db) != []
+
     # CEP strict contiguity with a within bound
     ca = stateful.sequence_match_stream(
         noflush("cpa"), ["view", "click", "purchase"],

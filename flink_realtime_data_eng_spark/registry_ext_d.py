@@ -1116,3 +1116,25 @@ def x_dynsession_keygroup_stream(spark: SparkSession,
 QUERIES["x_dynsession_keygroup_stream"] = x_dynsession_keygroup_stream
 STREAMING_DEMOS.add("x_dynsession_keygroup_stream")
 ORACLES["x_dynsession_keygroup_stream"] = ORACLES["x_dynsession_stream"]
+
+
+def x_st2_keygroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 (CourseUseCase.java:120-176) sharded by KEY GROUP (see
+    x_st1_keygroup_stream): the capstone action-duration machine with
+    per-user (last_action, last_ts) held as group arrays — the one-row
+    lookback runs across user segments, heads read the carried state.
+    Corpus-sized per-event output round-trips through parquet. Same
+    oracle as st2_stream."""
+    from .registry_ops import (_run_to_parquet, _stream_events)
+    from .streaming.stateful import action_durations_keygroup_stream
+    ev = _stream_events(spark, sf_dir)
+    out = action_durations_keygroup_stream(
+        ev, key="user_id", ts_ms="ts_ms", action_col="event_type",
+        session_start="signup", session_end="error", key_groups=1024,
+        order_by=["ts_ms", "event_id"])
+    return _run_to_parquet(out, spark)
+
+
+QUERIES["x_st2_keygroup_stream"] = x_st2_keygroup_stream
+STREAMING_DEMOS.add("x_st2_keygroup_stream")
+ORACLES["x_st2_keygroup_stream"] = ORACLES["st2_stream"]

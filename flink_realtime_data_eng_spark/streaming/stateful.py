@@ -257,6 +257,113 @@ def action_durations_stream(df: DataFrame, key: str = "user",
                                       GroupStateTimeout.NoTimeout))
 
 
+def action_durations_keygroup_stream(df: DataFrame, key: str = "user",
+                                     ts_ms: str = "ts_ms",
+                                     action_col: str = "action",
+                                     session_start: str | None = "Login",
+                                     session_end: str | None = "Logout",
+                                     key_groups: int = 1024,
+                                     order_by: Sequence[str] | None = None
+                                     ) -> DataFrame:
+    """ST2 (CourseUseCase.java:120-176) sharded by KEY GROUP (see
+    :func:`interval_alerts_keygroup_stream`): the one-row-lookback
+    shift+mask of the r11 vectorization runs across user-segment
+    boundaries — segment-head rows read the user's carried
+    (last_action, last_ts) via searchsorted instead of the shift. Group
+    state: per-user arrays; a user whose last event is ``session_end``
+    is dropped from them (the per-key form's state.remove()). Same rows
+    and oracle as :func:`action_durations_stream`."""
+    order = list(order_by) if order_by else [ts_ms]
+    kfield = _field(df, key)
+    out_schema = T.StructType(
+        [kfield] + [_field(df, c) for c in order]
+        + [T.StructField("prev_action", T.StringType()),
+           T.StructField("duration_ms", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("last_action", T.ArrayType(T.StringType())),
+        T.StructField("last_ts", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            su_l, sa_l, st_l = state.get
+            su = np.asarray(su_l, dtype="int64")
+            sact = np.asarray(sa_l, dtype=object)
+            sts = np.asarray(st_l, dtype="int64")
+        else:
+            su = sts = np.empty(0, dtype="int64")
+            sact = np.empty(0, dtype=object)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values([key] + order)
+            u = pdf[key].to_numpy(dtype="int64")
+            acts = pdf[action_col].to_numpy(dtype=object)
+            ts = pdf[ts_ms].to_numpy(dtype="int64")
+            n = u.size
+            heads = np.empty(n, dtype=bool)
+            heads[0] = True
+            np.not_equal(u[1:], u[:-1], out=heads[1:])
+            hidx = np.flatnonzero(heads)
+            seg_len = np.diff(np.append(hidx, n))
+            bu = u[hidx]
+            pos = np.searchsorted(su, bu)
+            safe = np.clip(pos, 0, max(su.size - 1, 0))
+            known = ((pos < su.size) & (su[safe] == bu)) if su.size \
+                else np.zeros(bu.size, dtype=bool)
+            pa = np.empty(n, dtype=object)
+            pa[1:] = acts[:-1]
+            pt = np.empty(n, dtype="int64")
+            pt[1:] = ts[:-1]
+            # segment heads read the carried per-user state
+            pa[hidx] = None
+            pt[hidx] = 0
+            if su.size:
+                ki = np.flatnonzero(known)
+                pa[hidx[ki]] = sact[safe[ki]]
+                pt[hidx[ki]] = sts[safe[ki]]
+            if session_end is not None and n > 1:
+                ends = np.flatnonzero(acts[:-1] == session_end) + 1
+                ends = ends[~heads[ends]]  # only within-segment lookback
+                pa[ends] = None
+                pt[ends] = 0
+            no_prev = np.asarray([a is None for a in pa], dtype=bool)
+            fresh = no_prev if session_start is None else \
+                no_prev | (acts == session_start)
+            res = pdf[[key] + order].copy()
+            res["prev_action"] = np.where(fresh, "None", pa)
+            res["duration_ms"] = np.where(fresh, 0, ts - pt)
+            # state: per-user last row, cleared after session_end
+            lidx = np.append(hidx[1:] - 1, n - 1)
+            la, lt2 = acts[lidx], ts[lidx]
+            live = np.ones(bu.size, dtype=bool) if session_end is None \
+                else la != session_end
+            keep = ~np.isin(su, bu)
+            lv = np.flatnonzero(live)
+            mu = np.concatenate([su[keep], bu[lv]])
+            o = np.argsort(mu, kind="stable")
+            su = mu[o]
+            sact = np.concatenate([sact[keep],
+                                   la[lv].astype(object)])[o]
+            sts = np.concatenate([sts[keep], lt2[lv]])[o]
+        else:
+            res = pd.DataFrame(columns=[key] + order
+                               + ["prev_action", "duration_ms"])
+        if su.size:
+            state.update((su.tolist(), sact.tolist(), sts.tolist()))
+        elif state.exists:
+            state.remove()
+        yield res
+
+    grp = F.pmod(F.xxhash64(F.col(key)), F.lit(key_groups))
+    return (df.withColumn("key_group", grp)
+              .groupBy("key_group")
+              .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                      GroupStateTimeout.NoTimeout))
+
+
 def asof_join_stream(left: DataFrame, right: DataFrame, key: str,
                      ts_ms: str, value_col: str,
                      left_cols: Sequence[str] = ()) -> DataFrame:

@@ -1892,6 +1892,18 @@ def test_keygroup_machines_match_per_key_twins(spark, tmp_path):
         key_groups=4)
     assert _kg_collect(spark, fna) == _kg_collect(spark, fnb) != []
 
+    # ST2 action durations (session_end clears cross-batch state)
+    sa = stateful.action_durations_stream(
+        noflush("st2a"), key="user_id", ts_ms="ts_ms",
+        action_col="event_type", session_start="view",
+        session_end="error", order_by=["ts_ms", "event_id"])
+    sb = stateful.action_durations_keygroup_stream(
+        noflush("st2b"), key="user_id", ts_ms="ts_ms",
+        action_col="event_type", session_start="view",
+        session_end="error", key_groups=4,
+        order_by=["ts_ms", "event_id"])
+    assert _kg_collect(spark, sa) == _kg_collect(spark, sb) != []
+
     # dynamic sessions (null-gap flush markers close trailing sessions)
     def gapped(tag):
         gap = (F.when(F.col("event_type") == "__flush__",

@@ -952,30 +952,40 @@ def zscore_alert_stream(df: DataFrame, key: str = "event_type",
            state: GroupState) -> Iterator[pd.DataFrame]:
         # Vectorized (r12, the ST2 pattern): the alert test reads only
         # the EXCLUSIVE prefix (n, S, Q) at each row — a shifted cumsum,
-        # no recurrence. Arithmetic stays on object-dtype arrays (Python
-        # ints, arbitrary precision) so the cross-multiplied comparison
-        # is bit-identical to the row loop it replaces: the cumsums fit
-        # int64 (documented n*x^2 < 2^63 bound) but (n*x - S)^2 need not.
+        # no recurrence. The prefixes and (n*x - S) fit int64 exactly
+        # (documented n*x^2 < 2^63 bound), so only the final squared
+        # comparison can overflow: it runs in float64 with a guaranteed
+        # error margin (rel error of the ~5-op chain is < 1e-15; the
+        # band uses 1e-12), and rows landing INSIDE the band — none, in
+        # practice — are re-decided exactly with Python ints. Result is
+        # bit-identical to the all-object form at ~int64 speed.
         n, s, q = state.get if state.exists else (0, 0, 0)
         chunks = [c for c in pdfs if len(c)]
         if chunks:
             pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
                 .sort_values(order)
-            x = pdf[value_col].to_numpy(dtype="int64").astype(object)
+            x = pdf[value_col].to_numpy(dtype="int64")
             m = x.size
             cs = np.concatenate(([s], np.cumsum(x)[:-1] + s))
             cq = np.concatenate(([q], np.cumsum(x * x)[:-1] + q))
-            cn = np.arange(m).astype(object) + n
-            alert = np.asarray(
-                (cn >= min_obs) & ((cn * x - cs) ** 2
-                                   > k2 * (cn * cq - cs * cs)),
-                dtype=bool)
+            cn = np.arange(m, dtype="int64") + n
+            lhs = (cn * x - cs).astype("float64") ** 2
+            rhs = float(k2) * (cn.astype("float64") * cq
+                               - cs.astype("float64") * cs)
+            band = 1e-12 * np.maximum(np.maximum(lhs, np.abs(rhs)), 1.0)
+            alert = (cn >= min_obs) & (lhs > rhs + band)
+            amb = np.flatnonzero((cn >= min_obs)
+                                 & (np.abs(lhs - rhs) <= band))
+            for i in amb:  # exact tiebreak, statistically empty
+                xi, ni, si, qi = (int(x[i]), int(cn[i]), int(cs[i]),
+                                  int(cq[i]))
+                alert[i] = (ni * xi - si) ** 2 > k2 * (ni * qi - si * si)
             res = pdf[order][alert].copy()
-            res["v"] = x[alert].astype("int64")
-            res["n_prev"] = cn[alert].astype("int64")
+            res["v"] = x[alert]
+            res["n_prev"] = cn[alert]
             n = int(cn[-1]) + 1
-            s = int(cs[-1] + x[-1])
-            q = int(cq[-1] + x[-1] * x[-1])
+            s = int(cs[-1]) + int(x[-1])
+            q = int(cq[-1]) + int(x[-1]) * int(x[-1])
         else:
             res = pd.DataFrame(columns=order + ["v", "n_prev"])
         state.update((n, s, q))

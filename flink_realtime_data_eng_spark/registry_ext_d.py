@@ -1138,3 +1138,71 @@ def x_st2_keygroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_st2_keygroup_stream"] = x_st2_keygroup_stream
 STREAMING_DEMOS.add("x_st2_keygroup_stream")
 ORACLES["x_st2_keygroup_stream"] = ORACLES["st2_stream"]
+
+
+def _skipping_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Manifest table for the data-skipping family: documents
+    (doc_id, source, n_chars) published RANGE-CLUSTERED on doc_id over 8
+    files with per-file [min, max] doc_id stats in the manifest
+    (sinks.publish_batch stats_cols) — the writer-side clustering that
+    makes file skipping effective, exactly as Iceberg/Delta tables sort
+    before writing. Built in scratch + atomic rename."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from . import sinks
+    from .registry_ops import _code_tag
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:skip_v1"
+        f":{_code_tag(sinks.publish_batch, sinks.read_manifest)}"
+        .encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"frde_skip_{tag}")
+    done = os.path.join(out, "_manifests", "batch-0.json")
+    if not os.path.exists(done):
+        tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
+        base = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"))
+        sinks.publish_batch(base.repartitionByRange(8, "doc_id"), tmp, 0,
+                            stats_cols=["doc_id"])
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.exists(done):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+    return out
+
+
+def x_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate file-skipping on manifest stats (r11 verdict
+    optional-breadth; the Iceberg/Delta data-skipping scan step): a
+    doc_id range predicate (30%..55% of max, derived identically by both
+    engines) plans the scan from the per-file [min, max] stats — files
+    provably outside the range are never opened (pruning verified by
+    tests/test_streaming.py::test_manifest_stats_skipping_and_expiry_carry)
+    — then the row-level filter lands on the surviving superset. Oracle
+    equality proves skipping lost nothing and kept nothing extra."""
+    from . import sinks
+    d = _skipping_table_dir(spark, sf_dir)
+    mx = _docs(spark, sf_dir).agg(
+        F.max("doc_id").alias("m")).collect()[0]["m"]  # 1-row bound
+    lo, hi = (mx * 3) // 10, (mx * 55) // 100
+    return (sinks.read_manifest(spark, d, prune=("doc_id", lo, hi))
+            .filter(F.col("doc_id").between(lo, hi))
+            .select("doc_id", "source", "n_chars"))
+
+
+QUERIES["x_manifest_skipping"] = x_manifest_skipping
+
+ORACLES["x_manifest_skipping"] = """
+WITH b AS (SELECT (max(doc_id) * 3) // 10 AS lo,
+                  (max(doc_id) * 55) // 100 AS hi FROM documents)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi
+"""

@@ -147,15 +147,24 @@ def manifest_file_sink(df: DataFrame, path: str, checkpoint: str,
 
 def publish_batch(batch_df: DataFrame, path: str, batch_id: int,
                   fmt: str = "parquet",
-                  removed: list[str] | None = None) -> None:
+                  removed: list[str] | None = None,
+                  stats_cols: list[str] | None = None) -> None:
     """One commit of the manifest protocol (the foreachBatch body of
     :func:`manifest_file_sink`, shared with :func:`merge_into`): write the
     batch to its staging dir, then atomically publish a manifest naming
     exactly its files — plus, for rewrite commits, the ``removed`` file
     list (the Delta/Iceberg remove-action tombstone) that un-publishes
-    files from EARLIER commits."""
+    files from EARLIER commits.
+
+    ``stats_cols`` records per-file [min, max] for the named columns in
+    the manifest (the Iceberg manifest-entry / Delta add-action stats),
+    computed in ONE distributed pass over the staged files — the basis
+    for :func:`read_manifest`'s predicate file-skipping. Stats only pay
+    off when the writer CLUSTERS the column (e.g. repartitionByRange
+    before publishing), exactly as in the production formats."""
     import json
     import os
+    from pyspark.sql import functions as F
     staging = os.path.join(path, "_staging", f"batch-{batch_id}")
     batch_df.write.mode("overwrite").format(fmt).save(staging)
     files = sorted(f for f in os.listdir(staging)
@@ -169,6 +178,18 @@ def publish_batch(batch_df: DataFrame, path: str, batch_id: int,
             "dir": os.path.relpath(staging, path), "files": files}
     if removed:
         meta["removed"] = sorted(removed)
+    if stats_cols:
+        spark = batch_df.sparkSession
+        rows = (spark.read.format(fmt).load(staging)
+                .groupBy(F.element_at(F.split(F.input_file_name(), "/"),
+                                      -1).alias("_f"))
+                .agg(*[a for c in stats_cols
+                       for a in (F.min(c).alias(f"_mn_{c}"),
+                                 F.max(c).alias(f"_mx_{c}"))])
+                .collect())  # |files|-bounded
+        meta["stats"] = {
+            r["_f"]: {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]]
+                      for c in stats_cols} for r in rows}
     tmp = os.path.join(mdir, f".batch-{batch_id}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -176,10 +197,19 @@ def publish_batch(batch_df: DataFrame, path: str, batch_id: int,
 
 
 def read_manifest(spark, path: str, fmt: str = "parquet",
-                  as_of_batch: int | None = None) -> DataFrame:
+                  as_of_batch: int | None = None,
+                  prune: tuple | None = None) -> DataFrame:
     """Read exactly the committed output of :func:`manifest_file_sink`:
     the union of files named by published manifests. Staging files without
     a manifest (in-flight or crashed batches) are invisible.
+
+    ``prune=(col, lo, hi)`` is DATA SKIPPING on the per-file stats
+    :func:`publish_batch` recorded: files whose [min, max] for ``col``
+    is disjoint from [lo, hi] are never opened (the Iceberg/Delta scan
+    planning step). Files without recorded stats are always read, so
+    pruning can only ever skip provably-irrelevant files — the returned
+    rows are a SUPERSET of the predicate match and the caller still
+    applies the row-level filter.
 
     ``as_of_batch`` is TIME TRAVEL on the commit log: read only batches
     with id <= N — the state a reader saw right after batch N published.
@@ -205,16 +235,23 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
 
     # numeric commit order — lexicographic glob order would apply
     # batch-10's tombstones before batch-2's additions
-    live: dict[str, None] = {}
+    live: dict[str, dict | None] = {}
     for meta in sorted(metas, key=lambda m: m["batch_id"]):
         if as_of_batch is not None and meta["batch_id"] > as_of_batch:
             continue
         for rm in meta.get("removed", []):
             live.pop(_abs(rm), None)
+        stats = meta.get("stats", {})
         for f in meta.get("files", []):
-            live[os.path.join(_abs(meta["dir"]), f)] = None
+            live[os.path.join(_abs(meta["dir"]), f)] = stats.get(f)
+        fp_stats = meta.get("file_stats", {})
         for p in meta.get("file_paths", []):  # expiry checkpoint manifest
-            live[_abs(p)] = None
+            live[_abs(p)] = fp_stats.get(p)
+    if prune is not None:
+        col, lo, hi = prune
+        live = {p: st for p, st in live.items()
+                if st is None or col not in st
+                or (st[col][0] <= hi and st[col][1] >= lo)}
     paths = list(live)
     if not paths:
         raise FileNotFoundError(
@@ -340,18 +377,24 @@ def expire_manifests(path: str, keep_last: int) -> dict:
                 "expired": [], "orphans_removed": 0}
     horizon = metas[-keep_last]["batch_id"]
     # net live set as-of the horizon, in table-relative paths (replaying
-    # the same ordered delta logic read_manifest applies)
-    live: dict[str, None] = {}
+    # the same ordered delta logic read_manifest applies); per-file
+    # stats ride along so data skipping survives compaction
+    live: dict[str, dict | None] = {}
     for meta in metas:
         if meta["batch_id"] > horizon:
             continue
         for rm in meta.get("removed", []):
             live.pop(rm, None)
+        stats = meta.get("stats", {})
         for f in meta.get("files", []):
-            live[os.path.join(meta["dir"], f)] = None
+            live[os.path.join(meta["dir"], f)] = stats.get(f)
+        fp_stats = meta.get("file_stats", {})
         for p in meta.get("file_paths", []):
-            live[p] = None
+            live[p] = fp_stats.get(p)
     ckpt = {"batch_id": horizon, "file_paths": sorted(live)}
+    fps = {p: st for p, st in live.items() if st is not None}
+    if fps:
+        ckpt["file_stats"] = fps
     tmp = os.path.join(mdir, f".batch-{horizon}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(ckpt, fh)

@@ -1763,6 +1763,50 @@ def test_expire_manifests_compacts_and_collects_orphans(spark, tmp_path):
         sinks.expire_manifests(out, keep_last=0)
 
 
+def test_manifest_stats_skipping_and_expiry_carry(spark, tmp_path):
+    """Per-file column stats in the manifest (Iceberg manifest-entry /
+    Delta add-action stats) + predicate file skipping in read_manifest:
+    range-clustered files prune, results stay exact, and the stats
+    survive expiry compaction into the checkpoint manifest."""
+    import json
+    import os
+    out = str(tmp_path / "sk")
+    t = spark.createDataFrame([(i, i * 2) for i in range(400)],
+                              "k long, v long")
+    sinks.publish_batch(t.repartitionByRange(4, "k"), out, 0,
+                        stats_cols=["k"])
+    with open(os.path.join(out, "_manifests", "batch-0.json")) as fh:
+        m0 = json.load(fh)
+    assert set(m0["stats"]) == set(m0["files"])
+    assert all(s["k"][0] <= s["k"][1] for s in m0["stats"].values())
+
+    full = sinks.read_manifest(spark, out)
+    n_files = full.select(F.input_file_name()).distinct().count()
+    pruned = sinks.read_manifest(spark, out, prune=("k", 10, 19))
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert n_pruned < n_files  # skipping actually skipped files
+    got = sorted(r["k"] for r in
+                 pruned.filter("k BETWEEN 10 AND 19").collect())
+    assert got == list(range(10, 20))  # superset + row filter = exact
+
+    # a second commit without stats, then expiry: checkpoint carries
+    # batch-0 stats, pruning keeps working, statless files never skip
+    sinks.publish_batch(spark.createDataFrame([(1000, 1)], "k long, v long"),
+                        out, 1)
+    sinks.expire_manifests(out, keep_last=1)
+    with open(os.path.join(out, "_manifests", "batch-1.json")) as fh:
+        ck = json.load(fh)
+    assert ck.get("file_stats")  # stats survived compaction
+    pruned2 = sinks.read_manifest(spark, out, prune=("k", 10, 19))
+    n2 = pruned2.select(F.input_file_name()).distinct().count()
+    assert n2 < n_files + 1
+    got2 = sorted(r["k"] for r in
+                  pruned2.filter("k BETWEEN 10 AND 19").collect())
+    assert got2 == list(range(10, 20))
+    # the statless batch-1 file is always read (prune range excludes it)
+    assert 1000 in {r["k"] for r in pruned2.collect()}
+
+
 def test_merge_into_numeric_commit_order(spark, tmp_path):
     """Stacked rewrites: a later MERGE tombstones files added by an
     earlier MERGE; numeric manifest ordering (batch-10 > batch-2) keeps

@@ -1206,3 +1206,79 @@ WITH b AS (SELECT (max(doc_id) * 3) // 10 AS lo,
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi
 """
+
+
+def _optimize_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Manifest table for the OPTIMIZE family: CREATE scattered over 12
+    hash-partitioned files (doc_id % 4 != 3), MERGE upsert
+    (doc_id % 6 == 0, n_chars + 2000), then sinks.optimize_table —
+    rewrite to 4 doc_id-range-clustered files with stats, tombstoning
+    every pre-optimize live file. Scratch + atomic rename."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from . import sinks
+    from .registry_ops import _code_tag
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:opt_v1"
+        f":{_code_tag(sinks.optimize_table, sinks.merge_into, sinks.publish_batch, sinks.read_manifest)}"
+        .encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"frde_opt_{tag}")
+    done = os.path.join(out, "_manifests", "batch-2.json")
+    if not os.path.exists(done):
+        tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
+        base = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"))
+        sinks.publish_batch(
+            base.filter(F.col("doc_id") % 4 != 3).repartition(12, "doc_id"),
+            tmp, 0)
+        upsert = (base.filter(F.col("doc_id") % 6 == 0)
+                  .select("doc_id", "source",
+                          (F.col("n_chars") + 2000).alias("n_chars")))
+        sinks.merge_into(spark, tmp, upsert, ["doc_id"],
+                         when_matched="update")
+        sinks.optimize_table(spark, tmp, cluster_by="doc_id",
+                             target_files=4, stats_cols=["doc_id"])
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.exists(done):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+    return out
+
+
+def x_manifest_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE / rewrite_data_files on the commit-manifest table
+    (sinks.optimize_table): the latest snapshot after compacting the
+    scattered post-MERGE table into 4 range-clustered, stats-carrying
+    files. The oracle recomputes the logical state relationally —
+    equality proves the rewrite was a physical-only change; compaction,
+    pruning-effectiveness and history preservation are pinned by
+    tests/test_streaming.py::test_optimize_table_compacts_clusters_and_preserves_history."""
+    from . import sinks
+    return (sinks.read_manifest(spark, _optimize_table_dir(spark, sf_dir))
+            .select("doc_id", "source", "n_chars"))
+
+
+QUERIES["x_manifest_optimize"] = x_manifest_optimize
+
+ORACLES["x_manifest_optimize"] = """
+WITH target AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 4 <> 3
+), src AS (
+  SELECT doc_id, source, CAST(n_chars + 2000 AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 6 = 0
+)
+SELECT doc_id, source, n_chars FROM src
+UNION ALL
+SELECT doc_id, source, n_chars FROM target
+WHERE doc_id NOT IN (SELECT doc_id FROM src)
+"""

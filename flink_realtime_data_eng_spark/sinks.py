@@ -331,6 +331,43 @@ def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
     return next_id
 
 
+def optimize_table(spark, path: str, cluster_by: str | None = None,
+                   target_files: int = 8, fmt: str = "parquet",
+                   stats_cols: list[str] | None = None) -> int:
+    """Delta ``OPTIMIZE [ZORDER BY]`` / Iceberg ``rewrite_data_files``
+    on the commit-manifest table: rewrite the live snapshot as
+    ``target_files`` files — range-clustered on ``cluster_by`` when
+    given, so :func:`read_manifest`'s stats pruning becomes effective on
+    a table whose writes weren't clustered — and commit the rewrite
+    tombstoning every previous live file. Logically a no-op (same rows
+    before and after, which is what the oracle checks); physically it
+    collapses small-file accumulation and restores clustering, the
+    maintenance job every streaming-ingested 100 TB table runs. Time
+    travel to pre-optimize batches still resolves the original files
+    (their manifests are untouched until :func:`expire_manifests`).
+    Single writer, like :func:`merge_into`. Returns the new batch_id.
+    """
+    import glob as _glob
+    import json
+    import os
+    from pyspark.sql import functions as F
+    snap = read_manifest(spark, path, fmt=fmt)
+    tagged = snap.withColumn(
+        "_file", F.regexp_replace(F.input_file_name(), "^file:(//)?", ""))
+    live = [r["_file"] for r in
+            tagged.select("_file").distinct().collect()]  # |files|-bounded
+    next_id = 0
+    for m in _glob.glob(os.path.join(path, "_manifests", "*.json")):
+        with open(m) as fh:
+            next_id = max(next_id, json.load(fh)["batch_id"] + 1)
+    rewritten = (snap.repartitionByRange(target_files, cluster_by)
+                 if cluster_by else snap.coalesce(target_files))
+    rel = [os.path.relpath(p, os.path.abspath(path)) for p in live]
+    publish_batch(rewritten, path, next_id, fmt=fmt, removed=rel,
+                  stats_cols=stats_cols)
+    return next_id
+
+
 def expire_manifests(path: str, keep_last: int) -> dict:
     """Snapshot expiry + orphan-file GC for the commit-manifest table —
     the retention side of the protocol (Iceberg ``expire_snapshots`` +

@@ -1763,6 +1763,47 @@ def test_expire_manifests_compacts_and_collects_orphans(spark, tmp_path):
         sinks.expire_manifests(out, keep_last=0)
 
 
+def test_optimize_table_compacts_clusters_and_preserves_history(
+        spark, tmp_path):
+    """OPTIMIZE: many hash-scattered files collapse to few range-
+    clustered ones with stats (pruning becomes effective), rows are
+    unchanged, and pre-optimize time travel still resolves."""
+    import os
+    out = str(tmp_path / "opt")
+    t = spark.createDataFrame([(i, i * 3) for i in range(300)],
+                              "k long, v long")
+    sinks.publish_batch(t.repartition(12, "k"), out, 0)  # no clustering
+    sinks.merge_into(spark, out, spark.createDataFrame(
+        [(7, 777)], "k long, v long"), ["k"])
+    before = {r["k"]: r["v"]
+              for r in sinks.read_manifest(spark, out).collect()}
+    n_before = (sinks.read_manifest(spark, out)
+                .select(F.input_file_name()).distinct().count())
+    bid = sinks.optimize_table(spark, out, cluster_by="k",
+                               target_files=3, stats_cols=["k"])
+    assert bid == 2
+    after_df = sinks.read_manifest(spark, out)
+    after = {r["k"]: r["v"] for r in after_df.collect()}
+    assert after == before  # logically a no-op
+    n_after = after_df.select(F.input_file_name()).distinct().count()
+    assert n_after <= 3 < n_before  # physically compacted
+    # clustering + stats make pruning effective now
+    pruned = sinks.read_manifest(spark, out, prune=("k", 0, 50))
+    assert (pruned.select(F.input_file_name()).distinct().count()
+            < n_after) or n_after == 1
+    # pre-optimize snapshots unaffected
+    pre = {r["k"]: r["v"]
+           for r in sinks.read_manifest(spark, out,
+                                        as_of_batch=1).collect()}
+    assert pre == before
+    # orphan GC after expiry removes the 12 scattered originals
+    stats = sinks.expire_manifests(out, keep_last=1)
+    assert stats["orphans_removed"] >= 12
+    assert {r["k"]: r["v"]
+            for r in sinks.read_manifest(spark, out).collect()} == before
+    del os
+
+
 def test_manifest_stats_skipping_and_expiry_carry(spark, tmp_path):
     """Per-file column stats in the manifest (Iceberg manifest-entry /
     Delta add-action stats) + predicate file skipping in read_manifest:

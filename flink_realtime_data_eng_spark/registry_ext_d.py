@@ -1282,3 +1282,74 @@ UNION ALL
 SELECT doc_id, source, n_chars FROM target
 WHERE doc_id NOT IN (SELECT doc_id FROM src)
 """
+
+
+def _zorder_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Manifest table for the ZORDER family: documents
+    (doc_id, source, n_chars) created hash-scattered, then
+    sinks.optimize_table(cluster_by=["doc_id", "n_chars"]) — min-max
+    16-bit bit-interleaved curve clustering with stats on BOTH columns.
+    Scratch + atomic rename."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from . import sinks
+    from .registry_ops import _code_tag
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:zorder_v1"
+        f":{_code_tag(sinks.optimize_table, sinks.publish_batch, sinks.read_manifest)}"
+        .encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"frde_zorder_{tag}")
+    done = os.path.join(out, "_manifests", "batch-1.json")
+    if not os.path.exists(done):
+        tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
+        base = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"))
+        sinks.publish_batch(base.repartition(12, "doc_id"), tmp, 0)
+        sinks.optimize_table(spark, tmp,
+                             cluster_by=["doc_id", "n_chars"],
+                             target_files=8,
+                             stats_cols=["doc_id", "n_chars"])
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.exists(done):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+    return out
+
+
+def x_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (doc_id, n_chars) on the commit-manifest table
+    (sinks.optimize_table multi-column form): the scan prunes on the
+    SECONDARY curve column — an n_chars range predicate (20%..40% of
+    max, derived identically by both engines) plans from the per-file
+    stats the interleaved clustering kept tight on both columns, which
+    linear clustering cannot do for the trailing column
+    (tests/test_streaming.py::test_optimize_zorder_prunes_on_both_columns
+    pins the pruning). Oracle equality proves skipping + rewrite lost
+    nothing."""
+    from . import sinks
+    d = _zorder_table_dir(spark, sf_dir)
+    mx = _docs(spark, sf_dir).agg(
+        F.max("n_chars").alias("m")).collect()[0]["m"]  # 1-row bound
+    lo, hi = (int(mx) * 2) // 10, (int(mx) * 4) // 10
+    return (sinks.read_manifest(spark, d, prune=("n_chars", lo, hi))
+            .filter(F.col("n_chars").between(lo, hi))
+            .select("doc_id", "source", "n_chars"))
+
+
+QUERIES["x_manifest_zorder"] = x_manifest_zorder
+
+ORACLES["x_manifest_zorder"] = """
+WITH b AS (SELECT (max(n_chars) * 2) // 10 AS lo,
+                  (max(n_chars) * 4) // 10 AS hi FROM documents)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents, b WHERE n_chars BETWEEN b.lo AND b.hi
+"""

@@ -331,21 +331,28 @@ def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
     return next_id
 
 
-def optimize_table(spark, path: str, cluster_by: str | None = None,
+def optimize_table(spark, path: str, cluster_by=None,
                    target_files: int = 8, fmt: str = "parquet",
                    stats_cols: list[str] | None = None) -> int:
     """Delta ``OPTIMIZE [ZORDER BY]`` / Iceberg ``rewrite_data_files``
     on the commit-manifest table: rewrite the live snapshot as
-    ``target_files`` files — range-clustered on ``cluster_by`` when
-    given, so :func:`read_manifest`'s stats pruning becomes effective on
-    a table whose writes weren't clustered — and commit the rewrite
-    tombstoning every previous live file. Logically a no-op (same rows
-    before and after, which is what the oracle checks); physically it
-    collapses small-file accumulation and restores clustering, the
-    maintenance job every streaming-ingested 100 TB table runs. Time
-    travel to pre-optimize batches still resolves the original files
-    (their manifests are untouched until :func:`expire_manifests`).
-    Single writer, like :func:`merge_into`. Returns the new batch_id.
+    ``target_files`` files — clustered when ``cluster_by`` is given, so
+    :func:`read_manifest`'s stats pruning becomes effective on a table
+    whose writes weren't clustered — and commit the rewrite tombstoning
+    every previous live file. Logically a no-op (same rows before and
+    after, which is what the oracle checks); physically it collapses
+    small-file accumulation and restores clustering, the maintenance job
+    every streaming-ingested 100 TB table runs. Time travel to
+    pre-optimize batches still resolves the original files (their
+    manifests are untouched until :func:`expire_manifests`).
+
+    ``cluster_by``: a single column name range-clusters linearly; a LIST
+    of integral columns Z-ORDERS — each column min-max-normalized to 16
+    bits (bounds from one 1-row aggregate) and bit-interleaved into a
+    single curve key, so a file's [min, max] stays tight on EVERY listed
+    column and pruning works on any of them, not just the sort leader —
+    the actual reason ZORDER exists. Single writer, like
+    :func:`merge_into`. Returns the new batch_id.
     """
     import glob as _glob
     import json
@@ -360,8 +367,30 @@ def optimize_table(spark, path: str, cluster_by: str | None = None,
     for m in _glob.glob(os.path.join(path, "_manifests", "*.json")):
         with open(m) as fh:
             next_id = max(next_id, json.load(fh)["batch_id"] + 1)
-    rewritten = (snap.repartitionByRange(target_files, cluster_by)
-                 if cluster_by else snap.coalesce(target_files))
+    if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
+        k = len(cluster_by)
+        bounds = snap.agg(*[a for c in cluster_by
+                            for a in (F.min(c).alias(f"_mn_{c}"),
+                                      F.max(c).alias(f"_mx_{c}"))]
+                          ).collect()[0]  # 1 row
+        z = F.lit(0).cast("long")
+        for idx, c in enumerate(cluster_by):
+            mn, mx = int(bounds[f"_mn_{c}"]), int(bounds[f"_mx_{c}"])
+            span = max(mx - mn, 1)
+            norm = ((F.col(c).cast("long") - F.lit(mn))
+                    * F.lit(65535) / F.lit(span)).cast("long")
+            for b in range(16):
+                z = z.bitwiseOR(F.shiftleft(
+                    F.shiftright(norm, b).bitwiseAND(F.lit(1)),
+                    b * k + idx))
+        rewritten = (snap.withColumn("_z", z)
+                     .repartitionByRange(target_files, "_z").drop("_z"))
+    elif cluster_by:
+        col = cluster_by[0] if isinstance(cluster_by, (list, tuple)) \
+            else cluster_by
+        rewritten = snap.repartitionByRange(target_files, col)
+    else:
+        rewritten = snap.coalesce(target_files)
     rel = [os.path.relpath(p, os.path.abspath(path)) for p in live]
     publish_batch(rewritten, path, next_id, fmt=fmt, removed=rel,
                   stats_cols=stats_cols)

@@ -1804,6 +1804,29 @@ def test_optimize_table_compacts_clusters_and_preserves_history(
     del os
 
 
+def test_optimize_zorder_prunes_on_both_columns(spark, tmp_path):
+    """ZORDER: after interleaved clustering on two DECORRELATED columns,
+    stats pruning skips files for a narrow range on EITHER column — the
+    property linear clustering cannot give the trailing column."""
+    out = str(tmp_path / "zo")
+    t = spark.createDataFrame([(i, (i * 37) % 256) for i in range(1024)],
+                              "k long, v long")
+    sinks.publish_batch(t.repartition(8, "k"), out, 0)
+    sinks.optimize_table(spark, out, cluster_by=["k", "v"],
+                         target_files=8, stats_cols=["k", "v"])
+    full = sinks.read_manifest(spark, out)
+    n = full.select(F.input_file_name()).distinct().count()
+    for col, lo, hi in (("k", 0, 127), ("v", 0, 31)):
+        pr = sinks.read_manifest(spark, out, prune=(col, lo, hi))
+        npr = pr.select(F.input_file_name()).distinct().count()
+        assert npr < n, f"zorder pruning ineffective on {col}"
+        got = sorted(r[col] for r in
+                     pr.filter(f"{col} BETWEEN {lo} AND {hi}").collect())
+        want = sorted(r[col] for r in
+                      full.filter(f"{col} BETWEEN {lo} AND {hi}").collect())
+        assert got == want  # pruning lost nothing
+
+
 def test_manifest_stats_skipping_and_expiry_carry(spark, tmp_path):
     """Per-file column stats in the manifest (Iceberg manifest-entry /
     Delta add-action stats) + predicate file skipping in read_manifest:

@@ -247,17 +247,27 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
         fp_stats = meta.get("file_stats", {})
         for p in meta.get("file_paths", []):  # expiry checkpoint manifest
             live[_abs(p)] = fp_stats.get(p)
-    if prune is not None:
-        col, lo, hi = prune
-        live = {p: st for p, st in live.items()
-                if st is None or col not in st
-                or (st[col][0] <= hi and st[col][1] >= lo)}
-    paths = list(live)
-    if not paths:
+    if not live:
         raise FileNotFoundError(
             f"no committed manifests under {path}"
             + (f" with batch_id <= {as_of_batch}"
                if as_of_batch is not None else ""))
+    any_live = next(iter(live))
+    if prune is not None:
+        col, lo, hi = prune
+        # null min/max = column all-NULL in that file → no usable stats,
+        # always read it (skipping may only drop provably-disjoint files)
+        live = {p: st for p, st in live.items()
+                if st is None or col not in st
+                or st[col][0] is None or st[col][1] is None
+                or (st[col][0] <= hi and st[col][1] >= lo)}
+    paths = list(live)
+    if not paths:
+        # valid range query whose predicate skips every live file: a
+        # 0-row result, not an error — recover the table schema from
+        # one live (pre-prune) file so downstream plans still resolve
+        schema = spark.read.format(fmt).load(any_live).schema
+        return spark.createDataFrame([], schema)
     return spark.read.format(fmt).load(paths)
 
 
@@ -369,6 +379,13 @@ def optimize_table(spark, path: str, cluster_by=None,
             next_id = max(next_id, json.load(fh)["batch_id"] + 1)
     if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
         k = len(cluster_by)
+        if k > 4:
+            # 16 bits/col interleaved: positions reach 16*k-1, and past 63
+            # Java's shift masking would silently wrap them into low bits,
+            # corrupting the curve key (pruning quality degrades silently)
+            raise ValueError(
+                f"ZORDER supports at most 4 cluster columns (16 bits each "
+                f"in a 64-bit curve key); got {k}: {list(cluster_by)}")
         bounds = snap.agg(*[a for c in cluster_by
                             for a in (F.min(c).alias(f"_mn_{c}"),
                                       F.max(c).alias(f"_mx_{c}"))]

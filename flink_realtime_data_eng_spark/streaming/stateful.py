@@ -763,9 +763,21 @@ def sequence_match_keygroup_stream(df: DataFrame, steps: Sequence[str],
     — with an extra same-user guard so windows never cross a segment
     boundary, and the new-row flag reproducing the only-end-at-new-rows
     rule. Group state: per-user buffer arrays. Same rows and oracle as
-    the per-key form."""
+    the per-key form.
+
+    Both ``key`` and ``id_col`` must be INTEGRAL columns (hash/encode
+    externally for strings): the group-state buffer stores them as
+    int64 arrays and the vectorized splice sorts them numerically."""
     if len(steps) < 2:
         raise ValueError("steps must have at least 2 entries")
+    for c, what in ((key, "key"), (id_col, "id_col")):
+        if not isinstance(_field(df, c).dataType,
+                          (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            raise ValueError(
+                f"sequence_match_keygroup_stream requires an integral "
+                f"{what} column; {c!r} is {_field(df, c).dataType} — "
+                f"hash/encode it to int64 upstream")
     depth = len(steps) - 1
     kfield = _field(df, key)
     out_schema = T.StructType(

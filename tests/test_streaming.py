@@ -2060,3 +2060,63 @@ def test_keygroup_asof_matches_per_key_twin(spark, tmp_path):
     ga = _kg_collect(spark, a)
     gb = _kg_collect(spark, b)
     assert ga == gb != []
+
+
+def test_read_manifest_prune_to_empty_returns_empty_with_schema(
+        spark, tmp_path):
+    """r12 ADVICE: a range predicate that skips EVERY live file is a
+    valid 0-row query, not an error — and the empty result must still
+    carry the table schema so downstream plans resolve."""
+    out = str(tmp_path / "pe")
+    t = spark.createDataFrame([(i, i * 2) for i in range(100)],
+                              "k long, v long")
+    sinks.publish_batch(t.repartitionByRange(4, "k"), out, 0,
+                        stats_cols=["k"])
+    empty = sinks.read_manifest(spark, out, prune=("k", 5000, 6000))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
+    # no manifests at all is still the loud protocol error
+    with pytest.raises(FileNotFoundError):
+        sinks.read_manifest(spark, str(tmp_path / "nothing"))
+
+
+def test_read_manifest_null_stats_never_skip(spark, tmp_path):
+    """r12 ADVICE: a file whose stats column is all-NULL records
+    [null, null] min/max — that is 'no stats', so the file must always
+    be read (skipping may only drop provably-disjoint files), not crash
+    the prune comparison."""
+    out = str(tmp_path / "ns")
+    t = spark.createDataFrame(
+        [(None, 1), (None, 2)], "k long, v long").coalesce(1)
+    sinks.publish_batch(t, out, 0, stats_cols=["k"])
+    sinks.publish_batch(
+        spark.createDataFrame([(10, 3)], "k long, v long"), out, 1,
+        stats_cols=["k"])
+    got = sinks.read_manifest(spark, out, prune=("k", 0, 100))
+    assert got.count() == 3  # null-stats file read, not skipped/crashed
+
+
+def test_optimize_zorder_rejects_more_than_four_columns(spark, tmp_path):
+    """r12 ADVICE: >4 ZORDER columns would push interleave positions
+    past bit 63 where Java shift masking silently wraps them — reject
+    loudly instead of silently degrading the curve."""
+    out = str(tmp_path / "z5")
+    t = spark.createDataFrame([(i, i, i, i, i) for i in range(10)],
+                              "a long, b long, c long, d long, e long")
+    sinks.publish_batch(t, out, 0)
+    with pytest.raises(ValueError, match="at most 4"):
+        sinks.optimize_table(spark, out,
+                             cluster_by=["a", "b", "c", "d", "e"])
+
+
+def test_sequence_match_keygroup_rejects_non_integral_id(spark):
+    """r12 ADVICE: the key-group CEP machine stores ids in int64 state
+    arrays — a string id must fail at build time with a clear message,
+    not at runtime inside the UDF."""
+    df = (spark.readStream.format("rate").load()
+          .selectExpr("value AS user_id", "CAST(value AS string) AS event_id",
+                      "'view' AS event_type",
+                      "value * 1000 AS ts_ms"))
+    with pytest.raises(ValueError, match="integral id_col"):
+        stateful.sequence_match_keygroup_stream(
+            df, ["view", "click"], key="user_id", id_col="event_id")

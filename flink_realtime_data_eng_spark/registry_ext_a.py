@@ -1363,21 +1363,31 @@ FROM fact f JOIN dim d
 def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocab coverage: with a top-20 frequency vocabulary, what
     fraction of each source's token stream is out-of-vocabulary — the
-    OOV-rate check run before freezing any tokenizer. Vocab is a
-    |V|-bounded aggregate that broadcasts into a map-side anti probe of
-    the token stream; per-source totals ride the same explode."""
+    OOV-rate check run before freezing any tokenizer.
+
+    SINGLE corpus scan (r12 VERDICT fix): the tokenize+explode is
+    aggregated ONCE to the cardinality-bounded ``(source, tok) → n``
+    frame, materialized with the repo's shared-intermediate pattern
+    (``localCheckpoint(eager=True)``, as in functions/dedup.py); the
+    top-20 vocab, per-source token totals, and OOV counts all derive
+    from that materialized frame, so the documents scan + tokenization
+    runs exactly once (pinned by test_plan_lint) vs 3× in the pre-r13
+    three-branch form. Exchange reuse alone can't dedupe the branches:
+    Catalyst pushes the anti join below one branch's aggregate and
+    infers a not-null filter, de-canonicalizing the exchanges. Vocab
+    selection via orderBy().limit() — TakeOrderedAndProject, a
+    per-partition heap of 20, never a single-partition rank window."""
     d = _docs(spark, sf_dir)
-    toks = d.select("source", F.explode(text.tokens("text")).alias("tok"))
-    # Vocab selection via orderBy().limit() — TakeOrderedAndProject, not a
-    # single-partition global-rank window (the 100 TB vocab is millions of
-    # rows; a per-partition heap of 20 is free).
-    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    st = (d.select("source", F.explode(text.tokens("text")).alias("tok"))
+          .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+          .localCheckpoint(eager=True))
+    vocab = (st.groupBy("tok").agg(F.sum("n").alias("n"))
              .orderBy(F.col("n").desc(), F.col("tok")).limit(20)
              .select("tok"))
-    per_src = toks.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_tokens"))
-    oov = (toks.join(vocab, "tok", "left_anti")
-           .groupBy("source").agg(F.count(F.lit(1)).alias("n_oov")))
+    per_src = st.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"))
+    oov = (st.join(vocab, "tok", "left_anti")
+           .groupBy("source").agg(F.sum("n").alias("n_oov")))
     return (per_src.join(oov, "source", "left")
             .select("source",
                     F.col("n_tokens").cast("bigint").alias("n_tokens"),

@@ -276,3 +276,15 @@ def test_no_registered_query_uses_driver_collect_sink():
     assert not offenders, (
         f"registered queries routed through the debug-only driver-"
         f"collect log_sink: {offenders}")
+
+
+def test_vocab_coverage_single_corpus_scan(plans):
+    """r12 VERDICT fix pin: x_vocab_coverage tokenizes the corpus ONCE —
+    the (source, tok) → n aggregate is materialized (localCheckpoint)
+    and all three consumers (vocab top-20, per-source totals, OOV
+    anti-probe) read the materialized frame. The returned plan must
+    contain NO parquet scan of documents (it happened once, eagerly,
+    at build time) and exactly 3 reads of the checkpointed RDD."""
+    plan = plans["x_vocab_coverage"]
+    assert "documents.parquet" not in plan, plan[:800]
+    assert plan.count("Scan ExistingRDD") == 3, plan[:800]

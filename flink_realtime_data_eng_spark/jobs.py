@@ -122,26 +122,35 @@ def event_time_operations(spark: SparkSession, in_dir: str,
 
 
 def stateful_operations(spark: SparkSession, in_dir: str,
-                        threshold_ms: int = 10_000):
+                        threshold_ms: int = 10_000,
+                        expected_keys: int | None = None):
     """chapter5/StatefulOperations.java:56-126: per-user ValueState delete-
     interval alerts; sentinel rows are never emitted (the reference's P4
-    filter is subsumed by the state machine)."""
+    filter is subsumed by the state machine). ``expected_keys`` routes to
+    the key-group production twin at high key cardinality
+    (stateful.keyed_stateful; integral keys only — the reference's
+    string-keyed audit stream always takes the per-key parity form)."""
     ev = sources.file_csv_stream(spark, in_dir, AUDIT_TRAIL)
-    alerts = stateful.interval_alerts_stream(
-        ev, key="user", ts_ms="timestamp", event_col="operation",
+    alerts = stateful.keyed_stateful(
+        "interval_alerts_stream", ev, expected_keys=expected_keys,
+        key="user", ts_ms="timestamp", event_col="operation",
         match_value="Delete", threshold_ms=threshold_ms)
     return sinks.console_sink(alerts)
 
 
-def course_use_case(spark: SparkSession, in_dir: str):
+def course_use_case(spark: SparkSession, in_dir: str,
+                    expected_keys: int | None = None):
     """chapter6/CourseUseCase.java:56-186: browser clickstream → (a) per
     (user, action) 10 s tumbling counts, (b) the action-duration session
-    machine. Returns (counts_df, durations_df)."""
+    machine. Returns (counts_df, durations_df). ``expected_keys`` routes
+    (b) to its key-group twin at high key cardinality
+    (stateful.keyed_stateful)."""
     ev = sources.file_csv_stream(spark, in_dir, BROWSER_EVENT)
     ts = ev.withColumn("ts", F.timestamp_millis(F.col("timestamp")))
     counts = pipelines.tumbling_counts(ts, "ts", "10 seconds",
                                        keys=["user", "action"])
-    durations = stateful.action_durations_stream(
-        ev, key="user", ts_ms="timestamp", action_col="action",
+    durations = stateful.keyed_stateful(
+        "action_durations_stream", ev, expected_keys=expected_keys,
+        key="user", ts_ms="timestamp", action_col="action",
         session_start="Login", session_end="Logout")
     return counts, durations

@@ -2118,3 +2118,72 @@ def cooldown_throttle_stream(df: DataFrame, key: str, id_col: str,
     return (df.groupBy(key)
               .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                       GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Cardinality-based routing between a machine's per-key parity form and its
+# key-group production twin (r12 VERDICT item 5).
+
+#: Distinct-key cardinality above which the per-key forms' engine
+#: invocation floor (~0.2-0.4 ms per distinct key per micro-batch, the
+#: r12 profile in tools/profile_cep.py) dominates end-to-end time and the
+#: key-group twins (exponents 0.23-0.36 vs 0.75-0.80 at 100x, SCALE.md)
+#: are the right physical plan. Below it the per-key forms are simpler
+#: and just as fast.
+STATE_KEYGROUP_THRESHOLD = 10_000
+
+#: per-key parity form → key-group production twin (same rows, same
+#: oracles; twin equality pytest-pinned in tests/test_streaming.py).
+#: dynamic_sessions_timeout_stream is deliberately absent: its
+#: engine-timer drain semantics have no key-group form (SCALE.md
+#: retired-by-design); its production path is dynamic_sessions via this
+#: selector.
+KEYGROUP_TWINS = {
+    "interval_alerts_stream": "interval_alerts_keygroup_stream",
+    "action_durations_stream": "action_durations_keygroup_stream",
+    "asof_join_stream": "asof_join_keygroup_stream",
+    "sequence_match_stream": "sequence_match_keygroup_stream",
+    "dynamic_sessions_stream": "dynamic_sessions_keygroup_stream",
+    "count_windows_stream": "count_windows_keygroup_stream",
+    "funnel_stream": "funnel_keygroup_stream",
+    "attribution_stream": "attribution_keygroup_stream",
+}
+
+
+def keyed_stateful(form, *args, expected_keys: int | None = None,
+                   key_groups: int = 1024, **kwargs) -> DataFrame:
+    """User-facing entry for every keyed state machine: route to the
+    key-group production twin when the EXPECTED DISTINCT-KEY CARDINALITY
+    crosses :data:`STATE_KEYGROUP_THRESHOLD` (Flink's own keyed-state
+    layout — keys hash into fixed key groups, so the engine's per-group
+    cost is paid ``key_groups`` times per micro-batch, not once per
+    distinct key), else keep the simpler per-key parity form.
+
+    ``form`` is the per-key function (e.g.
+    :func:`interval_alerts_stream`) or its name; ``expected_keys`` is
+    the caller's cardinality estimate — a planning input, like a table
+    statistic, because a streaming query cannot count its own future
+    keys. Routing additionally requires an INTEGRAL key column (the
+    key-group twins store keys in int64 state arrays; hash/encode
+    string keys upstream to opt in). Both forms emit identical rows
+    (twin equality is pytest-pinned), so routing never changes results
+    — only the physical plan."""
+    import inspect
+    fname = form if isinstance(form, str) else form.__name__
+    if fname not in KEYGROUP_TWINS:
+        raise ValueError(
+            f"no key-group twin registered for {fname!r}; "
+            f"known forms: {sorted(KEYGROUP_TWINS)}")
+    per_key = globals()[fname]
+    key = kwargs.get("key")
+    if key is None:
+        key = inspect.signature(per_key).parameters["key"].default
+    df = args[0]
+    integral = isinstance(
+        _field(df, key).dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    if (expected_keys is not None
+            and expected_keys >= STATE_KEYGROUP_THRESHOLD and integral):
+        twin = globals()[KEYGROUP_TWINS[fname]]
+        return twin(*args, key_groups=key_groups, **kwargs)
+    return per_key(*args, **kwargs)

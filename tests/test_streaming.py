@@ -2169,3 +2169,42 @@ def test_manifest_log_checkpoint_bounds_read_planning(spark, tmp_path):
     assert sinks.read_manifest(spark, out).count() == n
     assert (sinks.read_manifest(spark, out, as_of_batch=85).count()
             == 86)
+
+
+def test_keyed_stateful_selector_routes_by_cardinality(spark):
+    """r12 VERDICT item 5: above STATE_KEYGROUP_THRESHOLD expected keys
+    the user-facing entry must pick the key-group twin (plan groups by
+    xxhash64(key) % G); below it, or on a non-integral key at any
+    cardinality, the per-key parity form."""
+    hi = stateful.STATE_KEYGROUP_THRESHOLD
+    intdf = (spark.readStream.format("rate").load()
+             .selectExpr("value AS user_id", "value AS event_id",
+                         "'click' AS event_type", "value * 1000 AS ts_ms"))
+
+    def plan_of(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    routed = stateful.keyed_stateful(
+        "sequence_match_stream", intdf, ["click", "click"],
+        key="user_id", expected_keys=hi * 15)
+    assert "xxhash64" in plan_of(routed)
+    parity = stateful.keyed_stateful(
+        "sequence_match_stream", intdf, ["click", "click"],
+        key="user_id", expected_keys=hi - 1)
+    assert "xxhash64" not in plan_of(parity)
+    # unknown cardinality → conservative per-key form
+    unknown = stateful.keyed_stateful(
+        stateful.interval_alerts_stream, intdf, key="user_id",
+        ts_ms="ts_ms", event_col="event_type", match_value="click")
+    assert "xxhash64" not in plan_of(unknown)
+    # string key cannot take the int64-state key-group path even at
+    # high cardinality
+    strdf = intdf.selectExpr("CAST(user_id AS string) AS user_id",
+                             "event_id", "event_type", "ts_ms")
+    sk = stateful.keyed_stateful(
+        stateful.interval_alerts_stream, strdf, key="user_id",
+        ts_ms="ts_ms", event_col="event_type", match_value="click",
+        expected_keys=hi * 15)
+    assert "xxhash64" not in plan_of(sk)
+    with pytest.raises(ValueError, match="no key-group twin"):
+        stateful.keyed_stateful("zscore_alert_stream", intdf)

@@ -149,7 +149,10 @@ def publish_batch(batch_df: DataFrame, path: str, batch_id: int,
                   fmt: str = "parquet",
                   removed: list[str] | None = None,
                   stats_cols: list[str] | None = None,
-                  checkpoint_every: int | None = 10) -> None:
+                  checkpoint_every: int | None = 10,
+                  bloom_cols: list[str] | None = None,
+                  bloom_bits: int = 8192,
+                  bloom_hashes: int = 4) -> None:
     """One commit of the manifest protocol (the foreachBatch body of
     :func:`manifest_file_sink`, shared with :func:`merge_into`): write the
     batch to its staging dir, then atomically publish a manifest naming
@@ -167,7 +170,20 @@ def publish_batch(batch_df: DataFrame, path: str, batch_id: int,
     Every ``checkpoint_every`` commits (Delta's every-10 default) a log
     checkpoint rides the publish (:func:`write_checkpoint`), keeping
     reader scan planning O(1 + tail) on long-lived tables; ``None``
-    disables."""
+    disables.
+
+    ``bloom_cols`` records a per-file BLOOM FILTER for the named columns
+    (r12 VERDICT optional-breadth: the point-lookup complement to
+    min/max stats — Parquet's bloom_filter_enabled / Iceberg's
+    manifest-level blooms): ``bloom_hashes`` positions per value via
+    ``xxhash64(col, seed) mod bloom_bits``, OR-folded into one
+    ``bloom_bits``-bit bitmap per (file, column), stored hex in the
+    manifest beside the stats. :func:`read_manifest`'s ``prune_eq``
+    tests membership before opening any file — the case min/max can't
+    help: a high-cardinality key hash-scattered across files, where
+    every file's [min, max] spans the whole domain. Positions ride the
+    SAME single distributed stats pass; false positives only ever read
+    an extra file (superset semantics, like stats)."""
     import json
     import os
     from pyspark.sql import functions as F
@@ -184,18 +200,39 @@ def publish_batch(batch_df: DataFrame, path: str, batch_id: int,
             "dir": os.path.relpath(staging, path), "files": files}
     if removed:
         meta["removed"] = sorted(removed)
-    if stats_cols:
+    if stats_cols or bloom_cols:
         spark = batch_df.sparkSession
-        rows = (spark.read.format(fmt).load(staging)
+        staged = spark.read.format(fmt).load(staging)
+        aggs = [a for c in (stats_cols or [])
+                for a in (F.min(c).alias(f"_mn_{c}"),
+                          F.max(c).alias(f"_mx_{c}"))]
+        for c in (bloom_cols or []):
+            for i in range(bloom_hashes):
+                aggs.append(F.collect_set(
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)),
+                           F.lit(bloom_bits))).alias(f"_bl_{c}_{i}"))
+        rows = (staged
                 .groupBy(F.element_at(F.split(F.input_file_name(), "/"),
                                       -1).alias("_f"))
-                .agg(*[a for c in stats_cols
-                       for a in (F.min(c).alias(f"_mn_{c}"),
-                                 F.max(c).alias(f"_mx_{c}"))])
-                .collect())  # |files|-bounded
-        meta["stats"] = {
-            r["_f"]: {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]]
-                      for c in stats_cols} for r in rows}
+                .agg(*aggs)
+                .collect())  # |files|-bounded (set sizes capped by
+        # min(distinct-per-file, bloom_bits))
+        stats = {r["_f"]: {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]]
+                           for c in (stats_cols or [])} for r in rows}
+        if bloom_cols:
+            dts = {c: staged.schema[c].dataType.simpleString()
+                   for c in bloom_cols}
+            for r in rows:
+                bl = {}
+                for c in bloom_cols:
+                    bits = 0
+                    for i in range(bloom_hashes):
+                        for p in r[f"_bl_{c}_{i}"]:
+                            bits |= 1 << int(p)
+                    bl[c] = {"m": bloom_bits, "k": bloom_hashes,
+                             "dt": dts[c], "hex": format(bits, "x")}
+                stats[r["_f"]]["__bloom__"] = bl
+        meta["stats"] = stats
     tmp = os.path.join(mdir, f".batch-{batch_id}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -326,7 +363,8 @@ def write_checkpoint(path: str, batch_id: int | None = None) -> int:
 
 def read_manifest(spark, path: str, fmt: str = "parquet",
                   as_of_batch: int | None = None,
-                  prune: tuple | None = None) -> DataFrame:
+                  prune: tuple | None = None,
+                  prune_eq: tuple | None = None) -> DataFrame:
     """Read exactly the committed output of :func:`manifest_file_sink`:
     the union of files named by published manifests. Staging files without
     a manifest (in-flight or crashed batches) are invisible.
@@ -338,6 +376,15 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
     pruning can only ever skip provably-irrelevant files — the returned
     rows are a SUPERSET of the predicate match and the caller still
     applies the row-level filter.
+
+    ``prune_eq=(col, value)`` is POINT-LOOKUP skipping (r13): files are
+    dropped when their [min, max] excludes ``value`` OR their per-file
+    Bloom filter (recorded by :func:`publish_batch` ``bloom_cols``)
+    proves ``value`` absent — the case range stats can't prune, a
+    high-cardinality key hash-scattered so every file spans the domain.
+    Bloom false positives only ever read an extra file; files without a
+    recorded bloom are always read — same superset contract as
+    ``prune``.
 
     ``as_of_batch`` is TIME TRAVEL on the commit log: read only batches
     with id <= N — the state a reader saw right after batch N published.
@@ -371,6 +418,39 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
                 if st is None or col not in st
                 or st[col][0] is None or st[col][1] is None
                 or (st[col][0] <= hi and st[col][1] >= lo)}
+    if prune_eq is not None:
+        from pyspark.sql import functions as F
+        ecol, val = prune_eq
+        pos_cache: dict[tuple, list[int]] = {}
+
+        def _positions(m: int, k: int, dt: str) -> list[int]:
+            # the probe value hashed EXACTLY as the writer hashed the
+            # column: same xxhash64 seeds, same Spark type (1-row job)
+            if (m, k, dt) not in pos_cache:
+                row = spark.range(1).select(
+                    *[F.pmod(F.xxhash64(F.lit(val).cast(dt), F.lit(i)),
+                             F.lit(m)).alias(f"p{i}")
+                      for i in range(k)]).collect()[0]
+                pos_cache[(m, k, dt)] = [int(row[f"p{i}"])
+                                         for i in range(k)]
+            return pos_cache[(m, k, dt)]
+
+        def _keep(st) -> bool:
+            if st is None:
+                return True
+            if (ecol in st and st[ecol][0] is not None
+                    and st[ecol][1] is not None
+                    and not (st[ecol][0] <= val <= st[ecol][1])):
+                return False
+            bl = (st.get("__bloom__") or {}).get(ecol)
+            if bl:
+                bits = int(bl["hex"], 16)
+                return all((bits >> p) & 1
+                           for p in _positions(bl["m"], bl["k"],
+                                               bl["dt"]))
+            return True
+
+        live = {p: st for p, st in live.items() if _keep(st)}
     paths = list(live)
     if not paths:
         # valid range query whose predicate skips every live file: a

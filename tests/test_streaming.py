@@ -2208,3 +2208,43 @@ def test_keyed_stateful_selector_routes_by_cardinality(spark):
     assert "xxhash64" not in plan_of(sk)
     with pytest.raises(ValueError, match="no key-group twin"):
         stateful.keyed_stateful("zscore_alert_stream", intdf)
+
+
+def test_manifest_bloom_point_lookup_skips_hash_scattered_files(
+        spark, tmp_path):
+    """r13 Bloom file-skipping: on a high-cardinality key HASH-scattered
+    across files, every file's [min, max] spans the domain (range stats
+    prune nothing) but the per-file Bloom proves absence — point lookups
+    open ~1 file, results stay exact, absent keys read zero files, and
+    the bloom survives checkpoint compaction."""
+    out = str(tmp_path / "bl")
+    t = spark.createDataFrame([(i, i * 3) for i in range(4000)],
+                              "k long, v long")
+    sinks.publish_batch(t.repartition(16, "k"), out, 0,
+                        stats_cols=["k"], bloom_cols=["k"])
+    full = sinks.read_manifest(spark, out)
+    n_files = full.select(F.input_file_name()).distinct().count()
+    assert n_files == 16
+    # range stats are useless on hash scatter: [min,max] of every file
+    # overlaps the probe, so prune=(k, v, v) reads everything
+    ranged = sinks.read_manifest(spark, out, prune=("k", 1234, 1234))
+    assert (ranged.select(F.input_file_name()).distinct().count()
+            == n_files)
+    # bloom skips: the probe opens far fewer files (usually exactly 1)
+    probed = sinks.read_manifest(spark, out, prune_eq=("k", 1234))
+    n_probe = probed.select(F.input_file_name()).distinct().count()
+    assert n_probe <= 2 < n_files
+    assert [r["v"] for r in probed.filter("k = 1234").collect()] == [3702]
+    # absent key: every bloom says no → typed empty result, no error
+    absent = sinks.read_manifest(spark, out, prune_eq=("k", 999_999))
+    assert absent.count() == 0
+    assert [f.name for f in absent.schema.fields] == ["k", "v"]
+    # blooms ride expiry compaction (file_stats carry __bloom__)
+    sinks.publish_batch(
+        spark.createDataFrame([(888_888, 1)], "k long, v long"), out, 1,
+        stats_cols=["k"], bloom_cols=["k"])
+    sinks.expire_manifests(out, keep_last=1)
+    again = sinks.read_manifest(spark, out, prune_eq=("k", 1234))
+    assert (again.select(F.input_file_name()).distinct().count()
+            <= 3)
+    assert [r["v"] for r in again.filter("k = 1234").collect()] == [3702]

@@ -720,3 +720,88 @@ def run_available_now(writer: DataStreamWriter) -> StreamingQuery:
     """Process everything currently available, then stop — the deterministic
     trigger every test uses (never wall-clock ProcessingTime)."""
     return writer.trigger(availableNow=True).start()
+
+
+def set_partition_spec(path: str, cluster_by: list[str],
+                       stats_cols: list[str] | None = None,
+                       bloom_cols: list[str] | None = None) -> int:
+    """PARTITION-SPEC EVOLUTION on the commit-manifest table (Iceberg
+    ``ALTER TABLE ... ADD/REPLACE PARTITION FIELD``, r12 VERDICT
+    optional-breadth): change how FUTURE commits are laid out —
+    clustering columns, recorded stats, bloom columns — without
+    touching a single existing file or manifest. The new spec lands
+    atomically as ``_manifests/spec.<id>.json``; history is never
+    rewritten, so time travel and existing stats keep working, and
+    reads simply plan heterogeneously: files written under an old spec
+    lack the new spec's stats and are always read (the superset
+    contract), files under the new spec prune hard — exactly Iceberg's
+    behavior when a query filters on a partition dimension the old spec
+    didn't have. Returns the new spec id (0-based, monotonic)."""
+    import glob as _glob
+    import json
+    import os
+    import re as _re
+    mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    ids = [int(g.group(1))
+           for m in _glob.glob(os.path.join(mdir, "spec.*.json"))
+           if (g := _re.search(r"spec\.(\d+)\.json$", m))]
+    spec_id = max(ids) + 1 if ids else 0
+    spec = {"spec_id": spec_id, "cluster_by": list(cluster_by),
+            "stats_cols": list(stats_cols or cluster_by),
+            "bloom_cols": list(bloom_cols or [])}
+    tmp = os.path.join(mdir, f".spec.{spec_id}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(spec, fh)
+    os.replace(tmp, os.path.join(mdir, f"spec.{spec_id}.json"))
+    return spec_id
+
+
+def current_partition_spec(path: str) -> dict | None:
+    """The table's active partition spec (highest spec id), or None if
+    the table has never declared one (pre-evolution tables keep their
+    caller-driven layout)."""
+    import glob as _glob
+    import json
+    import os
+    import re as _re
+    mdir = os.path.join(path, "_manifests")
+    specs = {int(g.group(1)): m
+             for m in _glob.glob(os.path.join(mdir, "spec.*.json"))
+             if (g := _re.search(r"spec\.(\d+)\.json$", m))}
+    if not specs:
+        return None
+    with open(specs[max(specs)]) as fh:
+        return json.load(fh)
+
+
+def append_with_spec(spark, path: str, df: DataFrame, batch_id: int,
+                     fmt: str = "parquet", target_files: int = 8) -> int:
+    """Append a commit laid out by the table's ACTIVE partition spec:
+    range-cluster on the spec's ``cluster_by`` (so the spec's stats
+    prune effectively — stats without clustering are dead weight), and
+    record the spec's stats/bloom columns in the manifest, stamping the
+    manifest with ``spec_id`` for audit. With no declared spec this is
+    a plain :func:`publish_batch`. Returns the commit's batch id."""
+    spec = current_partition_spec(path)
+    if spec is None:
+        publish_batch(df, path, batch_id, fmt=fmt)
+        return batch_id
+    clustered = df.repartitionByRange(target_files,
+                                      *spec["cluster_by"])
+    publish_batch(clustered, path, batch_id, fmt=fmt,
+                  stats_cols=spec["stats_cols"] or None,
+                  bloom_cols=spec["bloom_cols"] or None)
+    # stamp the manifest with the spec that produced it (audit trail —
+    # read planning never needs it, stats are self-describing per file)
+    import json
+    import os
+    mpath = os.path.join(path, "_manifests", f"batch-{batch_id}.json")
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    meta["spec_id"] = spec["spec_id"]
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, mpath)
+    return batch_id

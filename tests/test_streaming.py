@@ -2248,3 +2248,46 @@ def test_manifest_bloom_point_lookup_skips_hash_scattered_files(
     assert (again.select(F.input_file_name()).distinct().count()
             <= 3)
     assert [r["v"] for r in again.filter("k = 1234").collect()] == [3702]
+
+
+def test_partition_spec_evolution_heterogeneous_planning(spark, tmp_path):
+    """r13 partition-spec evolution: evolving the spec changes FUTURE
+    commits' layout/stats only — no file or manifest is rewritten, reads
+    plan heterogeneously (old-spec files always read on the new
+    dimension, new-spec files prune hard), and time travel still works."""
+    import json
+    import os
+    out = str(tmp_path / "spec")
+    t = spark.createDataFrame([(i, (i * 37) % 1000, i * 2)
+                               for i in range(2000)],
+                              "k long, g long, v long")
+    # spec 0: cluster/stats on g
+    assert sinks.set_partition_spec(out, ["g"]) == 0
+    sinks.append_with_spec(spark, out, t.filter("k < 1000"), 0)
+    old_manifest = open(os.path.join(out, "_manifests",
+                                     "batch-0.json")).read()
+    # evolve: cluster/stats on k for future writes
+    assert sinks.set_partition_spec(out, ["k"]) == 1
+    sinks.append_with_spec(spark, out, t.filter("k >= 1000"), 1)
+    # history untouched, byte for byte
+    assert open(os.path.join(out, "_manifests",
+                             "batch-0.json")).read() == old_manifest
+    m1 = json.load(open(os.path.join(out, "_manifests", "batch-1.json")))
+    assert m1["spec_id"] == 1
+    full = sinks.read_manifest(spark, out)
+    assert full.count() == 2000
+    n_files = full.select(F.input_file_name()).distinct().count()
+    # prune on the NEW dimension: all spec-0 files read (no k stats —
+    # superset contract), spec-1 files prune to the k range
+    pr = sinks.read_manifest(spark, out, prune=("k", 1100, 1199))
+    n_pr = pr.select(F.input_file_name()).distinct().count()
+    n_spec0 = 8
+    assert n_spec0 < n_pr < n_files
+    got = sorted(r["k"] for r in
+                 pr.filter("k BETWEEN 1100 AND 1199").collect())
+    assert got == list(range(1100, 1200))
+    # prune on the OLD dimension still works for spec-0 files
+    pg = sinks.read_manifest(spark, out, prune=("g", 0, 99))
+    assert (pg.select(F.input_file_name()).distinct().count() < n_files)
+    # time travel to the pre-evolution commit
+    assert sinks.read_manifest(spark, out, as_of_batch=0).count() == 1000

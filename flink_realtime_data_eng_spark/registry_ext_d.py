@@ -1574,3 +1574,116 @@ WITH b AS (SELECT (max(doc_id) * 3) // 10 AS lo,
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi
 """
+
+
+def x_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed between table versions (sinks.read_changes —
+    Delta CDF / Iceberg incremental read, r13): the row-level delta
+    from the CREATE snapshot (batch 0) to the post-upsert/post-delete
+    head (batch 2) of the MERGE table, computed FILE-DIFF bounded —
+    only files that entered or left the live set are read, COW-copied
+    survivors cancel via exceptAll (an OPTIMIZE yields an empty feed,
+    pinned by tests/test_streaming.py::
+    test_read_changes_file_diff_bounded_cdf). Updates appear as their
+    delete+insert pair. The oracle recomputes both snapshots
+    relationally and EXCEPT ALLs them each way."""
+    from . import sinks
+    return (sinks.read_changes(spark, _merge_table_dir(spark, sf_dir),
+                               0, 2)
+            .select("doc_id", "source", "n_chars", "_change_type"))
+
+
+QUERIES["x_manifest_cdf"] = x_manifest_cdf
+
+ORACLES["x_manifest_cdf"] = """
+WITH a AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 <> 1
+), src AS (
+  SELECT doc_id, source, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+), merged AS (
+  SELECT doc_id, source, n_chars FROM src
+  UNION ALL
+  SELECT doc_id, source, n_chars FROM a
+  WHERE doc_id NOT IN (SELECT doc_id FROM src)
+), b AS (
+  SELECT doc_id, source, n_chars FROM merged WHERE doc_id % 7 <> 0
+)
+SELECT doc_id, source, n_chars, 'insert' AS _change_type
+FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+UNION ALL
+SELECT doc_id, source, n_chars, 'delete' AS _change_type
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+"""
+
+
+def _schema_evo_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Commit-manifest table for schema evolution: commit 0 publishes
+    the even doc_ids WITHOUT n_chars (the table's original 2-column
+    schema); commit 1 publishes the odd doc_ids WITH the n_chars column
+    the schema later grew. No historical file is rewritten. Built in
+    scratch + atomic rename, like _merge_table_dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from . import sinks
+    from .registry_ops import _code_tag
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:schevo_v1"
+        f":{_code_tag(sinks.publish_batch, sinks.read_manifest)}"
+        .encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"frde_schevo_{tag}")
+    done = os.path.join(out, "_manifests", "batch-1.json")
+    if not os.path.exists(done):
+        tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
+        base = _docs(spark, sf_dir)
+        sinks.publish_batch(
+            base.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "source").repartition(4, "doc_id"),
+            tmp, 0)
+        sinks.publish_batch(
+            base.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "source",
+                    F.col("n_chars").cast("bigint").alias("n_chars"))
+            .repartition(4, "doc_id"),
+            tmp, 1)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.exists(done):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+    return out
+
+
+def x_manifest_schema_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (sinks.read_manifest merge_schema=True
+    — Delta mergeSchema / Iceberg schema unions, r13): the table grew
+    an n_chars column after its first commit; the merged read unions
+    both file schemas and serves pre-evolution rows with NULL n_chars —
+    metadata-only evolution, no historical file rewritten (the
+    commit-manifest twin of the plain-parquet x_schema_evolution).
+    Oracle recomputes both generations relationally with an explicit
+    NULL for the old one."""
+    from . import sinks
+    return (sinks.read_manifest(spark,
+                                _schema_evo_table_dir(spark, sf_dir),
+                                merge_schema=True)
+            .select("doc_id", "source", "n_chars"))
+
+
+QUERIES["x_manifest_schema_evo"] = x_manifest_schema_evo
+
+ORACLES["x_manifest_schema_evo"] = """
+SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 1
+"""

@@ -364,7 +364,8 @@ def write_checkpoint(path: str, batch_id: int | None = None) -> int:
 def read_manifest(spark, path: str, fmt: str = "parquet",
                   as_of_batch: int | None = None,
                   prune: tuple | None = None,
-                  prune_eq: tuple | None = None) -> DataFrame:
+                  prune_eq: tuple | None = None,
+                  merge_schema: bool = False) -> DataFrame:
     """Read exactly the committed output of :func:`manifest_file_sink`:
     the union of files named by published manifests. Staging files without
     a manifest (in-flight or crashed batches) are invisible.
@@ -402,7 +403,15 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
     :func:`write_checkpoint` — the Delta ``_last_checkpoint``
     mechanism) seeds the live set; only manifests AFTER it are parsed.
     Time travel before a checkpoint picks an older checkpoint or folds
-    the raw chain — checkpoints never delete history."""
+    the raw chain — checkpoints never delete history.
+
+    ``merge_schema=True`` is SCHEMA EVOLUTION on read (Delta
+    ``mergeSchema`` / Iceberg schema unions): commits may add columns
+    over the table's life; the merged read unions all live files'
+    schemas and fills columns absent from older files with NULL —
+    metadata-only evolution, no historical file rewritten. Default off:
+    schema-stable tables shouldn't pay the footer-union planning
+    cost."""
     live = _fold_live(path, as_of_batch)
     if not live:
         raise FileNotFoundError(
@@ -452,13 +461,16 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
 
         live = {p: st for p, st in live.items() if _keep(st)}
     paths = list(live)
+    reader = spark.read.format(fmt)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if not paths:
         # valid range query whose predicate skips every live file: a
         # 0-row result, not an error — recover the table schema from
         # one live (pre-prune) file so downstream plans still resolve
-        schema = spark.read.format(fmt).load(any_live).schema
+        schema = reader.load(any_live).schema
         return spark.createDataFrame([], schema)
-    return spark.read.format(fmt).load(paths)
+    return reader.load(paths)
 
 
 def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
@@ -805,3 +817,42 @@ def append_with_spec(spark, path: str, df: DataFrame, batch_id: int,
         json.dump(meta, fh)
     os.replace(tmp, mpath)
     return batch_id
+
+
+def read_changes(spark, path: str, from_batch: int, to_batch: int,
+                 fmt: str = "parquet") -> DataFrame:
+    """CHANGE DATA FEED between two committed versions (Delta CDF /
+    Iceberg incremental read), FILE-DIFF bounded: the row-level changes
+    from snapshot ``from_batch`` to snapshot ``to_batch`` are computed
+    by reading ONLY the files that entered or left the live set between
+    the two versions — cost scales with the touched slice the commits
+    rewrote, never the table. Rows gain a ``_change_type`` column:
+    ``insert`` (present after, not before — fresh inserts and update
+    post-images) and ``delete`` (present before, not after — deletions
+    and update pre-images); an update therefore appears as its
+    delete+insert pair, the minimal CDF vocabulary.
+
+    Copy-on-write correctness: a MERGE rewrites whole files, copying
+    surviving rows into new files — those rows appear in both the
+    entered and left file sets and cancel via ``exceptAll`` (multiset
+    semantics, so duplicate rows keep correct multiplicity). The same
+    cancellation makes a pure OPTIMIZE/rewrite produce an EMPTY feed:
+    physically everything moved, logically nothing changed."""
+    la = _fold_live(path, as_of_batch=from_batch)
+    lb = _fold_live(path, as_of_batch=to_batch)
+    if not la and not lb:
+        raise FileNotFoundError(
+            f"no committed manifests under {path} at either version")
+    entered = [p for p in lb if p not in la]
+    left = [p for p in la if p not in lb]
+    any_file = next(iter(lb or la))
+    schema = spark.read.format(fmt).load(any_file).schema
+    empty = spark.createDataFrame([], schema)
+    adds = spark.read.format(fmt).load(entered) if entered else empty
+    dels = spark.read.format(fmt).load(left) if left else empty
+    from pyspark.sql import functions as F
+    inserts = adds.exceptAll(dels).withColumn("_change_type",
+                                              F.lit("insert"))
+    deletes = dels.exceptAll(adds).withColumn("_change_type",
+                                              F.lit("delete"))
+    return inserts.unionByName(deletes)

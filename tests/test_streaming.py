@@ -2291,3 +2291,29 @@ def test_partition_spec_evolution_heterogeneous_planning(spark, tmp_path):
     assert (pg.select(F.input_file_name()).distinct().count() < n_files)
     # time travel to the pre-evolution commit
     assert sinks.read_manifest(spark, out, as_of_batch=0).count() == 1000
+
+
+def test_read_changes_file_diff_bounded_cdf(spark, tmp_path):
+    """r13 Change Data Feed: row changes between versions from the
+    file diff only — updates appear as delete+insert pairs, COW-copied
+    survivors cancel, and a pure OPTIMIZE yields an EMPTY feed."""
+    out = str(tmp_path / "cdf")
+    t = spark.createDataFrame([(i, i * 10) for i in range(100)],
+                              "k long, v long")
+    sinks.publish_batch(t.repartition(4, "k"), out, 0)
+    sinks.merge_into(spark, out, spark.createDataFrame(
+        [(7, 777), (200, 2000)], "k long, v long"), ["k"])  # update+insert
+    sinks.merge_into(spark, out, spark.createDataFrame(
+        [(13,)], "k long"), ["k"], when_matched="delete")
+    ch = {(r["_change_type"], r["k"], r["v"])
+          for r in sinks.read_changes(spark, out, 0, 2).collect()}
+    assert ch == {("insert", 7, 777), ("insert", 200, 2000),
+                  ("delete", 7, 70), ("delete", 13, 130)}
+    # incremental leg: only the delete commit's changes
+    ch2 = {(r["_change_type"], r["k"])
+           for r in sinks.read_changes(spark, out, 1, 2).collect()}
+    assert ch2 == {("delete", 13)}
+    # OPTIMIZE moves every row physically, changes nothing logically
+    bid = sinks.optimize_table(spark, out, cluster_by="k",
+                               target_files=2)
+    assert sinks.read_changes(spark, out, 2, bid).count() == 0

@@ -535,7 +535,14 @@ def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
     # they must keep resolving if the table directory is moved
     rel_removed = [os.path.relpath(t, os.path.abspath(path))
                    for t in touched]
-    publish_batch(new_rows, path, next_id, fmt=fmt, removed=rel_removed)
+    # a table with a declared partition spec keeps its stats/bloom
+    # coverage through rewrites (Delta/Iceberg record stats on EVERY
+    # write) — otherwise each merge would silently erode file skipping
+    # on the files it rewrote
+    spec = current_partition_spec(path)
+    publish_batch(new_rows, path, next_id, fmt=fmt, removed=rel_removed,
+                  stats_cols=(spec or {}).get("stats_cols") or None,
+                  bloom_cols=(spec or {}).get("bloom_cols") or None)
     return next_id
 
 
@@ -787,14 +794,20 @@ def current_partition_spec(path: str) -> dict | None:
         return json.load(fh)
 
 
-def append_with_spec(spark, path: str, df: DataFrame, batch_id: int,
+def append_with_spec(spark, path: str, df: DataFrame,
+                     batch_id: int | None = None,
                      fmt: str = "parquet", target_files: int = 8) -> int:
     """Append a commit laid out by the table's ACTIVE partition spec:
     range-cluster on the spec's ``cluster_by`` (so the spec's stats
     prune effectively — stats without clustering are dead weight), and
     record the spec's stats/bloom columns in the manifest, stamping the
     manifest with ``spec_id`` for audit. With no declared spec this is
-    a plain :func:`publish_batch`. Returns the commit's batch id."""
+    a plain :func:`publish_batch`. ``batch_id=None`` allocates the next
+    commit id (single writer, like :func:`merge_into`). Returns the
+    commit's batch id."""
+    if batch_id is None:
+        chain, _ = _manifest_chain(path)
+        batch_id = chain[-1][0] + 1 if chain else 0
     spec = current_partition_spec(path)
     if spec is None:
         publish_batch(df, path, batch_id, fmt=fmt)

@@ -2317,3 +2317,28 @@ def test_read_changes_file_diff_bounded_cdf(spark, tmp_path):
     bid = sinks.optimize_table(spark, out, cluster_by="k",
                                target_files=2)
     assert sinks.read_changes(spark, out, 2, bid).count() == 0
+
+
+def test_merge_preserves_spec_stats_through_rewrite(spark, tmp_path):
+    """r13: on a table with a declared partition spec, MERGE rewrites
+    keep recording the spec's stats/bloom — file skipping never erodes
+    through copy-on-write (pre-r13 a merge published statless files)."""
+    import json
+    import os
+    out = str(tmp_path / "ms")
+    sinks.set_partition_spec(out, ["k"], bloom_cols=["k"])
+    t = spark.createDataFrame([(i, i) for i in range(400)],
+                              "k long, v long")
+    sinks.append_with_spec(spark, out, t)  # auto batch 0
+    bid = sinks.merge_into(spark, out, spark.createDataFrame(
+        [(7, 700)], "k long, v long"), ["k"])
+    m = json.load(open(os.path.join(out, "_manifests",
+                                    f"batch-{bid}.json")))
+    assert m["stats"], "merge commit must carry spec stats"
+    assert all("k" in st and "__bloom__" in st
+               for st in m["stats"].values())
+    # skipping still effective on the post-merge table
+    pr = sinks.read_manifest(spark, out, prune=("k", 0, 49))
+    n_all = (sinks.read_manifest(spark, out)
+             .select(F.input_file_name()).distinct().count())
+    assert (pr.select(F.input_file_name()).distinct().count() < n_all)

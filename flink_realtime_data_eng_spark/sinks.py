@@ -186,18 +186,39 @@ def publish_batch(batch_df: DataFrame, path: str, batch_id: int,
     an extra file (superset semantics, like stats)."""
     import json
     import os
-    from pyspark.sql import functions as F
     staging = os.path.join(path, "_staging", f"batch-{batch_id}")
+    meta = _stage_and_describe(batch_df, path, staging, fmt, removed,
+                               stats_cols, bloom_cols, bloom_bits,
+                               bloom_hashes)
+    meta["batch_id"] = batch_id
+    mdir = os.path.join(path, "_manifests")
+    tmp = os.path.join(mdir, f".batch-{batch_id}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(mdir, f"batch-{batch_id}.json"))
+    if (checkpoint_every and batch_id > 0
+            and batch_id % checkpoint_every == 0):
+        write_checkpoint(path, batch_id)
+
+
+def _stage_and_describe(batch_df: DataFrame, path: str, staging: str,
+                        fmt: str, removed, stats_cols, bloom_cols,
+                        bloom_bits: int, bloom_hashes: int) -> dict:
+    """Phase 1 of any commit: write the batch to ``staging``, compute
+    the per-file stats/bloom entries in one distributed pass, and return
+    the manifest meta WITHOUT a batch id (the id is the commit claim —
+    :func:`publish_batch` pins it, :func:`publish_batch_occ` races for
+    it)."""
+    import os
+    from pyspark.sql import functions as F
     batch_df.write.mode("overwrite").format(fmt).save(staging)
     files = sorted(f for f in os.listdir(staging)
                    if not f.startswith(("_", ".")))
-    mdir = os.path.join(path, "_manifests")
-    os.makedirs(mdir, exist_ok=True)
+    os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
     # TABLE-RELATIVE paths (what Delta/Iceberg logs record): the table
     # stays readable after a directory move/rename — which also makes
     # build-in-scratch-then-rename publication of whole tables sound.
-    meta = {"batch_id": batch_id,
-            "dir": os.path.relpath(staging, path), "files": files}
+    meta: dict = {"dir": os.path.relpath(staging, path), "files": files}
     if removed:
         meta["removed"] = sorted(removed)
     if stats_cols or bloom_cols:
@@ -233,13 +254,75 @@ def publish_batch(batch_df: DataFrame, path: str, batch_id: int,
                              "dt": dts[c], "hex": format(bits, "x")}
                 stats[r["_f"]]["__bloom__"] = bl
         meta["stats"] = stats
-    tmp = os.path.join(mdir, f".batch-{batch_id}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(mdir, f"batch-{batch_id}.json"))
-    if (checkpoint_every and batch_id > 0
-            and batch_id % checkpoint_every == 0):
-        write_checkpoint(path, batch_id)
+    return meta
+
+
+def publish_batch_occ(batch_df: DataFrame, path: str,
+                      fmt: str = "parquet",
+                      removed: list[str] | None = None,
+                      stats_cols: list[str] | None = None,
+                      bloom_cols: list[str] | None = None,
+                      bloom_bits: int = 8192, bloom_hashes: int = 4,
+                      checkpoint_every: int | None = 10,
+                      max_retries: int = 10) -> int:
+    """OPTIMISTIC-CONCURRENCY commit — the Iceberg commit loop / Delta
+    conditional-put, lifting :func:`merge_into`'s documented
+    single-writer precondition (r13): stage once under a txn-unique dir
+    (id-independent, so a lost race never restages), then race for the
+    next commit id by ATOMIC CLAIM — ``os.link`` of the prepared
+    manifest onto ``batch-N.json`` fails with EEXIST if another writer
+    claimed N first, in which case the loser revalidates and retries at
+    N+1. Revalidation is the conflict check: if a concurrent commit
+    already removed (or expired) a file this commit tombstones, its
+    snapshot premise is stale and the commit raises instead of
+    publishing a double-delete — detected conflicts need the caller to
+    re-run its probe, exactly Iceberg's ``CommitFailedException``
+    contract. Pure appends (no ``removed``) never conflict, only
+    re-race. Returns the claimed batch id.
+
+    NOTE: ``os.link`` is the local-FS stand-in for the conditional put
+    (If-None-Match) that object-store table formats use; same protocol,
+    different primitive."""
+    import json
+    import os
+    import uuid
+    staging = os.path.join(path, "_staging", f"txn-{uuid.uuid4().hex}")
+    meta = _stage_and_describe(batch_df, path, staging, fmt, removed,
+                               stats_cols, bloom_cols, bloom_bits,
+                               bloom_hashes)
+    mdir = os.path.join(path, "_manifests")
+    rm = set(meta.get("removed", []))
+    for _ in range(max_retries):
+        chain, _ck = _manifest_chain(path)
+        next_id = chain[-1][0] + 1 if chain else 0
+        if rm:
+            live = _fold_live(path)
+            live_rel = {os.path.relpath(p, os.path.abspath(path))
+                        for p in live}
+            gone = sorted(rm - live_rel)
+            if gone:
+                raise RuntimeError(
+                    f"concurrent modification: files this commit removes "
+                    f"are no longer live (a concurrent commit rewrote or "
+                    f"expired them) — re-run the probe: {gone[:5]}")
+        meta["batch_id"] = next_id
+        tmp = os.path.join(mdir, f".occ-{uuid.uuid4().hex}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        target = os.path.join(mdir, f"batch-{next_id}.json")
+        try:
+            os.link(tmp, target)  # atomic claim: EEXIST = lost the race
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
+        if (checkpoint_every and next_id > 0
+                and next_id % checkpoint_every == 0):
+            write_checkpoint(path, next_id)
+        return next_id
+    raise RuntimeError(
+        f"commit contention: lost the claim race {max_retries} times "
+        f"under {path}")
 
 
 _last_fold_parsed = 0  # log files parsed by the most recent _fold_live
@@ -499,13 +582,13 @@ def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
     manifest publish), and time travel to any pre-merge batch still
     resolves the original files. Returns the new commit's batch_id.
 
-    SINGLE WRITER is a hard precondition (as it is for Delta/Iceberg
-    without a locking catalog): batch_id allocation reads the manifest
-    dir without a lock, so two concurrent merges would both publish the
-    same batch-N.json and the loser's commit would be silently
-    overwritten. Production table formats arbitrate this through a
-    catalog/conditional-put; this module documents the mechanism, not
-    the arbitration service.
+    Concurrency (r13): commits go through the optimistic-concurrency
+    loop (:func:`publish_batch_occ` — Iceberg's commit protocol): the
+    batch id is claimed atomically, a lost race retries at the next id,
+    and revalidation raises loudly if a concurrent commit already
+    rewrote/expired a file this merge tombstones (stale snapshot
+    premise → caller re-runs the probe, Iceberg's
+    ``CommitFailedException`` contract).
     """
     import os
     from pyspark.sql import functions as F
@@ -523,8 +606,6 @@ def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
     touched = [r["_file"] for r in
                (tagged.join(keys, key_cols, "left_semi")
                 .select("_file").distinct().collect())]
-    chain, _ = _manifest_chain(path)
-    next_id = chain[-1][0] + 1 if chain else 0
     if touched:
         kept = (spark.read.format(fmt).load(touched)
                 .join(keys, key_cols, "left_anti"))
@@ -540,10 +621,13 @@ def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
     # write) — otherwise each merge would silently erode file skipping
     # on the files it rewrote
     spec = current_partition_spec(path)
-    publish_batch(new_rows, path, next_id, fmt=fmt, removed=rel_removed,
-                  stats_cols=(spec or {}).get("stats_cols") or None,
-                  bloom_cols=(spec or {}).get("bloom_cols") or None)
-    return next_id
+    # commit through the optimistic-concurrency loop: the claim races
+    # cleanly, and its revalidation turns a racing rewrite of the same
+    # files into a loud conflict instead of a silent double-delete
+    return publish_batch_occ(
+        new_rows, path, fmt=fmt, removed=rel_removed,
+        stats_cols=(spec or {}).get("stats_cols") or None,
+        bloom_cols=(spec or {}).get("bloom_cols") or None)
 
 
 def optimize_table(spark, path: str, cluster_by=None,

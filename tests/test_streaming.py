@@ -2342,3 +2342,43 @@ def test_merge_preserves_spec_stats_through_rewrite(spark, tmp_path):
     n_all = (sinks.read_manifest(spark, out)
              .select(F.input_file_name()).distinct().count())
     assert (pr.select(F.input_file_name()).distinct().count() < n_all)
+
+
+def test_occ_commit_races_and_conflicts(spark, tmp_path):
+    """r13 optimistic concurrency: a lost id-claim race retries at the
+    next id (append never conflicts); a commit whose tombstoned files a
+    concurrent commit already removed raises loudly instead of
+    publishing a double-delete; merges route through the loop."""
+    import json
+    import os
+    out = str(tmp_path / "occ")
+    t = spark.createDataFrame([(i, i) for i in range(100)],
+                              "k long, v long")
+    assert sinks.publish_batch_occ(t.repartition(2, "k"), out) == 0
+    # simulate losing the race for batch 1: another writer claimed it
+    mdir = os.path.join(out, "_manifests")
+    with open(os.path.join(mdir, "batch-1.json"), "w") as fh:
+        json.dump({"batch_id": 1, "dir": "_staging/other", "files": []},
+                  fh)
+    bid = sinks.publish_batch_occ(
+        spark.createDataFrame([(200, 1)], "k long, v long"), out)
+    assert bid == 2  # retried past the claimed id
+    assert sinks.read_manifest(spark, out).count() == 101
+    # conflict: both "merges" want to rewrite the same files; the
+    # second sees its tombstones no longer live and must raise
+    victim = sorted(os.path.relpath(p, os.path.abspath(out))
+                    for p in sinks._fold_live(out))[:1]
+    assert victim
+    sinks.publish_batch_occ(
+        spark.createDataFrame([(7, 77)], "k long, v long"), out,
+        removed=victim)  # winner rewrites batch-0's files
+    with pytest.raises(RuntimeError, match="concurrent modification"):
+        sinks.publish_batch_occ(
+            spark.createDataFrame([(8, 88)], "k long, v long"), out,
+            removed=victim)  # loser's premise is stale
+    # merge_into goes through the loop and still lands
+    nb = sinks.merge_into(spark, out, spark.createDataFrame(
+        [(200, 999)], "k long, v long"), ["k"])
+    snap = sinks.read_manifest(spark, out)
+    assert [r["v"] for r in snap.filter("k = 200").collect()] == [999]
+    assert nb > bid

@@ -97,6 +97,16 @@ def main() -> None:
     registry._merge_table_dir(spark, sf_dir)
     registry._hll_day_registers_dir(spark, sf_dir)
     registry._dsir_weights_dir(spark, sf_dir)
+    # ... and the r12/r13 manifest-table fixtures (commit chains are the
+    # nightly write jobs; the registered queries measure read planning —
+    # checkpoint+tail folds, stats/bloom skipping, CDF file diffs).
+    registry._expiry_table_dir(spark, sf_dir)
+    registry._skipping_table_dir(spark, sf_dir)
+    registry._zorder_table_dir(spark, sf_dir)
+    registry._checkpoint_table_dir(spark, sf_dir)
+    registry._bloom_table_dir(spark, sf_dir)
+    registry._spec_evo_table_dir(spark, sf_dir)
+    registry._schema_evo_table_dir(spark, sf_dir)
     # ... and the persisted quality verdict (the corpus_filter scan is
     # the nightly scoring job, measured via x_corpus_filter itself;
     # x_training_manifest measures the composition read path).

@@ -1687,3 +1687,47 @@ UNION ALL
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents WHERE doc_id % 2 = 1
 """
+
+
+def x_manifest_spec_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest under a declared partition spec
+    (sinks.spec_manifest_sink, r13): the purchase replay commits
+    micro-batches range-clustered on user_id with stats + an event_id
+    bloom recorded AT WRITE TIME, so the freshly-ingested table prunes
+    immediately — the read back applies a corpus-derived user_id range
+    prune (planning skips files before any exchange) and the row
+    filter; oracle recomputes the same range relationally. This closes
+    the loop between the reference's streaming core and the r12/r13
+    table format: no OPTIMIZE pass needed before the table is
+    queryable-fast."""
+    import tempfile
+    from .registry_ext_a import _stream_events
+    from .sinks import (read_manifest, run_available_now,
+                        set_partition_spec, spec_manifest_sink)
+    ev = _stream_events(spark, sf_dir)
+    sel = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts_ms"))
+    out_dir = tempfile.mkdtemp(prefix="frde_specstream_")
+    ckpt = tempfile.mkdtemp(prefix="frde_specstream_ckpt_")
+    set_partition_spec(out_dir, ["user_id"], bloom_cols=["event_id"])
+    q = run_available_now(spec_manifest_sink(sel, out_dir, ckpt))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("spec stream did not finish")
+    mx = _events(spark, sf_dir).agg(
+        F.max("user_id").alias("m")).collect()[0]["m"]  # 1-row bound
+    lo, hi = int(mx) // 4, int(mx) // 2
+    return (read_manifest(spark, out_dir, prune=("user_id", lo, hi))
+            .filter(F.col("user_id").between(lo, hi)))
+
+
+QUERIES["x_manifest_spec_stream"] = x_manifest_spec_stream
+STREAMING_DEMOS.add("x_manifest_spec_stream")
+
+ORACLES["x_manifest_spec_stream"] = """
+WITH b AS (SELECT max(user_id) // 4 AS lo, max(user_id) // 2 AS hi
+           FROM events)
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+FROM events, b
+WHERE event_type = 'purchase' AND user_id BETWEEN b.lo AND b.hi
+"""

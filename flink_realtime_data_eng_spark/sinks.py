@@ -953,3 +953,26 @@ def read_changes(spark, path: str, from_batch: int, to_batch: int,
     deletes = dels.exceptAll(adds).withColumn("_change_type",
                                               F.lit("delete"))
     return inserts.unionByName(deletes)
+
+
+def spec_manifest_sink(df: DataFrame, path: str, checkpoint: str,
+                       fmt: str = "parquet",
+                       target_files: int = 8) -> DataStreamWriter:
+    """:func:`manifest_file_sink` honoring the table's DECLARED
+    partition spec (r13): each micro-batch commits through
+    :func:`append_with_spec`, so streaming ingest lands range-clustered
+    with the spec's stats/bloom recorded — the table is immediately
+    prunable and OPTIMIZE-free for the spec dimensions, which is how
+    Delta/Iceberg streaming writers keep file skipping effective
+    without nightly rewrites. Spec evolution applies mid-stream: the
+    next micro-batch after :func:`set_partition_spec` commits under the
+    new layout (heterogeneous planning reads both generations). Same
+    exactly-once-visibility and replay-idempotence contract as the
+    plain manifest sink; append mode only."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_with_spec(batch_df.sparkSession, path, batch_df,
+                         batch_id, fmt=fmt, target_files=target_files)
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

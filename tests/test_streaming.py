@@ -2382,3 +2382,27 @@ def test_occ_commit_races_and_conflicts(spark, tmp_path):
     snap = sinks.read_manifest(spark, out)
     assert [r["v"] for r in snap.filter("k = 200").collect()] == [999]
     assert nb > bid
+
+
+def test_spec_manifest_sink_writes_prunable_commits(spark, tmp_path):
+    """r13: streaming ingest under a declared spec commits clustered +
+    stats'd micro-batches — the fresh table prunes immediately, and a
+    mid-stream spec declaration applies from the next batch on."""
+    out = str(tmp_path / "ss")
+    ckpt = str(tmp_path / "ss_ck")
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(i, i * 2) for i in range(500)],
+                          "k long, v long").coalesce(1) \
+        .write.json(src)
+    sinks.set_partition_spec(out, ["k"])
+    st = (spark.readStream.schema("k long, v long").json(src))
+    q = sinks.run_available_now(
+        sinks.spec_manifest_sink(st, out, ckpt, target_files=4))
+    assert q.awaitTermination(120)
+    full = sinks.read_manifest(spark, out)
+    assert full.count() == 500
+    n = full.select(F.input_file_name()).distinct().count()
+    pr = sinks.read_manifest(spark, out, prune=("k", 0, 99))
+    assert pr.select(F.input_file_name()).distinct().count() < n
+    assert sorted(r["k"] for r in pr.filter("k < 100").collect()) == \
+        list(range(100))

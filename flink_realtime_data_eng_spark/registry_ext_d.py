@@ -1731,3 +1731,47 @@ SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
 FROM events, b
 WHERE event_type = 'purchase' AND user_id BETWEEN b.lo AND b.hi
 """
+
+
+def x_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from the Change Data Feed (r13 —
+    the reason CDF exists): a per-source doc-count materialized view is
+    REFRESHED by applying read_changes' insert/delete deltas (+1/-1) to
+    the view's base snapshot, never rescanning the table — refresh cost
+    scales with the merge's touched slice. The oracle computes the
+    post-merge counts DIRECTLY from the final relational snapshot, so
+    hash equality is the IVM identity: base ⊕ delta == direct."""
+    from . import sinks
+    d = _merge_table_dir(spark, sf_dir)
+    base = (sinks.read_manifest(spark, d, as_of_batch=0)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n0")))
+    delta = (sinks.read_changes(spark, d, 0, 2)
+             .groupBy("source")
+             .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
+                        .otherwise(-1)).alias("dn")))
+    return (base.join(delta, "source", "full_outer")
+            .select("source",
+                    (F.coalesce("n0", F.lit(0))
+                     + F.coalesce("dn", F.lit(0)))
+                    .cast("bigint").alias("n_docs"))
+            .filter(F.col("n_docs") > 0))
+
+
+QUERIES["x_cdf_incremental_agg"] = x_cdf_incremental_agg
+
+ORACLES["x_cdf_incremental_agg"] = """
+WITH a AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 3 <> 1
+), src AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0
+), merged AS (
+  SELECT doc_id, source FROM src
+  UNION ALL
+  SELECT doc_id, source FROM a
+  WHERE doc_id NOT IN (SELECT doc_id FROM src)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+FROM merged WHERE doc_id % 7 <> 0
+GROUP BY source HAVING count(*) > 0
+"""

@@ -1775,3 +1775,35 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs
 FROM merged WHERE doc_id % 7 <> 0
 GROUP BY source HAVING count(*) > 0
 """
+
+
+def x_manifest_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs (sinks.create_tag / read_manifest(ref=...) —
+    Iceberg tags, r13): the MERGE table's post-upsert commit is pinned
+    as tag 'pre-delete' and read BY NAME; hash equality against the
+    relational upsert-state oracle proves ref resolution lands on
+    exactly the pinned version. Tag-blocks-expiry (retained-ref rule)
+    is pinned by tests/test_streaming.py::
+    test_tags_pin_snapshots_and_block_expiry."""
+    from . import sinks
+    d = _merge_table_dir(spark, sf_dir)
+    sinks.create_tag(d, "pre-delete", 1)  # idempotent atomic replace
+    return (sinks.read_manifest(spark, d, ref="pre-delete")
+            .select("doc_id", "source", "n_chars"))
+
+
+QUERIES["x_manifest_tag"] = x_manifest_tag
+
+ORACLES["x_manifest_tag"] = """
+WITH target AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 <> 1
+), src AS (
+  SELECT doc_id, source, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, source, n_chars FROM src
+UNION ALL
+SELECT doc_id, source, n_chars FROM target
+WHERE doc_id NOT IN (SELECT doc_id FROM src)
+"""

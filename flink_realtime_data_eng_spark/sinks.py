@@ -448,7 +448,8 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
                   as_of_batch: int | None = None,
                   prune: tuple | None = None,
                   prune_eq: tuple | None = None,
-                  merge_schema: bool = False) -> DataFrame:
+                  merge_schema: bool = False,
+                  ref: str | None = None) -> DataFrame:
     """Read exactly the committed output of :func:`manifest_file_sink`:
     the union of files named by published manifests. Staging files without
     a manifest (in-flight or crashed batches) are invisible.
@@ -494,7 +495,15 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
     schemas and fills columns absent from older files with NULL —
     metadata-only evolution, no historical file rewritten. Default off:
     schema-stable tables shouldn't pay the footer-union planning
-    cost."""
+    cost.
+
+    ``ref`` reads the snapshot a NAMED TAG pins (:func:`create_tag` —
+    Iceberg ``VERSION AS OF 'tag'``); mutually exclusive with
+    ``as_of_batch``."""
+    if ref is not None:
+        if as_of_batch is not None:
+            raise ValueError("pass either ref or as_of_batch, not both")
+        as_of_batch = resolve_tag(path, ref)
     live = _fold_live(path, as_of_batch)
     if not live:
         raise FileNotFoundError(
@@ -746,6 +755,13 @@ def expire_manifests(path: str, keep_last: int) -> dict:
         return {"horizon": metas[0]["batch_id"] if metas else None,
                 "expired": [], "orphans_removed": 0}
     horizon = metas[-keep_last]["batch_id"]
+    pinned = {n: b for n, b in list_tags(path).items() if b < horizon}
+    if pinned:
+        # Iceberg's retained-ref rule: a tag keeps its snapshot's
+        # history alive — expiring past it would break the tag's read
+        raise RuntimeError(
+            f"refusing to expire past tagged snapshots {pinned} "
+            f"(horizon {horizon}); drop_tag first or raise keep_last")
     # net live set as-of the horizon, in table-relative paths (replaying
     # the same ordered delta logic read_manifest applies); per-file
     # stats ride along so data skipping survives compaction
@@ -976,3 +992,62 @@ def spec_manifest_sink(df: DataFrame, path: str, checkpoint: str,
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+def create_tag(path: str, name: str, batch_id: int | None = None) -> int:
+    """Named snapshot ref (Iceberg tags / Delta named versions, r13):
+    pin ``name`` to commit ``batch_id`` (default: newest) as
+    ``_manifests/ref.<name>.json``, atomically. Tags are read-side
+    sugar (``read_manifest(..., ref=name)``) AND a retention contract:
+    :func:`expire_manifests` refuses to expire history a tag still
+    pins, exactly Iceberg's retained-ref rule — dropping the tag
+    (:func:`drop_tag`) releases it. Returns the pinned batch id."""
+    import json
+    import os
+    import re as _re
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"invalid tag name {name!r}")
+    chain, _ = _manifest_chain(path)
+    if batch_id is None:
+        if not chain:
+            raise FileNotFoundError(f"no committed manifests under {path}")
+        batch_id = chain[-1][0]
+    elif not any(b == batch_id for b, _m in chain):
+        raise ValueError(f"no commit batch-{batch_id} under {path}")
+    mdir = os.path.join(path, "_manifests")
+    tmp = os.path.join(mdir, f".ref.{name}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "batch_id": batch_id}, fh)
+    os.replace(tmp, os.path.join(mdir, f"ref.{name}.json"))
+    return batch_id
+
+
+def resolve_tag(path: str, name: str) -> int:
+    """The batch id a tag pins (loud KeyError if the tag is absent)."""
+    import json
+    import os
+    p = os.path.join(path, "_manifests", f"ref.{name}.json")
+    if not os.path.exists(p):
+        raise KeyError(f"no tag {name!r} under {path}")
+    with open(p) as fh:
+        return json.load(fh)["batch_id"]
+
+
+def drop_tag(path: str, name: str) -> None:
+    """Release a tag (its history becomes expirable again)."""
+    import os
+    os.remove(os.path.join(path, "_manifests", f"ref.{name}.json"))
+
+
+def list_tags(path: str) -> dict:
+    """{tag name: pinned batch id} for the table."""
+    import glob as _glob
+    import json
+    import os
+    import re as _re
+    out = {}
+    for p in _glob.glob(os.path.join(path, "_manifests", "ref.*.json")):
+        g = _re.search(r"ref\.(.+)\.json$", p)
+        with open(p) as fh:
+            out[g.group(1)] = json.load(fh)["batch_id"]
+    return out

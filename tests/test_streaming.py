@@ -2406,3 +2406,31 @@ def test_spec_manifest_sink_writes_prunable_commits(spark, tmp_path):
     assert pr.select(F.input_file_name()).distinct().count() < n
     assert sorted(r["k"] for r in pr.filter("k < 100").collect()) == \
         list(range(100))
+
+
+def test_tags_pin_snapshots_and_block_expiry(spark, tmp_path):
+    """r13 named refs: a tag reads its pinned snapshot, expiry refuses
+    to expire past a live tag (Iceberg retained-ref rule), and dropping
+    the tag releases the history."""
+    import os
+    out = str(tmp_path / "tag")
+    for i in range(5):
+        sinks.publish_batch(
+            spark.createDataFrame([(i, i)], "k long, v long"), out, i)
+    assert sinks.create_tag(out, "v1", 1) == 1
+    assert sinks.create_tag(out, "head") == 4  # defaults to newest
+    assert sinks.list_tags(out) == {"v1": 1, "head": 4}
+    assert sinks.read_manifest(spark, out, ref="v1").count() == 2
+    with pytest.raises(ValueError, match="not both"):
+        sinks.read_manifest(spark, out, ref="v1", as_of_batch=2)
+    with pytest.raises(KeyError):
+        sinks.read_manifest(spark, out, ref="nope")
+    with pytest.raises(ValueError, match="no commit"):
+        sinks.create_tag(out, "bad", 99)
+    with pytest.raises(RuntimeError, match="tagged snapshots"):
+        sinks.expire_manifests(out, keep_last=2)
+    sinks.drop_tag(out, "v1")
+    st = sinks.expire_manifests(out, keep_last=2)
+    assert st["horizon"] == 3
+    assert sinks.read_manifest(spark, out, ref="head").count() == 5
+    del os

@@ -1807,3 +1807,72 @@ UNION ALL
 SELECT doc_id, source, n_chars FROM target
 WHERE doc_id NOT IN (SELECT doc_id FROM src)
 """
+
+
+def _mor_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Commit-manifest table for the merge-on-read family: commit 0
+    publishes all documents; commit 1 is an EQUALITY DELETE of
+    doc_id % 5 == 0 (sinks.delete_where — no data file rewritten);
+    commit 2 appends the doc_id % 10 == 0 slice with n_chars + 7 —
+    rows that arrive AFTER the delete and must be immune to it by the
+    sequence rule. Built in scratch + atomic rename."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from . import sinks
+    from .registry_ops import _code_tag
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{os.getuid()}:mor_v1"
+        f":{_code_tag(sinks.publish_batch, sinks.delete_where, sinks.read_manifest)}"
+        .encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"frde_mor_{tag}")
+    done = os.path.join(out, "_manifests", "batch-2.json")
+    if not os.path.exists(done):
+        tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
+        base = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"))
+        sinks.publish_batch(base.repartition(8, "doc_id"), tmp, 0)
+        sinks.delete_where(spark, tmp, F.col("doc_id") % 5 == 0)
+        sinks.publish_batch_occ(
+            base.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "source",
+                    (F.col("n_chars") + 7).alias("n_chars")), tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.exists(done):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+    return out
+
+
+def x_manifest_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes (sinks.delete_where /
+    read_manifest's sequence-aware anti-join — Iceberg equality deletes
+    / Delta deletion vectors, r13): the doc_id % 5 == 0 rows are dead
+    WITHOUT any data file having been rewritten, while the
+    doc_id % 10 == 0 slice appended AFTER the delete is immune (delete
+    commit id < its commit id). The oracle recomputes survivors +
+    immune appends relationally; no-rewrite/materialization/CDF
+    contracts are pinned by tests/test_streaming.py::
+    test_merge_on_read_equality_deletes."""
+    from . import sinks
+    return (sinks.read_manifest(spark, _mor_table_dir(spark, sf_dir))
+            .select("doc_id", "source", "n_chars"))
+
+
+QUERIES["x_manifest_mor"] = x_manifest_mor
+
+ORACLES["x_manifest_mor"] = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, source, CAST(n_chars + 7 AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 10 = 0
+"""

@@ -283,22 +283,35 @@ def publish_batch_occ(batch_df: DataFrame, path: str,
     NOTE: ``os.link`` is the local-FS stand-in for the conditional put
     (If-None-Match) that object-store table formats use; same protocol,
     different primitive."""
-    import json
     import os
     import uuid
     staging = os.path.join(path, "_staging", f"txn-{uuid.uuid4().hex}")
     meta = _stage_and_describe(batch_df, path, staging, fmt, removed,
                                stats_cols, bloom_cols, bloom_bits,
                                bloom_hashes)
+    return _claim_commit(path, meta, checkpoint_every, max_retries)
+
+
+def _claim_commit(path: str, meta: dict, checkpoint_every: int | None,
+                  max_retries: int) -> int:
+    """The OCC claim loop shared by :func:`publish_batch_occ` and
+    :func:`delete_where`: race for the next commit id, revalidate
+    tombstones against the CURRENT live set (data + delete files),
+    atomically claim the manifest via link."""
+    import json
+    import os
+    import uuid
     mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
     rm = set(meta.get("removed", []))
     for _ in range(max_retries):
         chain, _ck = _manifest_chain(path)
         next_id = chain[-1][0] + 1 if chain else 0
         if rm:
-            live = _fold_live(path)
-            live_rel = {os.path.relpath(p, os.path.abspath(path))
-                        for p in live}
+            data, dels = _fold_state(path)
+            ap = os.path.abspath(path)
+            live_rel = {os.path.relpath(p, ap)
+                        for p in (*data, *dels)}
             gone = sorted(rm - live_rel)
             if gone:
                 raise RuntimeError(
@@ -323,6 +336,40 @@ def publish_batch_occ(batch_df: DataFrame, path: str,
     raise RuntimeError(
         f"commit contention: lost the claim race {max_retries} times "
         f"under {path}")
+
+
+def delete_where(spark, path: str, condition, fmt: str = "parquet",
+                 max_retries: int = 10) -> int:
+    """MERGE-ON-READ row deletion (Iceberg equality deletes / Delta
+    deletion vectors, r13): delete the rows matching ``condition``
+    WITHOUT rewriting a single data file — the matched rows' full
+    content commits as an EQUALITY-DELETE payload, and
+    :func:`read_manifest` anti-joins it against exactly the data files
+    it applies to by the SEQUENCE RULE (delete commit id > data-file
+    commit id), so rows appended — or rewritten by OPTIMIZE — after the
+    delete are immune even if byte-identical. Write cost scales with
+    the MATCHED rows, not the touched files (the point of
+    merge-on-read: a 10-row delete on a 100 TB table writes 10 rows);
+    the read side pays one small anti-join per file group until
+    :func:`optimize_table` MATERIALIZES the deletes (rewrites survivors,
+    tombstones the delete files). Commits through the OCC loop.
+    Returns the delete commit's batch id.
+
+    Duplicate rows: equality-delete semantics — every copy of a matched
+    row dies (the payload is full-row, so distinct rows never
+    collide)."""
+    import os
+    import uuid
+    snap = read_manifest(spark, path, fmt=fmt)  # prior deletes apply
+    matched = snap.filter(condition)
+    staging = os.path.join(path, "_staging", f"txn-{uuid.uuid4().hex}")
+    matched.write.mode("overwrite").format(fmt).save(staging)
+    files = sorted(f for f in os.listdir(staging)
+                   if not f.startswith(("_", ".")))
+    meta = {"dir": os.path.relpath(staging, path),
+            "delete_files": files}
+    return _claim_commit(path, meta, checkpoint_every=10,
+                         max_retries=max_retries)
 
 
 _last_fold_parsed = 0  # log files parsed by the most recent _fold_live
@@ -352,16 +399,26 @@ def _manifest_chain(path: str):
     return chain, ckpts
 
 
-def _fold_live(path: str, as_of_batch: int | None = None
-               ) -> "dict[str, dict | None]":
-    """Fold the commit log to the live file set (abs path → per-file
-    stats) as of ``as_of_batch`` (None = latest), parsing the newest
-    checkpoint <= the horizon plus only the manifest TAIL after it —
-    O(1 + tail) file reads, the Delta/Iceberg log-replay shape.
+def _fold_state(path: str, as_of_batch: int | None = None):
+    """Fold the commit log as of ``as_of_batch`` (None = latest) to
+    ``(data, dels)``:
 
-    Records the number of log files actually parsed in the module-level
-    ``_last_fold_parsed`` (test observability for the O(1 + tail)
-    claim)."""
+    - ``data``: abs data-file path → ``{"st": per-file stats|None,
+      "bid": adding commit id}`` — the bid is the file's SEQUENCE
+      NUMBER (Iceberg's data-sequence-number), which decides which
+      equality deletes apply to it;
+    - ``dels``: abs equality-delete-file path → its commit id. A delete
+      file's rows kill equal rows ONLY in data files with a SMALLER
+      bid — rows appended or rewritten after the delete are immune,
+      exactly Iceberg's sequence rule.
+
+    Parses the newest checkpoint <= the horizon plus only the manifest
+    TAIL after it — O(1 + tail) file reads, the Delta/Iceberg
+    log-replay shape. Pre-r13 checkpoints lack per-path bids; their
+    files get the checkpoint's own id (an upper bound on the true bid,
+    so the sequence comparison stays conservative-correct: any delete
+    newer than the checkpoint still applies). Records the number of log
+    files actually parsed in ``_last_fold_parsed``."""
     import json
     import os
     global _last_fold_parsed
@@ -376,14 +433,26 @@ def _fold_live(path: str, as_of_batch: int | None = None
     usable = [c for c in ckpts
               if as_of_batch is None or c <= as_of_batch]
     base = max(usable) if usable else None
-    live: dict[str, dict | None] = {}
+    data: dict[str, dict] = {}
+    dels: dict[str, int] = {}
+
+    def _fold_compacted(meta: dict, default_bid: int) -> None:
+        # checkpoint / expiry-compacted manifest: flat path lists with
+        # optional per-path stats and bids
+        fp_stats = meta.get("file_stats", {})
+        fp_bids = meta.get("file_bids", {})
+        for p in meta.get("file_paths", []):
+            data[_abs(p)] = {"st": fp_stats.get(p),
+                             "bid": fp_bids.get(p, default_bid)}
+        d_bids = meta.get("delete_bids", {})
+        for p in meta.get("delete_paths", []):
+            dels[_abs(p)] = d_bids.get(p, default_bid)
+
     if base is not None:
         with open(ckpts[base]) as fh:
             meta = json.load(fh)
         _last_fold_parsed += 1
-        fp_stats = meta.get("file_stats", {})
-        for p in meta.get("file_paths", []):
-            live[_abs(p)] = fp_stats.get(p)
+        _fold_compacted(meta, base)
     for bid, m in chain:
         if base is not None and bid <= base:
             continue  # already folded into the checkpoint
@@ -393,14 +462,24 @@ def _fold_live(path: str, as_of_batch: int | None = None
             meta = json.load(fh)
         _last_fold_parsed += 1
         for rm in meta.get("removed", []):
-            live.pop(_abs(rm), None)
+            data.pop(_abs(rm), None)
+            dels.pop(_abs(rm), None)
         stats = meta.get("stats", {})
         for f in meta.get("files", []):
-            live[os.path.join(_abs(meta["dir"]), f)] = stats.get(f)
-        fp_stats = meta.get("file_stats", {})
-        for p in meta.get("file_paths", []):  # expiry-compacted manifest
-            live[_abs(p)] = fp_stats.get(p)
-    return live
+            data[os.path.join(_abs(meta["dir"]), f)] = \
+                {"st": stats.get(f), "bid": bid}
+        for f in meta.get("delete_files", []):
+            dels[os.path.join(_abs(meta["dir"]), f)] = bid
+        _fold_compacted(meta, bid)  # expiry-compacted manifest
+    return data, dels
+
+
+def _fold_live(path: str, as_of_batch: int | None = None
+               ) -> "dict[str, dict | None]":
+    """Back-compat view of :func:`_fold_state`: live DATA files only,
+    abs path → per-file stats."""
+    data, _dels = _fold_state(path, as_of_batch)
+    return {p: v["st"] for p, v in data.items()}
 
 
 def write_checkpoint(path: str, batch_id: int | None = None) -> int:
@@ -425,13 +504,18 @@ def write_checkpoint(path: str, batch_id: int | None = None) -> int:
         if not chain:
             raise FileNotFoundError(f"no committed manifests under {path}")
         batch_id = chain[-1][0]
-    live = _fold_live(path, as_of_batch=batch_id)
-    rel = {os.path.relpath(p, os.path.abspath(path)): st
-           for p, st in live.items()}
-    meta = {"batch_id": batch_id, "file_paths": sorted(rel)}
-    fps = {p: st for p, st in rel.items() if st is not None}
+    data, dels = _fold_state(path, as_of_batch=batch_id)
+    ap = os.path.abspath(path)
+    rel = {os.path.relpath(p, ap): v for p, v in data.items()}
+    meta = {"batch_id": batch_id, "file_paths": sorted(rel),
+            "file_bids": {p: v["bid"] for p, v in rel.items()}}
+    fps = {p: v["st"] for p, v in rel.items() if v["st"] is not None}
     if fps:
         meta["file_stats"] = fps
+    if dels:
+        drel = {os.path.relpath(p, ap): b for p, b in dels.items()}
+        meta["delete_paths"] = sorted(drel)
+        meta["delete_bids"] = drel
     mdir = os.path.join(path, "_manifests")
     tmp = os.path.join(mdir, f".checkpoint.{batch_id}.json.tmp")
     with open(tmp, "w") as fh:
@@ -504,13 +588,18 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
         if as_of_batch is not None:
             raise ValueError("pass either ref or as_of_batch, not both")
         as_of_batch = resolve_tag(path, ref)
-    live = _fold_live(path, as_of_batch)
-    if not live:
+    data, dels = _fold_state(path, as_of_batch)
+    if not data:
         raise FileNotFoundError(
             f"no committed manifests under {path}"
             + (f" with batch_id <= {as_of_batch}"
                if as_of_batch is not None else ""))
-    any_live = next(iter(live))
+    if dels and merge_schema:
+        raise ValueError(
+            "merge_schema with live equality deletes is unsupported — "
+            "materialize them first (optimize_table)")
+    any_live = next(iter(data))
+    live = {p: v["st"] for p, v in data.items()}
     if prune is not None:
         col, lo, hi = prune
         # null min/max = column all-NULL in that file → no usable stats,
@@ -562,7 +651,40 @@ def read_manifest(spark, path: str, fmt: str = "parquet",
         # one live (pre-prune) file so downstream plans still resolve
         schema = reader.load(any_live).schema
         return spark.createDataFrame([], schema)
+    if dels:
+        return _dv_read(spark, fmt,
+                        {p: data[p]["bid"] for p in paths}, dels)
     return reader.load(paths)
+
+
+def _dv_read(spark, fmt: str, data_bids: "dict[str, int]",
+             dels: "dict[str, int]") -> DataFrame:
+    """Merge-on-read plan: anti-join each data-file group against the
+    equality-delete files that APPLY to it by the sequence rule (delete
+    bid > data-file bid). Files are grouped by their applicable-delete
+    set — at most |distinct delete bids|+1 groups, bounded by the
+    commit count between materializations — so each group is one scan +
+    one null-safe anti-join against the (small) delete payload."""
+    groups: dict[tuple, list[str]] = {}
+    for p, bid in data_bids.items():
+        applicable = tuple(sorted(d for d, db in dels.items()
+                                  if db > bid))
+        groups.setdefault(applicable, []).append(p)
+    parts = []
+    for dfiles, paths in groups.items():
+        part = spark.read.format(fmt).load(sorted(paths))
+        if dfiles:
+            ddf = spark.read.format(fmt).load(list(dfiles))
+            cond = None
+            for c in part.columns:
+                e = part[c].eqNullSafe(ddf[c])
+                cond = e if cond is None else cond & e
+            part = part.join(ddf, cond, "left_anti")
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
@@ -603,23 +725,39 @@ def merge_into(spark, path: str, source: DataFrame, key_cols: list[str],
     from pyspark.sql import functions as F
     if when_matched not in ("update", "delete"):
         raise ValueError(f"unsupported when_matched {when_matched!r}")
-    snap = read_manifest(spark, path, fmt=fmt)
-    if when_matched == "update" and source.columns != snap.columns:
+    data, dels = _fold_state(path)
+    if not data:
+        raise FileNotFoundError(f"no committed manifests under {path}")
+    # the file probe tags the RAW data read (input_file_name needs a
+    # single source; the merge-on-read plan is a union) — a file whose
+    # only matching rows are DV-dead just gets a harmless rewrite, the
+    # DV-aware kept_src below preserves every survivor exactly
+    raw = spark.read.format(fmt).load(list(data))
+    if when_matched == "update" and source.columns != raw.columns:
         raise ValueError(
             f"source columns {source.columns} must match target schema "
-            f"{snap.columns} for when_matched='update'")
+            f"{raw.columns} for when_matched='update'")
     keys = source.select(*key_cols)
     # normalize input_file_name's file: URI to the manifest's plain path
-    tagged = snap.withColumn(
+    tagged = raw.withColumn(
         "_file", F.regexp_replace(F.input_file_name(), "^file:(//)?", ""))
     touched = [r["_file"] for r in
                (tagged.join(keys, key_cols, "left_semi")
                 .select("_file").distinct().collect())]
     if touched:
-        kept = (spark.read.format(fmt).load(touched)
-                .join(keys, key_cols, "left_anti"))
+        if dels:
+            # the rewrite must not resurrect rows a pending equality
+            # delete killed: re-read the touched files through the
+            # same sequence-aware merge-on-read plan the snapshot used
+            by_abs = {os.path.abspath(p): v["bid"]
+                      for p, v in data.items()}
+            tb = {t: by_abs[os.path.abspath(t)] for t in touched}
+            kept_src = _dv_read(spark, fmt, tb, dels)
+        else:
+            kept_src = spark.read.format(fmt).load(touched)
+        kept = kept_src.join(keys, key_cols, "left_anti")
     else:
-        kept = spark.createDataFrame([], snap.schema)
+        kept = spark.createDataFrame([], raw.schema)
     new_rows = kept.unionByName(source) if when_matched == "update" else kept
     # tombstones table-relative, like the manifests' own file lists —
     # they must keep resolving if the table directory is moved
@@ -664,11 +802,13 @@ def optimize_table(spark, path: str, cluster_by=None,
     """
     import os
     from pyspark.sql import functions as F
-    snap = read_manifest(spark, path, fmt=fmt)
-    tagged = snap.withColumn(
-        "_file", F.regexp_replace(F.input_file_name(), "^file:(//)?", ""))
-    live = [r["_file"] for r in
-            tagged.select("_file").distinct().collect()]  # |files|-bounded
+    snap = read_manifest(spark, path, fmt=fmt)  # equality deletes apply
+    # tombstone EVERYTHING live from the log — data files AND pending
+    # equality-delete files (OPTIMIZE is the materialization point: the
+    # rewrite holds only survivors, so the delete payloads retire here;
+    # input_file_name can't see delete files, the fold can)
+    st_data, st_dels = _fold_state(path)
+    live = [*st_data, *st_dels]
     chain, _ = _manifest_chain(path)
     next_id = chain[-1][0] + 1 if chain else 0
     if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
@@ -764,23 +904,42 @@ def expire_manifests(path: str, keep_last: int) -> dict:
             f"(horizon {horizon}); drop_tag first or raise keep_last")
     # net live set as-of the horizon, in table-relative paths (replaying
     # the same ordered delta logic read_manifest applies); per-file
-    # stats ride along so data skipping survives compaction
+    # stats AND sequence bids ride along so data skipping and the
+    # equality-delete sequence rule survive compaction
     live: dict[str, dict | None] = {}
+    bids: dict[str, int] = {}
+    dlive: dict[str, int] = {}
     for meta in metas:
-        if meta["batch_id"] > horizon:
+        bid = meta["batch_id"]
+        if bid > horizon:
             continue
         for rm in meta.get("removed", []):
             live.pop(rm, None)
+            bids.pop(rm, None)
+            dlive.pop(rm, None)
         stats = meta.get("stats", {})
         for f in meta.get("files", []):
-            live[os.path.join(meta["dir"], f)] = stats.get(f)
+            p = os.path.join(meta["dir"], f)
+            live[p] = stats.get(f)
+            bids[p] = bid
+        for f in meta.get("delete_files", []):
+            dlive[os.path.join(meta["dir"], f)] = bid
         fp_stats = meta.get("file_stats", {})
+        fp_bids = meta.get("file_bids", {})
         for p in meta.get("file_paths", []):
             live[p] = fp_stats.get(p)
-    ckpt = {"batch_id": horizon, "file_paths": sorted(live)}
+            bids[p] = fp_bids.get(p, bid)
+        d_bids = meta.get("delete_bids", {})
+        for p in meta.get("delete_paths", []):
+            dlive[p] = d_bids.get(p, bid)
+    ckpt = {"batch_id": horizon, "file_paths": sorted(live),
+            "file_bids": bids}
     fps = {p: st for p, st in live.items() if st is not None}
     if fps:
         ckpt["file_stats"] = fps
+    if dlive:
+        ckpt["delete_paths"] = sorted(dlive)
+        ckpt["delete_bids"] = dlive
     tmp = os.path.join(mdir, f".batch-{horizon}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(ckpt, fh)
@@ -811,9 +970,10 @@ def expire_manifests(path: str, keep_last: int) -> dict:
     for _bid, m in _manifest_chain(path)[0]:
         with open(m) as fh:
             meta = json.load(fh)
-        for f in meta.get("files", []):
+        for f in (*meta.get("files", []), *meta.get("delete_files", [])):
             referenced.add(os.path.join(meta["dir"], f))
         referenced.update(meta.get("file_paths", []))
+        referenced.update(meta.get("delete_paths", []))
     sdir = os.path.join(path, "_staging")
     n_orphans = 0
     for bdir in sorted(_glob.glob(os.path.join(sdir, "*"))):
@@ -951,19 +1111,31 @@ def read_changes(spark, path: str, from_batch: int, to_batch: int,
     semantics, so duplicate rows keep correct multiplicity). The same
     cancellation makes a pure OPTIMIZE/rewrite produce an EMPTY feed:
     physically everything moved, logically nothing changed."""
-    la = _fold_live(path, as_of_batch=from_batch)
-    lb = _fold_live(path, as_of_batch=to_batch)
-    if not la and not lb:
+    from pyspark.sql import functions as F
+    da, dla = _fold_state(path, as_of_batch=from_batch)
+    db, dlb = _fold_state(path, as_of_batch=to_batch)
+    if not da and not db:
         raise FileNotFoundError(
             f"no committed manifests under {path} at either version")
-    entered = [p for p in lb if p not in la]
-    left = [p for p in la if p not in lb]
-    any_file = next(iter(lb or la))
+    if dla or dlb:
+        # live equality deletes at either version: the file-diff
+        # shortcut would read raw files and surface already-dead rows
+        # as phantom changes — fall back to the exact diff of the two
+        # merge-on-read snapshots (table-bounded; deletes are pending
+        # only until the next OPTIMIZE materializes them)
+        a = read_manifest(spark, path, fmt=fmt, as_of_batch=from_batch)
+        b = read_manifest(spark, path, fmt=fmt, as_of_batch=to_batch)
+        return (b.exceptAll(a).withColumn("_change_type",
+                                          F.lit("insert"))
+                .unionByName(a.exceptAll(b).withColumn("_change_type",
+                                                       F.lit("delete"))))
+    entered = [p for p in db if p not in da]
+    left = [p for p in da if p not in db]
+    any_file = next(iter(db or da))
     schema = spark.read.format(fmt).load(any_file).schema
     empty = spark.createDataFrame([], schema)
     adds = spark.read.format(fmt).load(entered) if entered else empty
     dels = spark.read.format(fmt).load(left) if left else empty
-    from pyspark.sql import functions as F
     inserts = adds.exceptAll(dels).withColumn("_change_type",
                                               F.lit("insert"))
     deletes = dels.exceptAll(adds).withColumn("_change_type",

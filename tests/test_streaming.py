@@ -2434,3 +2434,83 @@ def test_tags_pin_snapshots_and_block_expiry(spark, tmp_path):
     assert st["horizon"] == 3
     assert sinks.read_manifest(spark, out, ref="head").count() == 5
     del os
+
+
+def test_merge_on_read_equality_deletes(spark, tmp_path):
+    """r13 merge-on-read: delete_where commits a row payload — NO data
+    file rewritten; reads apply the sequence rule (later appends with
+    identical content are immune); time travel before the delete sees
+    the rows; OPTIMIZE materializes (tombstones delete files); a MERGE
+    with pending deletes neither resurrects dead rows nor loses the
+    delete; CDF stays exact through the MOR window."""
+    import json
+    import os
+    out = str(tmp_path / "mor")
+    t = spark.createDataFrame([(i, i * 10) for i in range(100)],
+                              "k long, v long")
+    sinks.publish_batch(t.repartition(4, "k"), out, 0)
+    files_before = sorted(os.listdir(os.path.join(out, "_staging",
+                                                  "batch-0")))
+    bid = sinks.delete_where(spark, out, F.col("k") % 10 == 3)
+    assert bid == 1
+    # no data file touched, no tombstone in the delete commit
+    assert sorted(os.listdir(os.path.join(
+        out, "_staging", "batch-0"))) == files_before
+    m1 = json.load(open(os.path.join(out, "_manifests", "batch-1.json")))
+    assert m1.get("delete_files") and "removed" not in m1
+    snap = sinks.read_manifest(spark, out)
+    assert snap.count() == 90
+    assert snap.filter("k % 10 = 3").count() == 0
+    # time travel BEFORE the delete still sees the rows
+    assert sinks.read_manifest(spark, out, as_of_batch=0).count() == 100
+    # sequence rule: re-append one byte-identical row AFTER the delete
+    sinks.publish_batch_occ(
+        spark.createDataFrame([(3, 30)], "k long, v long"), out)
+    assert (sinks.read_manifest(spark, out)
+            .filter("k = 3 and v = 30").count() == 1)
+    assert sinks.read_manifest(spark, out).count() == 91
+    # CDF across the MOR window is exact (snapshot-diff fallback)
+    # the re-appended (3, 30) is byte-identical to the deleted original
+    # so k=3 nets to NO change — exactly what exceptAll must conclude
+    ch = {(r["_change_type"], r["k"]) for r in
+          sinks.read_changes(spark, out, 0, 2).collect()}
+    assert ch == {("delete", k)
+                  for k in (13, 23, 33, 43, 53, 63, 73, 83, 93)}
+    # MERGE with pending deletes: updates a live row, does not
+    # resurrect dead ones
+    sinks.merge_into(spark, out, spark.createDataFrame(
+        [(7, 777)], "k long, v long"), ["k"])
+    snap2 = sinks.read_manifest(spark, out)
+    assert [r["v"] for r in snap2.filter("k = 7").collect()] == [777]
+    assert snap2.count() == 91
+    assert snap2.filter("k = 13").count() == 0
+    # OPTIMIZE materializes: delete files tombstoned, rows unchanged
+    before = {(r["k"], r["v"]) for r in snap2.collect()}
+    sinks.optimize_table(spark, out, cluster_by="k", target_files=2)
+    d_after = sinks._fold_state(out)[1]
+    assert d_after == {}
+    assert {(r["k"], r["v"]) for r in
+            sinks.read_manifest(spark, out).collect()} == before
+
+
+def test_mor_deletes_survive_checkpoint_and_expiry(spark, tmp_path):
+    """r13: the equality-delete sequence rule survives log-checkpoint
+    folding AND expiry compaction (per-path bids recorded in both)."""
+    out = str(tmp_path / "morck")
+    for i in range(10):  # checkpoint rides batch 10 below
+        sinks.publish_batch(
+            spark.createDataFrame([(i, i)], "k long, v long"), out, i)
+    sinks.delete_where(spark, out, F.col("k") < 3)   # batch 10 + ckpt
+    sinks.publish_batch_occ(
+        spark.createDataFrame([(1, 1)], "k long, v long"), out)  # immune
+    # read through the checkpoint: 10 - 3 deleted + 1 re-append = 8
+    snap = sinks.read_manifest(spark, out)
+    assert snap.count() == 8
+    assert snap.filter("k = 1").count() == 1  # the immune re-append
+    assert snap.filter("k = 0").count() == 0
+    # expiry compaction keeps the rule (keep_last spans the delete)
+    sinks.expire_manifests(out, keep_last=4)
+    snap2 = sinks.read_manifest(spark, out)
+    assert snap2.count() == 8
+    assert snap2.filter("k = 0").count() == 0
+    assert snap2.filter("k = 1").count() == 1

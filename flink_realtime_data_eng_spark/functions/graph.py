@@ -55,6 +55,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # Carry the old label through the update join so convergence is a
         # filter+count on the checkpointed result — no second join of two
         # full node sets per round just to detect change.
+        # Lazy checkpoint + count: the count is the materializing action,
+        # so each round pays ONE Spark job (materialize+count fused)
+        # instead of two (eager materialize, then a count over it) — at
+        # bench scale the fixpoint's cost is driver job scheduling, not
+        # data, and this halves it; results are identical.
         step = (labels.join(neigh, labels["node"] == neigh["a"], "left")
                       .select(labels["node"],
                               labels["label"].alias("old_label"),
@@ -62,7 +67,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                                       F.coalesce(F.col("nlabel"),
                                                  labels["label"]))
                                .alias("label"))
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(eager=False))
         changed = step.filter(F.col("label") != F.col("old_label")).count()
         labels = step.select("node", "label")
         if changed == 0:
@@ -126,16 +131,22 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
               .union(e.select(F.col("b").alias("node")))
               .distinct()
               .localCheckpoint(eager=True))
+    e_count = e.count()
     for _ in range(max_iter):
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
                .distinct()
-        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        # Lazy checkpoint: the convergence count below is the
+        # materializing action (one job instead of materialize+count),
+        # and the previous round's count is carried in ``e_count`` so
+        # each round pays ONE count, not two.
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        nxt_count = nxt.count()
         # Converged when the edge set is unchanged (both are distinct sets,
         # so equal counts + empty difference <=> equality).
-        if nxt.count() == e.count() and nxt.exceptAll(e).limit(1).count() == 0:
+        if nxt_count == e_count and nxt.exceptAll(e).limit(1).count() == 0:
             e = nxt
             break
-        e = nxt
+        e, e_count = nxt, nxt_count
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "
@@ -184,12 +195,16 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     for _ in range(iterations):
         contrib = (sym_deg.join(scores, sym_deg["a"] == scores["node"])
                    .select(F.col("b"), F.expr("score DIV deg").alias("c")))
+        # Lazy checkpoint: each round's scores feed exactly one consumer
+        # (the next round's join), so materialization can ride the final
+        # action — one Spark job for the whole unrolled chain instead of
+        # one per round, while LogicalRDD still caps the plan size.
         scores = (contrib.groupBy("b").agg(F.sum("c").alias("s"))
                   .select(F.col("b").alias("node"),
                           (F.lit(base)
                            + F.expr(f"({damp_num} * s) DIV {damp_den}"))
                           .cast("bigint").alias("score"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
     return scores.select("node", F.col("score").alias("rank_i9"))
 
 
@@ -312,13 +327,22 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
     layers = [frontier.select("node", F.lit(0).cast("int").alias("hop"))]
     visited = frontier
     for r in range(1, rounds + 1):
+        # Lazy: the loop is a FIXED number of rounds (no per-round driver
+        # decision), so materialization rides the final action — one job
+        # total; the LogicalRDD per round still caps plan depth and the
+        # persisted partitions serve all three consumers (next round's
+        # join, the visited anti-join, the final layer union).
         frontier = (frontier.join(sym, frontier.node == sym.a)
                     .select(F.col("b").alias("node")).distinct()
                     .join(visited, "node", "left_anti")
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
         layers.append(frontier.select("node",
                                       F.lit(r).cast("int").alias("hop")))
-        visited = visited.union(frontier).localCheckpoint(eager=True)
+        # No checkpoint needed: every union leaf is itself a checkpointed
+        # frontier, so the visited plan is a flat union of materialized
+        # RDDs — O(rounds) leaves, no lineage blowup — and skipping the
+        # eager materialization saves one Spark job per round.
+        visited = visited.union(frontier)
     out = layers[0]
     for lay in layers[1:]:
         out = out.unionByName(lay)

@@ -74,27 +74,48 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select(query_id, id_col, "score", "rk"))
 
 
-def _plane_sign(plane: int, dim_index: Column) -> Column:
+# Hyperplane sign tables are precomputed driver-side up to this dim and
+# shipped as ONE array literal per plane; beyond it lsh_signature raises
+# (never silently truncates). Raise alongside your embedding width.
+_LSH_MAX_DIM = 1024
+
+
+def _plane_signs_py(plane: int, dim: int = _LSH_MAX_DIM) -> list[float]:
     """Deterministic ±1 from md5(plane:dim) parity — a seedable pseudo-random
-    hyperplane with no RNG state (reproducible across engines/runs)."""
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit(f"plane{plane}:"), dim_index.cast("string"))),
-        1, 8), 16, 10).cast("bigint")
-    return F.when(h % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    hyperplane with no RNG state (reproducible across engines/runs). The
+    Python twin of the historical per-element SQL expression: the oracle
+    (`_lsh_bucket_sql*`) and this table both derive from
+    ``int(md5(f"plane{p}:{i}")[:8], 16) % 2``, value-identical."""
+    import hashlib
+    return [1.0 if int(hashlib.md5(f"plane{plane}:{i}".encode())
+                       .hexdigest()[:8], 16) % 2 == 1 else -1.0
+            for i in range(dim)]
 
 
 def lsh_signature(vec_col: str, num_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id (0 .. 2^planes-1): bit p = sign of the
-    dot product with pseudo-random ±1 plane p. Pure expression — map-side."""
+    dot product with pseudo-random ±1 plane p. Pure expression — map-side.
+
+    The ±1 signs depend only on (plane, dim index), so they are computed
+    ONCE driver-side (hashlib) and shipped as one array literal per plane
+    — the executor evaluates a multiply-add per element instead of the
+    historical md5→conv→substring chain per element per plane (dim×planes
+    md5 calls per ROW; at adaptive plane counts ~log2(corpus) that md5
+    work dominated the whole bucketing pass). Fold order and float types
+    are unchanged, so signatures are bit-identical to the old form."""
+    v = F.col(vec_col)
     sig = F.lit(0).cast("bigint")
     for p in range(num_planes):
+        signs = F.lit(_plane_signs_py(p))
         proj = F.aggregate(
-            F.zip_with(F.col(vec_col),
-                       F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                       lambda x, i: x.cast("double") * _plane_sign(p, i)),
+            F.transform(v, lambda x, i: x.cast("double") * F.get(signs, i)),
             F.lit(0.0), lambda acc, x: acc + x)
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sig
+    # F.get past the table's end yields null and would silently zero the
+    # bit; fail loudly instead — wide-embedding corpora must raise the cap.
+    return F.when(F.size(v) <= F.lit(_LSH_MAX_DIM), sig).otherwise(
+        F.raise_error(F.lit(
+            f"lsh_signature: vector dim exceeds _LSH_MAX_DIM={_LSH_MAX_DIM}")))
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -694,13 +694,19 @@ def x_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
     tok = docs.select("doc_id", "source",
                       F.explode(text.tokens("text")).alias("tok"))
-    tf = (tok.groupBy("doc_id", "tok")
-             .agg(F.count(F.lit(1)).alias("tf"))
-             .localCheckpoint(eager=True))
-    src_counts = tok.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).alias("c"))
-    src_frame = (tok.groupBy("source")
-                 .agg(F.count(F.lit(1)).alias("n_src")))
+    # ONE corpus tokenize+explode pass: doc_id determines source, so
+    # grouping by (doc_id, source, tok) equals the (doc_id, tok) tf with
+    # the source carried along — the per-source token counts and totals
+    # then fold from this cardinality-bounded frame instead of each
+    # re-running the scan+tokenize+explode (3 corpus passes → 1).
+    tf_src = (tok.groupBy("doc_id", "source", "tok")
+                 .agg(F.count(F.lit(1)).alias("tf"))
+                 .localCheckpoint(eager=True))
+    tf = tf_src.select("doc_id", "tok", "tf")
+    src_counts = tf_src.groupBy("source", "tok").agg(
+        F.sum("tf").alias("c"))
+    src_frame = (tf_src.groupBy("source")
+                 .agg(F.sum("tf").alias("n_src")))
     vocab = tf.select("tok").distinct().agg(
         F.count(F.lit(1)).alias("v"))
     priors = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_s"))

@@ -14,6 +14,8 @@ bucket before exact scoring. Recall/probe tradeoff documented per function.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import (Column, DataFrame, SparkSession, Window as W,
                          functions as F)
 
@@ -40,9 +42,90 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     a corpus with one all-zero embedding would kill every cosine-based
     pipeline). Fixture oracles are unaffected (no zero vectors there);
     the 0.0 convention is also what a zero vector means for ranking:
-    similar to nothing."""
-    den = _norm(a) * _norm(b)
-    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
+    similar to nothing.
+
+    Implementation note (r13 optimization): the historical form folded
+    zip_with products through ``F.aggregate`` — Spark evaluates
+    higher-order functions INTERPRETED (no codegen), ~200 µs per pair at
+    dim 64, which dominated every pair-scoring stage (LSH candidate
+    verify, brute-force/ANN rerank). This form hands Arrow batches to
+    numpy (one einsum per batch). Every consumer reads the score through
+    ``F.round(·, 6)``, so only sign/rounding-boundary cases could ever
+    observe the reassociation difference: rows whose score sits within a
+    worst-case float error bound of a 0.5·10⁻⁶ rounding boundary are
+    recomputed with the exact sequential left-to-right fold the old
+    expression used (IEEE-identical in Python) — the fast path only
+    serves values the bound proves round-identical."""
+
+    def _seq_cosine(va, vb) -> float:
+        dot = 0.0
+        sa = 0.0
+        sb = 0.0
+        for x, y in zip(va, vb):
+            dot += float(x) * float(y)
+        for x in va:
+            sa += float(x) * float(x)
+        for y in vb:
+            sb += float(y) * float(y)
+        import math
+        den = math.sqrt(sa) * math.sqrt(sb)
+        return dot / den if den > 0 else 0.0
+
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        n = len(va)
+        out = np.zeros(n, dtype=np.float64)
+        nulls = np.zeros(n, dtype=bool)
+        la = np.array([-1 if v is None else len(v) for v in va])
+        lb = np.array([-1 if v is None else len(v) for v in vb])
+        # Old expression semantics: a null side → null result; unequal
+        # lengths → zip_with pads with null → null dot → null result.
+        nulls |= (la < 0) | (lb < 0) | ((la >= 0) & (lb >= 0) & (la != lb))
+        eps = np.finfo(np.float64).eps
+        for d in np.unique(la[(la == lb) & (la >= 0)]):
+            idx = np.nonzero((la == d) & (lb == d))[0]
+            if d == 0:
+                out[idx] = 0.0  # empty folds: den 0 → 0.0
+                continue
+            ma = np.array([np.asarray(va.iloc[i], dtype=np.float64)
+                           for i in idx])
+            mb = np.array([np.asarray(vb.iloc[i], dtype=np.float64)
+                           for i in idx])
+            dot = np.einsum("ij,ij->i", ma, mb)
+            sa = np.einsum("ij,ij->i", ma, ma)
+            sb = np.einsum("ij,ij->i", mb, mb)
+            den = np.sqrt(sa) * np.sqrt(sb)
+            ok = den > 0
+            score = np.where(ok, dot / np.where(ok, den, 1.0), 0.0)
+            # Worst-case |seq - pairwise| for each accumulated sum, pushed
+            # through the quotient; ambiguous iff a 6-dp rounding boundary
+            # (or the >0 sign, same bound) lies inside the interval.
+            err_dot = 4 * d * eps * np.einsum("ij,ij->i",
+                                              np.abs(ma), np.abs(mb))
+            err = np.where(ok, (err_dot + np.abs(dot) * 4 * d * eps)
+                           / np.where(ok, den, 1.0), 0.0)
+            # distance from score·10⁶ to the nearest x.5 rounding boundary
+            frac = np.mod(score * 1e6, 1.0)
+            amb = ok & ((np.abs(frac - 0.5) <= err * 1e6 + 1e-9)
+                        | (np.abs(score) <= err))
+            for j in np.nonzero(amb)[0]:
+                score[j] = _seq_cosine(va.iloc[idx[j]], vb.iloc[idx[j]])
+            out[idx] = score
+        if nulls.any():
+            return pd.Series([None if nulls[i] else float(out[i])
+                              for i in range(n)])
+        return pd.Series(out)
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    # Guide §4.4: every consumer filters on the score (>= threshold / top-k),
+    # and the optimizer duplicates a deterministic UDF around such a pushed
+    # filter — two ArrowEvalPython nodes, every row scored twice. Marking it
+    # non-deterministic pins ONE evaluation (results unchanged: the filter
+    # still runs, just above the projection).
+    return _cos.asNondeterministic()(ca, cb)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -94,28 +177,62 @@ def _plane_signs_py(plane: int, dim: int = _LSH_MAX_DIM) -> list[float]:
 
 def lsh_signature(vec_col: str, num_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id (0 .. 2^planes-1): bit p = sign of the
-    dot product with pseudo-random ±1 plane p. Pure expression — map-side.
+    dot product with pseudo-random ±1 plane p. Map-side, one vectorized
+    Arrow batch pass — no shuffle, no per-element JVM interpretation.
 
-    The ±1 signs depend only on (plane, dim index), so they are computed
-    ONCE driver-side (hashlib) and shipped as one array literal per plane
-    — the executor evaluates a multiply-add per element instead of the
-    historical md5→conv→substring chain per element per plane (dim×planes
-    md5 calls per ROW; at adaptive plane counts ~log2(corpus) that md5
-    work dominated the whole bucketing pass). Fold order and float types
-    are unchanged, so signatures are bit-identical to the old form."""
-    v = F.col(vec_col)
-    sig = F.lit(0).cast("bigint")
-    for p in range(num_planes):
-        signs = F.lit(_plane_signs_py(p))
-        proj = F.aggregate(
-            F.transform(v, lambda x, i: x.cast("double") * F.get(signs, i)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    # F.get past the table's end yields null and would silently zero the
-    # bit; fail loudly instead — wide-embedding corpora must raise the cap.
-    return F.when(F.size(v) <= F.lit(_LSH_MAX_DIM), sig).otherwise(
-        F.raise_error(F.lit(
-            f"lsh_signature: vector dim exceeds _LSH_MAX_DIM={_LSH_MAX_DIM}")))
+    Implementation note (r13 optimization): the historical form was a
+    zip_with/aggregate fold whose per-element lambda recomputed
+    md5(plane:dim) — dim × planes md5 calls per ROW — and Spark evaluates
+    higher-order functions INTERPRETED (no codegen), which in long
+    sessions degrades a further ~20× (megamorphic eval sites). This form
+    precomputes the ±1 sign matrix driver-side (:func:`_plane_signs_py`,
+    value-identical md5 parity) and hands whole Arrow batches to one
+    numpy float64 matmul. Sign decisions are made EXACTLY: any projection
+    within the worst-case reassociation error bound of zero is recomputed
+    with the sequential left-to-right float64 fold the old expression
+    used (IEEE-identical in Python), so the returned bucket ids are
+    bit-for-bit the old ones at any data — the fast path only serves
+    sign decisions the error bound proves unambiguous."""
+    import numpy as np
+
+    signs_t = np.array([_plane_signs_py(p) for p in range(num_planes)],
+                       dtype=np.float64).T  # (maxdim, planes)
+    weights = np.array([1 << p for p in range(num_planes)], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _sig(vs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vs), dtype=np.int64)
+        lens = np.array([-1 if v is None else len(v) for v in vs])
+        for d in np.unique(lens):
+            if d <= 0:
+                continue  # null/empty vector: every projection is 0 → bucket 0
+            if d > _LSH_MAX_DIM:
+                raise ValueError(f"lsh_signature: vector dim {d} exceeds "
+                                 f"_LSH_MAX_DIM={_LSH_MAX_DIM}")
+            idx = np.nonzero(lens == d)[0]
+            mat = np.array([np.asarray(vs.iloc[i], dtype=np.float64)
+                            for i in idx])            # (n_d, d)
+            proj = mat @ signs_t[:d]                  # (n_d, planes)
+            # Exact-fold fallback wherever pairwise-summation error could
+            # flip the sign: |reassociation error| <= d*eps*Σ|x| — below
+            # that bound the matmul's sign IS the sequential fold's sign.
+            bound = (np.abs(mat).sum(axis=1, keepdims=True)
+                     * (4 * d * np.finfo(np.float64).eps))
+            amb = np.nonzero(np.abs(proj) <= bound)
+            for r, p in zip(*amb):
+                acc = 0.0
+                row, col = mat[r], signs_t[:d, p]
+                for j in range(d):
+                    acc += row[j] * col[j]            # the old fold, exactly
+                proj[r, p] = 1.0 if acc > 0 else -1.0 if acc < 0 else 0.0
+            out[idx] = (proj > 0) @ weights
+        return pd.Series(out)
+
+    # Guide §4.4: the bucket column becomes an equi-join key, and the join's
+    # injected isnotnull(bucket) predicate is pushed below the projection,
+    # duplicating the UDF (two ArrowEvalPython per side). Non-deterministic
+    # pins one evaluation; the isnotnull check still runs above it.
+    return _sig.asNondeterministic()(F.col(vec_col))
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -680,7 +680,11 @@ def _km_mean_update(cent: DataFrame, sums: DataFrame) -> DataFrame:
                     F.coalesce(
                         F.expr(f"((s + {_KM_OFF}L * n) div n) - {_KM_OFF}L"),
                         F.col("c_prev")).alias("c"))
-            .localCheckpoint(eager=True))
+            # Lazy: the |k x dims| frame still materializes exactly once
+            # (first consumer = next iteration's broadcast assign) and is
+            # reused by the update join — but the loop submits no job of
+            # its own (measured: x_kmeans_assign 2.79 -> 2.47 s).
+            .localCheckpoint(eager=False))
 
 
 def _km_member_sums(vv: DataFrame, asg: DataFrame,

@@ -514,7 +514,15 @@ def simhash_neardup_pairs(df: DataFrame, bands: int = 4,
         raise ValueError(
             f"pigeonhole needs max_hamming < bands, got "
             f"{max_hamming}/{bands} — raise bands or lower max_hamming")
-    sig = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    # Materialize ONCE: both sides of the candidate self-join consume the
+    # signature table, and one side is broadcast-built — no exchange reuse
+    # is possible across that asymmetry, so without this the whole corpus
+    # tokenize + ``bits`` conditional-sum pipeline runs TWICE (verified in
+    # the executed plan: two full FileScan→explode→HashAggregate branches).
+    # The table is one 16-byte signature per doc — corpus-linear, tiny
+    # next to the token explode it truncates.
+    sig = simhash(df, bits=bits, text_col=text_col, id_col=id_col) \
+        .localCheckpoint(eager=True)
     # Slices need not be equal width — the pigeonhole argument only needs a
     # partition of the signature into ``bands`` contiguous slices. When
     # bands does not divide bits, the first (bits % bands) slices take one

@@ -38,15 +38,17 @@ _COMMON = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Coalesce post-shuffle partitions by SIZE, not up to defaultParallelism
-    # (Spark's own recommendation for busy production clusters, and guide
-    # §2.2/§9): with parallelismFirst on, every tiny shuffle still fans out
-    # to ~cores tasks whose scheduling dominates at the small end, and at
-    # the large end the advisory size is what keeps partitions in the
-    # 100 MB-1 GB band. Measured on a 10-query mix at sf0.1 (same session,
-    # interleaved, medians): 29.7 s -> 27.8 s, with TPC-H q1 1.03 -> 0.70.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256MB",
+    # parallelismFirst/advisoryPartitionSizeInBytes stay at Spark defaults.
+    # r13 measured size-based coalescing (parallelismFirst=false, advisory
+    # 256 MB — the guide §9 baseline): once the A/B rotated variant order
+    # (fixed-order interleaving flattered whichever variant ran last), the
+    # default was CLEARLY faster on compute-dense shuffles — the shingle/
+    # Jaccard verify joins need CPU-parallelism that size-based coalescing
+    # serializes at this scale (x_jaccard_sweep 2.6 s default vs 4.6 s
+    # size-based; 10-query rotated panel 24.3 s vs 29.2 s). On a real
+    # cluster with busy executors, set parallelismFirst=false via submit
+    # conf per Spark's production guidance — partitions then land in the
+    # 100 MB-1 GB band the guide sizes for.
     # session_window / window() rewrites benefit from ANSI-off default; keep
     # Spark defaults otherwise.
     "spark.ui.enabled": "false",

@@ -62,6 +62,16 @@ def main() -> None:
     (spark.range(0, 8 * n_workers, 1, n_workers).withColumn("v", F.rand(42))
      .mapInPandas(_identity, "id long, v double")
      .write.mode("overwrite").format("noop").save())
+    # ... and the Python DataSource runner (first .load()/scan of a Python
+    # data source spawns and wires a fresh datasource worker; the audit
+    # queries should measure generation+aggregation, not runner spawn).
+    from flink_realtime_data_eng_spark.sources import register_audit_source
+    register_audit_source(spark)
+    (spark.read.format("frde_audit")
+     .schema("id bigint, user string, entity string, operation string,"
+             " ts_ms bigint, duration int, cnt int")
+     .option("n", 64).option("parts", 2).load()
+     .write.mode("overwrite").format("noop").save())
     # ... and the ML runtime (breeze/BLAS class loading dominates the first
     # KMeans fit; x_ivf_topk should measure clustering, not class loading).
     from pyspark.ml.clustering import KMeans

@@ -738,17 +738,18 @@ def kmeans_incremental(base: DataFrame, delta: DataFrame, k: int = 4,
     Scale shape: base appears in the Lloyd loop (broadcast-centroid
     assignment joins) and ONCE more for the merged means; delta is one
     explode + one broadcast-assignment join; the update itself is
-    |k x dims| arithmetic. The base final-assignment frame is reused
-    for sums and counts (localCheckpoint), so nothing base-sized runs
-    twice.
+    |k x dims| arithmetic.
     """
     # --- base training: the shared Lloyd core ---------------------------
     vb = _km_explode(base, vec_col, id_col)
     cent = _lloyd_train(base, vb, k, iters, id_col)
     # --- delta step: assign delta, move centroids to the merged mean ----
     vd = _km_explode(delta, vec_col, id_col)
-    base_asg = _km_assign(vb, cent, id_col).select(id_col, "cluster") \
-        .localCheckpoint(eager=True)
+    # No checkpoint: the base assignment has exactly ONE consumer (the
+    # merged-mean join below), so materializing it bought nothing and cost
+    # a corpus-sized eager job (r13: the old docstring claim that it was
+    # "reused for sums and counts" described a prior shape).
+    base_asg = _km_assign(vb, cent, id_col).select(id_col, "cluster")
     delta_asg = _km_assign(vd, cent, id_col).select(id_col, "cluster")
     merged = (vb.join(base_asg, id_col)
               .unionByName(vd.join(delta_asg, id_col))

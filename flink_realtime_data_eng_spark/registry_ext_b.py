@@ -1516,7 +1516,14 @@ def x_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(flagged, "doc_id", "left")
             .filter(F.col("kept") & F.col("keep")
                     & F.coalesce(~F.col("contaminated"), F.lit(True)))
-            .select("doc_id", "n_tokens"))
+            .select("doc_id", "n_tokens")
+            # Materialize ONCE: kept is re-referenced by the split, both
+            # tiers of the prefix sum, and the final join — without this
+            # the whole upstream (policy joins + the contamination
+            # shingle semi-join) re-expands per reference (the executed
+            # plan held NINE documents scans; now three). Ids+n_tokens
+            # only — duplicate-scale, the verified-edge precedent.
+            .localCheckpoint(eager=True))
     split_df = sketches.train_val_test_split(kept, key_col="doc_id")
     train = split_df.filter(F.col("split") == "train") \
                     .select("doc_id", "n_tokens")

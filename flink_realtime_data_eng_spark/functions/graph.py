@@ -28,8 +28,6 @@ output; pick by expected topology — near-dup doc clusters are shallow
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, functions as F
 
 # Target rows per shuffle partition inside fixpoint loops: ~2M edge/label
@@ -39,28 +37,34 @@ from pyspark.sql import DataFrame, functions as F
 _FIXPOINT_ROWS_PER_PARTITION = 2_000_000
 
 
-@contextmanager
-def _fixpoint_shuffle_width(df: DataFrame, n_rows: int):
-    """Scope ``spark.sql.shuffle.partitions`` to ceil(rows / 2M) for a
-    fixpoint loop, restoring the session value afterwards.
+def _fixpoint_width(n_rows: int) -> int:
+    """Shuffle width for a fixpoint loop: ceil(rows / 2M).
 
     Every round of a fixpoint shuffles the SAME bounded frame (edges /
     labels), so its right shuffle width is known up front from the
     materialized row count — unlike one-shot queries, where AQE's runtime
-    coalescing is the adaptive answer. AQE stays ON (skew-split still
-    applies inside each round: a giant component is a hot label key); this
-    only right-sizes the INITIAL width, whose per-round planning + map
-    fan-out cost is paid ``rounds`` times. Scale-adaptive in both
-    directions: 490 bench rows → 1 partition, 10¹⁰ edges → 5000, with the
-    session default as neither floor nor ceiling."""
-    spark = df.sparkSession
-    width = max(1, -(-n_rows // _FIXPOINT_ROWS_PER_PARTITION))
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    coalescing is the adaptive answer. Scale-adaptive in both directions:
+    490 bench rows → 1 partition, 10¹⁰ edges → 5000, with the session
+    default as neither floor nor ceiling."""
+    return max(1, -(-n_rows // _FIXPOINT_ROWS_PER_PARTITION))
+
+
+def _distribute(df: DataFrame, width: int, *keys: str) -> DataFrame:
+    """Impose the fixpoint width on ``df`` as a PLAN property — the
+    concurrency-safe replacement for scoping ``spark.sql.shuffle.partitions``
+    (a session-global mutation that two concurrent fixpoints would clobber;
+    per-plan state lets callers thread independent pipelines).
+
+    width == 1 (anything under 2M rows — every bench-scale pair graph)
+    coalesces to a SinglePartition frame: SinglePartition satisfies every
+    required distribution, so the loop's joins and aggregates plan with
+    ZERO exchanges and each round is one narrow single-task stage. Wider
+    frames get an explicit hash repartition on the loop key, which the
+    in-loop equi-joins and aggregates then reuse exchange-free; AQE stays
+    ON (skew-split still applies inside each round)."""
+    if width == 1:
+        return df.coalesce(1)
+    return df.repartition(width, *[F.col(k) for k in keys])
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -79,35 +83,45 @@ def connected_components(edges: DataFrame, src: str = "id_a",
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
            .distinct()
            .localCheckpoint(eager=True))
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
     # One cheap count over the already-materialized RDD sizes every
     # round's shuffles to the edge frame, not the session default.
-    with _fixpoint_shuffle_width(sym, sym.count()):
-        for _ in range(max_iter):
-            neigh = (sym.join(labels, sym["b"] == labels["node"])
-                     .groupBy("a").agg(F.min("label").alias("nlabel")))
-            # Carry the old label through the update join so convergence is
-            # a filter+count on the checkpointed result — no second join of
-            # two full node sets per round just to detect change.
-            # Lazy checkpoint + count: the count is the materializing
-            # action, so each round pays ONE Spark job (materialize+count
-            # fused) instead of two (eager materialize, then a count over
-            # it) — at bench scale the fixpoint's cost is driver job
-            # scheduling, not data, and this halves it; results identical.
-            step = (labels.join(neigh, labels["node"] == neigh["a"], "left")
-                          .select(labels["node"],
-                                  labels["label"].alias("old_label"),
-                                  F.least(labels["label"],
-                                          F.coalesce(F.col("nlabel"),
-                                                     labels["label"]))
-                                   .alias("label"))
-                          .localCheckpoint(eager=False))
-            changed = step.filter(
-                F.col("label") != F.col("old_label")).count()
-            labels = step.select("node", "label")
-            if changed == 0:
-                return labels
+    width = _fixpoint_width(sym.count())
+    # shuffle_hash on the loop join sides: a localCheckpoint output has no
+    # known partitioning, so without the hint AQE plans each bench-scale
+    # round as a BroadcastHashJoin whose broadcast exchange materializes as
+    # an EXTRA driver job per round (measured: 45 → 37 jobs on the
+    # embedding pair graph). At width > 1 the sides are hash-distributed on
+    # the join key already, and SHJ consumes that exchange-free where SMJ
+    # would add per-round sorts.
+    sym_j = _distribute(sym, width, "b").hint("shuffle_hash")
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        labels_r = _distribute(labels, width, "node")
+        neigh = (sym_j.join(labels_r, sym_j["b"] == labels_r["node"])
+                 .groupBy("a").agg(F.min("label").alias("nlabel"))
+                 .hint("shuffle_hash"))
+        # Carry the old label through the update join so convergence is
+        # a filter+count on the checkpointed result — no second join of
+        # two full node sets per round just to detect change.
+        # Lazy checkpoint + count: the count is the materializing
+        # action, so each round pays ONE Spark job (materialize+count
+        # fused) instead of two (eager materialize, then a count over
+        # it) — at bench scale the fixpoint's cost is driver job
+        # scheduling, not data, and this halves it; results identical.
+        step = (labels_r.join(neigh, labels_r["node"] == neigh["a"], "left")
+                        .select(labels_r["node"],
+                                labels_r["label"].alias("old_label"),
+                                F.least(labels_r["label"],
+                                        F.coalesce(F.col("nlabel"),
+                                                   labels_r["label"]))
+                                 .alias("label"))
+                        .localCheckpoint(eager=False))
+        changed = step.filter(
+            F.col("label") != F.col("old_label")).count()
+        labels = step.select("node", "label")
+        if changed == 0:
+            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the bound; raise max_iter")
@@ -168,27 +182,31 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
               .distinct()
               .localCheckpoint(eager=True))
     e_count = e.count()
-    with _fixpoint_shuffle_width(e, e_count):
-        for _ in range(max_iter):
-            sym = e.union(
-                e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
-                .distinct()
-            # Lazy checkpoint: the convergence count below is the
-            # materializing action (one job instead of materialize+count),
-            # and the previous round's count is carried in ``e_count`` so
-            # each round pays ONE count, not two.
-            nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
-            nxt_count = nxt.count()
-            # Converged when the edge set is unchanged (both are distinct
-            # sets, so equal counts + empty difference <=> equality).
-            if nxt_count == e_count and nxt.exceptAll(e).limit(1).count() == 0:
-                e = nxt
-                break
-            e, e_count = nxt, nxt_count
-        else:
-            raise RuntimeError(
-                f"connected_components_star did not converge in {max_iter} "
-                "rounds; raise max_iter")
+    width = _fixpoint_width(e_count)
+    for _ in range(max_iter):
+        # Width imposed BEFORE the distinct: repartition(width, a, b)
+        # satisfies the distinct aggregate's required distribution, so the
+        # round's first shuffle lands directly at the fixpoint width (and
+        # at width 1 the whole round plans exchange-free).
+        sym = _distribute(
+            e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))),
+            width, "a", "b").distinct()
+        # Lazy checkpoint: the convergence count below is the
+        # materializing action (one job instead of materialize+count),
+        # and the previous round's count is carried in ``e_count`` so
+        # each round pays ONE count, not two.
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        nxt_count = nxt.count()
+        # Converged when the edge set is unchanged (both are distinct
+        # sets, so equal counts + empty difference <=> equality).
+        if nxt_count == e_count and nxt.exceptAll(e).limit(1).count() == 0:
+            e = nxt
+            break
+        e, e_count = nxt, nxt_count
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter")
     # At the fixpoint the graph is a set of stars centered at component
     # minima: orient edges larger -> smaller and read labels off directly.
     stars = e.select(F.greatest("a", "b").alias("node"),
@@ -230,21 +248,23 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     base = scale * (damp_den - damp_num) // damp_den
     scores = (sym_deg.select(F.col("a").alias("node")).distinct()
               .withColumn("score", F.lit(scale).cast("bigint")))
-    with _fixpoint_shuffle_width(sym_deg, sym_deg.count()):
-        for _ in range(iterations):
-            contrib = (sym_deg.join(scores, sym_deg["a"] == scores["node"])
-                       .select(F.col("b"), F.expr("score DIV deg").alias("c")))
-            # Lazy checkpoint: each round's scores feed exactly one consumer
-            # (the next round's join), so materialization can ride the final
-            # action — one Spark job for the whole unrolled chain instead of
-            # one per round, while LogicalRDD still caps the plan size.
-            scores = (contrib.groupBy("b").agg(F.sum("c").alias("s"))
-                      .select(F.col("b").alias("node"),
-                              (F.lit(base)
-                               + F.expr(f"({damp_num} * s) DIV {damp_den}"))
-                              .cast("bigint").alias("score"))
-                      .localCheckpoint(eager=False))
-        return scores.select("node", F.col("score").alias("rank_i9"))
+    width = _fixpoint_width(sym_deg.count())
+    sym_deg_r = _distribute(sym_deg, width, "a")
+    for _ in range(iterations):
+        scores_r = _distribute(scores, width, "node")
+        contrib = (sym_deg_r.join(scores_r, sym_deg_r["a"] == scores_r["node"])
+                   .select(F.col("b"), F.expr("score DIV deg").alias("c")))
+        # Lazy checkpoint: each round's scores feed exactly one consumer
+        # (the next round's join), so materialization can ride the final
+        # action — one Spark job for the whole unrolled chain instead of
+        # one per round, while LogicalRDD still caps the plan size.
+        scores = (contrib.groupBy("b").agg(F.sum("c").alias("s"))
+                  .select(F.col("b").alias("node"),
+                          (F.lit(base)
+                           + F.expr(f"({damp_num} * s) DIV {damp_den}"))
+                          .cast("bigint").alias("score"))
+                  .localCheckpoint(eager=False))
+    return scores.select("node", F.col("score").alias("rank_i9"))
 
 
 def triangle_count(edges: DataFrame, src: str = "id_a",
@@ -324,21 +344,22 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 8,
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
            .distinct()
            .localCheckpoint(eager=True))
-    with _fixpoint_shuffle_width(sym, sym.count()):
-        for _ in range(rounds):
-            deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-            keep = deg.filter(F.col("deg") >= k).select("a")
-            # Lazy checkpoint (fixed rounds, no driver decision): each
-            # round's RDD still materializes exactly once — on the final
-            # action — and serves its three consumers from the persisted
-            # partitions, but the loop itself submits zero jobs.
-            sym = (sym.join(keep, "a", "left_semi")
-                      .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
-                      .select("a", "b")
-                      .localCheckpoint(eager=False))
-        return (sym.groupBy(F.col("a").alias("node"))
-                   .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-                   .orderBy("node"))
+    width = _fixpoint_width(sym.count())
+    for _ in range(rounds):
+        sym_r = _distribute(sym, width, "a")
+        deg = sym_r.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        # Lazy checkpoint (fixed rounds, no driver decision): each
+        # round's RDD still materializes exactly once — on the final
+        # action — and serves its three consumers from the persisted
+        # partitions, but the loop itself submits zero jobs.
+        sym = (sym_r.join(keep, "a", "left_semi")
+                    .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+                    .select("a", "b")
+                    .localCheckpoint(eager=False))
+    return (sym.groupBy(F.col("a").alias("node"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+               .orderBy("node"))
 
 
 def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
@@ -370,25 +391,27 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
                 .distinct().localCheckpoint(eager=True))
     layers = [frontier.select("node", F.lit(0).cast("int").alias("hop"))]
     visited = frontier
-    with _fixpoint_shuffle_width(sym, sym.count()):
-        for r in range(1, rounds + 1):
-            # Lazy: the loop is a FIXED number of rounds (no per-round
-            # driver decision), so materialization rides the final action —
-            # one job total; the LogicalRDD per round still caps plan depth
-            # and the persisted partitions serve all three consumers (next
-            # round's join, the visited anti-join, the final layer union).
-            frontier = (frontier.join(sym, frontier.node == sym.a)
-                        .select(F.col("b").alias("node")).distinct()
-                        .join(visited, "node", "left_anti")
-                        .localCheckpoint(eager=False))
-            layers.append(frontier.select("node",
-                                          F.lit(r).cast("int").alias("hop")))
-            # No checkpoint needed: every union leaf is itself a
-            # checkpointed frontier, so the visited plan is a flat union of
-            # materialized RDDs — O(rounds) leaves, no lineage blowup — and
-            # skipping the eager materialization saves one Spark job per
-            # round.
-            visited = visited.union(frontier)
+    width = _fixpoint_width(sym.count())
+    sym_a = _distribute(sym, width, "a")
+    for r in range(1, rounds + 1):
+        # Lazy: the loop is a FIXED number of rounds (no per-round
+        # driver decision), so materialization rides the final action —
+        # one job total; the LogicalRDD per round still caps plan depth
+        # and the persisted partitions serve all three consumers (next
+        # round's join, the visited anti-join, the final layer union).
+        frontier = (_distribute(frontier, width, "node")
+                    .join(sym_a, F.col("node") == sym_a["a"])
+                    .select(F.col("b").alias("node")).distinct()
+                    .join(visited, "node", "left_anti")
+                    .localCheckpoint(eager=False))
+        layers.append(frontier.select("node",
+                                      F.lit(r).cast("int").alias("hop")))
+        # No checkpoint needed: every union leaf is itself a
+        # checkpointed frontier, so the visited plan is a flat union of
+        # materialized RDDs — O(rounds) leaves, no lineage blowup — and
+        # skipping the eager materialization saves one Spark job per
+        # round.
+        visited = visited.union(frontier)
     out = layers[0]
     for lay in layers[1:]:
         out = out.unionByName(lay)

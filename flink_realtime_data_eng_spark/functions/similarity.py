@@ -646,24 +646,31 @@ def _km_explode(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         .alias("dim", "v"))
 
 
-def _km_assign(vv: DataFrame, centroids: DataFrame,
-               id_col: str) -> DataFrame:
+def _km_assign(vv: DataFrame, centroids: DataFrame, id_col: str,
+               extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Argmin assignment of exploded vectors against a broadcast centroid
     table: exact integer squared L2, (dist, cluster) lexicographic
-    tie-break. Returns (id, cluster, dist).
+    tie-break. Returns (id, *extra_keys, cluster, dist).
+
+    ``extra_keys`` widens the per-vector group key so DISJOINT frames can
+    be assigned in ONE pass after a tagged union: grouping on (id, tag)
+    partitions the union exactly as the two separate assignments would —
+    provably identical output even when an id appears on both sides.
 
     The squared-term sum accumulates in DECIMAL(38,0): each dd*dd fits
     int64 for the documented |component| < 1000 e6-scaled domain, but a
     64-dim SUM of 4e18-scale terms does not — non-ANSI Spark would wrap
     silently where DuckDB promotes to HUGEINT, diverging the oracle."""
+    keys = [id_col, *extra_keys]
     d = (vv.join(F.broadcast(centroids), "dim")
            .withColumn("dd", F.col("v") - F.col("c"))
-           .groupBy(id_col, "cluster")
+           .groupBy(*keys, "cluster")
            .agg(F.sum(F.expr("cast(dd as decimal(38,0)) * dd"))
                 .alias("dist")))
-    return (d.groupBy(id_col)
+    return (d.groupBy(*keys)
              .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-             .select(F.col(id_col), F.col("m.cluster").alias("cluster"),
+             .select(*[F.col(c) for c in keys],
+                     F.col("m.cluster").alias("cluster"),
                      F.col("m.dist").alias("dist")))
 
 
@@ -745,26 +752,26 @@ def kmeans_incremental(base: DataFrame, delta: DataFrame, k: int = 4,
     cent = _lloyd_train(base, vb, k, iters, id_col)
     # --- delta step: assign delta, move centroids to the merged mean ----
     vd = _km_explode(delta, vec_col, id_col)
-    # No checkpoint: the base assignment has exactly ONE consumer (the
-    # merged-mean join below), so materializing it bought nothing and cost
-    # a corpus-sized eager job (r13: the old docstring claim that it was
-    # "reused for sums and counts" described a prior shape).
-    base_asg = _km_assign(vb, cent, id_col).select(id_col, "cluster")
-    delta_asg = _km_assign(vd, cent, id_col).select(id_col, "cluster")
-    merged = (vb.join(base_asg, id_col)
-              .unionByName(vd.join(delta_asg, id_col))
+    # Base and delta are assigned in ONE fused pass over the tagged union:
+    # grouping on (id, is_delta) partitions the union exactly as the two
+    # separate assignments would (identical output even if an id appears
+    # on both sides), and each of the three remaining stages — merged-mean
+    # sums, and the two fused assignment passes — is one scan instead of
+    # two. No checkpoint on the assignment: it has exactly ONE consumer
+    # (the merged-mean join below).
+    vu = (vb.withColumn("is_delta", F.lit(False))
+            .unionByName(vd.withColumn("is_delta", F.lit(True))))
+    asg_u = (_km_assign(vu, cent, id_col, extra_keys=("is_delta",))
+             .select(id_col, "is_delta", "cluster"))
+    merged = (vu.join(asg_u, [id_col, "is_delta"])
               .groupBy("cluster", "dim")
               .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
                    F.count(F.lit(1)).alias("n")))
     cent2 = _km_mean_update(cent, merged)
     # --- final: one consistent assignment of the union corpus -----------
-    out_b = _km_assign(vb, cent2, id_col).withColumn("is_delta",
-                                                     F.lit(False))
-    out_d = _km_assign(vd, cent2, id_col).withColumn("is_delta",
-                                                     F.lit(True))
-    return (out_b.unionByName(out_d)
-            .select(F.col(id_col), F.col("cluster").cast("int"),
-                    F.col("dist").cast("bigint"), "is_delta"))
+    out = _km_assign(vu, cent2, id_col, extra_keys=("is_delta",))
+    return out.select(F.col(id_col), F.col("cluster").cast("int"),
+                      F.col("dist").cast("bigint"), "is_delta")
 
 
 def _tdiv(a: int, b: int) -> int:

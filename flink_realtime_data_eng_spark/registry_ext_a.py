@@ -2465,12 +2465,30 @@ def x_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition real pipelines run, since lexical and semantic dedup
     catch different duplicates. Both keep-lists are ids-only; the
     composition is two anti-join-shaped intersections, corpus never
-    rescanned. Output: (doc_id, kept_text, kept_embedding, kept)."""
-    text_keep = dedup.neardup_keep(_docs(spark, sf_dir)).select(
-        F.col("doc_id"), F.lit(True).alias("kept_text"))
-    emb_keep = similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3,
-                                        num_planes=8).select(
-        F.col("vec_id").alias("doc_id"), F.lit(True).alias("kept_embedding"))
+    rescanned. Output: (doc_id, kept_text, kept_embedding, kept).
+
+    The two keep-list constructions are INDEPENDENT iterative pipelines
+    (each runs a driver-side CC fixpoint with per-round scalar counts, so
+    each leaves the cluster idle while the driver plans the next round);
+    building them on two threads overlaps one pipeline's driver gaps with
+    the other's executor work. Safe since the fixpoints carry their
+    shuffle width as a plan property (graph._distribute) — no session
+    conf is mutated on either path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _text_keep() -> DataFrame:
+        return dedup.neardup_keep(_docs(spark, sf_dir)).select(
+            F.col("doc_id"), F.lit(True).alias("kept_text"))
+
+    def _emb_keep() -> DataFrame:
+        return similarity.semdedup_keep(
+            _emb(spark, sf_dir), threshold=0.3, num_planes=8).select(
+            F.col("vec_id").alias("doc_id"),
+            F.lit(True).alias("kept_embedding"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        text_f, emb_f = pool.submit(_text_keep), pool.submit(_emb_keep)
+        text_keep, emb_keep = text_f.result(), emb_f.result()
     ids = _docs(spark, sf_dir).select("doc_id")
     return (ids.join(text_keep, "doc_id", "left")
             .join(emb_keep, "doc_id", "left")

@@ -65,11 +65,11 @@ def main() -> None:
     # ... and the Python DataSource runner (first .load()/scan of a Python
     # data source spawns and wires a fresh datasource worker; the audit
     # queries should measure generation+aggregation, not runner spawn).
-    from flink_realtime_data_eng_spark.sources import register_audit_source
+    from flink_realtime_data_eng_spark.sources import (AUDIT_SCHEMA_DDL,
+                                                       register_audit_source)
     register_audit_source(spark)
     (spark.read.format("frde_audit")
-     .schema("id bigint, user string, entity string, operation string,"
-             " ts_ms bigint, duration int, cnt int")
+     .schema(AUDIT_SCHEMA_DDL)
      .option("n", 64).option("parts", 2).load()
      .write.mode("overwrite").format("noop").save())
     # ... and the ML runtime (breeze/BLAS class loading dominates the first

@@ -735,10 +735,16 @@ def prefix_filter_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     from pyspark.sql import Window as W
     sh = shingles(df, n, text_col, id_col).localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
+    # n_sh as an unbounded window count over the SAME doc partitioning the
+    # rank sort already established — the separate per-doc sizes aggregate
+    # and its join back onto ranked are gone (one less corpus-shingle
+    # shuffle + one less join in the candidate stage).
     ranked = (sh.join(freq, "shingle")
-                .withColumn("rn", F.row_number().over(
-                    W.partitionBy(id_col).orderBy("df_freq", "shingle"))))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+              .select(id_col, "shingle", "df_freq")
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy(id_col).orderBy("df_freq", "shingle")))
+              .withColumn("n_sh",
+                          F.count(F.lit(1)).over(W.partitionBy(id_col))))
     # prefix length L = n_sh - ceil(t * n_sh) + 1  (>= 1 whenever n_sh >= 1).
     # ceil in EXACT integer arithmetic: t as a rational num/1e6 (round-half
     # covers any threshold given to <=6 decimals), ceil(a/b) = (a+b-1) div b —
@@ -748,8 +754,7 @@ def prefix_filter_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     _num = int(round(threshold * _den))
     ceil_tn = F.expr(f"(n_sh * {_num}L + {_den - 1}L) div {_den}L")
     pref_len = F.col("n_sh") - ceil_tn + 1
-    prefix = (ranked.join(sizes, id_col)
-                    .filter(F.col("rn") <= pref_len)
+    prefix = (ranked.filter(F.col("rn") <= pref_len)
                     .select(id_col, "shingle", "rn", "n_sh"))
     pa = prefix.select(F.col(id_col).alias("id_a"), "shingle",
                        F.col("rn").alias("rn_a"), F.col("n_sh").alias("n_a"))
@@ -770,6 +775,10 @@ def prefix_filter_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     # via array_intersect, Jaccard with a +1 margin on n_common. n_a/n_b
     # are the EXACT shingle counts (a within-doc fp collision shrinks the
     # array, never the count), so the margin also absorbs one such case.
+    # Reads the CHECKPOINTED sh, not the freq-joined frame: an aggregate's
+    # partial stage sits below its exchange, so nothing would be reused
+    # from the window branch and the freq join would execute twice
+    # (measured: the joined-frame variant was ~5% slower end to end).
     docsets = (sh.groupBy(id_col)
                .agg(F.sort_array(F.collect_list(
                         F.xxhash64("shingle"))).alias("sset"),

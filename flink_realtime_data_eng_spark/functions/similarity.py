@@ -44,6 +44,20 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     the 0.0 convention is also what a zero vector means for ranking:
     similar to nothing.
 
+    Null contract (pinned by test, matches the historical expression): a
+    NULL vector side scores 0.0 (its norm — and so the denominator — was
+    null, and ``when(den > 0, ·)`` fell through to the 0.0 branch);
+    length-mismatched non-null vectors score NULL (``zip_with`` padded
+    with null, nulling the dot while the denominator stayed positive).
+
+    The returned Column is marked ``asNondeterministic()`` — deliberate,
+    see the note at the call site: it pins ONE Arrow evaluation where the
+    optimizer would otherwise duplicate the UDF around a pushed filter.
+    Consequence for callers: Spark rejects non-deterministic expressions
+    in join CONDITIONS and some aggregate positions, so always project
+    the score into a column first (``.select(cosine(...).alias("score"))``)
+    and join/filter/rank on that column — every in-repo consumer does.
+
     Implementation note (r13 optimization): the historical form folded
     zip_with products through ``F.aggregate`` — Spark evaluates
     higher-order functions INTERPRETED (no codegen), ~200 µs per pair at
@@ -77,12 +91,14 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         n = len(va)
         out = np.zeros(n, dtype=np.float64)
-        nulls = np.zeros(n, dtype=bool)
         la = np.array([-1 if v is None else len(v) for v in va])
         lb = np.array([-1 if v is None else len(v) for v in vb])
-        # Old expression semantics: a null side → null result; unequal
-        # lengths → zip_with pads with null → null dot → null result.
-        nulls |= (la < 0) | (lb < 0) | ((la >= 0) & (lb >= 0) & (la != lb))
+        # Old expression semantics, exactly: a NULL side nulls its norm and
+        # so the denominator, and when(den > 0, ·).otherwise(0.0) lands in
+        # the 0.0 branch → a null side scores 0.0 (out is pre-zeroed);
+        # unequal-length non-null vectors null only the DOT (zip_with pads
+        # with null) while den stays positive → NULL result.
+        nulls = (la >= 0) & (lb >= 0) & (la != lb)
         eps = np.finfo(np.float64).eps
         for d in np.unique(la[(la == lb) & (la >= 0)]):
             idx = np.nonzero((la == d) & (lb == d))[0]
@@ -158,8 +174,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 # Hyperplane sign tables are precomputed driver-side up to this dim and
-# shipped as ONE array literal per plane; beyond it lsh_signature raises
-# (never silently truncates). Raise alongside your embedding width.
+# shipped in the UDF closure; wider vectors extend the table LAZILY on the
+# executor (same md5 parity, value-identical — the per-plane sign at index
+# i never depends on the table width), cached per worker. No behavior
+# cliff: any dim works, only the shipped-closure size is bounded here.
 _LSH_MAX_DIM = 1024
 
 
@@ -192,12 +210,32 @@ def lsh_signature(vec_col: str, num_planes: int = 8) -> Column:
     with the sequential left-to-right float64 fold the old expression
     used (IEEE-identical in Python), so the returned bucket ids are
     bit-for-bit the old ones at any data — the fast path only serves
-    sign decisions the error bound proves unambiguous."""
+    sign decisions the error bound proves unambiguous.
+
+    The returned Column is marked ``asNondeterministic()`` — deliberate
+    (see the call-site note: it pins ONE Arrow evaluation where the
+    optimizer would duplicate the UDF around a pushed isnotnull). Spark
+    rejects non-deterministic expressions in join CONDITIONS, so always
+    project the bucket into a column (``withColumn("bucket", ...)``)
+    before equi-joining on it — every in-repo consumer does."""
     import numpy as np
 
     signs_t = np.array([_plane_signs_py(p) for p in range(num_planes)],
                        dtype=np.float64).T  # (maxdim, planes)
     weights = np.array([1 << p for p in range(num_planes)], dtype=np.int64)
+    # Vectors wider than the pre-shipped table extend it lazily on the
+    # executor (value-identical md5 parity), cached per worker per dim.
+    _ext_cache: dict[int, "np.ndarray"] = {}
+
+    def _signs_for(d: int) -> "np.ndarray":
+        if d <= signs_t.shape[0]:
+            return signs_t[:d]
+        m = _ext_cache.get(d)
+        if m is None:
+            m = np.array([_plane_signs_py(p, d) for p in range(num_planes)],
+                         dtype=np.float64).T
+            _ext_cache[d] = m
+        return m
 
     @F.pandas_udf("long")
     def _sig(vs: pd.Series) -> pd.Series:
@@ -206,13 +244,11 @@ def lsh_signature(vec_col: str, num_planes: int = 8) -> Column:
         for d in np.unique(lens):
             if d <= 0:
                 continue  # null/empty vector: every projection is 0 → bucket 0
-            if d > _LSH_MAX_DIM:
-                raise ValueError(f"lsh_signature: vector dim {d} exceeds "
-                                 f"_LSH_MAX_DIM={_LSH_MAX_DIM}")
+            signs_d = _signs_for(d)                   # (d, planes)
             idx = np.nonzero(lens == d)[0]
             mat = np.array([np.asarray(vs.iloc[i], dtype=np.float64)
                             for i in idx])            # (n_d, d)
-            proj = mat @ signs_t[:d]                  # (n_d, planes)
+            proj = mat @ signs_d                      # (n_d, planes)
             # Exact-fold fallback wherever pairwise-summation error could
             # flip the sign: |reassociation error| <= d*eps*Σ|x| — below
             # that bound the matmul's sign IS the sequential fold's sign.
@@ -221,7 +257,7 @@ def lsh_signature(vec_col: str, num_planes: int = 8) -> Column:
             amb = np.nonzero(np.abs(proj) <= bound)
             for r, p in zip(*amb):
                 acc = 0.0
-                row, col = mat[r], signs_t[:d, p]
+                row, col = mat[r], signs_d[:, p]
                 for j in range(d):
                     acc += row[j] * col[j]            # the old fold, exactly
                 proj[r, p] = 1.0 if acc > 0 else -1.0 if acc < 0 else 0.0

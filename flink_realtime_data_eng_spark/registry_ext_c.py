@@ -1022,13 +1022,14 @@ def x_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. sf_dir is unused: the source IS the data."""
     from .sources import register_audit_source
     register_audit_source(spark)
-    # Explicit schema: the generator's schema is a declared constant, so
-    # passing it skips the plan-time Python round trip that schema
-    # inference costs on every read (measured: construct 0.20 s -> 0.04 s
-    # warm; the cold first-call probe disappears entirely).
+    # Explicit schema: the generator's schema is a declared constant
+    # (sources.AUDIT_SCHEMA_DDL, the single exported copy), so passing it
+    # skips the plan-time Python round trip that schema inference costs on
+    # every read (measured: construct 0.20 s -> 0.04 s warm; the cold
+    # first-call probe disappears entirely).
+    from .sources import AUDIT_SCHEMA_DDL
     df = (spark.read.format("frde_audit")
-          .schema("id bigint, user string, entity string, operation string,"
-                  " ts_ms bigint, duration int, cnt int")
+          .schema(AUDIT_SCHEMA_DDL)
           .option("n", 20000).option("parts", 8).load())
     return (df.groupBy("user", "operation")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),

@@ -117,6 +117,15 @@ def _h32_py(prefix: str, v: object) -> int:
     return int(hashlib.md5(f"{prefix}:{v}".encode()).hexdigest()[:8], 16)
 
 
+# The frde_audit source's declared schema, exported ONCE: readers that pass
+# an explicit schema to skip the plan-time Python schema probe
+# (x_datasource_scan, bench warmup) must stay byte-identical to
+# AuditDataSource.schema() or the read misparses — a single constant cannot
+# drift.
+AUDIT_SCHEMA_DDL = ("id bigint, user string, entity string, "
+                    "operation string, ts_ms bigint, duration int, cnt int")
+
+
 try:  # pyspark >= 4 only; the module stays importable elsewhere
     from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                         InputPartition,
@@ -143,8 +152,7 @@ try:  # pyspark >= 4 only; the module stays importable elsewhere
             return "frde_audit"
 
         def schema(self) -> str:
-            return ("id bigint, user string, entity string, "
-                    "operation string, ts_ms bigint, duration int, cnt int")
+            return AUDIT_SCHEMA_DDL
 
         def reader(self, schema) -> "AuditReader":
             return AuditReader(self.options)

@@ -544,3 +544,72 @@ def test_semantic_leakage_asymmetric_no_self_pairs(spark):
     assert all(r["bench_id"] % 4 == 0 and r["corpus_id"] % 4 != 0
                for r in out)
     assert len(out) > 0
+
+
+def test_cosine_null_contract(spark):
+    # Pins the historical expression's null semantics (r14 ADVICE): a NULL
+    # vector side scores 0.0 (its norm nulled the denominator and
+    # when(den > 0, ·) fell through to the 0.0 branch); length-mismatched
+    # non-null vectors score NULL (zip_with padded the dot with null while
+    # the denominator stayed positive).
+    df = spark.createDataFrame(
+        [(1, None, [1.0, 0.0]), (2, [1.0, 0.0], None), (3, None, None),
+         (4, [1.0, 0.0, 0.0], [1.0, 0.0]), (5, [0.0, 0.0], [1.0, 1.0])],
+        "i long, a array<float>, b array<float>")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", similarity.cosine("a", "b").alias("c")).collect()}
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0  # null side
+    assert got[4] is None                   # unequal lengths
+    assert got[5] == 0.0                    # zero-norm side
+
+
+def test_lsh_signature_wide_vectors_match_narrow_prefix_planes(spark):
+    # The pre-shipped sign table covers dim <= 1024; wider vectors extend
+    # it lazily on the executor with the SAME md5 parity. Check dim 4096
+    # works and that its buckets agree with a driver-side sequential-fold
+    # reference (the historical expression's exact semantics).
+    import math
+
+    dim = 4096
+    vecs = [(1, [math.sin(i * 0.7 + 1) for i in range(dim)]),
+            (2, [math.cos(i * 1.3) for i in range(dim)])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id",
+        similarity.lsh_signature("embedding", num_planes=8).alias("b"))
+        .collect()}
+
+    def ref_bucket(v):
+        bucket = 0
+        for p in range(8):
+            signs = similarity._plane_signs_py(p, dim)
+            acc = 0.0
+            for x, s in zip(v, signs):
+                acc += float(np.float32(x)) * s
+            if acc > 0:
+                bucket |= 1 << p
+        return bucket
+
+    import numpy as np
+    for vid, v in vecs:
+        assert got[vid] == ref_bucket(v)
+
+
+def test_nondeterministic_score_rejected_in_join_condition(spark):
+    # cosine()/lsh_signature() are asNondeterministic() (pins ONE Arrow
+    # evaluation); Spark REJECTS non-deterministic expressions inside join
+    # conditions. This test pins the allowed consumer shape: project the
+    # score/bucket into a column first, then join on the column — which is
+    # what every in-repo consumer does. If this test ever fails, Spark
+    # lifted the restriction and the docstring caveats can be relaxed.
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    a = _emb(spark, [(1, [1.0, 0.0])])
+    b = a.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q"))
+    with pytest.raises(AnalysisException):
+        a.join(b, similarity.cosine("embedding", "q") > 0.5).collect()
+    # The sanctioned shape: score projected to a column, filter/join on it.
+    scored = (a.crossJoin(b)
+              .select("vec_id", "qid",
+                      similarity.cosine("embedding", "q").alias("score")))
+    assert scored.filter(F.col("score") > 0.5).count() == 1
